@@ -1,0 +1,384 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Analytics, Relational, StarSchema}
+
+/** One registered query: the Spark implementation plus (when
+  * SQL-expressible) the equivalent DuckDB oracle SQL the driver runs
+  * against the same parquet tables. Column names/types are aligned
+  * between both sides — the driver sorts columns by name and hashes
+  * values, so every computed column is aliased identically.
+  *
+  * Determinism rules used throughout (see TimeFns):
+  *  - money/metric doubles are aggregated as exact decimals or integer
+  *    cents and surfaced as double (exact -> bit-identical);
+  *  - ratios are a single IEEE division of exact values;
+  *  - every top-k has a total-order tie-break.
+  */
+final case class Q(
+    name: String,
+    run: (SparkSession, String) => DataFrame,
+    oracle: Option[String],
+    bench: Boolean = false)
+
+object Suite {
+
+  private def clean(s: SparkSession, dir: String): DataFrame =
+    StarSchema.clean(Tables(s, dir).events)
+
+  /** Shared oracle CTE mirroring [[StarSchema.clean]]. */
+  private val CleanCte: String =
+    """WITH clean AS (
+      |  SELECT
+      |    event_id, user_id, ts,
+      |    CAST(ts AS DATE) AS event_date,
+      |    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
+      |    CAST(dayofweek(CAST(ts AS DATE)) AS INTEGER) AS pg_dow,
+      |    dayname(CAST(ts AS DATE)) AS day_name,
+      |    CASE WHEN EXTRACT(hour FROM ts) BETWEEN 6 AND 11 THEN 'morning'
+      |         WHEN EXTRACT(hour FROM ts) BETWEEN 12 AND 17 THEN 'afternoon'
+      |         WHEN EXTRACT(hour FROM ts) BETWEEN 18 AND 23 THEN 'evening'
+      |         ELSE 'night' END AS time_period,
+      |    dayofweek(CAST(ts AS DATE)) IN (0, 6) AS is_weekend,
+      |    COALESCE(NULLIF(TRIM(event_type), ''), 'unknown') AS event_type,
+      |    value,
+      |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+      |    value / CAST(60.0 AS DOUBLE) AS duration_minutes,
+      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+      |    CAST(CASE WHEN event_type IS NULL OR TRIM(event_type) = '' THEN 0.5
+      |              WHEN value IS NULL OR value < 10.0 THEN 0.7
+      |              ELSE 1.0 END AS DOUBLE) AS quality_score,
+      |    CASE WHEN event_type IS NULL OR TRIM(event_type) = '' THEN 'missing_type'
+      |         WHEN value IS NULL OR value < 10.0 THEN 'short_duration'
+      |         ELSE '' END AS quality_flag
+      |  FROM events
+      |)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // ---- ETL spine: P1+P2+P3 clean projection -------------------------
+    Q("etl_clean_events",
+      (s, d) => clean(s, d).drop("ts"),
+      Some(s"""$CleanCte
+        |SELECT event_id, user_id, event_date, event_hour, pg_dow, day_name,
+        |       time_period, is_weekend, event_type, value, value_cents,
+        |       duration_minutes, prop_k, quality_score, quality_flag
+        |FROM clean""".stripMargin)),
+
+    // ---- dims (J3 anti-join sync semantics, MD5 surrogates) -----------
+    Q("etl_dim_users",
+      (s, d) => StarSchema.dimUsers(clean(s, d)),
+      Some("""SELECT 'user_' || md5(CAST(user_id AS VARCHAR)) AS user_key,
+        |       user_id,
+        |       MIN(CAST(ts AS DATE)) AS first_seen,
+        |       COUNT(*) AS total_events,
+        |       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+        |FROM events GROUP BY user_id""".stripMargin)),
+
+    Q("etl_dim_types",
+      (s, d) => StarSchema.dimTypes(clean(s, d)),
+      Some(s"""$CleanCte
+        |SELECT 'type_' || md5(event_type) AS type_key, event_type,
+        |       MIN(event_date) AS first_seen, COUNT(*) AS total_events
+        |FROM clean GROUP BY event_type""".stripMargin)),
+
+    Q("etl_dim_dates",
+      (s, d) => StarSchema.dimDates(clean(s, d)),
+      Some("""WITH b AS (SELECT CAST(min(ts) AS DATE) d0, CAST(max(ts) AS DATE) d1 FROM events),
+        |g AS (SELECT CAST(unnest(generate_series(CAST(b.d0 AS TIMESTAMP), CAST(b.d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS date_value
+        |      FROM b)
+        |SELECT CAST(year(date_value)*10000 + month(date_value)*100 + day(date_value) AS INTEGER) AS date_key,
+        |       date_value, dayname(date_value) AS day_name,
+        |       CAST(dayofweek(date_value) AS INTEGER) AS pg_dow,
+        |       dayofweek(date_value) IN (0,6) AS is_weekend
+        |FROM g""".stripMargin)),
+
+    // ---- fact load (J1 star join, broadcast dims) ----------------------
+    Q("etl_fact_events",
+      (s, d) => StarSchema.fact(clean(s, d)),
+      Some(s"""$CleanCte
+        |SELECT event_id,
+        |       CAST(year(event_date)*10000 + month(event_date)*100 + day(event_date) AS INTEGER) AS date_key,
+        |       'user_' || md5(CAST(user_id AS VARCHAR)) AS user_key,
+        |       'type_' || md5(event_type) AS type_key,
+        |       value_cents, event_hour, is_weekend
+        |FROM clean""".stripMargin),
+      bench = true),
+
+    // ---- A4 daily stats + W1 window argmax -----------------------------
+    Q("etl_daily_stats",
+      (s, d) => StarSchema.dailyStats(clean(s, d)),
+      Some(s"""$CleanCte,
+        |base AS (
+        |  SELECT event_date, COUNT(*) AS total_events,
+        |         COUNT(DISTINCT user_id) AS unique_users,
+        |         COUNT(DISTINCT event_type) AS unique_types,
+        |         CAST(SUM(value_cents) AS BIGINT) AS cents,
+        |         COUNT(CASE WHEN time_period='morning' THEN 1 END) AS morning_events,
+        |         COUNT(CASE WHEN time_period='afternoon' THEN 1 END) AS afternoon_events,
+        |         COUNT(CASE WHEN time_period='evening' THEN 1 END) AS evening_events,
+        |         COUNT(CASE WHEN time_period='night' THEN 1 END) AS night_events
+        |  FROM clean GROUP BY event_date),
+        |tt AS (SELECT event_date, event_type AS top_type FROM (
+        |  SELECT event_date, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY event_date ORDER BY COUNT(*) DESC, event_type) AS rn
+        |  FROM clean GROUP BY event_date, event_type) WHERE rn = 1),
+        |tu AS (SELECT event_date, user_id AS top_user FROM (
+        |  SELECT event_date, user_id,
+        |         ROW_NUMBER() OVER (PARTITION BY event_date ORDER BY COUNT(*) DESC, user_id) AS rn
+        |  FROM clean GROUP BY event_date, user_id) WHERE rn = 1)
+        |SELECT b.event_date, b.total_events, b.unique_users, b.unique_types,
+        |       b.morning_events, b.afternoon_events, b.evening_events, b.night_events,
+        |       tt.top_type, tu.top_user,
+        |       b.cents / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM base b JOIN tt USING (event_date) JOIN tu USING (event_date)""".stripMargin),
+      bench = true),
+
+    // ---- J6+A10 zero-filled heatmap grid -------------------------------
+    Q("an_heatmap",
+      (s, d) => Analytics.heatmap(clean(s, d)),
+      Some("""WITH b AS (SELECT date_trunc('hour', CAST(min(ts) AS TIMESTAMP)) h0, CAST(max(ts) AS TIMESTAMP) h1 FROM events),
+        |gs AS (SELECT unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS g FROM b),
+        |grid AS (SELECT CAST(g AS DATE) AS grid_date, CAST(EXTRACT(hour FROM g) AS INTEGER) AS grid_hour FROM gs),
+        |hourly AS (SELECT CAST(ts AS DATE) AS grid_date, CAST(EXTRACT(hour FROM ts) AS INTEGER) AS grid_hour,
+        |                  COUNT(*) AS cnt, CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS cents
+        |           FROM events GROUP BY 1, 2)
+        |SELECT g.grid_date, g.grid_hour,
+        |       COALESCE(h.cnt, 0) AS n_events,
+        |       COALESCE(h.cents, 0) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM grid g LEFT JOIN hourly h USING (grid_date, grid_hour)""".stripMargin),
+      bench = true),
+
+    // ---- A1+A2+W2 ratio-to-day-total ------------------------------------
+    Q("an_hour_ratio",
+      (s, d) => Analytics.hourRatio(clean(s, d)),
+      Some(s"""$CleanCte,
+        |byp AS (SELECT pg_dow, day_name, time_period, COUNT(*) AS n_events,
+        |               CAST(SUM(value_cents) AS BIGINT) AS cents
+        |        FROM clean GROUP BY 1, 2, 3)
+        |SELECT pg_dow, day_name, time_period, n_events,
+        |       cents / CAST(100.0 AS DOUBLE) AS total_value,
+        |       cents * CAST(100.0 AS DOUBLE) / CAST(SUM(cents) OVER (PARTITION BY pg_dow) AS BIGINT) AS pct_of_day
+        |FROM byp""".stripMargin)),
+
+    // ---- A3 weekday/weekend radar ---------------------------------------
+    Q("an_radar",
+      (s, d) => Analytics.radar(clean(s, d)),
+      Some(s"""$CleanCte,
+        |g AS (
+        |  SELECT CASE WHEN is_weekend THEN 'Weekend' ELSE 'Weekday' END AS day_type,
+        |         COUNT(*) AS n_events,
+        |         CAST(SUM(value_cents) AS BIGINT) AS s1,
+        |         CAST(SUM(value_cents * value_cents) AS BIGINT) AS s2,
+        |         COUNT(DISTINCT user_id) AS unique_users,
+        |         COUNT(DISTINCT event_type) AS unique_types,
+        |         COUNT(DISTINCT event_date) AS active_days,
+        |         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error_events,
+        |         COUNT(CASE WHEN event_hour BETWEEN 6 AND 18 THEN 1 END) AS daytime_events
+        |  FROM clean GROUP BY 1)
+        |SELECT day_type, n_events,
+        |       s1 / CAST(100.0 AS DOUBLE) AS total_value,
+        |       s1 / CAST(100.0 AS DOUBLE) / n_events AS avg_value,
+        |       unique_users, unique_types, active_days, error_events,
+        |       CAST(100.0 AS DOUBLE) * daytime_events / n_events AS pct_daytime,
+        |       sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n_events) / (n_events - 1)) / CAST(100.0 AS DOUBLE) AS stddev_value
+        |FROM g""".stripMargin)),
+
+    // ---- A5 loyalty -----------------------------------------------------
+    Q("an_loyalty",
+      (s, d) => Analytics.loyalty(clean(s, d)),
+      Some("""WITH g AS (
+        |  SELECT user_id, COUNT(*) AS total_events,
+        |         COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+        |         MIN(CAST(ts AS DATE)) AS first_date,
+        |         MAX(CAST(ts AS DATE)) AS last_date
+        |  FROM events GROUP BY user_id HAVING COUNT(*) >= 3),
+        |sp AS (SELECT *, CAST(last_date - first_date AS INTEGER) + 1 AS span_days FROM g)
+        |SELECT user_id, total_events, active_days, first_date, last_date, span_days,
+        |       round(active_days * CAST(1.0 AS DOUBLE) / span_days, 3) AS loyalty_ratio,
+        |       round(total_events * CAST(1.0 AS DOUBLE) / span_days, 2) AS avg_events_per_day
+        |FROM sp
+        |ORDER BY loyalty_ratio DESC, total_events DESC, user_id LIMIT 100""".stripMargin),
+      bench = true),
+
+    // ---- A6 lifecycle funnel (W5 first-event-relative windows) ----------
+    Q("an_lifecycle",
+      (s, d) => Analytics.lifecycle(clean(s, d)),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_date
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, first_date, COUNT(*) AS total_events,
+        |         COUNT(CASE WHEN event_date - first_date = 0 THEN 1 END) AS day0_events,
+        |         COUNT(CASE WHEN event_date - first_date BETWEEN 0 AND 7 THEN 1 END) AS week1_events,
+        |         COUNT(CASE WHEN event_date - first_date BETWEEN 0 AND 30 THEN 1 END) AS month1_events,
+        |         MAX(event_date) AS last_date
+        |  FROM e GROUP BY 1, 2)
+        |SELECT *,
+        |       CASE WHEN total_events = 1 THEN 'single'
+        |            WHEN total_events <= 5 THEN 'casual'
+        |            WHEN total_events <= 15 THEN 'regular'
+        |            ELSE 'heavy' END AS conversion_category,
+        |       CASE WHEN last_date - first_date <= 3 THEN 'burst'
+        |            WHEN last_date - first_date <= 7 THEN 'week'
+        |            WHEN last_date - first_date <= 14 THEN 'fortnight'
+        |            ELSE 'sustained' END AS lifecycle_stage
+        |FROM g""".stripMargin)),
+
+    // ---- A7 top-N -------------------------------------------------------
+    Q("an_top_types",
+      (s, d) => Analytics.topN(clean(s, d), "event_type", 10),
+      Some(s"""$CleanCte
+        |SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(value_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM clean GROUP BY event_type
+        |ORDER BY n_events DESC, event_type LIMIT 10""".stripMargin)),
+
+    // ---- A8 discovery buckets -------------------------------------------
+    Q("an_discovery_weekly",
+      (s, d) => Analytics.discoveryWeekly(clean(s, d)),
+      Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date FROM events GROUP BY user_id)
+        |SELECT CAST((first_date - DATE '2000-01-01') // 7 AS BIGINT) AS week_bucket,
+        |       MIN(first_date) AS week_start, COUNT(*) AS new_users
+        |FROM f GROUP BY 1""".stripMargin)),
+
+    // ---- W3 lag delta -----------------------------------------------------
+    Q("an_daily_delta",
+      (s, d) => Analytics.dailyDelta(clean(s, d)),
+      Some("""WITH g AS (SELECT CAST(ts AS DATE) AS event_date, COUNT(*) AS n_events FROM events GROUP BY 1)
+        |SELECT event_date, n_events,
+        |       LAG(n_events, 1) OVER (ORDER BY event_date) AS prev_events,
+        |       n_events - LAG(n_events, 1) OVER (ORDER BY event_date) AS delta
+        |FROM g""".stripMargin)),
+
+    // ---- J2 anti join ------------------------------------------------------
+    Q("an_users_no_purchase",
+      (s, d) => Analytics.usersWithout(clean(s, d), "purchase"),
+      Some("""SELECT DISTINCT user_id FROM events e
+        |WHERE NOT EXISTS (SELECT 1 FROM events p
+        |                  WHERE p.user_id = e.user_id AND p.event_type = 'purchase')""".stripMargin)),
+
+    // ---- S6/§2.9 keyed dedup ------------------------------------------------
+    Q("etl_dedup_keep_first",
+      (s, d) => Analytics.dedupKeepFirst(clean(s, d)),
+      Some("""SELECT user_id, epoch_us(ts) AS ts_us, MIN(event_id) AS kept_event_id,
+        |       COUNT(*) AS n_dupes
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    // ---- §2.7 set operations --------------------------------------------------
+    Q("an_set_ops",
+      (s, d) => Analytics.setOps(clean(s, d)),
+      Some("""WITH s AS (SELECT CAST(min(ts) AS DATE) + 15 AS sd FROM events),
+        |h1 AS (SELECT DISTINCT user_id FROM events, s WHERE CAST(ts AS DATE) < s.sd),
+        |h2 AS (SELECT DISTINCT user_id FROM events, s WHERE CAST(ts AS DATE) >= s.sd)
+        |SELECT 'both' AS tag, user_id FROM (SELECT * FROM h1 INTERSECT SELECT * FROM h2)
+        |UNION ALL SELECT 'only_h1' AS tag, user_id FROM (SELECT * FROM h1 EXCEPT SELECT * FROM h2)
+        |UNION ALL SELECT 'only_h2' AS tag, user_id FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)
+        |UNION ALL SELECT 'any' AS tag, user_id FROM (SELECT * FROM h1 UNION SELECT * FROM h2)""".stripMargin)),
+
+    // ---- §2.9 watermark incremental scan ----------------------------------------
+    Q("etl_incremental_watermark",
+      (s, d) => Analytics.incrementalAfterWatermark(clean(s, d)),
+      Some(s"""$CleanCte,
+        |wm AS (SELECT epoch_us(max(ts)) - CAST(604800 AS BIGINT)*1000000 AS w FROM clean)
+        |SELECT event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(value_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM clean, wm WHERE epoch_us(ts) > wm.w
+        |GROUP BY event_type""".stripMargin)),
+
+    // ---- relational core (TPC-H-shaped) -------------------------------------------
+    Q("rel_pricing_summary",
+      (s, d) => Relational.pricingSummary(Tables(s, d)),
+      Some("""SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
+        |  COUNT(*) AS count_order,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS avg_price
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    Q("rel_top_revenue_orders",
+      (s, d) => Relational.topRevenueOrders(Tables(s, d)),
+      Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+        |       CAST(rev AS DOUBLE) AS revenue
+        |FROM (
+        |  SELECT o_orderkey, o_orderdate, o_orderpriority,
+        |         SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))) AS rev
+        |  FROM lineitem
+        |  JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |  GROUP BY 1, 2, 3
+        |  ORDER BY rev DESC, o_orderkey LIMIT 10)""".stripMargin),
+      bench = true),
+
+    Q("rel_region_revenue",
+      (s, d) => Relational.regionRevenue(Tables(s, d), "ASIA"),
+      Some("""SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin),
+      bench = true),
+
+    Q("rel_parts_never_ordered",
+      (s, d) => Relational.partsNeverOrdered(Tables(s, d)),
+      Some("""SELECT p_partkey, p_name, p_brand FROM part
+        |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)""".stripMargin)),
+
+    Q("rel_customers_no_orders",
+      (s, d) => Relational.customersWithoutOrders(Tables(s, d)),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    Q("rel_customer_order_windows",
+      (s, d) => Relational.customerOrderWindows(Tables(s, d)),
+      Some("""WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_date,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS order_rank,
+        |  CAST(SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY o_date, o_orderkey
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) / CAST(100.0 AS DOUBLE) AS running_spend,
+        |  price_cents / CAST(100.0 AS DOUBLE) AS order_total
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)""".stripMargin),
+      bench = true),
+
+    Q("rel_scalar_showcase",
+      (s, d) => Relational.scalarShowcase(Tables(s, d)),
+      Some("""SELECT c_custkey,
+        |  'cust_' || md5(CAST(c_custkey AS VARCHAR)) AS surrogate_key,
+        |  upper(c_name) AS name_upper,
+        |  substr(c_name, 1, 8) AS name_prefix,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  trim(c_mktsegment) AS segment,
+        |  CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+        |  abs(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS bal_cents_abs,
+        |  CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+        |       WHEN c_acctbal < 5000 THEN 'standard'
+        |       ELSE 'premium' END AS balance_tier,
+        |  COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment_clean
+        |FROM customer""".stripMargin))
+  )
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  def benchNames: Seq[String] = all.filter(_.bench).map(_.name)
+}

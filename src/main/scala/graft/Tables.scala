@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Typed access to the driver-provided parquet tables (TESTDATA.md).
+  *
+  * `events` ships as parquet TIMESTAMP(NANOS) which Spark's vectorized
+  * reader rejects; we read nanos as long (legacy conf) and down-convert
+  * to microsecond TIMESTAMP_NTZ (truncating, same as DuckDB's ns->us
+  * cast) so all downstream time logic matches the oracle bit-for-bit.
+  */
+final case class Tables(spark: SparkSession, dir: String) {
+  private def p(name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region: DataFrame     = p("region")
+  def nation: DataFrame     = p("nation")
+  def customer: DataFrame   = p("customer")
+  def supplier: DataFrame   = p("supplier")
+  def part: DataFrame       = p("part")
+  def orders: DataFrame     = p("orders")
+  def lineitem: DataFrame   = p("lineitem")
+  def documents: DataFrame  = p("documents")
+  def embeddings: DataFrame = p("embeddings")
+
+  /** events with `ts` converted nanos-long -> TIMESTAMP_NTZ (micros). */
+  def events: DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    p("events").withColumn(
+      "ts",
+      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+  }
+}

@@ -1,0 +1,225 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TimeFns
+
+/** The reference's dashboard analytics surface (EP3, the SQL loaders
+  * under dashboard/sql_query/) as reusable DataFrame operators over the
+  * cleaned events (see [[StarSchema.clean]]).
+  *
+  * Window-shaped results the reference hand-rolls with joins /
+  * correlated subqueries / pandas post-processing are expressed with
+  * real Window specs (SURVEY.md §2.5 W1-W3).
+  *
+  * Float determinism: every aggregate is either an exact integer
+  * (cents / counts) or a single IEEE division of exact values, so
+  * results are bit-identical to the DuckDB oracle.
+  */
+object Analytics {
+  import TimeFns._
+
+  /** J6+A10 (dashboard/sql_query/main_heatmap.py:17-40): zero-filled
+    * (date x hour) grid via sequence()/explode over the hour range —
+    * the Spark form of generate_series LEFT JOIN fact. */
+  def heatmap(clean: DataFrame): DataFrame = {
+    val grid = clean
+      .agg(
+        date_trunc("hour", min(col("ts"))).as("h0"),
+        max(col("ts")).as("h1"))
+      .select(explode(
+        sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+      .select(
+        to_date(col("h")).as("grid_date"),
+        hour(col("h")).cast("int").as("grid_hour"))
+    val hourly = clean
+      .groupBy(col("event_date").as("grid_date"),
+        col("event_hour").as("grid_hour"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value_cents")).as("cents"))
+    grid.join(hourly, Seq("grid_date", "grid_hour"), "left")
+      .select(
+        col("grid_date"), col("grid_hour"),
+        coalesce(col("cnt"), lit(0L)).as("n_events"),
+        (coalesce(col("cents"), lit(0L)) / lit(100.0)).as("total_value"))
+  }
+
+  /** A1+A2+W2/J8 (main_ratio.py:14-79): per (dow, time_period) share of
+    * the day's total — ratio-to-partition-total via a window SUM
+    * instead of the reference's join to a day_totals CTE. */
+  def hourRatio(clean: DataFrame): DataFrame = {
+    val byPeriod = clean
+      .groupBy(col("pg_dow"), col("day_name"), col("time_period"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("cents"))
+    val w = Window.partitionBy(col("pg_dow"))
+    byPeriod
+      .withColumn("day_cents", sum(col("cents")).over(w))
+      .select(
+        col("pg_dow"), col("day_name"), col("time_period"), col("n_events"),
+        (col("cents") / lit(100.0)).as("total_value"),
+        (col("cents") * lit(100.0) / col("day_cents")).as("pct_of_day"))
+  }
+
+  /** A3 (main_ratio.py:98-153): weekday-vs-weekend behavioral radar.
+    * stddev is computed from exact integer sums with an explicit
+    * sqrt((s2 - s1^2/n)/(n-1)) so both engines evaluate the identical
+    * IEEE expression (Spark's stddev_samp and DuckDB's differ in
+    * accumulation order). */
+  def radar(clean: DataFrame): DataFrame =
+    clean
+      .withColumn("day_type",
+        when(col("is_weekend"), "Weekend").otherwise("Weekday"))
+      .groupBy(col("day_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value_cents")).as("s1"),
+        sum(col("value_cents") * col("value_cents")).as("s2"),
+        countDistinct(col("user_id")).as("unique_users"),
+        countDistinct(col("event_type")).as("unique_types"),
+        countDistinct(col("event_date")).as("active_days"),
+        count(when(col("event_type") === "error", 1)).as("error_events"),
+        count(when(col("event_hour").between(6, 18), 1)).as("daytime_events"))
+      .select(
+        col("day_type"), col("n_events"),
+        (col("s1") / lit(100.0)).as("total_value"),
+        (col("s1") / lit(100.0) / col("n_events")).as("avg_value"),
+        col("unique_users"), col("unique_types"), col("active_days"),
+        col("error_events"),
+        (lit(100.0) * col("daytime_events") / col("n_events"))
+          .as("pct_daytime"),
+        (sqrt(
+          (col("s2").cast("double") -
+            col("s1").cast("double") * col("s1").cast("double") /
+              col("n_events")) /
+            (col("n_events") - lit(1))) / lit(100.0)).as("stddev_value"))
+
+  /** A5 (artist_loyal.py:13-54): per-user loyalty — active days over
+    * the min..max span, HAVING >= minEvents, top-100 by ratio. */
+  def loyalty(clean: DataFrame, minEvents: Int = 3): DataFrame =
+    clean
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        countDistinct(col("event_date")).as("active_days"),
+        min(col("event_date")).as("first_date"),
+        max(col("event_date")).as("last_date"))
+      .where(col("total_events") >= minEvents)
+      .withColumn("span_days",
+        datediff(col("last_date"), col("first_date")) + lit(1))
+      .withColumn("loyalty_ratio",
+        round(col("active_days") * lit(1.0) / col("span_days"), 3))
+      .withColumn("avg_events_per_day",
+        round(col("total_events") * lit(1.0) / col("span_days"), 2))
+      .orderBy(col("loyalty_ratio").desc, col("total_events").desc,
+        col("user_id").asc)
+      .limit(100)
+
+  /** A6 (track_sankey.py:13-59): per-user lifecycle funnel — conditional
+    * counts relative to the first event (W5) + CASE categorization. */
+  def lifecycle(clean: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val withFirst =
+      clean.withColumn("first_date", min(col("event_date")).over(w))
+    val age = datediff(col("event_date"), col("first_date"))
+    withFirst
+      .groupBy(col("user_id"), col("first_date"))
+      .agg(
+        count(lit(1)).as("total_events"),
+        count(when(age === 0, 1)).as("day0_events"),
+        count(when(age.between(0, 7), 1)).as("week1_events"),
+        count(when(age.between(0, 30), 1)).as("month1_events"),
+        max(col("event_date")).as("last_date"))
+      .withColumn("conversion_category",
+        when(col("total_events") === 1, "single")
+          .when(col("total_events") <= 5, "casual")
+          .when(col("total_events") <= 15, "regular")
+          .otherwise("heavy"))
+      .withColumn("lifecycle_stage",
+        when(datediff(col("last_date"), col("first_date")) <= 3, "burst")
+          .when(datediff(col("last_date"), col("first_date")) <= 7, "week")
+          .when(datediff(col("last_date"), col("first_date")) <= 14,
+            "fortnight")
+          .otherwise("sustained"))
+  }
+
+  /** A7/W4 (artist_treemap.py:22-38): top-K keys by count, deterministic
+    * tie-break on the key. Spark compiles orderBy+limit to a
+    * distributed TakeOrderedAndProject — no global sort. */
+  def topN(clean: DataFrame, key: String, k: Int): DataFrame =
+    clean.groupBy(col(key))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value_cents")) / lit(100.0)).as("total_value"))
+      .orderBy(col("n_events").desc, col(key).asc)
+      .limit(k)
+
+  /** A8 (dashboard/artist.py:22-34): discovery counts by epoch-week
+    * bucket of each user's first event. */
+  def discoveryWeekly(clean: DataFrame): DataFrame =
+    clean
+      .groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("first_date"))
+      .groupBy(epochWeek(col("first_date")).as("week_bucket"))
+      .agg(min(col("first_date")).as("week_start"),
+        count(lit(1)).as("new_users"))
+
+  /** W3 (dashboard/artist.py:23-36 pandas delta): per-day counts with
+    * the previous day's delta via lag() — the idiomatic form of the
+    * reference's result[0]-result[1] post-processing. */
+  def dailyDelta(clean: DataFrame): DataFrame = {
+    val w = Window.orderBy(col("event_date"))
+    clean.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("prev_events", lag(col("n_events"), 1).over(w))
+      .withColumn("delta", col("n_events") - col("prev_events"))
+  }
+
+  /** J2 anti-join (daily_etl_pipeline.py:272-275 NOT EXISTS): users
+    * with no event of the given type. */
+  def usersWithout(clean: DataFrame, eventType: String): DataFrame =
+    clean.select(col("user_id")).distinct()
+      .join(
+        clean.where(col("event_type") === eventType)
+          .select(col("user_id")).distinct(),
+        Seq("user_id"), "left_anti")
+
+  /** S6/§2.9 keyed dedup: one row per (user_id, ts) keeping the lowest
+    * event_id — the batch form of dropDuplicates with a deterministic
+    * survivor. Surfaced with epoch micros so the key is
+    * timestamp-precision-proof across engines. */
+  def dedupKeepFirst(clean: DataFrame): DataFrame =
+    clean
+      .groupBy(col("user_id"), unix_micros(col("ts").cast("timestamp"))
+        .as("ts_us"))
+      .agg(min(col("event_id")).as("kept_event_id"),
+        count(lit(1)).as("n_dupes"))
+
+  /** §2.7: the set-operation surface (UNION/INTERSECT/EXCEPT) over the
+    * user populations of the first vs second half of the data window. */
+  def setOps(clean: DataFrame): DataFrame = {
+    val split = clean.agg(date_add(min(col("event_date")), 15).as("s"))
+    val tagged = clean.crossJoin(broadcast(split))
+    val h1 = tagged.where(col("event_date") < col("s"))
+      .select(col("user_id")).distinct()
+    val h2 = tagged.where(col("event_date") >= col("s"))
+      .select(col("user_id")).distinct()
+    h1.intersect(h2).select(lit("both").as("tag"), col("user_id"))
+      .unionAll(h1.except(h2).select(lit("only_h1").as("tag"), col("user_id")))
+      .unionAll(h2.except(h1).select(lit("only_h2").as("tag"), col("user_id")))
+      .unionAll(h1.union(h2).distinct()
+        .select(lit("any").as("tag"), col("user_id")))
+  }
+
+  /** §2.9 watermark incremental: events strictly after (max(ts) - 7d),
+    * the batch rendering of the reference's collected_at > last_sync
+    * Mongo scan (daily_etl_pipeline.py:131-137). */
+  def incrementalAfterWatermark(clean: DataFrame): DataFrame = {
+    val wm = clean.agg((max(col("ts")) - expr("interval 7 days")).as("wm"))
+    clean.crossJoin(broadcast(wm))
+      .where(col("ts") > col("wm"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value_cents")) / lit(100.0)).as("total_value"))
+  }
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TimeFns
+
+/** Relational operator suite over the TPC-H-ish tables — the
+  * scan/filter/join/aggregate/window/sort core (SURVEY.md §2.1-2.6)
+  * exercised at a scale where plan shape matters. Filters and column
+  * pruning reach the parquet scan; dimension joins broadcast; top-k
+  * compiles to TakeOrderedAndProject.
+  *
+  * Money math: 2-decimal doubles are summed as exact decimals (or
+  * integer cents) and surfaced as double — see TimeFns.dec2/dec4/dec6 —
+  * so results hash-match the DuckDB oracle exactly.
+  */
+object Relational {
+  import TimeFns._
+
+  /** TPC-H Q1-shaped pricing summary (grouped SUM/AVG/COUNT, A1-A3
+    * analog) with the ship-date filter pushed to the scan. */
+  def pricingSummary(t: Tables): DataFrame =
+    t.lineitem
+      .where(col("l_shipdate") <= lit("1998-12-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("sum_disc_price"),
+        sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+
+  /** TPC-H Q3-shaped: top-10 orders by discounted revenue for one
+    * market segment (J4 star join + A7 top-k). Customer is the small
+    * side — broadcast. */
+  def topRevenueOrders(t: Tables, segment: String = "BUILDING",
+      k: Int = 10): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer.where(col("c_mktsegment") === segment)),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+        .as("rev"))
+      .orderBy(col("rev").desc, col("o_orderkey").asc)
+      .limit(k)
+      .select(
+        col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_orderdate"),
+        col("o_orderpriority"),
+        col("rev").cast("double").as("revenue"))
+
+  /** TPC-H Q5-shaped: revenue per nation through the full
+    * region->nation->customer->orders->lineitem join chain (J1/J4).
+    * All dims broadcast; only lineitem x orders shuffles. */
+  def regionRevenue(t: Tables, region: String): DataFrame =
+    t.lineitem
+      .join(t.orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region.where(col("r_name") === region)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(
+        sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** J3 NOT-IN-style anti join: parts never ordered. The reference's
+    * NOT IN columns are non-null, so left_anti matches its semantics
+    * (SURVEY.md §2.3 J3). */
+  def partsNeverOrdered(t: Tables): DataFrame =
+    t.part
+      .join(t.lineitem.select(col("l_partkey")).distinct(),
+        col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+
+  /** J2 NOT-EXISTS-style anti join: customers with no orders. */
+  def customersWithoutOrders(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** W1-W2-shaped windows: per-customer order sequence with running
+    * spend (exact cents) and order rank. */
+  def customerOrderWindows(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_date").asc, col("o_orderkey").asc)
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("order_rank", row_number().over(w))
+      .withColumn("running_spend",
+        (sum(col("price_cents")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)) / lit(100.0)))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_date"),
+        col("order_rank"), col("running_spend"),
+        (col("price_cents") / lit(100.0)).as("order_total"))
+  }
+
+  /** §2.8 scalar-function surface: string ops, MD5 surrogate ids
+    * (daily_etl_pipeline.py:357 pattern), conditional buckets, exact
+    * cents arithmetic. */
+  def scalarShowcase(t: Tables): DataFrame =
+    t.customer.select(
+      col("c_custkey"),
+      concat(lit("cust_"), md5(col("c_custkey").cast("string")))
+        .as("surrogate_key"),
+      upper(col("c_name")).as("name_upper"),
+      substring(col("c_name"), 1, 8).as("name_prefix"),
+      length(col("c_name")).as("name_len"),
+      trim(col("c_mktsegment")).as("segment"),
+      cents(col("c_acctbal")).as("bal_cents"),
+      abs(cents(col("c_acctbal"))).as("bal_cents_abs"),
+      when(col("c_acctbal") < 0, "overdrawn")
+        .when(col("c_acctbal") < 5000, "standard")
+        .otherwise("premium").as("balance_tier"),
+      coalesce(nullif(col("c_mktsegment"), lit("")), lit("UNKNOWN"))
+        .as("segment_clean"))
+}

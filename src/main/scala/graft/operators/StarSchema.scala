@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{QualityFns, TimeFns}
+
+/** The reference's ETL spine (EP2: raw -> clean -> star schema,
+  * dags/spotify/daily_etl_pipeline.py) re-expressed as declarative
+  * DataFrame transforms over the synthetic `events` table.
+  *
+  *  - [[clean]]    = P1 nested projection + P2 time derivation + P3
+  *    quality tiers (daily_etl_pipeline.py:159-276)
+  *  - [[dimUsers]]/[[dimTypes]]/[[dimDates]] = the dim sync stages with
+  *    MD5 surrogate ids (daily_etl_pipeline.py:301-430; surrogate
+  *    pattern 'artist_' || MD5(name) at :357)
+  *  - [[fact]]     = the 4-way star load J1 (daily_etl_pipeline.py:436-503);
+  *    dims are broadcast — they are tiny relative to the fact at any
+  *    scale, so the fact never shuffles for the join
+  *  - [[dailyStats]] = the A4 daily aggregate incl. W1 window argmax
+  *    replacing the reference's correlated subqueries
+  *    (daily_etl_pipeline.py:509-586, 535-549)
+  *
+  * `total_plays` on dims is recomputed from the data rather than
+  * incremented-on-conflict; the reference's counter (A13) only fires
+  * once per batch and is documented as incoherent in SURVEY.md §7.
+  */
+object StarSchema {
+  import TimeFns._
+
+  /** Clean projection: time fields, quality tiers, JSON prop
+    * extraction (P1+P2+P3). `value_cents` is the exact integer view of
+    * the 2-decimal metric so downstream SUMs stay deterministic. */
+  def clean(events: DataFrame): DataFrame = {
+    val d = to_date(col("ts"))
+    val h = hour(col("ts"))
+    events.select(
+      col("event_id"),
+      col("user_id"),
+      col("ts"),
+      d.as("event_date"),
+      h.cast("int").as("event_hour"),
+      pgDow(d).as("pg_dow"),
+      dayName(d).as("day_name"),
+      timePeriod(h).as("time_period"),
+      isWeekend(d).as("is_weekend"),
+      coalesce(nullif(trim(col("event_type")), lit("")), lit("unknown"))
+        .as("event_type"),
+      col("value"),
+      cents(col("value")).as("value_cents"),
+      (col("value") / 60.0).as("duration_minutes"),
+      get_json_object(col("props"), "$.k").cast("int").as("prop_k"),
+      QualityFns.qualityScore(col("event_type"), col("value"))
+        .as("quality_score"),
+      QualityFns.qualityFlag(col("event_type"), col("value"))
+        .as("quality_flag"))
+  }
+
+  /** User dimension with MD5 surrogate key + recomputed totals. */
+  def dimUsers(clean: DataFrame): DataFrame =
+    clean
+      .groupBy(col("user_id"))
+      .agg(
+        min(col("event_date")).as("first_seen"),
+        count(lit(1)).as("total_events"),
+        countDistinct(col("event_date")).as("active_days"))
+      .select(
+        concat(lit("user_"), md5(col("user_id").cast("string")))
+          .as("user_key"),
+        col("user_id"), col("first_seen"), col("total_events"),
+        col("active_days"))
+
+  /** Event-type dimension (dim_tracks analog). */
+  def dimTypes(clean: DataFrame): DataFrame =
+    clean
+      .groupBy(col("event_type"))
+      .agg(
+        min(col("event_date")).as("first_seen"),
+        count(lit(1)).as("total_events"))
+      .select(
+        concat(lit("type_"), md5(col("event_type"))).as("type_key"),
+        col("event_type"), col("first_seen"), col("total_events"))
+
+  /** Calendar dimension spanning [min, max] event date (dim_dates,
+    * README.md:208) — generated with sequence()/explode, never
+    * collected to the driver. */
+  def dimDates(clean: DataFrame): DataFrame =
+    clean
+      .agg(min(col("event_date")).as("d0"), max(col("event_date")).as("d1"))
+      .select(explode(sequence(col("d0"), col("d1"))).as("date_value"))
+      .select(
+        dateKey(col("date_value")).as("date_key"),
+        col("date_value"),
+        dayName(col("date_value")).as("day_name"),
+        pgDow(col("date_value")).as("pg_dow"),
+        isWeekend(col("date_value")).as("is_weekend"))
+
+  /** Star fact load (J1): clean joined to the three dims on natural
+    * keys. Dims are explicitly broadcast: at 100 TB the fact side
+    * stays shuffle-free for this join. */
+  def fact(clean: DataFrame): DataFrame = {
+    val du = broadcast(dimUsers(clean).select("user_key", "user_id"))
+    val dt = broadcast(dimTypes(clean).select("type_key", "event_type"))
+    val dd = broadcast(dimDates(clean)
+      .select(col("date_key"), col("date_value").as("event_date")))
+    clean
+      .join(dd, Seq("event_date"))
+      .join(du, Seq("user_id"))
+      .join(dt, Seq("event_type"))
+      .select(
+        col("event_id"), col("date_key"), col("user_key"), col("type_key"),
+        col("value_cents"), col("event_hour"), col("is_weekend"))
+  }
+
+  /** A4 daily stats: counts, exact distincts, period-of-day conditional
+    * counts, and the top type/user of the day via a window argmax (W1)
+    * instead of the reference's correlated LIMIT-1 subqueries. Ties
+    * break on name/user ascending for determinism. */
+  def dailyStats(clean: DataFrame): DataFrame = {
+    val base = clean.groupBy(col("event_date")).agg(
+      count(lit(1)).as("total_events"),
+      countDistinct(col("user_id")).as("unique_users"),
+      countDistinct(col("event_type")).as("unique_types"),
+      sum(col("value_cents")).as("total_value_cents"),
+      count(when(col("time_period") === "morning", 1)).as("morning_events"),
+      count(when(col("time_period") === "afternoon", 1)).as("afternoon_events"),
+      count(when(col("time_period") === "evening", 1)).as("evening_events"),
+      count(when(col("time_period") === "night", 1)).as("night_events"))
+
+    def top(keyCol: String, outName: String): DataFrame = {
+      val w = Window.partitionBy(col("event_date"))
+        .orderBy(col("cnt").desc, col(keyCol).asc)
+      clean.groupBy(col("event_date"), col(keyCol))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("event_date"), col(keyCol).as(outName))
+    }
+
+    base
+      .join(top("event_type", "top_type"), Seq("event_date"))
+      .join(top("user_id", "top_user").withColumn("top_user",
+        col("top_user").cast("long")), Seq("event_date"))
+      .withColumn("total_value", col("total_value_cents") / lit(100.0))
+      .drop("total_value_cents")
+  }
+}
