@@ -357,6 +357,55 @@ object Suite {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)""".stripMargin),
       bench = true),
 
+    // ---- A8 discovery at daily + monthly grains --------------------------
+    Q("an_discovery_daily",
+      (s, d) => Analytics.discoveryDaily(clean(s, d)),
+      Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date FROM events GROUP BY user_id)
+        |SELECT first_date, COUNT(*) AS new_users FROM f GROUP BY 1""".stripMargin)),
+
+    Q("an_discovery_monthly",
+      (s, d) => Analytics.discoveryMonthly(clean(s, d)),
+      Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_date FROM events GROUP BY user_id)
+        |SELECT date_trunc('month', first_date) AS month_start, COUNT(*) AS new_users
+        |FROM f GROUP BY 1""".stripMargin)),
+
+    // ---- A9 enrichment-attribute grouping (gender/band analog) -----------
+    Q("an_segment_enrichment",
+      (s, d) => Analytics.segmentEnrichment(clean(s, d), Tables(s, d).customer),
+      Some(s"""$CleanCte
+        |SELECT COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |       COUNT(*) AS n_events,
+        |       COUNT(DISTINCT clean.user_id) AS unique_users,
+        |       CAST(SUM(value_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM clean LEFT JOIN customer c ON clean.user_id = c.c_custkey
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- A11 pivot matrix -------------------------------------------------
+    Q("an_period_pivot",
+      (s, d) => Analytics.periodPivot(clean(s, d)),
+      Some(s"""$CleanCte
+        |SELECT pg_dow, day_name,
+        |       COUNT(CASE WHEN time_period='morning' THEN 1 END) AS morning,
+        |       COUNT(CASE WHEN time_period='afternoon' THEN 1 END) AS afternoon,
+        |       COUNT(CASE WHEN time_period='evening' THEN 1 END) AS evening,
+        |       COUNT(CASE WHEN time_period='night' THEN 1 END) AS night
+        |FROM clean GROUP BY 1, 2""".stripMargin)),
+
+    // ---- A12/P4 validation summary ----------------------------------------
+    Q("an_validation_summary",
+      (s, d) => Analytics.validationSummary(clean(s, d)),
+      Some(s"""$CleanCte
+        |SELECT COUNT(*) AS n_records,
+        |       CAST(SUM(CASE WHEN quality_flag='missing_type' THEN 5
+        |                     WHEN quality_flag='short_duration' THEN 7
+        |                     ELSE 10 END) AS DOUBLE) / (COUNT(*) * CAST(10.0 AS DOUBLE)) AS avg_quality,
+        |       MIN(quality_score) AS min_quality,
+        |       MAX(quality_score) AS max_quality,
+        |       COUNT(CASE WHEN quality_flag <> '' THEN 1 END) AS n_flagged,
+        |       COUNT(DISTINCT user_id) AS unique_users,
+        |       COUNT(DISTINCT event_type) AS unique_types
+        |FROM clean""".stripMargin)),
+
     Q("rel_scalar_showcase",
       (s, d) => Relational.scalarShowcase(Tables(s, d)),
       Some("""SELECT c_custkey,
@@ -372,7 +421,7 @@ object Suite {
         |       ELSE 'premium' END AS balance_tier,
         |  COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment_clean
         |FROM customer""".stripMargin))
-  )
+  ) ++ SuiteML.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(q => q.name -> q.run).toMap

@@ -1,0 +1,235 @@
+package graft
+
+import graft.operators.{EmbeddingOps, TextOps}
+
+/** Training-data-pipeline queries (dedup, similarity, text analysis)
+  * over `documents` / `embeddings`, each with a DuckDB oracle that
+  * mirrors the exact deterministic arithmetic (md5 hashing, integer
+  * dot products / set sizes, single final IEEE division — see
+  * [[graft.operators.TextOps]] and [[graft.operators.EmbeddingOps]]).
+  */
+object SuiteML {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d).documents
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables(s, d).embeddings
+
+  /** Shared oracle CTEs: tokens with position, 3-gram shingles,
+    * distinct shingle sets. */
+  private val TokCte =
+    """tok AS (
+      |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
+      |         generate_subscripts(string_split(text,' '), 1) AS pos
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT doc_id,
+      |         word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS s
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(word,2) OVER w IS NOT NULL),
+      |ds AS (SELECT DISTINCT doc_id, s FROM sh0)""".stripMargin
+
+  /** Quantized-embedding oracle CTEs: q = round(x*1000) bigints,
+    * nn = exact squared norm. */
+  private val EmbCte =
+    """e AS (
+      |  SELECT vec_id, label,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
+      |  FROM embeddings),
+      |u AS (SELECT vec_id, unnest(q) AS v FROM e),
+      |n AS (SELECT vec_id, SUM(v*v) AS nn FROM u GROUP BY 1)""".stripMargin
+
+  private val MinhashSigSql: String = {
+    val mins = (0 until 16)
+      .map(k => s"min(md5(s||':$k')) AS m$k").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val parts = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString("||'|'||")
+      s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""sig AS (SELECT doc_id, $mins FROM ds GROUP BY doc_id),
+       |bands AS ($bands)""".stripMargin
+  }
+
+  private val SimhashSql: String = {
+    val votes = (0 until 32).map(j =>
+      s"SUM(CASE WHEN strpos('0123456789abcdef', substr(h,${j + 1},1))-1 >= 8 THEN cnt ELSE -cnt END) AS v$j")
+      .mkString(", ")
+    val bits = (0 until 32).map(j =>
+      s"(CASE WHEN v$j > 0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+    s"""wc AS (SELECT doc_id, word, count(*) AS cnt, md5(word) AS h
+       |       FROM tok GROUP BY doc_id, word),
+       |v AS (SELECT doc_id, $votes FROM wc GROUP BY doc_id),
+       |shh AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
+  }
+
+  val all: Seq[Q] = Seq(
+    // ---- dedup: exact hash-groupBy --------------------------------------
+    Q("dedup_exact",
+      (s, d) => TextOps.dedupExact(docs(s, d)),
+      Some("""SELECT md5(text) AS content_hash, MIN(doc_id) AS kept_doc_id,
+        |       COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin)),
+
+    // ---- dedup: MinHash + LSH banding + exact Jaccard verify ------------
+    Q("dedup_minhash_lsh",
+      (s, d) => TextOps.nearDupMinhash(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |$MinhashSigSql,
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands a JOIN bands b USING (band_idx, band_hash)
+        |         WHERE a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |          FROM cand c
+        |          JOIN ds a ON a.doc_id = c.doc_a
+        |          JOIN ds b ON b.doc_id = c.doc_b AND b.s = a.s
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.doc_a
+        |JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin),
+      bench = true),
+
+    // ---- dedup: SimHash + lossless byte-banding -------------------------
+    Q("dedup_simhash",
+      (s, d) => TextOps.nearDupSimhash(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |$SimhashSql,
+        |bands AS (
+        |  SELECT doc_id, simhash,
+        |         CAST(b AS VARCHAR) || ':' || CAST((simhash // CAST(pow(256, b) AS BIGINT)) % 256 AS VARCHAR) AS band
+        |  FROM shh, (SELECT unnest([0,1,2,3]) AS b))
+        |SELECT doc_a, doc_b, sim_a, sim_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
+        |FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |             a.simhash AS sim_a, b.simhash AS sim_b
+        |      FROM bands a JOIN bands b USING (band)
+        |      WHERE a.doc_id < b.doc_id)
+        |WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin)),
+
+    // ---- text analysis: corpus-trained language ID ----------------------
+    Q("text_langid",
+      (s, d) => TextOps.langId(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |tokl AS (SELECT t.doc_id, t.word, dd.lang
+        |         FROM tok t JOIN documents dd USING (doc_id)),
+        |prof AS (SELECT lang AS cand_lang, word, count(*) AS n_lw
+        |         FROM tokl GROUP BY 1, 2),
+        |lsize AS (SELECT lang AS cand_lang, count(*) AS n_l
+        |          FROM tokl GROUP BY 1),
+        |dwc AS (SELECT doc_id, word, count(*) AS c_dw FROM tok GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, cand_lang, SUM(c_dw * n_lw) AS dot
+        |       FROM dwc JOIN prof USING (word) GROUP BY 1, 2),
+        |sc2 AS (SELECT s.doc_id, s.cand_lang, CAST(dot AS DOUBLE) / n_l AS score
+        |        FROM sc s JOIN lsize USING (cand_lang)),
+        |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+        |  FROM sc2) WHERE rn = 1)
+        |SELECT p.doc_id, dd.lang, p.pred_lang, p.pred_lang = dd.lang AS correct
+        |FROM pred p JOIN documents dd USING (doc_id)""".stripMargin),
+      bench = true),
+
+    // ---- text analysis: quality scoring ---------------------------------
+    Q("text_quality",
+      (s, d) => TextOps.quality(docs(s, d)),
+      Some("""SELECT doc_id, lang, n_chars, n_tokens, n_distinct, n_stopwords,
+        |  CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(n_stopwords AS DOUBLE) / n_tokens AS stopword_ratio,
+        |  CAST(n_distinct AS DOUBLE) / n_tokens AS type_token_ratio,
+        |  CASE WHEN n_tokens < 20 THEN 'too_short'
+        |       WHEN n_stopwords * 4 > n_tokens THEN 'boilerplate'
+        |       WHEN n_distinct * 5 < n_tokens THEN 'repetitive'
+        |       ELSE 'ok' END AS quality_tier
+        |FROM (SELECT doc_id, lang,
+        |        CAST(length(text) AS BIGINT) AS n_chars,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |        CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) AS n_stopwords
+        |      FROM documents)""".stripMargin)),
+
+    // ---- text analysis: token counting ----------------------------------
+    Q("text_tokens",
+      (s, d) => TextOps.tokenCounts(docs(s, d)),
+      Some("""SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS word_tokens,
+        |  (CAST(length(text) AS BIGINT) + 3) // 4 AS bpe_est_tokens
+        |FROM documents""".stripMargin)),
+
+    // ---- text analysis: fingerprinting ----------------------------------
+    Q("text_fingerprint",
+      (s, d) => TextOps.fingerprint(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |ms AS (SELECT doc_id, min(md5(s)) AS min_shingle_hash FROM ds GROUP BY 1)
+        |SELECT d.doc_id, md5(d.text) AS content_hash,
+        |       md5(substr(d.text, 1, 64)) AS head_hash,
+        |       md5(reverse(substr(reverse(d.text), 1, 64))) AS tail_hash,
+        |       ms.min_shingle_hash
+        |FROM documents d LEFT JOIN ms ON ms.doc_id = d.doc_id""".stripMargin)),
+
+    // ---- similarity: brute-force cosine top-k ---------------------------
+    Q("sim_ann_topk",
+      (s, d) => EmbeddingOps.annTopK(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |p AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid, ce.label,
+        |             unnest(qe.q) AS a, unnest(ce.q) AS b
+        |      FROM e qe, e ce WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+        |dots AS (SELECT query_id, vid, label, SUM(a*b) AS dot FROM p GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, vid, label,
+        |              CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |       FROM dots JOIN n nq ON nq.vec_id = query_id
+        |                 JOIN n nv ON nv.vec_id = vid)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vid AS vec_id, label, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM sc) WHERE rk <= 10""".stripMargin),
+      bench = true),
+
+    // ---- similarity: embedding-cosine near-dup pairs (brute force) -------
+    Q("dedup_embedding_cos",
+      (s, d) => EmbeddingOps.nearDupCosineBrute(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |p AS (SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b,
+        |             unnest(ea.q) AS a, unnest(eb.q) AS b
+        |      FROM e ea, e eb WHERE ea.vec_id < eb.vec_id),
+        |dots AS (SELECT vec_a, vec_b, SUM(a*b) AS dot FROM p GROUP BY 1, 2)
+        |SELECT vec_a, vec_b,
+        |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |FROM dots JOIN n na ON na.vec_id = vec_a
+        |          JOIN n nb ON nb.vec_id = vec_b
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45""".stripMargin)),
+
+    // ---- similarity: LSH-bucketed nearest neighbor (the scale path) -----
+    Q("sim_lsh_nn",
+      (s, d) => EmbeddingOps.lshNearestNeighbor(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |pl AS (SELECT j AS plane, md5('p'||j||'a') || md5('p'||j||'b') AS hex
+        |       FROM (SELECT unnest(range(8)) AS j)),
+        |plc AS (SELECT plane, c,
+        |               (strpos('0123456789abcdef', substr(hex, c+1, 1)) - 1) * 2 - 15 AS coef
+        |        FROM pl, (SELECT unnest(range(64)) AS c)),
+        |comp AS (SELECT vec_id, unnest(q) AS qc,
+        |                generate_subscripts(q, 1) - 1 AS c FROM e),
+        |pd AS (SELECT vec_id, plane, SUM(qc * coef) AS pdot
+        |       FROM comp JOIN plc USING (c) GROUP BY 1, 2),
+        |bk AS (SELECT vec_id,
+        |              SUM(CASE WHEN pdot > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS bucket
+        |       FROM pd GROUP BY 1),
+        |eb AS (SELECT e.vec_id, e.q, bk.bucket FROM e JOIN bk USING (vec_id)),
+        |pp AS (SELECT a.vec_id AS vid, b.vec_id AS nn_id,
+        |              unnest(a.q) AS x, unnest(b.q) AS y
+        |       FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
+        |pdots AS (SELECT vid, nn_id, SUM(x*y) AS dot FROM pp GROUP BY 1, 2),
+        |psc AS (SELECT vid, nn_id,
+        |               CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |        FROM pdots JOIN n na ON na.vec_id = vid
+        |                   JOIN n nb ON nb.vec_id = nn_id),
+        |best AS (SELECT vid, nn_id, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nn_id) AS rk
+        |  FROM psc) WHERE rk = 1)
+        |SELECT bk.vec_id, bk.bucket, best.nn_id, best.cos
+        |FROM bk LEFT JOIN best ON best.vid = bk.vec_id""".stripMargin),
+      bench = true)
+  )
+}

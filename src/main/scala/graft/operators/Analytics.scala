@@ -211,6 +211,69 @@ object Analytics {
         .select(lit("any").as("tag"), col("user_id")))
   }
 
+  /** A8 (dashboard/artist.py:22): discovery counts at daily grain. */
+  def discoveryDaily(clean: DataFrame): DataFrame =
+    clean.groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("first_date"))
+      .groupBy(col("first_date"))
+      .agg(count(lit(1)).as("new_users"))
+
+  /** A8 (dashboard/artist.py:34): discovery counts at month grain
+    * (DATE_TRUNC('month', ...)). */
+  def discoveryMonthly(clean: DataFrame): DataFrame =
+    clean.groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("first_date"))
+      .groupBy(trunc(col("first_date"), "month").as("month_start"))
+      .agg(count(lit(1)).as("new_users"))
+
+  /** A9 (artist_gender.py/artist_band.py): grouped counts by an
+    * enrichment attribute LEFT-joined from a separate dimension — here
+    * the customer market segment keyed by user_id. The enrichment dim
+    * is broadcast (it is always small relative to the fact). */
+  def segmentEnrichment(clean: DataFrame, customer: DataFrame): DataFrame =
+    clean
+      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+        clean("user_id") === col("c_custkey"), "left")
+      .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("unique_users"),
+        (sum(col("value_cents")) / lit(100.0)).as("total_value"))
+
+  /** A11 (dashboard/main_page.py:62 pandas pivot): day-of-week x
+    * time-period count matrix as a real groupBy().pivot() with pinned
+    * column values (no extra pass to discover them). */
+  def periodPivot(clean: DataFrame): DataFrame =
+    clean.groupBy(col("pg_dow"), col("day_name"))
+      .pivot("time_period", Seq("morning", "afternoon", "evening", "night"))
+      .agg(count(lit(1)))
+      .select(col("pg_dow"), col("day_name"),
+        coalesce(col("morning"), lit(0L)).as("morning"),
+        coalesce(col("afternoon"), lit(0L)).as("afternoon"),
+        coalesce(col("evening"), lit(0L)).as("evening"),
+        coalesce(col("night"), lit(0L)).as("night"))
+
+  /** A12/P4 (spotify_client.py:655-675): validation summary — record
+    * count, quality-score stats from the exact integer x10 view, flag
+    * counts, distinct entities. Single row. */
+  def validationSummary(clean: DataFrame): DataFrame = {
+    val scoreX10 = when(col("quality_flag") === "missing_type", 5L)
+      .when(col("quality_flag") === "short_duration", 7L)
+      .otherwise(10L)
+    clean.agg(
+        count(lit(1)).as("n_records"),
+        sum(scoreX10).as("sx10"),
+        min(col("quality_score")).as("min_quality"),
+        max(col("quality_score")).as("max_quality"),
+        count(when(col("quality_flag") =!= "", 1)).as("n_flagged"),
+        countDistinct(col("user_id")).as("unique_users"),
+        countDistinct(col("event_type")).as("unique_types"))
+      .select(col("n_records"),
+        (col("sx10").cast("double") / (col("n_records") * lit(10.0)))
+          .as("avg_quality"),
+        col("min_quality"), col("max_quality"), col("n_flagged"),
+        col("unique_users"), col("unique_types"))
+  }
+
   /** §2.9 watermark incremental: events strictly after (max(ts) - 7d),
     * the batch rendering of the reference's collected_at > last_sync
     * Mongo scan (daily_etl_pipeline.py:131-137). */

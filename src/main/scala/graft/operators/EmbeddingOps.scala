@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search and embedding-based dedup over the `embeddings`
+  * table (vec_id, embedding: array<float>, label).
+  *
+  * Determinism strategy: embeddings are quantized to integer
+  * milli-units (round(x*1000) as long), so dot products and squared
+  * norms are EXACT integers in any engine and summation order cannot
+  * change the result; cosine is then one IEEE expression
+  * dot / (sqrt(na)*sqrt(nb)) evaluated identically by Spark and the
+  * DuckDB oracle.
+  *
+  * Scale design: brute-force top-k is the verified baseline (fine when
+  * the query set is small — cost is |Q| x corpus, a broadcast of Q, no
+  * corpus shuffle). The LSH variant buckets vectors by 8 deterministic
+  * random-hyperplane signs so candidate generation is per-bucket; at
+  * 100 TB you re-bucket with more planes and a multi-probe, the plan
+  * shape stays the same.
+  */
+object EmbeddingOps {
+
+  /** Quantized view: q = array<long> of round(x*1000), plus the exact
+    * squared norm. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(
+      col("vec_id"), col("label"),
+      transform(col("embedding"),
+        x => round(x * 1000).cast("long")).as("q"))
+      .withColumn("nn",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+
+  /** Exact integer dot product of two quantized vectors. */
+  private def qdot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+  /** cosine = dot / (sqrt(na)*sqrt(nb)) — one deterministic IEEE
+    * expression over exact integers. */
+  private def cosine(dot: Column, na: Column, nb: Column): Column =
+    dot.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
+
+  /** Brute-force cosine top-k: for each query vector (vec_id <
+    * nQueries) the k nearest corpus vectors. The query side is tiny and
+    * broadcast; the corpus is scanned once, never shuffled; top-k per
+    * query is a window over |Q|*k rows. */
+  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = quantized(emb)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nn").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(qdot(col("qv"), col("q")), col("qn"), col("nn")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"),
+        col("cos"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs above a threshold, exact
+    * brute force over all ordered pairs — the verified baseline. One
+    * side is broadcast (quantized vectors are compact); nothing
+    * shuffles. Use [[lshNearestNeighbor]] when |corpus|^2 is the
+    * bottleneck. */
+  def nearDupCosineBrute(emb: DataFrame,
+      threshold: Double = 0.45): DataFrame = {
+    val e = quantized(emb)
+    val a = e.select(col("vec_id").as("vec_a"), col("q").as("qa"),
+      col("nn").as("na"))
+    val b = e.select(col("vec_id").as("vec_b"), col("q").as("qb"),
+      col("nn").as("nb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        cosine(qdot(col("qa"), col("qb")), col("na"), col("nb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  private val NPlanes = 8
+  private val Dim = 64
+
+  /** Deterministic pseudo-random hyperplanes: plane j's coefficient at
+    * component c is (2*nibble - 15) where nibble is the c-th hex digit
+    * of md5("p{j}a")||md5("p{j}b") — odd integers in [-15, 15],
+    * identical in any engine with md5. 512 rows, broadcast. */
+  def planes(emb: DataFrame): DataFrame =
+    emb.sparkSession.range(NPlanes.toLong)
+      .select(col("id").cast("int").as("plane"),
+        concat(md5(concat(lit("p"), col("id"), lit("a"))),
+          md5(concat(lit("p"), col("id"), lit("b")))).as("hex"))
+      .select(col("plane"), col("hex"),
+        explode(sequence(lit(0), lit(Dim - 1))).as("c"))
+      .withColumn("coef",
+        (conv(expr("substring(hex, c + 1, 1)"), 16, 10).cast("long") * 2
+          - 15))
+      .select(col("plane"), col("c"), col("coef"))
+
+  /** LSH bucket id per vector: bit j of the bucket is the sign of the
+    * exact integer dot(q, plane_j). */
+  def bucketed(emb: DataFrame): DataFrame = {
+    val e = quantized(emb)
+    val comps = e.select(col("vec_id"),
+      posexplode(col("q")).as(Seq("c", "qc")))
+    val signs = comps
+      .join(broadcast(planes(emb)), Seq("c"))
+      .groupBy(col("vec_id"), col("plane"))
+      .agg(sum(col("qc") * col("coef")).as("pdot"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("pdot") > 0,
+        expr("cast(power(2, plane) as bigint)")).otherwise(0L))
+        .as("bucket"))
+    e.join(signs, Seq("vec_id"))
+  }
+
+  /** LSH-bucketed nearest neighbor: within each bucket, every vector's
+    * top-1 neighbor by exact cosine (the scale path for
+    * dedup-by-nearest-neighbor; singleton buckets surface with a null
+    * neighbor). */
+  def lshNearestNeighbor(emb: DataFrame): DataFrame = {
+    val b = bucketed(emb)
+    val pairs = b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
+        col("b.vec_id").as("nn_id"),
+        cosine(qdot(col("a.q"), col("b.q")), col("a.nn"), col("b.nn"))
+          .as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    val best = pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1).drop("rk")
+    b.select(col("vec_id"), col("bucket"))
+      .join(best.select(col("vec_id"), col("nn_id"), col("cos")),
+        Seq("vec_id"), "left")
+  }
+}

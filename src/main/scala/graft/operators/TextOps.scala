@@ -1,0 +1,238 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data text operators over the `documents` table:
+  * exact + near deduplication (MinHash/LSH, SimHash banding), language
+  * identification, quality scoring, token counting, fingerprinting.
+  *
+  * These go beyond the reference's own surface (SURVEY.md §2 covers its
+  * analytics; a 100 TB training-data pipeline additionally needs dedup
+  * and text hygiene). Every operator is deterministic so it can be
+  * cross-checked against a DuckDB oracle:
+  *
+  *  - all hashing is `md5` hex (bit-identical across engines);
+  *  - set similarity is exact integer intersection/union with ONE final
+  *    IEEE division;
+  *  - SimHash bits come from exact integer vote sums.
+  *
+  * Scale design: everything is shuffle-by-key (doc_id / shingle /
+  * bucket); candidate generation is LSH-banded so the pair space never
+  * goes quadratic; no driver-side collects anywhere.
+  */
+object TextOps {
+
+  /** (doc_id, pos, word) token stream — posexplode keeps the position
+    * so downstream shingling needs no self-join. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+
+  /** Distinct n-word shingles per doc via lead() windows (n=3). */
+  def shingles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    tokens(docs)
+      .withColumn("w1", lead(col("word"), 1).over(w))
+      .withColumn("w2", lead(col("word"), 2).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("word"), col("w1"), col("w2")).as("s"))
+      .distinct()
+  }
+
+  /** Exact dedup by content hash (hash-groupBy): one row per distinct
+    * text, keeping the lowest doc_id. At 100 TB this is a single
+    * shuffle on a 32-char key instead of the full text. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("content_hash"))
+      .agg(min(col("doc_id")).as("kept_doc_id"),
+        count(lit(1)).as("n_copies"))
+
+  private val MinhashK = 16
+  private val BandSize = 4 // 4 bands x 4 rows
+
+  /** 16-hash MinHash signature per doc: min over shingles of
+    * md5(shingle||":"||k) — the lexicographic min of hex strings is a
+    * valid uniform min-hash and is engine-portable. One groupBy, 16
+    * aggregate columns (not 16x rows). */
+  def minhashSignature(docs: DataFrame): DataFrame = {
+    val sh = shingles(docs)
+    val aggs = (0 until MinhashK).map(k =>
+      min(md5(concat(col("s"), lit(s":$k")))).as(s"m$k"))
+    sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding of the MinHash signature: 4 bands of 4 hashes; docs
+    * sharing any (band_idx, band_hash) bucket become candidate pairs.
+    * Pair space is per-bucket, never corpus-quadratic. */
+  def minhashBands(sig: DataFrame): DataFrame = {
+    val bandCols = (0 until MinhashK / BandSize).map { b =>
+      val cols = (b * BandSize until (b + 1) * BandSize).map(i => col(s"m$i"))
+      md5(concat_ws("|", cols: _*))
+    }
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** MinHash+LSH near-duplicate pairs with exact n-gram-Jaccard
+    * verification: candidates from shared LSH buckets, then
+    * |A∩B| / |A∪B| over the true shingle sets (exact integers, one
+    * division), kept when >= threshold. */
+  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val ds = shingles(docs).cache()
+    val bands = minhashBands(minhashSignature(docs))
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_hash"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(ds.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(ds.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") /
+      (col("na") + col("nb") - col("n_common")).cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", jac)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
+  private val SimhashBits = 32
+
+  /** Hex-nibble value (0-15) of md5(word) at position j — the portable
+    * per-word bit source for SimHash. */
+  private def nibble(c: Column, j: Int): Column =
+    conv(substring(c, j + 1, 1), 16, 10).cast("int")
+
+  /** 32-bit SimHash per doc from term-frequency-weighted md5-nibble
+    * votes: bit j is set when the sum over words of
+    * (+count if nibble_j(md5(word))>=8 else -count) is > 0.
+    * All-integer votes — bit-exact across engines. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val wc = tokens(docs).groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5(col("word")))
+    val votes = (0 until SimhashBits).map(j =>
+      sum(when(nibble(col("h"), j) >= 8, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$j"))
+    val bits = (0 until SimhashBits).map(j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+    wc.groupBy(col("doc_id")).agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), bits.reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: band the 32-bit hash into 4 bytes — by
+    * pigeonhole, any pair at Hamming distance <= 3 shares at least one
+    * byte band, so banding is lossless for the <=3 cutoff while keeping
+    * candidate generation linear per bucket. */
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sh = simhash(docs)
+    val bandCols = (0 until 4).map(b =>
+      concat(lit(s"$b:"),
+        (expr(s"simhash div ${1L << (8 * b)}") % 256).cast("long")))
+    val bands = sh.select(col("doc_id"), col("simhash"),
+      explode(array(bandCols: _*)).as("band"))
+    bands.as("a").join(bands.as("b"), Seq("band"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** Corpus-trained language identification: per-(lang, word) frequency
+    * profiles from the labeled corpus, then per doc the argmax over
+    * langs of dot(doc term counts, lang profile) / lang size. Integer
+    * dot products + one division per (doc, lang) keep the argmax
+    * deterministic; ties break on lang name. The profile is tiny
+    * (vocab x langs) and broadcast. */
+  def langId(docs: DataFrame): DataFrame = {
+    val tok = tokens(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val profile = tok.groupBy(col("lang").as("cand_lang"), col("word"))
+      .agg(count(lit(1)).as("n_lw"))
+    val langSize = tok.groupBy(col("lang").as("cand_lang"))
+      .agg(count(lit(1)).as("n_l"))
+    val docWc = tokens(docs).groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c_dw"))
+    val scored = docWc
+      .join(broadcast(profile), Seq("word"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(col("c_dw") * col("n_lw")).as("dot"))
+      .join(broadcast(langSize), Seq("cand_lang"))
+      .withColumn("score", col("dot").cast("double") / col("n_l"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang").asc)
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("correct"))
+  }
+
+  /** Text quality scoring: length, avg token length, stopword ratio,
+    * type-token ratio — each an exact-integer ratio surfaced with one
+    * division — plus a CASE quality tier (P3-style first-match-wins). */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs.select(
+        col("doc_id"),
+        col("lang"),
+        length(col("text")).cast("long").as("n_chars"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(filter(toks, w => w.isin("the", "a"))).cast("long")
+          .as("n_stopwords"))
+      .select(
+        col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+        col("n_distinct"), col("n_stopwords"),
+        ((col("n_chars") - col("n_tokens") + 1).cast("double") /
+          col("n_tokens")).as("avg_token_len"),
+        (col("n_stopwords").cast("double") / col("n_tokens"))
+          .as("stopword_ratio"),
+        (col("n_distinct").cast("double") / col("n_tokens"))
+          .as("type_token_ratio"),
+        when(col("n_tokens") < 20, "too_short")
+          .when(col("n_stopwords") * 4 > col("n_tokens"), "boilerplate")
+          .when(col("n_distinct") * 5 < col("n_tokens"), "repetitive")
+          .otherwise("ok").as("quality_tier"))
+  }
+
+  /** Token counting: whitespace tokens, regex word-ish tokens, and a
+    * BPE-style length/4 estimate (integer ceil). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))
+        .cast("long").as("word_tokens"),
+      expr("(length(text) + 3) div 4").cast("long").as("bpe_est_tokens"))
+
+  /** Document fingerprints: full-content md5, head/tail block hashes,
+    * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
+    * content anchor). */
+  def fingerprint(docs: DataFrame): DataFrame = {
+    val minShingle = shingles(docs).groupBy(col("doc_id"))
+      .agg(min(md5(col("s"))).as("min_shingle_hash"))
+    docs.select(
+        col("doc_id"),
+        md5(col("text")).as("content_hash"),
+        md5(substring(col("text"), 1, 64)).as("head_hash"),
+        md5(reverse(substring(reverse(col("text")), 1, 64))).as("tail_hash"))
+      .join(minShingle, Seq("doc_id"), "left")
+  }
+}
