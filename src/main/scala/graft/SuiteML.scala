@@ -1,6 +1,8 @@
 package graft
 
-import graft.operators.{EmbeddingOps, TextOps}
+import org.apache.spark.sql.functions.{count, lit}
+
+import graft.operators.{EmbeddingOps, Multimodal, TextOps}
 
 /** Training-data-pipeline queries (dedup, similarity, text analysis)
   * over `documents` / `embeddings`, each with a DuckDB oracle that
@@ -230,6 +232,21 @@ object SuiteML {
         |  FROM psc) WHERE rk = 1)
         |SELECT bk.vec_id, bk.bucket, best.nn_id, best.cos
         |FROM bk LEFT JOIN best ON best.vid = bk.vec_id""".stripMargin),
-      bench = true)
+      bench = true),
+
+    // ---- multimodal plumbing: binary payloads + stubbed decode ----------
+    // Feature extraction itself is a stubbed decode (no codecs in this
+    // environment) -> rows-only check; the frame-sampling row counts are
+    // fully oracle-checked.
+    Q("mm_features",
+      (s, d) => Multimodal.extractFeatures(Multimodal.toMedia(docs(s, d))),
+      None),
+
+    Q("mm_frame_counts",
+      (s, d) => Multimodal.sampleFrames(Multimodal.toMedia(docs(s, d)))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_frames")),
+      Some("""SELECT doc_id,
+        |       (CAST(length(text) AS BIGINT) - 1) // 128 + 1 AS n_frames
+        |FROM documents""".stripMargin))
   )
 }

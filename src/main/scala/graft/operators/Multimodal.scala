@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` payloads with
+  * typed metadata, processed in partition-sized batches.
+  *
+  * The decode step is a STUB — image/audio codecs are not present in
+  * this environment, so [[featureStub]] is a deterministic fake. What
+  * is real (and what matters for the engine): the schema contract
+  * (binary payload + metadata struct), the batch-iterator execution
+  * shape (`mapPartitions` — the Scala analog of `mapInPandas` batches:
+  * one iterator per partition, constant memory), and the partitioning
+  * (payloads never shuffle; features derive in place).
+  */
+object Multimodal {
+
+  /** Wrap a text corpus as media rows: (doc_id, media_type,
+    * payload: binary, meta struct) — the multimodal data model. */
+  def toMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      lit("text/plain").as("media_type"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        col("source"),
+        col("lang"),
+        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+
+  private val FeatureDim = 8
+
+  /** STUB decode/feature-extract: a real deployment decodes the bytes
+    * (image resize, audio spectrogram, ...) with a native library. This
+    * deterministic fake folds payload bytes into a fixed-size float
+    * vector so the full pipeline (schema, batching, downstream
+    * similarity) is exercised end-to-end. */
+  private[operators] def featureStub(bytes: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < bytes.length) {
+      acc(i % FeatureDim) += (bytes(i) & 0xff)
+      i += 1
+    }
+    acc.map(v => (v % 1000).toFloat / 1000f)
+  }
+
+  private val featuresSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", LongType),
+    StructField("feature", ArrayType(FloatType))))
+
+  /** Batch feature extraction over media rows via mapPartitions: one
+    * iterator per partition (never materializes a partition in memory),
+    * binary in, feature vector out. */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(featuresSchema)
+    media.select(col("doc_id"), col("payload"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]]("payload")
+          Row(r.getLong(0), bytes.length.toLong, featureStub(bytes))
+        }
+      }(enc)
+  }
+
+  /** Frame sampling: split a payload into fixed-size "frames" and keep
+    * every strideth one — the video-frame-sample plan shape (explode of
+    * a bounded sequence; per-row work stays on the row's partition). */
+  def sampleFrames(media: DataFrame, frameBytes: Int = 32,
+      stride: Int = 4): DataFrame = {
+    val step = frameBytes.toLong * stride
+    media.select(col("doc_id"), col("payload"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .select(col("doc_id"), col("payload"),
+        explode(sequence(lit(0L),
+          expr(s"(n_bytes - 1) div $step"))).as("frame_idx"))
+      .select(col("doc_id"),
+        (col("frame_idx") * stride).as("frame_no"),
+        expr(s"substring(payload, cast(frame_idx * $step + 1 as int), $frameBytes)")
+          .as("frame_bytes"))
+  }
+}

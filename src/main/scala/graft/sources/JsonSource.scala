@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ingestion source for the reference's raw zone (SURVEY.md §2.1
+  * S1-S3): nested listening-history JSON documents, declared-schema
+  * read + P1 flattening projection.
+  *
+  * The reference fetches from a REST API driver-side and stores nested
+  * docs in Mongo (dags/spotify/curl_spotify_tracker.py:486-594); the
+  * Spark-native form is "JSON dropped in a directory" read with an
+  * explicit schema (no inference pass over 100 TB) — the same files
+  * work for `spark.read` (batch) and `spark.readStream`
+  * (Trigger.AvailableNow incremental).
+  */
+object JsonSource {
+
+  /** Schema of one play event doc (curl_spotify_tracker.py:574-594):
+    * declared, never inferred. */
+  val listeningSchema: StructType = StructType(Seq(
+    StructField("track_id", StringType),
+    StructField("played_at", TimestampType),
+    StructField("track_info", StructType(Seq(
+      StructField("name", StringType),
+      StructField("artists", ArrayType(StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType))))),
+      StructField("album", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType)))),
+      StructField("duration_ms", LongType),
+      StructField("explicit", BooleanType),
+      StructField("popularity", IntegerType)))),
+    StructField("batch_info", StructType(Seq(
+      StructField("batch_id", StringType),
+      StructField("collected_at", TimestampType))))))
+
+  /** Batch read of a directory of JSON-lines docs. */
+  def readListening(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(listeningSchema).json(path)
+
+  /** Streaming read of the same directory (S1 as a stream). */
+  def readListeningStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(listeningSchema).json(path)
+
+  /** P1 flattening (daily_etl_pipeline.py:159-183): first artist only,
+    * Unknown-Artist/Album defaults, explicit=false / popularity=0
+    * backstops — all dot-path column expressions, no UDFs. */
+  def flatten(raw: DataFrame): DataFrame =
+    raw.select(
+      col("track_id"),
+      col("played_at"),
+      col("track_info.name").as("track_name"),
+      coalesce(try_element_at(col("track_info.artists"), lit(1))
+        .getField("name"), lit("Unknown Artist")).as("artist_name"),
+      coalesce(col("track_info.album.name"), lit("Unknown Album"))
+        .as("album_name"),
+      col("track_info.duration_ms").as("duration_ms"),
+      coalesce(col("track_info.explicit"), lit(false)).as("explicit"),
+      coalesce(col("track_info.popularity"), lit(0)).as("popularity"),
+      col("batch_info.batch_id").as("batch_id"))
+}

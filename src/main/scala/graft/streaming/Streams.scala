@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming rendering of the reference's incremental
+  * contract (SURVEY.md §2.9): the watermark replaces the persisted
+  * `etl_batch_log` sync point, `dropDuplicates` replaces the layered
+  * upsert keys, tumbling windows replace the daily/hourly batch
+  * aggregates, and `flatMapGroupsWithState` covers the stateful-counter
+  * pattern the reference approximates with increment-on-conflict.
+  *
+  * All operators are bounded-state: every aggregation carries a
+  * watermark so state is evicted as event time advances — mandatory for
+  * an unbounded run at scale.
+  */
+object Streams {
+
+  /** Late/duplicate protection (§2.9): event-time watermark + keyed
+    * dedup — the streaming form of the reference's (track_id,
+    * played_at) upsert keys at every layer. */
+  def dedup(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "ts")
+
+  /** Tumbling hourly counts (J6/A10's streaming analog). */
+  def hourlyCounts(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Daily per-type stats (A4's streaming analog, 1-day tumbling). */
+  def dailyCounts(events: DataFrame,
+      watermark: String = "1 day"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("date").as("event_date"),
+        col("event_type"), col("n_events"))
+
+  case class Ev(user_id: Long, ts: Timestamp, event_type: String,
+      value: Double)
+  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  case class Session(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Int, total_value: Double)
+
+  /** Gap-based sessionization with event-time-timeout state — the
+    * custom-state surface (§2.10): a session closes when no event
+    * arrives within `gapMinutes` of the last one (decided by the
+    * watermark, so state is bounded). Emits closed sessions only. */
+  def sessionize(events: Dataset[Ev], gapMinutes: Int = 30)
+      : Dataset[Session] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Ev],
+            state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed the gap: close and emit the session
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, new Timestamp(s.start),
+              new Timestamp(s.last), s.n, s.sum))
+          } else {
+            var closed = List.empty[Session]
+            var cur = state.getOption
+            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.last, t),
+                    s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= Session(userId, new Timestamp(s.start),
+                    new Timestamp(s.last), s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.EmbeddingOps
+
+class EmbeddingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pad(v: Seq[Float]): Seq[Float] =
+    v ++ Seq.fill(64 - v.size)(0f)
+
+  private def emb = embDf(Seq(
+    (0L, pad(Seq(1f, 0f, 0f)), 0),
+    (1L, pad(Seq(1f, 0f, 0f)), 0),   // identical to 0
+    (2L, pad(Seq(0f, 1f, 0f)), 1),   // orthogonal
+    (3L, pad(Seq(0.9f, 0.1f, 0f)), 0))) // close to 0
+
+  test("quantized norms are exact integers") {
+    val q = EmbeddingOps.quantized(emb).where($"vec_id" === 0).collect()(0)
+    assert(q.getAs[Long]("nn") == 1000000L)
+  }
+
+  test("annTopK ranks an identical vector first with cosine 1.0") {
+    val top = EmbeddingOps.annTopK(emb, nQueries = 1, k = 3).collect()
+    assert(top(0).getAs[Long]("vec_id") == 1L)
+    assert(top(0).getAs[Double]("cos") == 1.0)
+    assert(top(1).getAs[Long]("vec_id") == 3L) // close beats orthogonal
+    assert(top(2).getAs[Double]("cos") == 0.0) // orthogonal
+  }
+
+  test("nearDupCosineBrute keeps only pairs above threshold") {
+    val pairs = EmbeddingOps.nearDupCosineBrute(emb, threshold = 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("LSH buckets identical vectors together; NN is exact in-bucket") {
+    val nn = EmbeddingOps.lshNearestNeighbor(emb).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (Option(r.getAs[Any]("nn_id")), Option(r.getAs[Any]("cos"))))
+      .toMap
+    // 0 and 1 are identical -> same bucket, each other's NN at cos 1.0
+    assert(nn(0L)._1.contains(1L))
+    assert(nn(1L)._1.contains(0L))
+    assert(nn(0L)._2.contains(1.0))
+  }
+
+  test("planes are deterministic odd coefficients in [-15, 15]") {
+    val p = EmbeddingOps.planes(emb)
+    assert(p.count() == 8 * 64)
+    val bad = p.where($"coef" < -15 || $"coef" > 15 || $"coef" % 2 === 0)
+    assert(bad.count() == 0)
+  }
+}

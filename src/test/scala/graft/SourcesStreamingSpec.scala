@@ -1,0 +1,110 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.operators.Multimodal
+import graft.sources.JsonSource
+import graft.streaming.Streams
+
+class SourcesStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("JsonSource reads nested docs and flattens with P1 defaults") {
+    val dir = Files.createTempDirectory("graft_json").toFile
+    val f = new java.io.File(dir, "part-0.json")
+    val w = new java.io.PrintWriter(f)
+    w.println("""{"track_id":"t1","played_at":"2024-01-01T08:00:00Z","track_info":{"name":"Song","artists":[{"id":"a1","name":"Artist"}],"album":{"id":"al1","name":"Album"},"duration_ms":180000,"explicit":false,"popularity":55},"batch_info":{"batch_id":"b1","collected_at":"2024-01-01T09:00:00Z"}}""")
+    w.println("""{"track_id":"t2","played_at":"2024-01-01T10:00:00Z","track_info":{"name":"NoArtists","artists":[],"album":{},"duration_ms":1000}}""")
+    w.close()
+    val flat = JsonSource.flatten(
+      JsonSource.readListening(spark, dir.getAbsolutePath))
+      .orderBy($"track_id").collect()
+    assert(flat.length == 2)
+    assert(flat(0).getAs[String]("artist_name") == "Artist")
+    assert(flat(1).getAs[String]("artist_name") == "Unknown Artist")
+    assert(flat(1).getAs[String]("album_name") == "Unknown Album")
+    assert(flat(1).getAs[Boolean]("explicit") == false)
+    assert(flat(1).getAs[Int]("popularity") == 0)
+  }
+
+  test("streaming dedup drops duplicate (user_id, ts) events") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = Streams.dedup(df).writeStream
+      .format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), "play", 1.0),
+      (1L, ts("2024-01-01 10:00:00"), "play", 1.0), // dup
+      (2L, ts("2024-01-01 10:05:00"), "play", 2.0))
+    q.processAllAvailable()
+    assert(spark.table("dedup_out").count() == 2)
+    q.stop()
+  }
+
+  test("streaming hourly counts aggregate with watermark") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+    val q = Streams.hourlyCounts(df).writeStream
+      .format("memory").queryName("hourly_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (1L, ts("2024-01-01 10:05:00"), "play", 1.0),
+      (2L, ts("2024-01-01 10:55:00"), "play", 2.0),
+      (3L, ts("2024-01-01 11:05:00"), "skip", 3.0))
+    q.processAllAvailable()
+    // advance the watermark far enough to close the 10:00 + 11:00 windows
+    mem.addData((4L, ts("2024-01-01 14:00:00"), "play", 4.0))
+    q.processAllAvailable()
+    val out = spark.table("hourly_out")
+    val h10 = out.where($"hour_start" === ts("2024-01-01 10:00:00") &&
+      $"event_type" === "play").collect()
+    assert(h10.length == 1 && h10(0).getAs[Long]("n_events") == 2L)
+    q.stop()
+  }
+
+  test("sessionize closes sessions on the gap boundary") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      Streams.Ev(1L, ts("2024-01-01 10:00:00"), "play", 1.0),
+      Streams.Ev(1L, ts("2024-01-01 10:10:00"), "play", 1.0),
+      // same batch, gap > 30 min -> closes the first session in-batch
+      Streams.Ev(1L, ts("2024-01-01 11:30:00"), "play", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("sessions_out").collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[Int]("n_events") == 2)
+    assert(out(0).getAs[java.sql.Timestamp]("session_end") ==
+      ts("2024-01-01 10:10:00"))
+    q.stop()
+  }
+
+  test("multimodal: media schema, stubbed features, frame sampling") {
+    val docs = docsDf(Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789", "en", "s1"),
+      (2L, "abcdefghijklmnopqrstuvwxyz0123456789", "en", "s2"),
+      (3L, "zzzz", "en", "s3")))
+    val media = Multimodal.toMedia(docs)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bytes"),
+          r.getAs[scala.collection.Seq[Float]]("feature").toSeq))
+      .toMap
+    assert(feats(1L)._1 == 36L)
+    assert(feats(1L)._2 == feats(2L)._2) // deterministic stub
+    assert(feats(1L)._2 != feats(3L)._2)
+    val frames = Multimodal.sampleFrames(media, frameBytes = 8, stride = 2)
+    // doc 1: 36 bytes, step 16 -> frames at 0, 16, 32
+    assert(frames.where($"doc_id" === 1).count() == 3)
+  }
+}

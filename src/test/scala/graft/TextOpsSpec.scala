@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "spark join hash table scan filter sort merge group agg window batch"
+  private val nearDup = base + " dup" // one extra token
+  private val other =
+    "row value line part key column data stream order query fast slow"
+
+  private def docs = docsDf(Seq(
+    (1L, base, "en", "s1"),
+    (2L, base, "en", "s1"), // exact dup of 1
+    (3L, nearDup, "en", "s2"), // near dup of 1
+    (4L, other, "fr", "s3")))
+
+  test("dedupExact groups identical texts keeping the lowest id") {
+    val d = TextOps.dedupExact(docs)
+    assert(d.count() == 3)
+    val dup = d.where($"n_copies" === 2).collect()(0)
+    assert(dup.getAs[Long]("kept_doc_id") == 1L)
+  }
+
+  test("shingles: n tokens yield n-2 trigrams") {
+    val sh = TextOps.shingles(docsDf(Seq((1L, "a b c d e", "en", "s"))))
+    assert(sh.count() == 3)
+  }
+
+  test("minhash LSH finds exact and near duplicates, not unrelated docs") {
+    val pairs = TextOps.nearDupMinhash(docs, threshold = 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical
+    assert(pairs.contains((1L, 3L)) && pairs.contains((2L, 3L))) // near
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+    val j12 = TextOps.nearDupMinhash(docs, 0.5)
+      .where($"doc_a" === 1 && $"doc_b" === 2).collect()(0)
+      .getAs[Double]("jaccard")
+    assert(j12 == 1.0)
+  }
+
+  test("simhash is content-determined; hamming 0 for identical docs") {
+    val sh = TextOps.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) != sh(4L))
+    val pairs = TextOps.nearDupSimhash(docs, maxHamming = 3).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Int]("hamming")))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0))
+  }
+
+  test("langId recovers labels on separable corpora") {
+    val corpus = docsDf(
+      (1L to 6L).map(i => (i, "alpha beta alpha gamma", "en", "s")) ++
+      (7L to 12L).map(i => (i, "un deux trois un deux", "fr", "s")))
+    val out = TextOps.langId(corpus)
+    assert(out.where(!$"correct").count() == 0)
+  }
+
+  test("quality ratios and tier boundaries") {
+    val q = TextOps.quality(docsDf(Seq(
+      (1L, "short text", "en", "s"), // 2 tokens -> too_short
+      (2L, ("the " * 10).trim + " " + base, "en", "s")))) // stopword heavy
+    val byId = q.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("quality_tier")).toMap
+    assert(byId(1L) == "too_short")
+    assert(byId(2L) == "boilerplate")
+  }
+
+  test("tokenCounts: bpe estimate is ceil(chars/4)") {
+    val t = TextOps.tokenCounts(docsDf(Seq((1L, "abcde fgh", "en", "s"))))
+      .collect()(0)
+    assert(t.getAs[Long]("ws_tokens") == 2L)
+    assert(t.getAs[Long]("bpe_est_tokens") == 3L) // 9 chars -> ceil 2.25
+  }
+
+  test("fingerprint: identical docs share every hash") {
+    val f = TextOps.fingerprint(docs)
+    val h1 = f.where($"doc_id" === 1).collect()(0)
+    val h2 = f.where($"doc_id" === 2).collect()(0)
+    assert(h1.getAs[String]("content_hash") == h2.getAs[String]("content_hash"))
+    assert(h1.getAs[String]("min_shingle_hash") ==
+      h2.getAs[String]("min_shingle_hash"))
+  }
+}
