@@ -290,38 +290,46 @@ object Suite {
     // ---- relational core (TPC-H-shaped) -------------------------------------------
     Q("rel_pricing_summary",
       (s, d) => Relational.pricingSummary(Tables(s, d)),
-      Some("""SELECT l_returnflag, l_linestatus,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount)*(1+l_tax) AS DECIMAL(20,6))) AS DOUBLE) AS sum_charge,
-        |  COUNT(*) AS count_order,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) / COUNT(*) AS avg_price
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus""".stripMargin),
+      Some("""WITH g AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    SUM(CAST(ROUND(l_quantity*100) AS BIGINT)) AS qty_c,
+        |    SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS price_c,
+        |    SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS disc_u,
+        |    SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax)*1000000) AS BIGINT)) AS charge_u,
+        |    COUNT(*) AS count_order
+        |  FROM lineitem
+        |  WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
+        |  GROUP BY l_returnflag, l_linestatus)
+        |SELECT l_returnflag, l_linestatus,
+        |  qty_c / CAST(100.0 AS DOUBLE) AS sum_qty,
+        |  price_c / CAST(100.0 AS DOUBLE) AS sum_base_price,
+        |  disc_u / CAST(10000.0 AS DOUBLE) AS sum_disc_price,
+        |  charge_u / CAST(1000000.0 AS DOUBLE) AS sum_charge,
+        |  count_order,
+        |  qty_c / CAST(100.0 AS DOUBLE) / count_order AS avg_qty,
+        |  price_c / CAST(100.0 AS DOUBLE) / count_order AS avg_price
+        |FROM g""".stripMargin),
       bench = true),
 
     Q("rel_top_revenue_orders",
       (s, d) => Relational.topRevenueOrders(Tables(s, d)),
       Some("""SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
-        |       CAST(rev AS DOUBLE) AS revenue
+        |       rev_u / CAST(10000.0 AS DOUBLE) AS revenue
         |FROM (
         |  SELECT o_orderkey, o_orderdate, o_orderpriority,
-        |         SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))) AS rev
+        |         SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) AS rev_u
         |  FROM lineitem
         |  JOIN orders ON l_orderkey = o_orderkey
         |  JOIN customer ON o_custkey = c_custkey
         |  WHERE c_mktsegment = 'BUILDING'
         |  GROUP BY 1, 2, 3
-        |  ORDER BY rev DESC, o_orderkey LIMIT 10)""".stripMargin),
+        |  ORDER BY rev_u DESC, o_orderkey LIMIT 10)""".stripMargin),
       bench = true),
 
     Q("rel_region_revenue",
       (s, d) => Relational.regionRevenue(Tables(s, d), "ASIA"),
       Some("""SELECT n_name,
-        |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue,
+        |  SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*10000) AS BIGINT)) / CAST(10000.0 AS DOUBLE) AS revenue,
         |  COUNT(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey

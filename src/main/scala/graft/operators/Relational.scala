@@ -21,21 +21,30 @@ object Relational {
   import TimeFns._
 
   /** TPC-H Q1-shaped pricing summary (grouped SUM/AVG/COUNT, A1-A3
-    * analog) with the ship-date filter pushed to the scan. */
+    * analog) with the ship-date filter pushed to the scan. Sums run on
+    * exact long units (primitive codegen adds; see TimeFns.longUnits)
+    * and surface as one double division each. */
   def pricingSummary(t: Tables): DataFrame =
     t.lineitem
       .where(col("l_shipdate") <= lit("1998-12-01").cast("timestamp_ntz"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
-        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
-        sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .cast("double").as("sum_disc_price"),
-        sum(dec6(col("l_extendedprice") * (lit(1) - col("l_discount")) *
-          (lit(1) + col("l_tax")))).cast("double").as("sum_charge"),
+        sum(longUnits(col("l_quantity"), 2)).as("qty_c"),
+        sum(longUnits(col("l_extendedprice"), 2)).as("price_c"),
+        sum(longUnits(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("disc_u"),
+        sum(longUnits(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+          (lit(1) + col("l_tax")), 6)).as("charge_u"),
         count(lit(1)).as("count_order"))
-      .withColumn("avg_qty", col("sum_qty") / col("count_order"))
-      .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+      .select(
+        col("l_returnflag"), col("l_linestatus"),
+        (col("qty_c") / lit(100.0)).as("sum_qty"),
+        (col("price_c") / lit(100.0)).as("sum_base_price"),
+        (col("disc_u") / lit(10000.0)).as("sum_disc_price"),
+        (col("charge_u") / lit(1000000.0)).as("sum_charge"),
+        col("count_order"),
+        (col("qty_c") / lit(100.0) / col("count_order")).as("avg_qty"),
+        (col("price_c") / lit(100.0) / col("count_order")).as("avg_price"))
 
   /** TPC-H Q3-shaped: top-10 orders by discounted revenue for one
     * market segment (J4 star join + A7 top-k). Customer is the small
@@ -47,15 +56,15 @@ object Relational {
       .join(broadcast(t.customer.where(col("c_mktsegment") === segment)),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-        .as("rev"))
-      .orderBy(col("rev").desc, col("o_orderkey").asc)
+      .agg(sum(longUnits(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+        .as("rev_u"))
+      .orderBy(col("rev_u").desc, col("o_orderkey").asc)
       .limit(k)
       .select(
         col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_orderdate"),
         col("o_orderpriority"),
-        col("rev").cast("double").as("revenue"))
+        (col("rev_u") / lit(10000.0)).as("revenue"))
 
   /** TPC-H Q5-shaped: revenue per nation through the full
     * region->nation->customer->orders->lineitem join chain (J1/J4).
@@ -69,9 +78,11 @@ object Relational {
         col("n_regionkey") === col("r_regionkey"))
       .groupBy(col("n_name"))
       .agg(
-        sum(dec4(col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          .cast("double").as("revenue"),
+        sum(longUnits(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
+          .as("rev_u"),
         count(lit(1)).as("n_items"))
+      .select(col("n_name"), (col("rev_u") / lit(10000.0)).as("revenue"),
+        col("n_items"))
 
   /** J3 NOT-IN-style anti join: parts never ordered. The reference's
     * NOT IN columns are non-null, so left_anti matches its semantics

@@ -116,32 +116,48 @@ object StarSchema {
   /** A4 daily stats: counts, exact distincts, period-of-day conditional
     * counts, and the top type/user of the day via a window argmax (W1)
     * instead of the reference's correlated LIMIT-1 subqueries. Ties
-    * break on name/user ascending for determinism. */
+    * break on name/user ascending for determinism.
+    *
+    * Plan shape: ONE scan of clean into the finest pre-aggregate
+    * (date x user x type) — a single map-side-combined shuffle — then
+    * totals, exact distincts, period counts, and both argmaxes all
+    * derive from that much smaller cube. This avoids the EXPAND a
+    * multi-countDistinct puts on the full fact and the 3 separate
+    * scans of the naive base+top+top join. */
   def dailyStats(clean: DataFrame): DataFrame = {
-    val base = clean.groupBy(col("event_date")).agg(
-      count(lit(1)).as("total_events"),
-      countDistinct(col("user_id")).as("unique_users"),
-      countDistinct(col("event_type")).as("unique_types"),
-      sum(col("value_cents")).as("total_value_cents"),
-      count(when(col("time_period") === "morning", 1)).as("morning_events"),
-      count(when(col("time_period") === "afternoon", 1)).as("afternoon_events"),
-      count(when(col("time_period") === "evening", 1)).as("evening_events"),
-      count(when(col("time_period") === "night", 1)).as("night_events"))
+    val cube = clean
+      .groupBy(col("event_date"), col("user_id"), col("event_type"))
+      .agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value_cents")).as("cents"),
+        count(when(col("time_period") === "morning", 1)).as("m"),
+        count(when(col("time_period") === "afternoon", 1)).as("a"),
+        count(when(col("time_period") === "evening", 1)).as("e"),
+        count(when(col("time_period") === "night", 1)).as("n"))
 
-    def top(keyCol: String, outName: String): DataFrame = {
+    val base = cube.groupBy(col("event_date")).agg(
+      sum(col("cnt")).as("total_events"),
+      sum(col("cents")).as("total_value_cents"),
+      sum(col("m")).as("morning_events"),
+      sum(col("a")).as("afternoon_events"),
+      sum(col("e")).as("evening_events"),
+      sum(col("n")).as("night_events"))
+
+    def top(keyCol: String, outName: String, distinctName: String)
+        : DataFrame = {
       val w = Window.partitionBy(col("event_date"))
-        .orderBy(col("cnt").desc, col(keyCol).asc)
-      clean.groupBy(col("event_date"), col(keyCol))
-        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("kcnt").desc, col(keyCol).asc)
+      cube.groupBy(col("event_date"), col(keyCol))
+        .agg(sum(col("cnt")).as("kcnt"))
         .withColumn("rn", row_number().over(w))
-        .where(col("rn") === 1)
-        .select(col("event_date"), col(keyCol).as(outName))
+        .groupBy(col("event_date"))
+        .agg(count(lit(1)).as(distinctName),
+          max(when(col("rn") === 1, col(keyCol))).as(outName))
     }
 
     base
-      .join(top("event_type", "top_type"), Seq("event_date"))
-      .join(top("user_id", "top_user").withColumn("top_user",
-        col("top_user").cast("long")), Seq("event_date"))
+      .join(top("event_type", "top_type", "unique_types"), Seq("event_date"))
+      .join(top("user_id", "top_user", "unique_users"), Seq("event_date"))
       .withColumn("total_value", col("total_value_cents") / lit(100.0))
       .drop("total_value_cents")
   }
