@@ -10,12 +10,7 @@ object Explain {
     val sfDir = args.head
     val names = if (args.length > 1) args.tail.toSeq else Suite.all.map(_.name)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = GraftSession.create(cpus)
     spark.sparkContext.setLogLevel("WARN")
     val byName = Suite.all.map(q => q.name -> q).toMap
     names.foreach { n =>

@@ -33,9 +33,13 @@ object EmbeddingOps {
       .withColumn("nn",
         aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors via the custom
+    * codegen'd expression (graft.plans.DotProductI64) — a tight
+    * primitive loop inside whole-stage codegen instead of the
+    * zip_with+aggregate HOF pair (which allocates an intermediate array
+    * and interprets two lambdas per element). */
   private def qdot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+    call_function("dot_i64", a, b)
 
   /** cosine = dot / (sqrt(na)*sqrt(nb)) — one deterministic IEEE
     * expression over exact integers. */

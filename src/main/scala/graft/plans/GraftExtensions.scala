@@ -1,0 +1,21 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine extension installer (SURVEY.md §2.10): registers the custom
+  * Catalyst expressions so they are callable from both the Column API
+  * (functions.call_function) and raw SQL. Installed by
+  * [[graft.GraftSession]]; also usable via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_i64"),
+      new ExpressionInfo(classOf[DotProductI64].getName, "dot_i64"),
+      (children: Seq[Expression]) =>
+        DotProductI64(children(0), children(1))))
+  }
+}
