@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.{Analytics, Relational, StarSchema}
+import graft.operators.{Analytics, Relational, Sql, StarSchema}
 
 /** One registered query: the Spark implementation plus (when
   * SQL-expressible) the equivalent DuckDB oracle SQL the driver runs
@@ -428,7 +428,18 @@ object Suite {
         |       WHEN c_acctbal < 5000 THEN 'standard'
         |       ELSE 'premium' END AS balance_tier,
         |  COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment_clean
-        |FROM customer""".stripMargin))
+        |FROM customer""".stripMargin)),
+
+    // ---- S12 raw-SQL entry point (dialect-neutral SQL runs verbatim
+    // in both engines) ----------------------------------------------------
+    Q("sql_raw_entry",
+      (s, d) => Sql.run(s, d,
+        """SELECT o_orderpriority, COUNT(*) AS n_orders,
+          |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+          |FROM orders GROUP BY o_orderpriority""".stripMargin),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+        |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders GROUP BY o_orderpriority""".stripMargin))
   ) ++ SuiteML.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Warehouse layout (SURVEY.md §4 "partition pruning"): the fact table
+  * is written partitioned by date so every date-range predicate (P5 —
+  * the dominant filter shape in the reference's dashboard queries)
+  * prunes partitions at the file listing, before any IO.
+  *
+  * At 100 TB this is the single highest-leverage layout decision:
+  * dashboards ask for "last N days" over years of history, and a
+  * date-partitioned fact turns that into reading N partitions instead
+  * of scanning everything. Within a partition, parquet min/max column
+  * statistics prune row groups for the remaining predicates.
+  */
+object Warehouse {
+
+  /** Write the fact partitioned by event_date (derived from date_key
+    * for a human-readable layout). */
+  def writeFact(fact: DataFrame, path: String): Unit =
+    fact.write
+      .partitionBy("date_key")
+      .mode("overwrite")
+      .parquet(path)
+
+  def readFact(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** Last-N-days slice of a partitioned fact: the date_key predicate is
+    * a partition filter — check .explain() shows PartitionFilters and a
+    * pruned file listing. */
+  def lastDays(fact: DataFrame, endKey: Int, days: Int): DataFrame =
+    fact.where(col("date_key") > lit(endKey - days) &&
+      col("date_key") <= lit(endKey))
+}

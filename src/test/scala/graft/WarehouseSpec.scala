@@ -1,0 +1,43 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sql, StarSchema, Warehouse}
+
+class WarehouseSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("partitioned fact prunes partitions for date-range predicates") {
+    val c = StarSchema.clean(eventsDf((1 to 60).map { i =>
+      (i.toLong, (i % 5).toLong, f"2024-01-${1 + i % 6}%02d 10:00:00",
+        "play", 1.0, "{}")
+    }))
+    val dir = Files.createTempDirectory("graft_wh").toString
+    Warehouse.writeFact(StarSchema.fact(c), dir)
+
+    // layout: one directory per date_key
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("date_key=")).map(_.getName).sorted
+    assert(parts.length == 6)
+
+    val fact = Warehouse.readFact(spark, dir)
+    val slice = Warehouse.lastDays(fact, endKey = 20240106, days = 2)
+    // correctness of the slice
+    assert(slice.select(countDistinct($"date_key")).collect()(0)
+      .getLong(0) == 2)
+    // pruning is visible in the physical plan's partition filters
+    val plan = slice.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("date_key"), plan.take(500))
+  }
+
+  test("raw SQL entry point matches the DataFrame result (S12)") {
+    val dir = "/root/testdata/sf0.001"
+    val viaSql = Sql.run(spark, dir,
+      "SELECT count(*) AS n FROM lineitem").collect()(0).getLong(0)
+    val viaDf = Tables(spark, dir).lineitem.count()
+    assert(viaSql == viaDf)
+  }
+}
