@@ -17,19 +17,21 @@ object SuiteML {
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d).embeddings
 
-  /** Shared oracle CTEs: tokens with position, 3-gram shingles,
-    * distinct shingle sets. */
+  /** Shared oracle CTEs: tokens with position, and distinct 3-gram
+    * shingle sets built per-row from the token list (mirrors the
+    * windowless TextOps.shingles). */
   private val TokCte =
     """tok AS (
       |  SELECT doc_id, unnest(string_split(text,' ')) AS word,
       |         generate_subscripts(string_split(text,' '), 1) AS pos
       |  FROM documents),
-      |sh0 AS (
-      |  SELECT doc_id,
-      |         word || ' ' || lead(word,1) OVER w || ' ' || lead(word,2) OVER w AS s
-      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-      |  QUALIFY lead(word,2) OVER w IS NOT NULL),
-      |ds AS (SELECT DISTINCT doc_id, s FROM sh0)""".stripMargin
+      |ds AS (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(ls) - 1),
+      |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS s
+      |    FROM (SELECT doc_id, string_split(text, ' ') AS ls
+      |          FROM documents WHERE len(string_split(text, ' ')) >= 3)))""".stripMargin
 
   /** Quantized-embedding oracle CTEs: q = round(x*1000) bigints,
     * nn = exact squared norm. */

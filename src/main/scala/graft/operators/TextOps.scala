@@ -30,17 +30,16 @@ object TextOps {
     docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
 
-  /** Distinct n-word shingles per doc via lead() windows (n=3). */
-  def shingles(docs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    tokens(docs)
-      .withColumn("w1", lead(col("word"), 1).over(w))
-      .withColumn("w2", lead(col("word"), 2).over(w))
-      .where(col("w2").isNotNull)
-      .select(col("doc_id"),
-        concat_ws(" ", col("word"), col("w1"), col("w2")).as("s"))
+  /** Distinct 3-word shingles per doc, built per-row from the token
+    * array with a higher-order transform — no window, no token-level
+    * shuffle; the only shuffle is the final distinct on (doc_id, s). */
+  def shingles(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
       .distinct()
-  }
 
   /** Exact dedup by content hash (hash-groupBy): one row per distinct
     * text, keeping the lowest doc_id. At 100 TB this is a single
@@ -56,8 +55,12 @@ object TextOps {
 
   /** 16-hash MinHash signature per doc: min over shingles of
     * md5(shingle||":"||k) — the lexicographic min of hex strings is a
-    * valid uniform min-hash and is engine-portable. One groupBy, 16
-    * aggregate columns (not 16x rows). */
+    * valid uniform min-hash and is engine-portable. Hashing happens
+    * per (doc, shingle) row straight into a 16-column min aggregate:
+    * one map-side-combined shuffle, no joins. (Hashing distinct
+    * shingles once and joining back only wins when the shingle
+    * vocabulary is tiny relative to the corpus — on natural text it is
+    * not, and the extra join costs more than the saved md5s.) */
   def minhashSignature(docs: DataFrame): DataFrame = {
     val sh = shingles(docs)
     val aggs = (0 until MinhashK).map(k =>
