@@ -143,17 +143,17 @@ object StarSchema {
       sum(col("e")).as("evening_events"),
       sum(col("n")).as("night_events"))
 
+    // W1 argmax via the custom single-pass aggregate (ties -> smallest
+    // key, mirroring the oracle's ROW_NUMBER tie-break) — no window
+    // sort; one hash aggregation per key space.
     def top(keyCol: String, outName: String, distinctName: String)
-        : DataFrame = {
-      val w = Window.partitionBy(col("event_date"))
-        .orderBy(col("kcnt").desc, col(keyCol).asc)
+        : DataFrame =
       cube.groupBy(col("event_date"), col(keyCol))
         .agg(sum(col("cnt")).as("kcnt"))
-        .withColumn("rn", row_number().over(w))
         .groupBy(col("event_date"))
         .agg(count(lit(1)).as(distinctName),
-          max(when(col("rn") === 1, col(keyCol))).as(outName))
-    }
+          call_function("top1_by_count", col(keyCol), col("kcnt"))
+            .as(outName))
 
     base
       .join(top("event_type", "top_type", "unique_types"), Seq("event_date"))

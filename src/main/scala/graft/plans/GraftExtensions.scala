@@ -17,5 +17,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[DotProductI64].getName, "dot_i64"),
       (children: Seq[Expression]) =>
         DotProductI64(children(0), children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("top1_by_count"),
+      new ExpressionInfo(classOf[Top1ByCount].getName, "top1_by_count"),
+      (children: Seq[Expression]) =>
+        Top1ByCount(children(0), children(1)).toAggregateExpression()))
   }
 }
