@@ -120,6 +120,45 @@ object EmbeddingOps {
     e.join(signs, Seq("vec_id"))
   }
 
+  /** IVF (inverted-file) top-k — the other classic ANN scale path:
+    * a deterministic coarse quantizer (the first nCentroids vectors,
+    * broadcast) assigns every vector to its nearest-centroid cell; a
+    * query probes its nProbe nearest cells and brute-forces only those.
+    * At scale the assignment is one broadcast pass over the corpus and
+    * each query touches |corpus| * nProbe / nCentroids candidates. All
+    * scoring is exact-integer cosine, so results are deterministic and
+    * oracle-checkable. */
+  def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nQueries: Int = 5,
+      nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val e = quantized(emb)
+    val cents = broadcast(e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nn").as("cn")))
+    val scoredCents = e.join(cents, lit(true))
+      .select(col("vec_id"), col("q"), col("nn"), col("cent_id"),
+        cosine(qdot(col("q"), col("cq")), col("nn"), col("cn"))
+          .as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    val ranked = scoredCents.withColumn("crk", row_number().over(wAssign))
+    val cells = ranked.where(col("crk") === 1)
+      .select(col("vec_id"), col("q"), col("nn"), col("cent_id").as("cell"))
+    val probes = ranked
+      .where(col("vec_id") < nQueries && col("crk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nn").as("qn"), col("cent_id").as("cell"))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(cells, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(qdot(col("qv"), col("q")), col("qn"), col("nn")).as("cos"))
+      // no dedup needed: each candidate lives in exactly one cell
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
   /** LSH-bucketed nearest neighbor: within each bucket, every vector's
     * top-1 neighbor by exact cosine (the scale path for
     * dedup-by-nearest-neighbor; singleton buckets surface with a null
