@@ -430,6 +430,32 @@ object Suite {
         |  COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment_clean
         |FROM customer""".stripMargin)),
 
+    // ---- A11 pandas-side min-max normalization as a window ---------------
+    Q("an_normalized_intensity",
+      (s, d) => Analytics.normalizedIntensity(clean(s, d)),
+      Some("""WITH hourly AS (
+        |  SELECT CAST(ts AS DATE) AS event_date,
+        |         CAST(EXTRACT(hour FROM ts) AS INTEGER) AS event_hour,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT *, MIN(n_events) OVER w AS day_min, MAX(n_events) OVER w AS day_max
+        |      FROM hourly WINDOW w AS (PARTITION BY event_date))
+        |SELECT event_date, event_hour, n_events,
+        |       CASE WHEN day_max = day_min THEN CAST(0.0 AS DOUBLE)
+        |            ELSE CAST(n_events - day_min AS DOUBLE) / (day_max - day_min)
+        |       END AS intensity
+        |FROM b""".stripMargin)),
+
+    // ---- J4 supplier-side chain ------------------------------------------
+    Q("rel_supplier_by_nation",
+      (s, d) => Relational.supplierByNation(Tables(s, d)),
+      Some("""SELECT r_name, n_name, COUNT(*) AS n_suppliers,
+        |       SUM(CAST(ROUND(s_acctbal*100) AS BIGINT)) / CAST(100.0 AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2""".stripMargin)),
+
     // ---- S12 raw-SQL entry point (dialect-neutral SQL runs verbatim
     // in both engines) ----------------------------------------------------
     Q("sql_raw_entry",

@@ -274,6 +274,25 @@ object Analytics {
         col("unique_users"), col("unique_types"))
   }
 
+  /** A11/pandas normalization (dashboard/main_page.py:216-256): per-day
+    * hourly intensity min-max normalized against the day's own range —
+    * the reference does this client-side in pandas; here it is a window
+    * over the day partition. The ratio is a single division of exact
+    * integer counts (max==min days surface 0). */
+  def normalizedIntensity(clean: DataFrame): DataFrame = {
+    val hourly = clean.groupBy(col("event_date"), col("event_hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_date"))
+    hourly
+      .withColumn("day_min", min(col("n_events")).over(w))
+      .withColumn("day_max", max(col("n_events")).over(w))
+      .select(col("event_date"), col("event_hour"), col("n_events"),
+        when(col("day_max") === col("day_min"), 0.0)
+          .otherwise((col("n_events") - col("day_min")).cast("double") /
+            (col("day_max") - col("day_min")))
+          .as("intensity"))
+  }
+
   /** §2.9 watermark incremental: events strictly after (max(ts) - 7d),
     * the batch rendering of the reference's collected_at > last_sync
     * Mongo scan (daily_etl_pipeline.py:131-137). */

@@ -118,6 +118,19 @@ object Relational {
         (col("price_cents") / lit(100.0)).as("order_total"))
   }
 
+  /** Supplier-side star join (J4 over the remaining dimension chain):
+    * suppliers per nation/region with account-balance stats. */
+  def supplierByNation(t: Tables): DataFrame =
+    t.supplier
+      .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_suppliers"),
+        sum(cents(col("s_acctbal"))).as("bal_c"))
+      .select(col("r_name"), col("n_name"), col("n_suppliers"),
+        (col("bal_c") / lit(100.0)).as("total_acctbal"))
+
   /** §2.8 scalar-function surface: string ops, MD5 surrogate ids
     * (daily_etl_pipeline.py:357 pattern), conditional buckets, exact
     * cents arithmetic. */

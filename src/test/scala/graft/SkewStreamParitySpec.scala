@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Skew
+import graft.streaming.Streams
+
+class SkewStreamParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin returns exactly the plain join result") {
+    val big = (1 to 5000).map(i => (i.toLong % 3, i.toLong)) // 3 hot keys
+      .toDF("k", "v")
+    val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "unmatched"))
+      .toDF("k", "tag")
+    val plain = big.join(small, Seq("k"))
+    val salted = Skew.saltedJoin(big, small, "k", buckets = 8)
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("saltedCount matches plain groupBy counts") {
+    val df = (1 to 4000).map(i => (if (i % 10 == 0) "rare" else "hot", i))
+      .toDF("k", "v")
+    val plain = df.groupBy($"k").agg(count(lit(1)).as("n"))
+    val salted = Skew.saltedCount(df, "k", buckets = 16)
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("streaming hourly counts over the real events equal the batch result") {
+    // stream the sf0.001 events parquet with Trigger.AvailableNow and
+    // compare against the same aggregation run as a batch query
+    val dir = "/root/testdata/sf0.001"
+    val batchEvents = Tables(spark, dir).events
+      .select($"user_id", $"ts".cast("timestamp").as("ts"), $"event_type",
+        $"value")
+    val expected = batchEvents
+      .groupBy(date_trunc("hour", $"ts").as("hour_start"), $"event_type")
+      .agg(count(lit(1)).as("n_events"))
+      .collect().map(_.toString).sorted
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file streams consume directories: stage the single parquet file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val streamEvents = spark.readStream
+      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts",
+        timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+      .select($"user_id", $"ts", $"event_type", $"value")
+    val q = Streams.hourlyCounts(streamEvents, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("parity_out")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("parity_out")
+      .select($"hour_start", $"event_type", $"n_events")
+      .collect().map(_.toString).sorted
+    assert(got.length == expected.length)
+    assert(got.sameElements(expected))
+  }
+}
