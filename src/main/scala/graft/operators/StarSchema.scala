@@ -96,22 +96,24 @@ object StarSchema {
         pgDow(col("date_value")).as("pg_dow"),
         isWeekend(col("date_value")).as("is_weekend"))
 
-  /** Star fact load (J1): clean joined to the three dims on natural
-    * keys. Dims are explicitly broadcast: at 100 TB the fact side
-    * stays shuffle-free for this join. */
-  def fact(clean: DataFrame): DataFrame = {
-    val du = broadcast(dimUsers(clean).select("user_key", "user_id"))
-    val dt = broadcast(dimTypes(clean).select("type_key", "event_type"))
-    val dd = broadcast(dimDates(clean)
-      .select(col("date_key"), col("date_value").as("event_date")))
-    clean
-      .join(dd, Seq("event_date"))
-      .join(du, Seq("user_id"))
-      .join(dt, Seq("event_type"))
-      .select(
-        col("event_id"), col("date_key"), col("user_key"), col("type_key"),
-        col("value_cents"), col("event_hour"), col("is_weekend"))
-  }
+  /** Star fact load (J1). The reference joins clean rows to dims to
+    * fetch SERIAL surrogate keys (daily_etl_pipeline.py:457-461); our
+    * surrogates are content hashes of the natural keys — the same
+    * scheme the reference itself uses for artist/album ids
+    * ('artist_' || MD5(name), :357) — so the dim lookups are
+    * identities and the fact derives its keys INLINE: one scan, zero
+    * joins, zero shuffles, identical result to the broadcast-join form
+    * at any scale. (Genuine J1 broadcast star joins are exercised by
+    * the analytics/relational queries, where the dim carries data the
+    * fact does not have.) */
+  def fact(clean: DataFrame): DataFrame =
+    clean.select(
+      col("event_id"),
+      TimeFns.dateKey(col("event_date")).as("date_key"),
+      concat(lit("user_"), md5(col("user_id").cast("string")))
+        .as("user_key"),
+      concat(lit("type_"), md5(col("event_type"))).as("type_key"),
+      col("value_cents"), col("event_hour"), col("is_weekend"))
 
   /** A4 daily stats: counts, exact distincts, period-of-day conditional
     * counts, and the top type/user of the day via a window argmax (W1)
