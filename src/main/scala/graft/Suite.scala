@@ -90,7 +90,10 @@ object Suite {
         |SELECT CAST(year(date_value)*10000 + month(date_value)*100 + day(date_value) AS INTEGER) AS date_key,
         |       date_value, dayname(date_value) AS day_name,
         |       CAST(dayofweek(date_value) AS INTEGER) AS pg_dow,
-        |       dayofweek(date_value) IN (0,6) AS is_weekend
+        |       dayofweek(date_value) IN (0,6) AS is_weekend,
+        |       false AS is_holiday,
+        |       monthname(date_value) AS month_name,
+        |       CAST(year(date_value) AS INTEGER) AS year
         |FROM g""".stripMargin)),
 
     // ---- fact load (J1 star join, broadcast dims) ----------------------

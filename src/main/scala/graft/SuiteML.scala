@@ -173,6 +173,16 @@ object SuiteML {
         |       ms.min_shingle_hash
         |FROM documents d LEFT JOIN ms ON ms.doc_id = d.doc_id""".stripMargin)),
 
+    // ---- text analysis: Rabin-Karp rolling-hash fingerprint -------------
+    Q("text_rolling_hash",
+      (s, d) => TextOps.rollingHash(docs(s, d)),
+      Some("""SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(string_split(text, ''), c -> CAST(ascii(c) AS BIGINT))),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS rolling_hash,
+        |  CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin)),
+
     // ---- similarity: brute-force cosine top-k ---------------------------
     Q("sim_ann_topk",
       (s, d) => EmbeddingOps.annTopK(emb(s, d)),

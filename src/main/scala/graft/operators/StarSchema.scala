@@ -83,8 +83,12 @@ object StarSchema {
         col("event_type"), col("first_seen"), col("total_events"))
 
   /** Calendar dimension spanning [min, max] event date (dim_dates,
-    * README.md:208) — generated with sequence()/explode, never
-    * collected to the driver. */
+    * README.md:208: date_key, date_value, day_name, day_of_week,
+    * is_weekend, is_holiday, month_name, year) — generated with
+    * sequence()/explode, never collected to the driver. `is_holiday`
+    * is a manually-curated enrichment column in the reference (never
+    * populated by ETL; SURVEY.md §1.2) — modeled as its default
+    * false, LEFT-joinable against a curated holiday table. */
   def dimDates(clean: DataFrame): DataFrame =
     clean
       .agg(min(col("event_date")).as("d0"), max(col("event_date")).as("d1"))
@@ -94,7 +98,10 @@ object StarSchema {
         col("date_value"),
         dayName(col("date_value")).as("day_name"),
         pgDow(col("date_value")).as("pg_dow"),
-        isWeekend(col("date_value")).as("is_weekend"))
+        isWeekend(col("date_value")).as("is_weekend"),
+        lit(false).as("is_holiday"),
+        date_format(col("date_value"), "MMMM").as("month_name"),
+        year(col("date_value")).cast("int").as("year"))
 
   /** Star fact load (J1). The reference joins clean rows to dims to
     * fetch SERIAL surrogate keys (daily_etl_pipeline.py:457-461); our

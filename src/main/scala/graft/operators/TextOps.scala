@@ -225,6 +225,21 @@ object TextOps {
         .cast("long").as("word_tokens"),
       expr("(length(text) + 3) div 4").cast("long").as("bpe_est_tokens"))
 
+  /** Polynomial rolling hash (Rabin-Karp) over the document's
+    * characters: h = fold(h*B + code(c)) mod P with B=131, P=2^31-1 —
+    * pure integer arithmetic, identical in any engine with a list fold.
+    * The per-prefix form of this hash is what a winnowing fingerprinter
+    * slides over; the full-document value is a compact content id that,
+    * unlike md5, can be updated incrementally when documents are
+    * chunked. */
+  def rollingHash(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      expr("aggregate(split(text, ''), 0L, " +
+        "(acc, c) -> (acc * 131 + ascii(c)) % 2147483647)")
+        .as("rolling_hash"),
+      length(col("text")).cast("long").as("n_chars"))
+
   /** Document fingerprints: full-content md5, head/tail block hashes,
     * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
     * content anchor). */
