@@ -183,6 +183,27 @@ object SuiteML {
         |  CAST(length(text) AS BIGINT) AS n_chars
         |FROM documents""".stripMargin)),
 
+    // ---- text analysis: winnowing fingerprint sets ----------------------
+    Q("text_winnowing",
+      (s, d) => TextOps.winnowing(docs(s, d)),
+      Some("""WITH cs AS (
+        |  SELECT doc_id, string_split(text, '') AS cs FROM documents
+        |  WHERE len(string_split(text, '')) >= 11),
+        |kh AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(cs) - 7 + 1), i ->
+        |      list_reduce(
+        |        list_prepend(CAST(0 AS BIGINT),
+        |          list_transform(cs[i:i+7], c -> CAST(ascii(c) AS BIGINT))),
+        |        (acc, c) -> (acc * 131 + c) % 2147483647)) AS kh
+        |  FROM cs),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(kh) - 3 + 1), j ->
+        |      list_aggregate(kh[j:j+3], 'min'))) AS fp
+        |  FROM kh)
+        |SELECT doc_id, unnest(fp) AS fingerprint FROM fp""".stripMargin)),
+
     // ---- similarity: brute-force cosine top-k ---------------------------
     Q("sim_ann_topk",
       (s, d) => EmbeddingOps.annTopK(emb(s, d)),

@@ -240,6 +240,39 @@ object TextOps {
         .as("rolling_hash"),
       length(col("text")).cast("long").as("n_chars"))
 
+  /** Winnowing fingerprints (the standard local-fingerprint scheme for
+    * plagiarism/near-dup detection): hash every k-gram of characters
+    * with the rolling polynomial, then keep the minimum hash of each
+    * sliding window of w consecutive k-gram hashes; the distinct kept
+    * hashes are the document's fingerprint set. Guarantees every match
+    * of length >= w+k-1 shares a fingerprint.
+    *
+    * Shape note: the all-arrays form (transform over windows of a
+    * transform) is a trap — Catalyst's CollapseProject inlines the
+    * k-gram-hash array expression into every window lambda, turning
+    * O(n*k) per doc into O(n^2*k) interpreted evaluation. Exploding
+    * the k-gram hashes to rows and taking a sliding window min keeps
+    * the hash computation evaluated once and streams the winnow. */
+  def winnowing(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    val kgrams = docs
+      .select(col("doc_id"), split(col("text"), "").as("cs"))
+      .where(size(col("cs")) >= k + w - 1)
+      .select(col("doc_id"), size(col("cs")).as("n"),
+        posexplode(expr(
+          s"""transform(sequence(1, size(cs) - ${k - 1}),
+             |  i -> aggregate(slice(cs, i, $k), 0L,
+             |         (acc, c) -> (acc * 131 + ascii(c)) % 2147483647))"""
+            .stripMargin)).as(Seq("j0", "kh")))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("j0"))
+      .rowsBetween(0, w - 1)
+    kgrams
+      .withColumn("wmin", min(col("kh")).over(win))
+      // valid window starts: 0-based j0 in [0, (n-k+1) - w]
+      .where(col("j0") <= col("n") - lit(k - 1) - lit(w))
+      .select(col("doc_id"), col("wmin").as("fingerprint"))
+      .distinct()
+  }
+
   /** Document fingerprints: full-content md5, head/tail block hashes,
     * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
     * content anchor). */
