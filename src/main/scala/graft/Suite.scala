@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.operators.{Analytics, Relational, Sql, StarSchema}
 
@@ -367,6 +368,53 @@ object Suite {
         |FROM o
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)""".stripMargin),
       bench = true),
+
+    // ---- P3 TEXT[] quality flags (array-typed column parity) -------------
+    Q("etl_quality_flags",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        ev.select(col("event_id"),
+          graft.functions.QualityFns.qualityFlagsArray(
+            col("event_type"), col("value")).as("quality_flags"))
+      },
+      Some("""SELECT event_id,
+        |  CASE WHEN event_type IS NULL OR TRIM(event_type) = '' THEN ['missing_type']
+        |       WHEN value IS NULL OR value < 10.0 THEN ['short_duration']
+        |       ELSE CAST([] AS VARCHAR[]) END AS quality_flags
+        |FROM events""".stripMargin)),
+
+    // ---- A4 alternate daily aggregate (analytics.daily_listening_stats,
+    // utils/database.py:241-255: totals + averages + top entity) ----------
+    Q("etl_daily_stats_alt",
+      (s, d) => {
+        val c = clean(s, d)
+        c.groupBy(col("event_date"))
+          .agg(count(lit(1)).as("total_events"),
+            countDistinct(col("user_id")).as("unique_users"),
+            sum(col("value_cents")).as("cents"),
+            call_function("top1_by_count", col("event_type"), lit(1L))
+              .as("top_type"))
+          .select(col("event_date"), col("total_events"),
+            col("unique_users"),
+            (col("cents") / lit(100.0)).as("total_value"),
+            (col("cents") / lit(100.0) / col("total_events"))
+              .as("avg_value"),
+            col("top_type"))
+      },
+      Some(s"""$CleanCte,
+        |g AS (SELECT event_date, COUNT(*) AS total_events,
+        |             COUNT(DISTINCT user_id) AS unique_users,
+        |             CAST(SUM(value_cents) AS BIGINT) AS cents
+        |      FROM clean GROUP BY 1),
+        |tt AS (SELECT event_date, event_type AS top_type FROM (
+        |  SELECT event_date, event_type,
+        |         ROW_NUMBER() OVER (PARTITION BY event_date ORDER BY COUNT(*) DESC, event_type) AS rn
+        |  FROM clean GROUP BY 1, 2) WHERE rn = 1)
+        |SELECT g.event_date, g.total_events, g.unique_users,
+        |       cents / CAST(100.0 AS DOUBLE) AS total_value,
+        |       cents / CAST(100.0 AS DOUBLE) / g.total_events AS avg_value,
+        |       tt.top_type
+        |FROM g JOIN tt USING (event_date)""".stripMargin)),
 
     // ---- A8 discovery at daily + monthly grains --------------------------
     Q("an_discovery_daily",

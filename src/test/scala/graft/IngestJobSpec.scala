@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+import graft.operators.IngestJob
+import graft.sources.JsonSource
+
+class IngestJobSpec extends SparkSpec {
+
+  private def doc(trackId: String, playedAt: String, name: String,
+      pop: Int): String =
+    s"""{"track_id":"$trackId","played_at":"$playedAt","track_info":{"name":"$name","artists":[{"id":"a1","name":"Artist"}],"album":{"id":"al1","name":"Album"},"duration_ms":180000,"explicit":false,"popularity":$pop},"batch_info":{"batch_id":"x","collected_at":"2024-01-01T09:00:00Z"}}"""
+
+  private def readDocs(lines: Seq[String]): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ingest")
+    java.nio.file.Files.write(dir.resolve("batch.json"),
+      String.join("\n", lines: _*).getBytes)
+    JsonSource.readListening(spark, dir.toString)
+  }
+
+  test("collector replays and catalog updates merge idempotently (EP1)") {
+    import spark.implicits._
+    val b1 = readDocs(Seq(
+      doc("t1", "2024-01-01T08:00:00Z", "Song1", 50),
+      doc("t2", "2024-01-01T08:30:00Z", "Song2", 60)))
+    val s1 = IngestJob.run(None, b1, "b1")
+    assert(s1.plays.count() == 2)
+    assert(s1.trackCatalog.count() == 2)
+
+    // batch 2: replays t1's play, adds a new play of t1, updates t1 meta
+    val b2 = readDocs(Seq(
+      doc("t1", "2024-01-01T08:00:00Z", "Song1", 55), // duplicate play
+      doc("t1", "2024-01-01T10:00:00Z", "Song1", 55), // new play
+      doc("t3", "2024-01-01T11:00:00Z", "Song3", 10)))
+    val s2 = IngestJob.run(Some(s1), b2, "b2")
+    assert(s2.plays.count() == 4) // 2 + new t1 play + t3
+    assert(s2.trackCatalog.count() == 3)
+    // newest metadata won for t1
+    assert(s2.trackCatalog.where($"track_id" === "t1").collect()(0)
+      .getAs[Int]("popularity") == 55)
+    // ledger has both batches
+    assert(s2.playLedger.count() == 2)
+  }
+
+  test("operators tolerate empty input") {
+    import graft.operators.{Analytics, StarSchema}
+    val empty = StarSchema.clean(eventsDf(Seq.empty))
+    assert(StarSchema.fact(empty).count() == 0)
+    assert(StarSchema.dailyStats(empty).count() == 0)
+    assert(Analytics.heatmap(empty).count() == 0)
+    assert(Analytics.loyalty(empty).count() == 0)
+    assert(graft.operators.TextOps.nearDupMinhash(
+      docsDf(Seq.empty)).count() == 0)
+  }
+}
