@@ -516,7 +516,22 @@ object Suite {
           |FROM orders GROUP BY o_orderpriority""".stripMargin),
       Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
-        |FROM orders GROUP BY o_orderpriority""".stripMargin))
+        |FROM orders GROUP BY o_orderpriority""".stripMargin)),
+
+    // ---- S12 view layer (dwh.v_today_listening analog) -------------------
+    Q("sql_today_view",
+      (s, d) => {
+        Sql.createTodayView(s, d)
+        s.sql("""SELECT event_type, COUNT(*) AS n_events,
+          |       COUNT(DISTINCT user_id) AS unique_users
+          |FROM v_today_listening GROUP BY event_type""".stripMargin)
+      },
+      Some("""WITH v_today_listening AS (
+        |  SELECT * FROM events
+        |  WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events))
+        |SELECT event_type, COUNT(*) AS n_events,
+        |       COUNT(DISTINCT user_id) AS unique_users
+        |FROM v_today_listening GROUP BY event_type""".stripMargin))
   ) ++ SuiteML.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

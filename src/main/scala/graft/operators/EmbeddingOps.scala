@@ -87,7 +87,8 @@ object EmbeddingOps {
   private val NPlanes = 8
   private val Dim = 64
 
-  /** Deterministic pseudo-random hyperplanes: plane j's coefficient at
+  /** Deterministic pseudo-random hyperplanes (random-hyperplane LSH,
+    * Charikar STOC 2002): plane j's coefficient at
     * component c is (2*nibble - 15) where nibble is the c-th hex digit
     * of md5("p{j}a")||md5("p{j}b") — odd integers in [-15, 15],
     * identical in any engine with md5. 512 rows, broadcast. */
@@ -120,7 +121,9 @@ object EmbeddingOps {
     e.join(signs, Seq("vec_id"))
   }
 
-  /** IVF (inverted-file) top-k — the other classic ANN scale path:
+  /** IVF (inverted-file) top-k, after the coarse-quantizer stage of
+    * Jegou et al., "Product quantization for nearest neighbor search",
+    * TPAMI 2011 — the other classic ANN scale path:
     * a deterministic coarse quantizer (the first nCentroids vectors,
     * broadcast) assigns every vector to its nearest-centroid cell; a
     * query probes its nProbe nearest cells and brute-forces only those.

@@ -37,4 +37,17 @@ object Sql {
     registerViews(spark, dir)
     spark.sql(query)
   }
+
+  /** Convenience view over "today's" listening (dwh.v_today_listening,
+    * README.md:201) — anchored to the data's max date so it is
+    * deterministic (SURVEY.md §7 risk #2: CURRENT_DATE-anchored queries
+    * take the as-of date as a parameter). */
+  def createTodayView(spark: SparkSession, dir: String): Unit = {
+    registerViews(spark, dir)
+    spark.sql(
+      """CREATE OR REPLACE TEMP VIEW v_today_listening AS
+        |SELECT * FROM events
+        |WHERE CAST(ts AS DATE) = (SELECT MAX(CAST(ts AS DATE)) FROM events)
+        |""".stripMargin)
+  }
 }

@@ -53,7 +53,8 @@ object TextOps {
   private val MinhashK = 16
   private val BandSize = 4 // 4 bands x 4 rows
 
-  /** 16-hash MinHash signature per doc: min over shingles of
+  /** 16-hash MinHash signature per doc (Broder, "On the resemblance
+    * and containment of documents", 1997): min over shingles of
     * md5(shingle||":"||k) — the lexicographic min of hex strings is a
     * valid uniform min-hash and is engine-portable. Hashing happens
     * per (doc, shingle) row straight into a 16-column min aggregate:
@@ -117,7 +118,8 @@ object TextOps {
   private def nibble(c: Column, j: Int): Column =
     conv(substring(c, j + 1, 1), 16, 10).cast("int")
 
-  /** 32-bit SimHash per doc from term-frequency-weighted md5-nibble
+  /** 32-bit SimHash (Charikar, "Similarity estimation techniques from
+    * rounding algorithms", STOC 2002) per doc from term-frequency-weighted md5-nibble
     * votes: bit j is set when the sum over words of
     * (+count if nibble_j(md5(word))>=8 else -count) is > 0.
     * All-integer votes — bit-exact across engines. */
@@ -240,8 +242,8 @@ object TextOps {
         .as("rolling_hash"),
       length(col("text")).cast("long").as("n_chars"))
 
-  /** Winnowing fingerprints (the standard local-fingerprint scheme for
-    * plagiarism/near-dup detection): hash every k-gram of characters
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken, "Winnowing:
+    * local algorithms for document fingerprinting", SIGMOD 2003): hash every k-gram of characters
     * with the rolling polynomial, then keep the minimum hash of each
     * sliding window of w consecutive k-gram hashes; the distinct kept
     * hashes are the document's fingerprint set. Guarantees every match
