@@ -481,6 +481,29 @@ object Suite {
         |  COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment_clean
         |FROM customer""".stripMargin)),
 
+    // ---- batch sessionization (gap-break windows; streaming twin in
+    // graft.streaming.Streams.sessionize) ----------------------------------
+    Q("an_sessions",
+      (s, d) => Analytics.sessionize(clean(s, d)),
+      Some("""WITH e AS (
+        |  SELECT user_id, ts, CAST(ROUND(value*100) AS BIGINT) AS value_cents,
+        |         epoch_us(ts) AS us,
+        |         lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts) AS prev_us
+        |  FROM events),
+        |b AS (
+        |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_break
+        |  FROM e),
+        |sn AS (
+        |  SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  FROM b)
+        |SELECT user_id, session_no,
+        |       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+        |       CAST(MAX(ts) AS TIMESTAMP) AS session_end,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(value_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM sn GROUP BY 1, 2""".stripMargin)),
+
     // ---- A11 pandas-side min-max normalization as a window ---------------
     Q("an_normalized_intensity",
       (s, d) => Analytics.normalizedIntensity(clean(s, d)),

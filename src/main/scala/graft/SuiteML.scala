@@ -135,6 +135,34 @@ object SuiteML {
         |FROM pred p JOIN documents dd USING (doc_id)""".stripMargin),
       bench = true),
 
+    // ---- text analysis: character-n-gram language ID --------------------
+    Q("text_langid_ngram",
+      (s, d) => TextOps.langIdNgram(docs(s, d)),
+      Some("""WITH cs AS (
+        |  SELECT doc_id, string_split(text, '') AS cs FROM documents
+        |  WHERE len(string_split(text, '')) >= 3),
+        |grams AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, len(cs) - 1),
+        |           i -> cs[i] || cs[i+1] || cs[i+2])) AS g
+        |  FROM cs),
+        |labeled AS (SELECT gr.doc_id, gr.g, dd.lang
+        |            FROM grams gr JOIN documents dd USING (doc_id)),
+        |prof AS (SELECT lang AS cand_lang, g, count(*) AS n_lg
+        |         FROM labeled GROUP BY 1, 2),
+        |lsize AS (SELECT lang AS cand_lang, count(*) AS n_l
+        |          FROM labeled GROUP BY 1),
+        |dgc AS (SELECT doc_id, g, count(*) AS c_dg FROM grams GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, cand_lang, SUM(c_dg * n_lg) AS dot
+        |       FROM dgc JOIN prof USING (g) GROUP BY 1, 2),
+        |sc2 AS (SELECT s.doc_id, s.cand_lang, CAST(dot AS DOUBLE) / n_l AS score
+        |        FROM sc s JOIN lsize USING (cand_lang)),
+        |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn
+        |  FROM sc2) WHERE rn = 1)
+        |SELECT p.doc_id, dd.lang, p.pred_lang, p.pred_lang = dd.lang AS correct
+        |FROM pred p JOIN documents dd USING (doc_id)""".stripMargin)),
+
     // ---- text analysis: quality scoring ---------------------------------
     Q("text_quality",
       (s, d) => TextOps.quality(docs(s, d)),

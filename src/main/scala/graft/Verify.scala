@@ -10,11 +10,27 @@ object Verify {
     val spark = GraftSession.create(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query watchdog: one pathological plan must not stall the
+    // whole correctness run. Each query executes under its own job
+    // group; on timeout the group is cancelled and the run moves on.
+    val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toInt
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      val worker = new Thread(() =>
+        try {
+          spark.sparkContext.setJobGroup(s"verify_$name", name,
+            interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        })
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(timeoutSec * 1000L)
+      if (worker.isAlive) {
+        System.err.println(s"[verify] $name TIMED OUT after ${timeoutSec}s — cancelling")
+        spark.sparkContext.cancelJobGroup(s"verify_$name")
+        worker.join(30000L)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

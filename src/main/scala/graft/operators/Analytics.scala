@@ -274,6 +274,31 @@ object Analytics {
         col("unique_users"), col("unique_types"))
   }
 
+  /** Batch sessionization (the batch twin of
+    * graft.streaming.Streams.sessionize): a session breaks where the
+    * gap to the previous event exceeds gapMinutes; session ids are the
+    * running count of breaks (lag + cumulative sum — two passes over
+    * one user partitioning), then one aggregate per session. */
+  def sessionize(clean: DataFrame, gapMinutes: Int = 30): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    val gapUs = gapMinutes * 60000000L
+    clean
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1)
+        .over(byUser))
+      .withColumn("is_break",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts").cast("timestamp")) - col("prev_us") > gapUs,
+          1L).otherwise(0L))
+      .withColumn("session_no", sum(col("is_break")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_no"))
+      .agg(
+        min(col("ts")).cast("timestamp").as("session_start"),
+        max(col("ts")).cast("timestamp").as("session_end"),
+        count(lit(1)).as("n_events"),
+        (sum(col("value_cents")) / lit(100.0)).as("total_value"))
+  }
+
   /** A11/pandas normalization (dashboard/main_page.py:216-256): per-day
     * hourly intensity min-max normalized against the day's own range —
     * the reference does this client-side in pandas; here it is a window

@@ -189,6 +189,44 @@ object TextOps {
         (col("pred_lang") === col("lang")).as("correct"))
   }
 
+  /** Character-n-gram language ID — the classic n-gram-profile
+    * heuristic (Cavnar & Trenkle, "N-gram-based text categorization",
+    * 1994), trained on the labeled corpus like [[langId]] but over
+    * character trigrams instead of words, so it works with no
+    * tokenizer (CJK, agglutinative scripts). Same deterministic
+    * scoring: integer profile dot / lang size, argmax with lang
+    * tie-break. */
+  def langIdNgram(docs: DataFrame, n: Int = 3): DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), "").as("cs"))
+      .where(size(col("cs")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(cs) - ${n - 1}), " +
+          s"i -> concat_ws('', slice(cs, i, $n)))")).as("g"))
+    val labeled = grams
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val profile = labeled.groupBy(col("lang").as("cand_lang"), col("g"))
+      .agg(count(lit(1)).as("n_lg"))
+    val langSize = labeled.groupBy(col("lang").as("cand_lang"))
+      .agg(count(lit(1)).as("n_l"))
+    val docGc = grams.groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("c_dg"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("cand_lang").asc)
+    docGc
+      .join(broadcast(profile), Seq("g"))
+      .groupBy(col("doc_id"), col("cand_lang"))
+      .agg(sum(col("c_dg") * col("n_lg")).as("dot"))
+      .join(broadcast(langSize), Seq("cand_lang"))
+      .withColumn("score", col("dot").cast("double") / col("n_l"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("cand_lang").as("pred_lang"))
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("pred_lang"),
+        (col("pred_lang") === col("lang")).as("correct"))
+  }
+
   /** Text quality scoring: length, avg token length, stopword ratio,
     * type-token ratio — each an exact-integer ratio surfaced with one
     * division — plus a CASE quality tier (P3-style first-match-wins). */
