@@ -23,11 +23,18 @@ object IngestJob {
       trackCatalog: DataFrame, // one row per track_id, newest wins
       playLedger: DataFrame) // per-batch counts (batch_execution_log)
 
-  /** One collector run over a batch of nested docs. */
+  /** One collector run over a batch of nested docs. `batchSeq` is the
+    * strictly-increasing ingestion sequence number that decides which
+    * version "wins" in the keep-newest merges — an explicit long, NOT
+    * the batch-id string (lexicographic order breaks past "b9"). When
+    * omitted it continues from the ledger length. */
   def run(state: Option[RawZone], rawDocs: DataFrame,
-      batchId: String): RawZone = {
+      batchId: String, batchSeq: Long = -1L): RawZone = {
+    val seq =
+      if (batchSeq >= 0) batchSeq
+      else state.map(_.playLedger.count()).getOrElse(0L) + 1
     val flat = JsonSource.flatten(rawDocs)
-      .withColumn("ingest_batch", lit(batchId))
+      .withColumn("ingest_batch", lit(seq))
 
     // S6: plays merge keyed (track_id, played_at) — replays are no-ops.
     val plays = state match {

@@ -31,7 +31,10 @@ object Sinks {
 
   /** S6/S7 (Mongo `replace_one(..., upsert=True)`,
     * curl_spotify_tracker.py:115-130): merged view of existing+incoming
-    * keeping the newest version per key (highest versionCol). */
+    * keeping the newest version per key (highest versionCol).
+    * Contract: versionCol must be strictly increasing across merges for
+    * the same key (a sequence number or event time) — on version ties
+    * the surviving row among the tied ones is arbitrary. */
   def upsertKeepNewest(existing: DataFrame, incoming: DataFrame,
       keys: Seq[String], versionCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)

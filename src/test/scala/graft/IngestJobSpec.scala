@@ -42,6 +42,21 @@ class IngestJobSpec extends SparkSpec {
     assert(s2.playLedger.count() == 2)
   }
 
+  test("catalog keep-newest survives double-digit batch sequences") {
+    import spark.implicits._
+    // 11 batches re-describing the same track with increasing popularity;
+    // a lexicographic "b10" < "b2" ordering would keep the wrong one
+    var state: Option[IngestJob.RawZone] = None
+    for (i <- 1 to 11) {
+      val b = readDocs(Seq(
+        doc("t1", f"2024-01-01T${7 + i}%02d:00:00Z", "Song1", i)))
+      state = Some(IngestJob.run(state, b, s"b$i"))
+    }
+    assert(state.get.trackCatalog.where($"track_id" === "t1").collect()(0)
+      .getAs[Int]("popularity") == 11)
+    assert(state.get.playLedger.count() == 11)
+  }
+
   test("operators tolerate empty input") {
     import graft.operators.{Analytics, StarSchema}
     val empty = StarSchema.clean(eventsDf(Seq.empty))
