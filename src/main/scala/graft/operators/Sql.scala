@@ -32,8 +32,11 @@ object Sql {
     }
   }
 
-  /** Run a raw SQL query against the registered views. */
+  /** Run a raw SQL query against the registered views. Custom engine
+    * functions (dot_i64, top1_by_count) are registered first so raw SQL
+    * can call them from any host session. */
   def run(spark: SparkSession, dir: String, query: String): DataFrame = {
+    graft.plans.GraftFunctions.register(spark)
     registerViews(spark, dir)
     spark.sql(query)
   }

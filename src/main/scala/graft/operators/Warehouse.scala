@@ -27,12 +27,20 @@ object Warehouse {
   def readFact(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
-  /** Last-N-days slice of a partitioned fact: the date_key predicate is
-    * a partition filter — check .explain() shows PartitionFilters and a
-    * pruned file listing. */
-  def lastDays(fact: DataFrame, endKey: Int, days: Int): DataFrame =
-    fact.where(col("date_key") > lit(endKey - days) &&
-      col("date_key") <= lit(endKey))
+  /** Last-N-days slice of a partitioned fact. The day keys are
+    * enumerated with real calendar arithmetic (integer date_key
+    * subtraction silently skips days across month boundaries:
+    * 20240201 - 2 = 20240199 excludes Jan 30-31) and pushed as an IN
+    * filter on the partition column — still a partition filter, so the
+    * listing prunes before IO. */
+  def lastDays(fact: DataFrame, end: java.time.LocalDate,
+      days: Int): DataFrame = {
+    val keys = (0 until days).map { i =>
+      val d = end.minusDays(i.toLong)
+      d.getYear * 10000 + d.getMonthValue * 100 + d.getDayOfMonth
+    }
+    fact.where(col("date_key").isin(keys: _*))
+  }
 
   /** Bucketed saved table: rows are hash-distributed into `buckets`
     * files by the join key AND sorted within each bucket. Two tables

@@ -23,7 +23,8 @@ class WarehouseSpec extends SparkSpec {
     assert(parts.length == 6)
 
     val fact = Warehouse.readFact(spark, dir)
-    val slice = Warehouse.lastDays(fact, endKey = 20240106, days = 2)
+    val slice = Warehouse.lastDays(fact,
+      java.time.LocalDate.of(2024, 1, 6), days = 2)
     // correctness of the slice
     assert(slice.select(countDistinct($"date_key")).collect()(0)
       .getLong(0) == 2)
@@ -31,6 +32,21 @@ class WarehouseSpec extends SparkSpec {
     val plan = slice.queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters") &&
       plan.contains("date_key"), plan.take(500))
+  }
+
+  test("lastDays spans month boundaries correctly") {
+    val c = StarSchema.clean(eventsDf(Seq(
+      (1L, 1L, "2024-01-30 10:00:00", "play", 1.0, "{}"),
+      (2L, 1L, "2024-01-31 10:00:00", "play", 1.0, "{}"),
+      (3L, 1L, "2024-02-01 10:00:00", "play", 1.0, "{}"),
+      (4L, 1L, "2024-02-02 10:00:00", "play", 1.0, "{}"))))
+    val fact = StarSchema.fact(c)
+    val slice = Warehouse.lastDays(fact,
+      java.time.LocalDate.of(2024, 2, 1), days = 3)
+    // Jan 30, Jan 31, Feb 1 — the naive integer date_key subtraction
+    // (20240201 - 3) would have dropped the two January days
+    assert(slice.select($"date_key").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(20240130, 20240131, 20240201))
   }
 
   test("raw SQL entry point matches the DataFrame result (S12)") {
