@@ -481,6 +481,32 @@ object Suite {
         |  COALESCE(NULLIF(c_mktsegment, ''), 'UNKNOWN') AS segment_clean
         |FROM customer""".stripMargin)),
 
+    // ---- A11 sankey link weights (two-level pandas groupby folded in) ----
+    Q("an_sankey_links",
+      (s, d) => Analytics.sankeyLinks(clean(s, d)),
+      Some("""WITH e AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS event_date,
+        |         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_date
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, first_date, COUNT(*) AS total_events,
+        |         MAX(event_date) AS last_date
+        |  FROM e GROUP BY 1, 2),
+        |lc AS (
+        |  SELECT *,
+        |       CASE WHEN total_events = 1 THEN 'single'
+        |            WHEN total_events <= 5 THEN 'casual'
+        |            WHEN total_events <= 15 THEN 'regular'
+        |            ELSE 'heavy' END AS conversion_category,
+        |       CASE WHEN last_date - first_date <= 3 THEN 'burst'
+        |            WHEN last_date - first_date <= 7 THEN 'week'
+        |            WHEN last_date - first_date <= 14 THEN 'fortnight'
+        |            ELSE 'sustained' END AS lifecycle_stage
+        |  FROM g)
+        |SELECT conversion_category, lifecycle_stage,
+        |       COUNT(*) AS n_users, SUM(total_events) AS total_events
+        |FROM lc GROUP BY 1, 2""".stripMargin)),
+
     // ---- batch sessionization (gap-break windows; streaming twin in
     // graft.streaming.Streams.sessionize) ----------------------------------
     Q("an_sessions",

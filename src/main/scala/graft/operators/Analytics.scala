@@ -274,6 +274,16 @@ object Analytics {
         col("unique_users"), col("unique_types"))
   }
 
+  /** A11 (dashboard/track.py:136-144): sankey link weights — the
+    * two-level pandas groupby building conversion-category ->
+    * lifecycle-stage flows, folded into one engine-side aggregation
+    * over the lifecycle output. */
+  def sankeyLinks(clean: DataFrame): DataFrame =
+    lifecycle(clean)
+      .groupBy(col("conversion_category"), col("lifecycle_stage"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("total_events")).as("total_events"))
+
   /** Batch sessionization (the batch twin of
     * graft.streaming.Streams.sessionize): a session breaks where the
     * gap to the previous event exceeds gapMinutes; session ids are the

@@ -143,6 +143,10 @@ object StarSchema {
         count(when(col("time_period") === "afternoon", 1)).as("a"),
         count(when(col("time_period") === "evening", 1)).as("e"),
         count(when(col("time_period") === "night", 1)).as("n"))
+      // consumed by three aggregations below; cached so the fact scan
+      // and the cube shuffle run once (the cube is bounded by
+      // |dates x users x types|, far smaller than the fact)
+      .cache()
 
     val base = cube.groupBy(col("event_date")).agg(
       sum(col("cnt")).as("total_events"),
