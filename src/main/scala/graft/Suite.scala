@@ -173,7 +173,7 @@ object Suite {
         |  SELECT CASE WHEN is_weekend THEN 'Weekend' ELSE 'Weekday' END AS day_type,
         |         COUNT(*) AS n_events,
         |         CAST(SUM(value_cents) AS BIGINT) AS s1,
-        |         CAST(SUM(value_cents * value_cents) AS BIGINT) AS s2,
+        |         SUM(CAST(value_cents * value_cents AS HUGEINT)) AS s2,
         |         COUNT(DISTINCT user_id) AS unique_users,
         |         COUNT(DISTINCT event_type) AS unique_types,
         |         COUNT(DISTINCT event_date) AS active_days,
@@ -259,8 +259,11 @@ object Suite {
     // ---- J2 anti join ------------------------------------------------------
     Q("an_users_no_purchase",
       (s, d) => Analytics.usersWithout(clean(s, d), "purchase"),
-      Some("""SELECT DISTINCT user_id FROM events e
-        |WHERE NOT EXISTS (SELECT 1 FROM events p
+      // the oracle must apply the same trim/coalesce normalization the
+      // Spark side's clean() applies before comparing event_type
+      Some(s"""$CleanCte
+        |SELECT DISTINCT user_id FROM clean e
+        |WHERE NOT EXISTS (SELECT 1 FROM clean p
         |                  WHERE p.user_id = e.user_id AND p.event_type = 'purchase')""".stripMargin)),
 
     // ---- S6/§2.9 keyed dedup ------------------------------------------------

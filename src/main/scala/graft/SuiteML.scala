@@ -344,8 +344,12 @@ object SuiteML {
     Q("mm_frame_counts",
       (s, d) => Multimodal.sampleFrames(Multimodal.toMedia(docs(s, d)))
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames")),
+      // octet_length(encode(...)) counts UTF-8 BYTES like the binary
+      // payload does (length(text) counts characters and diverges on
+      // any multibyte text)
       Some("""SELECT doc_id,
-        |       (CAST(length(text) AS BIGINT) - 1) // 128 + 1 AS n_frames
-        |FROM documents""".stripMargin))
+        |       (CAST(octet_length(encode(text)) AS BIGINT) - 1) // 128 + 1 AS n_frames
+        |FROM documents
+        |WHERE octet_length(encode(text)) > 0""".stripMargin))
   )
 }

@@ -32,6 +32,9 @@ object Verify {
         spark.sparkContext.cancelJobGroup(s"verify_$name")
         worker.join(30000L)
       }
+      // release any caches an operator pinned (e.g. pre-agg cubes) so
+      // one query's working set doesn't squeeze the next's
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

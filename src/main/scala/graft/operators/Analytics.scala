@@ -75,7 +75,10 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_events"),
         sum(col("value_cents")).as("s1"),
-        sum(col("value_cents") * col("value_cents")).as("s2"),
+        // squared cents (~1e10/row) would overflow a Long sum around
+        // 1e9 rows per group — decimal(38,0) stays exact at any scale
+        sum((col("value_cents") * col("value_cents")).cast("decimal(38,0)"))
+          .as("s2"),
         countDistinct(col("user_id")).as("unique_users"),
         countDistinct(col("event_type")).as("unique_types"),
         countDistinct(col("event_date")).as("active_days"),

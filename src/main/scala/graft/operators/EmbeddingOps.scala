@@ -24,12 +24,15 @@ import org.apache.spark.sql.functions._
 object EmbeddingOps {
 
   /** Quantized view: q = array<long> of round(x*1000), plus the exact
-    * squared norm. */
+    * squared norm. The float widens to double BEFORE the multiply —
+    * float-precision x*1000 can land exactly on a .5 boundary that the
+    * exact double product avoids, flipping the rounded milli-unit vs
+    * the oracle's double arithmetic. */
   def quantized(emb: DataFrame): DataFrame =
     emb.select(
       col("vec_id"), col("label"),
       transform(col("embedding"),
-        x => round(x * 1000).cast("long")).as("q"))
+        x => round(x.cast("double") * 1000).cast("long")).as("q"))
       .withColumn("nn",
         aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
 

@@ -21,34 +21,49 @@ object IngestJob {
   final case class RawZone(
       plays: DataFrame, // raw listening events, keyed (track_id, played_at)
       trackCatalog: DataFrame, // one row per track_id, newest wins
-      playLedger: DataFrame) // per-batch counts (batch_execution_log)
+      playLedger: DataFrame, // per-batch counts (batch_execution_log)
+      nextSeq: Long) // next ingestion sequence number (no recount needed)
 
-  /** One collector run over a batch of nested docs. `batchSeq` is the
-    * strictly-increasing ingestion sequence number that decides which
-    * version "wins" in the keep-newest merges — an explicit long, NOT
-    * the batch-id string (lexicographic order breaks past "b9"). When
-    * omitted it continues from the ledger length. */
+  /** Deterministic in-batch collapse: one row per key, the survivor
+    * chosen by the lowest content hash — replays of the same batch
+    * always keep the same row (plain dropDuplicates keeps an arbitrary
+    * one). */
+  private def collapse(df: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*))))
+    df.withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1).drop("__rn")
+  }
+
+  /** One collector run over a batch of nested docs. The merge version
+    * is the strictly-increasing sequence carried in RawZone — an
+    * explicit long, NOT the batch-id string (lexicographic order breaks
+    * past "b9") and not a ledger recount (which would re-execute the
+    * whole ledger lineage every batch). */
   def run(state: Option[RawZone], rawDocs: DataFrame,
-      batchId: String, batchSeq: Long = -1L): RawZone = {
-    val seq =
-      if (batchSeq >= 0) batchSeq
-      else state.map(_.playLedger.count()).getOrElse(0L) + 1
+      batchId: String): RawZone = {
+    val seq = state.map(_.nextSeq).getOrElse(1L)
     val flat = JsonSource.flatten(rawDocs)
       .withColumn("ingest_batch", lit(seq))
 
     // S6: plays merge keyed (track_id, played_at) — replays are no-ops.
+    // The batch is collapsed deterministically first so within-batch
+    // duplicates (which share the same ingest_batch version) cannot
+    // make the merge outcome depend on evaluation order.
+    val flatDedup = collapse(flat, Seq("track_id", "played_at"))
     val plays = state match {
       case Some(s) => Sinks.upsertKeepNewest(
-        s.plays, flat, Seq("track_id", "played_at"), "ingest_batch")
-      case None => flat.dropDuplicates("track_id", "played_at")
+        s.plays, flatDedup, Seq("track_id", "played_at"), "ingest_batch")
+      case None => flatDedup
     }
 
     // S5+S7: catalog sync — one row per track, newest metadata wins.
-    val batchCatalog = flat
-      .select(col("track_id"), col("track_name"), col("artist_name"),
+    val batchCatalog = collapse(
+      flat.select(col("track_id"), col("track_name"), col("artist_name"),
         col("album_name"), col("duration_ms"), col("popularity"),
-        col("ingest_batch"))
-      .dropDuplicates("track_id")
+        col("ingest_batch")),
+      Seq("track_id"))
     val catalog = state match {
       case Some(s) => Sinks.upsertKeepNewest(
         s.trackCatalog, batchCatalog, Seq("track_id"), "ingest_batch")
@@ -64,6 +79,6 @@ object IngestJob {
     val ledger = state.map(_.playLedger.unionByName(ledgerRow))
       .getOrElse(ledgerRow)
 
-    RawZone(plays, catalog, ledger)
+    RawZone(plays, catalog, ledger, seq + 1)
   }
 }

@@ -73,6 +73,7 @@ object Multimodal {
     val step = frameBytes.toLong * stride
     media.select(col("doc_id"), col("payload"),
         length(col("payload")).cast("long").as("n_bytes"))
+      .where(col("n_bytes") > 0) // empty payloads have no frames
       .select(col("doc_id"), col("payload"),
         explode(sequence(lit(0L),
           expr(s"(n_bytes - 1) div $step"))).as("frame_idx"))

@@ -19,10 +19,14 @@ object Skew {
     * Result set is identical to `big.join(small, key)`. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       buckets: Int): DataFrame = {
+    // row-position salt, NOT a content hash: identical rows of a hot
+    // key would all hash to one salt bucket and defeat the spreading.
+    // The salt value never reaches the result, so the id's
+    // task-placement nondeterminism is harmless.
     val salted = big.withColumn("__salt",
-      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+      pmod(monotonically_increasing_id(), lit(buckets.toLong)))
     val replicated = small.withColumn("__salt",
-      explode(sequence(lit(0), lit(buckets - 1))))
+      explode(sequence(lit(0L), lit(buckets - 1L))))
     salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
@@ -33,7 +37,7 @@ object Skew {
     * reducer (e.g. one event_type is 90% of a 100 TB fact). */
   def saltedCount(df: DataFrame, key: String, buckets: Int): DataFrame =
     df.withColumn("__salt",
-        pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(buckets)))
+        pmod(monotonically_increasing_id(), lit(buckets.toLong)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(key))

@@ -13,6 +13,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
+    // The engine's determinism contract assumes UTC (SURVEY.md §1.3:
+    // session TZ = UTC): epoch arithmetic over the NTZ event times is
+    // interpreted in the session zone, so a non-UTC host session would
+    // silently shift every derived timestamp. Enforce it at the entry
+    // point rather than depending on the session owner remembering.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(
       new FunctionIdentifier("dot_i64"),
