@@ -181,6 +181,19 @@ object SuiteML {
         |        CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) AS n_stopwords
         |      FROM documents)""".stripMargin)),
 
+    // ---- text analysis: most distinctive term (tf/df argmax) ------------
+    Q("text_top_term",
+      (s, d) => TextOps.topTerm(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, word, tf, df,
+        |              CAST(tf AS DOUBLE) / df AS score
+        |       FROM tf JOIN dfq USING (word))
+        |SELECT doc_id, word AS top_term, tf, df, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+        |  FROM sc) WHERE rn = 1""".stripMargin)),
+
     // ---- text analysis: token counting ----------------------------------
     Q("text_tokens",
       (s, d) => TextOps.tokenCounts(docs(s, d)),

@@ -31,4 +31,26 @@ final case class Tables(spark: SparkSession, dir: String) {
       "ts",
       timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
   }
+
+  /** Typed views (SURVEY.md §1.3) — the Dataset[T] API surface over
+    * the same parquet tables. */
+  object typed {
+    import graft.model._
+
+    def events: org.apache.spark.sql.Dataset[Event] = {
+      import Tables.this.spark.implicits._
+      Tables.this.events
+        .withColumn("ts", col("ts").cast("timestamp")).as[Event]
+    }
+
+    def documents: org.apache.spark.sql.Dataset[Document] = {
+      import Tables.this.spark.implicits._
+      Tables.this.documents.as[Document]
+    }
+
+    def embeddings: org.apache.spark.sql.Dataset[Embedding] = {
+      import Tables.this.spark.implicits._
+      Tables.this.embeddings.as[Embedding]
+    }
+  }
 }

@@ -255,6 +255,25 @@ object TextOps {
           .otherwise("ok").as("quality_tier"))
   }
 
+  /** Most distinctive term per document: argmax over the doc's terms
+    * of tf/df (term frequency over corpus document frequency — the
+    * rational core of tf-idf without the log, so the score is a single
+    * exact division and cross-engine argmax order is deterministic;
+    * tf*log(N/df) would hinge on last-ulp libm differences). */
+  def topTerm(docs: DataFrame): DataFrame = {
+    val tf = tokens(docs).groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(broadcast(df_), Seq("word"))
+      .withColumn("score", col("tf").cast("double") / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("word").as("top_term"), col("tf"),
+        col("df"), col("score"))
+  }
+
   /** Token counting: whitespace tokens, regex word-ish tokens, and a
     * BPE-style length/4 estimate (integer ceil). */
   def tokenCounts(docs: DataFrame): DataFrame =
