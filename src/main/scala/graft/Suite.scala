@@ -559,6 +559,21 @@ object Suite {
         |JOIN region ON n_regionkey = r_regionkey
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- sliding event-time windows (same operator serves the
+    // streaming path; window() semantics are epoch-aligned) ---------------
+    Q("an_sliding_windows",
+      (s, d) => {
+        val ev = Tables(s, d).events
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.streaming.Streams.slidingCounts(ev)
+      },
+      Some("""SELECT ws AS window_start, event_type, COUNT(*) AS n_events
+        |FROM (
+        |  SELECT CAST(date_trunc('hour', ts) - k * INTERVAL 1 HOUR AS TIMESTAMP) AS ws,
+        |         event_type
+        |  FROM events, (SELECT unnest([0, 1, 2]) AS k))
+        |GROUP BY 1, 2""".stripMargin)),
+
     // ---- S12 raw-SQL entry point (dialect-neutral SQL runs verbatim
     // in both engines) ----------------------------------------------------
     Q("sql_raw_entry",

@@ -35,6 +35,18 @@ object Streams {
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
+  /** Sliding-window counts (3 h window, 1 h slide by default): each
+    * event lands in duration/slide windows. Works unchanged on a batch
+    * frame (the watermark is a streaming-only hint), so the same
+    * operator serves both execution modes. */
+  def slidingCounts(events: DataFrame, duration: String = "3 hours",
+      slide: String = "1 hour", watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), duration, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
   /** Daily per-type stats (A4's streaming analog, 1-day tumbling). */
   def dailyCounts(events: DataFrame,
       watermark: String = "1 day"): DataFrame =
