@@ -29,15 +29,18 @@ object Bench {
           q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           true
         } catch { case _: Throwable => false }
+      val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
       spark.catalog.clearCache()
-      (q.name, (System.nanoTime() - t0) / 1e9, ok)
+      (q.name, elapsed, ok)
     }
     val good = results.filter(_._3)
     val qs = good.map { case (k, v, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
-    val total = good.map(_._2).sum
+    // a crashing query must make the metric WORSE, not quietly shrink
+    // it: each failure contributes a 600s penalty to the total
+    val total = good.map(_._2).sum + results.count(!_._3) * 600.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }

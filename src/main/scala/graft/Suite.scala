@@ -56,6 +56,34 @@ object Suite {
       |  FROM events
       |)""".stripMargin
 
+  /** Shared lifecycle CTE (A6): per-user first-event-relative counts
+    * plus the conversion/lifecycle CASE buckets — referenced by BOTH
+    * an_lifecycle and an_sankey_links so a threshold change cannot
+    * update one oracle and silently break the other. */
+  private val LifecycleCte: String =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS event_date,
+      |         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_date
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, first_date, COUNT(*) AS total_events,
+      |         COUNT(CASE WHEN event_date - first_date = 0 THEN 1 END) AS day0_events,
+      |         COUNT(CASE WHEN event_date - first_date BETWEEN 0 AND 7 THEN 1 END) AS week1_events,
+      |         COUNT(CASE WHEN event_date - first_date BETWEEN 0 AND 30 THEN 1 END) AS month1_events,
+      |         MAX(event_date) AS last_date
+      |  FROM e GROUP BY 1, 2),
+      |lc AS (
+      |  SELECT *,
+      |       CASE WHEN total_events = 1 THEN 'single'
+      |            WHEN total_events <= 5 THEN 'casual'
+      |            WHEN total_events <= 15 THEN 'regular'
+      |            ELSE 'heavy' END AS conversion_category,
+      |       CASE WHEN last_date - first_date <= 3 THEN 'burst'
+      |            WHEN last_date - first_date <= 7 THEN 'week'
+      |            WHEN last_date - first_date <= 14 THEN 'fortnight'
+      |            ELSE 'sustained' END AS lifecycle_stage
+      |  FROM g)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ---- ETL spine: P1+P2+P3 clean projection -------------------------
     Q("etl_clean_events",
@@ -199,8 +227,8 @@ object Suite {
         |  FROM events GROUP BY user_id HAVING COUNT(*) >= 3),
         |sp AS (SELECT *, CAST(last_date - first_date AS INTEGER) + 1 AS span_days FROM g)
         |SELECT user_id, total_events, active_days, first_date, last_date, span_days,
-        |       round(active_days * CAST(1.0 AS DOUBLE) / span_days, 3) AS loyalty_ratio,
-        |       round(total_events * CAST(1.0 AS DOUBLE) / span_days, 2) AS avg_events_per_day
+        |       ((2000 * active_days + span_days) // (2 * span_days)) / CAST(1000.0 AS DOUBLE) AS loyalty_ratio,
+        |       ((200 * total_events + span_days) // (2 * span_days)) / CAST(100.0 AS DOUBLE) AS avg_events_per_day
         |FROM sp
         |ORDER BY loyalty_ratio DESC, total_events DESC, user_id LIMIT 100""".stripMargin),
       bench = true),
@@ -208,27 +236,8 @@ object Suite {
     // ---- A6 lifecycle funnel (W5 first-event-relative windows) ----------
     Q("an_lifecycle",
       (s, d) => Analytics.lifecycle(clean(s, d)),
-      Some("""WITH e AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS event_date,
-        |         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_date
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, first_date, COUNT(*) AS total_events,
-        |         COUNT(CASE WHEN event_date - first_date = 0 THEN 1 END) AS day0_events,
-        |         COUNT(CASE WHEN event_date - first_date BETWEEN 0 AND 7 THEN 1 END) AS week1_events,
-        |         COUNT(CASE WHEN event_date - first_date BETWEEN 0 AND 30 THEN 1 END) AS month1_events,
-        |         MAX(event_date) AS last_date
-        |  FROM e GROUP BY 1, 2)
-        |SELECT *,
-        |       CASE WHEN total_events = 1 THEN 'single'
-        |            WHEN total_events <= 5 THEN 'casual'
-        |            WHEN total_events <= 15 THEN 'regular'
-        |            ELSE 'heavy' END AS conversion_category,
-        |       CASE WHEN last_date - first_date <= 3 THEN 'burst'
-        |            WHEN last_date - first_date <= 7 THEN 'week'
-        |            WHEN last_date - first_date <= 14 THEN 'fortnight'
-        |            ELSE 'sustained' END AS lifecycle_stage
-        |FROM g""".stripMargin)),
+      Some(s"""$LifecycleCte
+        |SELECT * FROM lc""".stripMargin)),
 
     // ---- A7 top-N -------------------------------------------------------
     Q("an_top_types",
@@ -487,25 +496,7 @@ object Suite {
     // ---- A11 sankey link weights (two-level pandas groupby folded in) ----
     Q("an_sankey_links",
       (s, d) => Analytics.sankeyLinks(clean(s, d)),
-      Some("""WITH e AS (
-        |  SELECT user_id, CAST(ts AS DATE) AS event_date,
-        |         MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS first_date
-        |  FROM events),
-        |g AS (
-        |  SELECT user_id, first_date, COUNT(*) AS total_events,
-        |         MAX(event_date) AS last_date
-        |  FROM e GROUP BY 1, 2),
-        |lc AS (
-        |  SELECT *,
-        |       CASE WHEN total_events = 1 THEN 'single'
-        |            WHEN total_events <= 5 THEN 'casual'
-        |            WHEN total_events <= 15 THEN 'regular'
-        |            ELSE 'heavy' END AS conversion_category,
-        |       CASE WHEN last_date - first_date <= 3 THEN 'burst'
-        |            WHEN last_date - first_date <= 7 THEN 'week'
-        |            WHEN last_date - first_date <= 14 THEN 'fortnight'
-        |            ELSE 'sustained' END AS lifecycle_stage
-        |  FROM g)
+      Some(s"""$LifecycleCte
         |SELECT conversion_category, lifecycle_stage,
         |       COUNT(*) AS n_users, SUM(total_events) AS total_events
         |FROM lc GROUP BY 1, 2""".stripMargin)),

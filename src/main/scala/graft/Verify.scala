@@ -10,6 +10,10 @@ object Verify {
     val spark = GraftSession.create(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Write the oracle map FIRST: it depends only on static Suite
+    // definitions, and writing it up front means a query that kills
+    // the JVM (OOM) costs one query's dump, not the whole round.
+    writeOracles(outDir)
     // Per-query watchdog: one pathological plan must not stall the
     // whole correctness run. Each query executes under its own job
     // group; on timeout the group is cancelled and the run moves on.
@@ -29,16 +33,26 @@ object Verify {
       worker.join(timeoutSec * 1000L)
       if (worker.isAlive) {
         System.err.println(s"[verify] $name TIMED OUT after ${timeoutSec}s — cancelling")
-        spark.sparkContext.cancelJobGroup(s"verify_$name")
+        // cancel current AND future jobs of the group (AQE queries are
+        // many jobs; plain cancelJobGroup lets the next job start), and
+        // interrupt the worker in case it is in driver-side work
+        // between jobs (planning, listing, commit)
+        spark.sparkContext.cancelJobGroupAndFutureJobs(s"verify_$name")
+        worker.interrupt()
         worker.join(30000L)
       }
       // release any caches an operator pinned (e.g. pre-agg cubes) so
       // one query's working set doesn't squeeze the next's
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
+    spark.stop()
+  }
+
+  /** Dump SparkEntry.oracleSql as JSON. String escape covers backslash,
+    * quote, and ALL control chars (<0x20) — a tab or CR in
+    * builder-authored SQL would otherwise make the driver's json.load
+    * fail and silently zero the round's correctness. */
+  private def writeOracles(outDir: String): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -51,6 +65,5 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }

@@ -111,10 +111,17 @@ object Analytics {
       .where(col("total_events") >= minEvents)
       .withColumn("span_days",
         datediff(col("last_date"), col("first_date")) + lit(1))
+      // ROUND(ratio, n) on doubles is an engine-dependent trap (Spark
+      // rounds the shortest decimal repr, DuckDB rounds x*10^n in FP —
+      // they disagree on exact-decimal midpoints like 107/40). Round in
+      // exact integer arithmetic instead: half-up(p/q * 10^n) =
+      // (2*10^n*p + q) div (2*q), then ONE exact division to surface.
       .withColumn("loyalty_ratio",
-        round(col("active_days") * lit(1.0) / col("span_days"), 3))
+        expr("(2000 * active_days + span_days) div (2 * span_days)")
+          / lit(1000.0))
       .withColumn("avg_events_per_day",
-        round(col("total_events") * lit(1.0) / col("span_days"), 2))
+        expr("(200 * total_events + span_days) div (2 * span_days)")
+          / lit(100.0))
       .orderBy(col("loyalty_ratio").desc, col("total_events").desc,
         col("user_id").asc)
       .limit(100)
