@@ -44,6 +44,13 @@ object Sinks {
       .where(col("__rn") === 1).drop("__rn")
   }
 
+  /** S8 (Mongo `insert_many` with per-doc metadata stamping,
+    * utils/database.py:61-109): append-ready frame with the ingestion
+    * metadata columns the reference stamps on every stored doc. */
+  def stampedForAppend(df: DataFrame, dataSource: String): DataFrame =
+    df.withColumn("stored_at", current_timestamp())
+      .withColumn("data_source", lit(dataSource))
+
   /** S11 (`INSERT ... ON CONFLICT (stats_date) DO UPDATE`,
     * daily_etl_pipeline.py:518-570): recompute-and-replace a partition
     * slice — rows of `existing` outside the recomputed partition values

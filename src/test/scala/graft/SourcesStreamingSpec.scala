@@ -89,6 +89,37 @@ class SourcesStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("RunLedger records one row per micro-batch (§2.9 run ledger)") {
+    implicit val sc = spark.sqlContext
+    val ledger = new graft.streaming.RunLedger
+    spark.streams.addListener(ledger)
+    try {
+      val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+      val df = mem.toDF().toDF("user_id", "ts", "event_type", "value")
+      val q = Streams.dedup(df).writeStream
+        .format("memory").queryName("ledger_q")
+        .outputMode(OutputMode.Append).start()
+      mem.addData((1L, ts("2024-01-01 10:00:00"), "play", 1.0))
+      q.processAllAvailable()
+      mem.addData((2L, ts("2024-01-01 10:01:00"), "play", 2.0))
+      q.processAllAvailable()
+      q.stop()
+      assert(ledger.size >= 2)
+      val rows = ledger.toDf(spark)
+      assert(rows.where($"query_name" === "ledger_q").count() >= 2)
+      assert(rows.agg(org.apache.spark.sql.functions.sum($"num_input_rows"))
+        .collect()(0).getLong(0) == 2L)
+    } finally spark.streams.removeListener(ledger)
+  }
+
+  test("stampedForAppend adds ingestion metadata (S8)") {
+    val out = graft.operators.Sinks.stampedForAppend(
+      docsDf(Seq((1L, "abc def ghi", "en", "s"))), "unit_test")
+    val r = out.collect()(0)
+    assert(r.getAs[String]("data_source") == "unit_test")
+    assert(r.getAs[java.sql.Timestamp]("stored_at") != null)
+  }
+
   test("multimodal: media schema, stubbed features, frame sampling") {
     val docs = docsDf(Seq(
       (1L, "abcdefghijklmnopqrstuvwxyz0123456789", "en", "s1"),
