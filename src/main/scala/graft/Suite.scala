@@ -565,6 +565,46 @@ object Suite {
         |  FROM events, (SELECT unnest([0, 1, 2]) AS k))
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- as-of join: each event joined to the user's most recent
+    // order at event time (composed union+window — ONE key shuffle, no
+    // range join; oracle uses DuckDB's native ASOF JOIN) ------------------
+    Q("rel_asof_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        val events = StarSchema.clean(t.events)
+          .select(col("event_id"), col("user_id"),
+            col("event_date"))
+        // right side made unique per (key, time): keep the max orderkey
+        // of the day and its price, deterministically
+        val orders = t.orders
+          .select(col("o_custkey"), to_date(col("o_orderdate")).as("o_date"),
+            struct(col("o_orderkey"),
+              graft.functions.TimeFns.cents(col("o_totalprice"))
+                .as("cents")).as("ok"))
+          .groupBy(col("o_custkey"), col("o_date"))
+          .agg(max(col("ok")).as("ok"))
+          .select(col("o_custkey").as("user_id"), col("o_date"),
+            col("ok.o_orderkey").as("last_order_key"),
+            col("ok.cents").as("cents"))
+        graft.operators.AsOf.joinAsOf(events, orders, "user_id",
+            "event_date", "o_date", Seq("last_order_key", "cents"))
+          .select(col("event_id"), col("user_id"), col("event_date"),
+            col("last_order_key"),
+            (col("cents") / lit(100.0)).as("last_order_total"))
+      },
+      Some(s"""$CleanCte,
+        |ev AS (SELECT event_id, user_id, event_date FROM clean),
+        |ord AS (
+        |  SELECT o_custkey AS user_id, CAST(o_orderdate AS DATE) AS o_date,
+        |         max_by(o_orderkey, o_orderkey) AS last_order_key,
+        |         max_by(CAST(ROUND(o_totalprice*100) AS BIGINT), o_orderkey) AS cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT ev.event_id, ev.user_id, ev.event_date,
+        |       ord.last_order_key,
+        |       ord.cents / CAST(100.0 AS DOUBLE) AS last_order_total
+        |FROM ev ASOF LEFT JOIN ord
+        |  ON ev.user_id = ord.user_id AND ev.event_date >= ord.o_date""".stripMargin)),
+
     // ---- S12 raw-SQL entry point (dialect-neutral SQL runs verbatim
     // in both engines) ----------------------------------------------------
     Q("sql_raw_entry",

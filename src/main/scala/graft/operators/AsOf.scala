@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of (nearest-preceding-match) join — the canonical "operator
+  * Spark lacks" (SURVEY.md §2.3 notes the reference has none; a
+  * training pipeline wants it for joining events to the latest catalog
+  * snapshot / price / model version at event time).
+  *
+  * Implementation is the (a)-tier composition from §2.10's preference
+  * order — built-ins, no custom physical operator needed: tag and
+  * union both sides, sort each key partition by (time, side) with the
+  * right side first on ties (as-of is inclusive), and carry the most
+  * recent right-side payload forward with last_value(ignoreNulls) over
+  * an unbounded-preceding window. Cost: ONE shuffle on the key, linear
+  * scan per partition — no range-condition join (which Spark would
+  * execute as a broadcast-nested-loop or a theta sort-merge, both
+  * quadratic-ish at scale).
+  *
+  * The right side must be unique per (key, time) — pre-aggregate it
+  * deterministically if it is not (see Suite's rel_asof_join).
+  */
+object AsOf {
+
+  /** Left as-of join: every left row gets the right row with the
+    * greatest rightTime <= leftTime for the same key (null payload when
+    * none precedes it).
+    *
+    * @param valueCols right-side columns to carry onto left rows
+    */
+  def joinAsOf(left: DataFrame, right: DataFrame, key: String,
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__side", lit(1))
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__side", lit(0))
+    // align schemas: left rows carry null payloads, right rows carry
+    // nulls for every left column
+    val leftCols = left.columns
+    val rightSel = leftCols.map { c =>
+      if (c == key) col(key).cast(left.schema(key).dataType).as(c)
+      else lit(null).cast(left.schema(c).dataType).as(c)
+    } ++ valueCols.map(col) ++ Seq(col("__t"), col("__side"))
+    val union = l
+      .select((leftCols.map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
+        Seq(col("__t"), col("__side"))): _*)
+      .unionByName(r.select(rightSel: _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__t").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = valueCols.foldLeft(union) { (df, c) =>
+      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1)
+      .select((leftCols.map(col) ++ valueCols.map(col)): _*)
+  }
+}

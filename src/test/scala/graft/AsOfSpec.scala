@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("as-of join picks the greatest right time <= left time, per key") {
+    val left = Seq(
+      (1L, 10, "2024-01-05"), // after two snapshots -> v2
+      (2L, 10, "2024-01-02"), // exactly on a snapshot -> inclusive v2? no: v1@01, v2@03
+      (3L, 10, "2024-01-01"), // exactly on the first snapshot -> v1
+      (4L, 20, "2024-01-04"), // other key -> its own snapshot
+      (5L, 30, "2024-01-04")) // key with no snapshots -> null
+      .toDF("id", "k", "d")
+      .withColumn("d", to_date($"d"))
+    val right = Seq(
+      (10, "2024-01-01", "v1"),
+      (10, "2024-01-03", "v2"),
+      (20, "2024-01-02", "w1"))
+      .toDF("k", "rd", "v")
+      .withColumn("rd", to_date($"rd"))
+
+    val out = AsOf.joinAsOf(left, right, "k", "d", "rd", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out(1L) == "v2")
+    assert(out(2L) == "v1") // 01-02 is after v1, before v2
+    assert(out(3L) == "v1") // inclusive on the boundary
+    assert(out(4L) == "w1")
+    assert(out(5L) == null)
+  }
+
+  test("as-of join is inclusive on exact timestamp ties") {
+    val left = Seq((1L, 1, "2024-02-01")).toDF("id", "k", "d")
+      .withColumn("d", to_date($"d"))
+    val right = Seq((1, "2024-02-01", "same_day")).toDF("k", "rd", "v")
+      .withColumn("rd", to_date($"rd"))
+    val out = AsOf.joinAsOf(left, right, "k", "d", "rd", Seq("v")).collect()
+    assert(out(0).getAs[String]("v") == "same_day")
+  }
+}
