@@ -605,6 +605,35 @@ object Suite {
         |FROM ev ASOF LEFT JOIN ord
         |  ON ev.user_id = ord.user_id AND ev.event_date >= ord.o_date""".stripMargin)),
 
+    // ---- range (interval containment) join: events inside the 7-day
+    // window after each of the user's orders; exploded-bucket equi-join,
+    // not a theta join ----------------------------------------------------
+    Q("rel_range_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        val ship = t.lineitem
+          .select(col("l_orderkey").as("okey"),
+            to_date(col("l_shipdate")).as("ship_date"),
+            graft.functions.TimeFns.cents(col("l_extendedprice"))
+              .as("price_c"))
+        val orders = t.orders
+          .select(col("o_orderkey").as("okey"),
+            to_date(col("o_orderdate")).as("o_date"))
+        graft.operators.AsOf.joinRange(ship, orders, "okey",
+            "ship_date", "o_date", 30, Seq.empty)
+          .groupBy(col("okey"), col("o_date"))
+          .agg(count(lit(1)).as("n_shipped_month1"),
+            (sum(col("price_c")) / lit(100.0)).as("shipped_value"))
+      },
+      Some("""SELECT o.o_orderkey AS okey, CAST(o.o_orderdate AS DATE) AS o_date,
+        |       COUNT(*) AS n_shipped_month1,
+        |       CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE) AS shipped_value
+        |FROM orders o
+        |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  AND CAST(l.l_shipdate AS DATE) BETWEEN CAST(o.o_orderdate AS DATE)
+        |                                     AND CAST(o.o_orderdate AS DATE) + 29
+        |GROUP BY 1, 2""".stripMargin)),
+
     // ---- S12 raw-SQL entry point (dialect-neutral SQL runs verbatim
     // in both engines) ----------------------------------------------------
     Q("sql_raw_entry",

@@ -60,4 +60,23 @@ object AsOf {
     carried.where(col("__side") === 1)
       .select((leftCols.map(col) ++ valueCols.map(col)): _*)
   }
+
+  /** Interval (range) containment join: left rows matched to right
+    * intervals [startCol, startCol + days) sharing the key. A direct
+    * BETWEEN join is a theta join Spark plans as broadcast-nested-loop
+    * or cartesian; instead each interval is exploded into the calendar
+    * days it covers and the join becomes an equi-join on (key, day) —
+    * the standard bucketed range join. Cost: |right| x days extra rows
+    * (bounded, known) against a plain hash join, instead of
+    * |left| x |right| comparisons. */
+  def joinRange(left: DataFrame, right: DataFrame, key: String,
+      leftDate: String, rightStart: String, days: Int,
+      valueCols: Seq[String]): DataFrame = {
+    val exploded = right.select(
+      (Seq(col(key), col(rightStart)) ++ valueCols.map(col)): _*)
+      .withColumn(leftDate,
+        explode(sequence(col(rightStart),
+          date_add(col(rightStart), days - 1))))
+    left.join(exploded, Seq(key, leftDate), "inner")
+  }
 }

@@ -32,6 +32,32 @@ class AsOfSpec extends SparkSpec {
     assert(out(5L) == null)
   }
 
+  test("range join matches a BETWEEN theta join exactly") {
+    val left = (1 to 200).map(i =>
+      ((i % 9).toLong, java.sql.Date.valueOf(f"2024-01-${1 + i % 28}%02d"), i))
+      .toSeq.toDF("k", "d", "v")
+    val right = (1 to 30).map(i =>
+      ((i % 9).toLong, java.sql.Date.valueOf(f"2024-01-${1 + i % 25}%02d"), i * 100))
+      .toSeq.toDF("k", "start", "rid")
+    val viaBuckets = AsOf.joinRange(left, right, "k", "d", "start", 5,
+      Seq("rid"))
+    val viaTheta = left.join(right,
+      left("k") === right("k") && left("d") >= right("start") &&
+        left("d") <= date_add(right("start"), 4))
+      .select(left("k"), col("d"), col("v"), col("start"), col("rid"))
+    assert(viaBuckets.count() == viaTheta.count())
+    assert(viaBuckets.select("k", "d", "v", "rid")
+      .exceptAll(viaTheta.select("k", "d", "v", "rid")).count() == 0)
+  }
+
+  test("dot_i64 rejects non-array<bigint> inputs with a clear error") {
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Seq(1.0f), Seq(1.0f))).toDF("a", "b")
+        .select(call_function("dot_i64", $"a", $"b")).collect()
+    }
+    assert(err.getMessage.contains("dot_i64"))
+  }
+
   test("as-of join is inclusive on exact timestamp ties") {
     val left = Seq((1L, 1, "2024-02-01")).toDF("id", "k", "d")
       .withColumn("d", to_date($"d"))
