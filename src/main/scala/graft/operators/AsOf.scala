@@ -42,23 +42,30 @@ object AsOf {
     // align schemas: left rows carry null payloads, right rows carry
     // nulls for every left column
     val leftCols = left.columns
+    // carry the ENTIRE right payload as one struct: per-column
+    // last(ignoreNulls) would stitch fields from different right rows
+    // whenever a payload column is legitimately null in the matched row
+    val payloadT = org.apache.spark.sql.types.StructType(
+      valueCols.map(c => right.schema(c)))
     val rightSel = leftCols.map { c =>
       if (c == key) col(key).cast(left.schema(key).dataType).as(c)
       else lit(null).cast(left.schema(c).dataType).as(c)
-    } ++ valueCols.map(col) ++ Seq(col("__t"), col("__side"))
+    } ++ Seq(struct(valueCols.map(col): _*).as("__payload"),
+      col("__t"), col("__side"))
     val union = l
       .select((leftCols.map(col) ++
-        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)) ++
-        Seq(col("__t"), col("__side"))): _*)
+        Seq(lit(null).cast(payloadT).as("__payload"),
+          col("__t"), col("__side"))): _*)
       .unionByName(r.select(rightSel: _*))
     val w = Window.partitionBy(col(key))
       .orderBy(col("__t").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = valueCols.foldLeft(union) { (df, c) =>
-      df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    carried.where(col("__side") === 1)
-      .select((leftCols.map(col) ++ valueCols.map(col)): _*)
+    union
+      .withColumn("__payload",
+        last(col("__payload"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select((leftCols.map(col) ++
+        valueCols.map(c => col(s"__payload.$c").as(c))): _*)
   }
 
   /** Interval (range) containment join: left rows matched to right
@@ -72,6 +79,9 @@ object AsOf {
   def joinRange(left: DataFrame, right: DataFrame, key: String,
       leftDate: String, rightStart: String, days: Int,
       valueCols: Seq[String]): DataFrame = {
+    // sequence() with a stop before start silently counts BACKWARD,
+    // which would match days preceding the interval
+    require(days > 0, s"joinRange: days must be positive, got $days")
     val exploded = right.select(
       (Seq(col(key), col(rightStart)) ++ valueCols.map(col)): _*)
       .withColumn(leftDate,

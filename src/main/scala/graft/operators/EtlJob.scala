@@ -70,13 +70,24 @@ object EtlJob {
       case None => statsTouched
     }
 
+    // Truncate lineage on the carried frames (localCheckpoint): without
+    // it each run unions onto an ever-deeper plan and every action
+    // replays ALL prior batches — O(N^2) across N batches and an
+    // eventual StackOverflow in analysis. A production deployment
+    // writes these to tables; localCheckpoint is the in-memory
+    // equivalent (blocks are freed when the state is dropped).
+    // Dims still re-aggregate the full merged clean per run — exact
+    // and simple; the incremental form (additive counts, min-merge
+    // first_seen, compact (user,date) set for active_days) is the
+    // production upgrade path.
+    val cleanCp = mergedClean.localCheckpoint()
     EtlState(
-      clean = mergedClean,
-      fact = fact,
-      dimUsers = StarSchema.dimUsers(mergedClean),
-      dimTypes = StarSchema.dimTypes(mergedClean),
-      dimDates = StarSchema.dimDates(mergedClean),
-      dailyStats = dailyStats,
+      clean = cleanCp,
+      fact = fact.localCheckpoint(),
+      dimUsers = StarSchema.dimUsers(cleanCp),
+      dimTypes = StarSchema.dimTypes(cleanCp),
+      dimDates = StarSchema.dimDates(cleanCp),
+      dailyStats = dailyStats.localCheckpoint(),
       ledger = {
         val row = cleanBatch
           .agg(count(lit(1)).as("records_processed"),

@@ -24,14 +24,19 @@ object IngestJob {
       playLedger: DataFrame, // per-batch counts (batch_execution_log)
       nextSeq: Long) // next ingestion sequence number (no recount needed)
 
-  /** Deterministic in-batch collapse: one row per key, the survivor
-    * chosen by the lowest content hash — replays of the same batch
-    * always keep the same row (plain dropDuplicates keeps an arbitrary
-    * one). */
-  private def collapse(df: DataFrame, keys: Seq[String]): DataFrame = {
+  /** Deterministic in-batch collapse: one row per key. Survivor order:
+    * the given recency columns DESCENDING first (newest metadata wins,
+    * matching the reference's replace_one last-write semantics), then
+    * the row content hash as a total-order tie-break — replays of the
+    * same batch always keep the same row (plain dropDuplicates keeps
+    * an arbitrary one). */
+  private def collapse(df: DataFrame, keys: Seq[String],
+      recency: Seq[String] = Seq.empty): DataFrame = {
+    val order = recency.map(col(_).desc) :+
+      md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*))).asc
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(md5(to_json(struct(df.columns.map(col).toIndexedSeq: _*))))
+      .orderBy(order: _*)
     df.withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1).drop("__rn")
   }
@@ -59,11 +64,14 @@ object IngestJob {
     }
 
     // S5+S7: catalog sync — one row per track, newest metadata wins.
+    // newest-in-batch metadata wins (played_at is the recency signal),
+    // mirroring the reference's sequential replace_one upserts
     val batchCatalog = collapse(
-      flat.select(col("track_id"), col("track_name"), col("artist_name"),
-        col("album_name"), col("duration_ms"), col("popularity"),
-        col("ingest_batch")),
-      Seq("track_id"))
+      flat.select(col("track_id"), col("played_at"), col("track_name"),
+        col("artist_name"), col("album_name"), col("duration_ms"),
+        col("popularity"), col("ingest_batch")),
+      Seq("track_id"), recency = Seq("played_at"))
+      .drop("played_at")
     val catalog = state match {
       case Some(s) => Sinks.upsertKeepNewest(
         s.trackCatalog, batchCatalog, Seq("track_id"), "ingest_batch")

@@ -59,7 +59,9 @@ object Multimodal {
     media.select(col("doc_id"), col("payload"))
       .mapPartitions { it: Iterator[Row] =>
         it.map { r =>
-          val bytes = r.getAs[Array[Byte]]("payload")
+          // a null payload (null source text) must not kill the task
+          val bytes = Option(r.getAs[Array[Byte]]("payload"))
+            .getOrElse(Array.emptyByteArray)
           Row(r.getLong(0), bytes.length.toLong, featureStub(bytes))
         }
       }(enc)

@@ -143,10 +143,12 @@ object StarSchema {
         count(when(col("time_period") === "afternoon", 1)).as("a"),
         count(when(col("time_period") === "evening", 1)).as("e"),
         count(when(col("time_period") === "night", 1)).as("n"))
-      // consumed by three aggregations below; cached so the fact scan
-      // and the cube shuffle run once (the cube is bounded by
-      // |dates x users x types|, far smaller than the fact)
-      .cache()
+      // consumed by three aggregations below; localCheckpoint (not
+      // cache) so the fact scan and cube shuffle run once AND the
+      // blocks are released when this frame becomes unreachable —
+      // cache() entries live in the CacheManager for the session and
+      // leak one cube per call in repeated (per-batch) callers
+      .localCheckpoint()
 
     val base = cube.groupBy(col("event_date")).agg(
       sum(col("cnt")).as("total_events"),

@@ -86,7 +86,10 @@ object TextOps {
     * |A∩B| / |A∪B| over the true shingle sets (exact integers, one
     * division), kept when >= threshold. */
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    val ds = shingles(docs).cache()
+    // localCheckpoint over cache(): same reuse across the signature and
+    // Jaccard branches, but blocks free with the frame instead of
+    // accumulating in the CacheManager across calls
+    val ds = shingles(docs).localCheckpoint()
     val bands = minhashBands(minhashSignature(docs))
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))

@@ -55,5 +55,19 @@ final class RunLedger extends StreamingQueryListener {
     runs.synchronized { runs.toSeq }.toDF()
   }
 
+  /** Drain: return the accumulated rows and clear the buffer — the
+    * append-to-ledger-table primitive. Without draining, a long-lived
+    * stream grows the driver-side buffer without bound and every
+    * append would re-write already-persisted rows. */
+  def drain(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val snapshot = runs.synchronized {
+      val s = runs.toSeq
+      runs.clear()
+      s
+    }
+    snapshot.toDF()
+  }
+
   def size: Int = runs.synchronized(runs.size)
 }

@@ -90,8 +90,11 @@ object Streams {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.last, t),
-                    s.n + 1, s.sum + e.value))
+                  // a late event admitted by the watermark can precede
+                  // the session start — extend BOTH boundaries so the
+                  // emitted span matches the batch twin's min/max(ts)
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.last, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
                   closed ::= Session(userId, new Timestamp(s.start),
                     new Timestamp(s.last), s.n, s.sum)

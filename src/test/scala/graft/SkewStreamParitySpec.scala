@@ -14,7 +14,7 @@ class SkewStreamParitySpec extends SparkSpec {
     val small = Seq((0L, "a"), (1L, "b"), (2L, "c"), (9L, "unmatched"))
       .toDF("k", "tag")
     val plain = big.join(small, Seq("k"))
-    val salted = Skew.saltedJoin(big, small, "k", buckets = 8)
+    val salted = Skew.saltedJoin(big, small, "k", "v", buckets = 8)
     assert(salted.count() == plain.count())
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
@@ -24,7 +24,7 @@ class SkewStreamParitySpec extends SparkSpec {
     val df = (1 to 4000).map(i => (if (i % 10 == 0) "rare" else "hot", i))
       .toDF("k", "v")
     val plain = df.groupBy($"k").agg(count(lit(1)).as("n"))
-    val salted = Skew.saltedCount(df, "k", buckets = 16)
+    val salted = Skew.saltedCount(df, "k", "v", buckets = 16)
     assert(salted.exceptAll(plain).count() == 0)
     assert(plain.exceptAll(salted).count() == 0)
   }
