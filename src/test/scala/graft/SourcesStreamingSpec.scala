@@ -89,6 +89,63 @@ class SourcesStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("sessionize extends the session start for late in-gap events") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("late_sessions")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    mem.addData(Streams.Ev(1L, ts("2024-01-01 10:10:00"), "play", 1.0))
+    q.processAllAvailable()
+    // late event 15 min BEFORE the session start, still above the
+    // watermark (10:10 - 1h) — must extend the start, not be dropped
+    mem.addData(Streams.Ev(1L, ts("2024-01-01 09:55:00"), "play", 1.0))
+    q.processAllAvailable()
+    // push the watermark far forward to close the session
+    mem.addData(Streams.Ev(9L, ts("2024-01-01 14:00:00"), "play", 1.0))
+    q.processAllAvailable()
+    val out = spark.table("late_sessions")
+      .where($"user_id" === 1L).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[java.sql.Timestamp]("session_start") ==
+      ts("2024-01-01 09:55:00"))
+    assert(out(0).getAs[Int]("n_events") == 2)
+    q.stop()
+  }
+
+  test("streaming sessionize matches batch sessionize on ordered data") {
+    implicit val sc = spark.sqlContext
+    val rows = (1 to 40).map { i =>
+      Streams.Ev((i % 4).toLong, ts(f"2024-01-01 ${8 + i / 8}%02d:${(i * 7) % 60}%02d:00"),
+        "play", 1.0)
+    }
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("parity_sessions")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Append).start()
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    mem.addData(Streams.Ev(99L, ts("2024-01-02 12:00:00"), "play", 1.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("parity_sessions")
+      .where($"user_id" =!= 99L)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .collect().map(_.toString).sorted
+
+    import org.apache.spark.sql.functions.{col => c}
+    val batchClean = graft.operators.StarSchema.clean(
+      eventsDf(rows.zipWithIndex.map { case (e, i) =>
+        (i.toLong, e.user_id, e.ts.toString.stripSuffix(".0"),
+          e.event_type, e.value, "{}")
+      }))
+    val batch = graft.operators.Analytics.sessionize(batchClean, 30)
+      .select(c("user_id"), c("session_start"), c("session_end"),
+        c("n_events"))
+      .collect().map(_.toString).sorted
+    assert(streamed.sameElements(batch))
+  }
+
   test("RunLedger records one row per micro-batch (§2.9 run ledger)") {
     implicit val sc = spark.sqlContext
     val ledger = new graft.streaming.RunLedger
