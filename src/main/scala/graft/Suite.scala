@@ -462,6 +462,24 @@ object Suite {
         |       COUNT(CASE WHEN time_period='night' THEN 1 END) AS night
         |FROM clean GROUP BY 1, 2""".stripMargin)),
 
+    // ---- P4 per-record multi-rule validation score ------------------------
+    Q("etl_record_scores",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        ev.select(col("event_id"),
+          graft.functions.QualityFns.recordScore(
+            col("event_type"), col("value"), col("props"))
+            .as("record_score"))
+      },
+      Some("""SELECT event_id,
+        |  LEAST(GREATEST((10
+        |    - (CASE WHEN event_type IS NULL OR TRIM(event_type) = '' THEN 1 ELSE 0 END)
+        |    - (CASE WHEN value IS NULL OR value < 10.0 THEN 1 ELSE 0 END)
+        |    - (CASE WHEN props IS NULL OR props = '{}' OR TRIM(props) = '' THEN 1 ELSE 0 END)
+        |    + (CASE WHEN value > 100.0 THEN 1 ELSE 0 END)) * 100, 0), 1000)
+        |  / CAST(1000.0 AS DOUBLE) AS record_score
+        |FROM events""".stripMargin)),
+
     // ---- A12/P4 validation summary ----------------------------------------
     Q("an_validation_summary",
       (s, d) => Analytics.validationSummary(clean(s, d)),

@@ -38,4 +38,25 @@ object QualityFns {
     when(missingType(eventType), array(lit("missing_type")))
       .when(value.isNull || value < 10.0, array(lit("short_duration")))
       .otherwise(array().cast("array<string>"))
+
+  /** P4 record-level multi-rule score (spotify_client.py:472-548:
+    * score = min((10 - issues + bonuses)/10, 1.0) rounded to 3):
+    * issue/bonus counts are exact integers and the score is ONE final
+    * division by 1000, so the value is deterministic and the
+    * reference's 3-decimal rounding is trivially satisfied (all scores
+    * are multiples of 0.1). Re-expressed over the events columns: an
+    * issue per missing/blank type, missing-or-short value, and empty
+    * props; a bonus for a rich (value > 100) record. */
+  def recordScore(eventType: Column, value: Column,
+      props: Column): Column = {
+    val issues =
+      when(missingType(eventType), 1).otherwise(0) +
+        when(value.isNull || value < 10.0, 1).otherwise(0) +
+        when(props.isNull || props === "{}" || trim(props) === "", 1)
+          .otherwise(0)
+    val bonuses = when(value > 100.0, 1).otherwise(0)
+    val x1000 = least(greatest((lit(10) - issues + bonuses) * 100, lit(0)),
+      lit(1000))
+    x1000.cast("double") / lit(1000.0)
+  }
 }
