@@ -623,9 +623,9 @@ object Suite {
         |FROM ev ASOF LEFT JOIN ord
         |  ON ev.user_id = ord.user_id AND ev.event_date >= ord.o_date""".stripMargin)),
 
-    // ---- range (interval containment) join: events inside the 7-day
-    // window after each of the user's orders; exploded-bucket equi-join,
-    // not a theta join ----------------------------------------------------
+    // ---- range (interval containment) join: line items shipped within
+    // 30 days of their order date; exploded-bucket equi-join, not a
+    // theta join -----------------------------------------------------------
     Q("rel_range_join",
       (s, d) => {
         val t = Tables(s, d)

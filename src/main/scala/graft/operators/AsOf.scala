@@ -36,7 +36,13 @@ object AsOf {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__side", lit(1))
+    // SQL join semantics: a NULL key or NULL time on the right can
+    // never match anything — drop them BEFORE the window, or
+    // Window.partitionBy (which groups NULLs together) would carry
+    // their payload onto NULL-key left rows, fabricating matches the
+    // equi-join predicate forbids.
     val r = right
+      .where(col(key).isNotNull && col(rightTime).isNotNull)
       .withColumn("__t", col(rightTime))
       .withColumn("__side", lit(0))
     // align schemas: left rows carry null payloads, right rows carry

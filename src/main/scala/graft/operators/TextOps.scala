@@ -293,7 +293,14 @@ object TextOps {
     * The per-prefix form of this hash is what a winnowing fingerprinter
     * slides over; the full-document value is a compact content id that,
     * unlike md5, can be updated incrementally when documents are
-    * chunked. */
+    * chunked.
+    *
+    * Portability boundary: the fold is defined over BMP code points.
+    * Spark's ascii() returns 0 for supplementary-plane characters
+    * (emoji etc.) where DuckDB returns the code point, so cross-engine
+    * parity for this hash (and [[winnowing]], which uses the same
+    * fold) requires normalizing or stripping astral characters
+    * upstream. */
   def rollingHash(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),

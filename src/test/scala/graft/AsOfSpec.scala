@@ -58,6 +58,18 @@ class AsOfSpec extends SparkSpec {
     assert(err.getMessage.contains("dot_i64"))
   }
 
+  test("as-of join never matches NULL keys (SQL join semantics)") {
+    val left = Seq((1L, Option(10), "2024-01-05"), (2L, None, "2024-01-05"))
+      .toDF("id", "k", "d").withColumn("d", to_date($"d"))
+    val right = Seq((Option(10), "2024-01-01", "real"),
+        (None, "2024-01-02", "phantom"))
+      .toDF("k", "rd", "v").withColumn("rd", to_date($"rd"))
+    val out = AsOf.joinAsOf(left, right, "k", "d", "rd", Seq("v"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[String]("v")).toMap
+    assert(out(1L) == "real")
+    assert(out(2L) == null) // NULL key must not pick up the phantom row
+  }
+
   test("as-of join is inclusive on exact timestamp ties") {
     val left = Seq((1L, 1, "2024-02-01")).toDF("id", "k", "d")
       .withColumn("d", to_date($"d"))
