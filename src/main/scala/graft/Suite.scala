@@ -652,6 +652,19 @@ object Suite {
         |                                     AND CAST(o.o_orderdate AS DATE) + 29
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- approximate distinct (HLL++) alongside the exact answer: at
+    // 100 TB the exact countDistinct is the expensive special case and
+    // the sketch is the default. Estimates are engine-specific -> no
+    // SQL oracle; the driver records a rows-only check, and the spec
+    // asserts the estimate lands within the configured error. ------------
+    Q("an_approx_distinct",
+      (s, d) => clean(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+          count(lit(1)).as("n_events")),
+      None),
+
     // ---- S12 raw-SQL entry point (dialect-neutral SQL runs verbatim
     // in both engines) ----------------------------------------------------
     Q("sql_raw_entry",

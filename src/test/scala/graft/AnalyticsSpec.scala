@@ -74,6 +74,17 @@ class AnalyticsSpec extends SparkSpec {
       byTag.getOrElse("only_h2", 0L) == byTag.getOrElse("any", 0L))
   }
 
+  test("approx distinct lands within the configured error of exact") {
+    val c = StarSchema.clean(eventsDf((1 to 2000).map(i =>
+      (i.toLong, (i % 400).toLong, "2024-01-01 10:00:00", "play", 1.0, "{}"))))
+    val r = c.agg(
+      countDistinct($"user_id").as("exact"),
+      approx_count_distinct($"user_id", 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"exact=$exact approx=$approx")
+  }
+
   test("dailyDelta lags by one day (W3)") {
     val d = Analytics.dailyDelta(clean).orderBy($"event_date").collect()
     assert(d(0).isNullAt(d(0).fieldIndex("prev_events")))
