@@ -44,6 +44,21 @@ class EtlJobSpec extends SparkSpec {
     assert(processed == events.dropDuplicates("user_id", "ts").count())
   }
 
+  test("out-of-order backfill delivery converges to the full-batch state") {
+    val full = EtlJob.run(None, events, "full")
+    val d1 = events.where(to_date($"ts") === "2024-01-01")
+    val d2 = events.where(to_date($"ts") === "2024-01-02")
+    val d3 = events.where(to_date($"ts") === "2024-01-03")
+    // newest day first, then a backfill of the oldest, then the middle
+    val s1 = EtlJob.run(None, d3, "b1")
+    val s2 = EtlJob.run(Some(s1), d1, "b2_backfill")
+    val s3 = EtlJob.run(Some(s2), d2, "b3")
+    assert(sorted(s3.fact) == sorted(full.fact))
+    assert(sorted(s3.dailyStats) == sorted(full.dailyStats))
+    assert(sorted(s3.dimUsers) == sorted(full.dimUsers))
+    assert(sorted(s3.dimDates) == sorted(full.dimDates))
+  }
+
   test("running the identical batch twice is a no-op") {
     val s1 = EtlJob.run(None, events, "b1")
     val s2 = EtlJob.run(Some(s1), events, "b2")
