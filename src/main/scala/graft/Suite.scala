@@ -381,18 +381,24 @@ object Suite {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)""".stripMargin),
       bench = true),
 
-    // ---- P3 TEXT[] quality flags (array-typed column parity) -------------
+    // ---- P3 TEXT[] quality flags. qualityFlagsArray stays the
+    // TEXT[]-parity API; the registered query surfaces the array as a
+    // deterministic joined string because the driver's pandas
+    // comparator cannot sort array-typed cells. ---------------------------
     Q("etl_quality_flags",
       (s, d) => {
         val ev = Tables(s, d).events
         ev.select(col("event_id"),
-          graft.functions.QualityFns.qualityFlagsArray(
-            col("event_type"), col("value")).as("quality_flags"))
+          array_join(graft.functions.QualityFns.qualityFlagsArray(
+            col("event_type"), col("value")), ",").as("quality_flags"))
       },
+      // COALESCE: DuckDB's array_to_string of an empty list is NULL
+      // where Spark's array_join is '' — normalize to ''
       Some("""SELECT event_id,
-        |  CASE WHEN event_type IS NULL OR TRIM(event_type) = '' THEN ['missing_type']
-        |       WHEN value IS NULL OR value < 10.0 THEN ['short_duration']
-        |       ELSE CAST([] AS VARCHAR[]) END AS quality_flags
+        |  COALESCE(array_to_string(
+        |    CASE WHEN event_type IS NULL OR TRIM(event_type) = '' THEN ['missing_type']
+        |         WHEN value IS NULL OR value < 10.0 THEN ['short_duration']
+        |         ELSE CAST([] AS VARCHAR[]) END, ','), '') AS quality_flags
         |FROM events""".stripMargin)),
 
     // ---- A4 alternate daily aggregate (analytics.daily_listening_stats,
@@ -427,6 +433,28 @@ object Suite {
         |       cents / CAST(100.0 AS DOUBLE) / g.total_events AS avg_value,
         |       tt.top_type
         |FROM g JOIN tt USING (event_date)""".stripMargin)),
+
+    // ---- A7 top-N on the user dimension (track_treemap.py:22-38
+    // analog — the reference serves the same top-10 for three dims) -------
+    Q("an_top_users",
+      (s, d) => Analytics.topN(clean(s, d), "user_id", 10),
+      Some(s"""$CleanCte
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(value_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM clean GROUP BY user_id
+        |ORDER BY n_events DESC, user_id LIMIT 10""".stripMargin)),
+
+    // ---- A9 two-key (discovery date x enrichment attr) grouping
+    // (artist_gender.py:83-89 GROUP BY first_discovered, gender) ----------
+    Q("an_discovery_segment",
+      (s, d) => Analytics.discoveryBySegment(clean(s, d),
+        Tables(s, d).customer),
+      Some("""WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS first_seen
+        |          FROM events GROUP BY 1)
+        |SELECT f.first_seen, COALESCE(c.c_mktsegment, 'UNKNOWN') AS segment,
+        |       COUNT(*) AS new_users
+        |FROM f LEFT JOIN customer c ON f.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin)),
 
     // ---- A8 discovery at daily + monthly grains --------------------------
     Q("an_discovery_daily",
@@ -516,7 +544,8 @@ object Suite {
       (s, d) => Analytics.sankeyLinks(clean(s, d)),
       Some(s"""$LifecycleCte
         |SELECT conversion_category, lifecycle_stage,
-        |       COUNT(*) AS n_users, SUM(total_events) AS total_events
+        |       COUNT(*) AS n_users,
+        |       CAST(SUM(total_events) AS BIGINT) AS total_events
         |FROM lc GROUP BY 1, 2""".stripMargin)),
 
     // ---- batch sessionization (gap-break windows; streaming twin in
@@ -532,8 +561,8 @@ object Suite {
         |  SELECT *, CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END AS is_break
         |  FROM e),
         |sn AS (
-        |  SELECT *, SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        |  SELECT *, CAST(SUM(is_break) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
         |  FROM b)
         |SELECT user_id, session_no,
         |       CAST(MIN(ts) AS TIMESTAMP) AS session_start,
@@ -652,11 +681,23 @@ object Suite {
         |                                     AND CAST(o.o_orderdate AS DATE) + 29
         |GROUP BY 1, 2""".stripMargin)),
 
-    // ---- approximate distinct (HLL++) alongside the exact answer: at
-    // 100 TB the exact countDistinct is the expensive special case and
-    // the sketch is the default. Estimates are engine-specific -> no
-    // SQL oracle; the driver records a rows-only check, and the spec
-    // asserts the estimate lands within the configured error. ------------
+    // ---- exact distinct-by-type: the oracle-checked exact twin of the
+    // HLL sketch below (same grouping, exact countDistinct) ---------------
+    Q("an_distinct_by_type",
+      (s, d) => clean(s, d)
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"),
+          count(lit(1)).as("n_events")),
+      Some(s"""$CleanCte
+        |SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       COUNT(*) AS n_events
+        |FROM clean GROUP BY event_type""".stripMargin)),
+
+    // ---- approximate distinct (HLL++): at 100 TB the exact
+    // countDistinct is the expensive special case and the sketch is the
+    // default. Estimates are engine-specific -> no SQL oracle; the
+    // driver records a rows-only check, and the spec asserts the
+    // estimate lands within the configured error. ------------------------
     Q("an_approx_distinct",
       (s, d) => clean(s, d)
         .groupBy(col("event_type"))

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.functions.{col, count, lit}
 
 import graft.operators.{EmbeddingOps, Multimodal, TextOps}
 
@@ -290,7 +290,7 @@ object SuiteML {
         |pd AS (SELECT vec_id, plane, SUM(qc * coef) AS pdot
         |       FROM comp JOIN plc USING (c) GROUP BY 1, 2),
         |bk AS (SELECT vec_id,
-        |              SUM(CASE WHEN pdot > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS bucket
+        |              CAST(SUM(CASE WHEN pdot > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
         |       FROM pd GROUP BY 1),
         |eb AS (SELECT e.vec_id, e.q, bk.bucket FROM e JOIN bk USING (vec_id)),
         |pp AS (SELECT a.vec_id AS vid, b.vec_id AS nn_id,
@@ -349,9 +349,17 @@ object SuiteML {
     // ---- multimodal plumbing: binary payloads + stubbed decode ----------
     // Feature extraction itself is a stubbed decode (no codecs in this
     // environment) -> rows-only check; the frame-sampling row counts are
-    // fully oracle-checked.
+    // fully oracle-checked. The feature vector is flattened to scalar
+    // f0..f7 columns because the driver's pandas comparator cannot sort
+    // array-typed cells (the array form stays the extractFeatures API).
     Q("mm_features",
-      (s, d) => Multimodal.extractFeatures(Multimodal.toMedia(docs(s, d))),
+      (s, d) => {
+        val feats =
+          Multimodal.extractFeatures(Multimodal.toMedia(docs(s, d)))
+        val fcols = (0 until 8).map(i =>
+          col("feature").getItem(i).as(s"f$i"))
+        feats.select(col("doc_id") +: col("n_bytes") +: fcols: _*)
+      },
       None),
 
     Q("mm_frame_counts",

@@ -249,6 +249,20 @@ object Analytics {
         countDistinct(col("user_id")).as("unique_users"),
         (sum(col("value_cents")) / lit(100.0)).as("total_value"))
 
+  /** A9 two-key variant (artist_gender.py:83-89: GROUP BY
+    * first_discovered, gender): new users per (discovery date,
+    * enrichment attribute). The user-grain aggregate and the customer
+    * dim are both SF-proportional, so the enrichment join is hint-free
+    * (AQE broadcasts while the dim measures small, shuffles at scale). */
+  def discoveryBySegment(clean: DataFrame, customer: DataFrame): DataFrame =
+    clean.groupBy(col("user_id"))
+      .agg(min(col("event_date")).as("first_seen"))
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
+        col("user_id") === col("c_custkey"), "left")
+      .groupBy(col("first_seen"),
+        coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("new_users"))
+
   /** A11 (dashboard/main_page.py:62 pandas pivot): day-of-week x
     * time-period count matrix as a real groupBy().pivot() with pinned
     * column values (no extra pass to discover them). */

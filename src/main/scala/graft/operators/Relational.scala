@@ -47,13 +47,16 @@ object Relational {
         (col("price_c") / lit(100.0) / col("count_order")).as("avg_price"))
 
   /** TPC-H Q3-shaped: top-10 orders by discounted revenue for one
-    * market segment (J4 star join + A7 top-k). Customer is the small
-    * side — broadcast. */
+    * market segment (J4 star join + A7 top-k). No forced broadcast on
+    * customer: it grows linearly with SF, so a hard hint becomes a
+    * driver OOM at 100x — the segment filter still reaches the scan,
+    * and AQE broadcasts the filtered side whenever its *measured* size
+    * fits, falling back to a shuffle join when it no longer does. */
   def topRevenueOrders(t: Tables, segment: String = "BUILDING",
       k: Int = 10): DataFrame =
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer.where(col("c_mktsegment") === segment)),
+      .join(t.customer.where(col("c_mktsegment") === segment),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(longUnits(col("l_extendedprice") * (lit(1) - col("l_discount")), 4))
@@ -68,11 +71,15 @@ object Relational {
 
   /** TPC-H Q5-shaped: revenue per nation through the full
     * region->nation->customer->orders->lineitem join chain (J1/J4).
-    * All dims broadcast; only lineitem x orders shuffles. */
+    * nation/region are constant-cardinality (25/5 rows) and keep the
+    * broadcast hint; customer is SF-proportional, so its join is
+    * hint-free — AQE broadcasts it while it measures small and
+    * degrades to a shuffle join at scale instead of OOMing on a stale
+    * hint. Only lineitem x orders always shuffles. */
   def regionRevenue(t: Tables, region: String): DataFrame =
     t.lineitem
       .join(t.orders, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+      .join(t.customer, col("o_custkey") === col("c_custkey"))
       .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(t.region.where(col("r_name") === region)),
         col("n_regionkey") === col("r_regionkey"))

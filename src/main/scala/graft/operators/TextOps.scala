@@ -30,16 +30,24 @@ object TextOps {
     docs.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
 
-  /** Distinct 3-word shingles per doc, built per-row from the token
-    * array with a higher-order transform — no window, no token-level
-    * shuffle; the only shuffle is the final distinct on (doc_id, s). */
-  def shingles(docs: DataFrame): DataFrame =
+  /** All 3-word shingles per doc (with repeats), built per-row from
+    * the token array with a higher-order transform — no window, no
+    * shuffle at all: rows never leave the partition of their document.
+    * Consumers that need set semantics dedupe downstream, each at its
+    * cheapest representation (a min-aggregate needs no dedup; Jaccard
+    * dedupes 8-byte hash surrogates — see [[nearDupMinhash]]). */
+  def shinglesRaw(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
         "transform(sequence(0, size(w) - 3), " +
           "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))")).as("s"))
-      .distinct()
+
+  /** Distinct 3-word shingles per doc: [[shinglesRaw]] + one distinct
+    * shuffle on (doc_id, s). Kept for callers that need the actual
+    * shingle strings as a set. */
+  def shingles(docs: DataFrame): DataFrame =
+    shinglesRaw(docs).distinct()
 
   /** Exact dedup by content hash (hash-groupBy): one row per distinct
     * text, keeping the lowest doc_id. At 100 TB this is a single
@@ -61,9 +69,14 @@ object TextOps {
     * one map-side-combined shuffle, no joins. (Hashing distinct
     * shingles once and joining back only wins when the shingle
     * vocabulary is tiny relative to the corpus — on natural text it is
-    * not, and the extra join costs more than the saved md5s.) */
+    * not, and the extra join costs more than the saved md5s.)
+    *
+    * Runs on the RAW (non-distinct) shingle stream: min() is invariant
+    * under duplicates, so the pre-aggregation distinct shuffle is pure
+    * waste — map-side combine already reduces every partition to 16
+    * hashes per doc before anything moves. */
   def minhashSignature(docs: DataFrame): DataFrame = {
-    val sh = shingles(docs)
+    val sh = shinglesRaw(docs)
     val aggs = (0 until MinhashK).map(k =>
       min(md5(concat(col("s"), lit(s":$k")))).as(s"m$k"))
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
@@ -86,10 +99,21 @@ object TextOps {
     * |A∩B| / |A∪B| over the true shingle sets (exact integers, one
     * division), kept when >= threshold. */
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
-    // localCheckpoint over cache(): same reuse across the signature and
-    // Jaccard branches, but blocks free with the frame instead of
-    // accumulating in the CacheManager across calls
-    val ds = shingles(docs).localCheckpoint()
+    // The exact-Jaccard verify works on distinct shingle SETS, but only
+    // set sizes and intersection sizes matter — so the set elements are
+    // 8-byte xxhash64 surrogates, not the shingle strings: the distinct
+    // shuffle and both intersection join sides move longs instead of
+    // ~25-byte text. Results equal the string-set answer unless two
+    // DIFFERENT shingles of the same doc pair collide in 64 bits
+    // (p ~ n_doc_shingles^2 / 2^64 — vanishing; md5-based signatures
+    // and the oracle parity are unaffected by the surrogate choice).
+    // localCheckpoint over cache(): same reuse across branches, but
+    // blocks free with the frame instead of accumulating in the
+    // CacheManager across calls.
+    val ds = shinglesRaw(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .distinct()
+      .localCheckpoint()
     val bands = minhashBands(minhashSignature(docs))
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))
@@ -100,7 +124,7 @@ object TextOps {
     val inter = cand
       .join(ds.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(ds.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     val jac = col("n_common") /
@@ -164,20 +188,30 @@ object TextOps {
     * profiles from the labeled corpus, then per doc the argmax over
     * langs of dot(doc term counts, lang profile) / lang size. Integer
     * dot products + one division per (doc, lang) keep the argmax
-    * deterministic; ties break on lang name. The profile is tiny
-    * (vocab x langs) and broadcast. */
+    * deterministic; ties break on lang name.
+    *
+    * 100 TB shape: the corpus is tokenized ONCE into per-(doc, word)
+    * counts (localCheckpointed so the profile, lang-size, and scoring
+    * branches reuse it instead of re-scanning); the profile is
+    * vocab-sized — on a web-scale corpus that is billions of terms, so
+    * it is NEVER broadcast: profile-vs-doc scoring is a shuffle hash
+    * join on `word`. Only the langs-sized (cardinality ~languages)
+    * lang-size frame is broadcast. */
   def langId(docs: DataFrame): DataFrame = {
-    val tok = tokens(docs)
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val profile = tok.groupBy(col("lang").as("cand_lang"), col("word"))
-      .agg(count(lit(1)).as("n_lw"))
-    val langSize = tok.groupBy(col("lang").as("cand_lang"))
-      .agg(count(lit(1)).as("n_l"))
-    val docWc = tokens(docs).groupBy(col("doc_id"), col("word"))
+    // one tokenization pass, lang label carried through (no join back)
+    val docWc = docs
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("lang"), col("word"))
       .agg(count(lit(1)).as("c_dw"))
+      .localCheckpoint()
+    val profile = docWc.groupBy(col("lang").as("cand_lang"), col("word"))
+      .agg(sum(col("c_dw")).as("n_lw"))
+    val langSize = docWc.groupBy(col("lang").as("cand_lang"))
+      .agg(sum(col("c_dw")).as("n_l"))
     val scored = docWc
-      .join(broadcast(profile), Seq("word"))
-      .groupBy(col("doc_id"), col("cand_lang"))
+      .join(profile, Seq("word")) // vocab-sized: shuffle join, no hint
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
       .agg(sum(col("c_dw") * col("n_lw")).as("dot"))
       .join(broadcast(langSize), Seq("cand_lang"))
       .withColumn("score", col("dot").cast("double") / col("n_l"))
@@ -186,10 +220,9 @@ object TextOps {
     scored
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"))
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("pred_lang"),
-        (col("pred_lang") === col("lang")).as("correct"))
+      .select(col("doc_id"), col("lang"),
+        col("cand_lang").as("pred_lang"),
+        (col("cand_lang") === col("lang")).as("correct"))
   }
 
   /** Character-n-gram language ID — the classic n-gram-profile
@@ -200,34 +233,37 @@ object TextOps {
     * scoring: integer profile dot / lang size, argmax with lang
     * tie-break. */
   def langIdNgram(docs: DataFrame, n: Int = 3): DataFrame = {
-    val grams = docs
-      .select(col("doc_id"), split(col("text"), "").as("cs"))
+    // one n-gram pass, lang carried through; per-(doc, gram) counts
+    // reused by the profile, lang-size, and scoring branches. Unlike
+    // langId's word profile, the trigram vocabulary is charset-bounded
+    // (not corpus-bounded), so broadcasting the profile stays safe at
+    // any corpus size.
+    val docGc = docs
+      .select(col("doc_id"), col("lang"), split(col("text"), "").as("cs"))
       .where(size(col("cs")) >= n)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), col("lang"), explode(expr(
         s"transform(sequence(1, size(cs) - ${n - 1}), " +
           s"i -> concat_ws('', slice(cs, i, $n)))")).as("g"))
-    val labeled = grams
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-    val profile = labeled.groupBy(col("lang").as("cand_lang"), col("g"))
-      .agg(count(lit(1)).as("n_lg"))
-    val langSize = labeled.groupBy(col("lang").as("cand_lang"))
-      .agg(count(lit(1)).as("n_l"))
-    val docGc = grams.groupBy(col("doc_id"), col("g"))
+      .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("c_dg"))
+      .localCheckpoint()
+    val profile = docGc.groupBy(col("lang").as("cand_lang"), col("g"))
+      .agg(sum(col("c_dg")).as("n_lg"))
+    val langSize = docGc.groupBy(col("lang").as("cand_lang"))
+      .agg(sum(col("c_dg")).as("n_l"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("cand_lang").asc)
     docGc
       .join(broadcast(profile), Seq("g"))
-      .groupBy(col("doc_id"), col("cand_lang"))
+      .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
       .agg(sum(col("c_dg") * col("n_lg")).as("dot"))
       .join(broadcast(langSize), Seq("cand_lang"))
       .withColumn("score", col("dot").cast("double") / col("n_l"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"))
-      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("pred_lang"),
-        (col("pred_lang") === col("lang")).as("correct"))
+      .select(col("doc_id"), col("lang"),
+        col("cand_lang").as("pred_lang"),
+        (col("cand_lang") === col("lang")).as("correct"))
   }
 
   /** Text quality scoring: length, avg token length, stopword ratio,
@@ -264,12 +300,18 @@ object TextOps {
     * exact division and cross-engine argmax order is deterministic;
     * tf*log(N/df) would hinge on last-ulp libm differences). */
   def topTerm(docs: DataFrame): DataFrame = {
+    // tf is localCheckpointed so the document-frequency branch and the
+    // scoring join reuse one tokenization+shuffle. df_ is the FULL
+    // corpus vocabulary — never broadcast (billions of terms at 100 TB);
+    // tf JOIN df_ is a shuffle hash join on `word`, and tf is already
+    // keyed by (doc_id, word) so only df_ redistributes.
     val tf = tokens(docs).groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word").asc)
-    tf.join(broadcast(df_), Seq("word"))
+    tf.join(df_, Seq("word"))
       .withColumn("score", col("tf").cast("double") / col("df"))
       .withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
@@ -346,7 +388,8 @@ object TextOps {
     * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
     * content anchor). */
   def fingerprint(docs: DataFrame): DataFrame = {
-    val minShingle = shingles(docs).groupBy(col("doc_id"))
+    // raw shingles: min() is duplicate-invariant, no distinct shuffle
+    val minShingle = shinglesRaw(docs).groupBy(col("doc_id"))
       .agg(min(md5(col("s"))).as("min_shingle_hash"))
     docs.select(
         col("doc_id"),

@@ -16,8 +16,8 @@ import org.apache.spark.sql.functions._
   */
 object Warehouse {
 
-  /** Write the fact partitioned by event_date (derived from date_key
-    * for a human-readable layout). */
+  /** Write the fact partitioned by date_key (the yyyymmdd surrogate —
+    * one directory per calendar day, prunable by P5 predicates). */
   def writeFact(fact: DataFrame, path: String): Unit =
     fact.write
       .partitionBy("date_key")
