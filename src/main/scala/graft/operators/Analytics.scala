@@ -239,10 +239,12 @@ object Analytics {
   /** A9 (artist_gender.py/artist_band.py): grouped counts by an
     * enrichment attribute LEFT-joined from a separate dimension — here
     * the customer market segment keyed by user_id. The enrichment dim
-    * is broadcast (it is always small relative to the fact). */
+    * grows with the user population, so the join is hint-free: AQE
+    * broadcasts it while its measured size fits and falls back to a
+    * shuffle join at scale (a hard hint here would OOM at 100x). */
   def segmentEnrichment(clean: DataFrame, customer: DataFrame): DataFrame =
     clean
-      .join(broadcast(customer.select(col("c_custkey"), col("c_mktsegment"))),
+      .join(customer.select(col("c_custkey"), col("c_mktsegment")),
         clean("user_id") === col("c_custkey"), "left")
       .groupBy(coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("segment"))
       .agg(count(lit(1)).as("n_events"),

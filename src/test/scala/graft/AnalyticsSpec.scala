@@ -90,4 +90,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(d(0).isNullAt(d(0).fieldIndex("prev_events")))
     assert(d(1).getAs[Long]("prev_events") == d(0).getAs[Long]("n_events"))
   }
+
+  test("discoveryBySegment groups first-seen dates by enrichment attr (A9)") {
+    val customer = Seq((10L, "BUILDING"), (11L, "AUTOMOBILE"))
+      .toDF("c_custkey", "c_mktsegment")
+    val r = Analytics.discoveryBySegment(clean, customer).collect()
+      .map(x => (x.getAs[java.sql.Date]("first_seen").toString,
+        x.getAs[String]("segment")) -> x.getAs[Long]("new_users")).toMap
+    // users 10 and 11 first seen 2024-01-01 in different segments;
+    // user 12 (no customer row) falls back to UNKNOWN on 2024-01-04
+    assert(r(("2024-01-01", "BUILDING")) == 1L)
+    assert(r(("2024-01-01", "AUTOMOBILE")) == 1L)
+    assert(r(("2024-01-04", "UNKNOWN")) == 1L)
+    assert(r.size == 3)
+  }
 }
