@@ -97,6 +97,31 @@ object SuiteML {
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin),
       bench = true),
 
+    // ---- dedup: standalone n-gram Jaccard with prefix blocking ----------
+    Q("dedup_ngram_jaccard",
+      (s, d) => TextOps.nearDupNgramJaccard(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |dh AS (SELECT DISTINCT doc_id, md5(s) AS h FROM ds),
+        |pref AS (SELECT doc_id, h FROM (
+        |  SELECT doc_id, h,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY h) AS rn
+        |  FROM dh) WHERE rn <= 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM pref a JOIN pref b USING (h)
+        |         WHERE a.doc_id < b.doc_id),
+        |sz AS (SELECT doc_id, count(*) AS n FROM dh GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |          FROM cand c
+        |          JOIN dh a ON a.doc_id = c.doc_a
+        |          JOIN dh b ON b.doc_id = c.doc_b AND b.h = a.h
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.doc_a
+        |JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.5""".stripMargin)),
+
     // ---- dedup: SimHash + lossless byte-banding -------------------------
     Q("dedup_simhash",
       (s, d) => TextOps.nearDupSimhash(docs(s, d)),

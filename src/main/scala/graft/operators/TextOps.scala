@@ -138,6 +138,56 @@ object TextOps {
         col("nb"), col("jaccard"))
   }
 
+  /** Standalone n-gram Jaccard near-dup (the minhash-free member of
+    * the dedup family): candidate pairs come from PREFIX BLOCKING —
+    * docs sharing any of the `prefixK` lexicographically-smallest
+    * md5(shingle) values (the prefix-filtering idea from set-similarity
+    * join literature, e.g. Xiao et al., "Efficient similarity joins
+    * for near duplicate detection", WWW 2008, with a fixed-length
+    * prefix) — then exact Jaccard over the full distinct shingle-hash
+    * sets, kept at >= threshold.
+    *
+    * A fixed prefixK is a deterministic blocking heuristic, not a
+    * recall guarantee: a qualifying pair sharing none of its k smallest
+    * hashes is missed; k trades candidate volume for recall (the exact
+    * prefix length for guaranteed recall depends on each set's size).
+    * Hashes are md5 (bit-identical across engines) so the oracle
+    * mirrors blocking and verification exactly. Scale shape matches
+    * [[nearDupMinhash]]: per-bucket candidates, never corpus-quadratic;
+    * one checkpointed shingle-hash set reused by blocking, sizes, and
+    * intersection. */
+  def nearDupNgramJaccard(docs: DataFrame, threshold: Double = 0.5,
+      prefixK: Int = 2): DataFrame = {
+    val dh = shinglesRaw(docs)
+      .select(col("doc_id"), md5(col("s")).as("h"))
+      .distinct()
+      .localCheckpoint()
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
+    val pref = dh.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= prefixK)
+      .select(col("doc_id"), col("h"))
+    val cand = pref.as("a").join(pref.as("b"), Seq("h"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sz = dh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(dh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(dh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val jac = col("n_common") /
+      (col("na") + col("nb") - col("n_common")).cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", jac)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
   private val SimhashBits = 32
 
   /** Hex-nibble value (0-15) of md5(word) at position j — the portable

@@ -44,6 +44,19 @@ class TextOpsSpec extends SparkSpec {
     assert(j12 == 1.0)
   }
 
+  test("ngram Jaccard with prefix blocking finds dups, skips unrelated") {
+    val pairs = TextOps.nearDupNgramJaccard(docs, threshold = 0.5)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("jaccard")))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    // identical docs share every shingle (and so every prefix hash)
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    // near dup differs by one trailing token: same smallest hashes
+    assert(keys.contains((1L, 3L)) && keys.contains((2L, 3L)))
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("simhash is content-determined; hamming 0 for identical docs") {
     val sh = TextOps.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
