@@ -17,7 +17,12 @@ import org.apache.spark.sql.functions._
   *  - daily stats are recomputed only for the dates touched by the
   *    batch and swapped in via partition replacement (S11's
   *    replaceWhere semantics) — at 100 TB you never re-aggregate
-  *    history a batch didn't touch.
+  *    history a batch didn't touch;
+  *  - dims are maintained INCREMENTALLY: each run aggregates only the
+  *    new batch and merges it into compact accumulators (distinct
+  *    user x date pairs, additive per-user/per-type counts), so dim
+  *    maintenance cost is O(batch + accumulator), never O(history).
+  *    A spec pins the result equal to the full-history aggregation.
   *
   * Incremental contract (§2.9): any sequence of run() calls over any
   * mix of new, old, and duplicate events converges to the same state as
@@ -32,7 +37,14 @@ object EtlJob {
       dimTypes: DataFrame,
       dimDates: DataFrame,
       dailyStats: DataFrame,
-      ledger: DataFrame)
+      ledger: DataFrame,
+      // incremental dim accumulators — each run folds ONLY the new
+      // batch into these compact frames (user x active-date pairs,
+      // additive per-user counts, per-type min/sum stats); dims derive
+      // from them without re-aggregating event history
+      userDates: DataFrame,
+      userCounts: DataFrame,
+      typeStats: DataFrame)
 
   /** One incremental run. `state=None` bootstraps from the batch. */
   def run(state: Option[EtlState], rawBatch: DataFrame,
@@ -70,23 +82,69 @@ object EtlJob {
       case None => statsTouched
     }
 
+    // Incremental dim accumulators: only the NEW rows of this batch
+    // are aggregated, then merged into the carried compact frames.
+    // Additivity is safe because insertIfAbsent guarantees cleanBatch
+    // is duplicate-free against all prior batches.
+    //  - userDates: distinct (user_id, event_date) — bounded by
+    //    users x calendar, gives active_days AND first_seen AND the
+    //    calendar bounds for dimDates;
+    //  - userCounts: per-user event totals, additive sum-merge;
+    //  - typeStats: per-type (min first_seen, sum total), min/sum-merge.
+    val batchUserDates = cleanBatch
+      .select(col("user_id"), col("event_date")).distinct()
+    val userDates = state match {
+      case Some(s) => s.userDates.unionByName(batchUserDates).distinct()
+      case None => batchUserDates
+    }
+    val batchUserCounts = cleanBatch.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("total_events"))
+    val userCounts = state match {
+      case Some(s) => s.userCounts.unionByName(batchUserCounts)
+        .groupBy(col("user_id"))
+        .agg(sum(col("total_events")).as("total_events"))
+      case None => batchUserCounts
+    }
+    val batchTypeStats = cleanBatch.groupBy(col("event_type"))
+      .agg(min(col("event_date")).as("first_seen"),
+        count(lit(1)).as("total_events"))
+    val typeStats = state match {
+      case Some(s) => s.typeStats.unionByName(batchTypeStats)
+        .groupBy(col("event_type"))
+        .agg(min(col("first_seen")).as("first_seen"),
+          sum(col("total_events")).as("total_events"))
+      case None => batchTypeStats
+    }
+
     // Truncate lineage on the carried frames (localCheckpoint): without
     // it each run unions onto an ever-deeper plan and every action
     // replays ALL prior batches — O(N^2) across N batches and an
     // eventual StackOverflow in analysis. A production deployment
     // writes these to tables; localCheckpoint is the in-memory
     // equivalent (blocks are freed when the state is dropped).
-    // Dims still re-aggregate the full merged clean per run — exact
-    // and simple; the incremental form (additive counts, min-merge
-    // first_seen, compact (user,date) set for active_days) is the
-    // production upgrade path.
-    val cleanCp = mergedClean.localCheckpoint()
+    val userDatesCp = userDates.localCheckpoint()
+    val userCountsCp = userCounts.localCheckpoint()
+    val typeStatsCp = typeStats.localCheckpoint()
     EtlState(
-      clean = cleanCp,
+      clean = mergedClean.localCheckpoint(),
       fact = fact.localCheckpoint(),
-      dimUsers = StarSchema.dimUsers(cleanCp),
-      dimTypes = StarSchema.dimTypes(cleanCp),
-      dimDates = StarSchema.dimDates(cleanCp),
+      // dims derived from the accumulators — identical to
+      // StarSchema.dim* over the full merged clean (pinned by spec),
+      // but each run's aggregation input is the compact accumulator,
+      // not the event history
+      dimUsers = userDatesCp.groupBy(col("user_id"))
+        .agg(min(col("event_date")).as("first_seen"),
+          count(lit(1)).as("active_days"))
+        .join(userCountsCp, Seq("user_id"))
+        .select(
+          concat(lit("user_"), md5(col("user_id").cast("string")))
+            .as("user_key"),
+          col("user_id"), col("first_seen"), col("total_events"),
+          col("active_days")),
+      dimTypes = typeStatsCp.select(
+        concat(lit("type_"), md5(col("event_type"))).as("type_key"),
+        col("event_type"), col("first_seen"), col("total_events")),
+      dimDates = StarSchema.dimDates(userDatesCp),
       dailyStats = dailyStats.localCheckpoint(),
       ledger = {
         val row = cleanBatch
@@ -95,6 +153,9 @@ object EtlJob {
           .select(lit(batchId).as("batch_id"), col("records_processed"),
             col("high_watermark"))
         state.map(_.ledger.unionByName(row)).getOrElse(row)
-      })
+      },
+      userDates = userDatesCp,
+      userCounts = userCountsCp,
+      typeStats = typeStatsCp)
   }
 }

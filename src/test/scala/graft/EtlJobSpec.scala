@@ -59,6 +59,20 @@ class EtlJobSpec extends SparkSpec {
     assert(sorted(s3.dimDates) == sorted(full.dimDates))
   }
 
+  test("incremental dims equal the StarSchema aggregates over history") {
+    val d1 = events.where(to_date($"ts") === "2024-01-01")
+    val d2 = events.where(to_date($"ts") === "2024-01-02")
+    val d3 = events.where(to_date($"ts") === "2024-01-03")
+    val s1 = EtlJob.run(None, d1, "b1")
+    val s2 = EtlJob.run(Some(s1), d2.unionAll(d1.limit(5)), "b2")
+    val s3 = EtlJob.run(Some(s2), d3, "b3")
+    // the accumulator-derived dims must be indistinguishable from a
+    // full re-aggregation of the accumulated clean staging
+    assert(sorted(s3.dimUsers) == sorted(StarSchema.dimUsers(s3.clean)))
+    assert(sorted(s3.dimTypes) == sorted(StarSchema.dimTypes(s3.clean)))
+    assert(sorted(s3.dimDates) == sorted(StarSchema.dimDates(s3.clean)))
+  }
+
   test("running the identical batch twice is a no-op") {
     val s1 = EtlJob.run(None, events, "b1")
     val s2 = EtlJob.run(Some(s1), events, "b2")
