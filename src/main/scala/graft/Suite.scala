@@ -706,6 +706,33 @@ object Suite {
           count(lit(1)).as("n_events")),
       None),
 
+    // ---- skew mitigation (100 TB path): the salted two-phase count
+    // and the salted replicate-join must be RESULT-IDENTICAL to their
+    // plain forms — the oracle is the plain form, so these rows pin
+    // that salting changes the distribution, never the answer. --------------
+    Q("skew_salted_count",
+      (s, d) => graft.operators.Skew.saltedCount(
+        clean(s, d), "event_type", "event_id", 8),
+      Some(s"""$CleanCte
+        |SELECT event_type, COUNT(*) AS n FROM clean GROUP BY event_type""".stripMargin)),
+
+    Q("skew_salted_join",
+      (s, d) => {
+        val c = clean(s, d)
+        val dim = c.groupBy(col("event_type"))
+          .agg(count(lit(1)).as("type_total"))
+        graft.operators.Skew.saltedJoin(
+            c.select(col("event_id"), col("event_type")), dim,
+            "event_type", "event_id", 8)
+          .groupBy(col("event_type"), col("type_total"))
+          .agg(count(lit(1)).as("n_events"))
+      },
+      Some(s"""$CleanCte,
+        |g AS (SELECT event_type, COUNT(*) AS type_total FROM clean GROUP BY 1)
+        |SELECT c.event_type, g.type_total, COUNT(*) AS n_events
+        |FROM clean c JOIN g USING (event_type)
+        |GROUP BY 1, 2""".stripMargin)),
+
     // ---- S12 raw-SQL entry point (dialect-neutral SQL runs verbatim
     // in both engines) ----------------------------------------------------
     Q("sql_raw_entry",
