@@ -228,6 +228,21 @@ object SuiteML {
         |  (CAST(length(text) AS BIGINT) + 3) // 4 AS bpe_est_tokens
         |FROM documents""".stripMargin)),
 
+    // ---- text analysis: exact rank-selection length quantiles -----------
+    Q("text_length_quantiles",
+      (s, d) => TextOps.lengthQuantiles(docs(s, d)),
+      Some("""WITH r AS (
+        |  SELECT lang, n_chars,
+        |         ROW_NUMBER() OVER (PARTITION BY lang
+        |           ORDER BY n_chars, doc_id) AS rn
+        |  FROM documents),
+        |c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY 1)
+        |SELECT r.lang, c.n_docs,
+        |  MAX(CASE WHEN rn = (n_docs + 1) // 2 THEN n_chars END) AS p50_chars,
+        |  MAX(CASE WHEN rn = (9 * n_docs + 9) // 10 THEN n_chars END) AS p90_chars,
+        |  MAX(CASE WHEN rn = (99 * n_docs + 99) // 100 THEN n_chars END) AS p99_chars
+        |FROM r JOIN c USING (lang) GROUP BY 1, 2""".stripMargin)),
+
     // ---- text analysis: fingerprinting ----------------------------------
     Q("text_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d)),

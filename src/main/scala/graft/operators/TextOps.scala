@@ -434,6 +434,38 @@ object TextOps {
       .distinct()
   }
 
+  /** Exact per-language length quantiles (p50/p90/p99 of n_chars) via
+    * rank selection: rank every doc within its language (total-order
+    * tie-break on doc_id), pick the value at the integer quantile index
+    * ceil(q*n) computed in EXACT integer arithmetic ((q_num*n + q_den-1
+    * adjusted) div q_den) so both engines select the identical row —
+    * a float ceil(0.9*n) could straddle an ulp. The distribution shape
+    * of a training corpus (length percentiles per language) is a
+    * routine curation query.
+    *
+    * Scale note: rank selection sorts within each language partition —
+    * exact but shuffle-heavy at 100 TB; the production default is the
+    * approx_percentile sketch (engine-specific estimates, hence no
+    * oracle), with this exact form as the verification special case —
+    * the same exact/sketch pairing as an_distinct_by_type vs
+    * an_approx_distinct. */
+  def lengthQuantiles(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").asc, col("doc_id").asc)
+    val ranked = docs.select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+    ranked.join(counts, Seq("lang"))
+      .groupBy(col("lang"), col("n_docs"))
+      .agg(
+        max(when(col("rn") === expr("(n_docs + 1) div 2"),
+          col("n_chars"))).as("p50_chars"),
+        max(when(col("rn") === expr("(9 * n_docs + 9) div 10"),
+          col("n_chars"))).as("p90_chars"),
+        max(when(col("rn") === expr("(99 * n_docs + 99) div 100"),
+          col("n_chars"))).as("p99_chars"))
+  }
+
   /** Document fingerprints: full-content md5, head/tail block hashes,
     * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
     * content anchor). */

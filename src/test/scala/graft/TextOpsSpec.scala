@@ -57,6 +57,17 @@ class TextOpsSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("lengthQuantiles selects exact rank-index values per language") {
+    // 10 docs with lengths 1..10 (texts of i chars): p50 -> rank 5,
+    // p90 -> rank 9, p99 -> rank 10
+    val d = docsDf((1L to 10L).map(i => (i, "x" * i.toInt, "en", "s")))
+    val q = TextOps.lengthQuantiles(d).collect()(0)
+    assert(q.getAs[Long]("n_docs") == 10L)
+    assert(q.getAs[Long]("p50_chars") == 5L)
+    assert(q.getAs[Long]("p90_chars") == 9L)
+    assert(q.getAs[Long]("p99_chars") == 10L)
+  }
+
   test("simhash is content-determined; hamming 0 for identical docs") {
     val sh = TextOps.simhash(docs).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
