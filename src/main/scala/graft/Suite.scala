@@ -366,6 +366,27 @@ object Suite {
       Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
 
+    // ---- J2 positive twin: EXISTS-style left_semi ------------------------
+    Q("rel_customers_with_orders",
+      (s, d) => Relational.customersWithOrders(Tables(s, d)),
+      Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin)),
+
+    // ---- W4 family: NTILE bucketing within a partition key ---------------
+    Q("rel_order_quartiles",
+      (s, d) => Relational.orderQuartiles(Tables(s, d)),
+      Some("""WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders),
+        |q AS (SELECT *,
+        |        CAST(NTILE(4) OVER (PARTITION BY o_orderpriority
+        |          ORDER BY price_cents DESC, o_orderkey) AS INTEGER) AS quartile
+        |      FROM o)
+        |SELECT o_orderpriority, quartile, COUNT(*) AS n_orders,
+        |       CAST(SUM(price_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_spend
+        |FROM q GROUP BY 1, 2""".stripMargin)),
+
     Q("rel_customer_order_windows",
       (s, d) => Relational.customerOrderWindows(Tables(s, d)),
       Some("""WITH o AS (
@@ -489,6 +510,16 @@ object Suite {
         |       COUNT(CASE WHEN time_period='evening' THEN 1 END) AS evening,
         |       COUNT(CASE WHEN time_period='night' THEN 1 END) AS night
         |FROM clean GROUP BY 1, 2""".stripMargin)),
+
+    // ---- A2 superset: one-pass ROLLUP subtotals ---------------------------
+    Q("an_period_rollup",
+      (s, d) => Analytics.periodRollup(clean(s, d)),
+      Some(s"""$CleanCte
+        |SELECT COALESCE(day_name, 'ALL') AS day_name,
+        |       COALESCE(time_period, 'ALL') AS time_period,
+        |       COUNT(*) AS n_events,
+        |       CAST(SUM(value_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM clean GROUP BY ROLLUP (day_name, time_period)""".stripMargin)),
 
     // ---- P4 per-record multi-rule validation score ------------------------
     Q("etl_record_scores",

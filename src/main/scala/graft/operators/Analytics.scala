@@ -278,6 +278,21 @@ object Analytics {
         coalesce(col("evening"), lit(0L)).as("evening"),
         coalesce(col("night"), lit(0L)).as("night"))
 
+  /** A2 superset: ROLLUP over (day_name, time_period) — per-period
+    * rows, per-day subtotals, and the grand total from ONE pass (an
+    * Expand + a single shuffle), the idiomatic form of the reference's
+    * two-level re-aggregation (main_ratio.py:26-58). Rollup's NULL
+    * group markers surface as 'ALL' (both columns are non-null after
+    * clean, so the marker is unambiguous and comparator-sortable). */
+  def periodRollup(clean: DataFrame): DataFrame =
+    clean.rollup(col("day_name"), col("time_period"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(col("value_cents")) / lit(100.0)).as("total_value"))
+      .select(
+        coalesce(col("day_name"), lit("ALL")).as("day_name"),
+        coalesce(col("time_period"), lit("ALL")).as("time_period"),
+        col("n_events"), col("total_value"))
+
   /** A12/P4 (spotify_client.py:655-675): validation summary — record
     * count, quality-score stats from the exact integer x10 view, flag
     * counts, distinct entities. Single row. */

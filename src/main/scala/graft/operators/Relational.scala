@@ -107,6 +107,32 @@ object Relational {
         col("c_custkey") === col("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
 
+  /** EXISTS-style semi join (the positive twin of
+    * [[customersWithoutOrders]]): customers with at least one order.
+    * left_semi never widens the row and stops probing a key at its
+    * first match — cheaper than join+distinct at any scale. */
+  def customersWithOrders(t: Tables): DataFrame =
+    t.customer
+      .join(t.orders.select(col("o_custkey")),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+
+  /** NTILE quartiles of order value WITHIN each order priority — a
+    * partitioned ranking window (no global sort: each priority class
+    * sorts independently, so the window parallelizes across the
+    * partition key at any scale). */
+  def orderQuartiles(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("o_orderpriority"), col("quartile"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("price_cents")) / lit(100.0)).as("total_spend"))
+  }
+
   /** W1-W2-shaped windows: per-customer order sequence with running
     * spend (exact cents) and order rank. */
   def customerOrderWindows(t: Tables): DataFrame = {
