@@ -643,6 +643,30 @@ object Suite {
         |  FROM events, (SELECT unnest([0, 1, 2]) AS k))
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- §2.9 tumbling windows: the STREAMING operators run in batch
+    // mode (window() start == date_trunc for epoch-aligned widths), so
+    // the gate verifies the same code path the stream executes --------------
+    Q("an_hourly_counts",
+      (s, d) => {
+        val ev = Tables(s, d).events
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.streaming.Streams.hourlyCounts(ev)
+      },
+      Some("""SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
+    Q("an_daily_counts",
+      (s, d) => {
+        val ev = Tables(s, d).events
+          .withColumn("ts", col("ts").cast("timestamp"))
+        graft.streaming.Streams.dailyCounts(ev)
+      },
+      Some("""SELECT CAST(date_trunc('day', ts) AS DATE) AS event_date,
+        |       event_type, COUNT(*) AS n_events
+        |FROM events GROUP BY 1, 2""".stripMargin)),
+
     // ---- as-of join: each event joined to the user's most recent
     // order at event time (composed union+window — ONE key shuffle, no
     // range join; oracle uses DuckDB's native ASOF JOIN) ------------------

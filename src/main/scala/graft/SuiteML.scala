@@ -402,6 +402,16 @@ object SuiteML {
       },
       None),
 
+    // ---- multimodal data-model contract: typed metadata columns ----------
+    Q("mm_media_meta",
+      (s, d) => Multimodal.toMedia(docs(s, d))
+        .select(col("doc_id"), col("media_type"),
+          col("meta.source").as("source"), col("meta.lang").as("lang"),
+          col("meta.n_bytes").as("n_bytes")),
+      Some("""SELECT doc_id, 'text/plain' AS media_type, source, lang,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents""".stripMargin)),
+
     Q("mm_frame_counts",
       (s, d) => Multimodal.sampleFrames(Multimodal.toMedia(docs(s, d)))
         .groupBy("doc_id").agg(count(lit(1)).as("n_frames")),

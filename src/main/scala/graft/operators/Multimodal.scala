@@ -27,7 +27,10 @@ object Multimodal {
       struct(
         col("source"),
         col("lang"),
-        length(col("text")).cast("long").as("n_bytes")).as("meta"))
+        // byte length of the UTF-8 payload (length() on binary counts
+        // bytes; on the string it would count characters)
+        length(col("text").cast("binary")).cast("long").as("n_bytes"))
+        .as("meta"))
 
   private val FeatureDim = 8
 

@@ -26,14 +26,18 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "ts")
 
-  /** Tumbling hourly counts (J6/A10's streaming analog). */
+  /** Tumbling hourly counts (J6/A10's streaming analog). The value sum
+    * accumulates exact integer cents and surfaces as one division, so
+    * the same operator run in batch mode hash-matches the oracle
+    * (a double sum's accumulation order is nondeterministic). */
   def hourlyCounts(events: DataFrame,
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(graft.functions.TimeFns.cents(col("value"))).as("cents"))
       .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n_events"), col("total_value"))
+        col("n_events"), (col("cents") / lit(100.0)).as("total_value"))
 
   /** Sliding-window counts (3 h window, 1 h slide by default): each
     * event lands in duration/slide windows. Works unchanged on a batch
