@@ -390,9 +390,10 @@ object TextOps {
     * Portability boundary: the fold is defined over BMP code points.
     * Spark's ascii() returns 0 for supplementary-plane characters
     * (emoji etc.) where DuckDB returns the code point, so cross-engine
-    * parity for this hash (and [[winnowing]], which uses the same
-    * fold) requires normalizing or stripping astral characters
-    * upstream. */
+    * parity for this hash requires normalizing or stripping astral
+    * characters upstream. ([[winnowing]] now hashes true code points
+    * via the custom kgram_hashes expression, so it has no such
+    * boundary beyond malformed lone surrogates.) */
   def rollingHash(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -408,28 +409,27 @@ object TextOps {
     * hashes are the document's fingerprint set. Guarantees every match
     * of length >= w+k-1 shares a fingerprint.
     *
-    * Shape note: the all-arrays form (transform over windows of a
-    * transform) is a trap — Catalyst's CollapseProject inlines the
-    * k-gram-hash array expression into every window lambda, turning
-    * O(n*k) per doc into O(n^2*k) interpreted evaluation. Exploding
-    * the k-gram hashes to rows and taking a sliding window min keeps
-    * the hash computation evaluated once and streams the winnow. */
+    * Shape note: the k-gram hashes come from the custom
+    * [[graft.plans.KgramRollingHashes]] expression — ONE O(n) sliding
+    * pass per document in compiled code. The all-arrays built-in form
+    * (`transform(sequence(...), i -> aggregate(slice(cs,i,k), ...))`)
+    * is O(n*k) interpreted lambda evaluation, and worse, Catalyst's
+    * CollapseProject can inline the hash array into every window
+    * lambda, degrading to O(n^2*k). Exploding the hashes to rows and
+    * taking a sliding window min streams the winnow. */
   def winnowing(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     val kgrams = docs
-      .select(col("doc_id"), split(col("text"), "").as("cs"))
-      .where(size(col("cs")) >= k + w - 1)
-      .select(col("doc_id"), size(col("cs")).as("n"),
-        posexplode(expr(
-          s"""transform(sequence(1, size(cs) - ${k - 1}),
-             |  i -> aggregate(slice(cs, i, $k), 0L,
-             |         (acc, c) -> (acc * 131 + ascii(c)) % 2147483647))"""
-            .stripMargin)).as(Seq("j0", "kh")))
+      .select(col("doc_id"),
+        call_function("kgram_hashes", col("text"), lit(k)).as("khs"))
+      .where(size(col("khs")) >= w) // need at least w k-grams
+      .select(col("doc_id"), size(col("khs")).as("m"),
+        posexplode(col("khs")).as(Seq("j0", "kh")))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("j0"))
       .rowsBetween(0, w - 1)
     kgrams
       .withColumn("wmin", min(col("kh")).over(win))
-      // valid window starts: 0-based j0 in [0, (n-k+1) - w]
-      .where(col("j0") <= col("n") - lit(k - 1) - lit(w))
+      // valid window starts: 0-based j0 in [0, m - w]
+      .where(col("j0") <= col("m") - lit(w))
       .select(col("doc_id"), col("wmin").as("fingerprint"))
       .distinct()
   }

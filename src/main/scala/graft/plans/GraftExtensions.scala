@@ -22,5 +22,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[Top1ByCount].getName, "top1_by_count"),
       (children: Seq[Expression]) =>
         Top1ByCount(children(0), children(1)).toAggregateExpression()))
+    ext.injectFunction((
+      new FunctionIdentifier("kgram_hashes"),
+      new ExpressionInfo(classOf[KgramRollingHashes].getName, "kgram_hashes"),
+      (children: Seq[Expression]) =>
+        KgramRollingHashes(children(0),
+          children(1).eval().asInstanceOf[Number].intValue)))
   }
 }

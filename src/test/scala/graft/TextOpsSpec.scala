@@ -57,6 +57,25 @@ class TextOpsSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("kgram_hashes O(n) slide equals the stepwise per-slice fold") {
+    val d = docsDf(Seq((1L, "the quick brown fox jumps over it", "en", "s")))
+    val viaExpr = d.select(explode(
+        call_function("kgram_hashes", col("text"), lit(8))).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    val viaFold = d.select(explode(expr(
+      """transform(sequence(1, length(text) - 7),
+        |  i -> aggregate(slice(split(text, ''), i, 8), 0L,
+        |    (acc, c) -> (acc * 131 + ascii(c)) % 2147483647))"""
+        .stripMargin)).as("h"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaExpr.nonEmpty && viaExpr == viaFold)
+    // fewer code points than k -> empty array, not null / error
+    val short = docsDf(Seq((2L, "short", "en", "s")))
+      .select(size(call_function("kgram_hashes", col("text"), lit(8)))
+        .as("n")).collect()(0).getInt(0)
+    assert(short == 0)
+  }
+
   test("lengthQuantiles selects exact rank-index values per language") {
     // 10 docs with lengths 1..10 (texts of i chars): p50 -> rank 5,
     // p90 -> rank 9, p99 -> rank 10
