@@ -50,6 +50,27 @@ object LawsCheck extends Properties("graft.laws") {
           f1.forall(v => v >= 0f && v < 1f)
     }
 
+  // The O(n) sliding k-gram hash equals the O(n*k) per-slice fold on
+  // arbitrary BMP strings and k
+  private val strAndK = for {
+    k <- Gen.chooseNum(1, 12)
+    s <- Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar), (1, Gen.const(' ')),
+      (1, Gen.chooseNum(0x00a1, 0x2fff).map(_.toChar))))
+      .map(_.mkString)
+  } yield (s, k)
+
+  property("kgramSlidingHashEqualsPerSliceFold") =
+    Prop.forAll(strAndK) { case (s, k) =>
+      val cps = s.codePoints().toArray.toSeq
+      val expected = cps.sliding(k).filter(_.length == k)
+        .map(w => roll(w)).toSeq
+      val arr = graft.plans.KgramRollingHashes.compute(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s), k)
+      val got = (0 until arr.numElements()).map(arr.getLong)
+      got == (if (cps.length < k) Seq.empty else expected)
+    }
+
   // SimHash banding losslessness: two 32-bit values within Hamming
   // distance 3 always share at least one of the 4 byte bands
   private val hamGen = for {
