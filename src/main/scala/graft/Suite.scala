@@ -248,6 +248,19 @@ object Suite {
         |FROM clean GROUP BY event_type
         |ORDER BY n_events DESC, event_type LIMIT 10""".stripMargin)),
 
+    // ---- W1 generalized: ranked top-k per group -------------------------
+    Q("an_top3_types_per_day",
+      (s, d) => Analytics.topKPerDay(clean(s, d), 3),
+      Some(s"""$CleanCte,
+        |cnt AS (SELECT event_date, event_type, COUNT(*) AS n_events
+        |        FROM clean GROUP BY 1, 2)
+        |SELECT event_date, event_type, n_events,
+        |       CAST(rnk AS INTEGER) AS rank
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_date
+        |        ORDER BY n_events DESC, event_type) AS rnk
+        |      FROM cnt)
+        |WHERE rnk <= 3""".stripMargin)),
+
     // ---- A8 discovery buckets -------------------------------------------
     Q("an_discovery_weekly",
       (s, d) => Analytics.discoveryWeekly(clean(s, d)),

@@ -164,6 +164,19 @@ object Analytics {
       .orderBy(col("n_events").desc, col(key).asc)
       .limit(k)
 
+  /** W1 generalized: top-k keys per group (not just the argmax) via a
+    * ranking window over the pre-aggregated counts. The window sorts
+    * the (date x type) aggregate, never the fact — the heavy input is
+    * reduced by one map-side-combined shuffle first. */
+  def topKPerDay(clean: DataFrame, k: Int = 3): DataFrame = {
+    val cnt = clean.groupBy(col("event_date"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val w = Window.partitionBy(col("event_date"))
+      .orderBy(col("n_events").desc, col("event_type").asc)
+    cnt.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** A8 (dashboard/artist.py:22-34): discovery counts by epoch-week
     * bucket of each user's first event. */
   def discoveryWeekly(clean: DataFrame): DataFrame =
