@@ -396,7 +396,7 @@ object SuiteML {
       (s, d) => {
         val feats =
           Multimodal.extractFeatures(Multimodal.toMedia(docs(s, d)))
-        val fcols = (0 until 8).map(i =>
+        val fcols = (0 until Multimodal.FeatureDim).map(i =>
           col("feature").getItem(i).as(s"f$i"))
         feats.select(col("doc_id") +: col("n_bytes") +: fcols: _*)
       },

@@ -39,11 +39,10 @@ object EtlJob {
       dailyStats: DataFrame,
       ledger: DataFrame,
       // incremental dim accumulators — each run folds ONLY the new
-      // batch into these compact frames (user x active-date pairs,
-      // additive per-user counts, per-type min/sum stats); dims derive
-      // from them without re-aggregating event history
-      userDates: DataFrame,
-      userCounts: DataFrame,
+      // batch into these compact frames (per-(user, active-date) event
+      // counts; per-type min/sum stats); dims derive from them without
+      // re-aggregating event history
+      userDayCounts: DataFrame,
       typeStats: DataFrame)
 
   /** One incremental run. `state=None` bootstraps from the batch. */
@@ -86,24 +85,21 @@ object EtlJob {
     // are aggregated, then merged into the carried compact frames.
     // Additivity is safe because insertIfAbsent guarantees cleanBatch
     // is duplicate-free against all prior batches.
-    //  - userDates: distinct (user_id, event_date) — bounded by
-    //    users x calendar, gives active_days AND first_seen AND the
-    //    calendar bounds for dimDates;
-    //  - userCounts: per-user event totals, additive sum-merge;
+    //  - userDayCounts: per-(user_id, event_date) event counts —
+    //    bounded by users x calendar; ONE frame yields first_seen
+    //    (min date), active_days (row count), total_events (sum), and
+    //    the calendar bounds for dimDates. A single accumulator also
+    //    means no dim-side join, so null user_ids group like any other
+    //    key instead of dropping out of an equi-join;
     //  - typeStats: per-type (min first_seen, sum total), min/sum-merge.
-    val batchUserDates = cleanBatch
-      .select(col("user_id"), col("event_date")).distinct()
-    val userDates = state match {
-      case Some(s) => s.userDates.unionByName(batchUserDates).distinct()
-      case None => batchUserDates
-    }
-    val batchUserCounts = cleanBatch.groupBy(col("user_id"))
-      .agg(count(lit(1)).as("total_events"))
-    val userCounts = state match {
-      case Some(s) => s.userCounts.unionByName(batchUserCounts)
-        .groupBy(col("user_id"))
-        .agg(sum(col("total_events")).as("total_events"))
-      case None => batchUserCounts
+    val batchUserDay = cleanBatch
+      .groupBy(col("user_id"), col("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+    val userDayCounts = state match {
+      case Some(s) => s.userDayCounts.unionByName(batchUserDay)
+        .groupBy(col("user_id"), col("event_date"))
+        .agg(sum(col("n_events")).as("n_events"))
+      case None => batchUserDay
     }
     val batchTypeStats = cleanBatch.groupBy(col("event_type"))
       .agg(min(col("event_date")).as("first_seen"),
@@ -122,8 +118,7 @@ object EtlJob {
     // eventual StackOverflow in analysis. A production deployment
     // writes these to tables; localCheckpoint is the in-memory
     // equivalent (blocks are freed when the state is dropped).
-    val userDatesCp = userDates.localCheckpoint()
-    val userCountsCp = userCounts.localCheckpoint()
+    val userDayCp = userDayCounts.localCheckpoint()
     val typeStatsCp = typeStats.localCheckpoint()
     EtlState(
       clean = mergedClean.localCheckpoint(),
@@ -132,19 +127,19 @@ object EtlJob {
       // StarSchema.dim* over the full merged clean (pinned by spec),
       // but each run's aggregation input is the compact accumulator,
       // not the event history
-      dimUsers = userDatesCp.groupBy(col("user_id"))
-        .agg(min(col("event_date")).as("first_seen"),
+      dimUsers = userDayCp.groupBy(col("user_id"))
+        .agg(
+          min(col("event_date")).as("first_seen"),
+          sum(col("n_events")).as("total_events"),
           count(lit(1)).as("active_days"))
-        .join(userCountsCp, Seq("user_id"))
         .select(
-          concat(lit("user_"), md5(col("user_id").cast("string")))
-            .as("user_key"),
+          StarSchema.userKey(col("user_id")).as("user_key"),
           col("user_id"), col("first_seen"), col("total_events"),
           col("active_days")),
       dimTypes = typeStatsCp.select(
-        concat(lit("type_"), md5(col("event_type"))).as("type_key"),
+        StarSchema.typeKey(col("event_type")).as("type_key"),
         col("event_type"), col("first_seen"), col("total_events")),
-      dimDates = StarSchema.dimDates(userDatesCp),
+      dimDates = StarSchema.dimDates(userDayCp),
       dailyStats = dailyStats.localCheckpoint(),
       ledger = {
         val row = cleanBatch
@@ -154,8 +149,7 @@ object EtlJob {
             col("high_watermark"))
         state.map(_.ledger.unionByName(row)).getOrElse(row)
       },
-      userDates = userDatesCp,
-      userCounts = userCountsCp,
+      userDayCounts = userDayCp,
       typeStats = typeStatsCp)
   }
 }

@@ -32,7 +32,10 @@ object Multimodal {
         length(col("text").cast("binary")).cast("long").as("n_bytes"))
         .as("meta"))
 
-  private val FeatureDim = 8
+  /** Width of the stub feature vector — public so registered queries
+    * that flatten the vector to scalar columns cannot silently drift
+    * (getItem past the array end yields NULL, not an error). */
+  val FeatureDim = 8
 
   /** STUB decode/feature-extract: a real deployment decodes the bytes
     * (image resize, audio spectrogram, ...) with a native library. This

@@ -28,6 +28,16 @@ import graft.functions.{QualityFns, TimeFns}
   */
 object StarSchema {
   import TimeFns._
+  import org.apache.spark.sql.Column
+
+  /** The MD5 content-hash surrogate keys ('user_'/'type_' || md5(nat)).
+    * Single definition — EtlJob's incremental dims derive the same keys
+    * from accumulators, and a format drift between the two would only
+    * surface as a parity-spec failure. */
+  def userKey(userId: Column): Column =
+    concat(lit("user_"), md5(userId.cast("string")))
+  def typeKey(eventType: Column): Column =
+    concat(lit("type_"), md5(eventType))
 
   /** Clean projection: time fields, quality tiers, JSON prop
     * extraction (P1+P2+P3). `value_cents` is the exact integer view of
@@ -66,8 +76,7 @@ object StarSchema {
         count(lit(1)).as("total_events"),
         countDistinct(col("event_date")).as("active_days"))
       .select(
-        concat(lit("user_"), md5(col("user_id").cast("string")))
-          .as("user_key"),
+        userKey(col("user_id")).as("user_key"),
         col("user_id"), col("first_seen"), col("total_events"),
         col("active_days"))
 
@@ -79,7 +88,7 @@ object StarSchema {
         min(col("event_date")).as("first_seen"),
         count(lit(1)).as("total_events"))
       .select(
-        concat(lit("type_"), md5(col("event_type"))).as("type_key"),
+        typeKey(col("event_type")).as("type_key"),
         col("event_type"), col("first_seen"), col("total_events"))
 
   /** Calendar dimension spanning [min, max] event date (dim_dates,
@@ -117,9 +126,8 @@ object StarSchema {
     clean.select(
       col("event_id"),
       TimeFns.dateKey(col("event_date")).as("date_key"),
-      concat(lit("user_"), md5(col("user_id").cast("string")))
-        .as("user_key"),
-      concat(lit("type_"), md5(col("event_type"))).as("type_key"),
+      userKey(col("user_id")).as("user_key"),
+      typeKey(col("event_type")).as("type_key"),
       col("value_cents"), col("event_hour"), col("is_weekend"))
 
   /** A4 daily stats: counts, exact distincts, period-of-day conditional

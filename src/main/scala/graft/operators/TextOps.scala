@@ -418,12 +418,19 @@ object TextOps {
     * lambda, degrading to O(n^2*k). Exploding the hashes to rows and
     * taking a sliding window min streams the winnow. */
   def winnowing(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    // Pre-filter on length(text) (= code-point count — cheap, no
+    // hashing): filtering on size(khs) instead would let Catalyst push
+    // the filter below the projection and evaluate the O(n) hash
+    // expression twice per doc. The generator input is the
+    // call_function itself, so the hash array is computed exactly once
+    // per row inside Generate; m derives from length, not from the
+    // array.
     val kgrams = docs
+      .where(length(col("text")) >= k + w - 1)
       .select(col("doc_id"),
-        call_function("kgram_hashes", col("text"), lit(k)).as("khs"))
-      .where(size(col("khs")) >= w) // need at least w k-grams
-      .select(col("doc_id"), size(col("khs")).as("m"),
-        posexplode(col("khs")).as(Seq("j0", "kh")))
+        (length(col("text")) - lit(k - 1)).as("m"),
+        posexplode(call_function("kgram_hashes", col("text"), lit(k)))
+          .as(Seq("j0", "kh")))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("j0"))
       .rowsBetween(0, w - 1)
     kgrams

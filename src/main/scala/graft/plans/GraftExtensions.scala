@@ -25,8 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       new FunctionIdentifier("kgram_hashes"),
       new ExpressionInfo(classOf[KgramRollingHashes].getName, "kgram_hashes"),
-      (children: Seq[Expression]) =>
-        KgramRollingHashes(children(0),
-          children(1).eval().asInstanceOf[Number].intValue)))
+      KgramRollingHashes.build _))
   }
 }

@@ -60,6 +60,23 @@ object KgramRollingHashes {
   private val B = 131L
   private val P = 2147483647L // 2^31 - 1
 
+  /** Registry builder shared by GraftExtensions and GraftFunctions:
+    * validates arity and the constant-k contract up front so misuse
+    * fails at resolution with the expected signature in the message,
+    * not with a raw IndexOutOfBounds/ClassCast later. */
+  def build(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"kgram_hashes(text, k) expects 2 arguments, got ${children.length}")
+    val kExpr = children(1)
+    require(kExpr.foldable,
+      "kgram_hashes(text, k): k must be a constant integer literal")
+    kExpr.eval() match {
+      case n: java.lang.Number => KgramRollingHashes(children(0), n.intValue)
+      case other => throw new IllegalArgumentException(
+        s"kgram_hashes(text, k): k must be an integer, got $other")
+    }
+  }
+
   /** Static entry point shared by eval and generated code. */
   def compute(s: UTF8String, k: Int): ArrayData = {
     val str = s.toString
