@@ -84,6 +84,35 @@ object Suite {
       |            ELSE 'sustained' END AS lifecycle_stage
       |  FROM g)""".stripMargin
 
+  /** A4 daily-stats oracle — shared by the direct StarSchema query and
+    * the EtlJob-pipeline variant (one batch touches all dates, so the
+    * incremental path must produce the identical aggregate). */
+  private val DailyStatsOracle: String =
+    s"""$CleanCte,
+      |base AS (
+      |  SELECT event_date, COUNT(*) AS total_events,
+      |         COUNT(DISTINCT user_id) AS unique_users,
+      |         COUNT(DISTINCT event_type) AS unique_types,
+      |         CAST(SUM(value_cents) AS BIGINT) AS cents,
+      |         COUNT(CASE WHEN time_period='morning' THEN 1 END) AS morning_events,
+      |         COUNT(CASE WHEN time_period='afternoon' THEN 1 END) AS afternoon_events,
+      |         COUNT(CASE WHEN time_period='evening' THEN 1 END) AS evening_events,
+      |         COUNT(CASE WHEN time_period='night' THEN 1 END) AS night_events
+      |  FROM clean GROUP BY event_date),
+      |tt AS (SELECT event_date, event_type AS top_type FROM (
+      |  SELECT event_date, event_type,
+      |         ROW_NUMBER() OVER (PARTITION BY event_date ORDER BY COUNT(*) DESC, event_type) AS rn
+      |  FROM clean GROUP BY event_date, event_type) WHERE rn = 1),
+      |tu AS (SELECT event_date, user_id AS top_user FROM (
+      |  SELECT event_date, user_id,
+      |         ROW_NUMBER() OVER (PARTITION BY event_date ORDER BY COUNT(*) DESC, user_id) AS rn
+      |  FROM clean GROUP BY event_date, user_id) WHERE rn = 1)
+      |SELECT b.event_date, b.total_events, b.unique_users, b.unique_types,
+      |       b.morning_events, b.afternoon_events, b.evening_events, b.night_events,
+      |       tt.top_type, tu.top_user,
+      |       b.cents / CAST(100.0 AS DOUBLE) AS total_value
+      |FROM base b JOIN tt USING (event_date) JOIN tu USING (event_date)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // ---- ETL spine: P1+P2+P3 clean projection -------------------------
     Q("etl_clean_events",
@@ -140,31 +169,16 @@ object Suite {
     // ---- A4 daily stats + W1 window argmax -----------------------------
     Q("etl_daily_stats",
       (s, d) => StarSchema.dailyStats(clean(s, d)),
-      Some(s"""$CleanCte,
-        |base AS (
-        |  SELECT event_date, COUNT(*) AS total_events,
-        |         COUNT(DISTINCT user_id) AS unique_users,
-        |         COUNT(DISTINCT event_type) AS unique_types,
-        |         CAST(SUM(value_cents) AS BIGINT) AS cents,
-        |         COUNT(CASE WHEN time_period='morning' THEN 1 END) AS morning_events,
-        |         COUNT(CASE WHEN time_period='afternoon' THEN 1 END) AS afternoon_events,
-        |         COUNT(CASE WHEN time_period='evening' THEN 1 END) AS evening_events,
-        |         COUNT(CASE WHEN time_period='night' THEN 1 END) AS night_events
-        |  FROM clean GROUP BY event_date),
-        |tt AS (SELECT event_date, event_type AS top_type FROM (
-        |  SELECT event_date, event_type,
-        |         ROW_NUMBER() OVER (PARTITION BY event_date ORDER BY COUNT(*) DESC, event_type) AS rn
-        |  FROM clean GROUP BY event_date, event_type) WHERE rn = 1),
-        |tu AS (SELECT event_date, user_id AS top_user FROM (
-        |  SELECT event_date, user_id,
-        |         ROW_NUMBER() OVER (PARTITION BY event_date ORDER BY COUNT(*) DESC, user_id) AS rn
-        |  FROM clean GROUP BY event_date, user_id) WHERE rn = 1)
-        |SELECT b.event_date, b.total_events, b.unique_users, b.unique_types,
-        |       b.morning_events, b.afternoon_events, b.evening_events, b.night_events,
-        |       tt.top_type, tu.top_user,
-        |       b.cents / CAST(100.0 AS DOUBLE) AS total_value
-        |FROM base b JOIN tt USING (event_date) JOIN tu USING (event_date)""".stripMargin),
+      Some(DailyStatsOracle),
       bench = true),
+
+    // ---- the EtlJob PIPELINE's daily stats against the same oracle:
+    // the composed incremental job (clean -> dedup -> touched-date
+    // recompute) must land on the identical aggregate -------------------
+    Q("etl_job_daily_stats",
+      (s, d) => graft.operators.EtlJob
+        .run(None, Tables(s, d).events, "verify").dailyStats,
+      Some(DailyStatsOracle)),
 
     // ---- J6+A10 zero-filled heatmap grid -------------------------------
     Q("an_heatmap",
