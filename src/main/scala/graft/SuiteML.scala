@@ -386,6 +386,33 @@ object SuiteML {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
         |  FROM sc) WHERE rk <= 10""".stripMargin)),
 
+    // ---- similarity: the IVF trainer — one exact Lloyd update step ------
+    Q("sim_kmeans_step",
+      (s, d) => EmbeddingOps.kmeansStep(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |cents AS (SELECT vec_id AS cent_id, q AS cq, nn AS cn
+        |          FROM e JOIN n USING (vec_id) WHERE vec_id < 16),
+        |eq AS (SELECT e.vec_id, e.q, n.nn FROM e JOIN n USING (vec_id)),
+        |scored AS (
+        |  SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
+        |    SELECT eq.vec_id, c.cent_id, unnest(eq.q) AS a, unnest(c.cq) AS b
+        |    FROM eq, cents c) GROUP BY 1, 2),
+        |rankedc AS (
+        |  SELECT s.vec_id, s.cent_id,
+        |         ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+        |           CAST(s.dot AS DOUBLE) / (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+        |           s.cent_id) AS crk
+        |  FROM scored s JOIN n nv ON nv.vec_id = s.vec_id
+        |                JOIN cents c ON c.cent_id = s.cent_id),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM rankedc WHERE crk = 1),
+        |comp AS (SELECT cl.cell,
+        |                CAST(generate_subscripts(e.q, 1) - 1 AS INTEGER) AS c,
+        |                unnest(e.q) AS v
+        |         FROM cells cl JOIN e ON e.vec_id = cl.vec_id)
+        |SELECT cell, c, COUNT(*) AS n_members,
+        |       CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS mean_v
+        |FROM comp GROUP BY 1, 2""".stripMargin)),
+
     // ---- multimodal plumbing: binary payloads + stubbed decode ----------
     // Feature extraction itself is a stubbed decode (no codecs in this
     // environment) -> rows-only check; the frame-sampling row counts are

@@ -165,6 +165,39 @@ object EmbeddingOps {
       .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
   }
 
+  /** One Lloyd (k-means) update step over the quantized embeddings —
+    * the training half of the IVF coarse quantizer ([[ivfTopK]] is the
+    * serving half): assign every vector to its nearest current
+    * centroid by exact-integer cosine (ties -> smallest centroid id),
+    * then recompute each cell's centroid as the per-component mean of
+    * its members.
+    *
+    * Output stays in exploded (cell, component, mean) form: each mean
+    * is an exact long sum with ONE final division (deterministic and
+    * oracle-checkable), and nothing re-collects arrays through a
+    * nondeterministically-ordered collect_list. Scale shape: centroids
+    * broadcast, corpus scanned once for assignment, component sums are
+    * one map-side-combined shuffle keyed (cell, component). */
+  def kmeansStep(emb: DataFrame, nCentroids: Int = 16): DataFrame = {
+    val e = quantized(emb)
+    val cents = broadcast(e.where(col("vec_id") < nCentroids)
+      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
+        col("nn").as("cn")))
+    val scored = e.join(cents, lit(true))
+      .select(col("vec_id"), col("q"), col("cent_id"),
+        cosine(qdot(col("q"), col("cq")), col("nn"), col("cn")).as("ccos"))
+    val wAssign = Window.partitionBy(col("vec_id"))
+      .orderBy(col("ccos").desc, col("cent_id").asc)
+    scored.withColumn("crk", row_number().over(wAssign))
+      .where(col("crk") === 1)
+      .select(col("cent_id").as("cell"),
+        posexplode(col("q")).as(Seq("c", "v")))
+      .groupBy(col("cell"), col("c"))
+      .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sum_v"))
+      .select(col("cell"), col("c"), col("n_members"),
+        (col("sum_v").cast("double") / col("n_members")).as("mean_v"))
+  }
+
   /** LSH-bucketed nearest neighbor: within each bucket, every vector's
     * top-1 neighbor by exact cosine (the scale path for
     * dedup-by-nearest-neighbor; singleton buckets surface with a null
