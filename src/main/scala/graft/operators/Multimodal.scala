@@ -73,6 +73,19 @@ object Multimodal {
       }(enc)
   }
 
+  /** Fixed-size payload resize: truncate to nBytes, or right-pad with
+    * zero bytes — the byte-level analog of resize-to-fixed-dims (a real
+    * deployment resamples pixels inside the decode stub; the engine
+    * concerns are the schema contract — output payloads are EXACTLY
+    * nBytes — and the transform staying a per-row codegen'd binary
+    * expression that never shuffles the payload). */
+  def resizePayload(media: DataFrame, nBytes: Int = 64): DataFrame =
+    media.select(
+      col("doc_id"), col("media_type"),
+      expr(s"rpad(substring(payload, 1, $nBytes), $nBytes, x'00')")
+        .as("payload"),
+      col("meta"))
+
   /** Frame sampling: split a payload into fixed-size "frames" and keep
     * every strideth one — the video-frame-sample plan shape (explode of
     * a bounded sequence; per-row work stays on the row's partition). */

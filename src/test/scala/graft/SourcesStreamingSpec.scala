@@ -195,4 +195,18 @@ class SourcesStreamingSpec extends SparkSpec {
     // doc 1: 36 bytes, step 16 -> frames at 0, 16, 32
     assert(frames.where($"doc_id" === 1).count() == 3)
   }
+
+  test("multimodal: resizePayload truncates or zero-pads to exact size") {
+    val docs = docsDf(Seq(
+      (1L, "abcdefghijklmnopqrstuvwxyz0123456789", "en", "s1"), // 36 > 16
+      (2L, "short", "en", "s2"))) // 5 < 16
+    val out = Multimodal.resizePayload(Multimodal.toMedia(docs), nBytes = 16)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Array[Byte]]("payload")).toMap
+    assert(out(1L).length == 16 && out(2L).length == 16)
+    assert(new String(out(1L), "UTF-8") == "abcdefghijklmnop") // prefix kept
+    assert(new String(out(2L), 0, 5, "UTF-8") == "short")
+    assert(out(2L).drop(5).forall(_ == 0)) // zero padding
+  }
 }
