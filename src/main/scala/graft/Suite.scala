@@ -826,6 +826,18 @@ object Suite {
         |       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders GROUP BY o_orderpriority""".stripMargin)),
 
+    // ---- S12 with a join: the raw-SQL surface is not SELECT-only ---------
+    Q("sql_join_entry",
+      (s, d) => Sql.run(s, d,
+        """SELECT n_name, COUNT(*) AS n_customers,
+          |       MIN(c_custkey) AS min_custkey
+          |FROM customer JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin),
+      Some("""SELECT n_name, COUNT(*) AS n_customers,
+        |       MIN(c_custkey) AS min_custkey
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin)),
+
     // ---- S12 view layer (dwh.v_today_listening analog) -------------------
     Q("sql_today_view",
       (s, d) => {
