@@ -228,6 +228,22 @@ object SuiteML {
         |  (CAST(length(text) AS BIGINT) + 3) // 4 AS bpe_est_tokens
         |FROM documents""".stripMargin)),
 
+    // ---- curation: deterministic hash-bucket train/val/test split -------
+    Q("text_train_split",
+      (s, d) => TextOps.trainValTestSplit(docs(s, d)),
+      Some("""WITH b AS (
+        |  SELECT doc_id,
+        |         CAST((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 4, 1)) - 1) AS BIGINT) % 10 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket <= 7 THEN 'train'
+        |            WHEN bucket = 8 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM b""".stripMargin)),
+
     // ---- text analysis: exact rank-selection length quantiles -----------
     Q("text_length_quantiles",
       (s, d) => TextOps.lengthQuantiles(docs(s, d)),

@@ -441,6 +441,26 @@ object TextOps {
       .distinct()
   }
 
+  /** Deterministic train/val/test split (8/1/1 by default): every doc
+    * is assigned by a content-independent hash of its id — the split is
+    * reproducible across runs, machines, and engines (md5 is
+    * bit-identical everywhere), requires no shuffle or state, and a
+    * re-run over a grown corpus never reassigns an existing doc. This
+    * is how a training pipeline splits at 100 TB: a per-row expression,
+    * not a global sample(). The bucket is the first 4 hex nibbles of
+    * md5(doc_id) mod 10. */
+  def trainValTestSplit(docs: DataFrame): DataFrame = {
+    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
+      16, 10).cast("long")
+    val bucket = hv % 10
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket <= 7, "train")
+        .when(bucket === 8, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Exact per-language length quantiles (p50/p90/p99 of n_chars) via
     * rank selection: rank every doc within its language (total-order
     * tie-break on doc_id), pick the value at the integer quantile index
