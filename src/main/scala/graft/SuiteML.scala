@@ -228,6 +228,17 @@ object SuiteML {
         |  (CAST(length(text) AS BIGINT) + 3) // 4 AS bpe_est_tokens
         |FROM documents""".stripMargin)),
 
+    // ---- curation: PII scan + redaction ---------------------------------
+    Q("text_pii_scan",
+      (s, d) => TextOps.piiScan(docs(s, d)),
+      Some("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_digit_runs,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9][0-9 -]{6,}[0-9]', '<NUMBER>', 'g')) AS redacted_hash
+        |FROM documents""".stripMargin)),
+
     // ---- curation: deterministic hash-bucket train/val/test split -------
     Q("text_train_split",
       (s, d) => TextOps.trainValTestSplit(docs(s, d)),

@@ -441,6 +441,28 @@ object TextOps {
       .distinct()
   }
 
+  /** PII scan + redaction — the scrubbing pass a training-data
+    * pipeline runs before anything else: count email-like and
+    * long-digit-run (phone/id-like) matches per doc and produce the
+    * redacted text (surfaced as its md5 so the gate row stays
+    * compact). Patterns are deliberately conservative regex that
+    * evaluates identically under Java regex and RE2 (no backrefs, no
+    * lookaround), so the oracle matches byte-for-byte. Per-row
+    * expressions — no shuffle, no state. */
+  def piiScan(docs: DataFrame): DataFrame = {
+    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+    val digitRe = "[0-9][0-9 -]{6,}[0-9]"
+    docs.select(
+      col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(digitRe), lit(0)))
+        .cast("long").as("n_digit_runs"),
+      md5(regexp_replace(
+        regexp_replace(col("text"), emailRe, "<EMAIL>"),
+        digitRe, "<NUMBER>")).as("redacted_hash"))
+  }
+
   /** Deterministic train/val/test split (8/1/1 by default): every doc
     * is assigned by a content-independent hash of its id — the split is
     * reproducible across runs, machines, and engines (md5 is
