@@ -54,6 +54,30 @@ object SuiteML {
        |bands AS ($bands)""".stripMargin
   }
 
+  /** Full minhash near-dup pipeline as CTEs ending in `ndup(doc_a,
+    * doc_b, n_common, na, nb, jaccard)` — shared by the pair query and
+    * the connected-components grouping so the two oracles cannot
+    * drift. */
+  private val MinhashPairsCte: String =
+    s"""$TokCte,
+      |$MinhashSigSql,
+      |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |         FROM bands a JOIN bands b USING (band_idx, band_hash)
+      |         WHERE a.doc_id < b.doc_id),
+      |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+      |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+      |          FROM cand c
+      |          JOIN ds a ON a.doc_id = c.doc_a
+      |          JOIN ds b ON b.doc_id = c.doc_b AND b.s = a.s
+      |          GROUP BY 1, 2),
+      |ndup AS (
+      |  SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+      |         i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+      |  FROM inter i
+      |  JOIN sz sa ON sa.doc_id = i.doc_a
+      |  JOIN sz sb ON sb.doc_id = i.doc_b
+      |  WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7)""".stripMargin
+
   private val SimhashSql: String = {
     val votes = (0 until 32).map(j =>
       s"SUM(CASE WHEN strpos('0123456789abcdef', substr(h,${j + 1},1))-1 >= 8 THEN cnt ELSE -cnt END) AS v$j")
@@ -78,24 +102,22 @@ object SuiteML {
     // ---- dedup: MinHash + LSH banding + exact Jaccard verify ------------
     Q("dedup_minhash_lsh",
       (s, d) => TextOps.nearDupMinhash(docs(s, d)),
-      Some(s"""WITH $TokCte,
-        |$MinhashSigSql,
-        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        |         FROM bands a JOIN bands b USING (band_idx, band_hash)
-        |         WHERE a.doc_id < b.doc_id),
-        |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
-        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
-        |          FROM cand c
-        |          JOIN ds a ON a.doc_id = c.doc_a
-        |          JOIN ds b ON b.doc_id = c.doc_b AND b.s = a.s
-        |          GROUP BY 1, 2)
-        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
-        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
-        |FROM inter i
-        |JOIN sz sa ON sa.doc_id = i.doc_a
-        |JOIN sz sb ON sb.doc_id = i.doc_b
-        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin),
+      Some(s"""WITH $MinhashPairsCte
+        |SELECT doc_a, doc_b, n_common, na, nb, jaccard FROM ndup""".stripMargin),
       bench = true),
+
+    // ---- dedup: pairs -> duplicate GROUPS (connected components) --------
+    Q("dedup_groups",
+      (s, d) => TextOps.dupGroups(
+        TextOps.nearDupMinhash(docs(s, d)).select(col("doc_a"), col("doc_b"))),
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM ndup
+        |          UNION ALL SELECT doc_b, doc_a FROM ndup),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (SELECT id, id AS grp FROM nodes
+        |          UNION
+        |          SELECT e.b AS id, r.grp FROM reach r JOIN edges e ON e.a = r.id)
+        |SELECT id AS doc_id, MIN(grp) AS group_id FROM reach GROUP BY id""".stripMargin)),
 
     // ---- dedup: standalone n-gram Jaccard with prefix blocking ----------
     Q("dedup_ngram_jaccard",

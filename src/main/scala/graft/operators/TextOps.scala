@@ -188,6 +188,49 @@ object TextOps {
         col("nb"), col("jaccard"))
   }
 
+  /** Duplicate GROUPS from near-dup pairs: connected components by
+    * iterative min-label propagation — each doc's group id converges to
+    * the smallest doc_id reachable through the pair graph (the
+    * canonical "keep one survivor per duplicate cluster" step that
+    * follows any pair-producing dedup).
+    *
+    * Each iteration is one distributed join + aggregate; the driver
+    * only counts changed labels to detect the fixpoint (no row data is
+    * ever collected). Converges in O(graph diameter) rounds — dup
+    * clusters are shallow in practice, and `maxIters` bounds the
+    * pathological chain. Min-label propagation is order-independent,
+    * so the result is deterministic and oracle-checkable against a
+    * recursive-CTE transitive closure. */
+  def dupGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val edges = fwd
+      .unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("grp"))
+      .localCheckpoint()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("grp").as("nbr_grp")),
+          Seq("b"))
+        .groupBy(col("a").as("id"))
+        .agg(min(col("nbr_grp")).as("nbr_grp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("grp"), coalesce(col("nbr_grp"), col("grp"))).as("grp"))
+        .localCheckpoint()
+      changed = next
+        .join(labels.select(col("id"), col("grp").as("old")), Seq("id"))
+        .where(col("grp") =!= col("old"))
+        .count()
+      labels = next
+      it += 1
+    }
+    labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
+  }
+
   private val SimhashBits = 32
 
   /** Hex-nibble value (0-15) of md5(word) at position j — the portable

@@ -44,6 +44,14 @@ class TextOpsSpec extends SparkSpec {
     assert(j12 == 1.0)
   }
 
+  test("dupGroups labels every member with its component's min id") {
+    // components: {1,2,3} (chain 1-2, 2-3), {7,9}; isolated docs absent
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val g = TextOps.dupGroups(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("ngram Jaccard with prefix blocking finds dups, skips unrelated") {
     val pairs = TextOps.nearDupNgramJaccard(docs, threshold = 0.5)
       .collect()
