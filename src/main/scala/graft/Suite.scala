@@ -28,9 +28,11 @@ object Suite {
   private def clean(s: SparkSession, dir: String): DataFrame =
     StarSchema.clean(Tables(s, dir).events)
 
-  /** Shared oracle CTE mirroring [[StarSchema.clean]]. */
-  private val CleanCte: String =
-    """WITH clean AS (
+  /** Body of the clean CTE mirroring [[StarSchema.clean]], over a
+    * caller-chosen source relation (the raw table, or a deduped view of
+    * it for pipeline-shaped oracles). */
+  private def cleanBody(src: String): String =
+    s"""clean AS (
       |  SELECT
       |    event_id, user_id, ts,
       |    CAST(ts AS DATE) AS event_date,
@@ -46,15 +48,18 @@ object Suite {
       |    value,
       |    CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
       |    value / CAST(60.0 AS DOUBLE) AS duration_minutes,
-      |    CAST(json_extract_string(props, '$.k') AS INTEGER) AS prop_k,
+      |    CAST(json_extract_string(props, '$$.k') AS INTEGER) AS prop_k,
       |    CAST(CASE WHEN event_type IS NULL OR TRIM(event_type) = '' THEN 0.5
       |              WHEN value IS NULL OR value < 10.0 THEN 0.7
       |              ELSE 1.0 END AS DOUBLE) AS quality_score,
       |    CASE WHEN event_type IS NULL OR TRIM(event_type) = '' THEN 'missing_type'
       |         WHEN value IS NULL OR value < 10.0 THEN 'short_duration'
       |         ELSE '' END AS quality_flag
-      |  FROM events
+      |  FROM $src
       |)""".stripMargin
+
+  /** Shared oracle CTE over the raw events table. */
+  private val CleanCte: String = "WITH " + cleanBody("events")
 
   /** Shared lifecycle CTE (A6): per-user first-event-relative counts
     * plus the conversion/lifecycle CASE buckets — referenced by BOTH
@@ -84,12 +89,11 @@ object Suite {
       |            ELSE 'sustained' END AS lifecycle_stage
       |  FROM g)""".stripMargin
 
-  /** A4 daily-stats oracle — shared by the direct StarSchema query and
-    * the EtlJob-pipeline variant (one batch touches all dates, so the
-    * incremental path must produce the identical aggregate). */
-  private val DailyStatsOracle: String =
-    s"""$CleanCte,
-      |base AS (
+  /** A4 daily-stats aggregation over a `clean` CTE — shared by the
+    * direct StarSchema query and the EtlJob-pipeline variant so a
+    * threshold change cannot update one oracle and miss the other. */
+  private val DailyStatsBody: String =
+    s"""base AS (
       |  SELECT event_date, COUNT(*) AS total_events,
       |         COUNT(DISTINCT user_id) AS unique_users,
       |         COUNT(DISTINCT event_type) AS unique_types,
@@ -112,6 +116,21 @@ object Suite {
       |       tt.top_type, tu.top_user,
       |       b.cents / CAST(100.0 AS DOUBLE) AS total_value
       |FROM base b JOIN tt USING (event_date) JOIN tu USING (event_date)""".stripMargin
+
+  private val DailyStatsOracle: String = s"$CleanCte,\n$DailyStatsBody"
+
+  /** The pipeline variant mirrors EtlJob's upsert-key collapse
+    * STRUCTURALLY: events are deduped on (user_id, ts) keeping the
+    * lowest event_id BEFORE cleaning/aggregating, so the oracle equals
+    * the pipeline by construction even on inputs with duplicate keys
+    * (not merely because the test data happens to have none). */
+  private val DailyStatsOracleDeduped: String =
+    s"""WITH dd AS (
+      |  SELECT event_id, user_id, ts, event_type, value, props FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts
+      |      ORDER BY event_id) AS rn_dd FROM events) WHERE rn_dd = 1),
+      |${cleanBody("dd")},
+      |$DailyStatsBody""".stripMargin
 
   val all: Seq[Q] = Seq(
     // ---- ETL spine: P1+P2+P3 clean projection -------------------------
@@ -172,13 +191,16 @@ object Suite {
       Some(DailyStatsOracle),
       bench = true),
 
-    // ---- the EtlJob PIPELINE's daily stats against the same oracle:
-    // the composed incremental job (clean -> dedup -> touched-date
-    // recompute) must land on the identical aggregate -------------------
+    // ---- the EtlJob PIPELINE's daily stats against the dedup-aware
+    // oracle: the composed incremental job (clean -> upsert-key dedup
+    // -> touched-date recompute) must land on the identical aggregate.
+    // Running it materializes the whole EtlState (fact, dims,
+    // accumulators) — that IS the pipeline's work, deliberately not
+    // skipped here. -------------------------------------------------------
     Q("etl_job_daily_stats",
       (s, d) => graft.operators.EtlJob
         .run(None, Tables(s, d).events, "verify").dailyStats,
-      Some(DailyStatsOracle)),
+      Some(DailyStatsOracleDeduped)),
 
     // ---- J6+A10 zero-filled heatmap grid -------------------------------
     Q("an_heatmap",

@@ -134,9 +134,12 @@ object EmbeddingOps {
     * each query touches |corpus| * nProbe / nCentroids candidates. All
     * scoring is exact-integer cosine, so results are deterministic and
     * oracle-checkable. */
-  def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nQueries: Int = 5,
-      nProbe: Int = 2, k: Int = 10): DataFrame = {
-    val e = quantized(emb)
+  /** Centroid assignment shared by the serving ([[ivfTopK]]) and
+    * training ([[kmeansStep]]) halves of the coarse quantizer: every
+    * vector ranked against the broadcast centroids by exact-integer
+    * cosine (ties -> smallest centroid id). One definition — the two
+    * halves cannot drift on the assignment rule. */
+  private def rankedCentroids(e: DataFrame, nCentroids: Int): DataFrame = {
     val cents = broadcast(e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"),
         col("nn").as("cn")))
@@ -146,7 +149,13 @@ object EmbeddingOps {
           .as("ccos"))
     val wAssign = Window.partitionBy(col("vec_id"))
       .orderBy(col("ccos").desc, col("cent_id").asc)
-    val ranked = scoredCents.withColumn("crk", row_number().over(wAssign))
+    scoredCents.withColumn("crk", row_number().over(wAssign))
+  }
+
+  def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nQueries: Int = 5,
+      nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val e = quantized(emb)
+    val ranked = rankedCentroids(e, nCentroids)
     val cells = ranked.where(col("crk") === 1)
       .select(col("vec_id"), col("q"), col("nn"), col("cent_id").as("cell"))
     val probes = ranked
@@ -178,17 +187,8 @@ object EmbeddingOps {
     * nondeterministically-ordered collect_list. Scale shape: centroids
     * broadcast, corpus scanned once for assignment, component sums are
     * one map-side-combined shuffle keyed (cell, component). */
-  def kmeansStep(emb: DataFrame, nCentroids: Int = 16): DataFrame = {
-    val e = quantized(emb)
-    val cents = broadcast(e.where(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-        col("nn").as("cn")))
-    val scored = e.join(cents, lit(true))
-      .select(col("vec_id"), col("q"), col("cent_id"),
-        cosine(qdot(col("q"), col("cq")), col("nn"), col("cn")).as("ccos"))
-    val wAssign = Window.partitionBy(col("vec_id"))
-      .orderBy(col("ccos").desc, col("cent_id").asc)
-    scored.withColumn("crk", row_number().over(wAssign))
+  def kmeansStep(emb: DataFrame, nCentroids: Int = 16): DataFrame =
+    rankedCentroids(quantized(emb), nCentroids)
       .where(col("crk") === 1)
       .select(col("cent_id").as("cell"),
         posexplode(col("q")).as(Seq("c", "v")))
@@ -196,7 +196,6 @@ object EmbeddingOps {
       .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sum_v"))
       .select(col("cell"), col("c"), col("n_members"),
         (col("sum_v").cast("double") / col("n_members")).as("mean_v"))
-  }
 
   /** LSH-bucketed nearest neighbor: within each bucket, every vector's
     * top-1 neighbor by exact cosine (the scale path for

@@ -82,7 +82,10 @@ object Multimodal {
   def resizePayload(media: DataFrame, nBytes: Int = 64): DataFrame =
     media.select(
       col("doc_id"), col("media_type"),
-      expr(s"rpad(substring(payload, 1, $nBytes), $nBytes, x'00')")
+      // null payloads resize to nBytes of zeros — the exactly-nBytes
+      // contract holds for every row (extractFeatures makes the same
+      // null-payload promise)
+      expr(s"rpad(substring(coalesce(payload, x''), 1, $nBytes), $nBytes, x'00')")
         .as("payload"),
       col("meta"))
 

@@ -198,10 +198,14 @@ object TextOps {
     * only counts changed labels to detect the fixpoint (no row data is
     * ever collected). Converges in O(graph diameter) rounds — dup
     * clusters are shallow in practice, and `maxIters` bounds the
-    * pathological chain. Min-label propagation is order-independent,
-    * so the result is deterministic and oracle-checkable against a
-    * recursive-CTE transitive closure. */
-  def dupGroups(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    * pathological chain; hitting the bound without converging THROWS
+    * rather than silently returning split clusters. Superseded label
+    * checkpoints (<= maxIters small frames) are reclaimed by the
+    * ContextCleaner when they become unreachable. Min-label
+    * propagation is order-independent, so the result is deterministic
+    * and oracle-checkable against a recursive-CTE transitive
+    * closure. */
+  def dupGroups(pairs: DataFrame, maxIters: Int = 50): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = fwd
       .unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
@@ -228,6 +232,9 @@ object TextOps {
       labels = next
       it += 1
     }
+    require(changed == 0,
+      s"dupGroups did not converge within $maxIters iterations " +
+        "(duplicate-chain diameter exceeds the bound); raise maxIters")
     labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
   }
 

@@ -208,5 +208,15 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(new String(out(1L), "UTF-8") == "abcdefghijklmnop") // prefix kept
     assert(new String(out(2L), 0, 5, "UTF-8") == "short")
     assert(out(2L).drop(5).forall(_ == 0)) // zero padding
+
+    // a null payload resizes to nBytes of zeros — the exactly-nBytes
+    // contract holds on dirty input too
+    val mediaNull = Seq((9L, "text/plain")).toDF("doc_id", "media_type")
+      .withColumn("payload", lit(null).cast("binary"))
+      .withColumn("meta", struct(lit("s").as("source"),
+        lit("en").as("lang"), lit(null).cast("long").as("n_bytes")))
+    val rn = Multimodal.resizePayload(mediaNull, nBytes = 16)
+      .collect()(0).getAs[Array[Byte]]("payload")
+    assert(rn.length == 16 && rn.forall(_ == 0))
   }
 }

@@ -44,6 +44,27 @@ class TextOpsSpec extends SparkSpec {
     assert(j12 == 1.0)
   }
 
+  test("piiScan counts and redacts emails and digit runs") {
+    // the driver corpus contains no PII at all, so the oracle row alone
+    // is vacuous — this spec feeds actual matches through both patterns
+    val d = docsDf(Seq(
+      (1L, "contact me at jane.doe+x@example.org or bob@test.io now", "en", "s"),
+      (2L, "call 555-123-4567 or 555 987 6543 today", "en", "s"),
+      (3L, "clean text with no pii at all", "en", "s")))
+    val r = TextOps.piiScan(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_emails"), x.getAs[Long]("n_digit_runs"),
+          x.getAs[String]("redacted_hash"))).toMap
+    assert(r(1L)._1 == 2L && r(1L)._2 == 0L)
+    assert(r(2L)._1 == 0L && r(2L)._2 == 2L)
+    assert(r(3L) == (0L, 0L,
+      // untouched text hashes to its own md5
+      d.where($"doc_id" === 3).select(md5($"text")).collect()(0).getString(0)))
+    // redaction actually replaced the matches (hash differs from raw)
+    assert(r(1L)._3 !=
+      d.where($"doc_id" === 1).select(md5($"text")).collect()(0).getString(0))
+  }
+
   test("dupGroups labels every member with its component's min id") {
     // components: {1,2,3} (chain 1-2, 2-3), {7,9}; isolated docs absent
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
