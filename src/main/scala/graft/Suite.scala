@@ -342,6 +342,19 @@ object Suite {
         |UNION ALL SELECT 'only_h2' AS tag, user_id FROM (SELECT * FROM h2 EXCEPT SELECT * FROM h1)
         |UNION ALL SELECT 'any' AS tag, user_id FROM (SELECT * FROM h1 UNION SELECT * FROM h2)""".stripMargin)),
 
+    // ---- §2.7 multiset (ALL) set operations -------------------------------------
+    Q("an_set_ops_all",
+      (s, d) => Analytics.setOpsAll(clean(s, d)),
+      Some(s"""$CleanCte,
+        |sp AS (SELECT CAST(min(ts) AS DATE) + 15 AS sd FROM events),
+        |h1 AS (SELECT event_type, event_hour FROM clean, sp WHERE event_date < sp.sd),
+        |h2 AS (SELECT event_type, event_hour FROM clean, sp WHERE event_date >= sp.sd)
+        |SELECT 'common_bag' AS tag, event_type, event_hour
+        |FROM (SELECT * FROM h1 INTERSECT ALL SELECT * FROM h2)
+        |UNION ALL
+        |SELECT 'h1_surplus' AS tag, event_type, event_hour
+        |FROM (SELECT * FROM h1 EXCEPT ALL SELECT * FROM h2)""".stripMargin)),
+
     // ---- §2.9 watermark incremental scan ----------------------------------------
     Q("etl_incremental_watermark",
       (s, d) => Analytics.incrementalAfterWatermark(clean(s, d)),

@@ -234,6 +234,26 @@ object Analytics {
         .select(lit("any").as("tag"), col("user_id")))
   }
 
+  /** §2.7 multiset forms: INTERSECT ALL / EXCEPT ALL keep duplicate
+    * multiplicity (min / difference of per-row counts) — the bag
+    * semantics sibling of [[setOps]]'s distinct forms. Input rows are
+    * (event_type, event_hour) pairs from each half of the window, so
+    * multiplicities are real. */
+  def setOpsAll(clean: DataFrame): DataFrame = {
+    val split = clean.agg(date_add(min(col("event_date")), 15).as("s"))
+    val tagged = clean.crossJoin(broadcast(split))
+    val h1 = tagged.where(col("event_date") < col("s"))
+      .select(col("event_type"), col("event_hour"))
+    val h2 = tagged.where(col("event_date") >= col("s"))
+      .select(col("event_type"), col("event_hour"))
+    h1.intersectAll(h2)
+      .select(lit("common_bag").as("tag"), col("event_type"),
+        col("event_hour"))
+      .unionAll(h1.exceptAll(h2)
+        .select(lit("h1_surplus").as("tag"), col("event_type"),
+          col("event_hour")))
+  }
+
   /** A8 (dashboard/artist.py:22): discovery counts at daily grain. */
   def discoveryDaily(clean: DataFrame): DataFrame =
     clean.groupBy(col("user_id"))
