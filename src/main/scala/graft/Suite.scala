@@ -464,6 +464,20 @@ object Suite {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_date, o_orderkey)""".stripMargin),
       bench = true),
 
+    // ---- W-family: value-based RANGE frame (trailing 30-day spend) -------
+    Q("rel_trailing_spend",
+      (s, d) => Relational.trailingSpend(Tables(s, d)),
+      Some("""WITH o AS (
+        |  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS o_date,
+        |         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS di,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_date,
+        |  CAST(SUM(price_cents) OVER (PARTITION BY o_custkey ORDER BY di
+        |    RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    / CAST(100.0 AS DOUBLE) AS trailing_spend
+        |FROM o""".stripMargin)),
+
     // ---- P3 TEXT[] quality flags. qualityFlagsArray stays the
     // TEXT[]-parity API; the registered query surfaces the array as a
     // deterministic joined string because the driver's pandas

@@ -151,6 +151,27 @@ object Relational {
         (col("price_cents") / lit(100.0)).as("order_total"))
   }
 
+  /** Value-based RANGE window frame (vs [[customerOrderWindows]]'s
+    * ROWS frames): each order's trailing-30-day spend for its customer
+    * — the frame is bounded by the ORDER BY VALUE (days since epoch),
+    * not by row offsets, so date gaps and same-day peer rows behave
+    * per SQL RANGE semantics in both engines. Exact cents, one final
+    * division. */
+  def trailingSpend(t: Tables, days: Int = 30): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_date_int"))
+      .rangeBetween(-(days - 1).toLong, 0L)
+    t.orders
+      .select(col("o_custkey"), col("o_orderkey"),
+        to_date(col("o_orderdate")).as("o_date"),
+        datediff(to_date(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("o_date_int"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .withColumn("trailing_cents", sum(col("price_cents")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_date"),
+        (col("trailing_cents") / lit(100.0)).as("trailing_spend"))
+  }
+
   /** Supplier-side star join (J4 over the remaining dimension chain):
     * suppliers per nation/region with account-balance stats. */
   def supplierByNation(t: Tables): DataFrame =
