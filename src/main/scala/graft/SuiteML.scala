@@ -144,6 +144,21 @@ object SuiteML {
         |JOIN sz sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.5""".stripMargin)),
 
+    // ---- dedup: the surviving corpus after group resolution -------------
+    Q("dedup_survivors",
+      (s, d) => TextOps.dedupSurvivors(docs(s, d)),
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM ndup
+        |          UNION ALL SELECT doc_b, doc_a FROM ndup),
+        |nodes AS (SELECT DISTINCT a AS id FROM edges),
+        |reach AS (SELECT id, id AS grp FROM nodes
+        |          UNION
+        |          SELECT e.b AS id, r.grp FROM reach r JOIN edges e ON e.a = r.id),
+        |grp AS (SELECT id AS doc_id, MIN(grp) AS group_id FROM reach GROUP BY id),
+        |losers AS (SELECT doc_id FROM grp WHERE doc_id <> group_id)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
+
     // ---- dedup: SimHash + lossless byte-banding -------------------------
     Q("dedup_simhash",
       (s, d) => TextOps.nearDupSimhash(docs(s, d)),

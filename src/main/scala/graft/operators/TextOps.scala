@@ -238,6 +238,20 @@ object TextOps {
     labels.select(col("id").as("doc_id"), col("grp").as("group_id"))
   }
 
+  /** End-to-end dedup: the surviving corpus — every doc except
+    * non-minimum members of near-duplicate groups (pairs from
+    * [[nearDupMinhash]], groups from [[dupGroups]], survivor = the
+    * group's min doc_id). The left_anti keeps docs outside any dup
+    * group untouched; only group-member ids shuffle. */
+  def dedupSurvivors(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val losers = dupGroups(
+        nearDupMinhash(docs, threshold).select(col("doc_a"), col("doc_b")))
+      .where(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
   private val SimhashBits = 32
 
   /** Hex-nibble value (0-15) of md5(word) at position j — the portable
