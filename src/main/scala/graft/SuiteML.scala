@@ -78,6 +78,19 @@ object SuiteML {
       |  JOIN sz sb ON sb.doc_id = i.doc_b
       |  WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7)""".stripMargin
 
+  /** Connected-components closure over `ndup` pairs ending in
+    * `grp(doc_id, group_id)` — shared by dedup_groups and
+    * dedup_survivors so the two oracles cannot drift on what a
+    * component (and hence a survivor) is. Requires WITH RECURSIVE. */
+  private val ClosureCte: String =
+    """edges AS (SELECT doc_a AS a, doc_b AS b FROM ndup
+      |          UNION ALL SELECT doc_b, doc_a FROM ndup),
+      |nodes AS (SELECT DISTINCT a AS id FROM edges),
+      |reach AS (SELECT id, id AS grp FROM nodes
+      |          UNION
+      |          SELECT e.b AS id, r.grp FROM reach r JOIN edges e ON e.a = r.id),
+      |grp AS (SELECT id AS doc_id, MIN(grp) AS group_id FROM reach GROUP BY id)""".stripMargin
+
   private val SimhashSql: String = {
     val votes = (0 until 32).map(j =>
       s"SUM(CASE WHEN strpos('0123456789abcdef', substr(h,${j + 1},1))-1 >= 8 THEN cnt ELSE -cnt END) AS v$j")
@@ -111,13 +124,8 @@ object SuiteML {
       (s, d) => TextOps.dupGroups(
         TextOps.nearDupMinhash(docs(s, d)).select(col("doc_a"), col("doc_b"))),
       Some(s"""WITH RECURSIVE $MinhashPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM ndup
-        |          UNION ALL SELECT doc_b, doc_a FROM ndup),
-        |nodes AS (SELECT DISTINCT a AS id FROM edges),
-        |reach AS (SELECT id, id AS grp FROM nodes
-        |          UNION
-        |          SELECT e.b AS id, r.grp FROM reach r JOIN edges e ON e.a = r.id)
-        |SELECT id AS doc_id, MIN(grp) AS group_id FROM reach GROUP BY id""".stripMargin)),
+        |$ClosureCte
+        |SELECT doc_id, group_id FROM grp""".stripMargin)),
 
     // ---- dedup: standalone n-gram Jaccard with prefix blocking ----------
     Q("dedup_ngram_jaccard",
@@ -148,13 +156,7 @@ object SuiteML {
     Q("dedup_survivors",
       (s, d) => TextOps.dedupSurvivors(docs(s, d)),
       Some(s"""WITH RECURSIVE $MinhashPairsCte,
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM ndup
-        |          UNION ALL SELECT doc_b, doc_a FROM ndup),
-        |nodes AS (SELECT DISTINCT a AS id FROM edges),
-        |reach AS (SELECT id, id AS grp FROM nodes
-        |          UNION
-        |          SELECT e.b AS id, r.grp FROM reach r JOIN edges e ON e.a = r.id),
-        |grp AS (SELECT id AS doc_id, MIN(grp) AS group_id FROM reach GROUP BY id),
+        |$ClosureCte,
         |losers AS (SELECT doc_id FROM grp WHERE doc_id <> group_id)
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),

@@ -157,11 +157,16 @@ object Relational {
     * not by row offsets, so date gaps and same-day peer rows behave
     * per SQL RANGE semantics in both engines. Exact cents, one final
     * division. */
-  def trailingSpend(t: Tables, days: Int = 30): DataFrame = {
+  def trailingSpend(t: Tables, days: Int = 30): DataFrame =
+    trailingSpendOf(t.orders, days)
+
+  /** DataFrame form of [[trailingSpend]] (unit-testable without a
+    * parquet-backed Tables). */
+  def trailingSpendOf(orders: DataFrame, days: Int): DataFrame = {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_date_int"))
       .rangeBetween(-(days - 1).toLong, 0L)
-    t.orders
+    orders
       .select(col("o_custkey"), col("o_orderkey"),
         to_date(col("o_orderdate")).as("o_date"),
         datediff(to_date(col("o_orderdate")), lit("1970-01-01"))

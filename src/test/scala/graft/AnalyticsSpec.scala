@@ -91,6 +91,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(d(1).getAs[Long]("prev_events") == d(0).getAs[Long]("n_events"))
   }
 
+  test("setOpsAll preserves duplicate multiplicities (§2.7 bag forms)") {
+    val ev = StarSchema.clean(eventsDf(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "play", 1.0, "{}"),
+      (2L, 1L, "2024-01-01 10:30:00", "play", 1.0, "{}"), // play@10 x2 in h1
+      (3L, 1L, "2024-01-01 11:00:00", "skip", 1.0, "{}"), // skip@11 x1 in h1
+      (4L, 2L, "2024-01-20 10:00:00", "play", 1.0, "{}"), // play@10 x1 in h2
+      (5L, 2L, "2024-01-20 11:00:00", "skip", 1.0, "{}"),
+      (6L, 2L, "2024-01-20 11:30:00", "skip", 1.0, "{}")))) // skip@11 x2
+    val r = Analytics.setOpsAll(ev)
+      .groupBy($"tag", $"event_type", $"event_hour").count().collect()
+      .map(x => (x.getString(0), x.getString(1), x.getInt(2)) -> x.getLong(3))
+      .toMap
+    // common bag keeps MIN multiplicity; surplus keeps the difference
+    assert(r(("common_bag", "play", 10)) == 1L)
+    assert(r(("common_bag", "skip", 11)) == 1L)
+    assert(r(("h1_surplus", "play", 10)) == 1L)
+    assert(r.keys.count(_._1 == "h1_surplus") == 1)
+  }
+
   test("discoveryBySegment groups first-seen dates by enrichment attr (A9)") {
     val customer = Seq((10L, "BUILDING"), (11L, "AUTOMOBILE"))
       .toDF("c_custkey", "c_mktsegment")

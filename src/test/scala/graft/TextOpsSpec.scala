@@ -73,6 +73,13 @@ class TextOpsSpec extends SparkSpec {
     assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("dedupSurvivors keeps the min doc per group and all non-dups") {
+    // {1,2,3} form one near-dup group (min=1); 4 is unrelated
+    val s = TextOps.dedupSurvivors(docs).select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(s == Set(1L, 4L))
+  }
+
   test("ngram Jaccard with prefix blocking finds dups, skips unrelated") {
     val pairs = TextOps.nearDupNgramJaccard(docs, threshold = 0.5)
       .collect()
