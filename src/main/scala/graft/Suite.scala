@@ -812,6 +812,35 @@ object Suite {
         |                                     AND CAST(o.o_orderdate AS DATE) + 29
         |GROUP BY 1, 2""".stripMargin)),
 
+    // ---- bucketed co-located join (Warehouse.saveBucketed): both
+    // sides are hash-distributed into the same bucket layout at write
+    // time, so the join runs with NO shuffle exchange on either side
+    // (BucketedJoinSpec asserts the plan; this row pins the RESULT —
+    // the oracle is the plain join, because bucketing must never
+    // change the answer, only the distribution). ---------------------------
+    Q("rel_bucketed_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        graft.operators.Warehouse.saveBucketed(
+          t.lineitem.select(col("l_orderkey"),
+            graft.functions.TimeFns.cents(col("l_extendedprice"))
+              .as("price_c")),
+          "bq_lineitem", "l_orderkey", 8)
+        graft.operators.Warehouse.saveBucketed(
+          t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+          "bq_orders", "o_orderkey", 8)
+        s.table("bq_lineitem")
+          .join(s.table("bq_orders"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_items"),
+            (sum(col("price_c")) / lit(100.0)).as("revenue"))
+      },
+      Some("""SELECT o.o_orderpriority, COUNT(*) AS n_items,
+        |       CAST(SUM(CAST(ROUND(l.l_extendedprice*100) AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin)),
+
     // ---- exact distinct-by-type: the oracle-checked exact twin of the
     // HLL sketch below (same grouping, exact countDistinct) ---------------
     Q("an_distinct_by_type",
@@ -826,16 +855,23 @@ object Suite {
 
     // ---- approximate distinct (HLL++): at 100 TB the exact
     // countDistinct is the expensive special case and the sketch is the
-    // default. Estimates are engine-specific -> no SQL oracle; the
-    // driver records a rows-only check, and the spec asserts the
-    // estimate lands within the configured error. ------------------------
+    // default. The raw estimate is engine-specific, so the driver-checked
+    // contract is the ERROR BOUND: |approx - exact| / exact <= 0.1 (the
+    // same bound AnalyticsSpec pins at rsd 0.02), surfaced as a boolean
+    // next to the exact counts the oracle recomputes. ----------------------
     Q("an_approx_distinct",
       (s, d) => clean(s, d)
         .groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-          count(lit(1)).as("n_events")),
-      None),
+          count(lit(1)).as("n_events"))
+        .select(col("event_type"), col("exact_users"), col("n_events"),
+          (abs(col("approx_users") - col("exact_users")).cast("double")
+            <= col("exact_users") * lit(0.1)).as("within_pct")),
+      Some(s"""$CleanCte
+        |SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+        |       COUNT(*) AS n_events, TRUE AS within_pct
+        |FROM clean GROUP BY event_type""".stripMargin)),
 
     // ---- skew mitigation (100 TB path): the salted two-phase count
     // and the salted replicate-join must be RESULT-IDENTICAL to their

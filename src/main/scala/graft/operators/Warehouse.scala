@@ -50,11 +50,23 @@ object Warehouse {
     * query). Requires saveAsTable (bucket metadata lives in the
     * catalog). */
   def saveBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit =
+      buckets: Int): Unit = {
+    val s = df.sparkSession
+    // overwrite semantics across SESSIONS, not just within one: drop
+    // any catalog entry, then clear a stray managed-table directory a
+    // previous session may have left (saveAsTable refuses to reuse an
+    // existing location it has no catalog entry for —
+    // LOCATION_ALREADY_EXISTS)
+    s.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 }

@@ -39,7 +39,8 @@ class SuiteContractSpec extends SparkSpec {
 
   test("oracle coverage: every query has an oracle or a documented rows-only reason") {
     val noOracle = Suite.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the only intentional rows-only checks: engine-specific outputs
-    assert(noOracle == Set("mm_features", "an_approx_distinct"), noOracle)
+    // the only intentional rows-only check: the stubbed media decode
+    // (an_approx_distinct is oracle-checked via its error-bound contract)
+    assert(noOracle == Set("mm_features"), noOracle)
   }
 }
