@@ -94,9 +94,13 @@ object EmbeddingOps {
     * Charikar STOC 2002): plane j's coefficient at
     * component c is (2*nibble - 15) where nibble is the c-th hex digit
     * of md5("p{j}a")||md5("p{j}b") — odd integers in [-15, 15],
-    * identical in any engine with md5. 512 rows, broadcast. */
-  def planes(emb: DataFrame): DataFrame =
-    emb.sparkSession.range(NPlanes.toLong)
+    * identical in any engine with md5. nPlanes*Dim rows, broadcast.
+    * `nPlanes` sizes the bucket space (2^nPlanes buckets): more planes
+    * -> smaller buckets -> cheaper per-bucket pair joins but lower
+    * per-bucket recall; [[lshNearestNeighborMultiprobe]] buys the
+    * recall back. */
+  def planes(emb: DataFrame, nPlanes: Int = NPlanes): DataFrame =
+    emb.sparkSession.range(nPlanes.toLong)
       .select(col("id").cast("int").as("plane"),
         concat(md5(concat(lit("p"), col("id"), lit("a"))),
           md5(concat(lit("p"), col("id"), lit("b")))).as("hex"))
@@ -109,12 +113,12 @@ object EmbeddingOps {
 
   /** LSH bucket id per vector: bit j of the bucket is the sign of the
     * exact integer dot(q, plane_j). */
-  def bucketed(emb: DataFrame): DataFrame = {
+  def bucketed(emb: DataFrame, nPlanes: Int = NPlanes): DataFrame = {
     val e = quantized(emb)
     val comps = e.select(col("vec_id"),
       posexplode(col("q")).as(Seq("c", "qc")))
     val signs = comps
-      .join(broadcast(planes(emb)), Seq("c"))
+      .join(broadcast(planes(emb, nPlanes)), Seq("c"))
       .groupBy(col("vec_id"), col("plane"))
       .agg(sum(col("qc") * col("coef")).as("pdot"))
       .groupBy(col("vec_id"))
@@ -134,16 +138,22 @@ object EmbeddingOps {
     * each query touches |corpus| * nProbe / nCentroids candidates. All
     * scoring is exact-integer cosine, so results are deterministic and
     * oracle-checkable. */
-  /** Centroid assignment shared by the serving ([[ivfTopK]]) and
-    * training ([[kmeansStep]]) halves of the coarse quantizer: every
-    * vector ranked against the broadcast centroids by exact-integer
-    * cosine (ties -> smallest centroid id). One definition — the two
-    * halves cannot drift on the assignment rule. */
-  private def rankedCentroids(e: DataFrame, nCentroids: Int): DataFrame = {
-    val cents = broadcast(e.where(col("vec_id") < nCentroids)
+  /** Deterministic seed centroids: the first `nCentroids` vectors of
+    * the corpus (cent_id, cq, cn) — the coarse quantizer's starting
+    * point for both serving and training. */
+  def seedCentroids(e: DataFrame, nCentroids: Int): DataFrame =
+    e.where(col("vec_id") < nCentroids)
       .select(col("vec_id").as("cent_id"), col("q").as("cq"),
-        col("nn").as("cn")))
-    val scoredCents = e.join(cents, lit(true))
+        col("nn").as("cn"))
+
+  /** Centroid assignment shared by the serving ([[ivfTopK]]) and
+    * training ([[kmeansStep]], [[kmeansCentroids]]) halves of the
+    * coarse quantizer: every vector ranked against the broadcast
+    * centroids by exact-integer cosine (ties -> smallest centroid id).
+    * One definition — the two halves cannot drift on the assignment
+    * rule. Centroids are centroid-cardinality, always broadcast. */
+  private def rankedAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
+    val scoredCents = e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("q"), col("nn"), col("cent_id"),
         cosine(qdot(col("q"), col("cq")), col("nn"), col("cn"))
           .as("ccos"))
@@ -152,10 +162,15 @@ object EmbeddingOps {
     scoredCents.withColumn("crk", row_number().over(wAssign))
   }
 
-  def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nQueries: Int = 5,
+  private def rankedCentroids(e: DataFrame, nCentroids: Int): DataFrame =
+    rankedAgainst(e, seedCentroids(e, nCentroids))
+
+  /** IVF probe against an EXPLICIT centroid frame (cent_id, cq, cn) —
+    * the serving half once a trained quantizer exists. [[ivfTopK]] is
+    * the seed-centroid special case. `e` is the [[quantized]] corpus. */
+  def ivfTopKWith(e: DataFrame, cents: DataFrame, nQueries: Int = 5,
       nProbe: Int = 2, k: Int = 10): DataFrame = {
-    val e = quantized(emb)
-    val ranked = rankedCentroids(e, nCentroids)
+    val ranked = rankedAgainst(e, cents)
     val cells = ranked.where(col("crk") === 1)
       .select(col("vec_id"), col("q"), col("nn"), col("cent_id").as("cell"))
     val probes = ranked
@@ -172,6 +187,12 @@ object EmbeddingOps {
       .withColumn("rk", row_number().over(wTop))
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nQueries: Int = 5,
+      nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val e = quantized(emb)
+    ivfTopKWith(e, seedCentroids(e, nCentroids), nQueries, nProbe, k)
   }
 
   /** One Lloyd (k-means) update step over the quantized embeddings —
@@ -197,18 +218,130 @@ object EmbeddingOps {
       .select(col("cell"), col("c"), col("n_members"),
         (col("sum_v").cast("double") / col("n_members")).as("mean_v"))
 
+  /** The closed training loop: `iters` Lloyd rounds, each assigning by
+    * exact-integer cosine and recomputing centroids as the per-cell
+    * component means RE-QUANTIZED to integer milli-units
+    * (round(sum/n) — half away from zero, identical in Spark and
+    * DuckDB), so every round's centroids live in the same exact-integer
+    * domain as the vectors and the whole loop stays deterministic and
+    * oracle-checkable. Cells that lose all members drop out (standard
+    * Lloyd degeneracy; cell count can only shrink).
+    *
+    * Scale shape per round: centroids broadcast, one corpus scan for
+    * assignment, component sums one map-side-combined shuffle keyed
+    * (cell, c); the new centroid frame (<= nCentroids rows) is
+    * localCheckpointed so round t+1's plan does not re-derive round t.
+    * Returns (cent_id, cq, cn) ready for [[ivfTopKWith]]. */
+  def kmeansCentroids(emb: DataFrame, nCentroids: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val e = quantized(emb).localCheckpoint()
+    var cents = seedCentroids(e, nCentroids).localCheckpoint()
+    for (_ <- 0 until iters) {
+      cents = rankedAgainst(e, cents)
+        .where(col("crk") === 1)
+        .select(col("cent_id").as("cell"),
+          posexplode(col("q")).as(Seq("c", "v")))
+        .groupBy(col("cell"), col("c"))
+        .agg(round(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("mq"))
+        .groupBy(col("cell").as("cent_id"))
+        // array_sort on (c, mq) structs orders by the unique component
+        // index, so re-assembly is deterministic (no collect_list order
+        // dependence)
+        .agg(transform(
+          array_sort(collect_list(struct(col("c"), col("mq")))),
+          x => x.getField("mq")).as("cq"))
+        .withColumn("cn",
+          aggregate(col("cq"), lit(0L), (acc, x) => acc + x * x))
+        .localCheckpoint()
+    }
+    cents
+  }
+
+  /** Clustering objective for the trained quantizer: per-corpus sum of
+    * (1 - cos(vector, assigned centroid)) plus the member count — the
+    * spherical-k-means inertia the trainer is descending. One row;
+    * used by specs to pin that more Lloyd rounds never worsen the
+    * objective on the fixed test corpus. */
+  def kmeansObjective(emb: DataFrame, cents: DataFrame): DataFrame =
+    rankedAgainst(quantized(emb), cents)
+      .where(col("crk") === 1)
+      .agg(sum(lit(1.0) - col("ccos")).as("inertia"),
+        count(lit(1)).as("n_vectors"))
+
+  /** recall@k of the TRAINED IVF probe against the exact brute-force
+    * top-k ([[annTopK]]) — the measurement that closes the ANN loop:
+    * per query, how many of the true k nearest the nprobe-cell search
+    * found. Both sides are deterministic, so the recall is an exact
+    * integer ratio the oracle recomputes end-to-end (including the
+    * Lloyd rounds). */
+  def ivfRecall(emb: DataFrame, nCentroids: Int = 16, iters: Int = 2,
+      nQueries: Int = 5, nProbe: Int = 4, k: Int = 10): DataFrame = {
+    val e = quantized(emb)
+    val brute = annTopK(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val ivf = ivfTopKWith(e, kmeansCentroids(emb, nCentroids, iters),
+        nQueries, nProbe, k)
+      .select(col("query_id"), col("vec_id"))
+    val hits = brute.join(ivf, Seq("query_id", "vec_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    brute.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_hits"), lit(0L)).cast("double") / k)
+          .as("recall_at_k"))
+  }
+
   /** LSH-bucketed nearest neighbor: within each bucket, every vector's
     * top-1 neighbor by exact cosine (the scale path for
     * dedup-by-nearest-neighbor; singleton buckets surface with a null
     * neighbor). */
-  def lshNearestNeighbor(emb: DataFrame): DataFrame = {
-    val b = bucketed(emb)
+  def lshNearestNeighbor(emb: DataFrame,
+      nPlanes: Int = NPlanes): DataFrame = {
+    val b = bucketed(emb, nPlanes)
     val pairs = b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
         col("b.vec_id").as("nn_id"),
         cosine(qdot(col("a.q"), col("b.q")), col("a.nn"), col("b.nn"))
+          .as("cos"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    val best = pairs.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1).drop("rk")
+    b.select(col("vec_id"), col("bucket"))
+      .join(best.select(col("vec_id"), col("nn_id"), col("cos")),
+        Seq("vec_id"), "left")
+  }
+
+  /** Multi-probe LSH nearest neighbor (after Lv et al., "Multi-probe
+    * LSH: efficient indexing for high-dimensional similarity search",
+    * VLDB 2007, restricted to the deterministic Hamming-1 probe set):
+    * each vector searches its own bucket PLUS the nPlanes buckets at
+    * Hamming distance 1 (one sign bit flipped) — the buckets a
+    * borderline vector most likely fell into. Candidate volume grows
+    * (nPlanes+1)x while recall approaches a coarser single-probe
+    * table's; at scale this is the standard way to RAISE nPlanes
+    * (shrinking buckets, and per-bucket quadratic pair cost) without
+    * losing neighbors — the fix for the fixed-8-planes limitation.
+    * A candidate lives in exactly one bucket, so probe targets are
+    * distinct and no pair is scored twice. Singleton-probe-space
+    * vectors surface with a null neighbor like [[lshNearestNeighbor]]. */
+  def lshNearestNeighborMultiprobe(emb: DataFrame,
+      nPlanes: Int = NPlanes): DataFrame = {
+    val b = bucketed(emb, nPlanes).localCheckpoint()
+    val probeCols = col("bucket") +:
+      (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
+    val probes = b.select(col("vec_id"), col("q"), col("nn"),
+      col("bucket"), explode(array(probeCols: _*)).as("pb"))
+    val cand = b.select(col("vec_id").as("nn_id"), col("q").as("cq"),
+      col("nn").as("cn"), col("bucket").as("cb"))
+    val pairs = probes.join(cand,
+        col("pb") === col("cb") && col("vec_id") =!= col("nn_id"))
+      .select(col("vec_id"), col("bucket"), col("nn_id"),
+        cosine(qdot(col("q"), col("cq")), col("nn"), col("cn"))
           .as("cos"))
     val w = Window.partitionBy(col("vec_id"))
       .orderBy(col("cos").desc, col("nn_id").asc)

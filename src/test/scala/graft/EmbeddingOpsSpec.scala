@@ -53,4 +53,39 @@ class EmbeddingOpsSpec extends SparkSpec {
     val bad = p.where($"coef" < -15 || $"coef" > 15 || $"coef" % 2 === 0)
     assert(bad.count() == 0)
   }
+
+  test("planes count scales with nPlanes") {
+    assert(EmbeddingOps.planes(emb, 10).count() == 10 * 64)
+  }
+
+  test("kmeansCentroids: more Lloyd rounds never worsen the objective") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val objs = (0 to 2).map { n =>
+      val cents = EmbeddingOps.kmeansCentroids(e, nCentroids = 16, iters = n)
+      EmbeddingOps.kmeansObjective(e, cents)
+        .collect()(0).getAs[Double]("inertia")
+    }
+    assert(objs(1) <= objs(0) + 1e-9, objs.mkString(","))
+    assert(objs(2) <= objs(1) + 1e-9, objs.mkString(","))
+  }
+
+  test("multiprobe LSH never finds a worse neighbor than single-probe") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val single = EmbeddingOps.lshNearestNeighbor(e)
+      .select($"vec_id", $"cos".as("cos_s"))
+    val multi = EmbeddingOps.lshNearestNeighborMultiprobe(e)
+      .select($"vec_id", $"cos".as("cos_m"))
+    single.join(multi, Seq("vec_id")).collect().foreach { r =>
+      val s = Option(r.get(r.fieldIndex("cos_s"))).map(_.asInstanceOf[Double])
+      val m = Option(r.get(r.fieldIndex("cos_m"))).map(_.asInstanceOf[Double])
+      s.foreach { sv =>
+        assert(m.nonEmpty && m.get >= sv,
+          s"vec=${r.getLong(0)} single=$sv multi=$m")
+      }
+    }
+    // probing a superset of buckets must find at least as many neighbors
+    val nS = single.where($"cos_s".isNotNull).count()
+    val nM = multi.where($"cos_m".isNotNull).count()
+    assert(nM >= nS)
+  }
 }
