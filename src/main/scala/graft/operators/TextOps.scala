@@ -221,15 +221,17 @@ object TextOps {
           Seq("b"))
         .groupBy(col("a").as("id"))
         .agg(min(col("nbr_grp")).as("nbr_grp"))
+      // the convergence flag rides in the checkpointed frame, so the
+      // round's one real job is the localCheckpoint; the changed-count
+      // below only scans the already-materialized blocks (no join back
+      // against the previous labels, no recomputation)
       val next = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("grp"), coalesce(col("nbr_grp"), col("grp"))).as("grp"))
+          least(col("grp"), coalesce(col("nbr_grp"), col("grp"))).as("grp"),
+          coalesce(col("nbr_grp") < col("grp"), lit(false)).as("changed"))
         .localCheckpoint()
-      changed = next
-        .join(labels.select(col("id"), col("grp").as("old")), Seq("id"))
-        .where(col("grp") =!= col("old"))
-        .count()
-      labels = next
+      changed = next.where(col("changed")).count()
+      labels = next.select(col("id"), col("grp"))
       it += 1
     }
     require(changed == 0,
@@ -348,10 +350,12 @@ object TextOps {
     * tie-break. */
   def langIdNgram(docs: DataFrame, n: Int = 3): DataFrame = {
     // one n-gram pass, lang carried through; per-(doc, gram) counts
-    // reused by the profile, lang-size, and scoring branches. Unlike
-    // langId's word profile, the trigram vocabulary is charset-bounded
-    // (not corpus-bounded), so broadcasting the profile stays safe at
-    // any corpus size.
+    // reused by the profile, lang-size, and scoring branches. The
+    // trigram vocabulary is corpus-bounded, not charset-bounded (a CJK
+    // corpus draws trigrams from a ~20k-ideograph alphabet — 10^8+
+    // distinct grams), so the profile is shuffle-joined on `g` exactly
+    // like langId's word profile; only the languages-cardinality
+    // langSize frame is broadcast.
     val docGc = docs
       .select(col("doc_id"), col("lang"), split(col("text"), "").as("cs"))
       .where(size(col("cs")) >= n)
@@ -368,7 +372,7 @@ object TextOps {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("cand_lang").asc)
     docGc
-      .join(broadcast(profile), Seq("g"))
+      .join(profile, Seq("g"))
       .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
       .agg(sum(col("c_dg") * col("n_lg")).as("dot"))
       .join(broadcast(langSize), Seq("cand_lang"))
@@ -505,6 +509,51 @@ object TextOps {
       .distinct()
   }
 
+  /** Winnowing-based near-duplicate pairs — the third independent
+    * near-dup route (after MinHash+LSH and SimHash banding), built on
+    * the [[winnowing]] fingerprint sets: candidate pairs share at
+    * least `minShared` fingerprints, then exact Jaccard over the
+    * fingerprint sets keeps pairs at >= `threshold`. By the winnowing
+    * guarantee, any shared substring of length >= w+k-1 yields a
+    * shared fingerprint, so candidates surface on local overlap even
+    * when global shingle-Jaccard is low — the property MinHash cannot
+    * give.
+    *
+    * Scale design: fingerprints appearing in more than `maxDf` docs
+    * are dropped BEFORE pairing (the set-similarity analog of
+    * stop-word removal) — a boilerplate fingerprint shared by 10^6
+    * docs would otherwise make its bucket's pair space quadratic.
+    * The df cap is part of the operator's semantics (sizes and
+    * intersections are over the capped sets) so the oracle mirrors it
+    * exactly; like prefix blocking in [[nearDupNgramJaccard]], it is
+    * a documented precision/recall trade, not silent loss. */
+  def nearDupWinnowing(docs: DataFrame, k: Int = 8, w: Int = 4,
+      minShared: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 50): DataFrame = {
+    val fp = winnowing(docs, k, w).localCheckpoint()
+    val dfc = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
+    val fpk = fp.join(dfc.where(col("df") <= maxDf), Seq("fingerprint"))
+      .select(col("doc_id"), col("fingerprint"))
+      .localCheckpoint()
+    val sz = fpk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = fpk.as("a")
+      .join(fpk.as("b"),
+        col("a.fingerprint") === col("b.fingerprint") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minShared)
+    val jac = col("n_common") /
+      (col("na") + col("nb") - col("n_common")).cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
+      .withColumn("jaccard", jac)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
   /** PII scan + redaction — the scrubbing pass a training-data
     * pipeline runs before anything else: count email-like and
     * long-digit-run (phone/id-like) matches per doc and produce the
@@ -534,7 +583,10 @@ object TextOps {
     * re-run over a grown corpus never reassigns an existing doc. This
     * is how a training pipeline splits at 100 TB: a per-row expression,
     * not a global sample(). The bucket is the first 4 hex nibbles of
-    * md5(doc_id) mod 10. */
+    * md5(doc_id) mod 10 — 65536 % 10 != 0, so buckets 0-5 are
+    * over-represented by 1/65536 each (the split is ~8.0002/1/0.9999,
+    * not exactly 8/1/1); negligible for curation, and kept because the
+    * 4-nibble prefix is cheap and engine-portable. */
   def trainValTestSplit(docs: DataFrame): DataFrame = {
     val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
       16, 10).cast("long")

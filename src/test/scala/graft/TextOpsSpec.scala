@@ -93,6 +93,16 @@ class TextOpsSpec extends SparkSpec {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("winnowing near-dup pairs docs sharing long substrings only") {
+    // maxDf high and minShared low so the tiny corpus is not filtered
+    val pairs = TextOps.nearDupWinnowing(docs, minShared = 2,
+        threshold = 0.5, maxDf = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical -> jaccard 1
+    assert(pairs.contains((1L, 3L))) // shared prefix -> shared fingerprints
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L)) // unrelated
+  }
+
   test("kgram_hashes O(n) slide equals the stepwise per-slice fold") {
     val d = docsDf(Seq((1L, "the quick brown fox jumps over it", "en", "s")))
     val viaExpr = d.select(explode(
