@@ -91,6 +91,61 @@ object SuiteML {
       |          SELECT e.b AS id, r.grp FROM reach r JOIN edges e ON e.a = r.id),
       |grp AS (SELECT id AS doc_id, MIN(grp) AS group_id FROM reach GROUP BY id)""".stripMargin
 
+  /** Winnowing fingerprint sets (k=8, w=4) ending in `fp(doc_id, fp)`
+    * — shared by text_winnowing and dedup_winnowing so the fingerprint
+    * definition cannot drift between the two oracles. */
+  private val WinnowCte: String =
+    """cs AS (
+      |  SELECT doc_id, string_split(text, '') AS cs FROM documents
+      |  WHERE len(string_split(text, '')) >= 11),
+      |kh AS (
+      |  SELECT doc_id,
+      |    list_transform(range(1, len(cs) - 7 + 1), i ->
+      |      list_reduce(
+      |        list_prepend(CAST(0 AS BIGINT),
+      |          list_transform(cs[i:i+7], c -> CAST(ascii(c) AS BIGINT))),
+      |        (acc, c) -> (acc * 131 + c) % 2147483647)) AS kh
+      |  FROM cs),
+      |fp AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(kh) - 3 + 1), j ->
+      |      list_aggregate(kh[j:j+3], 'min'))) AS fp
+      |  FROM kh)""".stripMargin
+
+  /** LSH bucket assignment (8 hyperplanes over the quantized vectors)
+    * ending in `bk(vec_id, bucket)` / `eb(vec_id, q, bucket)` — shared
+    * by sim_lsh_nn and sim_lsh_multiprobe so the bucket definition
+    * cannot drift between the two oracles. */
+  private val LshBucketCte: String =
+    """pl AS (SELECT j AS plane, md5('p'||j||'a') || md5('p'||j||'b') AS hex
+      |       FROM (SELECT unnest(range(8)) AS j)),
+      |plc AS (SELECT plane, c,
+      |               (strpos('0123456789abcdef', substr(hex, c+1, 1)) - 1) * 2 - 15 AS coef
+      |        FROM pl, (SELECT unnest(range(64)) AS c)),
+      |comp AS (SELECT vec_id, unnest(q) AS qc,
+      |                generate_subscripts(q, 1) - 1 AS c FROM e),
+      |pd AS (SELECT vec_id, plane, SUM(qc * coef) AS pdot
+      |       FROM comp JOIN plc USING (c) GROUP BY 1, 2),
+      |bk AS (SELECT vec_id,
+      |              CAST(SUM(CASE WHEN pdot > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+      |       FROM pd GROUP BY 1),
+      |eb AS (SELECT e.vec_id, e.q, bk.bucket FROM e JOIN bk USING (vec_id))""".stripMargin
+
+  /** Shared scoring tail over a candidate-pair CTE `pp(vid, nn_id, x,
+    * y)`: exact dot, cosine, top-1 per vector, null-neighbor left
+    * join. */
+  private val LshScoreTail: String =
+    """pdots AS (SELECT vid, nn_id, SUM(x*y) AS dot FROM pp GROUP BY 1, 2),
+      |psc AS (SELECT vid, nn_id,
+      |               CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+      |        FROM pdots JOIN n na ON na.vec_id = vid
+      |                   JOIN n nb ON nb.vec_id = nn_id),
+      |best AS (SELECT vid, nn_id, cos FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nn_id) AS rk
+      |  FROM psc) WHERE rk = 1)
+      |SELECT bk.vec_id, bk.bucket, best.nn_id, best.cos
+      |FROM bk LEFT JOIN best ON best.vid = bk.vec_id""".stripMargin
+
   private val SimhashSql: String = {
     val votes = (0 until 32).map(j =>
       s"SUM(CASE WHEN strpos('0123456789abcdef', substr(h,${j + 1},1))-1 >= 8 THEN cnt ELSE -cnt END) AS v$j")
@@ -102,6 +157,88 @@ object SuiteML {
        |       FROM tok GROUP BY doc_id, word),
        |v AS (SELECT doc_id, $votes FROM wc GROUP BY doc_id),
        |shh AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
+  }
+
+  /** Full trained-IVF recall pipeline as one oracle: 2 Lloyd rounds
+    * (assign by exact-integer cosine, re-quantize means with
+    * round-half-away — mirrors [[EmbeddingOps.kmeansCentroids]]), then
+    * the nProbe=4 IVF probe with the trained centroids, then recall@10
+    * against the brute-force top-10. The rounds are generated
+    * programmatically like [[MinhashSigSql]] so iteration count lives
+    * in ONE place. */
+  private val IvfRecallSql: String = {
+    val iters = 2
+    val rounds = (1 to iters).map { i =>
+      val p = s"cents${i - 1}"
+      s"""scored$i AS (SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
+         |    SELECT eq.vec_id, c.cent_id, unnest(eq.q) AS a, unnest(c.cq) AS b
+         |    FROM eq, $p c) GROUP BY 1, 2),
+         |rk$i AS (SELECT s.vec_id, s.cent_id,
+         |         ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+         |           CAST(s.dot AS DOUBLE) / (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+         |           s.cent_id) AS crk
+         |  FROM scored$i s JOIN n nv ON nv.vec_id = s.vec_id
+         |                  JOIN $p c ON c.cent_id = s.cent_id),
+         |asn$i AS (SELECT vec_id, cent_id AS cell FROM rk$i WHERE crk = 1),
+         |cm$i AS (SELECT a.cell, CAST(generate_subscripts(e.q, 1) - 1 AS INTEGER) AS c,
+         |                unnest(e.q) AS v
+         |         FROM asn$i a JOIN e ON e.vec_id = a.vec_id),
+         |mean$i AS (SELECT cell, c, CAST(round(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq
+         |           FROM cm$i GROUP BY 1, 2),
+         |cents$i AS (SELECT cell AS cent_id, list(mq ORDER BY c) AS cq,
+         |                   CAST(SUM(mq*mq) AS BIGINT) AS cn
+         |            FROM mean$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""eq AS (SELECT e.vec_id, e.q, n.nn FROM e JOIN n USING (vec_id)),
+       |cents0 AS (SELECT vec_id AS cent_id, q AS cq, CAST(nn AS BIGINT) AS cn
+       |           FROM e JOIN n USING (vec_id) WHERE vec_id < 16),
+       |$rounds,
+       |fscored AS (SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
+       |    SELECT eq.vec_id, c.cent_id, unnest(eq.q) AS a, unnest(c.cq) AS b
+       |    FROM eq, cents$iters c) GROUP BY 1, 2),
+       |frk AS (SELECT s.vec_id, s.cent_id,
+       |        ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+       |          CAST(s.dot AS DOUBLE) / (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+       |          s.cent_id) AS crk
+       | FROM fscored s JOIN n nv ON nv.vec_id = s.vec_id
+       |                JOIN cents$iters c ON c.cent_id = s.cent_id),
+       |cells AS (SELECT vec_id, cent_id AS cell FROM frk WHERE crk = 1),
+       |probes AS (SELECT vec_id AS query_id, cent_id AS cell
+       |           FROM frk WHERE vec_id < 5 AND crk <= 4),
+       |cand AS (SELECT p.query_id, cl.vec_id
+       |         FROM probes p JOIN cells cl USING (cell)
+       |         WHERE cl.vec_id <> p.query_id),
+       |cd AS (SELECT query_id, vid, SUM(a*b) AS dot FROM (
+       |    SELECT ca.query_id, ca.vec_id AS vid,
+       |           unnest(eq1.q) AS a, unnest(eq2.q) AS b
+       |    FROM cand ca
+       |    JOIN eq eq1 ON eq1.vec_id = ca.query_id
+       |    JOIN eq eq2 ON eq2.vec_id = ca.vec_id) GROUP BY 1, 2),
+       |isc AS (SELECT query_id, vid,
+       |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+       |        FROM cd JOIN n nq ON nq.vec_id = query_id
+       |                JOIN n nv ON nv.vec_id = vid),
+       |ivf AS (SELECT query_id, vid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+       |  FROM isc) WHERE rk <= 10),
+       |bp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
+       |              unnest(qe.q) AS a, unnest(ce.q) AS b
+       |       FROM e qe, e ce WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+       |bdots AS (SELECT query_id, vid, SUM(a*b) AS dot FROM bp GROUP BY 1, 2),
+       |bsc AS (SELECT query_id, vid,
+       |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+       |        FROM bdots JOIN n nq ON nq.vec_id = query_id
+       |                   JOIN n nv ON nv.vec_id = vid),
+       |brute AS (SELECT query_id, vid FROM (
+       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+       |  FROM bsc) WHERE rk <= 10),
+       |hits AS (SELECT b.query_id, COUNT(*) AS nh
+       |         FROM brute b JOIN ivf i ON i.query_id = b.query_id AND i.vid = b.vid
+       |         GROUP BY 1)
+       |SELECT q.query_id, CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_overlap,
+       |       CAST(COALESCE(h.nh, 0) AS DOUBLE) / 10 AS recall_at_k
+       |FROM (SELECT DISTINCT query_id FROM brute) q
+       |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -333,23 +470,29 @@ object SuiteML {
     // ---- text analysis: winnowing fingerprint sets ----------------------
     Q("text_winnowing",
       (s, d) => TextOps.winnowing(docs(s, d)),
-      Some("""WITH cs AS (
-        |  SELECT doc_id, string_split(text, '') AS cs FROM documents
-        |  WHERE len(string_split(text, '')) >= 11),
-        |kh AS (
-        |  SELECT doc_id,
-        |    list_transform(range(1, len(cs) - 7 + 1), i ->
-        |      list_reduce(
-        |        list_prepend(CAST(0 AS BIGINT),
-        |          list_transform(cs[i:i+7], c -> CAST(ascii(c) AS BIGINT))),
-        |        (acc, c) -> (acc * 131 + c) % 2147483647)) AS kh
-        |  FROM cs),
-        |fp AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(kh) - 3 + 1), j ->
-        |      list_aggregate(kh[j:j+3], 'min'))) AS fp
-        |  FROM kh)
+      Some(s"""WITH $WinnowCte
         |SELECT doc_id, unnest(fp) AS fingerprint FROM fp""".stripMargin)),
+
+    // ---- dedup: winnowing-fingerprint overlap (third near-dup route) ----
+    // Candidates share >= 3 fingerprints (after dropping df>50
+    // boilerplate fingerprints — the stop-word analog that keeps hot
+    // buckets from going quadratic), verified by exact Jaccard over
+    // the capped fingerprint sets.
+    Q("dedup_winnowing",
+      (s, d) => TextOps.nearDupWinnowing(docs(s, d)),
+      Some(s"""WITH $WinnowCte,
+        |fpe AS (SELECT doc_id, unnest(fp) AS f FROM fp),
+        |dfc AS (SELECT f, COUNT(*) AS df FROM fpe GROUP BY 1),
+        |fpk AS (SELECT doc_id, f FROM fpe JOIN dfc USING (f) WHERE df <= 50),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM fpk GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        |          FROM fpk a JOIN fpk b ON a.f = b.f AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i JOIN sz sa ON sa.doc_id = i.doc_a
+        |             JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.5""".stripMargin)),
 
     // ---- similarity: brute-force cosine top-k ---------------------------
     Q("sim_ann_topk",
@@ -386,33 +529,29 @@ object SuiteML {
     Q("sim_lsh_nn",
       (s, d) => EmbeddingOps.lshNearestNeighbor(emb(s, d)),
       Some(s"""WITH $EmbCte,
-        |pl AS (SELECT j AS plane, md5('p'||j||'a') || md5('p'||j||'b') AS hex
-        |       FROM (SELECT unnest(range(8)) AS j)),
-        |plc AS (SELECT plane, c,
-        |               (strpos('0123456789abcdef', substr(hex, c+1, 1)) - 1) * 2 - 15 AS coef
-        |        FROM pl, (SELECT unnest(range(64)) AS c)),
-        |comp AS (SELECT vec_id, unnest(q) AS qc,
-        |                generate_subscripts(q, 1) - 1 AS c FROM e),
-        |pd AS (SELECT vec_id, plane, SUM(qc * coef) AS pdot
-        |       FROM comp JOIN plc USING (c) GROUP BY 1, 2),
-        |bk AS (SELECT vec_id,
-        |              CAST(SUM(CASE WHEN pdot > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
-        |       FROM pd GROUP BY 1),
-        |eb AS (SELECT e.vec_id, e.q, bk.bucket FROM e JOIN bk USING (vec_id)),
+        |$LshBucketCte,
         |pp AS (SELECT a.vec_id AS vid, b.vec_id AS nn_id,
         |              unnest(a.q) AS x, unnest(b.q) AS y
         |       FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
-        |pdots AS (SELECT vid, nn_id, SUM(x*y) AS dot FROM pp GROUP BY 1, 2),
-        |psc AS (SELECT vid, nn_id,
-        |               CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
-        |        FROM pdots JOIN n na ON na.vec_id = vid
-        |                   JOIN n nb ON nb.vec_id = nn_id),
-        |best AS (SELECT vid, nn_id, cos FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY cos DESC, nn_id) AS rk
-        |  FROM psc) WHERE rk = 1)
-        |SELECT bk.vec_id, bk.bucket, best.nn_id, best.cos
-        |FROM bk LEFT JOIN best ON best.vid = bk.vec_id""".stripMargin),
+        |$LshScoreTail""".stripMargin),
       bench = true),
+
+    // ---- similarity: multi-probe LSH (Hamming-1 probe set) — the way
+    // to raise nPlanes at scale without losing neighbors ------------------
+    Q("sim_lsh_multiprobe",
+      (s, d) => EmbeddingOps.lshNearestNeighborMultiprobe(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$LshBucketCte,
+        |pb AS (SELECT vec_id,
+        |              unnest(list_append(list_transform(range(8),
+        |                j -> xor(bucket, CAST(pow(2, j) AS BIGINT))), bucket)) AS pbk
+        |       FROM bk),
+        |pp AS (SELECT p.vec_id AS vid, c.vec_id AS nn_id,
+        |              unnest(ea.q) AS x, unnest(c.q) AS y
+        |       FROM pb p
+        |       JOIN eb c ON c.bucket = p.pbk AND c.vec_id <> p.vec_id
+        |       JOIN e ea ON ea.vec_id = p.vec_id),
+        |$LshScoreTail""".stripMargin)),
 
     // ---- similarity: IVF coarse-quantizer probe (the other scale path) --
     Q("sim_ivf_topk",
@@ -478,6 +617,15 @@ object SuiteML {
         |SELECT cell, c, COUNT(*) AS n_members,
         |       CAST(SUM(v) AS BIGINT) / CAST(COUNT(*) AS DOUBLE) AS mean_v
         |FROM comp GROUP BY 1, 2""".stripMargin)),
+
+    // ---- similarity: the closed loop — trained-IVF recall@10 vs brute ---
+    // 2 Lloyd rounds -> trained centroids -> nProbe=4 probe -> exact
+    // per-query overlap with the true top-10. Every stage is exact
+    // integer/deterministic, so the recall itself is oracle-checked.
+    Q("sim_ivf_recall",
+      (s, d) => EmbeddingOps.ivfRecall(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$IvfRecallSql""".stripMargin)),
 
     // ---- multimodal plumbing: binary payloads + stubbed decode ----------
     // Feature extraction itself is a stubbed decode (no codecs in this
