@@ -60,6 +60,39 @@ object Streams {
       .select(col("window.start").cast("date").as("event_date"),
         col("event_type"), col("n_events"))
 
+  /** Streaming parity for [[graft.operators.TextOps.dedupExact]]
+    * (§2.9 meets the dedup family): each micro-batch's per-content-hash
+    * increment (min kept doc, copy count) is folded into a persisted
+    * dedup state table via foreachBatch. min() and sum() are
+    * associative+commutative, so ANY micro-batch slicing of the corpus
+    * converges to exactly the batch dedupExact answer —
+    * StreamDedupParitySpec pins that. Per batch the merge is
+    * O(state + batch) with one keyed shuffle on the 32-char hash; the
+    * merged frame is localCheckpointed before the overwrite so the
+    * sink never reads and truncates the same files in one job. */
+  def dedupExactSink(docs: DataFrame, statePath: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch {
+      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val s = batch.sparkSession
+        val inc = graft.operators.TextOps.dedupExact(batch.toDF())
+        val prev =
+          try s.read.parquet(statePath)
+          catch {
+            case _: org.apache.spark.sql.AnalysisException =>
+              s.createDataFrame(s.sparkContext.emptyRDD[
+                org.apache.spark.sql.Row], inc.schema)
+          }
+        val merged = prev.unionByName(inc)
+          .groupBy(col("content_hash"))
+          .agg(min(col("kept_doc_id")).as("kept_doc_id"),
+            sum(col("n_copies")).as("n_copies"))
+          .localCheckpoint()
+        merged.write.mode("overwrite").parquet(statePath)
+        ()
+    }
+
   case class Ev(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
