@@ -62,18 +62,30 @@ object KgramRollingHashes {
 
   /** Registry builder shared by GraftExtensions and GraftFunctions:
     * validates arity and the constant-k contract up front so misuse
-    * fails at resolution with the expected signature in the message,
-    * not with a raw IndexOutOfBounds/ClassCast later. */
+    * surfaces as a normal AnalysisException (standard Spark error
+    * classes, caught by the analyzer's error path) rather than a bare
+    * runtime IllegalArgument/IndexOutOfBounds later. */
   def build(children: Seq[Expression]): Expression = {
-    require(children.length == 2,
-      s"kgram_hashes(text, k) expects 2 arguments, got ${children.length}")
+    if (children.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> "`kgram_hashes`", "expectedNum" -> "2",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
     val kExpr = children(1)
-    require(kExpr.foldable,
-      "kgram_hashes(text, k): k must be a constant integer literal")
+    if (!kExpr.foldable)
+      throw new org.apache.spark.sql.AnalysisException(
+        "NON_FOLDABLE_ARGUMENT",
+        Map("funcName" -> "`kgram_hashes`", "paramName" -> "`k`",
+          "paramType" -> "\"INT\""))
     kExpr.eval() match {
       case n: java.lang.Number => KgramRollingHashes(children(0), n.intValue)
-      case other => throw new IllegalArgumentException(
-        s"kgram_hashes(text, k): k must be an integer, got $other")
+      case other =>
+        throw new org.apache.spark.sql.AnalysisException(
+          "UNEXPECTED_INPUT_TYPE",
+          Map("paramIndex" -> "second", "functionName" -> "`kgram_hashes`",
+            "requiredType" -> "\"INT\"",
+            "inputSql" -> s""""$other"""", "inputType" -> "non-integer"))
     }
   }
 

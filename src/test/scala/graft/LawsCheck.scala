@@ -51,14 +51,17 @@ object LawsCheck extends Properties("graft.laws") {
     }
 
   // The O(n) sliding k-gram hash equals the O(n*k) per-slice fold on
-  // arbitrary BMP strings and k
+  // arbitrary strings and k — including supplementary-plane code
+  // points (surrogate pairs), so the Character.charCount advance and
+  // the length-vs-codePointCount alignment in compute() are exercised
   private val strAndK = for {
     k <- Gen.chooseNum(1, 12)
-    s <- Gen.listOf(Gen.frequency(
-      (8, Gen.alphaNumChar), (1, Gen.const(' ')),
-      (1, Gen.chooseNum(0x00a1, 0x2fff).map(_.toChar))))
-      .map(_.mkString)
-  } yield (s, k)
+    cps <- Gen.listOf(Gen.frequency(
+      (8, Gen.alphaNumChar.map(_.toInt)),
+      (1, Gen.const(' '.toInt)),
+      (1, Gen.chooseNum(0x00a1, 0x2fff)),
+      (1, Gen.chooseNum(0x10000, 0x10ffff))))
+  } yield (new String(cps.toArray, 0, cps.length), k)
 
   property("kgramSlidingHashEqualsPerSliceFold") =
     Prop.forAll(strAndK) { case (s, k) =>
