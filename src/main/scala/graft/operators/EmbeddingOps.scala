@@ -53,8 +53,13 @@ object EmbeddingOps {
     * nQueries) the k nearest corpus vectors. The query side is tiny and
     * broadcast; the corpus is scanned once, never shuffled; top-k per
     * query is a window over |Q|*k rows. */
-  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
-    val e = quantized(emb)
+  def annTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    annTopKQ(quantized(emb), nQueries, k)
+
+  /** [[annTopK]] over an already-[[quantized]] frame — lets pipelines
+    * that need several views of the corpus ([[ivfRecall]]) share one
+    * quantization scan. */
+  def annTopKQ(e: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nn").as("qn"))
@@ -233,8 +238,14 @@ object EmbeddingOps {
     * localCheckpointed so round t+1's plan does not re-derive round t.
     * Returns (cent_id, cq, cn) ready for [[ivfTopKWith]]. */
   def kmeansCentroids(emb: DataFrame, nCentroids: Int = 16,
+      iters: Int = 2): DataFrame =
+    kmeansCentroidsQ(quantized(emb).localCheckpoint(), nCentroids, iters)
+
+  /** [[kmeansCentroids]] over an already-quantized (and ideally
+    * checkpointed) frame `e` — the corpus is scanned once per Lloyd
+    * round from `e`, never re-derived. */
+  def kmeansCentroidsQ(e: DataFrame, nCentroids: Int = 16,
       iters: Int = 2): DataFrame = {
-    val e = quantized(emb).localCheckpoint()
     var cents = seedCentroids(e, nCentroids).localCheckpoint()
     for (_ <- 0 until iters) {
       cents = rankedAgainst(e, cents)
@@ -277,10 +288,13 @@ object EmbeddingOps {
     * Lloyd rounds). */
   def ivfRecall(emb: DataFrame, nCentroids: Int = 16, iters: Int = 2,
       nQueries: Int = 5, nProbe: Int = 4, k: Int = 10): DataFrame = {
-    val e = quantized(emb)
-    val brute = annTopK(emb, nQueries, k)
+    // ONE quantization scan shared by the brute baseline, the trainer
+    // (every Lloyd round), and the probe — checkpointed so none of the
+    // three re-derives it from the raw embeddings
+    val e = quantized(emb).localCheckpoint()
+    val brute = annTopKQ(e, nQueries, k)
       .select(col("query_id"), col("vec_id"))
-    val ivf = ivfTopKWith(e, kmeansCentroids(emb, nCentroids, iters),
+    val ivf = ivfTopKWith(e, kmeansCentroidsQ(e, nCentroids, iters),
         nQueries, nProbe, k)
       .select(col("query_id"), col("vec_id"))
     val hits = brute.join(ivf, Seq("query_id", "vec_id"))

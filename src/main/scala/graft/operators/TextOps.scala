@@ -94,6 +94,38 @@ object TextOps {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
+  /** Exact intersection sizes for candidate pairs over per-doc element
+    * sets `sets(doc_id, h)`: |A∩B| per (doc_a, doc_b). Shared by every
+    * near-dup route so the verification arithmetic cannot drift between
+    * them (the SQL oracles share their CTEs for the same reason). */
+  private def interFromCandidates(sets: DataFrame,
+      cand: DataFrame): DataFrame =
+    cand
+      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sets.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+  /** Exact-Jaccard verification tail over `inter(doc_a, doc_b,
+    * n_common)`: join the set sizes, one IEEE division, keep pairs at
+    * >= threshold. */
+  private def jaccardFromInter(sets: DataFrame, inter: DataFrame,
+      threshold: Double): DataFrame = {
+    val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val jac = col("n_common") /
+      (col("na") + col("nb") - col("n_common")).cast("double")
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", jac)
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
   /** MinHash+LSH near-duplicate pairs with exact n-gram-Jaccard
     * verification: candidates from shared LSH buckets, then
     * |A∩B| / |A∪B| over the true shingle sets (exact integers, one
@@ -111,7 +143,7 @@ object TextOps {
     // blocks free with the frame instead of accumulating in the
     // CacheManager across calls.
     val ds = shinglesRaw(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("sh"))
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
       .localCheckpoint()
     val bands = minhashBands(minhashSignature(docs))
@@ -120,22 +152,7 @@ object TextOps {
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(ds.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(ds.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common") /
-      (col("na") + col("nb") - col("n_common")).cast("double")
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", jac)
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
-        col("nb"), col("jaccard"))
+    jaccardFromInter(ds, interFromCandidates(ds, cand), threshold)
   }
 
   /** Standalone n-gram Jaccard near-dup (the minhash-free member of
@@ -170,22 +187,7 @@ object TextOps {
       .where(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sz = dh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = cand
-      .join(dh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(dh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val jac = col("n_common") /
-      (col("na") + col("nb") - col("n_common")).cast("double")
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", jac)
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
-        col("nb"), col("jaccard"))
+    jaccardFromInter(dh, interFromCandidates(dh, cand), threshold)
   }
 
   /** Duplicate GROUPS from near-dup pairs: connected components by
@@ -533,25 +535,18 @@ object TextOps {
     val fp = winnowing(docs, k, w).localCheckpoint()
     val dfc = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
     val fpk = fp.join(dfc.where(col("df") <= maxDf), Seq("fingerprint"))
-      .select(col("doc_id"), col("fingerprint"))
+      .select(col("doc_id"), col("fingerprint").as("h"))
       .localCheckpoint()
-    val sz = fpk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    // candidate generation and intersection are ONE fused self-join
+    // here (a shared fingerprint IS the candidate signal), so the
+    // shared tail starts at the Jaccard verification
     val inter = fpk.as("a")
       .join(fpk.as("b"),
-        col("a.fingerprint") === col("b.fingerprint") &&
-          col("a.doc_id") < col("b.doc_id"))
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .where(col("n_common") >= minShared)
-    val jac = col("n_common") /
-      (col("na") + col("nb") - col("n_common")).cast("double")
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")), Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", jac)
-      .where(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
-        col("nb"), col("jaccard"))
+    jaccardFromInter(fpk, inter, threshold)
   }
 
   /** PII scan + redaction — the scrubbing pass a training-data

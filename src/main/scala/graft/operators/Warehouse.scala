@@ -52,14 +52,25 @@ object Warehouse {
   def saveBucketed(df: DataFrame, table: String, key: String,
       buckets: Int): Unit = {
     val s = df.sparkSession
+    // unqualified names only: the managed-table location below is
+    // derived from the CURRENT database, so a "db.table" name would
+    // drop one table and clear another's directory
+    require(!table.contains('.'),
+      s"saveBucketed takes an unqualified table name, got '$table'")
     // overwrite semantics across SESSIONS, not just within one: drop
     // any catalog entry, then clear a stray managed-table directory a
     // previous session may have left (saveAsTable refuses to reuse an
     // existing location it has no catalog entry for —
-    // LOCATION_ALREADY_EXISTS)
-    s.sql(s"DROP TABLE IF EXISTS $table")
+    // LOCATION_ALREADY_EXISTS). Managed tables live at
+    // warehouse/<db>.db/<table> except the default database (warehouse
+    // root); names are lowercased with a fixed locale (locale-sensitive
+    // toLowerCase would mangle 'I' under tr_TR).
+    s.sql(s"DROP TABLE IF EXISTS `$table`")
+    val lc = (n: String) => n.toLowerCase(java.util.Locale.ROOT)
+    val db = lc(s.catalog.currentDatabase)
+    val rel = if (db == "default") lc(table) else s"$db.db/${lc(table)}"
     val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+      s.conf.get("spark.sql.warehouse.dir"), rel)
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

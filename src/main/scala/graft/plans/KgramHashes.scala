@@ -79,13 +79,27 @@ object KgramRollingHashes {
         Map("funcName" -> "`kgram_hashes`", "paramName" -> "`k`",
           "paramType" -> "\"INT\""))
     kExpr.eval() match {
-      case n: java.lang.Number => KgramRollingHashes(children(0), n.intValue)
+      // integral types only: a fractional k (2.9) must error, not
+      // silently truncate to 2
+      case n @ (_: java.lang.Byte | _: java.lang.Short |
+          _: java.lang.Integer | _: java.lang.Long) =>
+        val k = n.asInstanceOf[java.lang.Number].longValue
+        if (k < 1 || k > Int.MaxValue)
+          throw new org.apache.spark.sql.AnalysisException(
+            "DATATYPE_MISMATCH.VALUE_OUT_OF_RANGE",
+            Map("sqlExpr" -> "\"kgram_hashes(text, k)\"",
+              "exprName" -> "`k`",
+              "valueRange" -> s"[1, ${Int.MaxValue}]",
+              "currentValue" -> k.toString))
+        KgramRollingHashes(children(0), k.toInt)
       case other =>
         throw new org.apache.spark.sql.AnalysisException(
           "UNEXPECTED_INPUT_TYPE",
           Map("paramIndex" -> "second", "functionName" -> "`kgram_hashes`",
             "requiredType" -> "\"INT\"",
-            "inputSql" -> s""""$other"""", "inputType" -> "non-integer"))
+            "inputSql" -> s""""$other"""",
+            "inputType" -> s""""${Option(other).map(_.getClass.getSimpleName)
+              .getOrElse("NULL")}""""))
     }
   }
 

@@ -60,38 +60,65 @@ object Streams {
       .select(col("window.start").cast("date").as("event_date"),
         col("event_type"), col("n_events"))
 
+  private def stateVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.map(_.getPath.getName)
+      .filter(_.matches("b\\d+")).map(_.drop(1).toLong)
+
   /** Streaming parity for [[graft.operators.TextOps.dedupExact]]
     * (§2.9 meets the dedup family): each micro-batch's per-content-hash
     * increment (min kept doc, copy count) is folded into a persisted
     * dedup state table via foreachBatch. min() and sum() are
     * associative+commutative, so ANY micro-batch slicing of the corpus
     * converges to exactly the batch dedupExact answer —
-    * StreamDedupParitySpec pins that. Per batch the merge is
-    * O(state + batch) with one keyed shuffle on the 32-char hash; the
-    * merged frame is localCheckpointed before the overwrite so the
-    * sink never reads and truncates the same files in one job. */
+    * StreamDedupParitySpec pins that.
+    *
+    * foreachBatch is at-least-once, so the fold must be IDEMPOTENT
+    * under replay: state is versioned by batchId (`b<id>` dirs under
+    * statePath), and batch b always folds into the latest version
+    * STRICTLY BELOW b — a replayed batch recomputes the same output
+    * version from the same predecessor instead of double-counting into
+    * its own result. The predecessor is retained until the next batch
+    * commits (older versions are pruned); a crash mid-write only
+    * corrupts the version being written, which the replay then
+    * overwrites. Per batch the merge is O(state + batch) with one
+    * keyed shuffle on the 32-char hash. */
   def dedupExactSink(docs: DataFrame, statePath: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     docs.writeStream.foreachBatch {
-      (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val inc = graft.operators.TextOps.dedupExact(batch.toDF())
-        val prev =
-          try s.read.parquet(statePath)
-          catch {
-            case _: org.apache.spark.sql.AnalysisException =>
-              s.createDataFrame(s.sparkContext.emptyRDD[
-                org.apache.spark.sql.Row], inc.schema)
-          }
+        val root = new org.apache.hadoop.fs.Path(statePath)
+        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val versions = stateVersions(fs, root)
+        val prevId = versions.filter(_ < batchId).maxOption
+        val prev = prevId match {
+          case Some(id) => s.read.parquet(s"$statePath/b$id")
+          case None => s.createDataFrame(s.sparkContext.emptyRDD[
+            org.apache.spark.sql.Row], inc.schema)
+        }
         val merged = prev.unionByName(inc)
           .groupBy(col("content_hash"))
           .agg(min(col("kept_doc_id")).as("kept_doc_id"),
             sum(col("n_copies")).as("n_copies"))
-          .localCheckpoint()
-        merged.write.mode("overwrite").parquet(statePath)
+        merged.write.mode("overwrite").parquet(s"$statePath/b$batchId")
+        prevId.foreach(p => versions.filter(_ < p).foreach(v =>
+          fs.delete(new org.apache.hadoop.fs.Path(root, s"b$v"), true)))
         ()
     }
+
+  /** The latest committed dedup state written by [[dedupExactSink]]. */
+  def dedupState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val versions = stateVersions(fs, root)
+    require(versions.nonEmpty, s"no dedup state committed at $statePath")
+    s.read.parquet(s"$statePath/b${versions.max}")
+  }
 
   case class Ev(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)

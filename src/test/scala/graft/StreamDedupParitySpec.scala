@@ -31,9 +31,10 @@ class StreamDedupParitySpec extends SparkSpec {
         java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(180000), "stream did not finish in time")
 
-    val got = spark.read.parquet(statePath).collect().map(_.toString).sorted
+    val got = Streams.dedupState(spark, statePath)
+      .collect().map(_.toString).sorted
     assert(got.length == expected.length)
     assert(got.sameElements(expected))
   }
