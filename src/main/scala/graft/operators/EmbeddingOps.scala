@@ -272,8 +272,9 @@ object EmbeddingOps {
   /** Clustering objective for the trained quantizer: per-corpus sum of
     * (1 - cos(vector, assigned centroid)) plus the member count — the
     * spherical-k-means inertia the trainer is descending. One row;
-    * used by specs to pin that more Lloyd rounds never worsen the
-    * objective on the fixed test corpus. */
+    * used by specs to pin that training never worsens the seed
+    * objective (per-step monotone descent is NOT guaranteed under the
+    * integer-requantized update, so only seed-vs-trained is pinned). */
   def kmeansObjective(emb: DataFrame, cents: DataFrame): DataFrame =
     rankedAgainst(quantized(emb), cents)
       .where(col("crk") === 1)

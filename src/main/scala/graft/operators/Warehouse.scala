@@ -61,16 +61,17 @@ object Warehouse {
     // any catalog entry, then clear a stray managed-table directory a
     // previous session may have left (saveAsTable refuses to reuse an
     // existing location it has no catalog entry for —
-    // LOCATION_ALREADY_EXISTS). Managed tables live at
-    // warehouse/<db>.db/<table> except the default database (warehouse
-    // root); names are lowercased with a fixed locale (locale-sensitive
+    // LOCATION_ALREADY_EXISTS). The catalog knows the database's real
+    // location (covering databases created with a custom LOCATION,
+    // where a hand-built warehouse/<db>.db path would clear the wrong
+    // directory); managed tables live at <db location>/<table>. Table
+    // names are lowercased with a fixed locale (locale-sensitive
     // toLowerCase would mangle 'I' under tr_TR).
     s.sql(s"DROP TABLE IF EXISTS `$table`")
     val lc = (n: String) => n.toLowerCase(java.util.Locale.ROOT)
-    val db = lc(s.catalog.currentDatabase)
-    val rel = if (db == "default") lc(table) else s"$db.db/${lc(table)}"
-    val loc = new org.apache.hadoop.fs.Path(
-      s.conf.get("spark.sql.warehouse.dir"), rel)
+    val dbLoc = s.catalog.getDatabase(s.catalog.currentDatabase)
+      .locationUri
+    val loc = new org.apache.hadoop.fs.Path(dbLoc, lc(table))
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

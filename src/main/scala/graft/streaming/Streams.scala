@@ -66,6 +66,14 @@ object Streams {
     else fs.listStatus(root).toSeq.map(_.getPath.getName)
       .filter(_.matches("b\\d+")).map(_.drop(1).toLong)
 
+  /** Versions whose parquet write finished (the committer's _SUCCESS
+    * marker exists) — a crash mid-write leaves a version directory
+    * without it, and such a version must never be read as state. */
+  private def committedVersions(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Seq[Long] =
+    stateVersions(fs, root).filter(v => fs.exists(
+      new org.apache.hadoop.fs.Path(root, s"b$v/_SUCCESS")))
+
   /** Streaming parity for [[graft.operators.TextOps.dedupExact]]
     * (§2.9 meets the dedup family): each micro-batch's per-content-hash
     * increment (min kept doc, copy count) is folded into a persisted
@@ -94,7 +102,18 @@ object Streams {
         val root = new org.apache.hadoop.fs.Path(statePath)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
         val versions = stateVersions(fs, root)
-        val prevId = versions.filter(_ < batchId).maxOption
+        // a version AHEAD of the current batch means this statePath
+        // belongs to a different (abandoned) checkpoint: folding from
+        // an empty predecessor would silently discard its counts while
+        // readers kept seeing the stale higher version — refuse instead
+        require(versions.forall(_ <= batchId),
+          s"dedup state at $statePath has version(s) " +
+            versions.filter(_ > batchId).sorted.mkString("b", ", b", "") +
+            s" ahead of batch $batchId; it was written by a different " +
+            "checkpoint. Clear statePath or resume with the original " +
+            "checkpointLocation.")
+        val prevId = committedVersions(fs, root).filter(_ < batchId)
+          .maxOption
         val prev = prevId match {
           case Some(id) => s.read.parquet(s"$statePath/b$id")
           case None => s.createDataFrame(s.sparkContext.emptyRDD[
@@ -110,12 +129,18 @@ object Streams {
         ()
     }
 
-  /** The latest committed dedup state written by [[dedupExactSink]]. */
+  /** The latest COMMITTED dedup state written by [[dedupExactSink]]:
+    * only versions carrying the committer's _SUCCESS marker qualify, so
+    * an in-flight or crash-truncated write is never read. The returned
+    * frame is lazy — the sink retains the predecessor for one batch, so
+    * read it promptly (or persist it) if the stream is still running;
+    * a reader that sits on the frame for multiple batches can race the
+    * sink's pruning. */
   def dedupState(s: org.apache.spark.sql.SparkSession,
       statePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val versions = stateVersions(fs, root)
+    val versions = committedVersions(fs, root)
     require(versions.nonEmpty, s"no dedup state committed at $statePath")
     s.read.parquet(s"$statePath/b${versions.max}")
   }

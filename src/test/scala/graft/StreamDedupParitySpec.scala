@@ -38,4 +38,54 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(got.length == expected.length)
     assert(got.sameElements(expected))
   }
+
+  test("dedupState skips a crash-truncated version (no _SUCCESS)") {
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_dedup_partial").resolve("state").toString
+    val docs = docsDf(Seq((1L, "same text", "en", "s"),
+      (2L, "same text", "en", "s"), (3L, "other", "en", "s")))
+    val committed = TextOps.dedupExact(docs)
+    committed.write.parquet(s"$statePath/b0")
+    // simulate a crash mid-write of the next version: a directory with
+    // stray task output but no committer _SUCCESS marker
+    val partial = java.nio.file.Paths.get(statePath, "b1")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.write(partial.resolve("part-00000-junk"),
+      Array[Byte](1, 2, 3))
+    val got = Streams.dedupState(spark, statePath)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(committed.collect().map(_.toString).sorted))
+  }
+
+  test("a statePath from an abandoned run is rejected, not silently reset") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_dedup_stale").resolve("state").toString
+    // a prior run left committed state at version 7; a FRESH checkpoint
+    // restarts batch ids at 0, which must refuse to fold from empty
+    TextOps.dedupExact(docs).write.parquet(s"$statePath/b7")
+
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_dedup_stale_in")
+    docs.limit(10).write.mode("overwrite").parquet(streamDir.toString)
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .parquet(streamDir.toString)
+    val q = Streams.dedupExactSink(stream, statePath)
+      .option("checkpointLocation", java.nio.file.Files
+        .createTempDirectory("graft_dedup_stale_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(180000)
+      ()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(messages.exists(_.contains("ahead of batch")),
+      messages.mkString(" | "))
+  }
 }

@@ -122,6 +122,31 @@ class TextOpsSpec extends SparkSpec {
     assert(short == 0)
   }
 
+  test("kgram_hashes misuse surfaces as analysis errors") {
+    import org.apache.spark.sql.AnalysisException
+    val d = docsDf(Seq((1L, "abcdefgh", "en", "s")))
+    // wrong arity
+    intercept[AnalysisException] {
+      d.select(expr("kgram_hashes(text)"))
+    }
+    // non-foldable k
+    intercept[AnalysisException] {
+      d.select(call_function("kgram_hashes", col("text"), col("doc_id")))
+    }
+    // fractional k must error, not silently truncate to 2
+    intercept[AnalysisException] {
+      d.select(call_function("kgram_hashes", col("text"), lit(2.9)))
+    }
+    // k below the valid range
+    intercept[AnalysisException] {
+      d.select(call_function("kgram_hashes", col("text"), lit(0)))
+    }
+    // the non-Integer integral widening path still works: byte-typed k
+    val n = d.select(size(call_function("kgram_hashes", col("text"),
+      lit(3.toByte))).as("n")).collect()(0).getInt(0)
+    assert(n == 6)
+  }
+
   test("lengthQuantiles selects exact rank-index values per language") {
     // 10 docs with lengths 1..10 (texts of i chars): p50 -> rank 5,
     // p90 -> rank 9, p99 -> rank 10
