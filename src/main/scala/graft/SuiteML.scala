@@ -112,13 +112,14 @@ object SuiteML {
       |      list_aggregate(kh[j:j+3], 'min'))) AS fp
       |  FROM kh)""".stripMargin
 
-  /** LSH bucket assignment (8 hyperplanes over the quantized vectors)
-    * ending in `bk(vec_id, bucket)` / `eb(vec_id, q, bucket)` — shared
-    * by sim_lsh_nn and sim_lsh_multiprobe so the bucket definition
-    * cannot drift between the two oracles. */
-  private val LshBucketCte: String =
-    """pl AS (SELECT j AS plane, md5('p'||j||'a') || md5('p'||j||'b') AS hex
-      |       FROM (SELECT unnest(range(8)) AS j)),
+  /** LSH bucket assignment (`nPlanes` hyperplanes over the quantized
+    * vectors) ending in `bk(vec_id, bucket)` / `eb(vec_id, q, bucket)`
+    * — shared by sim_lsh_nn, sim_lsh_multiprobe, and
+    * dedup_embedding_lsh so the bucket definition cannot drift between
+    * the oracles. */
+  private def lshBucketCte(nPlanes: Int): String =
+    s"""pl AS (SELECT j AS plane, md5('p'||j||'a') || md5('p'||j||'b') AS hex
+      |       FROM (SELECT unnest(range($nPlanes)) AS j)),
       |plc AS (SELECT plane, c,
       |               (strpos('0123456789abcdef', substr(hex, c+1, 1)) - 1) * 2 - 15 AS coef
       |        FROM pl, (SELECT unnest(range(64)) AS c)),
@@ -130,6 +131,9 @@ object SuiteML {
       |              CAST(SUM(CASE WHEN pdot > 0 THEN CAST(pow(2, plane) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
       |       FROM pd GROUP BY 1),
       |eb AS (SELECT e.vec_id, e.q, bk.bucket FROM e JOIN bk USING (vec_id))""".stripMargin
+
+  /** The 8-plane instance the sim_lsh_* rows use. */
+  private val LshBucketCte: String = lshBucketCte(8)
 
   /** Shared scoring tail over a candidate-pair CTE `pp(vid, nn_id, x,
     * y)`: exact dot, cosine, top-1 per vector, null-neighbor left
@@ -446,6 +450,17 @@ object SuiteML {
         |  MAX(CASE WHEN rn = (99 * n_docs + 99) // 100 THEN n_chars END) AS p99_chars
         |FROM r JOIN c USING (lang) GROUP BY 1, 2""".stripMargin)),
 
+    // ---- text analysis: sketch length quantiles — the production
+    // default at scale; the driver-checked contract is the rank error
+    // bound (the an_approx_distinct pattern), since the estimate itself
+    // is engine-specific --------------------------------------------------
+    Q("text_length_quantiles_approx",
+      (s, d) => TextOps.lengthQuantilesApprox(docs(s, d)),
+      Some("""SELECT lang, CAST(p.pct AS DOUBLE) AS pct,
+        |       COUNT(*) AS n_docs, TRUE AS within_bound
+        |FROM documents, (SELECT unnest([0.5, 0.9, 0.99]) AS pct) p
+        |GROUP BY lang, p.pct""".stripMargin)),
+
     // ---- text analysis: fingerprinting ----------------------------------
     Q("text_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d)),
@@ -519,6 +534,27 @@ object SuiteML {
         |             unnest(ea.q) AS a, unnest(eb.q) AS b
         |      FROM e ea, e eb WHERE ea.vec_id < eb.vec_id),
         |dots AS (SELECT vec_a, vec_b, SUM(a*b) AS dot FROM p GROUP BY 1, 2)
+        |SELECT vec_a, vec_b,
+        |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |FROM dots JOIN n na ON na.vec_id = vec_a
+        |          JOIN n nb ON nb.vec_id = vec_b
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45""".stripMargin)),
+
+    // ---- similarity: LSH-bucketed near-dup pairs — the scale twin of
+    // dedup_embedding_cos (candidates per bucket, no |corpus|^2). 4
+    // planes, not the sim_* rows' 8: a dedup candidate generator wants
+    // recall, and the corpus' true pairs sit at cos 0.45-0.60 where
+    // 8-plane single-probe collision is ~4% (an empty, vacuous row at
+    // the test SFs); 16 coarser buckets keep the row populated at all
+    // three SFs while the per-bucket-pairs plan shape is unchanged ------
+    Q("dedup_embedding_lsh",
+      (s, d) => EmbeddingOps.nearDupCosineLsh(emb(s, d), nPlanes = 4),
+      Some(s"""WITH $EmbCte,
+        |${lshBucketCte(4)},
+        |pp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |              unnest(a.q) AS x, unnest(b.q) AS y
+        |       FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |dots AS (SELECT vec_a, vec_b, SUM(x*y) AS dot FROM pp GROUP BY 1, 2)
         |SELECT vec_a, vec_b,
         |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
         |FROM dots JOIN n na ON na.vec_id = vec_a

@@ -92,6 +92,29 @@ object EmbeddingOps {
       .where(col("cos") >= threshold)
   }
 
+  /** Embedding-cosine near-duplicate pairs via LSH bucketing — the
+    * scale twin of [[nearDupCosineBrute]]: candidate pairs are
+    * generated only WITHIN a hyperplane-sign bucket ([[bucketed]]), so
+    * pair cost is the sum of per-bucket quadratics instead of
+    * |corpus|^2 and nothing corpus-sized is broadcast or replicated.
+    * Same output shape (vec_a, vec_b, cos) and the same exact-integer
+    * cosine, so the result is a recall-bounded SUBSET of the brute
+    * pairs: a pair surfaces iff it co-buckets (identical vectors
+    * always do — equal sign patterns). EmbeddingOpsSpec pins the
+    * subset relation; raise nPlanes + multi-probe to trade candidate
+    * volume against recall at scale. */
+  def nearDupCosineLsh(emb: DataFrame, threshold: Double = 0.45,
+      nPlanes: Int = NPlanes): DataFrame = {
+    val b = bucketed(emb, nPlanes)
+    b.as("a").join(b.as("b"),
+        col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(qdot(col("a.q"), col("b.q")), col("a.nn"), col("b.nn"))
+          .as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   private val NPlanes = 8
   private val Dim = 64
 

@@ -626,6 +626,49 @@ object TextOps {
           col("n_chars"))).as("p99_chars"))
   }
 
+  /** Sketch-based per-language length quantiles — the production
+    * default that [[lengthQuantiles]]'s scale note points to: one
+    * percentile_approx (Greenwald-Khanna) pass over the corpus, no
+    * per-language sort. The sketch's estimate is engine-specific, so
+    * the driver-checked contract is the ERROR BOUND (the
+    * an_approx_distinct pattern): percentile_approx guarantees the
+    * returned value is a corpus element whose rank is within
+    * eps*n (eps = 1/accuracy) of the target rank, and the emitted
+    * boolean verifies exactly that — the returned value's rank
+    * interval [r_lt+1, r_le] must intersect
+    * [floor((p-eps)*n), ceil((p+eps)*n)]. The oracle recomputes
+    * (lang, pct, n_docs) and pins within_bound = true.
+    *
+    * Scale shape: one sketch aggregation shuffle keyed lang, then the
+    * languages-cardinality estimate frame is broadcast back for the
+    * one-pass rank count — no sort, no per-language window. */
+  def lengthQuantilesApprox(docs: DataFrame,
+      accuracy: Int = 10000): DataFrame = {
+    val pcts = Seq(0.5, 0.9, 0.99)
+    val pctArr = array(pcts.map(lit): _*)
+    val eps = 1.0 / accuracy
+    val approx = docs.groupBy(col("lang"))
+      .agg(percentile_approx(col("n_chars"), pctArr, lit(accuracy))
+          .as("vs"),
+        count(lit(1)).as("n_docs"))
+      .select(col("lang"), col("n_docs"),
+        posexplode(col("vs")).as(Seq("pi", "v")))
+      .select(col("lang"), col("n_docs"),
+        element_at(pctArr, col("pi") + 1).as("pct"), col("v"))
+    docs.select(col("lang"), col("n_chars"))
+      .join(broadcast(approx), Seq("lang"))
+      .groupBy(col("lang"), col("n_docs"), col("pct"), col("v"))
+      .agg(
+        sum(when(col("n_chars") < col("v"), 1L).otherwise(0L)).as("r_lt"),
+        sum(when(col("n_chars") <= col("v"), 1L).otherwise(0L)).as("r_le"))
+      .select(col("lang"), col("pct"), col("n_docs"),
+        ((col("r_lt") + 1 <=
+            ceil((col("pct") + lit(eps)) * col("n_docs"))) &&
+          (col("r_le") >=
+            floor((col("pct") - lit(eps)) * col("n_docs"))))
+          .as("within_bound"))
+  }
+
   /** Document fingerprints: full-content md5, head/tail block hashes,
     * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
     * content anchor). */

@@ -36,6 +36,27 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("nearDupCosineLsh pairs are a subset of brute pairs, cosines equal") {
+    // sf0.01: the brute twin has real pairs; every LSH pair must be one
+    // of them with a bit-identical cosine. 4 planes (the registered
+    // configuration — coarse buckets for recall) is non-vacuous here.
+    val e = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val brute = EmbeddingOps.nearDupCosineBrute(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(brute.nonEmpty)
+    val lsh = EmbeddingOps.nearDupCosineLsh(e, nPlanes = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (pair, cos) =>
+      assert(brute.get(pair).contains(cos), s"$pair not in brute or cos differs")
+    }
+    // identical vectors have identical sign patterns -> always co-bucket,
+    // so the route is provably non-vacuous on exact duplicates
+    val tiny = EmbeddingOps.nearDupCosineLsh(emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(tiny.contains((0L, 1L)))
+  }
+
   test("LSH buckets identical vectors together; NN is exact in-bucket") {
     val nn = EmbeddingOps.lshNearestNeighbor(emb).collect()
       .map(r => r.getAs[Long]("vec_id") ->

@@ -147,6 +147,18 @@ class TextOpsSpec extends SparkSpec {
     assert(n == 6)
   }
 
+  test("lengthQuantilesApprox lands within the sketch's rank bound") {
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+    val rows = TextOps.lengthQuantilesApprox(d).collect()
+    val nLangs = d.select("lang").distinct().count()
+    assert(rows.length == nLangs * 3) // one row per (lang, pct)
+    rows.foreach(r => assert(r.getAs[Boolean]("within_bound"),
+      s"${r.getAs[String]("lang")} p${r.getAs[Double]("pct")}"))
+    // a coarse sketch must still satisfy ITS OWN (wider) bound
+    val coarse = TextOps.lengthQuantilesApprox(d, accuracy = 100).collect()
+    coarse.foreach(r => assert(r.getAs[Boolean]("within_bound")))
+  }
+
   test("lengthQuantiles selects exact rank-index values per language") {
     // 10 docs with lengths 1..10 (texts of i chars): p50 -> rank 5,
     // p90 -> rank 9, p99 -> rank 10
