@@ -461,6 +461,20 @@ object SuiteML {
         |FROM documents, (SELECT unnest([0.5, 0.9, 0.99]) AS pct) p
         |GROUP BY lang, p.pct""".stripMargin)),
 
+    // ---- text analysis: vocabulary heavy hitters — frequent-items
+    // sketch with the deterministic containment half as the contract
+    // (every exact heavy hitter must be in the sketch set) ----------------
+    Q("text_heavy_hitters",
+      (s, d) => TextOps.heavyHitters(docs(s, d)),
+      Some("""WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        |tot AS (SELECT COUNT(*) AS n_tokens FROM tok),
+        |hh AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY 1
+        |       HAVING COUNT(*) > 0.01 * (SELECT n_tokens FROM tot))
+        |SELECT (SELECT n_tokens FROM tot) AS n_tokens,
+        |       (SELECT COUNT(*) FROM hh) AS n_true_hh,
+        |       TRUE AS all_found""".stripMargin)),
+
     // ---- text analysis: fingerprinting ----------------------------------
     Q("text_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d)),

@@ -626,6 +626,37 @@ object TextOps {
           col("n_chars"))).as("p99_chars"))
   }
 
+  /** Vocabulary heavy hitters via the Misra-Gries / space-saving
+    * frequent-items sketch (Spark's stat.freqItems) — the third
+    * classic sketch next to approx-distinct (an_approx_distinct) and
+    * approx-quantiles ([[lengthQuantilesApprox]]), and the scale
+    * route to "which tokens dominate the corpus" without a full
+    * vocabulary shuffle: one pass, per-partition counter maps of
+    * bounded size 1/support merged associatively.
+    *
+    * The sketch's membership list over-approximates (false positives
+    * allowed) but GUARANTEES every item with frequency > support*n is
+    * present, so the driver-checked contract is that deterministic
+    * half: every exact heavy hitter must appear in the sketch set.
+    * Emits one row (n_tokens, n_true_hh, all_found); the oracle
+    * recomputes the exact side and pins all_found = true. */
+  def heavyHitters(docs: DataFrame, support: Double = 0.01): DataFrame = {
+    val tok = docs.select(
+      explode(split(col("text"), " ")).as("word"))
+    val sketch = tok.stat.freqItems(Array("word"), support)
+      .select(col("word_freqItems").as("sketch_set"))
+    val tot = tok.agg(count(lit(1)).as("n_tokens"))
+    val hh = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
+      .crossJoin(tot) // 1-row scalar frame
+      .where(col("c") > lit(support) * col("n_tokens"))
+    hh.crossJoin(sketch) // 1-row sketch frame
+      .agg(count(lit(1)).as("n_true_hh"),
+        coalesce(min(array_contains(col("sketch_set"), col("word"))),
+          lit(true)).as("all_found"))
+      .crossJoin(tot) // re-attach the scalar total
+      .select(col("n_tokens"), col("n_true_hh"), col("all_found"))
+  }
+
   /** Sketch-based per-language length quantiles — the production
     * default that [[lengthQuantiles]]'s scale note points to: one
     * percentile_approx (Greenwald-Khanna) pass over the corpus, no

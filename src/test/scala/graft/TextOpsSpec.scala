@@ -147,6 +147,20 @@ class TextOpsSpec extends SparkSpec {
     assert(n == 6)
   }
 
+  test("heavyHitters: every exact heavy hitter is in the sketch set") {
+    // 100 tokens: "the" x30 is the only word above support 0.1 (>10)
+    val text = ("the " * 30 + (1 to 70).map(i => s"w$i").mkString(" ")).trim
+    val d = docsDf(Seq((1L, text, "en", "s")))
+    val r = TextOps.heavyHitters(d, support = 0.1).collect()(0)
+    assert(r.getAs[Long]("n_tokens") == 100L)
+    assert(r.getAs[Long]("n_true_hh") == 1L)
+    assert(r.getAs[Boolean]("all_found"))
+    // the corpus-scale run holds the same containment contract
+    val big = TextOps.heavyHitters(
+      Tables(spark, "/root/testdata/sf0.001").documents).collect()(0)
+    assert(big.getAs[Boolean]("all_found"))
+  }
+
   test("lengthQuantilesApprox lands within the sketch's rank bound") {
     val d = Tables(spark, "/root/testdata/sf0.001").documents
     val rows = TextOps.lengthQuantilesApprox(d).collect()
