@@ -641,6 +641,39 @@ object SuiteML {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
         |  FROM sc) WHERE rk <= 10""".stripMargin)),
 
+    // ---- similarity: product-quantization ADC top-k — the compressed
+    // scale path: queries score corpus CODES (M table lookups), never
+    // corpus vectors; all-integer, so the oracle replays the whole
+    // pipeline (slice -> encode -> LUT -> sum) ----------------------------
+    Q("sim_pq_topk",
+      (s, d) => EmbeddingOps.pqTopK(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |sub AS (SELECT vec_id, s, q[s*16+1 : s*16+16] AS sq
+        |        FROM e, (SELECT unnest(range(4)) AS s)),
+        |cb AS (SELECT s, vec_id AS code, sq AS cq FROM sub WHERE vec_id < 16),
+        |cbn AS (SELECT s, code, SUM(v*v) AS cn FROM (
+        |    SELECT s, code, unnest(cq) AS v FROM cb) GROUP BY 1, 2),
+        |encd AS (SELECT vec_id, s, code, SUM(a*b) AS dot FROM (
+        |    SELECT sub.vec_id, sub.s, cb.code,
+        |           unnest(sub.sq) AS a, unnest(cb.cq) AS b
+        |    FROM sub JOIN cb USING (s)) GROUP BY 1, 2, 3),
+        |enc AS (SELECT vec_id, s, code FROM (
+        |    SELECT d.vec_id, d.s, d.code,
+        |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+        |             ORDER BY n.cn - 2*d.dot, d.code) AS rk
+        |    FROM encd d JOIN cbn n ON n.s = d.s AND n.code = d.code)
+        |    WHERE rk = 1),
+        |lutd AS (SELECT query_id, s, code, SUM(a*b) AS pdot FROM (
+        |    SELECT q.vec_id AS query_id, q.s, cb.code,
+        |           unnest(q.sq) AS a, unnest(cb.cq) AS b
+        |    FROM sub q JOIN cb USING (s) WHERE q.vec_id < 5) GROUP BY 1, 2, 3),
+        |sc AS (SELECT l.query_id, enc.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS adot
+        |       FROM enc JOIN lutd l ON l.s = enc.s AND l.code = enc.code
+        |       WHERE enc.vec_id <> l.query_id GROUP BY 1, 2)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, adot FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
+        |  FROM sc) WHERE rk <= 10""".stripMargin)),
+
     // ---- similarity: the IVF trainer — one exact Lloyd update step ------
     Q("sim_kmeans_step",
       (s, d) => EmbeddingOps.kmeansStep(emb(s, d)),

@@ -223,6 +223,80 @@ object EmbeddingOps {
     ivfTopKWith(e, seedCentroids(e, nCentroids), nQueries, nProbe, k)
   }
 
+  private val PqM = 4
+  private val PqSubDim = Dim / PqM
+
+  /** Per-subspace PQ codebooks (product quantization, Jegou et al.
+    * TPAMI 2011 §II): the 64-dim space splits into M=4 subspaces of 16
+    * components; subspace s's codebook is the s-slices of the first
+    * `kc` corpus vectors (the same deterministic seeding as
+    * [[seedCentroids]] — swap in per-subspace [[kmeansCentroidsQ]]
+    * output to train). Emits (sub, code, cq, cn) — kc*M rows, always
+    * broadcast. */
+  def pqCodebooks(e: DataFrame, kc: Int = 16): DataFrame =
+    e.where(col("vec_id") < kc)
+      .select(col("vec_id").cast("int").as("code"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("q"))
+      .select(col("sub"), col("code"),
+        expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("cq"))
+      .withColumn("cn", aggregate(col("cq"), lit(0L), (a, x) => a + x * x))
+
+  /** PQ encoding: each vector's code in subspace s is the codeword
+    * minimizing exact-integer L2 distance to its s-slice. The
+    * vector-side norm is constant within the argmin, so only
+    * (cn - 2*dot) is ranked (ties -> smallest code). The argmin is a
+    * map-side-combinable min(struct(...)) — the shuffle carries M
+    * compact rows per vector, never the kc candidate rows. */
+  def pqEncode(e: DataFrame, kc: Int = 16): DataFrame =
+    pqEncodeWith(e, pqCodebooks(e, kc))
+
+  private def pqEncodeWith(e: DataFrame, cb: DataFrame): DataFrame =
+    e.select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("q"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("sq"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        struct((col("cn") - lit(2L) * qdot(col("sq"), col("cq")))
+          .as("d2c"), col("code")).as("cand"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("cand")).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+
+  /** PQ top-k by asymmetric distance computation (ADC): the query
+    * precomputes exact-integer dots against every codeword (a
+    * nQueries*M*kc lookup table, broadcast), and each corpus vector is
+    * scored as the SUM of M table lookups on its codes — the corpus is
+    * touched only through its M-byte-scale codes, never its vectors.
+    * Scores are exact integers (adot), so ranking is deterministic
+    * (ties -> smallest vec_id) and the oracle replays the whole
+    * pipeline. Scale shape: codebooks + LUT broadcast, one encode pass
+    * over the corpus, one map-side-combined (query, vec) sum, top-k
+    * window over nQueries partitions. */
+  def pqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      kc: Int = 16): DataFrame = {
+    val e = quantized(emb).localCheckpoint()
+    val cb = pqCodebooks(e, kc)
+    val codes = pqEncodeWith(e, cb)
+    val lut = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("q"))
+      .select(col("query_id"), col("sub"),
+        expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("qs"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        qdot(col("qs"), col("cq")).as("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adot"))
+  }
+
   /** One Lloyd (k-means) update step over the quantized embeddings —
     * the training half of the IVF coarse quantizer ([[ivfTopK]] is the
     * serving half): assign every vector to its nearest current

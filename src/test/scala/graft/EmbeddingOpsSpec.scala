@@ -96,6 +96,31 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(objs(2) <= objs(0), objs.mkString(","))
   }
 
+  test("pqTopK: dense ranks, monotone ADC scores, nonzero brute recall") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    // identical vectors get identical codes (same slices, same argmin)
+    val codes = EmbeddingOps.pqEncode(
+        EmbeddingOps.quantized(emb)).collect()
+      .groupBy(_.getLong(0)).view.mapValues(
+        _.map(r => r.getInt(1) -> r.getInt(2)).toMap).toMap
+    assert(codes(0L) == codes(1L))
+    assert(codes.values.forall(_.values.forall(c => c >= 0 && c < 16)))
+
+    val rows = EmbeddingOps.pqTopK(e, nQueries = 3, k = 10).collect()
+    assert(rows.length == 30)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 10))
+      val adots = sorted.map(_.getLong(3))
+      assert(adots.zip(adots.tail).forall { case (x, y) => x >= y })
+    }
+    // the compressed scores still carry signal: some overlap with the
+    // exact brute top-10
+    val brute = EmbeddingOps.annTopK(e, nQueries = 3, k = 10).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    assert(rows.map(r => (r.getLong(0), r.getLong(2))).count(brute) > 0)
+  }
+
   test("multiprobe LSH never finds a worse neighbor than single-probe") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     val single = EmbeddingOps.lshNearestNeighbor(e)
