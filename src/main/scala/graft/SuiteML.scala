@@ -135,6 +135,37 @@ object SuiteML {
   /** The 8-plane instance the sim_lsh_* rows use. */
   private val LshBucketCte: String = lshBucketCte(8)
 
+  /** PQ pipeline CTEs over `e` (slice -> seed codebooks -> encode ->
+    * query LUT -> ADC scores) ending in `sc(query_id, vec_id, adot)` —
+    * shared by sim_pq_topk and sim_pq_recall so the encoding cannot
+    * drift between the two oracles. Mirrors
+    * [[graft.operators.EmbeddingOps.pqTopK]]: 4 subspaces of 16,
+    * codebooks = slices of the first 16 vectors, argmin by
+    * (cn - 2*dot) with code tie-break, 5 query vectors. */
+  private val PqScoreCte: String =
+    """sub AS (SELECT vec_id, s, q[s*16+1 : s*16+16] AS sq
+      |        FROM e, (SELECT unnest(range(4)) AS s)),
+      |cb AS (SELECT s, vec_id AS code, sq AS cq FROM sub WHERE vec_id < 16),
+      |cbn AS (SELECT s, code, SUM(v*v) AS cn FROM (
+      |    SELECT s, code, unnest(cq) AS v FROM cb) GROUP BY 1, 2),
+      |encd AS (SELECT vec_id, s, code, SUM(a*b) AS dot FROM (
+      |    SELECT sub.vec_id, sub.s, cb.code,
+      |           unnest(sub.sq) AS a, unnest(cb.cq) AS b
+      |    FROM sub JOIN cb USING (s)) GROUP BY 1, 2, 3),
+      |enc AS (SELECT vec_id, s, code FROM (
+      |    SELECT d.vec_id, d.s, d.code,
+      |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+      |             ORDER BY n.cn - 2*d.dot, d.code) AS rk
+      |    FROM encd d JOIN cbn n ON n.s = d.s AND n.code = d.code)
+      |    WHERE rk = 1),
+      |lutd AS (SELECT query_id, s, code, SUM(a*b) AS pdot FROM (
+      |    SELECT q.vec_id AS query_id, q.s, cb.code,
+      |           unnest(q.sq) AS a, unnest(cb.cq) AS b
+      |    FROM sub q JOIN cb USING (s) WHERE q.vec_id < 5) GROUP BY 1, 2, 3),
+      |sc AS (SELECT l.query_id, enc.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS adot
+      |       FROM enc JOIN lutd l ON l.s = enc.s AND l.code = enc.code
+      |       WHERE enc.vec_id <> l.query_id GROUP BY 1, 2)""".stripMargin
+
   /** Shared scoring tail over a candidate-pair CTE `pp(vid, nn_id, x,
     * y)`: exact dot, cosine, top-1 per vector, null-neighbor left
     * join. */
@@ -648,31 +679,38 @@ object SuiteML {
     Q("sim_pq_topk",
       (s, d) => EmbeddingOps.pqTopK(emb(s, d)),
       Some(s"""WITH $EmbCte,
-        |sub AS (SELECT vec_id, s, q[s*16+1 : s*16+16] AS sq
-        |        FROM e, (SELECT unnest(range(4)) AS s)),
-        |cb AS (SELECT s, vec_id AS code, sq AS cq FROM sub WHERE vec_id < 16),
-        |cbn AS (SELECT s, code, SUM(v*v) AS cn FROM (
-        |    SELECT s, code, unnest(cq) AS v FROM cb) GROUP BY 1, 2),
-        |encd AS (SELECT vec_id, s, code, SUM(a*b) AS dot FROM (
-        |    SELECT sub.vec_id, sub.s, cb.code,
-        |           unnest(sub.sq) AS a, unnest(cb.cq) AS b
-        |    FROM sub JOIN cb USING (s)) GROUP BY 1, 2, 3),
-        |enc AS (SELECT vec_id, s, code FROM (
-        |    SELECT d.vec_id, d.s, d.code,
-        |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
-        |             ORDER BY n.cn - 2*d.dot, d.code) AS rk
-        |    FROM encd d JOIN cbn n ON n.s = d.s AND n.code = d.code)
-        |    WHERE rk = 1),
-        |lutd AS (SELECT query_id, s, code, SUM(a*b) AS pdot FROM (
-        |    SELECT q.vec_id AS query_id, q.s, cb.code,
-        |           unnest(q.sq) AS a, unnest(cb.cq) AS b
-        |    FROM sub q JOIN cb USING (s) WHERE q.vec_id < 5) GROUP BY 1, 2, 3),
-        |sc AS (SELECT l.query_id, enc.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS adot
-        |       FROM enc JOIN lutd l ON l.s = enc.s AND l.code = enc.code
-        |       WHERE enc.vec_id <> l.query_id GROUP BY 1, 2)
+        |$PqScoreCte
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, adot FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
         |  FROM sc) WHERE rk <= 10""".stripMargin)),
+
+    // ---- similarity: PQ recall@10 vs the exact brute top-10 — every
+    // approximate route ships with its recall measurement -----------------
+    Q("sim_pq_recall",
+      (s, d) => EmbeddingOps.pqRecall(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$PqScoreCte,
+        |pqk AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
+        |  FROM sc) WHERE rk <= 10),
+        |bp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
+        |              unnest(qe.q) AS a, unnest(ce.q) AS b
+        |       FROM e qe, e ce WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+        |bdots AS (SELECT query_id, vid, SUM(a*b) AS dot FROM bp GROUP BY 1, 2),
+        |bsc AS (SELECT query_id, vid,
+        |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |        FROM bdots JOIN n nq ON nq.vec_id = query_id
+        |                   JOIN n nv ON nv.vec_id = vid),
+        |brute AS (SELECT query_id, vid FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM bsc) WHERE rk <= 10),
+        |hits AS (SELECT b.query_id, COUNT(*) AS nh
+        |         FROM brute b JOIN pqk p ON p.query_id = b.query_id AND p.vec_id = b.vid
+        |         GROUP BY 1)
+        |SELECT q.query_id, CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_overlap,
+        |       CAST(COALESCE(h.nh, 0) AS DOUBLE) / 10 AS recall_at_k
+        |FROM (SELECT DISTINCT query_id FROM brute) q
+        |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin)),
 
     // ---- similarity: the IVF trainer — one exact Lloyd update step ------
     Q("sim_kmeans_step",

@@ -274,8 +274,14 @@ object EmbeddingOps {
     * over the corpus, one map-side-combined (query, vec) sum, top-k
     * window over nQueries partitions. */
   def pqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      kc: Int = 16): DataFrame =
+    pqTopKQ(quantized(emb).localCheckpoint(), nQueries, k, kc)
+
+  /** [[pqTopK]] over an already-[[quantized]] (and ideally
+    * checkpointed) frame — lets [[pqRecall]] share one quantization
+    * scan with the brute baseline. */
+  def pqTopKQ(e: DataFrame, nQueries: Int = 5, k: Int = 10,
       kc: Int = 16): DataFrame = {
-    val e = quantized(emb).localCheckpoint()
     val cb = pqCodebooks(e, kc)
     val codes = pqEncodeWith(e, cb)
     val lut = e.where(col("vec_id") < nQueries)
@@ -395,7 +401,16 @@ object EmbeddingOps {
     val ivf = ivfTopKWith(e, kmeansCentroidsQ(e, nCentroids, iters),
         nQueries, nProbe, k)
       .select(col("query_id"), col("vec_id"))
-    val hits = brute.join(ivf, Seq("query_id", "vec_id"))
+    recallVsBrute(brute, ivf, k)
+  }
+
+  /** recall@k overlap tail shared by [[ivfRecall]] and [[pqRecall]]:
+    * per query, how many of the exact brute top-k the approximate
+    * route found — both inputs are (query_id, vec_id) frames, the
+    * ratio is one exact-integer division. */
+  private def recallVsBrute(brute: DataFrame, approx: DataFrame,
+      k: Int): DataFrame = {
+    val hits = brute.join(approx, Seq("query_id", "vec_id"))
       .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
     brute.select(col("query_id")).distinct()
       .join(hits, Seq("query_id"), "left")
@@ -403,6 +418,23 @@ object EmbeddingOps {
         coalesce(col("n_hits"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_hits"), lit(0L)).cast("double") / k)
           .as("recall_at_k"))
+  }
+
+  /** recall@k of the PQ ADC ranking ([[pqTopK]]) against the exact
+    * brute top-k — the PQ twin of [[ivfRecall]], closing the loop for
+    * the compressed route: every approximate path ships with its
+    * recall measurement. Deterministic on both sides, so the oracle
+    * replays it end-to-end. */
+  def pqRecall(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      kc: Int = 16): DataFrame = {
+    // one quantization scan shared by the brute baseline and the PQ
+    // pipeline (codebooks, encode, LUT)
+    val e = quantized(emb).localCheckpoint()
+    val brute = annTopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val pq = pqTopKQ(e, nQueries, k, kc)
+      .select(col("query_id"), col("vec_id"))
+    recallVsBrute(brute, pq, k)
   }
 
   /** LSH-bucketed nearest neighbor: within each bucket, every vector's

@@ -121,6 +121,23 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(2))).count(brute) > 0)
   }
 
+  test("pqRecall agrees with the direct top-k overlap") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val brute = EmbeddingOps.annTopK(e).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    val pq = EmbeddingOps.pqTopK(e).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val expected = brute.groupBy(_._1).view
+      .mapValues(_.count(pq)).toMap
+    val got = EmbeddingOps.pqRecall(e).collect()
+    assert(got.length == 5)
+    got.foreach { r =>
+      val q = r.getLong(0)
+      assert(r.getLong(1) == expected(q).toLong, s"query $q")
+      assert(r.getDouble(2) == expected(q).toDouble / 10)
+    }
+  }
+
   test("multiprobe LSH never finds a worse neighbor than single-probe") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     val single = EmbeddingOps.lshNearestNeighbor(e)
