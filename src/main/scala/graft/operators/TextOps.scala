@@ -647,13 +647,13 @@ object TextOps {
       .select(col("word_freqItems").as("sketch_set"))
     val tot = tok.agg(count(lit(1)).as("n_tokens"))
     val hh = tok.groupBy(col("word")).agg(count(lit(1)).as("c"))
-      .crossJoin(tot) // 1-row scalar frame
+      .crossJoin(broadcast(tot)) // 1-row scalar frame
       .where(col("c") > lit(support) * col("n_tokens"))
-    hh.crossJoin(sketch) // 1-row sketch frame
+    hh.crossJoin(broadcast(sketch)) // 1-row sketch frame
       .agg(count(lit(1)).as("n_true_hh"),
         coalesce(min(array_contains(col("sketch_set"), col("word"))),
           lit(true)).as("all_found"))
-      .crossJoin(tot) // re-attach the scalar total
+      .crossJoin(broadcast(tot)) // re-attach the scalar total
       .select(col("n_tokens"), col("n_true_hh"), col("all_found"))
   }
 
