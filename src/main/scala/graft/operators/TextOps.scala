@@ -663,12 +663,15 @@ object TextOps {
     * per-language sort. The sketch's estimate is engine-specific, so
     * the driver-checked contract is the ERROR BOUND (the
     * an_approx_distinct pattern): percentile_approx guarantees the
-    * returned value is a corpus element whose rank is within
-    * eps*n (eps = 1/accuracy) of the target rank, and the emitted
-    * boolean verifies exactly that — the returned value's rank
-    * interval [r_lt+1, r_le] must intersect
-    * [floor((p-eps)*n), ceil((p+eps)*n)]. The oracle recomputes
-    * (lang, pct, n_docs) and pins within_bound = true.
+    * returned value is a corpus element whose rank is near the target
+    * rank (single-summary error eps = 1/accuracy), and the emitted
+    * boolean verifies that — the returned value's rank interval
+    * [r_lt+1, r_le] must intersect
+    * [floor((p-slack)*n), ceil((p+slack)*n)] with slack = 2*eps: the
+    * 2x absorbs merge-time error accumulation (Greenwald-Khanna
+    * summaries merged across partitions bound looser than one
+    * summary). The oracle recomputes (lang, pct, n_docs) and pins
+    * within_bound = true.
     *
     * Scale shape: one sketch aggregation shuffle keyed lang, then the
     * languages-cardinality estimate frame is broadcast back for the
@@ -677,7 +680,7 @@ object TextOps {
       accuracy: Int = 10000): DataFrame = {
     val pcts = Seq(0.5, 0.9, 0.99)
     val pctArr = array(pcts.map(lit): _*)
-    val eps = 1.0 / accuracy
+    val eps = 2.0 / accuracy // 2x single-summary error: merge slack
     val approx = docs.groupBy(col("lang"))
       .agg(percentile_approx(col("n_chars"), pctArr, lit(accuracy))
           .as("vs"),

@@ -69,9 +69,13 @@ object Warehouse {
     // toLowerCase would mangle 'I' under tr_TR).
     s.sql(s"DROP TABLE IF EXISTS `$table`")
     val lc = (n: String) => n.toLowerCase(java.util.Locale.ROOT)
+    // locationUri is a percent-encoded URI string; going through
+    // java.net.URI decodes it (a raw Path would treat %20 as literal
+    // characters and miss the real directory)
     val dbLoc = s.catalog.getDatabase(s.catalog.currentDatabase)
       .locationUri
-    val loc = new org.apache.hadoop.fs.Path(dbLoc, lc(table))
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(new java.net.URI(dbLoc)), lc(table))
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     df.write

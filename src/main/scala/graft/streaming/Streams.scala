@@ -112,8 +112,22 @@ object Streams {
             s" ahead of batch $batchId; it was written by a different " +
             "checkpoint. Clear statePath or resume with the original " +
             "checkpointLocation.")
-        val prevId = committedVersions(fs, root).filter(_ < batchId)
-          .maxOption
+        // the predecessor is the latest version strictly below this
+        // batch; under the sink's invariants it is always committed (a
+        // crash-partial directory can only be the replayed batch
+        // itself), so an uncommitted one means the committer is not
+        // writing success markers — fail loudly rather than silently
+        // fold from an empty (or older) predecessor
+        val prevId = versions.filter(_ < batchId).maxOption
+        prevId.foreach { p =>
+          require(fs.exists(
+            new org.apache.hadoop.fs.Path(root, s"b$p/_SUCCESS")),
+            s"dedup state version b$p at $statePath has no _SUCCESS " +
+              "marker; the sink needs the parquet committer's success " +
+              "markers (mapreduce.fileoutputcommitter." +
+              "marksuccessfuljobs=true) to tell committed state from a " +
+              "crash-truncated write.")
+        }
         val prev = prevId match {
           case Some(id) => s.read.parquet(s"$statePath/b$id")
           case None => s.createDataFrame(s.sparkContext.emptyRDD[
