@@ -135,36 +135,100 @@ object SuiteML {
   /** The 8-plane instance the sim_lsh_* rows use. */
   private val LshBucketCte: String = lshBucketCte(8)
 
-  /** PQ pipeline CTEs over `e` (slice -> seed codebooks -> encode ->
-    * query LUT -> ADC scores) ending in `sc(query_id, vec_id, adot)` —
-    * shared by sim_pq_topk and sim_pq_recall so the encoding cannot
-    * drift between the two oracles. Mirrors
-    * [[graft.operators.EmbeddingOps.pqTopK]]: 4 subspaces of 16,
-    * codebooks = slices of the first 16 vectors, argmin by
-    * (cn - 2*dot) with code tie-break, 5 query vectors. */
-  private val PqScoreCte: String =
+  /** PQ sub-slices + seed codebooks: `sub(vec_id, s, sq)` and
+    * `cb(s, code, cq)` — 4 subspaces of 16, codebooks = slices of the
+    * first 16 vectors. The shared head of every PQ oracle. */
+  private val PqSubCte: String =
     """sub AS (SELECT vec_id, s, q[s*16+1 : s*16+16] AS sq
       |        FROM e, (SELECT unnest(range(4)) AS s)),
-      |cb AS (SELECT s, vec_id AS code, sq AS cq FROM sub WHERE vec_id < 16),
-      |cbn AS (SELECT s, code, SUM(v*v) AS cn FROM (
-      |    SELECT s, code, unnest(cq) AS v FROM cb) GROUP BY 1, 2),
-      |encd AS (SELECT vec_id, s, code, SUM(a*b) AS dot FROM (
-      |    SELECT sub.vec_id, sub.s, cb.code,
-      |           unnest(sub.sq) AS a, unnest(cb.cq) AS b
-      |    FROM sub JOIN cb USING (s)) GROUP BY 1, 2, 3),
-      |enc AS (SELECT vec_id, s, code FROM (
+      |cb AS (SELECT s, vec_id AS code, sq AS cq FROM sub WHERE vec_id < 16)""".stripMargin
+
+  /** PQ scoring tail against codebook CTE `cbCte`, CTE names prefixed
+    * `p`: norms, L2 encode argmin (ties -> smallest code), query LUT,
+    * ADC scores — ends in `${p}sc(query_id, vec_id, adot)`. ONE
+    * generator serves the seed (sim_pq_topk / sim_pq_recall) and
+    * trained (sim_pq_trained_recall) oracles so the encoding cannot
+    * drift. */
+  private def pqScoreAgainst(cbCte: String, p: String): String =
+    s"""${p}cbn AS (SELECT s, code, SUM(v*v) AS cn FROM (
+      |    SELECT s, code, unnest(cq) AS v FROM $cbCte) GROUP BY 1, 2),
+      |${p}encd AS (SELECT vec_id, s, code, SUM(a*b) AS dot FROM (
+      |    SELECT sub.vec_id, sub.s, c.code,
+      |           unnest(sub.sq) AS a, unnest(c.cq) AS b
+      |    FROM sub JOIN $cbCte c USING (s)) GROUP BY 1, 2, 3),
+      |${p}enc AS (SELECT vec_id, s, code FROM (
       |    SELECT d.vec_id, d.s, d.code,
       |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
       |             ORDER BY n.cn - 2*d.dot, d.code) AS rk
-      |    FROM encd d JOIN cbn n ON n.s = d.s AND n.code = d.code)
+      |    FROM ${p}encd d JOIN ${p}cbn n ON n.s = d.s AND n.code = d.code)
       |    WHERE rk = 1),
-      |lutd AS (SELECT query_id, s, code, SUM(a*b) AS pdot FROM (
-      |    SELECT q.vec_id AS query_id, q.s, cb.code,
-      |           unnest(q.sq) AS a, unnest(cb.cq) AS b
-      |    FROM sub q JOIN cb USING (s) WHERE q.vec_id < 5) GROUP BY 1, 2, 3),
-      |sc AS (SELECT l.query_id, enc.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS adot
-      |       FROM enc JOIN lutd l ON l.s = enc.s AND l.code = enc.code
-      |       WHERE enc.vec_id <> l.query_id GROUP BY 1, 2)""".stripMargin
+      |${p}lutd AS (SELECT query_id, s, code, SUM(a*b) AS pdot FROM (
+      |    SELECT q.vec_id AS query_id, q.s, c.code,
+      |           unnest(q.sq) AS a, unnest(c.cq) AS b
+      |    FROM sub q JOIN $cbCte c USING (s) WHERE q.vec_id < 5) GROUP BY 1, 2, 3),
+      |${p}sc AS (SELECT l.query_id, en.vec_id, CAST(SUM(l.pdot) AS BIGINT) AS adot
+      |       FROM ${p}enc en JOIN ${p}lutd l ON l.s = en.s AND l.code = en.code
+      |       WHERE en.vec_id <> l.query_id GROUP BY 1, 2)""".stripMargin
+
+  /** Seed-codebook PQ pipeline ending in `sc(query_id, vec_id, adot)`. */
+  private val PqScoreCte: String =
+    s"$PqSubCte,\n${pqScoreAgainst("cb", "")}"
+
+  /** Per-subspace Lloyd rounds over the PQ codebooks, mirroring
+    * [[graft.operators.EmbeddingOps.pqTrainCodebooks]]: L2 assignment
+    * with the encoder's tie-break, per-(sub, code, component) means
+    * re-quantized with round-half-away. Produces `pcb1..pcb$iters`
+    * from `pcb0`. */
+  private def pqTrainRounds(iters: Int): String =
+    (1 to iters).map { i =>
+      val p = s"pcb${i - 1}"
+      s"""r${i}cbn AS (SELECT s, code, SUM(v*v) AS cn FROM (
+        |    SELECT s, code, unnest(cq) AS v FROM $p) GROUP BY 1, 2),
+        |r${i}encd AS (SELECT vec_id, s, code, SUM(a*b) AS dot FROM (
+        |    SELECT sub.vec_id, sub.s, c.code,
+        |           unnest(sub.sq) AS a, unnest(c.cq) AS b
+        |    FROM sub JOIN $p c USING (s)) GROUP BY 1, 2, 3),
+        |r${i}enc AS (SELECT vec_id, s, code FROM (
+        |    SELECT d.vec_id, d.s, d.code,
+        |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
+        |             ORDER BY n.cn - 2*d.dot, d.code) AS rk
+        |    FROM r${i}encd d JOIN r${i}cbn n ON n.s = d.s AND n.code = d.code)
+        |    WHERE rk = 1),
+        |pcb$i AS (SELECT s, code, list(mq ORDER BY c) AS cq FROM (
+        |    SELECT a.s, a.code, u.c,
+        |           CAST(round(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq
+        |    FROM r${i}enc a JOIN (
+        |      SELECT vec_id, s, unnest(sq) AS v,
+        |             generate_subscripts(sq, 1) AS c FROM sub) u
+        |      ON u.vec_id = a.vec_id AND u.s = a.s
+        |    GROUP BY 1, 2, 3) GROUP BY 1, 2)""".stripMargin
+    }.mkString(",\n")
+
+  /** Exact brute-force top-10 per query ending in
+    * `brute(query_id, vid)` — shared by the recall oracles. */
+  private val BruteTop10Cte: String =
+    """bp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
+      |              unnest(qe.q) AS a, unnest(ce.q) AS b
+      |       FROM e qe, e ce WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+      |bdots AS (SELECT query_id, vid, SUM(a*b) AS dot FROM bp GROUP BY 1, 2),
+      |bsc AS (SELECT query_id, vid,
+      |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+      |        FROM bdots JOIN n nq ON nq.vec_id = query_id
+      |                   JOIN n nv ON nv.vec_id = vid),
+      |brute AS (SELECT query_id, vid FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+      |  FROM bsc) WHERE rk <= 10)""".stripMargin
+
+  /** Overlap-vs-brute tail over an approximate top-k CTE
+    * `approxCte(query_id, vec_id)`. */
+  private def recallTail(approxCte: String): String =
+    s"""hits AS (SELECT b.query_id, COUNT(*) AS nh
+      |         FROM brute b JOIN $approxCte p ON p.query_id = b.query_id AND p.vec_id = b.vid
+      |         GROUP BY 1)
+      |SELECT q.query_id, CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_overlap,
+      |       CAST(COALESCE(h.nh, 0) AS DOUBLE) / 10 AS recall_at_k
+      |FROM (SELECT DISTINCT query_id FROM brute) q
+      |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin
 
   /** Shared scoring tail over a candidate-pair CTE `pp(vid, nn_id, x,
     * y)`: exact dot, cosine, top-1 per vector, null-neighbor left
@@ -693,24 +757,23 @@ object SuiteML {
         |pqk AS (SELECT query_id, vec_id FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
         |  FROM sc) WHERE rk <= 10),
-        |bp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
-        |              unnest(qe.q) AS a, unnest(ce.q) AS b
-        |       FROM e qe, e ce WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
-        |bdots AS (SELECT query_id, vid, SUM(a*b) AS dot FROM bp GROUP BY 1, 2),
-        |bsc AS (SELECT query_id, vid,
-        |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
-        |        FROM bdots JOIN n nq ON nq.vec_id = query_id
-        |                   JOIN n nv ON nv.vec_id = vid),
-        |brute AS (SELECT query_id, vid FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
-        |  FROM bsc) WHERE rk <= 10),
-        |hits AS (SELECT b.query_id, COUNT(*) AS nh
-        |         FROM brute b JOIN pqk p ON p.query_id = b.query_id AND p.vec_id = b.vid
-        |         GROUP BY 1)
-        |SELECT q.query_id, CAST(COALESCE(h.nh, 0) AS BIGINT) AS n_overlap,
-        |       CAST(COALESCE(h.nh, 0) AS DOUBLE) / 10 AS recall_at_k
-        |FROM (SELECT DISTINCT query_id FROM brute) q
-        |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin)),
+        |$BruteTop10Cte,
+        |${recallTail("pqk")}""".stripMargin)),
+
+    // ---- similarity: trained-PQ recall@10 — the per-subspace Lloyd
+    // loop composed with the ADC probe, next to the seed-codebook row --
+    Q("sim_pq_trained_recall",
+      (s, d) => EmbeddingOps.pqRecallTrained(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$PqSubCte,
+        |pcb0 AS (SELECT s, code, cq FROM cb),
+        |${pqTrainRounds(2)},
+        |${pqScoreAgainst("pcb2", "f")},
+        |pqk AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
+        |  FROM fsc) WHERE rk <= 10),
+        |$BruteTop10Cte,
+        |${recallTail("pqk")}""".stripMargin)),
 
     // ---- similarity: the IVF trainer — one exact Lloyd update step ------
     Q("sim_kmeans_step",

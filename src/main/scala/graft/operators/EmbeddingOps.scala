@@ -233,12 +233,18 @@ object EmbeddingOps {
     * [[seedCentroids]] — swap in per-subspace [[kmeansCentroidsQ]]
     * output to train). Emits (sub, code, cq, cn) — kc*M rows, always
     * broadcast. */
-  def pqCodebooks(e: DataFrame, kc: Int = 16): DataFrame =
-    e.where(col("vec_id") < kc)
-      .select(col("vec_id").cast("int").as("code"),
+  /** Every vector's M sub-slices: (vec_id, sub, sq) — the shared
+    * entry of the PQ pipeline (codebooks, encode, LUT, training). */
+  private def subSlices(e: DataFrame): DataFrame =
+    e.select(col("vec_id"),
         explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("q"))
-      .select(col("sub"), col("code"),
-        expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("cq"))
+      .select(col("vec_id"), col("sub"),
+        expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("sq"))
+
+  def pqCodebooks(e: DataFrame, kc: Int = 16): DataFrame =
+    subSlices(e.where(col("vec_id") < kc))
+      .select(col("sub"), col("vec_id").cast("int").as("code"),
+        col("sq").as("cq"))
       .withColumn("cn", aggregate(col("cq"), lit(0L), (a, x) => a + x * x))
 
   /** PQ encoding: each vector's code in subspace s is the codeword
@@ -251,10 +257,7 @@ object EmbeddingOps {
     pqEncodeWith(e, pqCodebooks(e, kc))
 
   private def pqEncodeWith(e: DataFrame, cb: DataFrame): DataFrame =
-    e.select(col("vec_id"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("q"))
-      .select(col("vec_id"), col("sub"),
-        expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("sq"))
+    subSlices(e)
       .join(broadcast(cb), Seq("sub"))
       .select(col("vec_id"), col("sub"),
         struct((col("cn") - lit(2L) * qdot(col("sq"), col("cq")))
@@ -262,6 +265,62 @@ object EmbeddingOps {
       .groupBy(col("vec_id"), col("sub"))
       .agg(min(col("cand")).as("best"))
       .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+
+  /** Per-subspace Lloyd training of the PQ codebooks — the PQ twin of
+    * [[kmeansCentroids]], with the L2 assignment the encoder uses
+    * ([[pqEncodeWith]]) instead of cosine: each round re-encodes the
+    * corpus against the current codebooks and recomputes every
+    * (sub, code) cell as the per-component mean of its members,
+    * RE-QUANTIZED to integer milli-units (round-half-away, identical
+    * in Spark and DuckDB) so every round stays in the exact-integer
+    * domain and the loop is oracle-checkable. Cells that lose all
+    * members drop out (standard Lloyd degeneracy).
+    *
+    * Scale shape per round: codebooks broadcast, one corpus encode
+    * pass, one (vec_id, sub)-keyed join to re-attach slices, component
+    * sums map-side-combined on (sub, code, c); the new codebook
+    * (<= M*kc rows) is localCheckpointed so round t+1 does not
+    * re-derive round t. */
+  def pqTrainCodebooks(e: DataFrame, kc: Int = 16,
+      iters: Int = 2): DataFrame = {
+    val subs = subSlices(e)
+    var cb = pqCodebooks(e, kc).localCheckpoint()
+    for (_ <- 0 until iters) {
+      cb = pqEncodeWith(e, cb)
+        .join(subs, Seq("vec_id", "sub"))
+        .select(col("sub"), col("code"),
+          posexplode(col("sq")).as(Seq("c", "v")))
+        .groupBy(col("sub"), col("code"), col("c"))
+        .agg(round(sum(col("v")).cast("double") / count(lit(1)))
+          .cast("long").as("mq"))
+        .groupBy(col("sub"), col("code"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("c"), col("mq")))),
+          x => x.getField("mq")).as("cq"))
+        .withColumn("cn",
+          aggregate(col("cq"), lit(0L), (a, x) => a + x * x))
+        .localCheckpoint()
+    }
+    cb
+  }
+
+  /** PQ quantization objective: the corpus sum of exact-integer
+    * squared L2 distance to each sub-slice's assigned codeword — what
+    * [[pqTrainCodebooks]] descends. One row; specs pin that training
+    * never worsens the seed (per-step monotonicity is NOT guaranteed
+    * under the integer re-quantization, same caveat as
+    * [[kmeansObjective]]). */
+  def pqObjective(e: DataFrame, cb: DataFrame): DataFrame =
+    subSlices(e)
+      .withColumn("xn", aggregate(col("sq"), lit(0L), (a, x) => a + x * x))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"),
+        (col("xn") + col("cn") - lit(2L) * qdot(col("sq"), col("cq")))
+          .as("d2"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(col("d2")).as("best_d2"))
+      .agg(sum(col("best_d2")).as("inertia"),
+        count(lit(1)).as("n_assignments"))
 
   /** PQ top-k by asymmetric distance computation (ADC): the query
     * precomputes exact-integer dots against every codeword (a
@@ -281,14 +340,18 @@ object EmbeddingOps {
     * checkpointed) frame — lets [[pqRecall]] share one quantization
     * scan with the brute baseline. */
   def pqTopKQ(e: DataFrame, nQueries: Int = 5, k: Int = 10,
-      kc: Int = 16): DataFrame = {
-    val cb = pqCodebooks(e, kc)
+      kc: Int = 16): DataFrame =
+    pqTopKWith(e, pqCodebooks(e, kc), nQueries, k)
+
+  /** [[pqTopK]] against an EXPLICIT codebook frame (sub, code, cq, cn)
+    * — the serving half once trained codebooks exist
+    * ([[pqTrainCodebooks]]); [[pqTopKQ]] is the seed special case. */
+  def pqTopKWith(e: DataFrame, cb: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
     val codes = pqEncodeWith(e, cb)
-    val lut = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"),
-        explode(sequence(lit(0), lit(PqM - 1))).as("sub"), col("q"))
-      .select(col("query_id"), col("sub"),
-        expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("qs"))
+    val lut = subSlices(e.where(col("vec_id") < nQueries))
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sq").as("qs"))
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         qdot(col("qs"), col("cq")).as("pdot"))
@@ -433,6 +496,22 @@ object EmbeddingOps {
     val brute = annTopKQ(e, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     val pq = pqTopKQ(e, nQueries, k, kc)
+      .select(col("query_id"), col("vec_id"))
+    recallVsBrute(brute, pq, k)
+  }
+
+  /** [[pqRecall]] with TRAINED codebooks ([[pqTrainCodebooks]], the
+    * closed per-subspace Lloyd loop) — measures what the training
+    * bought the compressed route, next to the seed-codebook
+    * sim_pq_recall row. Deterministic end to end (every Lloyd round
+    * re-quantizes to exact integers), so the oracle replays rounds,
+    * encode, ADC, and overlap. */
+  def pqRecallTrained(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      kc: Int = 16, iters: Int = 2): DataFrame = {
+    val e = quantized(emb).localCheckpoint()
+    val brute = annTopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val pq = pqTopKWith(e, pqTrainCodebooks(e, kc, iters), nQueries, k)
       .select(col("query_id"), col("vec_id"))
     recallVsBrute(brute, pq, k)
   }

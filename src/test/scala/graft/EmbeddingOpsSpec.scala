@@ -121,6 +121,24 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(2))).count(brute) > 0)
   }
 
+  test("pqTrainCodebooks never worsens the seed objective") {
+    // same relaxed contract as the IVF trainer: per-step monotone
+    // descent is not guaranteed under integer re-quantization, so pin
+    // seed-vs-trained only (equality tolerated at a fixed point)
+    val e = EmbeddingOps.quantized(
+      Tables(spark, "/root/testdata/sf0.001").embeddings).localCheckpoint()
+    val seed = EmbeddingOps.pqObjective(e, EmbeddingOps.pqCodebooks(e))
+      .collect()(0).getAs[Long]("inertia")
+    val cb = EmbeddingOps.pqTrainCodebooks(e)
+    val trained = EmbeddingOps.pqObjective(e, cb)
+      .collect()(0).getAs[Long]("inertia")
+    assert(trained <= seed, s"trained $trained > seed $seed")
+    // codebook stays well-formed: <= 4 subspaces x 16 codes, full-width
+    val rows = cb.collect()
+    assert(rows.length <= 64)
+    assert(rows.forall(_.getAs[Seq[Long]]("cq").length == 16))
+  }
+
   test("pqRecall agrees with the direct top-k overlap") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     val brute = EmbeddingOps.annTopK(e).collect()
