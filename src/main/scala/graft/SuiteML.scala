@@ -143,13 +143,12 @@ object SuiteML {
       |        FROM e, (SELECT unnest(range(4)) AS s)),
       |cb AS (SELECT s, vec_id AS code, sq AS cq FROM sub WHERE vec_id < 16)""".stripMargin
 
-  /** PQ scoring tail against codebook CTE `cbCte`, CTE names prefixed
-    * `p`: norms, L2 encode argmin (ties -> smallest code), query LUT,
-    * ADC scores — ends in `${p}sc(query_id, vec_id, adot)`. ONE
-    * generator serves the seed (sim_pq_topk / sim_pq_recall) and
-    * trained (sim_pq_trained_recall) oracles so the encoding cannot
-    * drift. */
-  private def pqScoreAgainst(cbCte: String, p: String): String =
+  /** L2 encode against codebook CTE `cbCte`, CTE names prefixed `p`:
+    * norms, dots, argmin (ties -> smallest code) — ends in
+    * `${p}enc(vec_id, s, code)`. The ONE generator behind every PQ
+    * assignment (scoring AND each training round), so the encode rule
+    * cannot drift between them. */
+  private def pqEncodeCte(cbCte: String, p: String): String =
     s"""${p}cbn AS (SELECT s, code, SUM(v*v) AS cn FROM (
       |    SELECT s, code, unnest(cq) AS v FROM $cbCte) GROUP BY 1, 2),
       |${p}encd AS (SELECT vec_id, s, code, SUM(a*b) AS dot FROM (
@@ -161,7 +160,14 @@ object SuiteML {
       |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
       |             ORDER BY n.cn - 2*d.dot, d.code) AS rk
       |    FROM ${p}encd d JOIN ${p}cbn n ON n.s = d.s AND n.code = d.code)
-      |    WHERE rk = 1),
+      |    WHERE rk = 1)""".stripMargin
+
+  /** PQ scoring tail against codebook CTE `cbCte`, CTE names prefixed
+    * `p`: [[pqEncodeCte]] + query LUT + ADC scores — ends in
+    * `${p}sc(query_id, vec_id, adot)`. Serves the seed (sim_pq_topk /
+    * sim_pq_recall) and trained (sim_pq_trained_recall) oracles. */
+  private def pqScoreAgainst(cbCte: String, p: String): String =
+    s"""${pqEncodeCte(cbCte, p)},
       |${p}lutd AS (SELECT query_id, s, code, SUM(a*b) AS pdot FROM (
       |    SELECT q.vec_id AS query_id, q.s, c.code,
       |           unnest(q.sq) AS a, unnest(c.cq) AS b
@@ -179,21 +185,14 @@ object SuiteML {
     * with the encoder's tie-break, per-(sub, code, component) means
     * re-quantized with round-half-away. Produces `pcb1..pcb$iters`
     * from `pcb0`. */
+  /** Lloyd round count for the trained-PQ oracle — lives in ONE place
+    * (rounds generator + final-codebook name) and mirrors
+    * [[graft.operators.EmbeddingOps.pqTrainCodebooks]]'s default. */
+  private val PqTrainIters = 2
+
   private def pqTrainRounds(iters: Int): String =
     (1 to iters).map { i =>
-      val p = s"pcb${i - 1}"
-      s"""r${i}cbn AS (SELECT s, code, SUM(v*v) AS cn FROM (
-        |    SELECT s, code, unnest(cq) AS v FROM $p) GROUP BY 1, 2),
-        |r${i}encd AS (SELECT vec_id, s, code, SUM(a*b) AS dot FROM (
-        |    SELECT sub.vec_id, sub.s, c.code,
-        |           unnest(sub.sq) AS a, unnest(c.cq) AS b
-        |    FROM sub JOIN $p c USING (s)) GROUP BY 1, 2, 3),
-        |r${i}enc AS (SELECT vec_id, s, code FROM (
-        |    SELECT d.vec_id, d.s, d.code,
-        |           ROW_NUMBER() OVER (PARTITION BY d.vec_id, d.s
-        |             ORDER BY n.cn - 2*d.dot, d.code) AS rk
-        |    FROM r${i}encd d JOIN r${i}cbn n ON n.s = d.s AND n.code = d.code)
-        |    WHERE rk = 1),
+      s"""${pqEncodeCte(s"pcb${i - 1}", s"r$i")},
         |pcb$i AS (SELECT s, code, list(mq ORDER BY c) AS cq FROM (
         |    SELECT a.s, a.code, u.c,
         |           CAST(round(CAST(SUM(u.v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS mq
@@ -767,8 +766,8 @@ object SuiteML {
       Some(s"""WITH $EmbCte,
         |$PqSubCte,
         |pcb0 AS (SELECT s, code, cq FROM cb),
-        |${pqTrainRounds(2)},
-        |${pqScoreAgainst("pcb2", "f")},
+        |${pqTrainRounds(PqTrainIters)},
+        |${pqScoreAgainst(s"pcb$PqTrainIters", "f")},
         |pqk AS (SELECT query_id, vec_id FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
         |  FROM fsc) WHERE rk <= 10),

@@ -226,13 +226,6 @@ object EmbeddingOps {
   private val PqM = 4
   private val PqSubDim = Dim / PqM
 
-  /** Per-subspace PQ codebooks (product quantization, Jegou et al.
-    * TPAMI 2011 §II): the 64-dim space splits into M=4 subspaces of 16
-    * components; subspace s's codebook is the s-slices of the first
-    * `kc` corpus vectors (the same deterministic seeding as
-    * [[seedCentroids]] — swap in per-subspace [[kmeansCentroidsQ]]
-    * output to train). Emits (sub, code, cq, cn) — kc*M rows, always
-    * broadcast. */
   /** Every vector's M sub-slices: (vec_id, sub, sq) — the shared
     * entry of the PQ pipeline (codebooks, encode, LUT, training). */
   private def subSlices(e: DataFrame): DataFrame =
@@ -241,6 +234,12 @@ object EmbeddingOps {
       .select(col("vec_id"), col("sub"),
         expr(s"slice(q, sub * $PqSubDim + 1, $PqSubDim)").as("sq"))
 
+  /** Per-subspace PQ codebooks (product quantization, Jegou et al.
+    * TPAMI 2011 §II): the 64-dim space splits into M=4 subspaces of 16
+    * components; subspace s's codebook is the s-slices of the first
+    * `kc` corpus vectors (the same deterministic seeding as
+    * [[seedCentroids]] — [[pqTrainCodebooks]] refines them). Emits
+    * (sub, code, cq, cn) — kc*M rows, always broadcast. */
   def pqCodebooks(e: DataFrame, kc: Int = 16): DataFrame =
     subSlices(e.where(col("vec_id") < kc))
       .select(col("sub"), col("vec_id").cast("int").as("code"),

@@ -57,6 +57,43 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(got.sameElements(committed.collect().map(_.toString).sorted))
   }
 
+  test("a predecessor version without _SUCCESS fails the stream loudly") {
+    // a committer configured without success markers must error, not
+    // silently fold every batch from empty state
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_dedup_nomark_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dedup_nomark_ckpt").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_dedup_nomark").resolve("state").toString
+    def run() = {
+      val stream = spark.readStream
+        .schema(docs.schema).parquet(streamDir.toString)
+      Streams.dedupExactSink(stream, statePath)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    docs.limit(20).write.mode("overwrite").parquet(streamDir.toString)
+    assert(run().awaitTermination(180000))
+    // strip the marker off the committed predecessor, then trigger a
+    // second batch: its fold must refuse to read b0
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(statePath, "b0", "_SUCCESS"))
+    docs.limit(40).write.mode("append").parquet(streamDir.toString)
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      run().awaitTermination(180000)
+      ()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(messages.exists(_.contains("_SUCCESS")), messages.mkString(" | "))
+  }
+
   test("a statePath from an abandoned run is rejected, not silently reset") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables(spark, dir).documents

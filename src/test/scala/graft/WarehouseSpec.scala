@@ -49,6 +49,29 @@ class WarehouseSpec extends SparkSpec {
       .map(_.getInt(0)).sorted.toSeq == Seq(20240130, 20240131, 20240201))
   }
 
+  test("saveBucketed clears a stray dir under a percent-encoded db location") {
+    // a database LOCATION with a space: the catalog reports it
+    // percent-encoded (file:/...%20...), and the stray-directory
+    // clearing must decode it to find the real path
+    val dbDir = Files.createTempDirectory("graft wh enc")
+    spark.sql(s"CREATE DATABASE graft_enc_db LOCATION '$dbDir'")
+    spark.sql("USE graft_enc_db")
+    try {
+      // a previous "session" left a table directory with no catalog
+      // entry — the LOCATION_ALREADY_EXISTS scenario
+      val stray = dbDir.resolve("t_enc")
+      Files.createDirectories(stray)
+      Files.write(stray.resolve("junk"), Array[Byte](1, 2, 3))
+      val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      Warehouse.saveBucketed(df, "t_enc", "k", 2)
+      assert(spark.table("t_enc").count() == 10)
+      assert(!Files.exists(stray.resolve("junk")))
+    } finally {
+      spark.sql("USE default")
+      spark.sql("DROP DATABASE graft_enc_db CASCADE")
+    }
+  }
+
   test("raw SQL entry point matches the DataFrame result (S12)") {
     val dir = "/root/testdata/sf0.001"
     val viaSql = Sql.run(spark, dir,
