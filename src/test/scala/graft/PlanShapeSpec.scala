@@ -44,6 +44,20 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("filters and projections reach the parquet scan") {
+    import spark.implicits._
+    val df = Tables(spark, "/root/testdata/sf0.001").lineitem
+      .where($"l_quantity" > 40)
+      .select($"l_orderkey", $"l_quantity")
+    val plan = df.queryExecution.executedPlan.toString
+    // predicate pushed into the scan, not evaluated post-read
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,40.0)]"),
+      plan.linesIterator.filter(_.contains("PushedFilters")).mkString)
+    // column pruning: the scan reads ONLY the projected columns
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      plan.linesIterator.filter(_.contains("ReadSchema")).mkString)
+  }
+
   test("corpus-derived broadcast hints pass through an Aggregate") {
     // the repo's broadcast policy: a frame derived from a growing table
     // may only be hinted after an aggregation collapses its cardinality
