@@ -97,4 +97,63 @@ class PropertySpec extends SparkSpec {
       assert(merged.join(maxV, "k").where($"version" =!= $"mv").count() == 0)
     }
   }
+
+  /** Skewed random corpora (zipf-ish word picks) for the sketch
+    * invariants. */
+  private def randomDocs(seed: Long, n: Int): DataFrame = {
+    val rnd = new Random(seed)
+    val vocab = (1 to 50).map(i => s"w$i")
+    docsDf((1L to n.toLong).map { i =>
+      val len = 3 + rnd.nextInt(20)
+      val words = (1 to len).map { _ =>
+        val j = math.min((1.0 / (rnd.nextDouble() + 0.02)).toInt,
+          vocab.size - 1)
+        vocab(j)
+      }
+      (i, words.mkString(" "), if (i % 3 == 0) "en" else "de", "s")
+    })
+  }
+
+  test("heavy-hitter containment holds on random skewed corpora") {
+    for (seed <- Seq(5L, 13L); support <- Seq(0.02, 0.1)) {
+      val d = randomDocs(seed, 300)
+      val r = graft.operators.TextOps.heavyHitters(d, support)
+        .collect()(0)
+      assert(r.getAs[Boolean]("all_found"), s"seed=$seed support=$support")
+      // exact side recomputed independently
+      val counts = d.select(explode(split($"text", " ")).as("w"))
+        .groupBy($"w").count().collect()
+        .map(x => x.getString(0) -> x.getLong(1))
+      val n = counts.map(_._2).sum
+      assert(r.getAs[Long]("n_tokens") == n)
+      assert(r.getAs[Long]("n_true_hh") ==
+        counts.count(_._2 > support * n), s"seed=$seed support=$support")
+    }
+  }
+
+  test("approx-quantile bound holds on random length distributions") {
+    for (seed <- Seq(2L, 9L)) {
+      val rnd = new Random(seed)
+      // heavy-tailed lengths so the quantiles are well spread
+      val d = docsDf((1L to 400L).map { i =>
+        val len = 1 + (math.pow(rnd.nextDouble(), 3) * 500).toInt
+        (i, "x" * len, if (rnd.nextBoolean()) "en" else "de", "s")
+      })
+      graft.operators.TextOps.lengthQuantilesApprox(d).collect()
+        .foreach(r => assert(r.getAs[Boolean]("within_bound"),
+          s"seed=$seed $r"))
+    }
+  }
+
+  test("PQ top-k is deterministic and input-order invariant") {
+    // min(struct)/sum argmin-aggregation is associative+commutative
+    // over exact integers, so ANY partitioning yields the same ranking
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val a = graft.operators.EmbeddingOps.pqTopK(e, nQueries = 3)
+      .collect().map(_.toString).sorted
+    val b = graft.operators.EmbeddingOps.pqTopK(
+        e.repartition(7), nQueries = 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
 }
