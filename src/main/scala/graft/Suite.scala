@@ -821,16 +821,23 @@ object Suite {
     Q("rel_bucketed_join",
       (s, d) => {
         val t = Tables(s, d)
+        // the table names are scoped by the scale-factor directory so
+        // interleaved suite runs at different SFs sharing one
+        // warehouse/metastore never clobber each other's tables
+        // mid-query (same-SF reruns overwrite their own tables, which
+        // is the intended idempotent refresh)
+        val tag = d.replaceAll("[^A-Za-z0-9]+", "_")
+          .replaceAll("^_+|_+$", "").toLowerCase(java.util.Locale.ROOT)
         graft.operators.Warehouse.saveBucketed(
           t.lineitem.select(col("l_orderkey"),
             graft.functions.TimeFns.cents(col("l_extendedprice"))
               .as("price_c")),
-          "bq_lineitem", "l_orderkey", 8)
+          s"bq_lineitem_$tag", "l_orderkey", 8)
         graft.operators.Warehouse.saveBucketed(
           t.orders.select(col("o_orderkey"), col("o_orderpriority")),
-          "bq_orders", "o_orderkey", 8)
-        s.table("bq_lineitem")
-          .join(s.table("bq_orders"),
+          s"bq_orders_$tag", "o_orderkey", 8)
+        s.table(s"bq_lineitem_$tag")
+          .join(s.table(s"bq_orders_$tag"),
             col("l_orderkey") === col("o_orderkey"))
           .groupBy(col("o_orderpriority"))
           .agg(count(lit(1)).as("n_items"),

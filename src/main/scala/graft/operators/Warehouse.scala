@@ -77,7 +77,39 @@ object Warehouse {
     val loc = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(new java.net.URI(dbLoc)), lc(table))
     val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
+    if (fs.exists(loc)) {
+      // the directory may be the LOCATION of a DIFFERENT table (an
+      // external table registered under another name — dropping
+      // `table` does not protect it) or unrelated user data that
+      // happens to share the name. Deleting either would silently
+      // destroy data, so: (1) no catalog table may resolve to this
+      // path, and (2) the contents must look like a prior managed
+      // parquet write (committer artifacts only) — fail loudly
+      // otherwise instead of clearing it.
+      val qualified = fs.makeQualified(loc)
+      val db = s.catalog.currentDatabase
+      val owners = s.catalog.listTables(db).collect()
+        .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
+        .filter { t =>
+          val meta = s.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(t.name, Some(db)))
+          fs.makeQualified(new org.apache.hadoop.fs.Path(meta.location)) ==
+            qualified
+        }
+      require(owners.isEmpty,
+        s"refusing to overwrite $qualified: it is the location of " +
+          s"table(s) ${owners.map(_.name).mkString(", ")} in database " +
+          s"$db; saveBucketed('$table') would destroy them.")
+      val foreign = fs.listStatus(loc).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("part-") || n.startsWith("_") ||
+          n.startsWith("."))
+      require(foreign.isEmpty,
+        s"refusing to clear $qualified: it contains non-committer " +
+          s"file(s) ${foreign.take(5).mkString(", ")} — not a prior " +
+          "managed parquet write. Move the data or pick another table " +
+          "name.")
+      fs.delete(loc, true)
+    }
     df.write
       .bucketBy(buckets, key)
       .sortBy(key)

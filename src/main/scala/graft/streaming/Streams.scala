@@ -74,6 +74,52 @@ object Streams {
     stateVersions(fs, root).filter(v => fs.exists(
       new org.apache.hadoop.fs.Path(root, s"b$v/_SUCCESS")))
 
+  /** The statePath↔checkpoint binding marker. Version-vs-batchId
+    * ordering alone cannot tell a legitimate resume from a FRESH
+    * checkpoint pointed at an old statePath whose max version is <=
+    * the new batchId (the stray-b0 case: batch 0 of the new run would
+    * silently overwrite the old b0 from an empty predecessor). The
+    * first batch therefore writes the owning checkpoint's location
+    * into `_run`, and every batch requires it to match. */
+  private val RunMarker = "_run"
+
+  /** Bind `statePath` to `checkpointLocation`: verify an existing
+    * marker, or claim an unowned EMPTY statePath by writing one
+    * (tmp + atomic rename, so a crash mid-write never leaves a
+    * half-written marker in place). Pre-existing state versions with
+    * no marker mean the path belongs to an unknown earlier run —
+    * refuse rather than fold over its counts. */
+  private def bindRun(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, checkpointLocation: String,
+      versions: Seq[Long]): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(root, RunMarker)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      require(owner == checkpointLocation,
+        s"dedup state at $root belongs to checkpoint '$owner', not " +
+          s"'$checkpointLocation'. Clear statePath or resume with the " +
+          "original checkpointLocation.")
+    } else {
+      require(versions.isEmpty,
+        s"dedup state at $root has version(s) " +
+          versions.sorted.mkString("b", ", b", "") +
+          " but no run marker; it was written by an earlier run of " +
+          "this sink. Clear statePath or resume with the original " +
+          "checkpointLocation.")
+      val tmp = new org.apache.hadoop.fs.Path(root, RunMarker + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(checkpointLocation.getBytes("UTF-8"))
+      finally out.close()
+      if (!fs.rename(tmp, marker)) {
+        // a concurrent first batch won the rename: re-verify its claim
+        fs.delete(tmp, false)
+        bindRun(fs, root, checkpointLocation, versions)
+      }
+    }
+  }
+
   /** Streaming parity for [[graft.operators.TextOps.dedupExact]]
     * (§2.9 meets the dedup family): each micro-batch's per-content-hash
     * increment (min kept doc, copy count) is folded into a persisted
@@ -91,27 +137,39 @@ object Streams {
     * commits (older versions are pruned); a crash mid-write only
     * corrupts the version being written, which the replay then
     * overwrites. Per batch the merge is O(state + batch) with one
-    * keyed shuffle on the 32-char hash. */
-  def dedupExactSink(docs: DataFrame, statePath: String)
+    * keyed shuffle on the 32-char hash.
+    *
+    * `checkpointLocation` is taken here (and set on the returned
+    * writer) because the state is only correct relative to ITS
+    * checkpoint's batch numbering: the first batch stamps the
+    * location into a `_run` marker under statePath, and every batch
+    * verifies it, so pointing a fresh checkpoint at an old statePath
+    * fails loudly instead of silently resetting its counts. */
+  def dedupExactSink(docs: DataFrame, statePath: String,
+      checkpointLocation: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    docs.writeStream.foreachBatch {
+    docs.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
         val inc = graft.operators.TextOps.dedupExact(batch.toDF())
         val root = new org.apache.hadoop.fs.Path(statePath)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
         val versions = stateVersions(fs, root)
-        // a version AHEAD of the current batch means this statePath
-        // belongs to a different (abandoned) checkpoint: folding from
-        // an empty predecessor would silently discard its counts while
-        // readers kept seeing the stale higher version — refuse instead
+        bindRun(fs, root, checkpointLocation, versions)
+        // within a bound run, a version AHEAD of the current batch can
+        // still appear if the checkpoint directory was cleared but the
+        // marker-bearing statePath was not: folding from an empty
+        // predecessor would silently discard its counts while readers
+        // kept seeing the stale higher version — refuse instead
         require(versions.forall(_ <= batchId),
           s"dedup state at $statePath has version(s) " +
             versions.filter(_ > batchId).sorted.mkString("b", ", b", "") +
-            s" ahead of batch $batchId; it was written by a different " +
-            "checkpoint. Clear statePath or resume with the original " +
-            "checkpointLocation.")
+            s" ahead of batch $batchId; the checkpoint at " +
+            s"$checkpointLocation was cleared or rewound. Clear " +
+            "statePath together with the checkpoint.")
         // the predecessor is the latest version strictly below this
         // batch; under the sink's invariants it is always committed (a
         // crash-partial directory can only be the replayed batch

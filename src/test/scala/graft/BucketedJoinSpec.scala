@@ -40,4 +40,49 @@ class BucketedJoinSpec extends SparkSpec {
       .count()
     assert(joined.count() == expected)
   }
+
+  test("saveBucketed refuses to clear another table's location") {
+    val dir = "/root/testdata/sf0.001"
+    val t = Tables(spark, dir)
+    dropTable("b_victim")
+    spark.sql("DROP TABLE IF EXISTS b_victim_alias")
+    // an EXTERNAL table registered under a DIFFERENT name whose
+    // location is exactly where saveBucketed("b_victim") writes —
+    // DROP TABLE b_victim does not protect it
+    val wh = new java.io.File("spark-warehouse").getAbsoluteFile
+    val loc = new java.io.File(wh, "b_victim")
+    t.region.write.parquet(loc.toString)
+    spark.sql("CREATE TABLE b_victim_alias USING parquet LOCATION " +
+      s"'${loc.toURI}'")
+    val ex = intercept[IllegalArgumentException] {
+      Warehouse.saveBucketed(t.nation.select($"n_nationkey"),
+        "b_victim", "n_nationkey", 2)
+    }
+    assert(ex.getMessage.contains("b_victim_alias"), ex.getMessage)
+    assert(spark.table("b_victim_alias").count() == 5)
+    spark.sql("DROP TABLE b_victim_alias")
+    dropTable("b_victim")
+  }
+
+  test("saveBucketed refuses a directory that is not a prior write") {
+    val dir = "/root/testdata/sf0.001"
+    val t = Tables(spark, dir)
+    dropTable("b_userdata")
+    // unrelated user data squatting on the managed location: contents
+    // are not parquet-committer artifacts, so the write must not
+    // clear the directory
+    val wh = new java.io.File("spark-warehouse").getAbsoluteFile
+    val loc = new java.io.File(wh, "b_userdata")
+    loc.mkdirs()
+    val keep = new java.io.File(loc, "notes.txt")
+    java.nio.file.Files.write(keep.toPath, "precious".getBytes)
+    val ex = intercept[IllegalArgumentException] {
+      Warehouse.saveBucketed(t.nation.select($"n_nationkey"),
+        "b_userdata", "n_nationkey", 2)
+    }
+    assert(ex.getMessage.contains("notes.txt"), ex.getMessage)
+    assert(keep.exists())
+    keep.delete()
+    dropTable("b_userdata")
+  }
 }

@@ -26,8 +26,7 @@ class StreamDedupParitySpec extends SparkSpec {
       .schema(docs.schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
-    val q = Streams.dedupExactSink(stream, statePath)
-      .option("checkpointLocation",
+    val q = Streams.dedupExactSink(stream, statePath,
         java.nio.file.Files.createTempDirectory("graft_dedup_ckpt").toString)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -71,8 +70,7 @@ class StreamDedupParitySpec extends SparkSpec {
     def run() = {
       val stream = spark.readStream
         .schema(docs.schema).parquet(streamDir.toString)
-      Streams.dedupExactSink(stream, statePath)
-        .option("checkpointLocation", ckpt)
+      Streams.dedupExactSink(stream, statePath, ckpt)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
     }
@@ -94,24 +92,15 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(messages.exists(_.contains("_SUCCESS")), messages.mkString(" | "))
   }
 
-  test("a statePath from an abandoned run is rejected, not silently reset") {
-    val dir = "/root/testdata/sf0.001"
-    val docs = Tables(spark, dir).documents
-    val statePath = java.nio.file.Files
-      .createTempDirectory("graft_dedup_stale").resolve("state").toString
-    // a prior run left committed state at version 7; a FRESH checkpoint
-    // restarts batch ids at 0, which must refuse to fold from empty
-    TextOps.dedupExact(docs).write.parquet(s"$statePath/b7")
-
+  private def failedRun(statePath: String, ckpt: String): Seq[String] = {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val streamDir =
-      java.nio.file.Files.createTempDirectory("graft_dedup_stale_in")
+      java.nio.file.Files.createTempDirectory("graft_dedup_fail_in")
     docs.limit(10).write.mode("overwrite").parquet(streamDir.toString)
     val stream = spark.readStream
       .schema(docs.schema)
       .parquet(streamDir.toString)
-    val q = Streams.dedupExactSink(stream, statePath)
-      .option("checkpointLocation", java.nio.file.Files
-        .createTempDirectory("graft_dedup_stale_ckpt").toString)
+    val q = Streams.dedupExactSink(stream, statePath, ckpt)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     val ex = intercept[
@@ -119,10 +108,44 @@ class StreamDedupParitySpec extends SparkSpec {
       q.awaitTermination(180000)
       ()
     }
-    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+    Iterator.iterate(ex: Throwable)(_.getCause)
       .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
       .toSeq
-    assert(messages.exists(_.contains("ahead of batch")),
+  }
+
+  test("a marker-less statePath with versions is rejected, not reset") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_dedup_stale").resolve("state").toString
+    // a prior (pre-marker or foreign) run left committed state; a fresh
+    // checkpoint must refuse to fold over it — including the stray-b0
+    // case, where version ordering alone (b0 <= batch 0) cannot tell a
+    // silent reset from a legitimate first batch
+    TextOps.dedupExact(docs).write.parquet(s"$statePath/b0")
+    val messages = failedRun(statePath, java.nio.file.Files
+      .createTempDirectory("graft_dedup_stale_ckpt").toString)
+    assert(messages.exists(_.contains("no run marker")),
+      messages.mkString(" | "))
+  }
+
+  test("a statePath owned by another checkpoint is rejected") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_dedup_own_in")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_dedup_own").resolve("state").toString
+    val ckptA = java.nio.file.Files
+      .createTempDirectory("graft_dedup_own_ckpt_a").toString
+    docs.limit(10).write.mode("overwrite").parquet(streamDir.toString)
+    val stream = spark.readStream
+      .schema(docs.schema).parquet(streamDir.toString)
+    assert(Streams.dedupExactSink(stream, statePath, ckptA)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(180000))
+    // a second pipeline with its OWN fresh checkpoint reuses the path
+    val messages = failedRun(statePath, java.nio.file.Files
+      .createTempDirectory("graft_dedup_own_ckpt_b").toString)
+    assert(messages.exists(_.contains("belongs to checkpoint")),
       messages.mkString(" | "))
   }
 }
