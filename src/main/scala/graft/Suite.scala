@@ -152,6 +152,30 @@ object Suite {
         |       COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
         |FROM events GROUP BY user_id""".stripMargin)),
 
+    // ---- SCD Type-2 user-status dimension: every event_type change
+    // opens a [valid_from, valid_to) version row; lag/lead over the
+    // (ts, event_id) total order makes the history deterministic ----------
+    Q("etl_scd2_users",
+      (s, d) => StarSchema.scd2UserStatus(clean(s, d)),
+      Some(s"""$CleanCte,
+        |ordered AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |         LAG(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS prev_type
+        |  FROM clean),
+        |chg AS (
+        |  SELECT user_id, ts, event_id, event_type FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT 'user_' || md5(CAST(user_id AS VARCHAR)) AS user_key,
+        |       user_id, event_type AS status, ts AS valid_from,
+        |       LEAD(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) AS valid_to,
+        |       LEAD(ts) OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) IS NULL AS is_current,
+        |       ROW_NUMBER() OVER (PARTITION BY user_id
+        |         ORDER BY ts, event_id) AS version_n
+        |FROM chg""".stripMargin)),
+
     Q("etl_dim_types",
       (s, d) => StarSchema.dimTypes(clean(s, d)),
       Some(s"""$CleanCte

@@ -33,6 +33,17 @@ object SuiteML {
       |    FROM (SELECT doc_id, string_split(text, ' ') AS ls
       |          FROM documents WHERE len(string_split(text, ' ')) >= 3)))""".stripMargin
 
+  /** Stratified-sampling keep rates (permille) — ONE literal feeding
+    * both the Spark call and the oracle's VALUES clause. */
+  private val StratRates: Seq[(String, Long)] = Seq(("en", 250L))
+  private val StratRatesSql: String = StratRates
+    .map { case (l, p) => s"('$l', CAST($p AS BIGINT))" }.mkString(", ")
+
+  /** Sequence-packing constants shared by the Spark call and the
+    * oracle's recursive CTE: token budget per pack, docs per shard. */
+  private val PackBudget = 512L
+  private val PackShard = 200L
+
   /** Quantized-embedding oracle CTEs: q = round(x*1000) bigints,
     * nn = exact squared norm. */
   private val EmbCte =
@@ -528,6 +539,69 @@ object SuiteML {
         |            WHEN bucket = 8 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b""".stripMargin)),
+
+    // ---- curation: deterministic stratified downsampling ----------------
+    // (cap the dominant language at 250 permille, keep the rest; the
+    // rates literal below feeds BOTH the Spark call and the oracle's
+    // VALUES so the two cannot drift)
+    Q("text_sample_stratified",
+      (s, d) => TextOps.sampleStratified(docs(s, d), StratRates),
+      Some(s"""WITH rates(lang, keep_permille) AS (VALUES $StratRatesSql),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |         CAST(((strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef', substr(md5('strat:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS BIGINT) AS bucket
+        |  FROM documents)
+        |SELECT h.doc_id, h.lang, h.bucket,
+        |       COALESCE(r.keep_permille, CAST(1000 AS BIGINT)) AS keep_permille
+        |FROM h LEFT JOIN rates r USING (lang)
+        |WHERE h.bucket < COALESCE(r.keep_permille, CAST(1000 AS BIGINT))""".stripMargin)),
+
+    // ---- text analysis: top tf-idf term (quantized integer idf) ---------
+    Q("text_tfidf_top",
+      (s, d) => TextOps.tfidfTopTerm(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, word, tf, df,
+        |              CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_q,
+        |              tf * CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS score
+        |       FROM tf JOIN dfq USING (word), nd)
+        |SELECT doc_id, word AS top_term, tf, df, idf_q, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
+        |  FROM sc) WHERE rn = 1""".stripMargin)),
+
+    // ---- curation: greedy contiguous sequence packing -------------------
+    // (the oracle replays the per-shard sequential recurrence with a
+    // recursive CTE; budget/shard constants are shared via PackBudget /
+    // PackShard so the two sides cannot drift)
+    Q("text_seq_pack",
+      (s, d) => TextOps.seqPack(docs(s, d), PackBudget, PackShard),
+      Some(s"""WITH RECURSIVE toks AS (
+        |  SELECT doc_id, lang, doc_id // $PackShard AS shard,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |ord AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard
+        |    ORDER BY doc_id) AS rn
+        |  FROM toks),
+        |rec AS (
+        |  SELECT lang, shard, doc_id, n_tokens, rn,
+        |         CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_fill
+        |  FROM ord WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
+        |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget
+        |              THEN r.pack_id + 1 ELSE r.pack_id END,
+        |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget
+        |              THEN o.n_tokens ELSE r.pack_fill + o.n_tokens END
+        |  FROM rec r JOIN ord o
+        |    ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1)
+        |SELECT doc_id, lang, shard, n_tokens, pack_id, pack_fill
+        |FROM rec""".stripMargin)),
 
     // ---- text analysis: exact rank-selection length quantiles -----------
     Q("text_length_quantiles",

@@ -703,6 +703,112 @@ object TextOps {
           .as("within_bound"))
   }
 
+  /** Deterministic stratified (per-language) downsampling — the
+    * corpus-balancing pass of a training pipeline: cap the dominant
+    * strata, keep the rest. Every doc is kept iff its
+    * content-independent hash bucket falls below its stratum's
+    * keep-rate in permille: md5 over a salted doc_id (the "strat:"
+    * salt keeps the decision independent of [[trainValTestSplit]]'s
+    * buckets), first 4 hex nibbles mod 1000. Like the split this is a
+    * pure per-row predicate — reproducible across runs/machines/
+    * engines, no shuffle, no global sample(), and a re-run over a
+    * grown corpus never flips an existing doc's decision. Same
+    * documented bias as the split: 65536 % 1000 != 0, so low buckets
+    * are over-represented by 1/65536 (~0.1% relative rate error).
+    *
+    * `rates` is strata-cardinality (languages), joined as a broadcast
+    * literal frame — the policy-sanctioned constant broadcast. */
+  def sampleStratified(docs: DataFrame, rates: Seq[(String, Long)],
+      defaultPermille: Long = 1000L): DataFrame = {
+    require((defaultPermille +: rates.map(_._2))
+        .forall(p => p >= 0 && p <= 1000),
+      "keep rates are permille values in [0, 1000]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val r = broadcast(rates.toDF("lang", "keep_permille"))
+    val bucket = conv(substring(md5(concat(lit("strat:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 1000
+    docs.join(r, Seq("lang"), "left")
+      .select(col("doc_id"), col("lang"), bucket.as("bucket"),
+        coalesce(col("keep_permille"), lit(defaultPermille))
+          .as("keep_permille"))
+      .where(col("bucket") < col("keep_permille"))
+  }
+
+  /** Per-document top tf-idf term. [[topTerm]] ranks by the pure
+    * rational tf/df; this is the log-damped classic, made
+    * cross-engine-deterministic by QUANTIZING the idf to
+    * floor(log2(N div df)) — an exact integer in any engine
+    * (the bit length of an integer division, no libm log whose last
+    * ulp could flip an argmax). Score = tf * idf_q stays in exact
+    * BIGINT arithmetic end to end; ties (score, then term) break by
+    * total order.
+    *
+    * Scale shape is [[topTerm]]'s: ONE tokenization shuffle reused by
+    * both branches, df shuffle-joined on `word` (the full vocabulary
+    * is never broadcast), N as a 1-row broadcast scalar. */
+  def tfidfTopTerm(docs: DataFrame): DataFrame = {
+    val tf = tokens(docs).groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word").asc)
+    tf.join(df_, Seq("word"))
+      .crossJoin(broadcast(n)) // 1-row scalar frame
+      .withColumn("idf_q",
+        (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .withColumn("score", col("tf") * col("idf_q"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("word").as("top_term"), col("tf"),
+        col("df"), col("idf_q"), col("score"))
+  }
+
+  case class PackIn(doc_id: Long, lang: String, shard: Long,
+      n_tokens: Long)
+  case class PackOut(doc_id: Long, lang: String, shard: Long,
+      n_tokens: Long, pack_id: Long, pack_fill: Long)
+
+  /** Greedy contiguous sequence packing — the step that turns a
+    * curated corpus into fixed-budget training sequences: walk each
+    * stratum's documents in doc_id order and open a new pack whenever
+    * adding the next document would exceed `maxTokens` (a document
+    * longer than the budget gets a pack of its own). The recurrence is
+    * inherently sequential, so it runs per GROUP over a sorted
+    * spill-able iterator (flatMapSortedGroups) with O(1) state — and
+    * the group key is (lang, doc_id div shardDocs), not just lang:
+    * sharding bounds every sequential walk to `shardDocs` documents,
+    * which is what keeps the operator parallel at 100 TB (the cost is
+    * at most one underfull pack per shard boundary — a documented
+    * packing-efficiency trade, not silent loss). Pack ids are scoped
+    * per (lang, shard), and `pack_fill` is the running token count
+    * within the pack after placing the row's document. */
+  def seqPack(docs: DataFrame, maxTokens: Long = 512,
+      shardDocs: Long = 200): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(shardDocs > 0, s"shardDocs must be positive, got $shardDocs")
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs.select(col("doc_id"), col("lang"),
+        expr(s"doc_id div $shardDocs").as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .as[PackIn]
+    toks.groupByKey(d => (d.lang, d.shard))
+      .flatMapSortedGroups(col("doc_id").asc) { (_, it) =>
+        var pack = 0L
+        var fill = 0L
+        it.map { d =>
+          if (fill > 0 && fill + d.n_tokens > maxTokens) {
+            pack += 1
+            fill = d.n_tokens
+          } else fill += d.n_tokens
+          PackOut(d.doc_id, d.lang, d.shard, d.n_tokens, pack, fill)
+        }
+      }.toDF()
+  }
+
   /** Document fingerprints: full-content md5, head/tail block hashes,
     * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
     * content anchor). */

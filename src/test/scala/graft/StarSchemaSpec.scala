@@ -81,4 +81,33 @@ class StarSchemaSpec extends SparkSpec {
     assert(out.where($"stats_date" === "2024-01-02").collect()(0)
       .getAs[Long]("n") == 9L)
   }
+
+  test("scd2UserStatus collapses runs and chains validity intervals") {
+    // user 10: play, play, skip, play -> 3 versions (the repeated
+    // play collapses into its open run)
+    val ev = eventsDf(Seq(
+      (1L, 10L, "2024-01-01 08:00:00", "play", 1.0, "{}"),
+      (2L, 10L, "2024-01-01 09:00:00", "play", 1.0, "{}"),
+      (3L, 10L, "2024-01-01 10:00:00", "skip", 1.0, "{}"),
+      (4L, 10L, "2024-01-01 11:00:00", "play", 1.0, "{}"),
+      (5L, 11L, "2024-01-01 12:00:00", "buy", 1.0, "{}")))
+    val dim = StarSchema.scd2UserStatus(StarSchema.clean(ev))
+    val u10 = dim.where($"user_id" === 10)
+      .orderBy($"version_n").collect()
+    assert(u10.map(_.getAs[String]("status")).toSeq ==
+      Seq("play", "skip", "play"))
+    assert(u10.map(_.getAs[Long]("version_n")).toSeq == Seq(1L, 2L, 3L))
+    // each closed version's valid_to is the next version's valid_from
+    u10.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[java.sql.Timestamp]("valid_to") ==
+        b.getAs[java.sql.Timestamp]("valid_from"))
+    }
+    // exactly one open (is_current) version per user
+    val open = dim.where($"is_current")
+      .groupBy($"user_id").count().collect()
+    assert(open.forall(_.getLong(1) == 1L))
+    assert(open.length == 2)
+    // the open version has no valid_to
+    assert(dim.where($"is_current" && $"valid_to".isNotNull).count() == 0)
+  }
 }

@@ -228,4 +228,100 @@ class TextOpsSpec extends SparkSpec {
     assert(h1.getAs[String]("min_shingle_hash") ==
       h2.getAs[String]("min_shingle_hash"))
   }
+
+  test("sampleStratified: rate 0 drops, 1000 keeps, default fills gaps") {
+    val corpus = docsDf((0L until 200L).map(i =>
+      (i, s"text $i", if (i % 2 == 0) "en" else "fr", "s")))
+    val kept = TextOps.sampleStratified(corpus,
+      Seq(("en", 0L), ("fr", 1000L)))
+    val langs = kept.groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!langs.contains("en"))
+    assert(langs("fr") == 100L)
+    // an unlisted stratum falls back to defaultPermille
+    val deflt = TextOps.sampleStratified(corpus, Seq(("en", 0L)), 1000L)
+    assert(deflt.where($"lang" === "fr").count() == 100L)
+    assertThrows[IllegalArgumentException](
+      TextOps.sampleStratified(corpus, Seq(("en", 1001L))))
+  }
+
+  test("sampleStratified: decision depends on doc_id only") {
+    val a = docsDf(Seq((1L, "some text", "en", "s"),
+      (2L, "other text", "en", "s")))
+    val b = docsDf(Seq((1L, "REWRITTEN", "en", "s"),
+      (2L, "also rewritten", "en", "s")))
+    val rates = Seq(("en", 500L))
+    val keptA = TextOps.sampleStratified(a, rates)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val keptB = TextOps.sampleStratified(b, rates)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptA == keptB)
+  }
+
+  test("tfidfTopTerm: quantized idf prefers the rare repeated term") {
+    // "rare" appears in 1 of 4 docs -> idf_q = floor(log2(4)) = 2;
+    // "common" in all 4 -> idf_q = 0. Doc 1's top term must be rare
+    // (score 2*2=4) even though common has tf 3 (score 0).
+    val corpus = docsDf(Seq(
+      (1L, "common common common rare rare", "en", "s"),
+      (2L, "common half", "en", "s"),
+      (3L, "common half", "en", "s"),
+      (4L, "common x", "en", "s")))
+    val top = TextOps.tfidfTopTerm(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[String]("top_term"), r.getAs[Long]("idf_q"),
+          r.getAs[Long]("score"))).toMap
+    assert(top(1L) == (("rare", 2L, 4L)))
+    // "half" is in 2 of 4 docs -> idf_q = floor(log2(2)) = 1
+    assert(top(2L) == (("half", 1L, 1L)))
+    // doc 4: "x" (df 1, idf 2) beats "common" (idf 0)
+    assert(top(4L)._1 == "x")
+  }
+
+  test("tfidfTopTerm: all-zero scores tie-break on the term order") {
+    // every term in every doc -> all idf_q 0 -> alphabetical argmax
+    val corpus = docsDf(Seq(
+      (1L, "zeta alpha", "en", "s"),
+      (2L, "alpha zeta", "en", "s")))
+    TextOps.tfidfTopTerm(corpus).collect().foreach(r =>
+      assert(r.getAs[String]("top_term") == "alpha"))
+  }
+
+  test("seqPack: greedy boundaries, oversize docs, shard scoping") {
+    // token counts: doc 0 -> 3, doc 1 -> 3, doc 2 -> 2, doc 3 -> 9
+    // (oversize), doc 4 -> 2; budget 5, shard 100
+    def words(n: Int): String = (1 to n).map(i => s"w$i").mkString(" ")
+    val corpus = docsDf(Seq(
+      (0L, words(3), "en", "s"), (1L, words(3), "en", "s"),
+      (2L, words(2), "en", "s"), (3L, words(9), "en", "s"),
+      (4L, words(2), "en", "s"),
+      (100L, words(2), "en", "s"))) // next shard: pack ids restart
+    val out = TextOps.seqPack(corpus, maxTokens = 5, shardDocs = 100)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("shard"), r.getAs[Long]("pack_id"),
+          r.getAs[Long]("pack_fill")))).toMap
+    assert(out(0L) == ((0L, 0L, 3L))) // opens pack 0
+    assert(out(1L) == ((0L, 1L, 3L))) // 3+3 > 5 -> new pack
+    assert(out(2L) == ((0L, 1L, 5L))) // fits exactly
+    assert(out(3L) == ((0L, 2L, 9L))) // oversize doc: own pack
+    assert(out(4L) == ((0L, 3L, 2L))) // oversize pack is full
+    assert(out(100L) == ((1L, 0L, 2L))) // new shard restarts at pack 0
+    assertThrows[IllegalArgumentException](
+      TextOps.seqPack(corpus, maxTokens = 0))
+  }
+
+  test("seqPack: every pack is within budget unless a lone oversize doc") {
+    val dir = "/root/testdata/sf0.001"
+    val out = TextOps.seqPack(Tables(spark, dir).documents, 512, 200)
+    val packs = out.groupBy($"lang", $"shard", $"pack_id")
+      .agg(max($"pack_fill").as("fill"), count(lit(1)).as("n_docs"))
+      .collect()
+    packs.foreach { p =>
+      assert(p.getAs[Long]("fill") <= 512 || p.getAs[Long]("n_docs") == 1,
+        s"overfull multi-doc pack: $p")
+    }
+    // no document is lost or duplicated
+    assert(out.select($"doc_id").distinct().count() == out.count())
+    assert(out.count() == Tables(spark, dir).documents.count())
+  }
 }

@@ -58,14 +58,18 @@ class WarehouseSpec extends SparkSpec {
     spark.sql("USE graft_enc_db")
     try {
       // a previous "session" left a table directory with no catalog
-      // entry — the LOCATION_ALREADY_EXISTS scenario
+      // entry — the LOCATION_ALREADY_EXISTS scenario. Its contents are
+      // committer artifacts (a prior managed write), which is the only
+      // shape saveBucketed may clear.
       val stray = dbDir.resolve("t_enc")
       Files.createDirectories(stray)
-      Files.write(stray.resolve("junk"), Array[Byte](1, 2, 3))
+      Files.write(stray.resolve("part-00000-stale.parquet"),
+        Array[Byte](1, 2, 3))
+      Files.write(stray.resolve("_SUCCESS"), Array.emptyByteArray)
       val df = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
       Warehouse.saveBucketed(df, "t_enc", "k", 2)
       assert(spark.table("t_enc").count() == 10)
-      assert(!Files.exists(stray.resolve("junk")))
+      assert(!Files.exists(stray.resolve("part-00000-stale.parquet")))
     } finally {
       spark.sql("USE default")
       spark.sql("DROP DATABASE graft_enc_db CASCADE")
