@@ -219,9 +219,22 @@ object Streams {
 
   case class Ev(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
+  /** start/last are epoch MICROseconds: timestamps round-tripped
+    * through epoch millis would silently truncate the micros the
+    * batch twin keeps, and the two sessionizations must be
+    * value-identical (SourcesStreamingSpec's parity tests). */
   case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, total_value: Double)
+
+  private def toMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos / 1000) % 1000
+
+  private def ofMicros(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+    t
+  }
 
   /** Gap-based sessionization with event-time-timeout state — the
     * custom-state surface (§2.10): a session closes when no event
@@ -230,7 +243,7 @@ object Streams {
   def sessionize(events: Dataset[Ev], gapMinutes: Int = 30)
       : Dataset[Session] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
@@ -242,23 +255,23 @@ object Streams {
             // watermark passed the gap: close and emit the session
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.sum))
+            Iterator.single(Session(userId, ofMicros(s.start),
+              ofMicros(s.last), s.n, s.sum))
           } else {
             var closed = List.empty[Session]
             var cur = state.getOption
-            batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
-              val t = e.ts.getTime
+            batch.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
+              val t = toMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   // a late event admitted by the watermark can precede
                   // the session start — extend BOTH boundaries so the
                   // emitted span matches the batch twin's min/max(ts)
                   cur = Some(SessionState(math.min(s.start, t),
                     math.max(s.last, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
-                  closed ::= Session(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.sum)
+                  closed ::= Session(userId, ofMicros(s.start),
+                    ofMicros(s.last), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -266,7 +279,10 @@ object Streams {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // the timeout API is millisecond-granular: round UP so
+              // the gap can never fire a sub-millisecond early
+              state.setTimeoutTimestamp(
+                Math.floorDiv(s.last + gapUs + 999L, 1000L))
             }
             closed.reverseIterator
           }

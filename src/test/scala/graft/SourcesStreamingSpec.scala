@@ -146,6 +146,48 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("streaming sessionize matches batch over multi-batch real corpus") {
+    // the single-batch parity above cannot exercise state CARRY-OVER:
+    // here the sf0.001 events stream in 5 time-ordered micro-batches,
+    // so sessions span batch boundaries and close via the event-time
+    // timeout path, and the result must still equal the one-shot batch
+    // sessionization of the same corpus
+    implicit val sc = spark.sqlContext
+    val dir = "/root/testdata/sf0.001"
+    val cleanEv = graft.operators.StarSchema.clean(
+      Tables(spark, dir).events)
+    val evs = cleanEv
+      .select($"user_id", $"ts", $"event_type", $"value")
+      .as[Streams.Ev].collect().sortBy(_.ts.getTime)
+    val mem = MemoryStream[Streams.Ev]
+    val q = Streams.sessionize(mem.toDS(), gapMinutes = 30).writeStream
+      .format("memory").queryName("parity_sessions_multi")
+      .outputMode(OutputMode.Append).start()
+    evs.grouped(evs.length / 5 + 1).foreach { chunk =>
+      mem.addData(chunk.toSeq: _*)
+      q.processAllAvailable()
+    }
+    // a far-future sentinel pushes the watermark past every real
+    // session's gap so they all close; its own open session is the
+    // only state never emitted
+    val sentinelTs = new java.sql.Timestamp(
+      evs.last.ts.getTime + 7L * 24 * 3600 * 1000)
+    mem.addData(Streams.Ev(-1L, sentinelTs, "sentinel", 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("parity_sessions_multi")
+      .where($"user_id" =!= -1L)
+      .select($"user_id", $"session_start", $"session_end", $"n_events")
+      .collect().map(_.toString).sorted
+    val batch = graft.operators.Analytics.sessionize(cleanEv, 30)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"))
+      .collect().map(_.toString).sorted
+    assert(streamed.length == batch.length,
+      s"streamed ${streamed.length} vs batch ${batch.length}")
+    assert(streamed.sameElements(batch))
+  }
+
   test("RunLedger records one row per micro-batch (§2.9 run ledger)") {
     implicit val sc = spark.sqlContext
     val ledger = new graft.streaming.RunLedger
