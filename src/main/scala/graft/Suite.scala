@@ -846,10 +846,12 @@ object Suite {
       (s, d) => {
         val t = Tables(s, d)
         // the table names are scoped by the scale-factor directory so
-        // interleaved suite runs at different SFs sharing one
-        // warehouse/metastore never clobber each other's tables
-        // mid-query (same-SF reruns overwrite their own tables, which
-        // is the intended idempotent refresh)
+        // suite runs at DIFFERENT SFs sharing one warehouse/metastore
+        // cannot clobber each other's tables mid-query; sequential
+        // same-SF reruns overwrite their own tables (the intended
+        // idempotent refresh), while two same-SF runs executing
+        // CONCURRENTLY against one metastore still race — run those
+        // against separate warehouses
         val tag = d.replaceAll("[^A-Za-z0-9]+", "_")
           .replaceAll("^_+|_+$", "").toLowerCase(java.util.Locale.ROOT)
         graft.operators.Warehouse.saveBucketed(

@@ -419,25 +419,38 @@ object TextOps {
     * rational core of tf-idf without the log, so the score is a single
     * exact division and cross-engine argmax order is deterministic;
     * tf*log(N/df) would hinge on last-ulp libm differences). */
-  def topTerm(docs: DataFrame): DataFrame = {
-    // tf is localCheckpointed so the document-frequency branch and the
-    // scoring join reuse one tokenization+shuffle. df_ is the FULL
-    // corpus vocabulary — never broadcast (billions of terms at 100 TB);
-    // tf JOIN df_ is a shuffle hash join on `word`, and tf is already
-    // keyed by (doc_id, word) so only df_ redistributes.
+  /** (doc_id, word, tf, df) — the shared scaffolding of the per-doc
+    * term argmaxes ([[topTerm]], [[tfidfTopTerm]]). tf is
+    * localCheckpointed so the document-frequency branch and the
+    * scoring join reuse one tokenization+shuffle. df_ is the FULL
+    * corpus vocabulary — never broadcast (billions of terms at 100 TB);
+    * tf JOIN df_ is a shuffle hash join on `word`, and tf is already
+    * keyed by (doc_id, word) so only df_ redistributes. */
+  private def tfDf(docs: DataFrame): DataFrame = {
     val tf = tokens(docs).groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
       .localCheckpoint()
     val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    tf.join(df_, Seq("word"))
+  }
+
+  /** The per-doc argmax over a scored [[tfDf]] frame: top-1 by
+    * (score desc, word asc) — the total order both engines replay. */
+  private def argmaxTerm(scored: DataFrame,
+      out: Seq[org.apache.spark.sql.Column]): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("word").asc)
-    tf.join(df_, Seq("word"))
-      .withColumn("score", col("tf").cast("double") / col("df"))
-      .withColumn("rn", row_number().over(w))
+    scored.withColumn("rn", row_number().over(w))
       .where(col("rn") === 1)
-      .select(col("doc_id"), col("word").as("top_term"), col("tf"),
-        col("df"), col("score"))
+      .select(out: _*)
   }
+
+  def topTerm(docs: DataFrame): DataFrame =
+    argmaxTerm(
+      tfDf(docs).withColumn("score",
+        col("tf").cast("double") / col("df")),
+      Seq(col("doc_id"), col("word").as("top_term"), col("tf"),
+        col("df"), col("score")))
 
   /** Token counting: whitespace tokens, regex word-ish tokens, and a
     * BPE-style length/4 estimate (integer ceil). */
@@ -723,6 +736,11 @@ object TextOps {
     require((defaultPermille +: rates.map(_._2))
         .forall(p => p >= 0 && p <= 1000),
       "keep rates are permille values in [0, 1000]")
+    // a duplicated stratum would FAN OUT the left join and silently
+    // duplicate that stratum's kept documents — refuse instead
+    require(rates.map(_._1).distinct.size == rates.size,
+      s"duplicate stratum in rates: ${rates.map(_._1).diff(
+        rates.map(_._1).distinct).distinct.mkString(", ")}")
     val s = docs.sparkSession
     import s.implicits._
     val r = broadcast(rates.toDF("lang", "keep_permille"))
@@ -744,26 +762,20 @@ object TextOps {
     * BIGINT arithmetic end to end; ties (score, then term) break by
     * total order.
     *
-    * Scale shape is [[topTerm]]'s: ONE tokenization shuffle reused by
-    * both branches, df shuffle-joined on `word` (the full vocabulary
-    * is never broadcast), N as a 1-row broadcast scalar. */
+    * Scale shape is [[topTerm]]'s (the shared [[tfDf]]/[[argmaxTerm]]
+    * scaffolding): ONE tokenization shuffle reused by both branches,
+    * df shuffle-joined on `word` (the full vocabulary is never
+    * broadcast), N as a 1-row broadcast scalar. */
   def tfidfTopTerm(docs: DataFrame): DataFrame = {
-    val tf = tokens(docs).groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
-    val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("word").asc)
-    tf.join(df_, Seq("word"))
-      .crossJoin(broadcast(n)) // 1-row scalar frame
-      .withColumn("idf_q",
-        (length(bin(expr("n_docs div df"))) - 1).cast("long"))
-      .withColumn("score", col("tf") * col("idf_q"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("word").as("top_term"), col("tf"),
-        col("df"), col("idf_q"), col("score"))
+    argmaxTerm(
+      tfDf(docs)
+        .crossJoin(broadcast(n)) // 1-row scalar frame
+        .withColumn("idf_q",
+          (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+        .withColumn("score", col("tf") * col("idf_q")),
+      Seq(col("doc_id"), col("word").as("top_term"), col("tf"),
+        col("df"), col("idf_q"), col("score")))
   }
 
   case class PackIn(doc_id: Long, lang: String, shard: Long,

@@ -87,19 +87,27 @@ object Warehouse {
       // parquet write (committer artifacts only) — fail loudly
       // otherwise instead of clearing it.
       val qualified = fs.makeQualified(loc)
-      val db = s.catalog.currentDatabase
-      val owners = s.catalog.listTables(db).collect()
-        .filter(t => t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
-        .filter { t =>
-          val meta = s.sessionState.catalog.getTableMetadata(
-            org.apache.spark.sql.catalyst.TableIdentifier(t.name, Some(db)))
-          fs.makeQualified(new org.apache.hadoop.fs.Path(meta.location)) ==
-            qualified
-        }
+      // EVERY database is scanned, not just the current one: an
+      // external table in another database can be registered at this
+      // exact path, and dropping/deleting it from here would destroy
+      // its data just the same
+      val owners = s.catalog.listDatabases().collect().flatMap { d =>
+        s.catalog.listTables(d.name).collect()
+          .filter(t =>
+            t.tableType == "MANAGED" || t.tableType == "EXTERNAL")
+          .filter { t =>
+            val meta = s.sessionState.catalog.getTableMetadata(
+              org.apache.spark.sql.catalyst.TableIdentifier(
+                t.name, Some(d.name)))
+            fs.makeQualified(new org.apache.hadoop.fs.Path(
+              meta.location)) == qualified
+          }
+          .map(t => s"${d.name}.${t.name}")
+      }
       require(owners.isEmpty,
         s"refusing to overwrite $qualified: it is the location of " +
-          s"table(s) ${owners.map(_.name).mkString(", ")} in database " +
-          s"$db; saveBucketed('$table') would destroy them.")
+          s"table(s) ${owners.mkString(", ")}; saveBucketed('$table') " +
+          "would destroy them.")
       val foreign = fs.listStatus(loc).map(_.getPath.getName)
         .filterNot(n => n.startsWith("part-") || n.startsWith("_") ||
           n.startsWith("."))

@@ -79,44 +79,78 @@ object Streams {
     * checkpoint pointed at an old statePath whose max version is <=
     * the new batchId (the stray-b0 case: batch 0 of the new run would
     * silently overwrite the old b0 from an empty predecessor). The
-    * first batch therefore writes the owning checkpoint's location
+    * first batch therefore writes the owning checkpoint's IDENTITY
     * into `_run`, and every batch requires it to match. */
   private val RunMarker = "_run"
 
-  /** Bind `statePath` to `checkpointLocation`: verify an existing
+  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
+  /** The checkpoint's unique streaming-query id, read from its
+    * `metadata` file (written by the engine when the checkpoint is
+    * CREATED). This — not the checkpoint's path — is the identity the
+    * state must bind to: a cleared-and-recreated checkpoint at the
+    * same path restarts batch numbering under a NEW id, and a
+    * path-string comparison would neither catch that (silent state
+    * reset) nor survive an equivalent respelling of the same location
+    * (spurious kill). */
+  private def checkpointQueryId(
+      conf: org.apache.hadoop.conf.Configuration,
+      checkpointLocation: String): String = {
+    val meta = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(checkpointLocation), "metadata")
+    val mfs = meta.getFileSystem(conf)
+    require(mfs.exists(meta),
+      s"no streaming-query metadata at $meta; dedupExactSink must run " +
+        "from the checkpointLocation passed to it.")
+    val idRe = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
+    idRe.findFirstMatchIn(readUtf8(mfs, meta)).map(_.group(1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"checkpoint metadata at $meta carries no query id"))
+  }
+
+  /** Bind `statePath` to the owning query id: verify an existing
     * marker, or claim an unowned EMPTY statePath by writing one
-    * (tmp + atomic rename, so a crash mid-write never leaves a
-    * half-written marker in place). Pre-existing state versions with
-    * no marker mean the path belongs to an unknown earlier run —
-    * refuse rather than fold over its counts. */
+    * (unique tmp + rename + read-back, so neither a crash mid-write
+    * nor a concurrent claimant can leave both parties believing they
+    * own the path). Pre-existing state versions with no marker mean
+    * the path belongs to an unknown earlier run — refuse rather than
+    * fold over its counts. */
   private def bindRun(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, checkpointLocation: String,
+      root: org.apache.hadoop.fs.Path, queryId: String,
       versions: Seq[Long]): Unit = {
     val marker = new org.apache.hadoop.fs.Path(root, RunMarker)
-    if (fs.exists(marker)) {
-      val in = fs.open(marker)
-      val owner = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      require(owner == checkpointLocation,
-        s"dedup state at $root belongs to checkpoint '$owner', not " +
-          s"'$checkpointLocation'. Clear statePath or resume with the " +
-          "original checkpointLocation.")
-    } else {
+    def verify(): Unit = {
+      val owner = readUtf8(fs, marker)
+      require(owner == queryId,
+        s"dedup state at $root belongs to checkpoint query '$owner', " +
+          s"not '$queryId'. The checkpoint was recreated or another " +
+          "pipeline owns this statePath; clear it or resume with the " +
+          "original checkpoint.")
+    }
+    if (fs.exists(marker)) verify()
+    else {
       require(versions.isEmpty,
         s"dedup state at $root has version(s) " +
           versions.sorted.mkString("b", ", b", "") +
           " but no run marker; it was written by an earlier run of " +
           "this sink. Clear statePath or resume with the original " +
           "checkpointLocation.")
-      val tmp = new org.apache.hadoop.fs.Path(root, RunMarker + ".tmp")
-      val out = fs.create(tmp, true)
-      try out.write(checkpointLocation.getBytes("UTF-8"))
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        RunMarker + ".tmp-" + java.util.UUID.randomUUID())
+      val out = fs.create(tmp, false)
+      try out.write(queryId.getBytes("UTF-8"))
       finally out.close()
-      if (!fs.rename(tmp, marker)) {
-        // a concurrent first batch won the rename: re-verify its claim
-        fs.delete(tmp, false)
-        bindRun(fs, root, checkpointLocation, versions)
-      }
+      // rename may succeed-by-overwrite on some filesystems and fail
+      // on others when racing another claimant — either way the
+      // read-back of the SURVIVING marker decides ownership
+      fs.rename(tmp, marker)
+      if (fs.exists(tmp)) fs.delete(tmp, false)
+      verify()
     }
   }
 
@@ -142,9 +176,10 @@ object Streams {
     * `checkpointLocation` is taken here (and set on the returned
     * writer) because the state is only correct relative to ITS
     * checkpoint's batch numbering: the first batch stamps the
-    * location into a `_run` marker under statePath, and every batch
-    * verifies it, so pointing a fresh checkpoint at an old statePath
-    * fails loudly instead of silently resetting its counts. */
+    * checkpoint's unique query id into a `_run` marker under
+    * statePath, and every batch verifies it, so pointing a fresh OR
+    * recreated checkpoint at an old statePath fails loudly instead of
+    * silently resetting its counts. */
   def dedupExactSink(docs: DataFrame, statePath: String,
       checkpointLocation: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
@@ -158,7 +193,9 @@ object Streams {
         val root = new org.apache.hadoop.fs.Path(statePath)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
         val versions = stateVersions(fs, root)
-        bindRun(fs, root, checkpointLocation, versions)
+        bindRun(fs, root, checkpointQueryId(
+          s.sparkContext.hadoopConfiguration, checkpointLocation),
+          versions)
         // within a bound run, a version AHEAD of the current batch can
         // still appear if the checkpoint directory was cleared but the
         // marker-bearing statePath was not: folding from an empty
@@ -219,11 +256,17 @@ object Streams {
 
   case class Ev(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)
-  /** start/last are epoch MICROseconds: timestamps round-tripped
+  /** startUs/lastUs are epoch MICROseconds: timestamps round-tripped
     * through epoch millis would silently truncate the micros the
     * batch twin keeps, and the two sessionizations must be
-    * value-identical (SourcesStreamingSpec's parity tests). */
-  case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+    * value-identical (SourcesStreamingSpec's parity tests). The `Us`
+    * field names are deliberate: state written by the earlier
+    * millisecond build carried fields named start/last, and the state
+    * store's schema check turns a resume from such a checkpoint into
+    * a loud incompatibility error instead of silently decoding millis
+    * as micros. */
+  case class SessionState(startUs: Long, lastUs: Long, n: Int,
+      sum: Double)
   case class Session(user_id: Long, session_start: Timestamp,
       session_end: Timestamp, n_events: Int, total_value: Double)
 
@@ -255,23 +298,23 @@ object Streams {
             // watermark passed the gap: close and emit the session
             val s = state.get
             state.remove()
-            Iterator.single(Session(userId, ofMicros(s.start),
-              ofMicros(s.last), s.n, s.sum))
+            Iterator.single(Session(userId, ofMicros(s.startUs),
+              ofMicros(s.lastUs), s.n, s.sum))
           } else {
             var closed = List.empty[Session]
             var cur = state.getOption
             batch.toSeq.sortBy(e => toMicros(e.ts)).foreach { e =>
               val t = toMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapUs =>
+                case Some(s) if t - s.lastUs <= gapUs =>
                   // a late event admitted by the watermark can precede
                   // the session start — extend BOTH boundaries so the
                   // emitted span matches the batch twin's min/max(ts)
-                  cur = Some(SessionState(math.min(s.start, t),
-                    math.max(s.last, t), s.n + 1, s.sum + e.value))
+                  cur = Some(SessionState(math.min(s.startUs, t),
+                    math.max(s.lastUs, t), s.n + 1, s.sum + e.value))
                 case Some(s) =>
-                  closed ::= Session(userId, ofMicros(s.start),
-                    ofMicros(s.last), s.n, s.sum)
+                  closed ::= Session(userId, ofMicros(s.startUs),
+                    ofMicros(s.lastUs), s.n, s.sum)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
@@ -282,7 +325,7 @@ object Streams {
               // the timeout API is millisecond-granular: round UP so
               // the gap can never fire a sub-millisecond early
               state.setTimeoutTimestamp(
-                Math.floorDiv(s.last + gapUs + 999L, 1000L))
+                Math.floorDiv(s.lastUs + gapUs + 999L, 1000L))
             }
             closed.reverseIterator
           }

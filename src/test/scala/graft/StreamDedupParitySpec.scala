@@ -128,6 +128,36 @@ class StreamDedupParitySpec extends SparkSpec {
       messages.mkString(" | "))
   }
 
+  test("a recreated checkpoint at the SAME path is rejected") {
+    // the marker binds to the checkpoint's unique query id, not its
+    // path: wiping the checkpoint dir and restarting the same pipeline
+    // config restarts batch numbering under a NEW id, and folding its
+    // batch 0 from empty would silently discard the old counts
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_dedup_rec_in")
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_dedup_rec").resolve("state").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dedup_rec_ckpt").toString
+    docs.limit(10).write.mode("overwrite").parquet(streamDir.toString)
+    val stream = spark.readStream
+      .schema(docs.schema).parquet(streamDir.toString)
+    assert(Streams.dedupExactSink(stream, statePath, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination(180000))
+    // wipe ONLY the checkpoint (tmp storage lost), keep the state
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(java.nio.file.Paths.get(ckpt))
+    val messages = failedRun(statePath, ckpt)
+    assert(messages.exists(_.contains("belongs to checkpoint")),
+      messages.mkString(" | "))
+  }
+
   test("a statePath owned by another checkpoint is rejected") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val streamDir =

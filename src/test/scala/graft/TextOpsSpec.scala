@@ -243,6 +243,9 @@ class TextOpsSpec extends SparkSpec {
     assert(deflt.where($"lang" === "fr").count() == 100L)
     assertThrows[IllegalArgumentException](
       TextOps.sampleStratified(corpus, Seq(("en", 1001L))))
+    // a duplicated stratum would fan out the rates join
+    assertThrows[IllegalArgumentException](
+      TextOps.sampleStratified(corpus, Seq(("en", 250L), ("en", 500L))))
   }
 
   test("sampleStratified: decision depends on doc_id only") {
