@@ -44,6 +44,11 @@ object SuiteML {
   private val PackBudget = 512L
   private val PackShard = 200L
 
+  /** Quality-filter length cap and decontamination split modulus,
+    * shared by the Spark calls and their oracles. */
+  private val QfMaxChars = 100000L
+  private val DecontMod = 20L
+
   /** Quantized-embedding oracle CTEs: q = round(x*1000) bigints,
     * nn = exact squared norm. */
   private val EmbCte =
@@ -490,6 +495,52 @@ object SuiteML {
         |        CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
         |        CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) AS n_stopwords
         |      FROM documents)""".stripMargin)),
+
+    // ---- curation: composed keep/drop quality gate ----------------------
+    Q("text_quality_filter",
+      (s, d) => TextOps.qualityFilter(docs(s, d), QfMaxChars),
+      Some(s"""SELECT doc_id, lang, quality_tier, n_pii, n_chars,
+        |       reasons = '' AS keep, reasons
+        |FROM (
+        |  SELECT doc_id, lang, quality_tier, n_pii, n_chars,
+        |         concat_ws(',',
+        |           CASE WHEN quality_tier <> 'ok' THEN quality_tier END,
+        |           CASE WHEN n_pii > 0 THEN 'pii' END,
+        |           CASE WHEN n_chars > $QfMaxChars THEN 'too_long' END) AS reasons
+        |  FROM (
+        |    SELECT doc_id, lang, n_chars,
+        |           CASE WHEN n_tokens < 20 THEN 'too_short'
+        |                WHEN n_stopwords * 4 > n_tokens THEN 'boilerplate'
+        |                WHEN n_distinct * 5 < n_tokens THEN 'repetitive'
+        |                ELSE 'ok' END AS quality_tier,
+        |           n_emails + n_digit_runs AS n_pii
+        |    FROM (SELECT doc_id, lang,
+        |            CAST(length(text) AS BIGINT) AS n_chars,
+        |            CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |            CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+        |            CAST(len(list_filter(string_split(text,' '), w -> w IN ('the','a'))) AS BIGINT) AS n_stopwords,
+        |            CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+        |            CAST(len(regexp_extract_all(text, '[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_digit_runs
+        |          FROM documents)))""".stripMargin)),
+
+    // ---- curation: benchmark decontamination (set containment) ----------
+    // (the benchmark is the doc_id % DecontMod == 0 slice; containment
+    // >= 8/10 of a corpus doc's distinct shingles marks contamination —
+    // threshold probed non-vacuous at sf0.001/0.01/0.1: 5/2/29 docs)
+    Q("dedup_decontaminate",
+      (s, d) => TextOps.decontaminate(
+        docs(s, d).where(col("doc_id") % DecontMod =!= 0),
+        docs(s, d).where(col("doc_id") % DecontMod === 0)),
+      Some(s"""WITH $TokCte,
+        |bset AS (SELECT DISTINCT s FROM ds WHERE doc_id % $DecontMod = 0),
+        |cs AS (SELECT doc_id, s FROM ds WHERE doc_id % $DecontMod <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY 1),
+        |sh AS (SELECT cs.doc_id, count(*) AS n_shared
+        |       FROM cs JOIN bset USING (s) GROUP BY 1)
+        |SELECT z.doc_id, z.n_shingles,
+        |       COALESCE(sh.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |       COALESCE(sh.n_shared, 0) * 10 >= z.n_shingles * 8 AS contaminated
+        |FROM sz z LEFT JOIN sh USING (doc_id)""".stripMargin)),
 
     // ---- text analysis: most distinctive term (tf/df argmax) ------------
     Q("text_top_term",

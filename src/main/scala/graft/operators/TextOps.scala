@@ -386,33 +386,43 @@ object TextOps {
         (col("cand_lang") === col("lang")).as("correct"))
   }
 
-  /** Text quality scoring: length, avg token length, stopword ratio,
-    * type-token ratio — each an exact-integer ratio surfaced with one
-    * division — plus a CASE quality tier (P3-style first-match-wins). */
-  def quality(docs: DataFrame): DataFrame = {
+  /** `docs` plus the derived quality columns (counts, exact-integer
+    * ratios surfaced with one division, and the P3-style
+    * first-match-wins tier) — the single definition [[quality]] and
+    * [[qualityFilter]] both project from, so the tier rules cannot
+    * drift between the score view and the filter. Keeps every input
+    * column (notably `text`), all per-row. */
+  private def qualityDerived(docs: DataFrame): DataFrame = {
     val toks = split(col("text"), " ")
-    docs.select(
-        col("doc_id"),
-        col("lang"),
-        length(col("text")).cast("long").as("n_chars"),
-        size(toks).cast("long").as("n_tokens"),
-        size(array_distinct(toks)).cast("long").as("n_distinct"),
-        size(filter(toks, w => w.isin("the", "a"))).cast("long")
-          .as("n_stopwords"))
-      .select(
-        col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
-        col("n_distinct"), col("n_stopwords"),
-        ((col("n_chars") - col("n_tokens") + 1).cast("double") /
-          col("n_tokens")).as("avg_token_len"),
-        (col("n_stopwords").cast("double") / col("n_tokens"))
-          .as("stopword_ratio"),
-        (col("n_distinct").cast("double") / col("n_tokens"))
-          .as("type_token_ratio"),
+    docs
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("n_tokens", size(toks).cast("long"))
+      .withColumn("n_distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("n_stopwords",
+        size(filter(toks, w => w.isin("the", "a"))).cast("long"))
+      .withColumn("avg_token_len",
+        (col("n_chars") - col("n_tokens") + 1).cast("double") /
+          col("n_tokens"))
+      .withColumn("stopword_ratio",
+        col("n_stopwords").cast("double") / col("n_tokens"))
+      .withColumn("type_token_ratio",
+        col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("quality_tier",
         when(col("n_tokens") < 20, "too_short")
           .when(col("n_stopwords") * 4 > col("n_tokens"), "boilerplate")
           .when(col("n_distinct") * 5 < col("n_tokens"), "repetitive")
-          .otherwise("ok").as("quality_tier"))
+          .otherwise("ok"))
   }
+
+  /** Text quality scoring: length, avg token length, stopword ratio,
+    * type-token ratio — each an exact-integer ratio surfaced with one
+    * division — plus a CASE quality tier (P3-style first-match-wins). */
+  def quality(docs: DataFrame): DataFrame =
+    qualityDerived(docs).select(
+      col("doc_id"), col("lang"), col("n_chars"), col("n_tokens"),
+      col("n_distinct"), col("n_stopwords"), col("avg_token_len"),
+      col("stopword_ratio"), col("type_token_ratio"),
+      col("quality_tier"))
 
   /** Most distinctive term per document: argmax over the doc's terms
     * of tf/df (term frequency over corpus document frequency — the
@@ -451,6 +461,67 @@ object TextOps {
         col("tf").cast("double") / col("df")),
       Seq(col("doc_id"), col("word").as("top_term"), col("tf"),
         col("df"), col("score")))
+
+  /** Composed keep/drop quality gate — the Gopher-style rule stack a
+    * curation pipeline actually applies: the [[quality]] tier, the
+    * [[piiScan]] patterns, and a length cap, folded into one keep
+    * boolean plus a comma-joined `reasons` audit column (concat_ws
+    * skips the NULL branches identically in Spark and DuckDB, so the
+    * reasons string is engine-portable without array comparators).
+    * One per-row projection over the corpus — no shuffle, no joins —
+    * and the tier/PII definitions are the shared ones, so the filter
+    * can never disagree with the standalone score views. */
+  def qualityFilter(docs: DataFrame, maxChars: Long = 100000L)
+      : DataFrame = {
+    val q = qualityDerived(docs)
+      .withColumn("n_pii",
+        (size(regexp_extract_all(col("text"), lit(emailRe), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(digitRe), lit(0))))
+          .cast("long"))
+      .withColumn("reasons", concat_ws(",",
+        when(col("quality_tier") =!= "ok", col("quality_tier")),
+        when(col("n_pii") > 0, lit("pii")),
+        when(col("n_chars") > maxChars, lit("too_long"))))
+    q.select(col("doc_id"), col("lang"), col("quality_tier"),
+      col("n_pii"), col("n_chars"),
+      (col("reasons") === "").as("keep"), col("reasons"))
+  }
+
+  /** Benchmark decontamination — the overlap gate run before any
+    * training corpus ships: flag corpus documents whose shingle set is
+    * mostly CONTAINED in a held-out benchmark's shingle set (Brown et
+    * al.'s n-gram decontamination, GPT-3 appendix C, in set-containment
+    * form). The benchmark collapses to its DISTINCT shingle set first —
+    * per-benchmark-doc identity is irrelevant and the collapse keeps
+    * the join fan-out-free — then each corpus doc counts how many of
+    * its distinct shingles hit that set; containment >= num/den (exact
+    * integer cross-multiplication, no float ratio) marks contamination.
+    *
+    * Scale shape: distinct-shingle shuffles on each side, then ONE
+    * shuffle join on the 8-byte xxhash64 shingle surrogate (the
+    * [[nearDupMinhash]] precedent — the benchmark side is NOT
+    * broadcast: "benchmark" can be another corpus). Docs under 3
+    * tokens have no shingles and are not assessable — excluded, as in
+    * every shingle route. */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+      num: Int = 8, den: Int = 10): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"containment threshold must be a fraction in [0,1], got $num/$den")
+    val cs = shingles(corpus)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .localCheckpoint() // reused by the size and the overlap branch
+    val bset = shingles(benchmark)
+      .select(xxhash64(col("s")).as("h")).distinct()
+    val sz = cs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val shared = cs.join(bset, Seq("h"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    sz.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated",
+        col("n_shared") * den >= col("n_shingles") * num)
+  }
 
   /** Token counting: whitespace tokens, regex word-ish tokens, and a
     * BPE-style length/4 estimate (integer ceil). */
@@ -570,9 +641,13 @@ object TextOps {
     * evaluates identically under Java regex and RE2 (no backrefs, no
     * lookaround), so the oracle matches byte-for-byte. Per-row
     * expressions — no shuffle, no state. */
+  /** Conservative PII patterns shared by [[piiScan]] and
+    * [[qualityFilter]]: identical under Java regex and RE2 (no
+    * backrefs, no lookaround), so oracles match byte-for-byte. */
+  private val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  private val digitRe = "[0-9][0-9 -]{6,}[0-9]"
+
   def piiScan(docs: DataFrame): DataFrame = {
-    val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
-    val digitRe = "[0-9][0-9 -]{6,}[0-9]"
     docs.select(
       col("doc_id"),
       size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))

@@ -313,6 +313,48 @@ class TextOpsSpec extends SparkSpec {
       TextOps.seqPack(corpus, maxTokens = 0))
   }
 
+  test("qualityFilter composes tier, pii, and length reasons") {
+    val long20 = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val corpus = docsDf(Seq(
+      (1L, long20, "en", "s"), // ok: >= 20 distinct tokens
+      (2L, "short text", "en", "s"), // too_short
+      (3L, long20 + " mail me a@b.com", "en", "s"), // pii only
+      (4L, "short 12345-678-90", "en", "s"))) // too_short AND pii
+    val f = TextOps.qualityFilter(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Boolean]("keep"), r.getAs[String]("reasons")))).toMap
+    assert(f(1L) == ((true, "")))
+    assert(f(2L) == ((false, "too_short")))
+    assert(f(3L) == ((false, "pii")))
+    assert(f(4L) == ((false, "too_short,pii")))
+    // the length cap fires and joins the reason list
+    val capped = TextOps.qualityFilter(corpus, maxChars = 5L)
+      .where($"doc_id" === 2L).collect()(0)
+    assert(!capped.getAs[Boolean]("keep"))
+    assert(capped.getAs[String]("reasons") == "too_short,too_long")
+  }
+
+  test("decontaminate flags containment, not mere overlap") {
+    val bench = docsDf(Seq(
+      (100L, "alpha beta gamma delta epsilon", "en", "b")))
+    val corpus = docsDf(Seq(
+      // identical text -> containment 1.0 -> contaminated
+      (1L, "alpha beta gamma delta epsilon", "en", "c"),
+      // shares ONE shingle of its four -> 0.25 < 0.8 -> clean
+      (2L, "alpha beta gamma other words six", "en", "c"),
+      // disjoint -> 0 shared
+      (3L, "completely different token stream here", "en", "c")))
+    val out = TextOps.decontaminate(corpus, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))))
+      .toMap
+    assert(out(1L) == ((3L, true)))
+    assert(out(2L)._1 >= 1L && !out(2L)._2)
+    assert(out(3L) == ((0L, false)))
+    assertThrows[IllegalArgumentException](
+      TextOps.decontaminate(corpus, bench, num = 3, den = 2))
+  }
+
   test("seqPack: every pack is within budget unless a lone oversize doc") {
     val dir = "/root/testdata/sf0.001"
     val out = TextOps.seqPack(Tables(spark, dir).documents, 512, 200)
