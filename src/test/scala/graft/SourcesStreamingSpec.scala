@@ -188,6 +188,35 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("stateless curation ops run unchanged on a stream") {
+    // qualityFilter and sampleStratified are per-row projections with
+    // no state, so the SAME operator body serves batch and streaming —
+    // the §2.9 story for the curation family: parity by construction,
+    // pinned here over the real corpus
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_curation_stream")
+    docs.write.mode("overwrite").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(docs.schema)
+      .parquet(streamDir.toString)
+    val rates = Seq(("en", 250L))
+    val q = graft.operators.TextOps.sampleStratified(
+        graft.operators.TextOps.qualityFilter(stream)
+          .where($"keep").select($"doc_id", $"lang"), rates)
+      .writeStream.format("memory").queryName("curation_stream")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000))
+    val streamed = spark.table("curation_stream")
+      .collect().map(_.toString).sorted
+    val batch = graft.operators.TextOps.sampleStratified(
+        graft.operators.TextOps.qualityFilter(docs)
+          .where($"keep").select($"doc_id", $"lang"), rates)
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("RunLedger records one row per micro-batch (§2.9 run ledger)") {
     implicit val sc = spark.sqlContext
     val ledger = new graft.streaming.RunLedger
