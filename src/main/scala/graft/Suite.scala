@@ -61,6 +61,31 @@ object Suite {
   /** Shared oracle CTE over the raw events table. */
   private val CleanCte: String = "WITH " + cleanBody("events")
 
+  /** Shared SCD Type-2 CTE ending in `scd2(user_key, user_id, status,
+    * valid_from, valid_to, is_current, version_n)` — referenced by
+    * BOTH etl_scd2_users and etl_scd2_lookup so the version-building
+    * rules cannot drift between the dim and its point-in-time read. */
+  private val Scd2Cte: String =
+    s"""$CleanCte,
+      |ordered AS (
+      |  SELECT user_id, ts, event_id, event_type,
+      |         LAG(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS prev_type
+      |  FROM clean),
+      |chg AS (
+      |  SELECT user_id, ts, event_id, event_type FROM ordered
+      |  WHERE prev_type IS NULL OR prev_type <> event_type),
+      |scd2 AS (
+      |  SELECT 'user_' || md5(CAST(user_id AS VARCHAR)) AS user_key,
+      |         user_id, event_type AS status, ts AS valid_from,
+      |         LEAD(ts) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS valid_to,
+      |         LEAD(ts) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) IS NULL AS is_current,
+      |         ROW_NUMBER() OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS version_n
+      |  FROM chg)""".stripMargin
+
   /** Shared lifecycle CTE (A6): per-user first-event-relative counts
     * plus the conversion/lifecycle CASE buckets — referenced by BOTH
     * an_lifecycle and an_sankey_links so a threshold change cannot
@@ -157,24 +182,33 @@ object Suite {
     // (ts, event_id) total order makes the history deterministic ----------
     Q("etl_scd2_users",
       (s, d) => StarSchema.scd2UserStatus(clean(s, d)),
-      Some(s"""$CleanCte,
-        |ordered AS (
-        |  SELECT user_id, ts, event_id, event_type,
-        |         LAG(event_type) OVER (PARTITION BY user_id
-        |           ORDER BY ts, event_id) AS prev_type
-        |  FROM clean),
-        |chg AS (
-        |  SELECT user_id, ts, event_id, event_type FROM ordered
-        |  WHERE prev_type IS NULL OR prev_type <> event_type)
-        |SELECT 'user_' || md5(CAST(user_id AS VARCHAR)) AS user_key,
-        |       user_id, event_type AS status, ts AS valid_from,
-        |       LEAD(ts) OVER (PARTITION BY user_id
-        |         ORDER BY ts, event_id) AS valid_to,
-        |       LEAD(ts) OVER (PARTITION BY user_id
-        |         ORDER BY ts, event_id) IS NULL AS is_current,
-        |       ROW_NUMBER() OVER (PARTITION BY user_id
-        |         ORDER BY ts, event_id) AS version_n
-        |FROM chg""".stripMargin)),
+      Some(s"""$Scd2Cte
+        |SELECT user_key, user_id, status, valid_from, valid_to,
+        |       is_current, version_n
+        |FROM scd2""".stripMargin)),
+
+    // ---- point-in-time lookup over the SCD2 dimension: each event
+    // resolves the version valid at its timestamp (valid_from <= ts <
+    // valid_to, open version unbounded) — the bitemporal read that
+    // makes keeping history worth it. One equi-join on user_id; the
+    // range predicate filters the handful of versions per user. -----------
+    Q("etl_scd2_lookup",
+      (s, d) => {
+        val c = clean(s, d)
+        val dim = StarSchema.scd2UserStatus(c)
+        c.select(col("event_id"), col("user_id"), col("ts"))
+          .join(dim, Seq("user_id"))
+          .where(col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("status"), col("version_n"))
+      },
+      Some(s"""$Scd2Cte
+        |SELECT e.event_id, e.user_id, e.ts, s.status, s.version_n
+        |FROM clean e JOIN scd2 s
+        |  ON e.user_id = s.user_id
+        | AND e.ts >= s.valid_from
+        | AND (s.valid_to IS NULL OR e.ts < s.valid_to)""".stripMargin)),
 
     Q("etl_dim_types",
       (s, d) => StarSchema.dimTypes(clean(s, d)),

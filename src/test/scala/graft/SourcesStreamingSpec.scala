@@ -188,6 +188,56 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("stream-stream interval join matches the batch join") {
+    // §2.9 depth: a watermarked stream-stream inner join (purchases to
+    // same-user plays within the preceding hour) — both sides carry
+    // watermarks and the join condition bounds event-time distance, so
+    // state is evicted as the watermark advances; the emitted matches
+    // must equal the batch join of the same corpus
+    val clean = graft.operators.StarSchema.clean(
+      Tables(spark, "/root/testdata/sf0.001").events)
+      .select($"event_id", $"user_id",
+        // watermarks require session-tz TIMESTAMP, not the parquet NTZ
+        $"ts".cast("timestamp").as("ts"), $"event_type")
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_ss_join")
+    clean.write.mode("overwrite").parquet(streamDir.toString)
+    def side(t: String) = spark.readStream.schema(clean.schema)
+      .parquet(streamDir.toString)
+      .where($"event_type" === t)
+    val plays = side("click")
+      .select($"event_id".as("play_id"), $"user_id",
+        $"ts".as("play_ts")).withWatermark("play_ts", "1 hour")
+    val purchases = side("purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("buyer_id"),
+        $"ts".as("buy_ts")).withWatermark("buy_ts", "1 hour")
+    val q = plays.join(purchases,
+        $"user_id" === $"buyer_id" &&
+          $"play_ts" >= $"buy_ts" - expr("INTERVAL 1 HOUR") &&
+          $"play_ts" <= $"buy_ts")
+      .select($"buy_id", $"play_id")
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000))
+    val streamed = spark.table("ss_join")
+      .collect().map(_.toString).sorted
+    val p = clean.where($"event_type" === "click")
+      .select($"event_id".as("play_id"), $"user_id",
+        $"ts".as("play_ts"))
+    val b = clean.where($"event_type" === "purchase")
+      .select($"event_id".as("buy_id"), $"user_id".as("buyer_id"),
+        $"ts".as("buy_ts"))
+    val batch = p.join(b,
+        $"user_id" === $"buyer_id" &&
+          $"play_ts" >= $"buy_ts" - expr("INTERVAL 1 HOUR") &&
+          $"play_ts" <= $"buy_ts")
+      .select($"buy_id", $"play_id")
+      .collect().map(_.toString).sorted
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("stateless curation ops run unchanged on a stream") {
     // qualityFilter and sampleStratified are per-row projections with
     // no state, so the SAME operator body serves batch and streaming —
