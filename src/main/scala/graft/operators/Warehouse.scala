@@ -42,6 +42,49 @@ object Warehouse {
     fact.where(col("date_key").isin(keys: _*))
   }
 
+  /** Small-files compaction — the maintenance pass every long-running
+    * ingest needs: streaming micro-batches and incremental loads leave
+    * thousands of tiny files whose per-file open/footer cost dominates
+    * scans at scale. Rewrites a FLAT parquet directory into
+    * ceil(totalBytes / targetBytes) files and swaps it in, with a
+    * row-count check between write and swap so a bad rewrite can never
+    * replace good data. Returns the new file count.
+    *
+    * The swap is delete-then-rename: a crash between the two leaves
+    * the full compacted copy at `<path>.compact-tmp` (recovery is a
+    * manual rename), never a partial state. Partitioned layouts
+    * compact per-partition — this operator refuses subdirectories
+    * rather than silently flattening them. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"no directory to compact at $path")
+    val entries = fs.listStatus(p).toSeq
+    require(entries.forall(!_.isDirectory),
+      s"$path has subdirectories (a partitioned layout?) — compact " +
+        "each partition directory instead.")
+    val dataBytes = entries
+      .filter(e => e.getPath.getName.startsWith("part-"))
+      .map(_.getLen).sum
+    val n = math.max(1L, (dataBytes + targetBytes - 1) / targetBytes).toInt
+    val before = spark.read.parquet(path)
+    val rows = before.count()
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    before.repartition(n).write.mode("overwrite").parquet(tmp.toString)
+    val got = spark.read.parquet(tmp.toString).count()
+    require(got == rows,
+      s"compaction rewrite of $path lost rows ($got != $rows); " +
+        s"original left untouched, rewrite at $tmp")
+    fs.delete(p, true)
+    require(fs.rename(tmp, p),
+      s"compacted data is at $tmp but the rename to $path failed — " +
+        "rename it manually.")
+    n
+  }
+
   /** Bucketed saved table: rows are hash-distributed into `buckets`
     * files by the join key AND sorted within each bucket. Two tables
     * bucketed the same way join with NO shuffle and NO sort — the

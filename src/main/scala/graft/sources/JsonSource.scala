@@ -45,6 +45,34 @@ object JsonSource {
   def readListeningStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(listeningSchema).json(path)
 
+  /** [[listeningSchema]] plus the PERMISSIVE-mode corrupt-record
+    * capture column. */
+  val auditedSchema: StructType =
+    listeningSchema.add(StructField("_corrupt_record", StringType))
+
+  /** Audited read: malformed documents are QUARANTINED, not silently
+    * nulled — at ingestion scale a collector bug or a truncated upload
+    * must surface as rows in a reject table, never as silent data
+    * loss. PERMISSIVE mode keeps the batch alive (one bad doc must not
+    * fail a 100 TB load) and captures each unparseable line verbatim
+    * in `_corrupt_record`. */
+  def readListeningAudited(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(auditedSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+
+  /** Split an audited read into (parsed, quarantined). The input is
+    * localCheckpointed first: Spark refuses queries whose referenced
+    * columns are only the corrupt-record column of a live JSON scan,
+    * and materializing once also means both sides come from ONE parse
+    * of the input instead of two. */
+  def quarantine(raw: DataFrame): (DataFrame, DataFrame) = {
+    val m = raw.localCheckpoint()
+    (m.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
+      m.where(col("_corrupt_record").isNotNull))
+  }
+
   /** P1 flattening (daily_etl_pipeline.py:159-183): first artist only,
     * Unknown-Artist/Album defaults, explicit=false / popularity=0
     * backstops — all dot-path column expressions, no UDFs. */

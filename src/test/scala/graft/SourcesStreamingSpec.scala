@@ -31,6 +31,24 @@ class SourcesStreamingSpec extends SparkSpec {
     assert(flat(1).getAs[Int]("popularity") == 0)
   }
 
+  test("audited read quarantines malformed docs instead of nulling them") {
+    val dir = Files.createTempDirectory("graft_json_bad").toFile
+    val w = new java.io.PrintWriter(new java.io.File(dir, "drop.json"))
+    w.println("""{"track_id":"t1","played_at":"2024-01-01T08:00:00Z"}""")
+    w.println("""{"track_id": BROKEN [not json""")
+    w.println("""{"track_id":"t2","played_at":"2024-01-01T09:00:00Z"}""")
+    w.close()
+    val (good, bad) = JsonSource.quarantine(
+      JsonSource.readListeningAudited(spark, dir.getAbsolutePath))
+    assert(good.count() == 2)
+    assert(!good.columns.contains("_corrupt_record"))
+    val rejects = bad.collect()
+    assert(rejects.length == 1)
+    // the raw line is preserved verbatim for triage
+    assert(rejects(0).getAs[String]("_corrupt_record")
+      .contains("BROKEN"))
+  }
+
   test("streaming dedup drops duplicate (user_id, ts) events") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]

@@ -76,6 +76,39 @@ class WarehouseSpec extends SparkSpec {
     }
   }
 
+  test("compact rewrites many small files into few, losslessly") {
+    val dir = Files.createTempDirectory("graft_compact")
+      .resolve("data").toString
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val src = t.lineitem.select($"l_orderkey", $"l_extendedprice")
+    src.repartition(40).write.parquet(dir)
+    val p = new java.io.File(dir)
+    val filesBefore = p.listFiles().count(_.getName.startsWith("part-"))
+    assert(filesBefore >= 30) // the small-files problem, manufactured
+    val n = Warehouse.compact(spark, dir, targetBytes = 1L << 30)
+    assert(n == 1)
+    val filesAfter = p.listFiles().count(_.getName.startsWith("part-"))
+    assert(filesAfter == 1)
+    // lossless: same rows, same values
+    val after = spark.read.parquet(dir)
+    assert(after.count() == src.count())
+    assert(after.except(src).count() == 0 && src.except(after).count() == 0)
+  }
+
+  test("compact refuses a partitioned layout") {
+    val dir = Files.createTempDirectory("graft_compact_part")
+      .resolve("data").toString
+    val c = StarSchema.clean(eventsDf(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", "play", 1.0, "{}"),
+      (2L, 1L, "2024-01-02 10:00:00", "play", 1.0, "{}"))))
+    Warehouse.writeFact(StarSchema.fact(c), dir)
+    val ex = intercept[IllegalArgumentException](
+      Warehouse.compact(spark, dir))
+    assert(ex.getMessage.contains("partition"), ex.getMessage)
+    // untouched
+    assert(Warehouse.readFact(spark, dir).count() == 2)
+  }
+
   test("raw SQL entry point matches the DataFrame result (S12)") {
     val dir = "/root/testdata/sf0.001"
     val viaSql = Sql.run(spark, dir,
