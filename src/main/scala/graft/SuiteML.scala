@@ -694,6 +694,72 @@ object SuiteML {
         |       (SELECT COUNT(*) FROM hh) AS n_true_hh,
         |       TRUE AS all_found""".stripMargin)),
 
+    // ---- curation: Gopher repetition signals ----------------------------
+    // (token-level: the corpus has no line structure, so the per-line
+    // members of the Gopher family would be vacuous here)
+    Q("text_repetition",
+      (s, d) => TextOps.repetition(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |bg AS (SELECT doc_id, unnest(list_transform(range(1, len(ls)),
+        |         i -> ls[i] || ' ' || ls[i+1])) AS b FROM w),
+        |tg AS (SELECT doc_id, unnest(list_transform(range(1, len(ls)-1),
+        |         i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS t FROM w),
+        |bgc AS (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |               CAST(max(c) AS BIGINT) AS top_bigram_c
+        |        FROM bgc GROUP BY 1),
+        |tgc AS (SELECT doc_id, t, count(*) AS c FROM tg GROUP BY 1, 2),
+        |tga AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+        |               CAST(count(*) AS BIGINT) AS n_distinct_trigrams
+        |        FROM tgc GROUP BY 1)
+        |SELECT b.doc_id, b.n_bigrams, b.top_bigram_c,
+        |       CAST(b.top_bigram_c AS DOUBLE) / b.n_bigrams AS top_bigram_frac,
+        |       t.n_trigrams, t.n_distinct_trigrams,
+        |       CAST(t.n_trigrams - t.n_distinct_trigrams AS DOUBLE) / t.n_trigrams
+        |         AS dup_trigram_frac
+        |FROM bga b JOIN tga t USING (doc_id)""".stripMargin)),
+
+    // ---- dedup: cross-document duplicated-span fraction -----------------
+    // (the substring-level signal whole-doc near-dup misses: a trigram
+    // occurrence is duplicated iff its shingle appears in >= 2 docs)
+    Q("dedup_ngram_spans",
+      (s, d) => TextOps.dupNgramSpans(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents WHERE len(string_split(text,' ')) >= 3),
+        |raw AS (SELECT doc_id, unnest(list_transform(range(1, len(ls)-1),
+        |          i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS s FROM w),
+        |occ AS (SELECT doc_id, s, count(*) AS c FROM raw GROUP BY 1, 2),
+        |dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS nd FROM occ GROUP BY 1),
+        |tot AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams
+        |        FROM occ GROUP BY 1),
+        |dup AS (SELECT o.doc_id, CAST(sum(o.c) AS BIGINT) AS n_dup_grams
+        |        FROM occ o JOIN dfq USING (s) WHERE nd >= 2 GROUP BY 1)
+        |SELECT t.doc_id, t.n_grams,
+        |       COALESCE(d.n_dup_grams, CAST(0 AS BIGINT)) AS n_dup_grams,
+        |       CAST(COALESCE(d.n_dup_grams, 0) AS DOUBLE) / t.n_grams AS dup_frac
+        |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin)),
+
+    // ---- curation: deterministic sharded corpus shuffle -----------------
+    // (the pre-training randomization: global order = (shard,
+    // pos_in_shard); no single global row_number at 100 TB)
+    Q("text_global_shuffle",
+      (s, d) => TextOps.globalShuffle(docs(s, d)),
+      Some("""WITH h AS (SELECT doc_id,
+        |         md5('shuf:' || CAST(doc_id AS VARCHAR)) AS salt
+        |       FROM documents),
+        |s AS (SELECT doc_id, salt,
+        |  CAST(((strpos('0123456789abcdef', substr(salt,1,1)) - 1) * 4096
+        |      + (strpos('0123456789abcdef', substr(salt,2,1)) - 1) * 256
+        |      + (strpos('0123456789abcdef', substr(salt,3,1)) - 1) * 16
+        |      + (strpos('0123456789abcdef', substr(salt,4,1)) - 1)) % 64 AS BIGINT)
+        |    AS shard
+        |  FROM h)
+        |SELECT doc_id, salt, shard,
+        |       CAST(ROW_NUMBER() OVER (PARTITION BY shard
+        |         ORDER BY salt, doc_id) AS BIGINT) AS pos_in_shard
+        |FROM s""".stripMargin)),
+
     // ---- text analysis: fingerprinting ----------------------------------
     Q("text_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d)),

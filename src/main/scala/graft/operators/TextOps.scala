@@ -896,6 +896,110 @@ object TextOps {
       }.toDF()
   }
 
+  /** Gopher-style repetition signals (Rae et al., "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher", 2021,
+    * §A.1.1): the repetition family of quality filters — a document
+    * dominated by one repeated n-gram, or whose n-gram stream is mostly
+    * repeats, is boilerplate/spam. Token-level because this corpus has
+    * no line structure (the reference signals also include per-line
+    * duplicates; lines here would be vacuous — every doc is one line).
+    * Emitted per doc (>= 3 tokens, the shingle domain):
+    *  - `top_bigram_frac`  = occurrences of the most frequent bigram /
+    *    total bigrams (Gopher's "fraction in most common n-gram");
+    *  - `dup_trigram_frac` = (total - distinct) trigrams / total
+    *    (Gopher's "fraction in duplicate n-grams").
+    * All counts are exact integers; each fraction is ONE final IEEE
+    * division, so both engines emit bit-identical doubles.
+    *
+    * Scale shape: two independent (doc_id, gram) count shuffles (both
+    * map-side combined) re-aggregated per doc — the standard
+    * tokenization-shuffle shape of this family ([[langId]], [[tfDf]]);
+    * nothing is broadcast, nothing is corpus-quadratic. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> concat_ws(' ', w[i], w[i+1]))")).as("b"))
+    val bga = bg.groupBy(col("doc_id"), col("b"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        max(col("c")).as("top_bigram_c"))
+    val tga = shinglesRaw(docs).groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_trigrams"),
+        count(lit(1)).as("n_distinct_trigrams"))
+    bga.join(tga, Seq("doc_id"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_bigram_c"),
+        (col("top_bigram_c").cast("double") / col("n_bigrams"))
+          .as("top_bigram_frac"),
+        col("n_trigrams"), col("n_distinct_trigrams"),
+        ((col("n_trigrams") - col("n_distinct_trigrams")).cast("double")
+          / col("n_trigrams")).as("dup_trigram_frac"))
+  }
+
+  /** Cross-document duplicated-span fraction — the substring-level
+    * dedup signal (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", 2022: the motivation for ExactSubstr
+    * dedup is that much duplication is partial, not whole-document).
+    * The suffix-array machinery of ExactSubstr is replaced by its
+    * distributed proxy: a trigram occurrence is "duplicated" iff its
+    * shingle appears in >= 2 distinct documents, and each doc reports
+    * the fraction of its trigram occurrences that are duplicated.
+    * High-`dup_frac` docs are the ones whose content is largely copied
+    * from elsewhere in the corpus — candidates for span-level removal
+    * where whole-doc dedup ([[nearDupMinhash]]) would miss them.
+    *
+    * Scale shape: the per-(doc, shingle) counts are aggregated once and
+    * localCheckpointed for their three consumers; document frequency is
+    * a second aggregate of that (already-distinct) frame, shuffle-joined
+    * back on the shingle — the vocabulary-sized frame is never
+    * broadcast (the [[langId]] rule). Counts are exact longs; `dup_frac`
+    * is one final IEEE division. */
+  def dupNgramSpans(docs: DataFrame): DataFrame = {
+    // one (doc_id, s) count shuffle, reused by total / df / dup branches
+    val occ = shinglesRaw(docs).groupBy(col("doc_id"), col("s"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val dfq = occ.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+    val tot = occ.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
+    val dup = occ.join(dfq.where(col("nd") >= 2), Seq("s"))
+      .groupBy(col("doc_id")).agg(sum(col("c")).as("n_dup_grams"))
+    tot.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"),
+        (coalesce(col("n_dup_grams"), lit(0L)).cast("double")
+          / col("n_grams")).as("dup_frac"))
+  }
+
+  /** Deterministic sharded corpus shuffle — the pre-training
+    * randomization pass: training order must be a reproducible
+    * pseudo-random permutation of the curated corpus. A single global
+    * rank (row_number over the whole corpus) would funnel 100 TB
+    * through one partition, so the permutation is factored the way
+    * production loaders shard it: a content-independent salted hash
+    * assigns each doc to one of `nShards` shards (md5("shuf:"||id) —
+    * the salt keeps the order independent of [[trainValTestSplit]] /
+    * [[sampleStratified]] buckets), and the position WITHIN the shard
+    * orders by the remaining hash entropy (salt, then doc_id as the
+    * total-order tie-break). Global order = (shard, pos_in_shard);
+    * every shard sorts only |corpus|/nShards rows in parallel, and a
+    * training job reads shards in index order. Per-row hashing plus one
+    * bounded per-shard window — no global sort, no state. */
+  def globalShuffle(docs: DataFrame, nShards: Int = 64): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val salt = md5(concat(lit("shuf:"), col("doc_id").cast("string")))
+    val shard = conv(substring(col("salt"), 1, 4), 16, 10)
+      .cast("long") % nShards
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("salt").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), salt.as("salt"))
+      .withColumn("shard", shard)
+      .withColumn("pos_in_shard", row_number().over(w).cast("long"))
+  }
+
   /** Document fingerprints: full-content md5, head/tail block hashes,
     * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
     * content anchor). */

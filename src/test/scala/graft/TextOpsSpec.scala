@@ -355,6 +355,63 @@ class TextOpsSpec extends SparkSpec {
       TextOps.decontaminate(corpus, bench, num = 3, den = 2))
   }
 
+  test("repetition separates dominated, repetitive, and varied docs") {
+    val d = docsDf(Seq(
+      (1L, "a b a b a b a b", "en", "s"), // bigram "a b" 4/7; tri 6 total, 2 distinct
+      (2L, "w x y z q r s t", "en", "s"))) // all distinct
+    val out = TextOps.repetition(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_bigrams") == 7L)
+    assert(r1.getAs[Long]("top_bigram_c") == 4L)
+    assert(r1.getAs[Double]("top_bigram_frac") == 4.0 / 7)
+    assert(r1.getAs[Long]("n_trigrams") == 6L)
+    assert(r1.getAs[Long]("n_distinct_trigrams") == 2L)
+    assert(r1.getAs[Double]("dup_trigram_frac") == 4.0 / 6)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("top_bigram_c") == 1L)
+    assert(r2.getAs[Double]("dup_trigram_frac") == 0.0)
+  }
+
+  test("dupNgramSpans counts cross-document occurrences only") {
+    val d = docsDf(Seq(
+      (1L, "p q r s t", "en", "s"), // pqr qrs rst; pqr shared with doc 2
+      (2L, "p q r x y", "en", "s"), // pqr qrx rxy
+      (3L, "m n o u v", "en", "s"), // disjoint
+      (4L, "z z z z z", "en", "s"))) // 3x "z z z" but only within ONE doc
+    val out = TextOps.dupNgramSpans(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_grams"), r.getAs[Long]("n_dup_grams")))).toMap
+    assert(out(1L) == ((3L, 1L)))
+    assert(out(2L) == ((3L, 1L)))
+    assert(out(3L) == ((3L, 0L)))
+    // within-doc repetition is repetition, not cross-doc duplication
+    assert(out(4L) == ((3L, 0L)))
+  }
+
+  test("globalShuffle is a deterministic permutation with dense " +
+      "per-shard positions") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001").documents
+    val out = TextOps.globalShuffle(corpus, nShards = 64)
+    val n = corpus.count()
+    assert(out.count() == n)
+    assert(out.select($"doc_id").distinct().count() == n)
+    // positions within each shard are exactly 1..|shard|
+    val shards = out.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"pos_in_shard").as("lo"),
+        max($"pos_in_shard").as("hi"),
+        countDistinct($"pos_in_shard").as("nd"))
+      .collect()
+    shards.foreach { s =>
+      assert(s.getAs[Long]("lo") == 1L)
+      assert(s.getAs[Long]("hi") == s.getAs[Long]("n"))
+      assert(s.getAs[Long]("nd") == s.getAs[Long]("n"))
+    }
+    // content-independent determinism: a re-run reproduces the order
+    val again = TextOps.globalShuffle(corpus, nShards = 64)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
   test("seqPack: every pack is within budget unless a lone oversize doc") {
     val dir = "/root/testdata/sf0.001"
     val out = TextOps.seqPack(Tables(spark, dir).documents, 512, 200)
