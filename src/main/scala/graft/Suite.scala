@@ -908,6 +908,31 @@ object Suite {
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
         |GROUP BY 1""".stripMargin)),
 
+    // ---- bloom-filter pruned join (BloomJoin.bloomPrunedJoin): the
+    // fact side is filtered by a membership sketch of the dim side's
+    // keys BEFORE the join shuffle — no false negatives, so the
+    // oracle is the PLAIN join (the prune must never change the
+    // answer, only how many rows reach the shuffle; BloomJoinSpec
+    // asserts the probe sits in the plan and actually prunes). -------------
+    Q("rel_bloom_prune_join",
+      (s, d) => {
+        val t = Tables(s, d)
+        val buyers = t.customer
+          .where(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_mktsegment"))
+        graft.operators.BloomJoin.bloomPrunedJoin(
+            t.orders, "o_custkey", buyers, "c_custkey")
+          .groupBy(col("o_orderpriority"))
+          .agg(count(lit(1)).as("n_orders"),
+            (sum(graft.functions.TimeFns.cents(col("o_totalprice")))
+              / lit(100.0)).as("revenue"))
+      },
+      Some("""SELECT o.o_orderpriority, COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY 1""".stripMargin)),
+
     // ---- exact distinct-by-type: the oracle-checked exact twin of the
     // HLL sketch below (same grouping, exact countDistinct) ---------------
     Q("an_distinct_by_type",

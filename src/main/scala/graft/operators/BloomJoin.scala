@@ -1,0 +1,69 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter pruned joins — the semi-join pushdown a 100 TB join
+  * wants when the big side's rows mostly DON'T match: build a compact
+  * membership sketch of the small side's join keys, filter the big
+  * side with it BEFORE the join's shuffle, and let the join itself
+  * remove the sketch's false positives. The shuffle then moves only
+  * ~(matching + fpp * non-matching) rows instead of the whole fact
+  * table. This is the hand-rolled form of Spark's own runtime
+  * row-level filtering (`spark.sql.optimizer.runtime.bloomFilter.*`),
+  * exposed as an operator so a pipeline can apply it where the
+  * optimizer's heuristics would not (e.g. the small side is a computed
+  * frame with no stats, or the filter should be reused across several
+  * joins of one job).
+  *
+  * Correctness contract: a bloom filter has NO false negatives, so the
+  * pruned join equals the unpruned join row-for-row — which is exactly
+  * what the driver oracle checks (`rel_bloom_prune_join`).
+  */
+object BloomJoin {
+
+  /** Serialized bloom filter of `small`'s `key` column (long keys).
+    * The build is a distributed tree aggregate (each partition fills a
+    * local sketch, merged associatively); only the fixed-size sketch
+    * (~1.2 MB per million keys at 1 % fpp) ever reaches the driver —
+    * the keys themselves never move. `expectedItems` sizes the bit
+    * array; passing an estimate from upstream metadata avoids the
+    * extra counting job. */
+  def buildFilter(small: DataFrame, key: String,
+      expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
+    require(expectedItems > 0,
+      s"expectedItems must be positive, got $expectedItems")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    val bf = small.stat.bloomFilter(key, expectedItems, fpp)
+    val out = new ByteArrayOutputStream()
+    bf.writeTo(out)
+    out.toByteArray
+  }
+
+  /** `big` restricted to rows whose `key` might be in the filter —
+    * the pre-shuffle prune. The probe is the codegen'd
+    * [[graft.plans.BloomMightContainI64]] expression (registered as
+    * `bloom_might_contain`), so it runs inside the scan's
+    * whole-stage-codegen'd filter. The key is cast to long — the
+    * sketch hashes every integral type through `putLong`, so the cast
+    * is exactly the build side's own widening. */
+  def prune(big: DataFrame, key: String, filter: Array[Byte]): DataFrame =
+    big.where(call_function("bloom_might_contain",
+      col(key).cast("long"), lit(filter)))
+
+  /** Inner equi-join of `big` and `small` with the big side
+    * bloom-pruned first. When the small side's key count is not known
+    * upstream, one distinct-count aggregate sizes the filter (counting
+    * the SMALL side by definition — never the fact table). */
+  def bloomPrunedJoin(big: DataFrame, bigKey: String,
+      small: DataFrame, smallKey: String,
+      fpp: Double = 0.01): DataFrame = {
+    val n = math.max(1L,
+      small.select(smallKey).distinct().count())
+    val filter = buildFilter(small, smallKey, n, fpp)
+    prune(big, bigKey, filter)
+      .join(small, col(bigKey) === col(smallKey))
+  }
+}

@@ -26,5 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kgram_hashes"),
       new ExpressionInfo(classOf[KgramRollingHashes].getName, "kgram_hashes"),
       KgramRollingHashes.build _))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainI64].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomMightContainI64(children(0), children(1))))
   }
 }

@@ -34,5 +34,11 @@ object GraftFunctions {
       new FunctionIdentifier("kgram_hashes"),
       new ExpressionInfo(classOf[KgramRollingHashes].getName, "kgram_hashes"),
       KgramRollingHashes.build _)
+    reg.registerFunction(
+      new FunctionIdentifier("bloom_might_contain"),
+      new ExpressionInfo(classOf[BloomMightContainI64].getName,
+        "bloom_might_contain"),
+      (children: Seq[Expression]) =>
+        BloomMightContainI64(children(0), children(1)))
   }
 }

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.BloomJoin
+
+class BloomJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("bloom-pruned join equals the plain join (no false negatives)") {
+    val t = Tables(spark, dir)
+    val buyers = t.customer
+      .where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey", $"c_mktsegment")
+    val pruned = BloomJoin.bloomPrunedJoin(
+      t.orders, "o_custkey", buyers, "c_custkey")
+    val plain = t.orders.join(buyers, $"o_custkey" === $"c_custkey")
+    assert(pruned.exceptAll(plain).isEmpty)
+    assert(plain.exceptAll(pruned).isEmpty)
+    // the probe expression sits in the executed plan
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("bloom_might_contain"))
+  }
+
+  test("the prune removes non-matching rows before the join") {
+    val t = Tables(spark, dir)
+    val buyers = t.customer.where($"c_mktsegment" === "BUILDING")
+    val filter = BloomJoin.buildFilter(buyers, "c_custkey",
+      expectedItems = 64)
+    val kept = BloomJoin.prune(t.orders, "o_custkey", filter)
+    val total = t.orders.count()
+    val matching = t.orders.join(
+      buyers.select($"c_custkey"), $"o_custkey" === $"c_custkey").count()
+    val keptN = kept.count()
+    // superset of the true matches, strict subset of the fact table
+    // (34/150 custkeys at 1% fpp cannot keep everything)
+    assert(keptN >= matching)
+    assert(keptN < total, s"prune kept all $total rows")
+  }
+
+  test("probe works under whole-stage codegen with fallback disabled") {
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      val t = Tables(spark, dir)
+      val keys = t.nation.select($"n_nationkey")
+      val filter = BloomJoin.buildFilter(keys, "n_nationkey", 25)
+      val kept = BloomJoin.prune(
+        t.customer.select($"c_custkey", $"c_nationkey"),
+        "c_nationkey", filter)
+      // every nationkey is in the filter -> nothing may be dropped
+      assert(kept.count() == t.customer.count())
+      // null keys are filtered out, not passed to the sketch
+      val withNull = Seq(Some(1L), None).toDF("k")
+      val keptNull = BloomJoin.prune(withNull, "k", filter)
+      assert(keptNull.collect().map(_.getAs[Long]("k")).toSeq == Seq(1L))
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("buildFilter validates its sizing arguments") {
+    val t = Tables(spark, dir)
+    assertThrows[IllegalArgumentException](
+      BloomJoin.buildFilter(t.nation, "n_nationkey", 0))
+    assertThrows[IllegalArgumentException](
+      BloomJoin.buildFilter(t.nation, "n_nationkey", 10, fpp = 1.5))
+  }
+}
