@@ -760,6 +760,43 @@ object SuiteML {
         |         ORDER BY salt, doc_id) AS BIGINT) AS pos_in_shard
         |FROM s""".stripMargin)),
 
+    // ---- tokenizer training: df-pruned vocabulary build -----------------
+    // (max-df 39/50 = 78% sits inside this corpus' df cluster, so the
+    // ceiling genuinely prunes ~half the vocabulary at the test SFs;
+    // the min-df floor is exercised in TextOpsSpec — no hapax exists
+    // in the synthetic corpus)
+    Q("text_vocab",
+      (s, d) => TextOps.vocabBuild(docs(s, d),
+        minDf = 2, maxDfNum = 39, maxDfDen = 50),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text,' ')) AS word FROM documents),
+        |dw AS (SELECT doc_id, word, count(*) AS c_dw FROM tok GROUP BY 1, 2),
+        |ws AS (SELECT word, CAST(sum(c_dw) AS BIGINT) AS tf,
+        |              CAST(count(*) AS BIGINT) AS df
+        |       FROM dw GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |pruned AS (SELECT word, tf, df FROM ws, nd
+        |           WHERE df >= 2 AND df * 50 <= n_docs * 39)
+        |SELECT * FROM (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, word) AS BIGINT)
+        |           AS "rank", word, tf, df
+        |  FROM pruned) WHERE "rank" <= 1000""".stripMargin)),
+
+    // ---- tokenizer training: BPE pair-count round -----------------------
+    Q("text_bpe_pairs",
+      (s, d) => TextOps.bpePairStats(docs(s, d)),
+      Some("""WITH tok AS (
+        |  SELECT unnest(string_split(text,' ')) AS word FROM documents),
+        |csl AS (SELECT string_split(word,'') AS cs FROM tok
+        |        WHERE len(string_split(word,'')) >= 2),
+        |p AS (SELECT unnest(list_transform(range(1, len(cs)),
+        |        i -> cs[i] || cs[i+1])) AS pair FROM csl),
+        |c AS (SELECT pair, CAST(count(*) AS BIGINT) AS n_pairs FROM p GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair) AS BIGINT)
+        |           AS "rank", pair, n_pairs
+        |  FROM c) WHERE "rank" <= 20""".stripMargin)),
+
     // ---- text analysis: fingerprinting ----------------------------------
     Q("text_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d)),

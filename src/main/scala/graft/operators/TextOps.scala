@@ -1000,6 +1000,73 @@ object TextOps {
       .withColumn("pos_in_shard", row_number().over(w).cast("long"))
   }
 
+  /** Tokenizer-vocabulary build with document-frequency pruning — the
+    * first step of training any tokenizer/featurizer on a curated
+    * corpus: global term and document frequencies, pruned by min-df
+    * (hapax/noise floor) and max-df (corpus-stopword ceiling, as the
+    * exact integer cross-multiplication df*den <= n_docs*num — no
+    * float threshold), ranked by (tf desc, word asc) and cut to the
+    * top `topK`.
+    *
+    * Scale shape: ONE tokenization shuffle into the (word -> tf, df)
+    * aggregate — df is max one count per (doc, word), folded in the
+    * same pass via count(distinct)-free two-level aggregation; the
+    * top-K cut is orderBy+limit (TakeOrdered: per-partition heaps, K
+    * rows to the driver — no global sort); the final dense rank is a
+    * window over the ALREADY-CUT K rows, bounded by the constant topK,
+    * not the corpus. */
+  def vocabBuild(docs: DataFrame, minDf: Long = 2,
+      maxDfNum: Long = 1, maxDfDen: Long = 2,
+      topK: Int = 1000): DataFrame = {
+    require(minDf >= 1, s"minDf must be >= 1, got $minDf")
+    require(maxDfNum >= 0 && maxDfDen > 0,
+      s"max-df fraction must be a valid ratio, got $maxDfNum/$maxDfDen")
+    require(topK > 0, s"topK must be positive, got $topK")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val wordStats = tokens(docs)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c_dw"))
+      .groupBy(col("word"))
+      .agg(sum(col("c_dw")).as("tf"), count(lit(1)).as("df"))
+    val pruned = wordStats
+      .crossJoin(broadcast(n)) // 1-row scalar frame
+      .where(col("df") >= minDf &&
+        col("df") * maxDfDen <= col("n_docs") * maxDfNum)
+    val top = pruned.orderBy(col("tf").desc, col("word").asc).limit(topK)
+    // K rows by construction — the unpartitioned window is bounded
+    val w = Window.orderBy(col("tf").desc, col("word").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("word"), col("tf"), col("df"))
+  }
+
+  /** BPE-style pair statistics — one counting round of byte-pair
+    * encoding (Sennrich, Haddow & Birch, "Neural Machine Translation
+    * of Rare Words with Subword Units", 2016): count adjacent
+    * character pairs WITHIN word occurrences across the corpus; the
+    * most frequent pair is the round's merge candidate, and the top-K
+    * frame is the merge table a tokenizer trainer would consume.
+    * Exact integer counts with a (count desc, pair asc) total order.
+    *
+    * Scale shape: per-row explode to (pair) then one map-side-combined
+    * count shuffle over the pair vocabulary (charset², bounded but
+    * treated as corpus-sized: shuffled, never broadcast); top-K by
+    * orderBy+limit (TakeOrdered), rank over the cut K rows only. */
+  def bpePairStats(docs: DataFrame, topK: Int = 20): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val pairs = tokens(docs)
+      .select(split(col("word"), "").as("cs"))
+      .where(size(col("cs")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(cs) - 1), " +
+          "i -> concat_ws('', slice(cs, i, 2)))")).as("pair"))
+    val top = pairs.groupBy(col("pair"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("n_pairs").desc, col("pair").asc).limit(topK)
+    val w = Window.orderBy(col("n_pairs").desc, col("pair").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("pair"), col("n_pairs"))
+  }
+
   /** Document fingerprints: full-content md5, head/tail block hashes,
     * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
     * content anchor). */

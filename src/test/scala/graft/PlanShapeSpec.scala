@@ -68,6 +68,31 @@ class PlanShapeSpec extends SparkSpec {
       .foreach(c => assert(!read.contains(c), s"scan reads pruned $c: $read"))
   }
 
+  test("span-dedup and repetition never broadcast a corpus-derived frame") {
+    // dfq (document frequency over shingles) is vocabulary-sized and
+    // must reach its join by shuffle; same for every frame in
+    // text_repetition — neither query may carry ANY broadcast hint
+    Seq("dedup_ngram_spans", "text_repetition").foreach { n =>
+      assert(hintsOf(n).isEmpty, s"$n gained a broadcast hint")
+      assert(!planOf(n).contains("CartesianProduct"),
+        s"$n plans a CartesianProduct")
+    }
+  }
+
+  test("the bloom probe reaches the fact table's scan") {
+    // the prune only helps if it runs BEFORE the join's exchange — the
+    // strongest plan evidence is the probe sitting in the fact scan's
+    // own DataFilters (Catalyst pushes the filter into the scan node;
+    // it even propagates a copy to the dim side via join constraints)
+    val plan = planOf("rel_bloom_prune_join")
+    val factScan = plan.linesIterator
+      .filter(l => l.contains("FileScan") && l.contains("orders.parquet"))
+      .mkString
+    assert(factScan.nonEmpty, s"no orders scan in:\n$plan")
+    assert(factScan.contains("bloom_might_contain"),
+      s"bloom probe not on the fact scan: $factScan")
+  }
+
   test("corpus-derived broadcast hints pass through an Aggregate") {
     // the repo's broadcast policy: a frame derived from a growing table
     // may only be hinted after an aggregation collapses its cardinality

@@ -412,6 +412,41 @@ class TextOpsSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("vocabBuild prunes by min-df floor and max-df ceiling") {
+    val d = docsDf(Seq(
+      (1L, "common rare stopper stopper", "en", "s"),
+      (2L, "common stopper", "en", "s"),
+      (3L, "common stopper", "en", "s"),
+      (4L, "common stopper", "en", "s")))
+    // df: common=4, stopper=4, rare=1; max-df 3/4 drops common+stopper,
+    // min-df 2 drops rare -> empty vocab
+    assert(TextOps.vocabBuild(d, minDf = 2, maxDfNum = 3, maxDfDen = 4)
+      .isEmpty)
+    // ceiling at 4/4 keeps both survivors of the floor, ranked tf desc
+    val v = TextOps.vocabBuild(d, minDf = 2, maxDfNum = 1, maxDfDen = 1)
+      .collect().map(r => (r.getAs[Long]("rank"), r.getAs[String]("word"),
+        r.getAs[Long]("tf"), r.getAs[Long]("df")))
+    assert(v.toSeq == Seq((1L, "stopper", 5L, 4L), (2L, "common", 4L, 4L)))
+    // topK cuts AFTER the ordering
+    val v1 = TextOps.vocabBuild(d, minDf = 2, maxDfNum = 1, maxDfDen = 1,
+      topK = 1).collect()
+    assert(v1.length == 1 && v1(0).getAs[String]("word") == "stopper")
+    assertThrows[IllegalArgumentException](TextOps.vocabBuild(d, minDf = 0))
+  }
+
+  test("bpePairStats counts within-word adjacent pairs only") {
+    val d = docsDf(Seq(
+      (1L, "abab ab", "en", "s"), // abab: ab,ba,ab; ab: ab -> ab=4? no: ab x3, ba x1
+      (2L, "cd x", "en", "s"))) // cd: cd; x too short
+    val out = TextOps.bpePairStats(d).collect()
+      .map(r => r.getAs[String]("pair") -> r.getAs[Long]("n_pairs")).toMap
+    // no cross-word pair ("b a" across the space, "b c" across docs)
+    assert(out == Map("ab" -> 3L, "ba" -> 1L, "cd" -> 1L))
+    val ranked = TextOps.bpePairStats(d).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("pair")))
+    assert(ranked.toSeq == Seq((1L, "ab"), (2L, "ba"), (3L, "cd")))
+  }
+
   test("seqPack: every pack is within budget unless a lone oversize doc") {
     val dir = "/root/testdata/sf0.001"
     val out = TextOps.seqPack(Tables(spark, dir).documents, 512, 200)
