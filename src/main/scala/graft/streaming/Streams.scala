@@ -26,6 +26,21 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicates("user_id", "ts")
 
+  /** Watermark-BOUNDED keyed dedup — the state-size-safe production
+    * form of [[dedup]]: `dropDuplicatesWithinWatermark` may evict a
+    * key's state once the watermark passes it, so state is
+    * O(keys-per-watermark-window), not O(all keys ever seen). That is
+    * the route for at-least-once replay duplicates (collector retries,
+    * source re-delivery), which arrive close to the original by
+    * construction; a plain dropDuplicates' ever-growing state is the
+    * operator a 100 TB/day stream cannot run. Semantics within the
+    * window are identical to batch dropDuplicates over the same keys —
+    * pinned by StreamDedupParitySpec. */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "1 hour"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Tumbling hourly counts (J6/A10's streaming analog). The value sum
     * accumulates exact integer cents and surfaces as one division, so
     * the same operator run in batch mode hash-matches the oracle

@@ -65,6 +65,31 @@ class SourcesStreamingSpec extends SparkSpec {
     q.stop()
   }
 
+  test("watermark-bounded dedup drops same-batch and cross-batch dups") {
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val df = mem.toDF()
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val q = Streams.dedupWithinWatermark(df).writeStream
+      .format("memory").queryName("dedup_wm_out")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "play", 1.0),
+      (1L, 1L, ts("2024-01-01 10:00:00"), "play", 1.0), // same-batch dup
+      (2L, 1L, ts("2024-01-01 10:10:00"), "play", 2.0))
+    q.processAllAvailable()
+    mem.addData(
+      // an at-least-once redelivery in the NEXT micro-batch, still
+      // inside the watermark window (the designed use case)
+      (1L, 1L, ts("2024-01-01 10:20:00"), "play", 1.0),
+      (3L, 2L, ts("2024-01-01 10:30:00"), "play", 3.0))
+    q.processAllAvailable()
+    val got = spark.table("dedup_wm_out")
+      .select("event_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+    q.stop()
+  }
+
   test("streaming hourly counts aggregate with watermark") {
     implicit val sc = spark.sqlContext
     val mem = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
