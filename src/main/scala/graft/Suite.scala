@@ -507,6 +507,37 @@ object Suite {
         |       CAST(SUM(price_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_spend
         |FROM q GROUP BY 1, 2""".stripMargin)),
 
+    // ---- §2.4 completeness: one-pass CUBE (the rollup's superset) --------
+    Q("rel_cube_revenue",
+      (s, d) => Relational.cubeRevenue(Tables(s, d)),
+      Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COALESCE(o_orderstatus, 'ALL') AS status,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin)),
+
+    // ---- §2.5 completeness: the ANSI window-function surface -------------
+    Q("rel_window_showcase",
+      (s, d) => Relational.windowShowcase(Tables(s, d)),
+      Some("""WITH o AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_cents
+        |  FROM orders)
+        |SELECT o_orderkey, o_orderpriority,
+        |  CAST(ROW_NUMBER() OVER w AS INTEGER) AS rn,
+        |  CAST(RANK() OVER w AS INTEGER) AS rk,
+        |  CAST(DENSE_RANK() OVER w AS INTEGER) AS drk,
+        |  PERCENT_RANK() OVER w AS pct_rank,
+        |  CUME_DIST() OVER w AS cume,
+        |  CAST(NTILE(5) OVER w AS INTEGER) AS bucket5,
+        |  LAG(o_orderkey, 1) OVER w AS prev_key,
+        |  LEAD(o_orderkey, 1) OVER w AS next_key,
+        |  FIRST_VALUE(o_orderkey) OVER w AS top_key,
+        |  NTH_VALUE(o_orderkey, 2) OVER w AS second_key
+        |FROM o
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY price_cents DESC, o_orderkey)""".stripMargin)),
+
     Q("rel_customer_order_windows",
       (s, d) => Relational.customerOrderWindows(Tables(s, d)),
       Some("""WITH o AS (

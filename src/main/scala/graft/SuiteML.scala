@@ -39,6 +39,15 @@ object SuiteML {
   private val StratRatesSql: String = StratRates
     .map { case (l, p) => s"('$l', CAST($p AS BIGINT))" }.mkString(", ")
 
+  /** Mixture-rebalance target token shares (permille) — src0 gets a
+    * share far above its natural mass (cap arm: keep_permille = 1000),
+    * src1..15 sit below natural (trim arm), src16..19 are unlisted
+    * (drop arm). ONE literal feeds Spark and the oracle VALUES. */
+  private val MixShares: Seq[(String, Long)] =
+    ("src0", 200L) +: (1 until 16).map(i => (s"src$i", 30L))
+  private val MixSharesSql: String = MixShares
+    .map { case (s, p) => s"('$s', CAST($p AS BIGINT))" }.mkString(", ")
+
   /** Sequence-packing constants shared by the Spark call and the
     * oracle's recursive CTE: token budget per pack, docs per shard. */
   private val PackBudget = 512L
@@ -759,6 +768,33 @@ object SuiteML {
         |       CAST(ROW_NUMBER() OVER (PARTITION BY shard
         |         ORDER BY salt, doc_id) AS BIGINT) AS pos_in_shard
         |FROM s""".stripMargin)),
+
+    // ---- curation: data-driven source-mixture rebalance -----------------
+    // (rates DERIVED from measured token mass vs target shares; the
+    // share literal places src0 above natural mass -> capped at 1000,
+    // src1..15 below -> trimmed, src16..19 unlisted -> dropped)
+    Q("text_mix_rebalance",
+      (s, d) => TextOps.mixRebalance(docs(s, d), MixShares),
+      Some(s"""WITH sh(source, share_permille) AS (VALUES $MixSharesSql),
+        |t AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |bs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens
+        |       FROM t GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t),
+        |r AS (SELECT bs.source,
+        |        LEAST(CAST(1000 AS BIGINT),
+        |          (total_tokens * share_permille // 1000) * 1000 // source_tokens)
+        |          AS keep_permille
+        |      FROM bs JOIN sh USING (source), tt),
+        |b AS (SELECT t.*, r.keep_permille,
+        |        CAST(((strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |            + (strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5('mix:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS BIGINT) AS bucket
+        |      FROM t JOIN r USING (source))
+        |SELECT doc_id, source, n_tokens, bucket, keep_permille
+        |FROM b WHERE bucket < keep_permille""".stripMargin)),
 
     // ---- tokenizer training: df-pruned vocabulary build -----------------
     // (max-df 39/50 = 78% sits inside this corpus' df cluster, so the

@@ -190,6 +190,53 @@ object Relational {
       .select(col("r_name"), col("n_name"), col("n_suppliers"),
         (col("bal_c") / lit(100.0)).as("total_acctbal"))
 
+  /** §2.4 completeness: one-pass CUBE over (priority, status) — all
+    * four grouping combinations (detail, two one-dim subtotals, grand
+    * total) from a single EXPAND pass, the A2-rollup's superset
+    * sibling. Null grouping keys are COALESCE-labeled 'ALL' (sound
+    * here: both columns are non-null in the data, like the rollup
+    * row). Exact cents, one final division. */
+  def cubeRevenue(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .cube(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_orders"),
+        (sum(col("price_cents")) / lit(100.0)).as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("n_orders"), col("revenue"))
+
+  /** §2.5 completeness: the ANSI window-function surface in one frame —
+    * ranking (row_number/rank/dense_rank/ntile), relative position
+    * (percent_rank/cume_dist — each a single IEEE division of exact
+    * integer ranks, bit-identical across engines), offsets (lag/lead),
+    * and frame navigation (first/nth_value over the default frame).
+    * The order is a TOTAL order (price desc, then the unique key), so
+    * every function is deterministic; partitions are the handful of
+    * priorities, each SF-proportional — per-partition sorts, no global
+    * window. */
+  def windowShowcase(t: Tables): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("price_cents").desc, col("o_orderkey").asc)
+    t.orders
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .select(
+        col("o_orderkey"), col("o_orderpriority"),
+        row_number().over(w).as("rn"),
+        rank().over(w).as("rk"),
+        dense_rank().over(w).as("drk"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cume"),
+        ntile(5).over(w).as("bucket5"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        first(col("o_orderkey")).over(w).as("top_key"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+  }
+
   /** §2.8 scalar-function surface: string ops, MD5 surrogate ids
     * (daily_etl_pipeline.py:357 pattern), conditional buckets, exact
     * cents arithmetic. */

@@ -1000,6 +1000,59 @@ object TextOps {
       .withColumn("pos_in_shard", row_number().over(w).cast("long"))
   }
 
+  /** Data-driven source-mixture rebalancing — the domain-reweighting
+    * pass of a training-data pipeline: given target TOKEN shares per
+    * source (permille of the corpus total), compute each source's
+    * keep-rate from its measured token mass and downsample it to its
+    * target. Unlike [[sampleStratified]] (rates given), the rates here
+    * are DERIVED: keep_permille(src) = min(1000,
+    * (total*share/1000)*1000 div source_tokens), all exact integer
+    * arithmetic, then the same content-independent salted-md5 per-doc
+    * predicate ("mix:" salt — independent of the split and strat
+    * buckets). Rates cap at 1000 — this operator only downsamples
+    * (upsampling duplicates training data; express epochs in the
+    * loader instead). Sources ABSENT from `shares` are dropped — a
+    * mixture definition is exhaustive by design, and silently keeping
+    * an unlisted source at full weight is the bug. Doc-level sampling
+    * approximates the token target in expectation (exact per-token
+    * trimming would split documents).
+    *
+    * Scale shape: one tokens-per-source aggregate (sources-cardinality,
+    * broadcast back as an aggregated frame per the broadcast policy),
+    * a 1-row total, and a per-row keep predicate — no corpus shuffle
+    * at all. */
+  def mixRebalance(docs: DataFrame,
+      shares: Seq[(String, Long)]): DataFrame = {
+    require(shares.nonEmpty, "shares must list at least one source")
+    require(shares.map(_._1).distinct.size == shares.size,
+      s"duplicate source in shares: ${shares.map(_._1).diff(
+        shares.map(_._1).distinct).distinct.mkString(", ")}")
+    require(shares.forall(_._2 >= 0) && shares.map(_._2).sum <= 1000,
+      "shares are permille values >= 0 summing to <= 1000")
+    val s = docs.sparkSession
+    import s.implicits._
+    val sh = shares.toDF("source", "share_permille")
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val bySource = toks.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("source_tokens"))
+    val total = toks.agg(sum(col("n_tokens")).as("total_tokens"))
+    val rates = bySource
+      .join(broadcast(sh), Seq("source")) // inner: unlisted -> dropped
+      .crossJoin(broadcast(total)) // 1-row scalar frame
+      .select(col("source"),
+        least(lit(1000L),
+          expr("(total_tokens * share_permille div 1000) * 1000" +
+            " div source_tokens")).as("keep_permille"))
+    val bucket = conv(substring(md5(concat(lit("mix:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 1000
+    toks
+      .join(broadcast(rates), Seq("source")) // sources-cardinality agg
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        bucket.as("bucket"), col("keep_permille"))
+      .where(col("bucket") < col("keep_permille"))
+  }
+
   /** Tokenizer-vocabulary build with document-frequency pruning — the
     * first step of training any tokenizer/featurizer on a curated
     * corpus: global term and document frequencies, pruned by min-df

@@ -412,6 +412,30 @@ class TextOpsSpec extends SparkSpec {
     assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
   }
 
+  test("mixRebalance caps, trims, and drops sources by token mass") {
+    val corpus = Tables(spark, "/root/testdata/sf0.001").documents
+    // src0 far above natural mass (capped), src1 below (trimmed),
+    // src2..19 unlisted (dropped)
+    val out = TextOps.mixRebalance(corpus,
+      Seq(("src0", 200L), ("src1", 30L)))
+    val kept = out.groupBy($"source").count().collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("count")).toMap
+    assert(kept.keySet == Set("src0", "src1"))
+    val src0Total = corpus.where($"source" === "src0").count()
+    val src1Total = corpus.where($"source" === "src1").count()
+    assert(kept("src0") == src0Total, "capped source must keep all docs")
+    assert(kept("src1") < src1Total, "below-target source must trim")
+    assert(kept("src1") > 0L)
+    // rate derivation is exact: keep_permille for the capped source is
+    // exactly 1000
+    assert(out.where($"source" === "src0")
+      .select(min($"keep_permille")).collect()(0).getLong(0) == 1000L)
+    assertThrows[IllegalArgumentException](
+      TextOps.mixRebalance(corpus, Seq(("a", 600L), ("b", 600L))))
+    assertThrows[IllegalArgumentException](
+      TextOps.mixRebalance(corpus, Seq(("a", 10L), ("a", 10L))))
+  }
+
   test("vocabBuild prunes by min-df floor and max-df ceiling") {
     val d = docsDf(Seq(
       (1L, "common rare stopper stopper", "en", "s"),
