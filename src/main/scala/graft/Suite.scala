@@ -507,6 +507,21 @@ object Suite {
         |       CAST(SUM(price_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_spend
         |FROM q GROUP BY 1, 2""".stripMargin)),
 
+    // ---- data layout: Z-order (Morton) clustering key --------------------
+    // (the multi-column pruning layout: LayoutSpec proves the sorted
+    // write clusters BOTH dimensions per file; this row pins the
+    // interleave arithmetic itself — Spark expression and oracle SQL
+    // are generated from the same Layout loop)
+    Q("etl_zorder_key",
+      (s, d) => clean(s, d).select(col("event_id"), col("user_id"),
+        col("event_hour"),
+        graft.operators.Layout.zValue(col("user_id"), col("event_hour"))
+          .as("z")),
+      Some(s"""$CleanCte
+        |SELECT event_id, user_id, event_hour,
+        |       ${graft.operators.Layout.zValueSql("user_id", "event_hour")} AS z
+        |FROM clean""".stripMargin)),
+
     // ---- §2.4 completeness: one-pass CUBE (the rollup's superset) --------
     Q("rel_cube_revenue",
       (s, d) => Relational.cubeRevenue(Tables(s, d)),
