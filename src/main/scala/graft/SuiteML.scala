@@ -1038,6 +1038,30 @@ object SuiteML {
         |$BruteTop10Cte,
         |${recallTail("pqk")}""".stripMargin)),
 
+    // ---- similarity: truncated-dimension (Matryoshka) recall@10 ----------
+    // (the fourth approximate route next to LSH/IVF/PQ: first 16 of 64
+    // dims; recall 0.1-0.3 at the test SFs — the row MEASURES the
+    // truncation cost, like the other recall rows)
+    Q("sim_trunc_recall",
+      (s, d) => EmbeddingOps.truncRecall(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |te AS (SELECT vec_id, q[1:16] AS q FROM e),
+        |tn AS (SELECT vec_id, CAST(SUM(v*v) AS BIGINT) AS nn
+        |       FROM (SELECT vec_id, unnest(q) AS v FROM te) GROUP BY 1),
+        |tp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
+        |              unnest(qe.q) AS a, unnest(ce.q) AS b
+        |       FROM te qe, te ce WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+        |td AS (SELECT query_id, vid, SUM(a*b) AS dot FROM tp GROUP BY 1, 2),
+        |tsc AS (SELECT query_id, vid,
+        |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |        FROM td JOIN tn nq ON nq.vec_id = query_id
+        |                 JOIN tn nv ON nv.vec_id = vid),
+        |tk AS (SELECT query_id, vid AS vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM tsc) WHERE rk <= 10),
+        |$BruteTop10Cte,
+        |${recallTail("tk")}""".stripMargin)),
+
     // ---- similarity: the IVF trainer — one exact Lloyd update step ------
     Q("sim_kmeans_step",
       (s, d) => EmbeddingOps.kmeansStep(emb(s, d)),

@@ -515,6 +515,35 @@ object EmbeddingOps {
     recallVsBrute(brute, pq, k)
   }
 
+  /** recall@k of TRUNCATED-dimension search (the first `dims` of the
+    * 64) against the full-dimension brute top-k — the
+    * dimensionality-reduction scale path (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022: embedding prefixes serve
+    * as usable coarse representations). Truncation cuts ANN compute
+    * and candidate-state memory Dim/dims-fold with an UNCHANGED plan
+    * shape (same broadcast-queries scan, shorter arrays), so next to
+    * LSH buckets, IVF cells, and PQ codes it is the fourth
+    * approximate route — and like them it ships with its recall
+    * measurement. Exact-integer on both sides; the oracle replays
+    * slice, norms, and overlap end-to-end. */
+  def truncRecall(emb: DataFrame, dims: Int = 16, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    require(dims >= 1 && dims <= Dim,
+      s"dims must be in [1, $Dim], got $dims")
+    // one quantization scan shared by the full-dim baseline and the
+    // truncated probe
+    val e = quantized(emb).localCheckpoint()
+    val brute = annTopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val t = e.select(col("vec_id"), col("label"),
+        slice(col("q"), 1, dims).as("q"))
+      .withColumn("nn",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+    val trunc = annTopKQ(t, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    recallVsBrute(brute, trunc, k)
+  }
+
   /** LSH-bucketed nearest neighbor: within each bucket, every vector's
     * top-1 neighbor by exact cosine (the scale path for
     * dedup-by-nearest-neighbor; singleton buckets surface with a null

@@ -156,6 +156,29 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("truncRecall is exactly 1.0 at full dimension and bounded below") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    // dims = 64 is the identity: the truncated ranking IS the brute
+    // ranking, so every query's recall must be exactly 1.0
+    EmbeddingOps.truncRecall(e, dims = 64).collect().foreach { r =>
+      assert(r.getAs[Long]("n_overlap") == 10L)
+      assert(r.getAs[Double]("recall_at_k") == 1.0)
+    }
+    // a real truncation loses SOME neighbors on this corpus (probed:
+    // recall 0.1-0.3) but the row must stay well-formed
+    val t = EmbeddingOps.truncRecall(e, dims = 16).collect()
+    assert(t.length == 5)
+    t.foreach { r =>
+      val n = r.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= 10L)
+      assert(r.getAs[Double]("recall_at_k") == n.toDouble / 10)
+    }
+    assertThrows[IllegalArgumentException](
+      EmbeddingOps.truncRecall(e, dims = 0))
+    assertThrows[IllegalArgumentException](
+      EmbeddingOps.truncRecall(e, dims = 65))
+  }
+
   test("multiprobe LSH never finds a worse neighbor than single-probe") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     val single = EmbeddingOps.lshNearestNeighbor(e)
