@@ -911,27 +911,31 @@ object TextOps {
     * All counts are exact integers; each fraction is ONE final IEEE
     * division, so both engines emit bit-identical doubles.
     *
-    * Scale shape: two independent (doc_id, gram) count shuffles (both
-    * map-side combined) re-aggregated per doc — the standard
-    * tokenization-shuffle shape of this family ([[langId]], [[tfDf]]);
-    * nothing is broadcast, nothing is corpus-quadratic. */
+    * Scale shape: bigrams and trigrams are tagged and exploded in ONE
+    * per-row pass, so the whole operator is a single (doc_id, tag,
+    * gram) count shuffle (map-side combined) re-aggregated per doc
+    * with conditional aggregates — half the shuffle volume of running
+    * the two gram sizes as separate passes. Nothing is broadcast,
+    * nothing is corpus-quadratic. */
   def repetition(docs: DataFrame): DataFrame = {
-    val bg = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(0, size(w) - 2), " +
-          "i -> concat_ws(' ', w[i], w[i+1]))")).as("b"))
-    val bga = bg.groupBy(col("doc_id"), col("b"))
+        "concat(" +
+          "transform(sequence(0, size(w) - 2), " +
+          "  i -> struct(1 AS tag, concat_ws(' ', w[i], w[i+1]) AS g)), " +
+          "transform(sequence(0, size(w) - 3), " +
+          "  i -> struct(2 AS tag, concat_ws(' ', w[i], w[i+1], w[i+2]) AS g))" +
+          ")")).as("tg"))
+      .select(col("doc_id"), col("tg.tag").as("tag"), col("tg.g").as("g"))
+    grams.groupBy(col("doc_id"), col("tag"), col("g"))
       .agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_bigrams"),
-        max(col("c")).as("top_bigram_c"))
-    val tga = shinglesRaw(docs).groupBy(col("doc_id"), col("s"))
-      .agg(count(lit(1)).as("c"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_trigrams"),
-        count(lit(1)).as("n_distinct_trigrams"))
-    bga.join(tga, Seq("doc_id"))
+      .agg(
+        sum(when(col("tag") === 1, col("c"))).as("n_bigrams"),
+        max(when(col("tag") === 1, col("c"))).as("top_bigram_c"),
+        sum(when(col("tag") === 2, col("c"))).as("n_trigrams"),
+        count(when(col("tag") === 2, lit(1))).as("n_distinct_trigrams"))
       .select(col("doc_id"), col("n_bigrams"), col("top_bigram_c"),
         (col("top_bigram_c").cast("double") / col("n_bigrams"))
           .as("top_bigram_frac"),
