@@ -24,18 +24,31 @@ import org.apache.spark.sql.functions._
   */
 object BloomJoin {
 
-  /** Serialized bloom filter of `small`'s `key` column (long keys).
-    * The build is a distributed tree aggregate (each partition fills a
-    * local sketch, merged associatively); only the fixed-size sketch
-    * (~1.2 MB per million keys at 1 % fpp) ever reaches the driver —
-    * the keys themselves never move. `expectedItems` sizes the bit
-    * array; passing an estimate from upstream metadata avoids the
-    * extra counting job. */
+  /** Both the build (`putLong`) and the probe (`mightContainLong`)
+    * hash the key as a widened long, so only integral key columns keep
+    * the no-false-negative contract — a string key would hash as bytes
+    * on the build side but as a (possibly null) long cast on the probe
+    * side, silently dropping matching rows. Refuse anything else. */
+  private def requireIntegralKey(df: DataFrame, key: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(key).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"bloom join keys must be integral, got ${dt.sql} for column $key")
+  }
+
+  /** Serialized bloom filter of `small`'s `key` column (integral keys,
+    * hashed as longs). The build is a distributed tree aggregate (each
+    * partition fills a local sketch, merged associatively); only the
+    * fixed-size sketch (~1.2 MB per million keys at 1 % fpp) ever
+    * reaches the driver — the keys themselves never move.
+    * `expectedItems` sizes the bit array; passing an estimate from
+    * upstream metadata avoids the extra counting job. */
   def buildFilter(small: DataFrame, key: String,
       expectedItems: Long, fpp: Double = 0.01): Array[Byte] = {
     require(expectedItems > 0,
       s"expectedItems must be positive, got $expectedItems")
     require(fpp > 0 && fpp < 1, s"fpp must be in (0, 1), got $fpp")
+    requireIntegralKey(small, key)
     val bf = small.stat.bloomFilter(key, expectedItems, fpp)
     val out = new ByteArrayOutputStream()
     bf.writeTo(out)
@@ -49,21 +62,29 @@ object BloomJoin {
     * whole-stage-codegen'd filter. The key is cast to long — the
     * sketch hashes every integral type through `putLong`, so the cast
     * is exactly the build side's own widening. */
-  def prune(big: DataFrame, key: String, filter: Array[Byte]): DataFrame =
+  def prune(big: DataFrame, key: String, filter: Array[Byte]): DataFrame = {
+    requireIntegralKey(big, key)
     big.where(call_function("bloom_might_contain",
       col(key).cast("long"), lit(filter)))
+  }
 
   /** Inner equi-join of `big` and `small` with the big side
-    * bloom-pruned first. When the small side's key count is not known
-    * upstream, one distinct-count aggregate sizes the filter (counting
-    * the SMALL side by definition — never the fact table). */
+    * bloom-pruned first. The small side is localCheckpointed: it is
+    * evaluated ONCE and the same materialization feeds the sizing
+    * count, the sketch build, and the join — without it, a
+    * recomputed-per-job small frame costs three evaluations and, if
+    * its evaluation were nondeterministic, could even put different
+    * keys in the filter than in the join (real false negatives). The
+    * sizing count is a plain count(): duplicates only oversize the bit
+    * array, which strictly LOWERS fpp — cheaper than a distinct
+    * shuffle and errs in the safe direction. */
   def bloomPrunedJoin(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       fpp: Double = 0.01): DataFrame = {
-    val n = math.max(1L,
-      small.select(smallKey).distinct().count())
-    val filter = buildFilter(small, smallKey, n, fpp)
+    val s = small.localCheckpoint()
+    val n = math.max(1L, s.count())
+    val filter = buildFilter(s, smallKey, n, fpp)
     prune(big, bigKey, filter)
-      .join(small, col(bigKey) === col(smallKey))
+      .join(s, col(bigKey) === col(smallKey))
   }
 }

@@ -659,21 +659,28 @@ object TextOps {
         digitRe, "<NUMBER>")).as("redacted_hash"))
   }
 
+  /** The shared content-independent assignment primitive of the
+    * split/sampling family ([[trainValTestSplit]],
+    * [[sampleStratified]], [[mixRebalance]]): first 4 hex nibbles of
+    * md5(prefix || doc_id), mod `mod`. Distinct prefixes keep the
+    * family's decisions mutually independent. Documented bias (once,
+    * here): 65536 % mod != 0 for mod 10/1000, so low buckets are
+    * over-represented by 1/65536 each — negligible for curation, and
+    * kept because the 4-nibble prefix is cheap and engine-portable. */
+  private def saltBucket(prefix: String, mod: Long): Column =
+    conv(substring(md5(concat(lit(prefix),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % mod
+
   /** Deterministic train/val/test split (8/1/1 by default): every doc
     * is assigned by a content-independent hash of its id — the split is
     * reproducible across runs, machines, and engines (md5 is
     * bit-identical everywhere), requires no shuffle or state, and a
     * re-run over a grown corpus never reassigns an existing doc. This
     * is how a training pipeline splits at 100 TB: a per-row expression,
-    * not a global sample(). The bucket is the first 4 hex nibbles of
-    * md5(doc_id) mod 10 — 65536 % 10 != 0, so buckets 0-5 are
-    * over-represented by 1/65536 each (the split is ~8.0002/1/0.9999,
-    * not exactly 8/1/1); negligible for curation, and kept because the
-    * 4-nibble prefix is cheap and engine-portable. */
+    * not a global sample(). [[saltBucket]]'s documented 1/65536 bias
+    * makes the split ~8.0002/1/0.9999, not exactly 8/1/1. */
   def trainValTestSplit(docs: DataFrame): DataFrame = {
-    val hv = conv(substring(md5(col("doc_id").cast("string")), 1, 4),
-      16, 10).cast("long")
-    val bucket = hv % 10
+    val bucket = saltBucket("", 10)
     docs.select(
       col("doc_id"),
       bucket.as("bucket"),
@@ -797,12 +804,11 @@ object TextOps {
     * content-independent hash bucket falls below its stratum's
     * keep-rate in permille: md5 over a salted doc_id (the "strat:"
     * salt keeps the decision independent of [[trainValTestSplit]]'s
-    * buckets), first 4 hex nibbles mod 1000. Like the split this is a
+    * buckets), first 4 hex nibbles mod 1000 ([[saltBucket]], with its
+    * documented 1/65536 low-bucket bias). Like the split this is a
     * pure per-row predicate — reproducible across runs/machines/
     * engines, no shuffle, no global sample(), and a re-run over a
-    * grown corpus never flips an existing doc's decision. Same
-    * documented bias as the split: 65536 % 1000 != 0, so low buckets
-    * are over-represented by 1/65536 (~0.1% relative rate error).
+    * grown corpus never flips an existing doc's decision.
     *
     * `rates` is strata-cardinality (languages), joined as a broadcast
     * literal frame — the policy-sanctioned constant broadcast. */
@@ -819,8 +825,7 @@ object TextOps {
     val s = docs.sparkSession
     import s.implicits._
     val r = broadcast(rates.toDF("lang", "keep_permille"))
-    val bucket = conv(substring(md5(concat(lit("strat:"),
-      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 1000
+    val bucket = saltBucket("strat:", 1000)
     docs.join(r, Seq("lang"), "left")
       .select(col("doc_id"), col("lang"), bucket.as("bucket"),
         coalesce(col("keep_permille"), lit(defaultPermille))
@@ -1048,8 +1053,7 @@ object TextOps {
         least(lit(1000L),
           expr("(total_tokens * share_permille div 1000) * 1000" +
             " div source_tokens")).as("keep_permille"))
-    val bucket = conv(substring(md5(concat(lit("mix:"),
-      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % 1000
+    val bucket = saltBucket("mix:", 1000)
     toks
       .join(broadcast(rates), Seq("source")) // sources-cardinality agg
       .select(col("doc_id"), col("source"), col("n_tokens"),

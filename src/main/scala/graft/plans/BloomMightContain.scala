@@ -78,4 +78,19 @@ object BloomMightContainI64 {
     BloomFilter.readFrom(
       new ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
   }
+
+  /** Registry builder shared by GraftExtensions and GraftFunctions:
+    * validates arity up front (the KgramHashes.build pattern) so
+    * misuse surfaces as a standard AnalysisException rather than an
+    * IndexOutOfBounds during resolution. */
+  def build(children: Seq[Expression]): Expression = {
+    if (children.length != 2)
+      throw new org.apache.spark.sql.AnalysisException(
+        "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+        Map("functionName" -> "`bloom_might_contain`",
+          "expectedNum" -> "2",
+          "actualNum" -> children.length.toString,
+          "docroot" -> "https://spark.apache.org/docs/latest"))
+    BloomMightContainI64(children(0), children(1))
+  }
 }

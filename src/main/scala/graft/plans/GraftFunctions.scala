@@ -38,7 +38,6 @@ object GraftFunctions {
       new FunctionIdentifier("bloom_might_contain"),
       new ExpressionInfo(classOf[BloomMightContainI64].getName,
         "bloom_might_contain"),
-      (children: Seq[Expression]) =>
-        BloomMightContainI64(children(0), children(1)))
+      BloomMightContainI64.build _)
   }
 }

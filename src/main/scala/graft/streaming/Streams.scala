@@ -35,7 +35,8 @@ object Streams {
     * construction; a plain dropDuplicates' ever-growing state is the
     * operator a 100 TB/day stream cannot run. Semantics within the
     * window are identical to batch dropDuplicates over the same keys —
-    * pinned by StreamDedupParitySpec. */
+    * pinned by SourcesStreamingSpec's watermark-bounded dedup test
+    * (same-batch and cross-batch duplicates). */
   def dedupWithinWatermark(events: DataFrame,
       watermark: String = "1 hour"): DataFrame =
     events.withWatermark("ts", watermark)

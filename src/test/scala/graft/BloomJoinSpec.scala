@@ -66,4 +66,21 @@ class BloomJoinSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       BloomJoin.buildFilter(t.nation, "n_nationkey", 10, fpp = 1.5))
   }
+
+  test("non-integral keys are refused on both sides") {
+    val t = Tables(spark, dir)
+    // a string key would hash as bytes on the build side but as a
+    // long cast on the probe side - silent false negatives
+    assertThrows[IllegalArgumentException](
+      BloomJoin.buildFilter(t.customer, "c_name", 10))
+    val f = BloomJoin.buildFilter(t.nation, "n_nationkey", 25)
+    assertThrows[IllegalArgumentException](
+      BloomJoin.prune(t.customer, "c_name", f))
+  }
+
+  test("wrong arity surfaces as an AnalysisException") {
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT bloom_might_contain(1)").collect())
+    assert(e.getMessage.contains("bloom_might_contain"))
+  }
 }
