@@ -507,6 +507,81 @@ object Suite {
         |       CAST(SUM(price_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_spend
         |FROM q GROUP BY 1, 2""".stripMargin)),
 
+    // ---- pipeline safety rails: declarative expectations gate ------------
+    // (one aggregate pass for all rules; user_id_positive genuinely
+    // fails on this data — 57 violations at sf0.01 — so both the
+    // passing and failing paths are exercised)
+    Q("etl_expectations",
+      (s, d) => graft.operators.Checks.expect(Tables(s, d).events, Seq(
+        "event_id_not_null" -> col("event_id").isNotNull,
+        "user_id_positive" -> (col("user_id") > 0),
+        "value_null_or_non_negative" ->
+          (col("value").isNull || col("value") >= 0),
+        "type_present" -> (trim(col("event_type")) =!= ""))),
+      Some("""WITH t AS (SELECT
+        |  CAST(count(*) FILTER (WHERE NOT COALESCE(event_id IS NOT NULL, FALSE)) AS BIGINT) AS v1,
+        |  CAST(count(*) FILTER (WHERE NOT COALESCE(user_id > 0, FALSE)) AS BIGINT) AS v2,
+        |  CAST(count(*) FILTER (WHERE NOT COALESCE(value IS NULL OR value >= 0, FALSE)) AS BIGINT) AS v3,
+        |  CAST(count(*) FILTER (WHERE NOT COALESCE(trim(event_type) <> '', FALSE)) AS BIGINT) AS v4
+        | FROM events)
+        |SELECT 'event_id_not_null' AS rule, v1 AS n_violations, v1 = 0 AS passed FROM t
+        |UNION ALL SELECT 'user_id_positive', v2, v2 = 0 FROM t
+        |UNION ALL SELECT 'value_null_or_non_negative', v3, v3 = 0 FROM t
+        |UNION ALL SELECT 'type_present', v4, v4 = 0 FROM t""".stripMargin)),
+
+    // ---- pipeline safety rails: snapshot reconciliation ------------------
+    // (per-key diff of two table versions by canonical fingerprint;
+    // the prev snapshot is DERIVED from events deterministically so
+    // all four difference classes are non-empty and the oracle can
+    // replay the construction)
+    Q("etl_snapshot_diff",
+      (s, d) => {
+        val ev = Tables(s, d).events
+        val vc = round(col("value") * 100).cast("long")
+        val fp = md5(concat_ws("|",
+          coalesce(col("event_type"), lit("<NULL>")),
+          coalesce(vc.cast("string"), lit("<NULL>")),
+          coalesce(col("user_id").cast("string"), lit("<NULL>"))))
+        val prev = ev.where(col("event_id") % 5 =!= 0)
+          .withColumn("event_type", when(col("event_id") % 7 === 0,
+            concat(col("event_type"), lit("_old")))
+            .otherwise(col("event_type")))
+          .unionByName(ev.where(col("event_id") % 11 === 0)
+            .withColumn("event_id", col("event_id") + 1000000000L))
+        graft.operators.Checks.snapshotDiff(prev, ev, "event_id", fp)
+      },
+      Some("""WITH base AS (
+        |  SELECT event_id, event_type,
+        |         CAST(ROUND(value*100) AS BIGINT) AS vc, user_id
+        |  FROM events),
+        |prev AS (
+        |  SELECT event_id,
+        |         CASE WHEN event_id % 7 = 0 THEN event_type || '_old'
+        |              ELSE event_type END AS event_type,
+        |         vc, user_id
+        |  FROM base WHERE event_id % 5 <> 0
+        |  UNION ALL
+        |  SELECT event_id + 1000000000, event_type, vc, user_id
+        |  FROM base WHERE event_id % 11 = 0),
+        |pf AS (SELECT event_id AS k,
+        |         md5(COALESCE(event_type, '<NULL>') || '|' ||
+        |             COALESCE(CAST(vc AS VARCHAR), '<NULL>') || '|' ||
+        |             COALESCE(CAST(user_id AS VARCHAR), '<NULL>')) AS fp
+        |       FROM prev),
+        |nf AS (SELECT event_id AS k,
+        |         md5(COALESCE(event_type, '<NULL>') || '|' ||
+        |             COALESCE(CAST(vc AS VARCHAR), '<NULL>') || '|' ||
+        |             COALESCE(CAST(user_id AS VARCHAR), '<NULL>')) AS fp
+        |       FROM base),
+        |j AS (SELECT pf.fp AS fp_prev, nf.fp AS fp_next
+        |      FROM pf FULL OUTER JOIN nf ON pf.k = nf.k)
+        |SELECT CASE WHEN fp_prev IS NULL THEN 'added'
+        |            WHEN fp_next IS NULL THEN 'removed'
+        |            WHEN fp_prev = fp_next THEN 'unchanged'
+        |            ELSE 'changed' END AS status,
+        |       COUNT(*) AS n_keys
+        |FROM j GROUP BY 1""".stripMargin)),
+
     // ---- data layout: Z-order (Morton) clustering key --------------------
     // (the multi-column pruning layout: LayoutSpec proves the sorted
     // write clusters BOTH dimensions per file; this row pins the
