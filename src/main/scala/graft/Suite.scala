@@ -507,6 +507,38 @@ object Suite {
         |       CAST(SUM(price_cents) AS BIGINT) / CAST(100.0 AS DOUBLE) AS total_spend
         |FROM q GROUP BY 1, 2""".stripMargin)),
 
+    // ---- sequence building: ordered per-user event streams ---------------
+    // (the step that turns an event log into sequence-model training
+    // examples: deterministic (ts, event_id)-ordered aggregation per
+    // user, surfaced as the md5 of the ordered id stream because the
+    // driver comparator cannot sort array cells — the hash pins the
+    // ORDER, not just the membership)
+    Q("etl_user_sequences",
+      (s, d) => clean(s, d)
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          md5(concat_ws(",",
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id")))),
+              x => x("event_id").cast("string")))).as("seq_hash")),
+      Some(s"""$CleanCte
+        |SELECT user_id, COUNT(*) AS n_events,
+        |       md5(string_agg(CAST(event_id AS VARCHAR), ','
+        |         ORDER BY ts, event_id)) AS seq_hash
+        |FROM clean GROUP BY 1""".stripMargin)),
+
+    // ---- A-family breadth: fixed-width value histogram -------------------
+    Q("an_value_histogram",
+      (s, d) => Tables(s, d).events
+        .where(col("value").isNotNull)
+        .select(least(floor(col("value") / 50).cast("long"), lit(11L))
+          .as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_events")),
+      Some("""SELECT LEAST(CAST(FLOOR(value/50) AS BIGINT), CAST(11 AS BIGINT)) AS bucket,
+        |       COUNT(*) AS n_events
+        |FROM events WHERE value IS NOT NULL GROUP BY 1""".stripMargin)),
+
     // ---- pipeline safety rails: declarative expectations gate ------------
     // (one aggregate pass for all rules; user_id_positive genuinely
     // fails on this data — 57 violations at sf0.01 — so both the
