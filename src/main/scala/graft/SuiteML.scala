@@ -53,6 +53,11 @@ object SuiteML {
   private val PackBudget = 512L
   private val PackShard = 200L
 
+  /** Chunking constants (window/stride) — small enough that the
+    * ~130-token test docs split into several overlapping chunks. */
+  private val ChunkMax = 32
+  private val ChunkStride = 16
+
   /** Quality-filter length cap and decontamination split modulus,
     * shared by the Spark calls and their oracles. */
   private val QfMaxChars = 100000L
@@ -633,6 +638,29 @@ object SuiteML {
         |SELECT doc_id, word AS top_term, tf, df, idf_q, score FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rn
         |  FROM sc) WHERE rn = 1""".stripMargin)),
+
+    // ---- curation: long-document chunking with overlap ------------------
+    Q("text_chunk",
+      (s, d) => TextOps.chunk(docs(s, d), ChunkMax, ChunkStride),
+      Some(s"""WITH w AS (
+        |  SELECT doc_id, string_split(text,' ') AS ls,
+        |         CAST(len(string_split(text,' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT doc_id, ls, n,
+        |        1 + (CASE WHEN n > $ChunkMax
+        |             THEN (n - $ChunkMax + $ChunkStride - 1) // $ChunkStride
+        |             ELSE 0 END) AS n_chunks
+        |      FROM w),
+        |ch AS (SELECT doc_id, n, ls, unnest(range(n_chunks)) AS chunk_id FROM c)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |       chunk_id * $ChunkStride AS start_tok,
+        |       LEAST(CAST($ChunkMax AS BIGINT), n - chunk_id * $ChunkStride)
+        |         AS n_chunk_tokens,
+        |       md5(array_to_string(
+        |         ls[chunk_id*$ChunkStride + 1 :
+        |            chunk_id*$ChunkStride + LEAST($ChunkMax, n - chunk_id*$ChunkStride)], ' '))
+        |         AS chunk_hash
+        |FROM ch""".stripMargin)),
 
     // ---- curation: greedy contiguous sequence packing -------------------
     // (the oracle replays the per-shard sequential recurrence with a

@@ -1128,6 +1128,39 @@ object TextOps {
       .select(col("rank"), col("pair"), col("n_pairs"))
   }
 
+  /** Long-document chunking with overlap — the step that turns a
+    * curated corpus into model-window-sized pieces (embedding
+    * pipelines, RAG indexing, long-doc training): fixed `maxTokens`
+    * windows starting every `stride` tokens (overlap = maxTokens -
+    * stride preserves context across boundaries), the last window
+    * shortened to the document end. Emits (doc_id, chunk_id,
+    * start_tok, n_chunk_tokens, chunk_hash) — the hash pins each
+    * chunk's exact content for the oracle without shipping the text
+    * twice. Pure per-row arithmetic + explode: no shuffle at all, the
+    * embarrassingly-parallel shape chunking should have at 100 TB. */
+  def chunk(docs: DataFrame, maxTokens: Int = 512,
+      stride: Int = 256): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(stride > 0 && stride <= maxTokens,
+      s"stride must be in [1, maxTokens], got $stride")
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("w"), size(col("w")).cast("long").as("n"))
+      .withColumn("n_chunks",
+        lit(1L) + when(col("n") > maxTokens,
+          expr(s"(n - $maxTokens + $stride - 1) div $stride"))
+          .otherwise(lit(0L)))
+      .select(col("doc_id"), col("w"), col("n"),
+        explode(expr("sequence(0L, n_chunks - 1)")).as("chunk_id"))
+      .select(col("doc_id"), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(maxTokens.toLong), col("n") - col("chunk_id") * stride)
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ", expr(
+          s"slice(w, cast(chunk_id * $stride + 1 as int), " +
+            s"cast(least($maxTokens, n - chunk_id * $stride) as int))")))
+          .as("chunk_hash"))
+  }
+
   /** Document fingerprints: full-content md5, head/tail block hashes,
     * and the min-shingle hash (a 1-hash MinHash — the winnowing-style
     * content anchor). */

@@ -85,6 +85,45 @@ object Warehouse {
     n
   }
 
+  /** Write-audit-publish: the sink discipline a production load runs
+    * so a bad batch can never become the readable table — write the
+    * frame to a staging directory, run the [[Checks.expect]] rules
+    * against WHAT WAS ACTUALLY WRITTEN (re-read from disk, so the
+    * audit sees exactly what readers would), and only then swap it
+    * into place. On any failing rule the staging directory is removed
+    * and the previous published data is left untouched; the swap is
+    * [[compact]]'s delete-then-rename protocol (a crash between the
+    * two leaves the full audited copy at `<path>.publish-tmp`,
+    * recovery is a manual rename — never a partial state). Returns
+    * the published row count. */
+  def publishAudited(df: DataFrame, path: String,
+      rules: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+    require(rules.nonEmpty, "publishAudited needs at least one rule")
+    val s = df.sparkSession
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".publish-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val staged = s.read.parquet(tmp.toString)
+    val failed = Checks.expect(staged, rules)
+      .where(!col("passed")).collect()
+    if (failed.nonEmpty) {
+      fs.delete(tmp, true)
+      throw new IllegalStateException(
+        "publishAudited aborted — failing rules: " + failed.map(r =>
+          s"${r.getAs[String]("rule")} (${r.getAs[Long]("n_violations")}" +
+            " violations)").mkString(", ") +
+          s"; nothing published at $path")
+    }
+    val rows = staged.count()
+    if (fs.exists(p)) fs.delete(p, true)
+    require(fs.rename(tmp, p),
+      s"audited data is at $tmp but the rename to $path failed — " +
+        "rename it manually.")
+    rows
+  }
+
   /** Bucketed saved table: rows are hash-distributed into `buckets`
     * files by the join key AND sorted within each bucket. Two tables
     * bucketed the same way join with NO shuffle and NO sort — the

@@ -471,6 +471,24 @@ class TextOpsSpec extends SparkSpec {
     assert(ranked.toSeq == Seq((1L, "ab"), (2L, "ba"), (3L, "cd")))
   }
 
+  test("chunk covers every token with bounded overlapping windows") {
+    val d = docsDf(Seq(
+      (1L, (1 to 20).map(i => s"t$i").mkString(" "), "en", "s"), // 20 toks
+      (2L, "a b c", "en", "s"))) // shorter than one window
+    val out = TextOps.chunk(d, maxTokens = 8, stride = 4).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("chunk_id"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("n_chunk_tokens")))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // starts every 4 tokens; last window reaches token 20 exactly
+    assert(d1.map(_._3).toSeq == Seq(0L, 4L, 8L, 12L))
+    assert(d1.map(_._4).toSeq == Seq(8L, 8L, 8L, 8L))
+    assert(d1.last._3 + d1.last._4 == 20L)
+    // a short doc is one whole-document chunk
+    assert(out.filter(_._1 == 2L).toSeq == Seq((2L, 0L, 0L, 3L)))
+    assertThrows[IllegalArgumentException](
+      TextOps.chunk(d, maxTokens = 4, stride = 5))
+  }
+
   test("seqPack: every pack is within budget unless a lone oversize doc") {
     val dir = "/root/testdata/sf0.001"
     val out = TextOps.seqPack(Tables(spark, dir).documents, 512, 200)

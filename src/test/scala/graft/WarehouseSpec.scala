@@ -109,6 +109,30 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.readFact(spark, dir).count() == 2)
   }
 
+  test("publishAudited swaps in a passing batch and aborts a failing one") {
+    import graft.operators.Checks
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_publish").toString + "/tbl"
+    val good = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    val rows = Warehouse.publishAudited(good, dir,
+      Seq("v_positive" -> ($"v" > 0)))
+    assert(rows == 2L)
+    assert(spark.read.parquet(dir).count() == 2)
+
+    // a failing batch must abort, keep the published data, and leave
+    // no staging directory behind
+    val bad = Seq((3L, -5.0)).toDF("id", "v")
+    val ex = intercept[IllegalStateException](
+      Warehouse.publishAudited(bad, dir, Seq("v_positive" -> ($"v" > 0))))
+    assert(ex.getMessage.contains("v_positive"), ex.getMessage)
+    val published = spark.read.parquet(dir)
+    assert(published.count() == 2)
+    assert(published.where($"id" === 3L).isEmpty)
+    assert(!new java.io.File(dir + ".publish-tmp").exists())
+    assertThrows[IllegalArgumentException](
+      Warehouse.publishAudited(good, dir, Seq.empty))
+  }
+
   test("raw SQL entry point matches the DataFrame result (S12)") {
     val dir = "/root/testdata/sf0.001"
     val viaSql = Sql.run(spark, dir,
