@@ -86,4 +86,30 @@ object LawsCheck extends Properties("graft.laws") {
     Prop.forAll(hamGen) { case (a, b) =>
       (0 until 4).exists(i => ((a >> (8 * i)) & 255) == ((b >> (8 * i)) & 255))
     }
+
+  // Chunking window arithmetic (TextOps.chunk's start/count/length
+  // formulas): for any doc length and any 1 <= stride <= maxTokens,
+  // windows are within bounds, the last one ends exactly at the
+  // document end, and their union covers every token with no gap
+  private val chunkGen = for {
+    max <- Gen.chooseNum(1, 64)
+    stride <- Gen.chooseNum(1, max)
+    n <- Gen.chooseNum(1L, 2000L)
+  } yield (n, max, stride)
+
+  property("chunkWindowsCoverEveryTokenExactly") =
+    Prop.forAll(chunkGen) { case (n, max, stride) =>
+      val nChunks =
+        1L + (if (n > max) (n - max + stride - 1) / stride else 0L)
+      val windows = (0L until nChunks).map { c =>
+        val start = c * stride
+        (start, math.min(max.toLong, n - start))
+      }
+      val inBounds = windows.forall { case (s, l) =>
+        l >= 1 && l <= max && s + l <= n }
+      val endsAtDocEnd = windows.last._1 + windows.last._2 == n
+      val covered = windows.foldLeft(0L) { case (reach, (s, l)) =>
+        if (s <= reach) math.max(reach, s + l) else reach }
+      inBounds && endsAtDocEnd && covered == n
+    }
 }
