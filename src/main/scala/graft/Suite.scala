@@ -569,7 +569,7 @@ object Suite {
     Q("etl_snapshot_diff",
       (s, d) => {
         val ev = Tables(s, d).events
-        val vc = round(col("value") * 100).cast("long")
+        val vc = graft.functions.TimeFns.cents(col("value"))
         val fp = md5(concat_ws("|",
           coalesce(col("event_type"), lit("<NULL>")),
           coalesce(vc.cast("string"), lit("<NULL>")),

@@ -31,9 +31,18 @@ object BloomJoin {
     * side, silently dropping matching rows. Refuse anything else. */
   private def requireIntegralKey(df: DataFrame, key: String): Unit = {
     import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val dt = df.schema(key).dataType
-    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-      s"bloom join keys must be integral, got ${dt.sql} for column $key")
+    // resolve with the SESSION's resolver (case-insensitive by
+    // default) — a case-sensitive schema(key) lookup would reject key
+    // spellings that col(key)/stat.bloomFilter themselves resolve
+    val resolver = df.sparkSession.sessionState.analyzer.resolver
+    val field = df.schema.find(f => resolver(f.name, key))
+      .getOrElse(throw new IllegalArgumentException(
+        s"bloom join key column $key does not exist in " +
+          df.schema.fieldNames.mkString("[", ", ", "]")))
+    require(Seq(ByteType, ShortType, IntegerType, LongType)
+        .contains(field.dataType),
+      s"bloom join keys must be integral, got ${field.dataType.sql} " +
+        s"for column $key")
   }
 
   /** Serialized bloom filter of `small`'s `key` column (integral keys,

@@ -87,7 +87,9 @@ object Warehouse {
 
   /** Write-audit-publish: the sink discipline a production load runs
     * so a bad batch can never become the readable table — write the
-    * frame to a staging directory, run the [[Checks.expect]] rules
+    * frame to a staging directory, run the expectation rules
+    * ([[Checks]]'s violation semantics, fused with the row count into
+    * one aggregate pass), evaluated
     * against WHAT WAS ACTUALLY WRITTEN (re-read from disk, so the
     * audit sees exactly what readers would), and only then swap it
     * into place. On any failing rule the staging directory is removed
@@ -98,25 +100,41 @@ object Warehouse {
     * the published row count. */
   def publishAudited(df: DataFrame, path: String,
       rules: Seq[(String, org.apache.spark.sql.Column)]): Long = {
-    require(rules.nonEmpty, "publishAudited needs at least one rule")
+    Checks.validateRuleNames(rules.map(_._1))
     val s = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val tmp = new org.apache.hadoop.fs.Path(path + ".publish-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
-    val staged = s.read.parquet(tmp.toString)
-    val failed = Checks.expect(staged, rules)
-      .where(!col("passed")).collect()
-    if (failed.nonEmpty) {
-      fs.delete(tmp, true)
-      throw new IllegalStateException(
-        "publishAudited aborted — failing rules: " + failed.map(r =>
-          s"${r.getAs[String]("rule")} (${r.getAs[Long]("n_violations")}" +
-            " violations)").mkString(", ") +
-          s"; nothing published at $path")
-    }
-    val rows = staged.count()
+    // ONE fused pass over the staged data: the row count rides the
+    // same aggregate as every rule's violation sum (a second count()
+    // scan would double the audit-phase IO on a 100 TB batch). Any
+    // failure from here to the rename — a failing verdict OR a thrown
+    // audit (e.g. a rule referencing a column the frame lacks) —
+    // removes the staging copy instead of leaking it.
+    val rows =
+      try {
+        val staged = s.read.parquet(tmp.toString)
+        val aggs = count(lit(1)).as("__row_count") +:
+          rules.map { case (name, rule) => Checks.violationAgg(rule).as(name) }
+        // read positionally: slot 0 is the count, slot i+1 is rule i
+        // (no name-based resolution, so dotted rule names are safe)
+        val row = staged.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val failed = rules.zipWithIndex.flatMap { case ((name, _), i) =>
+          val v = if (row.isNullAt(i + 1)) 0L else row.getLong(i + 1)
+          if (v > 0) Some(s"$name ($v violations)") else None
+        }
+        if (failed.nonEmpty)
+          throw new IllegalStateException(
+            "publishAudited aborted — failing rules: " +
+              failed.mkString(", ") + s"; nothing published at $path")
+        row.getLong(0)
+      } catch {
+        case e: Throwable =>
+          fs.delete(tmp, true)
+          throw e
+      }
     if (fs.exists(p)) fs.delete(p, true)
     require(fs.rename(tmp, p),
       s"audited data is at $tmp but the rename to $path failed — " +

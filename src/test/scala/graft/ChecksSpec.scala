@@ -46,4 +46,40 @@ class ChecksSpec extends SparkSpec {
     assert(out == Map("removed" -> 1L, "unchanged" -> 1L,
       "changed" -> 1L, "added" -> 1L))
   }
+
+  test("snapshotDiff: NULL fingerprints and duplicate keys count per key") {
+    def df(rows: Seq[(Long, Option[String])]) = {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          rows.map { case (k, p) => Row(k, p.orNull) }),
+        StructType(Seq(StructField("k", LongType),
+          StructField("payload", StringType))))
+    }
+    // key 1: NULL payload in BOTH -> md5 fingerprint NULL on both
+    // sides -> unchanged (presence flags, not fp nullness, decide);
+    // key 2: NULL -> value = changed; key 3 duplicated in prev with
+    // the same payload -> ONE key, unchanged
+    val prev = df(Seq((1L, None), (2L, None), (3L, Some("x")),
+      (3L, Some("x"))))
+    val next = df(Seq((1L, None), (2L, Some("v")), (3L, Some("x"))))
+    val out = Checks.snapshotDiff(prev, next, "k", md5($"payload"))
+      .collect()
+      .map(r => r.getAs[String]("status") -> r.getAs[Long]("n_keys"))
+      .toMap
+    assert(out == Map("unchanged" -> 2L, "changed" -> 1L))
+  }
+
+  test("expect accepts dotted rule names") {
+    val df = Seq((1L, 10.0), (2L, -1.0)).toDF("id", "v")
+    val out = Checks.expect(df, Seq("v.positive" -> ($"v" > 0))).collect()
+    assert(out.length == 1)
+    assert(out(0).getAs[String]("rule") == "v.positive")
+    assert(out(0).getAs[Long]("n_violations") == 1L)
+    // case-insensitive duplicate names are rejected up front (they
+    // would be ambiguous under the default resolver)
+    assertThrows[IllegalArgumentException](
+      Checks.expect(df, Seq("A" -> lit(true), "a" -> lit(false))))
+  }
 }

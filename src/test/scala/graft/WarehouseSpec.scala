@@ -131,6 +131,13 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".publish-tmp").exists())
     assertThrows[IllegalArgumentException](
       Warehouse.publishAudited(good, dir, Seq.empty))
+
+    // an audit that THROWS (rule references a missing column) must
+    // also clean up its staging copy and leave the table untouched
+    intercept[Exception](Warehouse.publishAudited(good, dir,
+      Seq("missing_col" -> ($"no_such_column" > 0))))
+    assert(spark.read.parquet(dir).count() == 2)
+    assert(!new java.io.File(dir + ".publish-tmp").exists())
   }
 
   test("raw SQL entry point matches the DataFrame result (S12)") {
