@@ -1118,6 +1118,35 @@ object Suite {
         |       COUNT(*) AS n_events, TRUE AS within_pct
         |FROM clean GROUP BY event_type""".stripMargin)),
 
+    // ---- mergeable-sketch rollup: daily HLL sketches unioned over an
+    // arbitrary date range — the pre-aggregation pattern that answers
+    // "distinct users over ANY range" without rescanning the fact
+    // (store one fixed-size sketch per day; union is associative).
+    // Contract is the an_approx_distinct error-bound pattern: the
+    // estimate must land within 5% of the exact twin. -----------------------
+    Q("an_sketch_rollup",
+      (s, d) => {
+        val c = clean(s, d)
+        val lo = lit(java.sql.Date.valueOf("2024-01-08"))
+        val hi = lit(java.sql.Date.valueOf("2024-01-21"))
+        val daily = c.groupBy(col("event_date"))
+          .agg(hll_sketch_agg(col("user_id")).as("sk"))
+        val est = daily.where(col("event_date").between(lo, hi))
+          .agg(count(lit(1)).as("n_days"),
+            hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_users"))
+        val exact = c.where(col("event_date").between(lo, hi))
+          .agg(countDistinct(col("user_id")).as("exact_users"))
+        est.crossJoin(broadcast(exact)) // 1-row scalar frame
+          .select(col("n_days"), col("exact_users"),
+            (abs(col("est_users") - col("exact_users")).cast("double")
+              <= col("exact_users") * lit(0.05)).as("within_pct"))
+      },
+      Some(s"""$CleanCte
+        |SELECT CAST(COUNT(DISTINCT event_date) AS BIGINT) AS n_days,
+        |       COUNT(DISTINCT user_id) AS exact_users, TRUE AS within_pct
+        |FROM clean
+        |WHERE event_date BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'""".stripMargin)),
+
     // ---- skew mitigation (100 TB path): the salted two-phase count
     // and the salted replicate-join must be RESULT-IDENTICAL to their
     // plain forms — the oracle is the plain form, so these rows pin
