@@ -1147,6 +1147,42 @@ object Suite {
         |FROM clean
         |WHERE event_date BETWEEN DATE '2024-01-08' AND DATE '2024-01-21'""".stripMargin)),
 
+    // ---- skew DETECTION: the profile run before choosing to salt ---------
+    // (two-level aggregate: per-key counts, then corpus-level skew
+    // stats + the hottest key with a total-order tie-break; the skew
+    // ratio max*n_keys/total is 1.0 for perfectly uniform keys and
+    // grows with concentration — exact integers, one final division)
+    Q("skew_report",
+      (s, d) => {
+        val perKey = clean(s, d).groupBy(col("user_id"))
+          .agg(count(lit(1)).as("c"))
+          .localCheckpoint() // reused by the stats and the hot-key pass
+        val stats = perKey.agg(
+          count(lit(1)).as("n_keys"),
+          sum(col("c")).as("total_rows"),
+          max(col("c")).as("max_key_rows"))
+        // hottest key = MIN key among those at the max count (a
+        // total-order tie-break both engines state identically)
+        val hot = perKey
+          .crossJoin(broadcast(stats.select(col("max_key_rows").as("mx"))))
+          .where(col("c") === col("mx"))
+          .agg(min(col("user_id")).as("hottest_key"))
+        stats.crossJoin(broadcast(hot)) // 1-row scalar frames
+          .select(col("n_keys"), col("total_rows"), col("max_key_rows"),
+            col("hottest_key"),
+            ((col("max_key_rows") * col("n_keys")).cast("double")
+              / col("total_rows")).as("skew_ratio"))
+      },
+      Some(s"""$CleanCte,
+        |pk AS (SELECT user_id, COUNT(*) AS c FROM clean GROUP BY 1)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+        |       CAST(SUM(c) AS BIGINT) AS total_rows,
+        |       CAST(MAX(c) AS BIGINT) AS max_key_rows,
+        |       (SELECT MIN(user_id) FROM pk
+        |        WHERE c = (SELECT MAX(c) FROM pk)) AS hottest_key,
+        |       CAST(MAX(c) * COUNT(*) AS DOUBLE) / SUM(c) AS skew_ratio
+        |FROM pk""".stripMargin)),
+
     // ---- skew mitigation (100 TB path): the salted two-phase count
     // and the salted replicate-join must be RESULT-IDENTICAL to their
     // plain forms — the oracle is the plain form, so these rows pin
