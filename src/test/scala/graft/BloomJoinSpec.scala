@@ -78,6 +78,24 @@ class BloomJoinSpec extends SparkSpec {
       BloomJoin.prune(t.customer, "c_name", f))
   }
 
+  test("no false negatives on randomized key subsets") {
+    val rnd = new scala.util.Random(42) // fixed seed: reproducible
+    val t = Tables(spark, dir)
+    val all = t.customer.select($"c_custkey")
+    (1 to 5).foreach { _ =>
+      val mod = 2 + rnd.nextInt(9)
+      val rem = rnd.nextInt(mod)
+      val subset = all.where($"c_custkey" % mod === rem)
+      val n = math.max(1L, subset.count())
+      val f = BloomJoin.buildFilter(subset, "c_custkey", n)
+      val kept = BloomJoin.prune(t.customer, "c_custkey", f)
+      // every subset member must survive the prune — a bloom filter
+      // can over-keep, never under-keep
+      assert(subset.exceptAll(kept.select($"c_custkey")).isEmpty,
+        s"false negative for mod=$mod rem=$rem")
+    }
+  }
+
   test("wrong arity surfaces as an AnalysisException") {
     val e = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql("SELECT bloom_might_contain(1)").collect())
