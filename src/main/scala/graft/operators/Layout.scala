@@ -19,9 +19,12 @@ object Layout {
   /** Morton/Z-value of two keys confined to `bits` bits each: bit i of
     * `a` lands at position 2i, bit i of `b` at 2i+1. Inputs are MASKED
     * to `bits` bits (documented truncation — callers map their domain
-    * into the grid first; negative values must be shifted/hased into
-    * the non-negative domain upstream). Pure shift/and/or arithmetic:
-    * stays inside whole-stage codegen, no UDF. */
+    * into the grid first). Negative inputs are well-defined: the mask
+    * keeps the two's-complement low bits, which equals the
+    * mathematical (always non-negative) value mod 2^bits — the same
+    * normalization [[zValueSql]] spells out, so both forms agree on
+    * EVERY long input. Pure shift/and/or arithmetic: stays inside
+    * whole-stage codegen, no UDF. */
   def zValue(a: Column, b: Column, bits: Int = 16): Column = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
     val mask = (1L << bits) - 1
@@ -36,18 +39,28 @@ object Layout {
     }.reduce(_ bitwiseOR _)
   }
 
-  /** The SAME interleave as [[zValue]] rendered as engine-portable SQL
-    * (div/mod arithmetic — identical to shifts on the masked
-    * non-negative domain), generated from one loop so the Spark
-    * expression and a DuckDB oracle cannot drift. */
+  /** The SAME interleave as [[zValue]] rendered as engine-portable
+    * ANSI SQL, generated from one loop so the Spark expression and a
+    * DuckDB oracle cannot drift. Two portability traps are handled
+    * explicitly: (1) SQL `%` is sign-preserving (DuckDB and Spark
+    * both return -5 for `-5 % 65536`) while [[zValue]]'s bit mask
+    * keeps the non-negative two's-complement low bits, so the input
+    * is normalized `((x % M) + M) % M` — the mathematical mod that
+    * matches the mask for every long; (2) bit i is extracted with
+    * mod-and-compare (`(x % 2^(i+1)) >= 2^i`) instead of integer
+    * division, whose operator differs per engine (`//` is DuckDB-only,
+    * `div` is Spark-only). */
   def zValueSql(a: String, b: String, bits: Int = 16): String = {
     require(bits >= 1 && bits <= 31, s"bits must be in [1, 31], got $bits")
-    val mask = (1L << bits) - 1
+    val m = 1L << bits
+    def norm(x: String) = s"((($x) % $m + $m) % $m)"
     val terms = (0 until bits).flatMap { i =>
       val p = 1L << i
       Seq(
-        s"((($a) % ${mask + 1}) // $p % 2) * ${1L << (2 * i)}",
-        s"((($b) % ${mask + 1}) // $p % 2) * ${1L << (2 * i + 1)}")
+        s"(CASE WHEN ${norm(a)} % ${p * 2} >= $p " +
+          s"THEN ${1L << (2 * i)} ELSE 0 END)",
+        s"(CASE WHEN ${norm(b)} % ${p * 2} >= $p " +
+          s"THEN ${1L << (2 * i + 1)} ELSE 0 END)")
     }
     s"CAST(${terms.mkString(" + ")} AS BIGINT)"
   }

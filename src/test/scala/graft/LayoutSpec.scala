@@ -21,6 +21,32 @@ class LayoutSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](Layout.zValue($"a", $"b", 0))
   }
 
+  test("zValue and zValueSql agree on NEGATIVE inputs (sign-preserving %)") {
+    // Spark SQL's % is sign-preserving exactly like DuckDB's, so
+    // evaluating the generated SQL through expr() reproduces what the
+    // DuckDB oracle computes: before the normalization fix, -1 % 65536
+    // = -1 drove every CASE term to 0 while zValue's bit mask saw
+    // 0xFFFF — the r5 ADVICE drift. Pin parity over a grid that mixes
+    // signs, including Long.MinValue (whose mathematical mod must
+    // still land non-negative).
+    val keys = Seq(-1L, -5L, -65536L, -65541L, Long.MinValue,
+      Long.MaxValue, 0L, 1L, 5L, 65535L)
+    val pairs = for (a <- keys; b <- keys) yield (a, b)
+    val drift = pairs.toDF("a", "b")
+      .select(
+        Layout.zValue($"a", $"b").as("z_col"),
+        expr(Layout.zValueSql("a", "b")).as("z_sql"))
+      .where($"z_col" =!= $"z_sql")
+      .count()
+    assert(drift == 0, s"$drift / ${pairs.size} pairs drifted")
+    // and the normalization really is the two's-complement low bits:
+    // -1 masks to 0xFFFF in both dimensions -> all 32 z-bits set
+    val zNeg = Seq((-1L, -1L)).toDF("a", "b")
+      .select(Layout.zValue($"a", $"b").as("z"))
+      .collect()(0).getLong(0)
+    assert(zNeg == (1L << 32) - 1)
+  }
+
   test("zValue is a bijection on the grid") {
     val grid = spark.range(32).select($"id".as("a"))
       .crossJoin(spark.range(32).select($"id".as("b")))
