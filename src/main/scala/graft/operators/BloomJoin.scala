@@ -93,7 +93,11 @@ object BloomJoin {
     val s = small.localCheckpoint()
     val n = math.max(1L, s.count())
     val filter = buildFilter(s, smallKey, n, fpp)
-    prune(big, bigKey, filter)
-      .join(s, col(bigKey) === col(smallKey))
+    // the join keys are resolved against their OWN frames — a bare
+    // col(bigKey) === col(smallKey) resolves against the combined
+    // output and throws AMBIGUOUS_REFERENCE whenever both sides name
+    // the key identically (the common case for natural keys)
+    val pruned = prune(big, bigKey, filter)
+    pruned.join(s, pruned(bigKey) === s(smallKey))
   }
 }

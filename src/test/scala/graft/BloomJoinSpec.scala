@@ -24,6 +24,24 @@ class BloomJoinSpec extends SparkSpec {
       .contains("bloom_might_contain"))
   }
 
+  test("bloomPrunedJoin resolves SAME-NAMED keys on both sides") {
+    // natural keys usually carry the same name on both sides; before
+    // the r7 fix, col(key) === col(key) resolved against the combined
+    // join output and threw AMBIGUOUS_REFERENCE. The keys must be
+    // resolved against their own frames.
+    val t = Tables(spark, dir)
+    val buyers = t.customer
+      .where($"c_mktsegment" === "BUILDING")
+      .select($"c_custkey".as("custkey"), $"c_mktsegment")
+    val facts = t.orders
+      .select($"o_orderkey", $"o_custkey".as("custkey"))
+    val joined = BloomJoin.bloomPrunedJoin(
+      facts, "custkey", buyers, "custkey")
+    val expected = t.orders.join(buyers,
+      $"o_custkey" === $"custkey").count()
+    assert(joined.count() == expected)
+  }
+
   test("the prune removes non-matching rows before the join") {
     val t = Tables(spark, dir)
     val buyers = t.customer.where($"c_mktsegment" === "BUILDING")
