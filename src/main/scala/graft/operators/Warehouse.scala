@@ -78,11 +78,34 @@ object Warehouse {
     require(got == rows,
       s"compaction rewrite of $path lost rows ($got != $rows); " +
         s"original left untouched, rewrite at $tmp")
-    fs.delete(p, true)
-    require(fs.rename(tmp, p),
-      s"compacted data is at $tmp but the rename to $path failed — " +
-        "rename it manually.")
+    swapInto(fs, tmp, p)
     n
+  }
+
+  /** Crash-safe publish swap: move the live directory ASIDE before
+    * moving the staged one in, so a complete readable copy exists at
+    * every instant — before the aside-rename readers see the old
+    * `path`; between the two renames the old data is at
+    * `<path>.prev` and the new audited data at the staging dir; after
+    * the final rename readers see the new `path`. (Plain
+    * delete-then-rename has a window where a crash leaves NO readable
+    * table.) A stale `.prev` from an earlier crash is dropped first —
+    * at that point the staging dir already holds newer audited data,
+    * so a full copy still exists throughout. `failpoint` is a test
+    * hook for simulating a crash between the renames. */
+  private[graft] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
+      tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val prev = new org.apache.hadoop.fs.Path(p.toString + ".prev")
+    if (fs.exists(prev)) fs.delete(prev, true)
+    if (fs.exists(p))
+      require(fs.rename(p, prev),
+        s"could not move $p aside to $prev; staged data left at $tmp")
+    failpoint("aside-renamed")
+    require(fs.rename(tmp, p),
+      s"staged data is at $tmp (previous copy at $prev) but the " +
+        s"rename to $p failed — rename it manually.")
+    fs.delete(prev, true)
   }
 
   /** Write-audit-publish: the sink discipline a production load runs
@@ -94,10 +117,11 @@ object Warehouse {
     * audit sees exactly what readers would), and only then swap it
     * into place. On any failing rule the staging directory is removed
     * and the previous published data is left untouched; the swap is
-    * [[compact]]'s delete-then-rename protocol (a crash between the
-    * two leaves the full audited copy at `<path>.publish-tmp`,
-    * recovery is a manual rename — never a partial state). Returns
-    * the published row count. */
+    * [[swapInto]]'s rename-aside protocol — a complete readable copy
+    * exists at every instant, so a crash at ANY point leaves either
+    * the old table at `path`, or the old copy at `<path>.prev` plus
+    * the audited new data at `<path>.publish-tmp` — never a state
+    * with no readable table. Returns the published row count. */
   def publishAudited(df: DataFrame, path: String,
       rules: Seq[(String, org.apache.spark.sql.Column)]): Long = {
     Checks.validateRuleNames(rules.map(_._1))
@@ -135,10 +159,7 @@ object Warehouse {
           fs.delete(tmp, true)
           throw e
       }
-    if (fs.exists(p)) fs.delete(p, true)
-    require(fs.rename(tmp, p),
-      s"audited data is at $tmp but the rename to $path failed — " +
-        "rename it manually.")
+    swapInto(fs, tmp, p)
     rows
   }
 

@@ -140,6 +140,44 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(dir + ".publish-tmp").exists())
   }
 
+  test("publish crash between the swap renames leaves a readable table") {
+    // simulate the exact crash window the r5 ADVICE flagged: the old
+    // delete-then-rename protocol had an instant with NO readable
+    // copy; the rename-aside swap must leave the old data at
+    // <path>.prev and the new audited data at the staging dir.
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_publish_crash").toString + "/tbl"
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    Warehouse.publishAudited(v1, base, Seq("v_pos" -> ($"v" > 0)))
+    // the happy path leaves neither staging nor aside dirs behind
+    assert(!new java.io.File(base + ".prev").exists())
+    assert(!new java.io.File(base + ".publish-tmp").exists())
+
+    // stage v2 and crash right after the aside-rename
+    val v2 = Seq((3L, 30.0)).toDF("id", "v")
+    val p = new org.apache.hadoop.fs.Path(base)
+    val tmp = new org.apache.hadoop.fs.Path(base + ".publish-tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    v2.write.mode("overwrite").parquet(tmp.toString)
+    val boom = intercept[RuntimeException](
+      Warehouse.swapInto(fs, tmp, p,
+        failpoint = at => if (at == "aside-renamed")
+          throw new RuntimeException("simulated crash")))
+    assert(boom.getMessage == "simulated crash")
+    // the crash state: old table fully readable at .prev, new audited
+    // data fully readable at the staging dir — nothing lost
+    assert(spark.read.parquet(base + ".prev").count() == 2)
+    assert(spark.read.parquet(tmp.toString).count() == 1)
+
+    // recovery is just running the publish again: the stale .prev is
+    // dropped, the fresh batch swaps in, nothing is left behind
+    Warehouse.publishAudited(v2, base, Seq("v_pos" -> ($"v" > 0)))
+    val after = spark.read.parquet(base)
+    assert(after.count() == 1 && after.collect()(0).getLong(0) == 3L)
+    assert(!new java.io.File(base + ".prev").exists())
+    assert(!new java.io.File(base + ".publish-tmp").exists())
+  }
+
   test("raw SQL entry point matches the DataFrame result (S12)") {
     val dir = "/root/testdata/sf0.001"
     val viaSql = Sql.run(spark, dir,
