@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, count, lit}
+import org.apache.spark.sql.functions.{col, count, lit, round}
 
 import graft.operators.{EmbeddingOps, Multimodal, TextOps}
 
@@ -1127,20 +1127,46 @@ object SuiteML {
         |$IvfRecallSql""".stripMargin)),
 
     // ---- multimodal plumbing: binary payloads + stubbed decode ----------
-    // Feature extraction itself is a stubbed decode (no codecs in this
-    // environment) -> rows-only check; the frame-sampling row counts are
-    // fully oracle-checked. The feature vector is flattened to scalar
-    // f0..f7 columns because the driver's pandas comparator cannot sort
-    // array-typed cells (the array form stays the extractFeatures API).
+    // The decode is a stub (no codecs in this environment) but it is
+    // DETERMINISTIC integer arithmetic — acc[i%8] += byte; (acc%1000)
+    // /1000f — so even the stub path gets a full hash-checked oracle:
+    // the query surfaces each feature as its exact-integer millis
+    // (round(f*1000) round-trips k/1000f exactly for k in [0,1000)),
+    // because a float32 column would never bit-match the oracle's
+    // float64 arithmetic. The oracle re-folds the payload bytes in SQL
+    // via hex() (2 hex chars per byte, decoded with strpos — DuckDB
+    // has no byte-extraction on BLOB). Array form stays the
+    // extractFeatures API; float fidelity is pinned by MultimodalSpec.
     Q("mm_features",
       (s, d) => {
         val feats =
           Multimodal.extractFeatures(Multimodal.toMedia(docs(s, d)))
-        val fcols = (0 until Multimodal.FeatureDim).map(i =>
-          col("feature").getItem(i).as(s"f$i"))
-        feats.select(col("doc_id") +: col("n_bytes") +: fcols: _*)
+        val mcols = (0 until Multimodal.FeatureDim).map(i =>
+          round(col("feature").getItem(i).cast("double") * 1000)
+            .cast("long").as(s"m$i"))
+        feats.select(col("doc_id") +: col("n_bytes") +: mcols: _*)
       },
-      None),
+      Some {
+        val dim = Multimodal.FeatureDim
+        val mcols = (0 until dim).map(i =>
+          s"CAST(COALESCE(SUM(CASE WHEN (p-1) % $dim = $i THEN v END), 0)" +
+            s" % 1000 AS BIGINT) AS m$i").mkString(",\n        |       ")
+        s"""WITH b AS (
+        |  SELECT doc_id, hex(encode(COALESCE(text, ''))) AS h,
+        |         CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+        |  FROM documents),
+        |pos AS (
+        |  SELECT doc_id, h, n, unnest(generate_series(1, n)) AS p FROM b),
+        |vals AS (
+        |  SELECT doc_id, p,
+        |         (strpos('0123456789ABCDEF', substr(h, CAST(2*p-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substr(h, CAST(2*p AS INT), 1)) - 1) AS v
+        |  FROM pos)
+        |SELECT b.doc_id, b.n AS n_bytes,
+        |       $mcols
+        |FROM b LEFT JOIN vals USING (doc_id)
+        |GROUP BY b.doc_id, b.n""".stripMargin
+      }),
 
     // ---- multimodal data-model contract: typed metadata columns ----------
     Q("mm_media_meta",
