@@ -17,6 +17,10 @@ object SuiteML {
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables(s, d).embeddings
 
+  /** Merge rounds for the iterated BPE trainer — shared between the
+    * Spark query and its unrolled-CTE oracle so they cannot drift. */
+  private val BpeRounds = 5
+
   /** Shared oracle CTEs: tokens with position, and distinct 3-gram
     * shingle sets built per-row from the token list (mirrors the
     * windowless TextOps.shingles). */
@@ -860,6 +864,46 @@ object SuiteML {
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC, pair) AS BIGINT)
         |           AS "rank", pair, n_pairs
         |  FROM c) WHERE "rank" <= 20""".stripMargin)),
+
+    // ---- tokenizer training: ITERATED BPE merge loop --------------------
+    // The closed trainer (count -> top pair -> merge everywhere ->
+    // recount, N rounds). The oracle unrolls the same N rounds as
+    // chained CTEs — each round's top-1 via the identical (count desc,
+    // lhs, rhs) total order, each merge via the identical wrapped-
+    // symbol replace — generated from one Scala loop so the round
+    // structure cannot drift from the Spark trainer's.
+    Q("text_bpe_merges",
+      (s, d) => TextOps.bpeMerges(docs(s, d), rounds = BpeRounds),
+      Some {
+        val head = """WITH wf AS (
+          |  SELECT word, CAST(count(*) AS BIGINT) AS n
+          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+          |  WHERE len(word) >= 2 AND strpos(word, chr(31)) = 0
+          |  GROUP BY 1),
+          |seq0 AS (
+          |  SELECT array_to_string(list_transform(string_split(word, ''),
+          |           c -> chr(31) || c || chr(31)), '') AS seq, n
+          |  FROM wf)""".stripMargin
+        val per = (1 to BpeRounds).map { r =>
+          s"""
+          |p$r AS (
+          |  SELECT cs[2*i] AS lhs, cs[2*i+2] AS rhs, CAST(sum(n) AS BIGINT) AS n_pairs
+          |  FROM (SELECT cs, n, unnest(generate_series(1, (len(cs)-1)//2 - 1)) AS i
+          |        FROM (SELECT string_split(seq, chr(31)) AS cs, n FROM seq${r - 1})
+          |        WHERE len(cs) >= 5)
+          |  GROUP BY 1, 2),
+          |t$r AS (SELECT lhs, rhs, n_pairs FROM p$r ORDER BY n_pairs DESC, lhs, rhs LIMIT 1),
+          |seq$r AS (
+          |  SELECT replace(seq, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
+          |                 chr(31)||lhs||rhs||chr(31)) AS seq, n
+          |  FROM seq${r - 1}, t$r)""".stripMargin
+        }.mkString(",")
+        val union = (1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, " +
+            s"lhs || rhs AS merged, n_pairs FROM t$r")
+          .mkString("\nUNION ALL\n")
+        head + "," + per + "\n" + union
+      }),
 
     // ---- text analysis: fingerprinting ----------------------------------
     Q("text_fingerprint",

@@ -1128,6 +1128,88 @@ object TextOps {
       .select(col("rank"), col("pair"), col("n_pairs"))
   }
 
+  /** ITERATED BPE merge trainer — the closed training loop
+    * [[bpePairStats]] is one round of (Sennrich, Haddow & Birch 2016:
+    * count pairs -> take the most frequent -> merge it everywhere ->
+    * recount). Returns the learned merge table: one row per round
+    * (merge_round, lhs, rhs, merged, n_pairs), the artifact a
+    * tokenizer consumes, with the canonical (count desc, lhs asc,
+    * rhs asc) total order deciding each round's winner.
+    *
+    * Representation: the trainer works the DISTINCT word-frequency
+    * table, not word occurrences (Heaps' law: the vocabulary is
+    * orders of magnitude smaller than a 100 TB corpus — the classic
+    * trainer efficiency), each word held as its symbol sequence with
+    * every symbol wrapped `SEP sym SEP`. Adjacent-pair patterns
+    * (`SEP l SEP SEP r SEP`) then share no characters, so plain
+    * non-overlapping left-to-right string replace applies a merge
+    * exactly like canonical BPE does on the symbol list — including
+    * runs: [a,a,a,a] -> [aa,aa], not [aa,a,a]. (With a single shared
+    * separator the first replacement would consume the boundary and
+    * skip the second pair.)
+    *
+    * Scale shape: per round, ONE map-side-combined pair-count shuffle
+    * over the vocabulary, a TakeOrdered top-1, and a per-row codegen'd
+    * replace; only the single winning pair crosses to the driver each
+    * round (the same driver-sees-one-row loop discipline as the
+    * k-means trainer in EmbeddingOps). The working table is
+    * localCheckpointed every round so lineage stays bounded across
+    * iterations. Stops early when no pair remains. */
+  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 100,
+      s"rounds must be in [1, 100], got $rounds")
+    val sep = "\u001F"
+    // 1-char words can never pair and never change: drop them up
+    // front. Words containing the separator would corrupt the framing
+    // (none exist in whitespace-tokenized text, but stay defensive).
+    val wf = tokens(docs)
+      .where(length(col("word")) >= 2 && !col("word").contains(sep))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+    var seqs = wf.select(
+        concat_ws("", transform(split(col("word"), ""),
+          c => concat(lit(sep), c, lit(sep)))).as("seq"),
+        col("n"))
+      .localCheckpoint()
+    val records = Seq.newBuilder[(Long, String, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // split on SEP yields ["", s1, "", "", s2, "", ..., sm, ""] —
+      // symbols sit at 1-based even indices 2i, so pair i is
+      // (cs[2i], cs[2i+2]) for i in 1..m-1
+      val top = seqs
+        .select(split(col("seq"), sep).as("cs"), col("n"))
+        .where(size(col("cs")) >= 5) // at least 2 symbols
+        .select(explode(expr(
+          "transform(sequence(1, (size(cs) - 1) div 2 - 1), " +
+            "i -> struct(element_at(cs, cast(2*i AS int)) AS lhs, " +
+            "element_at(cs, cast(2*i + 2 AS int)) AS rhs))")).as("p"),
+          col("n"))
+        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
+        .agg(sum(col("n")).as("n_pairs"))
+        .orderBy(col("n_pairs").desc, col("lhs").asc, col("rhs").asc)
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, n) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        records += ((r.toLong, l, rr, l + rr, n))
+        val pat = sep + l + sep + sep + rr + sep
+        val rep = sep + l + rr + sep
+        seqs = seqs.select(
+            call_function("replace", col("seq"), lit(pat), lit(rep))
+              .as("seq"), col("n"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    val s = docs.sparkSession
+    import s.implicits._
+    records.result()
+      .toDF("merge_round", "lhs", "rhs", "merged", "n_pairs")
+  }
+
   /** Long-document chunking with overlap — the step that turns a
     * curated corpus into model-window-sized pieces (embedding
     * pipelines, RAG indexing, long-doc training): fixed `maxTokens`

@@ -471,6 +471,32 @@ class TextOpsSpec extends SparkSpec {
     assert(ranked.toSeq == Seq((1L, "ab"), (2L, "ba"), (3L, "cd")))
   }
 
+  test("bpeMerges runs the full iterated trainer with canonical greedy merges") {
+    // round 1: pairs in "aaaa" -> (a,a) x3 (weighted x2 docs = 6),
+    // "bcbc" -> (b,c) x2, (c,b) x1. winner (a,a).
+    // canonical greedy run-merge: [a,a,a,a] -> [aa,aa], NOT [aa,a,a] —
+    // the wrapped-symbol replace must not consume the run boundary.
+    val d = docsDf(Seq(
+      (1L, "aaaa bcbc", "en", "s"),
+      (2L, "aaaa", "en", "s")))
+    val out = TextOps.bpeMerges(d, rounds = 10).collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[String]("merged"),
+        r.getAs[Long]("n_pairs")))
+      .sortBy(_._1)
+    assert(out(0) == ((1L, "a", "a", "aa", 6L)))
+    // round 2: "aaaa" is now [aa,aa] (pair (aa,aa) x2 weighted), bcbc
+    // unchanged -> (b,c) x2 and (c,b) x1; tie 2 vs 2 broken by lhs asc
+    assert(out(1) == ((2L, "aa", "aa", "aaaa", 2L)))
+    // round 3: only bcbc pairs remain: (b,c) x2 wins
+    assert(out(2) == ((3L, "b", "c", "bc", 2L)))
+    // round 4: [bc,bc] -> (bc,bc) x1
+    assert(out(3) == ((4L, "bc", "bc", "bcbc", 1L)))
+    // every word fully merged -> trainer stops EARLY, well before 10
+    assert(out.length == 4, s"expected early stop at 4, got ${out.length}")
+    assertThrows[IllegalArgumentException](TextOps.bpeMerges(d, 0))
+  }
+
   test("chunk covers every token with bounded overlapping windows") {
     val d = docsDf(Seq(
       (1L, (1 to 20).map(i => s"t$i").mkString(" "), "en", "s"), // 20 toks
