@@ -45,6 +45,22 @@ object JsonSource {
   def readListeningStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(listeningSchema).json(path)
 
+  /** Schema of one raw recently-played API RESPONSE envelope
+    * (spotify_client.py:260-262 reads `data['items']`): the collector
+    * drops the response document VERBATIM — provenance-preserving —
+    * and Spark, not the collector, does the unwrapping. */
+  val responseSchema: StructType = StructType(Seq(
+    StructField("items", ArrayType(listeningSchema))))
+
+  /** Read a drop directory of raw response envelopes and explode to
+    * the per-event doc shape [[readListening]] yields — the declared-
+    * schema read + explode stays distributed and codegen'd; the
+    * driver-side collector never parses a byte of JSON. */
+  def readResponses(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(responseSchema).json(path)
+      .select(explode(col("items")).as("item"))
+      .select(col("item.*"))
+
   /** [[listeningSchema]] plus the PERMISSIVE-mode corrupt-record
     * capture column. */
   val auditedSchema: StructType =

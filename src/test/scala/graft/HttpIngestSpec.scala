@@ -1,0 +1,176 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicInteger
+
+import scala.collection.mutable.ArrayBuffer
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.functions._
+
+import graft.operators.IngestJob
+import graft.sources.{HttpFetch, IngestClient, JsonSource}
+
+/** S1-S3 over a REAL socket: an in-process `com.sun.net.httpserver`
+  * stub plays the API (recently-played pages, batch track details,
+  * audio features, a 429 with Retry-After, a flaky 500), and the full
+  * collector path runs end-to-end — [[HttpFetch]] transport ->
+  * [[IngestClient]] retry/pacing/fan-out -> raw response envelopes
+  * dropped verbatim -> [[JsonSource.readResponses]] declared-schema
+  * explode -> [[IngestJob.run]] raw-zone MERGE — with no external
+  * network. Protocol provenance:
+  * reference/src/spotify/spotify_client.py:195-236 (retry ladder),
+  * :260-262 (items unwrap), :310-311 (id caps per batch call).
+  */
+class HttpIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def doc(trackId: String, playedAt: String, name: String): String =
+    s"""{"track_id":"$trackId","played_at":"$playedAt","track_info":
+       |{"name":"$name","artists":[{"id":"a1","name":"Artist $trackId"}],
+       |"album":{"id":"al1","name":"Album $trackId"},"duration_ms":200000,
+       |"explicit":false,"popularity":40},
+       |"batch_info":{"batch_id":"b1","collected_at":"2024-01-01T00:00:00Z"}}"""
+      .stripMargin.replace("\n", "")
+
+  private def respond(ex: HttpExchange, code: Int, body: String,
+      headers: Map[String, String] = Map.empty): Unit = {
+    headers.foreach { case (k, v) => ex.getResponseHeaders.set(k, v) }
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    if (bytes.isEmpty) ex.sendResponseHeaders(code, -1)
+    else {
+      ex.sendResponseHeaders(code, bytes.length.toLong)
+      ex.getResponseBody.write(bytes)
+    }
+    ex.close()
+  }
+
+  test("S1-S3 end-to-end: socket fetch -> retries -> drop zone -> MERGE") {
+    val playedCalls = new AtomicInteger(0)
+    // handlers run on the server's single dispatcher thread (null
+    // executor) and the client is single-threaded: plain buffers
+    val trackCalls = ArrayBuffer[Seq[String]]()
+    val featureCalls = ArrayBuffer[Seq[String]]()
+
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    // S1: page of recently-played. FIRST attempt is rate-limited with
+    // a Retry-After hint; the SECOND throws a retryable 500; only the
+    // third succeeds — the full reference retry ladder on one socket.
+    server.createContext("/v1/me/player/recently-played", ex => {
+      playedCalls.incrementAndGet() match {
+        case 1 => respond(ex, 429, "", Map("Retry-After" -> "2"))
+        case 2 => respond(ex, 500, """{"error":"upstream"}""")
+        case _ => respond(ex, 200,
+          s"""{"items":[${doc("t1", "2024-01-01T10:00:00Z", "One")},
+             |${doc("t2", "2024-01-01T11:00:00Z", "Two")},
+             |${doc("t1", "2024-01-01T10:00:00Z", "One")}]}"""
+            .stripMargin.replace("\n", ""))
+      }
+    })
+    def ids(ex: HttpExchange): Seq[String] =
+      Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&").collectFirst {
+          case kv if kv.startsWith("ids=") =>
+            kv.drop(4).split(",").toSeq.filter(_.nonEmpty)
+        }.getOrElse(Seq.empty)
+    // S2: batch track details, <= 50 ids per call
+    server.createContext("/v1/tracks", ex => {
+      val got = ids(ex); trackCalls += got
+      respond(ex, 200, s"""{"tracks":[${got.map(i =>
+        s"""{"id":"$i","popularity":50}""").mkString(",")}]}""")
+    })
+    // S3: audio features, <= 100 ids per call
+    server.createContext("/v1/audio-features", ex => {
+      val got = ids(ex); featureCalls += got
+      respond(ex, 200, s"""{"audio_features":[${got.map(i =>
+        s"""{"id":"$i","tempo":120.0}""").mkString(",")}]}""")
+    })
+    server.setExecutor(null)
+    server.start()
+    val base = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+
+    try {
+      val slept = ArrayBuffer[Long]()
+      val policy = IngestClient.RetryPolicy(maxRetries = 3,
+        baseDelayMs = 1000L, minIntervalMs = 100L)
+
+      // ---- S1: paced, retried fetch of the raw response envelope ----
+      val envelope = IngestClient.withRetries(policy, slept += _)(
+        _ => HttpFetch.get(s"$base/me/player/recently-played?limit=50"))
+      // the 429's Retry-After hint (2 s) and the 500's exponential
+      // backoff (2^1 * base after consuming the rate-limit attempt)
+      // were both honored over the real socket
+      assert(slept.toSeq == Seq(2000L, 2000L), slept)
+      assert(playedCalls.get() == 3)
+
+      // drop the envelope VERBATIM — provenance-preserving raw zone
+      val drop = Files.createTempDirectory("graft_http_drop")
+      Files.write(drop.resolve("page-0.json"),
+        envelope.getBytes(StandardCharsets.UTF_8))
+
+      // ---- declared-schema explode + raw-zone MERGE ----
+      val rawDocs = JsonSource.readResponses(spark, drop.toString)
+      val zone = IngestJob.run(None, rawDocs, "b1")
+      // 3 items, 1 in-batch duplicate -> 2 plays, 2 catalog rows
+      assert(zone.plays.count() == 2)
+      assert(zone.trackCatalog.count() == 2)
+      // replaying the same drop is a no-op on plays (S6 idempotence)
+      val replay = IngestJob.run(Some(zone), rawDocs, "b1-replay")
+      assert(replay.plays.count() == 2)
+
+      // ---- S2: batch-details fan-out over the catalog's ids ----
+      // the catalog is collector-scale (reference ingests <= 600
+      // events/day); collecting its id column is the documented
+      // driver-side control plane, not a data-path collect
+      val catalogIds = zone.trackCatalog.select("track_id")
+        .orderBy("track_id").as[String].collect().toSeq
+      val manyIds = catalogIds ++ (1 to 120).map(i => s"x$i")
+      var t = 0L
+      IngestClient.fanout(manyIds, batchSize = 50, policy,
+        now = () => { t += 10; t }, sleep = slept += _)(chunk =>
+        HttpFetch.get(s"$base/tracks?ids=${chunk.mkString(",")}"))
+      assert(trackCalls.size == 3) // 122 ids / 50 per call
+      assert(trackCalls.forall(_.size <= 50))
+      assert(trackCalls.flatten.sorted == manyIds.sorted)
+
+      // ---- S3: audio-features fan-out, 100-id cap ----
+      IngestClient.fanout(manyIds, batchSize = 100, policy,
+        now = () => { t += 10; t }, sleep = slept += _)(chunk =>
+        HttpFetch.get(s"$base/audio-features?ids=${chunk.mkString(",")}"))
+      assert(featureCalls.size == 2)
+      assert(featureCalls.forall(_.size <= 100))
+
+      // ---- a fetch that never recovers surfaces the terminal error --
+      val dead = intercept[IngestClient.Retryable](
+        IngestClient.withRetries(
+          IngestClient.RetryPolicy(maxRetries = 1), slept += _)(
+          _ => HttpFetch.get(s"$base/no-such-endpoint")))
+      assert(dead.getMessage.contains("HTTP 404"))
+    } finally server.stop(0)
+  }
+
+  test("auth failures are fatal, not retried") {
+    val calls = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/me", ex => {
+      calls.incrementAndGet()
+      respond(ex, 401, """{"error":"bad token"}""")
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val url =
+        s"http://127.0.0.1:${server.getAddress.getPort}/v1/me"
+      intercept[IllegalStateException](
+        IngestClient.withRetries(
+          IngestClient.RetryPolicy(maxRetries = 3), _ => ())(
+          _ => HttpFetch.get(url)))
+      // fatal on FIRST sight — the retry budget must not be spent on
+      // a rejected token (the reference refreshes and re-enters; that
+      // is the caller's loop, not the transport's)
+      assert(calls.get() == 1)
+    } finally server.stop(0)
+  }
+}
