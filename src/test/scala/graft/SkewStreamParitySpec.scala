@@ -20,6 +20,57 @@ class SkewStreamParitySpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("saltedJoin flattens ADVERSARIAL skew (one key = 50% of rows)") {
+    // the uniform-key parity test above proves correctness; this one
+    // proves the POINT of salting: under a single dominant key the
+    // unsalted shuffle hot-spots one reducer with >= half the data,
+    // and the salted plan spreads it. Partition row counts after the
+    // key shuffle are the deterministic proxy for task time. AQE and
+    // broadcast are pinned off so the measured distribution is the
+    // plan's own, not a runtime rescue.
+    val n = 100000L
+    val hot = spark.range(n / 2).select(lit(0L).as("k"), $"id".as("v"))
+    val rest = spark.range(n / 2).select(
+      (pmod(hash($"id"), lit(99)) + 1).cast("long").as("k"), $"id".as("v"))
+    val big = hot.unionAll(rest)
+    val small = spark.range(100).select($"id".as("k"),
+      concat(lit("dim"), $"id").as("tag"))
+
+    def partitionSpread(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val sizes = df.rdd
+        .mapPartitions(it => Iterator(it.size.toLong), true)
+        .collect().sorted
+      (sizes.max, sizes(sizes.length / 2))
+    }
+
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.shuffle.partitions" -> "32")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val unsalted = big.join(small, Seq("k"))
+      val salted = Skew.saltedJoin(big, small, "k", "v", buckets = 32)
+      // same answer...
+      assert(salted.count() == unsalted.count())
+      // ...but the unsalted plan funnels the hot key through ONE
+      // reducer (>= 50% of all rows in the max partition), while the
+      // salted plan's max partition is a small multiple of the median
+      val (maxU, medU) = partitionSpread(unsalted)
+      val (maxS, medS) = partitionSpread(salted)
+      assert(maxU >= n / 2, s"hot partition should hold the hot key, got $maxU")
+      val ratioU = maxU.toDouble / math.max(1L, medU)
+      val ratioS = maxS.toDouble / math.max(1L, medS)
+      assert(ratioS * 4 < ratioU,
+        s"salting must collapse the max/median spread: " +
+          s"unsalted $ratioU (max=$maxU med=$medU), " +
+          s"salted $ratioS (max=$maxS med=$medS)")
+      assert(maxS * 4 < maxU,
+        s"salted max partition $maxS not < 1/4 of unsalted $maxU")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("saltedCount matches plain groupBy counts") {
     val df = (1 to 4000).map(i => (if (i % 10 == 0) "rare" else "hot", i))
       .toDF("k", "v")
