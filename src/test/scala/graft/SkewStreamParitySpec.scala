@@ -80,6 +80,75 @@ class SkewStreamParitySpec extends SparkSpec {
     assert(plain.exceptAll(salted).count() == 0)
   }
 
+  test("EtlJob batch replay equals streaming dedup over day-sliced input") {
+    // the same day-sliced event feed, with one slice re-delivering
+    // rows from an earlier slice, driven down BOTH incremental paths:
+    //  - batch: EtlJob.run folded per slice (layered insertIfAbsent
+    //    dedup on (user_id, ts))
+    //  - streaming: file-per-micro-batch StarSchema.clean +
+    //    Streams.dedup on the same key
+    // Both must land on the identical clean row set — the batch and
+    // streaming dedup are the same operator, not two approximations.
+    import graft.operators.{EtlJob, StarSchema}
+    // watermarks require TIMESTAMP (not NTZ); cast once so BOTH paths
+    // consume identical input (session tz is UTC — deterministic)
+    val events = Tables(spark, "/root/testdata/sf0.001").events
+      .withColumn("ts", $"ts".cast("timestamp"))
+    val dates = events.select(to_date($"ts").as("d")).distinct()
+      .orderBy($"d").as[java.sql.Date].collect()
+    val slices = (0 until 3).map { i =>
+      val own = dates.zipWithIndex.collect {
+        case (d, j) if j % 3 == i => d
+      }.toSet
+      events.where(to_date($"ts").isInCollection(own))
+    }
+    // slice 2 re-delivers every row of slice 0: cross-batch duplicates
+    val feed = Seq(slices(0), slices(1), slices(2).unionAll(slices(0)))
+    // canonical column order for comparison: insertIfAbsent's join
+    // puts its key columns first, so the two sides' frames agree on
+    // COLUMNS but not on their order
+    val cols = StarSchema.clean(events).columns.sorted.toSeq
+
+    val batchFinal = feed.zipWithIndex
+      .foldLeft(Option.empty[EtlJob.EtlState]) { case (st, (b, i)) =>
+        Some(EtlJob.run(st, b, s"b$i"))
+      }.get.clean
+      .select(cols.map(col): _*)
+      .collect().map(_.toString).sorted
+
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_etl_stream")
+    feed.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val streamed = spark.readStream
+      .schema(events.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    // the watermark is held WIDER than the corpus on purpose: the
+    // micro-batches arrive day-interleaved (file order is not the
+    // event-time order), and a tight watermark would discard whole
+    // slices as late data before the dedup state ever saw them. This
+    // spec pins dedup-operator parity; lateness semantics are pinned
+    // separately by the watermark-bounded dedup specs.
+    val q = Streams.dedup(StarSchema.clean(streamed), "3650 days")
+      .writeStream.format("memory").queryName("etl_dedup_parity")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+    val streamFinal = spark.table("etl_dedup_parity")
+      .select(cols.map(col): _*)
+      .collect().map(_.toString).sorted
+
+    assert(streamFinal.length == batchFinal.length,
+      s"streaming ${streamFinal.length} rows vs batch ${batchFinal.length}")
+    val onlyBatch = batchFinal.diff(streamFinal)
+    val onlyStream = streamFinal.diff(batchFinal)
+    assert(onlyBatch.isEmpty && onlyStream.isEmpty,
+      s"batch-only (${onlyBatch.length}): ${onlyBatch.take(2).mkString(" | ")}; " +
+        s"stream-only (${onlyStream.length}): ${onlyStream.take(2).mkString(" | ")}")
+  }
+
   test("streaming hourly counts over the real events equal the batch result") {
     // stream the sf0.001 events parquet with Trigger.AvailableNow and
     // compare against the same aggregation run as a batch query
