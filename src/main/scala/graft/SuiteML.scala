@@ -18,8 +18,41 @@ object SuiteML {
     Tables(s, d).embeddings
 
   /** Merge rounds for the iterated BPE trainer — shared between the
-    * Spark query and its unrolled-CTE oracle so they cannot drift. */
+    * Spark queries and their unrolled-CTE oracles so they cannot
+    * drift. */
   private val BpeRounds = 5
+
+  /** The BPE trainer as unrolled DuckDB CTEs (word-frequency table,
+    * wrapped-symbol sequences, one (pairs, top-1, merge) round per
+    * iteration), shared by the merge-table and encode oracles —
+    * generated from one loop so the round structure cannot drift from
+    * the Spark trainer's. Leaves seq0..seqN / t1..tN in scope. */
+  private def bpeCtes(rounds: Int): String = {
+    val head = """WITH wf AS (
+      |  SELECT word, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  WHERE len(word) >= 2 AND strpos(word, chr(31)) = 0
+      |  GROUP BY 1),
+      |seq0 AS (
+      |  SELECT word, array_to_string(list_transform(string_split(word, ''),
+      |           c -> chr(31) || c || chr(31)), '') AS seq, n
+      |  FROM wf)""".stripMargin
+    val per = (1 to rounds).map { r =>
+      s"""
+      |p$r AS (
+      |  SELECT cs[2*i] AS lhs, cs[2*i+2] AS rhs, CAST(sum(n) AS BIGINT) AS n_pairs
+      |  FROM (SELECT cs, n, unnest(generate_series(1, (len(cs)-1)//2 - 1)) AS i
+      |        FROM (SELECT string_split(seq, chr(31)) AS cs, n FROM seq${r - 1})
+      |        WHERE len(cs) >= 5)
+      |  GROUP BY 1, 2),
+      |t$r AS (SELECT lhs, rhs, n_pairs FROM p$r ORDER BY n_pairs DESC, lhs, rhs LIMIT 1),
+      |seq$r AS (
+      |  SELECT word, replace(seq, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
+      |                 chr(31)||lhs||rhs||chr(31)) AS seq, n
+      |  FROM seq${r - 1}, t$r)""".stripMargin
+    }.mkString(",")
+    head + "," + per
+  }
 
   /** Shared oracle CTEs: tokens with position, and distinct 3-gram
     * shingle sets built per-row from the token list (mirrors the
@@ -875,35 +908,31 @@ object SuiteML {
     Q("text_bpe_merges",
       (s, d) => TextOps.bpeMerges(docs(s, d), rounds = BpeRounds),
       Some {
-        val head = """WITH wf AS (
-          |  SELECT word, CAST(count(*) AS BIGINT) AS n
-          |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
-          |  WHERE len(word) >= 2 AND strpos(word, chr(31)) = 0
-          |  GROUP BY 1),
-          |seq0 AS (
-          |  SELECT array_to_string(list_transform(string_split(word, ''),
-          |           c -> chr(31) || c || chr(31)), '') AS seq, n
-          |  FROM wf)""".stripMargin
-        val per = (1 to BpeRounds).map { r =>
-          s"""
-          |p$r AS (
-          |  SELECT cs[2*i] AS lhs, cs[2*i+2] AS rhs, CAST(sum(n) AS BIGINT) AS n_pairs
-          |  FROM (SELECT cs, n, unnest(generate_series(1, (len(cs)-1)//2 - 1)) AS i
-          |        FROM (SELECT string_split(seq, chr(31)) AS cs, n FROM seq${r - 1})
-          |        WHERE len(cs) >= 5)
-          |  GROUP BY 1, 2),
-          |t$r AS (SELECT lhs, rhs, n_pairs FROM p$r ORDER BY n_pairs DESC, lhs, rhs LIMIT 1),
-          |seq$r AS (
-          |  SELECT replace(seq, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
-          |                 chr(31)||lhs||rhs||chr(31)) AS seq, n
-          |  FROM seq${r - 1}, t$r)""".stripMargin
-        }.mkString(",")
         val union = (1 to BpeRounds).map(r =>
           s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, " +
             s"lhs || rhs AS merged, n_pairs FROM t$r")
           .mkString("\nUNION ALL\n")
-        head + "," + per + "\n" + union
+        bpeCtes(BpeRounds) + "\n" + union
       }),
+
+    // ---- tokenizer training: ENCODE with the trained merges -------------
+    // The consumer side of the trainer: per-document token counts
+    // after the learned merges are applied — what sequence packing
+    // and training-cost budgeting consume. Same unrolled CTEs, final
+    // per-word segmentations joined back to the corpus.
+    Q("text_bpe_encode",
+      (s, d) => TextOps.bpeEncode(docs(s, d), rounds = BpeRounds),
+      Some(s"""${bpeCtes(BpeRounds)},
+        |enc AS (SELECT word,
+        |          CAST((len(string_split(seq, chr(31))) - 1) // 2 AS BIGINT) AS n_tok
+        |        FROM seq$BpeRounds),
+        |tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT doc_id,
+        |  CAST(COALESCE(SUM(CASE
+        |    WHEN len(word) >= 2 AND strpos(word, chr(31)) = 0 THEN enc.n_tok
+        |    WHEN len(word) = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bpe_tokens
+        |FROM tokd LEFT JOIN enc USING (word)
+        |GROUP BY doc_id""".stripMargin)),
 
     // ---- text analysis: fingerprinting ----------------------------------
     Q("text_fingerprint",

@@ -1158,14 +1158,61 @@ object TextOps {
   def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
     require(rounds >= 1 && rounds <= 100,
       s"rounds must be in [1, 100], got $rounds")
-    val sep = "\u001F"
+    val records = bpeTrain(docs, rounds)._2
+    val s = docs.sparkSession
+    import s.implicits._
+    records.toDF("merge_round", "lhs", "rhs", "merged", "n_pairs")
+  }
+
+  /** Tokenize the corpus WITH the trained merges — the consumer side
+    * of [[bpeMerges]]: every word collapses to its final subword
+    * segmentation after `rounds` merges, and each document reports its
+    * resulting token count (the number a training pipeline budgets
+    * sequence packing and cost by). 1-char words (below the trainer's
+    * pair floor) count as one token each.
+    *
+    * Scale shape: the per-word segmentation is vocabulary-sized; the
+    * corpus joins to it once on the word key (a keyed shuffle join —
+    * at 100 TB the vocabulary is NOT broadcast-safe), then one
+    * per-doc count shuffle. */
+  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    require(rounds >= 1 && rounds <= 100,
+      s"rounds must be in [1, 100], got $rounds")
+    val seqs = bpeTrain(docs, rounds)._1
+    // m symbols -> split produces 2m+1 elements; (2m+1-1)/2.0 = m is
+    // exact in double for any real vocabulary
+    val perWord = seqs.select(col("word"),
+      ((size(split(col("seq"), BpeSep)) - lit(1)) / lit(2))
+        .cast("long").as("n_tok"))
+    tokens(docs)
+      .join(perWord, Seq("word"), "left")
+      .select(col("doc_id"),
+        when(length(col("word")) >= 2 && !col("word").contains(BpeSep),
+          col("n_tok"))
+          .when(length(col("word")) === 1, lit(1L))
+          .otherwise(lit(0L)).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tok")).as("n_bpe_tokens"))
+  }
+
+  /** Unit separator framing the BPE symbol sequences — never present
+    * in whitespace-tokenized text. */
+  private val BpeSep = "\u001F"
+
+  /** The shared trainer loop behind [[bpeMerges]] (wants the merge
+    * records) and [[bpeEncode]] (wants the final per-word
+    * segmentations): returns the final (word, seq, n) frame and the
+    * per-round merge records. */
+  private def bpeTrain(docs: DataFrame, rounds: Int)
+      : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
+    val sep = BpeSep
     // 1-char words can never pair and never change: drop them up
     // front. Words containing the separator would corrupt the framing
     // (none exist in whitespace-tokenized text, but stay defensive).
     val wf = tokens(docs)
       .where(length(col("word")) >= 2 && !col("word").contains(sep))
       .groupBy(col("word")).agg(count(lit(1)).as("n"))
-    var seqs = wf.select(
+    var seqs = wf.select(col("word"),
         concat_ws("", transform(split(col("word"), ""),
           c => concat(lit(sep), c, lit(sep)))).as("seq"),
         col("n"))
@@ -1197,17 +1244,14 @@ object TextOps {
         records += ((r.toLong, l, rr, l + rr, n))
         val pat = sep + l + sep + sep + rr + sep
         val rep = sep + l + rr + sep
-        seqs = seqs.select(
+        seqs = seqs.select(col("word"),
             call_function("replace", col("seq"), lit(pat), lit(rep))
               .as("seq"), col("n"))
           .localCheckpoint()
         r += 1
       }
     }
-    val s = docs.sparkSession
-    import s.implicits._
-    records.result()
-      .toDF("merge_round", "lhs", "rhs", "merged", "n_pairs")
+    (seqs, records.result())
   }
 
   /** Long-document chunking with overlap — the step that turns a

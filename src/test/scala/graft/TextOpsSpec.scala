@@ -497,6 +497,21 @@ class TextOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](TextOps.bpeMerges(d, 0))
   }
 
+  test("bpeEncode applies the trained merges to the corpus") {
+    val d = docsDf(Seq(
+      (1L, "aaaa bcbc x", "en", "s"),
+      (2L, "aaaa", "en", "s")))
+    def counts(rounds: Int): Map[Long, Long] =
+      TextOps.bpeEncode(d, rounds).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_bpe_tokens"))
+        .toMap
+    // after round 1 (merge (a,a)): aaaa->[aa,aa]=2, bcbc->4 chars,
+    // x->1 (single-char word, below the trainer's pair floor)
+    assert(counts(1) == Map(1L -> 7L, 2L -> 2L))
+    // trained to convergence every word is one token
+    assert(counts(10) == Map(1L -> 3L, 2L -> 1L))
+  }
+
   test("chunk covers every token with bounded overlapping windows") {
     val d = docsDf(Seq(
       (1L, (1 to 20).map(i => s"t$i").mkString(" "), "en", "s"), // 20 toks
