@@ -37,10 +37,10 @@ class SuiteContractSpec extends SparkSpec {
     assert(bad.isEmpty, bad.mkString("\n"))
   }
 
-  test("oracle coverage: every query has an oracle or a documented rows-only reason") {
+  test("oracle coverage: EVERY query has a full oracle") {
+    // since r7 even the stubbed media decode carries a hash-checked
+    // oracle (exact-integer millis projection) — no exceptions remain
     val noOracle = Suite.all.filter(_.oracle.isEmpty).map(_.name).toSet
-    // the only intentional rows-only check: the stubbed media decode
-    // (an_approx_distinct is oracle-checked via its error-bound contract)
-    assert(noOracle == Set("mm_features"), noOracle)
+    assert(noOracle.isEmpty, noOracle)
   }
 }
