@@ -47,9 +47,14 @@ object SuiteML {
       |  GROUP BY 1, 2),
       |t$r AS (SELECT lhs, rhs, n_pairs FROM p$r ORDER BY n_pairs DESC, lhs, rhs LIMIT 1),
       |seq$r AS (
-      |  SELECT word, replace(seq, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
-      |                 chr(31)||lhs||rhs||chr(31)) AS seq, n
-      |  FROM seq${r - 1}, t$r)""".stripMargin
+      |  -- LEFT JOIN + COALESCE, not a cross join: when a round has no
+      |  -- pairs left (t empty) the segmentations pass through
+      |  -- UNCHANGED, mirroring the Spark trainer's early stop (a
+      |  -- cross join would empty the table and zero every later count)
+      |  SELECT word,
+      |         COALESCE(replace(seq, chr(31)||lhs||chr(31)||chr(31)||rhs||chr(31),
+      |                  chr(31)||lhs||rhs||chr(31)), seq) AS seq, n
+      |  FROM seq${r - 1} LEFT JOIN t$r ON TRUE)""".stripMargin
     }.mkString(",")
     head + "," + per
   }

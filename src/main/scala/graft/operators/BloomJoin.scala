@@ -96,8 +96,13 @@ object BloomJoin {
     // the join keys are resolved against their OWN frames — a bare
     // col(bigKey) === col(smallKey) resolves against the combined
     // output and throws AMBIGUOUS_REFERENCE whenever both sides name
-    // the key identically (the common case for natural keys)
+    // the key identically (the common case for natural keys). When
+    // the names DO collide, the small side's copy is dropped from the
+    // output as well: keeping both would just defer the same
+    // ambiguity to the caller's first select/groupBy by that name
+    // (the values are equal by the join predicate — nothing is lost).
     val pruned = prune(big, bigKey, filter)
-    pruned.join(s, pruned(bigKey) === s(smallKey))
+    val joined = pruned.join(s, pruned(bigKey) === s(smallKey))
+    if (bigKey == smallKey) joined.drop(s(smallKey)) else joined
   }
 }

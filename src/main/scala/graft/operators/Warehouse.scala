@@ -50,9 +50,11 @@ object Warehouse {
     * row-count check between write and swap so a bad rewrite can never
     * replace good data. Returns the new file count.
     *
-    * The swap is delete-then-rename: a crash between the two leaves
-    * the full compacted copy at `<path>.compact-tmp` (recovery is a
-    * manual rename), never a partial state. Partitioned layouts
+    * The swap is [[swapInto]]'s rename-aside protocol: a complete
+    * readable copy exists at every instant (either `path` itself, or
+    * `<path>.prev` alongside the verified rewrite at
+    * `<path>.compact-tmp`), and a crashed previous swap is recovered
+    * automatically on entry. Partitioned layouts
     * compact per-partition — this operator refuses subdirectories
     * rather than silently flattening them. */
   def compact(spark: SparkSession, path: String,
@@ -60,6 +62,7 @@ object Warehouse {
     require(targetBytes > 0, s"targetBytes must be positive: $targetBytes")
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverSwap(fs, p)
     require(fs.exists(p), s"no directory to compact at $path")
     val entries = fs.listStatus(p).toSeq
     require(entries.forall(!_.isDirectory),
@@ -108,6 +111,22 @@ object Warehouse {
     fs.delete(prev, true)
   }
 
+  /** Heal the crash window of a PREVIOUS [[swapInto]] on entry: if
+    * `path` is missing but the aside copy exists, the last run died
+    * between the two renames — restore `<path>.prev` to `path` so
+    * readers (and this run's own failure paths) always see a table.
+    * Without this, a recovery publish whose AUDIT fails would delete
+    * its staging copy and leave `path` absent indefinitely even
+    * though the old data sat untouched at `.prev`. */
+  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Unit = {
+    val prev = new org.apache.hadoop.fs.Path(p.toString + ".prev")
+    if (!fs.exists(p) && fs.exists(prev))
+      require(fs.rename(prev, p),
+        s"found a crashed swap (no table at $p, previous copy at " +
+          s"$prev) but could not restore it — rename it manually.")
+  }
+
   /** Write-audit-publish: the sink discipline a production load runs
     * so a bad batch can never become the readable table — write the
     * frame to a staging directory, run the expectation rules
@@ -128,6 +147,10 @@ object Warehouse {
     val s = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // a crashed previous swap is healed FIRST, so even if this run's
+    // audit fails (which removes its own staging copy) the old table
+    // is back at `path`, not stranded at `.prev`
+    recoverSwap(fs, p)
     val tmp = new org.apache.hadoop.fs.Path(path + ".publish-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)

@@ -44,9 +44,27 @@ object HttpFetch {
         }
       code match {
         case 200 =>
-          val in = conn.getInputStream
-          try new String(in.readAllBytes(), StandardCharsets.UTF_8)
-          finally in.close()
+          // the body read is inside the retryable envelope too: a
+          // connection reset or read timeout MID-BODY is the same
+          // transient transport failure as one before the status
+          // line. A body SHORTER than the announced Content-Length is
+          // the silent form of the same failure (the JDK surfaces a
+          // clean EOF, not an error) — detected explicitly so a
+          // truncated response can never land in the drop zone as if
+          // it were complete.
+          val bytes =
+            try {
+              val in = conn.getInputStream
+              try in.readAllBytes() finally in.close()
+            } catch {
+              case e: IOException =>
+                throw IngestClient.Retryable(s"transport: ${e.getMessage}")
+            }
+          val announced = conn.getContentLengthLong
+          if (announced >= 0 && bytes.length < announced)
+            throw IngestClient.Retryable(
+              s"truncated body: ${bytes.length} of $announced bytes")
+          new String(bytes, StandardCharsets.UTF_8)
         case 429 =>
           throw IngestClient.RateLimited(retryAfterMs(conn))
         case 401 =>

@@ -61,6 +61,34 @@ object JsonSource {
       .select(explode(col("items")).as("item"))
       .select(col("item.*"))
 
+  /** [[responseSchema]] plus the PERMISSIVE-mode corrupt-record
+    * capture column. */
+  val auditedResponseSchema: StructType =
+    responseSchema.add(StructField("_corrupt_record", StringType))
+
+  /** Audited envelope read: (exploded item docs, quarantined envelope
+    * lines). An envelope is quarantined when it fails to parse OR
+    * parses without an `items` array — a truncated collector write
+    * usually still parses as valid-JSON-prefix garbage, and a plain
+    * explode would silently drop it from the batch (the ingestion
+    * equivalent of data loss). Same one-parse localCheckpoint
+    * rationale as [[quarantine]]. */
+  def readResponsesAudited(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    val raw = spark.read.schema(auditedResponseSchema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+      .localCheckpoint()
+    val good = raw
+      .where(col("_corrupt_record").isNull && col("items").isNotNull)
+      .select(explode(col("items")).as("item"))
+      .select(col("item.*"))
+    val bad = raw.where(col("_corrupt_record").isNotNull ||
+      col("items").isNull)
+    (good, bad)
+  }
+
   /** [[listeningSchema]] plus the PERMISSIVE-mode corrupt-record
     * capture column. */
   val auditedSchema: StructType =

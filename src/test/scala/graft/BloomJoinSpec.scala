@@ -40,6 +40,11 @@ class BloomJoinSpec extends SparkSpec {
     val expected = t.orders.join(buyers,
       $"o_custkey" === $"custkey").count()
     assert(joined.count() == expected)
+    // and the OUTPUT is usable: only one 'custkey' column survives,
+    // so selecting/grouping by the shared name cannot re-trigger the
+    // ambiguity downstream
+    assert(joined.columns.count(_ == "custkey") == 1)
+    assert(joined.groupBy("custkey").count().count() > 0)
   }
 
   test("the prune removes non-matching rows before the join") {

@@ -151,6 +151,51 @@ class HttpIngestSpec extends SparkSpec {
     } finally server.stop(0)
   }
 
+  test("a transport failure MID-BODY is retryable, not fatal") {
+    // 200 status, then the connection dies during the body: the
+    // server announces more bytes than it writes, so the client's
+    // read hits a premature EOF AFTER the status line was accepted.
+    // That is the same transient failure as a pre-status reset and
+    // must consume a retry, not kill the collector run.
+    val calls = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/flaky", ex => {
+      if (calls.incrementAndGet() == 1) {
+        ex.sendResponseHeaders(200, 1000L) // promises 1000 bytes...
+        ex.getResponseBody.write(
+          "oops".getBytes(StandardCharsets.UTF_8)) // ...delivers 4
+        ex.close()
+      } else respond(ex, 200, """{"ok":true}""")
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1/flaky"
+      val got = IngestClient.withRetries(
+        IngestClient.RetryPolicy(maxRetries = 2), _ => ())(
+        _ => HttpFetch.get(url))
+      assert(got == """{"ok":true}""")
+      assert(calls.get() == 2)
+    } finally server.stop(0)
+  }
+
+  test("truncated envelopes are quarantined, not silently dropped") {
+    val drop = Files.createTempDirectory("graft_audit_drop")
+    val good = s"""{"items":[${doc("t9", "2024-01-02T09:00:00Z", "Nine")}]}"""
+    // a crashed collector write: valid JSON prefix, no items array
+    val truncated = """{"item"""
+    // parses fine but carries no items — still not a silent no-op
+    val itemless = """{"status":"ok"}"""
+    Files.write(drop.resolve("pages.json"),
+      s"$good\n$truncated\n$itemless".getBytes(StandardCharsets.UTF_8))
+    val (docs, rejects) =
+      JsonSource.readResponsesAudited(spark, drop.toString)
+    assert(docs.count() == 1)
+    assert(docs.collect()(0).getAs[String]("track_id") == "t9")
+    // BOTH failure shapes land in the reject frame for the ops table
+    assert(rejects.count() == 2)
+  }
+
   test("auth failures are fatal, not retried") {
     val calls = new AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)

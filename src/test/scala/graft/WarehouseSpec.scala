@@ -169,8 +169,19 @@ class WarehouseSpec extends SparkSpec {
     assert(spark.read.parquet(base + ".prev").count() == 2)
     assert(spark.read.parquet(tmp.toString).count() == 1)
 
-    // recovery is just running the publish again: the stale .prev is
-    // dropped, the fresh batch swaps in, nothing is left behind
+    // recovery path 1: the next publish FAILS its audit — the crashed
+    // swap must still be healed first, so the OLD table is restored
+    // at `path` (not stranded at .prev) and the bad batch is gone
+    val bad = Seq((9L, -1.0)).toDF("id", "v")
+    intercept[IllegalStateException](
+      Warehouse.publishAudited(bad, base, Seq("v_pos" -> ($"v" > 0))))
+    val restored = spark.read.parquet(base)
+    assert(restored.count() == 2, "old table not restored after crash")
+    assert(!new java.io.File(base + ".prev").exists())
+    assert(!new java.io.File(base + ".publish-tmp").exists())
+
+    // recovery path 2: a PASSING publish swaps the fresh batch in and
+    // leaves nothing behind
     Warehouse.publishAudited(v2, base, Seq("v_pos" -> ($"v" > 0)))
     val after = spark.read.parquet(base)
     assert(after.count() == 1 && after.collect()(0).getLong(0) == 3L)
