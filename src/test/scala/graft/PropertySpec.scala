@@ -145,6 +145,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("BPE laws hold on random corpora: monotone counts, exact floors") {
+    // the trainer/encoder pair on randomized corpora: each extra merge
+    // round can only SHRINK per-doc token counts, counts never fall
+    // below the per-doc word count (one token per word is the fixed
+    // point), and round-1 counts never exceed the character count
+    val rnd = new Random(7)
+    val alphabet = "abcd"
+    def word() = (0 until 1 + rnd.nextInt(6))
+      .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    (1 to 2).foreach { trial =>
+      val docs = docsDf((1L to 8L).map(id =>
+        (id, (0 until 3 + rnd.nextInt(10)).map(_ => word())
+          .mkString(" "), "en", "s")))
+      def counts(rounds: Int): Map[Long, Long] =
+        graft.operators.TextOps.bpeEncode(docs, rounds).collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val c1 = counts(1)
+      val c4 = counts(4)
+      val words = docs.select($"doc_id",
+          expr("size(filter(split(text, ' '), w -> w != ''))")
+            .cast("long").as("n_words"),
+          expr("length(replace(text, ' ', ''))").cast("long")
+            .as("n_chars"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      words.foreach { case (id, nWords, nChars) =>
+        assert(c4(id) <= c1(id),
+          s"trial $trial doc $id: counts grew ${c1(id)} -> ${c4(id)}")
+        assert(c4(id) >= nWords,
+          s"trial $trial doc $id: ${c4(id)} below word floor $nWords")
+        assert(c1(id) <= nChars,
+          s"trial $trial doc $id: ${c1(id)} above char ceiling $nChars")
+      }
+    }
+  }
+
   test("PQ top-k is deterministic and input-order invariant") {
     // min(struct)/sum argmin-aggregation is associative+commutative
     // over exact integers, so ANY partitioning yields the same ranking
