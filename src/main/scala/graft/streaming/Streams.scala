@@ -200,12 +200,56 @@ object Streams {
       checkpointLocation: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
+    versionedFoldSink(docs, statePath, checkpointLocation)(
+      batch => graft.operators.TextOps.dedupExact(batch))(
+      (prev, inc) => prev.unionByName(inc)
+        .groupBy(col("content_hash"))
+        .agg(min(col("kept_doc_id")).as("kept_doc_id"),
+          sum(col("n_copies")).as("n_copies")))
+
+  /** Streaming MinHash signature maintenance — the NEAR-dup analog of
+    * [[dedupExactSink]]: each micro-batch's per-doc signatures
+    * ([[graft.operators.TextOps.minhashSignature]]) fold into the
+    * versioned state by per-column MIN on the doc key. Min is
+    * associative, commutative and IDEMPOTENT, so any doc-level
+    * slicing, reordering, or re-delivery of the corpus converges to
+    * the batch signature table exactly (re-delivered docs are
+    * no-ops — the incremental dedup-state property). Candidates then
+    * come from [[graft.operators.TextOps.minhashBands]] over the
+    * state, off the hot path. Per batch: one signature aggregation
+    * over the batch + one keyed state merge, O(state + batch). */
+  def minhashSink(docs: DataFrame, statePath: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    versionedFoldSink(docs, statePath, checkpointLocation)(
+      batch => graft.operators.TextOps.minhashSignature(batch)) {
+      (prev, inc) =>
+        val sigCols = inc.columns.filter(_ != "doc_id").toSeq
+        prev.unionByName(inc).groupBy(col("doc_id"))
+          .agg(min(col(sigCols.head)).as(sigCols.head),
+            sigCols.tail.map(c => min(col(c)).as(c)): _*)
+    }
+
+  /** The shared versioned-fold protocol behind [[dedupExactSink]] and
+    * [[minhashSink]]: per-batch increment `incOf`, monotone state
+    * merge `merge`, batchId-versioned parquet state with run-marker
+    * binding, _SUCCESS-gated predecessors, and replay-idempotent
+    * overwrite (see [[dedupExactSink]]'s contract for the full
+    * rationale — the invariants live HERE so every fold sink shares
+    * them). */
+  private def versionedFoldSink(docs: DataFrame, statePath: String,
+      checkpointLocation: String)
+      (incOf: DataFrame => DataFrame)
+      (merge: (DataFrame, DataFrame) => DataFrame)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
     docs.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val inc = graft.operators.TextOps.dedupExact(batch.toDF())
+        val inc = incOf(batch.toDF())
         val root = new org.apache.hadoop.fs.Path(statePath)
         val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
         val versions = stateVersions(fs, root)
@@ -218,7 +262,7 @@ object Streams {
         // predecessor would silently discard its counts while readers
         // kept seeing the stale higher version — refuse instead
         require(versions.forall(_ <= batchId),
-          s"dedup state at $statePath has version(s) " +
+          s"versioned state at $statePath has version(s) " +
             versions.filter(_ > batchId).sorted.mkString("b", ", b", "") +
             s" ahead of batch $batchId; the checkpoint at " +
             s"$checkpointLocation was cleared or rewound. Clear " +
@@ -233,7 +277,7 @@ object Streams {
         prevId.foreach { p =>
           require(fs.exists(
             new org.apache.hadoop.fs.Path(root, s"b$p/_SUCCESS")),
-            s"dedup state version b$p at $statePath has no _SUCCESS " +
+            s"state version b$p at $statePath has no _SUCCESS " +
               "marker; the sink needs the parquet committer's success " +
               "markers (mapreduce.fileoutputcommitter." +
               "marksuccessfuljobs=true) to tell committed state from a " +
@@ -244,31 +288,33 @@ object Streams {
           case None => s.createDataFrame(s.sparkContext.emptyRDD[
             org.apache.spark.sql.Row], inc.schema)
         }
-        val merged = prev.unionByName(inc)
-          .groupBy(col("content_hash"))
-          .agg(min(col("kept_doc_id")).as("kept_doc_id"),
-            sum(col("n_copies")).as("n_copies"))
-        merged.write.mode("overwrite").parquet(s"$statePath/b$batchId")
+        merge(prev, inc).write.mode("overwrite")
+          .parquet(s"$statePath/b$batchId")
         prevId.foreach(p => versions.filter(_ < p).foreach(v =>
           fs.delete(new org.apache.hadoop.fs.Path(root, s"b$v"), true)))
         ()
     }
 
-  /** The latest COMMITTED dedup state written by [[dedupExactSink]]:
-    * only versions carrying the committer's _SUCCESS marker qualify, so
-    * an in-flight or crash-truncated write is never read. The returned
-    * frame is lazy — the sink retains the predecessor for one batch, so
-    * read it promptly (or persist it) if the stream is still running;
-    * a reader that sits on the frame for multiple batches can race the
-    * sink's pruning. */
-  def dedupState(s: org.apache.spark.sql.SparkSession,
+  /** The latest COMMITTED state written by a versioned fold sink
+    * ([[dedupExactSink]], [[minhashSink]]): only versions carrying the
+    * committer's _SUCCESS marker qualify, so an in-flight or
+    * crash-truncated write is never read. The returned frame is
+    * lazy — the sink retains the predecessor for one batch, so read it
+    * promptly (or persist it) if the stream is still running; a reader
+    * that sits on the frame for multiple batches can race the sink's
+    * pruning. */
+  def foldState(s: org.apache.spark.sql.SparkSession,
       statePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val versions = committedVersions(fs, root)
-    require(versions.nonEmpty, s"no dedup state committed at $statePath")
+    require(versions.nonEmpty, s"no state committed at $statePath")
     s.read.parquet(s"$statePath/b${versions.max}")
   }
+
+  /** [[foldState]] under its historical name — the exact-dedup reader. */
+  def dedupState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame = foldState(s, statePath)
 
   case class Ev(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)

@@ -38,6 +38,45 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("streaming minhash signatures over sliced corpus equal the batch table") {
+    // the NEAR-dup analog of the exact parity above: signatures are
+    // per-doc MIN aggregates, so the per-batch fold (min-merge on the
+    // doc key) converges to the batch signature table for any
+    // doc-level slicing — and because min is idempotent, a slice
+    // RE-DELIVERING earlier docs is a no-op, the property that makes
+    // this a dedup state and not just an accumulator.
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val third = (r: Int) => docs.where(pmod($"doc_id", lit(3)) === r)
+    val slices = Seq(third(0), third(1), third(2).unionAll(third(0)))
+
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_mh_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_mh_state").resolve("state").toString
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = Streams.minhashSink(stream, statePath,
+        java.nio.file.Files.createTempDirectory("graft_mh_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+
+    val got = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.minhashSignature(docs)
+      .collect().map(_.toString).sorted
+    assert(got.length == expected.length,
+      s"state ${got.length} rows vs batch ${expected.length}")
+    assert(got.sameElements(expected))
+  }
+
   test("dedupState skips a crash-truncated version (no _SUCCESS)") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_dedup_partial").resolve("state").toString
