@@ -329,15 +329,14 @@ object SuiteML {
        |shh AS (SELECT doc_id, $bits AS simhash FROM v)""".stripMargin
   }
 
-  /** Full trained-IVF recall pipeline as one oracle: 2 Lloyd rounds
-    * (assign by exact-integer cosine, re-quantize means with
-    * round-half-away — mirrors [[EmbeddingOps.kmeansCentroids]]), then
-    * the nProbe=4 IVF probe with the trained centroids, then recall@10
-    * against the brute-force top-10. The rounds are generated
-    * programmatically like [[MinhashSigSql]] so iteration count lives
-    * in ONE place. */
-  private val IvfRecallSql: String = {
-    val iters = 2
+  /** Lloyd-trained coarse-quantizer assignment as CTEs — `iters`
+    * rounds of (assign by exact-integer cosine, re-quantize means
+    * with round-half-away — mirrors
+    * [[graft.operators.EmbeddingOps.kmeansCentroids]]), ending in
+    * `cells(vec_id, cell)` with `eq`, `cents$iters`, and `frk` still
+    * in scope. Shared by the IVF-recall and semantic-dedup oracles so
+    * the training+assignment pipeline lives in ONE generator. */
+  private def kmeansCellsCte(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val p = s"cents${i - 1}"
       s"""scored$i AS (SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
@@ -372,7 +371,15 @@ object SuiteML {
        |          s.cent_id) AS crk
        | FROM fscored s JOIN n nv ON nv.vec_id = s.vec_id
        |                JOIN cents$iters c ON c.cent_id = s.cent_id),
-       |cells AS (SELECT vec_id, cent_id AS cell FROM frk WHERE crk = 1),
+       |cells AS (SELECT vec_id, cent_id AS cell FROM frk WHERE crk = 1)""".stripMargin
+  }
+
+  /** Full trained-IVF recall pipeline as one oracle:
+    * [[kmeansCellsCte]] (2 Lloyd rounds), then the nProbe=4 IVF probe
+    * with the trained centroids, then recall@10 against the
+    * brute-force top-10. */
+  private val IvfRecallSql: String = {
+    s"""${kmeansCellsCte(2)},
        |probes AS (SELECT vec_id AS query_id, cent_id AS cell
        |           FROM frk WHERE vec_id < 5 AND crk <= 4),
        |cand AS (SELECT p.query_id, cl.vec_id
@@ -1037,6 +1044,30 @@ object SuiteML {
         |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
         |FROM dots JOIN n na ON na.vec_id = vec_a
         |          JOIN n nb ON nb.vec_id = vec_b
+        |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45""".stripMargin)),
+
+    // ---- dedup: SemDeDup-style cluster-then-prune — the THIRD
+    // embedding near-dup route: candidates bounded by the TRAINED
+    // k-means cells instead of random hyperplanes (Abbas et al. 2023).
+    // Oracle reuses the IVF pipeline's Lloyd-round generator, so the
+    // training+assignment arithmetic cannot drift between routes -----
+    Q("dedup_semantic",
+      (s, d) => EmbeddingOps.semanticDedup(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |${kmeansCellsCte(2)},
+        |pp2 AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
+        |        FROM cells a JOIN cells b ON a.cell = b.cell
+        |                                 AND a.vec_id < b.vec_id),
+        |ppx AS (SELECT pp2.cell, pp2.vec_a, pp2.vec_b,
+        |               unnest(ea.q) AS x, unnest(eb.q) AS y
+        |        FROM pp2 JOIN e ea ON ea.vec_id = pp2.vec_a
+        |                 JOIN e eb ON eb.vec_id = pp2.vec_b),
+        |sdots AS (SELECT cell, vec_a, vec_b, SUM(x*y) AS dot
+        |          FROM ppx GROUP BY 1, 2, 3)
+        |SELECT cell, vec_a, vec_b,
+        |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos
+        |FROM sdots JOIN n na ON na.vec_id = vec_a
+        |           JOIN n nb ON nb.vec_id = vec_b
         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45""".stripMargin)),
 
     // ---- similarity: LSH-bucketed nearest neighbor (the scale path) -----

@@ -434,6 +434,36 @@ object EmbeddingOps {
     cents
   }
 
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al.,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication", 2023): cluster with the TRAINED coarse quantizer
+    * ([[kmeansCentroidsQ]]), then generate candidate pairs only
+    * WITHIN each cluster — the same sum-of-per-cell-quadratics bound
+    * as [[nearDupCosineLsh]], but with data-adapted partitions
+    * instead of random hyperplanes (SemDeDup's observation: semantic
+    * duplicates concentrate inside k-means cells of the embedding
+    * space). Output keeps the cell so survivor selection can stay
+    * per-cluster; the recall trade is the same as LSH's — a
+    * qualifying pair split across cells is missed. Centroids are
+    * centroid-cardinality (broadcast); the pair join shuffles on the
+    * cell key only. */
+  def semanticDedup(emb: DataFrame, nCentroids: Int = 16,
+      iters: Int = 2, threshold: Double = 0.45): DataFrame = {
+    val e = quantized(emb).localCheckpoint()
+    val cents = kmeansCentroidsQ(e, nCentroids, iters)
+    val cells = rankedAgainst(e, cents).where(col("crk") === 1)
+      .select(col("vec_id"), col("q"), col("nn"),
+        col("cent_id").as("cell"))
+    cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.cell").as("cell"),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine(qdot(col("a.q"), col("b.q")), col("a.nn"), col("b.nn"))
+          .as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
   /** Clustering objective for the trained quantizer: per-corpus sum of
     * (1 - cos(vector, assigned centroid)) plus the member count — the
     * spherical-k-means inertia the trainer is descending. One row;

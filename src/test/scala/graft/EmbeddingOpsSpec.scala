@@ -57,6 +57,28 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(tiny.contains((0L, 1L)))
   }
 
+  test("semanticDedup pairs are a subset of brute pairs, cosines equal") {
+    // the cluster-then-prune route: every within-cell pair must be a
+    // brute pair with a bit-identical cosine (same exact-integer
+    // arithmetic), and identical vectors always share a cell (they
+    // rank every centroid identically, ties broken the same way), so
+    // exact duplicates are provably never split across cells.
+    val e = Tables(spark, "/root/testdata/sf0.01").embeddings
+    val brute = EmbeddingOps.nearDupCosineBrute(e).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sem = EmbeddingOps.semanticDedup(e).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+    assert(sem.nonEmpty)
+    sem.foreach { case (pair, cos) =>
+      assert(brute.get(pair).contains(cos),
+        s"$pair not in brute or cos differs")
+    }
+    val tiny = EmbeddingOps.semanticDedup(emb, nCentroids = 4,
+        threshold = 0.99)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(tiny.contains((0L, 1L)))
+  }
+
   test("LSH buckets identical vectors together; NN is exact in-bucket") {
     val nn = EmbeddingOps.lshNearestNeighbor(emb).collect()
       .map(r => r.getAs[Long]("vec_id") ->
