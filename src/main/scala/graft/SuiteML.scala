@@ -360,7 +360,7 @@ object SuiteML {
     }.mkString(",\n")
     s"""eq AS (SELECT e.vec_id, e.q, n.nn FROM e JOIN n USING (vec_id)),
        |cents0 AS (SELECT vec_id AS cent_id, q AS cq, CAST(nn AS BIGINT) AS cn
-       |           FROM e JOIN n USING (vec_id) WHERE vec_id < 16),
+       |           FROM e JOIN n USING (vec_id) WHERE vec_id < ${EmbeddingOps.KmSeeds}),
        |$rounds,
        |fscored AS (SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
        |    SELECT eq.vec_id, c.cent_id, unnest(eq.q) AS a, unnest(c.cq) AS b
@@ -379,7 +379,7 @@ object SuiteML {
     * with the trained centroids, then recall@10 against the
     * brute-force top-10. */
   private val IvfRecallSql: String = {
-    s"""${kmeansCellsCte(2)},
+    s"""${kmeansCellsCte(EmbeddingOps.KmIters)},
        |probes AS (SELECT vec_id AS query_id, cent_id AS cell
        |           FROM frk WHERE vec_id < 5 AND crk <= 4),
        |cand AS (SELECT p.query_id, cl.vec_id
@@ -1054,7 +1054,7 @@ object SuiteML {
     Q("dedup_semantic",
       (s, d) => EmbeddingOps.semanticDedup(emb(s, d)),
       Some(s"""WITH $EmbCte,
-        |${kmeansCellsCte(2)},
+        |${kmeansCellsCte(EmbeddingOps.KmIters)},
         |pp2 AS (SELECT a.cell, a.vec_id AS vec_a, b.vec_id AS vec_b
         |        FROM cells a JOIN cells b ON a.cell = b.cell
         |                                 AND a.vec_id < b.vec_id),

@@ -103,6 +103,10 @@ object BloomJoin {
     // (the values are equal by the join predicate — nothing is lost).
     val pruned = prune(big, bigKey, filter)
     val joined = pruned.join(s, pruned(bigKey) === s(smallKey))
-    if (bigKey == smallKey) joined.drop(s(smallKey)) else joined
+    // name equality follows the SESSION's resolver (case-insensitive
+    // by default, like requireIntegralKey's lookup): "CUSTKEY" vs
+    // "custkey" is the same downstream ambiguity as an exact match
+    val resolver = big.sparkSession.sessionState.analyzer.resolver
+    if (resolver(bigKey, smallKey)) joined.drop(s(smallKey)) else joined
   }
 }

@@ -104,12 +104,27 @@ object EmbeddingOps {
     * subset relation; raise nPlanes + multi-probe to trade candidate
     * volume against recall at scale. */
   def nearDupCosineLsh(emb: DataFrame, threshold: Double = 0.45,
-      nPlanes: Int = NPlanes): DataFrame = {
-    val b = bucketed(emb, nPlanes)
-    b.as("a").join(b.as("b"),
-        col("a.bucket") === col("b.bucket") &&
+      nPlanes: Int = NPlanes): DataFrame =
+    pairsWithinGroup(bucketed(emb, nPlanes), "bucket", threshold)
+      .drop("bucket")
+
+  /** Within-group candidate pairs + exact-cosine threshold — the ONE
+    * pair generator behind the LSH and semantic near-dup routes (same
+    * ordered-id convention, same tie-free exact-integer scoring), so
+    * the two candidate-bounding strategies cannot drift in their
+    * verification arithmetic. `frame` carries (groupCol, vec_id, q,
+    * nn) and feeds BOTH sides of the self-join; the CALLER decides
+    * whether to materialize it first (semanticDedup checkpoints its
+    * window-derived cells; the LSH route keeps its lazy plan so the
+    * broadcast-hint shape stays inspectable and exchange reuse covers
+    * the double scan). */
+  private def pairsWithinGroup(g: DataFrame, groupCol: String,
+      threshold: Double): DataFrame = {
+    g.as("a").join(g.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(col(s"a.$groupCol").as(groupCol),
+        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(qdot(col("a.q"), col("b.q")), col("a.nn"), col("b.nn"))
           .as("cos"))
       .where(col("cos") >= threshold)
@@ -117,6 +132,13 @@ object EmbeddingOps {
 
   private val NPlanes = 8
   private val Dim = 64
+
+  /** Coarse-quantizer configuration — PUBLIC because the SQL oracle
+    * generators (SuiteML's kmeansCellsCte) must train the identical
+    * quantizer: seed-centroid count and Lloyd rounds live HERE, in
+    * one place, for both the Spark pipeline and its oracles. */
+  val KmSeeds = 16
+  val KmIters = 2
 
   /** Deterministic pseudo-random hyperplanes (random-hyperplane LSH,
     * Charikar STOC 2002): plane j's coefficient at
@@ -217,7 +239,7 @@ object EmbeddingOps {
       .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
   }
 
-  def ivfTopK(emb: DataFrame, nCentroids: Int = 16, nQueries: Int = 5,
+  def ivfTopK(emb: DataFrame, nCentroids: Int = KmSeeds, nQueries: Int = 5,
       nProbe: Int = 2, k: Int = 10): DataFrame = {
     val e = quantized(emb)
     ivfTopKWith(e, seedCentroids(e, nCentroids), nQueries, nProbe, k)
@@ -378,7 +400,7 @@ object EmbeddingOps {
     * nondeterministically-ordered collect_list. Scale shape: centroids
     * broadcast, corpus scanned once for assignment, component sums are
     * one map-side-combined shuffle keyed (cell, component). */
-  def kmeansStep(emb: DataFrame, nCentroids: Int = 16): DataFrame =
+  def kmeansStep(emb: DataFrame, nCentroids: Int = KmSeeds): DataFrame =
     rankedCentroids(quantized(emb), nCentroids)
       .where(col("crk") === 1)
       .select(col("cent_id").as("cell"),
@@ -402,15 +424,15 @@ object EmbeddingOps {
     * (cell, c); the new centroid frame (<= nCentroids rows) is
     * localCheckpointed so round t+1's plan does not re-derive round t.
     * Returns (cent_id, cq, cn) ready for [[ivfTopKWith]]. */
-  def kmeansCentroids(emb: DataFrame, nCentroids: Int = 16,
-      iters: Int = 2): DataFrame =
+  def kmeansCentroids(emb: DataFrame, nCentroids: Int = KmSeeds,
+      iters: Int = KmIters): DataFrame =
     kmeansCentroidsQ(quantized(emb).localCheckpoint(), nCentroids, iters)
 
   /** [[kmeansCentroids]] over an already-quantized (and ideally
     * checkpointed) frame `e` — the corpus is scanned once per Lloyd
     * round from `e`, never re-derived. */
-  def kmeansCentroidsQ(e: DataFrame, nCentroids: Int = 16,
-      iters: Int = 2): DataFrame = {
+  def kmeansCentroidsQ(e: DataFrame, nCentroids: Int = KmSeeds,
+      iters: Int = KmIters): DataFrame = {
     var cents = seedCentroids(e, nCentroids).localCheckpoint()
     for (_ <- 0 until iters) {
       cents = rankedAgainst(e, cents)
@@ -447,21 +469,15 @@ object EmbeddingOps {
     * qualifying pair split across cells is missed. Centroids are
     * centroid-cardinality (broadcast); the pair join shuffles on the
     * cell key only. */
-  def semanticDedup(emb: DataFrame, nCentroids: Int = 16,
-      iters: Int = 2, threshold: Double = 0.45): DataFrame = {
+  def semanticDedup(emb: DataFrame, nCentroids: Int = KmSeeds,
+      iters: Int = KmIters, threshold: Double = 0.45): DataFrame = {
     val e = quantized(emb).localCheckpoint()
     val cents = kmeansCentroidsQ(e, nCentroids, iters)
     val cells = rankedAgainst(e, cents).where(col("crk") === 1)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").as("cell"))
-    cells.as("a").join(cells.as("b"),
-        col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.cell").as("cell"),
-        col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        cosine(qdot(col("a.q"), col("b.q")), col("a.nn"), col("b.nn"))
-          .as("cos"))
-      .where(col("cos") >= threshold)
+      .localCheckpoint() // feeds both sides of the pair self-join
+    pairsWithinGroup(cells, "cell", threshold)
   }
 
   /** Clustering objective for the trained quantizer: per-corpus sum of
@@ -482,7 +498,7 @@ object EmbeddingOps {
     * found. Both sides are deterministic, so the recall is an exact
     * integer ratio the oracle recomputes end-to-end (including the
     * Lloyd rounds). */
-  def ivfRecall(emb: DataFrame, nCentroids: Int = 16, iters: Int = 2,
+  def ivfRecall(emb: DataFrame, nCentroids: Int = KmSeeds, iters: Int = KmIters,
       nQueries: Int = 5, nProbe: Int = 4, k: Int = 10): DataFrame = {
     // ONE quantization scan shared by the brute baseline, the trainer
     // (every Lloyd round), and the probe — checkpointed so none of the

@@ -57,7 +57,13 @@ object JsonSource {
     * schema read + explode stays distributed and codegen'd; the
     * driver-side collector never parses a byte of JSON. */
   def readResponses(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(responseSchema).json(path)
+    explodeItems(spark.read.schema(responseSchema).json(path))
+
+  /** The ONE envelope unwrap shared by the plain and audited readers
+    * — if the projection ever changes (say, carrying an envelope
+    * provenance column through), both readers move together. */
+  private def explodeItems(envelopes: DataFrame): DataFrame =
+    envelopes
       .select(explode(col("items")).as("item"))
       .select(col("item.*"))
 
@@ -80,10 +86,8 @@ object JsonSource {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
       .localCheckpoint()
-    val good = raw
-      .where(col("_corrupt_record").isNull && col("items").isNotNull)
-      .select(explode(col("items")).as("item"))
-      .select(col("item.*"))
+    val good = explodeItems(raw
+      .where(col("_corrupt_record").isNull && col("items").isNotNull))
     val bad = raw.where(col("_corrupt_record").isNotNull ||
       col("items").isNull)
     (good, bad)

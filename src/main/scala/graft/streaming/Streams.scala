@@ -121,8 +121,8 @@ object Streams {
       new org.apache.hadoop.fs.Path(checkpointLocation), "metadata")
     val mfs = meta.getFileSystem(conf)
     require(mfs.exists(meta),
-      s"no streaming-query metadata at $meta; dedupExactSink must run " +
-        "from the checkpointLocation passed to it.")
+      s"no streaming-query metadata at $meta; a versioned fold sink " +
+        "must run from the checkpointLocation passed to it.")
     val idRe = "\"id\"\\s*:\\s*\"([^\"]+)\"".r
     idRe.findFirstMatchIn(readUtf8(mfs, meta)).map(_.group(1))
       .getOrElse(throw new IllegalArgumentException(
@@ -143,15 +143,15 @@ object Streams {
     def verify(): Unit = {
       val owner = readUtf8(fs, marker)
       require(owner == queryId,
-        s"dedup state at $root belongs to checkpoint query '$owner', " +
-          s"not '$queryId'. The checkpoint was recreated or another " +
-          "pipeline owns this statePath; clear it or resume with the " +
-          "original checkpoint.")
+        s"versioned state at $root belongs to checkpoint query " +
+          s"'$owner', not '$queryId'. The checkpoint was recreated or " +
+          "another pipeline owns this statePath; clear it or resume " +
+          "with the original checkpoint.")
     }
     if (fs.exists(marker)) verify()
     else {
       require(versions.isEmpty,
-        s"dedup state at $root has version(s) " +
+        s"versioned state at $root has version(s) " +
           versions.sorted.mkString("b", ", b", "") +
           " but no run marker; it was written by an earlier run of " +
           "this sink. Clear statePath or resume with the original " +
@@ -217,18 +217,42 @@ object Streams {
     * no-ops — the incremental dedup-state property). Candidates then
     * come from [[graft.operators.TextOps.minhashBands]] over the
     * state, off the hot path. Per batch: one signature aggregation
-    * over the batch + one keyed state merge, O(state + batch). */
+    * over the batch + one keyed state merge, O(state + batch).
+    *
+    * The no-op claim holds for BYTE-IDENTICAL re-delivery only: a doc
+    * re-delivered with CHANGED text would min-fold into a chimera
+    * signature belonging to neither version, and the monotone fold
+    * could never correct it. The state therefore carries each doc's
+    * content hash, and the merge REFUSES a batch that contradicts a
+    * doc's recorded content — mutable corpora need a delete+reload,
+    * not a silent fold (the same refuse-don't-guess discipline as the
+    * run-marker checks). */
   def minhashSink(docs: DataFrame, statePath: String,
       checkpointLocation: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     versionedFoldSink(docs, statePath, checkpointLocation)(
-      batch => graft.operators.TextOps.minhashSignature(batch)) {
+      batch => batch
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .join(graft.operators.TextOps.minhashSignature(batch),
+          Seq("doc_id"))) {
       (prev, inc) =>
-        val sigCols = inc.columns.filter(_ != "doc_id").toSeq
-        prev.unionByName(inc).groupBy(col("doc_id"))
-          .agg(min(col(sigCols.head)).as(sigCols.head),
-            sigCols.tail.map(c => min(col(c)).as(c)): _*)
+        val sigCols = inc.columns
+          .filterNot(Seq("doc_id", "content_hash").contains).toSeq
+        val aggs = min(col("content_hash")).as("ch_lo") +:
+          max(col("content_hash")).as("ch_hi") +:
+          sigCols.map(c => min(col(c)).as(c))
+        val merged = prev.unionByName(inc).groupBy(col("doc_id"))
+          .agg(aggs.head, aggs.tail: _*)
+          .localCheckpoint()
+        val mutated = merged.where(col("ch_lo") =!= col("ch_hi")).count()
+        require(mutated == 0,
+          s"minhash state refuses the fold: $mutated doc(s) were " +
+            "re-delivered with DIFFERENT content; a min-merge would " +
+            "produce a signature belonging to neither version. " +
+            "Mutable docs need delete+reload, not an incremental fold.")
+        merged.select(col("doc_id") +:
+          col("ch_lo").as("content_hash") +: sigCols.map(col): _*)
     }
 
   /** The shared versioned-fold protocol behind [[dedupExactSink]] and
