@@ -82,6 +82,32 @@ object TextOps {
     sh.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-doc content hash + MinHash signature in ONE pass — the
+    * registry form the streaming fold ([[graft.streaming.Streams]]'s
+    * minhashSink) needs: EVERY delivered doc is recorded (null text
+    * hashes as the empty string, so any content mutation is
+    * detectable), while the signature columns are NULL for docs below
+    * the 3-token shingle floor. One scan, one map-side-combined
+    * shuffle — no second pass or join to attach the hash. Signature
+    * values where present are IDENTICAL to [[minhashSignature]]'s
+    * (same per-hash aggregate; min ignores the null shingle the
+    * outer explode emits for short docs). */
+  def minhashRegistry(docs: DataFrame): DataFrame = {
+    val aggs = min(col("ch")).as("content_hash") +:
+      (0 until MinhashK).map(k =>
+        min(md5(concat(col("s"), lit(s":$k")))).as(s"m$k"))
+    docs
+      .select(col("doc_id"),
+        md5(coalesce(col("text"), lit(""))).as("ch"),
+        split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("ch"),
+        explode_outer(when(size(col("w")) >= 3, expr(
+          "transform(sequence(0, size(w) - 3), " +
+            "i -> concat_ws(' ', w[i], w[i+1], w[i+2]))"))).as("s"))
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** LSH banding of the MinHash signature: 4 bands of 4 hashes; docs
     * sharing any (band_idx, band_hash) bucket become candidate pairs.
     * Pair space is per-bucket, never corpus-quadratic. */

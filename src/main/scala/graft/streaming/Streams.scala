@@ -222,21 +222,27 @@ object Streams {
     * The no-op claim holds for BYTE-IDENTICAL re-delivery only: a doc
     * re-delivered with CHANGED text would min-fold into a chimera
     * signature belonging to neither version, and the monotone fold
-    * could never correct it. The state therefore carries each doc's
-    * content hash, and the merge REFUSES a batch that contradicts a
-    * doc's recorded content — mutable corpora need a delete+reload,
-    * not a silent fold (the same refuse-don't-guess discipline as the
-    * run-marker checks). */
+    * could never correct it. The state is therefore the one-pass
+    * [[graft.operators.TextOps.minhashRegistry]] — EVERY delivered
+    * doc's content hash, signatures NULL below the 3-token shingle
+    * floor (a banding consumer filters `m0 IS NOT NULL`) — and the
+    * merge REFUSES a batch that contradicts a doc's recorded content,
+    * including a re-delivery that shrank below the floor (a deletion
+    * a monotone fold cannot express). Mutable corpora need
+    * delete+reload, not a silent fold — the same refuse-don't-guess
+    * discipline as the run-marker checks. */
   def minhashSink(docs: DataFrame, statePath: String,
       checkpointLocation: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     versionedFoldSink(docs, statePath, checkpointLocation)(
-      batch => batch
-        .select(col("doc_id"), md5(col("text")).as("content_hash"))
-        .join(graft.operators.TextOps.minhashSignature(batch),
-          Seq("doc_id"))) {
+      batch => graft.operators.TextOps.minhashRegistry(batch)) {
       (prev, inc) =>
+        require(prev.columns.contains("content_hash"),
+          "minhash state predates the content-hash registry (columns " +
+            prev.columns.mkString("[", ", ", "]") +
+            "); it cannot prove re-delivered docs are unchanged. " +
+            "Rebuild the state from the full corpus.")
         val sigCols = inc.columns
           .filterNot(Seq("doc_id", "content_hash").contains).toSeq
         val aggs = min(col("content_hash")).as("ch_lo") +:

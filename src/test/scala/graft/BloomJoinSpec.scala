@@ -45,6 +45,16 @@ class BloomJoinSpec extends SparkSpec {
     // ambiguity downstream
     assert(joined.columns.count(_ == "custkey") == 1)
     assert(joined.groupBy("custkey").count().count() > 0)
+    // CASE-VARIANT key names are the same collision under the default
+    // case-insensitive resolver: the small side's copy must be
+    // dropped just as for an exact-name match
+    val caseJoined = BloomJoin.bloomPrunedJoin(
+      facts.withColumnRenamed("custkey", "CUSTKEY"), "CUSTKEY",
+      buyers, "custkey")
+    assert(caseJoined.count() == expected)
+    assert(caseJoined.columns
+      .count(_.equalsIgnoreCase("custkey")) == 1)
+    assert(caseJoined.groupBy("custkey").count().count() > 0)
   }
 
   test("the prune removes non-matching rows before the join") {

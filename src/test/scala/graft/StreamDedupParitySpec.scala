@@ -69,12 +69,15 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(q.awaitTermination(180000), "stream did not finish in time")
 
     val state = Streams.foldState(spark, statePath)
-    val got = state.drop("content_hash")
+    // every delivered doc is registered; signature rows (m0 NOT NULL)
+    // must equal the one-shot batch signature table exactly
+    assert(state.count() == docs.count())
+    val got = state.where($"m0".isNotNull).drop("content_hash")
       .collect().map(_.toString).sorted
     val expected = TextOps.minhashSignature(docs)
       .collect().map(_.toString).sorted
     assert(got.length == expected.length,
-      s"state ${got.length} rows vs batch ${expected.length}")
+      s"state ${got.length} sig rows vs batch ${expected.length}")
     assert(got.sameElements(expected))
     // the recorded content hashes are the docs' actual md5s
     val wrongCh = state.join(docs, Seq("doc_id"))
@@ -86,31 +89,43 @@ class StreamDedupParitySpec extends SparkSpec {
   test("minhash fold REFUSES a doc re-delivered with different content") {
     // a min-merge over two versions of a doc would store a chimera
     // signature belonging to neither; the sink must fail loudly, not
-    // fold (mutable corpora need delete+reload)
+    // fold (mutable corpora need delete+reload). Case 2 is the subtle
+    // path: the re-delivery SHRANK below the 3-token shingle floor,
+    // so it carries no signature at all — only the content registry
+    // can see the mutation.
     val v1 = docsDf(Seq((1L, "alpha beta gamma delta", "en", "s"),
       (2L, "epsilon zeta eta theta", "en", "s")))
-    val v2 = docsDf(Seq((1L, "alpha beta gamma CHANGED", "en", "s")))
-    val streamDir =
-      java.nio.file.Files.createTempDirectory("graft_mh_mut")
-    v1.coalesce(1).write.mode("append").parquet(streamDir.toString)
-    v2.coalesce(1).write.mode("append").parquet(streamDir.toString)
-    val statePath = java.nio.file.Files
-      .createTempDirectory("graft_mh_mut_state").resolve("st").toString
-    val stream = spark.readStream
-      .schema(v1.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-    val q = Streams.minhashSink(stream, statePath,
-        java.nio.file.Files.createTempDirectory("graft_mh_mut_ck").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
-      q.awaitTermination())
-    def causes(t: Throwable): Seq[Throwable] =
-      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
-    assert(causes(e).exists(
-      _.getMessage.contains("re-delivered with DIFFERENT content")),
-      causes(e).map(_.getMessage).mkString(" | "))
+    val mutations = Seq(
+      "changed-long" -> docsDf(Seq(
+        (1L, "alpha beta gamma CHANGED", "en", "s"))),
+      "shrunk-short" -> docsDf(Seq((1L, "alpha beta", "en", "s"))))
+    mutations.foreach { case (label, v2) =>
+      val streamDir =
+        java.nio.file.Files.createTempDirectory(s"graft_mh_mut_$label")
+      v1.coalesce(1).write.mode("append").parquet(streamDir.toString)
+      v2.coalesce(1).write.mode("append").parquet(streamDir.toString)
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"graft_mh_st_$label").resolve("st").toString
+      val stream = spark.readStream
+        .schema(v1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = Streams.minhashSink(stream, statePath,
+          java.nio.file.Files
+            .createTempDirectory(s"graft_mh_ck_$label").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(180000)
+        fail(s"$label: stream finished without refusing the fold")
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(
+        _.getMessage.contains("re-delivered with DIFFERENT content")),
+        s"$label: " + causes(e).map(_.getMessage).mkString(" | "))
+    }
   }
 
   test("dedupState skips a crash-truncated version (no _SUCCESS)") {

@@ -471,6 +471,26 @@ class TextOpsSpec extends SparkSpec {
     assert(ranked.toSeq == Seq((1L, "ab"), (2L, "ba"), (3L, "cd")))
   }
 
+  test("minhashRegistry registers every doc, signatures only above the floor") {
+    val d = docsDf(Seq(
+      (1L, "one two three four", "en", "s"),
+      (2L, "too short", "en", "s"))) // 2 tokens -> below shingle floor
+    val reg = TextOps.minhashRegistry(d).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(reg.size == 2)
+    // short doc: registered with its content hash, NULL signature
+    assert(!reg(2L).isNullAt(reg(2L).fieldIndex("content_hash")))
+    assert(reg(2L).isNullAt(reg(2L).fieldIndex("m0")))
+    // signature-bearing doc: identical to minhashSignature's values
+    val sig = TextOps.minhashSignature(d).collect()
+    assert(sig.length == 1 && sig(0).getLong(0) == 1L)
+    (0 until 16).foreach { k =>
+      val f = s"m$k"
+      assert(reg(1L).getString(reg(1L).fieldIndex(f)) ==
+        sig(0).getString(sig(0).fieldIndex(f)), f)
+    }
+  }
+
   test("bpeMerges runs the full iterated trainer with canonical greedy merges") {
     // round 1: pairs in "aaaa" -> (a,a) x3 (weighted x2 docs = 6),
     // "bcbc" -> (b,c) x2, (c,b) x1. winner (a,a).
