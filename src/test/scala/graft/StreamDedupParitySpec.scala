@@ -86,6 +86,46 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(wrongCh == 0)
   }
 
+  test("minhash sink killed and resumed from checkpoint converges to batch") {
+    // run -> stop -> more files land (one re-delivering earlier docs
+    // byte-identically) -> NEW query, same checkpoint + statePath:
+    // the resumed fold must process only the new files and still
+    // converge to the one-shot registry over the distinct corpus
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    val first = docs.where($"doc_id" < 25)
+    val second = docs.where($"doc_id" >= 25)
+      .unionAll(docs.where($"doc_id" < 10)) // byte-identical re-delivery
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_mh_resume")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_mh_resume_ck").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_mh_resume_st").resolve("st").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = Streams.minhashSink(stream, statePath, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish")
+    }
+    first.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    run() // phase 1, then the query stops ("killed")
+    second.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    run() // phase 2: fresh query, same checkpoint
+
+    val got = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.minhashRegistry(docs)
+      .collect().map(_.toString).sorted
+    assert(got.length == expected.length)
+    assert(got.sameElements(expected))
+  }
+
   test("minhash fold REFUSES a doc re-delivered with different content") {
     // a min-merge over two versions of a doc would store a chimera
     // signature belonging to neither; the sink must fail loudly, not
