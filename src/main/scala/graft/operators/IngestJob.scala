@@ -89,4 +89,33 @@ object IngestJob {
 
     RawZone(plays, catalog, ledger, seq + 1)
   }
+
+  /** S2's payload landing — merge batch track-details docs
+    * ([[graft.sources.JsonSource.readTrackDetails]]) into the track
+    * catalog. The reference builds a track_detail doc per response
+    * entry and replace_one-upserts it (curl_spotify_tracker.py:
+    * 482-510); here that is ONE deterministic collapse + keep-newest
+    * merge: details are authoritative for metadata (the fan-out ran
+    * AFTER the plays that referenced these tracks), unknown tracks
+    * INSERT fresh catalog entries, and the merge is versioned by the
+    * zone's ingest sequence like every other write. */
+  def enrichCatalog(zone: RawZone, details: DataFrame): RawZone = {
+    val seq = zone.nextSeq
+    val detailCat = collapse(
+      details.select(
+        col("id").as("track_id"),
+        col("name").as("track_name"),
+        coalesce(try_element_at(col("artists"), lit(1))
+          .getField("name"), lit("Unknown Artist")).as("artist_name"),
+        coalesce(col("album.name"), lit("Unknown Album"))
+          .as("album_name"),
+        col("duration_ms"),
+        coalesce(col("popularity"), lit(0)).as("popularity"))
+        .withColumn("ingest_batch", lit(seq)),
+      Seq("track_id"))
+    zone.copy(
+      trackCatalog = Sinks.upsertKeepNewest(
+        zone.trackCatalog, detailCat, Seq("track_id"), "ingest_batch"),
+      nextSeq = seq + 1)
+  }
 }

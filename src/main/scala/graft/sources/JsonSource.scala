@@ -67,6 +67,34 @@ object JsonSource {
       .select(explode(col("items")).as("item"))
       .select(col("item.*"))
 
+  /** Schema of one batch track-details RESPONSE envelope (S2;
+    * curl_spotify_tracker.py:291-301 reads `response['tracks']`,
+    * :484-508 projects the detail doc). Array entries may be NULL —
+    * the API returns null for unknown ids, which the reference
+    * filters with `if track:` (:485). */
+  val tracksResponseSchema: StructType = StructType(Seq(
+    StructField("tracks", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("duration_ms", LongType),
+      StructField("explicit", BooleanType),
+      StructField("popularity", IntegerType),
+      StructField("artists", ArrayType(StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType))))),
+      StructField("album", StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType))))))))))
+
+  /** Read a drop directory of track-details response envelopes into
+    * per-track detail rows; null entries (unknown ids) are dropped
+    * like the reference's `if track:` guard. */
+  def readTrackDetails(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(tracksResponseSchema).json(path)
+      .select(explode(col("tracks")).as("t"))
+      .where(col("t").isNotNull)
+      .select(col("t.*"))
+
   /** [[responseSchema]] plus the PERMISSIVE-mode corrupt-record
     * capture column. */
   val auditedResponseSchema: StructType =

@@ -128,12 +128,34 @@ class HttpIngestSpec extends SparkSpec {
         .orderBy("track_id").as[String].collect().toSeq
       val manyIds = catalogIds ++ (1 to 120).map(i => s"x$i")
       var t = 0L
-      IngestClient.fanout(manyIds, batchSize = 50, policy,
-        now = () => { t += 10; t }, sleep = slept += _)(chunk =>
-        HttpFetch.get(s"$base/tracks?ids=${chunk.mkString(",")}"))
+      val detailPages =
+        IngestClient.fanout(manyIds, batchSize = 50, policy,
+          now = () => { t += 10; t }, sleep = slept += _)(chunk =>
+          HttpFetch.get(s"$base/tracks?ids=${chunk.mkString(",")}"))
       assert(trackCalls.size == 3) // 122 ids / 50 per call
       assert(trackCalls.forall(_.size <= 50))
       assert(trackCalls.flatten.sorted == manyIds.sorted)
+
+      // ---- S2 payload lands: envelopes dropped verbatim, details
+      // merged into the catalog (unknown tracks insert, known tracks
+      // update with the authoritative metadata) ----
+      val detailsDrop = Files.createTempDirectory("graft_http_details")
+      detailPages.zipWithIndex.foreach { case (page, i) =>
+        Files.write(detailsDrop.resolve(s"details-$i.json"),
+          page.getBytes(StandardCharsets.UTF_8))
+      }
+      val details = JsonSource.readTrackDetails(spark, detailsDrop.toString)
+      assert(details.count() == manyIds.length)
+      val enriched = IngestJob.enrichCatalog(replay, details)
+      assert(enriched.trackCatalog.count() == manyIds.length)
+      // the fixture serves popularity 50; the listening docs carried
+      // 40 — the details merge must win for the already-known tracks
+      val pops = enriched.trackCatalog
+        .select("track_id", "popularity").as[(String, Int)]
+        .collect().toMap
+      assert(pops("t1") == 50 && pops("t2") == 50)
+      assert(pops("x7") == 50) // inserted from details alone
+      assert(enriched.nextSeq == replay.nextSeq + 1)
 
       // ---- S3: audio-features fan-out, 100-id cap ----
       IngestClient.fanout(manyIds, batchSize = 100, policy,
