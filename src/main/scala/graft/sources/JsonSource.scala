@@ -95,6 +95,30 @@ object JsonSource {
       .where(col("t").isNotNull)
       .select(col("t.*"))
 
+  /** Schema of one audio-features RESPONSE envelope (S3;
+    * spotify_client.py:300-321 reads `data['audio_features']` — the
+    * array carries null entries for ids without features). */
+  val audioFeaturesResponseSchema: StructType = StructType(Seq(
+    StructField("audio_features", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("danceability", DoubleType),
+      StructField("energy", DoubleType),
+      StructField("valence", DoubleType),
+      StructField("tempo", DoubleType),
+      StructField("loudness", DoubleType),
+      StructField("speechiness", DoubleType),
+      StructField("acousticness", DoubleType),
+      StructField("instrumentalness", DoubleType),
+      StructField("liveness", DoubleType)))))))
+
+  /** Read a drop directory of audio-features envelopes into per-track
+    * feature rows, null entries dropped. */
+  def readAudioFeatures(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(audioFeaturesResponseSchema).json(path)
+      .select(explode(col("audio_features")).as("f"))
+      .where(col("f").isNotNull)
+      .select(col("f.*"))
+
   /** [[responseSchema]] plus the PERMISSIVE-mode corrupt-record
     * capture column. */
   val auditedResponseSchema: StructType =

@@ -157,12 +157,29 @@ class HttpIngestSpec extends SparkSpec {
       assert(pops("x7") == 50) // inserted from details alone
       assert(enriched.nextSeq == replay.nextSeq + 1)
 
-      // ---- S3: audio-features fan-out, 100-id cap ----
-      IngestClient.fanout(manyIds, batchSize = 100, policy,
-        now = () => { t += 10; t }, sleep = slept += _)(chunk =>
-        HttpFetch.get(s"$base/audio-features?ids=${chunk.mkString(",")}"))
+      // ---- S3: audio-features fan-out, 100-id cap, payload landed
+      // in a keyed features table (the reference stores features per
+      // track id — spotify_client.py:300-321) ----
+      val featurePages =
+        IngestClient.fanout(manyIds, batchSize = 100, policy,
+          now = () => { t += 10; t }, sleep = slept += _)(chunk =>
+          HttpFetch.get(s"$base/audio-features?ids=${chunk.mkString(",")}"))
       assert(featureCalls.size == 2)
       assert(featureCalls.forall(_.size <= 100))
+      val featuresDrop = Files.createTempDirectory("graft_http_feat")
+      featurePages.zipWithIndex.foreach { case (page, i) =>
+        Files.write(featuresDrop.resolve(s"features-$i.json"),
+          page.getBytes(StandardCharsets.UTF_8))
+      }
+      val feats = JsonSource.readAudioFeatures(spark, featuresDrop.toString)
+      assert(feats.count() == manyIds.length)
+      assert(feats.where($"tempo" === 120.0).count() == manyIds.length)
+      // replays of the same drop stay idempotent through the generic
+      // keyed merge (one row per track id, newest version wins)
+      val featTable = graft.operators.Sinks.upsertKeepNewest(
+        feats.withColumn("v", lit(1L)),
+        feats.withColumn("v", lit(2L)), Seq("id"), "v")
+      assert(featTable.count() == manyIds.length)
 
       // ---- a fetch that never recovers surfaces the terminal error --
       val dead = intercept[IngestClient.Retryable](
