@@ -94,28 +94,50 @@ object IngestJob {
     * ([[graft.sources.JsonSource.readTrackDetails]]) into the track
     * catalog. The reference builds a track_detail doc per response
     * entry and replace_one-upserts it (curl_spotify_tracker.py:
-    * 482-510); here that is ONE deterministic collapse + keep-newest
-    * merge: details are authoritative for metadata (the fan-out ran
-    * AFTER the plays that referenced these tracks), unknown tracks
-    * INSERT fresh catalog entries, and the merge is versioned by the
-    * zone's ingest sequence like every other write. */
+    * 482-510); here the merge is PER FIELD, not whole-row: a detail
+    * field wins only when PRESENT, so a sparse response (the real API
+    * omits artists/album for local tracks) can never null out
+    * known-good catalog metadata, while present fields are
+    * authoritative (the fan-out ran AFTER the plays that referenced
+    * these tracks). Unknown tracks INSERT fresh entries with the
+    * shared Unknown-Artist/Album backstops; enriched and inserted
+    * rows are stamped with this call's ingest sequence, untouched
+    * rows keep theirs.
+    *
+    * `details` must be ONE fan-out run's responses (the collector
+    * drops each run into its own directory): within a call the
+    * in-batch collapse has no recency signal beyond the deterministic
+    * content-hash tie-break; ACROSS calls newest-wins holds because
+    * each call stamps a fresh sequence. */
   def enrichCatalog(zone: RawZone, details: DataFrame): RawZone = {
     val seq = zone.nextSeq
-    val detailCat = collapse(
+    val det = collapse(
       details.select(
         col("id").as("track_id"),
-        col("name").as("track_name"),
-        coalesce(try_element_at(col("artists"), lit(1))
-          .getField("name"), lit("Unknown Artist")).as("artist_name"),
-        coalesce(col("album.name"), lit("Unknown Album"))
-          .as("album_name"),
-        col("duration_ms"),
-        coalesce(col("popularity"), lit(0)).as("popularity"))
-        .withColumn("ingest_batch", lit(seq)),
+        col("name").as("d_track_name"),
+        try_element_at(col("artists"), lit(1)).getField("name")
+          .as("d_artist_name"),
+        col("album.name").as("d_album_name"),
+        col("duration_ms").as("d_duration_ms"),
+        col("popularity").as("d_popularity"),
+        lit(1).as("d_hit")),
       Seq("track_id"))
-    zone.copy(
-      trackCatalog = Sinks.upsertKeepNewest(
-        zone.trackCatalog, detailCat, Seq("track_id"), "ingest_batch"),
-      nextSeq = seq + 1)
+    val merged = zone.trackCatalog
+      .join(det, Seq("track_id"), "full_outer")
+      .select(
+        col("track_id"),
+        coalesce(col("d_track_name"), col("track_name"))
+          .as("track_name"),
+        coalesce(col("d_artist_name"), col("artist_name"),
+          lit(JsonSource.UnknownArtist)).as("artist_name"),
+        coalesce(col("d_album_name"), col("album_name"),
+          lit(JsonSource.UnknownAlbum)).as("album_name"),
+        coalesce(col("d_duration_ms"), col("duration_ms"))
+          .as("duration_ms"),
+        coalesce(col("d_popularity"), col("popularity"), lit(0))
+          .as("popularity"),
+        when(col("d_hit").isNotNull, lit(seq))
+          .otherwise(col("ingest_batch")).as("ingest_batch"))
+    zone.copy(trackCatalog = merged, nextSeq = seq + 1)
   }
 }

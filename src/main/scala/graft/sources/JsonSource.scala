@@ -57,15 +57,21 @@ object JsonSource {
     * schema read + explode stays distributed and codegen'd; the
     * driver-side collector never parses a byte of JSON. */
   def readResponses(spark: SparkSession, path: String): DataFrame =
-    explodeItems(spark.read.schema(responseSchema).json(path))
+    explodeEntries(spark.read.schema(responseSchema).json(path), "items")
 
-  /** The ONE envelope unwrap shared by the plain and audited readers
-    * — if the projection ever changes (say, carrying an envelope
-    * provenance column through), both readers move together. */
-  private def explodeItems(envelopes: DataFrame): DataFrame =
+  /** The ONE envelope unwrap shared by every response reader (plain
+    * and audited, S1 listening / S2 details / S3 features): explode
+    * the payload array, drop NULL entries (the API's placeholder for
+    * unknown ids — the reference's `if track:` guard), project the
+    * entry fields. If the projection ever changes (say, carrying an
+    * envelope provenance column through), every reader moves
+    * together. */
+  private def explodeEntries(envelopes: DataFrame,
+      field: String): DataFrame =
     envelopes
-      .select(explode(col("items")).as("item"))
-      .select(col("item.*"))
+      .select(explode(col(field)).as("e"))
+      .where(col("e").isNotNull)
+      .select(col("e.*"))
 
   /** Schema of one batch track-details RESPONSE envelope (S2;
     * curl_spotify_tracker.py:291-301 reads `response['tracks']`,
@@ -90,10 +96,8 @@ object JsonSource {
     * per-track detail rows; null entries (unknown ids) are dropped
     * like the reference's `if track:` guard. */
   def readTrackDetails(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(tracksResponseSchema).json(path)
-      .select(explode(col("tracks")).as("t"))
-      .where(col("t").isNotNull)
-      .select(col("t.*"))
+    explodeEntries(
+      spark.read.schema(tracksResponseSchema).json(path), "tracks")
 
   /** Schema of one audio-features RESPONSE envelope (S3;
     * spotify_client.py:300-321 reads `data['audio_features']` — the
@@ -114,10 +118,9 @@ object JsonSource {
   /** Read a drop directory of audio-features envelopes into per-track
     * feature rows, null entries dropped. */
   def readAudioFeatures(spark: SparkSession, path: String): DataFrame =
-    spark.read.schema(audioFeaturesResponseSchema).json(path)
-      .select(explode(col("audio_features")).as("f"))
-      .where(col("f").isNotNull)
-      .select(col("f.*"))
+    explodeEntries(
+      spark.read.schema(audioFeaturesResponseSchema).json(path),
+      "audio_features")
 
   /** [[responseSchema]] plus the PERMISSIVE-mode corrupt-record
     * capture column. */
@@ -132,16 +135,39 @@ object JsonSource {
     * equivalent of data loss). Same one-parse localCheckpoint
     * rationale as [[quarantine]]. */
   def readResponsesAudited(spark: SparkSession, path: String)
-      : (DataFrame, DataFrame) = {
-    val raw = spark.read.schema(auditedResponseSchema)
+      : (DataFrame, DataFrame) =
+    auditedEnvelopeRead(spark, path, responseSchema, "items")
+
+  /** Audited S2 twin of [[readTrackDetails]]. */
+  def readTrackDetailsAudited(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    auditedEnvelopeRead(spark, path, tracksResponseSchema, "tracks")
+
+  /** Audited S3 twin of [[readAudioFeatures]]. */
+  def readAudioFeaturesAudited(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    auditedEnvelopeRead(spark, path, audioFeaturesResponseSchema,
+      "audio_features")
+
+  /** The ONE audited envelope read behind every `*Audited` reader:
+    * (exploded entry rows, quarantined envelope lines). An envelope
+    * is quarantined when it fails to parse OR parses without its
+    * payload array; NULL array ENTRIES are not quarantine material —
+    * they are the API's documented answer for unknown ids and are
+    * dropped by [[explodeEntries]]. */
+  private def auditedEnvelopeRead(spark: SparkSession, path: String,
+      envSchema: StructType, field: String): (DataFrame, DataFrame) = {
+    val raw = spark.read
+      .schema(envSchema.add(StructField("_corrupt_record", StringType)))
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
       .localCheckpoint()
-    val good = explodeItems(raw
-      .where(col("_corrupt_record").isNull && col("items").isNotNull))
+    val good = explodeEntries(raw
+      .where(col("_corrupt_record").isNull && col(field).isNotNull),
+      field)
     val bad = raw.where(col("_corrupt_record").isNotNull ||
-      col("items").isNull)
+      col(field).isNull)
     (good, bad)
   }
 
@@ -173,6 +199,12 @@ object JsonSource {
       m.where(col("_corrupt_record").isNotNull))
   }
 
+  /** Catalog backstop sentinels — shared by [[flatten]] and the
+    * details merge (graft.operators.IngestJob.enrichCatalog) so the
+    * two catalog-row producers cannot drift on the defaults. */
+  val UnknownArtist = "Unknown Artist"
+  val UnknownAlbum = "Unknown Album"
+
   /** P1 flattening (daily_etl_pipeline.py:159-183): first artist only,
     * Unknown-Artist/Album defaults, explicit=false / popularity=0
     * backstops — all dot-path column expressions, no UDFs. */
@@ -182,8 +214,8 @@ object JsonSource {
       col("played_at"),
       col("track_info.name").as("track_name"),
       coalesce(try_element_at(col("track_info.artists"), lit(1))
-        .getField("name"), lit("Unknown Artist")).as("artist_name"),
-      coalesce(col("track_info.album.name"), lit("Unknown Album"))
+        .getField("name"), lit(UnknownArtist)).as("artist_name"),
+      coalesce(col("track_info.album.name"), lit(UnknownAlbum))
         .as("album_name"),
       col("track_info.duration_ms").as("duration_ms"),
       coalesce(col("track_info.explicit"), lit(false)).as("explicit"),

@@ -75,17 +75,20 @@ class HttpIngestSpec extends SparkSpec {
           case kv if kv.startsWith("ids=") =>
             kv.drop(4).split(",").toSeq.filter(_.nonEmpty)
         }.getOrElse(Seq.empty)
-    // S2: batch track details, <= 50 ids per call
+    // S2: batch track details, <= 50 ids per call; ids prefixed "nx"
+    // answer NULL like the real API does for unknown ids
     server.createContext("/v1/tracks", ex => {
       val got = ids(ex); trackCalls += got
       respond(ex, 200, s"""{"tracks":[${got.map(i =>
-        s"""{"id":"$i","popularity":50}""").mkString(",")}]}""")
+        if (i.startsWith("nx")) "null"
+        else s"""{"id":"$i","popularity":50}""").mkString(",")}]}""")
     })
-    // S3: audio features, <= 100 ids per call
+    // S3: audio features, <= 100 ids per call, same null convention
     server.createContext("/v1/audio-features", ex => {
       val got = ids(ex); featureCalls += got
       respond(ex, 200, s"""{"audio_features":[${got.map(i =>
-        s"""{"id":"$i","tempo":120.0}""").mkString(",")}]}""")
+        if (i.startsWith("nx")) "null"
+        else s"""{"id":"$i","tempo":120.0}""").mkString(",")}]}""")
     })
     server.setExecutor(null)
     server.start()
@@ -126,13 +129,16 @@ class HttpIngestSpec extends SparkSpec {
       // driver-side control plane, not a data-path collect
       val catalogIds = zone.trackCatalog.select("track_id")
         .orderBy("track_id").as[String].collect().toSeq
-      val manyIds = catalogIds ++ (1 to 120).map(i => s"x$i")
+      // three "nx" ids exercise the null-entry drop end-to-end
+      val manyIds = catalogIds ++ (1 to 120).map(i => s"x$i") ++
+        (1 to 3).map(i => s"nx$i")
+      val knownIds = manyIds.filterNot(_.startsWith("nx"))
       var t = 0L
       val detailPages =
         IngestClient.fanout(manyIds, batchSize = 50, policy,
           now = () => { t += 10; t }, sleep = slept += _)(chunk =>
           HttpFetch.get(s"$base/tracks?ids=${chunk.mkString(",")}"))
-      assert(trackCalls.size == 3) // 122 ids / 50 per call
+      assert(trackCalls.size == 3) // 125 ids / 50 per call
       assert(trackCalls.forall(_.size <= 50))
       assert(trackCalls.flatten.sorted == manyIds.sorted)
 
@@ -145,16 +151,24 @@ class HttpIngestSpec extends SparkSpec {
           page.getBytes(StandardCharsets.UTF_8))
       }
       val details = JsonSource.readTrackDetails(spark, detailsDrop.toString)
-      assert(details.count() == manyIds.length)
+      assert(details.count() == knownIds.length) // nx nulls dropped
       val enriched = IngestJob.enrichCatalog(replay, details)
-      assert(enriched.trackCatalog.count() == manyIds.length)
+      assert(enriched.trackCatalog.count() == knownIds.length)
       // the fixture serves popularity 50; the listening docs carried
-      // 40 — the details merge must win for the already-known tracks
-      val pops = enriched.trackCatalog
-        .select("track_id", "popularity").as[(String, Int)]
-        .collect().toMap
-      assert(pops("t1") == 50 && pops("t2") == 50)
-      assert(pops("x7") == 50) // inserted from details alone
+      // 40 — a PRESENT detail field must win for the known tracks...
+      val cat = enriched.trackCatalog
+        .select("track_id", "popularity", "track_name", "artist_name")
+        .collect()
+        .map(r => r.getString(0) -> (r.getInt(1),
+          Option(r.getString(2)), r.getString(3))).toMap
+      assert(cat("t1")._1 == 50 && cat("t2")._1 == 50)
+      // ...while fields the sparse response OMITS (name/artists) keep
+      // the known-good catalog metadata instead of nulling it out
+      assert(cat("t1")._2.contains("One"), cat("t1").toString)
+      assert(cat("t1")._3 == "Artist t1")
+      // detail-only tracks insert with the shared backstops
+      assert(cat("x7")._1 == 50 && cat("x7")._2.isEmpty)
+      assert(cat("x7")._3 == JsonSource.UnknownArtist)
       assert(enriched.nextSeq == replay.nextSeq + 1)
 
       // ---- S3: audio-features fan-out, 100-id cap, payload landed
@@ -172,14 +186,14 @@ class HttpIngestSpec extends SparkSpec {
           page.getBytes(StandardCharsets.UTF_8))
       }
       val feats = JsonSource.readAudioFeatures(spark, featuresDrop.toString)
-      assert(feats.count() == manyIds.length)
-      assert(feats.where($"tempo" === 120.0).count() == manyIds.length)
+      assert(feats.count() == knownIds.length)
+      assert(feats.where($"tempo" === 120.0).count() == knownIds.length)
       // replays of the same drop stay idempotent through the generic
       // keyed merge (one row per track id, newest version wins)
       val featTable = graft.operators.Sinks.upsertKeepNewest(
         feats.withColumn("v", lit(1L)),
         feats.withColumn("v", lit(2L)), Seq("id"), "v")
-      assert(featTable.count() == manyIds.length)
+      assert(featTable.count() == knownIds.length)
 
       // ---- a fetch that never recovers surfaces the terminal error --
       val dead = intercept[IngestClient.Retryable](
@@ -233,6 +247,19 @@ class HttpIngestSpec extends SparkSpec {
     assert(docs.collect()(0).getAs[String]("track_id") == "t9")
     // BOTH failure shapes land in the reject frame for the ops table
     assert(rejects.count() == 2)
+
+    // the S2 audited twin applies the same discipline, and a NULL
+    // array entry is NOT quarantine material (it is the API's answer
+    // for an unknown id) — only the envelope failures are
+    val detDrop = Files.createTempDirectory("graft_audit_details")
+    Files.write(detDrop.resolve("pages.json"),
+      ("""{"tracks":[{"id":"t1","popularity":9},null]}""" + "\n" +
+        """{"trac""" + "\n" + """{"status":"ok"}""")
+        .getBytes(StandardCharsets.UTF_8))
+    val (dets, detRejects) =
+      JsonSource.readTrackDetailsAudited(spark, detDrop.toString)
+    assert(dets.count() == 1)
+    assert(detRejects.count() == 2)
   }
 
   test("auth failures are fatal, not retried") {

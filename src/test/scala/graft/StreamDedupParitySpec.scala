@@ -124,6 +124,14 @@ class StreamDedupParitySpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(got.length == expected.length)
     assert(got.sameElements(expected))
+    // convergence alone cannot distinguish resume from reprocessing
+    // (byte-identical re-delivery is a no-op by design): the state
+    // versions prove the resumed query saw ONLY the new file — one
+    // batch per phase, so b1 is the highest version ever written
+    val versions = new java.io.File(statePath).list().toSeq
+      .filter(_.matches("b\\d+"))
+    assert(versions.map(_.drop(1).toLong).max == 1L,
+      s"resumed query reprocessed committed files: versions $versions")
   }
 
   test("minhash fold REFUSES a doc re-delivered with different content") {
