@@ -99,6 +99,55 @@ object JsonSource {
     explodeEntries(
       spark.read.schema(tracksResponseSchema).json(path), "tracks")
 
+  /** Schema of one batch artist-profiles RESPONSE envelope (S2;
+    * curl_spotify_tracker.py:303-320 reads `response['artists']`,
+    * :517-533 projects the profile doc). */
+  val artistsResponseSchema: StructType = StructType(Seq(
+    StructField("artists", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("genres", ArrayType(StringType)),
+      StructField("popularity", IntegerType),
+      StructField("followers", StructType(Seq(
+        StructField("total", LongType))))))))))
+
+  /** Read a drop directory of artist-profile envelopes into per-artist
+    * rows; null entries dropped. */
+  def readArtistProfiles(spark: SparkSession, path: String): DataFrame =
+    explodeEntries(
+      spark.read.schema(artistsResponseSchema).json(path), "artists")
+
+  /** Schema of one batch album-catalog RESPONSE envelope (S2;
+    * curl_spotify_tracker.py:322-339 reads `response['albums']` — the
+    * 20-id cap endpoint — :536-556 projects the album doc). */
+  val albumsResponseSchema: StructType = StructType(Seq(
+    StructField("albums", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType),
+      StructField("album_type", StringType),
+      StructField("release_date", StringType),
+      StructField("total_tracks", IntegerType),
+      StructField("label", StringType),
+      StructField("popularity", IntegerType),
+      StructField("artists", ArrayType(StructType(Seq(
+        StructField("id", StringType),
+        StructField("name", StringType)))))))))))
+
+  /** Read a drop directory of album-catalog envelopes into per-album
+    * rows; null entries dropped. */
+  def readAlbumCatalog(spark: SparkSession, path: String): DataFrame =
+    explodeEntries(
+      spark.read.schema(albumsResponseSchema).json(path), "albums")
+
+  /** Audited S2 twins for the artist/album payloads. */
+  def readArtistProfilesAudited(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    auditedEnvelopeRead(spark, path, artistsResponseSchema, "artists")
+
+  def readAlbumCatalogAudited(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    auditedEnvelopeRead(spark, path, albumsResponseSchema, "albums")
+
   /** Schema of one audio-features RESPONSE envelope (S3;
     * spotify_client.py:300-321 reads `data['audio_features']` — the
     * array carries null entries for ids without features). */

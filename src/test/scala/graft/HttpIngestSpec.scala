@@ -83,6 +83,28 @@ class HttpIngestSpec extends SparkSpec {
         if (i.startsWith("nx")) "null"
         else s"""{"id":"$i","popularity":50}""").mkString(",")}]}""")
     })
+    // S2: artist profiles (<= 50) and album catalog (<= 20 — the
+    // distinctive small cap), same null convention for nx ids
+    val artistCalls = ArrayBuffer[Seq[String]]()
+    val albumCalls = ArrayBuffer[Seq[String]]()
+    server.createContext("/v1/artists", ex => {
+      val got = ids(ex); artistCalls += got
+      respond(ex, 200, s"""{"artists":[${got.map(i =>
+        if (i.startsWith("nx")) "null"
+        else s"""{"id":"$i","name":"Artist $i","genres":["g1"],
+           |"popularity":30,"followers":{"total":1000}}"""
+          .stripMargin.replace("\n", "")).mkString(",")}]}""")
+    })
+    server.createContext("/v1/albums", ex => {
+      val got = ids(ex); albumCalls += got
+      respond(ex, 200, s"""{"albums":[${got.map(i =>
+        if (i.startsWith("nx")) "null"
+        else s"""{"id":"$i","name":"Album $i","album_type":"album",
+           |"release_date":"2024-01-01","total_tracks":10,
+           |"label":"L","popularity":20,
+           |"artists":[{"id":"a1","name":"A"}]}"""
+          .stripMargin.replace("\n", "")).mkString(",")}]}""")
+    })
     // S3: audio features, <= 100 ids per call, same null convention
     server.createContext("/v1/audio-features", ex => {
       val got = ids(ex); featureCalls += got
@@ -194,6 +216,41 @@ class HttpIngestSpec extends SparkSpec {
         feats.withColumn("v", lit(1L)),
         feats.withColumn("v", lit(2L)), Seq("id"), "v")
       assert(featTable.count() == knownIds.length)
+
+      // ---- S2: artist (<= 50) and album (<= 20) fan-outs, payloads
+      // landed through the declared-schema readers ----
+      val artistPages =
+        IngestClient.fanout(manyIds, batchSize = 50, policy,
+          now = () => { t += 10; t }, sleep = slept += _)(chunk =>
+          HttpFetch.get(s"$base/artists?ids=${chunk.mkString(",")}"))
+      assert(artistCalls.size == 3 && artistCalls.forall(_.size <= 50))
+      val albumPages =
+        IngestClient.fanout(manyIds, batchSize = 20, policy,
+          now = () => { t += 10; t }, sleep = slept += _)(chunk =>
+          HttpFetch.get(s"$base/albums?ids=${chunk.mkString(",")}"))
+      assert(albumCalls.size == 7) // 125 ids / 20 per call
+      assert(albumCalls.forall(_.size <= 20))
+
+      val artistsDrop = Files.createTempDirectory("graft_http_artists")
+      artistPages.zipWithIndex.foreach { case (p, i) =>
+        Files.write(artistsDrop.resolve(s"a-$i.json"),
+          p.getBytes(StandardCharsets.UTF_8))
+      }
+      val artists =
+        JsonSource.readArtistProfiles(spark, artistsDrop.toString)
+      assert(artists.count() == knownIds.length)
+      assert(artists.where($"followers.total" === 1000L).count() ==
+        knownIds.length)
+
+      val albumsDrop = Files.createTempDirectory("graft_http_albums")
+      albumPages.zipWithIndex.foreach { case (p, i) =>
+        Files.write(albumsDrop.resolve(s"al-$i.json"),
+          p.getBytes(StandardCharsets.UTF_8))
+      }
+      val albums = JsonSource.readAlbumCatalog(spark, albumsDrop.toString)
+      assert(albums.count() == knownIds.length)
+      assert(albums.where($"total_tracks" === 10).count() ==
+        knownIds.length)
 
       // ---- a fetch that never recovers surfaces the terminal error --
       val dead = intercept[IngestClient.Retryable](
