@@ -20,22 +20,52 @@ import java.nio.charset.StandardCharsets
   *    like spotify_client.py:211) — [[IngestClient.withRetries]] sleeps
   *    exactly that hint and retries
   *  - any other status -> [[IngestClient.Retryable]] (exponential
-  *    backoff upstream), except 401: auth errors propagate as fatal —
-  *    [[IngestClient]]'s documented contract (token refresh is the
-  *    caller's concern, not the retry loop's)
+  *    backoff upstream), except 401: [[IngestClient.AuthRejected]],
+  *    which [[IngestClient.withTokenRefresh]] answers with ONE token
+  *    refresh + replay (spotify_client.py:201-205) and anything else
+  *    treats as fatal
   *  - transport IOExceptions -> [[IngestClient.Retryable]], like the
   *    reference's `requests.RequestException` arm
   */
 object HttpFetch {
 
   def get(url: String, headers: Map[String, String] = Map.empty,
-      timeoutMs: Int = 30000): String = {
+      timeoutMs: Int = 30000): String =
+    exchange(url, headers, timeoutMs, form = None)
+
+  /** POST an `application/x-www-form-urlencoded` body — the token
+    * endpoint's grant shape (spotify_client.py:124-135). Same status
+    * mapping and retry envelope as [[get]]. */
+  def postForm(url: String, headers: Map[String, String],
+      form: Map[String, String], timeoutMs: Int = 30000): String =
+    exchange(url, headers, timeoutMs, Some(form.map { case (k, v) =>
+      val enc = (s: String) => java.net.URLEncoder.encode(s,
+        StandardCharsets.UTF_8)
+      s"${enc(k)}=${enc(v)}"
+    }.mkString("&")))
+
+  private def exchange(url: String, headers: Map[String, String],
+      timeoutMs: Int, form: Option[String]): String = {
     val conn = new URI(url).toURL.openConnection()
       .asInstanceOf[HttpURLConnection]
     try {
       conn.setConnectTimeout(timeoutMs)
       conn.setReadTimeout(timeoutMs)
       headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      form.foreach { body =>
+        conn.setRequestMethod("POST")
+        conn.setRequestProperty("Content-Type",
+          "application/x-www-form-urlencoded")
+        conn.setDoOutput(true)
+        try {
+          val out = conn.getOutputStream
+          try out.write(body.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        } catch {
+          case e: IOException =>
+            throw IngestClient.Retryable(s"transport: ${e.getMessage}")
+        }
+      }
       val code =
         try conn.getResponseCode
         catch {
@@ -68,7 +98,7 @@ object HttpFetch {
         case 429 =>
           throw IngestClient.RateLimited(retryAfterMs(conn))
         case 401 =>
-          throw new IllegalStateException(s"auth rejected (401) for $url")
+          throw IngestClient.AuthRejected(s"auth rejected (401) for $url")
         case other =>
           throw IngestClient.Retryable(s"HTTP $other from $url")
       }
@@ -81,9 +111,23 @@ object HttpFetch {
     }
   }
 
-  private def retryAfterMs(conn: HttpURLConnection): Long =
-    Option(conn.getHeaderField("Retry-After"))
-      .flatMap(s => scala.util.Try(s.trim.toLong).toOption)
+  /** The 429 Retry-After hint in ms. RFC 9110 allows both the
+    * delta-seconds and the HTTP-date form; the value is CLAMPED to
+    * >= 0 because it feeds Thread.sleep upstream — a malformed
+    * negative delta (or an HTTP-date already in the past) must read
+    * as "retry now", not throw IllegalArgumentException out of the
+    * retry loop as a fake-fatal error. Unparseable values default to
+    * 1 s like the reference (spotify_client.py:211). */
+  private def retryAfterMs(conn: HttpURLConnection): Long = {
+    val raw = Option(conn.getHeaderField("Retry-After")).map(_.trim)
+    val deltaSec = raw.flatMap(s => scala.util.Try(s.toLong).toOption)
       .map(_ * 1000L)
-      .getOrElse(1000L)
+    // getHeaderFieldDate parses the RFC 1123 HTTP-date form (0 when
+    // absent/unparseable); relative to now because the sleep is
+    def httpDate = raw.flatMap { _ =>
+      val at = conn.getHeaderFieldDate("Retry-After", 0L)
+      if (at > 0L) Some(at - System.currentTimeMillis()) else None
+    }
+    math.max(0L, deltaSec.orElse(httpDate).getOrElse(1000L))
+  }
 }

@@ -73,24 +73,29 @@ object JsonSource {
       .where(col("e").isNotNull)
       .select(col("e.*"))
 
+  /** One track entry as the details and search endpoints serve it —
+    * shared by [[tracksResponseSchema]] and [[searchResponseSchema]]
+    * so the two payload shapes cannot drift. */
+  private val trackEntrySchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("name", StringType),
+    StructField("duration_ms", LongType),
+    StructField("explicit", BooleanType),
+    StructField("popularity", IntegerType),
+    StructField("artists", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType))))),
+    StructField("album", StructType(Seq(
+      StructField("id", StringType),
+      StructField("name", StringType))))))
+
   /** Schema of one batch track-details RESPONSE envelope (S2;
     * curl_spotify_tracker.py:291-301 reads `response['tracks']`,
     * :484-508 projects the detail doc). Array entries may be NULL —
     * the API returns null for unknown ids, which the reference
     * filters with `if track:` (:485). */
   val tracksResponseSchema: StructType = StructType(Seq(
-    StructField("tracks", ArrayType(StructType(Seq(
-      StructField("id", StringType),
-      StructField("name", StringType),
-      StructField("duration_ms", LongType),
-      StructField("explicit", BooleanType),
-      StructField("popularity", IntegerType),
-      StructField("artists", ArrayType(StructType(Seq(
-        StructField("id", StringType),
-        StructField("name", StringType))))),
-      StructField("album", StructType(Seq(
-        StructField("id", StringType),
-        StructField("name", StringType))))))))))
+    StructField("tracks", ArrayType(trackEntrySchema))))
 
   /** Read a drop directory of track-details response envelopes into
     * per-track detail rows; null entries (unknown ids) are dropped
@@ -170,6 +175,43 @@ object JsonSource {
     explodeEntries(
       spark.read.schema(audioFeaturesResponseSchema).json(path),
       "audio_features")
+
+  /** Schema of one search RESPONSE envelope (S3;
+    * spotify_client.py:359-397: the collector drops the whole result
+    * object verbatim). Track search results arrive under a `tracks`
+    * PAGING object — items plus the offset/limit/total/next cursor
+    * fields, which ingestion keeps for resumable paging. */
+  val searchResponseSchema: StructType = StructType(Seq(
+    StructField("tracks", StructType(Seq(
+      StructField("href", StringType),
+      StructField("items", ArrayType(trackEntrySchema)),
+      StructField("limit", IntegerType),
+      StructField("offset", IntegerType),
+      StructField("total", IntegerType),
+      StructField("next", StringType))))))
+
+  /** Read a drop directory of search-response envelopes into
+    * per-track result rows (the paging wrapper unwraps to its items;
+    * null entries dropped like every other envelope reader). */
+  def readSearchTracks(spark: SparkSession, path: String): DataFrame =
+    explodeEntries(
+      spark.read.schema(searchResponseSchema).json(path), "tracks.items")
+
+  /** Schema of one user-profile doc (S3; spotify_client.py:344-357:
+    * the `/me` response dropped verbatim — one JSON doc per fetch,
+    * no envelope array to unwrap). */
+  val userProfileSchema: StructType = StructType(Seq(
+    StructField("id", StringType),
+    StructField("display_name", StringType),
+    StructField("email", StringType),
+    StructField("country", StringType),
+    StructField("product", StringType),
+    StructField("followers", StructType(Seq(
+      StructField("total", LongType))))))
+
+  /** Read a drop directory of `/me` profile docs. */
+  def readUserProfiles(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(userProfileSchema).json(path)
 
   /** [[responseSchema]] plus the PERMISSIVE-mode corrupt-record
     * capture column. */

@@ -319,7 +319,7 @@ class HttpIngestSpec extends SparkSpec {
     assert(detRejects.count() == 2)
   }
 
-  test("auth failures are fatal, not retried") {
+  test("auth failures are fatal, not retried, without a token manager") {
     val calls = new AtomicInteger(0)
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     server.createContext("/v1/me", ex => {
@@ -331,14 +331,213 @@ class HttpIngestSpec extends SparkSpec {
     try {
       val url =
         s"http://127.0.0.1:${server.getAddress.getPort}/v1/me"
-      intercept[IllegalStateException](
+      intercept[IngestClient.AuthRejected](
         IngestClient.withRetries(
           IngestClient.RetryPolicy(maxRetries = 3), _ => ())(
           _ => HttpFetch.get(url)))
       // fatal on FIRST sight — the retry budget must not be spent on
-      // a rejected token (the reference refreshes and re-enters; that
-      // is the caller's loop, not the transport's)
+      // a rejected token; surviving a 401 takes the EXPLICIT
+      // withTokenRefresh envelope, never the generic backoff loop
       assert(calls.get() == 1)
+    } finally server.stop(0)
+  }
+
+  test("OAuth refresh: expired token -> 401 -> ONE refresh -> replay") {
+    // The reference's token protocol (spotify_client.py:91-236) over a
+    // real socket: the token endpoint issues rotating tokens on the
+    // refresh-token grant; the data endpoint serves ONLY the current
+    // token. The collector must survive a mid-run expiry with exactly
+    // one refresh + replay, refresh PROACTIVELY inside the 5-minute
+    // expiry guard band, and die on a 401 that survives a refresh.
+    val tokenCalls = new AtomicInteger(0)
+    val dataCalls = new AtomicInteger(0)
+    val granted = ArrayBuffer[String]()
+    @volatile var live = "" // the one token the data endpoint accepts
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/token", ex => {
+      val body = new String(ex.getRequestBody.readAllBytes(),
+        StandardCharsets.UTF_8)
+      granted += body
+      // the grant must carry Basic credentials and the refresh token
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      if (auth == null || !auth.startsWith("Basic ") ||
+          !body.contains("grant_type=refresh_token"))
+        respond(ex, 400, """{"error":"invalid_request"}""")
+      else {
+        val n = tokenCalls.incrementAndGet()
+        live = s"tok-$n"
+        respond(ex, 200,
+          s"""{"access_token":"tok-$n","token_type":"Bearer","expires_in":3600}""")
+      }
+    })
+    server.createContext("/v1/data", ex => {
+      dataCalls.incrementAndGet()
+      val auth = ex.getRequestHeaders.getFirst("Authorization")
+      if (auth == s"Bearer $live") respond(ex, 200, """{"ok":true}""")
+      else respond(ex, 401, """{"error":"expired"}""")
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}"
+      var clockMs = 0L
+      val tokens = new IngestClient.TokenManager(
+        () => IngestClient.refreshAccessToken(s"$base/api/token",
+          "client-id", "client-secret", "refresh-tok"),
+        now = () => clockMs)
+      val policy = IngestClient.RetryPolicy(maxRetries = 3)
+      def fetchData(): String =
+        IngestClient.withRetries(policy, _ => ())(_ =>
+          IngestClient.withTokenRefresh(tokens)(tok =>
+            HttpFetch.get(s"$base/v1/data",
+              Map("Authorization" -> s"Bearer $tok"))))
+
+      // first call: no cached token -> refresh grant -> fetch
+      assert(fetchData() == """{"ok":true}""")
+      assert(tokens.refreshes == 1 && dataCalls.get() == 1)
+      // cached token reused — no second grant
+      assert(fetchData() == """{"ok":true}""")
+      assert(tokens.refreshes == 1 && dataCalls.get() == 2)
+      // the grant body carried the credentials exactly once per grant
+      assert(granted.forall(_.contains("refresh_token=refresh-tok")))
+
+      // server-side revocation (rotation): cached token now 401s ->
+      // exactly one refresh + one replay, not a backoff loop
+      live = "revoked-elsewhere"
+      assert(fetchData() == """{"ok":true}""")
+      assert(tokens.refreshes == 2)
+      assert(dataCalls.get() == 4) // the 401'd attempt + the replay
+
+      // proactive refresh: inside the 5-minute guard band of the
+      // 3600 s lifetime the manager refreshes WITHOUT waiting for a
+      // 401 (spotify_client.py:103 refreshes 5 min early)
+      clockMs += (3600L - 299L) * 1000L
+      assert(fetchData() == """{"ok":true}""")
+      assert(tokens.refreshes == 3)
+      assert(dataCalls.get() == 5) // no 401'd attempt this time
+
+      // a 401 that SURVIVES a refresh is fatal: credentials, not expiry
+      live = "never-matches"
+      server.removeContext("/api/token")
+      server.createContext("/api/token", ex => {
+        tokenCalls.incrementAndGet()
+        respond(ex, 200,
+          """{"access_token":"also-wrong","expires_in":3600}""")
+      })
+      intercept[IngestClient.AuthRejected](fetchData())
+
+      // a refresh grant REJECTED by the auth server is fatal too —
+      // the reference raises SpotifyAuthError (spotify_client.py:150)
+      server.removeContext("/api/token")
+      server.createContext("/api/token", ex =>
+        respond(ex, 200, """{"error":"invalid_grant"}"""))
+      clockMs += 4000L * 1000L // force the next bearer() to refresh
+      val bad = intercept[IngestClient.AuthRejected](fetchData())
+      assert(bad.getMessage.contains("no access_token"))
+    } finally server.stop(0)
+  }
+
+  test("S3 search + user profile: fetched, dropped verbatim, read back") {
+    val queries = ArrayBuffer[String]()
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/search", ex => {
+      queries += Option(ex.getRequestURI.getRawQuery).getOrElse("")
+      respond(ex, 200,
+        """{"tracks":{"href":"/v1/search?q=x","items":[
+          |{"id":"s1","name":"Hit One","popularity":80,
+          | "artists":[{"id":"a1","name":"A"}],
+          | "album":{"id":"al1","name":"Al"}},
+          |{"id":"s2","name":"Hit Two","popularity":70,
+          | "artists":[{"id":"a2","name":"B"}],
+          | "album":{"id":"al2","name":"Bl"}},
+          |null],
+          |"limit":20,"offset":0,"total":123,
+          |"next":"/v1/search?q=x&offset=20"}}"""
+          .stripMargin.replace("\n", ""))
+    })
+    server.createContext("/v1/me", ex => respond(ex, 200,
+      """{"id":"u1","display_name":"Listener","email":"u@example.com",
+        |"country":"TW","product":"premium","followers":{"total":7}}"""
+        .stripMargin.replace("\n", "")))
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+      val policy = IngestClient.RetryPolicy(maxRetries = 2)
+
+      // the query survives percent-encoding round-trip: spaces and &
+      // cannot smuggle extra params (spotify_client.py:359-385 passes
+      // q/type/limit; requests does the encoding there)
+      val url = IngestClient.searchUrl(base, "dance & cry", limit = 20)
+      val envelope =
+        IngestClient.withRetries(policy, _ => ())(_ => HttpFetch.get(url))
+      assert(queries.head == "q=dance+%26+cry&type=track&limit=20")
+      intercept[IllegalArgumentException](
+        IngestClient.searchUrl(base, "x", limit = 51))
+
+      val drop = Files.createTempDirectory("graft_http_search")
+      Files.write(drop.resolve("page-0.json"),
+        envelope.getBytes(StandardCharsets.UTF_8))
+      val hits = JsonSource.readSearchTracks(spark, drop.toString)
+      // null entries dropped; item fields + shared track shape land
+      assert(hits.count() == 2)
+      assert(hits.where($"popularity" === 80).select("name")
+        .collect()(0).getString(0) == "Hit One")
+      // the paging cursor survives the verbatim drop for resumption
+      val page = spark.read.schema(JsonSource.searchResponseSchema)
+        .json(drop.toString).select("tracks.total", "tracks.next")
+        .collect()(0)
+      assert(page.getInt(0) == 123 && page.getString(1).endsWith("offset=20"))
+
+      // /me: one profile doc, dropped verbatim, declared-schema read
+      val me =
+        IngestClient.withRetries(policy, _ => ())(_ =>
+          HttpFetch.get(s"$base/me"))
+      val meDrop = Files.createTempDirectory("graft_http_me")
+      Files.write(meDrop.resolve("me.json"),
+        me.getBytes(StandardCharsets.UTF_8))
+      val prof = JsonSource.readUserProfiles(spark, meDrop.toString)
+      assert(prof.count() == 1)
+      val row = prof.select("id", "display_name", "followers.total")
+        .collect()(0)
+      assert(row.getString(0) == "u1" && row.getString(1) == "Listener" &&
+        row.getLong(2) == 7L)
+    } finally server.stop(0)
+  }
+
+  test("Retry-After hardening: negative deltas clamp, HTTP-dates parse") {
+    val calls = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/limited", ex => {
+      calls.incrementAndGet() match {
+        // a malformed NEGATIVE delta must clamp to 0, not escape
+        // withRetries as Thread.sleep's IllegalArgumentException
+        case 1 => respond(ex, 429, "", Map("Retry-After" -> "-7"))
+        // the RFC 9110 HTTP-date form must parse to a relative wait
+        case 2 =>
+          val at = java.time.format.DateTimeFormatter.RFC_1123_DATE_TIME
+            .format(java.time.ZonedDateTime.now(
+              java.time.ZoneOffset.UTC).plusHours(1))
+          respond(ex, 429, "", Map("Retry-After" -> at))
+        case _ => respond(ex, 200, """{"ok":true}""")
+      }
+    })
+    server.setExecutor(null)
+    server.start()
+    try {
+      val url = s"http://127.0.0.1:${server.getAddress.getPort}/v1/limited"
+      val slept = ArrayBuffer[Long]()
+      val got = IngestClient.withRetries(
+        IngestClient.RetryPolicy(maxRetries = 3), slept += _)(
+        _ => HttpFetch.get(url))
+      assert(got == """{"ok":true}""")
+      assert(slept.size == 2)
+      assert(slept(0) == 0L, s"negative Retry-After must clamp: $slept")
+      // one hour out, minus test latency; anything in (55, 60] min is
+      // a correct relative parse, and crucially it is NOT the 1 s
+      // unparseable-fallback
+      assert(slept(1) > 55L * 60 * 1000 && slept(1) <= 60L * 60 * 1000,
+        s"HTTP-date Retry-After must parse relatively: $slept")
     } finally server.stop(0)
   }
 }
