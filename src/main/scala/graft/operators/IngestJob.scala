@@ -111,8 +111,13 @@ object IngestJob {
     * each call stamps a fresh sequence. */
   def enrichCatalog(zone: RawZone, details: DataFrame): RawZone = {
     val seq = zone.nextSeq
+    // a non-null details struct with a NULL id (a malformed API entry
+    // the reader's null-ENTRY filter cannot see) would full-outer-join
+    // on the null key and insert a junk track_id=NULL catalog row with
+    // backstopped fields — drop it here, where every field projection
+    // below is keyed by that id
     val det = collapse(
-      details.select(
+      details.where(col("id").isNotNull).select(
         col("id").as("track_id"),
         col("name").as("d_track_name"),
         try_element_at(col("artists"), lit(1)).getField("name")

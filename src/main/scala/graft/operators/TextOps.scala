@@ -92,8 +92,20 @@ object TextOps {
     * values where present are IDENTICAL to [[minhashSignature]]'s
     * (same per-hash aggregate; min ignores the null shingle the
     * outer explode emits for short docs). */
-  def minhashRegistry(docs: DataFrame): DataFrame = {
-    val aggs = min(col("ch")).as("content_hash") +:
+  def minhashRegistry(docs: DataFrame): DataFrame =
+    minhashRegistryAudited(docs)
+      .withColumnRenamed("ch_lo", "content_hash").drop("ch_hi")
+
+  /** [[minhashRegistry]] with the per-doc content hash carried as a
+    * (min, max) PAIR instead of one value — the shape the streaming
+    * fold ([[graft.streaming.Streams]]'s minhashSink) consumes: a doc
+    * delivered twice WITHIN one micro-batch with different text
+    * collapses under the min aggregate, and a single min hash would
+    * hide that — ch_lo != ch_hi is the loud in-batch evidence the
+    * refuse-on-mutation contract needs. Same single pass. */
+  private[graft] def minhashRegistryAudited(docs: DataFrame): DataFrame = {
+    val aggs = min(col("ch")).as("ch_lo") +:
+      max(col("ch")).as("ch_hi") +:
       (0 until MinhashK).map(k =>
         min(md5(concat(col("s"), lit(s":$k")))).as(s"m$k"))
     docs

@@ -25,7 +25,22 @@ object Warehouse {
       .parquet(path)
 
   def readFact(spark: SparkSession, path: String): DataFrame =
+    readPublished(spark, path)
+
+  /** Read a table maintained by [[publishAudited]]/[[compact]],
+    * healing the swap crash window FIRST: if the last publisher died
+    * between its two renames, the table sits complete at `<path>.prev`
+    * and a plain read of `path` sees ENOENT until the NEXT publish
+    * runs recovery. Readers that come through here self-heal instead
+    * of waiting for a writer. (The heal is one rename guarded by two
+    * existence checks — no data movement; a concurrently-completing
+    * publisher makes the `!exists(path)` guard false, so this never
+    * races a healthy swap.) */
+  def readPublished(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    recoverSwap(p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
     spark.read.parquet(path)
+  }
 
   /** Last-N-days slice of a partitioned fact. The day keys are
     * enumerated with real calendar arithmetic (integer date_key
@@ -95,7 +110,12 @@ object Warehouse {
     * table.) A stale `.prev` from an earlier crash is dropped first —
     * at that point the staging dir already holds newer audited data,
     * so a full copy still exists throughout. `failpoint` is a test
-    * hook for simulating a crash between the renames. */
+    * hook for simulating a crash between the renames.
+    *
+    * Between the two renames `path` itself is briefly absent, and a
+    * crash there strands the table at `.prev` until recovery runs —
+    * which is why reads go through [[readPublished]] (self-healing)
+    * rather than a bare `spark.read.parquet`. */
   private[graft] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
       failpoint: String => Unit = _ => ()): Unit = {

@@ -236,21 +236,39 @@ object Streams {
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     versionedFoldSink(docs, statePath, checkpointLocation)(
-      batch => graft.operators.TextOps.minhashRegistry(batch)) {
+      // the AUDITED registry: ch as a (min, max) pair per doc, so a
+      // doc delivered twice within ONE micro-batch with different
+      // text surfaces as ch_lo != ch_hi instead of collapsing into a
+      // silent chimera before the merge's check can see it
+      batch => graft.operators.TextOps.minhashRegistryAudited(batch)) {
       (prev, inc) =>
-        require(prev.columns.contains("content_hash"),
-          "minhash state predates the content-hash registry (columns " +
-            prev.columns.mkString("[", ", ", "]") +
-            "); it cannot prove re-delivered docs are unchanged. " +
-            "Rebuild the state from the full corpus.")
         val sigCols = inc.columns
-          .filterNot(Seq("doc_id", "content_hash").contains).toSeq
-        val aggs = min(col("content_hash")).as("ch_lo") +:
-          max(col("content_hash")).as("ch_hi") +:
+          .filterNot(Seq("doc_id", "ch_lo", "ch_hi").contains).toSeq
+        // prev is either committed state (one content_hash per doc),
+        // or the empty first-batch frame already in inc's audited
+        // shape; anything else is pre-registry state that cannot
+        // prove re-delivered docs unchanged
+        val prevAudited =
+          if (prev.columns.contains("ch_lo")) prev
+          else {
+            require(prev.columns.contains("content_hash"),
+              "minhash state predates the content-hash registry " +
+                prev.columns.mkString("(columns [", ", ", "]); ") +
+                "it cannot prove re-delivered docs are unchanged. " +
+                "Rebuild the state from the full corpus.")
+            prev.select(col("doc_id") +:
+              col("content_hash").as("ch_lo") +:
+              col("content_hash").as("ch_hi") +: sigCols.map(col): _*)
+          }
+        val aggs = min(col("ch_lo")).as("ch_lo") +:
+          max(col("ch_hi")).as("ch_hi") +:
           sigCols.map(c => min(col(c)).as(c))
-        val merged = prev.unionByName(inc).groupBy(col("doc_id"))
+        val merged = prevAudited.unionByName(inc).groupBy(col("doc_id"))
           .agg(aggs.head, aggs.tail: _*)
           .localCheckpoint()
+        // ONE check catches both mutation shapes: across batches
+        // (state hash vs batch hash) and within the batch (the
+        // registry's own lo/hi spread)
         val mutated = merged.where(col("ch_lo") =!= col("ch_hi")).count()
         require(mutated == 0,
           s"minhash state refuses the fold: $mutated doc(s) were " +

@@ -57,6 +57,27 @@ class IngestJobSpec extends SparkSpec {
     assert(state.get.playLedger.count() == 11)
   }
 
+  test("enrichCatalog drops a details entry whose struct has a NULL id") {
+    import spark.implicits._
+    val zone = IngestJob.run(None,
+      readDocs(Seq(doc("t1", "2024-01-01T08:00:00Z", "Song1", 50))), "b1")
+    // a malformed API entry: non-null struct, no id — the reader's
+    // null-ENTRY filter passes it through, and without the id guard
+    // it would full-outer-join on NULL and insert a junk catalog row
+    // with Unknown-Artist/Album backstops
+    val dir = java.nio.file.Files.createTempDirectory("graft_nullid")
+    java.nio.file.Files.write(dir.resolve("pages.json"),
+      ("""{"tracks":[{"name":"Ghost","popularity":5},""" +
+        """{"id":"t1","popularity":77}]}""").getBytes)
+    val details = JsonSource.readTrackDetails(spark, dir.toString)
+    assert(details.count() == 2) // both structs are non-null entries
+    val enriched = IngestJob.enrichCatalog(zone, details)
+    assert(enriched.trackCatalog.where($"track_id".isNull).count() == 0)
+    assert(enriched.trackCatalog.count() == 1)
+    assert(enriched.trackCatalog.collect()(0)
+      .getAs[Int]("popularity") == 77) // the keyed entry still lands
+  }
+
   test("operators tolerate empty input") {
     import graft.operators.{Analytics, StarSchema}
     val empty = StarSchema.clean(eventsDf(Seq.empty))

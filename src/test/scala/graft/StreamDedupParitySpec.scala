@@ -146,7 +146,13 @@ class StreamDedupParitySpec extends SparkSpec {
     val mutations = Seq(
       "changed-long" -> docsDf(Seq(
         (1L, "alpha beta gamma CHANGED", "en", "s"))),
-      "shrunk-short" -> docsDf(Seq((1L, "alpha beta", "en", "s"))))
+      "shrunk-short" -> docsDf(Seq((1L, "alpha beta", "en", "s"))),
+      // BOTH versions inside ONE micro-batch: the registry's min
+      // aggregate would collapse them before any cross-batch check
+      // ran — only the audited (ch_lo, ch_hi) pair can see it
+      "in-batch" -> docsDf(Seq(
+        (3L, "iota kappa lambda mu", "en", "s"),
+        (3L, "iota kappa lambda MUTATED", "en", "s"))))
     mutations.foreach { case (label, v2) =>
       val streamDir =
         java.nio.file.Files.createTempDirectory(s"graft_mh_mut_$label")

@@ -189,6 +189,32 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(base + ".publish-tmp").exists())
   }
 
+  test("readPublished self-heals a crashed swap; plain readers need not wait") {
+    // same crash window as above, but recovered by a READER: between
+    // publishes nothing runs recoverSwap, so a bare
+    // spark.read.parquet(path) would see ENOENT until the next
+    // publish — readPublished restores .prev itself
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_reader_heal").toString + "/tbl"
+    val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
+    Warehouse.publishAudited(v1, base, Seq("v_pos" -> ($"v" > 0)))
+    val p = new org.apache.hadoop.fs.Path(base)
+    val tmp = new org.apache.hadoop.fs.Path(base + ".publish-tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Seq((3L, 30.0)).toDF("id", "v").write.parquet(tmp.toString)
+    intercept[RuntimeException](
+      Warehouse.swapInto(fs, tmp, p,
+        failpoint = at => if (at == "aside-renamed")
+          throw new RuntimeException("simulated crash")))
+    assert(!new java.io.File(base).exists()) // the stranded window
+    val healed = Warehouse.readPublished(spark, base)
+    assert(healed.count() == 2)
+    assert(new java.io.File(base).exists())
+    assert(!new java.io.File(base + ".prev").exists())
+    // healing is idempotent, and readFact routes through it
+    assert(Warehouse.readFact(spark, base).count() == 2)
+  }
+
   test("raw SQL entry point matches the DataFrame result (S12)") {
     val dir = "/root/testdata/sf0.001"
     val viaSql = Sql.run(spark, dir,
