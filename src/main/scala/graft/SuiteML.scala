@@ -22,6 +22,14 @@ object SuiteML {
     * drift. */
   private val BpeRounds = 5
 
+  /** Frequency floor for the convergence-stop BPE query: between the
+    * sf0.01 corpus' round-3 (2747) and round-4 (2696) winners, so the
+    * trainer provably STOPS mid-budget there. Shared with the oracle,
+    * which replays all rounds and keeps those at or above the floor —
+    * equivalent because round winners are monotone non-increasing
+    * (the spec-pinned law in TextOpsSpec). */
+  private val BpeMinCount = 2700L
+
   /** The BPE trainer as unrolled DuckDB CTEs (word-frequency table,
     * wrapped-symbol sequences, one (pairs, top-1, merge) round per
     * iteration), shared by the merge-table and encode oracles —
@@ -925,6 +933,26 @@ object SuiteML {
             s"lhs || rhs AS merged, n_pairs FROM t$r")
           .mkString("\nUNION ALL\n")
         bpeCtes(BpeRounds) + "\n" + union
+      }),
+
+    // ---- tokenizer training: CONVERGENCE-STOP variant -------------------
+    // Same trainer under a frequency floor: training stops at the
+    // first round whose winner falls below BpeMinCount (a real
+    // trainer's min-frequency threshold). The oracle replays the full
+    // round budget and keeps rounds at or above the floor — exactly
+    // the stopped prefix, because round winners are monotone
+    // non-increasing (merging the max pair only creates pairs bounded
+    // by its count).
+    Q("text_bpe_converged",
+      (s, d) => TextOps.bpeMerges(docs(s, d), rounds = BpeRounds,
+        minCount = BpeMinCount),
+      Some {
+        val union = (1 to BpeRounds).map(r =>
+          s"SELECT CAST($r AS BIGINT) AS merge_round, lhs, rhs, " +
+            s"lhs || rhs AS merged, n_pairs FROM t$r")
+          .mkString("\nUNION ALL\n")
+        bpeCtes(BpeRounds) +
+          s"\nSELECT * FROM (\n$union\n) WHERE n_pairs >= $BpeMinCount"
       }),
 
     // ---- tokenizer training: ENCODE with the trained merges -------------

@@ -1192,11 +1192,27 @@ object TextOps {
     * round (the same driver-sees-one-row loop discipline as the
     * k-means trainer in EmbeddingOps). The working table is
     * localCheckpointed every round so lineage stays bounded across
-    * iterations. Stops early when no pair remains. */
-  def bpeMerges(docs: DataFrame, rounds: Int = 5): DataFrame = {
+    * iterations.
+    *
+    * CONVERGENCE: training stops before `rounds` when no pair remains
+    * OR the best remaining pair's count falls below `minCount` — the
+    * frequency floor real tokenizer trainers use (Sennrich 2016 §3
+    * trains "until the vocabulary reaches a target size OR no pair
+    * occurs more than the threshold"); `rounds` IS the target-vocab
+    * form of the same stop (vocab = base charset + one symbol per
+    * merge). The floor is a valid STOP (not just a filter) because
+    * round winners are monotone non-increasing: merging the max-count
+    * pair can only create pairs whose occurrences each contain an
+    * occurrence of the merged symbol, so no later round can beat the
+    * count that stopped this one. That monotone law is spec-pinned,
+    * and the `text_bpe_converged` oracle leans on it (replay all
+    * rounds, keep those at or above the floor). */
+  def bpeMerges(docs: DataFrame, rounds: Int = 5,
+      minCount: Long = 1L): DataFrame = {
     require(rounds >= 1 && rounds <= 100,
       s"rounds must be in [1, 100], got $rounds")
-    val records = bpeTrain(docs, rounds)._2
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val records = bpeTrain(docs, rounds, minCount)._2
     val s = docs.sparkSession
     import s.implicits._
     records.toDF("merge_round", "lhs", "rhs", "merged", "n_pairs")
@@ -1213,10 +1229,12 @@ object TextOps {
     * corpus joins to it once on the word key (a keyed shuffle join —
     * at 100 TB the vocabulary is NOT broadcast-safe), then one
     * per-doc count shuffle. */
-  def bpeEncode(docs: DataFrame, rounds: Int = 5): DataFrame = {
+  def bpeEncode(docs: DataFrame, rounds: Int = 5,
+      minCount: Long = 1L): DataFrame = {
     require(rounds >= 1 && rounds <= 100,
       s"rounds must be in [1, 100], got $rounds")
-    val seqs = bpeTrain(docs, rounds)._1
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val seqs = bpeTrain(docs, rounds, minCount)._1
     // m symbols -> split produces 2m+1 elements; (2m+1-1)/2.0 = m is
     // exact in double for any real vocabulary
     val perWord = seqs.select(col("word"),
@@ -1241,7 +1259,8 @@ object TextOps {
     * records) and [[bpeEncode]] (wants the final per-word
     * segmentations): returns the final (word, seq, n) frame and the
     * per-round merge records. */
-  private def bpeTrain(docs: DataFrame, rounds: Int)
+  private def bpeTrain(docs: DataFrame, rounds: Int,
+      minCount: Long = 1L)
       : (DataFrame, Seq[(Long, String, String, String, Long)]) = {
     val sep = BpeSep
     // 1-char words can never pair and never change: drop them up
@@ -1275,7 +1294,9 @@ object TextOps {
         .orderBy(col("n_pairs").desc, col("lhs").asc, col("rhs").asc)
         .limit(1)
         .collect()
-      if (top.isEmpty) exhausted = true
+      // stop on a dry vocabulary OR a winner below the frequency
+      // floor — by the monotone law no later round could clear it
+      if (top.isEmpty || top(0).getLong(2) < minCount) exhausted = true
       else {
         val (l, rr, n) = (top(0).getString(0), top(0).getString(1),
           top(0).getLong(2))

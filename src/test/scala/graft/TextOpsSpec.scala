@@ -517,6 +517,45 @@ class TextOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](TextOps.bpeMerges(d, 0))
   }
 
+  test("bpeMerges: winners are monotone non-increasing; minCount stops the prefix") {
+    // the law the convergence stop (and the text_bpe_converged oracle)
+    // rests on: merging the max-count pair can only create pairs whose
+    // occurrences each contain the merged symbol, so no later round
+    // beats the count that won this one
+    val d = docsDf(Seq(
+      (1L, "abab abab cdcd", "en", "s"),
+      (2L, "abab cdcd efef", "en", "s"),
+      (3L, "wxyz", "en", "s")))
+    val full = TextOps.bpeMerges(d, rounds = 20).collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[Long]("n_pairs")))
+      .sortBy(_._1)
+    assert(full.length >= 4)
+    full.sliding(2).foreach { case Array((r1, n1), (r2, n2)) =>
+      assert(n1 >= n2, s"round $r1 ($n1) < round $r2 ($n2): law broken")
+    }
+    // a floor between two observed winners stops training at exactly
+    // the filtered prefix of the unconstrained run
+    val distinctCounts = full.map(_._2).distinct
+    assert(distinctCounts.length >= 2, "fixture needs a count drop")
+    val floor = distinctCounts(1) + 1 // above the 2nd distinct winner
+    val stopped = TextOps.bpeMerges(d, rounds = 20, minCount = floor)
+      .collect()
+      .map(r => (r.getAs[Long]("merge_round"), r.getAs[Long]("n_pairs")))
+      .sortBy(_._1)
+    assert(stopped.sameElements(full.filter(_._2 >= floor)),
+      s"stopped=${stopped.toSeq} vs full=${full.toSeq} floor=$floor")
+    // encode under the floor equals encode trained for exactly the
+    // surviving rounds — the stop changes WHEN training ends, never
+    // what the trained prefix means
+    val viaFloor = TextOps.bpeEncode(d, rounds = 20, minCount = floor)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val viaRounds = TextOps.bpeEncode(d, rounds = stopped.length.max(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(viaFloor.sameElements(viaRounds))
+    assertThrows[IllegalArgumentException](
+      TextOps.bpeMerges(d, rounds = 5, minCount = 0L))
+  }
+
   test("bpeEncode applies the trained merges to the corpus") {
     val d = docsDf(Seq(
       (1L, "aaaa bcbc x", "en", "s"),
