@@ -469,6 +469,42 @@ object EmbeddingOps {
     * qualifying pair split across cells is missed. Centroids are
     * centroid-cardinality (broadcast); the pair join shuffles on the
     * cell key only. */
+  /** Per-vector content registry — the embedding analog of
+    * graft.operators.TextOps.minhashRegistry, the state frame the
+    * streaming fold (graft.streaming.Streams.embeddingSink) maintains
+    * so [[semanticDedup]] can run over an INCREMENTALLY-built corpus:
+    * one row per vec_id carrying the payload (embedding + label) and
+    * a content hash over the QUANTIZED milli-units (the corpus'
+    * determinism currency — float rendering would be engine-unstable).
+    * Re-delivering a vector byte-identically is a no-op; any mutation
+    * is detectable by hash. One scan, one keyed aggregate. */
+  def embeddingRegistry(emb: DataFrame): DataFrame =
+    embeddingRegistryAudited(emb)
+      .withColumnRenamed("ch_lo", "content_hash").drop("ch_hi")
+
+  /** [[embeddingRegistry]] with the content hash as a (min, max) pair
+    * per vec_id, so a vector delivered twice within ONE micro-batch
+    * with different values surfaces as ch_lo != ch_hi instead of
+    * collapsing silently — same audited shape as
+    * TextOps.minhashRegistryAudited, consumed by the streaming fold's
+    * refuse-on-mutation check. */
+  private[graft] def embeddingRegistryAudited(emb: DataFrame): DataFrame = {
+    val ch = md5(concat_ws("|",
+      concat_ws(",", transform(col("embedding"),
+        x => round(x.cast("double") * 1000).cast("long").cast("string"))),
+      coalesce(col("label").cast("string"), lit(""))))
+    emb.select(col("vec_id"), ch.as("ch"),
+        struct(col("embedding"), col("label")).as("payload"))
+      .groupBy(col("vec_id"))
+      .agg(min(col("ch")).as("ch_lo"), max(col("ch")).as("ch_hi"),
+        // rows in a group are identical whenever the refuse check can
+        // pass (ch_lo == ch_hi), so the min_by pick is deterministic
+        min_by(col("payload"), col("ch")).as("payload"))
+      .select(col("vec_id"), col("ch_lo"), col("ch_hi"),
+        col("payload.embedding").as("embedding"),
+        col("payload.label").as("label"))
+  }
+
   def semanticDedup(emb: DataFrame, nCentroids: Int = KmSeeds,
       iters: Int = KmIters, threshold: Double = 0.45): DataFrame = {
     val e = quantized(emb).localCheckpoint()

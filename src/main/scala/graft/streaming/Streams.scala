@@ -279,8 +279,64 @@ object Streams {
           col("ch_lo").as("content_hash") +: sigCols.map(col): _*)
     }
 
-  /** The shared versioned-fold protocol behind [[dedupExactSink]] and
-    * [[minhashSink]]: per-batch increment `incOf`, monotone state
+  /** Streaming SemDeDup state maintenance — the embedding analog of
+    * [[minhashSink]]: each micro-batch's per-vector registry rows
+    * (graft.operators.EmbeddingOps.embeddingRegistryAudited) fold
+    * into the versioned state keyed on vec_id. The fold is pure
+    * insert-if-absent: re-delivering a vector byte-identically is a
+    * no-op (the incremental-state property), and a re-delivery whose
+    * QUANTIZED content hash contradicts the recorded one — across
+    * batches or within one — REFUSES the fold loudly, because
+    * embeddings have no mergeable representation at all: there is no
+    * monotone combine of two different vectors, so a mutated corpus
+    * needs delete+reload. Semantic-dedup candidates then come from
+    * [[graft.operators.EmbeddingOps.semanticDedup]] over [[foldState]],
+    * off the hot path. Per batch: one keyed aggregate over the batch
+    * + one keyed state merge, O(state + batch); embeddings move only
+    * in the vec_id-keyed shuffle, never broadcast. */
+  def embeddingSink(emb: DataFrame, statePath: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    versionedFoldSink(emb, statePath, checkpointLocation)(
+      batch =>
+        graft.operators.EmbeddingOps.embeddingRegistryAudited(batch)) {
+      (prev, inc) =>
+        val prevAudited =
+          if (prev.columns.contains("ch_lo")) prev
+          else {
+            require(prev.columns.contains("content_hash"),
+              "embedding state carries no content hash (columns " +
+                prev.columns.mkString("[", ", ", "]") +
+                "); it cannot prove re-delivered vectors are " +
+                "unchanged. Rebuild the state from the full corpus.")
+            prev.select(col("vec_id"),
+              col("content_hash").as("ch_lo"),
+              col("content_hash").as("ch_hi"),
+              col("embedding"), col("label"))
+          }
+        val merged = prevAudited.unionByName(inc)
+          .groupBy(col("vec_id"))
+          .agg(min(col("ch_lo")).as("ch_lo"),
+            max(col("ch_hi")).as("ch_hi"),
+            min_by(struct(col("embedding"), col("label")),
+              col("ch_lo")).as("payload"))
+          .localCheckpoint()
+        val mutated = merged.where(col("ch_lo") =!= col("ch_hi")).count()
+        require(mutated == 0,
+          s"embedding state refuses the fold: $mutated vector(s) were " +
+            "re-delivered with DIFFERENT content; embeddings have no " +
+            "monotone merge, so the fold would keep an arbitrary " +
+            "version. Mutable vectors need delete+reload, not an " +
+            "incremental fold.")
+        merged.select(col("vec_id"), col("ch_lo").as("content_hash"),
+          col("payload.embedding").as("embedding"),
+          col("payload.label").as("label"))
+    }
+
+  /** The shared versioned-fold protocol behind [[dedupExactSink]],
+    * [[minhashSink]] and [[embeddingSink]]: per-batch increment
+    * `incOf`, monotone state
     * merge `merge`, batchId-versioned parquet state with run-marker
     * binding, _SUCCESS-gated predecessors, and replay-idempotent
     * overwrite (see [[dedupExactSink]]'s contract for the full
