@@ -1,0 +1,80 @@
+package graft.sources
+
+/** The reference client's full endpoint surface as ONE composed
+  * facade (reference/src/spotify/spotify_client.py — the
+  * `SpotifyClient` class): every call runs transport
+  * ([[HttpFetch]]) inside token refresh ([[IngestClient
+  * .withTokenRefresh]]: one forced refresh + replay on 401) inside
+  * the retry ladder ([[IngestClient.withRetries]]: Retry-After on
+  * 429, exponential backoff otherwise), with the reference's
+  * per-endpoint id caps on the batch fan-outs
+  * (curl_spotify_tracker.py:286,305,324; spotify_client.py:310-311).
+  *
+  * Responses come back VERBATIM — the collector never parses a byte
+  * of JSON; callers drop the envelopes into the raw zone and
+  * [[JsonSource]]'s declared-schema readers unwrap them distributed
+  * (the provenance-preserving split the whole S1-S3 design rests on).
+  *
+  * Driver-side by design: this is the control plane (<= tens of
+  * calls per run at the reference's <= 600 events/day cadence);
+  * clock and sleep stay injected so specs pin the protocol without
+  * wall-clock waits. The one deliberate divergence from the
+  * reference: its per-attempt `api_stats` counters live inside the
+  * request loop — here [[IngestClient.TokenManager.refreshes]]
+  * covers the token stat and retry accounting is the spec-visible
+  * sleep sequence, not a mutable counter bag.
+  */
+final class Collector(
+    base: String,
+    tokens: IngestClient.TokenManager,
+    policy: IngestClient.RetryPolicy = IngestClient.RetryPolicy(),
+    now: () => Long = () => System.nanoTime() / 1000000L,
+    sleep: Long => Unit = Thread.sleep) {
+
+  private def authed(url: String): String =
+    IngestClient.withRetries(policy, sleep)(_ =>
+      IngestClient.withTokenRefresh(tokens)(tok =>
+        HttpFetch.get(url, Map("Authorization" -> s"Bearer $tok"))))
+
+  private def fanned(ids: Seq[String], cap: Int,
+      url: Seq[String] => String): Seq[String] =
+    IngestClient.fanout(ids, cap, policy, now, sleep)(chunk =>
+      IngestClient.withTokenRefresh(tokens)(tok =>
+        HttpFetch.get(url(chunk), Map("Authorization" -> s"Bearer $tok"))))
+
+  /** S1: the recently-played page (spotify_client.py:238-280), with
+    * the optional after/before unix-millis cursors. */
+  def recentlyPlayed(limit: Int = 50, after: Option[Long] = None,
+      before: Option[Long] = None): String = {
+    require(1 <= limit && limit <= 50,
+      s"limit must be in [1, 50], got $limit")
+    val cursors = after.map(a => s"&after=$a").getOrElse("") +
+      before.map(b => s"&before=$b").getOrElse("")
+    authed(s"$base/me/player/recently-played?limit=$limit$cursors")
+  }
+
+  /** S2: batch track details, <= 50 ids per call. */
+  def trackDetails(ids: Seq[String]): Seq[String] =
+    fanned(ids, 50, c => s"$base/tracks?ids=${c.mkString(",")}")
+
+  /** S2: batch artist profiles, <= 50 ids per call. */
+  def artistProfiles(ids: Seq[String]): Seq[String] =
+    fanned(ids, 50, c => s"$base/artists?ids=${c.mkString(",")}")
+
+  /** S2: batch album catalog, <= 20 ids per call — the distinctive
+    * small cap (curl_spotify_tracker.py:324). */
+  def albumCatalog(ids: Seq[String]): Seq[String] =
+    fanned(ids, 20, c => s"$base/albums?ids=${c.mkString(",")}")
+
+  /** S3: batch audio features, <= 100 ids per call. */
+  def audioFeatures(ids: Seq[String]): Seq[String] =
+    fanned(ids, 100, c => s"$base/audio-features?ids=${c.mkString(",")}")
+
+  /** S3: content search (spotify_client.py:359-385). */
+  def search(query: String, searchType: String = "track",
+      limit: Int = 20): String =
+    authed(IngestClient.searchUrl(base, query, searchType, limit))
+
+  /** S3: the current user's profile (spotify_client.py:344-357). */
+  def userProfile(): String = authed(s"$base/me")
+}

@@ -11,7 +11,7 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
 import org.apache.spark.sql.functions._
 
 import graft.operators.IngestJob
-import graft.sources.{HttpFetch, IngestClient, JsonSource}
+import graft.sources.{Collector, HttpFetch, IngestClient, JsonSource}
 
 /** S1-S3 over a REAL socket: an in-process `com.sun.net.httpserver`
   * stub plays the API (recently-played pages, batch track details,
@@ -502,6 +502,102 @@ class HttpIngestSpec extends SparkSpec {
         .collect()(0)
       assert(row.getString(0) == "u1" && row.getString(1) == "Listener" &&
         row.getLong(2) == 7L)
+    } finally server.stop(0)
+  }
+
+  test("Collector facade: token refresh + retry + caps compose on every endpoint") {
+    // the SpotifyClient-equivalent surface: one facade, every call
+    // running transport inside refresh inside the retry ladder. The
+    // server rotates the live token MID-fan-out, so a chunk deep in a
+    // batched call hits 401 and must refresh + replay without
+    // disturbing the chunk sequence.
+    val tokenCalls = new AtomicInteger(0)
+    @volatile var live = ""
+    @volatile var revokeAtCall = -1 // one-shot server-side revocation
+    val dataCalls = new AtomicInteger(0)
+    val served = ArrayBuffer[String]() // paths actually served (200s)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/api/token", ex => {
+      val n = tokenCalls.incrementAndGet()
+      live = s"tok-$n"
+      respond(ex, 200,
+        s"""{"access_token":"tok-$n","expires_in":3600}""")
+    })
+    def dataCtx(path: String, body: HttpExchange => String): Unit =
+      server.createContext(path, ex => {
+        if (dataCalls.incrementAndGet() == revokeAtCall)
+          live = "rotated-away" // revoked ONCE, mid-run
+        val auth = ex.getRequestHeaders.getFirst("Authorization")
+        if (auth != s"Bearer $live")
+          respond(ex, 401, """{"error":"expired"}""")
+        else {
+          served += ex.getRequestURI.getPath
+          respond(ex, 200, body(ex))
+        }
+      })
+    def ids(ex: HttpExchange): Seq[String] =
+      Option(ex.getRequestURI.getQuery).getOrElse("")
+        .split("&").collectFirst {
+          case kv if kv.startsWith("ids=") =>
+            kv.drop(4).split(",").toSeq.filter(_.nonEmpty)
+        }.getOrElse(Seq.empty)
+    dataCtx("/v1/me/player/recently-played", _ => """{"items":[]}""")
+    val trackChunks = ArrayBuffer[Int]()
+    dataCtx("/v1/tracks", ex => {
+      trackChunks += ids(ex).size
+      s"""{"tracks":[${ids(ex).map(i =>
+        s"""{"id":"$i"}""").mkString(",")}]}"""
+    })
+    val albumChunks = ArrayBuffer[Int]()
+    dataCtx("/v1/albums", ex => {
+      albumChunks += ids(ex).size
+      s"""{"albums":[]}"""
+    })
+    dataCtx("/v1/search", _ => """{"tracks":{"items":[]}}""")
+    dataCtx("/v1/me", _ => """{"id":"u1"}""")
+    server.setExecutor(null)
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+      val tokenUrl =
+        s"http://127.0.0.1:${server.getAddress.getPort}/api/token"
+      var clockMs = 0L
+      val slept = ArrayBuffer[Long]()
+      val client = new Collector(base,
+        new IngestClient.TokenManager(
+          () => IngestClient.refreshAccessToken(tokenUrl, "id", "secret",
+            "refresh"),
+          now = () => clockMs),
+        IngestClient.RetryPolicy(maxRetries = 2),
+        now = () => { clockMs += 10; clockMs },
+        sleep = slept += _)
+
+      // cursoered S1 call: first touch mints the token
+      assert(client.recentlyPlayed(limit = 10,
+        after = Some(1700000000000L)) == """{"items":[]}""")
+      assert(tokenCalls.get() == 1)
+      intercept[IllegalArgumentException](client.recentlyPlayed(limit = 0))
+
+      // revoke the token at the 3rd chunk of the track fan-out: it
+      // 401s mid-run, refreshes ONCE, replays, and the chunk
+      // sequence completes in order
+      revokeAtCall = dataCalls.get() + 3
+      val pages = client.trackDetails((1 to 130).map(i => s"t$i"))
+      assert(pages.length == 3) // 130 ids / 50 per call
+      assert(trackChunks.toSeq == Seq(50, 50, 30)) // served in order
+      assert(tokenCalls.get() == 2) // exactly one refresh
+
+      // album cap is 20; pacing sleeps recorded between chunk starts
+      assert(client.albumCatalog((1 to 45).map(i => s"al$i")).length == 3)
+      assert(albumChunks.toSeq == Seq(20, 20, 5))
+      assert(slept.count(_ == 90L) >= 2) // 100ms pace minus 10ms clock step
+
+      // the S3 singles ride the same envelope
+      assert(client.search("x") == """{"tracks":{"items":[]}}""")
+      assert(client.userProfile() == """{"id":"u1"}""")
+      val paths = served.toSet
+      assert(paths == Set("/v1/me/player/recently-played", "/v1/tracks",
+        "/v1/albums", "/v1/search", "/v1/me"))
     } finally server.stop(0)
   }
 
