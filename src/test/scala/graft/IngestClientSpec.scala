@@ -81,4 +81,55 @@ class IngestClientSpec extends SparkSpec {
     }
     assert(out == Seq(3, 7))
   }
+
+  test("fanout laws: chunks partition the ids in order at every batch size") {
+    val rnd = new scala.util.Random(11)
+    (1 to 20).foreach { trial =>
+      val n = rnd.nextInt(300)
+      val ids = (1 to n).map(_ => rnd.nextInt(1000))
+      val batch = 1 + rnd.nextInt(120)
+      val chunks = mutable.Buffer.empty[Seq[Int]]
+      IngestClient.fanout(ids, batch, RetryPolicy(), () => 0L, _ => ())(
+        c => chunks += c)
+      // concatenation reconstructs the input exactly (no id lost,
+      // duplicated, or reordered), every chunk within the cap, and
+      // the call count is exactly ceil(n / batch)
+      assert(chunks.toSeq.flatten == ids, s"trial $trial")
+      assert(chunks.forall(_.size <= batch), s"trial $trial")
+      assert(chunks.dropRight(1).forall(_.size == batch), s"trial $trial")
+      assert(chunks.size == (n + batch - 1) / batch, s"trial $trial")
+    }
+  }
+
+  test("TokenManager law: never serves inside the expiry guard band") {
+    // arbitrary interleavings of clock advances and bearer() calls:
+    // every served token must have been minted within the last
+    // (expires_in - early) window, and refresh count == number of
+    // distinct tokens ever minted (no redundant grants)
+    val rnd = new scala.util.Random(23)
+    (1 to 10).foreach { trial =>
+      var clock = 0L
+      var minted = 0
+      val mintedAt = mutable.Map.empty[String, Long]
+      val expiresSec = 600L + rnd.nextInt(3600)
+      val tm = new IngestClient.TokenManager(
+        () => {
+          minted += 1
+          val t = s"t$minted"
+          mintedAt(t) = clock
+          IngestClient.Token(t, expiresSec)
+        },
+        now = () => clock)
+      (1 to 50).foreach { _ =>
+        clock += rnd.nextInt(20) * 60000L // advance 0..19 minutes
+        val tok = tm.bearer()
+        val age = clock - mintedAt(tok)
+        assert(age < expiresSec * 1000L - 5 * 60000L,
+          s"trial $trial: served a token $age ms old " +
+            s"(lifetime ${expiresSec}s)")
+      }
+      assert(tm.refreshes == minted, s"trial $trial")
+      assert(minted <= 51, s"trial $trial: redundant grants ($minted)")
+    }
+  }
 }
