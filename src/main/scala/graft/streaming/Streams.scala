@@ -265,19 +265,33 @@ object Streams {
           sigCols.map(c => min(col(c)).as(c))
         val merged = prevAudited.unionByName(inc).groupBy(col("doc_id"))
           .agg(aggs.head, aggs.tail: _*)
-          .localCheckpoint()
-        // ONE check catches both mutation shapes: across batches
-        // (state hash vs batch hash) and within the batch (the
-        // registry's own lo/hi spread)
-        val mutated = merged.where(col("ch_lo") =!= col("ch_hi")).count()
-        require(mutated == 0,
-          s"minhash state refuses the fold: $mutated doc(s) were " +
-            "re-delivered with DIFFERENT content; a min-merge would " +
-            "produce a signature belonging to neither version. " +
-            "Mutable docs need delete+reload, not an incremental fold.")
+        // the refusal RIDES the state write: projecting content_hash
+        // raises on the first doc whose lo/hi hashes disagree — one
+        // check catching both mutation shapes (across batches: state
+        // hash vs batch hash; within the batch: the registry's own
+        // spread) with ONE job per fold, no validation pre-pass and
+        // no checkpoint. A refused write leaves at most a partial
+        // version directory without _SUCCESS, which readers skip and
+        // the replay overwrites.
         merged.select(col("doc_id") +:
-          col("ch_lo").as("content_hash") +: sigCols.map(col): _*)
+          refuseOnMutation("doc", col("doc_id")).as("content_hash") +:
+          sigCols.map(col): _*)
     }
+
+  /** The shared refuse-on-mutation projection of the fold sinks: the
+    * recorded content hash when the (lo, hi) pair agrees, a raised
+    * error naming the offending key otherwise. Folding a mutated
+    * record would keep state belonging to neither version — mutable
+    * corpora need delete+reload, not an incremental fold. */
+  private def refuseOnMutation(kind: String,
+      key: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(col("ch_lo") =!= col("ch_hi"),
+      raise_error(concat(
+        lit(s"state refuses the fold: $kind "), key,
+        lit(" was re-delivered with DIFFERENT content; an " +
+          "incremental merge would keep state belonging to neither " +
+          "version. Mutable records need delete+reload, not a fold."))))
+      .otherwise(col("ch_lo"))
 
   /** Streaming SemDeDup state maintenance — the embedding analog of
     * [[minhashSink]]: each micro-batch's per-vector registry rows
@@ -321,15 +335,9 @@ object Streams {
             max(col("ch_hi")).as("ch_hi"),
             min_by(struct(col("embedding"), col("label")),
               col("ch_lo")).as("payload"))
-          .localCheckpoint()
-        val mutated = merged.where(col("ch_lo") =!= col("ch_hi")).count()
-        require(mutated == 0,
-          s"embedding state refuses the fold: $mutated vector(s) were " +
-            "re-delivered with DIFFERENT content; embeddings have no " +
-            "monotone merge, so the fold would keep an arbitrary " +
-            "version. Mutable vectors need delete+reload, not an " +
-            "incremental fold.")
-        merged.select(col("vec_id"), col("ch_lo").as("content_hash"),
+        // refusal rides the write — see minhashSink: one job per fold
+        merged.select(col("vec_id"),
+          refuseOnMutation("vector", col("vec_id")).as("content_hash"),
           col("payload.embedding").as("embedding"),
           col("payload.label").as("label"))
     }
