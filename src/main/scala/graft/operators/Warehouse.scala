@@ -89,7 +89,7 @@ object Warehouse {
     val n = math.max(1L, (dataBytes + targetBytes - 1) / targetBytes).toInt
     val before = spark.read.parquet(path)
     val rows = before.count()
-    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val tmp = hiddenSibling(p, ".compact-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     before.repartition(n).write.mode("overwrite").parquet(tmp.toString)
     val got = spark.read.parquet(tmp.toString).count()
@@ -98,6 +98,48 @@ object Warehouse {
         s"original left untouched, rewrite at $tmp")
     swapInto(fs, tmp, p)
     n
+  }
+
+  /** [[compact]] for a PARTITIONED layout: walk the partition tree
+    * (directories named `col=value`, any nesting depth) and compact
+    * each LEAF partition directory independently with the same
+    * verified rewrite + rename-aside swap. The walk is driver-side
+    * metadata work — one iteration per partition (per day, for the
+    * date-partitioned fact), while every rewrite is a distributed
+    * job — and each partition swaps atomically on its own, so a
+    * failure mid-run leaves every completed partition published and
+    * every untouched partition intact (resume by re-running; already
+    * compacted partitions rewrite to the same file count).
+    *
+    * Returns (partition-relative path -> new file count). Files are
+    * compacted within their partition only: cross-partition merging
+    * would have to rewrite partition VALUES into the rows and break
+    * the pruning layout that motivates partitioning in the first
+    * place. */
+  def compactPartitions(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024): Map[String, Int] = {
+    val rootPath = new org.apache.hadoop.fs.Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(rootPath), s"no table at $root")
+    def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      val children = fs.listStatus(p).toSeq
+      val partDirs = children.filter(c =>
+        c.isDirectory && c.getPath.getName.contains("="))
+      if (partDirs.isEmpty) Seq(p) // leaf: data files live here
+      else partDirs.flatMap(c => walk(c.getPath))
+    }
+    // listStatus returns QUALIFIED paths (scheme-prefixed); qualify
+    // the root the same way so the relative key strips cleanly
+    val qualifiedRoot = fs.makeQualified(rootPath)
+    val leaves = walk(qualifiedRoot).filterNot(_ == qualifiedRoot)
+    require(leaves.nonEmpty,
+      s"$root has no partition directories — use compact() for a " +
+        "flat layout.")
+    leaves.map { leaf =>
+      val rel = leaf.toString.stripPrefix(qualifiedRoot.toString)
+        .stripPrefix("/")
+      rel -> compact(spark, leaf.toString, targetBytes)
+    }.toMap
   }
 
   /** Crash-safe publish swap: move the live directory ASIDE before
@@ -116,10 +158,24 @@ object Warehouse {
     * crash there strands the table at `.prev` until recovery runs —
     * which is why reads go through [[readPublished]] (self-healing)
     * rather than a bare `spark.read.parquet`. */
+  /** Staging/aside directories are DOT-PREFIXED siblings
+    * (`.<name>.prev`, `.<name>.publish-tmp`, `.<name>.compact-tmp`):
+    * Spark's file listing and partition discovery ignore hidden
+    * entries, so mid-swap state is invisible to readers — essential
+    * when the swapped directory is a partition LEAF inside a live
+    * table root ([[compactPartitions]]), where a visible
+    * `date_key=...prev` sibling would parse as a garbage partition
+    * value. */
+  private def hiddenSibling(p: org.apache.hadoop.fs.Path,
+      suffix: String): org.apache.hadoop.fs.Path = {
+    require(p.getParent != null, s"$p has no parent to stage in")
+    new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + suffix)
+  }
+
   private[graft] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
       failpoint: String => Unit = _ => ()): Unit = {
-    val prev = new org.apache.hadoop.fs.Path(p.toString + ".prev")
+    val prev = hiddenSibling(p, ".prev")
     if (fs.exists(prev)) fs.delete(prev, true)
     if (fs.exists(p))
       require(fs.rename(p, prev),
@@ -140,7 +196,7 @@ object Warehouse {
     * though the old data sat untouched at `.prev`. */
   private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = {
-    val prev = new org.apache.hadoop.fs.Path(p.toString + ".prev")
+    val prev = hiddenSibling(p, ".prev")
     if (!fs.exists(p) && fs.exists(prev))
       require(fs.rename(prev, p),
         s"found a crashed swap (no table at $p, previous copy at " +
@@ -171,7 +227,7 @@ object Warehouse {
     // audit fails (which removes its own staging copy) the old table
     // is back at `path`, not stranded at `.prev`
     recoverSwap(fs, p)
-    val tmp = new org.apache.hadoop.fs.Path(path + ".publish-tmp")
+    val tmp = hiddenSibling(p, ".publish-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
     df.write.mode("overwrite").parquet(tmp.toString)
     // ONE fused pass over the staged data: the row count rides the

@@ -9,6 +9,14 @@ import graft.operators.{Sql, StarSchema, Warehouse}
 class WarehouseSpec extends SparkSpec {
   import spark.implicits._
 
+  /** Staging/aside dirs are hidden dot-prefixed SIBLINGS (invisible
+    * to Spark's listing and partition discovery). */
+  private def hiddenName(path: String, suffix: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + suffix)
+      .toUri.getPath
+  }
+
   test("partitioned fact prunes partitions for date-range predicates") {
     val c = StarSchema.clean(eventsDf((1 to 60).map { i =>
       (i.toLong, (i % 5).toLong, f"2024-01-${1 + i % 6}%02d 10:00:00",
@@ -109,6 +117,48 @@ class WarehouseSpec extends SparkSpec {
     assert(Warehouse.readFact(spark, dir).count() == 2)
   }
 
+  test("compactPartitions compacts each leaf losslessly, invisibly to readers") {
+    val dir = Files.createTempDirectory("graft_compact_tree")
+      .resolve("fact").toString
+    val c = StarSchema.clean(eventsDf((1 to 90).map { i =>
+      (i.toLong, (i % 7).toLong, f"2024-01-${1 + i % 3}%02d 10:00:00",
+        "play", i.toDouble, "{}")
+    }))
+    // manufacture the small-files problem INSIDE each partition
+    StarSchema.fact(c).repartition(12).write
+      .partitionBy("date_key").mode("overwrite").parquet(dir)
+    val before = Warehouse.readFact(spark, dir)
+    val rows = before.count()
+    val values = before.collect().map(_.toString).sorted
+    def leafFiles(day: Int) = new java.io.File(s"$dir/date_key=2024010$day")
+      .listFiles().count(_.getName.startsWith("part-"))
+    assert((1 to 3).forall(leafFiles(_) >= 10))
+
+    val compacted = Warehouse.compactPartitions(spark, dir,
+      targetBytes = 1L << 30)
+    assert(compacted.keySet ==
+      Set("date_key=20240101", "date_key=20240102", "date_key=20240103"))
+    assert(compacted.values.forall(_ == 1))
+    assert((1 to 3).forall(leafFiles(_) == 1))
+    // lossless, partition column intact, no visible staging debris
+    val after = Warehouse.readFact(spark, dir)
+    assert(after.count() == rows)
+    assert(after.collect().map(_.toString).sorted.sameElements(values))
+    val stray = new java.io.File(dir).listFiles()
+      .map(_.getName).filterNot(n =>
+        n.startsWith("date_key=") || n.startsWith("_") || n.startsWith("."))
+    assert(stray.isEmpty, stray.mkString(", "))
+    // idempotent: a re-run rewrites to the same file counts
+    assert(Warehouse.compactPartitions(spark, dir,
+      targetBytes = 1L << 30) == compacted)
+    // a flat layout is refused — that is compact()'s job
+    val flat = Files.createTempDirectory("graft_flat").resolve("d").toString
+    Seq((1L, 1.0)).toDF("k", "v").write.parquet(flat)
+    val ex = intercept[IllegalArgumentException](
+      Warehouse.compactPartitions(spark, flat))
+    assert(ex.getMessage.contains("no partition directories"))
+  }
+
   test("publishAudited swaps in a passing batch and aborts a failing one") {
     import graft.operators.Checks
     val dir = java.nio.file.Files
@@ -128,7 +178,7 @@ class WarehouseSpec extends SparkSpec {
     val published = spark.read.parquet(dir)
     assert(published.count() == 2)
     assert(published.where($"id" === 3L).isEmpty)
-    assert(!new java.io.File(dir + ".publish-tmp").exists())
+    assert(!new java.io.File(hiddenName(dir, ".publish-tmp")).exists())
     assertThrows[IllegalArgumentException](
       Warehouse.publishAudited(good, dir, Seq.empty))
 
@@ -137,7 +187,7 @@ class WarehouseSpec extends SparkSpec {
     intercept[Exception](Warehouse.publishAudited(good, dir,
       Seq("missing_col" -> ($"no_such_column" > 0))))
     assert(spark.read.parquet(dir).count() == 2)
-    assert(!new java.io.File(dir + ".publish-tmp").exists())
+    assert(!new java.io.File(hiddenName(dir, ".publish-tmp")).exists())
   }
 
   test("publish crash between the swap renames leaves a readable table") {
@@ -150,13 +200,13 @@ class WarehouseSpec extends SparkSpec {
     val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
     Warehouse.publishAudited(v1, base, Seq("v_pos" -> ($"v" > 0)))
     // the happy path leaves neither staging nor aside dirs behind
-    assert(!new java.io.File(base + ".prev").exists())
-    assert(!new java.io.File(base + ".publish-tmp").exists())
+    assert(!new java.io.File(hiddenName(base, ".prev")).exists())
+    assert(!new java.io.File(hiddenName(base, ".publish-tmp")).exists())
 
     // stage v2 and crash right after the aside-rename
     val v2 = Seq((3L, 30.0)).toDF("id", "v")
     val p = new org.apache.hadoop.fs.Path(base)
-    val tmp = new org.apache.hadoop.fs.Path(base + ".publish-tmp")
+    val tmp = new org.apache.hadoop.fs.Path(hiddenName(base, ".publish-tmp"))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     v2.write.mode("overwrite").parquet(tmp.toString)
     val boom = intercept[RuntimeException](
@@ -166,7 +216,7 @@ class WarehouseSpec extends SparkSpec {
     assert(boom.getMessage == "simulated crash")
     // the crash state: old table fully readable at .prev, new audited
     // data fully readable at the staging dir — nothing lost
-    assert(spark.read.parquet(base + ".prev").count() == 2)
+    assert(spark.read.parquet(hiddenName(base, ".prev")).count() == 2)
     assert(spark.read.parquet(tmp.toString).count() == 1)
 
     // recovery path 1: the next publish FAILS its audit — the crashed
@@ -177,16 +227,16 @@ class WarehouseSpec extends SparkSpec {
       Warehouse.publishAudited(bad, base, Seq("v_pos" -> ($"v" > 0))))
     val restored = spark.read.parquet(base)
     assert(restored.count() == 2, "old table not restored after crash")
-    assert(!new java.io.File(base + ".prev").exists())
-    assert(!new java.io.File(base + ".publish-tmp").exists())
+    assert(!new java.io.File(hiddenName(base, ".prev")).exists())
+    assert(!new java.io.File(hiddenName(base, ".publish-tmp")).exists())
 
     // recovery path 2: a PASSING publish swaps the fresh batch in and
     // leaves nothing behind
     Warehouse.publishAudited(v2, base, Seq("v_pos" -> ($"v" > 0)))
     val after = spark.read.parquet(base)
     assert(after.count() == 1 && after.collect()(0).getLong(0) == 3L)
-    assert(!new java.io.File(base + ".prev").exists())
-    assert(!new java.io.File(base + ".publish-tmp").exists())
+    assert(!new java.io.File(hiddenName(base, ".prev")).exists())
+    assert(!new java.io.File(hiddenName(base, ".publish-tmp")).exists())
   }
 
   test("readPublished self-heals a crashed swap; plain readers need not wait") {
@@ -199,7 +249,7 @@ class WarehouseSpec extends SparkSpec {
     val v1 = Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
     Warehouse.publishAudited(v1, base, Seq("v_pos" -> ($"v" > 0)))
     val p = new org.apache.hadoop.fs.Path(base)
-    val tmp = new org.apache.hadoop.fs.Path(base + ".publish-tmp")
+    val tmp = new org.apache.hadoop.fs.Path(hiddenName(base, ".publish-tmp"))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     Seq((3L, 30.0)).toDF("id", "v").write.parquet(tmp.toString)
     intercept[RuntimeException](
@@ -210,7 +260,7 @@ class WarehouseSpec extends SparkSpec {
     val healed = Warehouse.readPublished(spark, base)
     assert(healed.count() == 2)
     assert(new java.io.File(base).exists())
-    assert(!new java.io.File(base + ".prev").exists())
+    assert(!new java.io.File(hiddenName(base, ".prev")).exists())
     // healing is idempotent, and readFact routes through it
     assert(Warehouse.readFact(spark, base).count() == 2)
   }
