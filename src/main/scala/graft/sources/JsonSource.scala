@@ -197,6 +197,13 @@ object JsonSource {
     explodeEntries(
       spark.read.schema(searchResponseSchema).json(path), "tracks.items")
 
+  /** Audited S3 twin of [[readSearchTracks]] — a search envelope that
+    * parses but carries no `tracks.items` paging object is quarantine
+    * material like every other envelope failure. */
+  def readSearchTracksAudited(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    auditedEnvelopeRead(spark, path, searchResponseSchema, "tracks.items")
+
   /** Schema of one user-profile doc (S3; spotify_client.py:344-357:
     * the `/me` response dropped verbatim — one JSON doc per fetch,
     * no envelope array to unwrap). */

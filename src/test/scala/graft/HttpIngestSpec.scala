@@ -317,6 +317,20 @@ class HttpIngestSpec extends SparkSpec {
       JsonSource.readTrackDetailsAudited(spark, detDrop.toString)
     assert(dets.count() == 1)
     assert(detRejects.count() == 2)
+
+    // the search twin quarantines on the NESTED paging object: a
+    // parseable envelope without tracks.items is a failure, a null
+    // item inside a healthy envelope is not
+    val searchDrop = Files.createTempDirectory("graft_audit_search")
+    Files.write(searchDrop.resolve("pages.json"),
+      ("""{"tracks":{"items":[{"id":"s1"},null],"total":2}}""" + "\n" +
+        """{"track""" + "\n" + """{"tracks":{"total":0}}""")
+        .getBytes(StandardCharsets.UTF_8))
+    val (hits, searchRejects) =
+      JsonSource.readSearchTracksAudited(spark, searchDrop.toString)
+    assert(hits.count() == 1)
+    assert(hits.collect()(0).getAs[String]("id") == "s1")
+    assert(searchRejects.count() == 2)
   }
 
   test("auth failures are fatal, not retried, without a token manager") {
