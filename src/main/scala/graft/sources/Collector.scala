@@ -18,11 +18,10 @@ package graft.sources
   * Driver-side by design: this is the control plane (<= tens of
   * calls per run at the reference's <= 600 events/day cadence);
   * clock and sleep stay injected so specs pin the protocol without
-  * wall-clock waits. The one deliberate divergence from the
-  * reference: its per-attempt `api_stats` counters live inside the
-  * request loop — here [[IngestClient.TokenManager.refreshes]]
-  * covers the token stat and retry accounting is the spec-visible
-  * sleep sequence, not a mutable counter bag.
+  * wall-clock waits. [[stats]] mirrors the reference's `api_stats`
+  * counter bag (spotify_client.py:70-77, :396-410): PER-ATTEMPT
+  * counts, so a fetch that 429s once and then lands counts one rate
+  * limit hit, one success, two requests.
   */
 final class Collector(
     base: String,
@@ -31,16 +30,47 @@ final class Collector(
     now: () => Long = () => System.nanoTime() / 1000000L,
     sleep: Long => Unit = Thread.sleep) {
 
+  private val nRequests = new java.util.concurrent.atomic.AtomicLong
+  private val nSuccess = new java.util.concurrent.atomic.AtomicLong
+  private val nRateLimited = new java.util.concurrent.atomic.AtomicLong
+
+  /** One counted transport attempt (the reference increments inside
+    * its attempt loop, spotify_client.py:191-236). */
+  private def counted(url: String, tok: String): String = {
+    nRequests.incrementAndGet()
+    try {
+      val body = HttpFetch.get(url, Map("Authorization" -> s"Bearer $tok"))
+      nSuccess.incrementAndGet()
+      body
+    } catch {
+      case e: IngestClient.RateLimited =>
+        nRateLimited.incrementAndGet()
+        throw e
+    }
+  }
+
   private def authed(url: String): String =
     IngestClient.withRetries(policy, sleep)(_ =>
-      IngestClient.withTokenRefresh(tokens)(tok =>
-        HttpFetch.get(url, Map("Authorization" -> s"Bearer $tok"))))
+      IngestClient.withTokenRefresh(tokens)(tok => counted(url, tok)))
 
   private def fanned(ids: Seq[String], cap: Int,
       url: Seq[String] => String): Seq[String] =
     IngestClient.fanout(ids, cap, policy, now, sleep)(chunk =>
-      IngestClient.withTokenRefresh(tokens)(tok =>
-        HttpFetch.get(url(chunk), Map("Authorization" -> s"Bearer $tok"))))
+      IngestClient.withTokenRefresh(tokens)(tok => counted(url(chunk), tok)))
+
+  /** The reference's API-usage statistics surface
+    * (`get_api_stats`): attempt/success/rate-limit counts, failures
+    * as the remainder (every non-success attempt — retried OR
+    * fatal), token refreshes from the manager. */
+  def stats: Collector.Stats = {
+    val req = nRequests.get(); val ok = nSuccess.get()
+    Collector.Stats(
+      totalRequests = req,
+      successfulRequests = ok,
+      failedRequests = req - ok,
+      rateLimitHits = nRateLimited.get(),
+      tokenRefreshes = tokens.refreshes)
+  }
 
   /** S1: the recently-played page (spotify_client.py:238-280), with
     * the optional after/before unix-millis cursors. */
@@ -77,4 +107,19 @@ final class Collector(
 
   /** S3: the current user's profile (spotify_client.py:344-357). */
   def userProfile(): String = authed(s"$base/me")
+}
+
+object Collector {
+  /** `api_stats` analog (spotify_client.py:70-77): per-attempt
+    * counters plus the token-refresh count. */
+  final case class Stats(
+      totalRequests: Long,
+      successfulRequests: Long,
+      failedRequests: Long,
+      rateLimitHits: Long,
+      tokenRefreshes: Int) {
+    def successRate: Double =
+      if (totalRequests == 0) 0.0
+      else successfulRequests.toDouble / totalRequests
+  }
 }

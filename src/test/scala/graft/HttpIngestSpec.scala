@@ -612,6 +612,15 @@ class HttpIngestSpec extends SparkSpec {
       val paths = served.toSet
       assert(paths == Set("/v1/me/player/recently-played", "/v1/tracks",
         "/v1/albums", "/v1/search", "/v1/me"))
+
+      // api_stats analog, counted PER ATTEMPT like the reference:
+      // 10 attempts (1 played + 4 tracks incl. the 401'd chunk +
+      // 3 albums + search + me), 9 successes, the 401 as the one
+      // failure, both grants on the books
+      assert(client.stats == Collector.Stats(
+        totalRequests = 10, successfulRequests = 9, failedRequests = 1,
+        rateLimitHits = 0, tokenRefreshes = 2))
+      assert(math.abs(client.stats.successRate - 0.9) < 1e-9)
     } finally server.stop(0)
   }
 
