@@ -122,9 +122,26 @@ object Warehouse {
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(rootPath), s"no table at $root")
     def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] = {
+      // heal crashed leaf swaps FIRST: a `.N.prev` aside whose visible
+      // N is missing is a swap that died between its two renames, and
+      // the stranded leaf would otherwise be invisible to the walk
+      fs.listStatus(p).foreach { c =>
+        val n = c.getPath.getName
+        if (c.isDirectory && n.startsWith(".") && n.endsWith(".prev"))
+          recoverSwap(fs, new org.apache.hadoop.fs.Path(p,
+            n.stripPrefix(".").stripSuffix(".prev")))
+      }
       val children = fs.listStatus(p).toSeq
-      val partDirs = children.filter(c =>
-        c.isDirectory && c.getPath.getName.contains("="))
+      // hidden entries are NOT partitions: a crashed leaf swap leaves
+      // `.col=value.prev` / `.col=value.compact-tmp` siblings whose
+      // names contain '=' — walking into one would compact the stale
+      // aside copy as if it were data (the leaf's own compact() heals
+      // it via recoverSwap instead)
+      val partDirs = children.filter { c =>
+        val n = c.getPath.getName
+        c.isDirectory && n.contains("=") &&
+          !n.startsWith(".") && !n.startsWith("_")
+      }
       if (partDirs.isEmpty) Seq(p) // leaf: data files live here
       else partDirs.flatMap(c => walk(c.getPath))
     }

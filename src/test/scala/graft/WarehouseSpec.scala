@@ -157,6 +157,19 @@ class WarehouseSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException](
       Warehouse.compactPartitions(spark, flat))
     assert(ex.getMessage.contains("no partition directories"))
+
+    // a leaf whose PREVIOUS compaction crashed between the renames:
+    // the hidden `.col=value.prev` aside contains '=' but must be
+    // healed by the leaf's own recovery, never walked as a partition
+    val leaf = new org.apache.hadoop.fs.Path(s"$dir/date_key=20240102")
+    val fsys = leaf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fsys.rename(leaf,
+      new org.apache.hadoop.fs.Path(s"$dir/.date_key=20240102.prev")))
+    val recompacted = Warehouse.compactPartitions(spark, dir,
+      targetBytes = 1L << 30)
+    assert(recompacted == compacted) // same three leaves, healed
+    assert(Warehouse.readFact(spark, dir).count() == rows)
+    assert(!new java.io.File(s"$dir/.date_key=20240102.prev").exists())
   }
 
   test("publishAudited swaps in a passing batch and aborts a failing one") {
