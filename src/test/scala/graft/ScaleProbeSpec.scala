@@ -120,6 +120,30 @@ class ScaleProbeSpec extends SparkSpec {
         "the assignment's centroid frame(s)")
   }
 
+  test("every other near-dup route at 10x sf0.1: keyed shuffles, zero broadcasts") {
+    // the same probe over the rest of the dedup family — every frame
+    // in these routes is doc-, shingle-, or fingerprint-cardinality
+    // (df caps and prefix blocks shrink CANDIDATES, not frames), so
+    // none may broadcast at any corpus size
+    val docs = syntheticDocs(50000L)
+    val bench = syntheticDocs(2000L)
+    Seq[(String, () => DataFrame)](
+      "nearDupNgramJaccard" -> (() => TextOps.nearDupNgramJaccard(docs)),
+      "nearDupSimhash" -> (() => TextOps.nearDupSimhash(docs)),
+      "nearDupWinnowing" -> (() => TextOps.nearDupWinnowing(docs)),
+      "dupNgramSpans" -> (() => TextOps.dupNgramSpans(docs)),
+      // the benchmark side collapses to a distinct shingle SET, but it
+      // grows with the benchmark suite — keyed shuffle, not broadcast
+      "decontaminate" -> (() => TextOps.decontaminate(docs, bench)))
+      .foreach { case (name, build) =>
+        val plan = staticPlanOf(build())
+        assertShuffleHealth(name, plan)
+        val bc = broadcastSubtrees(plan)
+        assert(bc.isEmpty,
+          s"$name broadcasts ${bc.length} corpus-derived frame(s)")
+      }
+  }
+
   test("bpeEncode at 10x sf0.1: segmentations join by keyed shuffle, not broadcast") {
     // constructing the frame RUNS the trainer (5 rounds over the
     // synthetic vocabulary) — the driver sees one row per round; the
