@@ -233,9 +233,16 @@ object Warehouse {
     * exists at every instant, so a crash at ANY point leaves either
     * the old table at `path`, or the old copy at `<path>.prev` plus
     * the audited new data at `<path>.publish-tmp` — never a state
-    * with no readable table. Returns the published row count. */
+    * with no readable table. Returns the published row count.
+    *
+    * `partitionBy` stages a PARTITIONED layout (the shape a 100 TB
+    * fact actually has): the audit re-reads the staged tree through
+    * partition discovery — so the partition columns themselves are
+    * auditable — and the swap is still ONE directory rename, exactly
+    * as atomic as the flat case. */
   def publishAudited(df: DataFrame, path: String,
-      rules: Seq[(String, org.apache.spark.sql.Column)]): Long = {
+      rules: Seq[(String, org.apache.spark.sql.Column)],
+      partitionBy: Seq[String] = Seq.empty): Long = {
     Checks.validateRuleNames(rules.map(_._1))
     val s = df.sparkSession
     val p = new org.apache.hadoop.fs.Path(path)
@@ -246,7 +253,9 @@ object Warehouse {
     recoverSwap(fs, p)
     val tmp = hiddenSibling(p, ".publish-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    df.write.mode("overwrite").parquet(tmp.toString)
+    val writer = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*)
+     else writer).parquet(tmp.toString)
     // ONE fused pass over the staged data: the row count rides the
     // same aggregate as every rule's violation sum (a second count()
     // scan would double the audit-phase IO on a 100 TB batch). Any

@@ -203,6 +203,33 @@ class WarehouseSpec extends SparkSpec {
     assert(!new java.io.File(hiddenName(dir, ".publish-tmp")).exists())
   }
 
+  test("publishAudited stages a partitioned layout; audit sees partition columns") {
+    import graft.operators.Warehouse
+    val dir = Files.createTempDirectory("graft_publish_part")
+      .toString + "/fact"
+    val df = Seq((1L, 20240101, 5.0), (2L, 20240102, 7.0),
+      (3L, 20240102, 9.0)).toDF("id", "date_key", "v")
+    val rows = Warehouse.publishAudited(df, dir,
+      // the rule references the PARTITION column — provable only
+      // because the audit re-reads through partition discovery
+      Seq("dk_valid" -> ($"date_key" >= 20240101),
+        "v_pos" -> ($"v" > 0)),
+      partitionBy = Seq("date_key"))
+    assert(rows == 3L)
+    val parts = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("date_key=")).map(_.getName).sorted
+    assert(parts.toSeq == Seq("date_key=20240101", "date_key=20240102"))
+    val back = Warehouse.readPublished(spark, dir)
+    assert(back.count() == 3)
+    assert(back.where($"date_key" === 20240102).count() == 2)
+    // a failing batch aborts without touching the published partitions
+    intercept[IllegalStateException](Warehouse.publishAudited(
+      Seq((9L, 19990101, 1.0)).toDF("id", "date_key", "v"), dir,
+      Seq("dk_valid" -> ($"date_key" >= 20240101)),
+      partitionBy = Seq("date_key")))
+    assert(Warehouse.readPublished(spark, dir).count() == 3)
+  }
+
   test("publish crash between the swap renames leaves a readable table") {
     // simulate the exact crash window the r5 ADVICE flagged: the old
     // delete-then-rename protocol had an instant with NO readable
