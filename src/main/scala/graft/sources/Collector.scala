@@ -34,9 +34,23 @@ final class Collector(
   private val nSuccess = new java.util.concurrent.atomic.AtomicLong
   private val nRateLimited = new java.util.concurrent.atomic.AtomicLong
 
-  /** One counted transport attempt (the reference increments inside
-    * its attempt loop, spotify_client.py:191-236). */
-  private def counted(url: String, tok: String): String = {
+  /** CLIENT-WIDE request pacing, like the reference's instance-level
+    * `last_request_time` (spotify_client.py:63-64, :79-89): >=
+    * minIntervalMs between the starts of ANY two attempts this client
+    * makes — across endpoints and across fan-out calls, not just
+    * within one. */
+  private var lastStartMs = Long.MinValue
+  private def paced[A](f: => A): A = synchronized {
+    val t = now()
+    if (lastStartMs != Long.MinValue && t - lastStartMs < policy.minIntervalMs)
+      sleep(policy.minIntervalMs - (t - lastStartMs))
+    lastStartMs = now()
+    f
+  }
+
+  /** One paced, counted transport attempt (the reference increments
+    * inside its attempt loop, spotify_client.py:191-236). */
+  private def counted(url: String, tok: String): String = paced {
     nRequests.incrementAndGet()
     try {
       val body = HttpFetch.get(url, Map("Authorization" -> s"Bearer $tok"))
@@ -55,7 +69,11 @@ final class Collector(
 
   private def fanned(ids: Seq[String], cap: Int,
       url: Seq[String] => String): Seq[String] =
-    IngestClient.fanout(ids, cap, policy, now, sleep)(chunk =>
+    // fanout's own per-call pacing is disabled: the client-wide pace
+    // above already guarantees the interval, and letting both run
+    // would double-sleep every chunk boundary
+    IngestClient.fanout(ids, cap, policy.copy(minIntervalMs = 0L),
+      now, sleep)(chunk =>
       IngestClient.withTokenRefresh(tokens)(tok => counted(url(chunk), tok)))
 
   /** The reference's API-usage statistics surface
