@@ -120,14 +120,15 @@ object HttpFetch {
     * 1 s like the reference (spotify_client.py:211). */
   private def retryAfterMs(conn: HttpURLConnection): Long = {
     val raw = Option(conn.getHeaderField("Retry-After")).map(_.trim)
-    val deltaSec = raw.flatMap(s => scala.util.Try(s.toLong).toOption)
+    val deltaMs = raw.flatMap(s => scala.util.Try(s.toLong).toOption)
       .map(_ * 1000L)
     // getHeaderFieldDate parses the RFC 1123 HTTP-date form (0 when
-    // absent/unparseable); relative to now because the sleep is
+    // absent/unparseable); converted to a relative wait since the
+    // retry loop sleeps a duration, not until an instant
     def httpDate = raw.flatMap { _ =>
       val at = conn.getHeaderFieldDate("Retry-After", 0L)
       if (at > 0L) Some(at - System.currentTimeMillis()) else None
     }
-    math.max(0L, deltaSec.orElse(httpDate).getOrElse(1000L))
+    math.max(0L, deltaMs.orElse(httpDate).getOrElse(1000L))
   }
 }
