@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, count, lit, round}
+import org.apache.spark.sql.functions.{col, count, lit, round, size}
 
 import graft.operators.{EmbeddingOps, Multimodal, TextOps}
 
@@ -1073,6 +1073,24 @@ object SuiteML {
         |FROM dots JOIN n na ON na.vec_id = vec_a
         |          JOIN n nb ON nb.vec_id = vec_b
         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45""".stripMargin)),
+
+    // ---- dedup: the streaming-state registry primitive ------------------
+    // The quantized-milli-unit content hash Streams.embeddingSink's
+    // refuse-on-mutation contract rests on, pinned against a DuckDB
+    // replay (embedding arrays surface as their length — the hash
+    // already covers every element exactly).
+    Q("sim_registry",
+      (s, d) => EmbeddingOps.embeddingRegistry(emb(s, d))
+        .select(col("vec_id"), col("content_hash"),
+          size(col("embedding")).cast("long").as("n_dims"),
+          col("label")),
+      Some("""SELECT vec_id,
+        |  md5(concat(array_to_string(
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)), ','),
+        |    '|', COALESCE(CAST(label AS VARCHAR), ''))) AS content_hash,
+        |  CAST(len(embedding) AS BIGINT) AS n_dims, label
+        |FROM embeddings""".stripMargin)),
 
     // ---- dedup: SemDeDup-style cluster-then-prune — the THIRD
     // embedding near-dup route: candidates bounded by the TRAINED
