@@ -22,6 +22,12 @@ object SuiteML {
     * drift. */
   private val BpeRounds = 5
 
+  /** DSIR target slice + hashed-feature bucket count, shared between
+    * the Spark query and its oracle so they cannot drift. 1024 divides
+    * 65536, keeping the 16-bit md5-prefix bucket exactly uniform. */
+  private val DsirTarget = "src0"
+  private val DsirBuckets = 1024
+
   /** Frequency floor for the convergence-stop BPE query: between the
     * sf0.01 corpus' round-3 (2747) and round-4 (2696) winners, so the
     * trainer provably STOPS mid-budget there. Shared with the oracle,
@@ -813,6 +819,62 @@ object SuiteML {
         |       CAST(t.n_trigrams - t.n_distinct_trigrams AS DOUBLE) / t.n_trigrams
         |         AS dup_trigram_frac
         |FROM bga b JOIN tga t USING (doc_id)""".stripMargin)),
+
+    // ---- curation: bigram-LM cross-entropy (CCNet perplexity filter) ----
+    // (self-trained corpus bigram model; -log2 P(rhs|lhs) quantized to
+    // the integer bit length of c_lhs div c_ab — exact in both engines)
+    Q("text_lm_score",
+      (s, d) => TextOps.lmScore(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |bs AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM w),
+        |db AS (SELECT doc_id, ls[i] AS lhs, ls[i+1] AS rhs,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM bs GROUP BY 1, 2, 3),
+        |lm AS (SELECT lhs, rhs, CAST(sum(k) AS BIGINT) AS c_ab
+        |       FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT lhs, CAST(sum(c_ab) AS BIGINT) AS c_lhs
+        |        FROM lm GROUP BY 1)
+        |SELECT doc_id, CAST(sum(k * q) AS BIGINT) AS nll_sum,
+        |       CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(k * q) AS DOUBLE) / sum(k) AS avg_nll
+        |FROM (SELECT doc_id, k,
+        |        CAST(length(bin(c_lhs // c_ab)) - 1 AS BIGINT) AS q
+        |      FROM db JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs))
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- curation: DSIR hashed-ngram importance weights -----------------
+    // (target side = source 'src0', the trusted slice; raw docs scored
+    // by quantized log p_t(f) - log p_r(f) over 1024 hashed buckets)
+    Q("text_dsir_weight",
+      (s, d) => TextOps.dsirWeight(docs(s, d), DsirTarget, DsirBuckets),
+      Some(s"""WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ls
+        |       FROM documents),
+        |f AS (SELECT doc_id, source, unnest(list_concat(
+        |        list_transform(ls, t -> 'u:' || t),
+        |        list_transform(range(1, len(ls)),
+        |          i -> 'b:' || ls[i] || ' ' || ls[i+1]))) AS f
+        |      FROM w),
+        |pd AS (SELECT doc_id, source,
+        |         CAST(((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef', substr(md5(f), 4, 1)) - 1))
+        |           % $DsirBuckets AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS k
+        |       FROM f GROUP BY 1, 2, 3),
+        |dist AS (SELECT bucket,
+        |           CAST(length(bin(CAST(sum(CASE WHEN source = '$DsirTarget'
+        |             THEN k ELSE 0 END) + 1 AS BIGINT))) - 1 AS BIGINT) AS qlog_t,
+        |           CAST(length(bin(CAST(sum(CASE WHEN source <> '$DsirTarget'
+        |             THEN k ELSE 0 END) + 1 AS BIGINT))) - 1 AS BIGINT) AS qlog_r
+        |         FROM pd GROUP BY 1)
+        |SELECT doc_id, CAST(sum(k * (qlog_t - qlog_r)) AS BIGINT) AS w_sum,
+        |       CAST(sum(k) AS BIGINT) AS n_feats,
+        |       CAST(sum(k * (qlog_t - qlog_r)) AS DOUBLE) / sum(k) AS avg_weight
+        |FROM pd JOIN dist USING (bucket)
+        |WHERE source <> '$DsirTarget'
+        |GROUP BY 1""".stripMargin)),
 
     // ---- dedup: cross-document duplicated-span fraction -----------------
     // (the substring-level signal whole-doc near-dup misses: a trigram

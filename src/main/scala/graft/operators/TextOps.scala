@@ -1360,4 +1360,133 @@ object TextOps {
         md5(reverse(substring(reverse(col("text")), 1, 64))).as("tail_hash"))
       .join(minShingle, Seq("doc_id"), "left")
   }
+
+  /** (doc_id, lhs, rhs, k) — each document's adjacent-bigram stream
+    * with within-doc multiplicity, built per-row from the token array
+    * (the [[repetition]] pattern: no window, no self-join; rows never
+    * leave their document's partition before the count shuffle).
+    * Shared scaffolding of the bigram-LM scorer and the DSIR featureizer.
+    * Documents with < 2 tokens have no bigrams and drop out — the same
+    * not-assessable rule as every shingle route. */
+  private def docBigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 2), " +
+          "i -> struct(w[i] AS lhs, w[i+1] AS rhs))")).as("b"))
+      .select(col("doc_id"), col("b.lhs").as("lhs"), col("b.rhs").as("rhs"))
+      .groupBy(col("doc_id"), col("lhs"), col("rhs"))
+      .agg(count(lit(1)).as("k"))
+
+  /** Bigram-LM cross-entropy quality score — the perplexity filter of
+    * CCNet (Wenzek et al. 2020) / Gopher, with the external KenLM
+    * replaced by a self-trained corpus bigram model: documents whose
+    * token stream is improbable under the corpus' own bigram statistics
+    * (rare continuations, unnatural word order) score high and are
+    * curation drop candidates. The negative log-likelihood of each
+    * bigram occurrence, -log2 P(rhs|lhs) = log2(c(lhs)/c(lhs,rhs)), is
+    * QUANTIZED to floor(log2(c_lhs div c_ab)) — the [[tfidfTopTerm]]
+    * trick: an exact integer (the bit length of an integer division) in
+    * any engine, so per-doc sums are order-independent exact BIGINTs
+    * and the average is ONE final IEEE division. The context count
+    * c(lhs) is derived from the bigram table itself (occurrences of
+    * `lhs` in non-final position), so P(·|lhs) is a true conditional —
+    * sums to 1 over the observed continuations — with no separate
+    * unigram pass.
+    *
+    * Scale shape: one per-row bigram projection → ONE (doc_id, lhs,
+    * rhs) count shuffle, localCheckpointed for its two consumers; the
+    * LM is two further aggregates of that frame; scoring joins shuffle
+    * on the bigram key and then on `lhs` — model tables are vocabulary-
+    * (and vocabulary²-)sized and are NEVER broadcast. Nothing is
+    * corpus-quadratic; no driver-side state. */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val db = docBigrams(docs).localCheckpoint()
+    val lm = db.groupBy(col("lhs"), col("rhs"))
+      .agg(sum(col("k")).as("c_ab"))
+    val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
+    db.join(lm, Seq("lhs", "rhs"))
+      .join(ctx, Seq("lhs"))
+      .withColumn("nll_q",
+        (length(bin(expr("c_lhs div c_ab"))) - 1).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("nll_q")).as("nll_sum"),
+        sum(col("k")).as("n_bigrams"))
+      .select(col("doc_id"), col("nll_sum"), col("n_bigrams"),
+        (col("nll_sum").cast("double") / col("n_bigrams"))
+          .as("avg_nll"))
+  }
+
+  /** DSIR-style hashed-n-gram importance weight (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score every raw document by how target-like its hashed n-gram
+    * feature distribution is, as log p_target(f) - log p_raw(f) summed
+    * over the doc's features — the importance-resampling weight that
+    * selects in-domain training data from a 100 TB crawl given a small
+    * trusted corpus. Features are unigrams and adjacent bigrams hashed
+    * into `nBuckets` by the portable md5-hex-prefix bucket (the
+    * [[trainValTestSplit]] idiom — bit-identical in any engine);
+    * the target here is the corpus slice `source = targetSource`
+    * (DSIR's trusted corpus), the raw side is everything else.
+    * Each side's per-bucket counts get add-one smoothing (every bucket
+    * observable, no log of zero), and both logs quantize to
+    * floor(log2(count+1)) — exact integers, so the per-doc weight
+    * sum is order-independent BIGINT arithmetic. The per-side
+    * normalizers log2(N_t), log2(N_r) shift every feature's score by
+    * the same constant, so they are folded in per occurrence (weights
+    * stay comparable across docs of different lengths after the final
+    * per-feature-occurrence division — ONE IEEE division, like every
+    * score here).
+    *
+    * Scale shape: one per-row feature projection over the corpus → ONE
+    * (doc_id, bucket, side) count shuffle localCheckpointed for its
+    * consumers; the two distributions are ONE further aggregate of the
+    * bucket frame each; scoring joins shuffle on the bucket id. The
+    * bucket tables are nBuckets rows — broadcastable at ANY corpus
+    * size (the whole point of feature hashing: model size is fixed by
+    * construction, not vocabulary-sized), so both sides broadcast-join
+    * onto the per-doc bucket counts. */
+  def dsirWeight(docs: DataFrame, targetSource: String,
+      nBuckets: Int = 1024): DataFrame = {
+    require(nBuckets > 0 && 65536 % nBuckets == 0,
+      s"nBuckets must be a positive divisor of 65536 (the 16-bit md5 " +
+        s"prefix is reduced mod nBuckets; a divisor keeps every bucket " +
+        s"exactly equiprobable), got $nBuckets")
+    // unigrams + bigrams in one per-row pass (the repetition pattern),
+    // hashed to a bucket id per occurrence
+    val feats = docs
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), col("source"), explode(expr(
+        // the bigram branch is CASE-guarded: a 1-token doc's
+        // sequence(0, -1) is DESCENDING in Spark ([0, -1]) and the
+        // out-of-bounds w[i+1] lookup THROWS under ANSI mode —
+        // slice(w, 1, 0) is the typed empty array for that arm
+        "concat(" +
+          "transform(w, t -> concat('u:', t)), " +
+          "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), " +
+          "  i -> concat('b:', w[i], ' ', w[i+1])) ELSE slice(w, 1, 0) END" +
+          ")")).as("f"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
+          % nBuckets).as("bucket"))
+    val perDoc = feats.groupBy(col("doc_id"), col("source"), col("bucket"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val isTarget = col("source") === targetSource
+    // nBuckets-row distributions: per-bucket smoothed counts per side
+    val dist = perDoc.groupBy(col("bucket"))
+      .agg(sum(when(isTarget, col("k")).otherwise(lit(0L))).as("c_t"),
+        sum(when(!isTarget, col("k")).otherwise(lit(0L))).as("c_r"))
+      .select(col("bucket"),
+        (length(bin(col("c_t") + 1)) - 1).cast("long").as("qlog_t"),
+        (length(bin(col("c_r") + 1)) - 1).cast("long").as("qlog_r"))
+    perDoc.where(!isTarget)
+      .join(broadcast(dist), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * (col("qlog_t") - col("qlog_r"))).as("w_sum"),
+        sum(col("k")).as("n_feats"))
+      .select(col("doc_id"), col("w_sum"), col("n_feats"),
+        (col("w_sum").cast("double") / col("n_feats"))
+          .as("avg_weight"))
+  }
 }

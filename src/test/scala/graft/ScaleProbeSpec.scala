@@ -144,6 +144,75 @@ class ScaleProbeSpec extends SparkSpec {
       }
   }
 
+  /** 10x the sf0.1 embeddings cardinality at the REAL 64-dim shape
+    * (the PQ routes slice fixed 16-component subspaces, so the probe
+    * must feed the production dimensionality). */
+  private def syntheticEmb64(n: Long): DataFrame =
+    spark.range(n).select(
+      col("id").as("vec_id"),
+      expr("transform(sequence(0, 63), i -> " +
+        "cast((pmod(xxhash64(id * 64 + i), 2000) - 1000) / 1000.0 " +
+        "as float))").as("embedding"),
+      expr("cast(pmod(id, 5) as int)").as("label"))
+
+  test("ANN serving routes at 10x sf0.1: only bounded-cardinality frames broadcast") {
+    // every broadcast in the serving family must be bounded by a
+    // CONSTRUCTION parameter (nQueries, nCentroids, planes, kc*M) —
+    // never by the corpus. Identify each by a column only the bounded
+    // frame carries; a broadcast subtree without it is a corpus frame
+    // leaking into a broadcast.
+    val emb = syntheticEmb64(50000L)
+    Seq[(String, () => DataFrame, String)](
+      // the query batch (vec_id < nQueries) broadcasts; corpus side streams
+      ("annTopK", () => EmbeddingOps.annTopK(emb), "query_id"),
+      // the coarse quantizer broadcasts; cells join by keyed shuffle
+      ("ivfTopK", () => EmbeddingOps.ivfTopK(emb), "cent_id"),
+      // codebooks (kc*M rows) and the query LUT broadcast; ADC
+      // scoring joins the corpus codes by keyed shuffle
+      ("pqTopK", () => EmbeddingOps.pqTopK(emb), "code"),
+      // the hyperplane table broadcasts; bucket self-join shuffles
+      ("lshNearestNeighbor",
+        () => EmbeddingOps.lshNearestNeighbor(emb), "plane"),
+      ("lshNearestNeighborMultiprobe",
+        () => EmbeddingOps.lshNearestNeighborMultiprobe(emb), "plane"))
+      .foreach { case (name, build, mark) =>
+        val plan = staticPlanOf(build())
+        assertShuffleHealth(name, plan)
+        broadcastSubtrees(plan).foreach { sub =>
+          assert(sub.output.map(_.name).contains(mark),
+            s"$name broadcasts a frame without '$mark' — columns " +
+              sub.output.map(_.name).mkString("[", ", ", "]"))
+        }
+      }
+  }
+
+  test("lmScore at 10x sf0.1: LM tables join by keyed shuffle, zero broadcasts") {
+    // the bigram model and its context marginal are vocabulary- and
+    // vocabulary²-sized — they grow with the corpus and may never
+    // broadcast (the bpeEncode rule)
+    val plan = staticPlanOf(TextOps.lmScore(syntheticDocs(50000L)))
+    assertShuffleHealth("lmScore", plan)
+    val bc = broadcastSubtrees(plan)
+    assert(bc.isEmpty,
+      s"lmScore broadcasts ${bc.length} corpus-derived frame(s)")
+  }
+
+  test("dsirWeight at 10x sf0.1: only the fixed-bucket distribution broadcasts") {
+    // feature hashing fixes the model at nBuckets rows BY CONSTRUCTION
+    // — the one frame that is broadcast-safe at any corpus size; the
+    // per-doc bucket counts must stay on the shuffle side
+    val plan =
+      staticPlanOf(TextOps.dsirWeight(syntheticDocs(50000L), "syn2"))
+    assertShuffleHealth("dsirWeight", plan)
+    val bc = broadcastSubtrees(plan)
+    assert(bc.nonEmpty, "dsirWeight lost its distribution broadcast")
+    bc.foreach { sub =>
+      assert(sub.output.map(_.name).contains("qlog_t"),
+        "dsirWeight broadcasts a non-distribution frame with columns " +
+          sub.output.map(_.name).mkString("[", ", ", "]"))
+    }
+  }
+
   test("bpeEncode at 10x sf0.1: segmentations join by keyed shuffle, not broadcast") {
     // constructing the frame RUNS the trainer (5 rounds over the
     // synthetic vocabulary) — the driver sees one row per round; the

@@ -603,4 +603,41 @@ class TextOpsSpec extends SparkSpec {
     assert(out.select($"doc_id").distinct().count() == out.count())
     assert(out.count() == Tables(spark, dir).documents.count())
   }
+
+  test("lmScore: common continuations are cheap, rare ones cost bits") {
+    val d = docsDf(Seq(
+      (1L, "a b a b", "en", "s"), // bigrams (a,b)x2 (b,a)x1
+      (2L, "a c", "en", "s"), // the rare continuation of context a
+      (3L, "x", "en", "s"))) // 1 token: no bigrams, not assessable
+    val out = TextOps.lmScore(d).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("nll_sum"), r.getAs[Long]("n_bigrams"),
+          r.getAs[Double]("avg_nll"))).toMap
+    // LM: c(a,b)=2 c(b,a)=1 c(a,c)=1; contexts c(a)=3 c(b)=1
+    // q(a,b)=floor(log2(3 div 2))=0; q(b,a)=floor(log2(1))=0;
+    // q(a,c)=floor(log2(3 div 1))=1
+    assert(out(1L) == ((0L, 3L, 0.0)))
+    assert(out(2L) == ((1L, 1L, 1.0)))
+    assert(!out.contains(3L))
+    assert(out(2L)._3 > out(1L)._3) // the improbable doc scores higher
+  }
+
+  test("dsirWeight: target-like raw docs outweigh out-of-domain ones") {
+    val d = docsDf(Seq(
+      (1L, "t t t t t t t", "en", "src0"), // the trusted target slice
+      (2L, "t t t", "en", "srcX"), // raw, target-like
+      (3L, "z z z", "en", "srcX"), // raw, out-of-domain
+      (4L, "q", "en", "srcX"))) // raw, 1 token: unigram feature only
+    val out = TextOps.dsirWeight(d, "src0").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_feats"), r.getAs[Double]("avg_weight"))).toMap
+    assert(!out.contains(1L)) // target docs are the model, not the output
+    assert(out(2L)._1 == 5L) // 3 unigrams + 2 bigrams
+    assert(out(4L)._1 == 1L) // no null bigram features from a 1-token doc
+    // 't' features have target mass, 'z'/'q' features have none
+    assert(out(2L)._2 > out(3L)._2)
+    assert(out(3L)._2 < 0.0) // raw-only features weigh negative
+    assertThrows[IllegalArgumentException](
+      TextOps.dsirWeight(d, "src0", nBuckets = 1000))
+  }
 }
