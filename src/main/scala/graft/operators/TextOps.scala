@@ -1368,7 +1368,7 @@ object TextOps {
     * Shared scaffolding of the bigram-LM scorer and the DSIR featureizer.
     * Documents with < 2 tokens have no bigrams and drop out — the same
     * not-assessable rule as every shingle route. */
-  private def docBigrams(docs: DataFrame): DataFrame =
+  private[graft] def docBigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 2)
       .select(col("doc_id"), explode(expr(
@@ -1402,8 +1402,29 @@ object TextOps {
     * corpus-quadratic; no driver-side state. */
   def lmScore(docs: DataFrame): DataFrame = {
     val db = docBigrams(docs).localCheckpoint()
-    val lm = db.groupBy(col("lhs"), col("rhs"))
-      .agg(sum(col("k")).as("c_ab"))
+    lmScored(db, lmModelOf(db))
+  }
+
+  /** The corpus bigram LM as an explicit (lhs, rhs, c_ab) frame — the
+    * model half of [[lmScore]], exposed so an incrementally-maintained
+    * model (graft.streaming.Streams.lmSink state) can be compared to,
+    * or substituted for, the one-shot batch training. */
+  def lmModel(docs: DataFrame): DataFrame = lmModelOf(docBigrams(docs))
+
+  private def lmModelOf(db: DataFrame): DataFrame =
+    db.groupBy(col("lhs"), col("rhs")).agg(sum(col("k")).as("c_ab"))
+
+  /** [[lmScore]] against an EXPLICIT (lhs, rhs, c_ab) model frame —
+    * the serving half once a trained/maintained model exists. Scoring
+    * is inner-joined on the bigram key: a document bigram the model
+    * never observed has no probability under it and contributes
+    * nothing (n_bigrams counts SCORED occurrences); when the model was
+    * trained on the scored corpus itself ([[lmScore]]) every bigram is
+    * observed and the two halves coincide. */
+  def lmScoreWith(docs: DataFrame, lm: DataFrame): DataFrame =
+    lmScored(docBigrams(docs), lm)
+
+  private def lmScored(db: DataFrame, lm: DataFrame): DataFrame = {
     val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
     db.join(lm, Seq("lhs", "rhs"))
       .join(ctx, Seq("lhs"))

@@ -342,6 +342,88 @@ object Streams {
           col("payload.label").as("label"))
     }
 
+  /** Streaming bigram-LM maintenance — the MODEL-maintenance member
+    * of the fold-sink family: each micro-batch's bigram counts fold
+    * ADDITIVELY into the versioned state, so the perplexity filter's
+    * model ([[graft.operators.TextOps.lmScore]]) stays current over an
+    * incrementally-built corpus without retraining from scratch.
+    * Unlike min/insert-if-absent folds, count addition is NOT
+    * idempotent — a re-delivered document would silently double-count
+    * — so the state carries BOTH parts in one frame, discriminated by
+    * `kind`:
+    *  - `d` rows: the audited doc registry (doc_id, content-hash
+    *    lo/hi) — every doc ever delivered;
+    *  - `g` rows: the aggregated bigram counts (lhs, rhs, c).
+    * The merge adds only the bigram counts of docs ABSENT from the
+    * registry (anti-join on doc_id), making byte-identical re-delivery
+    * a no-op at any slicing; a re-delivery with CHANGED content
+    * refuses the fold loudly via the shared (lo, hi) projection —
+    * subtracting the old text's counts is exactly the delete a
+    * monotone fold cannot express. Batch-level replay is handled by
+    * the protocol's versioning as everywhere.
+    *
+    * Scale shape per batch: one keyed registry aggregate + one bigram
+    * count over the batch, one anti-join on doc_id, one (lhs, rhs)
+    * count merge — O(state + batch), all keyed shuffles, the model is
+    * never broadcast. Read the model back with [[lmModelState]];
+    * score with TextOps.lmScoreWith, off the hot path. */
+  def lmSink(docs: DataFrame, statePath: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] = {
+    val nulS = lit(null).cast("string")
+    val nulL = lit(null).cast("long")
+    versionedFoldSink(docs, statePath, checkpointLocation)({ batch =>
+      val d = batch.groupBy(col("doc_id"))
+        .agg(min(md5(col("text"))).as("ch_lo"),
+          max(md5(col("text"))).as("ch_hi"))
+        .select(lit("d").as("kind"), col("doc_id"), col("ch_lo"),
+          col("ch_hi"), nulS.as("lhs"), nulS.as("rhs"), nulL.as("c"))
+      // counts come from ONE copy per doc: in-batch duplicates are
+      // either byte-identical (idempotent) or refused at the write
+      // via the registry's (lo, hi) spread — never double-counted
+      val g = graft.operators.TextOps
+        .docBigrams(batch.dropDuplicates("doc_id"))
+        .select(lit("g").as("kind"), col("doc_id"), nulS.as("ch_lo"),
+          nulS.as("ch_hi"), col("lhs"), col("rhs"), col("k").as("c"))
+      d.unionByName(g)
+    }) { (prev, inc) =>
+      val prevD = prev.where(col("kind") === "d")
+      val prevG = prev.where(col("kind") === "g")
+      val incD = inc.where(col("kind") === "d")
+      // the audited registry merge (the minhashSink discipline): the
+      // refusal projection rides the state write — one job per fold
+      val mergedD = prevD.unionByName(incD).groupBy(col("doc_id"))
+        .agg(min(col("ch_lo")).as("ch_lo"), max(col("ch_hi")).as("ch_hi"))
+        .select(lit("d").as("kind"), col("doc_id"),
+          refuseOnMutation("doc", col("doc_id")).as("ch"))
+        .select(col("kind"), col("doc_id"), col("ch").as("ch_lo"),
+          col("ch").as("ch_hi"), nulS.as("lhs"), nulS.as("rhs"),
+          nulL.as("c"))
+      // only bigrams of docs the registry has never seen fold in —
+      // byte-identical re-delivery at any slicing is a no-op
+      val newIds = incD.select(col("doc_id"))
+        .join(prevD.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      val addG = inc.where(col("kind") === "g")
+        .join(newIds, Seq("doc_id"))
+        .select(col("lhs"), col("rhs"), col("c"))
+      val mergedG = prevG.select(col("lhs"), col("rhs"), col("c"))
+        .unionByName(addG)
+        .groupBy(col("lhs"), col("rhs")).agg(sum(col("c")).as("c"))
+        .select(lit("g").as("kind"), nulL.as("doc_id"),
+          nulS.as("ch_lo"), nulS.as("ch_hi"), col("lhs"), col("rhs"),
+          col("c"))
+      mergedD.unionByName(mergedG)
+    }
+  }
+
+  /** The maintained bigram model from a [[lmSink]] state — (lhs, rhs,
+    * c_ab), the shape TextOps.lmScoreWith serves from. */
+  def lmModelState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    foldState(s, statePath).where(col("kind") === "g")
+      .select(col("lhs"), col("rhs"), col("c").as("c_ab"))
+
   /** The shared versioned-fold protocol behind [[dedupExactSink]],
     * [[minhashSink]] and [[embeddingSink]]: per-batch increment
     * `incOf`, monotone state

@@ -322,4 +322,85 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(messages.exists(_.contains("belongs to checkpoint")),
       messages.mkString(" | "))
   }
+
+  test("streaming LM counts over sliced + re-delivering corpus equal the batch model") {
+    // count addition is NOT idempotent, so this is the property the
+    // registry anti-join exists for: a slice RE-DELIVERING earlier
+    // docs byte-identically must be a no-op, and the folded model must
+    // equal the one-shot batch training over the distinct corpus —
+    // down to serving: scoring through the maintained model must
+    // reproduce lmScore exactly.
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val third = (r: Int) => docs.where(pmod($"doc_id", lit(3)) === r)
+    val slices = Seq(third(0), third(1), third(2).unionAll(third(0)))
+
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_lm_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_lm_state").resolve("state").toString
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = Streams.lmSink(stream, statePath,
+        java.nio.file.Files.createTempDirectory("graft_lm_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+
+    // every delivered doc is registered exactly once
+    val state = Streams.foldState(spark, statePath)
+    assert(state.where($"kind" === "d").count() == docs.count())
+    // the maintained model equals the one-shot batch training
+    val got = Streams.lmModelState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.lmModel(docs).collect().map(_.toString).sorted
+    assert(got.length == expected.length,
+      s"state ${got.length} bigrams vs batch ${expected.length}")
+    assert(got.sameElements(expected))
+    // and serving through it reproduces the self-trained scorer
+    val servedScores =
+      TextOps.lmScoreWith(docs, Streams.lmModelState(spark, statePath))
+        .collect().map(_.toString).sorted
+    val batchScores = TextOps.lmScore(docs)
+      .collect().map(_.toString).sorted
+    assert(servedScores.sameElements(batchScores))
+  }
+
+  test("LM fold REFUSES a doc re-delivered with different content") {
+    // adding the new text's counts while the old text's remain is the
+    // double-count a monotone fold cannot undo — refuse, don't guess
+    val v1 = docsDf(Seq((1L, "alpha beta gamma delta", "en", "s")))
+    val v2 = docsDf(Seq((1L, "alpha beta gamma CHANGED", "en", "s")))
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_lm_mut")
+    v1.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    v2.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_lm_mut_st").resolve("st").toString
+    val stream = spark.readStream
+      .schema(v1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = Streams.lmSink(stream, statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_lm_mut_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[
+      org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(180000)
+      fail("stream finished without refusing the fold")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(
+      _.getMessage.contains("re-delivered with DIFFERENT content")),
+      causes(e).map(_.getMessage).mkString(" | "))
+  }
 }
