@@ -1469,13 +1469,43 @@ object TextOps {
     * onto the per-doc bucket counts. */
   def dsirWeight(docs: DataFrame, targetSource: String,
       nBuckets: Int = 1024): DataFrame = {
+    val pd = dsirPerDoc(docs, nBuckets).localCheckpoint()
+    dsirScored(pd, dsirDistOf(pd, targetSource), targetSource)
+  }
+
+  /** The two-sided hashed-feature distribution as an explicit
+    * (bucket, c_t, c_r) RAW-count frame — the model half of
+    * [[dsirWeight]], exposed so an incrementally-maintained
+    * distribution (graft.streaming.Streams.dsirSink state) can be
+    * compared to, or substituted for, the one-shot batch counting.
+    * Counts are raw (smoothing happens at scoring) because addition
+    * is the merge the streaming fold needs — the quantized logs are
+    * not additive. */
+  def dsirDist(docs: DataFrame, targetSource: String,
+      nBuckets: Int = 1024): DataFrame =
+    dsirDistOf(dsirPerDoc(docs, nBuckets), targetSource)
+
+  /** [[dsirWeight]] against an EXPLICIT (bucket, c_t, c_r)
+    * distribution — the serving half once a trained/maintained
+    * distribution exists. Every non-target document scores; feature
+    * hashing makes unseen features a non-issue (they land in SOME
+    * bucket, smoothed by the +1). */
+  def dsirWeightWith(docs: DataFrame, dist: DataFrame,
+      targetSource: String, nBuckets: Int = 1024): DataFrame =
+    dsirScored(dsirPerDoc(docs, nBuckets), dist, targetSource)
+
+  /** (doc_id, source, bucket, k) — per-document hashed-feature bucket
+    * counts, the shared entry of the DSIR model and serving halves
+    * (and the per-batch increment of the streaming fold). */
+  private[graft] def dsirPerDoc(docs: DataFrame,
+      nBuckets: Int): DataFrame = {
     require(nBuckets > 0 && 65536 % nBuckets == 0,
       s"nBuckets must be a positive divisor of 65536 (the 16-bit md5 " +
         s"prefix is reduced mod nBuckets; a divisor keeps every bucket " +
         s"exactly equiprobable), got $nBuckets")
     // unigrams + bigrams in one per-row pass (the repetition pattern),
     // hashed to a bucket id per occurrence
-    val feats = docs
+    docs
       .select(col("doc_id"), col("source"), split(col("text"), " ").as("w"))
       .select(col("doc_id"), col("source"), explode(expr(
         // the bigram branch is CASE-guarded: a 1-token doc's
@@ -1490,21 +1520,35 @@ object TextOps {
       .select(col("doc_id"), col("source"),
         (conv(substring(md5(col("f")), 1, 4), 16, 10).cast("long")
           % nBuckets).as("bucket"))
-    val perDoc = feats.groupBy(col("doc_id"), col("source"), col("bucket"))
+      .groupBy(col("doc_id"), col("source"), col("bucket"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+  }
+
+  private def dsirDistOf(pd: DataFrame,
+      targetSource: String): DataFrame = {
     val isTarget = col("source") === targetSource
-    // nBuckets-row distributions: per-bucket smoothed counts per side
-    val dist = perDoc.groupBy(col("bucket"))
+    pd.groupBy(col("bucket"))
       .agg(sum(when(isTarget, col("k")).otherwise(lit(0L))).as("c_t"),
         sum(when(!isTarget, col("k")).otherwise(lit(0L))).as("c_r"))
-      .select(col("bucket"),
-        (length(bin(col("c_t") + 1)) - 1).cast("long").as("qlog_t"),
-        (length(bin(col("c_r") + 1)) - 1).cast("long").as("qlog_r"))
-    perDoc.where(!isTarget)
-      .join(broadcast(dist), Seq("bucket"))
+  }
+
+  private def dsirScored(pd: DataFrame, dist: DataFrame,
+      targetSource: String): DataFrame = {
+    // nBuckets-row frame: add-one smoothing + bit-length log here, so
+    // the stored model stays in the additive raw-count domain
+    val qdist = dist.select(col("bucket"),
+      (length(bin(col("c_t") + 1)) - 1).cast("long").as("qlog_t"),
+      (length(bin(col("c_r") + 1)) - 1).cast("long").as("qlog_r"))
+    // LEFT join: under a FOREIGN distribution ([[dsirWeightWith]]) a
+    // scored doc can hit a bucket the model never observed — both
+    // sides then smooth to count 1 and the occurrence scores 0, it
+    // does not silently drop (self-trained scoring never takes the
+    // null branch: every scored bucket is in its own distribution)
+    pd.where(col("source") =!= targetSource)
+      .join(broadcast(qdist), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("k") * (col("qlog_t") - col("qlog_r"))).as("w_sum"),
+      .agg(sum(col("k") * (coalesce(col("qlog_t"), lit(0L))
+          - coalesce(col("qlog_r"), lit(0L)))).as("w_sum"),
         sum(col("k")).as("n_feats"))
       .select(col("doc_id"), col("w_sum"), col("n_feats"),
         (col("w_sum").cast("double") / col("n_feats"))

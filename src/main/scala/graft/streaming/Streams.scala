@@ -370,49 +370,105 @@ object Streams {
   def lmSink(docs: DataFrame, statePath: String,
       checkpointLocation: String)
       : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    registryAdditiveFoldSink(docs, statePath, checkpointLocation)(
+      batch => graft.operators.TextOps.docBigrams(batch)
+        .withColumnRenamed("k", "c"),
+      Seq("lhs", "rhs"), Seq("c"))
+
+  /** Streaming DSIR distribution maintenance — the second additive
+    * member of the fold family ([[lmSink]] is the first; they share
+    * [[registryAdditiveFoldSink]]): each micro-batch's per-doc
+    * hashed-feature bucket counts fold into the two-sided
+    * (bucket, c_t, c_r) distribution, keeping the importance-weight
+    * model (graft.operators.TextOps.dsirWeightWith) current over an
+    * incrementally-collected corpus. The side split happens at
+    * increment time (a doc's counts land in c_t or c_r by its
+    * `source`), so the state stays in the additive raw-count domain —
+    * the quantized logs are computed at serving, never stored. Read
+    * back with [[dsirDistState]]. */
+  def dsirSink(docs: DataFrame, targetSource: String,
+      statePath: String, checkpointLocation: String,
+      nBuckets: Int = 1024)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    registryAdditiveFoldSink(docs, statePath, checkpointLocation)(
+      batch => graft.operators.TextOps.dsirPerDoc(batch, nBuckets)
+        .select(col("doc_id"), col("bucket"),
+          when(col("source") === targetSource, col("k"))
+            .otherwise(lit(0L)).as("c_t"),
+          when(col("source") =!= targetSource, col("k"))
+            .otherwise(lit(0L)).as("c_r")),
+      Seq("bucket"), Seq("c_t", "c_r"))
+
+  /** The maintained two-sided distribution from a [[dsirSink]] state —
+    * (bucket, c_t, c_r), the shape TextOps.dsirWeightWith serves
+    * from. */
+  def dsirDistState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    foldState(s, statePath).where(col("kind") === "g")
+      .select(col("bucket"), col("c_t"), col("c_r"))
+
+  /** The shared registry-guarded ADDITIVE fold behind [[lmSink]] and
+    * [[dsirSink]]: count addition is not idempotent, so the state
+    * carries two row kinds in one frame — `d` rows, the audited doc
+    * registry (the [[minhashSink]] (ch_lo, ch_hi) discipline), and
+    * `g` rows, the aggregated counts keyed by `gKeys` with additive
+    * columns `gCounts`. The merge sums in ONLY the g-rows of docs
+    * absent from the registry (anti-join on doc_id): byte-identical
+    * re-delivery is a no-op at any slicing, changed content refuses
+    * the fold via the shared (lo, hi) projection riding the write.
+    * `gOf` maps a doc-deduped batch to its per-doc g-rows
+    * (doc_id, gKeys..., gCounts...) — per ONE copy of each doc, so
+    * in-batch duplicates never double-count (identical copies are
+    * idempotent; differing ones refuse via the registry's spread). */
+  private def registryAdditiveFoldSink(docs: DataFrame,
+      statePath: String, checkpointLocation: String)(
+      gOf: DataFrame => DataFrame,
+      gKeys: Seq[String], gCounts: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     val nulS = lit(null).cast("string")
     val nulL = lit(null).cast("long")
+    val gAll = gKeys ++ gCounts
     versionedFoldSink(docs, statePath, checkpointLocation)({ batch =>
+      val g0 = gOf(batch.dropDuplicates("doc_id"))
+      val gNulls = gAll.map(n => lit(null).cast(g0.schema(n).dataType).as(n))
       val d = batch.groupBy(col("doc_id"))
         .agg(min(md5(col("text"))).as("ch_lo"),
           max(md5(col("text"))).as("ch_hi"))
-        .select(lit("d").as("kind"), col("doc_id"), col("ch_lo"),
-          col("ch_hi"), nulS.as("lhs"), nulS.as("rhs"), nulL.as("c"))
-      // counts come from ONE copy per doc: in-batch duplicates are
-      // either byte-identical (idempotent) or refused at the write
-      // via the registry's (lo, hi) spread — never double-counted
-      val g = graft.operators.TextOps
-        .docBigrams(batch.dropDuplicates("doc_id"))
-        .select(lit("g").as("kind"), col("doc_id"), nulS.as("ch_lo"),
-          nulS.as("ch_hi"), col("lhs"), col("rhs"), col("k").as("c"))
+        .select(lit("d").as("kind") +: col("doc_id") +: col("ch_lo") +:
+          col("ch_hi") +: gNulls: _*)
+      val g = g0.select(lit("g").as("kind") +: col("doc_id") +:
+        nulS.as("ch_lo") +: nulS.as("ch_hi") +: gAll.map(col): _*)
       d.unionByName(g)
     }) { (prev, inc) =>
       val prevD = prev.where(col("kind") === "d")
       val prevG = prev.where(col("kind") === "g")
       val incD = inc.where(col("kind") === "d")
+      val gNulls = gAll.map(n => lit(null).cast(inc.schema(n).dataType).as(n))
       // the audited registry merge (the minhashSink discipline): the
       // refusal projection rides the state write — one job per fold
       val mergedD = prevD.unionByName(incD).groupBy(col("doc_id"))
         .agg(min(col("ch_lo")).as("ch_lo"), max(col("ch_hi")).as("ch_hi"))
-        .select(lit("d").as("kind"), col("doc_id"),
+        .select(col("doc_id"),
           refuseOnMutation("doc", col("doc_id")).as("ch"))
-        .select(col("kind"), col("doc_id"), col("ch").as("ch_lo"),
-          col("ch").as("ch_hi"), nulS.as("lhs"), nulS.as("rhs"),
-          nulL.as("c"))
-      // only bigrams of docs the registry has never seen fold in —
+        .select(lit("d").as("kind") +: col("doc_id") +:
+          col("ch").as("ch_lo") +: col("ch").as("ch_hi") +: gNulls: _*)
+      // only counts of docs the registry has never seen fold in —
       // byte-identical re-delivery at any slicing is a no-op
       val newIds = incD.select(col("doc_id"))
         .join(prevD.select(col("doc_id")), Seq("doc_id"), "left_anti")
       val addG = inc.where(col("kind") === "g")
         .join(newIds, Seq("doc_id"))
-        .select(col("lhs"), col("rhs"), col("c"))
-      val mergedG = prevG.select(col("lhs"), col("rhs"), col("c"))
+        .select(gAll.map(col): _*)
+      val mergedG = prevG.select(gAll.map(col): _*)
         .unionByName(addG)
-        .groupBy(col("lhs"), col("rhs")).agg(sum(col("c")).as("c"))
-        .select(lit("g").as("kind"), nulL.as("doc_id"),
-          nulS.as("ch_lo"), nulS.as("ch_hi"), col("lhs"), col("rhs"),
-          col("c"))
+        .groupBy(gKeys.map(col): _*)
+        .agg(sum(col(gCounts.head)).as(gCounts.head),
+          gCounts.tail.map(c => sum(col(c)).as(c)): _*)
+        .select(lit("g").as("kind") +: nulL.as("doc_id") +:
+          nulS.as("ch_lo") +: nulS.as("ch_hi") +: gAll.map(col): _*)
       mergedD.unionByName(mergedG)
     }
   }

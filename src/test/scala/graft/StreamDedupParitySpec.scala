@@ -372,6 +372,51 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(servedScores.sameElements(batchScores))
   }
 
+  test("streaming DSIR distribution over sliced + re-delivering corpus equals batch") {
+    // the second additive fold: per-bucket two-sided counts; same
+    // registry-anti-join idempotence property as the LM sink, pinned
+    // down to serving (weights through the maintained distribution)
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val third = (r: Int) => docs.where(pmod($"doc_id", lit(3)) === r)
+    val slices = Seq(third(0), third(1), third(2).unionAll(third(1)))
+
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_dsir_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_dsir_state").resolve("state").toString
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = Streams.dsirSink(stream, "src0", statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_dsir_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+
+    val got = Streams.dsirDistState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.dsirDist(docs, "src0")
+      .collect().map(_.toString).sorted
+    assert(got.length == expected.length,
+      s"state ${got.length} buckets vs batch ${expected.length}")
+    assert(got.sameElements(expected))
+    // serving through the maintained distribution reproduces the
+    // self-trained batch weights
+    val served = TextOps.dsirWeightWith(docs,
+        Streams.dsirDistState(spark, statePath), "src0")
+      .collect().map(_.toString).sorted
+    val batch = TextOps.dsirWeight(docs, "src0")
+      .collect().map(_.toString).sorted
+    assert(served.sameElements(batch))
+  }
+
   test("LM fold REFUSES a doc re-delivered with different content") {
     // adding the new text's counts while the old text's remain is the
     // double-count a monotone fold cannot undo — refuse, don't guess
