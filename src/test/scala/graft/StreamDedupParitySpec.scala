@@ -419,33 +419,45 @@ class StreamDedupParitySpec extends SparkSpec {
 
   test("LM fold REFUSES a doc re-delivered with different content") {
     // adding the new text's counts while the old text's remain is the
-    // double-count a monotone fold cannot undo — refuse, don't guess
+    // double-count a monotone fold cannot undo — refuse, don't guess.
+    // The in-batch case matters doubly here: the count branch picks
+    // ONE copy per doc (dropDuplicates), so only the registry's
+    // (lo, hi) spread — written in the SAME job — can stop a batch
+    // whose two copies disagree from committing arbitrary counts.
     val v1 = docsDf(Seq((1L, "alpha beta gamma delta", "en", "s")))
-    val v2 = docsDf(Seq((1L, "alpha beta gamma CHANGED", "en", "s")))
-    val streamDir =
-      java.nio.file.Files.createTempDirectory("graft_lm_mut")
-    v1.coalesce(1).write.mode("append").parquet(streamDir.toString)
-    v2.coalesce(1).write.mode("append").parquet(streamDir.toString)
-    val statePath = java.nio.file.Files
-      .createTempDirectory("graft_lm_mut_st").resolve("st").toString
-    val stream = spark.readStream
-      .schema(v1.schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-    val q = Streams.lmSink(stream, statePath,
-        java.nio.file.Files
-          .createTempDirectory("graft_lm_mut_ck").toString)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    val e = intercept[
-      org.apache.spark.sql.streaming.StreamingQueryException] {
-      q.awaitTermination(180000)
-      fail("stream finished without refusing the fold")
+    val cases = Seq(
+      "cross-batch" -> Seq(v1, docsDf(Seq(
+        (1L, "alpha beta gamma CHANGED", "en", "s")))),
+      "in-batch" -> Seq(docsDf(Seq(
+        (2L, "iota kappa lambda mu", "en", "s"),
+        (2L, "iota kappa lambda MUTATED", "en", "s")))))
+    cases.foreach { case (label, files) =>
+      val streamDir =
+        java.nio.file.Files.createTempDirectory(s"graft_lm_mut_$label")
+      files.foreach(_.coalesce(1).write.mode("append")
+        .parquet(streamDir.toString))
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"graft_lm_mut_st_$label")
+        .resolve("st").toString
+      val stream = spark.readStream
+        .schema(v1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = Streams.lmSink(stream, statePath,
+          java.nio.file.Files
+            .createTempDirectory(s"graft_lm_mut_ck_$label").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      val e = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.awaitTermination(180000)
+        fail(s"$label: stream finished without refusing the fold")
+      }
+      def causes(t: Throwable): Seq[Throwable] =
+        Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+      assert(causes(e).exists(
+        _.getMessage.contains("re-delivered with DIFFERENT content")),
+        s"$label: " + causes(e).map(_.getMessage).mkString(" | "))
     }
-    def causes(t: Throwable): Seq[Throwable] =
-      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
-    assert(causes(e).exists(
-      _.getMessage.contains("re-delivered with DIFFERENT content")),
-      causes(e).map(_.getMessage).mkString(" | "))
   }
 }
