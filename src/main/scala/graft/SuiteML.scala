@@ -26,7 +26,7 @@ object SuiteML {
     * the Spark query and its oracle so they cannot drift. 1024 divides
     * 65536, keeping the 16-bit md5-prefix bucket exactly uniform. */
   private val DsirTarget = "src0"
-  private val DsirBuckets = 1024
+  private val DsirBuckets = TextOps.DsirDefaultBuckets
 
   /** Frequency floor for the convergence-stop BPE query: between the
     * sf0.01 corpus' round-3 (2747) and round-4 (2696) winners, so the

@@ -1467,8 +1467,14 @@ object TextOps {
     * size (the whole point of feature hashing: model size is fixed by
     * construction, not vocabulary-sized), so both sides broadcast-join
     * onto the per-doc bucket counts. */
+  /** The one hashed-feature bucket-count default, shared by every
+    * dsir entry point (batch model, serving, and the streaming sink)
+    * — model and serving hashing MUST agree, so the default has one
+    * definition. A divisor of 65536 (see [[dsirPerDoc]]). */
+  val DsirDefaultBuckets = 1024
+
   def dsirWeight(docs: DataFrame, targetSource: String,
-      nBuckets: Int = 1024): DataFrame = {
+      nBuckets: Int = DsirDefaultBuckets): DataFrame = {
     val pd = dsirPerDoc(docs, nBuckets).localCheckpoint()
     dsirScored(pd, dsirDistOf(pd, targetSource), targetSource)
   }
@@ -1482,16 +1488,21 @@ object TextOps {
     * is the merge the streaming fold needs — the quantized logs are
     * not additive. */
   def dsirDist(docs: DataFrame, targetSource: String,
-      nBuckets: Int = 1024): DataFrame =
+      nBuckets: Int = DsirDefaultBuckets): DataFrame =
     dsirDistOf(dsirPerDoc(docs, nBuckets), targetSource)
 
   /** [[dsirWeight]] against an EXPLICIT (bucket, c_t, c_r)
     * distribution — the serving half once a trained/maintained
     * distribution exists. Every non-target document scores; feature
     * hashing makes unseen features a non-issue (they land in SOME
-    * bucket, smoothed by the +1). */
+    * bucket, smoothed by the +1). CALLER CONTRACT: `nBuckets` must be
+    * the bucket count the distribution was BUILT with — bucket ids
+    * alone cannot reveal their modulus, so a mismatch cannot be
+    * detected here and would score under incompatible hashing. All
+    * four dsir entry points share [[DsirDefaultBuckets]] so the
+    * defaults cannot drift apart. */
   def dsirWeightWith(docs: DataFrame, dist: DataFrame,
-      targetSource: String, nBuckets: Int = 1024): DataFrame =
+      targetSource: String, nBuckets: Int = DsirDefaultBuckets): DataFrame =
     dsirScored(dsirPerDoc(docs, nBuckets), dist, targetSource)
 
   /** (doc_id, source, bucket, k) — per-document hashed-feature bucket

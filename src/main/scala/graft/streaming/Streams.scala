@@ -374,7 +374,9 @@ object Streams {
     registryAdditiveFoldSink(docs, statePath, checkpointLocation)(
       batch => graft.operators.TextOps.docBigrams(batch)
         .withColumnRenamed("k", "c"),
-      Seq("lhs", "rhs"), Seq("c"))
+      Seq("lhs", "rhs"), Seq("c"),
+      // bigram counts are a function of the text alone
+      md5(col("text")))
 
   /** Streaming DSIR distribution maintenance — the second additive
     * member of the fold family ([[lmSink]] is the first; they share
@@ -389,7 +391,7 @@ object Streams {
     * back with [[dsirDistState]]. */
   def dsirSink(docs: DataFrame, targetSource: String,
       statePath: String, checkpointLocation: String,
-      nBuckets: Int = 1024)
+      nBuckets: Int = graft.operators.TextOps.DsirDefaultBuckets)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
     registryAdditiveFoldSink(docs, statePath, checkpointLocation)(
@@ -399,7 +401,13 @@ object Streams {
             .otherwise(lit(0L)).as("c_t"),
           when(col("source") =!= targetSource, col("k"))
             .otherwise(lit(0L)).as("c_r")),
-      Seq("bucket"), Seq("c_t", "c_r"))
+      Seq("bucket"), Seq("c_t", "c_r"),
+      // the DSIR increment is a function of (text, source): a doc
+      // re-classified to the other side with IDENTICAL text must
+      // refuse, not slide through as byte-identical re-delivery —
+      // hashing the text hash + source keeps the pair unambiguous
+      // (md5 is fixed-width, no separator injection)
+      md5(concat(md5(col("text")), col("source"))))
 
   /** The maintained two-sided distribution from a [[dsirSink]] state —
     * (bucket, c_t, c_r), the shape TextOps.dsirWeightWith serves
@@ -421,22 +429,28 @@ object Streams {
     * `gOf` maps a doc-deduped batch to its per-doc g-rows
     * (doc_id, gKeys..., gCounts...) — per ONE copy of each doc, so
     * in-batch duplicates never double-count (identical copies are
-    * idempotent; differing ones refuse via the registry's spread). */
+    * idempotent; differing ones refuse via the registry's spread).
+    * `contentHash` must cover EVERY input column the g-rows are a
+    * function of (text alone for the LM; text + source for DSIR — a
+    * re-classified doc is a mutation, not a re-delivery); a NULL in
+    * any covered column folds to a sentinel so min/max cannot skip
+    * the copy and silently collapse a genuine spread. */
   private def registryAdditiveFoldSink(docs: DataFrame,
       statePath: String, checkpointLocation: String)(
       gOf: DataFrame => DataFrame,
-      gKeys: Seq[String], gCounts: Seq[String])
+      gKeys: Seq[String], gCounts: Seq[String],
+      contentHash: org.apache.spark.sql.Column)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     val nulS = lit(null).cast("string")
     val nulL = lit(null).cast("long")
     val gAll = gKeys ++ gCounts
+    val ch = coalesce(contentHash, lit("<null-content>"))
     versionedFoldSink(docs, statePath, checkpointLocation)({ batch =>
       val g0 = gOf(batch.dropDuplicates("doc_id"))
       val gNulls = gAll.map(n => lit(null).cast(g0.schema(n).dataType).as(n))
       val d = batch.groupBy(col("doc_id"))
-        .agg(min(md5(col("text"))).as("ch_lo"),
-          max(md5(col("text"))).as("ch_hi"))
+        .agg(min(ch).as("ch_lo"), max(ch).as("ch_hi"))
         .select(lit("d").as("kind") +: col("doc_id") +: col("ch_lo") +:
           col("ch_hi") +: gNulls: _*)
       val g = g0.select(lit("g").as("kind") +: col("doc_id") +:

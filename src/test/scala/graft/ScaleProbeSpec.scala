@@ -33,13 +33,15 @@ class ScaleProbeSpec extends SparkSpec {
       lit("en").as("lang"), lit("syn").as("source"))
       .withColumn("n_chars", length(col("text")).cast("long"))
 
-  /** 10x the sf0.1 embeddings cardinality, 16-dim hash-derived
-    * vectors in [-1, 1). */
-  private def syntheticEmb(n: Long): DataFrame =
+  /** 10x the sf0.1 embeddings cardinality, hash-derived vectors in
+    * [-1, 1). 16-dim default keeps the generic probes cheap; the PQ
+    * routes pass the real 64-dim shape (fixed 16-component
+    * subspaces). */
+  private def syntheticEmb(n: Long, dim: Int = 16): DataFrame =
     spark.range(n).select(
       col("id").as("vec_id"),
-      expr("transform(sequence(0, 15), i -> " +
-        "cast((pmod(xxhash64(id * 16 + i), 2000) - 1000) / 1000.0 " +
+      expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+        s"cast((pmod(xxhash64(id * $dim + i), 2000) - 1000) / 1000.0 " +
         "as float))").as("embedding"),
       expr("cast(pmod(id, 5) as int)").as("label"))
 
@@ -144,24 +146,13 @@ class ScaleProbeSpec extends SparkSpec {
       }
   }
 
-  /** 10x the sf0.1 embeddings cardinality at the REAL 64-dim shape
-    * (the PQ routes slice fixed 16-component subspaces, so the probe
-    * must feed the production dimensionality). */
-  private def syntheticEmb64(n: Long): DataFrame =
-    spark.range(n).select(
-      col("id").as("vec_id"),
-      expr("transform(sequence(0, 63), i -> " +
-        "cast((pmod(xxhash64(id * 64 + i), 2000) - 1000) / 1000.0 " +
-        "as float))").as("embedding"),
-      expr("cast(pmod(id, 5) as int)").as("label"))
-
   test("ANN serving routes at 10x sf0.1: only bounded-cardinality frames broadcast") {
     // every broadcast in the serving family must be bounded by a
     // CONSTRUCTION parameter (nQueries, nCentroids, planes, kc*M) —
     // never by the corpus. Identify each by a column only the bounded
     // frame carries; a broadcast subtree without it is a corpus frame
     // leaking into a broadcast.
-    val emb = syntheticEmb64(50000L)
+    val emb = syntheticEmb(50000L, dim = 64)
     Seq[(String, () => DataFrame, String)](
       // the query batch (vec_id < nQueries) broadcasts; corpus side streams
       ("annTopK", () => EmbeddingOps.annTopK(emb), "query_id"),

@@ -417,6 +417,41 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(served.sameElements(batch))
   }
 
+  test("DSIR fold REFUSES a doc re-classified to a different source") {
+    // the DSIR increment is a function of (text, source): identical
+    // text under a flipped source moves counts across the c_t/c_r
+    // split, which the additive fold cannot undo — the content hash
+    // covers the pair, so this refuses rather than sliding through
+    // as byte-identical re-delivery
+    val v1 = docsDf(Seq((1L, "alpha beta gamma", "en", "srcX")))
+    val v2 = docsDf(Seq((1L, "alpha beta gamma", "en", "src0")))
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_dsir_flip")
+    v1.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    v2.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_dsir_flip_st").resolve("st").toString
+    val stream = spark.readStream
+      .schema(v1.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = Streams.dsirSink(stream, "src0", statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_dsir_flip_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    val e = intercept[
+      org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(180000)
+      fail("stream finished without refusing the re-classification")
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      Option(t).toSeq.flatMap(x => x +: causes(x.getCause))
+    assert(causes(e).exists(
+      _.getMessage.contains("re-delivered with DIFFERENT content")),
+      causes(e).map(_.getMessage).mkString(" | "))
+  }
+
   test("LM fold REFUSES a doc re-delivered with different content") {
     // adding the new text's counts while the old text's remain is the
     // double-count a monotone fold cannot undo — refuse, don't guess.
