@@ -843,6 +843,44 @@ object SuiteML {
         |      FROM db JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs))
         |GROUP BY 1""".stripMargin)),
 
+    // ---- curation: cross-corpus LM scoring (serving half) ---------------
+    // (model trained on the trusted slice only, raw docs scored under
+    // it — the CCNet deployment shape; inner-join semantics: bigrams
+    // the model never observed contribute nothing, n_bigrams counts
+    // SCORED occurrences)
+    Q("text_lm_cross",
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.lmScoreWith(
+          all.where(col("source") =!= DsirTarget),
+          TextOps.lmModel(all.where(col("source") === DsirTarget)))
+      },
+      Some(s"""WITH wt AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents
+        |       WHERE source = '$DsirTarget'
+        |         AND len(string_split(text,' ')) >= 2),
+        |bt AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM wt),
+        |lm AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM (SELECT ls[i] AS lhs, ls[i+1] AS rhs FROM bt)
+        |       GROUP BY 1, 2),
+        |ctx AS (SELECT lhs, CAST(sum(c_ab) AS BIGINT) AS c_lhs
+        |        FROM lm GROUP BY 1),
+        |wr AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents
+        |       WHERE source <> '$DsirTarget'
+        |         AND len(string_split(text,' ')) >= 2),
+        |br AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM wr),
+        |db AS (SELECT doc_id, ls[i] AS lhs, ls[i+1] AS rhs,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM br GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(k * q) AS BIGINT) AS nll_sum,
+        |       CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(k * q) AS DOUBLE) / sum(k) AS avg_nll
+        |FROM (SELECT doc_id, k,
+        |        CAST(length(bin(c_lhs // c_ab)) - 1 AS BIGINT) AS q
+        |      FROM db JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs))
+        |GROUP BY 1""".stripMargin)),
+
     // ---- curation: DSIR hashed-ngram importance weights -----------------
     // (target side = source 'src0', the trusted slice; raw docs scored
     // by quantized log p_t(f) - log p_r(f) over 1024 hashed buckets)
