@@ -41,7 +41,17 @@ object Bench {
     // a crashing query must make the metric WORSE, not quietly shrink
     // it: each failure contributes a 600s penalty to the total
     val total = good.map(_._2).sum + results.count(!_._3) * 600.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    println(line)
+    // sbt interleaves its own logging with stdout, which has broken the
+    // driver's JSON scrape before ("parsed": null in BENCH_r09) — also
+    // write the line to a well-known file so parsing never depends on
+    // log scraping
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }

@@ -1438,6 +1438,12 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** The one hashed-feature bucket-count default, shared by every
+    * dsir entry point (batch model, serving, and the streaming sink)
+    * — model and serving hashing MUST agree, so the default has one
+    * definition. A divisor of 65536 (see [[dsirPerDoc]]). */
+  val DsirDefaultBuckets = 1024
+
   /** DSIR-style hashed-n-gram importance weight (Xie et al. 2023,
     * "Data Selection for Language Models via Importance Resampling"):
     * score every raw document by how target-like its hashed n-gram
@@ -1467,12 +1473,6 @@ object TextOps {
     * size (the whole point of feature hashing: model size is fixed by
     * construction, not vocabulary-sized), so both sides broadcast-join
     * onto the per-doc bucket counts. */
-  /** The one hashed-feature bucket-count default, shared by every
-    * dsir entry point (batch model, serving, and the streaming sink)
-    * — model and serving hashing MUST agree, so the default has one
-    * definition. A divisor of 65536 (see [[dsirPerDoc]]). */
-  val DsirDefaultBuckets = 1024
-
   def dsirWeight(docs: DataFrame, targetSource: String,
       nBuckets: Int = DsirDefaultBuckets): DataFrame = {
     val pd = dsirPerDoc(docs, nBuckets).localCheckpoint()

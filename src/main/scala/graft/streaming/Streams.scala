@@ -443,7 +443,6 @@ object Streams {
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] = {
     val nulS = lit(null).cast("string")
-    val nulL = lit(null).cast("long")
     val gAll = gKeys ++ gCounts
     val ch = coalesce(contentHash, lit("<null-content>"))
     versionedFoldSink(docs, statePath, checkpointLocation)({ batch =>
@@ -461,6 +460,10 @@ object Streams {
       val prevG = prev.where(col("kind") === "g")
       val incD = inc.where(col("kind") === "d")
       val gNulls = gAll.map(n => lit(null).cast(inc.schema(n).dataType).as(n))
+      // derive the null doc_id's type from the increment schema like
+      // the gNulls columns — a hard-coded "long" would silently
+      // union-coerce a future fold member with non-long doc ids
+      val nulDoc = lit(null).cast(inc.schema("doc_id").dataType)
       // the audited registry merge (the minhashSink discipline): the
       // refusal projection rides the state write — one job per fold
       val mergedD = prevD.unionByName(incD).groupBy(col("doc_id"))
@@ -481,7 +484,7 @@ object Streams {
         .groupBy(gKeys.map(col): _*)
         .agg(sum(col(gCounts.head)).as(gCounts.head),
           gCounts.tail.map(c => sum(col(c)).as(c)): _*)
-        .select(lit("g").as("kind") +: nulL.as("doc_id") +:
+        .select(lit("g").as("kind") +: nulDoc.as("doc_id") +:
           nulS.as("ch_lo") +: nulS.as("ch_hi") +: gAll.map(col): _*)
       mergedD.unionByName(mergedG)
     }
