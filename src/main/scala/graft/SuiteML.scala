@@ -28,6 +28,14 @@ object SuiteML {
   private val DsirTarget = "src0"
   private val DsirBuckets = TextOps.DsirDefaultBuckets
 
+  /** The raw-side slice of the CROSS-corpus DSIR row's training
+    * subset: the distribution is trained on {target, this} only, so
+    * docs from every other source hit buckets the model never
+    * observed and exercise dsirScored's LEFT-join coalesce-to-zero
+    * arm (403 unseen-bucket hits at sf0.01, 27 at sf0.1 — measured,
+    * nonzero at both driver scales). */
+  private val DsirCrossRaw = "src1"
+
   /** Frequency floor for the convergence-stop BPE query: between the
     * sf0.01 corpus' round-3 (2747) and round-4 (2696) winners, so the
     * trainer provably STOPS mid-budget there. Shared with the oracle,
@@ -912,6 +920,55 @@ object SuiteML {
         |       CAST(sum(k * (qlog_t - qlog_r)) AS DOUBLE) / sum(k) AS avg_weight
         |FROM pd JOIN dist USING (bucket)
         |WHERE source <> '$DsirTarget'
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- curation: cross-corpus DSIR scoring (serving half) -------------
+    // (distribution trained on the {src0, src1} subset only, every
+    // other source scored under it — the deployment shape where the
+    // model predates the corpus. Unlike the LM's inner join, unseen
+    // buckets score 0 via the LEFT-join coalesce arm: both sides
+    // smooth to count 1, so the doc keeps its row and n_feats counts
+    // ALL its occurrences, scored or not)
+    Q("text_dsir_cross",
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.dsirWeightWith(
+          all.where(!col("source").isin(DsirTarget, DsirCrossRaw)),
+          TextOps.dsirDist(
+            all.where(col("source").isin(DsirTarget, DsirCrossRaw)),
+            DsirTarget, DsirBuckets),
+          DsirTarget, DsirBuckets)
+      },
+      Some(s"""WITH w AS (SELECT doc_id, source, string_split(text,' ') AS ls
+        |       FROM documents),
+        |f AS (SELECT doc_id, source, unnest(list_concat(
+        |        list_transform(ls, t -> 'u:' || t),
+        |        list_transform(range(1, len(ls)),
+        |          i -> 'b:' || ls[i] || ' ' || ls[i+1]))) AS f
+        |      FROM w),
+        |pd AS (SELECT doc_id, source,
+        |         CAST(((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef', substr(md5(f), 4, 1)) - 1))
+        |           % $DsirBuckets AS BIGINT) AS bucket,
+        |         CAST(count(*) AS BIGINT) AS k
+        |       FROM f GROUP BY 1, 2, 3),
+        |dist AS (SELECT bucket,
+        |           CAST(length(bin(CAST(sum(CASE WHEN source = '$DsirTarget'
+        |             THEN k ELSE 0 END) + 1 AS BIGINT))) - 1 AS BIGINT) AS qlog_t,
+        |           CAST(length(bin(CAST(sum(CASE WHEN source = '$DsirCrossRaw'
+        |             THEN k ELSE 0 END) + 1 AS BIGINT))) - 1 AS BIGINT) AS qlog_r
+        |         FROM pd WHERE source IN ('$DsirTarget', '$DsirCrossRaw')
+        |         GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(sum(k * (COALESCE(qlog_t, 0) - COALESCE(qlog_r, 0)))
+        |         AS BIGINT) AS w_sum,
+        |       CAST(sum(k) AS BIGINT) AS n_feats,
+        |       CAST(sum(k * (COALESCE(qlog_t, 0) - COALESCE(qlog_r, 0)))
+        |         AS DOUBLE) / sum(k) AS avg_weight
+        |FROM pd LEFT JOIN dist USING (bucket)
+        |WHERE source NOT IN ('$DsirTarget', '$DsirCrossRaw')
         |GROUP BY 1""".stripMargin)),
 
     // ---- dedup: cross-document duplicated-span fraction -----------------
