@@ -991,6 +991,52 @@ object SuiteML {
         |       CAST(COALESCE(d.n_dup_grams, 0) AS DOUBLE) / t.n_grams AS dup_frac
         |FROM tot t LEFT JOIN dup d USING (doc_id)""".stripMargin)),
 
+    // ---- dedup: exact duplicated-substring REMOVAL (Lee et al. 2022) ----
+    // (the excising twin of dedup_ngram_spans: every token covered by
+    // a cross-doc duplicated 3-token run is removed, the smallest
+    // doc_id containing the shingle keeping its copies; positions are
+    // 0-based in Spark and 1-based in the CTE — internal only, the
+    // compared columns are counts and the rebuilt text)
+    Q("dedup_span_removal",
+      (s, d) => TextOps.dedupSpans(docs(s, d), minTokens = 3),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents),
+        |ws AS (SELECT doc_id, ls, unnest(range(1, len(ls) - 1)) AS i
+        |       FROM w WHERE len(ls) >= 3),
+        |occ AS (SELECT doc_id, i AS pos,
+        |          ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2] AS s
+        |        FROM ws),
+        |stats AS (SELECT s, count(DISTINCT doc_id) AS df,
+        |            min(doc_id) AS min_doc
+        |          FROM occ GROUP BY 1),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT o.doc_id, unnest(range(o.pos, o.pos + 3)) AS pos
+        |          FROM occ o JOIN stats USING (s)
+        |          WHERE df >= 2 AND o.doc_id <> min_doc)),
+        |ts AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        |       FROM w),
+        |toks AS (SELECT doc_id, i AS pos, ls[i] AS tok FROM ts),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok
+        |         FROM toks t LEFT JOIN cov c USING (doc_id, pos)
+        |         WHERE c.pos IS NULL),
+        |seg AS (SELECT doc_id, CASE WHEN pos - lag(pos) OVER
+        |            (PARTITION BY doc_id ORDER BY pos) > 1
+        |          THEN 1 ELSE 0 END AS brk
+        |        FROM kept),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        |        FROM kept GROUP BY 1),
+        |segc AS (SELECT doc_id, CAST(1 + sum(brk) AS BIGINT) AS n_segments
+        |         FROM seg GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(ls) AS BIGINT) AS n_tokens,
+        |       CAST(len(ls) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+        |       COALESCE(n_segments, CAST(0 AS BIGINT)) AS n_segments,
+        |       COALESCE(text_clean, '') AS text_clean,
+        |       CAST(len(ls) - COALESCE(n_kept, 0) AS DOUBLE) / len(ls)
+        |         AS removed_frac
+        |FROM w LEFT JOIN reb USING (doc_id) LEFT JOIN segc USING (doc_id)"""
+        .stripMargin)),
+
     // ---- curation: deterministic sharded corpus shuffle -----------------
     // (the pre-training randomization: global order = (shard,
     // pos_in_shard); no single global row_number at 100 TB)

@@ -1021,6 +1021,85 @@ object TextOps {
           / col("n_grams")).as("dup_frac"))
   }
 
+  /** Exact duplicated-SUBSTRING removal (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better" —
+    * ExactSubstr): where [[dupNgramSpans]] only MEASURES cross-doc
+    * span duplication, this operator excises it, emitting each doc
+    * with every token covered by a cross-document duplicated run of
+    * `minTokens` tokens removed (the remaining tokens re-join in
+    * order; a mid-doc excision splits the doc into segments, counted
+    * in `n_segments`). The reference paper's suffix-array formulation
+    * is a single-machine construction; the distributed rendering is
+    * shingle-based: a k-token window occurrence (k = minTokens) is
+    * duplicated iff its shingle occurs in >= 2 documents, and — the
+    * paper's keep-one-copy rule made deterministic — the smallest
+    * doc_id containing a shingle keeps ALL its occurrences of it,
+    * every other doc excises them. A doc below k tokens has no
+    * windows and passes through unchanged; a fully-duplicated doc
+    * collapses to the empty string with n_segments = 0.
+    *
+    * Scale shape: one per-row window projection (no shuffle) → one
+    * (shingle) aggregate for {document frequency, canonical doc} →
+    * one keyed join back on the shingle — the shingle-stats frame is
+    * corpus-vocabulary-sized and is NEVER broadcast (the [[langId]]
+    * rule). Covered positions explode k rows per EXCISED occurrence
+    * only (duplication-mass-sized, not corpus-sized), distinct on
+    * (doc_id, pos), anti-join against the token table. The rebuild
+    * groups per doc_id — collect_list is bounded by a single
+    * document's length, the per-doc batch shape (the
+    * [[seqPack]]/[[chunk]] discipline), never corpus-scale. Counts
+    * are exact longs; `removed_frac` is one final IEEE division. */
+  def dedupSpans(docs: DataFrame, minTokens: Int = 50): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val k = minTokens
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    // every k-token window with its 0-based start position; the
+    // sequence is CASE-guarded like every sequence(0, size-k) here
+    // (it DESCENDS when stop < start, and ANSI mode throws on the
+    // out-of-bounds slice)
+    val occ = w.where(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> " +
+          s"struct(i AS pos, concat_ws(' ', slice(w, i + 1, $k)) AS s))"))
+        .as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.s").as("s"))
+    val stats = occ.groupBy(col("s"))
+      .agg(countDistinct(col("doc_id")).as("df"),
+        min(col("doc_id")).as("min_doc"))
+    // excised occurrences -> the distinct token positions they cover
+    val covered = occ.join(stats, Seq("s"))
+      .where(col("df") >= 2 && col("doc_id") =!= col("min_doc"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+        .as("kt"))
+      .select(col("doc_id"), size(col("kt")).cast("long").as("n_kept"),
+        expr("concat_ws(' ', transform(kt, x -> x.tok))")
+          .as("text_clean"),
+        // contiguous kept runs: 1 + number of position gaps > 1 (the
+        // i >= 1 indices are always in bounds, so no ANSI guard needed
+        // beyond the size >= 2 CASE)
+        expr("CASE WHEN size(kt) >= 2 THEN CAST(1 + size(filter(" +
+          "transform(sequence(1, size(kt) - 1), " +
+          "i -> kt[i].pos - kt[i-1].pos), d -> d > 1)) AS BIGINT) " +
+          "ELSE CAST(size(kt) AS BIGINT) END").as("n_segments"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        ((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("double") / col("n_tokens")).as("removed_frac"))
+  }
+
   /** Deterministic sharded corpus shuffle — the pre-training
     * randomization pass: training order must be a reproducible
     * pseudo-random permutation of the curated corpus. A single global

@@ -389,6 +389,36 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) == ((3L, 0L)))
   }
 
+  test("dedupSpans excises cross-doc runs, keeping the smallest doc's " +
+      "copy and splitting around mid-doc excisions") {
+    val d = docsDf(Seq(
+      (1L, "p q r s t", "en", "s"), // canonical holder of "p q r"
+      (2L, "a b p q r c d", "en", "s"), // mid-doc copy -> split in two
+      (3L, "p q r s t", "en", "s"), // full duplicate of 1 -> emptied
+      (4L, "z z z z z", "en", "s"), // within-doc repetition only
+      (5L, "a b", "en", "s"))) // below the 3-token window
+    val out = TextOps.dedupSpans(d, minTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // doc 1 keeps everything: it is min_doc of all its shingles
+    assert(out(1L).getAs[Long]("n_removed") == 0L)
+    assert(out(1L).getAs[String]("text_clean") == "p q r s t")
+    assert(out(1L).getAs[Long]("n_segments") == 1L)
+    // doc 2 loses the copied run, keeping the flanks as two segments
+    assert(out(2L).getAs[String]("text_clean") == "a b c d")
+    assert(out(2L).getAs[Long]("n_removed") == 3L)
+    assert(out(2L).getAs[Long]("n_segments") == 2L)
+    // doc 3: every position covered by a duplicated window -> empty
+    assert(out(3L).getAs[String]("text_clean") == "")
+    assert(out(3L).getAs[Long]("n_removed") == 5L)
+    assert(out(3L).getAs[Long]("n_segments") == 0L)
+    assert(out(3L).getAs[Double]("removed_frac") == 1.0)
+    // within-doc repetition is not cross-doc duplication
+    assert(out(4L).getAs[Long]("n_removed") == 0L)
+    // a doc below the window size passes through unchanged
+    assert(out(5L).getAs[String]("text_clean") == "a b")
+    assert(out(5L).getAs[Long]("n_segments") == 1L)
+  }
+
   test("globalShuffle is a deterministic permutation with dense " +
       "per-shard positions") {
     val corpus = Tables(spark, "/root/testdata/sf0.001").documents
