@@ -1526,6 +1526,74 @@ object SuiteML {
         |GROUP BY b.doc_id, b.n""".stripMargin
       }),
 
+    // ---- multimodal: REAL JDK-codec decode (BMP + WAV + stub arm) -------
+    // The payloads are real files (BMP with bottom-up padded rows, WAV
+    // with RIFF/fmt/data chunks) built from pure integer formulas of
+    // (doc_id, position), decoded by the PLATFORM codecs
+    // (javax.imageio / javax.sound.sampled), and reduced to decoded
+    // pixel/sample statistics. The oracle replays the statistics from
+    // the generation formulas without a codec — the match fails on any
+    // misparse (row order, padding, channel order, endianness), which
+    // is what makes the decode real rather than declared. s2 is
+    // position-weighted on both sides: a flipped or misaligned decode
+    // preserves plain sums but not it.
+    Q("mm_decode",
+      (s, d) => Multimodal.decodeFeatures(
+        Multimodal.syntheticMedia(docs(s, d))),
+      Some {
+        val dim = Multimodal.FeatureDim
+        s"""WITH img AS (SELECT doc_id, 4 + doc_id % 5 AS w,
+        |         3 + doc_id % 4 AS h
+        |       FROM documents WHERE doc_id % 3 = 0),
+        |pxx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM img),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM pxx),
+        |imgs AS (SELECT doc_id, 'image' AS kind,
+        |           CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |           CAST(w * h AS BIGINT) AS n_units,
+        |           CAST(sum((doc_id*31 + x*7 + y*13) % 256) AS BIGINT) AS s0,
+        |           CAST(sum((doc_id*17 + x*11 + y*5) % 256) AS BIGINT) AS s1,
+        |           CAST(sum((y*w + x + 1) * ((doc_id*23 + x*3 + y*19) % 256))
+        |             AS BIGINT) AS s2
+        |         FROM px GROUP BY doc_id, w, h),
+        |aud AS (SELECT doc_id, 40 + doc_id % 25 AS n
+        |        FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM aud),
+        |sval AS (SELECT doc_id, n, i,
+        |           (doc_id*7919 + i*104729) % 65536 - 32768 AS v FROM smp),
+        |auds AS (SELECT doc_id, 'audio' AS kind,
+        |           CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |           CAST(n AS BIGINT) AS n_units,
+        |           CAST(sum(v) AS BIGINT) AS s0,
+        |           CAST(sum(abs(v)) AS BIGINT) AS s1,
+        |           CAST(sum((i + 1) * v) AS BIGINT) AS s2
+        |         FROM sval GROUP BY doc_id, n),
+        |st0 AS (SELECT doc_id, hex(encode(COALESCE(text, ''))) AS hx,
+        |          CAST(octet_length(encode(COALESCE(text, ''))) AS BIGINT) AS n
+        |        FROM documents WHERE doc_id % 3 = 2),
+        |spos AS (SELECT doc_id, hx, n, unnest(generate_series(1, n)) AS p
+        |         FROM st0 WHERE n > 0),
+        |sv AS (SELECT doc_id, p,
+        |         (strpos('0123456789ABCDEF', substr(hx, CAST(2*p-1 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789ABCDEF', substr(hx, CAST(2*p AS INT), 1)) - 1) AS v
+        |       FROM spos),
+        |stubs AS (SELECT s.doc_id, 'stub' AS kind,
+        |            CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |            s.n AS n_units,
+        |            CAST(COALESCE(SUM(CASE WHEN (p-1) % $dim = 0 THEN v END), 0) % 1000 AS BIGINT) AS s0,
+        |            CAST(COALESCE(SUM(CASE WHEN (p-1) % $dim = 1 THEN v END), 0) % 1000 AS BIGINT) AS s1,
+        |            CAST(COALESCE(SUM(CASE WHEN (p-1) % $dim = 2 THEN v END), 0) % 1000 AS BIGINT) AS s2
+        |          FROM st0 s JOIN sv USING (doc_id) WHERE s.n > 0
+        |          GROUP BY s.doc_id, s.n),
+        |empt AS (SELECT doc_id, 'empty' AS kind,
+        |           CAST(NULL AS BIGINT) AS width, CAST(NULL AS BIGINT) AS height,
+        |           CAST(0 AS BIGINT) AS n_units, CAST(0 AS BIGINT) AS s0,
+        |           CAST(0 AS BIGINT) AS s1, CAST(0 AS BIGINT) AS s2
+        |         FROM st0 WHERE n = 0)
+        |SELECT * FROM imgs UNION ALL SELECT * FROM auds
+        |UNION ALL SELECT * FROM stubs UNION ALL SELECT * FROM empt"""
+          .stripMargin
+      }),
+
     // ---- multimodal data-model contract: typed metadata columns ----------
     Q("mm_media_meta",
       (s, d) => Multimodal.toMedia(docs(s, d))

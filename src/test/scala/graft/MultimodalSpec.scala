@@ -64,4 +64,102 @@ class MultimodalSpec extends SparkSpec {
       .collect()
       .foreach(r => assert(r.getAs[Array[Byte]]("payload").length == 16))
   }
+
+  // ---- real JDK-codec decode path ------------------------------------
+
+  /** Expected image stats straight from the pixel FORMULA — never from
+    * the encoder's bytes, so the test pins the whole encode -> platform
+    * codec -> pixel-read round trip. */
+  private def expectedImage(id: Long): (Long, Long, Long, Long, Long) = {
+    val w = 4 + (id % 5).toInt; val h = 3 + (id % 4).toInt
+    var s0 = 0L; var s1 = 0L; var s2 = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      s0 += (id * 31 + x * 7 + y * 13) % 256
+      s1 += (id * 17 + x * 11 + y * 5) % 256
+      s2 += (y.toLong * w + x + 1) * ((id * 23 + x * 3 + y * 19) % 256)
+    }
+    (w.toLong, h.toLong, s0, s1, s2)
+  }
+
+  private def expectedAudio(id: Long): (Long, Long, Long, Long) = {
+    val n = 40 + (id % 25).toInt
+    var s0 = 0L; var s1 = 0L; var s2 = 0L
+    for (i <- 0 until n) {
+      val v = (id * 7919 + i * 104729L) % 65536 - 32768
+      s0 += v; s1 += math.abs(v); s2 += (i + 1).toLong * v
+    }
+    (n.toLong, s0, s1, s2)
+  }
+
+  test("decodeFeatures: BMP pixels decoded by javax.imageio match the " +
+      "generation formula, including the position-weighted sum") {
+    val ids = Seq(0L, 3L, 6L, 9L, 12L) // every width mod-4 padding class
+    val out = Multimodal.decodeFeatures(
+      Multimodal.syntheticMedia(docsDfIds(ids)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val (w, h, s0, s1, s2) = expectedImage(id)
+      val r = out(id)
+      assert(r.getString(1) == "image", s"doc $id kind")
+      assert(r.getLong(2) == w && r.getLong(3) == h, s"doc $id dims")
+      assert(r.getLong(4) == w * h, s"doc $id n_units")
+      assert(r.getLong(5) == s0 && r.getLong(6) == s1 &&
+        r.getLong(7) == s2, s"doc $id sums")
+    }
+  }
+
+  test("decodeFeatures: WAV samples decoded by javax.sound.sampled " +
+      "match the generation formula in order") {
+    val ids = Seq(1L, 4L, 7L, 25L)
+    val out = Multimodal.decodeFeatures(
+      Multimodal.syntheticMedia(docsDfIds(ids)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val (n, s0, s1, s2) = expectedAudio(id)
+      val r = out(id)
+      assert(r.getString(1) == "audio", s"doc $id kind")
+      assert(r.isNullAt(2) && r.isNullAt(3), s"doc $id dims null")
+      assert(r.getLong(4) == n, s"doc $id n_units")
+      assert(r.getLong(5) == s0 && r.getLong(6) == s1 &&
+        r.getLong(7) == s2, s"doc $id sums")
+    }
+  }
+
+  test("decodeFeatures: unknown media types take the stub arm; empty " +
+      "payloads yield the empty kind") {
+    val out = Multimodal.decodeFeatures(
+      Multimodal.syntheticMedia(docsDfIds(Seq(2L, 5L))))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 2's payload is its UTF-8 text; stub lanes are byte sums
+    // mod 1000
+    val bytes = "doc 2 text".getBytes("UTF-8")
+    assert(out(2L).getString(1) == "stub")
+    assert(out(2L).getLong(4) == bytes.length.toLong)
+    val lanes = new Array[Long](Multimodal.FeatureDim)
+    bytes.zipWithIndex.foreach { case (b, i) =>
+      lanes(i % Multimodal.FeatureDim) += (b & 0xff)
+    }
+    assert(out(2L).getLong(5) == lanes(0) % 1000)
+    assert(out(2L).getLong(6) == lanes(1) % 1000)
+    assert(out(2L).getLong(7) == lanes(2) % 1000)
+    // a null text in the stub arm becomes an empty payload
+    assert(out(5L).getString(1) == "empty")
+    assert(out(5L).getLong(4) == 0L)
+  }
+
+  /** Docs frame with the given ids: text "doc <id> text" except id 5,
+    * which carries a null text (the empty-payload arm). */
+  private def docsDfIds(ids: Seq[Long]) = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ids.map(id =>
+        Row(id, if (id == 5L) null else s"doc $id text", "en", "web",
+          10L))),
+      schema)
+  }
 }
