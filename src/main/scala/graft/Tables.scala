@@ -24,12 +24,21 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = p("documents")
   def embeddings: DataFrame = p("embeddings")
 
-  /** events with `ts` converted nanos-long -> TIMESTAMP_NTZ (micros). */
+  /** events with `ts` normalized to TIMESTAMP_NTZ (micros), whatever
+    * the parquet encoding: TIMESTAMP(NANOS) is read nanos-as-long
+    * (legacy conf) and truncated ns->us exactly like DuckDB's cast;
+    * a native TIMESTAMP(MICROS) column (the generator switched to
+    * this encoding) just re-types. Dispatch on the READ schema so the
+    * engine keeps working against either vintage of the data. */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p("events").withColumn(
-      "ts",
-      timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = p("events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
 
   /** Typed views (SURVEY.md §1.3) — the Dataset[T] API surface over

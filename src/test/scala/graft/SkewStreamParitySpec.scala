@@ -167,11 +167,19 @@ class SkewStreamParitySpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
+    // ts normalization mirrors Tables.events: nanos-as-long vintage
+    // needs the ns->us truncation, the TIMESTAMP(MICROS) vintage only
+    // re-types
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val tsCol = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp")
+      case _ => $"ts".cast("timestamp")
+    }
     val streamEvents = spark.readStream
-      .schema(spark.read.parquet(s"$dir/events.parquet").schema)
+      .schema(rawSchema)
       .parquet(streamDir.toString)
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp"))
+      .withColumn("ts", tsCol)
       .select($"user_id", $"ts", $"event_type", $"value")
     val q = Streams.hourlyCounts(streamEvents, watermark = "0 seconds")
       .writeStream.format("memory").queryName("parity_out")
