@@ -90,6 +90,95 @@ object Streams {
     stateVersions(fs, root).filter(v => fs.exists(
       new org.apache.hadoop.fs.Path(root, s"b$v/_SUCCESS")))
 
+  /** Fixed shard count a fold state is hash-bucketed into, pinned in
+    * the state's [[ParamsFile]] sidecar — resuming with a different
+    * count would silently re-home keys across shards and per-shard
+    * merges would miss their predecessors. A micro-batch reads and
+    * rewrites ONLY the shards its keys hash into: at a 100 TB
+    * incrementally-collected corpus the doc registry is O(all docs
+    * ever seen), and rewriting all of it to fold in a few thousand
+    * new rows is the wrong plan — per-batch IO must be
+    * O(batch + state/nShards * touched), not O(state). */
+  val DefaultStateShards = 64
+
+  private val ShardPrefix = "_shard="
+  private val ManifestFile = "_shards.json"
+  private val ParamsFile = "_params"
+
+  /** A generation's shard manifest: shard id -> the generation whose
+    * directory holds that shard's CURRENT data
+    * (`b<gen>/_shard=<id>`). Shards a batch did not touch are carried
+    * forward BY REFERENCE — the manifest, not a data copy, is what
+    * makes per-batch IO independent of total state size. A
+    * pre-sharding generation has no manifest (None): its parquet
+    * lives directly in the generation dir, and the next batch
+    * migrates it into shards in one full rewrite. */
+  private def readShardManifest(fs: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path): Option[Map[Int, Long]] = {
+    val p = new org.apache.hadoop.fs.Path(gen, ManifestFile)
+    if (!fs.exists(p)) None
+    else Some("\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(readUtf8(fs, p))
+      .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
+  }
+
+  private def writeShardManifest(fs: org.apache.hadoop.fs.FileSystem,
+      gen: org.apache.hadoop.fs.Path, m: Map[Int, Long]): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(gen, ManifestFile),
+      true)
+    try out.write(m.toSeq.sortBy(_._1)
+      .map { case (k, g) => s""""$k":$g""" }
+      .mkString("{", ",", "}").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Read the write-once `_params` sidecar (sorted `key=value` lines);
+    * empty if absent. */
+  private def readParams(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val p = new org.apache.hadoop.fs.Path(root, ParamsFile)
+    if (!fs.exists(p)) Map.empty
+    else readUtf8(fs, p).linesIterator.filter(_.contains("="))
+      .map { l => val i = l.indexOf('='); l.take(i) -> l.drop(i + 1) }
+      .toMap
+  }
+
+  /** Bind the sink's construction parameters to the state: the first
+    * batch writes them write-once (tmp + rename + read-back, the
+    * [[bindRun]] discipline), every later batch verifies. Folding
+    * under drifted parameters — a different shard modulus, a flipped
+    * DSIR target, a changed bucket count — would corrupt the state
+    * SILENTLY: the doc-registry refusal cannot catch it because new
+    * docs are genuinely new, so the check must live at bind time. */
+  private def bindParams(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      params: Map[String, String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root, ParamsFile)
+    def verify(): Unit = {
+      val stored = readParams(fs, root)
+      require(stored == params,
+        s"state at $root was built with parameters " +
+          stored.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString("{", ", ", "}") +
+          " but this sink is configured with " +
+          params.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+            .mkString("{", ", ", "}") +
+          "; folding under drifted parameters would silently corrupt " +
+          "the state. Match the original configuration or rebuild.")
+    }
+    if (fs.exists(p)) verify()
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(root,
+        ParamsFile + ".tmp-" + java.util.UUID.randomUUID())
+      val out = fs.create(tmp, false)
+      try out.write(params.toSeq.sorted
+        .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.rename(tmp, p)
+      if (fs.exists(tmp)) fs.delete(tmp, false)
+      verify()
+    }
+  }
+
   /** The statePath↔checkpoint binding marker. Version-vs-batchId
     * ordering alone cannot tell a legitimate resume from a FRESH
     * checkpoint pointed at an old statePath whose max version is <=
@@ -197,10 +286,11 @@ object Streams {
     * recreated checkpoint at an old statePath fails loudly instead of
     * silently resetting its counts. */
   def dedupExactSink(docs: DataFrame, statePath: String,
-      checkpointLocation: String)
+      checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    versionedFoldSink(docs, statePath, checkpointLocation)(
+    versionedFoldSink(docs, statePath, checkpointLocation,
+      n => pmod(hash(col("content_hash")), lit(n)), nShards)(
       batch => graft.operators.TextOps.dedupExact(batch))(
       (prev, inc) => prev.unionByName(inc)
         .groupBy(col("content_hash"))
@@ -232,10 +322,11 @@ object Streams {
     * delete+reload, not a silent fold — the same refuse-don't-guess
     * discipline as the run-marker checks. */
   def minhashSink(docs: DataFrame, statePath: String,
-      checkpointLocation: String)
+      checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    versionedFoldSink(docs, statePath, checkpointLocation)(
+    versionedFoldSink(docs, statePath, checkpointLocation,
+      n => pmod(hash(col("doc_id")), lit(n)), nShards)(
       // the AUDITED registry: ch as a (min, max) pair per doc, so a
       // doc delivered twice within ONE micro-batch with different
       // text surfaces as ch_lo != ch_hi instead of collapsing into a
@@ -309,10 +400,11 @@ object Streams {
     * + one keyed state merge, O(state + batch); embeddings move only
     * in the vec_id-keyed shuffle, never broadcast. */
   def embeddingSink(emb: DataFrame, statePath: String,
-      checkpointLocation: String)
+      checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    versionedFoldSink(emb, statePath, checkpointLocation)(
+    versionedFoldSink(emb, statePath, checkpointLocation,
+      n => pmod(hash(col("vec_id")), lit(n)), nShards)(
       batch =>
         graft.operators.EmbeddingOps.embeddingRegistryAudited(batch)) {
       (prev, inc) =>
@@ -368,10 +460,11 @@ object Streams {
     * never broadcast. Read the model back with [[lmModelState]];
     * score with TextOps.lmScoreWith, off the hot path. */
   def lmSink(docs: DataFrame, statePath: String,
-      checkpointLocation: String)
+      checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    registryAdditiveFoldSink(docs, statePath, checkpointLocation)(
+    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
+      nShards)(
       batch => graft.operators.TextOps.docBigrams(batch)
         .withColumnRenamed("k", "c"),
       Seq("lhs", "rhs"), Seq("c"),
@@ -391,10 +484,20 @@ object Streams {
     * back with [[dsirDistState]]. */
   def dsirSink(docs: DataFrame, targetSource: String,
       statePath: String, checkpointLocation: String,
-      nBuckets: Int = graft.operators.TextOps.DsirDefaultBuckets)
+      nBuckets: Int = graft.operators.TextOps.DsirDefaultBuckets,
+      nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    registryAdditiveFoldSink(docs, statePath, checkpointLocation)(
+    // targetSource and nBuckets are pinned in the state's `_params`:
+    // a resume with a flipped target or a different bucket modulus
+    // would fold NEW docs — which the doc-registry refusal cannot
+    // catch, they are genuinely new — under an incompatible
+    // side-split/hashing into the same counts. bindParams refuses at
+    // sink bind; [[dsirStateParams]]/[[dsirScoreState]] give serving
+    // the stored values so the modulus cannot drift there either
+    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
+      nShards, Map("targetSource" -> targetSource,
+        "dsirBuckets" -> nBuckets.toString))(
       batch => graft.operators.TextOps.dsirPerDoc(batch, nBuckets)
         .select(col("doc_id"), col("bucket"),
           when(col("source") === targetSource, col("k"))
@@ -411,11 +514,41 @@ object Streams {
 
   /** The maintained two-sided distribution from a [[dsirSink]] state —
     * (bucket, c_t, c_r), the shape TextOps.dsirWeightWith serves
-    * from. */
+    * from. Bucket ids cannot reveal their modulus, so serve with the
+    * STORED parameters ([[dsirStateParams]]) or use
+    * [[dsirScoreState]], which reads them itself. */
   def dsirDistState(s: org.apache.spark.sql.SparkSession,
       statePath: String): DataFrame =
     foldState(s, statePath).where(col("kind") === "g")
       .select(col("bucket"), col("c_t"), col("c_r"))
+
+  /** The (targetSource, nBuckets) a [[dsirSink]] state was built
+    * with, from its write-once `_params` sidecar. */
+  def dsirStateParams(s: org.apache.spark.sql.SparkSession,
+      statePath: String): (String, Int) = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = readParams(fs, root)
+    require(p.contains("targetSource") && p.contains("dsirBuckets"),
+      s"state at $statePath carries no DSIR parameters " +
+        p.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("(found {", ", ", "}); ") +
+        "it was not written by dsirSink, or predates the parameter " +
+        "sidecar — rebuild it (the bucket modulus cannot be " +
+        "recovered from the data).")
+    (p("targetSource"), p("dsirBuckets").toInt)
+  }
+
+  /** Score `docs` under a [[dsirSink]] state using the parameters the
+    * state was BUILT with — the drift-proof serving path: the bucket
+    * modulus and target side come from the state's own sidecar, so a
+    * caller cannot accidentally serve under a mismatched hashing. */
+  def dsirScoreState(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): DataFrame = {
+    val (target, buckets) = dsirStateParams(s, statePath)
+    graft.operators.TextOps.dsirWeightWith(docs,
+      dsirDistState(s, statePath), target, buckets)
+  }
 
   /** The shared registry-guarded ADDITIVE fold behind [[lmSink]] and
     * [[dsirSink]]: count addition is not idempotent, so the state
@@ -436,7 +569,9 @@ object Streams {
     * any covered column folds to a sentinel so min/max cannot skip
     * the copy and silently collapse a genuine spread. */
   private def registryAdditiveFoldSink(docs: DataFrame,
-      statePath: String, checkpointLocation: String)(
+      statePath: String, checkpointLocation: String,
+      nShards: Int = DefaultStateShards,
+      params: Map[String, String] = Map.empty)(
       gOf: DataFrame => DataFrame,
       gKeys: Seq[String], gCounts: Seq[String],
       contentHash: org.apache.spark.sql.Column)
@@ -445,7 +580,17 @@ object Streams {
     val nulS = lit(null).cast("string")
     val gAll = gKeys ++ gCounts
     val ch = coalesce(contentHash, lit("<null-content>"))
-    versionedFoldSink(docs, statePath, checkpointLocation)({ batch =>
+    // the two row kinds shard by their own merge keys — d-rows by
+    // doc_id, g-rows by the group keys. Shard-locality still holds for
+    // the registry anti-join: a g-row folds in iff its doc is new, and
+    // the batch's doc_ids hash into d-shards the batch itself touches,
+    // so the restricted predecessor read always contains every
+    // registry row the anti-join can match
+    val shardOf = (n: Int) => when(col("kind") === "d",
+      pmod(hash(col("doc_id")), lit(n)))
+      .otherwise(pmod(hash(gKeys.map(col): _*), lit(n)))
+    versionedFoldSink(docs, statePath, checkpointLocation,
+      shardOf, nShards, params)({ batch =>
       val g0 = gOf(batch.dropDuplicates("doc_id"))
       val gNulls = gAll.map(n => lit(null).cast(g0.schema(n).dataType).as(n))
       val d = batch.groupBy(col("doc_id"))
@@ -498,15 +643,42 @@ object Streams {
       .select(col("lhs"), col("rhs"), col("c").as("c_ab"))
 
   /** The shared versioned-fold protocol behind [[dedupExactSink]],
-    * [[minhashSink]] and [[embeddingSink]]: per-batch increment
-    * `incOf`, monotone state
-    * merge `merge`, batchId-versioned parquet state with run-marker
-    * binding, _SUCCESS-gated predecessors, and replay-idempotent
-    * overwrite (see [[dedupExactSink]]'s contract for the full
-    * rationale — the invariants live HERE so every fold sink shares
-    * them). */
+    * [[minhashSink]], [[embeddingSink]] and the additive family:
+    * per-batch increment `incOf`, monotone state merge `merge`,
+    * batchId-versioned parquet state with run-marker binding,
+    * _SUCCESS-gated predecessors, and replay-idempotent overwrite
+    * (see [[dedupExactSink]]'s contract for the full rationale — the
+    * invariants live HERE so every fold sink shares them).
+    *
+    * State is HASH-SHARDED: rows live under
+    * `b<gen>/_shard=<pmod(hash(key), nShards)>`, and each generation
+    * carries a manifest mapping every shard to the generation whose
+    * directory holds its current data. A batch merges ONLY the shards
+    * its increment's keys hash into and carries the rest forward by
+    * manifest reference, so per-batch IO is O(batch + touched-shard
+    * state), never O(all state) — the difference between folding a
+    * 2-hourly batch of thousands into a registry of billions and
+    * rewriting the billions every fold. Requirements this places on
+    * the pieces: `shardOf` must be a pure function of each row's
+    * merge key (so a key's rows — in prev, inc, and the merge output
+    * — always land in one shard), and `merge` must be key-local and
+    * never drop a shard's last row (folds here only add or update).
+    * The one whole-state rewrite left is MIGRATION: a predecessor
+    * generation with no manifest (pre-sharding layout) is read in
+    * full and re-homed into shards once.
+    *
+    * Crash safety is unchanged from the unsharded protocol: the
+    * generation is assembled data-first (tmp write, rename, manifest,
+    * then the `_SUCCESS` marker, in that order), so a crash at any
+    * point leaves an uncommitted generation that readers skip and
+    * the replayed batch deletes and rewrites; the predecessor
+    * generation — including every older shard directory its manifest
+    * references — survives until the NEXT batch commits. */
   private def versionedFoldSink(docs: DataFrame, statePath: String,
-      checkpointLocation: String)
+      checkpointLocation: String,
+      shardOf: Int => org.apache.spark.sql.Column,
+      nShards: Int = DefaultStateShards,
+      params: Map[String, String] = Map.empty)
       (incOf: DataFrame => DataFrame)
       (merge: (DataFrame, DataFrame) => DataFrame)
       : org.apache.spark.sql.streaming.DataStreamWriter[
@@ -516,50 +688,124 @@ object Streams {
       .foreachBatch {
       (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val s = batch.sparkSession
-        val inc = incOf(batch.toDF())
-        val root = new org.apache.hadoop.fs.Path(statePath)
-        val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val versions = stateVersions(fs, root)
-        bindRun(fs, root, checkpointQueryId(
-          s.sparkContext.hadoopConfiguration, checkpointLocation),
-          versions)
-        // within a bound run, a version AHEAD of the current batch can
-        // still appear if the checkpoint directory was cleared but the
-        // marker-bearing statePath was not: folding from an empty
-        // predecessor would silently discard its counts while readers
-        // kept seeing the stale higher version — refuse instead
-        require(versions.forall(_ <= batchId),
-          s"versioned state at $statePath has version(s) " +
-            versions.filter(_ > batchId).sorted.mkString("b", ", b", "") +
-            s" ahead of batch $batchId; the checkpoint at " +
-            s"$checkpointLocation was cleared or rewound. Clear " +
-            "statePath together with the checkpoint.")
-        // the predecessor is the latest version strictly below this
-        // batch; under the sink's invariants it is always committed (a
-        // crash-partial directory can only be the replayed batch
-        // itself), so an uncommitted one means the committer is not
-        // writing success markers — fail loudly rather than silently
-        // fold from an empty (or older) predecessor
-        val prevId = versions.filter(_ < batchId).maxOption
-        prevId.foreach { p =>
-          require(fs.exists(
-            new org.apache.hadoop.fs.Path(root, s"b$p/_SUCCESS")),
-            s"state version b$p at $statePath has no _SUCCESS " +
-              "marker; the sink needs the parquet committer's success " +
-              "markers (mapreduce.fileoutputcommitter." +
-              "marksuccessfuljobs=true) to tell committed state from a " +
-              "crash-truncated write.")
-        }
-        val prev = prevId match {
-          case Some(id) => s.read.parquet(s"$statePath/b$id")
-          case None => s.createDataFrame(s.sparkContext.emptyRDD[
-            org.apache.spark.sql.Row], inc.schema)
-        }
-        merge(prev, inc).write.mode("overwrite")
-          .parquet(s"$statePath/b$batchId")
-        prevId.foreach(p => versions.filter(_ < p).foreach(v =>
-          fs.delete(new org.apache.hadoop.fs.Path(root, s"b$v"), true)))
-        ()
+        // the increment feeds two jobs (touched-shard discovery and
+        // the merge) — persist so the sink's work per batch stays one
+        // increment computation
+        val inc = incOf(batch.toDF()).persist()
+        try {
+          val root = new org.apache.hadoop.fs.Path(statePath)
+          val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          val versions = stateVersions(fs, root)
+          bindRun(fs, root, checkpointQueryId(
+            s.sparkContext.hadoopConfiguration, checkpointLocation),
+            versions)
+          bindParams(fs, root, params + ("nShards" -> nShards.toString))
+          // within a bound run, a version AHEAD of the current batch can
+          // still appear if the checkpoint directory was cleared but the
+          // marker-bearing statePath was not: folding from an empty
+          // predecessor would silently discard its counts while readers
+          // kept seeing the stale higher version — refuse instead
+          require(versions.forall(_ <= batchId),
+            s"versioned state at $statePath has version(s) " +
+              versions.filter(_ > batchId).sorted.mkString("b", ", b", "") +
+              s" ahead of batch $batchId; the checkpoint at " +
+              s"$checkpointLocation was cleared or rewound. Clear " +
+              "statePath together with the checkpoint.")
+          // the predecessor is the latest version strictly below this
+          // batch; under the sink's invariants it is always committed (a
+          // crash-partial generation can only be the replayed batch
+          // itself), so an uncommitted one means the marker protocol was
+          // broken externally — fail loudly rather than silently fold
+          // from an empty (or older) predecessor
+          val prevId = versions.filter(_ < batchId).maxOption
+          prevId.foreach { p =>
+            require(fs.exists(
+              new org.apache.hadoop.fs.Path(root, s"b$p/_SUCCESS")),
+              s"state version b$p at $statePath has no _SUCCESS " +
+                "marker; the sink cannot tell committed state from a " +
+                "crash-truncated write without it. A partial " +
+                "generation is only ever the replayed batch itself — " +
+                "a marker-less PREDECESSOR means the state was " +
+                "tampered with or the marker was removed.")
+          }
+          val prevGen = prevId.map(p =>
+            new org.apache.hadoop.fs.Path(root, s"b$p"))
+          val prevManifest = prevGen.flatMap(readShardManifest(fs, _))
+          // a manifest-less predecessor is the pre-sharding layout:
+          // migrate it — read in full, rewrite every shard, once
+          val migrating = prevId.isDefined && prevManifest.isEmpty
+          val touched: Seq[Int] =
+            if (migrating) 0 until nShards
+            else inc.select(shardOf(nShards).cast("int").as("s"))
+              .distinct().collect().map(_.getInt(0)).toSeq
+          val prevPaths: Seq[String] = (prevId, prevManifest) match {
+            case (None, _) => Nil
+            case (Some(p), None) => Seq(s"$statePath/b$p")
+            case (_, Some(m)) => touched.flatMap(k =>
+              m.get(k).map(g => s"$statePath/b$g/$ShardPrefix$k"))
+          }
+          val prev =
+            if (prevPaths.isEmpty)
+              s.createDataFrame(s.sparkContext.emptyRDD[
+                org.apache.spark.sql.Row], inc.schema)
+            else s.read.parquet(prevPaths: _*)
+          // assemble the generation data-first: partitioned tmp write,
+          // rename into place, manifest, then the commit marker — a
+          // crash at any point leaves no marker
+          val genPath = new org.apache.hadoop.fs.Path(root, s"b$batchId")
+          fs.listStatus(root).map(_.getPath)
+            .filter(_.getName.startsWith("_tmp-"))
+            .foreach(fs.delete(_, true)) // orphans of crashed attempts
+          val tmp = new org.apache.hadoop.fs.Path(root,
+            "_tmp-" + java.util.UUID.randomUUID())
+          merge(prev, inc).withColumn("_shard", shardOf(nShards))
+            .write.partitionBy("_shard").mode("overwrite")
+            .parquet(tmp.toString)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+          if (fs.exists(genPath)) fs.delete(genPath, true)
+          fs.rename(tmp, genPath)
+          val produced = fs.listStatus(genPath).map(_.getPath.getName)
+            .filter(_.startsWith(ShardPrefix))
+            .map(_.drop(ShardPrefix.length).toInt).toSet
+          // merge-contract sanity: a touched shard that HAD state must
+          // still have rows (folds add or update, never delete)
+          val lost = touched.filter(k =>
+            prevManifest.exists(_.contains(k)) && !produced.contains(k))
+          require(lost.isEmpty,
+            s"merge dropped every row of shard(s) ${lost.sorted.mkString(",")}" +
+              s" at $statePath b$batchId; fold merges must never " +
+              "delete a shard's last row.")
+          val manifest = prevManifest.getOrElse(Map.empty[Int, Long])
+            .view.filterKeys(k => !produced.contains(k)).toMap ++
+            produced.map(_ -> batchId)
+          writeShardManifest(fs, genPath, manifest)
+          fs.create(new org.apache.hadoop.fs.Path(genPath, "_SUCCESS"))
+            .close()
+          // prune: keep the predecessor generation whole (a replay of
+          // THIS batch folds from it again), and in generations older
+          // than it keep exactly the shard directories the
+          // predecessor's manifest still references — everything else
+          // is unreachable
+          prevId.foreach { p =>
+            val keep = prevManifest.getOrElse(Map.empty[Int, Long])
+            versions.filter(_ < p).foreach { v =>
+              val vPath = new org.apache.hadoop.fs.Path(root, s"b$v")
+              if (readShardManifest(fs, vPath).isEmpty)
+                fs.delete(vPath, true) // pre-sharding: never referenced
+              else {
+                val dirs = fs.listStatus(vPath).map(_.getPath)
+                  .filter(_.getName.startsWith(ShardPrefix))
+                val stale = dirs.filter { d =>
+                  val k = d.getName.drop(ShardPrefix.length).toInt
+                  !keep.get(k).contains(v)
+                }
+                stale.foreach(fs.delete(_, true))
+                if (dirs.length == stale.length) fs.delete(vPath, true)
+              }
+            }
+          }
+          ()
+        } finally inc.unpersist()
     }
 
   /** The latest COMMITTED state written by a versioned fold sink
@@ -576,7 +822,14 @@ object Streams {
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val versions = committedVersions(fs, root)
     require(versions.nonEmpty, s"no state committed at $statePath")
-    s.read.parquet(s"$statePath/b${versions.max}")
+    val gen = new org.apache.hadoop.fs.Path(root, s"b${versions.max}")
+    readShardManifest(fs, gen) match {
+      case None => s.read.parquet(gen.toString) // pre-sharding layout
+      case Some(m) =>
+        require(m.nonEmpty, s"state at $statePath holds no rows")
+        s.read.parquet(m.toSeq.sortBy(_._1).map { case (k, g) =>
+          s"$statePath/b$g/$ShardPrefix$k" }: _*)
+    }
   }
 
   /** [[foldState]] under its historical name — the exact-dedup reader. */

@@ -182,6 +182,234 @@ class StreamDedupParitySpec extends SparkSpec {
     }
   }
 
+  private def shardDirs(statePath: String, gen: Long): Seq[String] =
+    Option(new java.io.File(s"$statePath/b$gen").list()).toSeq.flatten
+      .filter(_.startsWith("_shard="))
+
+  test("a single-doc batch rewrites ONLY its key's shard; the rest carry by reference") {
+    // the 100 TB property the sharded layout exists for: folding a
+    // small batch into a large state must do IO proportional to the
+    // BATCH's key shards, not to all state ever accumulated. Batch 0
+    // spreads 40 docs over many shards; batch 1 delivers ONE new doc,
+    // so its generation dir may contain exactly one shard directory —
+    // every other shard is carried forward as a manifest reference
+    // into b0's data, not copied
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents.localCheckpoint()
+    import spark.implicits._
+    val first = docs.where($"doc_id" < 40)
+    val second = docsDf(Seq((9001L, "a brand new never seen text", "en", "s")))
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_shard_stream")
+    first.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    second.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_shard_state").resolve("state").toString
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = Streams.dedupExactSink(stream, statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_shard_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+
+    val b0 = shardDirs(statePath, 0)
+    val b1 = shardDirs(statePath, 1)
+    assert(b0.size > 5, s"batch 0 should spread over shards, got $b0")
+    assert(b1.size == 1,
+      s"a single-doc batch must write exactly its key's shard, got $b1")
+    // b0's untouched shards are still the live data (referenced, not
+    // copied): the predecessor generation dir survives with its shards
+    assert(new java.io.File(s"$statePath/b0").exists())
+    // and the assembled state is still exactly the batch answer
+    val got = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.dedupExact(first.unionByName(second))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(expected))
+  }
+
+  test("additive fold: a single-doc batch touches its registry shard + its keys' count shards") {
+    // the same bounded-IO property for the kind-discriminated additive
+    // state: one d-shard for the doc's registry row plus at most one
+    // g-shard per distinct bigram — bounded by the DOCUMENT, never by
+    // the accumulated model
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents.localCheckpoint()
+    import spark.implicits._
+    val first = docs.where($"doc_id" < 40)
+    val second = docsDf(Seq((9001L, "aqua borealis aqua", "en", "s")))
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_shard_lm_stream")
+    first.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    second.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_shard_lm_state").resolve("st").toString
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = Streams.lmSink(stream, statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_shard_lm_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+    // "aqua borealis aqua" -> bigrams (aqua,borealis), (borealis,aqua)
+    // -> at most 2 g-shards + 1 d-shard
+    val b1 = shardDirs(statePath, 1)
+    assert(b1.size <= 3,
+      s"single-doc additive fold touched ${b1.size} shards ($b1); " +
+        "must be bounded by the doc's keys, not the model")
+    // convergence still exact over the sharded layout
+    val got = Streams.lmModelState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.lmModel(first.unionByName(second))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(expected))
+  }
+
+  test("a resume with a different shard count REFUSES (params sidecar)") {
+    // re-homing keys across shards would make every per-shard merge
+    // miss its predecessor rows — parameter drift must refuse at bind
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_nshard_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_nshard_ckpt").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_nshard_st").resolve("st").toString
+    def run(nShards: Int) = {
+      val stream = spark.readStream
+        .schema(docs.schema).parquet(streamDir.toString)
+      Streams.dedupExactSink(stream, statePath, ckpt, nShards)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    docs.limit(10).write.mode("overwrite").parquet(streamDir.toString)
+    assert(run(Streams.DefaultStateShards).awaitTermination(180000))
+    docs.limit(20).write.mode("append").parquet(streamDir.toString)
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(8).awaitTermination(180000)
+      ()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+      .toSeq
+    assert(messages.exists(_.contains("built with parameters")),
+      messages.mkString(" | "))
+  }
+
+  test("dsirSink REFUSES a resume with a flipped target or drifted modulus") {
+    // new docs under a flipped targetSource (or another bucket
+    // modulus) are genuinely new — the doc-registry refusal cannot see
+    // the drift, so the params sidecar must
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_dsirp_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_dsirp_ckpt").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_dsirp_st").resolve("st").toString
+    def run(target: String, nBuckets: Int) = {
+      val stream = spark.readStream
+        .schema(docs.schema).parquet(streamDir.toString)
+      Streams.dsirSink(stream, target, statePath, ckpt, nBuckets)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    docs.limit(10).write.mode("overwrite").parquet(streamDir.toString)
+    assert(run("src0", 1024).awaitTermination(180000))
+    // the stored parameters are readable, and drift-proof serving
+    // reproduces explicit serving under the SAME parameters
+    assert(Streams.dsirStateParams(spark, statePath) == ("src0", 1024))
+    val viaState = Streams.dsirScoreState(spark, statePath, docs)
+      .collect().map(_.toString).sorted
+    val explicit = TextOps.dsirWeightWith(docs,
+        Streams.dsirDistState(spark, statePath), "src0", 1024)
+      .collect().map(_.toString).sorted
+    assert(viaState.sameElements(explicit))
+    docs.limit(20).write.mode("append").parquet(streamDir.toString)
+    Seq("src1" -> 1024, "src0" -> 256).foreach { case (t, nb) =>
+      val ex = intercept[
+          org.apache.spark.sql.streaming.StreamingQueryException] {
+        run(t, nb).awaitTermination(180000)
+        ()
+      }
+      val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+        .toSeq
+      assert(messages.exists(_.contains("built with parameters")),
+        s"($t,$nb): " + messages.mkString(" | "))
+    }
+  }
+
+  test("a pre-sharding state migrates into shards on the next batch") {
+    // a manifest-less predecessor generation is the old layout: the
+    // next fold reads it in full, re-homes every row into shards
+    // (once), and the batch after that prunes the legacy directory
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    import spark.implicits._
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_migrate_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_migrate_ckpt").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_migrate_st").resolve("st").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = Streams.dedupExactSink(stream, statePath, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish")
+    }
+    docs.where($"doc_id" < 30).coalesce(1).write.mode("append")
+      .parquet(streamDir.toString)
+    run()
+    // rewrite b0 into the PRE-SHARDING layout: plain parquet, no
+    // manifest (the run marker at the root is untouched)
+    val state0 = Streams.foldState(spark, statePath).localCheckpoint()
+    val b0 = java.nio.file.Paths.get(statePath, "b0")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(b0)
+    state0.write.parquet(b0.toString)
+    assert(!new java.io.File(s"$statePath/b0/_shards.json").exists())
+
+    docs.where($"doc_id" >= 30 && $"doc_id" < 60).coalesce(1)
+      .write.mode("append").parquet(streamDir.toString)
+    run() // batch 1: migration — full rewrite into shards
+    assert(new java.io.File(s"$statePath/b1/_shards.json").exists())
+    assert(shardDirs(statePath, 1).nonEmpty)
+    val afterMigrate = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected1 = TextOps.dedupExact(docs.where($"doc_id" < 60))
+      .collect().map(_.toString).sorted
+    assert(afterMigrate.sameElements(expected1))
+
+    docs.where($"doc_id" >= 60 && $"doc_id" < 90).coalesce(1)
+      .write.mode("append").parquet(streamDir.toString)
+    run() // batch 2: normal sharded fold; prunes the legacy b0
+    assert(!new java.io.File(s"$statePath/b0").exists(),
+      "legacy pre-sharding generation should be pruned once unreferenced")
+    val after2 = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected2 = TextOps.dedupExact(docs.where($"doc_id" < 90))
+      .collect().map(_.toString).sorted
+    assert(after2.sameElements(expected2))
+  }
+
   test("dedupState skips a crash-truncated version (no _SUCCESS)") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_dedup_partial").resolve("state").toString
