@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Stage.PinOps
+
 import java.io.ByteArrayOutputStream
 
 import org.apache.spark.sql.DataFrame
@@ -90,7 +92,7 @@ object BloomJoin {
   def bloomPrunedJoin(big: DataFrame, bigKey: String,
       small: DataFrame, smallKey: String,
       fpp: Double = 0.01): DataFrame = {
-    val s = small.localCheckpoint()
+    val s = small.pinned
     val n = math.max(1L, s.count())
     val filter = buildFilter(s, smallKey, n, fpp)
     // the join keys are resolved against their OWN frames — a bare

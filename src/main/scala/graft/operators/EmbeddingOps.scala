@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Stage.PinOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -305,7 +307,7 @@ object EmbeddingOps {
   def pqTrainCodebooks(e: DataFrame, kc: Int = 16,
       iters: Int = 2): DataFrame = {
     val subs = subSlices(e)
-    var cb = pqCodebooks(e, kc).localCheckpoint()
+    var cb = pqCodebooks(e, kc).pinned
     for (_ <- 0 until iters) {
       cb = pqEncodeWith(e, cb)
         .join(subs, Seq("vec_id", "sub"))
@@ -320,7 +322,7 @@ object EmbeddingOps {
           x => x.getField("mq")).as("cq"))
         .withColumn("cn",
           aggregate(col("cq"), lit(0L), (a, x) => a + x * x))
-        .localCheckpoint()
+        .pinned
     }
     cb
   }
@@ -355,7 +357,7 @@ object EmbeddingOps {
     * window over nQueries partitions. */
   def pqTopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
       kc: Int = 16): DataFrame =
-    pqTopKQ(quantized(emb).localCheckpoint(), nQueries, k, kc)
+    pqTopKQ(quantized(emb).pinned, nQueries, k, kc)
 
   /** [[pqTopK]] over an already-[[quantized]] (and ideally
     * checkpointed) frame — lets [[pqRecall]] share one quantization
@@ -426,14 +428,14 @@ object EmbeddingOps {
     * Returns (cent_id, cq, cn) ready for [[ivfTopKWith]]. */
   def kmeansCentroids(emb: DataFrame, nCentroids: Int = KmSeeds,
       iters: Int = KmIters): DataFrame =
-    kmeansCentroidsQ(quantized(emb).localCheckpoint(), nCentroids, iters)
+    kmeansCentroidsQ(quantized(emb).pinned, nCentroids, iters)
 
   /** [[kmeansCentroids]] over an already-quantized (and ideally
     * checkpointed) frame `e` — the corpus is scanned once per Lloyd
     * round from `e`, never re-derived. */
   def kmeansCentroidsQ(e: DataFrame, nCentroids: Int = KmSeeds,
       iters: Int = KmIters): DataFrame = {
-    var cents = seedCentroids(e, nCentroids).localCheckpoint()
+    var cents = seedCentroids(e, nCentroids).pinned
     for (_ <- 0 until iters) {
       cents = rankedAgainst(e, cents)
         .where(col("crk") === 1)
@@ -451,7 +453,7 @@ object EmbeddingOps {
           x => x.getField("mq")).as("cq"))
         .withColumn("cn",
           aggregate(col("cq"), lit(0L), (acc, x) => acc + x * x))
-        .localCheckpoint()
+        .pinned
     }
     cents
   }
@@ -507,12 +509,12 @@ object EmbeddingOps {
 
   def semanticDedup(emb: DataFrame, nCentroids: Int = KmSeeds,
       iters: Int = KmIters, threshold: Double = 0.45): DataFrame = {
-    val e = quantized(emb).localCheckpoint()
+    val e = quantized(emb).pinned
     val cents = kmeansCentroidsQ(e, nCentroids, iters)
     val cells = rankedAgainst(e, cents).where(col("crk") === 1)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").as("cell"))
-      .localCheckpoint() // feeds both sides of the pair self-join
+      .pinned // feeds both sides of the pair self-join
     pairsWithinGroup(cells, "cell", threshold)
   }
 
@@ -539,7 +541,7 @@ object EmbeddingOps {
     // ONE quantization scan shared by the brute baseline, the trainer
     // (every Lloyd round), and the probe — checkpointed so none of the
     // three re-derives it from the raw embeddings
-    val e = quantized(emb).localCheckpoint()
+    val e = quantized(emb).pinned
     val brute = annTopKQ(e, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     val ivf = ivfTopKWith(e, kmeansCentroidsQ(e, nCentroids, iters),
@@ -573,7 +575,7 @@ object EmbeddingOps {
       kc: Int = 16): DataFrame = {
     // one quantization scan shared by the brute baseline and the PQ
     // pipeline (codebooks, encode, LUT)
-    val e = quantized(emb).localCheckpoint()
+    val e = quantized(emb).pinned
     val brute = annTopKQ(e, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     val pq = pqTopKQ(e, nQueries, k, kc)
@@ -589,7 +591,7 @@ object EmbeddingOps {
     * encode, ADC, and overlap. */
   def pqRecallTrained(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
       kc: Int = 16, iters: Int = 2): DataFrame = {
-    val e = quantized(emb).localCheckpoint()
+    val e = quantized(emb).pinned
     val brute = annTopKQ(e, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     val pq = pqTopKWith(e, pqTrainCodebooks(e, kc, iters), nQueries, k)
@@ -614,7 +616,7 @@ object EmbeddingOps {
       s"dims must be in [1, $Dim], got $dims")
     // one quantization scan shared by the full-dim baseline and the
     // truncated probe
-    val e = quantized(emb).localCheckpoint()
+    val e = quantized(emb).pinned
     val brute = annTopKQ(e, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     val t = e.select(col("vec_id"), col("label"),
@@ -664,7 +666,7 @@ object EmbeddingOps {
     * vectors surface with a null neighbor like [[lshNearestNeighbor]]. */
   def lshNearestNeighborMultiprobe(emb: DataFrame,
       nPlanes: Int = NPlanes): DataFrame = {
-    val b = bucketed(emb, nPlanes).localCheckpoint()
+    val b = bucketed(emb, nPlanes).pinned
     val probeCols = col("bucket") +:
       (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
     val probes = b.select(col("vec_id"), col("q"), col("nn"),

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Stage.PinOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -118,11 +120,11 @@ object EtlJob {
     // eventual StackOverflow in analysis. A production deployment
     // writes these to tables; localCheckpoint is the in-memory
     // equivalent (blocks are freed when the state is dropped).
-    val userDayCp = userDayCounts.localCheckpoint()
-    val typeStatsCp = typeStats.localCheckpoint()
+    val userDayCp = userDayCounts.pinned
+    val typeStatsCp = typeStats.pinned
     EtlState(
-      clean = mergedClean.localCheckpoint(),
-      fact = fact.localCheckpoint(),
+      clean = mergedClean.pinned,
+      fact = fact.pinned,
       // dims derived from the accumulators — identical to
       // StarSchema.dim* over the full merged clean (pinned by spec),
       // but each run's aggregation input is the compact accumulator,
@@ -140,7 +142,7 @@ object EtlJob {
         StarSchema.typeKey(col("event_type")).as("type_key"),
         col("event_type"), col("first_seen"), col("total_events")),
       dimDates = StarSchema.dimDates(userDayCp),
-      dailyStats = dailyStats.localCheckpoint(),
+      dailyStats = dailyStats.pinned,
       ledger = {
         val row = cleanBatch
           .agg(count(lit(1)).as("records_processed"),

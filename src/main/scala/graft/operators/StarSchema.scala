@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Stage.PinOps
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -188,7 +190,7 @@ object StarSchema {
       // blocks are released when this frame becomes unreachable —
       // cache() entries live in the CacheManager for the session and
       // leak one cube per call in repeated (per-batch) callers
-      .localCheckpoint()
+      .pinned
 
     val base = cube.groupBy(col("event_date")).agg(
       sum(col("cnt")).as("total_events"),

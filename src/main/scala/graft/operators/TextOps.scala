@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Stage.PinOps
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -183,7 +185,7 @@ object TextOps {
     val ds = shinglesRaw(docs)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
-      .localCheckpoint()
+      .pinned
     val bands = minhashBands(minhashSignature(docs))
     val cand = bands.as("a")
       .join(bands.as("b"), Seq("band_idx", "band_hash"))
@@ -216,7 +218,7 @@ object TextOps {
     val dh = shinglesRaw(docs)
       .select(col("doc_id"), md5(col("s")).as("h"))
       .distinct()
-      .localCheckpoint()
+      .pinned
     val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
     val pref = dh.withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixK)
@@ -249,10 +251,10 @@ object TextOps {
     val fwd = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = fwd
       .unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+      .pinned
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("grp"))
-      .localCheckpoint()
+      .pinned
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -269,7 +271,7 @@ object TextOps {
         .select(col("id"),
           least(col("grp"), coalesce(col("nbr_grp"), col("grp"))).as("grp"),
           coalesce(col("nbr_grp") < col("grp"), lit(false)).as("changed"))
-        .localCheckpoint()
+        .pinned
       changed = next.where(col("changed")).count()
       labels = next.select(col("id"), col("grp"))
       it += 1
@@ -360,7 +362,7 @@ object TextOps {
         explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("lang"), col("word"))
       .agg(count(lit(1)).as("c_dw"))
-      .localCheckpoint()
+      .pinned
     val profile = docWc.groupBy(col("lang").as("cand_lang"), col("word"))
       .agg(sum(col("c_dw")).as("n_lw"))
     val langSize = docWc.groupBy(col("lang").as("cand_lang"))
@@ -404,7 +406,7 @@ object TextOps {
           s"i -> concat_ws('', slice(cs, i, $n)))")).as("g"))
       .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("c_dg"))
-      .localCheckpoint()
+      .pinned
     val profile = docGc.groupBy(col("lang").as("cand_lang"), col("g"))
       .agg(sum(col("c_dg")).as("n_lg"))
     val langSize = docGc.groupBy(col("lang").as("cand_lang"))
@@ -477,7 +479,7 @@ object TextOps {
   private def tfDf(docs: DataFrame): DataFrame = {
     val tf = tokens(docs).groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .pinned
     val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     tf.join(df_, Seq("word"))
   }
@@ -547,7 +549,7 @@ object TextOps {
       s"containment threshold must be a fraction in [0,1], got $num/$den")
     val cs = shingles(corpus)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .localCheckpoint() // reused by the size and the overlap branch
+      .pinned // reused by the size and the overlap branch
     val bset = shingles(benchmark)
       .select(xxhash64(col("s")).as("h")).distinct()
     val sz = cs.groupBy(col("doc_id"))
@@ -654,11 +656,11 @@ object TextOps {
   def nearDupWinnowing(docs: DataFrame, k: Int = 8, w: Int = 4,
       minShared: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 50): DataFrame = {
-    val fp = winnowing(docs, k, w).localCheckpoint()
+    val fp = winnowing(docs, k, w).pinned
     val dfc = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
     val fpk = fp.join(dfc.where(col("df") <= maxDf), Seq("fingerprint"))
       .select(col("doc_id"), col("fingerprint").as("h"))
-      .localCheckpoint()
+      .pinned
     // candidate generation and intersection are ONE fused self-join
     // here (a shared fingerprint IS the candidate signal), so the
     // shared tail starts at the Jaccard verification
@@ -1009,7 +1011,7 @@ object TextOps {
     // one (doc_id, s) count shuffle, reused by total / df / dup branches
     val occ = shinglesRaw(docs).groupBy(col("doc_id"), col("s"))
       .agg(count(lit(1)).as("c"))
-      .localCheckpoint()
+      .pinned
     val dfq = occ.groupBy(col("s")).agg(count(lit(1)).as("nd"))
     val tot = occ.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
     val dup = occ.join(dfq.where(col("nd") >= 2), Seq("s"))
@@ -1352,7 +1354,7 @@ object TextOps {
         concat_ws("", transform(split(col("word"), ""),
           c => concat(lit(sep), c, lit(sep)))).as("seq"),
         col("n"))
-      .localCheckpoint()
+      .pinned
     val records = Seq.newBuilder[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -1385,7 +1387,7 @@ object TextOps {
         seqs = seqs.select(col("word"),
             call_function("replace", col("seq"), lit(pat), lit(rep))
               .as("seq"), col("n"))
-          .localCheckpoint()
+          .pinned
         r += 1
       }
     }
@@ -1480,7 +1482,7 @@ object TextOps {
     * (and vocabulary²-)sized and are NEVER broadcast. Nothing is
     * corpus-quadratic; no driver-side state. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val db = docBigrams(docs).localCheckpoint()
+    val db = docBigrams(docs).pinned
     lmScored(db, lmModelOf(db))
   }
 
@@ -1554,7 +1556,7 @@ object TextOps {
     * onto the per-doc bucket counts. */
   def dsirWeight(docs: DataFrame, targetSource: String,
       nBuckets: Int = DsirDefaultBuckets): DataFrame = {
-    val pd = dsirPerDoc(docs, nBuckets).localCheckpoint()
+    val pd = dsirPerDoc(docs, nBuckets).pinned
     dsirScored(pd, dsirDistOf(pd, targetSource), targetSource)
   }
 

@@ -1,5 +1,7 @@
 package graft.sources
 
+import graft.operators.Stage.PinOps
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -260,7 +262,7 @@ object JsonSource {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(path)
-      .localCheckpoint()
+      .pinned
     val good = explodeEntries(raw
       .where(col("_corrupt_record").isNull && col(field).isNotNull),
       field)
@@ -292,7 +294,7 @@ object JsonSource {
     * and materializing once also means both sides come from ONE parse
     * of the input instead of two. */
   def quarantine(raw: DataFrame): (DataFrame, DataFrame) = {
-    val m = raw.localCheckpoint()
+    val m = raw.pinned
     (m.where(col("_corrupt_record").isNull).drop("_corrupt_record"),
       m.where(col("_corrupt_record").isNotNull))
   }

@@ -670,4 +670,26 @@ class TextOpsSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       TextOps.dsirWeight(d, "src0", nBuckets = 1000))
   }
+
+  test("reliable-checkpoint flag: every pin site flips to storage-backed checkpoint") {
+    // local[*] pins lineage with localCheckpoint (executor-local,
+    // lost on executor failure); cluster deployments set the one flag
+    // and every pinned intermediate goes through the fault-tolerant
+    // checkpoint dir instead — results must be identical either way
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val local = TextOps.lmScore(docs).collect().map(_.toString).sorted
+    val ckptDir =
+      java.nio.file.Files.createTempDirectory("graft_reliable_ckpt")
+    spark.sparkContext.setCheckpointDir(ckptDir.toString)
+    spark.conf.set(graft.operators.Stage.ReliableFlag, "true")
+    try {
+      val reliable = TextOps.lmScore(docs)
+        .collect().map(_.toString).sorted
+      assert(reliable.sameElements(local))
+      // and the pin really went through the checkpoint dir
+      assert(Option(ckptDir.toFile.list()).exists(_.nonEmpty),
+        "reliable mode wrote nothing to the checkpoint dir")
+    } finally
+      spark.conf.set(graft.operators.Stage.ReliableFlag, "false")
+  }
 }
