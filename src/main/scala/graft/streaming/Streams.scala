@@ -275,8 +275,10 @@ object Streams {
     * its own result. The predecessor is retained until the next batch
     * commits (older versions are pruned); a crash mid-write only
     * corrupts the version being written, which the replay then
-    * overwrites. Per batch the merge is O(state + batch) with one
-    * keyed shuffle on the 32-char hash.
+    * overwrites. Per batch the merge reads and rewrites ONLY the hash
+    * shards the batch's content hashes land in (the sharded protocol
+    * below) — O(batch + touched shards), with one keyed shuffle on
+    * the 32-char hash.
     *
     * `checkpointLocation` is taken here (and set on the returned
     * writer) because the state is only correct relative to ITS
@@ -307,7 +309,8 @@ object Streams {
     * no-ops — the incremental dedup-state property). Candidates then
     * come from [[graft.operators.TextOps.minhashBands]] over the
     * state, off the hot path. Per batch: one signature aggregation
-    * over the batch + one keyed state merge, O(state + batch).
+    * over the batch + one keyed merge of the TOUCHED state shards,
+    * O(batch + touched shards).
     *
     * The no-op claim holds for BYTE-IDENTICAL re-delivery only: a doc
     * re-delivered with CHANGED text would min-fold into a chimera
@@ -397,7 +400,8 @@ object Streams {
     * needs delete+reload. Semantic-dedup candidates then come from
     * [[graft.operators.EmbeddingOps.semanticDedup]] over [[foldState]],
     * off the hot path. Per batch: one keyed aggregate over the batch
-    * + one keyed state merge, O(state + batch); embeddings move only
+    * + one keyed merge of the touched state shards, O(batch + touched
+    * shards); embeddings move only
     * in the vec_id-keyed shuffle, never broadcast. */
   def embeddingSink(emb: DataFrame, statePath: String,
       checkpointLocation: String, nShards: Int = DefaultStateShards)
@@ -456,7 +460,8 @@ object Streams {
     *
     * Scale shape per batch: one keyed registry aggregate + one bigram
     * count over the batch, one anti-join on doc_id, one (lhs, rhs)
-    * count merge — O(state + batch), all keyed shuffles, the model is
+    * count merge over the touched shards — O(batch + touched shards),
+    * all keyed shuffles, the model is
     * never broadcast. Read the model back with [[lmModelState]];
     * score with TextOps.lmScoreWith, off the hot path. */
   def lmSink(docs: DataFrame, statePath: String,
