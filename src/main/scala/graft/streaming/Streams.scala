@@ -763,7 +763,15 @@ object Streams {
             .foreach(fs.delete(_, true)) // orphans of crashed attempts
           val tmp = new org.apache.hadoop.fs.Path(root,
             "_tmp-" + java.util.UUID.randomUUID())
+          // repartition by shard before the partitioned write: without
+          // it every shuffle task holds rows of many shards and the
+          // committer writes tasks x shards small files per
+          // generation — at cluster scale a filesystem-metadata
+          // problem. One keyed shuffle collapses that to one file per
+          // touched shard, proportional to the data being written
+          // anyway
           merge(prev, inc).withColumn("_shard", shardOf(nShards))
+            .repartition(col("_shard"))
             .write.partitionBy("_shard").mode("overwrite")
             .parquet(tmp.toString)
           fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
