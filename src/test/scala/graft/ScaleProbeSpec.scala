@@ -220,4 +220,18 @@ class ScaleProbeSpec extends SparkSpec {
       s"bpeEncode broadcasts ${bc.length} frame(s); the vocabulary " +
         "join must stay a keyed shuffle")
   }
+
+  test("dedupSpans at 10x sf0.1: shingle stats and covered positions stay keyed") {
+    // every frame in the route grows with the corpus: the window
+    // occurrences are token-cardinality, the shingle-stats aggregate
+    // is corpus-vocabulary-sized, the covered-position explode is
+    // duplication-mass-sized — none may ever broadcast; the stats
+    // join and the covered anti-join must both be keyed shuffles
+    val plan =
+      staticPlanOf(TextOps.dedupSpans(syntheticDocs(50000L), minTokens = 5))
+    assertShuffleHealth("dedupSpans", plan)
+    val bc = broadcastSubtrees(plan)
+    assert(bc.isEmpty,
+      s"dedupSpans broadcasts ${bc.length} corpus-derived frame(s)")
+  }
 }
