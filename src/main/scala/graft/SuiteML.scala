@@ -1084,6 +1084,40 @@ object SuiteML {
         |SELECT doc_id, source, n_tokens, bucket, keep_permille
         |FROM b WHERE bucket < keep_permille""".stripMargin)),
 
+    // ---- temperature mixing: p_s ~ n_s^(1/2) (mT5/XLM-R, tau = 2) -------
+    // The integer square root is candidate-corrected on BOTH sides:
+    // the IEEE POWER seed can land either side of the true root and
+    // the engines disagree on double->bigint rounding (Spark
+    // truncates, DuckDB rounds), so each picks the largest t in
+    // [g-2, g+2] with t*t <= n_s — bit-identical despite the seed.
+    Q("text_mix_temperature",
+      (s, d) => TextOps.mixTemperature(docs(s, d), q = 2),
+      Some("""WITH t AS (SELECT doc_id, source,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens
+        |      FROM documents),
+        |bs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens
+        |       FROM t GROUP BY 1),
+        |rt AS (SELECT source, source_tokens,
+        |         list_max(list_filter([g - 2, g - 1, g, g + 1, g + 2],
+        |           x -> x >= 1 AND x * x <= source_tokens)) AS t_s
+        |       FROM (SELECT source, source_tokens,
+        |               CAST(POWER(CAST(source_tokens AS DOUBLE), 0.5) AS BIGINT) AS g
+        |             FROM bs)),
+        |tt AS (SELECT CAST(sum(t_s) AS BIGINT) AS tot_t FROM rt),
+        |bb AS (SELECT MIN(source_tokens * tot_t // t_s) AS budget FROM rt, tt),
+        |r AS (SELECT source,
+        |        LEAST(CAST(1000 AS BIGINT),
+        |          budget * t_s * 1000 // (tot_t * source_tokens)) AS keep_permille
+        |      FROM rt, tt, bb),
+        |b AS (SELECT t.*, r.keep_permille,
+        |        CAST(((strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+        |            + (strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+        |            + (strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+        |            + (strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS BIGINT) AS bucket
+        |      FROM t JOIN r USING (source))
+        |SELECT doc_id, source, n_tokens, bucket, keep_permille
+        |FROM b WHERE bucket < keep_permille""".stripMargin)),
+
     // ---- tokenizer training: df-pruned vocabulary build -----------------
     // (max-df 39/50 = 78% sits inside this corpus' df cluster, so the
     // ceiling genuinely prunes ~half the vocabulary at the test SFs;

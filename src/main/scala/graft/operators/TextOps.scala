@@ -1180,6 +1180,68 @@ object TextOps {
       .where(col("bucket") < col("keep_permille"))
   }
 
+  /** Temperature-based source rebalancing — the multilingual-LM
+    * mixing rule (mT5 / XLM-R: sample source s with probability
+    * proportional to n_s^alpha, alpha = 1/tau < 1 flattening the
+    * source distribution) rendered as deterministic per-doc keep
+    * rates, for alpha = 1/q with integer q (q = 2, tau = 2, is the
+    * classic setting; q = 1 is proportional passthrough). Where
+    * [[mixRebalance]] takes EXPLICIT target shares, this derives them
+    * from the corpus itself: t_s = floor(n_s^(1/q)) exactly (integer
+    * q-th root), target share p_s = t_s / sum(t), and the token
+    * budget is the largest B with B * p_s <= n_s for every source —
+    * the biggest corpus that achieves the temperature distribution by
+    * pure subsampling (a keep-rate operator cannot upsample; the
+    * scarcest-after-flattening source caps the budget at keep rate
+    * ~1). Keep decisions ride [[saltBucket]] (prefix `mixt:`), so
+    * membership is reproducible and independent of the family's other
+    * splits.
+    *
+    * The root is EXACT despite the IEEE seed: POWER's result can land
+    * either side of the true root and engines disagree on
+    * double->bigint rounding, so the largest candidate in [g-2, g+2]
+    * whose exact integer q-th power fits is taken — both engines
+    * compute the same t_s bit-for-bit. Scale shape: one per-source
+    * aggregate (sources-cardinality), two 1-row scalar frames, all
+    * broadcast; the corpus is touched by exactly one aggregate and
+    * one broadcast-joined filter pass. Permille products stay in
+    * BIGINT — corpora beyond ~1e15 tokens need the arithmetic widened
+    * to DECIMAL(38,0) (the [[mixRebalance]] boundary, shared). */
+  def mixTemperature(docs: DataFrame, q: Int = 2): DataFrame = {
+    require(q >= 1 && q <= 6,
+      s"temperature exponent q must be in [1, 6], got $q")
+    val powT = Seq.fill(q)("t").mkString(" * ")
+    val alpha = 1.0 / q
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    // sources-cardinality; feeds three consumers (sum, min, join)
+    val roots = toks.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("source_tokens"))
+      .withColumn("g", expr("CAST(POWER(CAST(source_tokens AS " +
+        s"DOUBLE), ${alpha}D) AS BIGINT)"))
+      .withColumn("t_s", expr(
+        "array_max(filter(array(g - 2, g - 1, g, g + 1, g + 2), " +
+          s"t -> t >= 1 AND $powT <= source_tokens))"))
+      .select(col("source"), col("source_tokens"), col("t_s"))
+      .pinned
+    val totT = roots.agg(sum(col("t_s")).as("tot_t")) // 1-row scalar
+    val budget = roots.crossJoin(broadcast(totT))
+      .select(expr("source_tokens * tot_t div t_s").as("b"))
+      .agg(min(col("b")).as("budget")) // 1-row scalar
+    val rates = roots.crossJoin(broadcast(totT))
+      .crossJoin(broadcast(budget))
+      .select(col("source"),
+        least(lit(1000L),
+          expr("budget * t_s * 1000 div (tot_t * source_tokens)"))
+          .as("keep_permille"))
+    val bucket = saltBucket("mixt:", 1000)
+    toks
+      .join(broadcast(rates), Seq("source")) // sources-cardinality agg
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        bucket.as("bucket"), col("keep_permille"))
+      .where(col("bucket") < col("keep_permille"))
+  }
+
   /** Tokenizer-vocabulary build with document-frequency pruning — the
     * first step of training any tokenizer/featurizer on a curated
     * corpus: global term and document frequencies, pruned by min-df

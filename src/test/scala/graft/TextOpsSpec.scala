@@ -671,6 +671,36 @@ class TextOpsSpec extends SparkSpec {
       TextOps.dsirWeight(d, "src0", nBuckets = 1000))
   }
 
+  test("mixTemperature: q=1 is proportional passthrough; q=2 flattens toward small sources") {
+    import spark.implicits._
+    // 3 sources with very different token masses
+    val d = docsDf(
+      (1L to 60L).map(i => (i, "a b c d e f g h i j", "en", "big")) ++
+        (61L to 75L).map(i => (i, "a b c d e f g h i j", "en", "mid")) ++
+        (76L to 80L).map(i => (i, "a b c d e f g h i j", "en", "small")))
+    // q = 1: p_s proportional to n_s, budget = total -> keep rate 1000
+    // everywhere, every doc kept
+    val q1 = TextOps.mixTemperature(d, q = 1)
+    assert(q1.count() == 80L)
+    assert(q1.select("keep_permille").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(1000L))
+    // q = 2: the scarcest-after-flattening source (smallest n_s) caps
+    // the budget at keep ~1000; bigger sources keep LESS than smaller
+    val q2 = TextOps.mixTemperature(d, q = 2)
+      .select($"source", $"keep_permille").distinct()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q2("small") > q2("mid") && q2("mid") > q2("big"),
+      s"flattening must favor scarce sources, got $q2")
+    assert(q2("small") >= 990L, s"cap source should keep ~all, got $q2")
+    // the integer root is exact: 600 tokens -> isqrt 24 (24^2=576),
+    // 150 -> 12, 50 -> 7; totT = 43; budget = min(600*43 div 24,
+    // 150*43 div 12, 50*43 div 7) = min(1075, 537, 307) = 307 (the
+    // small source binds); keep(big) = 307*24*1000 div (43*600) = 285,
+    // keep(mid) = 571, keep(small) = 999
+    assert(q2("big") == 285L && q2("mid") == 571L &&
+      q2("small") == 999L, s"exact-arithmetic drift: $q2")
+  }
+
   test("reliable-checkpoint flag: every pin site flips to storage-backed checkpoint") {
     // local[*] pins lineage with localCheckpoint (executor-local,
     // lost on executor failure); cluster deployments set the one flag
