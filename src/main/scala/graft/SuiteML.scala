@@ -1419,6 +1419,56 @@ object SuiteML {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
         |  FROM sc) WHERE rk <= 10""".stripMargin)),
 
+    // ---- similarity: PERSISTED-index IVF serving — the offline-build /
+    // online-serve split: the index (centroids + cell-partitioned
+    // inverted lists) is written to parquet and serving reads ONLY the
+    // probed cells (static partition pruning; EmbeddingOpsSpec pins
+    // the PartitionFilters). Same construction as sim_ivf_topk, so the
+    // oracle is the same replay — equality proves the persisted round
+    // trip loses nothing ------------------------------------------------
+    Q("sim_ivf_persisted",
+      (s, d) => {
+        val e = emb(s, d)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_ivf_idx").toString
+        EmbeddingOps.ivfIndexWrite(e, idx)
+        EmbeddingOps.ivfTopKIndexed(s, idx, e.where(col("vec_id") < 5))
+      },
+      Some(s"""WITH $EmbCte,
+        |cents AS (SELECT vec_id AS cent_id, q AS cq, nn AS cn
+        |          FROM e JOIN n USING (vec_id) WHERE vec_id < 16),
+        |eq AS (SELECT e.vec_id, e.q, n.nn FROM e JOIN n USING (vec_id)),
+        |scored AS (
+        |  SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
+        |    SELECT eq.vec_id, c.cent_id, unnest(eq.q) AS a, unnest(c.cq) AS b
+        |    FROM eq, cents c) GROUP BY 1, 2),
+        |rankedc AS (
+        |  SELECT s.vec_id, s.cent_id,
+        |         ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+        |           CAST(s.dot AS DOUBLE) / (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+        |           s.cent_id) AS crk
+        |  FROM scored s JOIN n nv ON nv.vec_id = s.vec_id
+        |                JOIN cents c ON c.cent_id = s.cent_id),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM rankedc WHERE crk = 1),
+        |probes AS (SELECT vec_id AS query_id, cent_id AS cell
+        |           FROM rankedc WHERE vec_id < 5 AND crk <= 2),
+        |cand AS (SELECT p.query_id, cl.vec_id
+        |         FROM probes p JOIN cells cl USING (cell)
+        |         WHERE cl.vec_id <> p.query_id),
+        |cd AS (SELECT query_id, vid, SUM(a*b) AS dot FROM (
+        |    SELECT ca.query_id, ca.vec_id AS vid,
+        |           unnest(eq1.q) AS a, unnest(eq2.q) AS b
+        |    FROM cand ca
+        |    JOIN eq eq1 ON eq1.vec_id = ca.query_id
+        |    JOIN eq eq2 ON eq2.vec_id = ca.vec_id) GROUP BY 1, 2),
+        |sc AS (SELECT query_id, vid,
+        |              CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |       FROM cd JOIN n nq ON nq.vec_id = query_id
+        |                JOIN n nv ON nv.vec_id = vid)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vid AS vec_id, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM sc) WHERE rk <= 10""".stripMargin)),
+
     // ---- similarity: product-quantization ADC top-k — the compressed
     // scale path: queries score corpus CODES (M table lookups), never
     // corpus vectors; all-integer, so the oracle replays the whole

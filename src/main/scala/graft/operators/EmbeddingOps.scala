@@ -247,6 +247,71 @@ object EmbeddingOps {
     ivfTopKWith(e, seedCentroids(e, nCentroids), nQueries, nProbe, k)
   }
 
+  /** Persist an IVF index as a warehouse artifact — the offline-build
+    * / online-serve split every production ANN system has: the coarse
+    * quantizer is fixed once, every vector is assigned once, and the
+    * INVERTED LISTS land as cell-partitioned parquet so serving reads
+    * only the probed cells. Layout: `$path/centroids` (cent_id, cq,
+    * cn — centroid-cardinality) and `$path/lists` partitioned by
+    * `cell` (vec_id, q, nn). `iters` = 0 keeps the deterministic seed
+    * quantizer (the [[ivfTopK]] construction, so indexed serving is
+    * oracle-comparable to the live path); > 0 runs Lloyd rounds
+    * ([[kmeansCentroidsQ]]). The lists are assigned against the
+    * READ-BACK centroid table, so index files can never drift from
+    * what serving loads. Assignment is one broadcast pass over the
+    * corpus; the lists write repartitions by cell so each cell is one
+    * file, not tasks x cells (the fold-state discipline). */
+  def ivfIndexWrite(emb: DataFrame, path: String,
+      nCentroids: Int = KmSeeds, iters: Int = 0): Unit = {
+    val e = quantized(emb).pinned
+    val cents =
+      if (iters == 0) seedCentroids(e, nCentroids)
+      else kmeansCentroidsQ(e, nCentroids, iters)
+    cents.write.mode("overwrite").parquet(s"$path/centroids")
+    val saved = emb.sparkSession.read.parquet(s"$path/centroids")
+    rankedAgainst(e, saved).where(col("crk") === 1)
+      .select(col("vec_id"), col("q"), col("nn"),
+        col("cent_id").cast("int").as("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$path/lists")
+  }
+
+  /** Serve top-k from a PERSISTED index ([[ivfIndexWrite]]): queries
+    * (vec_id, embedding) rank against the stored centroids
+    * (broadcast, centroid-cardinality) and ONLY the probed cells'
+    * list partitions are read — the probe set is bounded by
+    * nCentroids BY CONSTRUCTION, so collecting it and pushing a
+    * literal `cell IN (...)` is the centroid-broadcast rule, and the
+    * pruning is STATIC (visible in the scan's PartitionFilters, not
+    * dependent on runtime DPP). IO per serve is
+    * |corpus| * nProbe / nCentroids, never the corpus. Candidates
+    * with vec_id == query_id are excluded (the corpus-queries
+    * convention of [[ivfTopKWith]]). */
+  def ivfTopKIndexed(s: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, nProbe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val probes = rankedAgainst(quantized(queries), cents)
+      .where(col("crk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nn").as("qn"), col("cent_id").cast("int").as("cell"))
+      .pinned // feeds the probe-set literal AND the candidate join
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val lists = s.read.parquet(s"$path/lists")
+      .where(col("cell").isin(probedCells.map(Int.box): _*))
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(lists, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(qdot(col("qv"), col("q")), col("qn"), col("nn")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
   private val PqM = 4
   private val PqSubDim = Dim / PqM
 

@@ -220,4 +220,38 @@ class EmbeddingOpsSpec extends SparkSpec {
     val nM = multi.where($"cos_m".isNotNull).count()
     assert(nM >= nS)
   }
+
+  test("persisted IVF index: round trip equals live serving; probes prune partitions") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_spec").toString
+    EmbeddingOps.ivfIndexWrite(e, idx)
+    val queries = e.where($"vec_id" < 5)
+    val served = EmbeddingOps.ivfTopKIndexed(spark, idx, queries)
+    // byte-for-byte parity with the live (assign-per-call) path
+    val live = EmbeddingOps.ivfTopK(e)
+    assert(served.collect().map(_.toString).sorted
+      .sameElements(live.collect().map(_.toString).sorted))
+    // the lists scan carries a STATIC partition filter on cell — the
+    // probe set is pushed as literals, so IO is probed cells only
+    // the pre-adaptive physical plan: AQE's executed wrapper hides
+    // leaf scans from collect()
+    val scans = served.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("lists")) => sc
+    }
+    assert(scans.nonEmpty, "no parquet scan of the lists found")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "lists scan has no partition filter — serving reads ALL cells")
+    }
+    // a trained quantizer persists and serves identically too
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_spec2").toString
+    EmbeddingOps.ivfIndexWrite(e, idx2, iters = 2)
+    val served2 = EmbeddingOps.ivfTopKIndexed(spark, idx2, queries)
+    assert(served2.select(countDistinct($"query_id")).head.getLong(0) == 5L)
+  }
 }
