@@ -1481,6 +1481,25 @@ object SuiteML {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
         |  FROM sc) WHERE rk <= 10""".stripMargin)),
 
+    // ---- similarity: PERSISTED PQ index — codes-only serving: the
+    // stored index is (sub, code) smallints per vector plus the
+    // broadcast codebooks; the ADC scoring join never reads a corpus
+    // vector. Same construction as sim_pq_topk, same replay —
+    // equality proves the compressed round trip loses nothing --------
+    Q("sim_pq_persisted",
+      (s, d) => {
+        val e = emb(s, d)
+        val idx = java.nio.file.Files
+          .createTempDirectory("graft_pq_idx").toString
+        EmbeddingOps.pqIndexWrite(e, idx)
+        EmbeddingOps.pqTopKIndexed(s, idx, e.where(col("vec_id") < 5))
+      },
+      Some(s"""WITH $EmbCte,
+        |$PqScoreCte
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, adot FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
+        |  FROM sc) WHERE rk <= 10""".stripMargin)),
+
     // ---- similarity: PQ recall@10 vs the exact brute top-10 — every
     // approximate route ships with its recall measurement -----------------
     Q("sim_pq_recall",

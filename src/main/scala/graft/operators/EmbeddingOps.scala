@@ -454,6 +454,54 @@ object EmbeddingOps {
       .select(col("query_id"), col("rk"), col("vec_id"), col("adot"))
   }
 
+  /** Persist a PQ index — the compressed twin of [[ivfIndexWrite]]:
+    * codebooks are fixed once (seed, or [[pqTrainCodebooks]] when
+    * `iters` > 0), every vector is encoded ONCE against the READ-BACK
+    * codebook table, and only the CODES land on disk (`$path/codes`:
+    * vec_id, sub, code — M small integers per vector, the entire
+    * point of product quantization: the persisted index is ~1/64th
+    * the vector data and serving never touches a vector again).
+    * Layout: `$path/codebooks` (sub, code, cq, cn — kc*M rows,
+    * broadcast-safe by construction) and `$path/codes`. */
+  def pqIndexWrite(emb: DataFrame, path: String, kc: Int = 16,
+      iters: Int = 0): Unit = {
+    val e = quantized(emb).pinned
+    val cb = if (iters == 0) pqCodebooks(e, kc)
+      else pqTrainCodebooks(e, kc, iters)
+    cb.write.mode("overwrite").parquet(s"$path/codebooks")
+    val saved = emb.sparkSession.read.parquet(s"$path/codebooks")
+    pqEncodeWith(e, saved)
+      .write.mode("overwrite").parquet(s"$path/codes")
+  }
+
+  /** Serve top-k from a PERSISTED PQ index ([[pqIndexWrite]]):
+    * queries slice into subspaces and build the ADC lookup table
+    * against the stored codebooks (kc*M*queries rows, broadcast by
+    * construction); the stored CODES join the LUT on (sub, code) and
+    * sum — asymmetric-distance scoring that reads only the code
+    * table, never corpus vectors. Candidates with vec_id == query_id
+    * are excluded (the [[pqTopKWith]] convention). */
+  def pqTopKIndexed(s: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int = 10): DataFrame = {
+    val cb = s.read.parquet(s"$path/codebooks")
+    val codes = s.read.parquet(s"$path/codes")
+    val lut = subSlices(quantized(queries))
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sq").as("qs"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        qdot(col("qs"), col("cq")).as("pdot"))
+    val scored = codes.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(sum(col("pdot")).as("adot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adot"))
+  }
+
   /** One Lloyd (k-means) update step over the quantized embeddings —
     * the training half of the IVF coarse quantizer ([[ivfTopK]] is the
     * serving half): assign every vector to its nearest current

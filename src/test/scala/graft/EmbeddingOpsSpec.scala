@@ -254,4 +254,24 @@ class EmbeddingOpsSpec extends SparkSpec {
     val served2 = EmbeddingOps.ivfTopKIndexed(spark, idx2, queries)
     assert(served2.select(countDistinct($"query_id")).head.getLong(0) == 5L)
   }
+
+  test("persisted PQ index: codes-only round trip equals live ADC serving") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx_spec").toString
+    EmbeddingOps.pqIndexWrite(e, idx)
+    val served =
+      EmbeddingOps.pqTopKIndexed(spark, idx, e.where($"vec_id" < 5))
+    val live = EmbeddingOps.pqTopK(e)
+    assert(served.collect().map(_.toString).sorted
+      .sameElements(live.collect().map(_.toString).sorted))
+    // the persisted index carries CODES, never vectors: 500 vectors x
+    // 4 subspaces, three scalar columns, no array anywhere
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == 4L * e.count())
+    assert(codes.schema.fields.forall(f =>
+      !f.dataType.typeName.contains("array")),
+      s"codes schema leaks vectors: ${codes.schema.simpleString}")
+  }
 }
