@@ -277,6 +277,28 @@ object EmbeddingOps {
       .parquet(s"$path/lists")
   }
 
+  /** Append a NEW batch of vectors to a persisted IVF index: the
+    * batch is assigned against the STORED centroids (the quantizer is
+    * fixed at build time — the faiss `add` contract; re-seeding would
+    * silently re-home existing lists) and its rows land as additional
+    * files in only the touched cell partitions. IO is O(batch), never
+    * O(index). Caller contract: vec_ids must be new (the index has no
+    * registry; feed ingestion through the streaming
+    * graft.streaming.Streams.embeddingSink registry when dedup/
+    * mutation protection matters), and an append is not crash-atomic
+    * — a failure mid-write can leave a partial batch visible, so wrap
+    * index updates that need atomicity in the warehouse's
+    * write-audit-publish or rebuild with [[ivfIndexWrite]]. */
+  def ivfIndexAppend(emb: DataFrame, path: String): Unit = {
+    val cents = emb.sparkSession.read.parquet(s"$path/centroids")
+    rankedAgainst(quantized(emb), cents).where(col("crk") === 1)
+      .select(col("vec_id"), col("q"), col("nn"),
+        col("cent_id").cast("int").as("cell"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("append")
+      .parquet(s"$path/lists")
+  }
+
   /** Serve top-k from a PERSISTED index ([[ivfIndexWrite]]): queries
     * (vec_id, embedding) rank against the stored centroids
     * (broadcast, centroid-cardinality) and ONLY the probed cells'

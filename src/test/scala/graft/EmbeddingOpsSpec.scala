@@ -255,6 +255,28 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(served2.select(countDistinct($"query_id")).head.getLong(0) == 5L)
   }
 
+  test("IVF index append: incremental build equals one-shot build") {
+    // the quantizer is fixed at build time, so building from the first
+    // half and appending the second must serve exactly like a one-shot
+    // build over the full corpus (the seed centroids — vec_id < 16 —
+    // live in the first half)
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val idxInc = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_inc").toString
+    EmbeddingOps.ivfIndexWrite(e.where($"vec_id" < 250), idxInc)
+    EmbeddingOps.ivfIndexAppend(e.where($"vec_id" >= 250), idxInc)
+    val idxFull = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_full").toString
+    EmbeddingOps.ivfIndexWrite(e, idxFull)
+    val queries = e.where($"vec_id" < 5)
+    val inc = EmbeddingOps.ivfTopKIndexed(spark, idxInc, queries)
+      .collect().map(_.toString).sorted
+    val full = EmbeddingOps.ivfTopKIndexed(spark, idxFull, queries)
+      .collect().map(_.toString).sorted
+    assert(inc.sameElements(full))
+  }
+
   test("persisted PQ index: codes-only round trip equals live ADC serving") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
       .localCheckpoint()
