@@ -1236,7 +1236,12 @@ object TextOps {
           .as("keep_permille"))
     val bucket = saltBucket("mixt:", 1000)
     toks
-      .join(broadcast(rates), Seq("source")) // sources-cardinality agg
+      // rates is DATA-derived (one row per distinct source): at
+      // curated-mixture cardinality the optimizer auto-broadcasts it;
+      // at domain-level mixing (unbounded sources) it must shuffle —
+      // unlike mixRebalance, whose rates frame is bounded by the
+      // caller's explicit share list, no hint is safe here
+      .join(rates, Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tokens"),
         bucket.as("bucket"), col("keep_permille"))
       .where(col("bucket") < col("keep_permille"))
