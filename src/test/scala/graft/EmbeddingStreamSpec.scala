@@ -104,6 +104,49 @@ class EmbeddingStreamSpec extends SparkSpec {
     }
   }
 
+  test("streamed registry -> persisted IVF index -> pruned serving, end to end") {
+    // the composed incremental-ingest story: vectors arrive through
+    // the mutation-guarded streaming registry (dedup + refusal), the
+    // index is built FROM the fold state, and serving probes the
+    // persisted cell partitions — results must equal an index built
+    // directly over the batch corpus
+    import spark.implicits._
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val slices = Seq(emb.where($"vec_id" < 250),
+      emb.where($"vec_id" >= 250).unionAll(emb.where($"vec_id" < 100)))
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_e2e_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_e2e_state").resolve("st").toString
+    val q = Streams.embeddingSink(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+        statePath,
+        java.nio.file.Files.createTempDirectory("graft_e2e_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+
+    val registered = Streams.foldState(spark, statePath)
+      .select($"vec_id", $"embedding", $"label").localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_e2e_idx").toString
+    EmbeddingOps.ivfIndexWrite(registered, idx)
+    val viaStream = EmbeddingOps
+      .ivfTopKIndexed(spark, idx, emb.where($"vec_id" < 5))
+      .collect().map(_.toString).sorted
+    val idxBatch = java.nio.file.Files
+      .createTempDirectory("graft_e2e_idx_b").toString
+    EmbeddingOps.ivfIndexWrite(emb, idxBatch)
+    val viaBatch = EmbeddingOps
+      .ivfTopKIndexed(spark, idxBatch, emb.where($"vec_id" < 5))
+      .collect().map(_.toString).sorted
+    assert(viaStream.sameElements(viaBatch))
+  }
+
   test("registry hash quantizes: a sub-milli-unit wobble is NOT a mutation") {
     // the corpus' determinism currency is integer milli-units; a float
     // delivered with noise below round(x*1000) granularity hashes
