@@ -496,6 +496,18 @@ object EmbeddingOps {
       .write.mode("overwrite").parquet(s"$path/codes")
   }
 
+  /** Append a NEW batch to a persisted PQ index — the compressed
+    * twin of [[ivfIndexAppend]], same contract: codebooks are fixed
+    * at build time (re-training would silently re-code existing
+    * entries), the batch encodes against the READ-BACK codebooks and
+    * appends only its own code rows — O(batch) IO. vec_ids must be
+    * new, and appends are not crash-atomic (see [[ivfIndexAppend]]). */
+  def pqIndexAppend(emb: DataFrame, path: String): Unit = {
+    val saved = emb.sparkSession.read.parquet(s"$path/codebooks")
+    pqEncodeWith(quantized(emb), saved)
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
   /** Serve top-k from a PERSISTED PQ index ([[pqIndexWrite]]):
     * queries slice into subspaces and build the ADC lookup table
     * against the stored codebooks (kc*M*queries rows, broadcast by

@@ -295,5 +295,15 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(codes.schema.fields.forall(f =>
       !f.dataType.typeName.contains("array")),
       s"codes schema leaks vectors: ${codes.schema.simpleString}")
+    // incremental build: half + append serves like one-shot (the seed
+    // codebooks -- vec_id < 16 -- live in the first half)
+    val idxInc = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx_inc").toString
+    EmbeddingOps.pqIndexWrite(e.where($"vec_id" < 250), idxInc)
+    EmbeddingOps.pqIndexAppend(e.where($"vec_id" >= 250), idxInc)
+    val inc = EmbeddingOps
+      .pqTopKIndexed(spark, idxInc, e.where($"vec_id" < 5))
+      .collect().map(_.toString).sorted
+    assert(inc.sameElements(served.collect().map(_.toString).sorted))
   }
 }

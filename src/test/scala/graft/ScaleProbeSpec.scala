@@ -221,6 +221,47 @@ class ScaleProbeSpec extends SparkSpec {
         "join must stay a keyed shuffle")
   }
 
+  test("mixTemperature at 10x sf0.1: only 1-row scalar frames broadcast") {
+    // the per-source roots frame is DATA-derived (unbounded at
+    // domain-level mixing) so it carries no broadcast hint — with the
+    // size heuristic off, any surviving BroadcastExchange must be one
+    // of the two 1-row scalars (total root mass, token budget)
+    // a MULTI-source corpus: with syntheticDocs' single literal
+    // source, Catalyst constant-folds the source equi-join into a
+    // degenerate cross — an artifact of the probe data, not the
+    // operator's plan
+    val multiSource = syntheticDocs(50000L)
+      .withColumn("source", concat(lit("src"),
+        pmod(col("doc_id"), lit(8)).cast("string")))
+    val plan = staticPlanOf(TextOps.mixTemperature(multiSource))
+    // shuffle health, scalar-tolerant: the two global reductions
+    // (total root mass, budget) legitimately exchange into one
+    // partition — map-side partial aggregation means that exchange
+    // moves per-partition partials, not rows — but every
+    // corpus-carrying shuffle must keep full parallelism and nothing
+    // may plan a cartesian product
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 1,
+      s"mixTemperature lost its corpus-side parallel shuffle: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"mixTemperature has a shuffle at odd parallelism: $parts")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "mixTemperature plans a CartesianProduct")
+    val bc = broadcastSubtrees(plan)
+    bc.foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("tot_t") || cols.contains("budget"),
+        "mixTemperature broadcasts a non-scalar frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("dedupSpans at 10x sf0.1: shingle stats and covered positions stay keyed") {
     // every frame in the route grows with the corpus: the window
     // occurrences are token-cardinality, the shingle-stats aggregate
