@@ -80,7 +80,7 @@ object BloomJoin {
   }
 
   /** Inner equi-join of `big` and `small` with the big side
-    * bloom-pruned first. The small side is localCheckpointed: it is
+    * bloom-pruned first. The small side is pinned (Stage.pinned): it is
     * evaluated ONCE and the same materialization feeds the sizing
     * count, the sketch build, and the join — without it, a
     * recomputed-per-job small frame costs three evaluations and, if

@@ -389,7 +389,7 @@ object EmbeddingOps {
     * Scale shape per round: codebooks broadcast, one corpus encode
     * pass, one (vec_id, sub)-keyed join to re-attach slices, component
     * sums map-side-combined on (sub, code, c); the new codebook
-    * (<= M*kc rows) is localCheckpointed so round t+1 does not
+    * (<= M*kc rows) is pinned (Stage.pinned) so round t+1 does not
     * re-derive round t. */
   def pqTrainCodebooks(e: DataFrame, kc: Int = 16,
       iters: Int = 2): DataFrame = {
@@ -571,7 +571,7 @@ object EmbeddingOps {
     * Scale shape per round: centroids broadcast, one corpus scan for
     * assignment, component sums one map-side-combined shuffle keyed
     * (cell, c); the new centroid frame (<= nCentroids rows) is
-    * localCheckpointed so round t+1's plan does not re-derive round t.
+    * pinned (Stage.pinned) so round t+1's plan does not re-derive round t.
     * Returns (cent_id, cq, cn) ready for [[ivfTopKWith]]. */
   def kmeansCentroids(emb: DataFrame, nCentroids: Int = KmSeeds,
       iters: Int = KmIters): DataFrame =

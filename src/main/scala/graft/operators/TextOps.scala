@@ -179,7 +179,7 @@ object TextOps {
     // DIFFERENT shingles of the same doc pair collide in 64 bits
     // (p ~ n_doc_shingles^2 / 2^64 — vanishing; md5-based signatures
     // and the oracle parity are unaffected by the surrogate choice).
-    // localCheckpoint over cache(): same reuse across branches, but
+    // pinned (localCheckpoint by default) over cache(): same reuse, but
     // blocks free with the frame instead of accumulating in the
     // CacheManager across calls.
     val ds = shinglesRaw(docs)
@@ -349,7 +349,7 @@ object TextOps {
     * deterministic; ties break on lang name.
     *
     * 100 TB shape: the corpus is tokenized ONCE into per-(doc, word)
-    * counts (localCheckpointed so the profile, lang-size, and scoring
+    * counts (pinned (Stage.pinned) so the profile, lang-size, and scoring
     * branches reuse it instead of re-scanning); the profile is
     * vocab-sized — on a web-scale corpus that is billions of terms, so
     * it is NEVER broadcast: profile-vs-doc scoring is a shuffle hash
@@ -471,7 +471,7 @@ object TextOps {
     * tf*log(N/df) would hinge on last-ulp libm differences). */
   /** (doc_id, word, tf, df) — the shared scaffolding of the per-doc
     * term argmaxes ([[topTerm]], [[tfidfTopTerm]]). tf is
-    * localCheckpointed so the document-frequency branch and the
+    * pinned (Stage.pinned) so the document-frequency branch and the
     * scoring join reuse one tokenization+shuffle. df_ is the FULL
     * corpus vocabulary — never broadcast (billions of terms at 100 TB);
     * tf JOIN df_ is a shuffle hash join on `word`, and tf is already
@@ -1002,7 +1002,7 @@ object TextOps {
     * where whole-doc dedup ([[nearDupMinhash]]) would miss them.
     *
     * Scale shape: the per-(doc, shingle) counts are aggregated once and
-    * localCheckpointed for their three consumers; document frequency is
+    * pinned (Stage.pinned) for their three consumers; document frequency is
     * a second aggregate of that (already-distinct) frame, shuffle-joined
     * back on the shingle — the vocabulary-sized frame is never
     * broadcast (the [[langId]] rule). Counts are exact longs; `dup_frac`
@@ -1339,7 +1339,7 @@ object TextOps {
     * replace; only the single winning pair crosses to the driver each
     * round (the same driver-sees-one-row loop discipline as the
     * k-means trainer in EmbeddingOps). The working table is
-    * localCheckpointed every round so lineage stays bounded across
+    * pinned (Stage.pinned) every round so lineage stays bounded across
     * iterations.
     *
     * CONVERGENCE: training stops before `rounds` when no pair remains
@@ -1543,7 +1543,7 @@ object TextOps {
     * unigram pass.
     *
     * Scale shape: one per-row bigram projection → ONE (doc_id, lhs,
-    * rhs) count shuffle, localCheckpointed for its two consumers; the
+    * rhs) count shuffle, pinned (Stage.pinned) for its two consumers; the
     * LM is two further aggregates of that frame; scoring joins shuffle
     * on the bigram key and then on `lhs` — model tables are vocabulary-
     * (and vocabulary²-)sized and are NEVER broadcast. Nothing is
@@ -1614,7 +1614,7 @@ object TextOps {
     * score here).
     *
     * Scale shape: one per-row feature projection over the corpus → ONE
-    * (doc_id, bucket, side) count shuffle localCheckpointed for its
+    * (doc_id, bucket, side) count shuffle pinned (Stage.pinned) for its
     * consumers; the two distributions are ONE further aggregate of the
     * bucket frame each; scoring joins shuffle on the bucket id. The
     * bucket tables are nBuckets rows — broadcastable at ANY corpus

@@ -289,7 +289,7 @@ object JsonSource {
       .json(path)
 
   /** Split an audited read into (parsed, quarantined). The input is
-    * localCheckpointed first: Spark refuses queries whose referenced
+    * pinned (Stage.pinned) first: Spark refuses queries whose referenced
     * columns are only the corrupt-record column of a live JSON scan,
     * and materializing once also means both sides come from ONE parse
     * of the input instead of two. */

@@ -822,9 +822,11 @@ object Streams {
     }
 
   /** The latest COMMITTED state written by a versioned fold sink
-    * ([[dedupExactSink]], [[minhashSink]]): only versions carrying the
-    * committer's _SUCCESS marker qualify, so an in-flight or
-    * crash-truncated write is never read. The returned frame is
+    * ([[dedupExactSink]], [[minhashSink]]): only generations carrying
+    * the sink's _SUCCESS marker (written AFTER data and manifest)
+    * qualify, so an in-flight or crash-truncated write is never read.
+    * A sharded generation assembles from its manifest's referenced
+    * shard directories; a pre-sharding generation reads whole. The returned frame is
     * lazy — the sink retains the predecessor for one batch, so read it
     * promptly (or persist it) if the stream is still running; a reader
     * that sits on the frame for multiple batches can race the sink's
