@@ -410,6 +410,52 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(after2.sameElements(expected2))
   }
 
+  test("a crash-partial generation is overwritten by the replayed batch") {
+    // simulate a crash AFTER the data rename but BEFORE the marker:
+    // batch 1's generation dir exists with stale shard garbage and no
+    // _SUCCESS. The replay (the real batch 1) must delete and rewrite
+    // it, and the final state must equal the batch recompute.
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    import spark.implicits._
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_crash_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_crash_ckpt").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_crash_st").resolve("st").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = Streams.dedupExactSink(stream, statePath, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish")
+    }
+    docs.where($"doc_id" < 30).coalesce(1).write.mode("append")
+      .parquet(streamDir.toString)
+    run() // batch 0 committed
+    // forge the crash debris of a failed batch 1
+    val partial = java.nio.file.Paths.get(statePath, "b1", "_shard=0")
+    java.nio.file.Files.createDirectories(partial)
+    java.nio.file.Files.write(partial.resolve("part-00000-stale"),
+      Array[Byte](9, 9, 9))
+    docs.where($"doc_id" >= 30 && $"doc_id" < 60).coalesce(1)
+      .write.mode("append").parquet(streamDir.toString)
+    run() // the real batch 1: must replace the debris wholesale
+    assert(new java.io.File(s"$statePath/b1/_SUCCESS").exists())
+    assert(!java.nio.file.Files.exists(
+      partial.resolve("part-00000-stale")),
+      "crash debris survived the replay overwrite")
+    val got = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.dedupExact(docs.where($"doc_id" < 60))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(expected))
+  }
+
   test("dedupState skips a crash-truncated version (no _SUCCESS)") {
     val statePath = java.nio.file.Files
       .createTempDirectory("graft_dedup_partial").resolve("state").toString
