@@ -1084,6 +1084,25 @@ object SuiteML {
         |SELECT doc_id, source, n_tokens, bucket, keep_permille
         |FROM b WHERE bucket < keep_permille""".stripMargin)),
 
+    // ---- corpus data card: the per-source release artifact --------------
+    Q("text_corpus_report",
+      (s, d) => TextOps.corpusReport(docs(s, d)),
+      Some("""WITH t AS (SELECT source, lang,
+        |        CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+        |        CAST(length(text) AS BIGINT) AS n_chars
+        |      FROM documents)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+        |  CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+        |  CAST(sum(n_tokens) AS DOUBLE) / count(*) AS avg_tokens,
+        |  CAST(sum(CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END) * 1000
+        |    // count(*) AS BIGINT) AS short_permille
+        |FROM t GROUP BY source""".stripMargin)),
+
     // ---- temperature mixing: p_s ~ n_s^(1/2) (mT5/XLM-R, tau = 2) -------
     // The integer square root is candidate-corrected on BOTH sides:
     // the IEEE POWER seed can land either side of the true root and

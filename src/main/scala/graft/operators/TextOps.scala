@@ -711,6 +711,33 @@ object TextOps {
     conv(substring(md5(concat(lit(prefix),
       col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % mod
 
+  /** Per-source corpus "data card" — the release artifact a training
+    * pipeline publishes before a run (what went in, how much, how
+    * diverse, how degenerate): document and token mass, language
+    * diversity, length extremes, the short-document fraction. All
+    * counts are exact integers; the mean is the single final IEEE
+    * division and the short fraction is exact permille. One aggregate
+    * pass keyed by source — output is sources-cardinality. */
+  def corpusReport(docs: DataFrame, shortTokens: Int = 5): DataFrame =
+    docs.select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_chars")).as("total_chars"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(when(col("n_tokens") < shortTokens, 1L).otherwise(0L))
+          .as("n_short"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_tokens"), col("total_chars"), col("min_tokens"),
+        col("max_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("avg_tokens"),
+        expr("n_short * 1000 div n_docs").as("short_permille"))
+
   /** Deterministic train/val/test split (8/1/1 by default): every doc
     * is assigned by a content-independent hash of its id — the split is
     * reproducible across runs, machines, and engines (md5 is
