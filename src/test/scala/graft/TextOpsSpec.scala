@@ -701,6 +701,28 @@ class TextOpsSpec extends SparkSpec {
       q2("small") == 999L, s"exact-arithmetic drift: $q2")
   }
 
+  test("corpusReport: exact per-source masses and short-doc permille") {
+    import spark.implicits._
+    val d = docsDf(Seq(
+      (1L, "a b c d e f", "en", "s1"),  // 6 tokens
+      (2L, "a b", "en", "s1"),          // 2 tokens (short at default 5)
+      (3L, "x y z", "de", "s1"),        // 3 tokens (short)
+      (4L, "one two three four five", "en", "s2"))) // 5 tokens (not short)
+    val r = TextOps.corpusReport(d).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val s1 = r("s1")
+    assert(s1.getLong(1) == 3L && s1.getLong(2) == 2L) // n_docs, n_langs
+    assert(s1.getLong(3) == 11L)                       // total_tokens
+    assert(s1.getLong(5) == 2L && s1.getLong(6) == 6L) // min, max
+    assert(s1.getDouble(7) == 11.0 / 3)                // avg: ONE division
+    assert(s1.getLong(8) == 666L)                      // 2 of 3 short
+    assert(r("s2").getLong(8) == 0L)                   // 5 tokens: not short
+    // the threshold is a parameter: at 7, everything in s2 is short
+    val strict = TextOps.corpusReport(d, shortTokens = 7).collect()
+      .map(x => x.getString(0) -> x.getLong(8)).toMap
+    assert(strict("s2") == 1000L)
+  }
+
   test("reliable-checkpoint flag: every pin site flips to storage-backed checkpoint") {
     // local[*] pins lineage with localCheckpoint (executor-local,
     // lost on executor failure); cluster deployments set the one flag
