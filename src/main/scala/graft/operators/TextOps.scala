@@ -1071,7 +1071,15 @@ object TextOps {
     * (shingle) aggregate for {document frequency, canonical doc} →
     * one keyed join back on the shingle — the shingle-stats frame is
     * corpus-vocabulary-sized and is NEVER broadcast (the [[langId]]
-    * rule). Covered positions explode k rows per EXCISED occurrence
+    * rule). The shuffle KEY is a 128-bit digest of the k-token
+    * window, not the window text itself: a raw k-token string (k
+    * defaults to 50) would be an O(k) write amplification on a
+    * token-cardinality frame — petabytes of shuffle at 100 TB input —
+    * while md5 carries 16 bytes per occurrence and its collision
+    * probability over even 10^15 distinct shingles is < 10^-8, far
+    * below any data-corruption floor. The raw string is dropped in
+    * the same projection that computes the digest and never reaches
+    * an exchange. Covered positions explode k rows per EXCISED occurrence
     * only (duplication-mass-sized, not corpus-sized), distinct on
     * (doc_id, pos), anti-join against the token table. The rebuild
     * groups per doc_id — collect_list is bounded by a single
@@ -1089,14 +1097,15 @@ object TextOps {
     val occ = w.where(size(col("w")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $k), i -> " +
-          s"struct(i AS pos, concat_ws(' ', slice(w, i + 1, $k)) AS s))"))
+          s"struct(i AS pos, " +
+          s"md5(concat_ws(' ', slice(w, i + 1, $k))) AS sh))"))
         .as("o"))
-      .select(col("doc_id"), col("o.pos").as("pos"), col("o.s").as("s"))
-    val stats = occ.groupBy(col("s"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.sh").as("sh"))
+    val stats = occ.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"),
         min(col("doc_id")).as("min_doc"))
     // excised occurrences -> the distinct token positions they cover
-    val covered = occ.join(stats, Seq("s"))
+    val covered = occ.join(stats, Seq("sh"))
       .where(col("df") >= 2 && col("doc_id") =!= col("min_doc"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))

@@ -274,5 +274,23 @@ class ScaleProbeSpec extends SparkSpec {
     val bc = broadcastSubtrees(plan)
     assert(bc.isEmpty,
       s"dedupSpans broadcasts ${bc.length} corpus-derived frame(s)")
+    // payload-width probe (the r10 blind spot): shuffle count and
+    // partitioning were green while the shuffles carried raw k-token
+    // shingle STRINGS — an O(k) write amplification invisible to the
+    // health probe above. Pin the fix at the schema level: no exchange
+    // input may carry the raw shingle column, and the shingle-keyed
+    // exchanges must key on the 16-byte digest instead.
+    val exchanged = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.child.output.map(_.name)
+    }
+    exchanged.foreach { cols =>
+      assert(!cols.contains("s"),
+        "dedupSpans shuffles the raw shingle string: " +
+          cols.mkString("[", ", ", "]"))
+    }
+    assert(exchanged.exists(_.contains("sh")),
+      "dedupSpans lost its digest-keyed shingle shuffle; exchanges: " +
+        exchanged.map(_.mkString("[", ", ", "]")).mkString(" "))
   }
 }
