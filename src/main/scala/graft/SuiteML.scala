@@ -1072,7 +1072,8 @@ object SuiteML {
         |tt AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens FROM t),
         |r AS (SELECT bs.source,
         |        LEAST(CAST(1000 AS BIGINT),
-        |          (total_tokens * share_permille // 1000) * 1000 // source_tokens)
+        |          CAST((CAST(total_tokens AS HUGEINT) * share_permille // 1000)
+        |            * 1000 // source_tokens AS BIGINT))
         |          AS keep_permille
         |      FROM bs JOIN sh USING (source), tt),
         |b AS (SELECT t.*, r.keep_permille,
@@ -1118,15 +1119,18 @@ object SuiteML {
         |       FROM t GROUP BY 1),
         |rt AS (SELECT source, source_tokens,
         |         list_max(list_filter([g - 2, g - 1, g, g + 1, g + 2],
-        |           x -> x >= 1 AND x * x <= source_tokens)) AS t_s
+        |           x -> x >= 1 AND CAST(x AS HUGEINT) * x <= source_tokens)) AS t_s
         |       FROM (SELECT source, source_tokens,
         |               CAST(POWER(CAST(source_tokens AS DOUBLE), 0.5) AS BIGINT) AS g
         |             FROM bs)),
         |tt AS (SELECT CAST(sum(t_s) AS BIGINT) AS tot_t FROM rt),
-        |bb AS (SELECT MIN(source_tokens * tot_t // t_s) AS budget FROM rt, tt),
+        |bb AS (SELECT MIN(CAST(CAST(source_tokens AS HUGEINT) * tot_t // t_s
+        |         AS BIGINT)) AS budget FROM rt, tt),
         |r AS (SELECT source,
         |        LEAST(CAST(1000 AS BIGINT),
-        |          budget * t_s * 1000 // (tot_t * source_tokens)) AS keep_permille
+        |          CAST(CAST(budget AS HUGEINT) * t_s * 1000
+        |            // (CAST(tot_t AS HUGEINT) * source_tokens) AS BIGINT))
+        |          AS keep_permille
         |      FROM rt, tt, bb),
         |b AS (SELECT t.*, r.keep_permille,
         |        CAST(((strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096

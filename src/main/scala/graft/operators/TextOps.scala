@@ -1201,13 +1201,21 @@ object TextOps {
     val bySource = toks.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("source_tokens"))
     val total = toks.agg(sum(col("n_tokens")).as("total_tokens"))
+    // DECIMAL(38,0) intermediates: in BIGINT the total_tokens*1000
+    // product overflows near ~9e15 corpus tokens (ANSI mode throws;
+    // non-ANSI silently wraps to wrong keep rates) — decimal keeps the
+    // products exact to 38 digits, and `div` surfaces BIGINT quotients
+    // (keep_permille <= 1000 by construction). The DuckDB oracle
+    // mirrors with HUGEINT (int128) — its `//` on DECIMAL degrades to
+    // DOUBLE true-division, so decimal is NOT the exact mirror there.
     val rates = bySource
       .join(broadcast(sh), Seq("source")) // inner: unlisted -> dropped
       .crossJoin(broadcast(total)) // 1-row scalar frame
       .select(col("source"),
         least(lit(1000L),
-          expr("(total_tokens * share_permille div 1000) * 1000" +
-            " div source_tokens")).as("keep_permille"))
+          expr("CAST(CAST(total_tokens AS DECIMAL(38,0))" +
+            " * share_permille div 1000 AS DECIMAL(38,0))" +
+            " * 1000 div source_tokens")).as("keep_permille"))
     val bucket = saltBucket("mix:", 1000)
     toks
       .join(broadcast(rates), Seq("source")) // sources-cardinality agg
@@ -1240,13 +1248,23 @@ object TextOps {
     * compute the same t_s bit-for-bit. Scale shape: one per-source
     * aggregate (sources-cardinality), two 1-row scalar frames, all
     * broadcast; the corpus is touched by exactly one aggregate and
-    * one broadcast-joined filter pass. Permille products stay in
-    * BIGINT — corpora beyond ~1e15 tokens need the arithmetic widened
-    * to DECIMAL(38,0) (the [[mixRebalance]] boundary, shared). */
+    * one broadcast-joined filter pass. All products run in
+    * DECIMAL(38,0) (mirrored as HUGEINT in the oracle): in BIGINT
+    * the budget*t_s*1000 numerator overflows near ~4e10 corpus
+    * tokens for q=2 (and ~1e8 for q=1) — far BELOW the 100 TB
+    * design point, where ANSI mode throws and non-ANSI silently
+    * wraps. Widened, the numerator stays exact to 10^38: the q=1
+    * worst case N^2*1000 holds to ~3e17 corpus tokens and q>=2 to
+    * ~2e23 — both orders of magnitude past ~1e13 (100 TB). The
+    * per-source budget candidate `b` surfaces as a BIGINT quotient,
+    * exact while min(b) < 2^63 (~9e18 tokens). */
   def mixTemperature(docs: DataFrame, q: Int = 2): DataFrame = {
     require(q >= 1 && q <= 6,
       s"temperature exponent q must be in [1, 6], got $q")
-    val powT = Seq.fill(q)("t").mkString(" * ")
+    // candidate powers in DECIMAL(38,0): (g+2)^q brushes Long.Max
+    // when source_tokens itself nears 2^63
+    val powT =
+      ("CAST(t AS DECIMAL(38,0))" +: Seq.fill(q - 1)("t")).mkString(" * ")
     val alpha = 1.0 / q
     val toks = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
@@ -1262,13 +1280,15 @@ object TextOps {
       .pinned
     val totT = roots.agg(sum(col("t_s")).as("tot_t")) // 1-row scalar
     val budget = roots.crossJoin(broadcast(totT))
-      .select(expr("source_tokens * tot_t div t_s").as("b"))
+      .select(expr("CAST(source_tokens AS DECIMAL(38,0))" +
+        " * tot_t div t_s").as("b"))
       .agg(min(col("b")).as("budget")) // 1-row scalar
     val rates = roots.crossJoin(broadcast(totT))
       .crossJoin(broadcast(budget))
       .select(col("source"),
         least(lit(1000L),
-          expr("budget * t_s * 1000 div (tot_t * source_tokens)"))
+          expr("CAST(budget AS DECIMAL(38,0)) * t_s * 1000" +
+            " div (CAST(tot_t AS DECIMAL(38,0)) * source_tokens)"))
           .as("keep_permille"))
     val bucket = saltBucket("mixt:", 1000)
     toks
