@@ -247,56 +247,175 @@ object EmbeddingOps {
     ivfTopKWith(e, seedCentroids(e, nCentroids), nQueries, nProbe, k)
   }
 
+  // ---- persisted-index segment protocol --------------------------------
+  // Both persisted indexes (IVF lists, PQ codes) store their data as
+  // SEGMENT partition directories (`seg=N`) gated by a generation
+  // manifest (`$path/_segs/gen-K`, one committed segment id per line,
+  // newest K wins — the Streams fold-state manifest discipline applied
+  // to index artifacts). Serving filters `seg IN (committed)` — a
+  // STATIC partition filter, so an uncommitted or orphaned segment is
+  // invisible at zero IO cost. This is what makes appends
+  // crash-atomic: a kill before the segment rename leaves only a
+  // hidden staging dir (partition discovery ignores dot-entries); a
+  // kill after the rename but before the manifest commit leaves a
+  // visible directory no manifest references — serving is unchanged
+  // either way, and the next append deletes the leftovers and redoes
+  // the batch. Single-writer per index root (the fold-state
+  // contract); readers never block.
+
+  private def fsFor(s: org.apache.spark.sql.SparkSession, path: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
+  }
+
+  /** Newest committed generation and its segment ids; (-1, empty) when
+    * no manifest exists (not an index root). */
+  private def committedSegs(fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: org.apache.hadoop.fs.Path): (Int, Seq[Int]) = {
+    if (!fs.exists(metaDir)) return (-1, Seq.empty)
+    val gens = fs.listStatus(metaDir).map(_.getPath.getName)
+      .filter(_.startsWith("gen-")).map(_.stripPrefix("gen-").toInt)
+    if (gens.isEmpty) return (-1, Seq.empty)
+    val g = gens.max
+    val in = fs.open(new org.apache.hadoop.fs.Path(metaDir, s"gen-$g"))
+    val content =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    (g, content.split("\n").iterator.filter(_.nonEmpty)
+      .map(_.toInt).toSeq)
+  }
+
+  /** Commit generation `gen` listing `segs`: write a hidden temp file,
+    * then one rename — the committing instant. */
+  private def commitGen(fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: org.apache.hadoop.fs.Path, gen: Int,
+      segs: Seq[Int]): Unit = {
+    fs.mkdirs(metaDir)
+    val tmp = new org.apache.hadoop.fs.Path(metaDir, s".gen-$gen.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(segs.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(metaDir, s"gen-$gen")
+    if (fs.exists(dest)) fs.delete(dest, true)
+    require(fs.rename(tmp, dest),
+      s"could not commit index manifest $dest")
+  }
+
+  /** Append one staged segment to an index root: clear crashed
+    * leftovers, write via `writeSeg` into a hidden staging dir, rename
+    * it visible, commit the next manifest generation. `failpoint`
+    * instruments the two crash windows for the recovery spec. */
+  private def appendSegment(s: org.apache.spark.sql.SparkSession,
+      path: String, dataDir: String,
+      writeSeg: String => Unit, failpoint: String => Unit): Unit = {
+    val (fs, root) = fsFor(s, path)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    val (gen, segs) = committedSegs(fs, metaDir)
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — build the index first")
+    val segId = segs.max + 1
+    val dir = new org.apache.hadoop.fs.Path(root, dataDir)
+    val staged =
+      new org.apache.hadoop.fs.Path(dir, s".seg-$segId.stage")
+    val dest = new org.apache.hadoop.fs.Path(dir, s"seg=$segId")
+    // a crashed prior attempt leaves a staging dir or an uncommitted
+    // visible segment — both are unreferenced, replaced wholesale
+    if (fs.exists(staged)) fs.delete(staged, true)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    writeSeg(staged.toString)
+    failpoint("staged-written")
+    require(fs.rename(staged, dest),
+      s"could not publish index segment $dest (staged at $staged)")
+    failpoint("segment-renamed")
+    commitGen(fs, metaDir, gen + 1, segs :+ segId)
+  }
+
+  /** Committed-segment filter for a serving scan — a literal IN over
+    * the `seg` partition column (static partition pruning, like the
+    * probed-cell filter). */
+  private def segFilter(s: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.Column = {
+    val (fs, root) = fsFor(s, path)
+    val (gen, segs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    col("seg").isin(segs.map(Int.box): _*)
+  }
+
   /** Persist an IVF index as a warehouse artifact — the offline-build
     * / online-serve split every production ANN system has: the coarse
     * quantizer is fixed once, every vector is assigned once, and the
     * INVERTED LISTS land as cell-partitioned parquet so serving reads
     * only the probed cells. Layout: `$path/centroids` (cent_id, cq,
-    * cn — centroid-cardinality) and `$path/lists` partitioned by
-    * `cell` (vec_id, q, nn). `iters` = 0 keeps the deterministic seed
-    * quantizer (the [[ivfTopK]] construction, so indexed serving is
-    * oracle-comparable to the live path); > 0 runs Lloyd rounds
-    * ([[kmeansCentroidsQ]]). The lists are assigned against the
-    * READ-BACK centroid table, so index files can never drift from
-    * what serving loads. Assignment is one broadcast pass over the
-    * corpus; the lists write repartitions by cell so each cell is one
-    * file, not tasks x cells (the fold-state discipline). */
+    * cn — centroid-cardinality), `$path/lists/seg=N/cell=C` segment
+    * directories (vec_id, q, nn), and the `$path/_segs` generation
+    * manifest gating which segments serving reads. `iters` = 0 keeps
+    * the deterministic seed quantizer (the [[ivfTopK]] construction,
+    * so indexed serving is oracle-comparable to the live path); > 0
+    * runs Lloyd rounds ([[kmeansCentroidsQ]]). The lists are assigned
+    * against the READ-BACK centroid table, so index files can never
+    * drift from what serving loads. Assignment is one broadcast pass
+    * over the corpus; the lists write repartitions by cell so each
+    * cell is one file, not tasks x cells (the fold-state discipline).
+    *
+    * A REBUILD is crash-atomic and stale-proof: the whole tree stages
+    * at a hidden sibling and swaps in with the warehouse rename-aside
+    * protocol — readers see the old index until the one committing
+    * rename, and no partition from a previous (possibly larger) build
+    * can survive into the new one regardless of the session's
+    * partitionOverwriteMode (there is no partition-level overwrite to
+    * misconfigure: the old root leaves wholesale). */
   def ivfIndexWrite(emb: DataFrame, path: String,
       nCentroids: Int = KmSeeds, iters: Int = 0): Unit = {
+    val s = emb.sparkSession
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root) // heal a crashed previous rebuild
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val e = quantized(emb).pinned
     val cents =
       if (iters == 0) seedCentroids(e, nCentroids)
       else kmeansCentroidsQ(e, nCentroids, iters)
-    cents.write.mode("overwrite").parquet(s"$path/centroids")
-    val saved = emb.sparkSession.read.parquet(s"$path/centroids")
+    cents.write.mode("overwrite").parquet(s"$tmp/centroids")
+    val saved = s.read.parquet(s"$tmp/centroids")
     rankedAgainst(e, saved).where(col("crk") === 1)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").cast("int").as("cell"))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
-      .parquet(s"$path/lists")
+      .parquet(s"$tmp/lists/seg=0")
+    commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    Warehouse.swapInto(fs, tmp, root)
   }
 
   /** Append a NEW batch of vectors to a persisted IVF index: the
     * batch is assigned against the STORED centroids (the quantizer is
     * fixed at build time — the faiss `add` contract; re-seeding would
-    * silently re-home existing lists) and its rows land as additional
-    * files in only the touched cell partitions. IO is O(batch), never
-    * O(index). Caller contract: vec_ids must be new (the index has no
-    * registry; feed ingestion through the streaming
-    * graft.streaming.Streams.embeddingSink registry when dedup/
-    * mutation protection matters), and an append is not crash-atomic
-    * — a failure mid-write can leave a partial batch visible, so wrap
-    * index updates that need atomicity in the warehouse's
-    * write-audit-publish or rebuild with [[ivfIndexWrite]]. */
-  def ivfIndexAppend(emb: DataFrame, path: String): Unit = {
-    val cents = emb.sparkSession.read.parquet(s"$path/centroids")
-    rankedAgainst(quantized(emb), cents).where(col("crk") === 1)
+    * silently re-home existing lists) and lands as one new segment
+    * directory. IO is O(batch), never O(index). The append is
+    * CRASH-ATOMIC via the segment protocol above: the segment stages
+    * hidden, renames visible, and only the manifest commit makes it
+    * servable — a kill anywhere leaves serving exactly as before, and
+    * re-running the append completes it. Caller contract: vec_ids
+    * must be new (the index has no registry; feed ingestion through
+    * the streaming graft.streaming.Streams.embeddingSink registry
+    * when dedup/mutation protection matters), and one appender at a
+    * time per index root. */
+  def ivfIndexAppend(emb: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = emb.sparkSession
+    val cents = s.read.parquet(s"$path/centroids")
+    val assigned = rankedAgainst(quantized(emb), cents)
+      .where(col("crk") === 1)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").cast("int").as("cell"))
       .repartition(col("cell"))
-      .write.partitionBy("cell").mode("append")
-      .parquet(s"$path/lists")
+    appendSegment(s, path, "lists",
+      staged => assigned.write.partitionBy("cell")
+        .mode("overwrite").parquet(staged),
+      failpoint)
   }
 
   /** Serve top-k from a PERSISTED index ([[ivfIndexWrite]]): queries
@@ -307,9 +426,11 @@ object EmbeddingOps {
     * literal `cell IN (...)` is the centroid-broadcast rule, and the
     * pruning is STATIC (visible in the scan's PartitionFilters, not
     * dependent on runtime DPP). IO per serve is
-    * |corpus| * nProbe / nCentroids, never the corpus. Candidates
-    * with vec_id == query_id are excluded (the corpus-queries
-    * convention of [[ivfTopKWith]]). */
+    * |corpus| * nProbe / nCentroids, never the corpus. Only segments
+    * the generation manifest commits are read (a second static
+    * partition filter, on `seg`) — an in-flight or crashed append is
+    * invisible. Candidates with vec_id == query_id are excluded (the
+    * corpus-queries convention of [[ivfTopKWith]]). */
   def ivfTopKIndexed(s: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, nProbe: Int = 2,
       k: Int = 10): DataFrame = {
@@ -322,7 +443,8 @@ object EmbeddingOps {
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val lists = s.read.parquet(s"$path/lists")
-      .where(col("cell").isin(probedCells.map(Int.box): _*))
+      .where(segFilter(s, path) &&
+        col("cell").isin(probedCells.map(Int.box): _*))
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     probes.join(lists, Seq("cell"))
@@ -484,28 +606,45 @@ object EmbeddingOps {
     * point of product quantization: the persisted index is ~1/64th
     * the vector data and serving never touches a vector again).
     * Layout: `$path/codebooks` (sub, code, cq, cn — kc*M rows,
-    * broadcast-safe by construction) and `$path/codes`. */
+    * broadcast-safe by construction), `$path/codes/seg=N` segment
+    * directories, and the `$path/_segs` generation manifest. The
+    * rebuild stages the whole tree and swaps it in (the
+    * [[ivfIndexWrite]] protocol — crash-atomic, immune to
+    * partitionOverwriteMode). */
   def pqIndexWrite(emb: DataFrame, path: String, kc: Int = 16,
       iters: Int = 0): Unit = {
+    val s = emb.sparkSession
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root) // heal a crashed previous rebuild
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
     val e = quantized(emb).pinned
     val cb = if (iters == 0) pqCodebooks(e, kc)
       else pqTrainCodebooks(e, kc, iters)
-    cb.write.mode("overwrite").parquet(s"$path/codebooks")
-    val saved = emb.sparkSession.read.parquet(s"$path/codebooks")
+    cb.write.mode("overwrite").parquet(s"$tmp/codebooks")
+    val saved = s.read.parquet(s"$tmp/codebooks")
     pqEncodeWith(e, saved)
-      .write.mode("overwrite").parquet(s"$path/codes")
+      .write.mode("overwrite").parquet(s"$tmp/codes/seg=0")
+    commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    Warehouse.swapInto(fs, tmp, root)
   }
 
   /** Append a NEW batch to a persisted PQ index — the compressed
     * twin of [[ivfIndexAppend]], same contract: codebooks are fixed
     * at build time (re-training would silently re-code existing
     * entries), the batch encodes against the READ-BACK codebooks and
-    * appends only its own code rows — O(batch) IO. vec_ids must be
-    * new, and appends are not crash-atomic (see [[ivfIndexAppend]]). */
-  def pqIndexAppend(emb: DataFrame, path: String): Unit = {
-    val saved = emb.sparkSession.read.parquet(s"$path/codebooks")
-    pqEncodeWith(quantized(emb), saved)
-      .write.mode("append").parquet(s"$path/codes")
+    * lands as one new code segment — O(batch) IO, CRASH-ATOMIC via
+    * the segment protocol (stage hidden → rename → manifest commit;
+    * a kill anywhere leaves serving unchanged and a re-run completes
+    * the append). vec_ids must be new; one appender at a time. */
+  def pqIndexAppend(emb: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = emb.sparkSession
+    val saved = s.read.parquet(s"$path/codebooks")
+    val codes = pqEncodeWith(quantized(emb), saved)
+    appendSegment(s, path, "codes",
+      staged => codes.write.mode("overwrite").parquet(staged),
+      failpoint)
   }
 
   /** Serve top-k from a PERSISTED PQ index ([[pqIndexWrite]]):
@@ -519,6 +658,8 @@ object EmbeddingOps {
       path: String, queries: DataFrame, k: Int = 10): DataFrame = {
     val cb = s.read.parquet(s"$path/codebooks")
     val codes = s.read.parquet(s"$path/codes")
+      .where(segFilter(s, path)) // committed segments only
+      .drop("seg")
     val lut = subSlices(quantized(queries))
       .select(col("vec_id").as("query_id"), col("sub"),
         col("sq").as("qs"))

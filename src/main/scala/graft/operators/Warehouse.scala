@@ -183,7 +183,7 @@ object Warehouse {
     * table root ([[compactPartitions]]), where a visible
     * `date_key=...prev` sibling would parse as a garbage partition
     * value. */
-  private def hiddenSibling(p: org.apache.hadoop.fs.Path,
+  private[graft] def hiddenSibling(p: org.apache.hadoop.fs.Path,
       suffix: String): org.apache.hadoop.fs.Path = {
     require(p.getParent != null, s"$p has no parent to stage in")
     new org.apache.hadoop.fs.Path(p.getParent, "." + p.getName + suffix)
@@ -211,7 +211,7 @@ object Warehouse {
     * Without this, a recovery publish whose AUDIT fails would delete
     * its staging copy and leave `path` absent indefinitely even
     * though the old data sat untouched at `.prev`. */
-  private def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def recoverSwap(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Unit = {
     val prev = hiddenSibling(p, ".prev")
     if (!fs.exists(p) && fs.exists(prev))

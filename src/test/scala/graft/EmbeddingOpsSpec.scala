@@ -306,4 +306,70 @@ class EmbeddingOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(inc.sameElements(served.collect().map(_.toString).sorted))
   }
+
+  test("index appends are crash-atomic: a killed append leaves serving " +
+    "unchanged; the retry completes it") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    val batch = e.where($"vec_id" >= 250)
+
+    // IVF: kill in BOTH crash windows — after the segment is staged
+    // (hidden dir only) and after it renamed visible but before the
+    // manifest commit (unreferenced dir). Serving must be unchanged
+    // after each kill: the manifest still lists only seg 0, and the
+    // seg IN filter makes the leftover invisible.
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_crash").toString
+    EmbeddingOps.ivfIndexWrite(e.where($"vec_id" < 250), idx)
+    val before = EmbeddingOps.ivfTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    for (window <- Seq("staged-written", "segment-renamed")) {
+      val boom = intercept[RuntimeException] {
+        EmbeddingOps.ivfIndexAppend(batch, idx,
+          fp => if (fp == window) throw new RuntimeException(s"kill@$fp"))
+      }
+      assert(boom.getMessage.contains(window))
+      val after = EmbeddingOps.ivfTopKIndexed(spark, idx, queries)
+        .collect().map(_.toString).sorted
+      assert(after.sameElements(before),
+        s"serving changed after a crash at '$window'")
+    }
+    // the retry clears the crashed leftovers and completes: serving
+    // now equals a one-shot build over the full corpus
+    EmbeddingOps.ivfIndexAppend(batch, idx)
+    val idxFull = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_crash_full").toString
+    EmbeddingOps.ivfIndexWrite(e, idxFull)
+    val healed = EmbeddingOps.ivfTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    val oneShot = EmbeddingOps.ivfTopKIndexed(spark, idxFull, queries)
+      .collect().map(_.toString).sorted
+    assert(healed.sameElements(oneShot))
+
+    // PQ twin: one window suffices to pin the shared protocol wiring
+    val pqIdx = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx_crash").toString
+    EmbeddingOps.pqIndexWrite(e.where($"vec_id" < 250), pqIdx)
+    val pqBefore = EmbeddingOps.pqTopKIndexed(spark, pqIdx, queries)
+      .collect().map(_.toString).sorted
+    intercept[RuntimeException] {
+      EmbeddingOps.pqIndexAppend(batch, pqIdx,
+        fp => if (fp == "segment-renamed")
+          throw new RuntimeException("kill@segment-renamed"))
+    }
+    val pqAfter = EmbeddingOps.pqTopKIndexed(spark, pqIdx, queries)
+      .collect().map(_.toString).sorted
+    assert(pqAfter.sameElements(pqBefore),
+      "PQ serving changed after a crashed append")
+    EmbeddingOps.pqIndexAppend(batch, pqIdx)
+    val pqIdxFull = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx_crash_full").toString
+    EmbeddingOps.pqIndexWrite(e, pqIdxFull)
+    val pqHealed = EmbeddingOps.pqTopKIndexed(spark, pqIdx, queries)
+      .collect().map(_.toString).sorted
+    val pqOneShot = EmbeddingOps.pqTopKIndexed(spark, pqIdxFull, queries)
+      .collect().map(_.toString).sorted
+    assert(pqHealed.sameElements(pqOneShot))
+  }
 }
