@@ -40,6 +40,33 @@ object SuiteML {
       dir.toString
     })
 
+  /** Synthetic-markup fixture for the HTML-extraction row, derived
+    * deterministically from `documents` on BOTH sides: each 10-token
+    * run wraps in `<p>.. &amp; more</p>` between title/style/nav/
+    * script/list chrome — so extraction must strip script BEFORE tags
+    * (the `1 < 2` script body), decode entities, and density-filter
+    * the short chrome lines. The head/tail constants are spliced into
+    * the oracle SQL so the two fixtures cannot drift (single-quote-free
+    * by construction). */
+  private val HtmlFixtureHead =
+    "<html><head><title>doc</title><style>body { margin: 0; }</style>" +
+      "</head><body><nav>home about</nav><script>var a = 1 < 2;</script>"
+  private val HtmlFixtureTail =
+    "<ul><li>ad</li><li>buy now</li></ul><div>tiny</div></body></html>"
+
+  private def htmlFixture(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"),
+        org.apache.spark.sql.functions.split(col("text"), " ").as("w"))
+      .select(col("doc_id"), org.apache.spark.sql.functions.concat(
+        lit(HtmlFixtureHead),
+        org.apache.spark.sql.functions.expr(
+          "concat_ws('', transform(" +
+            "sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1), " +
+            "i -> concat('<p>', concat_ws(' ', slice(w, i * 10 + 1, 10)), " +
+            "' &amp; more</p>')))"),
+        lit(HtmlFixtureTail)).as("html"))
+
   /** Merge rounds for the iterated BPE trainer — shared between the
     * Spark queries and their unrolled-CTE oracles so they cannot
     * drift. */
@@ -1126,6 +1153,50 @@ object SuiteML {
         |  CAST(sum(CASE WHEN n_tokens < 5 THEN 1 ELSE 0 END) * 1000
         |    // count(*) AS BIGINT) AS short_permille
         |FROM t GROUP BY source""".stripMargin)),
+
+    // ---- curation front door: HTML/boilerplate extraction ---------------
+    // The markup fixture is DERIVED deterministically from documents
+    // on BOTH sides (wrap each 10-token run in <p>..&amp; more</p>
+    // between nav/script/style/list chrome), so the oracle replays
+    // fixture generation AND the whole strip->break->decode->density
+    // chain in DuckDB string functions.
+    Q("text_extract_html",
+      (s, d) => TextOps.extractHtml(htmlFixture(docs(s, d))),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |  '$HtmlFixtureHead'
+        |  || array_to_string(list_transform(
+        |       range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |       i -> '<p>' || array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ')
+        |            || ' &amp; more</p>'), '')
+        |  || '$HtmlFixtureTail' AS html
+        |  FROM w),
+        |e1 AS (SELECT doc_id, regexp_replace(html,
+        |         '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM h),
+        |e2 AS (SELECT doc_id, regexp_replace(x,
+        |         '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM e1),
+        |e3 AS (SELECT doc_id, regexp_replace(x,
+        |         '(?i)<(br|/p|/div|/li|/ul|/nav|/title|/h[1-6]|/tr)[^>]*>',
+        |         chr(10), 'g') AS x FROM e2),
+        |e4 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x
+        |       FROM e3),
+        |e5 AS (SELECT doc_id, replace(replace(replace(replace(replace(x,
+        |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |         '&nbsp;', ' '), '&amp;', '&') AS x FROM e4),
+        |ln AS (SELECT doc_id,
+        |  list_filter(list_transform(string_split(x, chr(10)),
+        |    l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))),
+        |    l -> l <> '') AS lines FROM e5),
+        |kp AS (SELECT doc_id, lines,
+        |  list_filter(lines, l -> len(string_split(l, ' ')) >= 4) AS kept
+        |  FROM ln)
+        |SELECT doc_id,
+        |  array_to_string(kept, chr(10)) AS text_extracted,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(length(array_to_string(kept, chr(10))) AS BIGINT) AS n_chars
+        |FROM kp""".stripMargin)),
 
     // ---- temperature mixing: p_s ~ n_s^(1/2) (mT5/XLM-R, tau = 2) -------
     // The integer square root is candidate-corrected on BOTH sides:

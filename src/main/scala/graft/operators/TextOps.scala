@@ -51,6 +51,66 @@ object TextOps {
   def shingles(docs: DataFrame): DataFrame =
     shinglesRaw(docs).distinct()
 
+  /** HTML/boilerplate text extraction — the front door of a web-corpus
+    * curation chain (CCNet processes WET text, but trafilatura/jusText
+    * -class pipelines start from markup): strip non-content blocks,
+    * convert structure to line breaks, drop low-density lines. The
+    * rendering is deliberately regex/array-expression-only (no UDF, no
+    * DOM parse) so it is whole-stage-codegen'd AND bit-replayable by
+    * the DuckDB oracle — which also constrains the dialect to the
+    * RE2-compatible subset (no backreferences, hence one pass per
+    * stripped block tag).
+    *
+    * Pipeline per row (pure per-partition projection — NO shuffle, the
+    * operator is a map over the corpus):
+    *  1. `<script>`/`<style>` blocks removed wholesale ((?is),
+    *     non-greedy) — BEFORE tag stripping, so `1 < 2` inside script
+    *     bodies cannot shed tag fragments into text;
+    *  2. line-structuring tags (`<br>`, closes of p/div/li/ul/nav/
+    *     title/h1-6/tr) become newlines;
+    *  3. every remaining tag becomes a space;
+    *  4. the five ubiquitous entities decode (`&amp;` LAST, so
+    *     `&amp;lt;` decodes to the literal `&lt;` and not `<`);
+    *  5. lines split on newline, inner whitespace collapses, blanks
+    *     drop — `n_lines` counts the nonblank lines;
+    *  6. the text-density filter keeps lines with at least
+    *     `minLineTokens` whitespace tokens (nav crumbs, list chrome,
+    *     button labels are short; body prose is not — the jusText
+    *     length heuristic reduced to its deterministic core).
+    *
+    * Output: (doc_id, text_extracted — kept lines joined by newline,
+    * n_lines, n_lines_kept, n_chars). Scale shape: one projection,
+    * no shuffle, no state; plans fuse with whatever consumes it. */
+  def extractHtml(docs: DataFrame, htmlCol: String = "html",
+      minLineTokens: Int = 4): DataFrame = {
+    require(minLineTokens >= 1,
+      s"minLineTokens must be >= 1, got $minLineTokens")
+    val noScript = regexp_replace(col(htmlCol),
+      "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript,
+      "(?is)<style[^>]*>.*?</style>", " ")
+    val broken = regexp_replace(noStyle,
+      "(?i)<(br|/p|/div|/li|/ul|/nav|/title|/h[1-6]|/tr)[^>]*>", "\n")
+    val untagged = regexp_replace(broken, "<[^>]*>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(untagged) { case (c, (e, ch)) => regexp_replace(c,
+        java.util.regex.Pattern.quote(e), ch) }
+    docs
+      .withColumn("__decoded", decoded)
+      .withColumn("__lines", expr(
+        "filter(transform(split(__decoded, '\\n'), " +
+          "l -> trim(regexp_replace(l, '\\\\s+', ' '))), l -> l != '')"))
+      .withColumn("__kept", expr(
+        s"filter(__lines, l -> size(split(l, ' ')) >= $minLineTokens)"))
+      .select(col("doc_id"),
+        array_join(col("__kept"), "\n").as("text_extracted"),
+        size(col("__lines")).cast("long").as("n_lines"),
+        size(col("__kept")).cast("long").as("n_lines_kept"),
+        length(array_join(col("__kept"), "\n")).cast("long")
+          .as("n_chars"))
+  }
+
   /** Exact dedup by content hash (hash-groupBy): one row per distinct
     * text, keeping the lowest doc_id. At 100 TB this is a single
     * shuffle on a 32-char key instead of the full text. */

@@ -744,4 +744,34 @@ class TextOpsSpec extends SparkSpec {
     } finally
       spark.conf.set(graft.operators.Stage.ReliableFlag, "false")
   }
+
+  test("extractHtml strips script/style wholesale, breaks lines at " +
+    "structure, decodes entities last, and drops low-density lines") {
+    val df = Seq((1L,
+      "<html><head><title>T</title>" +
+        "<style>body { color: red; }</style></head><body>" +
+        "<nav>home about</nav><script>var a = 1 < 2;</script>" +
+        "<p>alpha beta gamma delta epsilon</p>" +
+        "<p>one &amp; two &lt;three&gt; four</p>" +
+        "<p>escaped &amp;lt; stays literal here</p>" +
+        "<ul><li>ad</li><li>buy now</li></ul>" +
+        "<div>tiny</div></body></html>"))
+      .toDF("doc_id", "html")
+    val out = TextOps.extractHtml(df).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // script body ("1 < 2" would shed "< 2;" into text if tags were
+    // stripped first) and style rules are gone wholesale; the three
+    // <p> lines survive the density filter; title/nav/li/div chrome
+    // does not
+    assert(r.getAs[String]("text_extracted") ==
+      "alpha beta gamma delta epsilon\n" +
+        "one & two <three> four\n" +
+        "escaped &lt; stays literal here")
+    // nonblank lines: T | home about | 3x prose | ad | buy now | tiny
+    assert(r.getAs[Long]("n_lines") == 8L)
+    assert(r.getAs[Long]("n_lines_kept") == 3L)
+    assert(r.getAs[Long]("n_chars") ==
+      r.getAs[String]("text_extracted").length.toLong)
+  }
 }
