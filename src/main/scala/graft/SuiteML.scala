@@ -67,6 +67,103 @@ object SuiteML {
             "' &amp; more</p>')))"),
         lit(HtmlFixtureTail)).as("html"))
 
+  /** Unigram-LM trainer parameters, shared between the Spark queries
+    * and the generated oracle so they cannot drift. */
+  private val UnigramV = 32
+  private val UnigramRounds = 2
+
+  /** The unigram-LM Viterbi-EM trainer as generated DuckDB CTEs —
+    * the [[bpeCtes]] discipline applied to the harder loop: seed
+    * substring counts -> per-round (edge join, unrolled min-cost DP
+    * over word positions, canonical smallest-l backtrace, usage
+    * counts, prune + re-cost). Every CTE is MATERIALIZED: the DP
+    * chain references each frame from up to `maxPieceLen` successors,
+    * and DuckDB's default inlining would expand the chain
+    * exponentially. Leaves c0..cR (piece, c, cost) and, with
+    * `finalSeg`, the extra segmentation block for encoding. */
+  private def unigramCtes(rounds: Int, finalSeg: Boolean): String = {
+    val L = TextOps.UnigramMaxPieceLen
+    val cap = TextOps.UnigramMaxWordLen
+    val parts = Seq.newBuilder[String]
+    parts += s"""wf AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS n
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY 1),
+      |wfs AS MATERIALIZED (SELECT * FROM wf WHERE len(word) <= $cap),
+      |wfl AS MATERIALIZED (SELECT * FROM wf WHERE len(word) > $cap),
+      |sub AS MATERIALIZED (SELECT piece, CAST(SUM(n) AS BIGINT) AS c FROM (
+      |  SELECT substr(word, i - l + 1, l) AS piece, n FROM (
+      |    SELECT word, n, i, unnest(generate_series(1, least($L, i))) AS l
+      |    FROM (SELECT word, n, unnest(generate_series(1, CAST(len(word) AS INT))) AS i
+      |          FROM wf))) GROUP BY 1),
+      |sg AS MATERIALIZED (SELECT piece FROM sub WHERE len(piece) = 1),
+      |v0 AS MATERIALIZED (SELECT piece, c FROM sub WHERE len(piece) = 1
+      |       UNION ALL
+      |       SELECT piece, c FROM (SELECT piece, c FROM sub WHERE len(piece) >= 2
+      |                             ORDER BY c DESC, piece LIMIT $UnigramV)),
+      |t0 AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM v0),
+      |c0 AS MATERIALIZED (SELECT piece, c,
+      |  CAST(length(bin(tot // c)) - 1 AS BIGINT) AS cost FROM v0, t0)"""
+      .stripMargin
+    val nSeg = rounds + (if (finalSeg) 1 else 0)
+    for (r <- 1 to nSeg) {
+      parts += s"""e$r AS MATERIALIZED (
+        |  SELECT t.word, t.i, t.l, v.cost FROM (
+        |    SELECT word, i, unnest(generate_series(1, least($L, i))) AS l
+        |    FROM (SELECT word, unnest(generate_series(1, CAST(len(word) AS INT))) AS i FROM wfs)) t
+        |  JOIN c${r - 1} v ON v.piece = substr(t.word, t.i - t.l + 1, t.l)),
+        |d${r}_0 AS MATERIALIZED (SELECT word, CAST(0 AS BIGINT) AS cost FROM wfs)"""
+        .stripMargin
+      for (i <- 1 to cap) {
+        val prevs = (math.max(0, i - L) until i)
+          .map(j => s"SELECT word, $j AS i, cost FROM d${r}_$j")
+          .mkString(" UNION ALL ")
+        parts += s"""d${r}_$i AS MATERIALIZED (
+          |  SELECT e.word, MIN(p.cost + e.cost) AS cost
+          |  FROM e$r e JOIN ($prevs) p ON p.word = e.word AND p.i = $i - e.l
+          |  WHERE e.i = $i GROUP BY 1)""".stripMargin
+      }
+      val dall = (0 to cap)
+        .map(i => s"SELECT word, $i AS i, cost FROM d${r}_$i")
+        .mkString(" UNION ALL ")
+      parts += s"da$r AS MATERIALIZED ($dall)"
+      parts += s"""ch$r AS MATERIALIZED (
+        |  SELECT e.word, e.i, MIN(e.l) AS l FROM e$r e
+        |  JOIN da$r p ON p.word = e.word AND p.i = e.i - e.l
+        |  JOIN da$r q ON q.word = e.word AND q.i = e.i
+        |  WHERE p.cost + e.cost = q.cost GROUP BY 1, 2),
+        |b${r}_0 AS MATERIALIZED (SELECT word, CAST(len(word) AS INT) AS pos FROM wfs)"""
+        .stripMargin
+      for (k <- 1 to cap) {
+        parts += s"""b${r}_$k AS MATERIALIZED (
+          |  SELECT b.word, substr(b.word, b.pos - c.l + 1, c.l) AS piece, b.pos - c.l AS pos
+          |  FROM b${r}_${k - 1} b JOIN ch$r c ON c.word = b.word AND c.i = b.pos
+          |  WHERE b.pos > 0)""".stripMargin
+      }
+      val pall = (1 to cap)
+        .map(k => s"SELECT word, piece FROM b${r}_$k")
+        .mkString(" UNION ALL ")
+      parts += s"pc$r AS MATERIALIZED ($pall)"
+      if (r <= rounds)
+        parts += s"""u$r AS MATERIALIZED (
+          |  SELECT piece, CAST(SUM(n) AS BIGINT) AS u FROM (
+          |    SELECT word, piece FROM pc$r
+          |    UNION ALL
+          |    SELECT word, unnest(string_split(word, '')) AS piece FROM wfl) x
+          |  JOIN wf USING (word) GROUP BY 1),
+          |v$r AS MATERIALIZED (SELECT sg.piece, CAST(COALESCE(u.u, 0) + 1 AS BIGINT) AS c
+          |         FROM sg LEFT JOIN u$r u USING (piece)
+          |         UNION ALL
+          |         SELECT piece, CAST(u + 1 AS BIGINT) AS c FROM (
+          |           SELECT piece, u FROM u$r WHERE len(piece) >= 2 AND u >= 1
+          |           ORDER BY u DESC, piece LIMIT $UnigramV)),
+          |t$r AS MATERIALIZED (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM v$r),
+          |c$r AS MATERIALIZED (SELECT piece, c,
+          |  CAST(length(bin(tot // c)) - 1 AS BIGINT) AS cost FROM v$r, t$r)"""
+          .stripMargin
+    }
+    "WITH " + parts.result().mkString(",\n")
+  }
+
   /** Merge rounds for the iterated BPE trainer — shared between the
     * Spark queries and their unrolled-CTE oracles so they cannot
     * drift. */
@@ -1256,6 +1353,39 @@ object SuiteML {
         |  SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, word) AS BIGINT)
         |           AS "rank", word, tf, df
         |  FROM pruned) WHERE "rank" <= 1000""".stripMargin)),
+
+    // ---- tokenizer training: unigram-LM (SentencePiece-style) ----------
+    // Deterministic Viterbi-EM in exact bit-length-quantized integer
+    // arithmetic; the oracle replays the ENTIRE training loop — seed
+    // substring counts, per-round min-cost DP segmentation (unrolled
+    // over word positions), canonical smallest-l backtrace, usage
+    // prune, re-cost — via generated MATERIALIZED CTEs (unigramCtes).
+    Q("text_unigram_vocab",
+      (s, d) => TextOps.unigramVocab(docs(s, d),
+        vocabSize = UnigramV, rounds = UnigramRounds),
+      Some(unigramCtes(UnigramRounds, finalSeg = false) + s"""
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, piece) AS BIGINT) AS "rank",
+        |       piece, c, cost AS cost_q FROM c$UnigramRounds"""
+        .stripMargin)),
+    Q("text_unigram_encode",
+      (s, d) => TextOps.unigramEncode(docs(s, d),
+        vocabSize = UnigramV, rounds = UnigramRounds),
+      Some(unigramCtes(UnigramRounds, finalSeg = true) + s""",
+        |bw AS (SELECT d.word, d.cost FROM da${UnigramRounds + 1} d JOIN wfs w
+        |       ON w.word = d.word AND d.i = CAST(len(w.word) AS INT)),
+        |np AS (SELECT word, CAST(count(*) AS BIGINT) AS np
+        |       FROM pc${UnigramRounds + 1} GROUP BY 1),
+        |pw AS (SELECT b.word, np.np, b.cost FROM bw b JOIN np USING (word)
+        |       UNION ALL
+        |       SELECT x.word, CAST(len(x.word) AS BIGINT) AS np,
+        |              CAST(SUM(v.cost) AS BIGINT) AS cost FROM (
+        |         SELECT word, unnest(string_split(word, '')) AS piece FROM wfl) x
+        |       JOIN c$UnigramRounds v USING (piece) GROUP BY 1),
+        |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+        |SELECT doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces,
+        |       CAST(SUM(cost) AS BIGINT) AS nll_sum,
+        |       CAST(SUM(cost) AS DOUBLE) / SUM(np) AS avg_nll
+        |FROM tok JOIN pw USING (word) GROUP BY 1""".stripMargin)),
 
     // ---- tokenizer training: BPE pair-count round -----------------------
     Q("text_bpe_pairs",

@@ -1577,6 +1577,198 @@ object TextOps {
     (seqs, records.result())
   }
 
+  /** Max subword-piece length for the unigram-LM trainer (SentencePiece
+    * `max_sentencepiece_length` analog, kept small so the candidate
+    * edge set per word is O(len * L)). */
+  val UnigramMaxPieceLen = 4
+
+  /** Words longer than this fall back to single-char segmentation
+    * instead of entering the DP (bounds the oracle's unrolled replay
+    * AND the per-row DP arrays; SentencePiece similarly caps sentence
+    * length). Shared with the SuiteML oracle generator. */
+  val UnigramMaxWordLen = 16
+
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer — the
+    * tokenizer the mT5/XLM-R recipes ([[mixTemperature]]) actually
+    * pair with (Kudo 2018, "Subword Regularization"): a vocabulary of
+    * variable-length pieces with per-piece costs, fit by EM over the
+    * word-frequency table and served by min-cost (Viterbi)
+    * segmentation. This rendering is the DETERMINISTIC hard-EM
+    * (Viterbi-EM) variant in exact integer arithmetic, so the whole
+    * training loop replays bit-identically in DuckDB:
+    *
+    *  - piece costs quantize to `floor(log2(tot div c))` — the
+    *    bit-length of an integer division (the [[lmScore]] trick), so
+    *    segmentation scores are exact BIGINT sums;
+    *  - the E-step segments each DISTINCT word (Heaps' law — the
+    *    [[bpeMerges]] representation) by DP over its candidate piece
+    *    edges, tie-broken canonically (smallest last-piece length),
+    *    and counts piece usage weighted by word frequency;
+    *  - the M-step keeps ALL single chars (coverage guarantee) plus
+    *    the top `vocabSize` multi-char pieces by (usage desc, piece
+    *    asc), re-deriving costs with add-one smoothing;
+    *  - seed counts are frequency-weighted substring occurrences
+    *    (length <= `maxPieceLen`), the standard seed-vocab heuristic.
+    *
+    * Scale shape per round: one per-row edge projection over the
+    * VOCABULARY (not the corpus), one keyed-shuffle join piece->cost
+    * (the [[bpeEncode]] rule — a vocabulary-sized frame is never
+    * broadcast), one per-word bounded-array DP (pure projection: the
+    * edge array is <= len*L entries), one piece-count shuffle, one
+    * TakeOrdered prune. The driver only steers the round loop — no
+    * row ever crosses to it (tighter than BPE, whose winner does). */
+  def unigramVocab(docs: DataFrame,
+      maxPieceLen: Int = UnigramMaxPieceLen, vocabSize: Int = 32,
+      rounds: Int = 2): DataFrame = {
+    val vocab = unigramTrain(docs, maxPieceLen, vocabSize, rounds)
+    // bounded window: |vocab| <= vocabSize + |charset| by construction
+    val w = Window.orderBy(col("c").desc, col("piece").asc)
+    vocab.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("piece"), col("c"), col("cost_q"))
+  }
+
+  /** Tokenize the corpus WITH the trained unigram vocabulary — the
+    * consumer side of [[unigramVocab]]: every distinct word segments
+    * once by min-cost DP (its total cost is the word's quantized NLL
+    * under the piece LM — `best[len]`, no re-summation), long words
+    * fall back to chars, and each document reports its piece count
+    * and exact NLL sum with ONE final IEEE division for the average.
+    * Scale shape: the per-word segmentation table is vocabulary-sized
+    * and joins the corpus token stream by keyed shuffle on the word
+    * ([[bpeEncode]]'s rule), then one per-doc sum shuffle. */
+  def unigramEncode(docs: DataFrame,
+      maxPieceLen: Int = UnigramMaxPieceLen, vocabSize: Int = 32,
+      rounds: Int = 2): DataFrame = {
+    val vocab = unigramTrain(docs, maxPieceLen, vocabSize, rounds)
+    val wf = unigramWordFreq(docs).pinned
+    val shortSeg = unigramSegments(
+      wf.where(length(col("word")) <= UnigramMaxWordLen), vocab,
+      maxPieceLen)
+      .select(col("word"), size(col("pieces")).cast("long").as("np"),
+        element_at(col("best"), length(col("word")) + 1).as("nll"))
+    val longSeg = wf.where(length(col("word")) > UnigramMaxWordLen)
+      .select(col("word"), explode(split(col("word"), "")).as("piece"))
+      .join(vocab.select(col("piece"), col("cost_q")), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("np"), sum(col("cost_q")).as("nll"))
+    val perWord = shortSeg.unionByName(longSeg)
+    tokens(docs)
+      .join(perWord, Seq("word")) // keyed shuffle; every token matches
+      .groupBy(col("doc_id"))
+      .agg(sum(col("np")).as("n_pieces"), sum(col("nll")).as("nll_sum"))
+      .select(col("doc_id"), col("n_pieces"), col("nll_sum"),
+        (col("nll_sum").cast("double") / col("n_pieces")).as("avg_nll"))
+  }
+
+  /** (word, n) frequency table over whitespace tokens — the shared
+    * working set of the unigram trainer (every word, long or short,
+    * contributes seed substrings and char usage). */
+  private def unigramWordFreq(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy(col("word")).agg(count(lit(1)).as("n"))
+
+  /** Min-cost segmentation of each word against a (piece, cost_q)
+    * vocabulary: candidate edges (ending position i, length l) inner-
+    * join the vocabulary (single-char coverage guarantees a path),
+    * collect into a bounded per-word array, then one per-row fold
+    * computes the DP costs, the canonical choices (smallest l among
+    * cost-optimal edges at each position), and the backtraced pieces.
+    * Returns (word, n, edges, best, pieces) — pure projection after
+    * the one keyed vocab join. */
+  private def unigramSegments(wfs: DataFrame, vocab: DataFrame,
+      maxPieceLen: Int): DataFrame = {
+    val edges = wfs.select(col("word"))
+      .select(col("word"), explode(expr(
+        s"flatten(transform(sequence(1, length(word)), i -> " +
+          s"transform(sequence(1, least($maxPieceLen, i)), l -> " +
+          "struct(i AS i, l AS l, " +
+          "substring(word, i - l + 1, l) AS piece))))")).as("e"))
+      .select(col("word"), col("e.i").as("i"), col("e.l").as("l"),
+        col("e.piece").as("piece"))
+      .join(vocab.select(col("piece"), col("cost_q")), Seq("piece"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(
+        struct(col("i"), col("l"), col("cost_q")))).as("edges"))
+    wfs.join(edges, Seq("word"))
+      // best[i] (1-based slot i+1) = min cost to segment word[1..i]
+      .withColumn("best", expr(
+        "aggregate(sequence(1, length(word)), array(0L), (acc, i) -> " +
+          "concat(acc, array(array_min(transform(" +
+          "filter(edges, e -> e.i = i), " +
+          "e -> element_at(acc, e.i - e.l + 1) + e.cost_q)))))"))
+      // canonical tie-break: smallest piece length among optimal edges
+      .withColumn("choice", expr(
+        "transform(sequence(1, length(word)), i -> " +
+          "array_min(transform(filter(edges, e -> e.i = i AND " +
+          "element_at(best, e.i - e.l + 1) + e.cost_q = " +
+          "element_at(best, e.i + 1)), e -> e.l)))"))
+      // backtrace: at most len steps; emitted back-to-front (order is
+      // irrelevant to usage counting and piece totals)
+      .withColumn("pieces", expr(
+        "aggregate(sequence(1, length(word)), " +
+          "named_struct('pos', length(word), " +
+          "'ps', CAST(array() AS array<string>)), " +
+          "(st, x) -> IF(st.pos > 0, named_struct(" +
+          "'pos', st.pos - element_at(choice, st.pos), " +
+          "'ps', concat(st.ps, array(substring(word, " +
+          "st.pos - element_at(choice, st.pos) + 1, " +
+          "element_at(choice, st.pos))))), st), st -> st.ps)"))
+  }
+
+  /** The shared trainer loop behind [[unigramVocab]]/[[unigramEncode]]:
+    * returns the final (piece, c, cost_q) vocabulary, pinned. */
+  private def unigramTrain(docs: DataFrame, maxPieceLen: Int,
+      vocabSize: Int, rounds: Int): DataFrame = {
+    require(maxPieceLen >= 2 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [2, 8], got $maxPieceLen")
+    require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
+    require(rounds >= 1 && rounds <= 10,
+      s"rounds must be in [1, 10], got $rounds")
+    val wf = unigramWordFreq(docs).pinned
+    val wfs = wf.where(length(col("word")) <= UnigramMaxWordLen)
+    val wfl = wf.where(length(col("word")) > UnigramMaxWordLen)
+    // seed: frequency-weighted substring occurrence counts (all words)
+    val sub = wf.select(col("word"), col("n"))
+      .select(explode(expr(
+        s"flatten(transform(sequence(1, length(word)), i -> " +
+          s"transform(sequence(1, least($maxPieceLen, i)), l -> " +
+          "substring(word, i - l + 1, l))))")).as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("c"))
+      .pinned
+    val singlesSet = sub.where(length(col("piece")) === 1)
+      .select(col("piece")).pinned
+    def withCosts(v: DataFrame): DataFrame = {
+      val tot = v.agg(sum(col("c")).as("tot")) // 1-row scalar
+      v.crossJoin(broadcast(tot))
+        .select(col("piece"), col("c"),
+          (length(bin(expr("tot div c"))) - 1).cast("long").as("cost_q"))
+        .pinned
+    }
+    var vocab = withCosts(
+      sub.where(length(col("piece")) === 1)
+        .unionByName(sub.where(length(col("piece")) >= 2)
+          .orderBy(col("c").desc, col("piece").asc).limit(vocabSize)))
+    for (_ <- 1 to rounds) {
+      val usageShort =
+        unigramSegments(wfs, vocab, maxPieceLen)
+          .select(explode(col("pieces")).as("piece"), col("n"))
+      val usageLong = wfl
+        .select(explode(split(col("word"), "")).as("piece"), col("n"))
+      val usage = usageShort.unionByName(usageLong)
+        .groupBy(col("piece")).agg(sum(col("n")).as("u"))
+        .pinned
+      val newSingles = singlesSet
+        .join(usage, Seq("piece"), "left")
+        .select(col("piece"),
+          (coalesce(col("u"), lit(0L)) + 1L).as("c"))
+      val newMultis = usage
+        .where(length(col("piece")) >= 2 && col("u") >= 1L)
+        .orderBy(col("u").desc, col("piece").asc).limit(vocabSize)
+        .select(col("piece"), (col("u") + 1L).as("c"))
+      vocab = withCosts(newSingles.unionByName(newMultis))
+    }
+    vocab
+  }
+
   /** Long-document chunking with overlap — the step that turns a
     * curated corpus into model-window-sized pieces (embedding
     * pipelines, RAG indexing, long-doc training): fixed `maxTokens`

@@ -221,6 +221,19 @@ class ScaleProbeSpec extends SparkSpec {
         "join must stay a keyed shuffle")
   }
 
+  test("unigramEncode at 10x sf0.1: vocabulary joins stay keyed, zero broadcasts") {
+    // constructing the frame RUNS the Viterbi-EM trainer (2 rounds,
+    // every intermediate pinned); the returned plan is the serving
+    // side: edge->vocab join, per-word DP projection, word-keyed
+    // corpus join, per-doc sum. The piece vocabulary grows with the
+    // corpus charset (the bpeEncode rule) — keyed shuffles only.
+    val plan = staticPlanOf(TextOps.unigramEncode(syntheticDocs(50000L)))
+    assertShuffleHealth("unigramEncode", plan)
+    val bc = broadcastSubtrees(plan)
+    assert(bc.isEmpty,
+      s"unigramEncode broadcasts ${bc.length} corpus-derived frame(s)")
+  }
+
   test("mixTemperature at 10x sf0.1: only 1-row scalar frames broadcast") {
     // the per-source roots frame is DATA-derived (unbounded at
     // domain-level mixing) so it carries no broadcast hint — with the

@@ -745,6 +745,39 @@ class TextOpsSpec extends SparkSpec {
       spark.conf.set(graft.operators.Stage.ReliableFlag, "false")
   }
 
+  test("unigramVocab: Viterbi-EM keeps used pieces, drops unused seeds, " +
+    "and re-derives exact bit-length costs") {
+    // wf: ab -> 2, abab -> 1. Seed counts: a 4, b 4, ab 4, ba/aba/bab/
+    // abab 1 each; V=2 keeps (ab, aba). tot 13, costs: a/b/ab
+    // floor(log2(13 div 4)) = 1, aba floor(log2 13) = 3. The E-step
+    // then segments both words as [ab]+ -> usage ab = 4, a/b unused;
+    // M-step: a/b smoothed to 1, ab to 5, aba pruned (zero usage);
+    // tot 7 -> costs a/b = floor(log2 7) = 2, ab = floor(log2 1) = 0.
+    val d = docsDf(Seq((1L, "ab ab abab", "en", "s")))
+    val v = TextOps.unigramVocab(d, maxPieceLen = 4, vocabSize = 2,
+      rounds = 1).collect()
+      .map(r => r.getAs[String]("piece") ->
+        ((r.getAs[Long]("rank"), r.getAs[Long]("c"),
+          r.getAs[Long]("cost_q")))).toMap
+    assert(v.keySet == Set("a", "b", "ab"))
+    assert(v("ab") == ((1L, 5L, 0L)))
+    assert(v("a") == ((2L, 1L, 2L)))
+    assert(v("b") == ((3L, 1L, 2L)))
+  }
+
+  test("unigramEncode: per-doc piece counts and NLL under the trained " +
+    "vocabulary; ties break to the smallest last piece") {
+    val d = docsDf(Seq((1L, "ab ab abab", "en", "s")))
+    val out = TextOps.unigramEncode(d, maxPieceLen = 4, vocabSize = 2,
+      rounds = 1).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    // ab -> [ab] (1 piece, cost 0) twice; abab -> [ab, ab] (2 pieces)
+    assert(r.getAs[Long]("n_pieces") == 4L)
+    assert(r.getAs[Long]("nll_sum") == 0L)
+    assert(r.getAs[Double]("avg_nll") == 0.0)
+  }
+
   test("extractHtml strips script/style wholesale, breaks lines at " +
     "structure, decodes entities last, and drops low-density lines") {
     val df = Seq((1L,
