@@ -1942,6 +1942,27 @@ object SuiteML {
           .stripMargin
       }),
 
+    // ---- multimodal: PNG decode arm — the other JDK image codec ---------
+    // Payloads are real PNGs (zlib-compressed IDAT) ENCODED by the JDK
+    // writer from formula pixels and decoded back by javax.imageio;
+    // the oracle replays the pixel statistics codec-free, so the match
+    // verifies the full round trip through real compression.
+    Q("mm_decode_png",
+      (s, d) => Multimodal.decodeFeatures(
+        Multimodal.syntheticPngMedia(docs(s, d))),
+      Some("""WITH img AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |         2 + doc_id % 5 AS h FROM documents),
+        |pxx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM img),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM pxx)
+        |SELECT doc_id, 'image' AS kind,
+        |       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(w * h AS BIGINT) AS n_units,
+        |       CAST(sum((doc_id*29 + x*5 + y*17) % 256) AS BIGINT) AS s0,
+        |       CAST(sum((doc_id*13 + x*19 + y*7) % 256) AS BIGINT) AS s1,
+        |       CAST(sum((y*w + x + 1) * ((doc_id*37 + x*2 + y*11) % 256))
+        |         AS BIGINT) AS s2
+        |FROM px GROUP BY doc_id, w, h""".stripMargin)),
+
     // ---- multimodal data-model contract: typed metadata columns ----------
     Q("mm_media_meta",
       (s, d) => Multimodal.toMedia(docs(s, d))

@@ -131,6 +131,55 @@ object Multimodal {
     buf.array()
   }
 
+  /** Deterministic RGB PNG: width 3 + id%6, height 2 + id%5; the
+    * pixel at (x, y) has channels
+    *   R = (id*29 + x*5  + y*17) % 256
+    *   G = (id*13 + x*19 + y*7)  % 256
+    *   B = (id*37 + x*2  + y*11) % 256.
+    * The bytes are produced by the JDK's own PNG ENCODER
+    * (javax.imageio) — zlib-compressed IDAT, nothing hand-rolled —
+    * and the decode side reads them back through the same platform
+    * codec; the oracle replays the statistics from the formulas, so
+    * the round trip through real compression is what's verified. */
+  private[operators] def pngBytes(id: Long): Array[Byte] = {
+    require(id >= 0, s"doc id must be non-negative, got $id")
+    val w = 3 + (id % 6).toInt
+    val h = 2 + (id % 5).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((id * 29 + x * 5 + y * 17) % 256).toInt
+        val g = ((id * 13 + x * 19 + y * 7) % 256).toInt
+        val b = ((id * 37 + x * 2 + y * 11) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "png", out),
+      "JDK PNG writer unavailable")
+    out.toByteArray
+  }
+
+  /** All-PNG media frame over the documents table — the [[syntheticMedia]]
+    * shape with every row carrying a real PNG payload (the BMP/WAV/stub
+    * arm split keys on doc_id % 3 and is pinned by its own oracle; this
+    * frame exercises the PNG decode arm on every doc). */
+  def syntheticPngMedia(docs: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaSchema)
+    docs.select(col("doc_id"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          Row(id, "image/png", pngBytes(id))
+        }
+      }(enc)
+  }
+
   /** Deterministic PCM16 mono WAV at 8 kHz: 40 + id%25 samples,
     * sample(i) = (id*7919 + i*104729) % 65536 - 32768 (signed 16-bit,
     * little-endian per the WAV spec). */
@@ -192,7 +241,10 @@ object Multimodal {
     StructField("s1", LongType),
     StructField("s2", LongType)))
 
-  private def decodeBmpRow(id: Long, bytes: Array[Byte]): Row = {
+  /** Format-agnostic image decode: javax.imageio sniffs the container
+    * (BMP and PNG readers both ship in the JDK) and the statistics
+    * are of the DECODED pixels. */
+  private def decodeImageRow(id: Long, bytes: Array[Byte]): Row = {
     val img = javax.imageio.ImageIO.read(
       new java.io.ByteArrayInputStream(bytes))
     if (img == null) Row(id, "decode_error", null, null, 0L, 0L, 0L, 0L)
@@ -248,7 +300,7 @@ object Multimodal {
   }
 
   /** REAL decode/feature-extract over media rows, dispatched by media
-    * type: BMP via javax.imageio (decoded pixel statistics: R-sum,
+    * type: BMP/PNG via javax.imageio (decoded pixel statistics: R-sum,
     * G-sum, position-weighted B-sum), WAV via javax.sound.sampled
     * (decoded sample statistics: sum, abs-sum, position-weighted sum),
     * anything else through [[featureStub]]'s integer lanes (the
@@ -269,7 +321,7 @@ object Multimodal {
             .getOrElse(Array.emptyByteArray)
           if (bytes.isEmpty) Row(id, "empty", null, null, 0L, 0L, 0L, 0L)
           else r.getString(1) match {
-            case "image/bmp" => decodeBmpRow(id, bytes)
+            case "image/bmp" | "image/png" => decodeImageRow(id, bytes)
             case "audio/wav" => decodeWavRow(id, bytes)
             case _ =>
               val m = stubMills(bytes)

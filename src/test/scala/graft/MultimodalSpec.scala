@@ -108,6 +108,29 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeFeatures: PNG pixels survive the encode->zlib->decode " +
+      "round trip and match the generation formula") {
+    val ids = Seq(0L, 1L, 2L, 7L, 29L) // several (w, h) classes
+    val out = Multimodal.decodeFeatures(
+      Multimodal.syntheticPngMedia(docsDfIds(ids)))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    ids.foreach { id =>
+      val w = 3 + (id % 6); val h = 2 + (id % 5)
+      var s0 = 0L; var s1 = 0L; var s2 = 0L
+      for (y <- 0L until h; x <- 0L until w) {
+        s0 += (id * 29 + x * 5 + y * 17) % 256
+        s1 += (id * 13 + x * 19 + y * 7) % 256
+        s2 += (y * w + x + 1) * ((id * 37 + x * 2 + y * 11) % 256)
+      }
+      val r = out(id)
+      assert(r.getString(1) == "image", s"doc $id kind")
+      assert(r.getLong(2) == w && r.getLong(3) == h, s"doc $id dims")
+      assert(r.getLong(4) == w * h, s"doc $id n_units")
+      assert(r.getLong(5) == s0 && r.getLong(6) == s1 &&
+        r.getLong(7) == s2, s"doc $id sums")
+    }
+  }
+
   test("decodeFeatures: WAV samples decoded by javax.sound.sampled " +
       "match the generation formula in order") {
     val ids = Seq(1L, 4L, 7L, 25L)
