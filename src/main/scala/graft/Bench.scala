@@ -22,27 +22,41 @@ object Bench {
     // drop DataFrame caches populated by the warm-up: a cached cube
     // would make the timed pass measure a cache scan, not the query
     spark.catalog.clearCache()
+    // median of 3 in-process repeats per query: the driver's bench is
+    // single-run and has produced uniform 1.3x swings between rounds
+    // with no engine change behind them (r9 vs r10) — the median
+    // suppresses one-off GC/JIT/page-cache outliers while staying one
+    // JVM and one invocation; the raw repeats ride along so any
+    // remaining swing is attributable from the artifact itself
+    val Repeats = 3
     val results = queries.map { q =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
-          true
-        } catch { case _: Throwable => false }
-      val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
-      spark.catalog.clearCache()
-      (q.name, elapsed, ok)
+      val runs = (1 to Repeats).map { _ =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            q.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
+        spark.catalog.clearCache()
+        (elapsed, ok)
+      }
+      val median = runs.map(_._1).sorted.apply(Repeats / 2)
+      (q.name, median, runs.forall(_._2), runs.map(_._1))
     }
     val good = results.filter(_._3)
-    val qs = good.map { case (k, v, _) => "\"" + k + "\":" + v }
+    val qs = good.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val reps = good.map { case (k, _, _, rs) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
       .mkString("[", ",", "]")
     // a crashing query must make the metric WORSE, not quietly shrink
     // it: each failure contributes a 600s penalty to the total
     val total = good.map(_._2).sum + results.count(!_._3) * 600.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // sbt interleaves its own logging with stdout, which has broken the
     // driver's JSON scrape before ("parsed": null in BENCH_r09) — also
