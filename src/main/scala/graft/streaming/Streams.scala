@@ -116,6 +116,15 @@ object Streams {
   private def readShardManifest(fs: org.apache.hadoop.fs.FileSystem,
       gen: org.apache.hadoop.fs.Path): Option[Map[Int, Long]] = {
     val p = new org.apache.hadoop.fs.Path(gen, ManifestFile)
+    val next = new org.apache.hadoop.fs.Path(gen, ManifestFile + ".next")
+    // a compaction that died between its delete and rename leaves the
+    // COMPLETE staged manifest at `.next` and no main — promote it
+    // (idempotent: when two readers race, the loser's rename fails
+    // and the main the winner installed is read instead)
+    if (!fs.exists(p) && fs.exists(next)) {
+      fs.rename(next, p)
+      ()
+    }
     if (!fs.exists(p)) None
     else Some("\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(readUtf8(fs, p))
       .map(m => m.group(1).toInt -> m.group(2).toLong).toMap)
@@ -151,7 +160,7 @@ object Streams {
     * docs are genuinely new, so the check must live at bind time. */
   private def bindParams(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path,
-      params: Map[String, String]): Unit = {
+      params: Map[String, String], versions: Seq[Long]): Unit = {
     val p = new org.apache.hadoop.fs.Path(root, ParamsFile)
     def verify(): Unit = {
       val stored = readParams(fs, root)
@@ -167,6 +176,19 @@ object Streams {
     }
     if (fs.exists(p)) verify()
     else {
+      // a sidecar-less state with COMMITTED versions predates the
+      // sidecar: adopting the sink's CURRENT configuration as its
+      // truth would be exactly the silent drift the sidecar refuses —
+      // the first post-upgrade resume of a drifted sink would fold one
+      // batch wrong and then permanently record the drifted values as
+      // correct. Refuse; the operator attests the original parameters
+      // with adoptStateParams after checking them out-of-band.
+      require(versions.isEmpty,
+        s"state at $root has committed version(s) but no " +
+          s"$ParamsFile sidecar (built before parameter pinning). " +
+          "Refusing to adopt the current sink configuration as its " +
+          "truth — verify the original parameters and stamp them " +
+          "with Streams.adoptStateParams, or rebuild the state.")
       val tmp = new org.apache.hadoop.fs.Path(root,
         ParamsFile + ".tmp-" + java.util.UUID.randomUUID())
       val out = fs.create(tmp, false)
@@ -177,6 +199,39 @@ object Streams {
       if (fs.exists(tmp)) fs.delete(tmp, false)
       verify()
     }
+  }
+
+  /** Explicit migration for a pre-sidecar state: stamp the ATTESTED
+    * original construction parameters onto an existing versioned
+    * state that has none recorded. This is the operator saying "I
+    * checked what this state was built with" — the sink itself
+    * refuses to guess (see [[bindParams]]). `params` must be the full
+    * map the owning sink binds, including `nShards` (e.g.
+    * `Map("nShards" -> "64")` for [[dedupExactSink]]; dsir sinks add
+    * their target/bucket keys). Refuses if a sidecar already exists
+    * or the state has no committed versions (a fresh state binds
+    * itself on the first batch). */
+  def adoptStateParams(s: org.apache.spark.sql.SparkSession,
+      statePath: String, params: Map[String, String]): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(root, ParamsFile)
+    require(!fs.exists(p),
+      s"state at $statePath already has a $ParamsFile sidecar; " +
+        "adoption is only for pre-sidecar states.")
+    require(committedVersions(fs, root).nonEmpty,
+      s"no committed state at $statePath; a fresh sink binds its own " +
+        "parameters on the first batch.")
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      ParamsFile + ".tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, false)
+    try out.write(params.toSeq.sorted
+      .map { case (k, v) => s"$k=$v" }.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    fs.rename(tmp, p)
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    require(readParams(fs, root) == params,
+      s"adoption race at $statePath: the surviving sidecar differs")
   }
 
   /** The statePath↔checkpoint binding marker. Version-vs-batchId
@@ -704,7 +759,8 @@ object Streams {
           bindRun(fs, root, checkpointQueryId(
             s.sparkContext.hadoopConfiguration, checkpointLocation),
             versions)
-          bindParams(fs, root, params + ("nShards" -> nShards.toString))
+          bindParams(fs, root, params + ("nShards" -> nShards.toString),
+            committedVersions(fs, root))
           // within a bound run, a version AHEAD of the current batch can
           // still appear if the checkpoint directory was cleared but the
           // marker-bearing statePath was not: folding from an empty
@@ -788,6 +844,23 @@ object Streams {
             s"merge dropped every row of shard(s) ${lost.sorted.mkString(",")}" +
               s" at $statePath b$batchId; fold merges must never " +
               "delete a shard's last row.")
+          // the MIGRATION batch has no predecessor manifest for the
+          // check above to lean on, yet it is the highest-risk fold of
+          // a state's lifetime (the one full re-homing rewrite): pin
+          // it by coverage — every shard the predecessor's keys hash
+          // into must exist in the produced set. One extra aggregate
+          // over the legacy state, on the one batch that reads it in
+          // full anyway.
+          if (migrating) {
+            val prevShards = prev.select(shardOf(nShards).cast("int")
+              .as("s")).distinct().collect().map(_.getInt(0))
+            val dropped = prevShards.filterNot(produced.contains)
+            require(dropped.isEmpty,
+              "migration dropped every row of shard(s) " +
+                dropped.sorted.mkString(",") +
+                s" at $statePath b$batchId; the re-homing rewrite " +
+                "must cover every legacy key.")
+          }
           val manifest = prevManifest.getOrElse(Map.empty[Int, Long])
             .view.filterKeys(k => !produced.contains(k)).toMap ++
             produced.map(_ -> batchId)
@@ -850,6 +923,89 @@ object Streams {
   /** [[foldState]] under its historical name — the exact-dedup reader. */
   def dedupState(s: org.apache.spark.sql.SparkSession,
       statePath: String): DataFrame = foldState(s, statePath)
+
+  /** Consolidate a fold state's manifest chain — the maintenance twin
+    * of Warehouse.compact for [[versionedFoldSink]] states. After many
+    * batches the current generation's manifest references shard
+    * directories scattered over up to nShards OLDER generations (each
+    * batch re-homes only the shards it touches), so a cold
+    * [[foldState]] read fans over that many directories. Compaction
+    * copies every such shard into the CURRENT generation's directory
+    * and repoints the manifest at itself; the chain is then length 1
+    * logically, and the NEXT committed batch's standard prune drops
+    * the old directories physically (its predecessor — the compacted
+    * generation — references nothing older).
+    *
+    * Compaction DELETES nothing: the predecessor generation and every
+    * directory its manifest references stay untouched, so the sink's
+    * crash-replay contract (a replayed batch deletes its own
+    * generation wholesale and re-folds from the predecessor) is
+    * preserved even when a replay races a finished compaction. Crash
+    * safety of compaction itself: copied shard directories are
+    * orphans until the single manifest swap, which stages the
+    * complete new manifest at `.next`, deletes the main, and renames
+    * — [[readShardManifest]] heals the missing-main window by
+    * promoting a complete `.next`. A killed compaction is invisible
+    * to readers and to the sink; re-running completes it. One
+    * compactor at a time per state (the single-writer contract).
+    *
+    * Returns the number of shard directories re-homed (0 when the
+    * state was already compact or is a pre-sharding layout).
+    * `failpoint` instruments the crash windows for the recovery spec. */
+  def compactState(s: org.apache.spark.sql.SparkSession,
+      statePath: String,
+      failpoint: String => Unit = _ => ()): Int = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val versions = committedVersions(fs, root)
+    require(versions.nonEmpty, s"no state committed at $statePath")
+    val m = versions.max
+    val gen = new org.apache.hadoop.fs.Path(root, s"b$m")
+    readShardManifest(fs, gen) match {
+      case None => 0 // pre-sharding layout: one directory already
+      case Some(manifest) =>
+        val stale = manifest.filter(_._2 != m).toSeq.sortBy(_._1)
+        if (stale.isEmpty) 0
+        else {
+          // bounded driver loop: at most nShards entries by
+          // construction. Each copy reads one shard directory and
+          // writes it flat into the current generation; a leftover
+          // from a crashed prior compaction is replaced wholesale.
+          stale.foreach { case (k, g) =>
+            val dest = new org.apache.hadoop.fs.Path(gen,
+              s"$ShardPrefix$k")
+            if (fs.exists(dest)) fs.delete(dest, true)
+            val tmp = new org.apache.hadoop.fs.Path(gen,
+              s".compact-$k-" + java.util.UUID.randomUUID())
+            // natural parallelism: a shard is O(state/nShards) — at
+            // cluster scale that is not a one-task write
+            s.read.parquet(s"$statePath/b$g/$ShardPrefix$k")
+              .write.parquet(tmp.toString)
+            require(fs.rename(tmp, dest),
+              s"could not move compacted shard $k into $gen")
+          }
+          failpoint("shards-copied")
+          // the one committing swap: stage the full manifest, delete
+          // the main, rename — a crash between the last two steps is
+          // healed by readShardManifest's .next promotion
+          val main = new org.apache.hadoop.fs.Path(gen, ManifestFile)
+          val next = new org.apache.hadoop.fs.Path(gen,
+            ManifestFile + ".next")
+          val out = fs.create(next, true)
+          try out.write(manifest.keys.toSeq.sorted
+            .map(k => s""""$k":$m""").mkString("{", ",", "}")
+            .getBytes("UTF-8"))
+          finally out.close()
+          failpoint("next-staged")
+          fs.delete(main, false)
+          failpoint("main-deleted")
+          require(fs.rename(next, main),
+            s"could not commit compacted manifest at $gen (staged at " +
+              s"$next — readers heal it on the next read)")
+          stale.size
+        }
+    }
+  }
 
   case class Ev(user_id: Long, ts: Timestamp, event_type: String,
       value: Double)

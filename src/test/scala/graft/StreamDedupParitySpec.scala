@@ -769,4 +769,138 @@ class StreamDedupParitySpec extends SparkSpec {
         s"$label: " + causes(e).map(_.getMessage).mkString(" | "))
     }
   }
+
+  test("compactState collapses the manifest chain; a kill in any window " +
+    "leaves readers unchanged; the next batch prunes the old chain") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_compact_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_compact_ck").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_compact_st").resolve("st").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = Streams.dedupExactSink(stream, statePath, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish")
+    }
+    // three batches so the current manifest references shards spread
+    // over multiple generations (each batch re-homes only the shards
+    // its hashes touch)
+    Seq(docs.where($"doc_id" < 20),
+      docs.where($"doc_id" >= 20 && $"doc_id" < 25),
+      docs.where($"doc_id" >= 25 && $"doc_id" < 30))
+      .foreach(_.coalesce(1).write.mode("append")
+        .parquet(streamDir.toString))
+    run()
+    def manifestGens(gen: Long): Set[Long] = {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$statePath/b$gen/_shards.json")),
+        "UTF-8")
+      "\"(\\d+)\"\\s*:\\s*(\\d+)".r.findAllMatchIn(txt)
+        .map(_.group(2).toLong).toSet
+    }
+    assert(manifestGens(2).size >= 2,
+      "fixture did not build a multi-generation chain")
+    val before = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+
+    // a kill in EACH crash window must leave the readable state
+    // unchanged (the main-deleted window exercises the .next heal)
+    for (window <- Seq("shards-copied", "next-staged", "main-deleted")) {
+      val boom = intercept[RuntimeException] {
+        Streams.compactState(spark, statePath,
+          fp => if (fp == window) throw new RuntimeException(s"kill@$fp"))
+      }
+      assert(boom.getMessage.contains(window))
+      val after = Streams.foldState(spark, statePath)
+        .collect().map(_.toString).sorted
+      assert(after.sameElements(before),
+        s"state changed after a compaction killed at '$window'")
+    }
+    // note: the main-deleted kill left .next in place; the heal
+    // already promoted it during the read above, which is itself the
+    // completed swap — re-running compaction from there is a no-op or
+    // a completion, both correct
+    Streams.compactState(spark, statePath)
+    assert(manifestGens(2) == Set(2L),
+      "compacted manifest should reference only the current generation")
+    val compacted = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    assert(compacted.sameElements(before))
+
+    // the NEXT batch folds from the compacted generation and its
+    // standard prune physically drops the old chain
+    docs.where($"doc_id" >= 30 && $"doc_id" < 35).coalesce(1)
+      .write.mode("append").parquet(streamDir.toString)
+    run()
+    assert(!new java.io.File(s"$statePath/b0").exists() &&
+      !new java.io.File(s"$statePath/b1").exists(),
+      "pre-compaction generations should be pruned after the next batch")
+    val finalState = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.dedupExact(docs.where($"doc_id" < 35))
+      .collect().map(_.toString).sorted
+    assert(finalState.sameElements(expected))
+  }
+
+  test("a sidecar-less state with committed versions REFUSES to adopt " +
+    "the sink's current parameters; adoptStateParams migrates it") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_adopt_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_adopt_ck").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_adopt_st").resolve("st").toString
+    def run(): org.apache.spark.sql.streaming.StreamingQuery = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      Streams.dedupExactSink(stream, statePath, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    docs.where($"doc_id" < 20).coalesce(1).write.mode("append")
+      .parquet(streamDir.toString)
+    val q0 = run()
+    assert(q0.awaitTermination(180000))
+    // simulate a pre-sidecar state: committed versions, no _params
+    assert(java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(statePath, "_params")))
+    docs.where($"doc_id" >= 20 && $"doc_id" < 40).coalesce(1)
+      .write.mode("append").parquet(streamDir.toString)
+    // the resume must REFUSE rather than write-once-adopt the current
+    // configuration as the state's recorded truth
+    val q1 = run()
+    val boom = intercept[org.apache.spark.sql.streaming
+      .StreamingQueryException] { q1.awaitTermination() }
+    def causes(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+    assert(causes(boom).exists(_.getMessage != null) &&
+      causes(boom).exists(c => Option(c.getMessage)
+        .exists(_.contains("adoptStateParams"))),
+      causes(boom).map(_.getMessage).mkString(" | "))
+    // the operator attests the original parameters; the resume then
+    // completes and the state converges to the batch answer
+    Streams.adoptStateParams(spark, statePath,
+      Map("nShards" -> Streams.DefaultStateShards.toString))
+    val q2 = run()
+    assert(q2.awaitTermination(180000))
+    val got = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.dedupExact(docs.where($"doc_id" < 40))
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(expected))
+  }
 }
