@@ -985,6 +985,63 @@ object TextOps {
         col("df"), col("idf_q"), col("score")))
   }
 
+  /** The unified curation pipeline — the whole front-to-back chain a
+    * web corpus runs before training, composed from the engine's own
+    * operators with NOTHING recomputed from the raw input between
+    * stages: each stage's survivor frame is pinned (Stage.pinned)
+    * once and feeds both its own filter and the next stage, so the
+    * corpus is read once and every later stage touches only
+    * survivors. Input is the raw MARKUP frame (doc_id, source, lang,
+    * html); the stages are
+    *
+    *  1. [[extractHtml]] — markup -> text (kept lines re-join with
+    *     spaces, keeping the token stream whitespace-clean);
+    *  2. [[dedupExact]] — smallest doc_id per content hash survives;
+    *  3. [[langId]] — keep docs whose corpus-profile prediction
+    *     matches their recorded language (mislabel drop);
+    *  4. [[qualityFilter]] — keep only `keep` docs (tier/PII/length);
+    *  5. [[dedupSpans]] — cross-doc duplicated runs of `spanK` tokens
+    *     excise; fully-duplicated docs drop;
+    *  6. [[lmScore]] — keep docs whose quantized bigram NLL stays at
+    *     or below `lmKeepMilli` per mille per bigram (the CCNet
+    *     perplexity gate), compared in exact integers;
+    *  7. [[mixTemperature]] — the mT5/XLM-R source-mixing subsample;
+    *  8. [[seqPack]] — survivors pack into fixed-budget sequences.
+    *
+    * Returns [[seqPack]]'s frame (doc_id, lang, shard, n_tokens,
+    * pack_id, pack_fill) over the curated corpus. Every stage is the
+    * operator already oracle-checked in isolation; the e2e oracle
+    * replays the full chain, pinning the COMPOSITION (column
+    * contracts between stages, filter arms, survivor joins). */
+  def curate(raw: DataFrame, spanK: Int = 8, lmKeepMilli: Long = 3950L,
+      maxChars: Long = 100000L, packBudget: Long = 512L,
+      packShard: Long = 200L): DataFrame = {
+    val meta = raw.select(col("doc_id"), col("source"), col("lang"))
+    val d1 = extractHtml(raw)
+      .select(col("doc_id"),
+        regexp_replace(col("text_extracted"), "\n", " ").as("text"))
+      .join(meta, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+      .pinned
+    val d2 = d1.join(dedupExact(d1)
+      .select(col("kept_doc_id").as("doc_id")), Seq("doc_id")).pinned
+    val d3 = d2.join(langId(d2).where(col("correct"))
+      .select(col("doc_id")), Seq("doc_id")).pinned
+    val d4 = d3.join(qualityFilter(d3, maxChars).where(col("keep"))
+      .select(col("doc_id")), Seq("doc_id")).pinned
+    val d5 = d4.drop("text")
+      .join(dedupSpans(d4, spanK).where(col("text_clean") =!= "")
+        .select(col("doc_id"), col("text_clean").as("text")),
+        Seq("doc_id"))
+      .pinned
+    val d6 = d5.join(lmScore(d5)
+      .where(col("nll_sum") * 1000 <= col("n_bigrams") * lmKeepMilli)
+      .select(col("doc_id")), Seq("doc_id")).pinned
+    val d7 = d6.join(mixTemperature(d6).select(col("doc_id")),
+      Seq("doc_id")).pinned
+    seqPack(d7, packBudget, packShard)
+  }
+
   case class PackIn(doc_id: Long, lang: String, shard: Long,
       n_tokens: Long)
   case class PackOut(doc_id: Long, lang: String, shard: Long,
