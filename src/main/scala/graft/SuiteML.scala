@@ -73,14 +73,7 @@ object SuiteML {
   private val UnigramV = 32
   private val UnigramRounds = 2
 
-  /** Curation-pipeline parameters (text_curate_e2e), shared between
-    * the Spark chain and its oracle. The span window is wider than
-    * dedup_span_removal's so the fixture's per-chunk "& more" seams
-    * don't excise the whole corpus; the LM gate sits just above the
-    * corpus median NLL (3930/4000 per mille at sf0.01/0.1), keeping
-    * both filter arms non-vacuous at both driver scales. */
-  private val CurateSpanK = 8
-  private val CurateLmMilli = 3950L
+
 
   /** The unigram-LM Viterbi-EM trainer as generated DuckDB CTEs —
     * the [[bpeCtes]] discipline applied to the harder loop: seed
@@ -282,6 +275,125 @@ object SuiteML {
   /** Quality-filter length cap and decontamination split modulus,
     * shared by the Spark calls and their oracles. */
   private val QfMaxChars = 100000L
+
+  /** Curation-pipeline parameters (text_curate_e2e), shared between
+    * the Spark chain and its oracle. The span window is wider than
+    * dedup_span_removal's so the fixture's per-chunk "& more" seams
+    * don't excise the whole corpus; the LM gate sits just above the
+    * corpus median NLL (3930/4000 per mille at sf0.01/0.1), keeping
+    * both filter arms non-vacuous at both driver scales. */
+  private val CurateSpanK = 8
+  private val CurateLmMilli = 3950L
+
+  /** The curation chain as shared DuckDB CTEs (fixture -> extract ->
+    * dedup -> langid -> quality -> spans -> LM gate -> mix), ending at
+    * the survivor frame d7 — spliced into both the e2e row (which
+    * appends the packing recurrence) and the funnel-report row so the
+    * two replays cannot drift. MATERIALIZED throughout: the d-frames
+    * are multiply referenced and DuckDB default-inlines CTEs. */
+  private val CurateCtes = s"""WITH RECURSIVE
+    |w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    |h AS (SELECT doc_id,
+    |  '$HtmlFixtureHead'
+    |  || array_to_string(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+    |       i -> '<p>' || array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ')
+    |        || ' &amp; more</p>'), '')
+    |  || '$HtmlFixtureTail' AS html FROM w0),
+    |e1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM h),
+    |e2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM e1),
+    |e3 AS (SELECT doc_id, regexp_replace(x, '(?i)<(br|/p|/div|/li|/ul|/nav|/title|/h[1-6]|/tr)[^>]*>', chr(10), 'g') AS x FROM e2),
+    |e4 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM e3),
+    |e5 AS (SELECT doc_id, replace(replace(replace(replace(replace(x,
+    |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&') AS x FROM e4),
+    |lns AS (SELECT doc_id, list_filter(list_transform(string_split(x, chr(10)),
+    |         l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))), l -> l <> '') AS lines FROM e5),
+    |d1 AS MATERIALIZED (
+    |  SELECT m.doc_id, m.source, m.lang,
+    |         array_to_string(list_filter(lines, l -> len(string_split(l, ' ')) >= 4), ' ') AS text
+    |  FROM lns JOIN documents m USING (doc_id)),
+    |keep2 AS (SELECT MIN(doc_id) AS doc_id FROM d1 GROUP BY md5(text)),
+    |d2 AS MATERIALIZED (SELECT d1.* FROM d1 JOIN keep2 USING (doc_id)),
+    |tok1 AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM d2),
+    |tokl AS (SELECT t.doc_id, t.word, d.lang FROM tok1 t JOIN d2 d USING (doc_id)),
+    |prof AS (SELECT lang AS cand_lang, word, count(*) AS n_lw FROM tokl GROUP BY 1, 2),
+    |lsize AS (SELECT lang AS cand_lang, count(*) AS n_l FROM tokl GROUP BY 1),
+    |dwc AS (SELECT doc_id, word, count(*) AS c_dw FROM tok1 GROUP BY 1, 2),
+    |sc AS (SELECT doc_id, cand_lang, SUM(c_dw * n_lw) AS dot FROM dwc JOIN prof USING (word) GROUP BY 1, 2),
+    |sc2 AS (SELECT s.doc_id, s.cand_lang, CAST(dot AS DOUBLE) / n_l AS score FROM sc s JOIN lsize USING (cand_lang)),
+    |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM (
+    |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn FROM sc2) WHERE rn = 1),
+    |d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN pred USING (doc_id) WHERE pred.pred_lang = d2.lang),
+    |qst AS (SELECT doc_id,
+    |          CAST(length(text) AS BIGINT) AS n_chars,
+    |          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
+    |          CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
+    |          CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS BIGINT) AS n_stopwords,
+    |          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+    |          CAST(len(regexp_extract_all(text, '[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_digit_runs
+    |        FROM d3),
+    |d4 AS MATERIALIZED (
+    |  SELECT d3.* FROM d3 JOIN qst USING (doc_id)
+    |  WHERE NOT (n_tokens < 20 OR n_stopwords * 4 > n_tokens OR n_distinct * 5 < n_tokens)
+    |    AND n_emails + n_digit_runs = 0 AND n_chars <= $QfMaxChars),
+    |w4 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM d4),
+    |occ AS MATERIALIZED (
+    |  SELECT doc_id, i AS pos,
+    |         md5(array_to_string(list_slice(w, i + 1, i + $CurateSpanK), ' ')) AS sh
+    |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - $CurateSpanK + 1)) AS i
+    |        FROM w4 WHERE len(w) >= $CurateSpanK)),
+    |stats AS (SELECT sh, count(DISTINCT doc_id) AS df, MIN(doc_id) AS min_doc FROM occ GROUP BY 1),
+    |covered AS (SELECT DISTINCT o.doc_id, o.pos + u.k AS pos
+    |            FROM occ o JOIN stats s USING (sh), (SELECT unnest(range(0, $CurateSpanK)) AS k) u
+    |            WHERE s.df >= 2 AND o.doc_id <> s.min_doc),
+    |toks4 AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
+    |          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w4)),
+    |kept5 AS (SELECT t.doc_id, t.pos, t.tok FROM toks4 t
+    |          LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+    |          WHERE c.doc_id IS NULL),
+    |reb AS (SELECT doc_id, array_to_string(list_transform(
+    |          list_sort(list(struct_pack(pos := pos, tok := tok))), r -> r.tok), ' ') AS text_clean
+    |        FROM kept5 GROUP BY doc_id),
+    |d5 AS MATERIALIZED (
+    |  SELECT d4.doc_id, d4.source, d4.lang, r.text_clean AS text
+    |  FROM d4 JOIN reb r USING (doc_id) WHERE r.text_clean <> ''),
+    |bg AS MATERIALIZED (
+    |  SELECT doc_id, lhs, rhs, count(*) AS k FROM (
+    |    SELECT doc_id, w[i] AS lhs, w[i+1] AS rhs
+    |    FROM (SELECT doc_id, string_split(text,' ') AS w FROM d5),
+    |         LATERAL (SELECT unnest(range(1, len(w))) AS i)
+    |  ) GROUP BY 1, 2, 3),
+    |lm AS (SELECT lhs, rhs, CAST(SUM(k) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
+    |ctx AS (SELECT lhs, CAST(SUM(c_ab) AS BIGINT) AS c_lhs FROM lm GROUP BY 1),
+    |lmsc AS (SELECT b.doc_id,
+    |           CAST(SUM(b.k * (length(bin(c_lhs // c_ab)) - 1)) AS BIGINT) AS nll_sum,
+    |           CAST(SUM(b.k) AS BIGINT) AS n_bigrams
+    |         FROM bg b JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs) GROUP BY 1),
+    |d6 AS MATERIALIZED (
+    |  SELECT d5.* FROM d5 JOIN lmsc USING (doc_id)
+    |  WHERE nll_sum * 1000 <= n_bigrams * $CurateLmMilli),
+    |t6 AS (SELECT doc_id, source, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM d6),
+    |bs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens FROM t6 GROUP BY 1),
+    |rt AS (SELECT source, source_tokens,
+    |         list_max(list_filter([g - 2, g - 1, g, g + 1, g + 2],
+    |           x -> x >= 1 AND CAST(x AS HUGEINT) * x <= source_tokens)) AS t_s
+    |       FROM (SELECT source, source_tokens,
+    |               CAST(POWER(CAST(source_tokens AS DOUBLE), 0.5) AS BIGINT) AS g FROM bs)),
+    |tt AS (SELECT CAST(sum(t_s) AS BIGINT) AS tot_t FROM rt),
+    |bb AS (SELECT MIN(CAST(CAST(source_tokens AS HUGEINT) * tot_t // t_s AS BIGINT)) AS budget FROM rt, tt),
+    |rr AS (SELECT source, LEAST(CAST(1000 AS BIGINT),
+    |         CAST(CAST(budget AS HUGEINT) * t_s * 1000
+    |           // (CAST(tot_t AS HUGEINT) * source_tokens) AS BIGINT)) AS keep_permille
+    |       FROM rt, tt, bb),
+    |mk AS (SELECT t6.*, rr.keep_permille,
+    |         CAST(((strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
+    |             + (strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
+    |             + (strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
+    |             + (strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS BIGINT) AS bucket
+    |       FROM t6 JOIN rr USING (source)),
+    |d7 AS MATERIALIZED (
+    |  SELECT d6.doc_id, d6.lang, d6.text FROM d6 JOIN mk USING (doc_id)
+    |  WHERE mk.bucket < mk.keep_permille)"""
+    .stripMargin
   private val DecontMod = 20L
 
   /** Quantized-embedding oracle CTEs: q = round(x*1000) bigints,
@@ -1318,108 +1430,7 @@ object SuiteML {
         spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
         maxChars = QfMaxChars, packBudget = PackBudget,
         packShard = PackShard),
-      Some(s"""WITH RECURSIVE
-        |w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |h AS (SELECT doc_id,
-        |  '$HtmlFixtureHead'
-        |  || array_to_string(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
-        |       i -> '<p>' || array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ')
-        |            || ' &amp; more</p>'), '')
-        |  || '$HtmlFixtureTail' AS html FROM w0),
-        |e1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS x FROM h),
-        |e2 AS (SELECT doc_id, regexp_replace(x, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS x FROM e1),
-        |e3 AS (SELECT doc_id, regexp_replace(x, '(?i)<(br|/p|/div|/li|/ul|/nav|/title|/h[1-6]|/tr)[^>]*>', chr(10), 'g') AS x FROM e2),
-        |e4 AS (SELECT doc_id, regexp_replace(x, '<[^>]*>', ' ', 'g') AS x FROM e3),
-        |e5 AS (SELECT doc_id, replace(replace(replace(replace(replace(x,
-        |         '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&nbsp;', ' '), '&amp;', '&') AS x FROM e4),
-        |lns AS (SELECT doc_id, list_filter(list_transform(string_split(x, chr(10)),
-        |         l -> trim(regexp_replace(l, '\\s+', ' ', 'g'))), l -> l <> '') AS lines FROM e5),
-        |d1 AS MATERIALIZED (
-        |  SELECT m.doc_id, m.source, m.lang,
-        |         array_to_string(list_filter(lines, l -> len(string_split(l, ' ')) >= 4), ' ') AS text
-        |  FROM lns JOIN documents m USING (doc_id)),
-        |keep2 AS (SELECT MIN(doc_id) AS doc_id FROM d1 GROUP BY md5(text)),
-        |d2 AS MATERIALIZED (SELECT d1.* FROM d1 JOIN keep2 USING (doc_id)),
-        |tok1 AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM d2),
-        |tokl AS (SELECT t.doc_id, t.word, d.lang FROM tok1 t JOIN d2 d USING (doc_id)),
-        |prof AS (SELECT lang AS cand_lang, word, count(*) AS n_lw FROM tokl GROUP BY 1, 2),
-        |lsize AS (SELECT lang AS cand_lang, count(*) AS n_l FROM tokl GROUP BY 1),
-        |dwc AS (SELECT doc_id, word, count(*) AS c_dw FROM tok1 GROUP BY 1, 2),
-        |sc AS (SELECT doc_id, cand_lang, SUM(c_dw * n_lw) AS dot FROM dwc JOIN prof USING (word) GROUP BY 1, 2),
-        |sc2 AS (SELECT s.doc_id, s.cand_lang, CAST(dot AS DOUBLE) / n_l AS score FROM sc s JOIN lsize USING (cand_lang)),
-        |pred AS (SELECT doc_id, cand_lang AS pred_lang FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cand_lang) AS rn FROM sc2) WHERE rn = 1),
-        |d3 AS MATERIALIZED (SELECT d2.* FROM d2 JOIN pred USING (doc_id) WHERE pred.pred_lang = d2.lang),
-        |qst AS (SELECT doc_id,
-        |          CAST(length(text) AS BIGINT) AS n_chars,
-        |          CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens,
-        |          CAST(len(list_distinct(string_split(text,' '))) AS BIGINT) AS n_distinct,
-        |          CAST(len(list_filter(string_split(text,' '), x -> x IN ('the','a'))) AS BIGINT) AS n_stopwords,
-        |          CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
-        |          CAST(len(regexp_extract_all(text, '[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_digit_runs
-        |        FROM d3),
-        |d4 AS MATERIALIZED (
-        |  SELECT d3.* FROM d3 JOIN qst USING (doc_id)
-        |  WHERE NOT (n_tokens < 20 OR n_stopwords * 4 > n_tokens OR n_distinct * 5 < n_tokens)
-        |    AND n_emails + n_digit_runs = 0 AND n_chars <= $QfMaxChars),
-        |w4 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM d4),
-        |occ AS MATERIALIZED (
-        |  SELECT doc_id, i AS pos,
-        |         md5(array_to_string(list_slice(w, i + 1, i + $CurateSpanK), ' ')) AS sh
-        |  FROM (SELECT doc_id, w, unnest(range(0, len(w) - $CurateSpanK + 1)) AS i
-        |        FROM w4 WHERE len(w) >= $CurateSpanK)),
-        |stats AS (SELECT sh, count(DISTINCT doc_id) AS df, MIN(doc_id) AS min_doc FROM occ GROUP BY 1),
-        |covered AS (SELECT DISTINCT o.doc_id, o.pos + u.k AS pos
-        |            FROM occ o JOIN stats s USING (sh), (SELECT unnest(range(0, $CurateSpanK)) AS k) u
-        |            WHERE s.df >= 2 AND o.doc_id <> s.min_doc),
-        |toks4 AS (SELECT doc_id, i - 1 AS pos, w[i] AS tok
-        |          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS i FROM w4)),
-        |kept5 AS (SELECT t.doc_id, t.pos, t.tok FROM toks4 t
-        |          LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
-        |          WHERE c.doc_id IS NULL),
-        |reb AS (SELECT doc_id, array_to_string(list_transform(
-        |          list_sort(list(struct_pack(pos := pos, tok := tok))), r -> r.tok), ' ') AS text_clean
-        |        FROM kept5 GROUP BY doc_id),
-        |d5 AS MATERIALIZED (
-        |  SELECT d4.doc_id, d4.source, d4.lang, r.text_clean AS text
-        |  FROM d4 JOIN reb r USING (doc_id) WHERE r.text_clean <> ''),
-        |bg AS MATERIALIZED (
-        |  SELECT doc_id, lhs, rhs, count(*) AS k FROM (
-        |    SELECT doc_id, w[i] AS lhs, w[i+1] AS rhs
-        |    FROM (SELECT doc_id, string_split(text,' ') AS w FROM d5),
-        |         LATERAL (SELECT unnest(range(1, len(w))) AS i)
-        |  ) GROUP BY 1, 2, 3),
-        |lm AS (SELECT lhs, rhs, CAST(SUM(k) AS BIGINT) AS c_ab FROM bg GROUP BY 1, 2),
-        |ctx AS (SELECT lhs, CAST(SUM(c_ab) AS BIGINT) AS c_lhs FROM lm GROUP BY 1),
-        |lmsc AS (SELECT b.doc_id,
-        |           CAST(SUM(b.k * (length(bin(c_lhs // c_ab)) - 1)) AS BIGINT) AS nll_sum,
-        |           CAST(SUM(b.k) AS BIGINT) AS n_bigrams
-        |         FROM bg b JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs) GROUP BY 1),
-        |d6 AS MATERIALIZED (
-        |  SELECT d5.* FROM d5 JOIN lmsc USING (doc_id)
-        |  WHERE nll_sum * 1000 <= n_bigrams * $CurateLmMilli),
-        |t6 AS (SELECT doc_id, source, CAST(len(string_split(text,' ')) AS BIGINT) AS n_tokens FROM d6),
-        |bs AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS source_tokens FROM t6 GROUP BY 1),
-        |rt AS (SELECT source, source_tokens,
-        |         list_max(list_filter([g - 2, g - 1, g, g + 1, g + 2],
-        |           x -> x >= 1 AND CAST(x AS HUGEINT) * x <= source_tokens)) AS t_s
-        |       FROM (SELECT source, source_tokens,
-        |               CAST(POWER(CAST(source_tokens AS DOUBLE), 0.5) AS BIGINT) AS g FROM bs)),
-        |tt AS (SELECT CAST(sum(t_s) AS BIGINT) AS tot_t FROM rt),
-        |bb AS (SELECT MIN(CAST(CAST(source_tokens AS HUGEINT) * tot_t // t_s AS BIGINT)) AS budget FROM rt, tt),
-        |rr AS (SELECT source, LEAST(CAST(1000 AS BIGINT),
-        |         CAST(CAST(budget AS HUGEINT) * t_s * 1000
-        |           // (CAST(tot_t AS HUGEINT) * source_tokens) AS BIGINT)) AS keep_permille
-        |       FROM rt, tt, bb),
-        |mk AS (SELECT t6.*, rr.keep_permille,
-        |         CAST(((strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 4096
-        |             + (strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 256
-        |             + (strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 3, 1)) - 1) * 16
-        |             + (strpos('0123456789abcdef', substr(md5('mixt:' || CAST(doc_id AS VARCHAR)), 4, 1)) - 1)) % 1000 AS BIGINT) AS bucket
-        |       FROM t6 JOIN rr USING (source)),
-        |d7 AS MATERIALIZED (
-        |  SELECT d6.doc_id, d6.lang, d6.text FROM d6 JOIN mk USING (doc_id)
-        |  WHERE mk.bucket < mk.keep_permille),
+      Some(CurateCtes + s""",
         |ptoks AS (SELECT doc_id, lang, doc_id // $PackShard AS shard,
         |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM d7),
         |ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn FROM ptoks),
@@ -1433,6 +1444,30 @@ object SuiteML {
         |  FROM rec r JOIN ord o ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1)
         |SELECT doc_id, lang, shard, n_tokens, pack_id, pack_fill
         |FROM rec""".stripMargin)),
+
+    // ---- curation funnel report: per-stage doc count + token mass -------
+    Q("text_curate_report",
+      (s, d) => TextOps.curateReport(htmlFixture(docs(s, d)),
+        spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
+        maxChars = QfMaxChars),
+      Some(CurateCtes + """
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'extract' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) AS n_tokens FROM d1
+        |  UNION ALL SELECT 2, 'dedup_exact', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d2
+        |  UNION ALL SELECT 3, 'langid', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d3
+        |  UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d4
+        |  UNION ALL SELECT 5, 'span_excise', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5
+        |  UNION ALL SELECT 6, 'lm_gate', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d6
+        |  UNION ALL SELECT 7, 'mix', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d7
+        |)""".stripMargin)),
 
     // ---- temperature mixing: p_s ~ n_s^(1/2) (mT5/XLM-R, tau = 2) -------
     // The integer square root is candidate-corrected on BOTH sides:

@@ -1015,7 +1015,34 @@ object TextOps {
     * contracts between stages, filter arms, survivor joins). */
   def curate(raw: DataFrame, spanK: Int = 8, lmKeepMilli: Long = 3950L,
       maxChars: Long = 100000L, packBudget: Long = 512L,
-      packShard: Long = 200L): DataFrame = {
+      packShard: Long = 200L): DataFrame =
+    seqPack(curateChain(raw, spanK, lmKeepMilli, maxChars).last._2,
+      packBudget, packShard)
+
+  /** The per-stage curation funnel — the observability artifact a
+    * production curation run publishes next to its output (the
+    * [[corpusReport]] discipline applied to the pipeline itself):
+    * surviving document count and exact token mass after every stage
+    * of [[curate]]. One bounded row per stage; each count is one
+    * aggregate over that stage's pinned survivor frame, so the report
+    * costs the chain nothing it had not already computed. */
+  def curateReport(raw: DataFrame, spanK: Int = 8,
+      lmKeepMilli: Long = 3950L, maxChars: Long = 100000L): DataFrame =
+    curateChain(raw, spanK, lmKeepMilli, maxChars).zipWithIndex
+      .map { case ((name, df), i) =>
+        df.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(size(split(col("text"), " ")).cast("long")),
+            lit(0L)).as("n_tokens"))
+          .select(lit(i + 1L).as("stage_id"), lit(name).as("stage"),
+            col("n_docs"), col("n_tokens"))
+      }
+      .reduce(_ unionByName _)
+
+  /** The shared stage chain behind [[curate]]/[[curateReport]]: each
+    * stage's survivor frame pinned once, feeding both its own filter
+    * and the next stage. */
+  private def curateChain(raw: DataFrame, spanK: Int,
+      lmKeepMilli: Long, maxChars: Long): Seq[(String, DataFrame)] = {
     val meta = raw.select(col("doc_id"), col("source"), col("lang"))
     val d1 = extractHtml(raw)
       .select(col("doc_id"),
@@ -1039,7 +1066,9 @@ object TextOps {
       .select(col("doc_id")), Seq("doc_id")).pinned
     val d7 = d6.join(mixTemperature(d6).select(col("doc_id")),
       Seq("doc_id")).pinned
-    seqPack(d7, packBudget, packShard)
+    Seq("extract" -> d1, "dedup_exact" -> d2, "langid" -> d3,
+      "quality" -> d4, "span_excise" -> d5, "lm_gate" -> d6,
+      "mix" -> d7)
   }
 
   case class PackIn(doc_id: Long, lang: String, shard: Long,
