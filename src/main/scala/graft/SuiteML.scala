@@ -1306,6 +1306,50 @@ object SuiteML {
         |FROM w LEFT JOIN reb USING (doc_id) LEFT JOIN segc USING (doc_id)"""
         .stripMargin)),
 
+    // ---- curation: WITHIN-doc repeated-span removal (Gopher cleanup) ----
+    // (the excising twin of text_repetition's measured signals: a
+    // 3-token run a document repeats internally keeps its FIRST
+    // occurrence — min start position — and every later occurrence's
+    // cover excises; same output contract as dedup_span_removal)
+    Q("text_clean_repetition",
+      (s, d) => TextOps.cleanRepetition(docs(s, d), minTokens = 3),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents),
+        |ws AS (SELECT doc_id, ls, unnest(range(1, len(ls) - 1)) AS i
+        |       FROM w WHERE len(ls) >= 3),
+        |occ AS (SELECT doc_id, i AS pos,
+        |          ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2] AS s
+        |        FROM ws),
+        |stats AS (SELECT doc_id, s, count(*) AS c, min(pos) AS min_pos
+        |          FROM occ GROUP BY 1, 2),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |          SELECT o.doc_id, unnest(range(o.pos, o.pos + 3)) AS pos
+        |          FROM occ o JOIN stats USING (doc_id, s)
+        |          WHERE c >= 2 AND o.pos <> min_pos)),
+        |ts AS (SELECT doc_id, ls, unnest(range(1, len(ls) + 1)) AS i
+        |       FROM w),
+        |toks AS (SELECT doc_id, i AS pos, ls[i] AS tok FROM ts),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok
+        |         FROM toks t LEFT JOIN cov c USING (doc_id, pos)
+        |         WHERE c.pos IS NULL),
+        |seg AS (SELECT doc_id, CASE WHEN pos - lag(pos) OVER
+        |            (PARTITION BY doc_id ORDER BY pos) > 1
+        |          THEN 1 ELSE 0 END AS brk
+        |        FROM kept),
+        |reb AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |          string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        |        FROM kept GROUP BY 1),
+        |segc AS (SELECT doc_id, CAST(1 + sum(brk) AS BIGINT) AS n_segments
+        |         FROM seg GROUP BY 1)
+        |SELECT w.doc_id, CAST(len(ls) AS BIGINT) AS n_tokens,
+        |       CAST(len(ls) - COALESCE(n_kept, 0) AS BIGINT) AS n_removed,
+        |       COALESCE(n_segments, CAST(0 AS BIGINT)) AS n_segments,
+        |       COALESCE(text_clean, '') AS text_clean,
+        |       CAST(len(ls) - COALESCE(n_kept, 0) AS DOUBLE) / len(ls)
+        |         AS removed_frac
+        |FROM w LEFT JOIN reb USING (doc_id) LEFT JOIN segc USING (doc_id)"""
+        .stripMargin)),
+
     // ---- curation: deterministic sharded corpus shuffle -----------------
     // (the pre-training randomization: global order = (shard,
     // pos_in_shard); no single global row_number at 100 TB)

@@ -1284,6 +1284,68 @@ object TextOps {
           .cast("double") / col("n_tokens")).as("removed_frac"))
   }
 
+  /** WITHIN-document repeated-span removal — the excision counterpart
+    * of the Gopher repetition SIGNALS ([[repetition]] measures; this
+    * cleans): where [[dedupSpans]] excises runs duplicated ACROSS
+    * documents, this excises runs a document repeats internally
+    * (boilerplate stutter, templated spam, decoding loops). A k-token
+    * window occurrence is redundant iff the same shingle occurs
+    * earlier in the SAME document — the first occurrence keeps, every
+    * later one excises (deterministic: min start position per
+    * (doc, shingle) is the canonical copy). Output contract matches
+    * [[dedupSpans]] (n_tokens, n_removed, n_segments, text_clean,
+    * removed_frac), so the two excisions compose interchangeably.
+    *
+    * Scale shape: the window projection and the (doc, shingle) stats
+    * aggregate are keyed by doc_id — rows never leave their
+    * document's shard family, so unlike the cross-doc operator there
+    * is no corpus-vocabulary frame at all. The shuffle key is the
+    * 16-byte window digest plus doc_id ([[dedupSpans]]' payload
+    * discipline); the rebuild groups per doc_id with a
+    * document-bounded collect. */
+  def cleanRepetition(docs: DataFrame, minTokens: Int = 3): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    val k = minTokens
+    val w = docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+    val occ = w.where(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), i -> " +
+          s"struct(i AS pos, " +
+          s"md5(concat_ws(' ', slice(w, i + 1, $k))) AS sh))"))
+        .as("o"))
+      .select(col("doc_id"), col("o.pos").as("pos"), col("o.sh").as("sh"))
+    val stats = occ.groupBy(col("doc_id"), col("sh"))
+      .agg(count(lit(1)).as("c"), min(col("pos")).as("min_pos"))
+    val covered = occ.join(stats, Seq("doc_id", "sh"))
+      .where(col("c") >= 2 && col("pos") =!= col("min_pos"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
+      .distinct()
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
+        .as("kt"))
+      .select(col("doc_id"), size(col("kt")).cast("long").as("n_kept"),
+        expr("concat_ws(' ', transform(kt, x -> x.tok))")
+          .as("text_clean"),
+        expr("CASE WHEN size(kt) >= 2 THEN CAST(1 + size(filter(" +
+          "transform(sequence(1, size(kt) - 1), " +
+          "i -> kt[i].pos - kt[i-1].pos), d -> d > 1)) AS BIGINT) " +
+          "ELSE CAST(size(kt) AS BIGINT) END").as("n_segments"))
+    docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        ((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .cast("double") / col("n_tokens")).as("removed_frac"))
+  }
+
   /** Deterministic sharded corpus shuffle — the pre-training
     * randomization pass: training order must be a reproducible
     * pseudo-random permutation of the curated corpus. A single global

@@ -745,6 +745,33 @@ class TextOpsSpec extends SparkSpec {
       spark.conf.set(graft.operators.Stage.ReliableFlag, "false")
   }
 
+  test("cleanRepetition excises later WITHIN-doc copies, keeping the " +
+    "first occurrence; cross-doc duplication is untouched") {
+    val d = docsDf(Seq(
+      (1L, "z z z z z", "en", "s"), // overlapping self-repeat
+      (2L, "a b c a b c d", "en", "s"), // disjoint self-repeat
+      (3L, "p q r s t", "en", "s"), // no repeats
+      (4L, "p q r s t", "en", "s"))) // cross-doc dup of 3: NOT excised
+    val out = TextOps.cleanRepetition(d, minTokens = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "z z z z z": windows at 0,1,2 share one shingle; 0 keeps, the
+    // covers of 1 and 2 blanket positions 1..4 -> only token 0 stays
+    assert(out(1L).getAs[String]("text_clean") == "z")
+    assert(out(1L).getAs[Long]("n_removed") == 4L)
+    assert(out(1L).getAs[Long]("n_segments") == 1L)
+    // "a b c a b c d": "a b c" repeats at 0 and 3; cover 3..5 excises
+    // the second copy, "d" survives as a second segment
+    assert(out(2L).getAs[String]("text_clean") == "a b c d")
+    assert(out(2L).getAs[Long]("n_removed") == 3L)
+    assert(out(2L).getAs[Long]("n_segments") == 2L)
+    // within-doc semantics only: identical docs 3 and 4 both keep
+    // everything (that is dedupSpans' job)
+    Seq(3L, 4L).foreach { id =>
+      assert(out(id).getAs[Long]("n_removed") == 0L)
+      assert(out(id).getAs[String]("text_clean") == "p q r s t")
+    }
+  }
+
   test("unigramVocab: Viterbi-EM keeps used pieces, drops unused seeds, " +
     "and re-derives exact bit-length costs") {
     // wf: ab -> 2, abab -> 1. Seed counts: a 4, b 4, ab 4, ba/aba/bab/
