@@ -1572,6 +1572,37 @@ object SuiteML {
         |           AS "rank", word, tf, df
         |  FROM pruned) WHERE "rank" <= 1000""".stripMargin)),
 
+    // ---- curation export: vocabulary id-encoding ------------------------
+    // (the terminal export step: tokens map to their df-pruned vocab
+    // rank, OOV -> 0; the per-doc id SEQUENCE is pinned by an md5 of
+    // the comma-joined ids — order-sensitive, so a scrambled or
+    // misaligned encode cannot hash-match)
+    Q("text_vocab_encode",
+      (s, d) => TextOps.vocabEncode(docs(s, d),
+        minDf = 2, maxDfNum = 39, maxDfDen = 50),
+      Some("""WITH tokp AS (
+        |  SELECT doc_id, i AS pos, ls[i] AS word
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ls,
+        |          unnest(range(1, len(string_split(text,' ')) + 1)) AS i
+        |        FROM documents)),
+        |dw AS (SELECT doc_id, word, count(*) AS c_dw FROM tokp GROUP BY 1, 2),
+        |ws AS (SELECT word, CAST(sum(c_dw) AS BIGINT) AS tf,
+        |              CAST(count(*) AS BIGINT) AS df
+        |       FROM dw GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |pruned AS (SELECT word, tf, df FROM ws, nd
+        |           WHERE df >= 2 AND df * 50 <= n_docs * 39),
+        |ids AS (SELECT word, CAST(ROW_NUMBER() OVER
+        |          (ORDER BY tf DESC, word) AS BIGINT) AS id
+        |        FROM pruned QUALIFY id <= 1000)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN ids.id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       md5(string_agg(CAST(COALESCE(ids.id, 0) AS VARCHAR), ','
+        |         ORDER BY pos)) AS ids_hash
+        |FROM tokp LEFT JOIN ids USING (word)
+        |GROUP BY doc_id""".stripMargin)),
+
     // ---- tokenizer training: unigram-LM (SentencePiece-style) ----------
     // Deterministic Viterbi-EM in exact bit-length-quantized integer
     // arithmetic; the oracle replays the ENTIRE training loop — seed

@@ -1550,6 +1550,36 @@ object TextOps {
       .select(col("rank"), col("word"), col("tf"), col("df"))
   }
 
+  /** Vocabulary id-encoding — the terminal EXPORT step of a curation
+    * run: every token maps to its [[vocabBuild]] rank (the id a
+    * training loader consumes), out-of-vocabulary tokens to 0, and
+    * each document emits its exact id SEQUENCE pinned by an md5 of
+    * the comma-joined ids (the [[chunk]] discipline — content pinned
+    * without shipping the arrays twice) plus token/OOV counts.
+    *
+    * Scale shape: the id map is AT MOST `topK` rows BY CONSTRUCTION
+    * (the [[vocabBuild]] cut), so it broadcasts legitimately — the
+    * codebook rule, not the vocabulary rule; the corpus is touched by
+    * one token projection and one per-doc fold whose collect is
+    * bounded by a single document's length. */
+  def vocabEncode(docs: DataFrame, minDf: Long = 2,
+      maxDfNum: Long = 1, maxDfDen: Long = 2,
+      topK: Int = 1000): DataFrame = {
+    val ids = vocabBuild(docs, minDf, maxDfNum, maxDfDen, topK)
+      .select(col("word"), col("rank").as("id"))
+    tokens(docs)
+      .join(broadcast(ids), Seq("word"), "left") // <= topK rows
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("id"), lit(0L)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        md5(concat_ws(",", expr(
+          "transform(sort_array(collect_list(struct(pos, id))), " +
+            "x -> CAST(x.id AS STRING))")))
+          .as("ids_hash"))
+  }
+
   /** BPE-style pair statistics — one counting round of byte-pair
     * encoding (Sennrich, Haddow & Birch, "Neural Machine Translation
     * of Rare Words with Subword Units", 2016): count adjacent
