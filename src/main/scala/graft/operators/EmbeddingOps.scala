@@ -418,6 +418,66 @@ object EmbeddingOps {
       failpoint)
   }
 
+  /** Consolidate a persisted index's segment chain — the maintenance
+    * twin of Streams.compactState for [[ivfIndexAppend]]/
+    * [[pqIndexAppend]] artifacts: after many appends serving fans
+    * over every committed `seg=N` directory; compaction reads the
+    * committed segments FROM STORAGE (no re-assignment, no
+    * re-encoding — the quantizer/codebooks and every row are already
+    * final), stages a whole fresh index tree with ONE segment, and
+    * swaps it in with the warehouse rename-aside protocol. Readers
+    * see the old tree until the committing rename; a kill at any
+    * point leaves the old index serving (the staged sibling is hidden
+    * and replaced wholesale on retry). Single maintainer at a time.
+    * Returns the number of segments consolidated (0 = already
+    * compact). */
+  def ivfIndexCompact(s: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    compactSegments(s, path, "lists", "centroids",
+      df => df.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite"))
+
+  /** [[ivfIndexCompact]] for the PQ codes layout (flat segments). */
+  def pqIndexCompact(s: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    compactSegments(s, path, "codes", "codebooks",
+      df => df.write.mode("overwrite"))
+
+  private def compactSegments(s: org.apache.spark.sql.SparkSession,
+      path: String, dataDir: String, metaName: String,
+      writer: DataFrame => org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row]): Int = {
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root) // heal a crashed previous swap
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    val (gen, segs) = committedSegs(fs, metaDir)
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    if (segs.size <= 1) 0
+    else {
+      val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // the quantizer table carries over verbatim (byte-identical
+      // serving); the data rows re-land as one segment
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(root, metaName), fs,
+        new org.apache.hadoop.fs.Path(tmp, metaName), false, false,
+        s.sparkContext.hadoopConfiguration)
+      // basePath keeps sibling seg roots one logical table (per-root
+      // partition discovery would see conflicting structures); the
+      // discovered seg column is layout, not data — dropped before
+      // the rewrite
+      val rows = s.read.option("basePath", s"$path/$dataDir")
+        .parquet(segs.sorted.map(k => s"$path/$dataDir/seg=$k"): _*)
+        .drop("seg")
+      writer(rows).parquet(s"$tmp/$dataDir/seg=0")
+      commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0,
+        Seq(0))
+      Warehouse.swapInto(fs, tmp, root)
+      segs.size
+    }
+  }
+
   /** Serve top-k from a PERSISTED index ([[ivfIndexWrite]]): queries
     * (vec_id, embedding) rank against the stored centroids
     * (broadcast, centroid-cardinality) and ONLY the probed cells'

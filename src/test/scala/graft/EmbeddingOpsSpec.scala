@@ -307,6 +307,44 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(inc.sameElements(served.collect().map(_.toString).sorted))
   }
 
+  test("index compaction collapses the segment chain; serving is " +
+    "byte-identical before and after") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    def segsOf(idx: String, dir: String): Seq[String] =
+      Option(new java.io.File(s"$idx/$dir").list()).toSeq.flatten
+        .filter(_.startsWith("seg="))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_idx_compact").toString
+    EmbeddingOps.ivfIndexWrite(e.where($"vec_id" < 200), idx)
+    EmbeddingOps.ivfIndexAppend(
+      e.where($"vec_id" >= 200 && $"vec_id" < 350), idx)
+    EmbeddingOps.ivfIndexAppend(e.where($"vec_id" >= 350), idx)
+    assert(segsOf(idx, "lists").size == 3)
+    val before = EmbeddingOps.ivfTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    assert(EmbeddingOps.ivfIndexCompact(spark, idx) == 3)
+    assert(segsOf(idx, "lists") == Seq("seg=0"))
+    val after = EmbeddingOps.ivfTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before))
+    // idempotent: an already-compact index is a no-op
+    assert(EmbeddingOps.ivfIndexCompact(spark, idx) == 0)
+
+    val pqIdx = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx_compact").toString
+    EmbeddingOps.pqIndexWrite(e.where($"vec_id" < 250), pqIdx)
+    EmbeddingOps.pqIndexAppend(e.where($"vec_id" >= 250), pqIdx)
+    val pqBefore = EmbeddingOps.pqTopKIndexed(spark, pqIdx, queries)
+      .collect().map(_.toString).sorted
+    assert(EmbeddingOps.pqIndexCompact(spark, pqIdx) == 2)
+    assert(segsOf(pqIdx, "codes") == Seq("seg=0"))
+    val pqAfter = EmbeddingOps.pqTopKIndexed(spark, pqIdx, queries)
+      .collect().map(_.toString).sorted
+    assert(pqAfter.sameElements(pqBefore))
+  }
+
   test("index appends are crash-atomic: a killed append leaves serving " +
     "unchanged; the retry completes it") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
