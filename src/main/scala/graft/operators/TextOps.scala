@@ -607,10 +607,14 @@ object TextOps {
       num: Int = 8, den: Int = 10): DataFrame = {
     require(num >= 0 && den > 0 && num <= den,
       s"containment threshold must be a fraction in [0,1], got $num/$den")
-    val cs = shingles(corpus)
+    // distinct AFTER hashing: a raw-shingle distinct would shuffle
+    // 3-token strings where the 8-byte surrogate carries the same set
+    // (the nearDupMinhash discipline, same vanishing-collision note)
+    val cs = shinglesRaw(corpus)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
       .pinned // reused by the size and the overlap branch
-    val bset = shingles(benchmark)
+    val bset = shinglesRaw(benchmark)
       .select(xxhash64(col("s")).as("h")).distinct()
     val sz = cs.groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"))
@@ -1174,20 +1178,28 @@ object TextOps {
     * from elsewhere in the corpus — candidates for span-level removal
     * where whole-doc dedup ([[nearDupMinhash]]) would miss them.
     *
-    * Scale shape: the per-(doc, shingle) counts are aggregated once and
-    * pinned (Stage.pinned) for their three consumers; document frequency is
-    * a second aggregate of that (already-distinct) frame, shuffle-joined
-    * back on the shingle — the vocabulary-sized frame is never
-    * broadcast (the [[langId]] rule). Counts are exact longs; `dup_frac`
-    * is one final IEEE division. */
+    * Scale shape: the per-(doc, shingle-hash) counts are aggregated
+    * once and pinned (Stage.pinned) for their three consumers;
+    * document frequency is a second aggregate of that
+    * (already-distinct) frame, shuffle-joined back on the 8-byte
+    * surrogate — the vocabulary-sized frame is never broadcast (the
+    * [[langId]] rule) and no exchange carries raw shingle text.
+    * Counts are exact longs; `dup_frac` is one final IEEE division. */
   def dupNgramSpans(docs: DataFrame): DataFrame = {
-    // one (doc_id, s) count shuffle, reused by total / df / dup branches
-    val occ = shinglesRaw(docs).groupBy(col("doc_id"), col("s"))
+    // one (doc_id, h) count shuffle, reused by total / df / dup
+    // branches. The key is the 8-byte xxhash64 SURROGATE of the
+    // shingle, not the raw trigram string (the dedupSpans payload
+    // discipline; collisions merge counts with probability
+    // ~n_shingles^2/2^64 — vanishing, and the oracle's exact counts
+    // would catch one loudly)
+    val occ = shinglesRaw(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("c"))
       .pinned
-    val dfq = occ.groupBy(col("s")).agg(count(lit(1)).as("nd"))
+    val dfq = occ.groupBy(col("h")).agg(count(lit(1)).as("nd"))
     val tot = occ.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
-    val dup = occ.join(dfq.where(col("nd") >= 2), Seq("s"))
+    val dup = occ.join(dfq.where(col("nd") >= 2), Seq("h"))
       .groupBy(col("doc_id")).agg(sum(col("c")).as("n_dup_grams"))
     tot.join(dup, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),

@@ -143,6 +143,19 @@ class ScaleProbeSpec extends SparkSpec {
         val bc = broadcastSubtrees(plan)
         assert(bc.isEmpty,
           s"$name broadcasts ${bc.length} corpus-derived frame(s)")
+        // payload-width probe for the hash-surrogate routes: their
+        // shingle-keyed shuffles must carry the 8-byte surrogate, not
+        // raw shingle text (the dedupSpans discipline)
+        if (Set("dupNgramSpans", "decontaminate",
+            "nearDupNgramJaccard").contains(name))
+          plan.collect {
+            case e: org.apache.spark.sql.execution.exchange
+                .ShuffleExchangeExec => e.child.output.map(_.name)
+          }.foreach { cols =>
+            assert(!cols.contains("s"),
+              s"$name shuffles the raw shingle string: " +
+                cols.mkString("[", ", ", "]"))
+          }
       }
   }
 
