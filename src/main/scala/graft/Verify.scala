@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional third arg: comma-separated query names — a focused
+    // local re-check (the driver always passes two args)
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(',').toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.create(cpus)
     spark.sparkContext.setLogLevel("WARN")
@@ -13,12 +17,14 @@ object Verify {
     // Write the oracle map FIRST: it depends only on static Suite
     // definitions, and writing it up front means a query that kills
     // the JVM (OOM) costs one query's dump, not the whole round.
-    writeOracles(outDir)
+    writeOracles(outDir, only)
     // Per-query watchdog: one pathological plan must not stall the
     // whole correctness run. Each query executes under its own job
     // group; on timeout the group is cancelled and the run moves on.
     val timeoutSec = sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT", "300").toInt
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .foreach { case (name, fn) =>
       val worker = new Thread(() =>
         try {
           spark.sparkContext.setJobGroup(s"verify_$name", name,
@@ -52,7 +58,8 @@ object Verify {
     * quote, and ALL control chars (<0x20) — a tab or CR in
     * builder-authored SQL would otherwise make the driver's json.load
     * fail and silently zero the round's correctness. */
-  private def writeOracles(outDir: String): Unit = {
+  private def writeOracles(outDir: String,
+      only: Option[Set[String]]): Unit = {
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -63,6 +70,7 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
   }

@@ -433,18 +433,26 @@ object EmbeddingOps {
     * compact). */
   def ivfIndexCompact(s: org.apache.spark.sql.SparkSession,
       path: String): Int =
-    compactSegments(s, path, "lists", "centroids",
+    compactSegments(s, path, "lists", Seq("centroids"),
       df => df.repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite"))
 
   /** [[ivfIndexCompact]] for the PQ codes layout (flat segments). */
   def pqIndexCompact(s: org.apache.spark.sql.SparkSession,
       path: String): Int =
-    compactSegments(s, path, "codes", "codebooks",
+    compactSegments(s, path, "codes", Seq("codebooks"),
       df => df.write.mode("overwrite"))
 
+  /** [[ivfIndexCompact]] for the IVF-PQ layout (cell-partitioned code
+    * segments; BOTH quantizer tables carry over verbatim). */
+  def ivfpqIndexCompact(s: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    compactSegments(s, path, "codes", Seq("centroids", "codebooks"),
+      df => df.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite"))
+
   private def compactSegments(s: org.apache.spark.sql.SparkSession,
-      path: String, dataDir: String, metaName: String,
+      path: String, dataDir: String, metaNames: Seq[String],
       writer: DataFrame => org.apache.spark.sql.DataFrameWriter[
         org.apache.spark.sql.Row]): Int = {
     val (fs, root) = fsFor(s, path)
@@ -457,12 +465,14 @@ object EmbeddingOps {
     else {
       val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
-      // the quantizer table carries over verbatim (byte-identical
+      // the quantizer table(s) carry over verbatim (byte-identical
       // serving); the data rows re-land as one segment
-      org.apache.hadoop.fs.FileUtil.copy(fs,
-        new org.apache.hadoop.fs.Path(root, metaName), fs,
-        new org.apache.hadoop.fs.Path(tmp, metaName), false, false,
-        s.sparkContext.hadoopConfiguration)
+      metaNames.foreach { metaName =>
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(root, metaName), fs,
+          new org.apache.hadoop.fs.Path(tmp, metaName), false, false,
+          s.sparkContext.hadoopConfiguration)
+      }
       // basePath keeps sibling seg roots one logical table (per-root
       // partition discovery would see conflicting structures); the
       // discovered seg column is layout, not data — dropped before
@@ -735,6 +745,190 @@ object EmbeddingOps {
     scored.withColumn("rk", row_number().over(w))
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"), col("adot"))
+  }
+
+  // ---- IVF-PQ composite (IVFADC) ---------------------------------------
+  // The two persisted structures composed the way billion-scale ANN
+  // systems actually ship (Jegou et al. TPAMI 2011 §III, the faiss
+  // IVFPQ structure): the coarse quantizer bounds WHICH candidates are
+  // touched (nProbe cells), and product quantization of the RESIDUAL
+  // (vector minus its cell centroid) bounds BYTES PER CANDIDATE (M
+  // small codes). Under the inner-product metric the score decomposes
+  // exactly: dot(q, c + r) = dot(q, cell centroid) + dot(q, residual),
+  // and the residual term is served by M ADC table lookups — so a
+  // probe reads no corpus vector, only cell-partitioned code rows.
+
+  /** Coarse-assigned residual view of the corpus: every vector keyed
+    * by its nearest-centroid cell (the [[rankedAgainst]] rule) with
+    * the EXACT integer residual q - cq as its new `q`. Residuals stay
+    * in the quantized-integer domain, so the whole PQ machinery
+    * ([[pqCodebooks]], [[pqEncodeWith]]) reuses verbatim and the
+    * composite remains oracle-replayable. Centroids are
+    * centroid-cardinality — always broadcast; the corpus is scanned
+    * once and never shuffled here. */
+  private def residualized(e: DataFrame, cents: DataFrame): DataFrame =
+    rankedAgainst(e, cents).where(col("crk") === 1)
+      .select(col("vec_id"), col("q"),
+        col("cent_id").cast("int").as("cell"))
+      .join(broadcast(cents.select(col("cent_id").cast("int").as("cell"),
+        col("cq"))), Seq("cell"))
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
+
+  /** Query-side probe frame (query_id, cell, cdot): each query ranked
+    * against the centroids, top `nProbe` cells kept, and the EXACT
+    * integer dot(query, centroid) attached — the coarse half of the
+    * decomposed IVFADC score. Output is |queries| * nProbe rows. */
+  private def ivfpqProbes(qe: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame =
+    rankedAgainst(qe, cents).where(col("crk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("cent_id").cast("int").as("cell"))
+      .join(broadcast(cents.select(col("cent_id").cast("int").as("cell"),
+        col("cq"))), Seq("cell"))
+      .select(col("query_id"), col("cell"),
+        qdot(col("qv"), col("cq")).as("cdot"))
+
+  /** ADC scoring tail shared by the live ([[ivfpqTopK]]) and persisted
+    * ([[ivfpqTopKIndexed]]) routes: the query LUT (raw query
+    * sub-slices x residual codewords — |queries|*M*kc rows, broadcast
+    * by construction) joins the candidate code rows cell-first, and
+    * each candidate's score is cdot + the sum of its M lookups. All
+    * integer, ties -> smallest vec_id — deterministic and replayable.
+    * The codes side is the only corpus-sized frame and it is joined
+    * against two BROADCAST frames then map-side-combined on
+    * (query_id, vec_id) — no corpus shuffle. */
+  private def ivfpqAdc(probes: DataFrame, qe: DataFrame, cb: DataFrame,
+      codes: DataFrame, k: Int): DataFrame = {
+    val lut = subSlices(qe)
+      .select(col("vec_id").as("query_id"), col("sub"),
+        col("sq").as("qs"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        qdot(col("qs"), col("cq")).as("pdot"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adot").desc, col("vec_id").asc)
+    codes.join(broadcast(probes), Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("vec_id"))
+      // cdot is constant within the group (a vector lives in exactly
+      // one cell); min() just carries it through the aggregate
+      .agg((min(col("cdot")) + sum(col("pdot"))).as("adot"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("adot"))
+  }
+
+  /** IVF-PQ top-k (IVFADC), live path: coarse-assign + residual-encode
+    * the corpus, then serve the first `nQueries` vectors against it.
+    * Scale shape: centroids, codebooks, probes, and LUT are all
+    * bounded by construction parameters and broadcast; the corpus is
+    * touched by one assignment scan, one encode pass, and the ADC
+    * join — never shuffled by key. */
+  def ivfpqTopK(emb: DataFrame, nCentroids: Int = KmSeeds,
+      kc: Int = 16, nQueries: Int = 5, nProbe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val e = quantized(emb).pinned
+    val cents = seedCentroids(e, nCentroids)
+    val res = residualized(e, cents).pinned
+    val cb = pqCodebooks(res, kc)
+    val codes = pqEncodeWith(res, cb)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    ivfpqAdc(ivfpqProbes(e.where(col("vec_id") < nQueries), cents,
+        nProbe), e.where(col("vec_id") < nQueries), cb, codes, k)
+  }
+
+  /** Persist an IVF-PQ index: `$path/centroids` (coarse quantizer),
+    * `$path/codebooks` (residual PQ codewords), and
+    * `$path/codes/seg=N/cell=C` — M small integers per vector,
+    * partitioned by coarse cell so serving prunes BOTH dimensions
+    * statically (committed segments x probed cells). Both quantizer
+    * tables are read back before any encoding, so index files can
+    * never drift from what serving loads; the rebuild stages the
+    * whole tree and swaps it in (crash-atomic, immune to
+    * partitionOverwriteMode). */
+  def ivfpqIndexWrite(emb: DataFrame, path: String,
+      nCentroids: Int = KmSeeds, kc: Int = 16): Unit = {
+    val s = emb.sparkSession
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root) // heal a crashed previous rebuild
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val e = quantized(emb).pinned
+    seedCentroids(e, nCentroids).write.mode("overwrite")
+      .parquet(s"$tmp/centroids")
+    val savedCents = s.read.parquet(s"$tmp/centroids")
+    val res = residualized(e, savedCents).pinned
+    pqCodebooks(res, kc).write.mode("overwrite")
+      .parquet(s"$tmp/codebooks")
+    val savedCb = s.read.parquet(s"$tmp/codebooks")
+    pqEncodeWith(res, savedCb)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$tmp/codes/seg=0")
+    commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    Warehouse.swapInto(fs, tmp, root)
+  }
+
+  /** Append a NEW batch to a persisted IVF-PQ index: the batch is
+    * coarse-assigned against the STORED centroids and residual-encoded
+    * against the STORED codebooks (both quantizers fixed at build
+    * time — the faiss `add` contract), landing as one new
+    * cell-partitioned code segment. O(batch) IO, CRASH-ATOMIC via the
+    * segment protocol. vec_ids must be new; one appender at a time. */
+  def ivfpqIndexAppend(emb: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = emb.sparkSession
+    val cents = s.read.parquet(s"$path/centroids")
+    val cb = s.read.parquet(s"$path/codebooks")
+    val res = residualized(quantized(emb), cents).pinned
+    val codes = pqEncodeWith(res, cb)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .repartition(col("cell"))
+    appendSegment(s, path, "codes",
+      staged => codes.write.partitionBy("cell")
+        .mode("overwrite").parquet(staged),
+      failpoint)
+  }
+
+  /** Serve top-k from a PERSISTED IVF-PQ index ([[ivfpqIndexWrite]]):
+    * queries rank against the stored centroids, the probed-cell set
+    * (bounded by nCentroids BY CONSTRUCTION) is collected and pushed
+    * as a literal `cell IN (...)` — a STATIC partition filter next to
+    * the committed-segment filter, so serve IO is the probed cells'
+    * CODE rows only: |corpus| * nProbe / nCentroids rows of M small
+    * integers, never a corpus vector. */
+  def ivfpqTopKIndexed(s: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, nProbe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val cb = s.read.parquet(s"$path/codebooks")
+    val qe = quantized(queries).pinned
+    val probes = ivfpqProbes(qe, cents, nProbe).pinned
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val codes = s.read.parquet(s"$path/codes")
+      .where(segFilter(s, path) &&
+        col("cell").isin(probedCells.map(Int.box): _*))
+      .drop("seg")
+    ivfpqAdc(probes, qe, cb, codes, k)
+  }
+
+  /** recall@k of the IVF-PQ composite against the exact brute top-k —
+    * the fifth approximate route's recall row, measuring BOTH losses
+    * at once (coarse pruning misses + residual-quantization ranking
+    * error). Deterministic end to end. */
+  def ivfpqRecall(emb: DataFrame, nCentroids: Int = KmSeeds,
+      kc: Int = 16, nQueries: Int = 5, nProbe: Int = 2,
+      k: Int = 10): DataFrame = {
+    val e = quantized(emb).pinned
+    val brute = annTopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val ivfpq = ivfpqTopK(emb, nCentroids, kc, nQueries, nProbe, k)
+      .select(col("query_id"), col("vec_id"))
+    recallVsBrute(brute, ivfpq, k)
   }
 
   /** One Lloyd (k-means) update step over the quantized embeddings —

@@ -410,4 +410,95 @@ class EmbeddingOpsSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(pqHealed.sameElements(pqOneShot))
   }
+
+  test("persisted IVF-PQ index: round trip equals live serving; codes " +
+    "carry no vectors; serving prunes cells AND segments statically") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx_spec").toString
+    EmbeddingOps.ivfpqIndexWrite(e, idx)
+    val served = EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries)
+    val live = EmbeddingOps.ivfpqTopK(e)
+    assert(served.collect().map(_.toString).sorted
+      .sameElements(live.collect().map(_.toString).sorted))
+    // the stored codes are M scalar rows per vector — no array column
+    // anywhere (product quantization's entire point)
+    val codes = spark.read.parquet(s"$idx/codes")
+    assert(codes.count() == 4L * e.count())
+    assert(codes.schema.fields.forall(f =>
+      !f.dataType.typeName.contains("array")),
+      s"codes schema leaks vectors: ${codes.schema.simpleString}")
+    // the codes scan carries STATIC partition filters (probed cells +
+    // committed segments) — serve IO is probed cells' code rows only
+    val scans = served.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("codes")) => sc
+    }
+    assert(scans.nonEmpty, "no parquet scan of the codes found")
+    scans.foreach { sc =>
+      val f = sc.partitionFilters.map(_.sql).mkString(" AND ")
+      assert(sc.partitionFilters.nonEmpty &&
+        f.contains("cell") && f.contains("seg"),
+        s"codes scan misses a static partition filter: $f")
+    }
+  }
+
+  test("IVF-PQ index append: incremental equals one-shot; a killed " +
+    "append leaves serving unchanged; compaction is byte-identical") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    val batch = e.where($"vec_id" >= 250)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx_inc").toString
+    // both quantizers (seed centroids AND residual codebooks — vec_id
+    // < 16) live in the first half, so half + append must serve
+    // exactly like a one-shot build over the full corpus
+    EmbeddingOps.ivfpqIndexWrite(e.where($"vec_id" < 250), idx)
+    val before = EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    // crash window: segment renamed visible but manifest not committed
+    val boom = intercept[RuntimeException] {
+      EmbeddingOps.ivfpqIndexAppend(batch, idx,
+        fp => if (fp == "segment-renamed")
+          throw new RuntimeException("kill@segment-renamed"))
+    }
+    assert(boom.getMessage.contains("segment-renamed"))
+    val after = EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before),
+      "serving changed after a crashed IVF-PQ append")
+    // the retry completes; incremental == one-shot
+    EmbeddingOps.ivfpqIndexAppend(batch, idx)
+    val idxFull = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx_full").toString
+    EmbeddingOps.ivfpqIndexWrite(e, idxFull)
+    val inc = EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    val full = EmbeddingOps.ivfpqTopKIndexed(spark, idxFull, queries)
+      .collect().map(_.toString).sorted
+    assert(inc.sameElements(full))
+    // compaction collapses the 2-segment chain; serving unchanged
+    assert(EmbeddingOps.ivfpqIndexCompact(spark, idx) == 2)
+    assert(Option(new java.io.File(s"$idx/codes").list()).toSeq.flatten
+      .filter(_.startsWith("seg=")) == Seq("seg=0"))
+    val compacted = EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    assert(compacted.sameElements(inc))
+    assert(EmbeddingOps.ivfpqIndexCompact(spark, idx) == 0)
+  }
+
+  test("IVF-PQ recall row is well-formed and bounded by construction") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val r = EmbeddingOps.ivfpqRecall(e).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= 10L)
+      assert(row.getAs[Double]("recall_at_k") == n.toDouble / 10)
+    }
+  }
 }
