@@ -566,6 +566,67 @@ object SuiteML {
         |    GROUP BY 1, 2, 3) GROUP BY 1, 2)""".stripMargin
     }.mkString(",\n")
 
+  /** IVF-PQ (IVFADC) pipeline as CTEs ending in
+    * `xsc(query_id, vec_id, adot)`: coarse assignment (cosine-ranked
+    * seed centroids, the sim_ivf_topk CTEs), EXACT integer residuals
+    * per coarse cell, residual PQ codebooks + L2 encode (via
+    * [[pqEncodeCte]] over the residual `sub`), query LUT on RAW query
+    * sub-slices, and the decomposed inner-product score
+    * dot(q, centroid) + sum of M ADC lookups. Shared by the live,
+    * persisted, and recall oracles so the replay cannot drift. */
+  private val IvfPqScoreCte: String =
+    s"""cents AS (SELECT vec_id AS cent_id, q AS cq, nn AS cn
+      |          FROM e JOIN n USING (vec_id) WHERE vec_id < 16),
+      |scored AS (SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
+      |    SELECT eq.vec_id, c.cent_id, unnest(eq.q) AS a, unnest(c.cq) AS b
+      |    FROM e eq, cents c) GROUP BY 1, 2),
+      |rankedc AS (
+      |  SELECT s.vec_id, s.cent_id,
+      |         ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+      |           CAST(s.dot AS DOUBLE) / (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+      |           s.cent_id) AS crk
+      |  FROM scored s JOIN n nv ON nv.vec_id = s.vec_id
+      |                JOIN cents c ON c.cent_id = s.cent_id),
+      |cells AS (SELECT vec_id, cent_id AS cell FROM rankedc WHERE crk = 1),
+      |probes AS (SELECT vec_id AS query_id, cent_id AS cell
+      |           FROM rankedc WHERE vec_id < 5 AND crk <= 2),
+      |ecomp AS (SELECT vec_id, generate_subscripts(q, 1) AS i, unnest(q) AS v FROM e),
+      |ccomp AS (SELECT cent_id, generate_subscripts(cq, 1) AS i, unnest(cq) AS cv FROM cents),
+      |sub AS (SELECT ec.vec_id, (ec.i - 1) // 16 AS s,
+      |               list(ec.v - cc.cv ORDER BY ec.i) AS sq
+      |        FROM cells cl
+      |        JOIN ecomp ec ON ec.vec_id = cl.vec_id
+      |        JOIN ccomp cc ON cc.cent_id = cl.cell AND cc.i = ec.i
+      |        GROUP BY 1, 2),
+      |rcb AS (SELECT s, vec_id AS code, sq AS cq FROM sub WHERE vec_id < 16),
+      |${pqEncodeCte("rcb", "x")},
+      |qsub AS (SELECT vec_id, s, q[s*16+1 : s*16+16] AS sq
+      |         FROM e, (SELECT unnest(range(4)) AS s) WHERE vec_id < 5),
+      |xlutd AS (SELECT query_id, s, code, SUM(a*b) AS pdot FROM (
+      |    SELECT q.vec_id AS query_id, q.s, c.code,
+      |           unnest(q.sq) AS a, unnest(c.cq) AS b
+      |    FROM qsub q JOIN rcb c USING (s)) GROUP BY 1, 2, 3),
+      |cd0 AS (SELECT query_id, cell, SUM(a*b) AS cdot FROM (
+      |    SELECT p.query_id, p.cell, unnest(eq.q) AS a, unnest(c.cq) AS b
+      |    FROM probes p JOIN e eq ON eq.vec_id = p.query_id
+      |                  JOIN cents c ON c.cent_id = p.cell) GROUP BY 1, 2),
+      |xsc AS (SELECT ca.query_id, ca.vec_id,
+      |               CAST(MIN(cd.cdot) + SUM(l.pdot) AS BIGINT) AS adot
+      |        FROM (SELECT p.query_id, p.cell, cl.vec_id
+      |              FROM probes p JOIN cells cl ON cl.cell = p.cell
+      |              WHERE cl.vec_id <> p.query_id) ca
+      |        JOIN xenc en ON en.vec_id = ca.vec_id
+      |        JOIN xlutd l ON l.query_id = ca.query_id
+      |                    AND l.s = en.s AND l.code = en.code
+      |        JOIN cd0 cd ON cd.query_id = ca.query_id AND cd.cell = ca.cell
+      |        GROUP BY 1, 2)""".stripMargin
+
+  /** Shared ranking tail over `xsc` for the two IVF-PQ top-k rows. */
+  private val IvfPqTopKTail: String =
+    """SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, adot FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
+      |  FROM xsc) WHERE rk <= 10""".stripMargin
+
   /** Exact brute-force top-10 per query ending in
     * `brute(query_id, vid)` — shared by the recall oracles. */
   private val BruteTop10Cte: String =
@@ -1239,6 +1300,53 @@ object SuiteML {
         |FROM pd LEFT JOIN dist USING (bucket)
         |WHERE source NOT IN ('$DsirTarget', '$DsirCrossRaw')
         |GROUP BY 1""".stripMargin)),
+
+    // ---- curation: supervised NB quality classifier — the
+    // DISCRIMINATIVE selector next to the generative ones (LM
+    // perplexity, DSIR): train on a labeled positive slice vs a
+    // labeled negative slice (the GPT-3 "Wikipedia-referenced vs
+    // random crawl" recipe), argmax-classify every OTHER source.
+    // Laplace smoothing + bit-length-quantized logs keep both class
+    // scores exact BIGINTs; unseen words smooth to qlog2(1) = 0 —
+    // the LEFT-join coalesce IS the smoothing, not a special case ---
+    Q("text_nb_filter",
+      (s, d) => TextOps.nbClassify(docs(s, d), DsirTarget,
+        DsirCrossRaw),
+      Some(s"""WITH tr AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |      FROM documents WHERE source IN ('$DsirTarget', '$DsirCrossRaw')),
+        |m AS (SELECT word,
+        |        CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS c_p,
+        |        CAST(sum(CASE WHEN source = '$DsirCrossRaw' THEN 1 ELSE 0 END) AS BIGINT) AS c_n
+        |      FROM tr GROUP BY 1),
+        |qm AS (SELECT word, CAST(length(bin(c_p + 1)) - 1 AS BIGINT) AS ql_p,
+        |              CAST(length(bin(c_n + 1)) - 1 AS BIGINT) AS ql_n FROM m),
+        |st AS (SELECT
+        |        CAST(length(bin(CAST(sum(c_p) + count(*) AS BIGINT))) - 1 AS BIGINT) AS qd_p,
+        |        CAST(length(bin(CAST(sum(c_n) + count(*) AS BIGINT))) - 1 AS BIGINT) AS qd_n
+        |       FROM m),
+        |pr AS (SELECT
+        |        CAST((length(bin(CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
+        |          - (length(bin(count(*) + 2)) - 1) AS BIGINT) AS qp_p,
+        |        CAST((length(bin(CAST(sum(CASE WHEN source = '$DsirCrossRaw' THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
+        |          - (length(bin(count(*) + 2)) - 1) AS BIGINT) AS qp_n
+        |       FROM documents WHERE source IN ('$DsirTarget', '$DsirCrossRaw')),
+        |dk AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k FROM (
+        |        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |        FROM documents WHERE source NOT IN ('$DsirTarget', '$DsirCrossRaw'))
+        |       GROUP BY 1, 2),
+        |ds AS (SELECT doc_id,
+        |        CAST(sum(k * COALESCE(ql_p, 0)) AS BIGINT) AS s_p,
+        |        CAST(sum(k * COALESCE(ql_n, 0)) AS BIGINT) AS s_n,
+        |        CAST(sum(k) AS BIGINT) AS n_tokens
+        |       FROM dk LEFT JOIN qm USING (word) GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       qp_p + s_p - n_tokens * qd_p AS score_p,
+        |       qp_n + s_n - n_tokens * qd_n AS score_n,
+        |       CASE WHEN qp_p + s_p - n_tokens * qd_p >= qp_n + s_n - n_tokens * qd_n
+        |            THEN 'keep' ELSE 'drop' END AS pred,
+        |       CAST((qp_p + s_p - n_tokens * qd_p) - (qp_n + s_n - n_tokens * qd_n)
+        |         AS DOUBLE) / n_tokens AS margin
+        |FROM ds, st, pr""".stripMargin)),
 
     // ---- dedup: cross-document duplicated-span fraction -----------------
     // (the substring-level signal whole-doc near-dup misses: a trigram
@@ -1993,6 +2101,46 @@ object SuiteML {
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, adot FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
         |  FROM sc) WHERE rk <= 10""".stripMargin)),
+
+    // ---- similarity: IVF-PQ composite (IVFADC — the faiss IVFPQ
+    // structure): coarse cells bound WHICH candidates are touched,
+    // residual PQ codes bound BYTES PER CANDIDATE; the inner-product
+    // score decomposes exactly as dot(q, centroid) + M ADC lookups,
+    // so the whole composite stays integer-exact and replayable ------
+    Q("sim_ivfpq_topk",
+      (s, d) => EmbeddingOps.ivfpqTopK(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$IvfPqScoreCte
+        |$IvfPqTopKTail""".stripMargin)),
+
+    // ---- similarity: PERSISTED IVF-PQ index — codes partitioned by
+    // coarse cell, so serving prunes BOTH statically (committed
+    // segments x probed cells) and reads M small ints per candidate,
+    // never a corpus vector. Same construction as sim_ivfpq_topk,
+    // same replay — equality proves the round trip loses nothing ----
+    Q("sim_ivfpq_persisted",
+      (s, d) => {
+        val idx = cachedIndex("ivfpq", d,
+          p => EmbeddingOps.ivfpqIndexWrite(emb(s, d), p))
+        EmbeddingOps.ivfpqTopKIndexed(s, idx,
+          emb(s, d).where(col("vec_id") < 5))
+      },
+      Some(s"""WITH $EmbCte,
+        |$IvfPqScoreCte
+        |$IvfPqTopKTail""".stripMargin)),
+
+    // ---- similarity: IVF-PQ recall@10 — the composite's recall row,
+    // measuring coarse-pruning misses AND residual-quantization
+    // ranking error against the exact brute top-10 ------------------
+    Q("sim_ivfpq_recall",
+      (s, d) => EmbeddingOps.ivfpqRecall(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$IvfPqScoreCte,
+        |xk AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
+        |  FROM xsc) WHERE rk <= 10),
+        |$BruteTop10Cte,
+        |${recallTail("xk")}""".stripMargin)),
 
     // ---- similarity: PQ recall@10 vs the exact brute top-10 — every
     // approximate route ships with its recall measurement -----------------

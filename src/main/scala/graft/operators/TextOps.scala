@@ -2211,4 +2211,117 @@ object TextOps {
         (col("w_sum").cast("double") / col("n_feats"))
           .as("avg_weight"))
   }
+
+  // ---- supervised quality classifier (multinomial Naive Bayes) ---------
+  // The classifier-based arm of web-corpus curation (the GPT-3 /
+  // LLaMA recipe: a linear classifier scores crawl pages against a
+  // trusted positive corpus; Brown et al. 2020 §A, Touvron et al.
+  // 2023 §2.1 — "classify Wikipedia-referenced vs random pages").
+  // Next to the generative selectors already here (bigram-LM
+  // perplexity, DSIR importance weights) this is the DISCRIMINATIVE
+  // selector: labeled positive AND negative slices, class priors, and
+  // an argmax keep/drop decision. Multinomial NB over raw token
+  // counts is the fastText-class linear model whose training is pure
+  // counting — one aggregate pass, exactly replayable — and whose
+  // model is vocabulary-sized: keyed shuffle joins, NEVER broadcast
+  // (the LM-table discipline).
+
+  /** Train the NB model: per-word occurrence counts in the positive
+    * and negative training slices — (word, c_p, c_n), one count
+    * aggregate over the training corpus. */
+  def nbModel(docs: DataFrame, posSource: String,
+      negSource: String): DataFrame =
+    docs.where(col("source").isin(posSource, negSource))
+      .select(col("source"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word"))
+      .agg(sum(when(col("source") === posSource, 1L).otherwise(0L))
+          .as("c_p"),
+        sum(when(col("source") === negSource, 1L).otherwise(0L))
+          .as("c_n"))
+
+  /** Class priors as a 1-row (d_p, d_n) document-count frame — kept a
+    * FRAME (not driver literals) so the whole classifier stays one
+    * declarative plan; it cross-joins broadcast like every scalar CTE
+    * here. */
+  def nbPriors(docs: DataFrame, posSource: String,
+      negSource: String): DataFrame =
+    docs.where(col("source").isin(posSource, negSource))
+      .agg(sum(when(col("source") === posSource, 1L).otherwise(0L))
+          .as("d_p"),
+        sum(when(col("source") === negSource, 1L).otherwise(0L))
+          .as("d_n"))
+
+  /** Score documents under an EXPLICIT NB model + priors — the
+    * serving half ([[nbClassify]] composes the three). Laplace
+    * add-one smoothing and bit-length-quantized logs keep every
+    * per-class score an exact BIGINT:
+    *
+    *   score_c = qlog2(d_c+1) - qlog2(d_p+d_n+2)          (prior)
+    *           + sum_w k_w * qlog2(c_wc + 1)              (likelihood)
+    *           - n_tokens * qlog2(N_c + V)                (normalizer)
+    *
+    * with qlog2(x) = floor(log2 x) = bit_length(x) - 1. A word the
+    * model never saw smooths to count 1 → qlog2(1) = 0, which is
+    * exactly what the LEFT join's coalesce-to-0 contributes — unseen
+    * vocabulary is handled by the same arithmetic, not a special
+    * case. Ties keep (score_p = score_n → 'keep'), margin is ONE
+    * final IEEE division.
+    *
+    * Scale shape: one token-count shuffle over the scored corpus, one
+    * vocabulary-keyed model join (model frames are corpus-vocabulary
+    * sized — shuffled, never broadcast), and two 1-row broadcast
+    * scalar frames (model totals, priors). */
+  def nbScoreWith(docs: DataFrame, model: DataFrame,
+      priors: DataFrame): DataFrame = {
+    val qmodel = model.select(col("word"),
+      (length(bin(col("c_p") + 1)) - 1).cast("long").as("ql_p"),
+      (length(bin(col("c_n") + 1)) - 1).cast("long").as("ql_n"))
+    // model totals: ONE aggregate of the vocab-sized frame → 1 row
+    val qstats = model.agg(sum(col("c_p")).as("n_p"),
+        sum(col("c_n")).as("n_n"), count(lit(1)).as("v"))
+      .select(
+        (length(bin(col("n_p") + col("v"))) - 1).cast("long").as("qd_p"),
+        (length(bin(col("n_n") + col("v"))) - 1).cast("long").as("qd_n"))
+    val qpriors = priors.select(
+      ((length(bin(col("d_p") + 1)) - 1)
+        - (length(bin(col("d_p") + col("d_n") + 2)) - 1))
+        .cast("long").as("qp_p"),
+      ((length(bin(col("d_n") + 1)) - 1)
+        - (length(bin(col("d_p") + col("d_n") + 2)) - 1))
+        .cast("long").as("qp_n"))
+    docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("k"))
+      .join(qmodel, Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * coalesce(col("ql_p"), lit(0L))).as("s_p"),
+        sum(col("k") * coalesce(col("ql_n"), lit(0L))).as("s_n"),
+        sum(col("k")).as("n_tokens"))
+      .join(broadcast(qstats), lit(true))
+      .join(broadcast(qpriors), lit(true))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("qp_p") + col("s_p") - col("n_tokens") * col("qd_p"))
+          .as("score_p"),
+        (col("qp_n") + col("s_n") - col("n_tokens") * col("qd_n"))
+          .as("score_n"))
+      .withColumn("pred",
+        when(col("score_p") >= col("score_n"), lit("keep"))
+          .otherwise(lit("drop")))
+      .withColumn("margin",
+        (col("score_p") - col("score_n")).cast("double")
+          / col("n_tokens"))
+  }
+
+  /** The deployed composition: train on the labeled slices, score
+    * every OTHER source's documents — the classifier-filter pass a
+    * crawl-scale pipeline runs after generative filtering. */
+  def nbClassify(docs: DataFrame, posSource: String,
+      negSource: String): DataFrame = {
+    val d = docs.pinned
+    nbScoreWith(d.where(!col("source").isin(posSource, negSource)),
+      nbModel(d, posSource, negSource),
+      nbPriors(d, posSource, negSource))
+  }
 }

@@ -834,4 +834,35 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_chars") ==
       r.getAs[String]("text_extracted").length.toLong)
   }
+
+  test("nbClassify: argmax keep/drop with Laplace smoothing; unseen " +
+    "words contribute qlog2(1) = 0; exact-tie keeps") {
+    val d = docsDf(Seq(
+      (1L, "good good good fine", "en", "p"),
+      (2L, "good fine", "en", "p"),
+      (3L, "bad bad bad ugly", "en", "n"),
+      (4L, "bad ugly", "en", "n"),
+      (10L, "good good", "en", "x"),
+      (11L, "bad bad", "en", "x"),
+      (12L, "zzz yyy", "en", "x")))
+    val out = TextOps.nbClassify(d, "p", "n")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out.keySet == Set(10L, 11L, 12L))
+    // hand arithmetic: V=4, N_p=N_n=6 -> qd=qlog2(10)=3; priors
+    // d_p=d_n=2 -> qp = qlog2(3)-qlog2(6) = -1.
+    // doc 10 (good x2): s_p = 2*qlog2(4+1) = 4, s_n = 2*qlog2(1) = 0
+    //   -> score_p = -1+4-6 = -3, score_n = -1+0-6 = -7 -> keep
+    assert(out(10L).getAs[Long]("score_p") == -3L)
+    assert(out(10L).getAs[Long]("score_n") == -7L)
+    assert(out(10L).getAs[String]("pred") == "keep")
+    assert(out(10L).getAs[Double]("margin") == 2.0)
+    // doc 11 is the mirror image -> drop
+    assert(out(11L).getAs[String]("pred") == "drop")
+    assert(out(11L).getAs[Double]("margin") == -2.0)
+    // doc 12: both words unseen -> both scores collapse to priors +
+    // normalizers (-7 each); the deterministic tie keeps
+    assert(out(12L).getAs[Long]("score_p") ==
+      out(12L).getAs[Long]("score_n"))
+    assert(out(12L).getAs[String]("pred") == "keep")
+  }
 }
