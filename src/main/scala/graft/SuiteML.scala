@@ -445,6 +445,28 @@ object SuiteML {
     * `grp(doc_id, group_id)` — shared by dedup_groups and
     * dedup_survivors so the two oracles cannot drift on what a
     * component (and hence a survivor) is. Requires WITH RECURSIVE. */
+  /** Multi-line fixture for the line-dedup row, derived
+    * deterministically from `documents` on BOTH sides: each doc's
+    * 10-token runs become lines, wrapped by boilerplate head/tail
+    * lines SHARED across every document — so cross-document line
+    * dedup must strip exactly the chrome and keep the content
+    * (single-quote-free constants, spliced into the oracle SQL). */
+  private val LineFixtureHead = "subscribe to our newsletter today"
+  private val LineFixtureTail = "all rights reserved worldwide"
+
+  private def lineFixture(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"),
+        org.apache.spark.sql.functions.split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        org.apache.spark.sql.functions.concat_ws("\n",
+          lit(LineFixtureHead),
+          org.apache.spark.sql.functions.expr(
+            "array_join(transform(" +
+              "sequence(0, CAST(ceil(size(w) / 10.0) AS INT) - 1), " +
+              "i -> concat_ws(' ', slice(w, i * 10 + 1, 10))), chr(10))"),
+          lit(LineFixtureTail)).as("text"))
+
   private val ClosureCte: String =
     """edges AS (SELECT doc_a AS a, doc_b AS b FROM ndup
       |          UNION ALL SELECT doc_b, doc_a FROM ndup),
@@ -826,6 +848,58 @@ object SuiteML {
         |losers AS (SELECT doc_id FROM grp WHERE doc_id <> group_id)
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
+
+    // ---- dedup: QUALITY-AWARE survivor choice — keep each group's
+    // LONGEST member (ties -> smallest doc_id), the policy curation
+    // pipelines prefer over first-seen (near-dup clusters typically
+    // hold one full doc + truncated scrapes of it) ------------------
+    Q("dedup_survivors_best",
+      (s, d) => TextOps.dedupSurvivorsBest(docs(s, d)),
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+        |$ClosureCte,
+        |nt AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |ranked AS (SELECT g.doc_id,
+        |             ROW_NUMBER() OVER (PARTITION BY g.group_id
+        |               ORDER BY nt.n_tokens DESC, g.doc_id) AS rk
+        |           FROM grp g JOIN nt USING (doc_id)),
+        |losers AS (SELECT doc_id FROM ranked WHERE rk > 1)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
+
+    // ---- dedup: cross-document LINE removal (CCNet §3.1 — the
+    // boilerplate stage that strips shared chrome lines before any
+    // document-level dedup): a line in >= minDf distinct docs leaves
+    // ALL of them; survivors reassemble in original order. The
+    // fixture wraps every doc's 10-token-run lines in boilerplate
+    // head/tail lines shared corpus-wide, so exactly those must go --
+    Q("text_dedup_lines",
+      (s, d) => TextOps.dedupLines(lineFixture(docs(s, d))),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |fx AS (SELECT doc_id,
+        |  '$LineFixtureHead' || chr(10)
+        |  || array_to_string(list_transform(
+        |       range(0, CAST(ceil(len(w) / 10.0) AS INT)),
+        |       i -> array_to_string(list_slice(w, i*10 + 1, i*10 + 10), ' ')),
+        |       chr(10))
+        |  || chr(10) || '$LineFixtureTail' AS text
+        |  FROM w),
+        |ln AS (SELECT doc_id,
+        |         generate_subscripts(string_split(text, chr(10)), 1) - 1 AS line_no,
+        |         unnest(string_split(text, chr(10))) AS line
+        |       FROM fx),
+        |ldf AS (SELECT line, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM ln GROUP BY 1)
+        |SELECT doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+        |       CAST(SUM(CASE WHEN df < 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_lines_kept,
+        |       COALESCE(string_agg(CASE WHEN df < 2 THEN line END, chr(10)
+        |         ORDER BY line_no), '') AS text_deduped
+        |FROM ln JOIN ldf USING (line)
+        |GROUP BY doc_id""".stripMargin)),
 
     // ---- dedup: SimHash + lossless byte-banding -------------------------
     Q("dedup_simhash",

@@ -356,6 +356,72 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  /** [[dedupSurvivors]] with QUALITY-AWARE survivor choice: instead
+    * of the group's min doc_id, keep its LONGEST member (token count;
+    * ties -> smallest doc_id) — the policy real curation pipelines
+    * prefer (RefinedWeb/Gopher-class dedup keeps the best copy, not
+    * the first-seen one, because near-dup clusters typically contain
+    * one full document and several truncated scrapes of it).
+    *
+    * Scale shape: the group frame is dup-mass-sized, the token-count
+    * projection joins it BY KEY (corpus never re-shuffled), and the
+    * per-group argmax is a window over dup groups only. */
+  def dedupSurvivorsBest(docs: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val d = docs.pinned
+    val groups = dupGroups(
+      nearDupMinhash(d, threshold).select(col("doc_a"), col("doc_b")))
+    val ntok = d.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("group_id"))
+      .orderBy(col("n_tokens").desc, col("doc_id").asc)
+    val losers = groups.join(ntok, Seq("doc_id"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") > 1)
+      .select(col("doc_id"))
+    d.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("source"))
+  }
+
+  /** Cross-document LINE dedup — the CCNet boilerplate stage (Wenzek
+    * et al. 2020 §3.1: "we remove duplicated paragraphs/lines across
+    * shards", which strips headers, nav chrome, and cookie banners
+    * BEFORE document-level dedup ever runs): every line occurring in
+    * at least `minDf` DISTINCT documents is removed from ALL of them;
+    * surviving lines reassemble in original order. Expects multi-line
+    * text (the [[extractHtml]] output shape) in `textCol`.
+    *
+    * Scale shape: one (line-hash, doc_id) distinct-count shuffle and
+    * one hash-keyed excision join — both carry 16-byte md5 surrogates
+    * of the line, never the line text (the dedupSpans discipline);
+    * reassembly is a per-doc sort-free array_sort over an already
+    * doc-local collect. The line-frequency table is corpus-sized and
+    * shuffled by key, never broadcast. */
+  def dedupLines(docs: DataFrame, minDf: Int = 2,
+      textCol: String = "text"): DataFrame = {
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .withColumn("h", md5(col("line")))
+      .pinned // one tokenize pass feeds df-count AND excision
+    val lineDf = lines.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    lines.join(lineDf, Seq("h"))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("df") < minDf, 1L).otherwise(0L))
+          .as("n_lines_kept"),
+        // collect_list skips the NULLs the when() leaves for dropped
+        // lines; array_sort on (line_no, line) structs restores
+        // original order deterministically
+        concat_ws("\n", transform(
+          array_sort(collect_list(when(col("df") < minDf,
+            struct(col("line_no"), col("line"))))),
+          x => x.getField("line"))).as("text_deduped"))
+      .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
+        col("text_deduped"))
+  }
+
   private val SimhashBits = 32
 
   /** Hex-nibble value (0-15) of md5(word) at position j — the portable

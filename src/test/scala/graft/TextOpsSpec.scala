@@ -835,6 +835,47 @@ class TextOpsSpec extends SparkSpec {
       r.getAs[String]("text_extracted").length.toLong)
   }
 
+  test("dedupSurvivorsBest keeps each group's LONGEST member, not its " +
+    "min doc_id") {
+    // docs 1,2 exact dups, 3 near-dup with ONE extra token -> the
+    // quality-aware policy keeps 3 (longest), where dedupSurvivors
+    // keeps 1 (first)
+    val best = TextOps.dedupSurvivorsBest(docs)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(best.sameElements(Array(3L, 4L)))
+    val first = TextOps.dedupSurvivors(docs)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(first.sameElements(Array(1L, 4L)))
+  }
+
+  test("dedupLines removes lines shared by >= minDf docs from ALL of " +
+    "them, keeps order, and counts exactly") {
+    val d = Seq(
+      (1L, "shared header\nunique alpha\nshared footer"),
+      (2L, "shared header\nunique beta\nboth twice\nshared footer"),
+      (3L, "shared header\nboth twice\nunique gamma\nshared footer"))
+      .toDF("doc_id", "text")
+    val out = TextOps.dedupLines(d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // header/footer in 3 docs, "both twice" in 2 -> all removed
+    assert(out(1L).getAs[String]("text_deduped") == "unique alpha")
+    assert(out(2L).getAs[String]("text_deduped") == "unique beta")
+    assert(out(3L).getAs[String]("text_deduped") == "unique gamma")
+    assert(out(2L).getAs[Long]("n_lines") == 4L)
+    assert(out(2L).getAs[Long]("n_lines_kept") == 1L)
+    // a doc whose every line is boilerplate survives as an empty text
+    val all = TextOps.dedupLines(d.unionAll(Seq(
+        (4L, "shared header\nshared footer")).toDF("doc_id", "text")))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(all(4L).getAs[String]("text_deduped") == "")
+    assert(all(4L).getAs[Long]("n_lines_kept") == 0L)
+    // raising minDf above the max df keeps everything
+    val keepAll = TextOps.dedupLines(d, minDf = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(keepAll(1L).getAs[String]("text_deduped") ==
+      "shared header\nunique alpha\nshared footer")
+  }
+
   test("nbClassify: argmax keep/drop with Laplace smoothing; unseen " +
     "words contribute qlog2(1) = 0; exact-tie keeps") {
     val d = docsDf(Seq(
