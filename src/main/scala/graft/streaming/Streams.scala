@@ -610,6 +610,100 @@ object Streams {
       dsirDistState(s, statePath), target, buckets)
   }
 
+  /** Marker "word" for the per-doc prior rows a [[nbSink]] state
+    * carries next to its word counts: tokens are space-split, so a
+    * key CONTAINING a space can never collide with a real token. */
+  val NbDocSentinel = "# docs"
+
+  /** Streaming NB-classifier model maintenance — the third additive
+    * member of the fold family ([[lmSink]], [[dsirSink]]): each
+    * micro-batch's labeled docs (source = pos/neg; others pass
+    * through unfolded) add their per-word counts into the
+    * (word, c_p, c_n) model, plus ONE sentinel-keyed row per doc
+    * carrying the class-prior document counts — so the state holds
+    * everything graft.operators.TextOps.nbScoreWith needs and stays
+    * in the additive raw-count domain (smoothing + quantized logs
+    * happen at serving, never in state). Read back with
+    * [[nbModelState]] / [[nbPriorsState]], or serve drift-proof via
+    * [[nbScoreState]]. */
+  def nbSink(docs: DataFrame, posSource: String, negSource: String,
+      statePath: String, checkpointLocation: String,
+      nShards: Int = DefaultStateShards)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    // the label sources are pinned in `_params`: resuming with
+    // flipped/different labels would fold NEW docs' counts into the
+    // wrong class columns — invisible to the doc registry (new docs
+    // are genuinely new), so it must refuse at bind
+    registryAdditiveFoldSink(
+      docs.where(col("source").isin(posSource, negSource)),
+      statePath, checkpointLocation, nShards,
+      Map("nbPosSource" -> posSource, "nbNegSource" -> negSource))(
+      batch => {
+        val wc = batch.select(col("doc_id"), col("source"),
+            explode(split(col("text"), " ")).as("word"))
+          .groupBy(col("doc_id"), col("source"), col("word"))
+          .agg(count(lit(1)).as("k"))
+          .select(col("doc_id"), col("word"),
+            when(col("source") === posSource, col("k"))
+              .otherwise(lit(0L)).as("c_p"),
+            when(col("source") === negSource, col("k"))
+              .otherwise(lit(0L)).as("c_n"))
+        val marker = batch.select(col("doc_id"),
+          lit(NbDocSentinel).as("word"),
+          when(col("source") === posSource, lit(1L))
+            .otherwise(lit(0L)).as("c_p"),
+          when(col("source") === negSource, lit(1L))
+            .otherwise(lit(0L)).as("c_n"))
+        wc.unionByName(marker)
+      },
+      Seq("word"), Seq("c_p", "c_n"),
+      // the increment is a function of (text, source) — a doc
+      // re-labeled to the other class with identical text is a
+      // mutation, not a re-delivery (the dsirSink rationale)
+      md5(concat(md5(col("text")), col("source"))))
+
+  /** The maintained NB word-count model from a [[nbSink]] state —
+    * (word, c_p, c_n), the shape TextOps.nbScoreWith serves from. */
+  def nbModelState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    foldState(s, statePath)
+      .where(col("kind") === "g" && col("word") =!= NbDocSentinel)
+      .select(col("word"), col("c_p"), col("c_n"))
+
+  /** The class-prior document counts from a [[nbSink]] state — a
+    * 1-row (d_p, d_n) frame folded from the sentinel rows. */
+  def nbPriorsState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    foldState(s, statePath)
+      .where(col("kind") === "g" && col("word") === NbDocSentinel)
+      .agg(coalesce(sum(col("c_p")), lit(0L)).as("d_p"),
+        coalesce(sum(col("c_n")), lit(0L)).as("d_n"))
+
+  /** The (posSource, negSource) a [[nbSink]] state was built with,
+    * from its write-once `_params` sidecar. */
+  def nbStateParams(s: org.apache.spark.sql.SparkSession,
+      statePath: String): (String, String) = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = readParams(fs, root)
+    require(p.contains("nbPosSource") && p.contains("nbNegSource"),
+      s"state at $statePath carries no NB label parameters " +
+        p.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("(found {", ", ", "}); ") +
+        "it was not written by nbSink, or predates the parameter " +
+        "sidecar — rebuild it (the label split cannot be recovered " +
+        "from the counts).")
+    (p("nbPosSource"), p("nbNegSource"))
+  }
+
+  /** Score `docs` under a [[nbSink]] state — the drift-proof serving
+    * path: label sources come from the state's own sidecar. */
+  def nbScoreState(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): DataFrame =
+    graft.operators.TextOps.nbScoreWith(docs,
+      nbModelState(s, statePath), nbPriorsState(s, statePath))
+
   /** The shared registry-guarded ADDITIVE fold behind [[lmSink]] and
     * [[dsirSink]]: count addition is not idempotent, so the state
     * carries two row kinds in one frame — `d` rows, the audited doc

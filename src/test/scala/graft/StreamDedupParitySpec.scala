@@ -691,6 +691,62 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(served.sameElements(batch))
   }
 
+  test("streaming NB model over sliced + re-delivering corpus equals " +
+    "batch; serving through the state equals the batch classifier") {
+    // the third additive fold: per-word class counts + sentinel-keyed
+    // prior rows; unlabeled sources pass through unfolded
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables(spark, dir).documents
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val third = (r: Int) => docs.where(pmod($"doc_id", lit(3)) === r)
+    val slices = Seq(third(0), third(1), third(2).unionAll(third(1)))
+
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_nb_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_nb_state").resolve("state").toString
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = Streams.nbSink(stream, "src0", "src1", statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_nb_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+
+    // only labeled docs register; the registry never sees the rest
+    val state = Streams.foldState(spark, statePath)
+    assert(state.where($"kind" === "d").count() ==
+      docs.where($"source".isin("src0", "src1")).count())
+    val got = Streams.nbModelState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.nbModel(docs, "src0", "src1")
+      .collect().map(_.toString).sorted
+    assert(got.length == expected.length,
+      s"state ${got.length} words vs batch ${expected.length}")
+    assert(got.sameElements(expected))
+    // priors fold to the labeled doc counts
+    val pri = Streams.nbPriorsState(spark, statePath).head()
+    val dp = docs.where($"source" === "src0").count()
+    val dn = docs.where($"source" === "src1").count()
+    assert(pri.getAs[Long]("d_p") == dp && pri.getAs[Long]("d_n") == dn)
+    // drift-proof serving (labels from the sidecar) reproduces the
+    // one-shot batch classifier on the unlabeled remainder
+    val served = Streams.nbScoreState(spark, statePath,
+        docs.where(!$"source".isin("src0", "src1")))
+      .collect().map(_.toString).sorted
+    val batch = TextOps.nbClassify(docs, "src0", "src1")
+      .collect().map(_.toString).sorted
+    assert(served.sameElements(batch))
+    // and the sidecar pins the label split
+    assert(Streams.nbStateParams(spark, statePath) == ("src0", "src1"))
+  }
+
   test("DSIR fold REFUSES a doc re-classified to a different source") {
     // the DSIR increment is a function of (text, source): identical
     // text under a flipped source moves counts across the c_t/c_r
