@@ -190,6 +190,59 @@ class ScaleProbeSpec extends SparkSpec {
       }
   }
 
+  test("ivfpqTopK at 10x sf0.1: every broadcast is a quantizer/query frame, " +
+    "never the corpus") {
+    // the composite's broadcasts: coarse centroids (cent_id / cell),
+    // residual codebooks (code), query probes + LUT (query_id) — all
+    // bounded by construction parameters. Corpus frames carry vec_id;
+    // every broadcast must carry a bounded mark and NO vec_id.
+    val plan = staticPlanOf(
+      EmbeddingOps.ivfpqTopK(syntheticEmb(50000L, dim = 64)))
+    assertShuffleHealth("ivfpqTopK", plan)
+    val marks = Set("query_id", "cent_id", "cell", "code")
+    val bc = broadcastSubtrees(plan)
+    assert(bc.nonEmpty, "ivfpqTopK lost its quantizer broadcasts")
+    bc.foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.exists(marks) && !cols.contains("vec_id"),
+        "ivfpqTopK broadcasts a corpus-shaped frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
+  test("nbClassify at 10x sf0.1: vocabulary model joins stay keyed; only " +
+    "1-row scalar frames broadcast") {
+    // the (word, c_p, c_n) model is vocabulary-sized — it grows with
+    // the corpus and may never broadcast (the lmScore rule); the two
+    // legitimate broadcasts are the 1-row totals and priors frames
+    val plan = staticPlanOf(
+      TextOps.nbClassify(syntheticDocs(50000L), "syn0", "syn1"))
+    // scalar-tolerant shuffle health (the mixTemperature rule): the
+    // global reductions behind the 1-row totals/priors frames
+    // legitimately exchange map-side partials into one partition;
+    // every corpus-carrying shuffle must keep full parallelism
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 2, // token counts + model join
+      s"nbClassify lost its corpus-side parallel shuffles: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"nbClassify has a shuffle at odd parallelism: $parts")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "nbClassify plans a CartesianProduct")
+    val scalarCols = Set("qd_p", "qd_n", "qp_p", "qp_n")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.forall(scalarCols),
+        "nbClassify broadcasts a non-scalar frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("lmScore at 10x sf0.1: LM tables join by keyed shuffle, zero broadcasts") {
     // the bigram model and its context marginal are vocabulary- and
     // vocabulary²-sized — they grow with the corpus and may never
