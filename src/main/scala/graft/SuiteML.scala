@@ -467,6 +467,78 @@ object SuiteML {
               "i -> concat_ws(' ', slice(w, i * 10 + 1, 10))), chr(10))"),
           lit(LineFixtureTail)).as("text"))
 
+  /** Messy-URL fixture for the canonicalization rows, derived
+    * deterministically from `documents` on BOTH sides: scheme case,
+    * optional WWW, mixed host case, the https default port, a
+    * doc_id-mod path (so canonical collisions genuinely occur inside
+    * a source), optional trailing slash, tracking params around a
+    * real one, and a fragment — every canonicalization rule is
+    * exercised by construction. */
+  private val UrlFixtureSql: String =
+    """uf AS (SELECT doc_id,
+      |  'HTTPS://' || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END ||
+      |  'Blog.' || source || '-site.COM' ||
+      |  CASE WHEN doc_id % 2 = 0 THEN ':443' ELSE '' END ||
+      |  '/articles/' || CAST(doc_id % 13 AS VARCHAR) ||
+      |  CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END ||
+      |  '?utm_source=feed&id=' || CAST(doc_id % 13 AS VARCHAR) ||
+      |  '&ref=tw' ||
+      |  CASE WHEN doc_id % 5 = 0 THEN '&lang=en' ELSE '' END ||
+      |  '#frag' || CAST(doc_id AS VARCHAR) AS url
+      | FROM documents)""".stripMargin
+
+  private def urlFixture(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.select(col("doc_id"),
+      org.apache.spark.sql.functions.concat(
+        lit("HTTPS://"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.pmod(col("doc_id"), lit(3)) === 0,
+          lit("WWW.")).otherwise(lit("")),
+        lit("Blog."), col("source"), lit("-site.COM"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.pmod(col("doc_id"), lit(2)) === 0,
+          lit(":443")).otherwise(lit("")),
+        lit("/articles/"),
+        org.apache.spark.sql.functions.pmod(col("doc_id"), lit(13))
+          .cast("string"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.pmod(col("doc_id"), lit(4)) === 0,
+          lit("/")).otherwise(lit("")),
+        lit("?utm_source=feed&id="),
+        org.apache.spark.sql.functions.pmod(col("doc_id"), lit(13))
+          .cast("string"),
+        lit("&ref=tw"),
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.pmod(col("doc_id"), lit(5)) === 0,
+          lit("&lang=en")).otherwise(lit("")),
+        lit("#frag"), col("doc_id").cast("string")).as("url"))
+
+  /** Canonicalization CTE over `uf` mirroring
+    * [[graft.operators.TextOps.canonicalizeUrl]], ending in
+    * `canon(doc_id, url, canonical_url, domain)` — shared by the
+    * canonical row and the dedup/cap row so the rules cannot drift. */
+  private val UrlCanonCte: String =
+    s"""$UrlFixtureSql,
+      |u1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$$', '') AS nf FROM uf),
+      |u2 AS (SELECT doc_id, url, nf,
+      |  lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |  regexp_replace(regexp_replace(
+      |    lower(regexp_extract(nf, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)', 1)),
+      |    ':(80|443)$$', ''), '^www\\.', '') AS host,
+      |  regexp_replace(regexp_extract(nf,
+      |    '^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)', 1), '/+$$', '') AS path,
+      |  array_to_string(list_sort(list_filter(
+      |    string_split(regexp_extract(nf, '\\?(.*)$$', 1), '&'),
+      |    p -> NOT (p[1:4] IN ('utm_', 'ref=') OR p = ''))), '&') AS q
+      |  FROM u1),
+      |canon AS (SELECT doc_id, url,
+      |  scheme || '://' || host ||
+      |  CASE WHEN path = '' THEN '/' ELSE path END ||
+      |  CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url,
+      |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
+      |  FROM u2)""".stripMargin
+
   private val ClosureCte: String =
     """edges AS (SELECT doc_a AS a, doc_b AS b FROM ndup
       |          UNION ALL SELECT doc_b, doc_a FROM ndup),
@@ -900,6 +972,36 @@ object SuiteML {
         |         ORDER BY line_no), '') AS text_deduped
         |FROM ln JOIN ldf USING (line)
         |GROUP BY doc_id""".stripMargin)),
+
+    // ---- curation: URL canonicalization — the crawl front door
+    // (RefinedWeb runs URL dedup BEFORE any text dedup): scheme/host
+    // case, www, default ports, trailing slashes, tracking params,
+    // fragments all collapse; params sort; domain = last two labels -
+    Q("text_url_canonical",
+      (s, d) => TextOps.canonicalizeUrl(urlFixture(docs(s, d)))
+        .select(col("doc_id"), col("url"), col("canonical_url"),
+          col("domain")),
+      Some(s"""WITH $UrlCanonCte
+        |SELECT doc_id, url, canonical_url, domain FROM canon""".stripMargin)),
+
+    // ---- curation: canonical-URL dedup + per-domain cap — exact
+    // page dedup on the canonical key (min doc_id survives), then at
+    // most 10 docs per domain (the anti-over-representation cap) ----
+    Q("text_domain_cap",
+      (s, d) => TextOps.capPerDomain(TextOps.urlDedup(
+          TextOps.canonicalizeUrl(urlFixture(docs(s, d)))), 10)
+        .select(col("doc_id"), col("canonical_url"), col("domain")),
+      Some(s"""WITH $UrlCanonCte,
+        |ud AS (SELECT doc_id, canonical_url, domain FROM (
+        |        SELECT doc_id, canonical_url, domain,
+        |               ROW_NUMBER() OVER (PARTITION BY canonical_url
+        |                 ORDER BY doc_id) AS rk
+        |        FROM canon) WHERE rk = 1)
+        |SELECT doc_id, canonical_url, domain FROM (
+        |  SELECT doc_id, canonical_url, domain,
+        |         ROW_NUMBER() OVER (PARTITION BY domain
+        |           ORDER BY doc_id) AS rk2
+        |  FROM ud) WHERE rk2 <= 10""".stripMargin)),
 
     // ---- dedup: SimHash + lossless byte-banding -------------------------
     Q("dedup_simhash",

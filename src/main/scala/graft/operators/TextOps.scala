@@ -356,6 +356,73 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  // ---- URL canonicalization / domain discipline ------------------------
+  // The crawl-side front door BEFORE any text-level dedup (RefinedWeb
+  // §3.1 runs URL dedup first; CCNet shards by domain): scrape
+  // variants of one page differ only in scheme case, www, default
+  // ports, trailing slashes, tracking params, and fragments — exact
+  // URL dedup without canonicalization misses most of them.
+
+  /** Canonicalize a URL column (pure regex/array expressions — no
+    * UDF, replayable): lowercase scheme+host, strip `www.`, drop
+    * default ports (:80/:443), strip the fragment, trim trailing
+    * slashes (bare host -> "/"), drop tracking params (`utm_*`,
+    * `ref=`) and SORT the survivors. `domain` is the last two host
+    * labels (a documented simplification of the public-suffix list —
+    * right for the .com/.org bulk of a crawl). Adds `canonical_url`
+    * and `domain`; per-row, no shuffle. */
+  def canonicalizeUrl(df: DataFrame,
+      urlCol: String = "url"): DataFrame =
+    df.withColumn("_nf", regexp_replace(col(urlCol), "#.*$", ""))
+      .withColumn("_scheme",
+        lower(regexp_extract(col("_nf"), "^([A-Za-z][A-Za-z0-9+.-]*)://", 1)))
+      .withColumn("_host",
+        regexp_replace(regexp_replace(
+          lower(regexp_extract(col("_nf"),
+            "^[A-Za-z][A-Za-z0-9+.-]*://([^/?]+)", 1)),
+          ":(80|443)$", ""), "^www\\.", ""))
+      .withColumn("_path",
+        regexp_replace(regexp_extract(col("_nf"),
+          "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]+([^?]*)", 1), "/+$", ""))
+      .withColumn("_q", expr(
+        "array_join(array_sort(filter(" +
+          "split(regexp_extract(_nf, '\\\\?(.*)$', 1), '&'), " +
+          "p -> NOT (substring(p, 1, 4) IN ('utm_', 'ref=') OR p = ''))), " +
+          "'&')"))
+      .withColumn("canonical_url", concat(
+        col("_scheme"), lit("://"), col("_host"),
+        when(col("_path") === "", lit("/")).otherwise(col("_path")),
+        when(col("_q") === "", lit(""))
+          .otherwise(concat(lit("?"), col("_q")))))
+      .withColumn("domain",
+        regexp_extract(col("_host"), "([^.]+\\.[^.]+)$", 1))
+      .drop("_nf", "_scheme", "_host", "_path", "_q")
+
+  /** Exact dedup on the canonical URL: each canonical page keeps its
+    * smallest doc_id. One hash-groupBy shuffle on the canonical
+    * string — the [[dedupExact]] shape, URL-keyed. Expects
+    * [[canonicalizeUrl]] output. */
+  def urlDedup(df: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("canonical_url"))
+      .orderBy(col("doc_id").asc)
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1).drop("rk")
+  }
+
+  /** Per-domain document cap — the anti-over-representation
+    * discipline (RefinedWeb-class pipelines cap any single domain's
+    * share of the corpus): keep each domain's `maxPerDomain` smallest
+    * doc_ids. The window partitions by domain — domain-cardinality,
+    * which a crawl keeps far below doc-cardinality; a genuinely
+    * pathological mega-domain is exactly the thing this operator
+    * exists to truncate. */
+  def capPerDomain(df: DataFrame, maxPerDomain: Int): DataFrame = {
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("doc_id").asc)
+    df.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= maxPerDomain).drop("rk")
+  }
+
   /** [[dedupSurvivors]] with QUALITY-AWARE survivor choice: instead
     * of the group's min doc_id, keep its LONGEST member (token count;
     * ties -> smallest doc_id) — the policy real curation pipelines

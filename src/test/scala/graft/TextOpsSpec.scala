@@ -876,6 +876,41 @@ class TextOpsSpec extends SparkSpec {
       "shared header\nunique alpha\nshared footer")
   }
 
+  test("canonicalizeUrl: each rule pinned; urlDedup and capPerDomain " +
+    "compose on the canonical key") {
+    val urls = Seq(
+      // scheme+host case, www, default port, tracking params,
+      // unsorted survivors, fragment, trailing slash
+      (1L, "HTTPS://WWW.News.Example.COM:443/a/b/?z=1&utm_source=x&a=2#top"),
+      (2L, "https://news.example.com/a/b?a=2&z=1"), // canonical twin of 1
+      (3L, "http://blog.example.com:80"),           // bare host -> "/"
+      (4L, "http://blog.example.com/?ref=tw&utm_campaign=s"), // all params drop
+      (5L, "https://other.org/path"))
+      .toDF("doc_id", "url")
+    val c = TextOps.canonicalizeUrl(urls)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(c(1L).getAs[String]("canonical_url") ==
+      "https://news.example.com/a/b?a=2&z=1")
+    assert(c(2L).getAs[String]("canonical_url") ==
+      c(1L).getAs[String]("canonical_url"))
+    assert(c(3L).getAs[String]("canonical_url") ==
+      "http://blog.example.com/")
+    assert(c(4L).getAs[String]("canonical_url") ==
+      "http://blog.example.com/")
+    assert(c(5L).getAs[String]("canonical_url") == "https://other.org/path")
+    assert(c(1L).getAs[String]("domain") == "example.com")
+    assert(c(5L).getAs[String]("domain") == "other.org")
+    // dedup keeps min doc_id per canonical page: 2 and 4 lose
+    val kept = TextOps.urlDedup(TextOps.canonicalizeUrl(urls))
+      .select($"doc_id").as[Long].collect().sorted
+    assert(kept.sameElements(Array(1L, 3L, 5L)))
+    // the domain cap then bounds example.com to 1 doc
+    val capped = TextOps.capPerDomain(
+        TextOps.urlDedup(TextOps.canonicalizeUrl(urls)), 1)
+      .select($"doc_id").as[Long].collect().sorted
+    assert(capped.sameElements(Array(1L, 5L)))
+  }
+
   test("nbClassify: argmax keep/drop with Laplace smoothing; unseen " +
     "words contribute qlog2(1) = 0; exact-tie keeps") {
     val d = docsDf(Seq(
