@@ -344,6 +344,59 @@ object EmbeddingOps {
     col("seg").isin(segs.map(Int.box): _*)
   }
 
+  /** Delete vectors from ANY persisted index ([[ivfIndexWrite]],
+    * [[pqIndexWrite]], [[ivfpqIndexWrite]]) — the retraction half of
+    * the index lifecycle (user deletions, retracted documents, the
+    * faiss `remove_ids` contract): deletions land as TOMBSTONE
+    * segments under `$path/dels/seg=N` gated by their own `_dels`
+    * manifest — the exact append protocol, so a delete is
+    * CRASH-ATOMIC and O(batch): no list/code segment is rewritten.
+    * Serving anti-joins the committed tombstone set; compaction
+    * ([[ivfIndexCompact]] family) applies tombstones physically and
+    * clears them. Caller contract: a tombstoned vec_id must never be
+    * re-appended (tombstones win over every data segment — the
+    * re-add would be invisible); one maintainer at a time. */
+  def indexDelete(s: org.apache.spark.sql.SparkSession, path: String,
+      ids: DataFrame, failpoint: String => Unit = _ => ()): Unit = {
+    val (fs, root) = fsFor(s, path)
+    val (g, segs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(g >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — build the index first")
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_dels")
+    val (dg, dsegs) = committedSegs(fs, metaDir)
+    val segId = if (dsegs.isEmpty) 0 else dsegs.max + 1
+    val dir = new org.apache.hadoop.fs.Path(root, "dels")
+    val staged = new org.apache.hadoop.fs.Path(dir, s".seg-$segId.stage")
+    val dest = new org.apache.hadoop.fs.Path(dir, s"seg=$segId")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    ids.select(col("vec_id")).distinct()
+      .write.mode("overwrite").parquet(staged.toString)
+    failpoint("staged-written")
+    require(fs.rename(staged, dest),
+      s"could not publish tombstone segment $dest")
+    failpoint("segment-renamed")
+    commitGen(fs, metaDir, math.max(dg, -1) + 1, dsegs :+ segId)
+  }
+
+  /** The committed tombstone set of an index — (vec_id), empty when
+    * the index has no `_dels` manifest. Unbounded by construction
+    * (deletion mass grows with corpus churn), so callers ANTI-JOIN
+    * it, never collect it. */
+  def tombstones(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (fs, root) = fsFor(s, path)
+    val (dg, dsegs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
+    if (dg < 0 || dsegs.isEmpty)
+      s.range(0).select(col("id").as("vec_id"))
+    else
+      s.read.parquet(s"$path/dels")
+        .where(col("seg").isin(dsegs.map(Int.box): _*))
+        .select(col("vec_id"))
+  }
+
   /** Persist an IVF index as a warehouse artifact — the offline-build
     * / online-serve split every production ANN system has: the coarse
     * quantizer is fixed once, every vector is assigned once, and the
@@ -429,8 +482,10 @@ object EmbeddingOps {
     * see the old tree until the committing rename; a kill at any
     * point leaves the old index serving (the staged sibling is hidden
     * and replaced wholesale on retry). Single maintainer at a time.
-    * Returns the number of segments consolidated (0 = already
-    * compact). */
+    * Committed TOMBSTONES ([[indexDelete]]) apply physically during
+    * the rewrite and clear with it — a single-segment index with
+    * deletions still compacts. Returns the number of segments
+    * consolidated (0 = already compact and tombstone-free). */
   def ivfIndexCompact(s: org.apache.spark.sql.SparkSession,
       path: String): Int =
     compactSegments(s, path, "lists", Seq("centroids"),
@@ -461,7 +516,13 @@ object EmbeddingOps {
     val (gen, segs) = committedSegs(fs, metaDir)
     require(gen >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — not an index root")
-    if (segs.size <= 1) 0
+    val (dg, dsegs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
+    val hasDels = dg >= 0 && dsegs.nonEmpty
+    // no-op only when there is nothing to consolidate AND no
+    // tombstones to apply — a single-segment index with deletions
+    // still compacts (that is how tombstones become physical)
+    if (segs.size <= 1 && !hasDels) 0
     else {
       val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
       if (fs.exists(tmp)) fs.delete(tmp, true)
@@ -476,10 +537,12 @@ object EmbeddingOps {
       // basePath keeps sibling seg roots one logical table (per-root
       // partition discovery would see conflicting structures); the
       // discovered seg column is layout, not data — dropped before
-      // the rewrite
+      // the rewrite. Tombstoned rows drop PHYSICALLY here, and the
+      // staged tree carries no dels/_dels — compaction clears them.
       val rows = s.read.option("basePath", s"$path/$dataDir")
         .parquet(segs.sorted.map(k => s"$path/$dataDir/seg=$k"): _*)
         .drop("seg")
+        .join(tombstones(s, path), Seq("vec_id"), "left_anti")
       writer(rows).parquet(s"$tmp/$dataDir/seg=0")
       commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0,
         Seq(0))
@@ -515,6 +578,9 @@ object EmbeddingOps {
     val lists = s.read.parquet(s"$path/lists")
       .where(segFilter(s, path) &&
         col("cell").isin(probedCells.map(Int.box): _*))
+      // committed tombstones mask deleted vectors (anti-join — the
+      // tombstone set is unbounded, never collected)
+      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     probes.join(lists, Seq("cell"))
@@ -730,6 +796,7 @@ object EmbeddingOps {
     val codes = s.read.parquet(s"$path/codes")
       .where(segFilter(s, path)) // committed segments only
       .drop("seg")
+      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
     val lut = subSlices(quantized(queries))
       .select(col("vec_id").as("query_id"), col("sub"),
         col("sq").as("qs"))
@@ -913,6 +980,7 @@ object EmbeddingOps {
       .where(segFilter(s, path) &&
         col("cell").isin(probedCells.map(Int.box): _*))
       .drop("seg")
+      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
     ivfpqAdc(probes, qe, cb, codes, k)
   }
 

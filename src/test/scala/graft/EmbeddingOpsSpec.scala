@@ -491,6 +491,82 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(EmbeddingOps.ivfpqIndexCompact(spark, idx) == 0)
   }
 
+  test("index deletion: tombstones mask vectors in all three servings, " +
+    "crash-atomically; compaction applies and clears them") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    val victims = e.where($"vec_id" >= 20 && $"vec_id" < 30)
+      .select($"vec_id")
+    val rest = e.where($"vec_id" < 20 || $"vec_id" >= 30)
+    def build(kind: String): String = {
+      val p = java.nio.file.Files
+        .createTempDirectory(s"graft_${kind}_del").toString
+      kind match {
+        case "ivf" => EmbeddingOps.ivfIndexWrite(e, p)
+        case "pq" => EmbeddingOps.pqIndexWrite(e, p)
+        case "ivfpq" => EmbeddingOps.ivfpqIndexWrite(e, p)
+      }
+      p
+    }
+    def serve(kind: String, p: String): Array[String] = (kind match {
+      case "ivf" => EmbeddingOps.ivfTopKIndexed(spark, p, queries)
+      case "pq" => EmbeddingOps.pqTopKIndexed(spark, p, queries)
+      case "ivfpq" => EmbeddingOps.ivfpqTopKIndexed(spark, p, queries)
+    }).collect().map(_.toString).sorted
+    for (kind <- Seq("ivf", "pq", "ivfpq")) {
+      val idx = build(kind)
+      val before = serve(kind, idx)
+      // both crash windows: serving unchanged after a killed delete
+      for (window <- Seq("staged-written", "segment-renamed")) {
+        intercept[RuntimeException] {
+          EmbeddingOps.indexDelete(spark, idx, victims,
+            fp => if (fp == window)
+              throw new RuntimeException(s"kill@$fp"))
+        }
+        assert(serve(kind, idx).sameElements(before),
+          s"$kind serving changed after a crashed delete at $window")
+      }
+      // the committed delete serves exactly like an index built over
+      // the corpus WITHOUT the victims (per-vector assignment against
+      // shared quantizers — vec_id < 16 seeds survive)
+      EmbeddingOps.indexDelete(spark, idx, victims)
+      val restIdx = java.nio.file.Files
+        .createTempDirectory(s"graft_${kind}_del_rest").toString
+      kind match {
+        case "ivf" => EmbeddingOps.ivfIndexWrite(rest, restIdx)
+        case "pq" => EmbeddingOps.pqIndexWrite(rest, restIdx)
+        case "ivfpq" => EmbeddingOps.ivfpqIndexWrite(rest, restIdx)
+      }
+      val masked = serve(kind, idx)
+      assert(masked.sameElements(serve(kind, restIdx)),
+        s"$kind tombstoned serving != subset-built serving")
+      // compaction drops the rows physically and clears the tombstones
+      val dataDir = if (kind == "ivf") "lists" else "codes"
+      val compacted = kind match {
+        case "ivf" => EmbeddingOps.ivfIndexCompact(spark, idx)
+        case "pq" => EmbeddingOps.pqIndexCompact(spark, idx)
+        case "ivfpq" => EmbeddingOps.ivfpqIndexCompact(spark, idx)
+      }
+      assert(compacted == 1, s"$kind compaction skipped the tombstones")
+      assert(!new java.io.File(s"$idx/dels").exists() &&
+        !new java.io.File(s"$idx/_dels").exists(),
+        s"$kind compaction left tombstones behind")
+      val perVec = if (kind == "ivf") 1L else 4L
+      assert(spark.read.parquet(s"$idx/$dataDir").count() ==
+        perVec * (e.count() - 10))
+      assert(serve(kind, idx).sameElements(masked),
+        s"$kind serving changed across compaction")
+      // now genuinely compact and tombstone-free
+      val again = kind match {
+        case "ivf" => EmbeddingOps.ivfIndexCompact(spark, idx)
+        case "pq" => EmbeddingOps.pqIndexCompact(spark, idx)
+        case "ivfpq" => EmbeddingOps.ivfpqIndexCompact(spark, idx)
+      }
+      assert(again == 0)
+    }
+  }
+
   test("IVF-PQ recall row is well-formed and bounded by construction") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     val r = EmbeddingOps.ivfpqRecall(e).collect()
