@@ -1395,6 +1395,38 @@ object SuiteML {
         |      FROM db JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs))
         |GROUP BY 1""".stripMargin)),
 
+    // ---- curation: CCNet perplexity buckets (head/middle/tail) ---------
+    // every scored doc's EXACT global perplexity rank (distributed:
+    // order-aligned score-floor shards + in-shard windows + tiny
+    // offset frame — no single-partition corpus window) and the
+    // explicit as-even-as-possible bucket floor((rank-1)*3/N)+1; the
+    // oracle replays rank and formula over the same LM scores -------
+    Q("text_ppl_buckets",
+      (s, d) => TextOps.pplBuckets(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |bs AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM w),
+        |db AS (SELECT doc_id, ls[i] AS lhs, ls[i+1] AS rhs,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM bs GROUP BY 1, 2, 3),
+        |lm AS (SELECT lhs, rhs, CAST(sum(k) AS BIGINT) AS c_ab
+        |       FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT lhs, CAST(sum(c_ab) AS BIGINT) AS c_lhs
+        |        FROM lm GROUP BY 1),
+        |sc AS (SELECT doc_id,
+        |         CAST(sum(k * q) AS DOUBLE) / sum(k) AS avg_nll
+        |       FROM (SELECT doc_id, k,
+        |               CAST(length(bin(c_lhs // c_ab)) - 1 AS BIGINT) AS q
+        |             FROM db JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs))
+        |       GROUP BY 1),
+        |r AS (SELECT doc_id, avg_nll,
+        |        ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id) AS ppl_rank,
+        |        COUNT(*) OVER () AS n
+        |      FROM sc)
+        |SELECT doc_id, avg_nll, CAST(ppl_rank AS BIGINT) AS ppl_rank,
+        |       CAST((ppl_rank - 1) * 3 // n + 1 AS INTEGER) AS bucket
+        |FROM r""".stripMargin)),
+
     // ---- curation: DSIR hashed-ngram importance weights -----------------
     // (target side = source 'src0', the trusted slice; raw docs scored
     // by quantized log p_t(f) - log p_r(f) over 1024 hashed buckets)
@@ -2229,6 +2261,59 @@ object SuiteML {
         |  FROM scored s JOIN n nv ON nv.vec_id = s.vec_id
         |                JOIN cents c ON c.cent_id = s.cent_id),
         |cells AS (SELECT vec_id, cent_id AS cell FROM rankedc WHERE crk = 1),
+        |probes AS (SELECT vec_id AS query_id, cent_id AS cell
+        |           FROM rankedc WHERE vec_id < 5 AND crk <= 2),
+        |cand AS (SELECT p.query_id, cl.vec_id
+        |         FROM probes p JOIN cells cl USING (cell)
+        |         WHERE cl.vec_id <> p.query_id),
+        |cd AS (SELECT query_id, vid, SUM(a*b) AS dot FROM (
+        |    SELECT ca.query_id, ca.vec_id AS vid,
+        |           unnest(eq1.q) AS a, unnest(eq2.q) AS b
+        |    FROM cand ca
+        |    JOIN eq eq1 ON eq1.vec_id = ca.query_id
+        |    JOIN eq eq2 ON eq2.vec_id = ca.vec_id) GROUP BY 1, 2),
+        |sc AS (SELECT query_id, vid,
+        |              CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |       FROM cd JOIN n nq ON nq.vec_id = query_id
+        |                JOIN n nv ON nv.vec_id = vid)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vid AS vec_id, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM sc) WHERE rk <= 10""".stripMargin)),
+
+    // ---- similarity: PERSISTED-index serving WITH TOMBSTONES — the
+    // retraction path: vec_ids 20..29 deleted via indexDelete land as
+    // a tombstone segment, serving anti-joins them out; the oracle is
+    // the same IVF replay with those candidates excluded — equality
+    // proves a delete serves exactly like an index built without the
+    // victims ------------------------------------------------------
+    Q("sim_ivf_deleted",
+      (s, d) => {
+        val idx = cachedIndex("ivfdel", d, p => {
+          EmbeddingOps.ivfIndexWrite(emb(s, d), p)
+          EmbeddingOps.indexDelete(s, p,
+            emb(s, d).where(col("vec_id") >= 20 && col("vec_id") < 30)
+              .select(col("vec_id")))
+        })
+        EmbeddingOps.ivfTopKIndexed(s, idx,
+          emb(s, d).where(col("vec_id") < 5))
+      },
+      Some(s"""WITH $EmbCte,
+        |cents AS (SELECT vec_id AS cent_id, q AS cq, nn AS cn
+        |          FROM e JOIN n USING (vec_id) WHERE vec_id < 16),
+        |eq AS (SELECT e.vec_id, e.q, n.nn FROM e JOIN n USING (vec_id)),
+        |scored AS (
+        |  SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
+        |    SELECT eq.vec_id, c.cent_id, unnest(eq.q) AS a, unnest(c.cq) AS b
+        |    FROM eq, cents c) GROUP BY 1, 2),
+        |rankedc AS (
+        |  SELECT s.vec_id, s.cent_id,
+        |         ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+        |           CAST(s.dot AS DOUBLE) / (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+        |           s.cent_id) AS crk
+        |  FROM scored s JOIN n nv ON nv.vec_id = s.vec_id
+        |                JOIN cents c ON c.cent_id = s.cent_id),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM rankedc
+        |          WHERE crk = 1 AND NOT (vec_id >= 20 AND vec_id < 30)),
         |probes AS (SELECT vec_id AS query_id, cent_id AS cell
         |           FROM rankedc WHERE vec_id < 5 AND crk <= 2),
         |cand AS (SELECT p.query_id, cl.vec_id

@@ -2217,6 +2217,48 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 §4.4: rank
+    * the corpus by LM perplexity and split into head/middle/tail —
+    * the head is what their pipeline keeps for training): every
+    * scored doc gets its EXACT global perplexity rank and an
+    * as-even-as-possible bucket 1..nBuckets.
+    *
+    * The global rank is computed WITHOUT a single-partition window:
+    * docs shard by the order-aligned quantization floor(avg_nll * 8)
+    * (monotone in the score, so shard boundaries respect the global
+    * (avg_nll, doc_id) order — and unlike repartitionByRange's
+    * sampled boundaries, deterministic); in-shard ranks are a
+    * shard-partitioned window, and each shard's global offset comes
+    * from one tiny per-shard count frame (score-range-bounded
+    * cardinality — its cumulative window and the 1-row total are the
+    * scalar-frame exception, like every global aggregate here). The
+    * bucket is floor((rank-1)*nBuckets/N)+1 — an explicit integer
+    * formula instead of NTILE, so both engines replay it exactly. */
+  def pplBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val scored = lmScore(docs)
+      .select(col("doc_id"), col("avg_nll")).pinned
+    val sh = scored.withColumn("shard",
+      floor(col("avg_nll") * 8).cast("long"))
+    val counts = sh.groupBy(col("shard"))
+      .agg(count(lit(1)).as("cnt")).pinned
+    val wOff = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = counts.withColumn("offset",
+      coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("shard"), col("offset"))
+    val nTotal = counts.agg(sum(col("cnt")).as("n_total"))
+    val wIn = Window.partitionBy(col("shard"))
+      .orderBy(col("avg_nll"), col("doc_id"))
+    sh.join(broadcast(off), Seq("shard"))
+      .withColumn("ppl_rank",
+        row_number().over(wIn).cast("long") + col("offset"))
+      .join(broadcast(nTotal), lit(true))
+      .select(col("doc_id"), col("avg_nll"), col("ppl_rank"),
+        (expr(s"(ppl_rank - 1) * $nBuckets div n_total") + 1)
+          .cast("int").as("bucket"))
+  }
+
   /** The one hashed-feature bucket-count default, shared by every
     * dsir entry point (batch model, serving, and the streaming sink)
     * — model and serving hashing MUST agree, so the default has one

@@ -876,6 +876,28 @@ class TextOpsSpec extends SparkSpec {
       "shared header\nunique alpha\nshared footer")
   }
 
+  test("pplBuckets: the sharded distributed rank equals a direct global " +
+    "ordering; buckets split as evenly as possible") {
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+    val out = TextOps.pplBuckets(d).collect()
+    // direct (single-partition) reference ordering over the same scores
+    val ref = TextOps.lmScore(d)
+      .select($"doc_id", $"avg_nll").collect()
+      .sortBy(r => (r.getAs[Double]("avg_nll"), r.getAs[Long]("doc_id")))
+      .zipWithIndex
+      .map { case (r, i) => r.getAs[Long]("doc_id") -> (i + 1).toLong }
+      .toMap
+    out.foreach { r =>
+      assert(r.getAs[Long]("ppl_rank") == ref(r.getAs[Long]("doc_id")),
+        s"rank mismatch for doc ${r.getAs[Long]("doc_id")}")
+    }
+    val sizes = out.groupBy(_.getAs[Int]("bucket")).view
+      .mapValues(_.length).toMap
+    assert(sizes.keySet == Set(1, 2, 3))
+    assert(sizes.values.max - sizes.values.min <= 1,
+      s"bucket sizes not even: $sizes")
+  }
+
   test("canonicalizeUrl: each rule pinned; urlDedup and capPerDomain " +
     "compose on the canonical key") {
     val urls = Seq(
