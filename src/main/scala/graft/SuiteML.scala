@@ -2621,6 +2621,48 @@ object SuiteML {
         |         AS BIGINT) AS s2
         |FROM px GROUP BY doc_id, w, h""".stripMargin)),
 
+    // ---- multimodal: REAL nearest-neighbor resize — decode -> fixed
+    // 8x8 raster via the integer mapping (x*w div 8, y*h div 8); the
+    // oracle replays the RESIZED pixel statistics codec-free, with a
+    // target-raster position weight pinning the mapping itself ------
+    Q("mm_resize",
+      (s, d) => Multimodal.resizeImages(
+        Multimodal.syntheticPngMedia(docs(s, d))),
+      Some("""WITH ids AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |         2 + doc_id % 5 AS h FROM documents),
+        |pxx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM ids),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM pxx),
+        |src AS (SELECT doc_id, x, y,
+        |          (x * w) // 8 AS sx, (y * h) // 8 AS sy FROM px)
+        |SELECT doc_id, 'image' AS kind,
+        |       CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+        |       CAST(64 AS BIGINT) AS n_units,
+        |       CAST(sum((doc_id*29 + sx*5 + sy*17) % 256) AS BIGINT) AS s0,
+        |       CAST(sum((doc_id*13 + sx*19 + sy*7) % 256) AS BIGINT) AS s1,
+        |       CAST(sum((y*8 + x + 1) * ((doc_id*37 + sx*2 + sy*11) % 256))
+        |         AS BIGINT) AS s2
+        |FROM src GROUP BY doc_id""".stripMargin)),
+
+    // ---- multimodal: REAL decoded-domain frame sampling — every 4th
+    // PCM sample of the audio arm kept, stats weighted by the KEPT
+    // ordinal (pins selection and order, not just the multiset) ------
+    Q("mm_frame_sample",
+      (s, d) => Multimodal.sampleAudioFrames(
+        Multimodal.syntheticMedia(docs(s, d))),
+      Some("""WITH au AS (SELECT doc_id, 40 + doc_id % 25 AS n
+        |        FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM au),
+        |kept AS (SELECT doc_id, i,
+        |           ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) AS j,
+        |           (doc_id*7919 + i*104729) % 65536 - 32768 AS v
+        |         FROM smp WHERE i % 4 = 0)
+        |SELECT doc_id, 'audio' AS kind,
+        |       CAST(count(*) AS BIGINT) AS n_units,
+        |       CAST(sum(v) AS BIGINT) AS s0,
+        |       CAST(sum(abs(v)) AS BIGINT) AS s1,
+        |       CAST(sum(j * v) AS BIGINT) AS s2
+        |FROM kept GROUP BY doc_id""".stripMargin)),
+
     // ---- multimodal data-model contract: typed metadata columns ----------
     Q("mm_media_meta",
       (s, d) => Multimodal.toMedia(docs(s, d))

@@ -332,6 +332,116 @@ object Multimodal {
       }(enc)
   }
 
+  /** REAL nearest-neighbor image resize to a fixed (outW, outH) — the
+    * vision-preprocessing normalization every multimodal training
+    * pipeline runs before batching (models take one input
+    * resolution): decode via javax.imageio, then target pixel (x, y)
+    * samples source pixel (x*w div outW, y*h div outH) — an INTEGER
+    * mapping, so the resized-raster statistics replay codec-free from
+    * the payload formulas (the mm_resize oracle). Emits the
+    * [[decodeFeatures]] statistic shape over the RESIZED raster;
+    * non-image rows filter out (resize is an image transform); bytes
+    * never shuffle, output is 8 scalars per row. */
+  def resizeImages(media: DataFrame, outW: Int = 8,
+      outH: Int = 8): DataFrame = {
+    require(outW >= 1 && outH >= 1,
+      s"output dims must be positive, got ${outW}x$outH")
+    val enc = org.apache.spark.sql.Encoders.row(decodeSchema)
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .where(col("media_type").startsWith("image/"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](2))
+            .getOrElse(Array.emptyByteArray)
+          val img = if (bytes.isEmpty) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+          if (img == null)
+            Row(id, "decode_error", null, null, 0L, 0L, 0L, 0L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            var s0 = 0L; var s1 = 0L; var s2 = 0L
+            var y = 0
+            while (y < outH) {
+              val sy = y * h / outH
+              var x = 0
+              while (x < outW) {
+                val sx = x * w / outW
+                val rgb = img.getRGB(sx, sy)
+                s0 += (rgb >> 16) & 0xff
+                s1 += (rgb >> 8) & 0xff
+                // position-weighted blue sum over the TARGET raster:
+                // pins the resize mapping, not just the sampled
+                // pixel multiset
+                s2 += (y.toLong * outW + x + 1) * (rgb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, "image", outW.toLong, outH.toLong,
+              outW.toLong * outH, s0, s1, s2)
+          }
+        }
+      }(enc)
+  }
+
+  private val frameSampleSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", StringType),
+    StructField("n_units", LongType),
+    StructField("s0", LongType),
+    StructField("s1", LongType),
+    StructField("s2", LongType)))
+
+  /** REAL decoded-domain frame sampling — the video-frame-sampling
+    * shape applied to the audio arm (a clip's "frames" are its PCM
+    * samples): decode via javax.sound.sampled and keep every
+    * `every`-th sample, with statistics position-weighted by the KEPT
+    * ordinal so the match pins selection AND order, not just the
+    * surviving multiset. Audio rows only (frame sampling is a
+    * time-series transform); complements the byte-level
+    * [[sampleFrames]], which exercises the plan shape without a
+    * codec. */
+  def sampleAudioFrames(media: DataFrame, every: Int = 4): DataFrame = {
+    require(every >= 1, s"every must be >= 1, got $every")
+    val enc = org.apache.spark.sql.Encoders.row(frameSampleSchema)
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .where(col("media_type") === "audio/wav")
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](2))
+            .getOrElse(Array.emptyByteArray)
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          try {
+            val fmt = ais.getFormat
+            require(!fmt.isBigEndian && fmt.getSampleSizeInBits == 16 &&
+              fmt.getChannels == 1,
+              s"unexpected WAV format $fmt")
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            var s0 = 0L; var s1 = 0L; var s2 = 0L
+            var j = 0L
+            var i = 0
+            while (i < n) {
+              if (i % every == 0) {
+                j += 1
+                val v = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xff)
+                s0 += v
+                s1 += math.abs(v)
+                s2 += j * v
+              }
+              i += 1
+            }
+            Row(id, "audio", j, s0, s1, s2)
+          } finally ais.close()
+        }
+      }(enc)
+  }
+
   /** Fixed-size payload resize: truncate to nBytes, or right-pad with
     * zero bytes — the byte-level analog of resize-to-fixed-dims (a real
     * deployment resamples pixels inside the decode stub; the engine

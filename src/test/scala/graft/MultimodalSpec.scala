@@ -170,6 +170,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out(5L).getLong(4) == 0L)
   }
 
+  test("resizeImages: identity dims reproduce the decode statistics; " +
+    "sampleAudioFrames every=1 reproduces full decode with ordinal weights") {
+    // id 17: PNG dims w = 3 + 17%6 = 8, h = 2 + 17%5 = 4 — resizing
+    // to (8, 4) is the identity mapping, so every statistic matches
+    // the straight decode row
+    val docs = docsDfIds(Seq(17L))
+    val media = Multimodal.syntheticPngMedia(docs)
+    val dec = Multimodal.decodeFeatures(media).collect().head
+    val rez = Multimodal.resizeImages(media, outW = 8, outH = 4)
+      .collect().head
+    for (i <- 2 to 7)
+      assert(rez.get(i) == dec.get(i), s"field $i differs: $rez vs $dec")
+    // a genuine downscale touches fewer units and stays decodable
+    val small = Multimodal.resizeImages(media, outW = 2, outH = 2)
+      .collect().head
+    assert(small.getLong(4) == 4L && small.getString(1) == "image")
+    // audio: every=1 keeps all samples; ordinal weight == (i+1) so it
+    // equals the decode row's position-weighted sum
+    val aud = Multimodal.syntheticMedia(docsDfIds(Seq(1L)))
+    val adec = Multimodal.decodeFeatures(aud)
+      .collect().find(_.getString(1) == "audio").get
+    val all = Multimodal.sampleAudioFrames(aud, every = 1).collect().head
+    assert(all.getLong(2) == adec.getLong(4)) // n_units
+    assert(all.getLong(3) == adec.getLong(5)) // s0
+    assert(all.getLong(4) == adec.getLong(6)) // s1
+    assert(all.getLong(5) == adec.getLong(7)) // s2
+    // every=4 keeps ceil(n/4) samples
+    val q = Multimodal.sampleAudioFrames(aud, every = 4).collect().head
+    assert(q.getLong(2) == (adec.getLong(4) + 3) / 4)
+  }
+
   /** Docs frame with the given ids: text "doc <id> text" except id 5,
     * which carries a null text (the empty-payload arm). */
   private def docsDfIds(ids: Seq[Long]) = {
