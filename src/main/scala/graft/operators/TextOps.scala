@@ -2233,13 +2233,23 @@ object TextOps {
     * cardinality — its cumulative window and the 1-row total are the
     * scalar-frame exception, like every global aggregate here). The
     * bucket is floor((rank-1)*nBuckets/N)+1 — an explicit integer
-    * formula instead of NTILE, so both engines replay it exactly. */
-  def pplBuckets(docs: DataFrame, nBuckets: Int = 3): DataFrame = {
+    * formula instead of NTILE, so both engines replay it exactly.
+    *
+    * Skew knob: a corpus whose scores concentrate inside one
+    * 1/granularity-unit cell serializes that cell's in-shard window —
+    * raise `granularity` to split the hot range (shard cardinality
+    * stays score-range-bounded, ~64*granularity cells). Exact ties
+    * (identical avg_nll) are inherently one cell's work: their order
+    * is (avg_nll, doc_id), which no score-aligned split can cut. */
+  def pplBuckets(docs: DataFrame, nBuckets: Int = 3,
+      granularity: Int = 8): DataFrame = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    require(granularity >= 1,
+      s"granularity must be >= 1, got $granularity")
     val scored = lmScore(docs)
       .select(col("doc_id"), col("avg_nll")).pinned
     val sh = scored.withColumn("shard",
-      floor(col("avg_nll") * 8).cast("long"))
+      floor(col("avg_nll") * granularity).cast("long"))
     val counts = sh.groupBy(col("shard"))
       .agg(count(lit(1)).as("cnt")).pinned
     val wOff = Window.orderBy(col("shard"))

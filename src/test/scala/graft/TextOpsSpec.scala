@@ -896,6 +896,13 @@ class TextOpsSpec extends SparkSpec {
     assert(sizes.keySet == Set(1, 2, 3))
     assert(sizes.values.max - sizes.values.min <= 1,
       s"bucket sizes not even: $sizes")
+    // the shard granularity is a skew knob, not a semantics knob:
+    // any granularity yields the identical ranking
+    val fine = TextOps.pplBuckets(d, granularity = 64)
+      .select($"doc_id", $"ppl_rank").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(
+      fine(r.getAs[Long]("doc_id")) == r.getAs[Long]("ppl_rank")))
   }
 
   test("canonicalizeUrl: each rule pinned; urlDedup and capPerDomain " +
