@@ -1919,6 +1919,39 @@ object SuiteML {
         |FROM tokp LEFT JOIN ids USING (word)
         |GROUP BY doc_id""".stripMargin)),
 
+    // ---- tokenizer export: detokenization round trip — decode the
+    // ID SEQUENCE alone back to words (OOV id 0 -> '<unk>'); both
+    // vocabulary joins are <= topK rows by construction ---------------
+    Q("text_vocab_decode",
+      (s, d) => TextOps.vocabDecode(docs(s, d),
+        minDf = 2, maxDfNum = 39, maxDfDen = 50),
+      Some("""WITH tokp AS (
+        |  SELECT doc_id, i AS pos, ls[i] AS word
+        |  FROM (SELECT doc_id, string_split(text,' ') AS ls,
+        |          unnest(range(1, len(string_split(text,' ')) + 1)) AS i
+        |        FROM documents)),
+        |dw AS (SELECT doc_id, word, count(*) AS c_dw FROM tokp GROUP BY 1, 2),
+        |ws AS (SELECT word, CAST(sum(c_dw) AS BIGINT) AS tf,
+        |              CAST(count(*) AS BIGINT) AS df
+        |       FROM dw GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_docs FROM documents),
+        |pruned AS (SELECT word, tf, df FROM ws, nd
+        |           WHERE df >= 2 AND df * 50 <= n_docs * 39),
+        |ids AS (SELECT word, CAST(ROW_NUMBER() OVER
+        |          (ORDER BY tf DESC, word) AS BIGINT) AS id
+        |        FROM pruned QUALIFY id <= 1000),
+        |enc AS (SELECT doc_id, pos, COALESCE(ids.id, 0) AS id
+        |        FROM tokp LEFT JOIN ids USING (word)),
+        |dec AS (SELECT e.doc_id, e.pos, e.id,
+        |               COALESCE(i2.word, '<unk>') AS w
+        |        FROM enc e LEFT JOIN ids i2 ON i2.id = e.id)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_oov,
+        |       string_agg(w, ' ' ORDER BY pos) AS text_decoded,
+        |       (SUM(CASE WHEN id = 0 THEN 1 ELSE 0 END) = 0) AS lossless
+        |FROM dec GROUP BY doc_id""".stripMargin)),
+
     // ---- tokenizer training: unigram-LM (SentencePiece-style) ----------
     // Deterministic Viterbi-EM in exact bit-length-quantized integer
     // arithmetic; the oracle replays the ENTIRE training loop — seed

@@ -1725,6 +1725,37 @@ object TextOps {
           .as("ids_hash"))
   }
 
+  /** Detokenization round trip — the export sanity check every
+    * tokenizer deployment ships (encode -> decode must reproduce the
+    * text wherever the vocabulary covers it): re-encode each doc
+    * against the built vocabulary, then decode the ID SEQUENCE ALONE
+    * back to words (the original word never rides along — id 0, the
+    * OOV lane, decodes to '<unk>'), reassembling in position order.
+    * Both vocabulary joins are against the <= topK-row id table —
+    * bounded BY CONSTRUCTION, broadcast-safe at any corpus size. */
+  def vocabDecode(docs: DataFrame, minDf: Long = 2,
+      maxDfNum: Long = 1, maxDfDen: Long = 2,
+      topK: Int = 1000): DataFrame = {
+    val ids = vocabBuild(docs, minDf, maxDfNum, maxDfDen, topK)
+      .select(col("word"), col("rank").as("id"))
+    val enc = tokens(docs)
+      .join(broadcast(ids), Seq("word"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("id"), lit(0L)).as("id"))
+    enc.join(broadcast(ids.select(col("id"), col("word").as("w"))),
+        Seq("id"), "left")
+      .select(col("doc_id"), col("pos"), col("id"),
+        coalesce(col("w"), lit("<unk>")).as("out_word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("id") === 0L, 1L).otherwise(0L)).as("n_oov"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(pos, out_word))), " +
+            "x -> x.out_word)")).as("text_decoded"))
+      .select(col("doc_id"), col("n_tokens"), col("n_oov"),
+        col("text_decoded"), (col("n_oov") === 0L).as("lossless"))
+  }
+
   /** BPE-style pair statistics — one counting round of byte-pair
     * encoding (Sennrich, Haddow & Birch, "Neural Machine Translation
     * of Rare Words with Subword Units", 2016): count adjacent
