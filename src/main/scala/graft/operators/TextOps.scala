@@ -466,27 +466,33 @@ object TextOps {
     * shuffled by key, never broadcast. */
   def dedupLines(docs: DataFrame, minDf: Int = 2,
       textCol: String = "text"): DataFrame = {
+    // every LINE-level frame carries only (doc_id, line_no, h) — the
+    // raw line text never enters a line-keyed shuffle (the dedupSpans
+    // payload-width discipline: at corpus scale the df aggregate and
+    // excision join move hash surrogates, not prose). The text rides
+    // through exactly one DOC-keyed join at the end, where the
+    // surviving line indices select out of the re-split array.
     val lines = docs.select(col("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
-      .withColumn("h", md5(col("line")))
-      .pinned // one tokenize pass feeds df-count AND excision
+      .select(col("doc_id"), col("line_no"), md5(col("line")).as("h"))
+      .pinned // one line pass feeds df-count AND excision
     val lineDf = lines.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
-    lines.join(lineDf, Seq("h"))
+    val kept = lines.join(lineDf, Seq("h"))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
         sum(when(col("df") < minDf, 1L).otherwise(0L))
           .as("n_lines_kept"),
         // collect_list skips the NULLs the when() leaves for dropped
-        // lines; array_sort on (line_no, line) structs restores
-        // original order deterministically
-        concat_ws("\n", transform(
-          array_sort(collect_list(when(col("df") < minDf,
-            struct(col("line_no"), col("line"))))),
-          x => x.getField("line"))).as("text_deduped"))
+        // lines; the sorted index list restores original order
+        sort_array(collect_list(when(col("df") < minDf,
+          col("line_no")))).as("keep"))
+    docs.select(col("doc_id"), split(col(textCol), "\n").as("ls"))
+      .join(kept, Seq("doc_id"))
       .select(col("doc_id"), col("n_lines"), col("n_lines_kept"),
-        col("text_deduped"))
+        expr("array_join(transform(keep, i -> ls[i]), chr(10))")
+          .as("text_deduped"))
   }
 
   private val SimhashBits = 32

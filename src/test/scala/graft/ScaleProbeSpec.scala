@@ -243,6 +243,26 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("dedupLines at 10x sf0.1: line-keyed shuffles carry hash " +
+    "surrogates, never the raw line") {
+    // the df aggregate and the excision join move (doc_id, line_no,
+    // h) only; the raw text enters exactly one DOC-keyed reassembly
+    // join (column ls) — the dedupSpans payload-width discipline
+    val d = syntheticDocs(50000L).select(col("doc_id"),
+      expr("concat('shared header line', chr(10), " +
+        "array_join(slice(split(text, ' '), 1, 20), ' '), chr(10), " +
+        "'shared footer line')").as("text"))
+    val plan = staticPlanOf(TextOps.dedupLines(d))
+    assertShuffleHealth("dedupLines", plan)
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("line"),
+        s"dedupLines shuffles the raw line: ${cols.mkString("[", ", ", "]")}")
+    }
+  }
+
   test("lmScore at 10x sf0.1: LM tables join by keyed shuffle, zero broadcasts") {
     // the bigram model and its context marginal are vocabulary- and
     // vocabulary²-sized — they grow with the corpus and may never
