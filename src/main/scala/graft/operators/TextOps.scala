@@ -466,27 +466,56 @@ object TextOps {
     * shuffled by key, never broadcast. */
   def dedupLines(docs: DataFrame, minDf: Int = 2,
       textCol: String = "text"): DataFrame = {
-    // every LINE-level frame carries only (doc_id, line_no, h) — the
-    // raw line text never enters a line-keyed shuffle (the dedupSpans
-    // payload-width discipline: at corpus scale the df aggregate and
-    // excision join move hash surrogates, not prose). The text rides
-    // through exactly one DOC-keyed join at the end, where the
-    // surviving line indices select out of the re-split array.
-    val lines = docs.select(col("doc_id"),
+    // one line pass feeds BOTH the df-count and the excision
+    val lines = docLines(docs, textCol).pinned
+    val df = lines.select(col("h"), col("doc_id")).distinct()
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    exciseByDf(docs, lines, df, minDf, textCol)
+  }
+
+  /** (doc_id, line_no, h) per line — every LINE-level frame carries
+    * only this shape: the raw line text never enters a line-keyed
+    * shuffle (the dedupSpans payload-width discipline). */
+  private def docLines(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(col("doc_id"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .select(col("doc_id"), col("line_no"), md5(col("line")).as("h"))
-      .pinned // one line pass feeds df-count AND excision
-    val lineDf = lines.select(col("h"), col("doc_id")).distinct()
+
+  /** Corpus line-frequency table (h = md5(line), df = #distinct docs
+    * containing the line) — the model half of [[dedupLines]], exposed
+    * so an incrementally-maintained table
+    * (graft.streaming.Streams.lineDfSink) can be compared to, or
+    * substituted for, the one-shot batch counting. */
+  def lineDf(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docLines(docs, textCol)
+      .select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
-    val kept = lines.join(lineDf, Seq("h"))
+
+  /** [[dedupLines]] against an EXPLICIT (h, df) table — the serving
+    * half once a maintained table exists: new batches are scrubbed of
+    * boilerplate the accumulated corpus has already seen. Lines the
+    * table never saw have df 0 and are KEPT (the left join's coalesce
+    * is the unseen arm, not a special case). */
+  def dedupLinesWith(docs: DataFrame, dfTable: DataFrame,
+      minDf: Int = 2, textCol: String = "text"): DataFrame =
+    exciseByDf(docs, docLines(docs, textCol), dfTable, minDf, textCol)
+
+  /** Shared excision tail: df-attach (left join, unseen -> 0), keep
+    * decision, and the ONE doc-keyed reassembly join where the text
+    * rides — surviving line indices select out of the re-split
+    * array. */
+  private def exciseByDf(docs: DataFrame, lines: DataFrame,
+      dfTable: DataFrame, minDf: Int, textCol: String): DataFrame = {
+    val kept = lines.join(dfTable, Seq("h"), "left")
+      .withColumn("dfv", coalesce(col("df"), lit(0L)))
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_lines"),
-        sum(when(col("df") < minDf, 1L).otherwise(0L))
+        sum(when(col("dfv") < minDf, 1L).otherwise(0L))
           .as("n_lines_kept"),
         // collect_list skips the NULLs the when() leaves for dropped
         // lines; the sorted index list restores original order
-        sort_array(collect_list(when(col("df") < minDf,
+        sort_array(collect_list(when(col("dfv") < minDf,
           col("line_no")))).as("keep"))
     docs.select(col("doc_id"), split(col(textCol), "\n").as("ls"))
       .join(kept, Seq("doc_id"))

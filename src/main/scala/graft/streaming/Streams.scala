@@ -704,6 +704,43 @@ object Streams {
     graft.operators.TextOps.nbScoreWith(docs,
       nbModelState(s, statePath), nbPriorsState(s, statePath))
 
+  /** Streaming line-frequency maintenance — the fourth additive fold
+    * ([[lmSink]], [[dsirSink]], [[nbSink]]): each micro-batch's docs
+    * add 1 per DISTINCT line they contain into the (h, df) table that
+    * graft.operators.TextOps.dedupLinesWith serves from — the
+    * incremental CCNet boilerplate filter: new crawl batches are
+    * scrubbed of chrome the accumulated corpus has already seen,
+    * without re-counting it. Only 16-byte line hashes enter the
+    * state (the payload-width discipline); df stays additive because
+    * the registry guarantees each doc folds once. */
+  def lineDfSink(docs: DataFrame, statePath: String,
+      checkpointLocation: String, nShards: Int = DefaultStateShards)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
+      nShards)(
+      batch => batch.select(col("doc_id"),
+          explode(split(col("text"), "\n")).as("line"))
+        .select(col("doc_id"), md5(col("line")).as("h")).distinct()
+        .withColumn("df", lit(1L)),
+      Seq("h"), Seq("df"),
+      // line membership is a function of the text alone
+      md5(col("text")))
+
+  /** The maintained (h, df) line-frequency table from a
+    * [[lineDfSink]] state. */
+  def lineDfState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    foldState(s, statePath).where(col("kind") === "g")
+      .select(col("h"), col("df"))
+
+  /** Scrub `docs` of boilerplate lines the maintained table has seen
+    * in at least `minDf` docs — [[lineDfSink]]'s serving half. */
+  def dedupLinesState(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame, minDf: Int = 2): DataFrame =
+    graft.operators.TextOps.dedupLinesWith(docs,
+      lineDfState(s, statePath), minDf)
+
   /** The shared registry-guarded ADDITIVE fold behind [[lmSink]] and
     * [[dsirSink]]: count addition is not idempotent, so the state
     * carries two row kinds in one frame — `d` rows, the audited doc

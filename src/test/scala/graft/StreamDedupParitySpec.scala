@@ -747,6 +747,64 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(Streams.nbStateParams(spark, statePath) == ("src0", "src1"))
   }
 
+  test("streaming line-df over sliced + re-delivering corpus equals " +
+    "batch; state-served line dedup equals the batch operator") {
+    // the fourth additive fold: per-line distinct-doc counts; docs
+    // carry multi-line text with corpus-wide boilerplate lines
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val docs = docsDf(Tables(spark, "/root/testdata/sf0.001").documents
+      .limit(60).collect().map { r =>
+        val id = r.getAs[Long]("doc_id")
+        val words = r.getAs[String]("text").split(" ").take(20)
+        (id,
+          "shared header line\n" + words.mkString(" ") +
+            "\nshared footer line",
+          r.getAs[String]("lang"), r.getAs[String]("source"))
+      }.toSeq).localCheckpoint()
+    val third = (r: Int) => docs.where(pmod($"doc_id", lit(3)) === r)
+    val slices = Seq(third(0), third(1), third(2).unionAll(third(1)))
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_ldf_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_ldf_state").resolve("state").toString
+    val stream = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+    val q = Streams.lineDfSink(stream, statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_ldf_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+    // the maintained table equals one-shot batch counting
+    val got = Streams.lineDfState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val expected = TextOps.lineDf(docs)
+      .collect().map(_.toString).sorted
+    assert(got.length == expected.length &&
+      got.sameElements(expected))
+    // serving through the state reproduces the batch operator (the
+    // self-trained case: every line is in its own table)
+    val served = Streams.dedupLinesState(spark, statePath, docs)
+      .collect().map(_.toString).sorted
+    val batch = TextOps.dedupLines(docs)
+      .collect().map(_.toString).sorted
+    assert(served.sameElements(batch))
+    // and a FOREIGN batch keeps its unseen lines while the shared
+    // boilerplate is scrubbed
+    val fresh = docsDf(Seq((9001L,
+      "shared header line\ncompletely novel prose\nshared footer line",
+      "en", "s")))
+    val scrubbed = Streams.dedupLinesState(spark, statePath, fresh)
+      .collect().head
+    assert(scrubbed.getAs[String]("text_deduped") ==
+      "completely novel prose")
+  }
+
   test("DSIR fold REFUSES a doc re-classified to a different source") {
     // the DSIR increment is a function of (text, source): identical
     // text under a flipped source moves counts across the c_t/c_r
