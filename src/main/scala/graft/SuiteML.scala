@@ -2313,6 +2313,43 @@ object SuiteML {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
         |  FROM sc) WHERE rk <= 10""".stripMargin)),
 
+    // ---- similarity: inverted-list balance report — the operational
+    // monitoring artifact (a probe costs its largest probed cell):
+    // per-cell entry counts with min/max/total context, replayed from
+    // the same coarse assignment the index was built with -----------
+    Q("sim_index_stats",
+      (s, d) => {
+        val idx = cachedIndex("ivf", d,
+          p => EmbeddingOps.ivfIndexWrite(emb(s, d), p))
+        EmbeddingOps.indexCellStats(s, idx)
+      },
+      Some(s"""WITH $EmbCte,
+        |cents AS (SELECT vec_id AS cent_id, q AS cq, nn AS cn
+        |          FROM e JOIN n USING (vec_id) WHERE vec_id < 16),
+        |scored AS (SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
+        |    SELECT eq.vec_id, c.cent_id, unnest(eq.q) AS a, unnest(c.cq) AS b
+        |    FROM e eq, cents c) GROUP BY 1, 2),
+        |rankedc AS (
+        |  SELECT s.vec_id, s.cent_id,
+        |         ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+        |           CAST(s.dot AS DOUBLE) / (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+        |           s.cent_id) AS crk
+        |  FROM scored s JOIN n nv ON nv.vec_id = s.vec_id
+        |                JOIN cents c ON c.cent_id = s.cent_id),
+        |cells AS (SELECT vec_id, CAST(cent_id AS INTEGER) AS cell
+        |          FROM rankedc WHERE crk = 1),
+        |pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_entries
+        |       FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_entries) AS BIGINT) AS n_total,
+        |               CAST(min(n_entries) AS BIGINT) AS min_entries,
+        |               CAST(max(n_entries) AS BIGINT) AS max_entries,
+        |               CAST(count(*) AS BIGINT) AS n_cells FROM pc)
+        |SELECT cell, n_entries, n_total, min_entries, max_entries,
+        |       n_cells,
+        |       CAST(n_entries AS DOUBLE) * n_cells / n_total
+        |         AS balance_ratio
+        |FROM pc, tot""".stripMargin)),
+
     // ---- similarity: PERSISTED-index serving WITH TOMBSTONES — the
     // retraction path: vec_ids 20..29 deleted via indexDelete land as
     // a tombstone segment, serving anti-joins them out; the oracle is

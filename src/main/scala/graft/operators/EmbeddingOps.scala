@@ -984,6 +984,34 @@ object EmbeddingOps {
     ivfpqAdc(probes, qe, cb, codes, k)
   }
 
+  /** Inverted-list balance report for a PERSISTED IVF-family index —
+    * the operational monitoring artifact every ANN deployment watches
+    * (cell imbalance is what drives probe-latency tails: a probe
+    * costs its largest probed cell): per-cell committed entry counts
+    * with min/max/avg context on every row. Reads the index's own
+    * list/code rows (tombstones excluded — the report describes what
+    * serving sees); one count aggregate over the cell partition
+    * column, output is nCentroids rows. */
+  def indexCellStats(s: org.apache.spark.sql.SparkSession,
+      path: String, dataDir: String = "lists"): DataFrame = {
+    val rows = s.read.parquet(s"$path/$dataDir")
+      .where(segFilter(s, path))
+      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+      .select(col("cell"), col("vec_id")).distinct()
+    val perCell = rows.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_entries"))
+    val totals = perCell.agg(
+      sum(col("n_entries")).as("n_total"),
+      min(col("n_entries")).as("min_entries"),
+      max(col("n_entries")).as("max_entries"),
+      count(lit(1)).as("n_cells"))
+    perCell.join(broadcast(totals), lit(true))
+      .select(col("cell"), col("n_entries"), col("n_total"),
+        col("min_entries"), col("max_entries"), col("n_cells"),
+        (col("n_entries").cast("double") * col("n_cells")
+          / col("n_total")).as("balance_ratio"))
+  }
+
   /** recall@k of the IVF-PQ composite against the exact brute top-k —
     * the fifth approximate route's recall row, measuring BOTH losses
     * at once (coarse pruning misses + residual-quantization ranking
