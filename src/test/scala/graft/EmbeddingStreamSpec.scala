@@ -147,6 +147,50 @@ class EmbeddingStreamSpec extends SparkSpec {
     assert(viaStream.sameElements(viaBatch))
   }
 
+  test("streamed registry -> persisted IVF-PQ -> ADC serving equals a " +
+    "batch-built composite") {
+    // the IVF-PQ twin of the composed IVF pipeline: the mutation-
+    // guarded fold state feeds BOTH quantizers (coarse cells AND
+    // residual codebooks) and the cell-partitioned code segments;
+    // vector-free serving must equal a direct batch build
+    import spark.implicits._
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val slices = Seq(emb.where($"vec_id" < 250),
+      emb.where($"vec_id" >= 250).unionAll(emb.where($"vec_id" < 100)))
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_e2e_pq_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_e2e_pq_state").resolve("st").toString
+    val q = Streams.embeddingSink(
+        spark.readStream.schema(emb.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+        statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_e2e_pq_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+
+    val registered = Streams.foldState(spark, statePath)
+      .select($"vec_id", $"embedding", $"label").localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_e2e_pq_idx").toString
+    EmbeddingOps.ivfpqIndexWrite(registered, idx)
+    val viaStream = EmbeddingOps
+      .ivfpqTopKIndexed(spark, idx, emb.where($"vec_id" < 5))
+      .collect().map(_.toString).sorted
+    val idxBatch = java.nio.file.Files
+      .createTempDirectory("graft_e2e_pq_idx_b").toString
+    EmbeddingOps.ivfpqIndexWrite(emb, idxBatch)
+    val viaBatch = EmbeddingOps
+      .ivfpqTopKIndexed(spark, idxBatch, emb.where($"vec_id" < 5))
+      .collect().map(_.toString).sorted
+    assert(viaStream.sameElements(viaBatch))
+  }
+
   test("registry hash quantizes: a sub-milli-unit wobble is NOT a mutation") {
     // the corpus' determinism currency is integer milli-units; a float
     // delivered with noise below round(x*1000) granularity hashes
