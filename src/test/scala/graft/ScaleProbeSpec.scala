@@ -243,6 +243,30 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("capPerDomain at 10x sf0.1: WindowGroupLimit pre-trims per " +
+    "partition before the domain shuffle") {
+    // the per-domain cap is a rank<=N window — Spark 4's
+    // WindowGroupLimit rewrites it so every MAP task keeps at most N
+    // rows per domain before the exchange (Partial mode), which is
+    // what makes the operator survive a mega-domain: the skewed
+    // domain's rows are trimmed to N per upstream partition, not
+    // sorted whole in one task
+    val urls = syntheticDocs(50000L).select(col("doc_id"),
+      concat(lit("https://d"), pmod(col("doc_id"), lit(50)).cast("string"),
+        lit(".example.com/p/"), col("doc_id").cast("string")).as("url"))
+    val plan = staticPlanOf(
+      TextOps.capPerDomain(TextOps.canonicalizeUrl(urls), 10))
+    assertShuffleHealth("capPerDomain", plan)
+    val wgl = plan.collect {
+      case w: org.apache.spark.sql.execution.window
+          .WindowGroupLimitExec => w
+    }
+    assert(wgl.nonEmpty,
+      "no WindowGroupLimit — the cap sorts whole domains in one task")
+    assert(wgl.exists(_.mode.toString == "Partial"),
+      s"no Partial-mode pre-shuffle trim: ${wgl.map(_.mode)}")
+  }
+
   test("dedupLines at 10x sf0.1: line-keyed shuffles carry hash " +
     "surrogates, never the raw line") {
     // the df aggregate and the excision join move (doc_id, line_no,
