@@ -1919,6 +1919,37 @@ object SuiteML {
         |FROM tokp LEFT JOIN ids USING (word)
         |GROUP BY doc_id""".stripMargin)),
 
+    // ---- text analysis: collocation detection by quantized PMI ----
+    // (the word2vec phrase-merging signal; c_ab*N runs in
+    // DECIMAL(38,0)/HUGEINT — ~1e26 at corpus scale; sub-1 ratios
+    // collapse to pmi_q = -1) ---------------------------------------
+    Q("text_phrase_pmi",
+      (s, d) => TextOps.phrasePmi(docs(s, d)),
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |bs AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM w),
+        |lm AS (SELECT ls[i] AS lhs, ls[i+1] AS rhs,
+        |              CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM bs GROUP BY 1, 2),
+        |uni AS (SELECT word, CAST(count(*) AS BIGINT) AS c_u FROM (
+        |        SELECT unnest(string_split(text,' ')) AS word
+        |        FROM documents) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_u) AS BIGINT) AS n_tokens FROM uni),
+        |sc AS (SELECT lhs, rhs, c_ab,
+        |         CAST(CAST(c_ab AS HUGEINT) * n_tokens
+        |           // (CAST(ua.c_u AS HUGEINT) * ub.c_u) AS BIGINT) AS ratio
+        |       FROM lm JOIN uni ua ON ua.word = lm.lhs
+        |               JOIN uni ub ON ub.word = lm.rhs, n
+        |       WHERE c_ab >= 3),
+        |q AS (SELECT lhs, rhs, c_ab,
+        |        CAST(CASE WHEN ratio >= 1 THEN length(bin(ratio)) - 1
+        |             ELSE -1 END AS BIGINT) AS pmi_q
+        |      FROM sc)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY pmi_q DESC, c_ab DESC,
+        |         lhs, rhs) AS BIGINT) AS rank,
+        |       lhs, rhs, c_ab, pmi_q
+        |FROM q QUALIFY rank <= 50""".stripMargin)),
+
     // ---- tokenizer export: detokenization round trip — decode the
     // ID SEQUENCE alone back to words (OOV id 0 -> '<unk>'); both
     // vocabulary joins are <= topK rows by construction ---------------

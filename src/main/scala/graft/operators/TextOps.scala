@@ -1760,6 +1760,54 @@ object TextOps {
           .as("ids_hash"))
   }
 
+  /** Collocation (phrase) detection by quantized PMI — the word2vec
+    * phrase-merging step (Mikolov et al. 2013 §4: adjacent word pairs
+    * whose joint count outruns their unigram product merge into
+    * phrase tokens before training): score = floor(log2(c_ab * N /
+    * (c_a * c_b))), the PMI with log2 quantized to a bit length so
+    * the whole ranking is exact-integer. The c_ab*N product reaches
+    * ~1e26 at corpus scale, far past Long — it runs in DECIMAL(38,0)
+    * with `div` surfacing a BIGINT quotient (the mixTemperature
+    * widening rule; the oracle mirrors with HUGEINT). Sub-1 ratios
+    * (negative PMI) collapse to -1 — phrase picking only orders the
+    * positive side. Top-K by (pmi_q desc, c_ab desc, pair) — a total
+    * order.
+    *
+    * Scale shape: one bigram count shuffle + one unigram count
+    * shuffle; the unigram table joins BY KEY twice (vocabulary-sized,
+    * never broadcast); N is the one 1-row broadcast; top-K is
+    * orderBy+limit (TakeOrdered), rank windows over K rows. */
+  def phrasePmi(docs: DataFrame, minCount: Long = 3,
+      topK: Int = 50): DataFrame = {
+    require(topK > 0, s"topK must be positive, got $topK")
+    val ab = docBigrams(docs)
+      .groupBy(col("lhs"), col("rhs")).agg(sum(col("k")).as("c_ab"))
+    val uni = tokens(docs)
+      .groupBy(col("word")).agg(count(lit(1)).as("c_u"))
+      .pinned // one count pass joins as BOTH the lhs and rhs side
+    val n = uni.agg(sum(col("c_u")).as("n_tokens"))
+    val top = ab.where(col("c_ab") >= minCount)
+      .join(uni.select(col("word").as("lhs"), col("c_u").as("c_a")),
+        Seq("lhs"))
+      .join(uni.select(col("word").as("rhs"), col("c_u").as("c_b")),
+        Seq("rhs"))
+      .join(broadcast(n), lit(true))
+      .withColumn("ratio", expr(
+        "CAST(c_ab AS DECIMAL(38,0)) * CAST(n_tokens AS DECIMAL(38,0))" +
+          " div (CAST(c_a AS DECIMAL(38,0)) * CAST(c_b AS DECIMAL(38,0)))"))
+      .withColumn("pmi_q",
+        when(col("ratio") >= 1, length(bin(col("ratio"))) - 1)
+          .otherwise(lit(-1)).cast("long"))
+      .orderBy(col("pmi_q").desc, col("c_ab").desc,
+        col("lhs").asc, col("rhs").asc)
+      .limit(topK)
+    val w = Window.orderBy(col("pmi_q").desc, col("c_ab").desc,
+      col("lhs").asc, col("rhs").asc)
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("lhs"), col("rhs"), col("c_ab"),
+        col("pmi_q"))
+  }
+
   /** Detokenization round trip — the export sanity check every
     * tokenizer deployment ships (encode -> decode must reproduce the
     * text wherever the vocabulary covers it): re-encode each doc
