@@ -921,6 +921,27 @@ object SuiteML {
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
+    // ---- dedup: per-source funnel report — the data-card companion
+    // of the survivor rows (what dedup REMOVED per source) -----------
+    Q("dedup_report",
+      (s, d) => TextOps.dedupReport(docs(s, d)),
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+        |$ClosureCte,
+        |losers AS (SELECT doc_id FROM grp WHERE doc_id <> group_id),
+        |dt AS (SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+        |         (doc_id IN (SELECT doc_id FROM losers)) AS dropped
+        |       FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_dropped,
+        |       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(CASE WHEN dropped THEN n_tok ELSE 0 END) AS BIGINT)
+        |         AS tokens_dropped,
+        |       CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS DOUBLE)
+        |         / count(*) AS drop_rate
+        |FROM dt GROUP BY source""".stripMargin)),
+
     // ---- dedup: QUALITY-AWARE survivor choice — keep each group's
     // LONGEST member (ties -> smallest doc_id), the policy curation
     // pipelines prefer over first-seen (near-dup clusters typically

@@ -1760,6 +1760,34 @@ object TextOps {
           .as("ids_hash"))
   }
 
+  /** Per-source dedup funnel — the data-card companion of
+    * [[dedupSurvivors]] (release notes report what dedup REMOVED per
+    * source, not just what survived): docs and token mass kept vs
+    * dropped for every source, with the drop rate as one final
+    * division. The loser set is dup-mass-sized; everything else is
+    * one count aggregate per side. */
+  def dedupReport(docs: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val d = docs.pinned
+    val losers = dupGroups(
+        nearDupMinhash(d, threshold).select(col("doc_a"), col("doc_b")))
+      .where(col("doc_id") =!= col("group_id"))
+      .select(col("doc_id"), lit(1L).as("dropped"))
+    d.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(losers, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("dropped"), lit(0L))).as("n_dropped"),
+        sum(col("n_tok")).as("n_tokens"),
+        sum(when(col("dropped").isNotNull, col("n_tok"))
+          .otherwise(0L)).as("tokens_dropped"))
+      .select(col("source"), col("n_docs"), col("n_dropped"),
+        col("n_tokens"), col("tokens_dropped"),
+        (col("n_dropped").cast("double") / col("n_docs"))
+          .as("drop_rate"))
+  }
+
   /** Collocation (phrase) detection by quantized PMI — the word2vec
     * phrase-merging step (Mikolov et al. 2013 §4: adjacent word pairs
     * whose joint count outruns their unigram product merge into
