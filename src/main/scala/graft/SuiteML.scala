@@ -167,6 +167,23 @@ object SuiteML {
     "WITH " + parts.result().mkString(",\n")
   }
 
+  /** DuckDB rendering of [[graft.operators.TextOps]]' saltBucket
+    * arithmetic (first 4 hex nibbles of md5(key) as an integer, mod
+    * `mod`) over a caller-supplied key EXPRESSION — the group-keyed
+    * split oracles hash a group id where the older inline copies hash
+    * doc_id. */
+  private def saltBucketSql(keyExpr: String, mod: Long): String =
+    s"""CAST(((strpos('0123456789abcdef', substr(md5($keyExpr), 1, 1)) - 1) * 4096
+       |    + (strpos('0123456789abcdef', substr(md5($keyExpr), 2, 1)) - 1) * 256
+       |    + (strpos('0123456789abcdef', substr(md5($keyExpr), 3, 1)) - 1) * 16
+       |    + (strpos('0123456789abcdef', substr(md5($keyExpr), 4, 1)) - 1)) % $mod AS BIGINT)"""
+      .stripMargin
+
+  /** 8/1/1 bucket-to-name CASE shared by the split oracles. */
+  private def splitCaseSql(bucketExpr: String): String =
+    s"CASE WHEN $bucketExpr <= 7 THEN 'train' " +
+      s"WHEN $bucketExpr = 8 THEN 'val' ELSE 'test' END"
+
   /** Merge rounds for the iterated BPE trainer — shared between the
     * Spark queries and their unrolled-CTE oracles so they cannot
     * drift. */
@@ -736,6 +753,31 @@ object SuiteML {
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
       |  FROM bsc) WHERE rk <= 10)""".stripMargin
 
+  /** SQ8 scalar-quantization CTEs over `e(vec_id, label, q)`: per-dim
+    * [mn, mx] ranges, byte codes c = (q-mn)*255 // (mx-mn), exact
+    * reconstruction r = mn*255 + c*(mx-mn), ending in
+    * `rc(vec_id, label, r)` + `rn(vec_id, nn)` — shared by
+    * sim_sq8_topk and sim_sq8_recall so the code arithmetic cannot
+    * drift between the ranking and its measurement. The numerator is
+    * >= 0 by construction (mn is the per-dim minimum), so DuckDB's
+    * flooring `//` agrees with Spark's truncating `div`. */
+  private val SqCte: String =
+    """ei AS (SELECT vec_id, q,
+      |              unnest(generate_series(1, CAST(len(q) AS INT))) AS i
+      |       FROM e),
+      |st AS (SELECT i, MIN(q[i]) AS mn, MAX(q[i]) AS mx FROM ei GROUP BY 1),
+      |stl AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs FROM st),
+      |rc AS (SELECT vec_id, label,
+      |         list_transform(generate_series(1, len(q)), i ->
+      |           CASE WHEN mxs[i] = mns[i] THEN mns[i] * 255
+      |                ELSE mns[i] * 255
+      |                   + ((q[i] - mns[i]) * 255 // (mxs[i] - mns[i]))
+      |                     * (mxs[i] - mns[i]) END) AS r
+      |       FROM e, stl),
+      |rn AS (SELECT vec_id, SUM(v*v) AS nn
+      |       FROM (SELECT vec_id, unnest(r) AS v FROM rc) GROUP BY 1)"""
+      .stripMargin
+
   /** Overlap-vs-brute tail over an approximate top-k CTE
     * `approxCte(query_id, vec_id)`. */
   private def recallTail(approxCte: String): String =
@@ -1135,6 +1177,28 @@ object SuiteML {
         |            CAST(len(regexp_extract_all(text, '[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_digit_runs
         |          FROM documents)))""".stripMargin)),
 
+    // ---- curation: Gopher word-statistics rules (Rae et al. A1.1) -------
+    // (bounds tuned so EVERY rule is non-vacuous on the synthetic
+    // corpus: at sf0.01, 43 docs fail each word-count bound, 6 fail
+    // the mean-word-length bound, 276 fail the stop-word rule)
+    Q("text_gopher_rules",
+      (s, d) => TextOps.gopherRules(docs(s, d)),
+      Some("""WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_wchars,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','be','to','of','and','that','have','with'))) AS BIGINT) AS n_stops
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_wchars, n_stops,
+        |  n_words >= 20 AS r_min_words,
+        |  n_words <= 90 AS r_max_words,
+        |  (n_wchars >= 4 * n_words AND n_wchars <= 10 * n_words) AS r_mean_wlen,
+        |  n_stops >= 2 AS r_stops,
+        |  (n_words >= 20 AND n_words <= 90
+        |   AND n_wchars >= 4 * n_words AND n_wchars <= 10 * n_words
+        |   AND n_stops >= 2) AS keep
+        |FROM d""".stripMargin)),
+
     // ---- curation: benchmark decontamination (set containment) ----------
     // (the benchmark is the doc_id % DecontMod == 0 slice; containment
     // >= 8/10 of a corpus doc's distinct shingles marks contamination —
@@ -1202,6 +1266,44 @@ object SuiteML {
         |            WHEN bucket = 8 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM b""".stripMargin)),
+
+    // ---- curation: leakage-safe (dedup-group-keyed) split ---------------
+    // (the assignment hash keys the near-dup group, so duplicate
+    // clusters never straddle the train/eval fence; docs outside any
+    // group key by their own id)
+    Q("text_group_split",
+      (s, d) => TextOps.groupSplit(docs(s, d)),
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+        |$ClosureCte,
+        |keyed AS (SELECT d.doc_id, COALESCE(g.group_id, d.doc_id) AS group_id
+        |          FROM documents d LEFT JOIN grp g USING (doc_id)),
+        |b AS (SELECT doc_id, group_id,
+        |  ${saltBucketSql("'gsp:' || CAST(group_id AS VARCHAR)", 10)} AS bucket
+        |  FROM keyed)
+        |SELECT doc_id, group_id, bucket,
+        |       ${splitCaseSql("bucket")} AS split
+        |FROM b""".stripMargin)),
+
+    // ---- curation: split-leakage audit (naive vs group-keyed) -----------
+    Q("dedup_split_leakage",
+      (s, d) => TextOps.splitLeakage(docs(s, d)),
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+        |$ClosureCte,
+        |m AS (SELECT doc_id, group_id,
+        |  ${splitCaseSql(
+             saltBucketSql("CAST(doc_id AS VARCHAR)", 10))} AS naive_split,
+        |  ${splitCaseSql(
+             saltBucketSql("'gsp:' || CAST(group_id AS VARCHAR)", 10))} AS group_split
+        |  FROM grp),
+        |g AS (SELECT group_id, count(*) AS n_docs,
+        |        count(DISTINCT naive_split) AS nns,
+        |        count(DISTINCT group_split) AS ngs
+        |      FROM m GROUP BY 1)
+        |SELECT count(*) AS n_groups,
+        |       CAST(SUM(n_docs) AS BIGINT) AS n_docs_in_groups,
+        |       CAST(SUM(CASE WHEN nns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_naive,
+        |       CAST(SUM(CASE WHEN ngs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaky_grouped
+        |FROM g""".stripMargin)),
 
     // ---- curation: deterministic stratified downsampling ----------------
     // (cap the dominant language at 250 permille, keep the rest; the
@@ -2575,6 +2677,44 @@ object SuiteML {
         |  FROM tsc) WHERE rk <= 10),
         |$BruteTop10Cte,
         |${recallTail("tk")}""".stripMargin)),
+
+    // ---- similarity: SQ8 scalar-quantized top-k + its recall row --------
+    // (per-dim [mn,mx] ranges -> byte codes -> exact-integer
+    // reconstruction ranking; the SqCte constant feeds both rows so the
+    // code/reconstruction arithmetic cannot drift between them)
+    Q("sim_sq8_topk",
+      (s, d) => EmbeddingOps.sq8TopK(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$SqCte,
+        |sp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid, ce.label,
+        |              unnest(qe.r) AS a, unnest(ce.r) AS b
+        |       FROM rc qe, rc ce WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+        |sd AS (SELECT query_id, vid, label, SUM(a*b) AS dot FROM sp GROUP BY 1, 2, 3),
+        |ssc AS (SELECT query_id, vid, label,
+        |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |        FROM sd JOIN rn nq ON nq.vec_id = query_id
+        |                JOIN rn nv ON nv.vec_id = vid)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vid AS vec_id, label, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM ssc) WHERE rk <= 10""".stripMargin)),
+
+    Q("sim_sq8_recall",
+      (s, d) => EmbeddingOps.sq8Recall(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$SqCte,
+        |sp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
+        |              unnest(qe.r) AS a, unnest(ce.r) AS b
+        |       FROM rc qe, rc ce WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+        |sd AS (SELECT query_id, vid, SUM(a*b) AS dot FROM sp GROUP BY 1, 2),
+        |ssc AS (SELECT query_id, vid,
+        |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |        FROM sd JOIN rn nq ON nq.vec_id = query_id
+        |                JOIN rn nv ON nv.vec_id = vid),
+        |sk AS (SELECT query_id, vid AS vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM ssc) WHERE rk <= 10),
+        |$BruteTop10Cte,
+        |${recallTail("sk")}""".stripMargin)),
 
     // ---- similarity: the IVF trainer — one exact Lloyd update step ------
     Q("sim_kmeans_step",

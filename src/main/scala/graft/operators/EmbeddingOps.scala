@@ -1266,6 +1266,84 @@ object EmbeddingOps {
     recallVsBrute(brute, trunc, k)
   }
 
+  /** Per-dimension 8-bit scalar quantization (SQ8) — the fifth
+    * approximate route next to LSH buckets, IVF cells, PQ codes, and
+    * truncation: each milli-unit dimension maps to a byte code
+    * c = (q - mn) * 255 div (mx - mn) against per-dimension corpus
+    * [mn, mx] ranges (the fixed-point compression faiss ships as
+    * ScalarQuantizer QT_8bit), an 8x memory cut that keeps ALL
+    * dimensions where truncation keeps all bits of a few.
+    * Deterministic end to end: ranges are exact integer aggregates,
+    * codes exact integer arithmetic (the numerator is >= 0 by
+    * construction — mn is the per-dim minimum — so truncating div IS
+    * floor div, and Spark's `div` agrees with DuckDB's `//`), and
+    * ranking uses the exact-integer reconstruction
+    * r = mn * 255 + c * (mx - mn) (milli-units scaled by the constant
+    * 255, which cancels in cosine).
+    *
+    * Scale shape: the range pass is one posexplode + groupBy(pos)
+    * aggregate whose partial min/max combine map-side, so the shuffle
+    * carries Dim rows per partition, never the corpus; the Dim-row
+    * collect is bounded by the embedding dimensionality (a
+    * construction parameter, like nCentroids/nPlanes); coding is then
+    * a pure per-row projection against two literal arrays — no join,
+    * no second shuffle, fused into whatever consumes it. */
+  def sq8Reconstructed(e: DataFrame): DataFrame = {
+    val stats = e.select(posexplode(col("q")).as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .orderBy(col("pos"))
+      .collect()
+    val mnA = array(stats.toIndexedSeq.map(r => lit(r.getLong(1))): _*)
+    val rgA = array(stats.toIndexedSeq
+      .map(r => lit(r.getLong(2) - r.getLong(1))): _*)
+    val codes = zip_with(zip_with(col("q"), mnA, (x, m) => x - m), rgA,
+      (x, r) => when(r === 0L, lit(0L))
+        .otherwise(call_function("div", x * lit(255L), r)))
+    e.withColumn("c", codes)
+      .withColumn("r",
+        zip_with(zip_with(col("c"), rgA, (c, g) => c * g), mnA,
+          (p, m) => m * lit(255L) + p))
+      .withColumn("rn",
+        aggregate(col("r"), lit(0L), (acc, x) => acc + x * x))
+  }
+
+  /** SQ8 top-k over an already-[[quantized]] frame: symmetric
+    * quantized comparison (queries rank by their own codes' exact
+    * reconstructions — SDC, in the Jegou et al. taxonomy), same
+    * broadcast-queries/corpus-scan plan as [[annTopKQ]]. */
+  def sq8TopKQ(e: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame = {
+    val r = sq8Reconstructed(e)
+    val q = r.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("r").as("qr"),
+        col("rn").as("qn"))
+    val scored = r.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(qdot(col("qr"), col("r")), col("qn"), col("rn")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"),
+        col("cos"))
+  }
+
+  def sq8TopK(emb: DataFrame, nQueries: Int = 5, k: Int = 10): DataFrame =
+    sq8TopKQ(quantized(emb), nQueries, k)
+
+  /** recall@k of the SQ8 ranking against the exact brute top-k — the
+    * SQ8 recall row, matching the LSH/IVF/PQ/truncation discipline:
+    * no approximate route ships without its measurement. */
+  def sq8Recall(emb: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val e = quantized(emb).pinned
+    val brute = annTopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val sq = sq8TopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    recallVsBrute(brute, sq, k)
+  }
+
   /** LSH-bucketed nearest neighbor: within each bucket, every vector's
     * top-1 neighbor by exact cosine (the scale path for
     * dedup-by-nearest-neighbor; singleton buckets surface with a null

@@ -755,6 +755,62 @@ object TextOps {
       (col("reasons") === "").as("keep"), col("reasons"))
   }
 
+  /** The eight-word function-word list [[gopherRules]] checks for —
+    * Gopher's "stop word" heuristic (Rae et al. 2021, A1.1: a page
+    * must contain >= 2 of a small English function-word list; pages
+    * without them are overwhelmingly menus, tag soup, or non-prose). */
+  private val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-style document quality rules (Rae et al. 2021, appendix
+    * A1.1), the rule-based filter battery nearly every LLM corpus
+    * (MassiveText, RefinedWeb, Dolma) runs alongside model-based
+    * scoring — distinct from [[qualityFilter]]'s tier/PII gate: these
+    * are the published word-statistics rules, each surfaced as its own
+    * flag so downstream can ablate rules individually (the data-card
+    * use case) rather than get one opaque boolean.
+    *
+    * Rules (all exact integer arithmetic — the mean-word-length bound
+    * is the cross-multiplied `lo*n_words <= n_wchars <= hi*n_words`,
+    * never a float division): word count in [minWords, maxWords];
+    * mean word length in [meanWlenLo, meanWlenHi]; >= minStops hits
+    * from the [[GopherStops]] list. Defaults are tuned so every rule
+    * is non-vacuous on the synthetic corpus (Gopher's own 50/100k/3-10
+    * bounds would pass or fail ALL synthetic docs); the line-level
+    * rules (bullet-start, ellipsis-end fractions) live with the
+    * line-aware operators ([[extractHtml]]'s density filter,
+    * [[dedupLines]]) because `documents.text` is single-line.
+    *
+    * Scale shape: pure per-row projection — no shuffle, no state;
+    * fuses into whatever consumes it. */
+  def gopherRules(docs: DataFrame, minWords: Long = 20L,
+      maxWords: Long = 90L, meanWlenLo: Long = 4L, meanWlenHi: Long = 10L,
+      minStops: Long = 2L): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"word bounds must satisfy 1 <= min <= max, got [$minWords, $maxWords]")
+    require(meanWlenLo >= 1 && meanWlenHi >= meanWlenLo,
+      "mean-word-length bounds must satisfy 1 <= lo <= hi, " +
+        s"got [$meanWlenLo, $meanWlenHi]")
+    docs
+      .withColumn("w", split(col("text"), " "))
+      .withColumn("n_words", size(col("w")).cast("long"))
+      .withColumn("n_wchars",
+        length(regexp_replace(col("text"), " ", "")).cast("long"))
+      .withColumn("n_stops",
+        size(filter(col("w"), x => x.isin(GopherStops: _*))).cast("long"))
+      .withColumn("r_min_words", col("n_words") >= minWords)
+      .withColumn("r_max_words", col("n_words") <= maxWords)
+      .withColumn("r_mean_wlen",
+        col("n_wchars") >= lit(meanWlenLo) * col("n_words") &&
+          col("n_wchars") <= lit(meanWlenHi) * col("n_words"))
+      .withColumn("r_stops", col("n_stops") >= minStops)
+      .select(col("doc_id"), col("n_words"), col("n_wchars"),
+        col("n_stops"), col("r_min_words"), col("r_max_words"),
+        col("r_mean_wlen"), col("r_stops"),
+        (col("r_min_words") && col("r_max_words") &&
+          col("r_mean_wlen") && col("r_stops")).as("keep"))
+  }
+
   /** Benchmark decontamination — the overlap gate run before any
     * training corpus ships: flag corpus documents whose shingle set is
     * mostly CONTAINED in a held-out benchmark's shingle set (Brown et
@@ -940,8 +996,23 @@ object TextOps {
     * over-represented by 1/65536 each — negligible for curation, and
     * kept because the 4-nibble prefix is cheap and engine-portable. */
   private def saltBucket(prefix: String, mod: Long): Column =
+    saltBucketOf(prefix, col("doc_id"), mod)
+
+  /** [[saltBucket]] generalized to an arbitrary key column — the
+    * group-keyed split ([[groupSplit]]) hashes the dedup GROUP id, not
+    * the doc id, so all members of a near-dup group draw the same
+    * bucket. Same arithmetic, same documented 1/65536 bias. */
+  private def saltBucketOf(prefix: String, key: Column, mod: Long): Column =
     conv(substring(md5(concat(lit(prefix),
-      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % mod
+      key.cast("string"))), 1, 4), 16, 10).cast("long") % mod
+
+  /** 8/1/1 bucket → split-name mapping shared by [[trainValTestSplit]]
+    * and [[groupSplit]] so the two splits differ ONLY in what keys the
+    * hash. */
+  private def splitOf(bucket: Column): Column =
+    when(bucket <= 7, "train")
+      .when(bucket === 8, "val")
+      .otherwise("test")
 
   /** Per-source corpus "data card" — the release artifact a training
     * pipeline publishes before a run (what went in, how much, how
@@ -983,9 +1054,60 @@ object TextOps {
     docs.select(
       col("doc_id"),
       bucket.as("bucket"),
-      when(bucket <= 7, "train")
-        .when(bucket === 8, "val")
-        .otherwise("test").as("split"))
+      splitOf(bucket).as("split"))
+  }
+
+  /** Leakage-safe train/val/test split: the assignment hash is keyed
+    * by the NEAR-DUP GROUP, not the doc id, so every member of a
+    * duplicate cluster lands in the same split — a doc-id-keyed split
+    * puts near-copies of one page on both sides of the train/eval
+    * fence and the eval set silently measures memorization (the
+    * failure Lee et al. 2022 "Deduplicating Training Data Makes
+    * Language Models Better" §6 quantifies: dup-driven eval overlap).
+    * Docs outside any dup group key by their own id under the SAME
+    * prefix, so growing the corpus never reassigns them.
+    *
+    * Scale shape: [[nearDupMinhash]] + [[dupGroups]] touch only the
+    * banded-candidate subgraph (duplication-mass-sized, never the
+    * corpus); the one corpus-sized operation is a left join on doc_id
+    * against that small group table, then a per-row hash. */
+  def groupSplit(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val groups = dupGroups(
+      nearDupMinhash(docs, threshold).select(col("doc_a"), col("doc_b")))
+    val bucket = saltBucketOf("gsp:", col("group_id"), 10)
+    docs.join(groups, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+      .select(col("doc_id"), col("group_id"), bucket.as("bucket"),
+        splitOf(bucket).as("split"))
+  }
+
+  /** Split-leakage audit — the one-row report that justifies
+    * [[groupSplit]]: over the near-dup groups, how many straddle a
+    * doc-id-keyed split (leaky: a near-copy of a training doc sits in
+    * val/test) vs the group-keyed split (structurally zero, but
+    * COMPUTED here, not assumed — the report is the regression test).
+    * Only group members are touched ([[dupGroups]] output, never the
+    * corpus); two aggregates end at one row. */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val groups = dupGroups(
+      nearDupMinhash(docs, threshold).select(col("doc_a"), col("doc_b")))
+    val perGroup = groups
+      .select(col("doc_id"), col("group_id"),
+        splitOf(saltBucketOf("", col("doc_id"), 10)).as("naive_split"),
+        splitOf(saltBucketOf("gsp:", col("group_id"), 10))
+          .as("group_split"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("naive_split")).as("n_naive_splits"),
+        countDistinct(col("group_split")).as("n_group_splits"))
+    perGroup.agg(
+      count(lit(1)).as("n_groups"),
+      sum(col("n_docs")).as("n_docs_in_groups"),
+      sum(when(col("n_naive_splits") > 1, 1L).otherwise(0L))
+        .as("n_leaky_naive"),
+      sum(when(col("n_group_splits") > 1, 1L).otherwise(0L))
+        .as("n_leaky_grouped"))
   }
 
   /** Exact per-language length quantiles (p50/p90/p99 of n_chars) via

@@ -577,4 +577,42 @@ class EmbeddingOpsSpec extends SparkSpec {
       assert(row.getAs[Double]("recall_at_k") == n.toDouble / 10)
     }
   }
+
+  test("sq8 codes are bytes and reconstructions stay within one step") {
+    val q = EmbeddingOps.quantized(emb)
+    val rc = EmbeddingOps.sq8Reconstructed(q).collect()
+    def seqOf(row: org.apache.spark.sql.Row, name: String): Seq[Long] =
+      row.getSeq[Long](row.fieldIndex(name))
+    rc.foreach { row =>
+      val qs = seqOf(row, "q")
+      val cs = seqOf(row, "c")
+      val rs = seqOf(row, "r")
+      assert(cs.forall(c => c >= 0L && c <= 255L))
+      // per-dim range over the 4-vector fixture: the reconstruction in
+      // 255ths must sit within one quantization step (mx-mn) of the
+      // exact value scaled by 255
+      qs.indices.foreach { i =>
+        val col = rc.map(seqOf(_, "q")(i))
+        val step = col.max - col.min
+        assert(math.abs(rs(i) - qs(i) * 255L) <= step)
+      }
+    }
+  }
+
+  test("sq8TopK still ranks the identical vector first") {
+    val top = EmbeddingOps.sq8TopK(emb, nQueries = 1, k = 3).collect()
+    assert(top(0).getAs[Long]("vec_id") == 1L)
+    assert(top(0).getAs[Double]("cos") == 1.0)
+  }
+
+  test("sq8Recall at sf0.001 is high but honest (not assumed 1.0)") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val r = EmbeddingOps.sq8Recall(e).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_overlap")
+      assert(n >= 5L && n <= 10L) // 8-bit codes: near-exact ranking
+      assert(row.getAs[Double]("recall_at_k") == n.toDouble / 10)
+    }
+  }
 }

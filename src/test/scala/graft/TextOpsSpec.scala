@@ -970,4 +970,48 @@ class TextOpsSpec extends SparkSpec {
       out(12L).getAs[Long]("score_n"))
     assert(out(12L).getAs[String]("pred") == "keep")
   }
+
+  test("gopherRules: every rule trips on its own violation only") {
+    val stopRich = "the cat and the dog go to the park with all of them well"
+    val d = docsDf(Seq(
+      (1L, stopRich + (" wordier" * 10), "en", "s"), // passes all
+      (2L, "too few of the and that words", "en", "s"), // < 20 words
+      (3L, stopRich + (" word" * 100), "en", "s"), // > 90 words
+      (4L, stopRich + (" a a a a a a a a a a a a"), "en", "s"), // mean wlen < 4
+      (5L, ("word " * 24) + "nostopshere", "en", "s"))) // no stop words
+    val out = TextOps.gopherRules(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("keep"))
+    assert(!out(2L).getAs[Boolean]("r_min_words") &&
+      !out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("r_max_words") &&
+      !out(3L).getAs[Boolean]("keep"))
+    assert(!out(4L).getAs[Boolean]("r_mean_wlen") &&
+      !out(4L).getAs[Boolean]("keep"))
+    assert(!out(5L).getAs[Boolean]("r_stops") &&
+      !out(5L).getAs[Boolean]("keep"))
+  }
+
+  test("groupSplit keeps every near-dup group member in one split") {
+    // docs 1/2/3 form one dup group (exact + near), 4 stands alone
+    val out = TextOps.groupSplit(docs, threshold = 0.5).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("group_id"), r.getAs[String]("split"))).toMap
+    assert(out(1L)._1 == 1L && out(2L)._1 == 1L && out(3L)._1 == 1L)
+    assert(out(4L)._1 == 4L) // outside any group: keys by its own id
+    assert(Set(out(1L)._2, out(2L)._2, out(3L)._2).size == 1)
+  }
+
+  test("splitLeakage: the naive split leaks, the group split cannot") {
+    // md5-nibble arithmetic puts doc 1 (c4ca... -> bucket 8, val) and
+    // doc 2 (c81e... -> bucket 0, train) on OPPOSITE sides of the
+    // doc-id-keyed fence even though they are exact duplicates — the
+    // one group both straddles naive and, by construction, never
+    // straddles the group-keyed split
+    val r = TextOps.splitLeakage(docs, threshold = 0.5).collect()(0)
+    assert(r.getAs[Long]("n_groups") == 1L)
+    assert(r.getAs[Long]("n_docs_in_groups") == 3L)
+    assert(r.getAs[Long]("n_leaky_naive") == 1L)
+    assert(r.getAs[Long]("n_leaky_grouped") == 0L)
+  }
 }
