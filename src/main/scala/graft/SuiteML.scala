@@ -556,6 +556,22 @@ object SuiteML {
       |  regexp_extract(host, '([^.]+\\.[^.]+)$$', 1) AS domain
       |  FROM u2)""".stripMargin
 
+  /** Per-slice minhash signature + band CTEs over a sliced shingle
+    * source `src(doc_id, s)` — the serve oracle builds the indexed and
+    * batch sides separately, with the SAME 16-hash/4-band arithmetic
+    * as [[MinhashSigSql]] (kept in its structure so the construction
+    * cannot drift between the one-corpus and the index/serve routes). */
+  private def minhashSigSliceSql(src: String, tag: String): String = {
+    val mins = (0 until 16)
+      .map(k => s"min(md5(s||':$k')) AS m$k").mkString(", ")
+    val bands = (0 until 4).map { b =>
+      val parts = (b * 4 until b * 4 + 4).map(i => s"m$i").mkString("||'|'||")
+      s"SELECT doc_id, $b AS band_idx, md5($parts) AS band_hash FROM sig_$tag"
+    }.mkString(" UNION ALL ")
+    s"""sig_$tag AS (SELECT doc_id, $mins FROM $src GROUP BY doc_id),
+       |bands_$tag AS ($bands)""".stripMargin
+  }
+
   private val ClosureCte: String =
     """edges AS (SELECT doc_a AS a, doc_b AS b FROM ndup
       |          UNION ALL SELECT doc_b, doc_a FROM ndup),
@@ -920,6 +936,40 @@ object SuiteML {
       Some(s"""WITH $MinhashPairsCte
         |SELECT doc_a, doc_b, n_common, na, nb, jaccard FROM ndup""".stripMargin),
       bench = true),
+
+    // ---- dedup: persisted-index near-dup SERVING ------------------------
+    // (the incremental half of minhash dedup: the corpus slice
+    // doc_id % 5 != 0 is indexed once, the % 5 == 0 slice arrives as
+    // an ingest batch and asks for its near-dups among the indexed
+    // docs — 11/14 pairs at sf0.001/0.01, non-vacuous at both gates)
+    Q("dedup_minhash_serve",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = cachedIndex("mh", d, p => TextOps.minhashIndexWrite(
+          all.where(col("doc_id") % 5 =!= 0), p))
+        TextOps.nearDupServe(s, dir, all.where(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 <> 0),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |${minhashSigSliceSql("dsa", "a")},
+        |${minhashSigSliceSql("dsb", "b")},
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands_a a JOIN bands_b b
+        |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |          FROM cand c
+        |          JOIN dsa x ON x.doc_id = c.doc_a
+        |          JOIN dsb y ON y.doc_id = c.doc_b AND y.s = x.s
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
 
     // ---- dedup: pairs -> duplicate GROUPS (connected components) --------
     Q("dedup_groups",

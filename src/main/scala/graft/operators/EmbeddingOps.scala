@@ -263,7 +263,7 @@ object EmbeddingOps {
   // the batch. Single-writer per index root (the fold-state
   // contract); readers never block.
 
-  private def fsFor(s: org.apache.spark.sql.SparkSession, path: String)
+  private[operators] def fsFor(s: org.apache.spark.sql.SparkSession, path: String)
       : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(s.sparkContext.hadoopConfiguration), p)
@@ -271,7 +271,7 @@ object EmbeddingOps {
 
   /** Newest committed generation and its segment ids; (-1, empty) when
     * no manifest exists (not an index root). */
-  private def committedSegs(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def committedSegs(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: org.apache.hadoop.fs.Path): (Int, Seq[Int]) = {
     if (!fs.exists(metaDir)) return (-1, Seq.empty)
     val gens = fs.listStatus(metaDir).map(_.getPath.getName)
@@ -288,7 +288,7 @@ object EmbeddingOps {
 
   /** Commit generation `gen` listing `segs`: write a hidden temp file,
     * then one rename — the committing instant. */
-  private def commitGen(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def commitGen(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: org.apache.hadoop.fs.Path, gen: Int,
       segs: Seq[Int]): Unit = {
     fs.mkdirs(metaDir)
@@ -306,7 +306,7 @@ object EmbeddingOps {
     * leftovers, write via `writeSeg` into a hidden staging dir, rename
     * it visible, commit the next manifest generation. `failpoint`
     * instruments the two crash windows for the recovery spec. */
-  private def appendSegment(s: org.apache.spark.sql.SparkSession,
+  private[operators] def appendSegment(s: org.apache.spark.sql.SparkSession,
       path: String, dataDir: String,
       writeSeg: String => Unit, failpoint: String => Unit): Unit = {
     val (fs, root) = fsFor(s, path)
@@ -334,7 +334,7 @@ object EmbeddingOps {
   /** Committed-segment filter for a serving scan — a literal IN over
     * the `seg` partition column (static partition pruning, like the
     * probed-cell filter). */
-  private def segFilter(s: org.apache.spark.sql.SparkSession,
+  private[operators] def segFilter(s: org.apache.spark.sql.SparkSession,
       path: String): org.apache.spark.sql.Column = {
     val (fs, root) = fsFor(s, path)
     val (gen, segs) =

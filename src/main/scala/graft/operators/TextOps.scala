@@ -356,6 +356,114 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("source"))
   }
 
+  // ---- persisted MinHash near-dup index (serve + append) ---------------
+
+  /** One index row per indexable doc (>= 3 tokens, like every shingle
+    * route): the doc's LSH band hashes (position-ordered, identical to
+    * [[minhashBands]]' values) plus its distinct shingle-hash SET as
+    * an 8-byte-surrogate array and the set size. Bands and sets ride
+    * ONE row so candidate generation column-prunes to (doc_id,
+    * band_hashes) while verification reads (doc_id, hs, n_h) — no
+    * second dataset, no cross-dataset atomicity problem. The set
+    * array's ELEMENT ORDER is nondeterministic (collect_set), but
+    * serving consumes it only through size(array_intersect(..)) —
+    * order-independent, so results are deterministic. */
+  private def minhashIndexRows(docs: DataFrame): DataFrame = {
+    val sets = shinglesRaw(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        size(col("hs")).cast("long").as("n_h"))
+    val bands = minhashBands(minhashSignature(docs))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("band_idx"), col("band_hash")))).as("bb"))
+      .select(col("doc_id"),
+        expr("transform(bb, x -> x.band_hash)").as("band_hashes"))
+    sets.join(bands, Seq("doc_id"))
+  }
+
+  /** Build a PERSISTED MinHash near-dup index at `path` — the text
+    * twin of [[graft.operators.EmbeddingOps.ivfIndexWrite]]'s
+    * offline-build/online-serve split, and the missing incremental
+    * half of [[nearDupMinhash]]: a 100 TB corpus is deduped ONCE, then
+    * every ingest batch asks "is this new doc a near-dup of anything
+    * already kept?" without touching the corpus again. Layout:
+    * `docs/seg=N` row segments under a `_segs/gen-K` manifest (the
+    * crash-atomic segment protocol; rebuilds stage a hidden sibling
+    * and swap). No `_params` sidecar: the signature construction
+    * (3-token shingles, 16 hashes, 4 bands) is pure code shared with
+    * every other minhash route, not caller configuration — the index
+    * is self-describing the way the IVF index's stored centroids are. */
+  def minhashIndexWrite(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    Warehouse.recoverSwap(fs, root)
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    minhashIndexRows(docs).write.mode("overwrite")
+      .parquet(s"$tmp/docs/seg=0")
+    EmbeddingOps.commitGen(fs,
+      new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    Warehouse.swapInto(fs, tmp, root)
+  }
+
+  /** Append a new batch of docs to a persisted MinHash index: one new
+    * segment, O(batch) IO, CRASH-ATOMIC via the segment protocol (a
+    * kill anywhere leaves serving unchanged; the retry completes).
+    * Caller contract mirrors ivfIndexAppend: doc_ids must be new
+    * (route ingestion through a registry when mutation protection
+    * matters), one appender at a time. */
+  def minhashIndexAppend(docs: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    EmbeddingOps.appendSegment(docs.sparkSession, path, "docs",
+      staged => minhashIndexRows(docs).write.mode("overwrite")
+        .parquet(staged),
+      failpoint)
+
+  /** Serve near-dup lookups from a persisted MinHash index: for a NEW
+    * batch of docs, every (indexed doc, batch doc) pair whose exact
+    * Jaccard (over distinct shingle-hash sets) reaches `threshold`,
+    * with candidates bounded by LSH band collisions exactly as in
+    * [[nearDupMinhash]]. Output (doc_a = indexed, doc_b = batch,
+    * n_common, na, nb, jaccard).
+    *
+    * Scale shape: the batch side (bands AND sets) is broadcast —
+    * bounded by the ingest batch, never the index; the index is
+    * scanned ONCE with static committed-segment pruning, candidates
+    * filter out in the broadcast-hash join, and the only shuffle is
+    * the candidate-stat dedup (16-byte rows, duplication-mass-sized).
+    * The index side never shuffles and its `hs` arrays never leave
+    * their scan partition. Batch doc_ids are assumed disjoint from
+    * indexed ones (the append contract). */
+  def nearDupServe(s: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, threshold: Double = 0.7): DataFrame = {
+    val stored = s.read.parquet(s"$path/docs")
+      .where(EmbeddingOps.segFilter(s, path)).drop("seg")
+    val nb = minhashIndexRows(batch).pinned
+    val sb = stored.select(col("doc_id").as("doc_a"),
+      col("hs").as("hs_a"), col("n_h").as("na"),
+      posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+    val bb = nb.select(col("doc_id").as("doc_b"),
+      col("hs").as("hs_b"), col("n_h").as("nb"),
+      posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+    val scored = sb.join(broadcast(bb), Seq("band_idx", "band_hash"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_common"),
+        col("na"), col("nb"))
+      // one pair can collide in several bands with identical stats —
+      // the max-dedup shuffle carries only the candidate stat rows
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("n_common")).as("n_common"), max(col("na")).as("na"),
+        max(col("nb")).as("nb"))
+    scored
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+  }
+
   // ---- URL canonicalization / domain discipline ------------------------
   // The crawl-side front door BEFORE any text-level dedup (RefinedWeb
   // §3.1 runs URL dedup first; CCNet shards by domain): scrape

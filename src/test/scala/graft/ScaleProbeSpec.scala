@@ -416,4 +416,29 @@ class ScaleProbeSpec extends SparkSpec {
       "dedupSpans lost its digest-keyed shingle shuffle; exchanges: " +
         exchanged.map(_.mkString("[", ", ", "]")).mkString(" "))
   }
+
+  test("nearDupServe at 10x sf0.1: the index side never shuffles its " +
+    "shingle sets; only the batch broadcasts") {
+    // serving contract at 100 TB: the persisted index is scanned once
+    // (committed-segment pruned), joined against the BROADCAST batch
+    // bands, and the only shuffle is the candidate-stat dedup — the
+    // stored hs arrays must never ride an exchange
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_probe_idx").toString
+    TextOps.minhashIndexWrite(syntheticDocs(50000L), idx)
+    val batch = syntheticDocs(50100L).where(col("doc_id") >= 50000L)
+    val plan = staticPlanOf(TextOps.nearDupServe(spark, idx, batch))
+    assertShuffleHealth("nearDupServe", plan)
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.exists(c => c == "hs_a" || c == "hs"),
+        "nearDupServe shuffles stored shingle sets: " +
+          cols.mkString("[", ", ", "]"))
+    }
+    assert(broadcastSubtrees(plan).nonEmpty,
+      "nearDupServe does not broadcast the batch side — the index " +
+        "would shuffle at scale")
+  }
 }

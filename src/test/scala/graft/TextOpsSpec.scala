@@ -992,6 +992,58 @@ class TextOpsSpec extends SparkSpec {
       !out(5L).getAs[Boolean]("keep"))
   }
 
+  test("minhash index: serve parity with batch dedup; append equals " +
+    "one-shot; a killed append leaves serving unchanged") {
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .localCheckpoint()
+    import org.apache.spark.sql.functions.col
+    val storedAll = all.where(col("doc_id") % 5 =!= 0)
+    val stored1 = storedAll.where(col("doc_id") < 250)
+    val stored2 = storedAll.where(col("doc_id") >= 250)
+    val batch = all.where(col("doc_id") % 5 === 0)
+
+    // one-shot index over the full stored slice: serving must equal
+    // the batch-mode nearDupMinhash answer restricted to cross-slice
+    // pairs (identical band candidates, identical exact-Jaccard)
+    val idxFull = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx_full").toString
+    TextOps.minhashIndexWrite(storedAll, idxFull)
+    val served = TextOps.nearDupServe(spark, idxFull, batch).collect()
+      .map(r => (Set(r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toSet
+    val cross = TextOps.nearDupMinhash(all, 0.7).collect()
+      .filter(r => (r.getLong(0) % 5 == 0) != (r.getLong(1) % 5 == 0))
+      .map(r => (Set(r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("jaccard"))).toSet
+    assert(served.nonEmpty && served == cross)
+
+    // incremental: write half, kill the append in BOTH crash windows
+    // (serving unchanged each time), then the retry completes and the
+    // incremental index serves byte-identically to the one-shot one
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx_inc").toString
+    TextOps.minhashIndexWrite(stored1, idx)
+    val before = TextOps.nearDupServe(spark, idx, batch).collect()
+      .map(_.toString).sorted
+    for (window <- Seq("staged-written", "segment-renamed")) {
+      val boom = intercept[RuntimeException] {
+        TextOps.minhashIndexAppend(stored2, idx,
+          fp => if (fp == window) throw new RuntimeException(s"kill@$fp"))
+      }
+      assert(boom.getMessage.contains(window))
+      val after = TextOps.nearDupServe(spark, idx, batch).collect()
+        .map(_.toString).sorted
+      assert(after.sameElements(before),
+        s"serving changed after a crash at '$window'")
+    }
+    TextOps.minhashIndexAppend(stored2, idx)
+    val healed = TextOps.nearDupServe(spark, idx, batch).collect()
+      .map(_.toString).sorted
+    val oneShot = TextOps.nearDupServe(spark, idxFull, batch).collect()
+      .map(_.toString).sorted
+    assert(healed.sameElements(oneShot))
+  }
+
   test("groupSplit keeps every near-dup group member in one split") {
     // docs 1/2/3 form one dup group (exact + near), 4 stands alone
     val out = TextOps.groupSplit(docs, threshold = 0.5).collect()
