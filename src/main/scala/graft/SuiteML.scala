@@ -971,6 +971,44 @@ object SuiteML {
         |JOIN szb sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
 
+    // ---- dedup: index serving with committed tombstones -----------------
+    // (the % 7 slice of the indexed docs is deleted after the build;
+    // served pairs whose indexed side is tombstoned disappear — 2/3
+    // pairs masked at sf0.001/0.01, so the arm is non-vacuous)
+    Q("dedup_minhash_deleted",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = cachedIndex("mhdel", d, p => {
+          TextOps.minhashIndexWrite(all.where(col("doc_id") % 5 =!= 0), p)
+          TextOps.minhashIndexDelete(s, p,
+            all.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+              .select(col("doc_id")))
+        })
+        TextOps.nearDupServe(s, dir, all.where(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 <> 0),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |${minhashSigSliceSql("dsa", "a")},
+        |${minhashSigSliceSql("dsb", "b")},
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands_a a JOIN bands_b b
+        |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |          FROM cand c
+        |          JOIN dsa x ON x.doc_id = c.doc_a
+        |          JOIN dsb y ON y.doc_id = c.doc_b AND y.s = x.s
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7
+        |  AND i.doc_a % 7 <> 0""".stripMargin)),
+
     // ---- dedup: pairs -> duplicate GROUPS (connected components) --------
     Q("dedup_groups",
       (s, d) => TextOps.dupGroups(

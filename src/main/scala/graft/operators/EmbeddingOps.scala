@@ -357,7 +357,8 @@ object EmbeddingOps {
     * re-appended (tombstones win over every data segment — the
     * re-add would be invisible); one maintainer at a time. */
   def indexDelete(s: org.apache.spark.sql.SparkSession, path: String,
-      ids: DataFrame, failpoint: String => Unit = _ => ()): Unit = {
+      ids: DataFrame, failpoint: String => Unit = _ => (),
+      keyCol: String = "vec_id"): Unit = {
     val (fs, root) = fsFor(s, path)
     val (g, segs) =
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
@@ -371,7 +372,7 @@ object EmbeddingOps {
     val dest = new org.apache.hadoop.fs.Path(dir, s"seg=$segId")
     if (fs.exists(staged)) fs.delete(staged, true)
     if (fs.exists(dest)) fs.delete(dest, true)
-    ids.select(col("vec_id")).distinct()
+    ids.select(col(keyCol)).distinct()
       .write.mode("overwrite").parquet(staged.toString)
     failpoint("staged-written")
     require(fs.rename(staged, dest),
@@ -385,16 +386,16 @@ object EmbeddingOps {
     * (deletion mass grows with corpus churn), so callers ANTI-JOIN
     * it, never collect it. */
   def tombstones(s: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame = {
+      path: String, keyCol: String = "vec_id"): DataFrame = {
     val (fs, root) = fsFor(s, path)
     val (dg, dsegs) =
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
     if (dg < 0 || dsegs.isEmpty)
-      s.range(0).select(col("id").as("vec_id"))
+      s.range(0).select(col("id").as(keyCol))
     else
       s.read.parquet(s"$path/dels")
         .where(col("seg").isin(dsegs.map(Int.box): _*))
-        .select(col("vec_id"))
+        .select(col(keyCol))
   }
 
   /** Persist an IVF index as a warehouse artifact — the offline-build
@@ -506,10 +507,12 @@ object EmbeddingOps {
       df => df.repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite"))
 
-  private def compactSegments(s: org.apache.spark.sql.SparkSession,
+  private[operators] def compactSegments(
+      s: org.apache.spark.sql.SparkSession,
       path: String, dataDir: String, metaNames: Seq[String],
       writer: DataFrame => org.apache.spark.sql.DataFrameWriter[
-        org.apache.spark.sql.Row]): Int = {
+        org.apache.spark.sql.Row],
+      keyCol: String = "vec_id"): Int = {
     val (fs, root) = fsFor(s, path)
     Warehouse.recoverSwap(fs, root) // heal a crashed previous swap
     val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
@@ -542,7 +545,7 @@ object EmbeddingOps {
       val rows = s.read.option("basePath", s"$path/$dataDir")
         .parquet(segs.sorted.map(k => s"$path/$dataDir/seg=$k"): _*)
         .drop("seg")
-        .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+        .join(tombstones(s, path, keyCol), Seq(keyCol), "left_anti")
       writer(rows).parquet(s"$tmp/$dataDir/seg=0")
       commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0,
         Seq(0))

@@ -462,7 +462,36 @@ object TextOps {
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")).cast("double"))
       .where(col("jaccard") >= threshold)
+      // tombstones mask at the CANDIDATE stage, not the index scan: an
+      // anti-join against the thresholded pair rows shuffles
+      // duplication-mass-sized stats, where masking the scan itself
+      // would shuffle the whole index (hs arrays and all) through a
+      // doc_id-keyed join
+      .join(EmbeddingOps.tombstones(s, path, "doc_id")
+        .withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
   }
+
+  /** Delete docs from a persisted MinHash index — the [[graft.operators
+    * .EmbeddingOps.indexDelete]] tombstone protocol keyed by doc_id
+    * (crash-atomic, O(batch); serving anti-joins the committed
+    * tombstone set, [[minhashIndexCompact]] applies it physically).
+    * Same caller contract: a tombstoned doc_id must never be
+    * re-appended; one maintainer at a time. */
+  def minhashIndexDelete(s: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame,
+      failpoint: String => Unit = _ => ()): Unit =
+    EmbeddingOps.indexDelete(s, path, ids, failpoint, keyCol = "doc_id")
+
+  /** Compact a persisted MinHash index: the segment chain collapses to
+    * one, tombstoned docs drop physically, and the tombstone manifest
+    * clears — serving is identical before and after. Returns the
+    * number of segments consolidated (0 = nothing to do). */
+  def minhashIndexCompact(s: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    EmbeddingOps.compactSegments(s, path, "docs", Seq.empty,
+      _.write.mode("overwrite"), keyCol = "doc_id")
 
   // ---- URL canonicalization / domain discipline ------------------------
   // The crawl-side front door BEFORE any text-level dedup (RefinedWeb

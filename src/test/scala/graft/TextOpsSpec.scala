@@ -1044,6 +1044,37 @@ class TextOpsSpec extends SparkSpec {
     assert(healed.sameElements(oneShot))
   }
 
+  test("minhash index tombstones mask served pairs; compaction applies " +
+    "and clears them") {
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .localCheckpoint()
+    import org.apache.spark.sql.functions.col
+    val stored = all.where(col("doc_id") % 5 =!= 0)
+    val batch = all.where(col("doc_id") % 5 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx_del").toString
+    TextOps.minhashIndexWrite(stored, idx)
+    val before = TextOps.nearDupServe(spark, idx, batch).collect()
+    // delete one doc_a that actually serves a pair: its pairs must
+    // disappear, everything else byte-identical
+    val victim = before.map(_.getLong(0)).min
+    TextOps.minhashIndexDelete(spark, idx,
+      spark.range(victim, victim + 1).select(col("id").as("doc_id")))
+    val masked = TextOps.nearDupServe(spark, idx, batch).collect()
+    assert(masked.length < before.length)
+    assert(masked.forall(_.getLong(0) != victim))
+    assert(masked.map(_.toString).sorted.sameElements(
+      before.filter(_.getLong(0) != victim).map(_.toString).sorted))
+    // compaction applies the tombstone physically and clears it;
+    // serving identical, dels manifest gone
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    val after = TextOps.nearDupServe(spark, idx, batch).collect()
+    assert(after.map(_.toString).sorted.sameElements(
+      masked.map(_.toString).sorted))
+    val delsDir = new java.io.File(idx, "_dels")
+    assert(!delsDir.exists || delsDir.listFiles().isEmpty)
+  }
+
   test("groupSplit keeps every near-dup group member in one split") {
     // docs 1/2/3 form one dup group (exact + near), 4 stands alone
     val out = TextOps.groupSplit(docs, threshold = 0.5).collect()
