@@ -2804,6 +2804,31 @@ object SuiteML {
         |$BruteTop10Cte,
         |${recallTail("sk")}""".stripMargin)),
 
+    // ---- similarity: PERSISTED SQ8 index serving (codes-only) -----------
+    // (build once into the managed scratch dir, serve the corpus
+    // queries from stored int16 codes + the Dim-row ranges table —
+    // byte-identical to the live sim_sq8_topk ranking, same oracle)
+    Q("sim_sq8_persisted",
+      (s, d) => {
+        val dir = cachedIndex("sq8", d,
+          p => EmbeddingOps.sq8IndexWrite(emb(s, d), p))
+        EmbeddingOps.sq8TopKIndexed(s, dir,
+          emb(s, d).where(col("vec_id") < 5))
+      },
+      Some(s"""WITH $EmbCte,
+        |$SqCte,
+        |sp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid, ce.label,
+        |              unnest(qe.r) AS a, unnest(ce.r) AS b
+        |       FROM rc qe, rc ce WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+        |sd AS (SELECT query_id, vid, label, SUM(a*b) AS dot FROM sp GROUP BY 1, 2, 3),
+        |ssc AS (SELECT query_id, vid, label,
+        |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |        FROM sd JOIN rn nq ON nq.vec_id = query_id
+        |                JOIN rn nv ON nv.vec_id = vid)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vid AS vec_id, label, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM ssc) WHERE rk <= 10""".stripMargin)),
+
     // ---- similarity: the IVF trainer — one exact Lloyd update step ------
     Q("sim_kmeans_step",
       (s, d) => EmbeddingOps.kmeansStep(emb(s, d)),

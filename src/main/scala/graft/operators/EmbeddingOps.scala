@@ -1291,22 +1291,51 @@ object EmbeddingOps {
     * construction parameter, like nCentroids/nPlanes); coding is then
     * a pure per-row projection against two literal arrays — no join,
     * no second shuffle, fused into whatever consumes it. */
-  def sq8Reconstructed(e: DataFrame): DataFrame = {
-    val stats = e.select(posexplode(col("q")).as(Seq("pos", "v")))
+  /** Per-dim [mn, mx] ranges of an already-[[quantized]] frame as a
+    * Dim-row table (pos, mn, mx) — the SQ8 "quantizer table" a
+    * persisted index stores, playing the role the centroids table
+    * plays for IVF. */
+  private def sq8Ranges(e: DataFrame): DataFrame =
+    e.select(posexplode(col("q")).as(Seq("pos", "v")))
       .groupBy(col("pos"))
       .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-      .orderBy(col("pos"))
-      .collect()
-    val mnA = array(stats.toIndexedSeq.map(r => lit(r.getLong(1))): _*)
-    val rgA = array(stats.toIndexedSeq
+
+  /** Collected ranges (pos-ordered Dim rows — construction-bounded)
+    * as the two literal arrays the coding/reconstruction projections
+    * consume. */
+  private def sq8Lits(ranges: Array[org.apache.spark.sql.Row])
+      : (Column, Column) = {
+    val mnA = array(ranges.toIndexedSeq.map(r => lit(r.getLong(1))): _*)
+    val rgA = array(ranges.toIndexedSeq
       .map(r => lit(r.getLong(2) - r.getLong(1))): _*)
-    val codes = zip_with(zip_with(col("q"), mnA, (x, m) => x - m), rgA,
+    (mnA, rgA)
+  }
+
+  /** Byte codes of a quantized vector column against literal ranges.
+    * `clamp` guards serve-time queries that fall OUTSIDE the stored
+    * corpus range (the quantizer is fixed at build time); corpus
+    * members are in range by construction, so clamping is the
+    * identity for them and the live/persisted parity holds. */
+  private def sq8Code(q: Column, mnA: Column, rgA: Column,
+      clamp: Boolean): Column = {
+    val raw = zip_with(zip_with(q, mnA, (x, m) => x - m), rgA,
       (x, r) => when(r === 0L, lit(0L))
         .otherwise(call_function("div", x * lit(255L), r)))
-    e.withColumn("c", codes)
-      .withColumn("r",
-        zip_with(zip_with(col("c"), rgA, (c, g) => c * g), mnA,
-          (p, m) => m * lit(255L) + p))
+    if (clamp) transform(raw, c => greatest(lit(0L), least(lit(255L), c)))
+    else raw
+  }
+
+  /** Exact-integer reconstruction (in 255ths of a milli-unit) from a
+    * code column. */
+  private def sq8Recon(c: Column, mnA: Column, rgA: Column): Column =
+    zip_with(zip_with(c, rgA, (cc, g) => cc * g), mnA,
+      (p, m) => m * lit(255L) + p)
+
+  def sq8Reconstructed(e: DataFrame): DataFrame = {
+    val (mnA, rgA) =
+      sq8Lits(sq8Ranges(e).orderBy(col("pos")).collect())
+    e.withColumn("c", sq8Code(col("q"), mnA, rgA, clamp = false))
+      .withColumn("r", sq8Recon(col("c"), mnA, rgA))
       .withColumn("rn",
         aggregate(col("r"), lit(0L), (acc, x) => acc + x * x))
   }
@@ -1345,6 +1374,86 @@ object EmbeddingOps {
     val sq = sq8TopKQ(e, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     recallVsBrute(brute, sq, k)
+  }
+
+  /** Persist an SQ8 index: the Dim-row `ranges` quantizer table plus
+    * codes-only `codes/seg=N` segments (vec_id, label, c as
+    * array<smallint> — int16 parquet, a 4x cut vs the float vectors;
+    * a production layout would pack to raw bytes, the plan shape is
+    * unchanged). Completes the persisted family: every approximate
+    * route that ships (LSH excepted — stateless planes) has an
+    * offline-build/online-serve twin: IVF lists, PQ codes, IVF-PQ
+    * residual codes, and now SQ8 codes. Same crash-atomic segment
+    * protocol, same rebuild-by-swap. */
+  def sq8IndexWrite(emb: DataFrame, path: String): Unit = {
+    val s = emb.sparkSession
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root)
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val e = quantized(emb).pinned
+    sq8Ranges(e).write.mode("overwrite").parquet(s"$tmp/ranges")
+    val (mnA, rgA) = sq8Lits(
+      s.read.parquet(s"$tmp/ranges").orderBy(col("pos")).collect())
+    e.select(col("vec_id"), col("label"),
+        sq8Code(col("q"), mnA, rgA, clamp = false)
+          .cast("array<smallint>").as("c"))
+      .write.mode("overwrite").parquet(s"$tmp/codes/seg=0")
+    commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    Warehouse.swapInto(fs, tmp, root)
+  }
+
+  /** Append new vectors to a persisted SQ8 index: coded against the
+    * STORED ranges (the quantizer is fixed at build time — the faiss
+    * `add` contract; out-of-range values CLAMP to the byte domain),
+    * one crash-atomic segment, O(batch) IO. */
+  def sq8IndexAppend(emb: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = emb.sparkSession
+    val (mnA, rgA) = sq8Lits(
+      s.read.parquet(s"$path/ranges").orderBy(col("pos")).collect())
+    appendSegment(s, path, "codes",
+      staged => quantized(emb).select(col("vec_id"), col("label"),
+          sq8Code(col("q"), mnA, rgA, clamp = true)
+            .cast("array<smallint>").as("c"))
+        .write.mode("overwrite").parquet(staged),
+      failpoint)
+  }
+
+  /** Serve top-k from a persisted SQ8 index: queries quantize and
+    * code LIVE against the stored ranges (Dim-row collect, bounded by
+    * construction), the committed code segments are scanned once
+    * (tombstones masked), and both sides rank by their exact-integer
+    * reconstructions — byte codes are the only per-vector state read;
+    * no corpus vector exists in the index at all. Output matches
+    * [[sq8TopKQ]] exactly when the index was built from the same
+    * corpus the queries come from. */
+  def sq8TopKIndexed(s: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int = 10): DataFrame = {
+    val (mnA, rgA) = sq8Lits(
+      s.read.parquet(s"$path/ranges").orderBy(col("pos")).collect())
+    val q = quantized(queries)
+      .select(col("vec_id").as("query_id"),
+        sq8Recon(sq8Code(col("q"), mnA, rgA, clamp = true), mnA, rgA)
+          .as("qr"))
+      .withColumn("qn",
+        aggregate(col("qr"), lit(0L), (acc, x) => acc + x * x))
+    val codes = s.read.parquet(s"$path/codes")
+      .where(segFilter(s, path)).drop("seg")
+      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+      .withColumn("r", sq8Recon(
+        transform(col("c"), x => x.cast("long")), mnA, rgA))
+      .withColumn("rn",
+        aggregate(col("r"), lit(0L), (acc, x) => acc + x * x))
+    val scored = codes.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(qdot(col("qr"), col("r")), col("qn"), col("rn")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"),
+        col("cos"))
   }
 
   /** LSH-bucketed nearest neighbor: within each bucket, every vector's

@@ -605,6 +605,53 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(top(0).getAs[Double]("cos") == 1.0)
   }
 
+  test("persisted SQ8 index: codes-only round trip equals live " +
+    "ranking; a killed append leaves serving unchanged; appended " +
+    "vectors become findable") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_sq8_idx").toString
+    EmbeddingOps.sq8IndexWrite(e, idx)
+    // the stored representation carries no embedding/q column at all
+    // (seg is the discovered partition-layout column, not data)
+    val codeCols =
+      spark.read.parquet(s"$idx/codes").schema.fieldNames.toSet
+    assert(codeCols == Set("vec_id", "label", "c", "seg"))
+    val live = EmbeddingOps.sq8TopK(e).collect().map(_.toString).sorted
+    val served = EmbeddingOps.sq8TopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    assert(served.sameElements(live))
+
+    // crash windows: build over half, kill the append both ways —
+    // serving unchanged; retry completes and the appended
+    // exact-duplicate vector ranks first for its query
+    val idx2 = java.nio.file.Files
+      .createTempDirectory("graft_sq8_idx_inc").toString
+    EmbeddingOps.sq8IndexWrite(e.where($"vec_id" < 250), idx2)
+    val before = EmbeddingOps.sq8TopKIndexed(spark, idx2, queries)
+      .collect().map(_.toString).sorted
+    for (window <- Seq("staged-written", "segment-renamed")) {
+      val boom = intercept[RuntimeException] {
+        EmbeddingOps.sq8IndexAppend(e.where($"vec_id" >= 250), idx2,
+          fp => if (fp == window) throw new RuntimeException(s"kill@$fp"))
+      }
+      assert(boom.getMessage.contains(window))
+      val after = EmbeddingOps.sq8TopKIndexed(spark, idx2, queries)
+        .collect().map(_.toString).sorted
+      assert(after.sameElements(before),
+        s"serving changed after a crash at '$window'")
+    }
+    EmbeddingOps.sq8IndexAppend(e.where($"vec_id" >= 250), idx2)
+    val healed = EmbeddingOps.sq8TopKIndexed(spark, idx2, queries)
+      .collect()
+    // pre-append the index could only serve vec_id < 250; the healed
+    // append makes the new half findable (the live full ranking keeps
+    // several >= 250 vectors in its top-10s)
+    assert(healed.map(_.getAs[Long]("vec_id")).exists(_ >= 250L))
+  }
+
   test("sq8Recall at sf0.001 is high but honest (not assumed 1.0)") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     val r = EmbeddingOps.sq8Recall(e).collect()
