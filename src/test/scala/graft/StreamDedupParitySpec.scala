@@ -1017,4 +1017,54 @@ class StreamDedupParitySpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(got.sameElements(expected))
   }
+
+  test("streamed registry -> persisted MinHash index -> near-dup " +
+    "serving equals a batch build") {
+    // the text twin of the composed IVF-PQ pipeline: the mutation-
+    // guarded minhash registry is the dedup gate in FRONT of index
+    // construction — re-delivered docs register once, the registered
+    // id set selects what gets indexed, and serving an ingest batch
+    // from that index equals serving from a direct build over the
+    // distinct stored corpus
+    import spark.implicits._
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .localCheckpoint()
+    val stored = all.where($"doc_id" % 5 =!= 0)
+    val batch = all.where($"doc_id" % 5 === 0)
+    val slices = Seq(stored.where($"doc_id" < 250),
+      stored.where($"doc_id" >= 250)
+        .unionAll(stored.where($"doc_id" < 100))) // re-delivery
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_e2e_mh_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_e2e_mh_state").resolve("st").toString
+    val q = Streams.minhashSink(
+        spark.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+        statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_e2e_mh_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+
+    val registered = graft.streaming.Streams.foldState(spark, statePath)
+      .select($"doc_id")
+    val indexed = all.join(registered, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    assert(indexed.count() == stored.count()) // re-delivery collapsed
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_e2e_mh_idx").toString
+    TextOps.minhashIndexWrite(indexed, idx)
+    val viaStream = TextOps.nearDupServe(spark, idx, batch)
+      .collect().map(_.toString).sorted
+    val idxBatch = java.nio.file.Files
+      .createTempDirectory("graft_e2e_mh_idx_b").toString
+    TextOps.minhashIndexWrite(stored, idxBatch)
+    val viaBatch = TextOps.nearDupServe(spark, idxBatch, batch)
+      .collect().map(_.toString).sorted
+    assert(viaStream.nonEmpty && viaStream.sameElements(viaBatch))
+  }
 }
