@@ -284,6 +284,33 @@ object SuiteML {
   private val PackBudget = 512L
   private val PackShard = 200L
 
+  /** The greedy per-shard packing recurrence as CTEs ending in
+    * `rec(lang, shard, doc_id, n_tokens, rn, pack_id, pack_fill)` —
+    * shared by text_seq_pack and text_pack_report so the assignment
+    * cannot drift between the packing and its efficiency card. */
+  private def SeqPackCte: String =
+    s"""toks AS (
+      |  SELECT doc_id, lang, doc_id // $PackShard AS shard,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |ord AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard
+      |    ORDER BY doc_id) AS rn
+      |  FROM toks),
+      |rec AS (
+      |  SELECT lang, shard, doc_id, n_tokens, rn,
+      |         CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_fill
+      |  FROM ord WHERE rn = 1
+      |  UNION ALL
+      |  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
+      |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget
+      |              THEN r.pack_id + 1 ELSE r.pack_id END,
+      |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget
+      |              THEN o.n_tokens ELSE r.pack_fill + o.n_tokens END
+      |  FROM rec r JOIN ord o
+      |    ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1)"""
+      .stripMargin
+
   /** Chunking constants (window/stride) — small enough that the
     * ~130-token test docs split into several overlapping chunks. */
   private val ChunkMax = 32
@@ -1051,6 +1078,16 @@ object SuiteML {
         |SELECT d.doc_id, d.lang, d.source FROM documents d
         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin)),
 
+    // ---- dedup: cluster-size histogram (the dedup data card) ------------
+    Q("dedup_cluster_stats",
+      (s, d) => TextOps.dupClusterStats(docs(s, d)),
+      Some(s"""WITH RECURSIVE $MinhashPairsCte,
+        |$ClosureCte,
+        |gs AS (SELECT group_id, count(*) AS cluster_size
+        |       FROM grp GROUP BY 1)
+        |SELECT cluster_size, count(*) AS n_clusters
+        |FROM gs GROUP BY 1""".stripMargin)),
+
     // ---- dedup: per-source funnel report — the data-card companion
     // of the survivor rows (what dedup REMOVED per source) -----------
     Q("dedup_report",
@@ -1456,28 +1493,32 @@ object SuiteML {
     // PackShard so the two sides cannot drift)
     Q("text_seq_pack",
       (s, d) => TextOps.seqPack(docs(s, d), PackBudget, PackShard),
-      Some(s"""WITH RECURSIVE toks AS (
-        |  SELECT doc_id, lang, doc_id // $PackShard AS shard,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |ord AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard
-        |    ORDER BY doc_id) AS rn
-        |  FROM toks),
-        |rec AS (
-        |  SELECT lang, shard, doc_id, n_tokens, rn,
-        |         CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_fill
-        |  FROM ord WHERE rn = 1
-        |  UNION ALL
-        |  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
-        |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget
-        |              THEN r.pack_id + 1 ELSE r.pack_id END,
-        |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget
-        |              THEN o.n_tokens ELSE r.pack_fill + o.n_tokens END
-        |  FROM rec r JOIN ord o
-        |    ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1)
+      Some(s"""WITH RECURSIVE $SeqPackCte
         |SELECT doc_id, lang, shard, n_tokens, pack_id, pack_fill
         |FROM rec""".stripMargin)),
+
+    // ---- curation: packing-efficiency data card -------------------------
+    // (what the chosen token budget costs: packs per language, exact
+    // fill permille, oversized-doc count; shares SeqPackCte with
+    // text_seq_pack so the pack assignment cannot drift)
+    Q("text_pack_report",
+      (s, d) => TextOps.packReport(docs(s, d), PackBudget, PackShard),
+      Some(s"""WITH RECURSIVE $SeqPackCte,
+        |ps AS (SELECT lang, shard, MAX(pack_id) + 1 AS n_packs,
+        |              count(*) AS n_docs,
+        |              CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+        |              CAST(SUM(CASE WHEN n_tokens > $PackBudget THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+        |       FROM rec GROUP BY 1, 2),
+        |pl AS (SELECT lang,
+        |              CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |              CAST(SUM(n_packs) AS BIGINT) AS n_packs,
+        |              CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |              CAST(SUM(n_oversize) AS BIGINT) AS n_oversize
+        |       FROM ps GROUP BY 1)
+        |SELECT lang, n_docs, n_packs, total_tokens, n_oversize,
+        |       n_packs * $PackBudget AS capacity,
+        |       total_tokens * 1000 // (n_packs * $PackBudget) AS fill_permille
+        |FROM pl""".stripMargin)),
 
     // ---- text analysis: exact rank-selection length quantiles -----------
     Q("text_length_quantiles",

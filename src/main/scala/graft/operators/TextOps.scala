@@ -1545,6 +1545,48 @@ object TextOps {
       }.toDF()
   }
 
+  /** Packing-efficiency data card over [[seqPack]] — the artifact that
+    * says what a chosen token budget COSTS: per language, how many
+    * packed sequences the corpus yields, how full they are (exact
+    * permille of capacity), and how many documents exceed the budget
+    * outright (an oversized doc occupies its own pack with
+    * fill > budget, so fill_permille can exceed 1000 where they
+    * dominate — surfaced rather than clamped). Two aggregates over
+    * the pack assignment; output is language-cardinality. */
+  def packReport(docs: DataFrame, maxTokens: Long = 512,
+      shardDocs: Long = 200): DataFrame = {
+    val perShard = seqPack(docs, maxTokens, shardDocs)
+      .groupBy(col("lang"), col("shard"))
+      .agg((max(col("pack_id")) + 1L).as("n_packs"),
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(when(col("n_tokens") > maxTokens, 1L).otherwise(0L))
+          .as("n_oversize"))
+    perShard.groupBy(col("lang"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        sum(col("n_packs")).as("n_packs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("n_oversize")).as("n_oversize"))
+      .select(col("lang"), col("n_docs"), col("n_packs"),
+        col("total_tokens"), col("n_oversize"),
+        (col("n_packs") * maxTokens).as("capacity"),
+        expr(s"total_tokens * 1000 div (n_packs * $maxTokens)")
+          .as("fill_permille"))
+  }
+
+  /** Duplicate-cluster size histogram — the dedup data card: how many
+    * near-dup clusters exist at each size (size 2 pairs vs the
+    * long-tail scrape families that dominate removal mass). Group
+    * membership from [[dupGroups]] (duplication-mass-sized, never the
+    * corpus); two aggregates end at histogram cardinality. */
+  def dupClusterStats(docs: DataFrame,
+      threshold: Double = 0.7): DataFrame =
+    dupGroups(
+        nearDupMinhash(docs, threshold).select(col("doc_a"), col("doc_b")))
+      .groupBy(col("group_id")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+
   /** Gopher-style repetition signals (Rae et al., "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher", 2021,
     * §A.1.1): the repetition family of quality filters — a document

@@ -971,6 +971,33 @@ class TextOpsSpec extends SparkSpec {
     assert(out(12L).getAs[String]("pred") == "keep")
   }
 
+  test("packReport: hand-computed fill and oversize arithmetic") {
+    // budget 10: doc1 (6) + doc2 (4) fill pack 0 exactly; doc3 (12)
+    // overflows into its own pack -> 2 packs, 22 tokens, capacity 20,
+    // fill_permille = 22000 div 20 = 1100 (>1000 BECAUSE of the
+    // oversized doc — surfaced, not clamped)
+    val d = docsDf(Seq(
+      (1L, "a b c d e f", "en", "s"),
+      (2L, "g h i j", "en", "s"),
+      (3L, "k l m n o p q r s t u v", "en", "s")))
+    val r = TextOps.packReport(d, maxTokens = 10, shardDocs = 100)
+      .collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("n_docs") == 3L)
+    assert(r(0).getAs[Long]("n_packs") == 2L)
+    assert(r(0).getAs[Long]("total_tokens") == 22L)
+    assert(r(0).getAs[Long]("n_oversize") == 1L)
+    assert(r(0).getAs[Long]("capacity") == 20L)
+    assert(r(0).getAs[Long]("fill_permille") == 1100L)
+  }
+
+  test("dupClusterStats: the fixture's one 3-doc cluster") {
+    val r = TextOps.dupClusterStats(docs, threshold = 0.5).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("cluster_size") == 3L)
+    assert(r(0).getAs[Long]("n_clusters") == 1L)
+  }
+
   test("gopherRules: every rule trips on its own violation only") {
     val stopRich = "the cat and the dog go to the park with all of them well"
     val d = docsDf(Seq(
