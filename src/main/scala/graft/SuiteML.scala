@@ -1647,6 +1647,55 @@ object SuiteML {
         |      FROM db JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs))
         |GROUP BY 1""".stripMargin)),
 
+    // ---- curation: cross-corpus LM scoring with STUPID BACKOFF ----------
+    // (Brants et al. 2007: unseen bigrams pay alpha * unigram cost,
+    // alpha = 0.4 rendered exactly as 5/2 — EVERY >= 2-token doc of
+    // the raw slice scores, with its backed-off mass reported, where
+    // text_lm_cross's inner join silently drops unseen transitions)
+    Q("text_lm_backoff",
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.lmScoreBackoff(
+          all.where(col("source") =!= DsirTarget),
+          TextOps.lmModel(all.where(col("source") === DsirTarget)))
+      },
+      Some(s"""WITH wt AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents
+        |       WHERE source = '$DsirTarget'
+        |         AND len(string_split(text,' ')) >= 2),
+        |bt AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM wt),
+        |lm AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM (SELECT ls[i] AS lhs, ls[i+1] AS rhs FROM bt)
+        |       GROUP BY 1, 2),
+        |ctx AS (SELECT lhs, CAST(sum(c_ab) AS BIGINT) AS c_lhs
+        |        FROM lm GROUP BY 1),
+        |uni AS (SELECT rhs, CAST(sum(c_ab) AS BIGINT) AS c_rhs
+        |        FROM lm GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_total FROM lm),
+        |wr AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents
+        |       WHERE source <> '$DsirTarget'
+        |         AND len(string_split(text,' ')) >= 2),
+        |br AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM wr),
+        |db AS (SELECT doc_id, ls[i] AS lhs, ls[i+1] AS rhs,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM br GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(sum(k * q) AS BIGINT) AS nll_sum,
+        |       CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |       CAST(sum(bk) AS BIGINT) AS n_backoff,
+        |       CAST(sum(k * q) AS DOUBLE) / sum(k) AS avg_nll
+        |FROM (SELECT d.doc_id, d.k,
+        |        CASE WHEN l.c_ab IS NOT NULL
+        |             THEN CAST(length(bin(c.c_lhs // l.c_ab)) - 1 AS BIGINT)
+        |             ELSE CAST(length(bin((t.n_total * 5) // ((COALESCE(u.c_rhs, 0) + 1) * 2))) - 1 AS BIGINT) END AS q,
+        |        CASE WHEN l.c_ab IS NULL THEN d.k ELSE CAST(0 AS BIGINT) END AS bk
+        |      FROM db d
+        |      LEFT JOIN lm l ON l.lhs = d.lhs AND l.rhs = d.rhs
+        |      LEFT JOIN ctx c ON c.lhs = d.lhs
+        |      LEFT JOIN uni u ON u.rhs = d.rhs
+        |      CROSS JOIN tot t)
+        |GROUP BY 1""".stripMargin)),
+
     // ---- curation: CCNet perplexity buckets (head/middle/tail) ---------
     // every scored doc's EXACT global perplexity rank (distributed:
     // order-aligned score-floor shards + in-shard windows + tiny

@@ -2646,6 +2646,50 @@ object TextOps {
   def lmScoreWith(docs: DataFrame, lm: DataFrame): DataFrame =
     lmScored(docBigrams(docs), lm)
 
+  /** Stupid-backoff bigram scoring (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §4: S(rhs|lhs) =
+    * c_ab/c_lhs when the bigram was observed, else alpha * S(rhs)
+    * with alpha = 0.4 — the non-normalized backoff web-scale LMs use
+    * because proper discounting buys little at corpus size): the
+    * serving upgrade over [[lmScoreWith]]'s inner-join semantics —
+    * EVERY bigram occurrence scores, unseen transitions pay the
+    * backed-off unigram cost instead of silently dropping out, so
+    * cross-corpus serving covers every >= 2-token doc and reports how
+    * much of each doc's mass backed off (`n_backoff`).
+    *
+    * Quantization: the seen arm keeps [[lmScore]]'s floor-log2 bit
+    * length; the unseen arm is floor(log2((5*N) div (2*cb))) with
+    * cb = c_rhs + 1 (add-one over the backoff distribution, so an
+    * UNKNOWN rhs still scores) — 5/2 is exactly 1/alpha, and 5*N at
+    * a 1e13-bigram corpus is 5e13, far under Long. All serving
+    * tables derive from the model frame alone (context sums, unigram
+    * sums, the 1-row total — the scalar-frame exception); the model
+    * tables join by key, never broadcast. */
+  def lmScoreBackoff(docs: DataFrame, lm: DataFrame): DataFrame = {
+    val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
+    val uni = lm.groupBy(col("rhs")).agg(sum(col("c_ab")).as("c_rhs"))
+    val tot = lm.agg(sum(col("c_ab")).as("n_total"))
+    docBigrams(docs)
+      .join(lm, Seq("lhs", "rhs"), "left")
+      .join(ctx, Seq("lhs"), "left")
+      .join(uni, Seq("rhs"), "left")
+      .join(broadcast(tot), lit(true))
+      .withColumn("nll_q", when(col("c_ab").isNotNull,
+          (length(bin(expr("c_lhs div c_ab"))) - 1).cast("long"))
+        .otherwise((length(bin(expr(
+          "(n_total * 5) div ((coalesce(c_rhs, 0) + 1) * 2)"))) - 1)
+          .cast("long")))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("nll_q")).as("nll_sum"),
+        sum(col("k")).as("n_bigrams"),
+        sum(when(col("c_ab").isNull, col("k")).otherwise(0L))
+          .as("n_backoff"))
+      .select(col("doc_id"), col("nll_sum"), col("n_bigrams"),
+        col("n_backoff"),
+        (col("nll_sum").cast("double") / col("n_bigrams"))
+          .as("avg_nll"))
+  }
+
   private def lmScored(db: DataFrame, lm: DataFrame): DataFrame = {
     val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
     db.join(lm, Seq("lhs", "rhs"))

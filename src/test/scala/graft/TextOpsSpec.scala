@@ -971,6 +971,21 @@ class TextOpsSpec extends SparkSpec {
     assert(out(12L).getAs[String]("pred") == "keep")
   }
 
+  test("lmScoreBackoff: hand-computed seen and backed-off arms") {
+    // model "a b a b": c_ab(a,b)=2, c_ab(b,a)=1; ctx a=2, b=1;
+    // uni b=2, a=1; N=3. score "a b c a":
+    //  (a,b) seen:   2 div 2 = 1        -> q = 0
+    //  (b,c) OOV rhs: cb=1, 15 div 2 = 7 -> q = 2
+    //  (c,a) unseen: cb=2, 15 div 4 = 3  -> q = 1
+    val model = TextOps.lmModel(docsDf(Seq((1L, "a b a b", "en", "s"))))
+    val r = TextOps.lmScoreBackoff(
+      docsDf(Seq((2L, "a b c a", "en", "s"))), model).collect()(0)
+    assert(r.getAs[Long]("nll_sum") == 3L)
+    assert(r.getAs[Long]("n_bigrams") == 3L)
+    assert(r.getAs[Long]("n_backoff") == 2L)
+    assert(r.getAs[Double]("avg_nll") == 1.0)
+  }
+
   test("packReport: hand-computed fill and oversize arithmetic") {
     // budget 10: doc1 (6) + doc2 (4) fill pack 0 exactly; doc3 (12)
     // overflows into its own pack -> 2 packs, 22 tokens, capacity 20,
