@@ -2645,6 +2645,54 @@ object SuiteML {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
         |  FROM sc) WHERE rk <= 10""".stripMargin)),
 
+    // ---- similarity: FILTERED persisted-index serving -------------------
+    // (metadata predicate label = 1 pushed into the pruned lists scan;
+    // top-k per query AMONG matching vectors — the per-tenant /
+    // per-class search mode; same coarse-probe replay, candidates
+    // filtered by label before ranking)
+    Q("sim_ivf_filtered",
+      (s, d) => {
+        val idx = cachedIndex("ivf", d,
+          p => EmbeddingOps.ivfIndexWrite(emb(s, d), p))
+        EmbeddingOps.ivfTopKIndexedWhere(s, idx,
+          emb(s, d).where(col("vec_id") < 5), col("label") === 1)
+      },
+      Some(s"""WITH $EmbCte,
+        |cents AS (SELECT vec_id AS cent_id, q AS cq, nn AS cn
+        |          FROM e JOIN n USING (vec_id) WHERE vec_id < 16),
+        |eq AS (SELECT e.vec_id, e.q, n.nn FROM e JOIN n USING (vec_id)),
+        |scored AS (
+        |  SELECT vec_id, cent_id, SUM(a*b) AS dot FROM (
+        |    SELECT eq.vec_id, c.cent_id, unnest(eq.q) AS a, unnest(c.cq) AS b
+        |    FROM eq, cents c) GROUP BY 1, 2),
+        |rankedc AS (
+        |  SELECT s.vec_id, s.cent_id,
+        |         ROW_NUMBER() OVER (PARTITION BY s.vec_id ORDER BY
+        |           CAST(s.dot AS DOUBLE) / (sqrt(CAST(nv.nn AS DOUBLE)) * sqrt(CAST(c.cn AS DOUBLE))) DESC,
+        |           s.cent_id) AS crk
+        |  FROM scored s JOIN n nv ON nv.vec_id = s.vec_id
+        |                JOIN cents c ON c.cent_id = s.cent_id),
+        |cells AS (SELECT vec_id, cent_id AS cell FROM rankedc WHERE crk = 1),
+        |probes AS (SELECT vec_id AS query_id, cent_id AS cell
+        |           FROM rankedc WHERE vec_id < 5 AND crk <= 2),
+        |cand AS (SELECT p.query_id, cl.vec_id, el.label
+        |         FROM probes p JOIN cells cl USING (cell)
+        |         JOIN e el ON el.vec_id = cl.vec_id
+        |         WHERE cl.vec_id <> p.query_id AND el.label = 1),
+        |cd AS (SELECT query_id, vid, label, SUM(a*b) AS dot FROM (
+        |    SELECT ca.query_id, ca.vec_id AS vid, ca.label,
+        |           unnest(eq1.q) AS a, unnest(eq2.q) AS b
+        |    FROM cand ca
+        |    JOIN eq eq1 ON eq1.vec_id = ca.query_id
+        |    JOIN eq eq2 ON eq2.vec_id = ca.vec_id) GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, vid, label,
+        |              CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |       FROM cd JOIN n nq ON nq.vec_id = query_id
+        |                JOIN n nv ON nv.vec_id = vid)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vid AS vec_id, label, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM sc) WHERE rk <= 10""".stripMargin)),
+
     // ---- similarity: inverted-list balance report — the operational
     // monitoring artifact (a probe costs its largest probed cell):
     // per-cell entry counts with min/max/total context, replayed from

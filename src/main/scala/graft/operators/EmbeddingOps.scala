@@ -434,9 +434,13 @@ object EmbeddingOps {
       else kmeansCentroidsQ(e, nCentroids, iters)
     cents.write.mode("overwrite").parquet(s"$tmp/centroids")
     val saved = s.read.parquet(s"$tmp/centroids")
+    // label rides into the stored lists (one keyed join at offline
+    // build time) so filtered serving (ivfTopKIndexedWhere) can push
+    // metadata predicates into the pruned scan
     rankedAgainst(e, saved).where(col("crk") === 1)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").cast("int").as("cell"))
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
       .repartition(col("cell"))
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$tmp/lists/seg=0")
@@ -461,10 +465,12 @@ object EmbeddingOps {
       failpoint: String => Unit = _ => ()): Unit = {
     val s = emb.sparkSession
     val cents = s.read.parquet(s"$path/centroids")
-    val assigned = rankedAgainst(quantized(emb), cents)
+    val e = quantized(emb).pinned
+    val assigned = rankedAgainst(e, cents)
       .where(col("crk") === 1)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").cast("int").as("cell"))
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
       .repartition(col("cell"))
     appendSegment(s, path, "lists",
       staged => assigned.write.partitionBy("cell")
@@ -593,6 +599,41 @@ object EmbeddingOps {
       .withColumn("rk", row_number().over(wTop))
       .where(col("rk") <= k)
       .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  /** [[ivfTopKIndexed]] with a metadata predicate pushed INTO the
+    * pruned lists scan — filtered ANN, the "search only label L /
+    * tenant T" serving mode every vector store exposes: the predicate
+    * composes with the static cell and committed-segment prunes and
+    * reaches the parquet reader as a pushed filter (the lists store
+    * `label` for exactly this), so non-matching vectors are skipped
+    * at the scan, never materialized or ranked. Top-k is per query
+    * AMONG matching vectors; output carries the label. */
+  def ivfTopKIndexedWhere(s: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, pred: Column,
+      nProbe: Int = 2, k: Int = 10): DataFrame = {
+    val cents = s.read.parquet(s"$path/centroids")
+    val probes = rankedAgainst(quantized(queries), cents)
+      .where(col("crk") <= nProbe)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nn").as("qn"), col("cent_id").cast("int").as("cell"))
+      .pinned
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0))
+    val lists = s.read.parquet(s"$path/lists")
+      .where(segFilter(s, path) &&
+        col("cell").isin(probedCells.map(Int.box): _*) && pred)
+      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+    val wTop = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    probes.join(lists, Seq("cell"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(qdot(col("qv"), col("q")), col("qn"), col("nn")).as("cos"))
+      .withColumn("rk", row_number().over(wTop))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"),
+        col("cos"))
   }
 
   private val PqM = 4

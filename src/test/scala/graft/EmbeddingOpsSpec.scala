@@ -578,6 +578,45 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("filtered IVF serving: label predicate reaches the lists scan " +
+    "as a pushed filter; results are the unfiltered ranking's matches " +
+    "re-ranked") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_ivf_filtered").toString
+    EmbeddingOps.ivfIndexWrite(e, idx)
+    val served = EmbeddingOps.ivfTopKIndexedWhere(
+      spark, idx, queries, $"label" === 1)
+    val rows = served.collect()
+    assert(rows.nonEmpty && rows.forall(_.getAs[Int]("label") == 1))
+    // the predicate must reach the parquet reader: the lists scan
+    // carries BOTH the static cell partition filter AND a pushed
+    // label data filter
+    val scans = served.queryExecution.sparkPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("lists")) => sc
+    }
+    assert(scans.nonEmpty, "no parquet scan of the lists found")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "filtered serving lost the static cell prune")
+      assert(sc.dataFilters.exists(_.toString.contains("label")),
+        s"label predicate not pushed to the scan: ${sc.dataFilters}")
+    }
+    // correctness cross-check: ranking label-1 candidates only ==
+    // taking the unfiltered route's scored candidates, filtering by
+    // label, and re-ranking (same probes, same cosine) — here via a
+    // larger unfiltered k so the filtered top-k is covered
+    val unf = EmbeddingOps.ivfTopKIndexed(spark, idx, queries, k = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    rows.foreach { r =>
+      assert(unf.contains((r.getLong(0), r.getAs[Long]("vec_id"))))
+    }
+  }
+
   test("sq8 codes are bytes and reconstructions stay within one step") {
     val q = EmbeddingOps.quantized(emb)
     val rc = EmbeddingOps.sq8Reconstructed(q).collect()
