@@ -3156,6 +3156,34 @@ object SuiteML {
         |         AS BIGINT) AS s2
         |FROM src GROUP BY doc_id""".stripMargin)),
 
+    // ---- multimodal: perceptual average-hash (aHash) of every image ----
+    // (the image-modality dedup key: 8x8 nearest-neighbor gray raster,
+    // bit j set when gray > integer mean, surfaced as four 16-bit
+    // bands — the oracle replays hashes from the payload formulas
+    // with zero codec code)
+    Q("mm_image_hash",
+      (s, d) => Multimodal.imageHash(
+        Multimodal.syntheticPngMedia(docs(s, d))),
+      Some(s"""WITH ids AS (SELECT doc_id, 3 + doc_id % 6 AS w,
+        |         2 + doc_id % 5 AS h FROM documents),
+        |pxx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM ids),
+        |px AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM pxx),
+        |g AS (SELECT doc_id, y*8 + x AS j,
+        |        (((doc_id*29 + ((x*w)//8)*5 + ((y*h)//8)*17) % 256)
+        |       + ((doc_id*13 + ((x*w)//8)*19 + ((y*h)//8)*7) % 256)
+        |       + ((doc_id*37 + ((x*w)//8)*2 + ((y*h)//8)*11) % 256)) // 3 AS gv
+        |      FROM px),
+        |m AS (SELECT doc_id, SUM(gv) // 64 AS mean FROM g GROUP BY 1),
+        |bits AS (SELECT g.doc_id, g.j,
+        |           CASE WHEN g.gv > m.mean THEN 1 ELSE 0 END AS b
+        |         FROM g JOIN m ON m.doc_id = g.doc_id)
+        |SELECT doc_id, 'image' AS kind,
+        |${(0 to 3).map(bi =>
+             s"  CAST(SUM(CASE WHEN j // 16 = $bi THEN b * (1 << (j % 16)) ELSE 0 END) AS BIGINT) AS b$bi,")
+             .mkString("\n")}
+        |  CAST(SUM(b) AS BIGINT) AS n_set
+        |FROM bits GROUP BY 1""".stripMargin)),
+
     // ---- multimodal: REAL decoded-domain frame sampling — every 4th
     // PCM sample of the audio arm kept, stats weighted by the KEPT
     // ordinal (pins selection and order, not just the multiset) ------

@@ -1,5 +1,7 @@
 package graft.operators
 
+import graft.operators.Stage.PinOps
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -385,6 +387,112 @@ object Multimodal {
           }
         }
       }(enc)
+  }
+
+  private val imageHashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", StringType),
+    StructField("b0", LongType),
+    StructField("b1", LongType),
+    StructField("b2", LongType),
+    StructField("b3", LongType),
+    StructField("n_set", LongType)))
+
+  /** Perceptual average-hash (aHash) of every image payload — the
+    * image-modality member of the dedup family: decode, nearest-
+    * neighbor map to an 8x8 raster ([[resizeImages]]' integer
+    * mapping), integer-gray each target pixel ((r+g+b) div 3), and
+    * set bit j = y*8+x when gray exceeds the integer mean. The 64
+    * bits surface as FOUR 16-bit band values (b0..b3, rows 0-1 /
+    * 2-3 / 4-5 / 6-7) instead of one 64-bit word: no sign-bit
+    * overflow in either engine, and the bands are exactly the LSH
+    * blocking key [[imageDupPairs]] joins on. All arithmetic is
+    * integer (floor division only, every operand non-negative), so
+    * the oracle replays hashes from the payload formulas codec-free.
+    * Pure per-row decode — no shuffle. */
+  def imageHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(imageHashSchema)
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .where(col("media_type").startsWith("image/"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](2))
+            .getOrElse(Array.emptyByteArray)
+          val img = if (bytes.isEmpty) null
+            else javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+          if (img == null) Row(id, "decode_error", null, null, null,
+            null, 0L)
+          else {
+            val w = img.getWidth
+            val h = img.getHeight
+            val gray = new Array[Long](64)
+            var sum = 0L
+            var y = 0
+            while (y < 8) {
+              val sy = y * h / 8
+              var x = 0
+              while (x < 8) {
+                val sx = x * w / 8
+                val rgb = img.getRGB(sx, sy)
+                val g = (((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) +
+                  (rgb & 0xff)) / 3
+                gray(y * 8 + x) = g
+                sum += g
+                x += 1
+              }
+              y += 1
+            }
+            val mean = sum / 64
+            val bands = new Array[Long](4)
+            var nSet = 0L
+            var j = 0
+            while (j < 64) {
+              if (gray(j) > mean) {
+                bands(j / 16) |= 1L << (j % 16)
+                nSet += 1
+              }
+              j += 1
+            }
+            Row(id, "image", bands(0), bands(1), bands(2), bands(3),
+              nSet)
+          }
+        }
+      }(enc)
+  }
+
+  /** Image near-duplicate pairs by banded aHash: candidates share any
+    * of the four 16-bit hash bands (by pigeonhole, every pair at
+    * Hamming distance <= 3 shares a band — the default threshold's
+    * recall is GUARANTEED; raising `maxHamming` past 3 trades recall
+    * for reach, the [[graft.operators.TextOps.nearDupNgramJaccard]]
+    * blocking caveat), verified by the exact Hamming distance
+    * (bit_count of the XOR-ed bands). Candidate volume is per-band-
+    * bucket, never image-quadratic. */
+  def imageDupPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val h = imageHash(media).where(col("kind") === "image")
+      .select(col("doc_id"),
+        array(col("b0"), col("b1"), col("b2"), col("b3")).as("bs"))
+      .pinned
+    val banded = h.select(col("doc_id"), col("bs"),
+      posexplode(col("bs")).as(Seq("band_idx", "band_val")))
+    val cand = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.bs").as("bs_a"), col("b.bs").as("bs_b"))
+      .distinct()
+    cand
+      .withColumn("hamming", aggregate(
+        zip_with(col("bs_a"), col("bs_b"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .where(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   private val frameSampleSchema = StructType(Seq(

@@ -201,6 +201,29 @@ class MultimodalSpec extends SparkSpec {
     assert(q.getLong(2) == (adec.getLong(4) + 3) / 4)
   }
 
+  test("imageHash: well-formed bands; imageDupPairs finds identical " +
+    "images and nothing else") {
+    // the PNG formulas depend on doc_id only through mod 6/5/256, so
+    // ids congruent mod lcm(30, 256) = 3840 carry IDENTICAL images:
+    // (1, 3841) must pair at Hamming 0; id 7 pairs with nothing
+    val media = Multimodal.syntheticPngMedia(
+      docsDfIds(Seq(1L, 7L, 3841L)))
+    val h = Multimodal.imageHash(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(h.size == 3 && h.values.forall(_.getString(1) == "image"))
+    h.values.foreach { r =>
+      val nSet = r.getAs[Long]("n_set")
+      assert(nSet > 0L && nSet < 64L) // mean-threshold: never all/none
+      (2 to 5).foreach(i =>
+        assert(r.getLong(i) >= 0L && r.getLong(i) <= 0xffffL))
+    }
+    assert((2 to 6).forall(i => h(1L).getLong(i) == h(3841L).getLong(i)))
+    val pairs = Multimodal.imageDupPairs(media).collect()
+    assert(pairs.length == 1)
+    assert(pairs(0).getLong(0) == 1L && pairs(0).getLong(1) == 3841L)
+    assert(pairs(0).getAs[Long]("hamming") == 0L)
+  }
+
   /** Docs frame with the given ids: text "doc <id> text" except id 5,
     * which carries a null text (the empty-payload arm). */
   private def docsDfIds(ids: Seq[Long]) = {
