@@ -741,6 +741,59 @@ object Streams {
     graft.operators.TextOps.dedupLinesWith(docs,
       lineDfState(s, statePath), minDf)
 
+  /** Streaming per-source corpus data card — the FIFTH additive fold:
+    * g-rows keyed by (source, lang, n_tokens) with additive counts
+    * (n_docs, sum_chars). That histogram is the exact sufficient
+    * statistic for [[graft.operators.TextOps.corpusReport]]: totals,
+    * minima/maxima, language diversity, and the short-doc count all
+    * derive from it at serve time ([[corpusReportState]]), so the
+    * maintained state reproduces the batch report EXACTLY while the
+    * state itself stays purely additive — a distinct-count or min/max
+    * state column would not merge. State cardinality is
+    * sources x langs x token-length range (corpus-shape-bounded,
+    * never corpus-sized); the registry makes re-delivery a no-op and
+    * refuses mutated content, so the published card cannot silently
+    * double-count an ingest retry. */
+  def corpusSink(docs: DataFrame, statePath: String,
+      checkpointLocation: String, nShards: Int = DefaultStateShards)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
+      nShards)(
+      batch => batch.select(col("doc_id"), col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        lit(1L).as("n_docs"),
+        length(col("text")).cast("long").as("sum_chars")),
+      Seq("source", "lang", "n_tokens"), Seq("n_docs", "sum_chars"),
+      // the card is a function of (text, source, lang): a doc
+      // re-delivered re-classified or re-labeled must refuse, not
+      // slide through (fixed-width md5 prefix keeps it unambiguous)
+      md5(concat(md5(col("text")), col("source"), lit("|"),
+        col("lang"))))
+
+  /** The per-source data card served from a [[corpusSink]] state —
+    * column-for-column [[graft.operators.TextOps.corpusReport]]. */
+  def corpusReportState(s: org.apache.spark.sql.SparkSession,
+      statePath: String, shortTokens: Int = 5): DataFrame =
+    foldState(s, statePath).where(col("kind") === "g")
+      .select(col("source"), col("lang"), col("n_tokens"),
+        col("n_docs"), col("sum_chars"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(col("n_tokens") * col("n_docs")).as("total_tokens"),
+        sum(col("sum_chars")).as("total_chars"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"),
+        sum(when(col("n_tokens") < shortTokens, col("n_docs"))
+          .otherwise(0L)).as("n_short"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("total_tokens"), col("total_chars"), col("min_tokens"),
+        col("max_tokens"),
+        (col("total_tokens").cast("double") / col("n_docs"))
+          .as("avg_tokens"),
+        expr("n_short * 1000 div n_docs").as("short_permille"))
+
   /** The shared registry-guarded ADDITIVE fold behind [[lmSink]] and
     * [[dsirSink]]: count addition is not idempotent, so the state
     * carries two row kinds in one frame — `d` rows, the audited doc

@@ -1018,6 +1018,41 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(got.sameElements(expected))
   }
 
+  test("streamed corpus data card over sliced + re-delivered corpus " +
+    "equals the batch report") {
+    // the fifth additive fold: the (source, lang, n_tokens) histogram
+    // is the sufficient statistic, so the served card must be
+    // column-for-column identical to the one-shot corpusReport —
+    // including the min/max/distinct columns that are NOT additive
+    // and only derivable because the histogram is
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    val slices = Seq(docs.where($"doc_id" < 200),
+      docs.where($"doc_id" >= 200)
+        .unionAll(docs.where($"doc_id" < 50))) // re-delivery
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_card_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_card_state").resolve("st").toString
+    val q = Streams.corpusSink(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+        statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_card_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+    val served = Streams.corpusReportState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val batch = TextOps.corpusReport(docs)
+      .collect().map(_.toString).sorted
+    assert(served.nonEmpty && served.sameElements(batch))
+  }
+
   test("streamed registry -> persisted MinHash index -> near-dup " +
     "serving equals a batch build") {
     // the text twin of the composed IVF-PQ pipeline: the mutation-
