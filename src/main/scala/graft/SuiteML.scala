@@ -3204,6 +3204,31 @@ object SuiteML {
         |       CAST(sum(j * v) AS BIGINT) AS s2
         |FROM kept GROUP BY doc_id""".stripMargin)),
 
+    // ---- multimodal: segment-energy audio fingerprint ------------------
+    // (the audio-modality dedup key: 16 contiguous PCM segments, bit
+    // set when segment energy exceeds the cross-multiplied mean —
+    // replayed from the WAV formulas with zero codec code)
+    Q("mm_audio_hash",
+      (s, d) => Multimodal.audioHash(
+        Multimodal.syntheticMedia(docs(s, d))),
+      Some("""WITH au AS (SELECT doc_id, 40 + doc_id % 25 AS n
+        |        FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM au),
+        |sv AS (SELECT doc_id, (i*16) // n AS seg,
+        |         abs((doc_id*7919 + i*104729) % 65536 - 32768) AS a
+        |       FROM smp),
+        |se AS (SELECT doc_id, seg, CAST(SUM(a) AS BIGINT) AS e
+        |       FROM sv GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS total
+        |       FROM se GROUP BY 1)
+        |SELECT se.doc_id, 'audio' AS kind,
+        |       CAST(SUM(CASE WHEN se.e * 16 > st.total
+        |                     THEN 1 << seg ELSE 0 END) AS BIGINT) AS h,
+        |       CAST(SUM(CASE WHEN se.e * 16 > st.total
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+        |FROM se JOIN st ON st.doc_id = se.doc_id
+        |GROUP BY 1""".stripMargin)),
+
     // ---- multimodal data-model contract: typed metadata columns ----------
     Q("mm_media_meta",
       (s, d) => Multimodal.toMedia(docs(s, d))

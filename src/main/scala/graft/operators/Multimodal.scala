@@ -495,6 +495,83 @@ object Multimodal {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
+  private val audioHashSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", StringType),
+    StructField("h", LongType),
+    StructField("n_set", LongType)))
+
+  /** Segment-energy audio fingerprint — the audio-modality dedup key
+    * next to [[imageHash]]: the decoded PCM stream splits into 16
+    * contiguous segments (sample i belongs to segment (i*16) div n —
+    * the same nearest-neighbor floor mapping as the image raster),
+    * each segment's energy is its exact abs-sample sum, and bit j is
+    * set when e_j * 16 > total (cross-multiplied mean comparison — no
+    * division at all). Silence hashes to 0; all-integer, so the
+    * oracle replays every fingerprint from the payload formulas with
+    * zero codec code. Pure per-row decode — no shuffle. */
+  def audioHash(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioHashSchema)
+    media.select(col("doc_id"), col("media_type"), col("payload"))
+      .where(col("media_type").startsWith("audio/"))
+      .mapPartitions { it: Iterator[Row] =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = Option(r.getAs[Array[Byte]](2))
+            .getOrElse(Array.emptyByteArray)
+          if (bytes.isEmpty) Row(id, "decode_error", null, 0L)
+          else {
+            val ais = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+            try {
+              val fmt = ais.getFormat
+              require(!fmt.isBigEndian &&
+                fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+                s"unexpected WAV format $fmt")
+              val data = ais.readAllBytes()
+              val n = data.length / 2
+              val e = new Array[Long](16)
+              var total = 0L
+              var i = 0
+              while (i < n) {
+                val v = (data(2 * i + 1).toInt << 8) |
+                  (data(2 * i) & 0xff)
+                val a = math.abs(v).toLong
+                e(i * 16 / n) += a
+                total += a
+                i += 1
+              }
+              var h = 0L
+              var nSet = 0L
+              var j = 0
+              while (j < 16) {
+                if (e(j) * 16 > total) { h |= 1L << j; nSet += 1 }
+                j += 1
+              }
+              Row(id, "audio", h, nSet)
+            } finally ais.close()
+          }
+        }
+      }(enc)
+  }
+
+  /** Audio exact-fingerprint duplicate pairs: docs sharing an
+    * identical 16-bit [[audioHash]] — the blocking-key dedup for the
+    * audio modality (a 16-bit key is deliberately coarse: it is the
+    * CANDIDATE generator; a production pipeline verifies candidates
+    * against the stored streams, exactly as the text routes verify
+    * banded candidates with exact Jaccard). Hash-keyed shuffle,
+    * per-bucket pairs, never audio-quadratic. */
+  def audioDupPairs(media: DataFrame): DataFrame = {
+    val h = audioHash(media).where(col("kind") === "audio")
+    h.as("a").join(h.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.h").as("h"))
+  }
+
   private val frameSampleSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("kind", StringType),

@@ -224,6 +224,23 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs(0).getAs[Long]("hamming") == 0L)
   }
 
+  test("audioHash: identical streams share a fingerprint; " +
+    "audioDupPairs finds exactly them") {
+    import org.apache.spark.sql.functions.col
+    // ids 1 and 4 are the audio arm (id % 3 == 1); re-id the same
+    // payloads +1000 — each original must pair with its copy and
+    // (16-bit hash space, two independent streams) nothing else
+    val a = Multimodal.syntheticMedia(docsDfIds(Seq(1L, 4L)))
+      .where(col("media_type").startsWith("audio/"))
+    val media = a.unionByName(a.withColumn("doc_id", col("doc_id") + 1000L))
+    val h = Multimodal.audioHash(media).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("h")).toMap
+    assert(h(1L) == h(1001L) && h(4L) == h(1004L))
+    val pairs = Multimodal.audioDupPairs(media).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 1001L), (4L, 1004L)))
+  }
+
   /** Docs frame with the given ids: text "doc <id> text" except id 5,
     * which carries a null text (the empty-payload arm). */
   private def docsDfIds(ids: Seq[Long]) = {
