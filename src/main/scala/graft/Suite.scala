@@ -333,6 +333,27 @@ object Suite {
       Some(s"""$LifecycleCte
         |SELECT * FROM lc""".stripMargin)),
 
+    // ---- A6b weekly cohort retention ------------------------------------
+    // (users cohorted by first event date; each cell counts distinct
+    // cohort members active in that week offset; retention is exact
+    // permille of the week-0 size)
+    Q("an_cohort_retention",
+      (s, d) => Analytics.cohortRetention(clean(s, d)),
+      Some(s"""$CleanCte,
+        |fu AS (SELECT user_id, MIN(event_date) AS cohort_date
+        |       FROM clean GROUP BY 1),
+        |act AS (SELECT DISTINCT c.user_id, f.cohort_date,
+        |          CAST(datediff('day', f.cohort_date, c.event_date) // 7 AS BIGINT) AS week_offset
+        |        FROM clean c JOIN fu f USING (user_id)),
+        |cnt AS (SELECT cohort_date, week_offset,
+        |          CAST(count(*) AS BIGINT) AS n_users
+        |        FROM act GROUP BY 1, 2),
+        |sz AS (SELECT cohort_date, n_users AS cohort_size
+        |       FROM cnt WHERE week_offset = 0)
+        |SELECT c.cohort_date, c.week_offset, c.n_users, s.cohort_size,
+        |       c.n_users * 1000 // s.cohort_size AS retention_permille
+        |FROM cnt c JOIN sz s USING (cohort_date)""".stripMargin)),
+
     // ---- A7 top-N -------------------------------------------------------
     Q("an_top_types",
       (s, d) => Analytics.topN(clean(s, d), "event_type", 10),
@@ -637,6 +658,20 @@ object Suite {
         |       COUNT(*) AS n_orders,
         |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE) AS revenue
         |FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)""".stripMargin)),
+
+    // ---- §2.5 completeness: explicit GROUPING SETS + grouping_id --------
+    // (the subtotal layout CUBE cannot express: per-priority,
+    // per-status, and grand total with NO detail rows; gid
+    // disambiguates subtotal NULLs from genuine ones)
+    Q("rel_grouping_sets",
+      (s, d) => Relational.groupingSetsRevenue(Tables(s, d)),
+      Some("""SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+        |       COALESCE(o_orderstatus, 'ALL') AS status,
+        |       CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT) AS gid,
+        |       COUNT(*) AS n_orders,
+        |       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) / CAST(100.0 AS DOUBLE) AS revenue
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())""".stripMargin)),
 
     // ---- §2.5 completeness: the ANSI window-function surface -------------
     Q("rel_window_showcase",

@@ -154,6 +154,34 @@ object Analytics {
           .otherwise("sustained"))
   }
 
+  /** Weekly cohort retention — the classic activation dashboard the
+    * reference's lifecycle module stops one step short of: users
+    * cohorted by FIRST event date, each (cohort, week-offset) cell
+    * counts the distinct cohort members active that week, and
+    * retention is the exact permille of the cohort's week-0 size.
+    * One window for first_date (user-keyed, same shuffle the
+    * lifecycle query uses), one distinct + aggregate on
+    * (cohort, offset, user), a cohort-keyed join against the tiny
+    * week-0 slice. All integer arithmetic (`div 7` offsets, permille
+    * by integer division) — bit-replayable. */
+  def cohortRetention(clean: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+    val act = clean
+      .withColumn("first_date", min(col("event_date")).over(w))
+      .select(col("user_id"), col("first_date").as("cohort_date"),
+        expr("CAST(datediff(event_date, first_date) div 7 AS BIGINT)")
+          .as("week_offset"))
+      .distinct()
+    val counts = act.groupBy(col("cohort_date"), col("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val size = counts.where(col("week_offset") === 0)
+      .select(col("cohort_date"), col("n_users").as("cohort_size"))
+    counts.join(size, Seq("cohort_date"))
+      .select(col("cohort_date"), col("week_offset"), col("n_users"),
+        col("cohort_size"),
+        expr("n_users * 1000 div cohort_size").as("retention_permille"))
+  }
+
   /** A7/W4 (artist_treemap.py:22-38): top-K keys by count, deterministic
     * tie-break on the key. Spark compiles orderBy+limit to a
     * distributed TakeOrderedAndProject — no global sort. */

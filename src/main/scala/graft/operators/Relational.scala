@@ -208,6 +208,31 @@ object Relational {
         coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
         col("n_orders"), col("revenue"))
 
+  /** Explicit GROUPING SETS with the grouping_id marker — the subtotal
+    * layout CUBE/ROLLUP cannot express: exactly (priority),
+    * (status), and the grand total, with NO (priority, status)
+    * detail rows. grouping_id disambiguates a genuine NULL group key
+    * from a subtotal NULL (the reason the marker exists); Spark's
+    * grouping_id bit order is left-to-right over the listed columns,
+    * matching DuckDB's GROUPING(a, b). Same one-pass EXPAND shape as
+    * [[cubeRevenue]]. */
+  def groupingSetsRevenue(t: Tables): DataFrame =
+    t.orders
+      .select(col("o_orderpriority"), col("o_orderstatus"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .groupingSets(
+        Seq(Seq(col("o_orderpriority")), Seq(col("o_orderstatus")),
+          Seq.empty),
+        col("o_orderpriority"), col("o_orderstatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        (sum(col("price_cents")) / lit(100.0)).as("revenue"))
+      .select(
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        col("gid").cast("long").as("gid"), col("n_orders"),
+        col("revenue"))
+
   /** §2.5 completeness: the ANSI window-function surface in one frame —
     * ranking (row_number/rank/dense_rank/ntile), relative position
     * (percent_rank/cume_dist — each a single IEEE division of exact
