@@ -964,6 +964,23 @@ object SuiteML {
         |SELECT doc_a, doc_b, n_common, na, nb, jaccard FROM ndup""".stripMargin),
       bench = true),
 
+    // ---- dedup: signature-estimate vs exact-Jaccard quality row ---------
+    // (per verified pair: the matching-component fraction the banding
+    // is built on, exact permille of 16 — the measurement that
+    // justifies the signature width)
+    Q("dedup_minhash_estimate",
+      (s, d) => TextOps.minhashEstimate(docs(s, d)),
+      Some(s"""WITH $MinhashPairsCte
+        |SELECT nd.doc_a, nd.doc_b, nd.jaccard,
+        |  CAST(${(0 until 16).map(k =>
+             s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)")
+             .mkString(" + ")} AS BIGINT) AS n_match,
+        |  CAST((${(0 until 16).map(k =>
+             s"(CASE WHEN a.m$k = b.m$k THEN 1 ELSE 0 END)")
+             .mkString(" + ")}) * 1000 // 16 AS BIGINT) AS est_permille
+        |FROM ndup nd JOIN sig a ON a.doc_id = nd.doc_a
+        |             JOIN sig b ON b.doc_id = nd.doc_b""".stripMargin)),
+
     // ---- dedup: persisted-index near-dup SERVING ------------------------
     // (the incremental half of minhash dedup: the corpus slice
     // doc_id % 5 != 0 is indexed once, the % 5 == 0 slice arrives as
@@ -2966,6 +2983,26 @@ object SuiteML {
         |SELECT query_id, CAST(rk AS INTEGER) AS rk, vid AS vec_id, label, cos FROM (
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
         |  FROM ssc) WHERE rk <= 10""".stripMargin)),
+
+    // ---- similarity: quantizer-training drift diagnostics ---------------
+    // (per centroid: exact squared L2 seed->trained movement + the
+    // seed-vs-trained cosine — the retrain-monitoring row; oracle
+    // reuses the Lloyd-round CTE generator, so the training
+    // arithmetic cannot drift from the IVF routes)
+    Q("sim_centroid_drift",
+      (s, d) => EmbeddingOps.centroidDrift(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |${kmeansCellsCte(EmbeddingOps.KmIters)},
+        |dp AS (SELECT s.cent_id, s.cn AS sn, t.cn AS tn,
+        |              unnest(s.cq) AS a, unnest(t.cq) AS b
+        |       FROM cents0 s JOIN cents${EmbeddingOps.KmIters} t USING (cent_id)),
+        |g AS (SELECT cent_id, sn, tn,
+        |             CAST(SUM((a - b) * (a - b)) AS BIGINT) AS drift_sq,
+        |             SUM(a * b) AS dot
+        |      FROM dp GROUP BY 1, 2, 3)
+        |SELECT CAST(cent_id AS BIGINT) AS cent_id, drift_sq,
+        |       CAST(dot AS DOUBLE) / (sqrt(CAST(sn AS DOUBLE)) * sqrt(CAST(tn AS DOUBLE))) AS cos
+        |FROM g""".stripMargin)),
 
     // ---- similarity: the IVF trainer — one exact Lloyd update step ------
     Q("sim_kmeans_step",

@@ -1112,6 +1112,31 @@ object EmbeddingOps {
       iters: Int = KmIters): DataFrame =
     kmeansCentroidsQ(quantized(emb).pinned, nCentroids, iters)
 
+  /** Quantizer-training diagnostics: per centroid, how far Lloyd
+    * moved it from its seed — the exact-integer squared L2 drift and
+    * the seed-vs-trained cosine. The monitoring row an ANN deployment
+    * reads before trusting a retrain (a centroid that barely moved
+    * did not need the retrain; one that swung far re-homed its list).
+    * Centroid-cardinality output; the corpus is touched only through
+    * the training itself. */
+  def centroidDrift(emb: DataFrame, nCentroids: Int = KmSeeds,
+      iters: Int = KmIters): DataFrame = {
+    val e = quantized(emb).pinned
+    val seed = seedCentroids(e, nCentroids)
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("cq").as("sq"), col("cn").as("sn"))
+    val trained = kmeansCentroidsQ(e, nCentroids, iters)
+      .select(col("cent_id").cast("long").as("cent_id"),
+        col("cq").as("tq"), col("cn").as("tn"))
+    seed.join(trained, Seq("cent_id"))
+      .select(col("cent_id"),
+        aggregate(zip_with(col("sq"), col("tq"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x)
+          .as("drift_sq"),
+        cosine(qdot(col("sq"), col("tq")), col("sn"), col("tn"))
+          .as("cos"))
+  }
+
   /** [[kmeansCentroids]] over an already-quantized (and ideally
     * checkpointed) frame `e` — the corpus is scanned once per Lloyd
     * round from `e`, never re-derived. */

@@ -290,6 +290,31 @@ object TextOps {
     jaccardFromInter(dh, interFromCandidates(dh, cand), threshold)
   }
 
+  /** Estimator-quality report for the MinHash route: every verified
+    * near-dup pair next to what the SIGNATURE alone would have
+    * estimated — the matching-component fraction (the textbook
+    * unbiased Jaccard estimator the banding is built on), as an exact
+    * permille of the 16 hash components. The row is the measurement
+    * that justifies trusting banded candidate generation at a given
+    * signature width: estimate vs exact, per real pair. Signature
+    * frame joins by doc key twice; pair volume is the verified-dup
+    * mass. */
+  def minhashEstimate(docs: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val sig = minhashSignature(docs).pinned
+    val matches = (0 until MinhashK).map(k =>
+      when(col(s"a.m$k") === col(s"b.m$k"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    nearDupMinhash(docs, threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        matches.as("n_match"))
+      .withColumn("est_permille",
+        expr(s"n_match * 1000 div $MinhashK"))
+  }
+
   /** Duplicate GROUPS from near-dup pairs: connected components by
     * iterative min-label propagation — each doc's group id converges to
     * the smallest doc_id reachable through the pair graph (the
