@@ -284,6 +284,48 @@ object SuiteML {
   private val PackBudget = 512L
   private val PackShard = 200L
 
+  /** The NB classifier's scoring pipeline as CTEs ending in
+    * `nbs(doc_id, n_tokens, score_p, score_n, pred, margin)` — shared
+    * by text_nb_filter and text_nb_calibration so the scoring
+    * arithmetic cannot drift between the filter and its calibration
+    * card. */
+  private def NbScoreSql: String =
+    s"""tr AS (SELECT source, unnest(string_split(text, ' ')) AS word
+      |      FROM documents WHERE source IN ('$DsirTarget', '$DsirCrossRaw')),
+      |m AS (SELECT word,
+      |        CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS c_p,
+      |        CAST(sum(CASE WHEN source = '$DsirCrossRaw' THEN 1 ELSE 0 END) AS BIGINT) AS c_n
+      |      FROM tr GROUP BY 1),
+      |qm AS (SELECT word, CAST(length(bin(c_p + 1)) - 1 AS BIGINT) AS ql_p,
+      |              CAST(length(bin(c_n + 1)) - 1 AS BIGINT) AS ql_n FROM m),
+      |st AS (SELECT
+      |        CAST(length(bin(CAST(sum(c_p) + count(*) AS BIGINT))) - 1 AS BIGINT) AS qd_p,
+      |        CAST(length(bin(CAST(sum(c_n) + count(*) AS BIGINT))) - 1 AS BIGINT) AS qd_n
+      |       FROM m),
+      |pr AS (SELECT
+      |        CAST((length(bin(CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
+      |          - (length(bin(count(*) + 2)) - 1) AS BIGINT) AS qp_p,
+      |        CAST((length(bin(CAST(sum(CASE WHEN source = '$DsirCrossRaw' THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
+      |          - (length(bin(count(*) + 2)) - 1) AS BIGINT) AS qp_n
+      |       FROM documents WHERE source IN ('$DsirTarget', '$DsirCrossRaw')),
+      |dk AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k FROM (
+      |        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |        FROM documents WHERE source NOT IN ('$DsirTarget', '$DsirCrossRaw'))
+      |       GROUP BY 1, 2),
+      |ds AS (SELECT doc_id,
+      |        CAST(sum(k * COALESCE(ql_p, 0)) AS BIGINT) AS s_p,
+      |        CAST(sum(k * COALESCE(ql_n, 0)) AS BIGINT) AS s_n,
+      |        CAST(sum(k) AS BIGINT) AS n_tokens
+      |       FROM dk LEFT JOIN qm USING (word) GROUP BY 1),
+      |nbs AS (SELECT doc_id, n_tokens,
+      |        qp_p + s_p - n_tokens * qd_p AS score_p,
+      |        qp_n + s_n - n_tokens * qd_n AS score_n,
+      |        CASE WHEN qp_p + s_p - n_tokens * qd_p >= qp_n + s_n - n_tokens * qd_n
+      |             THEN 'keep' ELSE 'drop' END AS pred,
+      |        CAST((qp_p + s_p - n_tokens * qd_p) - (qp_n + s_n - n_tokens * qd_n)
+      |          AS DOUBLE) / n_tokens AS margin
+      |       FROM ds, st, pr)""".stripMargin
+
   /** The greedy per-shard packing recurrence as CTEs ending in
     * `rec(lang, shard, doc_id, n_tokens, rn, pack_id, pack_fill)` —
     * shared by text_seq_pack and text_pack_report so the assignment
@@ -1838,41 +1880,27 @@ object SuiteML {
     Q("text_nb_filter",
       (s, d) => TextOps.nbClassify(docs(s, d), DsirTarget,
         DsirCrossRaw),
-      Some(s"""WITH tr AS (SELECT source, unnest(string_split(text, ' ')) AS word
-        |      FROM documents WHERE source IN ('$DsirTarget', '$DsirCrossRaw')),
-        |m AS (SELECT word,
-        |        CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) AS BIGINT) AS c_p,
-        |        CAST(sum(CASE WHEN source = '$DsirCrossRaw' THEN 1 ELSE 0 END) AS BIGINT) AS c_n
-        |      FROM tr GROUP BY 1),
-        |qm AS (SELECT word, CAST(length(bin(c_p + 1)) - 1 AS BIGINT) AS ql_p,
-        |              CAST(length(bin(c_n + 1)) - 1 AS BIGINT) AS ql_n FROM m),
-        |st AS (SELECT
-        |        CAST(length(bin(CAST(sum(c_p) + count(*) AS BIGINT))) - 1 AS BIGINT) AS qd_p,
-        |        CAST(length(bin(CAST(sum(c_n) + count(*) AS BIGINT))) - 1 AS BIGINT) AS qd_n
-        |       FROM m),
-        |pr AS (SELECT
-        |        CAST((length(bin(CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
-        |          - (length(bin(count(*) + 2)) - 1) AS BIGINT) AS qp_p,
-        |        CAST((length(bin(CAST(sum(CASE WHEN source = '$DsirCrossRaw' THEN 1 ELSE 0 END) + 1 AS BIGINT))) - 1)
-        |          - (length(bin(count(*) + 2)) - 1) AS BIGINT) AS qp_n
-        |       FROM documents WHERE source IN ('$DsirTarget', '$DsirCrossRaw')),
-        |dk AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k FROM (
-        |        SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |        FROM documents WHERE source NOT IN ('$DsirTarget', '$DsirCrossRaw'))
-        |       GROUP BY 1, 2),
-        |ds AS (SELECT doc_id,
-        |        CAST(sum(k * COALESCE(ql_p, 0)) AS BIGINT) AS s_p,
-        |        CAST(sum(k * COALESCE(ql_n, 0)) AS BIGINT) AS s_n,
-        |        CAST(sum(k) AS BIGINT) AS n_tokens
-        |       FROM dk LEFT JOIN qm USING (word) GROUP BY 1)
-        |SELECT doc_id, n_tokens,
-        |       qp_p + s_p - n_tokens * qd_p AS score_p,
-        |       qp_n + s_n - n_tokens * qd_n AS score_n,
-        |       CASE WHEN qp_p + s_p - n_tokens * qd_p >= qp_n + s_n - n_tokens * qd_n
-        |            THEN 'keep' ELSE 'drop' END AS pred,
-        |       CAST((qp_p + s_p - n_tokens * qd_p) - (qp_n + s_n - n_tokens * qd_n)
-        |         AS DOUBLE) / n_tokens AS margin
-        |FROM ds, st, pr""".stripMargin)),
+      Some(s"""WITH $NbScoreSql
+        |SELECT doc_id, n_tokens, score_p, score_n, pred, margin
+        |FROM nbs""".stripMargin)),
+
+    // ---- curation: classifier calibration card --------------------------
+    // (margin-concentration histogram: how decisive the NB classifier
+    // is, per predicted class, bucketed by the sign-split bit length
+    // of the integer score difference — the data card read before
+    // choosing a keep threshold; shares NbScoreSql with the filter
+    // row so the scoring cannot drift)
+    Q("text_nb_calibration",
+      (s, d) => TextOps.nbCalibration(docs(s, d), DsirTarget,
+        DsirCrossRaw),
+      Some(s"""WITH $NbScoreSql
+        |SELECT pred,
+        |  CAST(CASE WHEN score_p - score_n = 0 THEN 0
+        |       ELSE (CASE WHEN score_p > score_n THEN 1 ELSE -1 END)
+        |            * (length(bin(abs(score_p - score_n))) - 1) END
+        |    AS BIGINT) AS qband,
+        |  CAST(count(*) AS BIGINT) AS n_docs
+        |FROM nbs GROUP BY 1, 2""".stripMargin)),
 
     // ---- dedup: cross-document duplicated-span fraction -----------------
     // (the substring-level signal whole-doc near-dup misses: a trigram
@@ -2958,6 +2986,28 @@ object SuiteML {
         |  FROM ssc) WHERE rk <= 10),
         |$BruteTop10Cte,
         |${recallTail("sk")}""".stripMargin)),
+
+    // ---- similarity: single-probe LSH recall row ------------------------
+    // (the recall measurement the LSH route was missing: same-bucket
+    // candidates only, exact-cosine ranked — what single-probe misses
+    // is what sim_lsh_multiprobe buys back)
+    Q("sim_lsh_recall",
+      (s, d) => EmbeddingOps.lshRecall(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$LshBucketCte,
+        |lq AS (SELECT vec_id AS query_id, q, bucket FROM eb WHERE vec_id < 5),
+        |lp AS (SELECT lq.query_id, ce.vec_id AS vid, unnest(lq.q) AS a, unnest(ce.q) AS b
+        |       FROM lq JOIN eb ce ON ce.bucket = lq.bucket AND ce.vec_id <> lq.query_id),
+        |ld AS (SELECT query_id, vid, SUM(a*b) AS dot FROM lp GROUP BY 1, 2),
+        |lsc AS (SELECT query_id, vid,
+        |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |        FROM ld JOIN n nq ON nq.vec_id = query_id
+        |                JOIN n nv ON nv.vec_id = vid),
+        |lk AS (SELECT query_id, vid AS vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+        |  FROM lsc) WHERE rk <= 10),
+        |$BruteTop10Cte,
+        |${recallTail("lk")}""".stripMargin)),
 
     // ---- similarity: PERSISTED SQ8 index serving (codes-only) -----------
     // (build once into the managed scratch dir, serve the corpus

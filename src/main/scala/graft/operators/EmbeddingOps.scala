@@ -1306,6 +1306,35 @@ object EmbeddingOps {
     recallVsBrute(brute, pq, k)
   }
 
+  /** recall@k of SAME-BUCKET (single-probe) LSH search against the
+    * brute top-k — the recall row the LSH route was missing next to
+    * IVF/PQ/truncation/SQ8: candidates come from the query's own
+    * bucket only, ranked by exact cosine; what single-probe misses is
+    * the bucketing's cost, which the Hamming-1 multiprobe
+    * (sim_lsh_multiprobe) buys back. A query with an empty bucket
+    * neighborhood still reports its 0 row. */
+  def lshRecall(emb: DataFrame, nQueries: Int = 5, k: Int = 10,
+      nPlanes: Int = NPlanes): DataFrame = {
+    val e = quantized(emb).pinned
+    val brute = annTopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val b = bucketed(emb, nPlanes).pinned
+    val q = b.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qv"),
+        col("nn").as("qn"), col("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = b.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(qdot(col("qv"), col("q")), col("qn"), col("nn"))
+          .as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    recallVsBrute(brute, approx, k)
+  }
+
   /** recall@k of TRUNCATED-dimension search (the first `dims` of the
     * 64) against the full-dimension brute top-k — the
     * dimensionality-reduction scale path (Kusupati et al., "Matryoshka

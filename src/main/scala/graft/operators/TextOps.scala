@@ -3021,4 +3021,22 @@ object TextOps {
       nbModel(d, posSource, negSource),
       nbPriors(d, posSource, negSource))
   }
+
+  /** Calibration card for the NB classifier — the margin-concentration
+    * histogram read before choosing a keep threshold: per predicted
+    * class, documents bucketed by the sign-split bit length of the
+    * INTEGER score difference (qband 0 = exact tie, +-b = difference
+    * in [2^b, 2^(b+1))) — a classifier whose mass piles at small
+    * bands is barely deciding; one with long positive tails separates
+    * cleanly. Exact integers end to end (the float margin never enters
+    * the bucketing); one aggregate over the scored frame. */
+  def nbCalibration(docs: DataFrame, posSource: String,
+      negSource: String): DataFrame =
+    nbClassify(docs, posSource, negSource)
+      .withColumn("d", col("score_p") - col("score_n"))
+      .withColumn("qband", when(col("d") === 0, lit(0L))
+        .otherwise(when(col("d") > 0, lit(1L)).otherwise(lit(-1L)) *
+          (length(bin(abs(col("d")))) - 1).cast("long")))
+      .groupBy(col("pred"), col("qband"))
+      .agg(count(lit(1)).as("n_docs"))
 }
