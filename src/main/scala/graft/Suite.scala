@@ -333,6 +333,37 @@ object Suite {
       Some(s"""$LifecycleCte
         |SELECT * FROM lc""".stripMargin)),
 
+    // ---- A6c ordered conversion funnel ----------------------------------
+    // (view -> click -> purchase, each stage STRICTLY AFTER the
+    // previous stage's first qualifying event and within a 24h
+    // attribution window — the window makes both arms non-vacuous:
+    // without it every user of this dense synthetic corpus converts)
+    Q("an_funnel",
+      (s, d) => Analytics.funnel(clean(s, d)),
+      Some(s"""$CleanCte,
+        |v AS (SELECT user_id, MIN(ts) AS t_view FROM clean
+        |      WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT cl.user_id, MIN(cl.ts) AS t_click
+        |      FROM clean cl JOIN v ON v.user_id = cl.user_id
+        |      WHERE cl.event_type = 'click' AND cl.ts > v.t_view
+        |        AND cl.ts <= v.t_view + INTERVAL 24 HOUR
+        |      GROUP BY 1),
+        |p AS (SELECT cl.user_id, MIN(cl.ts) AS t_purchase
+        |      FROM clean cl JOIN c ON c.user_id = cl.user_id
+        |      WHERE cl.event_type = 'purchase' AND cl.ts > c.t_click
+        |        AND cl.ts <= c.t_click + INTERVAL 24 HOUR
+        |      GROUP BY 1),
+        |u AS (SELECT DISTINCT user_id FROM clean)
+        |SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |       CAST(count(v.user_id) AS BIGINT) AS n_viewed,
+        |       CAST(count(c.user_id) AS BIGINT) AS n_clicked_after,
+        |       CAST(count(p.user_id) AS BIGINT) AS n_purchased_after,
+        |       count(c.user_id) * 1000 // count(v.user_id) AS click_permille,
+        |       count(p.user_id) * 1000 // count(c.user_id) AS purchase_permille
+        |FROM u LEFT JOIN v USING (user_id)
+        |       LEFT JOIN c USING (user_id)
+        |       LEFT JOIN p USING (user_id)""".stripMargin)),
+
     // ---- A6b weekly cohort retention ------------------------------------
     // (users cohorted by first event date; each cell counts distinct
     // cohort members active in that week offset; retention is exact

@@ -3034,6 +3034,17 @@ object SuiteML {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
         |  FROM ssc) WHERE rk <= 10""".stripMargin)),
 
+    // ---- similarity: per-label embedding mass card ----------------------
+    Q("sim_embedding_stats",
+      (s, d) => EmbeddingOps.embeddingStats(emb(s, d)),
+      Some(s"""WITH $EmbCte
+        |SELECT e.label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(n.nn) AS BIGINT) AS sum_nn,
+        |       CAST(MIN(n.nn) AS BIGINT) AS min_nn,
+        |       CAST(MAX(n.nn) AS BIGINT) AS max_nn
+        |FROM e JOIN n USING (vec_id)
+        |GROUP BY 1""".stripMargin)),
+
     // ---- similarity: quantizer-training drift diagnostics ---------------
     // (per centroid: exact squared L2 seed->trained movement + the
     // seed-vs-trained cosine — the retrain-monitoring row; oracle

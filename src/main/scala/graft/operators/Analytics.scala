@@ -154,6 +154,52 @@ object Analytics {
           .otherwise("sustained"))
   }
 
+  /** Ordered conversion funnel (view -> click -> purchase): a user
+    * reaches a stage only through an event STRICTLY AFTER the
+    * previous stage's first qualifying event AND within its
+    * `windowHours` attribution window — the time-ordering and the
+    * window are what separate a funnel from three independent counts
+    * (a user who clicked before ever viewing, or days later, does
+    * not convert). First qualifying timestamps are min-aggregates
+    * (deterministic; an event tying the previous stage's instant is
+    * excluded identically in both engines). Per-stage frames are
+    * user-keyed aggregates; the report is one row with exact
+    * permille conversion rates. */
+  def funnel(clean: DataFrame, windowHours: Int = 24): DataFrame = {
+    require(windowHours >= 1,
+      s"windowHours must be >= 1, got $windowHours")
+    val win = expr(s"INTERVAL $windowHours HOURS")
+    val v = clean.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_view"))
+    val c = clean.where(col("event_type") === "click")
+      .select(col("user_id"), col("ts"))
+      .join(v, Seq("user_id"))
+      .where(col("ts") > col("t_view") && col("ts") <= col("t_view") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_click"))
+    val p = clean.where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"))
+      .join(c, Seq("user_id"))
+      .where(col("ts") > col("t_click") &&
+        col("ts") <= col("t_click") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    clean.select(col("user_id")).distinct()
+      .join(v.select(col("user_id"), lit(1L).as("s1")),
+        Seq("user_id"), "left")
+      .join(c.select(col("user_id"), lit(1L).as("s2")),
+        Seq("user_id"), "left")
+      .join(p.select(col("user_id"), lit(1L).as("s3")),
+        Seq("user_id"), "left")
+      .agg(count(lit(1)).as("n_users"),
+        sum(coalesce(col("s1"), lit(0L))).as("n_viewed"),
+        sum(coalesce(col("s2"), lit(0L))).as("n_clicked_after"),
+        sum(coalesce(col("s3"), lit(0L))).as("n_purchased_after"))
+      .select(col("n_users"), col("n_viewed"), col("n_clicked_after"),
+        col("n_purchased_after"),
+        expr("n_clicked_after * 1000 div n_viewed").as("click_permille"),
+        expr("n_purchased_after * 1000 div n_clicked_after")
+          .as("purchase_permille"))
+  }
+
   /** Weekly cohort retention — the classic activation dashboard the
     * reference's lifecycle module stops one step short of: users
     * cohorted by FIRST event date, each (cohort, week-offset) cell

@@ -1112,6 +1112,16 @@ object EmbeddingOps {
       iters: Int = KmIters): DataFrame =
     kmeansCentroidsQ(quantized(emb).pinned, nCentroids, iters)
 
+  /** Per-label embedding mass card — the sanity sweep run before any
+    * similarity work (a label whose norm range collapses or explodes
+    * signals a broken encoder batch): exact integer counts and
+    * squared-norm sums/extremes per label, one map-side-combined
+    * aggregate. */
+  def embeddingStats(emb: DataFrame): DataFrame =
+    quantized(emb).groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("nn")).as("sum_nn"),
+        min(col("nn")).as("min_nn"), max(col("nn")).as("max_nn"))
+
   /** Quantizer-training diagnostics: per centroid, how far Lloyd
     * moved it from its seed — the exact-integer squared L2 drift and
     * the seed-vs-trained cosine. The monitoring row an ANN deployment
