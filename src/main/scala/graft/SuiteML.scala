@@ -2433,6 +2433,37 @@ object SuiteML {
         |FROM tokd LEFT JOIN enc USING (word)
         |GROUP BY doc_id""".stripMargin)),
 
+    // ---- tokenizer: per-source fertility card ---------------------------
+    // (tokens per 1000 words and chars per 1000 tokens under the
+    // trained BPE — the measurement that prices a multilingual mix
+    // before fixing sampling temperatures; shares the merge CTEs
+    // with text_bpe_encode)
+    Q("text_fertility",
+      (s, d) => TextOps.tokenizerFertility(docs(s, d), BpeRounds),
+      Some(s"""${bpeCtes(BpeRounds)},
+        |enc AS (SELECT word,
+        |          CAST((len(string_split(seq, chr(31))) - 1) // 2 AS BIGINT) AS n_tok
+        |        FROM seq$BpeRounds),
+        |tokd AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+        |db AS (SELECT doc_id,
+        |  CAST(COALESCE(SUM(CASE
+        |    WHEN len(word) >= 2 AND strpos(word, chr(31)) = 0 THEN enc.n_tok
+        |    WHEN len(word) = 1 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_bpe_tokens
+        |       FROM tokd LEFT JOIN enc USING (word)
+        |       GROUP BY doc_id),
+        |dm AS (SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |         CAST(len(replace(text, ' ', '')) AS BIGINT) AS n_wchars
+        |       FROM documents)
+        |SELECT dm.source,
+        |       CAST(SUM(dm.n_words) AS BIGINT) AS total_words,
+        |       CAST(SUM(dm.n_wchars) AS BIGINT) AS total_wchars,
+        |       CAST(SUM(db.n_bpe_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(db.n_bpe_tokens) * 1000 // SUM(dm.n_words) AS BIGINT) AS fertility_permille,
+        |       CAST(SUM(dm.n_wchars) * 1000 // SUM(db.n_bpe_tokens) AS BIGINT) AS chars_per_token_permille
+        |FROM dm JOIN db USING (doc_id)
+        |GROUP BY 1""".stripMargin)),
+
     // ---- text analysis: fingerprinting ----------------------------------
     Q("text_fingerprint",
       (s, d) => TextOps.fingerprint(docs(s, d)),

@@ -2306,6 +2306,32 @@ object TextOps {
       .agg(sum(col("tok")).as("n_bpe_tokens"))
   }
 
+  /** Tokenizer-fertility data card — the measurement that chooses
+    * between tokenizers (and their merge budgets): per source, words
+    * vs the BPE tokens they encode to ([[bpeEncode]]), as exact
+    * permilles — fertility (tokens per 1000 words: lower = the
+    * vocabulary compresses this source better) and chars per 1000
+    * tokens (the compute cost of a character of this source). A
+    * multilingual mix is priced per source exactly this way before
+    * fixing sampling temperatures. One doc-keyed join of the encode
+    * output, one per-source aggregate. */
+  def tokenizerFertility(docs: DataFrame, rounds: Int = 5): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_words"),
+        length(regexp_replace(col("text"), " ", "")).cast("long")
+          .as("n_wchars"))
+      .join(bpeEncode(docs, rounds), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_words")).as("total_words"),
+        sum(col("n_wchars")).as("total_wchars"),
+        sum(col("n_bpe_tokens")).as("total_tokens"))
+      .select(col("source"), col("total_words"), col("total_wchars"),
+        col("total_tokens"),
+        expr("total_tokens * 1000 div total_words")
+          .as("fertility_permille"),
+        expr("total_wchars * 1000 div total_tokens")
+          .as("chars_per_token_permille"))
+
   /** Unit separator framing the BPE symbol sequences — never present
     * in whitespace-tokenized text. */
   private val BpeSep = "\u001F"
