@@ -298,6 +298,63 @@ class ScaleProbeSpec extends SparkSpec {
       s"lmScore broadcasts ${bc.length} corpus-derived frame(s)")
   }
 
+  test("lmScoreBackoff at 10x sf0.1: model tables join keyed; only " +
+    "the 1-row total broadcasts") {
+    // the backoff adds the unigram marginal and the scalar total to
+    // the serving joins: bigram/context/unigram tables are vocabulary-
+    // sized and must stay keyed; the single legal broadcast is the
+    // 1-row n_total frame (the scalar-frame exception)
+    val d = syntheticDocs(50000L)
+    val plan = staticPlanOf(
+      TextOps.lmScoreBackoff(d, TextOps.lmModel(d)))
+    // scalar-tolerant shuffle health (the nbClassify rule): the
+    // global reduction behind the 1-row total legitimately collapses
+    // to one partition; every corpus-carrying shuffle keeps full
+    // parallelism
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 3, // bigrams + ctx/uni joins
+      s"lmScoreBackoff lost its corpus-side parallel shuffles: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"lmScoreBackoff has a shuffle at odd parallelism: $parts")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "lmScoreBackoff plans a CartesianProduct")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.forall(Set("n_total")),
+        "lmScoreBackoff broadcasts a non-scalar frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
+  test("sq8TopKIndexed at 10x sf0.1: codes scan is committed-segment " +
+    "pruned; only the query frame broadcasts") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_sq8_probe_idx").toString
+    EmbeddingOps.sq8IndexWrite(syntheticEmb(50000L), idx)
+    val queries = syntheticEmb(50000L).where(col("vec_id") < 5)
+    val plan = staticPlanOf(
+      EmbeddingOps.sq8TopKIndexed(spark, idx, queries))
+    val scans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("codes")) => sc
+    }
+    assert(scans.nonEmpty, "no parquet scan of the codes found")
+    scans.foreach(sc => assert(sc.partitionFilters.nonEmpty,
+      "codes scan has no committed-segment partition filter"))
+    // the one broadcast is the reconstructed query frame (bounded by
+    // nQueries); the codes never broadcast and never shuffle except
+    // through the top-k window exchange
+    assert(broadcastSubtrees(plan).nonEmpty,
+      "queries are not broadcast — the codes side would shuffle")
+  }
+
   test("dsirWeight at 10x sf0.1: only the fixed-bucket distribution broadcasts") {
     // feature hashing fixes the model at nBuckets rows BY CONSTRUCTION
     // — the one frame that is broadcast-safe at any corpus size; the
