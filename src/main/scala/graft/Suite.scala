@@ -333,6 +333,29 @@ object Suite {
       Some(s"""$LifecycleCte
         |SELECT * FROM lc""".stripMargin)),
 
+    // ---- A6d robust daily anomaly detection (median/MAD) ----------------
+    // (1 / 3 flagged days at sf0.001 / sf0.01 with k=3 — non-vacuous
+    // both arms; lower-median rank selection keeps every statistic an
+    // actual integer count)
+    Q("an_anomaly_days",
+      (s, d) => Analytics.anomalyDays(clean(s, d)),
+      Some(s"""$CleanCte,
+        |dd AS (SELECT event_date, CAST(count(*) AS BIGINT) AS n_events
+        |       FROM clean GROUP BY 1),
+        |nd AS (SELECT count(*) AS n_days FROM dd),
+        |rk AS (SELECT dd.*, ROW_NUMBER() OVER (ORDER BY n_events, event_date) AS rn
+        |       FROM dd),
+        |med AS (SELECT n_events AS med FROM rk, nd WHERE rn = (n_days + 1) // 2),
+        |ad AS (SELECT dd.event_date, dd.n_events, m.med,
+        |              abs(dd.n_events - m.med) AS abs_dev
+        |       FROM dd, med m),
+        |rka AS (SELECT ad.*, ROW_NUMBER() OVER (ORDER BY abs_dev, event_date) AS rn
+        |        FROM ad),
+        |mad AS (SELECT abs_dev AS mad FROM rka, nd WHERE rn = (n_days + 1) // 2)
+        |SELECT a.event_date, a.n_events, a.med, x.mad,
+        |       a.abs_dev > 3 * x.mad AS is_anomaly
+        |FROM ad a, mad x""".stripMargin)),
+
     // ---- A6c ordered conversion funnel ----------------------------------
     // (view -> click -> purchase, each stage STRICTLY AFTER the
     // previous stage's first qualifying event and within a 24h

@@ -154,6 +154,38 @@ object Analytics {
           .otherwise("sustained"))
   }
 
+  /** Robust daily-volume anomaly detection by exact median/MAD — the
+    * monitoring query a pipeline points at its own daily counts
+    * (z-scores break on the outliers they hunt; median absolute
+    * deviation does not): a day is anomalous when its absolute
+    * deviation from the LOWER MEDIAN of daily counts exceeds k times
+    * the MAD, everything in exact integers (the lower median — the
+    * sorted value at rank (n+1) div 2 — stays an actual count, no
+    * float midpoint). The windows order DATE-cardinality frames
+    * (bounded by calendar time, never the corpus — the day-frame
+    * exception, like the 1-row med/MAD broadcasts). */
+  def anomalyDays(clean: DataFrame, k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = clean.groupBy(col("event_date"))
+      .agg(count(lit(1)).as("n_events"))
+    val nDays = d.agg(count(lit(1)).as("n_days"))
+    val wc = Window.orderBy(col("n_events"), col("event_date"))
+    val med = d.withColumn("rn", row_number().over(wc))
+      .join(broadcast(nDays), lit(true))
+      .where(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("n_events").as("med"))
+    val withMed = d.join(broadcast(med), lit(true))
+      .withColumn("abs_dev", abs(col("n_events") - col("med")))
+    val wa = Window.orderBy(col("abs_dev"), col("event_date"))
+    val mad = withMed.withColumn("rn", row_number().over(wa))
+      .join(broadcast(nDays), lit(true))
+      .where(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("abs_dev").as("mad"))
+    withMed.join(broadcast(mad), lit(true))
+      .select(col("event_date"), col("n_events"), col("med"),
+        col("mad"), (col("abs_dev") > col("mad") * k).as("is_anomaly"))
+  }
+
   /** Ordered conversion funnel (view -> click -> purchase): a user
     * reaches a stage only through an event STRICTLY AFTER the
     * previous stage's first qualifying event AND within its
