@@ -264,6 +264,14 @@ object SuiteML {
       |    FROM (SELECT doc_id, string_split(text, ' ') AS ls
       |          FROM documents WHERE len(string_split(text, ' ')) >= 3)))""".stripMargin
 
+  /** BM25 query constants — ONE literal feeding both the Spark call
+    * and the oracle's IN-list / fraction-clearing products. */
+  private val Bm25Terms: Seq[String] = Seq("join", "vector", "filter")
+  private val Bm25TermsSql: String =
+    Bm25Terms.map(t => s"'$t'").mkString(", ")
+  private val Bm25K1: Long = 1200L
+  private val Bm25B: Long = 750L
+
   /** Stratified-sampling keep rates (permille) — ONE literal feeding
     * both the Spark call and the oracle's VALUES clause. */
   private val StratRates: Seq[(String, Long)] = Seq(("en", 250L))
@@ -3377,6 +3385,86 @@ object SuiteML {
       Some("""SELECT doc_id,
         |       (CAST(octet_length(encode(text)) AS BIGINT) - 1) // 128 + 1 AS n_frames
         |FROM documents
-        |WHERE octet_length(encode(text)) > 0""".stripMargin))
+        |WHERE octet_length(encode(text)) > 0""".stripMargin)),
+
+    // ---- retrieval: BM25 top-k for a literal query -----------------------
+    // Constants spliced from Bm25Terms/Bm25K1/Bm25B so the two engines
+    // cannot drift; all fraction-clearing products run HUGEINT in the
+    // oracle (DECIMAL(38,0) in Spark).
+    Q("text_bm25_topk",
+      (s, d) => TextOps.bm25TopK(docs(s, d), Bm25Terms,
+        k1Permille = Bm25K1, bPermille = Bm25B),
+      Some(s"""WITH dl AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok,
+        |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents)
+        |       WHERE word IN ($Bm25TermsSql) GROUP BY 1, 2),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, dl,
+        |         CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_q,
+        |         CAST(CAST(tf AS HUGEINT) * ${Bm25K1 + 1000L} * 1000 * t_tok * 1000
+        |              // (CAST(tf AS HUGEINT) * 1000000 * t_tok
+        |                  + CAST(${Bm25K1 * (1000L - Bm25B)} AS HUGEINT) * t_tok
+        |                  + CAST(${Bm25K1 * Bm25B} AS HUGEINT) * dl * n_docs)
+        |           AS BIGINT) AS sat
+        |       FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot)
+        |SELECT doc_id, max(dl) AS dl, count(*) AS n_terms,
+        |       CAST(SUM(idf_q * sat) AS BIGINT) AS score_q
+        |FROM sc GROUP BY 1
+        |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // ---- curation: fixed-n per-stratum deterministic carve ---------------
+    Q("text_sample_topn",
+      (s, d) => TextOps.sampleTopN(docs(s, d), n = 5),
+      Some("""SELECT source, doc_id, lang, CAST(pick_rank AS INTEGER) AS pick_rank
+        |FROM (SELECT source, doc_id, lang,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR) || ':topn'), doc_id) AS pick_rank
+        |      FROM documents)
+        |WHERE pick_rank <= 5""".stripMargin)),
+
+    // ---- similarity: margin-based mutual-best pair mining ----------------
+    // Even/odd vec_id halves stand in for the two sides of a bitext
+    // corpus; cosines quantize to micro-units BEFORE the neighborhood
+    // sums so every comparison downstream is exact BIGINT.
+    Q("sim_margin_mine",
+      (s, d) => EmbeddingOps.marginMine(emb(s, d), kNn = 4),
+      Some(s"""WITH $EmbCte,
+        |p AS (SELECT ea.vec_id AS vec_a, eb.vec_id AS vec_b,
+        |             unnest(ea.q) AS x, unnest(eb.q) AS y
+        |      FROM e ea, e eb
+        |      WHERE ea.vec_id % 2 = 0 AND eb.vec_id % 2 = 1),
+        |dots AS (SELECT vec_a, vec_b, SUM(x*y) AS dot FROM p GROUP BY 1, 2),
+        |cqs AS (SELECT vec_a, vec_b,
+        |          CAST(floor(CAST(dot AS DOUBLE)
+        |            / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+        |            * 1000000) AS BIGINT) AS cq
+        |        FROM dots JOIN n na ON na.vec_id = vec_a
+        |                  JOIN n nb ON nb.vec_id = vec_b),
+        |sa AS (SELECT vec_a, CAST(SUM(cq) AS BIGINT) AS sum_a FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
+        |           ORDER BY cq DESC, vec_b) AS rk FROM cqs)
+        |       WHERE rk <= 4 GROUP BY 1),
+        |sb AS (SELECT vec_b, CAST(SUM(cq) AS BIGINT) AS sum_b FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_b
+        |           ORDER BY cq DESC, vec_a) AS rk FROM cqs)
+        |       WHERE rk <= 4 GROUP BY 1),
+        |m AS (SELECT vec_a, vec_b, cq, cq * 8 * 1000 // (sum_a + sum_b) AS margin_q
+        |      FROM cqs JOIN sa USING (vec_a) JOIN sb USING (vec_b)
+        |      WHERE cq > 0 AND sum_a + sum_b > 0),
+        |fwd AS (SELECT vec_a, vec_b, cq, margin_q FROM (
+        |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
+        |            ORDER BY margin_q DESC, vec_b) AS rk FROM m)
+        |        WHERE rk = 1),
+        |bwd AS (SELECT vec_a, vec_b FROM (
+        |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_b
+        |            ORDER BY margin_q DESC, vec_a) AS rk FROM m)
+        |        WHERE rk = 1)
+        |SELECT fwd.vec_a, fwd.vec_b, fwd.cq, fwd.margin_q
+        |FROM fwd JOIN bwd USING (vec_a, vec_b)""".stripMargin))
   )
 }

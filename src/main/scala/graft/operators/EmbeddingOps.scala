@@ -1619,4 +1619,76 @@ object EmbeddingOps {
       .join(best.select(col("vec_id"), col("nn_id"), col("cos")),
         Seq("vec_id"), "left")
   }
+
+  /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    * LASER/CCMatrix bitext-mining criterion): a candidate pair (x, y)
+    * scores by its cosine RELATIVE to each side's neighborhood —
+    *
+    *   margin(x,y) = cos(x,y) / (avg_{z in NNk(x)} cos(x,z)
+    *                             + avg_{z in NNk(y)} cos(y,z))
+    *
+    * — which suppresses hubs (vectors close to everything) that
+    * absolute-threshold mining over-selects. A pair is MINED when each
+    * side is the other's margin-argmax (mutual best), the
+    * forward+backward intersection the paper recommends.
+    *
+    * Cross-engine determinism: each cosine (one IEEE division of
+    * exact integers) quantizes to micro-units cq = floor(cos*1e6)
+    * BEFORE any sum, so neighborhood sums are exact BIGINTs and the
+    * margin is one integral division,
+    * margin_q = cq*2k*1000 div (sum_topk_x + sum_topk_y) — permille
+    * of the paper's ratio. Pairs with non-positive cosine or
+    * neighborhood mass never mine (both sums > 0 required).
+    *
+    * The two sides here are the even/odd vec_id halves (standing in
+    * for the two languages of a bitext run). This is the BRUTE
+    * baseline: one side broadcast, like [[nearDupCosineBrute]] — the
+    * scale path swaps the candidate cross-join for any bucketed
+    * generator ([[bucketed]] co-bucket pairs, [[ivfTopKWith]]
+    * probe-cell candidates) and keeps everything downstream, since
+    * top-k sums, margins, and the mutual-best windows are all keyed
+    * per-vector (WindowGroupLimit pre-trims, no global sort). */
+  def marginMine(emb: DataFrame, kNn: Int = 4): DataFrame = {
+    require(kNn > 0, "kNn must be positive")
+    val e = quantized(emb).pinned
+    val a = e.where(col("vec_id") % 2 === 0)
+      .select(col("vec_id").as("vec_a"), col("q").as("qa"),
+        col("nn").as("na"))
+    val b = e.where(col("vec_id") % 2 === 1)
+      .select(col("vec_id").as("vec_b"), col("q").as("qb"),
+        col("nn").as("nb"))
+    val scored = a.join(broadcast(b))
+      .select(col("vec_a"), col("vec_b"),
+        floor(cosine(qdot(col("qa"), col("qb")), col("na"), col("nb"))
+          * 1000000L).as("cq"))
+      .pinned
+    val wa = Window.partitionBy(col("vec_a"))
+      .orderBy(col("cq").desc, col("vec_b").asc)
+    val sumA = scored.withColumn("rk", row_number().over(wa))
+      .where(col("rk") <= kNn)
+      .groupBy(col("vec_a")).agg(sum(col("cq")).as("sum_a"))
+    val wb = Window.partitionBy(col("vec_b"))
+      .orderBy(col("cq").desc, col("vec_a").asc)
+    val sumB = scored.withColumn("rk", row_number().over(wb))
+      .where(col("rk") <= kNn)
+      .groupBy(col("vec_b")).agg(sum(col("cq")).as("sum_b"))
+    val margins = scored
+      .join(sumA, Seq("vec_a")).join(sumB, Seq("vec_b"))
+      .where(col("cq") > 0 && col("sum_a") + col("sum_b") > 0)
+      .withColumn("margin_q",
+        expr(s"cq * ${2L * kNn} * 1000 div (sum_a + sum_b)"))
+      .select(col("vec_a"), col("vec_b"), col("cq"), col("margin_q"))
+      .pinned
+    val bestFwd = margins.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_a"))
+          .orderBy(col("margin_q").desc, col("vec_b").asc)))
+      .where(col("rk") === 1).drop("rk")
+    val bestBwd = margins.withColumn("rk", row_number().over(
+        Window.partitionBy(col("vec_b"))
+          .orderBy(col("margin_q").desc, col("vec_a").asc)))
+      .where(col("rk") === 1)
+      .select(col("vec_a"), col("vec_b"))
+    bestFwd.join(bestBwd, Seq("vec_a", "vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("cq"), col("margin_q"))
+  }
 }

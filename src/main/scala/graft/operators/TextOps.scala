@@ -3065,4 +3065,90 @@ object TextOps {
           (length(bin(abs(col("d")))) - 1).cast("long")))
       .groupBy(col("pred"), col("qband"))
       .agg(count(lit(1)).as("n_docs"))
+
+  /** BM25 top-k document retrieval for a literal term set — the
+    * ranking function behind retrieval-based curation passes
+    * (kNN-LM-style example selection, contamination triage against a
+    * query suite, targeted corpus audits). Robertson/Spärck Jones
+    * BM25 (k1, b as permille constants) made cross-engine exact by
+    * clearing every fraction: with N docs, T total tokens (avgdl =
+    * T/N), doc length dl and permille constants K, B,
+    *
+    *   tf_factor = tf*(K+1000)*1000*T
+    *             / (tf*1e6*T + K*(1000-B)*T + K*B*dl*N)
+    *
+    * is the textbook tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) with both
+    * sides multiplied by 1e6*T — exact integers, quantized to
+    * permille by one integral division, then weighted by the
+    * [[tfidfTopTerm]] bit-length idf floor(log2(N div df)). Products
+    * reach tf*2.2e9*T ~ 1e25 at corpus scale, so the arithmetic runs
+    * in DECIMAL(38,0) (the [[mixTemperature]] discipline; the oracle
+    * mirrors with HUGEINT).
+    *
+    * Scale shape: the token stream filters to QUERY TERMS before the
+    * tf aggregate (only matching tokens shuffle); df comes off that
+    * tf frame and is bounded by |terms|, broadcast back; N and T are
+    * a 1-row broadcast scalar; the final top-k is a global
+    * TakeOrderedAndProject with a total-order tie-break — no global
+    * window, no corpus-sized broadcast. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "query terms must be non-empty and distinct")
+    require(bPermille >= 0 && bPermille <= 1000,
+      "b is a permille value in [0, 1000]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val dl = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .pinned
+    val tot = dl.agg(sum(col("dl")).as("t_tok"),
+      count(lit(1)).as("n_docs"))
+    val tq = broadcast(terms.toDF("word"))
+    val tf = tokens(docs).join(tq, Seq("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .pinned
+    val df_ = broadcast(tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))) // bounded by |terms|
+    val K = k1Permille
+    val B = bPermille
+    tf.join(df_, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot)) // 1-row scalar frame
+      .withColumn("idf_q",
+        (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .withColumn("sat_permille", expr(
+        s"CAST(CAST(tf AS DECIMAL(38,0)) * ${K + 1000L} * 1000 * t_tok" +
+          s" * 1000 div (CAST(tf AS DECIMAL(38,0)) * 1000000 * t_tok" +
+          s" + CAST(${K * (1000L - B)} AS DECIMAL(38,0)) * t_tok" +
+          s" + CAST(${K * B} AS DECIMAL(38,0)) * dl * n_docs) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        sum(col("idf_q") * col("sat_permille")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+
+  /** Deterministic fixed-size per-stratum carve — n docs per source,
+    * chosen uniformly-without-replacement by md5 order (the eval-set /
+    * audit-sample primitive: every engine, every run, every machine
+    * carves the SAME n docs, and a grown corpus only changes a
+    * stratum's picks where new hashes land inside its top-n).
+    * [[sampleStratified]] keeps a RATE per stratum; this keeps a
+    * COUNT. The rank<=n window compiles to Spark 4's WindowGroupLimit
+    * per-partition pre-trim, so a mega-stratum never funnels through
+    * one partition before trimming. */
+  def sampleTopN(docs: DataFrame, n: Int = 5): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("h").asc, col("doc_id").asc)
+    docs
+      .select(col("source"), col("doc_id"), col("lang"),
+        md5(concat(col("doc_id").cast("string"), lit(":topn"))).as("h"))
+      .withColumn("pick_rank", row_number().over(w))
+      .where(col("pick_rank") <= n)
+      .drop("h")
+  }
 }

@@ -701,4 +701,40 @@ class EmbeddingOpsSpec extends SparkSpec {
       assert(row.getAs[Double]("recall_at_k") == n.toDouble / 10)
     }
   }
+
+  test("marginMine pairs orthogonal even/odd twins mutually") {
+    // three orthogonal directions, one even/odd twin per direction:
+    // the mined set is exactly the diagonal matching, each with
+    // margin_q = 1e6*8*1000 div 2e6 = 4000 (cq saturates the top-k
+    // sums on both sides; cross pairs have cq = 0 and never mine)
+    val e = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f), 3L -> Seq(0f, 1f, 0f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f), 5L -> Seq(0f, 0f, 1f, 0f))
+      .map { case (id, v) => (id, v, (id % 3).toInt) })
+    val r = EmbeddingOps.marginMine(e).collect()
+    val pairs = r.map(x =>
+      (x.getAs[Long]("vec_a"), x.getAs[Long]("vec_b"))).toSet
+    assert(pairs == Set((0L, 1L), (2L, 3L), (4L, 5L)))
+    assert(r.map(_.getAs[Long]("margin_q")).forall(_ == 4000L))
+    // mutual-best mining always yields a partial matching
+    assert(r.map(_.getAs[Long]("vec_a")).distinct.length == r.length)
+    assert(r.map(_.getAs[Long]("vec_b")).distinct.length == r.length)
+  }
+
+  test("marginMine suppresses the hub side: a near-parallel decoy " +
+      "cannot steal a mutual pair from the true twin") {
+    // vec 0's true twin is vec 1; vec 7 is a decoy close to BOTH even
+    // vectors 0 and 6, so its neighborhood sum is large and its margin
+    // against any single partner shrinks — the classic hub penalty
+    val e = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f, 0f),
+      6L -> Seq(0.9f, 0.1f, 0f, 0f), 7L -> Seq(0.95f, 0.05f, 0f, 0f))
+      .map { case (id, v) => (id, v, 0) })
+    val r = EmbeddingOps.marginMine(e, kNn = 2).collect()
+    val pairs = r.map(x =>
+      (x.getAs[Long]("vec_a"), x.getAs[Long]("vec_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(r.map(_.getAs[Long]("vec_a")).distinct.length == r.length)
+  }
 }

@@ -1139,4 +1139,52 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_leaky_naive") == 1L)
     assert(r.getAs[Long]("n_leaky_grouped") == 0L)
   }
+
+  private def bm25Docs = docsDf(Seq(
+    (1L, "join join vector filter p1 p2 p3 p4", "en", "s1"),
+    (2L, "join q1 q2 q3 q4 q5 q6 q7 q8 q9 q10 q11 q12 q13 q14 q15", "en", "s1"),
+    (3L, "join r1 r2 r3", "en", "s2"),
+    (4L, "f1 f2 f3 f4 f5", "en", "s2"),
+    (5L, "f6 f7 f8", "en", "s3"),
+    (6L, "f9 f10", "en", "s3"),
+    (7L, "f11 f12 f13", "en", "s4"),
+    (8L, "f14 f15", "en", "s4")))
+
+  test("bm25TopK ranks multi-term matches first and normalizes by length") {
+    val r = TextOps.bm25TopK(bm25Docs, Seq("join", "vector", "filter"))
+      .collect()
+    // only docs containing at least one query term surface
+    assert(r.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L, 3L))
+    // doc 1 matches three terms (two of them rare -> high idf): top
+    assert(r(0).getAs[Long]("doc_id") == 1L)
+    assert(r(0).getAs[Long]("n_terms") == 3L)
+    // docs 2 and 3 have identical tf=1/idf for 'join'; doc 3 is much
+    // shorter than average, doc 2 much longer -> doc 3 outranks doc 2
+    val byId = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("score_q")).toMap
+    assert(byId(3L) > byId(2L))
+    assert(r.map(_.getAs[Long]("score_q")).forall(_ > 0L))
+  }
+
+  test("bm25TopK respects k with a total-order tie-break") {
+    val r = TextOps.bm25TopK(bm25Docs, Seq("join"), k = 1).collect()
+    assert(r.length == 1)
+    assert(r(0).getAs[Long]("doc_id") == 1L) // tf=2 beats both tf=1 docs
+  }
+
+  test("sampleTopN carves exactly n per stratum, deterministically") {
+    val d = docsDf((1L to 9L).map(i =>
+      (i, s"w$i", "en", if (i <= 5) "sa" else "sb")))
+    val r1 = TextOps.sampleTopN(d, n = 2)
+    val rows = r1.collect()
+    assert(rows.count(_.getAs[String]("source") == "sa") == 2)
+    assert(rows.count(_.getAs[String]("source") == "sb") == 2)
+    assert(rows.map(_.getAs[Int]("pick_rank")).forall(p => p == 1 || p == 2))
+    // re-run picks the SAME docs (hash order, not partition order)
+    val r2 = TextOps.sampleTopN(d, n = 2).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet ==
+      r2.map(_.getAs[Long]("doc_id")).toSet)
+    // a stratum smaller than n yields the whole stratum
+    val small = TextOps.sampleTopN(d.where($"source" === "sa"), n = 99)
+    assert(small.count() == 5)
+  }
 }
