@@ -3465,6 +3465,76 @@ object SuiteML {
         |            ORDER BY margin_q DESC, vec_a) AS rk FROM m)
         |        WHERE rk = 1)
         |SELECT fwd.vec_a, fwd.vec_b, fwd.cq, fwd.margin_q
-        |FROM fwd JOIN bwd USING (vec_a, vec_b)""".stripMargin))
+        |FROM fwd JOIN bwd USING (vec_a, vec_b)""".stripMargin)),
+
+    // ---- similarity: margin mining, LSH-candidate scale twin -------------
+    // Same margin pipeline over co-bucketed candidates only (4 planes,
+    // the dedup_embedding_lsh candidate generator) — neighborhood sums
+    // run over what each side actually retrieves, the standard
+    // ANN-approximated margin.
+    Q("sim_margin_lsh",
+      (s, d) => EmbeddingOps.marginMineLsh(emb(s, d), kNn = 4, nPlanes = 4),
+      Some(s"""WITH $EmbCte,
+        |${lshBucketCte(4)},
+        |pp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |              unnest(a.q) AS x, unnest(b.q) AS y
+        |       FROM eb a JOIN eb b ON a.bucket = b.bucket
+        |       WHERE a.vec_id % 2 = 0 AND b.vec_id % 2 = 1),
+        |dots AS (SELECT vec_a, vec_b, SUM(x*y) AS dot FROM pp GROUP BY 1, 2),
+        |cqs AS (SELECT vec_a, vec_b,
+        |          CAST(floor(CAST(dot AS DOUBLE)
+        |            / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE)))
+        |            * 1000000) AS BIGINT) AS cq
+        |        FROM dots JOIN n na ON na.vec_id = vec_a
+        |                  JOIN n nb ON nb.vec_id = vec_b),
+        |sa AS (SELECT vec_a, CAST(SUM(cq) AS BIGINT) AS sum_a FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
+        |           ORDER BY cq DESC, vec_b) AS rk FROM cqs)
+        |       WHERE rk <= 4 GROUP BY 1),
+        |sb AS (SELECT vec_b, CAST(SUM(cq) AS BIGINT) AS sum_b FROM (
+        |         SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_b
+        |           ORDER BY cq DESC, vec_a) AS rk FROM cqs)
+        |       WHERE rk <= 4 GROUP BY 1),
+        |m AS (SELECT vec_a, vec_b, cq, cq * 8 * 1000 // (sum_a + sum_b) AS margin_q
+        |      FROM cqs JOIN sa USING (vec_a) JOIN sb USING (vec_b)
+        |      WHERE cq > 0 AND sum_a + sum_b > 0),
+        |fwd AS (SELECT vec_a, vec_b, cq, margin_q FROM (
+        |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a
+        |            ORDER BY margin_q DESC, vec_b) AS rk FROM m)
+        |        WHERE rk = 1),
+        |bwd AS (SELECT vec_a, vec_b FROM (
+        |          SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_b
+        |            ORDER BY margin_q DESC, vec_a) AS rk FROM m)
+        |        WHERE rk = 1)
+        |SELECT fwd.vec_a, fwd.vec_b, fwd.cq, fwd.margin_q
+        |FROM fwd JOIN bwd USING (vec_a, vec_b)""".stripMargin)),
+
+    // ---- similarity: contrastive hard-negative mining --------------------
+    Q("sim_hard_negatives",
+      (s, d) => EmbeddingOps.hardNegatives(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |p AS (SELECT qe.vec_id AS query_id, qe.label AS qlabel,
+        |             ce.vec_id AS vid, ce.label,
+        |             unnest(qe.q) AS a, unnest(ce.q) AS b
+        |      FROM e qe, e ce
+        |      WHERE qe.vec_id < 5 AND ce.label <> qe.label),
+        |dots AS (SELECT query_id, vid, label, SUM(a*b) AS dot
+        |         FROM p GROUP BY 1, 2, 3),
+        |sc AS (SELECT query_id, vid, label,
+        |              CAST(dot AS DOUBLE)
+        |                / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |       FROM dots JOIN n nq ON nq.vec_id = query_id
+        |                 JOIN n nv ON nv.vec_id = vid)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vid AS vec_id, label, cos
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, vid) AS rk FROM sc)
+        |WHERE rk <= 10""".stripMargin)),
+
+    // ---- dedup: order-insensitive bag-of-words hash ----------------------
+    Q("dedup_bow",
+      (s, d) => TextOps.dedupBagOfWords(docs(s, d)),
+      Some("""SELECT md5(array_to_string(list_sort(string_split(text, ' ')), ' ')) AS bow_hash,
+        |       MIN(doc_id) AS kept_doc_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin))
   )
 }

@@ -1661,7 +1661,47 @@ object EmbeddingOps {
       .select(col("vec_a"), col("vec_b"),
         floor(cosine(qdot(col("qa"), col("qb")), col("na"), col("nb"))
           * 1000000L).as("cq"))
-      .pinned
+    mineMargins(scored, kNn)
+  }
+
+  /** The scale twin of [[marginMine]]: candidate pairs come from
+    * hyperplane co-bucketing ([[bucketed]]) instead of the full
+    * cross — the standard ANN approximation of the margin criterion
+    * (neighborhood sums run over the CANDIDATES each side actually
+    * sees, exactly as a FAISS-backed LASER miner approximates them
+    * over retrieved neighbors). Nothing corpus-sized broadcasts: the
+    * plane matrix is the one broadcast (nPlanes x dim by
+    * construction), candidates join by a keyed shuffle on `bucket`,
+    * and everything downstream of the candidate frame is shared with
+    * the brute baseline — identical margins whenever the bucket
+    * recall captures the same candidate sets (identical vectors
+    * always co-bucket). */
+  def marginMineLsh(emb: DataFrame, kNn: Int = 4,
+      nPlanes: Int = NPlanes): DataFrame = {
+    require(kNn > 0, "kNn must be positive")
+    val bk = bucketed(emb, nPlanes).pinned
+    val a = bk.where(col("vec_id") % 2 === 0)
+      .select(col("bucket"), col("vec_id").as("vec_a"),
+        col("q").as("qa"), col("nn").as("na"))
+    val b = bk.where(col("vec_id") % 2 === 1)
+      .select(col("bucket"), col("vec_id").as("vec_b"),
+        col("q").as("qb"), col("nn").as("nb"))
+    val scored = a.join(b, Seq("bucket"))
+      .select(col("vec_a"), col("vec_b"),
+        floor(cosine(qdot(col("qa"), col("qb")), col("na"), col("nb"))
+          * 1000000L).as("cq"))
+    mineMargins(scored, kNn)
+  }
+
+  /** Shared back half of the margin miners: neighborhood top-k sums
+    * per side, permille margin by one integral division, mutual-best
+    * intersection. Every stage is keyed per-vector — the rank<=k
+    * windows pre-trim per partition (WindowGroupLimit), the sums and
+    * argmax joins shuffle on vec_a/vec_b — so the back half scales
+    * with the CANDIDATE count regardless of how candidates were
+    * generated. */
+  private def mineMargins(scoredPairs: DataFrame, kNn: Int): DataFrame = {
+    val scored = scoredPairs.pinned
     val wa = Window.partitionBy(col("vec_a"))
       .orderBy(col("cq").desc, col("vec_b").asc)
     val sumA = scored.withColumn("rk", row_number().over(wa))
@@ -1690,5 +1730,31 @@ object EmbeddingOps {
       .select(col("vec_a"), col("vec_b"))
     bestFwd.join(bestBwd, Seq("vec_a", "vec_b"))
       .select(col("vec_a"), col("vec_b"), col("cq"), col("margin_q"))
+  }
+
+  /** Contrastive hard-negative mining — for each query vector, the k
+    * most-similar vectors with a DIFFERENT label (the negatives that
+    * sit closest to the decision boundary, the standard pick for
+    * contrastive/embedding training batches: random negatives are too
+    * easy to carry gradient). Same serving shape as [[annTopK]] —
+    * query side bounded by nQueries and broadcast, corpus scanned
+    * once, per-query top-k via a pre-trimmed window — with the label
+    * inequality folded into the join predicate so same-label rows
+    * never leave the scan. */
+  def hardNegatives(emb: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val e = quantized(emb)
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("q").as("qv"), col("nn").as("qn"))
+    val scored = e.join(broadcast(q), col("label") =!= col("qlabel"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(qdot(col("qv"), col("q")), col("qn"), col("nn")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"),
+        col("cos"))
   }
 }

@@ -120,6 +120,21 @@ object TextOps {
       .agg(min(col("doc_id")).as("kept_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** Order-insensitive exact dedup: the group key is the md5 of the
+    * SORTED token list, so documents that permute each other's words
+    * (template reshuffles, list reorderings — duplicates the
+    * position-sensitive [[dedupExact]] misses and shingle methods only
+    * partially catch) collapse into one group. Same scale shape as
+    * [[dedupExact]]: one per-row hash (the sort is per-document,
+    * inside the row), one map-side-combined groupBy — nothing else
+    * moves. */
+  def dedupBagOfWords(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(concat_ws(" ", array_sort(split(col("text"), " "))))
+        .as("bow_hash"))
+      .agg(min(col("doc_id")).as("kept_doc_id"),
+        count(lit(1)).as("n_copies"))
+
   private val MinhashK = 16
   private val BandSize = 4 // 4 bands x 4 rows
 

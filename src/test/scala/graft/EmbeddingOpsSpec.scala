@@ -737,4 +737,36 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(pairs.contains((0L, 1L)))
     assert(r.map(_.getAs[Long]("vec_a")).distinct.length == r.length)
   }
+
+  test("marginMineLsh recovers identical-twin pairs (equal vectors " +
+      "always co-bucket) and stays a partial matching") {
+    val e = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f), 3L -> Seq(0f, 1f, 0f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f), 5L -> Seq(0f, 0f, 1f, 0f))
+      .map { case (id, v) => (id, v, (id % 3).toInt) })
+    val r = EmbeddingOps.marginMineLsh(e, nPlanes = 4).collect()
+    val pairs = r.map(x =>
+      (x.getAs[Long]("vec_a"), x.getAs[Long]("vec_b"))).toSet
+    // every diagonal twin co-buckets by construction; orthogonal
+    // cross pairs have cq = 0 and can never mine even when candidates
+    assert(pairs == Set((0L, 1L), (2L, 3L), (4L, 5L)))
+    assert(r.map(_.getAs[Long]("vec_a")).distinct.length == r.length)
+    assert(r.map(_.getAs[Long]("vec_b")).distinct.length == r.length)
+  }
+
+  test("hardNegatives only surfaces OTHER labels, ranked by cosine") {
+    val e = embDf(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), // query, label 0
+      (1L, Seq(1f, 0f, 0f, 0f), 0), // same label: excluded
+      (2L, Seq(0.9f, 0.1f, 0f, 0f), 1), // hard negative (closest)
+      (3L, Seq(0.1f, 0.9f, 0f, 0f), 1), // easier negative
+      (4L, Seq(0f, 0f, 1f, 0f), 2))) // easiest negative
+    val r = EmbeddingOps.hardNegatives(e, nQueries = 1, k = 3).collect()
+    assert(r.map(_.getAs[Long]("vec_id")).toSeq == Seq(2L, 3L, 4L))
+    assert(r.map(_.getAs[Int]("rk")).toSeq == Seq(1, 2, 3))
+    assert(r.forall(_.getAs[Int]("label") != 0))
+    val cs = r.map(_.getAs[Double]("cos"))
+    assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+  }
 }

@@ -498,4 +498,92 @@ class ScaleProbeSpec extends SparkSpec {
       "nearDupServe does not broadcast the batch side — the index " +
         "would shuffle at scale")
   }
+
+  test("bm25TopK at 10x sf0.1: only term-bounded and scalar frames broadcast") {
+    // the tf aggregate runs AFTER the query-term semi-filter (only
+    // matching tokens shuffle); the df frame is bounded by |terms|
+    // and the corpus totals are a 1-row scalar — those are the only
+    // legal broadcasts; dl joins tf by a keyed doc_id shuffle
+    val plan = staticPlanOf(
+      TextOps.bm25TopK(syntheticDocs(50000L), Seq("w1", "w2", "w3")))
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 1,
+      s"bm25TopK lost its corpus-side parallel shuffle: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"bm25TopK has a shuffle at odd parallelism: $parts")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "bm25TopK plans a CartesianProduct")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("word") || cols.contains("t_tok"),
+        "bm25TopK broadcasts a non-bounded frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+    // the global top-k must be a TakeOrderedAndProject, not a full sort
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "bm25TopK's top-k is not a TakeOrderedAndProject")
+  }
+
+  test("marginMineLsh at 10x sf0.1: candidates join keyed on bucket, " +
+    "margins/windows all keyed, zero corpus broadcasts") {
+    // 20000 = 10x the sf0.1 embeddings cardinality; the only
+    // broadcast in the whole route (the plane matrix) sits behind the
+    // bucketed() pin, so the mining plan itself must be
+    // broadcast-free with every window/aggregate keyed per vector
+    val plan = staticPlanOf(
+      EmbeddingOps.marginMineLsh(syntheticEmb(20000L), nPlanes = 4))
+    assertShuffleHealth("marginMineLsh", plan)
+    val bc = broadcastSubtrees(plan)
+    assert(bc.isEmpty,
+      s"marginMineLsh broadcasts ${bc.length} corpus-derived frame(s)")
+  }
+
+  test("hardNegatives at 10x sf0.1: only the query frame broadcasts; " +
+    "top-k windows pre-trim") {
+    val plan = staticPlanOf(
+      EmbeddingOps.hardNegatives(syntheticEmb(20000L, dim = 64)))
+    assertShuffleHealth("hardNegatives", plan)
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("query_id"),
+        "hardNegatives broadcasts a non-query frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+    val wgl = plan.collect {
+      case w: org.apache.spark.sql.execution.window
+          .WindowGroupLimitExec => w
+    }
+    assert(wgl.exists(_.mode.toString == "Partial"),
+      "hardNegatives' rank<=k window has no Partial pre-shuffle trim")
+  }
+
+  test("sampleTopN at 10x sf0.1: WindowGroupLimit pre-trims per " +
+    "partition before the stratum shuffle") {
+    // same mega-stratum safety as capPerDomain: every map task keeps
+    // at most n rows per source before the exchange. A MULTI-source
+    // frame (the mixTemperature probe rule): syntheticDocs' single
+    // literal source constant-folds the partition key away and the
+    // window degenerates to a global one — probe-data artifact, not
+    // the operator's plan
+    val multiSource = syntheticDocs(500000L)
+      .withColumn("source", concat(lit("src"),
+        pmod(col("doc_id"), lit(20)).cast("string")))
+    val plan = staticPlanOf(TextOps.sampleTopN(multiSource))
+    assertShuffleHealth("sampleTopN", plan)
+    val wgl = plan.collect {
+      case w: org.apache.spark.sql.execution.window
+          .WindowGroupLimitExec => w
+    }
+    assert(wgl.nonEmpty,
+      "no WindowGroupLimit — the carve sorts whole strata in one task")
+    assert(wgl.exists(_.mode.toString == "Partial"),
+      s"no Partial-mode pre-shuffle trim: ${wgl.map(_.mode)}")
+  }
 }

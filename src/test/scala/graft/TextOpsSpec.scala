@@ -1187,4 +1187,17 @@ class TextOpsSpec extends SparkSpec {
     val small = TextOps.sampleTopN(d.where($"source" === "sa"), n = 99)
     assert(small.count() == 5)
   }
+
+  test("dedupBagOfWords collapses word permutations; dedupExact does not") {
+    val d = docsDf(Seq(
+      (1L, "spark join hash table", "en", "s1"),
+      (2L, "table hash join spark", "en", "s1"), // permutation of 1
+      (3L, "spark join hash table", "en", "s2"), // exact dup of 1
+      (4L, "spark join hash hash", "en", "s2"))) // different multiset
+    val bow = TextOps.dedupBagOfWords(d).collect()
+    assert(bow.length == 2)
+    val grp = bow.find(_.getAs[Long]("n_copies") == 3L).get
+    assert(grp.getAs[Long]("kept_doc_id") == 1L)
+    assert(TextOps.dedupExact(d).count() == 3) // 1+3 merge, 2 stays apart
+  }
 }
