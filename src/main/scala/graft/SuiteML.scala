@@ -3417,6 +3417,46 @@ object SuiteML {
         |FROM sc GROUP BY 1
         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ---- retrieval: cross-corpus BM25 serving from prebuilt stats --------
+    // Collection statistics (df, N, T) come from every source EXCEPT
+    // src0; the src0 documents are the fresh batch being ranked — the
+    // offline-build/online-serve split, replayed batch-side. Terms
+    // unseen in the stats corpus drop via the inner df join.
+    Q("text_bm25_cross",
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.bm25TopKWith(
+          all.where(col("source") === "src0"),
+          TextOps.bm25Stats(all.where(col("source") =!= "src0")),
+          Bm25Terms)
+      },
+      Some(s"""WITH corp AS (SELECT * FROM documents WHERE source <> 'src0'),
+        |bat AS (SELECT * FROM documents WHERE source = 'src0'),
+        |dl AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM bat),
+        |tot AS (SELECT CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS t_tok,
+        |               CAST(count(*) AS BIGINT) AS n_docs FROM corp),
+        |dfq AS (SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |              FROM corp)
+        |        WHERE word IN ($Bm25TermsSql) GROUP BY 1),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM bat)
+        |       WHERE word IN ($Bm25TermsSql) GROUP BY 1, 2),
+        |sc AS (SELECT doc_id, dl,
+        |         CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_q,
+        |         CAST(CAST(tf AS HUGEINT) * ${Bm25K1 + 1000L} * 1000 * t_tok * 1000
+        |              // (CAST(tf AS HUGEINT) * 1000000 * t_tok
+        |                  + CAST(${Bm25K1 * (1000L - Bm25B)} AS HUGEINT) * t_tok
+        |                  + CAST(${Bm25K1 * Bm25B} AS HUGEINT) * dl * n_docs)
+        |           AS BIGINT) AS sat
+        |       FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot)
+        |SELECT doc_id, max(dl) AS dl, count(*) AS n_terms,
+        |       CAST(SUM(idf_q * sat) AS BIGINT) AS score_q
+        |FROM sc GROUP BY 1
+        |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin)),
+
     // ---- curation: fixed-n per-stratum deterministic carve ---------------
     Q("text_sample_topn",
       (s, d) => TextOps.sampleTopN(docs(s, d), n = 5),

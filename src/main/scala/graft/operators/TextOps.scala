@@ -3126,11 +3126,79 @@ object TextOps {
       .pinned
     val df_ = broadcast(tf.groupBy(col("word"))
       .agg(count(lit(1)).as("df"))) // bounded by |terms|
-    val K = k1Permille
-    val B = bPermille
-    tf.join(df_, Seq("word"))
+    bm25Rank(tf.join(df_, Seq("word"))
       .join(dl, Seq("doc_id"))
-      .crossJoin(broadcast(tot)) // 1-row scalar frame
+      .crossJoin(broadcast(tot)), // 1-row scalar frame
+      k, k1Permille, bPermille)
+  }
+
+  /** Sentinel stats key for the corpus totals row — contains spaces,
+    * so it can never collide with a space-split token (the nbSink
+    * prior-row discipline). */
+  val Bm25Sentinel = " corpus "
+
+  /** The BM25 sufficient statistic of a corpus, as ONE additive
+    * frame: (word, df, tok) rows — df = #docs containing the word,
+    * tok = 0 — plus the [[Bm25Sentinel]] totals row carrying
+    * (n_docs, total_tokens) in the same two columns. Everything is a
+    * SUM over per-doc contributions, so the frame folds
+    * incrementally (graft.streaming.Streams.bm25Sink maintains it
+    * under the registry-guarded additive protocol) and two corpora's
+    * stats merge by adding. Vocabulary-sized, shuffle-keyed on word —
+    * never broadcast; serving filters it to the query's terms first. */
+  def bm25Stats(docs: DataFrame): DataFrame = {
+    val d = docs.pinned // word rows + totals row read the corpus once
+    val perWord = tokens(d).select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .withColumn("tok", lit(0L))
+    val sent = d.agg(count(lit(1)).as("df"),
+        sum(size(split(col("text"), " "))).cast("long").as("tok"))
+      .select(lit(Bm25Sentinel).as("word"), col("df"), col("tok"))
+    perWord.unionByName(sent)
+  }
+
+  /** [[bm25TopK]] served from PRE-BUILT stats ([[bm25Stats]] or a
+    * maintained graft.streaming.Streams.bm25StatsState): ranks the
+    * BATCH documents with document frequencies and length
+    * normalization taken from the stats corpus — the offline-build /
+    * online-serve split of a retrieval pass (score fresh documents
+    * against the collection's statistics without rescanning the
+    * collection). Query terms unseen in the stats corpus drop via the
+    * inner df join (no defined idf — the text_lm_cross inner-join
+    * convention). Only term-bounded slices of the stats frame and the
+    * 1-row totals broadcast; batch-side tf filters to query terms
+    * before its aggregate, dl joins by a keyed doc_id shuffle. */
+  def bm25TopKWith(batch: DataFrame, stats: DataFrame,
+      terms: Seq[String], k: Int = 10, k1Permille: Long = 1200L,
+      bPermille: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "query terms must be non-empty and distinct")
+    val s = batch.sparkSession
+    import s.implicits._
+    val st = stats.pinned // terms slice + totals row, one build
+    val tq = broadcast(terms.toDF("word"))
+    val dfT = broadcast(st.join(tq, Seq("word"))
+      .select(col("word"), col("df"))) // bounded by |terms|
+    val tot = broadcast(st.where(col("word") === Bm25Sentinel)
+      .select(col("df").as("n_docs"), col("tok").as("t_tok")))
+    val dl = batch
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .pinned
+    val tf = tokens(batch).join(tq, Seq("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    bm25Rank(tf.join(dfT, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(tot), k, k1Permille, bPermille)
+  }
+
+  /** Shared BM25 arithmetic over a joined (doc_id, word, tf, df, dl,
+    * t_tok, n_docs) frame — the exact-integer saturation/idf/top-k
+    * back half of [[bm25TopK]] and [[bm25TopKWith]]. */
+  private def bm25Rank(scored0: DataFrame, k: Int, K: Long,
+      B: Long): DataFrame = {
+    require(B >= 0 && B <= 1000, "b is a permille value in [0, 1000]")
+    scored0
       .withColumn("idf_q",
         (length(bin(expr("n_docs div df"))) - 1).cast("long"))
       .withColumn("sat_permille", expr(

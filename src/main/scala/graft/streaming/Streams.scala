@@ -794,6 +794,49 @@ object Streams {
           .as("avg_tokens"),
         expr("n_short * 1000 div n_docs").as("short_permille"))
 
+  /** Streaming BM25 collection-statistics maintenance — the SIXTH
+    * additive fold: per-batch (word, df, tok) rows (df = 1 per
+    * distinct doc containing the word) plus the per-doc sentinel
+    * totals row fold into graft.operators.TextOps.bm25Stats's exact
+    * frame, keeping retrieval's document frequencies and length
+    * normalization current over an incrementally-collected corpus
+    * without rescanning it. The registry makes re-delivery a no-op
+    * and refuses mutated content — BM25 stats, like all count folds,
+    * cannot subtract. Serve with [[bm25TopKState]]. */
+  def bm25Sink(docs: DataFrame, statePath: String,
+      checkpointLocation: String, nShards: Int = DefaultStateShards)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
+      nShards)(
+      batch => batch.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("word")).distinct()
+        .withColumn("df", lit(1L)).withColumn("tok", lit(0L))
+        .unionByName(batch.select(col("doc_id"),
+          lit(graft.operators.TextOps.Bm25Sentinel).as("word"),
+          lit(1L).as("df"),
+          size(split(col("text"), " ")).cast("long").as("tok"))),
+      Seq("word"), Seq("df", "tok"),
+      // word membership and length are functions of the text alone
+      md5(col("text")))
+
+  /** The maintained (word, df, tok) BM25 statistic from a
+    * [[bm25Sink]] state — column-for-column
+    * graft.operators.TextOps.bm25Stats. */
+  def bm25StatsState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    foldState(s, statePath).where(col("kind") === "g")
+      .select(col("word"), col("df"), col("tok"))
+
+  /** Rank a fresh batch against the maintained collection statistics
+    * — [[bm25Sink]]'s serving half
+    * (graft.operators.TextOps.bm25TopKWith). */
+  def bm25TopKState(s: org.apache.spark.sql.SparkSession,
+      statePath: String, batch: DataFrame, terms: Seq[String],
+      k: Int = 10): DataFrame =
+    graft.operators.TextOps.bm25TopKWith(batch,
+      bm25StatsState(s, statePath), terms, k)
+
   /** The shared registry-guarded ADDITIVE fold behind [[lmSink]] and
     * [[dsirSink]]: count addition is not idempotent, so the state
     * carries two row kinds in one frame — `d` rows, the audited doc

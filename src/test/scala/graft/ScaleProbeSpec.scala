@@ -531,6 +531,34 @@ class ScaleProbeSpec extends SparkSpec {
     }.nonEmpty, "bm25TopK's top-k is not a TakeOrderedAndProject")
   }
 
+  test("bm25TopKWith at 10x sf0.1: the vocabulary-sized stats frame " +
+    "never broadcasts whole — only its term slice and totals do") {
+    val corpus = syntheticDocs(50000L)
+    val stats = TextOps.bm25Stats(corpus) // pinned inside the serve
+    val plan = staticPlanOf(TextOps.bm25TopKWith(
+      syntheticDocs(5000L), stats, Seq("w1", "w2", "w3")))
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 1,
+      s"bm25TopKWith lost its batch-side parallel shuffle: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"bm25TopKWith has a shuffle at odd parallelism: $parts")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("word") || cols.contains("t_tok"),
+        "bm25TopKWith broadcasts a non-bounded frame with columns " +
+          cols.mkString("[", ", ", "]"))
+      // a broadcast carrying (word, df, tok) unfiltered would be the
+      // whole vocabulary: the df slice must NOT carry the tok column
+      assert(!(cols.contains("df") && cols.contains("tok")),
+        "bm25TopKWith broadcasts the raw stats frame: " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("marginMineLsh at 10x sf0.1: candidates join keyed on bucket, " +
     "margins/windows all keyed, zero corpus broadcasts") {
     // 20000 = 10x the sf0.1 embeddings cardinality; the only

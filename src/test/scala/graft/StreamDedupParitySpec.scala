@@ -1053,6 +1053,49 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(served.nonEmpty && served.sameElements(batch))
   }
 
+  test("streamed BM25 statistics over sliced + re-delivered corpus " +
+    "equal the batch stats, and cross-serving matches") {
+    // the sixth additive fold: (word, df, tok) + sentinel totals is
+    // bm25Stats's exact frame, so the maintained state must equal the
+    // one-shot build row-for-row AND rank a fresh batch identically
+    import spark.implicits._
+    val all = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    val stored = all.where($"source" =!= "src0")
+    val batch = all.where($"source" === "src0")
+    val slices = Seq(stored.where($"doc_id" < 250),
+      stored.where($"doc_id" >= 250)
+        .unionAll(stored.where($"doc_id" < 100))) // re-delivery
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_bm25_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_bm25_state").resolve("st").toString
+    val q = Streams.bm25Sink(
+        spark.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+        statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_bm25_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+    val servedStats = Streams.bm25StatsState(spark, statePath)
+      .collect().map(_.toString).sorted
+    val batchStats = TextOps.bm25Stats(stored)
+      .collect().map(_.toString).sorted
+    assert(servedStats.nonEmpty && servedStats.sameElements(batchStats))
+    val terms = Seq("join", "vector", "filter")
+    val servedRank = Streams
+      .bm25TopKState(spark, statePath, batch, terms)
+      .collect().map(_.toString)
+    val batchRank = TextOps
+      .bm25TopKWith(batch, TextOps.bm25Stats(stored), terms)
+      .collect().map(_.toString)
+    assert(servedRank.nonEmpty && servedRank.sameElements(batchRank))
+  }
+
   test("streamed registry -> persisted MinHash index -> near-dup " +
     "serving equals a batch build") {
     // the text twin of the composed IVF-PQ pipeline: the mutation-

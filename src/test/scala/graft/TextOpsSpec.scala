@@ -1188,6 +1188,34 @@ class TextOpsSpec extends SparkSpec {
     assert(small.count() == 5)
   }
 
+  test("bm25TopKWith serves from foreign stats and drops unseen terms") {
+    val statsCorpus = docsDf(Seq(
+      (10L, "join scan join filter pad", "en", "s1"),
+      (11L, "scan sort merge", "en", "s1"),
+      (12L, "pad pad pad pad", "en", "s2"),
+      (13L, "sort merge", "en", "s2")))
+    val batch = docsDf(Seq(
+      (1L, "join join vector", "en", "b"), // 'vector' unseen in stats
+      (2L, "join sort sort sort sort sort", "en", "b"),
+      (3L, "scan free", "en", "b")))
+    val r = TextOps.bm25TopKWith(batch,
+      TextOps.bm25Stats(statsCorpus), Seq("join", "vector"))
+      .collect()
+    // 'vector' has no stats-corpus df: contributes nothing, so doc 1
+    // counts ONE matched term, and doc 3 (no 'join') never surfaces
+    assert(r.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    assert(r.forall(_.getAs[Long]("n_terms") == 1L))
+    // doc 1 (tf=2, shorter) outranks doc 2 (tf=1, longer)
+    assert(r(0).getAs[Long]("doc_id") == 1L)
+    // serving from stats built over the SAME corpus equals the direct path
+    val direct = TextOps.bm25TopK(statsCorpus, Seq("join", "scan"))
+      .collect().map(_.toString)
+    val served = TextOps.bm25TopKWith(statsCorpus,
+      TextOps.bm25Stats(statsCorpus), Seq("join", "scan"))
+      .collect().map(_.toString)
+    assert(direct.sameElements(served))
+  }
+
   test("dedupBagOfWords collapses word permutations; dedupExact does not") {
     val d = docsDf(Seq(
       (1L, "spark join hash table", "en", "s1"),
