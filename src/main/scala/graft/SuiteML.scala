@@ -3570,6 +3570,62 @@ object SuiteML {
         |        ORDER BY cos DESC, vid) AS rk FROM sc)
         |WHERE rk <= 10""".stripMargin)),
 
+    // ---- augmentation: T5-style span corruption --------------------------
+    // Fixed-width windows of 3 tokens; window g of doc d masks iff the
+    // first md5 nibble of d:g:corrupt is < 3; each masked window gets
+    // its own <extra_id_k> sentinel, numbered left to right.
+    Q("text_span_corrupt",
+      (s, d) => TextOps.spanCorrupt(docs(s, d)),
+      Some("""WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |win AS (SELECT doc_id, pos // 3 AS g,
+        |          array_to_string(list_transform(
+        |            list_sort(list(struct_pack(pos := pos, tok := word))),
+        |            r -> r.tok), ' ') AS wtext
+        |        FROM tok GROUP BY 1, 2),
+        |mk AS (SELECT *,
+        |         (strpos('0123456789abcdef',
+        |            substr(md5(doc_id || ':' || g || ':corrupt'), 1, 1)) - 1) < 3
+        |           AS masked
+        |       FROM win),
+        |rk AS (SELECT *,
+        |         SUM(CASE WHEN masked THEN 1 ELSE 0 END)
+        |           OVER (PARTITION BY doc_id ORDER BY g) AS k
+        |       FROM mk),
+        |sn AS (SELECT *,
+        |         '<extra_id_' || CAST(k - 1 AS BIGINT) || '>' AS sentinel
+        |       FROM rk)
+        |SELECT doc_id,
+        |  array_to_string(list_transform(list_sort(list(struct_pack(
+        |    g := g, t := CASE WHEN masked THEN sentinel ELSE wtext END))),
+        |    r -> r.t), ' ') AS input_text,
+        |  coalesce(array_to_string(list_transform(list_sort(list_filter(
+        |    list(CASE WHEN masked
+        |         THEN struct_pack(g := g, t := sentinel || ' ' || wtext) END),
+        |    x -> x IS NOT NULL)), r -> r.t), ' '), '') AS target_text,
+        |  CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
+        |FROM sn GROUP BY 1""".stripMargin)),
+
+    // ---- curation: length-bucketed padding-efficiency card ---------------
+    Q("text_length_buckets",
+      (s, d) => TextOps.lengthBuckets(docs(s, d)),
+      Some("""WITH n AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |b AS (SELECT CASE WHEN n_tokens <= 1 THEN 1
+        |               ELSE (CAST(1 AS BIGINT) << length(bin(n_tokens - 1))) END
+        |               AS bucket,
+        |             n_tokens FROM n),
+        |agg AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |               CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+        |        FROM b GROUP BY 1)
+        |SELECT bucket, n_docs, sum_tokens,
+        |       bucket * n_docs - sum_tokens AS padding_waste,
+        |       (bucket * n_docs - sum_tokens) * 1000 // (bucket * n_docs)
+        |         AS waste_permille
+        |FROM agg""".stripMargin)),
+
     // ---- dedup: order-insensitive bag-of-words hash ----------------------
     Q("dedup_bow",
       (s, d) => TextOps.dedupBagOfWords(docs(s, d)),

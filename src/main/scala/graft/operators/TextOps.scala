@@ -120,6 +120,81 @@ object TextOps {
       .agg(min(col("doc_id")).as("kept_doc_id"),
         count(lit(1)).as("n_copies"))
 
+  /** T5-style span corruption (Raffel et al. 2020, the denoising
+    * objective behind T5/UL2): deterministic hash-chosen token
+    * windows mask out of the input and become the target, each span
+    * introduced by its own `<extra_id_k>` sentinel. The construction
+    * here is fixed-width: positions group into windows of `spanLen`
+    * tokens, window g of doc d masks iff the first md5 nibble of
+    * `d:g:corrupt` is below `maskNibbles` (maskNibbles/16 of windows
+    * — 3/16 ~ the paper's 15% at the default), sentinels number
+    * masked windows left to right (adjacent masked windows keep
+    * separate sentinels rather than merging). Hash-deterministic like
+    * [[splitAssign]]: every engine, run, and machine corrupts a doc
+    * identically, and re-runs over a grown corpus never re-roll an
+    * existing doc's spans.
+    *
+    * Scale shape: token-cardinality keyed shuffles only — window
+    * grouping on (doc, g), the sentinel numbering as a running sum
+    * over each doc's windows, one doc-keyed reassembly aggregate
+    * (per-doc collect_list, bounded by the doc's own length — the
+    * [[dedupLines]] reassembly discipline); zero broadcasts, zero
+    * UDFs. */
+  def spanCorrupt(docs: DataFrame, spanLen: Int = 3,
+      maskNibbles: Int = 3): DataFrame = {
+    require(spanLen > 0, "spanLen must be positive")
+    require(maskNibbles >= 0 && maskNibbles <= 16,
+      "maskNibbles is a nibble threshold in [0, 16]")
+    val win = tokens(docs)
+      .withColumn("g", expr(s"pos div $spanLen"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(concat_ws(" ", expr(
+        "transform(sort_array(collect_list(struct(pos, word))), r -> r.word)"))
+        .as("wtext"))
+      .withColumn("masked",
+        conv(substring(md5(concat(col("doc_id").cast("string"), lit(":"),
+          col("g").cast("string"), lit(":corrupt"))), 1, 1), 16, 10)
+          .cast("int") < maskNibbles)
+    val wk = Window.partitionBy(col("doc_id")).orderBy(col("g"))
+    win
+      .withColumn("k",
+        sum(when(col("masked"), 1L).otherwise(0L)).over(wk))
+      .withColumn("sentinel",
+        concat(lit("<extra_id_"), (col("k") - 1).cast("string"), lit(">")))
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(struct(g, " +
+            "if(masked, sentinel, wtext) as t))), r -> r.t)"))
+          .as("input_text"),
+        concat_ws(" ", expr(
+          "transform(sort_array(collect_list(if(masked, struct(g, " +
+            "concat(sentinel, ' ', wtext) as t), null))), r -> r.t)"))
+          .as("target_text"),
+        sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+  }
+
+  /** Length-bucketed batching card — the padding-efficiency read
+    * before choosing bucket boundaries for fixed-shape training
+    * batches: docs bucket to the smallest power of two holding their
+    * token count, and each bucket reports how much of its padded
+    * capacity is waste (bucket_size*n_docs - real tokens, exact
+    * integers, one permille division). One per-row bucket expression
+    * + one aggregate — nothing else moves. */
+  def lengthBuckets(docs: DataFrame): DataFrame =
+    docs
+      .select(size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("bucket", when(col("n_tokens") <= 1, 1L)
+        .otherwise(expr(
+          "cast(shiftleft(1L, length(bin(n_tokens - 1))) as long)")))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"))
+      .withColumn("padding_waste",
+        col("bucket") * col("n_docs") - col("sum_tokens"))
+      .withColumn("waste_permille",
+        expr("padding_waste * 1000 div (bucket * n_docs)"))
+
   /** Order-insensitive exact dedup: the group key is the md5 of the
     * SORTED token list, so documents that permute each other's words
     * (template reshuffles, list reorderings — duplicates the

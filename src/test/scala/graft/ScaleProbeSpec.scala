@@ -592,6 +592,23 @@ class ScaleProbeSpec extends SparkSpec {
       "hardNegatives' rank<=k window has no Partial pre-shuffle trim")
   }
 
+  test("spanCorrupt at 10x sf0.1: token-keyed shuffles only, zero broadcasts") {
+    // window grouping, sentinel numbering, and reassembly are all
+    // keyed per doc; nothing corpus-derived may broadcast. EVERY
+    // stage of this operator keys by doc_id(, g) — over the
+    // range-partitioned synthetic source Catalyst correctly elides
+    // all of them (doc rows are already co-located), which is the
+    // artifact, not the claim: round-robin the source like a real
+    // parquet scan's UnknownPartitioning so the exchanges the 100 TB
+    // plan needs actually appear
+    val plan = staticPlanOf(TextOps.spanCorrupt(syntheticDocs(50000L)
+      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt)))
+    assertShuffleHealth("spanCorrupt", plan)
+    val bc = broadcastSubtrees(plan)
+    assert(bc.isEmpty,
+      s"spanCorrupt broadcasts ${bc.length} corpus-derived frame(s)")
+  }
+
   test("sampleTopN at 10x sf0.1: WindowGroupLimit pre-trims per " +
     "partition before the stratum shuffle") {
     // same mega-stratum safety as capPerDomain: every map task keeps

@@ -1216,6 +1216,58 @@ class TextOpsSpec extends SparkSpec {
     assert(direct.sameElements(served))
   }
 
+  test("spanCorrupt masks deterministic spans that splice back to the " +
+      "original text") {
+    val d = docsDf((1L to 20L).map(i =>
+      (i, (1 to 23).map(j => s"t$j").mkString(" "), "en", "s")))
+    val rows = TextOps.spanCorrupt(d).collect()
+    assert(rows.length == 20)
+    val again = TextOps.spanCorrupt(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("input_text"))
+      .toMap
+    rows.foreach { r =>
+      val inp = r.getAs[String]("input_text")
+      val tgt = r.getAs[String]("target_text")
+      val n = r.getAs[Long]("n_masked")
+      // deterministic across runs
+      assert(again(r.getAs[Long]("doc_id")) == inp)
+      // sentinel counts agree between the two sides
+      val sentRe = "<extra_id_\\d+>".r
+      assert(sentRe.findAllIn(inp).length == n)
+      assert(sentRe.findAllIn(tgt).length == n)
+      if (n == 0) assert(tgt == "")
+      // splice each target span back over its sentinel -> original
+      val spans = ("<extra_id_\\d+> ((?:(?!<extra_id_)\\S+ ?)+)").r
+        .findAllMatchIn(tgt).map(_.group(1).trim).toSeq
+      val restored = spans.zipWithIndex.foldLeft(inp) {
+        case (acc, (span, i)) => acc.replace(s"<extra_id_$i>", span)
+      }
+      assert(restored == (1 to 23).map(j => s"t$j").mkString(" "),
+        s"splice failed for doc ${r.getAs[Long]("doc_id")}")
+    }
+    // with the default 3/16 nibble rate, SOME doc has a masked span
+    assert(rows.map(_.getAs[Long]("n_masked")).sum > 0)
+  }
+
+  test("lengthBuckets assigns power-of-two capacities and exact waste") {
+    val d = docsDf(Seq(
+      (1L, "a", "en", "s"), // 1 token -> bucket 1
+      (2L, "a b", "en", "s"), // 2 -> 2
+      (3L, "a b c", "en", "s"), // 3 -> 4
+      (4L, "a b c d e", "en", "s"), // 5 -> 8
+      (5L, "a b c d e f g h", "en", "s"))) // 8 -> 8
+    val r = TextOps.lengthBuckets(d).collect()
+      .map(x => x.getAs[Long]("bucket") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("sum_tokens"),
+          x.getAs[Long]("padding_waste"), x.getAs[Long]("waste_permille")))
+      .toMap
+    assert(r.keySet == Set(1L, 2L, 4L, 8L))
+    assert(r(1L) == ((1L, 1L, 0L, 0L)))
+    assert(r(2L) == ((1L, 2L, 0L, 0L)))
+    assert(r(4L) == ((1L, 3L, 1L, 250L)))
+    assert(r(8L) == ((2L, 13L, 3L, 187L))) // 16 capacity, 13 real
+  }
+
   test("dedupBagOfWords collapses word permutations; dedupExact does not") {
     val d = docsDf(Seq(
       (1L, "spark join hash table", "en", "s1"),
