@@ -3626,6 +3626,61 @@ object SuiteML {
         |         AS waste_permille
         |FROM agg""".stripMargin)),
 
+    // ---- curation: token-budget greedy selection -------------------------
+    // Order docs by LM quality (avg_nll asc, doc_id), keep while the
+    // corpus-wide running token total stays within 20000 — the exact
+    // global prefix sum runs shard-offset style, no single-partition
+    // window.
+    Q("text_budget_select",
+      (s, d) => {
+        val d0 = docs(s, d)
+        TextOps.budgetSelect(
+          TextOps.lmScore(d0)
+            .select(col("doc_id"), col("avg_nll").as("score"))
+            .join(d0.select(col("doc_id"),
+              org.apache.spark.sql.functions.expr(
+                "cast(size(split(text, ' ')) as long)").as("n_tokens")),
+              Seq("doc_id")),
+          budget = 20000L)
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |bs AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM w),
+        |db AS (SELECT doc_id, ls[i] AS lhs, ls[i+1] AS rhs,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM bs GROUP BY 1, 2, 3),
+        |lm AS (SELECT lhs, rhs, CAST(sum(k) AS BIGINT) AS c_ab
+        |       FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT lhs, CAST(sum(c_ab) AS BIGINT) AS c_lhs
+        |        FROM lm GROUP BY 1),
+        |scd AS (SELECT doc_id,
+        |          CAST(sum(k * q) AS DOUBLE) / sum(k) AS score
+        |        FROM (SELECT doc_id, k,
+        |                CAST(length(bin(c_lhs // c_ab)) - 1 AS BIGINT) AS q
+        |              FROM db JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs))
+        |        GROUP BY 1),
+        |nt AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |       FROM documents),
+        |sel AS (SELECT doc_id, score, n_tokens,
+        |          CAST(SUM(n_tokens) OVER (ORDER BY score, doc_id)
+        |            AS BIGINT) AS cum_tokens
+        |        FROM scd JOIN nt USING (doc_id))
+        |SELECT doc_id, score, n_tokens, cum_tokens,
+        |       cum_tokens <= 20000 AS kept
+        |FROM sel""".stripMargin)),
+
+    // ---- dedup: LSH threshold-tuning band sweep --------------------------
+    Q("dedup_band_sweep",
+      (s, d) => TextOps.minhashBandSweep(docs(s, d)),
+      Some(s"""WITH $MinhashPairsCte
+        |SELECT i.n_common * 20 // (sa.n + sb.n - i.n_common) AS band,
+        |       CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.doc_a
+        |JOIN sz sb ON sb.doc_id = i.doc_b
+        |GROUP BY 1""".stripMargin)),
+
     // ---- dedup: order-insensitive bag-of-words hash ----------------------
     Q("dedup_bow",
       (s, d) => TextOps.dedupBagOfWords(docs(s, d)),

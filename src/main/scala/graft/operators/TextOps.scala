@@ -195,6 +195,77 @@ object TextOps {
       .withColumn("waste_permille",
         expr("padding_waste * 1000 div (bucket * n_docs)"))
 
+  /** Token-budget greedy selection — "keep the best documents until
+    * the training budget is spent", the budgeted form of CCNet-style
+    * quality selection: documents order by (score asc, doc_id) —
+    * lower score = better, e.g. an LM [[lmScore]] avg_nll — and a doc
+    * is kept iff the corpus-wide running token total THROUGH it stays
+    * within `budget`. The exact global prefix sum runs without a
+    * single-partition window via the [[pplBuckets]] order-aligned
+    * shard trick: docs shard by floor(score*granularity) (monotone in
+    * score, so shard order refines score order), per-shard token
+    * masses cumulate over the shard-cardinality counts frame, and
+    * each doc adds its within-shard running sum to its shard's
+    * offset. Input is any (doc_id, score, n_tokens) frame; output
+    * adds (cum_tokens, kept). */
+  def budgetSelect(scored: DataFrame, budget: Long,
+      granularity: Int = 8): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    require(granularity >= 1,
+      s"granularity must be >= 1, got $granularity")
+    val sh = scored.withColumn("shard",
+      floor(col("score") * granularity).cast("long")).pinned
+    val counts = sh.groupBy(col("shard"))
+      .agg(sum(col("n_tokens")).as("tok"))
+    val wOff = Window.orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = counts.withColumn("offset",
+      coalesce(sum(col("tok")).over(wOff), lit(0L)))
+      .select(col("shard"), col("offset"))
+    val wIn = Window.partitionBy(col("shard"))
+      .orderBy(col("score"), col("doc_id"))
+    sh.join(broadcast(off), Seq("shard"))
+      .withColumn("cum_tokens",
+        sum(col("n_tokens")).over(wIn) + col("offset"))
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("cum_tokens"), col("kept"))
+  }
+
+  /** LSH threshold-tuning card: every banded candidate pair's exact
+    * Jaccard, quantized to `nBands` integer bands by one
+    * cross-multiplied division, histogrammed — the read before
+    * CHOOSING [[nearDupMinhash]]'s threshold (where does the
+    * candidate mass sit, how sharp is the cliff). Candidate
+    * generation is the same banding as the dedup itself (band
+    * membership does not depend on any threshold), so the card
+    * measures exactly the pairs the dedup would verify; everything
+    * downstream is the keyed verify shuffle plus one band aggregate
+    * whose output is <= nBands+1 rows. */
+  def minhashBandSweep(docs: DataFrame, nBands: Int = 20): DataFrame = {
+    require(nBands >= 1, s"nBands must be >= 1, got $nBands")
+    val ds = shinglesRaw(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+      .pinned
+    val bands = minhashBands(minhashSignature(docs))
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_hash"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    interFromCandidates(ds, cand)
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("band",
+        expr(s"n_common * $nBands div (na + nb - n_common)"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Order-insensitive exact dedup: the group key is the md5 of the
     * SORTED token list, so documents that permute each other's words
     * (template reshuffles, list reorderings — duplicates the

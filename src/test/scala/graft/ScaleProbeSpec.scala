@@ -592,6 +592,33 @@ class ScaleProbeSpec extends SparkSpec {
       "hardNegatives' rank<=k window has no Partial pre-shuffle trim")
   }
 
+  test("budgetSelect at 10x sf0.1: only the shard-offset frame broadcasts; " +
+    "no corpus-wide single-partition window") {
+    // the corpus-sized frames move through shard-keyed shuffles; the
+    // single-partition stages are confined to the shard-cardinality
+    // offsets frame (bounded by granularity x score range), which is
+    // also the only broadcast
+    val scored = syntheticDocs(500000L).select(col("doc_id"),
+      (pmod(xxhash64(col("doc_id")), lit(1000)) / 100.0).as("score"),
+      (pmod(xxhash64(col("doc_id") + 7), lit(200)) + 1).as("n_tokens"))
+    val plan = staticPlanOf(TextOps.budgetSelect(scored, budget = 1000000L))
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 1,
+      s"budgetSelect lost its shard-keyed parallel shuffle: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"budgetSelect has a shuffle at odd parallelism: $parts")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("offset"),
+        "budgetSelect broadcasts a non-offset frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("spanCorrupt at 10x sf0.1: token-keyed shuffles only, zero broadcasts") {
     // window grouping, sentinel numbering, and reassembly are all
     // keyed per doc; nothing corpus-derived may broadcast. EVERY

@@ -1268,6 +1268,43 @@ class TextOpsSpec extends SparkSpec {
     assert(r(8L) == ((2L, 13L, 3L, 187L))) // 16 capacity, 13 real
   }
 
+  test("budgetSelect keeps the best-scored prefix within the token budget") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, 0.5, 40L), // best: cum 40
+      (2L, 1.5, 50L), // cum 90
+      (3L, 2.5, 30L), // cum 120 > 100: dropped
+      (4L, 2.5, 10L), // tie on score, doc_id later: cum 130, dropped
+      (5L, 0.9, 10L)) // second-best: cum 50 (before doc 2)
+      .toDF("doc_id", "score", "n_tokens")
+    val r = TextOps.budgetSelect(scored, budget = 100L).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("cum_tokens"), x.getAs[Boolean]("kept"))).toMap
+    assert(r(1L) == ((40L, true)))
+    assert(r(5L) == ((50L, true)))
+    assert(r(2L) == ((100L, true))) // exactly exhausts the budget
+    assert(r(3L) == ((130L, false)))
+    assert(r(4L) == ((140L, false)))
+    // the shard-offset prefix sum equals the naive global ordering
+    val naive = scored.collect()
+      .sortBy(x => (x.getDouble(1), x.getLong(0)))
+      .scanLeft(0L)((acc, x) => acc + x.getLong(2)).tail
+    assert(r.toSeq.sortBy(_._2._1).map(_._2._1) == naive.sorted.toSeq)
+  }
+
+  test("minhashBandSweep histograms candidate pairs by exact-Jaccard band") {
+    val sweep = TextOps.minhashBandSweep(docs).collect()
+      .map(r => r.getAs[Long]("band") -> r.getAs[Long]("n_pairs")).toMap
+    // docs 1/2 are identical (jaccard 1.0 -> band 20); 1-3 and 2-3
+    // are near dups below 1.0; doc 4 shares no shingles
+    assert(sweep.getOrElse(20L, 0L) == 1L)
+    assert(sweep.filter(_._1 < 20L).values.sum == 2L)
+    // the swept pair count equals the un-thresholded candidate mass:
+    // pairs at >= 0.5 in nearDupMinhash are a subset
+    val dedup = TextOps.nearDupMinhash(docs, threshold = 0.5).count()
+    assert(sweep.values.sum >= dedup)
+  }
+
   test("dedupBagOfWords collapses word permutations; dedupExact does not") {
     val d = docsDf(Seq(
       (1L, "spark join hash table", "en", "s1"),
