@@ -3681,6 +3681,37 @@ object SuiteML {
         |JOIN sz sb ON sb.doc_id = i.doc_b
         |GROUP BY 1""".stripMargin)),
 
+    // ---- dedup: cheap-to-expensive cascade funnel ------------------------
+    // Survivor-subset pair filtering in the oracle: per-doc signatures
+    // and co-banding are independent of other docs, so minhash pairs
+    // over the FULL corpus restricted to bow-survivor endpoints equal
+    // pairs recomputed on the survivor subset (what the engine runs).
+    Q("dedup_cascade_report",
+      (s, d) => TextOps.dedupCascadeReport(docs(s, d)),
+      Some(s"""WITH $MinhashPairsCte,
+        |e1 AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |d1 AS (SELECT dd.* FROM documents dd JOIN e1 USING (doc_id)),
+        |e2 AS (SELECT MIN(doc_id) AS doc_id FROM d1
+        |       GROUP BY md5(array_to_string(list_sort(string_split(text, ' ')), ' '))),
+        |drop3 AS (SELECT DISTINCT n.doc_b AS doc_id FROM ndup n
+        |          JOIN e2 a ON a.doc_id = n.doc_a
+        |          JOIN e2 b ON b.doc_id = n.doc_b),
+        |u AS (
+        |  SELECT 0 AS stage_idx, 'raw' AS stage,
+        |         CAST(count(*) AS BIGINT) AS n_docs FROM documents
+        |  UNION ALL
+        |  SELECT 1, 'exact', CAST(count(*) AS BIGINT) FROM e1
+        |  UNION ALL
+        |  SELECT 2, 'bow', CAST(count(*) AS BIGINT) FROM e2
+        |  UNION ALL
+        |  SELECT 3, 'near_dup',
+        |         (SELECT CAST(count(*) AS BIGINT) FROM e2)
+        |           - (SELECT CAST(count(*) AS BIGINT) FROM drop3))
+        |SELECT stage_idx, stage, n_docs,
+        |       CAST(coalesce(lag(n_docs) OVER (ORDER BY stage_idx) - n_docs, 0)
+        |         AS BIGINT) AS n_removed
+        |FROM u""".stripMargin)),
+
     // ---- dedup: order-insensitive bag-of-words hash ----------------------
     Q("dedup_bow",
       (s, d) => TextOps.dedupBagOfWords(docs(s, d)),

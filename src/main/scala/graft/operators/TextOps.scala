@@ -266,6 +266,43 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Dedup-cascade funnel card — the cheap-to-expensive staging every
+    * large corpus runs (exact hash first, then order-insensitive
+    * bag-of-words, then MinHash near-dup on what remains), reported
+    * as survivors-per-stage so the marginal value of each stage is
+    * visible before paying for it at full scale. Survivor rules are
+    * the operators' own: min doc_id per content/bow hash; the
+    * near-dup stage drops every doc_b of a surviving-input pair at
+    * `threshold` (single-pass pair-greedy, not the transitive
+    * [[dedupSurvivors]] closure — the funnel measures stage yield,
+    * not final group structure). Each stage runs ONLY on the previous
+    * stage's survivors; the output is four 1-row aggregates plus a
+    * 4-row lag window — nothing corpus-sized leaves its stage. */
+  def dedupCascadeReport(docs: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    val d = docs.pinned
+    val d1 = d.join(dedupExact(d)
+        .select(col("kept_doc_id").as("doc_id")), Seq("doc_id"))
+      .pinned
+    val d2 = d1.join(dedupBagOfWords(d1)
+        .select(col("kept_doc_id").as("doc_id")), Seq("doc_id"))
+      .pinned
+    val dropped = nearDupMinhash(d2, threshold)
+      .select(col("doc_b").as("doc_id")).distinct()
+    def cnt(df: DataFrame, idx: Int, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    val u = cnt(d, 0, "raw")
+      .unionByName(cnt(d1, 1, "exact"))
+      .unionByName(cnt(d2, 2, "bow"))
+      .unionByName(cnt(d2.join(dropped, Seq("doc_id"), "left_anti"),
+        3, "near_dup"))
+    u.withColumn("n_removed",
+      coalesce(lag(col("n_docs"), 1).over(Window.orderBy(col("stage_idx")))
+        - col("n_docs"), lit(0L)))
+  }
+
   /** Order-insensitive exact dedup: the group key is the md5 of the
     * SORTED token list, so documents that permute each other's words
     * (template reshuffles, list reorderings — duplicates the

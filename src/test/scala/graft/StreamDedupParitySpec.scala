@@ -1094,6 +1094,12 @@ class StreamDedupParitySpec extends SparkSpec {
       .bm25TopKWith(batch, TextOps.bm25Stats(stored), terms)
       .collect().map(_.toString)
     assert(servedRank.nonEmpty && servedRank.sameElements(batchRank))
+    // generation compaction preserves the stats and the ranking
+    Streams.compactState(spark, statePath)
+    assert(Streams.bm25StatsState(spark, statePath)
+      .collect().map(_.toString).sorted.sameElements(batchStats))
+    assert(Streams.bm25TopKState(spark, statePath, batch, terms)
+      .collect().map(_.toString).sameElements(batchRank))
   }
 
   test("streamed registry -> persisted MinHash index -> near-dup " +

@@ -1305,6 +1305,22 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("dedupCascadeReport funnels raw -> exact -> bow -> near-dup") {
+    val d = docsDf(Seq(
+      (1L, base, "en", "s1"),
+      (2L, base, "en", "s1"), // exact dup of 1: exact stage removes
+      (3L, nearDup, "en", "s2"), // near dup of 1: minhash stage removes
+      (4L, other, "fr", "s3"),
+      (5L, other.split(" ").reverse.mkString(" "), "fr", "s3"))) // bow dup of 4
+    val r = TextOps.dedupCascadeReport(d, threshold = 0.5).collect()
+      .map(x => x.getAs[String]("stage") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_removed"))).toMap
+    assert(r("raw") == ((5L, 0L)))
+    assert(r("exact") == ((4L, 1L))) // doc 2 gone
+    assert(r("bow") == ((3L, 1L))) // doc 5 gone
+    assert(r("near_dup") == ((2L, 1L))) // doc 3 gone
+  }
+
   test("dedupBagOfWords collapses word permutations; dedupExact does not") {
     val d = docsDf(Seq(
       (1L, "spark join hash table", "en", "s1"),
