@@ -3681,6 +3681,61 @@ object SuiteML {
         |JOIN sz sb ON sb.doc_id = i.doc_b
         |GROUP BY 1""".stripMargin)),
 
+    // ---- curation: text normalization over a noisy fixture ---------------
+    // Noise derives deterministically from documents on BOTH sides
+    // (case/punctuation keyed by doc_id + token length), so the
+    // normalizer must lowercase, strip punctuation, and collapse
+    // whitespace back to the EXACT original text — `restored` pins the
+    // round trip per doc.
+    Q("text_normalize",
+      (s, d) => {
+        val d0 = docs(s, d)
+        val noisy = d0.select(col("doc_id"),
+          org.apache.spark.sql.functions.expr(
+            "concat_ws(' ', transform(split(text, ' '), w -> " +
+              "CASE WHEN (doc_id + length(w)) % 3 = 0 THEN concat(upper(w), ',') " +
+              "WHEN (doc_id + length(w)) % 5 = 0 THEN concat('\"', w, '!') " +
+              "ELSE w END))").as("text"))
+        TextOps.normalizeText(noisy)
+          .join(d0.select(col("doc_id"), col("text")), Seq("doc_id"))
+          .select(col("doc_id"), col("text_norm"), col("n_tokens_raw"),
+            col("n_tokens_norm"),
+            (col("text_norm") === col("text")).as("restored"))
+      },
+      Some("""WITH noisy AS (SELECT doc_id,
+        |  array_to_string(list_transform(string_split(text, ' '), w ->
+        |    CASE WHEN (doc_id + len(w)) % 3 = 0 THEN upper(w) || ','
+        |         WHEN (doc_id + len(w)) % 5 = 0 THEN '"' || w || '!'
+        |         ELSE w END), ' ') AS text FROM documents),
+        |nn AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens_raw,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+        |       ' +', ' ', 'g')) AS text_norm
+        |  FROM noisy)
+        |SELECT nn.doc_id, text_norm, n_tokens_raw,
+        |  CAST(len(string_split(text_norm, ' ')) AS BIGINT) AS n_tokens_norm,
+        |  text_norm = d.text AS restored
+        |FROM nn JOIN documents d ON d.doc_id = nn.doc_id""".stripMargin)),
+
+    // ---- analysis: vocabulary-growth (Heaps-law) card --------------------
+    // 500 slices = per-doc granularity on this corpus: the synthetic
+    // vocabulary saturates within the first few documents, so coarse
+    // deciles would collapse the curve to one point.
+    Q("text_vocab_growth",
+      (s, d) => TextOps.vocabGrowth(docs(s, d), nSlices = 500),
+      Some("""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        |fs AS (SELECT word,
+        |         CAST(MIN(least(doc_id * 500 // n_docs, 499)) AS BIGINT) AS slice
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents), nd GROUP BY 1),
+        |ns AS (SELECT slice, CAST(count(*) AS BIGINT) AS n_new_words
+        |       FROM fs GROUP BY 1)
+        |SELECT slice, n_new_words,
+        |       CAST(SUM(n_new_words) OVER (ORDER BY slice
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |         AS BIGINT) AS vocab_size
+        |FROM ns""".stripMargin)),
+
     // ---- dedup: cheap-to-expensive cascade funnel ------------------------
     // Survivor-subset pair filtering in the oracle: per-doc signatures
     // and co-banding are independent of other docs, so minhash pairs

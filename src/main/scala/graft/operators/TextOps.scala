@@ -266,6 +266,50 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Text normalization — the lexical front door of a curation chain
+    * (run before hashing/shingling so trivially-reformatted
+    * duplicates collide): lowercase, strip every character outside
+    * [a-z0-9 ], collapse whitespace runs, trim. Pure per-row
+    * expressions (codegen'd, no shuffle at all); reports raw and
+    * normalized token counts alongside the cleaned text. The regex
+    * class is deliberately the portable intersection both engines
+    * implement identically (no Unicode classes — the oracle replays
+    * with the same pattern + DuckDB's 'g' flag). */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens_raw"),
+      trim(regexp_replace(
+        regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+        " +", " ")).as("text_norm"))
+      .withColumn("n_tokens_norm",
+        size(split(col("text_norm"), " ")).cast("long"))
+      .select(col("doc_id"), col("text_norm"), col("n_tokens_raw"),
+        col("n_tokens_norm"))
+
+  /** Vocabulary-growth (Heaps-law) card: the corpus splits into
+    * `nSlices` doc_id-ORDERED slices standing for ingest order
+    * (slice = doc_id*nSlices div n_docs, clamped — exact quantiles
+    * for dense ids, a monotone id-ordered partition otherwise); each
+    * word counts as NEW in the first slice it appears (min slice per
+    * word — one vocabulary-keyed aggregate), and the cumulative
+    * vocabulary size per slice is a running sum over the nSlices-row
+    * frame. The read that says whether a tokenizer's vocab budget is
+    * saturating or the corpus keeps minting types. Only the 1-row
+    * count broadcasts. */
+  def vocabGrowth(docs: DataFrame, nSlices: Int = 10): DataFrame = {
+    require(nSlices >= 1, s"nSlices must be >= 1, got $nSlices")
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val firstSlice = tokens(docs)
+      .crossJoin(broadcast(n)) // 1-row scalar frame
+      .select(least(expr(s"doc_id * $nSlices div n_docs"),
+        lit(nSlices - 1L)).as("slice"), col("word"))
+      .groupBy(col("word")).agg(min(col("slice")).as("slice"))
+      .groupBy(col("slice")).agg(count(lit(1)).as("n_new_words"))
+    firstSlice.withColumn("vocab_size",
+      sum(col("n_new_words")).over(Window.orderBy(col("slice"))
+        .rowsBetween(Window.unboundedPreceding, 0)))
+  }
+
   /** Dedup-cascade funnel card — the cheap-to-expensive staging every
     * large corpus runs (exact hash first, then order-insensitive
     * bag-of-words, then MinHash near-dup on what remains), reported

@@ -1305,6 +1305,34 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("normalizeText lowercases, strips punctuation, collapses spaces") {
+    val d = docsDf(Seq(
+      (1L, "Hello, WORLD!!  (spark)   4ever", "en", "s"),
+      (2L, "...", "en", "s"))) // all punctuation -> empty
+    val r = TextOps.normalizeText(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[String]("text_norm"), x.getAs[Long]("n_tokens_raw"),
+          x.getAs[Long]("n_tokens_norm"))).toMap
+    // raw count is a plain single-space split: empty tokens from the
+    // double/triple spaces count (5 words + 2 empties)
+    assert(r(1L) == (("hello world spark 4ever", 7L, 4L)))
+    assert(r(2L)._1 == "")
+  }
+
+  test("vocabGrowth counts each word once, at its first slice") {
+    val d = docsDf(Seq(
+      (0L, "a b", "en", "s"), // slice 0: a b new
+      (1L, "b c", "en", "s"), // slice 0 (2 docs/slice at nSlices=2... )
+      (2L, "a d", "en", "s"),
+      (3L, "e e e", "en", "s")))
+    // nSlices=2 over 4 docs: docs 0-1 -> slice 0, docs 2-3 -> slice 1
+    val r = TextOps.vocabGrowth(d, nSlices = 2).collect()
+      .map(x => x.getAs[Long]("slice") ->
+        (x.getAs[Long]("n_new_words"), x.getAs[Long]("vocab_size"))).toMap
+    assert(r(0L) == ((3L, 3L))) // a b c
+    assert(r(1L) == ((2L, 5L))) // d e
+  }
+
   test("dedupCascadeReport funnels raw -> exact -> bow -> near-dup") {
     val d = docsDf(Seq(
       (1L, base, "en", "s1"),
