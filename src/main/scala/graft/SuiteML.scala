@@ -3549,6 +3549,97 @@ object SuiteML {
         |SELECT fwd.vec_a, fwd.vec_b, fwd.cq, fwd.margin_q
         |FROM fwd JOIN bwd USING (vec_a, vec_b)""".stripMargin)),
 
+    // ---- similarity: JL signed-projection sketch top-k + recall ----------
+    // The pd CTE of the shared LSH block IS the projection (per-plane
+    // exact integer dots, kept unsigned); 16 planes fold 64 dims.
+    Q("sim_proj_topk",
+      (s, d) => EmbeddingOps.projTopK(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |${lshBucketCte(16)},
+        |pv AS (SELECT vec_id, list_transform(
+        |         list_sort(list(struct_pack(plane := plane,
+        |           pc := CAST(pdot AS BIGINT)))), r -> r.pc) AS p
+        |       FROM pd GROUP BY 1),
+        |pu AS (SELECT vec_id, unnest(p) AS v FROM pv),
+        |pnn AS (SELECT vec_id, SUM(v*v) AS nn FROM pu GROUP BY 1),
+        |pp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
+        |              unnest(qe.p) AS a, unnest(ce.p) AS b
+        |       FROM pv qe, pv ce
+        |       WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+        |pd2 AS (SELECT query_id, vid, SUM(a*b) AS dot FROM pp GROUP BY 1, 2),
+        |psc AS (SELECT query_id, vid,
+        |          CAST(dot AS DOUBLE)
+        |            / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+        |        FROM pd2 JOIN pnn nq ON nq.vec_id = query_id
+        |                  JOIN pnn nv ON nv.vec_id = vid)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vid AS vec_id,
+        |       e.label, cos
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY cos DESC, vid) AS rk FROM psc) t
+        |JOIN e ON e.vec_id = t.vid
+        |WHERE rk <= 10""".stripMargin)),
+
+    Q("sim_proj_recall",
+      (s, d) => EmbeddingOps.projRecall(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |${lshBucketCte(16)},
+        |pv AS (SELECT vec_id, list_transform(
+        |         list_sort(list(struct_pack(plane := plane,
+        |           pc := CAST(pdot AS BIGINT)))), r -> r.pc) AS p
+        |       FROM pd GROUP BY 1),
+        |pu AS (SELECT vec_id, unnest(p) AS v FROM pv),
+        |pnn AS (SELECT vec_id, SUM(v*v) AS nn FROM pu GROUP BY 1),
+        |pp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
+        |              unnest(qe.p) AS a, unnest(ce.p) AS b
+        |       FROM pv qe, pv ce
+        |       WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+        |pd2 AS (SELECT query_id, vid, SUM(a*b) AS dot FROM pp GROUP BY 1, 2),
+        |pt AS (SELECT query_id, vid FROM (
+        |         SELECT query_id, vid, ROW_NUMBER() OVER (
+        |           PARTITION BY query_id ORDER BY
+        |             CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE))
+        |               * sqrt(CAST(nv.nn AS DOUBLE))) DESC, vid) AS rk
+        |         FROM pd2 JOIN pnn nq ON nq.vec_id = query_id
+        |                   JOIN pnn nv ON nv.vec_id = vid)
+        |       WHERE rk <= 10),
+        |bp AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
+        |              unnest(qe.q) AS a, unnest(ce.q) AS b
+        |       FROM e qe, e ce
+        |       WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+        |bd AS (SELECT query_id, vid, SUM(a*b) AS dot FROM bp GROUP BY 1, 2),
+        |bt AS (SELECT query_id, vid FROM (
+        |         SELECT query_id, vid, ROW_NUMBER() OVER (
+        |           PARTITION BY query_id ORDER BY
+        |             CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE))
+        |               * sqrt(CAST(nv.nn AS DOUBLE))) DESC, vid) AS rk
+        |         FROM bd JOIN n nq ON nq.vec_id = query_id
+        |                 JOIN n nv ON nv.vec_id = vid)
+        |       WHERE rk <= 10)
+        |SELECT b.query_id,
+        |       CAST(count(p.vid) AS BIGINT) AS n_overlap,
+        |       CAST(count(p.vid) AS DOUBLE) / 10 AS recall_at_k
+        |FROM bt b LEFT JOIN pt p ON p.query_id = b.query_id
+        |                        AND p.vid = b.vid
+        |GROUP BY 1""".stripMargin)),
+
+    // ---- curation: SFT pair assembly -------------------------------------
+    Q("text_sft_pack",
+      (s, d) => TextOps.sftPack(docs(s, d)),
+      Some("""WITH p AS (SELECT doc_id // 2 AS pair_id, doc_id AS prompt_id,
+        |              text AS prompt
+        |       FROM documents WHERE doc_id % 2 = 0),
+        |r AS (SELECT doc_id // 2 AS pair_id, doc_id AS response_id,
+        |             text AS response
+        |      FROM documents WHERE doc_id % 2 = 1),
+        |j AS (SELECT pair_id, prompt_id, response_id,
+        |        '<|user|> ' || prompt || ' <|assistant|> ' || response
+        |          || ' <|end|>' AS seq
+        |      FROM p JOIN r USING (pair_id))
+        |SELECT pair_id, prompt_id, response_id, seq,
+        |       CAST(len(string_split(seq, ' ')) AS BIGINT) AS n_tokens,
+        |       len(string_split(seq, ' ')) <= 300 AS kept
+        |FROM j""".stripMargin)),
+
     // ---- similarity: contrastive hard-negative mining --------------------
     Q("sim_hard_negatives",
       (s, d) => EmbeddingOps.hardNegatives(emb(s, d)),

@@ -1620,6 +1620,72 @@ object EmbeddingOps {
         Seq("vec_id"), "left")
   }
 
+  /** Signed-random-projection sketch of the corpus: each vector
+    * becomes its `nProj` exact integer dot products against the
+    * deterministic hyperplane matrix ([[planes]] — the same ±odd
+    * coefficients LSH bucketing signs, kept UNSIGNED here as a dense
+    * low-dimensional sketch). Johnson-Lindenstrauss in the cheapest
+    * integer form: 64 dims fold to `nProj`, preserving cosine
+    * geometry approximately, exactly replayable cross-engine. Only
+    * the (nProj x dim) plane matrix broadcasts. */
+  private def projected(e: DataFrame, nProj: Int): DataFrame =
+    e.select(col("vec_id"), col("label"),
+        posexplode(col("q")).as(Seq("c", "qc")))
+      .join(broadcast(planes(e, nProj)), Seq("c"))
+      .groupBy(col("vec_id"), col("label"), col("plane"))
+      .agg(sum(col("qc") * col("coef")).as("pc"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(plane, pc))), r -> r.pc)")
+        .as("p"))
+      .withColumn("pn",
+        aggregate(col("p"), lit(0L), (acc, x) => acc + x * x))
+
+  /** Brute top-k in the PROJECTED space — the dimensionality-reduced
+    * serving path (scan cost scales with nProj instead of dim; the
+    * price is recall, measured by [[projRecall]]). Same serving shape
+    * as [[annTopK]]: bounded query frame broadcast, one corpus scan,
+    * pre-trimmed per-query windows. */
+  def projTopK(emb: DataFrame, nProj: Int = 16, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val pr = projected(quantized(emb), nProj).pinned
+    val q = pr.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("p").as("qv"),
+        col("pn").as("qn"))
+    val scored = pr.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosine(qdot(col("qv"), col("p")), col("qn"), col("pn")).as("cos"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("label"),
+        col("cos"))
+  }
+
+  /** recall@k of the projected-space ranking against the exact
+    * full-dimension brute top-k — the JL sketch ships with its recall
+    * measurement like every other approximate route. */
+  def projRecall(emb: DataFrame, nProj: Int = 16, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val e = quantized(emb).pinned
+    val brute = annTopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val pr = projected(e, nProj).pinned
+    val q = pr.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("p").as("qv"),
+        col("pn").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val approx = pr.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(qdot(col("qv"), col("p")), col("qn"), col("pn")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    recallVsBrute(brute, approx, k)
+  }
+
   /** Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
     * LASER/CCMatrix bitext-mining criterion): a candidate pair (x, y)
     * scores by its cosine RELATIVE to each side's neighborhood —

@@ -266,6 +266,32 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** SFT pair assembly: adjacent doc_id pairs (even = prompt, odd =
+    * response) template into one role-marked training sequence —
+    * `<|user|> prompt <|assistant|> response <|end|>` — with the
+    * assembled token count and a `kept` flag for the fixed-context
+    * cut. The instruction-tuning counterpart of [[seqPack]]: packing
+    * arranges documents, this ASSEMBLES conversation turns (the
+    * role-template step every chat fine-tune runs before
+    * tokenization). One keyed equi-join on pair_id; everything else
+    * is per-row. */
+  def sftPack(docs: DataFrame, maxTokens: Long = 300L): DataFrame = {
+    require(maxTokens > 0, "maxTokens must be positive")
+    val p = docs.where(col("doc_id") % 2 === 0)
+      .select(expr("doc_id div 2").as("pair_id"),
+        col("doc_id").as("prompt_id"), col("text").as("prompt"))
+    val r = docs.where(col("doc_id") % 2 === 1)
+      .select(expr("doc_id div 2").as("pair_id"),
+        col("doc_id").as("response_id"), col("text").as("response"))
+    p.join(r, Seq("pair_id"))
+      .withColumn("seq", concat(lit("<|user|> "), col("prompt"),
+        lit(" <|assistant|> "), col("response"), lit(" <|end|>")))
+      .withColumn("n_tokens", size(split(col("seq"), " ")).cast("long"))
+      .withColumn("kept", col("n_tokens") <= maxTokens)
+      .select(col("pair_id"), col("prompt_id"), col("response_id"),
+        col("seq"), col("n_tokens"), col("kept"))
+  }
+
   /** Text normalization — the lexical front door of a curation chain
     * (run before hashing/shingling so trivially-reformatted
     * duplicates collide): lowercase, strip every character outside

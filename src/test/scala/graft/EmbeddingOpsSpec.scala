@@ -702,6 +702,29 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("projRecall at sf0.001 is high but honest (not assumed 1.0)") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val r = EmbeddingOps.projRecall(e).collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      val n = row.getAs[Long]("n_overlap")
+      assert(n >= 0L && n <= 10L)
+      assert(row.getAs[Double]("recall_at_k") == n.toDouble / 10)
+    }
+    // the 4x compression is genuinely lossy on this corpus (all
+    // cosines are tight), but it cannot be random noise everywhere:
+    // some brute neighbor survives the sketch across the query set
+    assert(r.map(_.getAs[Long]("n_overlap")).sum > 0L)
+    // identical vectors stay identical under any projection: a corpus
+    // of twins ranks its twin first in projected space too
+    val twins = embDf((0L to 5L).map(i =>
+      (i, Seq.tabulate(64)(j => if (j == (i / 2).toInt) 1f else 0f),
+        (i % 3).toInt)))
+    val top = EmbeddingOps.projTopK(twins, nQueries = 2, k = 1).collect()
+    assert(top.map(r2 => r2.getAs[Long]("query_id") ->
+      r2.getAs[Long]("vec_id")).toMap == Map(0L -> 1L, 1L -> 0L))
+  }
+
   test("marginMine pairs orthogonal even/odd twins mutually") {
     // three orthogonal directions, one even/odd twin per direction:
     // the mined set is exactly the diagonal matching, each with

@@ -592,6 +592,19 @@ class ScaleProbeSpec extends SparkSpec {
       "hardNegatives' rank<=k window has no Partial pre-shuffle trim")
   }
 
+  test("projTopK at 10x sf0.1: only the plane matrix and query sketch " +
+    "broadcast; sketch aggregation stays keyed") {
+    val plan = staticPlanOf(
+      EmbeddingOps.projTopK(syntheticEmb(20000L, dim = 64)))
+    assertShuffleHealth("projTopK", plan)
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("coef") || cols.contains("query_id"),
+        "projTopK broadcasts a non-bounded frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("budgetSelect at 10x sf0.1: only the shard-offset frame broadcasts; " +
     "no corpus-wide single-partition window") {
     // the corpus-sized frames move through shard-keyed shuffles; the

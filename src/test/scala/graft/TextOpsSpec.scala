@@ -1305,6 +1305,25 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("sftPack assembles role-templated pairs with a length cut") {
+    val d = docsDf(Seq(
+      (0L, "how do i join", "en", "s"),
+      (1L, "use a hash join", "en", "s"),
+      (2L, "what is spark", "en", "s"),
+      (3L, (1 to 50).map(i => s"w$i").mkString(" "), "en", "s"),
+      (4L, "orphan prompt", "en", "s"))) // no response: dropped
+    val r = TextOps.sftPack(d, maxTokens = 12).collect()
+      .map(x => x.getAs[Long]("pair_id") -> x).toMap
+    assert(r.keySet == Set(0L, 1L))
+    assert(r(0L).getAs[String]("seq") ==
+      "<|user|> how do i join <|assistant|> use a hash join <|end|>")
+    assert(r(0L).getAs[Long]("n_tokens") == 11L) // 4 + 4 + 3 markers
+    assert(r(0L).getAs[Boolean]("kept"))
+    assert(!r(1L).getAs[Boolean]("kept")) // 50-token response blows the cut
+    assert(r(1L).getAs[Long]("prompt_id") == 2L)
+    assert(r(1L).getAs[Long]("response_id") == 3L)
+  }
+
   test("normalizeText lowercases, strips punctuation, collapses spaces") {
     val d = docsDf(Seq(
       (1L, "Hello, WORLD!!  (spark)   4ever", "en", "s"),
