@@ -3622,6 +3622,64 @@ object SuiteML {
         |                        AND p.vid = b.vid
         |GROUP BY 1""".stripMargin)),
 
+    // ---- curation: Borda rank fusion of LM + DSIR quality signals --------
+    Q("text_rank_fusion",
+      (s, d) => TextOps.rankFusion(docs(s, d), DsirTarget, DsirBuckets),
+      Some(s"""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |bs AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM w),
+        |db AS (SELECT doc_id, ls[i] AS lhs, ls[i+1] AS rhs,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM bs GROUP BY 1, 2, 3),
+        |lm AS (SELECT lhs, rhs, CAST(sum(k) AS BIGINT) AS c_ab
+        |       FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT lhs, CAST(sum(c_ab) AS BIGINT) AS c_lhs
+        |        FROM lm GROUP BY 1),
+        |lmsc AS (SELECT doc_id,
+        |           CAST(sum(k * q) AS DOUBLE) / sum(k) AS avg_nll
+        |         FROM (SELECT doc_id, k,
+        |                 CAST(length(bin(c_lhs // c_ab)) - 1 AS BIGINT) AS q
+        |               FROM db JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs))
+        |         GROUP BY 1),
+        |wd AS (SELECT doc_id, source, string_split(text,' ') AS ls
+        |       FROM documents),
+        |fd AS (SELECT doc_id, source, unnest(list_concat(
+        |         list_transform(ls, t -> 'u:' || t),
+        |         list_transform(range(1, len(ls)),
+        |           i -> 'b:' || ls[i] || ' ' || ls[i+1]))) AS f
+        |       FROM wd),
+        |pdd AS (SELECT doc_id, source,
+        |          CAST(((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 4096
+        |              + (strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1) * 256
+        |              + (strpos('0123456789abcdef', substr(md5(f), 3, 1)) - 1) * 16
+        |              + (strpos('0123456789abcdef', substr(md5(f), 4, 1)) - 1))
+        |            % $DsirBuckets AS BIGINT) AS bucket,
+        |          CAST(count(*) AS BIGINT) AS k
+        |        FROM fd GROUP BY 1, 2, 3),
+        |distd AS (SELECT bucket,
+        |            CAST(length(bin(CAST(sum(CASE WHEN source = '$DsirTarget'
+        |              THEN k ELSE 0 END) + 1 AS BIGINT))) - 1 AS BIGINT) AS qlog_t,
+        |            CAST(length(bin(CAST(sum(CASE WHEN source <> '$DsirTarget'
+        |              THEN k ELSE 0 END) + 1 AS BIGINT))) - 1 AS BIGINT) AS qlog_r
+        |          FROM pdd GROUP BY 1),
+        |dsirsc AS (SELECT doc_id,
+        |             CAST(sum(k * (qlog_t - qlog_r)) AS DOUBLE) / sum(k)
+        |               AS avg_weight
+        |           FROM pdd JOIN distd USING (bucket)
+        |           WHERE source <> '$DsirTarget'
+        |           GROUP BY 1),
+        |j AS (SELECT doc_id, avg_nll, avg_weight
+        |      FROM lmsc JOIN dsirsc USING (doc_id)),
+        |rk AS (SELECT *,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY avg_nll, doc_id)
+        |           AS BIGINT) AS ppl_rank,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY avg_weight DESC, doc_id)
+        |           AS BIGINT) AS dsir_rank
+        |       FROM j)
+        |SELECT doc_id, avg_nll, avg_weight, ppl_rank, dsir_rank,
+        |       ppl_rank + dsir_rank AS borda
+        |FROM rk ORDER BY borda, doc_id LIMIT 100""".stripMargin)),
+
     // ---- curation: SFT pair assembly -------------------------------------
     Q("text_sft_pack",
       (s, d) => TextOps.sftPack(docs(s, d)),

@@ -266,6 +266,63 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Exact global rank (1-based, ascending `score` with doc_id
+    * tie-break) without a corpus-wide single-partition sort — the
+    * [[pplBuckets]] order-aligned shard trick as a reusable step:
+    * shard by floor(score*granularity) (monotone, so shard order
+    * refines score order), ranks compose from the shard-cardinality
+    * offset frame + a per-shard window. */
+  private def rankBy(df: DataFrame, score: Column, granularity: Int,
+      rankName: String): DataFrame = {
+    val sh = df.withColumn("_rs", score)
+      .withColumn("_shard", floor(col("_rs") * granularity).cast("long"))
+      .pinned
+    val counts = sh.groupBy(col("_shard")).agg(count(lit(1)).as("cnt"))
+    val wOff = Window.orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = counts.withColumn("_off",
+      coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("_shard"), col("_off"))
+    val wIn = Window.partitionBy(col("_shard"))
+      .orderBy(col("_rs"), col("doc_id"))
+    sh.join(broadcast(off), Seq("_shard"))
+      .withColumn(rankName,
+        row_number().over(wIn).cast("long") + col("_off"))
+      .drop("_rs", "_shard", "_off")
+  }
+
+  /** Borda rank fusion of two independent quality signals — the
+    * ensemble selection pattern (QuRating-style raters, CCNet
+    * perplexity + DSIR target-similarity here): each doc gets its
+    * exact global rank under the LM score (ascending — lower
+    * perplexity is better) and under the DSIR importance weight
+    * (descending — more target-like is better), and the fused
+    * ordering is the rank SUM, surfaced as the top `k` by
+    * (borda, doc_id). Rank fusion is scale-robust where score fusion
+    * is not: the two signals live on incomparable scales, ranks
+    * don't. Both ranks run [[rankBy]]'s shard trick (no global sort);
+    * the final cut is a TakeOrderedAndProject. Only docs carrying
+    * BOTH signals rank (outside the DSIR target source, >= 2
+    * tokens). */
+  def rankFusion(docs: DataFrame, targetSource: String,
+      nBuckets: Int = DsirDefaultBuckets, granularity: Int = 8,
+      k: Int = 100): DataFrame = {
+    val lm = lmScore(docs).select(col("doc_id"), col("avg_nll"))
+    val dw = dsirWeight(docs, targetSource, nBuckets)
+      .select(col("doc_id"), col("avg_weight"))
+    val both = lm.join(dw, Seq("doc_id")).pinned
+    val r1 = rankBy(both, col("avg_nll"), granularity, "ppl_rank")
+    val r2 = rankBy(both.select(col("doc_id"), col("avg_weight")),
+      -col("avg_weight"), granularity, "dsir_rank")
+      .select(col("doc_id"), col("dsir_rank"))
+    r1.join(r2, Seq("doc_id"))
+      .withColumn("borda", col("ppl_rank") + col("dsir_rank"))
+      .select(col("doc_id"), col("avg_nll"), col("avg_weight"),
+        col("ppl_rank"), col("dsir_rank"), col("borda"))
+      .orderBy(col("borda").asc, col("doc_id").asc)
+      .limit(k)
+  }
+
   /** SFT pair assembly: adjacent doc_id pairs (even = prompt, odd =
     * response) template into one role-marked training sequence —
     * `<|user|> prompt <|assistant|> response <|end|>` — with the

@@ -592,6 +592,36 @@ class ScaleProbeSpec extends SparkSpec {
       "hardNegatives' rank<=k window has no Partial pre-shuffle trim")
   }
 
+  test("rankFusion at 10x sf0.1: only shard offsets and the DSIR bucket " +
+    "distribution broadcast; corpus shuffles keep parallelism") {
+    val multiSource = syntheticDocs(50000L)
+      .withColumn("source", concat(lit("src"),
+        pmod(col("doc_id"), lit(8)).cast("string")))
+    val plan = staticPlanOf(TextOps.rankFusion(multiSource, "src0"))
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 1,
+      s"rankFusion lost its corpus-side parallel shuffle: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"rankFusion has a shuffle at odd parallelism: $parts")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "rankFusion plans a CartesianProduct")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("_off") || cols.contains("bucket"),
+        "rankFusion broadcasts a non-bounded frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+    assert(plan.collect {
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+    }.nonEmpty, "rankFusion's fused top-k is not a TakeOrderedAndProject")
+  }
+
   test("projTopK at 10x sf0.1: only the plane matrix and query sketch " +
     "broadcast; sketch aggregation stays keyed") {
     val plan = staticPlanOf(

@@ -1305,6 +1305,31 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("rankFusion's shard ranks equal the naive global ordering") {
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+    val r = TextOps.rankFusion(d, "src0", k = 1000000).collect()
+    // both rank columns are permutations of 1..N
+    val n = r.length
+    val expectedRanks = Array.tabulate(n)(i => i + 1L)
+    assert(r.map(_.getAs[Long]("ppl_rank")).sorted
+      .sameElements(expectedRanks))
+    assert(r.map(_.getAs[Long]("dsir_rank")).sorted
+      .sameElements(expectedRanks))
+    // the shard-offset rank equals the naive sort rank, both signals
+    val byNll = r.sortBy(x =>
+      (x.getAs[Double]("avg_nll"), x.getAs[Long]("doc_id")))
+    byNll.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getAs[Long]("ppl_rank") == i + 1L)
+    }
+    val byW = r.sortBy(x =>
+      (-x.getAs[Double]("avg_weight"), x.getAs[Long]("doc_id")))
+    byW.zipWithIndex.foreach { case (row, i) =>
+      assert(row.getAs[Long]("dsir_rank") == i + 1L)
+    }
+    r.foreach(x => assert(x.getAs[Long]("borda") ==
+      x.getAs[Long]("ppl_rank") + x.getAs[Long]("dsir_rank")))
+  }
+
   test("sftPack assembles role-templated pairs with a length cut") {
     val d = docsDf(Seq(
       (0L, "how do i join", "en", "s"),
