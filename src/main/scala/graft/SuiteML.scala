@@ -3622,6 +3622,34 @@ object SuiteML {
         |                        AND p.vid = b.vid
         |GROUP BY 1""".stripMargin)),
 
+    // ---- curation: contamination attribution per source ------------------
+    Q("text_contamination_by_source",
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.contaminationBySource(
+          all.where(col("doc_id") % DecontMod =!= 0),
+          all.where(col("doc_id") % DecontMod === 0))
+      },
+      Some(s"""WITH $TokCte,
+        |bset AS (SELECT DISTINCT s FROM ds WHERE doc_id % $DecontMod = 0),
+        |cs AS (SELECT doc_id, s FROM ds WHERE doc_id % $DecontMod <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY 1),
+        |sh AS (SELECT cs.doc_id, count(*) AS n_shared
+        |       FROM cs JOIN bset USING (s) GROUP BY 1),
+        |pd AS (SELECT z.doc_id, z.n_shingles,
+        |         COALESCE(sh.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |         COALESCE(sh.n_shared, 0) * 10 >= z.n_shingles * 8 AS contaminated
+        |       FROM sz z LEFT JOIN sh USING (doc_id))
+        |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN contaminated THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_contaminated,
+        |       CAST(SUM(n_shared) AS BIGINT) AS sum_shared,
+        |       CAST(SUM(n_shingles) AS BIGINT) AS sum_shingles,
+        |       CAST(SUM(n_shared) AS BIGINT) * 1000
+        |         // CAST(SUM(n_shingles) AS BIGINT) AS shared_permille
+        |FROM pd JOIN documents d USING (doc_id)
+        |GROUP BY 1""".stripMargin)),
+
     // ---- curation: Borda rank fusion of LM + DSIR quality signals --------
     Q("text_rank_fusion",
       (s, d) => TextOps.rankFusion(docs(s, d), DsirTarget, DsirBuckets),

@@ -266,6 +266,25 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Contamination attribution card: [[decontaminate]]'s per-doc
+    * overlap rolled up per SOURCE — which ingest feeds carry the
+    * benchmark leakage (the question a curation team actually acts
+    * on: drop the feed, not just the docs). Exact integer masses, one
+    * permille division per source; the rollup is one aggregate over
+    * the per-doc frame joined back to its source label. */
+  def contaminationBySource(corpus: DataFrame, benchmark: DataFrame,
+      num: Int = 8, den: Int = 10): DataFrame =
+    decontaminate(corpus, benchmark, num, den)
+      .join(corpus.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("contaminated"), 1L).otherwise(0L))
+          .as("n_contaminated"),
+        sum(col("n_shared")).as("sum_shared"),
+        sum(col("n_shingles")).as("sum_shingles"))
+      .withColumn("shared_permille",
+        expr("sum_shared * 1000 div sum_shingles"))
+
   /** Exact global rank (1-based, ascending `score` with doc_id
     * tie-break) without a corpus-wide single-partition sort — the
     * [[pplBuckets]] order-aligned shard trick as a reusable step:

@@ -1305,6 +1305,20 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("contaminationBySource attributes leakage to the right feed") {
+    val bench = docsDf(Seq((100L, base, "en", "bench")))
+    val corpus = docsDf(Seq(
+      (1L, base, "en", "dirty"), // fully shared with the benchmark
+      (2L, other, "en", "clean"),
+      (3L, other, "fr", "clean")))
+    val r = TextOps.contaminationBySource(corpus, bench).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_contaminated"),
+          x.getAs[Long]("shared_permille"))).toMap
+    assert(r("dirty") == ((1L, 1L, 1000L)))
+    assert(r("clean") == ((2L, 0L, 0L)))
+  }
+
   test("rankFusion's shard ranks equal the naive global ordering") {
     val d = Tables(spark, "/root/testdata/sf0.001").documents
     val r = TextOps.rankFusion(d, "src0", k = 1000000).collect()
