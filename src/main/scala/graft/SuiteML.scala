@@ -3417,6 +3417,39 @@ object SuiteML {
         |FROM sc GROUP BY 1
         |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // ---- retrieval: BM25 served from the PERSISTED inverted index --------
+    // Build-once via cachedIndex; serving reads only the query terms'
+    // tb= buckets of committed segments. Pruning cannot change the
+    // answer, so the oracle is text_bm25_topk's SQL verbatim.
+    Q("text_bm25_indexed",
+      (s, d) => {
+        val idx = cachedIndex("bm25", d,
+          p => TextOps.bm25IndexWrite(docs(s, d), p))
+        TextOps.bm25TopKIndexed(s, idx, Bm25Terms)
+      },
+      Some(s"""WITH dl AS (SELECT doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |       FROM documents),
+        |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok,
+        |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |             FROM documents)
+        |       WHERE word IN ($Bm25TermsSql) GROUP BY 1, 2),
+        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT doc_id, dl,
+        |         CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_q,
+        |         CAST(CAST(tf AS HUGEINT) * ${Bm25K1 + 1000L} * 1000 * t_tok * 1000
+        |              // (CAST(tf AS HUGEINT) * 1000000 * t_tok
+        |                  + CAST(${Bm25K1 * (1000L - Bm25B)} AS HUGEINT) * t_tok
+        |                  + CAST(${Bm25K1 * Bm25B} AS HUGEINT) * dl * n_docs)
+        |           AS BIGINT) AS sat
+        |       FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot)
+        |SELECT doc_id, max(dl) AS dl, count(*) AS n_terms,
+        |       CAST(SUM(idf_q * sat) AS BIGINT) AS score_q
+        |FROM sc GROUP BY 1
+        |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin)),
+
     // ---- retrieval: cross-corpus BM25 serving from prebuilt stats --------
     // Collection statistics (df, N, T) come from every source EXCEPT
     // src0; the src0 documents are the fresh batch being ranked — the

@@ -266,6 +266,194 @@ object TextOps {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** Per-batch BM25 index frames: postings (word, doc_id, tf, dl, tb)
+    * with the doc length DENORMALIZED onto every posting row — serve
+    * never needs a doc-cardinality side table — and the 1-row batch
+    * totals. tb = pmod(hash(word), nBuckets) is the directory
+    * partition key the serve path prunes on. */
+  private def bm25SegFrames(batch: DataFrame,
+      nBuckets: Int): (DataFrame, DataFrame) = {
+    val dl = batch.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl")).pinned
+    val postings = tokens(batch)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("tb", pmod(hash(col("word")), lit(nBuckets)))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_tok"))
+    (postings, totals)
+  }
+
+  /** Persisted BM25 inverted index — the [[graft.operators
+    * .EmbeddingOps.ivfIndexWrite]] protocol applied to retrieval.
+    * Layout under `path`: `postings/seg=N/tb=B/` (term-bucketed
+    * posting lists, doc length denormalized), `totals/seg=N/` (one
+    * accumulating row per segment), `params/` (the write-once bucket
+    * modulus), `_segs` manifest. Crash-atomic: built under a hidden
+    * sibling, swapped in whole; a killed rebuild heals on the next
+    * call. Serving ([[bm25TopKIndexed]]) reads ONLY the query terms'
+    * buckets — IO is |corpus|·|terms' buckets|/nBuckets, never the
+    * collection. */
+  def bm25IndexWrite(docs: DataFrame, path: String,
+      nBuckets: Int = 16): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val s = docs.sparkSession
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    Warehouse.recoverSwap(fs, root) // heal a crashed previous rebuild
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val (postings, totals) = bm25SegFrames(docs, nBuckets)
+    postings.repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"$tmp/postings/seg=0")
+    totals.write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
+    val sess = s
+    import sess.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$tmp/params")
+    EmbeddingOps.commitGen(fs,
+      new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    Warehouse.swapInto(fs, tmp, root)
+  }
+
+  private def bm25Params(s: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    s.read.parquet(s"$path/params").head.getAs[Int]("n_buckets")
+
+  /** Append a NEW batch of documents as one crash-atomic segment:
+    * postings bucket under the STORED modulus, the batch's totals row
+    * lands beside the prior segments' (collection stats accumulate by
+    * segment sum). Both directories stage hidden and publish by
+    * rename BEFORE the manifest commit — a crash at any point leaves
+    * serving on the previous manifest, and the retry replaces the
+    * unreferenced leftovers wholesale ([[graft.operators.EmbeddingOps
+    * .appendSegment]]'s contract, widened to a two-directory
+    * segment). Not registry-guarded: compose with an upstream dedup
+    * gate for at-least-once feeds. */
+  def bm25IndexAppend(docs: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = docs.sparkSession
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    val (gen, segs) = EmbeddingOps.committedSegs(fs, metaDir)
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — build the index first")
+    val segId = segs.max + 1
+    val (postings, totals) = bm25SegFrames(docs, bm25Params(s, path))
+    def stage(dataDir: String, write: String => Unit): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(root, dataDir)
+      val staged = new org.apache.hadoop.fs.Path(dir, s".seg-$segId.stage")
+      val dest = new org.apache.hadoop.fs.Path(dir, s"seg=$segId")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      write(staged.toString)
+      failpoint(s"staged-$dataDir")
+      require(fs.rename(staged, dest),
+        s"could not publish index segment $dest (staged at $staged)")
+    }
+    stage("postings", p => postings.repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite").parquet(p))
+    stage("totals", p => totals.write.mode("overwrite").parquet(p))
+    failpoint("segments-renamed")
+    EmbeddingOps.commitGen(fs, metaDir, gen + 1, segs :+ segId)
+  }
+
+  /** Serve BM25 top-k for a literal term set from the persisted
+    * index: the terms' bucket ids (bounded by |terms|) collect and
+    * push as a literal IN beside the committed-segment filter, so the
+    * postings scan carries STATIC partition filters on (seg, tb);
+    * document frequencies come off the pruned+tombstone-masked
+    * postings (df stays EXACT under deletion); the totals row sums
+    * the per-segment frame (one row per segment — totals include
+    * tombstoned docs' mass until [[bm25IndexCompact]] applies
+    * deletions physically, the index family's standard drift
+    * contract). Output is column-for-column [[bm25TopK]]. */
+  /** The pruned live-postings read behind [[bm25TopKIndexed]],
+    * exposed un-pinned so plan probes can assert the (seg, tb)
+    * partition filters on the actual serve path: committed-segment
+    * filter + the terms' bucket ids as a literal IN, exact term
+    * filter within the bucket, tombstone anti-join. */
+  private[graft] def bm25PostingsScan(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    val nBuckets = bm25Params(s, path)
+    import s.implicits._
+    val tq = terms.toDF("word")
+      .withColumn("tb", pmod(hash(col("word")), lit(nBuckets)))
+      .pinned // bucket-id collect + exact term filter, one build
+    val tbs = tq.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)) // bounded by |terms| by construction
+    s.read.parquet(s"$path/postings")
+      .where(EmbeddingOps.segFilter(s, path) &&
+        col("tb").isin(tbs.map(Int.box): _*))
+      .join(broadcast(tq.select(col("word"))), Seq("word"))
+      .join(EmbeddingOps.tombstones(s, path, "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("word"), col("tf"), col("dl"))
+  }
+
+  def bm25TopKIndexed(s: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "query terms must be non-empty and distinct")
+    val posts = bm25PostingsScan(s, path, terms)
+      .pinned // df branch + scoring branch, one pruned scan
+    val df_ = broadcast(posts.groupBy(col("word"))
+      .agg(count(lit(1)).as("df")))
+    val tot = broadcast(s.read.parquet(s"$path/totals")
+      .where(EmbeddingOps.segFilter(s, path))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tok")).as("t_tok")))
+    bm25Rank(posts.join(df_, Seq("word")).crossJoin(tot),
+      k, k1Permille, bPermille)
+  }
+
+  /** Consolidate all segments into one and apply tombstones
+    * PHYSICALLY — and, unlike the generic [[graft.operators
+    * .EmbeddingOps.ivfIndexCompact]] path, RECOMPUTE the totals from
+    * the surviving postings (distinct (doc_id, dl) per doc), so the
+    * post-compaction collection statistics are exact again after any
+    * deletion history. Swap-atomic; the staged tree carries no
+    * tombstones, so compaction clears them. */
+  def bm25IndexCompact(s: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    Warehouse.recoverSwap(fs, root)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    val (gen, segs) = EmbeddingOps.committedSegs(fs, metaDir)
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    val (dg, dsegs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_dels"))
+    val hasDels = dg >= 0 && dsegs.nonEmpty
+    if (segs.size <= 1 && !hasDels) 0
+    else {
+      val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(root, "params"), fs,
+        new org.apache.hadoop.fs.Path(tmp, "params"), false, false,
+        s.sparkContext.hadoopConfiguration)
+      val live = s.read.option("basePath", s"$path/postings")
+        .parquet(segs.sorted.map(n => s"$path/postings/seg=$n"): _*)
+        .drop("seg")
+        .join(EmbeddingOps.tombstones(s, path, "doc_id"),
+          Seq("doc_id"), "left_anti")
+        .pinned // postings rewrite + totals recompute, one read
+      live.repartition(col("tb"))
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$tmp/postings/seg=0")
+      live.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+        .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
+      EmbeddingOps.commitGen(fs,
+        new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+      Warehouse.swapInto(fs, tmp, root)
+      segs.size
+    }
+  }
+
   /** Contamination attribution card: [[decontaminate]]'s per-doc
     * overlap rolled up per SOURCE — which ingest feeds carry the
     * benchmark leakage (the question a curation team actually acts

@@ -592,6 +592,39 @@ class ScaleProbeSpec extends SparkSpec {
       "hardNegatives' rank<=k window has no Partial pre-shuffle trim")
   }
 
+  test("bm25TopKIndexed at 10x sf0.1: postings scan carries seg + " +
+    "term-bucket partition filters; only bounded frames broadcast") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_probe_idx").resolve("ix").toString
+    TextOps.bm25IndexWrite(syntheticDocs(50000L), idx)
+    // the serve pins the pruned scan for its two consumers, which
+    // hides the file source from the downstream plan — probe the
+    // exposed scan builder (the serve path itself) for the filters
+    val scanPlan = staticPlanOf(
+      TextOps.bm25PostingsScan(spark, idx, Seq("w1", "w2", "w3")))
+    val plan = staticPlanOf(
+      TextOps.bm25TopKIndexed(spark, idx, Seq("w1", "w2", "w3")))
+    val scans = scanPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("postings")) => sc
+    }
+    assert(scans.nonEmpty, "no parquet scan of the postings found")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "postings scan has no partition filter")
+      val rendered = sc.partitionFilters.map(_.toString).mkString(" ")
+      assert(rendered.contains("tb#") || rendered.contains("tb IN"),
+        s"postings scan does not prune on the term bucket: $rendered")
+    }
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("word") || cols.contains("t_tok"),
+        "bm25TopKIndexed broadcasts a non-bounded frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("rankFusion at 10x sf0.1: only shard offsets and the DSIR bucket " +
     "distribution broadcast; corpus shuffles keep parallelism") {
     val multiSource = syntheticDocs(50000L)

@@ -1305,6 +1305,47 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("persisted BM25 index lifecycle: build, crash-safe append, " +
+      "delete, compact") {
+    import spark.implicits._
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .localCheckpoint()
+    val a = all.where($"doc_id" < 300)
+    val b = all.where($"doc_id" >= 300)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_idx").resolve("ix").toString
+    val terms = Seq("join", "vector", "filter")
+    def served = TextOps.bm25TopKIndexed(spark, idx, terms)
+      .collect().map(_.toString)
+    TextOps.bm25IndexWrite(a, idx)
+    assert(served.sameElements(
+      TextOps.bm25TopK(a, terms).collect().map(_.toString)))
+    // crash between the two directory publishes: the manifest is
+    // uncommitted, serving unchanged; the retry replaces leftovers
+    val before = served
+    intercept[RuntimeException] {
+      TextOps.bm25IndexAppend(b, idx,
+        fp => if (fp == "staged-totals") throw new RuntimeException("boom"))
+    }
+    assert(served.sameElements(before))
+    TextOps.bm25IndexAppend(b, idx)
+    assert(served.sameElements(
+      TextOps.bm25TopK(all, terms).collect().map(_.toString)))
+    // tombstone the top doc: it leaves the serving top-k immediately
+    val top = TextOps.bm25TopKIndexed(spark, idx, terms)
+      .collect()(0).getAs[Long]("doc_id")
+    graft.operators.EmbeddingOps.indexDelete(spark, idx,
+      Seq(top).toDF("doc_id"), keyCol = "doc_id")
+    assert(!TextOps.bm25TopKIndexed(spark, idx, terms).collect()
+      .map(_.getAs[Long]("doc_id")).contains(top))
+    // compaction applies the deletion physically AND recomputes the
+    // totals, so serving equals a direct build over the live docs
+    assert(TextOps.bm25IndexCompact(spark, idx) >= 1)
+    assert(served.sameElements(
+      TextOps.bm25TopK(all.where($"doc_id" =!= top), terms)
+        .collect().map(_.toString)))
+  }
+
   test("contaminationBySource attributes leakage to the right feed") {
     val bench = docsDf(Seq((100L, base, "en", "bench")))
     val corpus = docsDf(Seq(
