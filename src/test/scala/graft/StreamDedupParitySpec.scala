@@ -1151,4 +1151,49 @@ class StreamDedupParitySpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(viaStream.nonEmpty && viaStream.sameElements(viaBatch))
   }
+
+  test("streamed registry -> persisted BM25 index -> retrieval serving " +
+    "equals a batch build, through an incremental append") {
+    // the retrieval twin of the MinHash composition: the mutation-
+    // guarded registry dedups an at-least-once feed in FRONT of the
+    // (registry-free) bm25IndexAppend, and serving from the
+    // incrementally-built index equals one batch build over the
+    // distinct stored corpus
+    import spark.implicits._
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .localCheckpoint()
+    val first = all.where($"doc_id" < 250)
+    val second = all.where($"doc_id" >= 250)
+    val slices = Seq(first,
+      second.unionAll(first.where($"doc_id" < 100))) // re-delivery
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_e2e_bm_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_e2e_bm_state").resolve("st").toString
+    val q = Streams.dedupExactSink(
+        spark.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+        statePath,
+        java.nio.file.Files
+          .createTempDirectory("graft_e2e_bm_ck").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+    // each registered batch appends exactly its NEW docs: replay the
+    // gate per slice (the registry keeps first delivery's doc set)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_e2e_bm_idx").resolve("ix").toString
+    TextOps.bm25IndexWrite(first, idx)
+    val registered = graft.streaming.Streams.foldState(spark, statePath)
+      .select($"kept_doc_id".as("doc_id"))
+    val newDocs = second.join(registered, Seq("doc_id"), "left_semi")
+    TextOps.bm25IndexAppend(newDocs, idx)
+    val terms = Seq("join", "vector", "filter")
+    val viaStream = TextOps.bm25TopKIndexed(spark, idx, terms)
+      .collect().map(_.toString)
+    val direct = TextOps.bm25TopK(all, terms).collect().map(_.toString)
+    assert(viaStream.nonEmpty && viaStream.sameElements(direct))
+  }
 }
