@@ -3655,6 +3655,53 @@ object SuiteML {
         |                        AND p.vid = b.vid
         |GROUP BY 1""".stripMargin)),
 
+    // ---- analysis: SimHash hamming top-k document retrieval --------------
+    Q("sim_simhash_topk",
+      (s, d) => TextOps.simhashTopK(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |$SimhashSql,
+        |q AS (SELECT doc_id AS query_id, simhash AS qh FROM shh
+        |      WHERE doc_id < 5),
+        |sc AS (SELECT query_id, doc_id,
+        |         CAST(bit_count(xor(qh, simhash)) AS INTEGER) AS hamming
+        |       FROM shh, q WHERE doc_id <> query_id)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, doc_id, hamming
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY hamming, doc_id) AS rk FROM sc)
+        |WHERE rk <= 10""".stripMargin)),
+
+    // ---- curation: intra-doc worst-quality span localization -------------
+    Q("text_worst_span",
+      (s, d) => TextOps.worstSpan(docs(s, d)),
+      Some("""WITH tokp AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |  FROM documents),
+        |bg AS (SELECT doc_id, pos, word AS lhs,
+        |         LEAD(word) OVER (PARTITION BY doc_id ORDER BY pos) AS rhs
+        |       FROM tokp),
+        |bgx AS (SELECT * FROM bg WHERE rhs IS NOT NULL),
+        |lm AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM bgx GROUP BY 1, 2),
+        |ctx AS (SELECT lhs, CAST(sum(c_ab) AS BIGINT) AS c_lhs
+        |        FROM lm GROUP BY 1),
+        |sc AS (SELECT doc_id, pos,
+        |         CAST(length(bin(c_lhs // c_ab)) - 1 AS BIGINT) AS q
+        |       FROM bgx JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs)),
+        |sp AS (SELECT doc_id, pos,
+        |         CAST(SUM(q) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS BIGINT)
+        |           AS span_nll,
+        |         COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING) AS span_len
+        |       FROM sc)
+        |SELECT doc_id, CAST(span_start AS INTEGER) AS span_start, span_nll
+        |FROM (SELECT doc_id, pos AS span_start, span_nll,
+        |        ROW_NUMBER() OVER (PARTITION BY doc_id
+        |          ORDER BY span_nll DESC, pos) AS rk
+        |      FROM sp WHERE span_len = 10)
+        |WHERE rk = 1""".stripMargin)),
+
     // ---- curation: contamination attribution per source ------------------
     Q("text_contamination_by_source",
       (s, d) => {

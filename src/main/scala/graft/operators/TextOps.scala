@@ -1264,6 +1264,68 @@ object TextOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Intra-document quality localization: the W-bigram window with
+    * the highest quantized LM negative log-likelihood per doc — WHERE
+    * a document goes bad, not just that it does (the trim-the-span
+    * upgrade over [[lmScore]]'s drop-the-doc gate: boilerplate
+    * injections, encoding garbage, and spam inserts sit in localized
+    * spans that doc-level averages dilute). Per-position bigram
+    * scores come from one lead() window over the token stream joined
+    * to the corpus LM (vocabulary-keyed, never broadcast); span sums
+    * are a doc-keyed running window of exact integers; the per-doc
+    * argmax pre-trims with rank=1. Docs with fewer than `w` scored
+    * bigrams have no full window and drop. */
+  def worstSpan(docs: DataFrame, w: Int = 10): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    val d = docs.pinned
+    val lm = lmModelOf(docBigrams(d)).pinned
+    val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val big = tokens(d)
+      .withColumn("rhs", lead(col("word"), 1).over(wd))
+      .where(col("rhs").isNotNull)
+      .select(col("doc_id"), col("pos"), col("word").as("lhs"),
+        col("rhs"))
+    val scored = big.join(lm, Seq("lhs", "rhs")).join(ctx, Seq("lhs"))
+      .withColumn("q",
+        (length(bin(expr("c_lhs div c_ab"))) - 1).cast("long"))
+    val ws = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(0, w - 1)
+    val sums = scored
+      .withColumn("span_nll", sum(col("q")).over(ws))
+      .withColumn("span_len", count(lit(1)).over(ws))
+      .where(col("span_len") === w)
+    val wr = Window.partitionBy(col("doc_id"))
+      .orderBy(col("span_nll").desc, col("pos").asc)
+    sums.withColumn("rk", row_number().over(wr))
+      .where(col("rk") === 1)
+      .select(col("doc_id"), col("pos").as("span_start"),
+        col("span_nll"))
+  }
+
+  /** Top-k most-similar DOCUMENTS by SimHash hamming distance — the
+    * retrieval face of the [[simhash]] fingerprint (given a doc, find
+    * its closest stylistic/lexical neighbors without shingle sets or
+    * embeddings; 8 bytes per doc is the entire index). Serving shape
+    * is the [[graft.operators.EmbeddingOps.annTopK]] one: the bounded
+    * query fingerprints broadcast, the fingerprint table scans once,
+    * the rank<=k window pre-trims per partition. Total-order
+    * tie-break on (hamming, doc_id). */
+  def simhashTopK(docs: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val sh = simhash(docs).pinned
+    val q = sh.where(col("doc_id") < nQueries)
+      .select(col("doc_id").as("query_id"), col("simhash").as("qh"))
+    val scored = sh.join(broadcast(q), col("doc_id") =!= col("query_id"))
+      .select(col("query_id"), col("doc_id"),
+        bit_count(col("qh").bitwiseXOR(col("simhash"))).as("hamming"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming").asc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("doc_id"), col("hamming"))
+  }
+
   /** Corpus-trained language identification: per-(lang, word) frequency
     * profiles from the labeled corpus, then per doc the argmax over
     * langs of dot(doc term counts, lang profile) / lang size. Integer

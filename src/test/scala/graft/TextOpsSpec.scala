@@ -1305,6 +1305,38 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("simhashTopK ranks the exact duplicate at hamming 0") {
+    val r = TextOps.simhashTopK(docs, nQueries = 3, k = 3).collect()
+    val top = r.filter(_.getAs[Int]("rk") == 1)
+      .map(x => x.getAs[Long]("query_id") ->
+        (x.getAs[Long]("doc_id"), x.getAs[Int]("hamming"))).toMap
+    // docs 1 and 2 are byte-identical: each other's nearest, distance 0
+    assert(top(1L) == ((2L, 0)))
+    assert(top(2L) == ((1L, 0)))
+    r.foreach(x => assert(x.getAs[Long]("query_id") !=
+      x.getAs[Long]("doc_id")))
+  }
+
+  test("worstSpan localizes the injected rare-bigram region") {
+    val common = (1 to 10).map(_ => "c1 c2").mkString(" ") // 20 tokens
+    val inject = "c1 c2 c1 c2 c1 c2 c1 c2 c1 " +
+      (1 to 12).map(i => s"u$i").mkString(" ") // rare tail from pos 9
+    val d = docsDf((1L to 30L).map(i => (i, common, "en", "s")) :+
+      (31L, inject, "en", "s"))
+    val r = TextOps.worstSpan(d).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("span_start"), x.getAs[Long]("span_nll"))).toMap
+    // the surprise is the common->rare transition at bigram pos 8
+    // (c1 -> u1): unique->unique bigrams score 0 under a self-trained
+    // LM (probability 1), so every window containing pos 8 ties and
+    // the earliest start wins — the WINDOW must cover pos 8
+    val (start, nll) = r(31L)
+    assert(start <= 8 && start + 9 >= 8, s"window at $start misses pos 8")
+    assert(nll > 0L)
+    // fully self-similar docs have a zero-surprise worst span
+    assert(r(1L)._2 == 0L)
+  }
+
   test("persisted BM25 index lifecycle: build, crash-safe append, " +
       "delete, compact") {
     import spark.implicits._
