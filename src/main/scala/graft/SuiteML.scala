@@ -3993,6 +3993,59 @@ object SuiteML {
         |         AS BIGINT) AS vocab_size
         |FROM ns""".stripMargin)),
 
+    // ---- dedup: MinHash banding recall vs the exact baseline -------------
+    Q("dedup_band_recall",
+      (s, d) => TextOps.minhashBandRecall(docs(s, d)),
+      Some(s"""WITH $MinhashPairsCte,
+        |tp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |              count(*) AS nc
+        |       FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |tj AS (SELECT doc_a, doc_b FROM tp
+        |       JOIN sz sa ON sa.doc_id = doc_a
+        |       JOIN sz sb ON sb.doc_id = doc_b
+        |       WHERE nc / CAST(sa.n + sb.n - nc AS DOUBLE) >= 0.5),
+        |ct AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM tj),
+        |cc AS (SELECT CAST(count(*) AS BIGINT) AS n_caught
+        |       FROM tj JOIN cand USING (doc_a, doc_b))
+        |SELECT n_true, n_caught,
+        |       CAST(CASE WHEN n_true = 0 THEN 0
+        |            ELSE n_caught * 1000 // n_true END AS BIGINT)
+        |         AS recall_permille
+        |FROM ct, cc""".stripMargin)),
+
+    // ---- similarity: nearest-centroid classification audit ---------------
+    Q("sim_centroid_classify",
+      (s, d) => EmbeddingOps.centroidClassify(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |cm AS (SELECT label, c, CAST(SUM(v) AS BIGINT) // count(*) AS m
+        |       FROM (SELECT label, unnest(q) AS v,
+        |               generate_subscripts(q, 1) AS c FROM e)
+        |       GROUP BY 1, 2),
+        |cv AS (SELECT label AS pred, list_transform(
+        |         list_sort(list(struct_pack(c := c, m := m))),
+        |         r -> r.m) AS cq
+        |       FROM cm GROUP BY 1),
+        |cn AS (SELECT pred, CAST(SUM(v*v) AS BIGINT) AS cn
+        |       FROM (SELECT pred, unnest(cq) AS v FROM cv) GROUP BY 1),
+        |sc AS (SELECT e.vec_id, e.label, cv.pred,
+        |         CAST(dot AS DOUBLE)
+        |           / (sqrt(CAST(n.nn AS DOUBLE)) * sqrt(CAST(cn.cn AS DOUBLE))) AS cos
+        |       FROM (SELECT vec_id, pred, SUM(a*b) AS dot FROM (
+        |               SELECT e2.vec_id, cv2.pred,
+        |                      unnest(e2.q) AS a, unnest(cv2.cq) AS b
+        |               FROM e e2, cv cv2) GROUP BY 1, 2) dd
+        |       JOIN e ON e.vec_id = dd.vec_id
+        |       JOIN cv ON cv.pred = dd.pred
+        |       JOIN n ON n.vec_id = dd.vec_id
+        |       JOIN cn ON cn.pred = dd.pred),
+        |best AS (SELECT vec_id, label, pred FROM (
+        |           SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |             ORDER BY cos DESC, pred) AS rk FROM sc)
+        |         WHERE rk = 1)
+        |SELECT label, pred, CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM best GROUP BY 1, 2""".stripMargin)),
+
     // ---- dedup: cheap-to-expensive cascade funnel ------------------------
     // Survivor-subset pair filtering in the oracle: per-doc signatures
     // and co-banding are independent of other docs, so minhash pairs

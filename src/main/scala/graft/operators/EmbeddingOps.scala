@@ -1620,6 +1620,41 @@ object EmbeddingOps {
         Seq("vec_id"), "left")
   }
 
+  /** Nearest-centroid (Rocchio) classification audit: per-label
+    * centroids as REQUANTIZED integer means (per-component sum div
+    * count — the [[kmeansCentroidsQ]] requantization, so both engines
+    * agree bit-for-bit), every vector assigned to its most-cosine-
+    * similar label centroid, and the (label, pred) confusion counts
+    * reported. The read that says whether labels are separable in
+    * embedding space at all — run BEFORE trusting label-conditioned
+    * curation. The label-cardinality centroid frame is the one
+    * broadcast; assignment is one corpus scan with a pre-trimmed
+    * argmax window. */
+  def centroidClassify(emb: DataFrame): DataFrame = {
+    val e = quantized(emb).pinned
+    val cents = e
+      .select(col("label"), posexplode(col("q")).as(Seq("c", "v")))
+      .groupBy(col("label"), col("c"))
+      .agg(sum(col("v")).as("sv"), count(lit(1)).as("n"))
+      .withColumn("m", expr("sv div n"))
+      .groupBy(col("label"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(c, m))), r -> r.m)")
+        .as("cq"))
+      .withColumn("cn",
+        aggregate(col("cq"), lit(0L), (acc, x) => acc + x * x))
+      .select(col("label").as("pred"), col("cq"), col("cn"))
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("cos").desc, col("pred").asc)
+    e.join(broadcast(cents))
+      .select(col("vec_id"), col("label"), col("pred"),
+        cosine(qdot(col("q"), col("cq")), col("nn"), col("cn")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n_vecs"))
+  }
+
   /** Signed-random-projection sketch of the corpus: each vector
     * becomes its `nProj` exact integer dot products against the
     * deterministic hyperplane matrix ([[planes]] — the same ±odd

@@ -637,6 +637,52 @@ object TextOps {
         - col("n_docs"), lit(0L)))
   }
 
+  /** Banding-recall card: what fraction of the TRUE near-dup pairs
+    * (exact Jaccard >= threshold over every pair sharing at least one
+    * shingle — the measurement baseline; zero-overlap pairs are below
+    * any positive threshold by construction) does the MinHash banding
+    * actually surface as candidates? The honest-measurement row for
+    * the dedup route ([[nearDupMinhash]]'s band count/size trades
+    * recall for candidate volume — this measures the trade on the
+    * real corpus instead of trusting the 1-(1-s^r)^b formula). The
+    * baseline's shingle self-join is quadratic in per-shingle
+    * df (the brute twin's cost, like nearDupCosineBrute); the banded
+    * side is the dedup's own candidate generator. Output is one row:
+    * (n_true, n_caught, recall_permille). */
+  def minhashBandRecall(docs: DataFrame,
+      threshold: Double = 0.5): DataFrame = {
+    val ds = shinglesRaw(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+      .pinned
+    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val tp = ds.as("a").join(ds.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("nc"))
+    val tj = tp
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .where(col("nc") / (col("na") + col("nb") - col("nc"))
+        .cast("double") >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+      .pinned // counted alone and joined against the banded set
+    val bands = minhashBands(minhashSignature(docs))
+    val cand = bands.as("a")
+      .join(bands.as("b"), Seq("band_idx", "band_hash"))
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    tj.agg(count(lit(1)).as("n_true"))
+      .crossJoin(broadcast(tj.join(cand, Seq("doc_a", "doc_b"))
+        .agg(count(lit(1)).as("n_caught"))))
+      .withColumn("recall_permille",
+        when(col("n_true") === 0, 0L)
+          .otherwise(expr("n_caught * 1000 div n_true")))
+  }
+
   /** Order-insensitive exact dedup: the group key is the md5 of the
     * SORTED token list, so documents that permute each other's words
     * (template reshuffles, list reorderings — duplicates the

@@ -702,6 +702,31 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("centroidClassify separates orthogonal label clusters exactly") {
+    // three orthogonal label clusters of two identical vectors each:
+    // every vector's nearest centroid is its own label -> a diagonal
+    // confusion matrix
+    val e = embDf(Seq(
+      0L -> Seq(1f, 0f, 0f, 0f), 1L -> Seq(1f, 0f, 0f, 0f),
+      2L -> Seq(0f, 1f, 0f, 0f), 3L -> Seq(0f, 1f, 0f, 0f),
+      4L -> Seq(0f, 0f, 1f, 0f), 5L -> Seq(0f, 0f, 1f, 0f))
+      .map { case (id, v) => (id, v, (id / 2).toInt) })
+    val r = EmbeddingOps.centroidClassify(e).collect()
+      .map(x => (x.getAs[Int]("label"), x.getAs[Int]("pred")) ->
+        x.getAs[Long]("n_vecs")).toMap
+    assert(r == Map((0, 0) -> 2L, (1, 1) -> 2L, (2, 2) -> 2L))
+    // a mislabeled vector lands in the off-diagonal cell
+    val e2 = embDf(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(1f, 0f, 0f, 0f), 0),
+      (2L, Seq(0f, 1f, 0f, 0f), 1), (3L, Seq(0f, 1f, 0f, 0f), 1),
+      (4L, Seq(1f, 0f, 0f, 0f), 1))) // label 1, sits in cluster 0
+    val r2 = EmbeddingOps.centroidClassify(e2).collect()
+      .map(x => (x.getAs[Int]("label"), x.getAs[Int]("pred")) ->
+        x.getAs[Long]("n_vecs")).toMap
+    assert(r2((1, 0)) == 1L) // the planted confusion
+    assert(r2((0, 0)) == 2L)
+  }
+
   test("projRecall at sf0.001 is high but honest (not assumed 1.0)") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings
     val r = EmbeddingOps.projRecall(e).collect()

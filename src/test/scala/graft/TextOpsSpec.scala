@@ -1305,6 +1305,24 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("minhashBandRecall counts true pairs and caught pairs honestly") {
+    // docs fixture: (1,2) identical (jaccard 1), (1,3)/(2,3) near
+    // (above 0.5); identical signatures ALWAYS co-band, so recall
+    // can never be reported below the identical-pair floor
+    val r = TextOps.minhashBandRecall(docs, threshold = 0.5).collect()(0)
+    val nTrue = r.getAs[Long]("n_true")
+    val nCaught = r.getAs[Long]("n_caught")
+    assert(nTrue == 3L)
+    assert(nCaught >= 1L && nCaught <= nTrue)
+    assert(r.getAs[Long]("recall_permille") == nCaught * 1000 / nTrue)
+    // impossible threshold -> no true pairs, recall reports 0 not /0
+    val empty = TextOps.minhashBandRecall(
+      docsDf(Seq((1L, "a b c d e", "en", "s"),
+        (2L, "f g h i j", "en", "s"))), threshold = 0.9).collect()(0)
+    assert(empty.getAs[Long]("n_true") == 0L)
+    assert(empty.getAs[Long]("recall_permille") == 0L)
+  }
+
   test("simhashTopK ranks the exact duplicate at hamming 0") {
     val r = TextOps.simhashTopK(docs, nQueries = 3, k = 3).collect()
     val top = r.filter(_.getAs[Int]("rk") == 1)
