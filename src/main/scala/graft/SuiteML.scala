@@ -272,6 +272,14 @@ object SuiteML {
   private val Bm25K1: Long = 1200L
   private val Bm25B: Long = 750L
 
+  /** Blocklist phrases — ONE literal feeding both engines; mixed
+    * lengths exercise the per-length gram streams. */
+  private val BlockPhrases: Seq[String] =
+    Seq("join hash", "slow scan", "row batch scan")
+  private def blockSql(len: Int): String =
+    BlockPhrases.filter(_.split(" ").length == len)
+      .map(p => s"'$p'").mkString(", ")
+
   /** Stratified-sampling keep rates (permille) — ONE literal feeding
     * both the Spark call and the oracle's VALUES clause. */
   private val StratRates: Seq[(String, Long)] = Seq(("en", 250L))
@@ -3992,6 +4000,52 @@ object SuiteML {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
         |         AS BIGINT) AS vocab_size
         |FROM ns""".stripMargin)),
+
+    // ---- curation: multi-phrase blocklist screening ----------------------
+    Q("text_blocklist",
+      (s, d) => TextOps.blocklistScreen(docs(s, d), BlockPhrases),
+      Some(s"""WITH w2 AS (SELECT doc_id, string_split(text, ' ') AS w
+        |       FROM documents),
+        |g2 AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 1),
+        |         i -> array_to_string(list_slice(w, i + 1, i + 2), ' '))) AS g
+        |       FROM w2 WHERE len(w) >= 2),
+        |g3 AS (SELECT doc_id, unnest(list_transform(range(0, len(w) - 2),
+        |         i -> array_to_string(list_slice(w, i + 1, i + 3), ' '))) AS g
+        |       FROM w2 WHERE len(w) >= 3),
+        |h AS (SELECT doc_id, g FROM g2 WHERE g IN (${blockSql(2)})
+        |      UNION ALL
+        |      SELECT doc_id, g FROM g3 WHERE g IN (${blockSql(3)})),
+        |a AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+        |             CAST(count(DISTINCT g) AS BIGINT) AS n_phrases
+        |      FROM h GROUP BY 1)
+        |SELECT d.doc_id, coalesce(a.n_hits, 0) AS n_hits,
+        |       coalesce(a.n_phrases, 0) AS n_phrases,
+        |       coalesce(a.n_hits, 0) > 0 AS blocked
+        |FROM documents d LEFT JOIN a USING (doc_id)""".stripMargin)),
+
+    // ---- analysis: distinctive-vocabulary card per source ----------------
+    Q("text_distinctive_terms",
+      (s, d) => TextOps.distinctiveTerms(docs(s, d)),
+      Some("""WITH sw AS (SELECT source, unnest(string_split(text, ' ')) AS word
+        |       FROM documents),
+        |cs AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c_s
+        |       FROM sw GROUP BY 1, 2),
+        |cw AS (SELECT word, CAST(SUM(c_s) AS BIGINT) AS c_w FROM cs GROUP BY 1),
+        |ts AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS t_s FROM cs GROUP BY 1),
+        |ta AS (SELECT CAST(SUM(c_s) AS BIGINT) AS t_all FROM cs),
+        |sc AS (SELECT source, word, c_s, c_w - c_s AS c_r, t_s,
+        |              t_all - t_s AS t_r
+        |       FROM cs JOIN cw USING (word) JOIN ts USING (source), ta),
+        |q AS (SELECT source, word, c_s, c_r,
+        |        CAST(length(bin(CAST(CAST(c_s AS HUGEINT) * t_r
+        |          // (CAST(c_r + 1 AS HUGEINT) * t_s) AS BIGINT))) - 1
+        |          AS BIGINT) AS score_q
+        |      FROM sc
+        |      WHERE CAST(c_s AS HUGEINT) * t_r >= CAST(c_r + 1 AS HUGEINT) * t_s)
+        |SELECT source, CAST(rk AS INTEGER) AS rk, word, c_s, c_r, score_q
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY score_q DESC, c_s DESC, word) AS rk FROM q)
+        |WHERE rk <= 5""".stripMargin)),
 
     // ---- dedup: MinHash banding recall vs the exact baseline -------------
     Q("dedup_band_recall",

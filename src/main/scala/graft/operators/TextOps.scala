@@ -637,6 +637,90 @@ object TextOps {
         - col("n_docs"), lit(0L)))
   }
 
+  /** Multi-phrase blocklist screening — the safety/compliance filter
+    * pass (banned phrases, boilerplate markers, license strings):
+    * every document reports how many blocklist occurrences it
+    * contains and whether it is blocked. Phrases group by token
+    * count; for each distinct length L the document's L-gram stream
+    * (the [[shinglesRaw]] windowless transform generalized) joins the
+    * broadcast phrase list — the phrase set is a construction
+    * constant, the only broadcast; per-L streams union and aggregate
+    * once per doc. Zero-hit docs surface with n_hits 0 via the
+    * corpus left join (a filter must SAY it inspected everything). */
+  def blocklistScreen(docs: DataFrame,
+      phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty && phrases.distinct.size == phrases.size,
+      "phrases must be non-empty and distinct")
+    require(phrases.forall(_.trim.nonEmpty),
+      "phrases must be non-blank")
+    val s = docs.sparkSession
+    import s.implicits._
+    val d = docs.pinned
+    val byLen = phrases.groupBy(_.split(" ").length)
+    val hits = byLen.map { case (l, ps) =>
+      val grams = d
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= l)
+        .select(col("doc_id"), explode(expr(
+          s"transform(sequence(0, size(w) - $l), " +
+            s"i -> concat_ws(' ', slice(w, i + 1, $l)))")).as("g"))
+      grams.join(broadcast(ps.toDF("g")), Seq("g"))
+        .select(col("doc_id"), col("g").as("phrase"))
+    }.reduce(_ unionByName _)
+    val agg = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        countDistinct(col("phrase")).as("n_phrases"))
+    d.select(col("doc_id"))
+      .join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        coalesce(col("n_phrases"), lit(0L)).as("n_phrases"))
+      .withColumn("blocked", col("n_hits") > 0)
+  }
+
+  /** Distinctive-vocabulary card: per source, the top `k` words most
+    * over-represented vs the REST of the corpus — the
+    * what-is-this-feed-actually-about read (and the drift alarm when
+    * a feed's distinctive terms change release-over-release). The
+    * over-representation score is the bit-length-quantized log of the
+    * cross-multiplied rate ratio floor(log2((c_s * t_rest) div
+    * ((c_r + 1) * t_s))) — add-one on the rest count so
+    * source-exclusive words score, products in DECIMAL(38,0) (they
+    * reach ~1e26 at corpus scale; the oracle mirrors with HUGEINT).
+    * Only over-represented words (ratio >= 1) rank; the per-source
+    * rank<=k window pre-trims (WindowGroupLimit). One token
+    * aggregate keyed by (source, word), one vocabulary-keyed rollup,
+    * 1-row totals broadcast. */
+  def distinctiveTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sw = tokens(docs.select(col("doc_id"), col("text")))
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("c_s"))
+      .pinned
+    val wTot = sw.groupBy(col("word")).agg(sum(col("c_s")).as("c_w"))
+    val sTot = sw.groupBy(col("source")).agg(sum(col("c_s")).as("t_s"))
+    val tot = sw.agg(sum(col("c_s")).as("t_all"))
+    val scored = sw
+      .join(wTot, Seq("word"))
+      .join(sTot, Seq("source"))
+      .crossJoin(broadcast(tot)) // 1-row scalar frame
+      .withColumn("c_r", col("c_w") - col("c_s"))
+      .withColumn("t_r", col("t_all") - col("t_s"))
+      .where(expr("CAST(c_s AS DECIMAL(38,0)) * t_r" +
+        " >= CAST(c_r + 1 AS DECIMAL(38,0)) * t_s"))
+      .withColumn("score_q", (length(bin(expr(
+        "CAST(CAST(c_s AS DECIMAL(38,0)) * t_r" +
+          " div (CAST(c_r + 1 AS DECIMAL(38,0)) * t_s) AS BIGINT)")))
+        - 1).cast("long"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("score_q").desc, col("c_s").desc, col("word").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("source"), col("rk"), col("word"), col("c_s"),
+        col("c_r"), col("score_q"))
+  }
+
   /** Banding-recall card: what fraction of the TRUE near-dup pairs
     * (exact Jaccard >= threshold over every pair sharing at least one
     * shingle — the measurement baseline; zero-overlap pairs are below

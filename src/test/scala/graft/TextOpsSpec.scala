@@ -1305,6 +1305,37 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("blocklistScreen counts occurrences per doc across phrase lengths") {
+    val d = docsDf(Seq(
+      (1L, "bad pair x bad pair y very bad trigram z", "en", "s"),
+      (2L, "clean text only here", "en", "s"),
+      (3L, "bad pair", "en", "s"))) // exactly one 2-gram, too short for 3
+    val r = TextOps.blocklistScreen(d,
+      Seq("bad pair", "very bad trigram")).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_hits"), x.getAs[Long]("n_phrases"),
+          x.getAs[Boolean]("blocked"))).toMap
+    assert(r(1L) == ((3L, 2L, true))) // two bigram hits + one trigram
+    assert(r(2L) == ((0L, 0L, false)))
+    assert(r(3L) == ((1L, 1L, true)))
+  }
+
+  test("distinctiveTerms surfaces a source-exclusive word at the top") {
+    val common = "shared words everywhere always"
+    val d = docsDf(Seq(
+      (1L, s"$common zebra zebra zebra", "en", "sa"),
+      (2L, s"$common zebra zebra", "en", "sa"),
+      (3L, common, "en", "sb"),
+      (4L, common, "en", "sb")))
+    val top = TextOps.distinctiveTerms(d, k = 1).collect()
+      .map(x => x.getAs[String]("source") ->
+        (x.getAs[String]("word"), x.getAs[Long]("c_s"),
+          x.getAs[Long]("c_r"))).toMap
+    // 'zebra' appears ONLY in sa: its cross-multiplied ratio dwarfs
+    // every shared word's
+    assert(top("sa") == (("zebra", 5L, 0L)))
+  }
+
   test("minhashBandRecall counts true pairs and caught pairs honestly") {
     // docs fixture: (1,2) identical (jaccard 1), (1,3)/(2,3) near
     // (above 0.5); identical signatures ALWAYS co-band, so recall
