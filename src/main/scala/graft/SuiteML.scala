@@ -3738,6 +3738,44 @@ object SuiteML {
         |FROM pd JOIN documents d USING (doc_id)
         |GROUP BY 1""".stripMargin)),
 
+    // ---- curation: per-source percentile normalization -------------------
+    // LM score calibrated WITHIN each source — the comparable-across-
+    // feeds form a global quality cut actually wants.
+    Q("text_score_percentile",
+      (s, d) => {
+        val d0 = docs(s, d)
+        TextOps.scorePercentile(
+          TextOps.lmScore(d0)
+            .select(col("doc_id"), col("avg_nll").as("score"))
+            .join(d0.select(col("doc_id"), col("source")), Seq("doc_id")))
+      },
+      Some("""WITH w AS (SELECT doc_id, string_split(text,' ') AS ls
+        |       FROM documents WHERE len(string_split(text,' ')) >= 2),
+        |bs AS (SELECT doc_id, ls, unnest(range(1, len(ls))) AS i FROM w),
+        |db AS (SELECT doc_id, ls[i] AS lhs, ls[i+1] AS rhs,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM bs GROUP BY 1, 2, 3),
+        |lm AS (SELECT lhs, rhs, CAST(sum(k) AS BIGINT) AS c_ab
+        |       FROM db GROUP BY 1, 2),
+        |ctx AS (SELECT lhs, CAST(sum(c_ab) AS BIGINT) AS c_lhs
+        |        FROM lm GROUP BY 1),
+        |lmsc AS (SELECT doc_id,
+        |           CAST(sum(k * q) AS DOUBLE) / sum(k) AS score
+        |         FROM (SELECT doc_id, k,
+        |                 CAST(length(bin(c_lhs // c_ab)) - 1 AS BIGINT) AS q
+        |               FROM db JOIN lm USING (lhs, rhs) JOIN ctx USING (lhs))
+        |         GROUP BY 1),
+        |j AS (SELECT l.doc_id, d.source, l.score
+        |      FROM lmsc l JOIN documents d ON d.doc_id = l.doc_id),
+        |r AS (SELECT doc_id, source, score,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY score, doc_id) AS BIGINT) AS src_rank,
+        |        CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |      FROM j)
+        |SELECT doc_id, source, score, src_rank, n_src,
+        |       (src_rank - 1) * 1000 // greatest(n_src - 1, 1) AS pct_permille
+        |FROM r""".stripMargin)),
+
     // ---- curation: Borda rank fusion of LM + DSIR quality signals --------
     Q("text_rank_fusion",
       (s, d) => TextOps.rankFusion(docs(s, d), DsirTarget, DsirBuckets),

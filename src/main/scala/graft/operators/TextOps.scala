@@ -498,6 +498,45 @@ object TextOps {
       .drop("_rs", "_shard", "_off")
   }
 
+  /** Per-source percentile normalization of a quality score — the
+    * calibration step before a GLOBAL quality cut over heterogeneous
+    * feeds (a raw perplexity threshold keeps easy-language sources
+    * wholesale and guts hard ones; the percentile within each source
+    * is comparable across them). Input (doc_id, source, score);
+    * output adds the exact within-source rank, the source size, and
+    * pct_permille = (rank-1)*1000 div max(n-1, 1) in [0, 1000]. The
+    * [[rankBy]] shard trick generalized to a composite key: shards
+    * are (source, floor(score*granularity)), offsets cumulate per
+    * source over the shard-cardinality counts frame, ranks compose
+    * per (source, shard) window — no source ever sorts in one
+    * task. */
+  def scorePercentile(scored: DataFrame,
+      granularity: Int = 8): DataFrame = {
+    require(granularity >= 1,
+      s"granularity must be >= 1, got $granularity")
+    val sh = scored.withColumn("_shard",
+      floor(col("score") * granularity).cast("long")).pinned
+    val counts = sh.groupBy(col("source"), col("_shard"))
+      .agg(count(lit(1)).as("cnt")).pinned
+    val wOff = Window.partitionBy(col("source")).orderBy(col("_shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val off = counts.withColumn("_off",
+      coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("source"), col("_shard"), col("_off"))
+    val nTot = counts.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_src"))
+    val wIn = Window.partitionBy(col("source"), col("_shard"))
+      .orderBy(col("score"), col("doc_id"))
+    sh.join(broadcast(off), Seq("source", "_shard"))
+      .join(broadcast(nTot), Seq("source"))
+      .withColumn("src_rank",
+        row_number().over(wIn).cast("long") + col("_off"))
+      .withColumn("pct_permille",
+        expr("(src_rank - 1) * 1000 div greatest(n_src - 1, 1)"))
+      .select(col("doc_id"), col("source"), col("score"),
+        col("src_rank"), col("n_src"), col("pct_permille"))
+  }
+
   /** Borda rank fusion of two independent quality signals — the
     * ensemble selection pattern (QuRating-style raters, CCNet
     * perplexity + DSIR target-similarity here): each doc gets its

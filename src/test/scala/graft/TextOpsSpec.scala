@@ -1466,6 +1466,38 @@ class TextOpsSpec extends SparkSpec {
       x.getAs[Long]("ppl_rank") + x.getAs[Long]("dsir_rank")))
   }
 
+  test("scorePercentile ranks within each source, 0..1000 inclusive") {
+    import spark.implicits._
+    val scored = Seq(
+      (1L, "sa", 1.0), (2L, "sa", 2.0), (3L, "sa", 3.0), (4L, "sa", 2.0),
+      (5L, "sb", 9.0), (6L, "sb", 1.0),
+      (7L, "sc", 5.0)) // singleton stratum
+      .toDF("doc_id", "source", "score")
+    val r = TextOps.scorePercentile(scored).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("src_rank"), x.getAs[Long]("n_src"),
+          x.getAs[Long]("pct_permille"))).toMap
+    assert(r(1L) == ((1L, 4L, 0L)))
+    assert(r(2L) == ((2L, 4L, 333L))) // tie on score: doc_id breaks it
+    assert(r(4L) == ((3L, 4L, 666L)))
+    assert(r(3L) == ((4L, 4L, 1000L)))
+    assert(r(6L) == ((1L, 2L, 0L)))
+    assert(r(5L) == ((2L, 2L, 1000L)))
+    assert(r(7L) == ((1L, 1L, 0L))) // greatest(n-1,1) guards the /0
+    // the sharded rank equals a naive per-source ordering on real data
+    val d = Tables(spark, "/root/testdata/sf0.001").documents
+    val real = TextOps.scorePercentile(
+      TextOps.lmScore(d).select($"doc_id", $"avg_nll".as("score"))
+        .join(d.select($"doc_id", $"source"), Seq("doc_id"))).collect()
+    real.groupBy(_.getAs[String]("source")).foreach { case (_, rows) =>
+      val naive = rows.sortBy(x =>
+        (x.getAs[Double]("score"), x.getAs[Long]("doc_id")))
+      naive.zipWithIndex.foreach { case (row, i) =>
+        assert(row.getAs[Long]("src_rank") == i + 1L)
+      }
+    }
+  }
+
   test("sftPack assembles role-templated pairs with a length cut") {
     val d = docsDf(Seq(
       (0L, "how do i join", "en", "s"),
