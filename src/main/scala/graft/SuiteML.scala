@@ -4085,6 +4085,36 @@ object SuiteML {
         |        ORDER BY score_q DESC, c_s DESC, word) AS rk FROM q)
         |WHERE rk <= 5""".stripMargin)),
 
+    // ---- analysis: cluster-topic labeling (embeddings x text) ------------
+    // The SemDeDup cell partition joined to the document table by id,
+    // each cell labeled by its distinctive vocabulary.
+    Q("sim_cluster_topics",
+      (s, d) => TextOps.clusterTopics(docs(s, d), emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |${kmeansCellsCte(EmbeddingOps.KmIters)},
+        |sw AS (SELECT 'c' || CAST(cl.cell AS VARCHAR) AS source,
+        |              unnest(string_split(d.text, ' ')) AS word
+        |       FROM documents d JOIN cells cl ON cl.vec_id = d.doc_id),
+        |cs AS (SELECT source, word, CAST(count(*) AS BIGINT) AS c_s
+        |       FROM sw GROUP BY 1, 2),
+        |cw AS (SELECT word, CAST(SUM(c_s) AS BIGINT) AS c_w FROM cs GROUP BY 1),
+        |ts AS (SELECT source, CAST(SUM(c_s) AS BIGINT) AS t_s FROM cs GROUP BY 1),
+        |ta AS (SELECT CAST(SUM(c_s) AS BIGINT) AS t_all FROM cs),
+        |sc2 AS (SELECT source, word, c_s, c_w - c_s AS c_r, t_s,
+        |               t_all - t_s AS t_r
+        |        FROM cs JOIN cw USING (word) JOIN ts USING (source), ta),
+        |qx AS (SELECT source, word, c_s, c_r,
+        |         CAST(length(bin(CAST(CAST(c_s AS HUGEINT) * t_r
+        |           // (CAST(c_r + 1 AS HUGEINT) * t_s) AS BIGINT))) - 1
+        |           AS BIGINT) AS score_q
+        |       FROM sc2
+        |       WHERE CAST(c_s AS HUGEINT) * t_r >= CAST(c_r + 1 AS HUGEINT) * t_s)
+        |SELECT source AS cell, CAST(rk AS INTEGER) AS rk, word, c_s, c_r,
+        |       score_q
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+        |        ORDER BY score_q DESC, c_s DESC, word) AS rk FROM qx)
+        |WHERE rk <= 5""".stripMargin)),
+
     // ---- dedup: MinHash banding recall vs the exact baseline -------------
     Q("dedup_band_recall",
       (s, d) => TextOps.minhashBandRecall(docs(s, d)),

@@ -1620,6 +1620,19 @@ object EmbeddingOps {
         Seq("vec_id"), "left")
   }
 
+  /** Trained-quantizer cell assignment, exposed for cross-family
+    * compositions (cluster-topic labeling joins these cells to the
+    * DOCUMENT table): each vector's argmax cell under the
+    * [[kmeansCentroidsQ]]-trained centroids — exactly the partition
+    * [[semanticDedup]] bounds its candidate pairs with. */
+  def cellAssignments(emb: DataFrame, nCentroids: Int = KmSeeds,
+      iters: Int = KmIters): DataFrame = {
+    val e = quantized(emb).pinned
+    rankedAgainst(e, kmeansCentroidsQ(e, nCentroids, iters))
+      .where(col("crk") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
   /** Nearest-centroid (Rocchio) classification audit: per-label
     * centroids as REQUANTIZED integer means (per-component sum div
     * count — the [[kmeansCentroidsQ]] requantization, so both engines

@@ -760,6 +760,25 @@ object TextOps {
         col("c_r"), col("score_q"))
   }
 
+  /** Cluster-topic labeling — the cross-family composition: k-means
+    * cells over the EMBEDDING table ([[graft.operators.EmbeddingOps
+    * .cellAssignments]], the same partition SemDeDup bounds its
+    * candidates with) joined to the DOCUMENT table by id, then each
+    * cell's [[distinctiveTerms]] — the human-readable answer to
+    * "what IS cluster 7". Cells relabel as the stratum key; the term
+    * machinery is reused verbatim, so the card inherits its exact
+    * integer arithmetic and pre-trimmed per-cell top-k. */
+  def clusterTopics(docs: DataFrame, emb: DataFrame,
+      nCentroids: Int = EmbeddingOps.KmSeeds,
+      iters: Int = EmbeddingOps.KmIters, k: Int = 5): DataFrame = {
+    val cells = EmbeddingOps.cellAssignments(emb, nCentroids, iters)
+    val relabeled = docs.select(col("doc_id"), col("text"))
+      .join(cells.select(col("vec_id").as("doc_id"),
+        concat(lit("c"), col("cell").cast("string")).as("source")),
+        Seq("doc_id"))
+    distinctiveTerms(relabeled, k).withColumnRenamed("source", "cell")
+  }
+
   /** Banding-recall card: what fraction of the TRUE near-dup pairs
     * (exact Jaccard >= threshold over every pair sharing at least one
     * shingle — the measurement baseline; zero-overlap pairs are below

@@ -1320,6 +1320,19 @@ class TextOpsSpec extends SparkSpec {
     assert(r(3L) == ((1L, 1L, true)))
   }
 
+  test("clusterTopics labels each real cell with <=5 terms, exact ranks") {
+    val t = Tables(spark, "/root/testdata/sf0.001")
+    val r = TextOps.clusterTopics(t.documents, t.embeddings).collect()
+    assert(r.nonEmpty)
+    r.groupBy(_.getAs[String]("cell")).foreach { case (_, rows) =>
+      assert(rows.length <= 5)
+      assert(rows.map(_.getAs[Int]("rk")).sorted
+        .sameElements(1 to rows.length))
+    }
+    // every labeled cell is a real trained cell id
+    assert(r.map(_.getAs[String]("cell")).forall(_.startsWith("c")))
+  }
+
   test("distinctiveTerms surfaces a source-exclusive word at the top") {
     val common = "shared words everywhere always"
     val d = docsDf(Seq(
