@@ -3738,6 +3738,68 @@ object SuiteML {
         |FROM pd JOIN documents d USING (doc_id)
         |GROUP BY 1""".stripMargin)),
 
+    // ---- curation: trigram LM with laddered stupid backoff ---------------
+    // Models train on every source EXCEPT src0; src0 scores under
+    // them — unseen trigrams ladder down to the bigram rung, unseen
+    // bigrams to add-one unigrams, and the per-rung mass is reported.
+    Q("text_lm_trigram_cross",
+      (s, d) => {
+        val all = docs(s, d)
+        val corp = all.where(col("source") =!= "src0")
+        TextOps.lmScoreTrigramWith(all.where(col("source") === "src0"),
+          TextOps.lmTrigramModel(corp), TextOps.lmModel(corp))
+      },
+      Some("""WITH wt AS (SELECT doc_id, string_split(text, ' ') AS ls
+        |       FROM documents WHERE source <> 'src0'),
+        |t3 AS (SELECT ls[i] AS w1, ls[i+1] AS w2, ls[i+2] AS w3
+        |       FROM (SELECT ls, unnest(range(1, len(ls) - 1)) AS i
+        |             FROM wt WHERE len(ls) >= 3)),
+        |tri AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS c_abc
+        |        FROM t3 GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(SUM(c_abc) AS BIGINT) AS c_12
+        |        FROM tri GROUP BY 1, 2),
+        |b2 AS (SELECT ls[i] AS lhs, ls[i+1] AS rhs
+        |       FROM (SELECT ls, unnest(range(1, len(ls))) AS i
+        |             FROM wt WHERE len(ls) >= 2)),
+        |bi AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM b2 GROUP BY 1, 2),
+        |c2 AS (SELECT lhs, CAST(SUM(c_ab) AS BIGINT) AS c_2
+        |       FROM bi GROUP BY 1),
+        |u3 AS (SELECT rhs, CAST(SUM(c_ab) AS BIGINT) AS c_3
+        |       FROM bi GROUP BY 1),
+        |nt AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_total FROM bi),
+        |wb AS (SELECT doc_id, string_split(text, ' ') AS ls
+        |       FROM documents WHERE source = 'src0'),
+        |bt AS (SELECT doc_id, ls[i] AS w1, ls[i+1] AS w2, ls[i+2] AS w3,
+        |              CAST(count(*) AS BIGINT) AS k
+        |       FROM (SELECT doc_id, ls, unnest(range(1, len(ls) - 1)) AS i
+        |             FROM wb WHERE len(ls) >= 3)
+        |       GROUP BY 1, 2, 3, 4),
+        |sc AS (SELECT bt.doc_id, bt.k, tri.c_abc, bi.c_ab AS c_23,
+        |         CAST(CASE
+        |           WHEN tri.c_abc IS NOT NULL
+        |             THEN length(bin(c12.c_12 // tri.c_abc)) - 1
+        |           WHEN bi.c_ab IS NOT NULL
+        |             THEN length(bin((c2.c_2 * 5) // (bi.c_ab * 2))) - 1
+        |           ELSE length(bin((nt.n_total * 25)
+        |             // ((coalesce(u3.c_3, 0) + 1) * 4))) - 1
+        |         END AS BIGINT) AS nll_q
+        |       FROM bt
+        |       LEFT JOIN tri ON tri.w1 = bt.w1 AND tri.w2 = bt.w2
+        |                    AND tri.w3 = bt.w3
+        |       LEFT JOIN c12 ON c12.w1 = bt.w1 AND c12.w2 = bt.w2
+        |       LEFT JOIN bi ON bi.lhs = bt.w2 AND bi.rhs = bt.w3
+        |       LEFT JOIN c2 ON c2.lhs = bt.w2
+        |       LEFT JOIN u3 ON u3.rhs = bt.w3, nt)
+        |SELECT doc_id, CAST(SUM(k * nll_q) AS BIGINT) AS nll_sum,
+        |       CAST(SUM(k) AS BIGINT) AS n_trigrams,
+        |       CAST(SUM(CASE WHEN c_abc IS NULL AND c_23 IS NOT NULL
+        |                THEN k ELSE 0 END) AS BIGINT) AS n_bo_bigram,
+        |       CAST(SUM(CASE WHEN c_abc IS NULL AND c_23 IS NULL
+        |                THEN k ELSE 0 END) AS BIGINT) AS n_bo_unigram,
+        |       CAST(SUM(k * nll_q) AS DOUBLE) / SUM(k) AS avg_nll
+        |FROM sc GROUP BY 1""".stripMargin)),
+
     // ---- curation: per-source percentile normalization -------------------
     // LM score calibrated WITHIN each source — the comparable-across-
     // feeds form a global quality cut actually wants.

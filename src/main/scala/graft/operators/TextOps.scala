@@ -760,6 +760,81 @@ object TextOps {
         col("c_r"), col("score_q"))
   }
 
+  /** Per-doc trigram occurrence counts (w1, w2, w3, k) — the
+    * [[docBigrams]] shape one order up, built windowlessly per row. */
+  private def docTrigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(w) - 3), " +
+          "i -> struct(w[i] as w1, w[i+1] as w2, w[i+2] as w3))"))
+        .as("t"))
+      .select(col("doc_id"), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+      .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("k"))
+
+  /** The trigram model frame (w1, w2, w3, c_abc) — train once, serve
+    * many with [[lmScoreTrigramWith]]. */
+  def lmTrigramModel(docs: DataFrame): DataFrame =
+    docTrigrams(docs).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(sum(col("k")).as("c_abc"))
+
+  /** Trigram LM scoring with LADDERED stupid backoff (Brants et al.
+    * 2007 one order up from [[lmScoreBackoff]]):
+    *
+    *   S(w3|w1 w2) = c123/c12                 seen trigram
+    *               = 0.4 * c23/c2             else, seen bigram
+    *               = 0.4^2 * (c3+1)/N         else (add-one unigram)
+    *
+    * with each arm's -log2 quantized to an exact integer bit length
+    * (1/0.4 = 5/2, 1/0.16 = 25/4 — the products stay far under Long
+    * at corpus scale). Reports how much probability mass came from
+    * each rung (`n_bo_bigram`, `n_bo_unigram`) — the model-order
+    * health read: a corpus scoring mostly through the unigram rung
+    * is out-of-domain for the model. All serving tables derive from
+    * the two model frames by keyed aggregation; only the 1-row total
+    * broadcasts; every join is vocabulary-keyed. */
+  def lmScoreTrigramWith(docs: DataFrame, tri: DataFrame,
+      bi: DataFrame): DataFrame = {
+    val t = tri.pinned // context marginal + the scoring join
+    val b = bi.pinned // three marginals + the backoff join
+    val ctx12 = t.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("c_abc")).as("c_12"))
+    val ctx2 = b.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_2"))
+    val uni = b.groupBy(col("rhs")).agg(sum(col("c_ab")).as("c_3"))
+    val tot = b.agg(sum(col("c_ab")).as("n_total"))
+    docTrigrams(docs)
+      .join(t, Seq("w1", "w2", "w3"), "left")
+      .join(ctx12, Seq("w1", "w2"), "left")
+      .join(b.select(col("lhs").as("w2"), col("rhs").as("w3"),
+        col("c_ab").as("c_23")), Seq("w2", "w3"), "left")
+      .join(ctx2.select(col("lhs").as("w2"), col("c_2")), Seq("w2"),
+        "left")
+      .join(uni.select(col("rhs").as("w3"), col("c_3")), Seq("w3"),
+        "left")
+      .join(broadcast(tot), lit(true))
+      .withColumn("nll_q", when(col("c_abc").isNotNull,
+          (length(bin(expr("c_12 div c_abc"))) - 1).cast("long"))
+        .otherwise(when(col("c_23").isNotNull,
+          (length(bin(expr("(c_2 * 5) div (c_23 * 2)"))) - 1)
+            .cast("long"))
+        .otherwise((length(bin(expr(
+          "(n_total * 25) div ((coalesce(c_3, 0) + 1) * 4)"))) - 1)
+          .cast("long"))))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("k") * col("nll_q")).as("nll_sum"),
+        sum(col("k")).as("n_trigrams"),
+        sum(when(col("c_abc").isNull && col("c_23").isNotNull, col("k"))
+          .otherwise(0L)).as("n_bo_bigram"),
+        sum(when(col("c_abc").isNull && col("c_23").isNull, col("k"))
+          .otherwise(0L)).as("n_bo_unigram"))
+      .select(col("doc_id"), col("nll_sum"), col("n_trigrams"),
+        col("n_bo_bigram"), col("n_bo_unigram"),
+        (col("nll_sum").cast("double") / col("n_trigrams"))
+          .as("avg_nll"))
+  }
+
   /** Cluster-topic labeling — the cross-family composition: k-means
     * cells over the EMBEDDING table ([[graft.operators.EmbeddingOps
     * .cellAssignments]], the same partition SemDeDup bounds its

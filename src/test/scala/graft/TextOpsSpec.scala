@@ -1320,6 +1320,27 @@ class TextOpsSpec extends SparkSpec {
     assert(r(3L) == ((1L, 1L, true)))
   }
 
+  test("lmScoreTrigramWith ladders through all three backoff rungs " +
+      "with exact hand-computed arms") {
+    val corp = docsDf(Seq((100L, "a b c a b c", "en", "m")))
+    // model: c_abc(a,b,c)=2, c12(a,b)=2; bigrams ab=2, bc=2, ca=1, N=5
+    val tri = TextOps.lmTrigramModel(corp)
+    val bi = TextOps.lmModel(corp)
+    val batch = docsDf(Seq(
+      (1L, "a b c", "en", "s"), // seen trigram: q = bitlen(2 div 2)-1 = 0
+      (2L, "x a b z w", "en", "s")))
+    // doc 2: (x,a,b) -> bigram rung via (a,b): bitlen(10 div 4)-1 = 1
+    //        (a,b,z) -> unigram rung (z unseen): bitlen(125 div 4)-1 = 4
+    //        (b,z,w) -> unigram rung (w unseen): 4
+    val r = TextOps.lmScoreTrigramWith(batch, tri, bi).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("nll_sum"), x.getAs[Long]("n_trigrams"),
+          x.getAs[Long]("n_bo_bigram"), x.getAs[Long]("n_bo_unigram")))
+      .toMap
+    assert(r(1L) == ((0L, 1L, 0L, 0L)))
+    assert(r(2L) == ((9L, 3L, 1L, 2L)))
+  }
+
   test("clusterTopics labels each real cell with <=5 terms, exact ranks") {
     val t = Tables(spark, "/root/testdata/sf0.001")
     val r = TextOps.clusterTopics(t.documents, t.embeddings).collect()
