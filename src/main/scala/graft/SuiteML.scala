@@ -3738,6 +3738,28 @@ object SuiteML {
         |FROM pd JOIN documents d USING (doc_id)
         |GROUP BY 1""".stripMargin)),
 
+    // ---- analysis: LM branching-factor card ------------------------------
+    Q("text_branching_card",
+      (s, d) => TextOps.branchingCard(docs(s, d)),
+      Some("""WITH wt AS (SELECT string_split(text, ' ') AS ls
+        |       FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |b2 AS (SELECT ls[i] AS lhs, ls[i+1] AS rhs
+        |       FROM (SELECT ls, unnest(range(1, len(ls))) AS i FROM wt)),
+        |lm AS (SELECT lhs, rhs, CAST(count(*) AS BIGINT) AS c_ab
+        |       FROM b2 GROUP BY 1, 2),
+        |ctx AS (SELECT lhs, CAST(SUM(c_ab) AS BIGINT) AS c_lhs
+        |        FROM lm GROUP BY 1),
+        |rkd AS (SELECT lm.lhs, c_ab, rhs, c_lhs,
+        |          SUM(c_ab) OVER (PARTITION BY lm.lhs
+        |            ORDER BY c_ab DESC, rhs) AS cum,
+        |          ROW_NUMBER() OVER (PARTITION BY lm.lhs
+        |            ORDER BY c_ab DESC, rhs) AS rk
+        |        FROM lm JOIN ctx ON ctx.lhs = lm.lhs),
+        |nd AS (SELECT lhs, CAST(MIN(rk) AS INTEGER) AS n_needed
+        |       FROM rkd WHERE cum * 1000 >= c_lhs * 900 GROUP BY 1)
+        |SELECT n_needed, CAST(count(*) AS BIGINT) AS n_contexts
+        |FROM nd GROUP BY 1""".stripMargin)),
+
     // ---- curation: trigram LM with laddered stupid backoff ---------------
     // Models train on every source EXCEPT src0; src0 scores under
     // them — unseen trigrams ladder down to the bigram rung, unseen

@@ -835,6 +835,35 @@ object TextOps {
           .as("avg_nll"))
   }
 
+  /** LM branching-factor card: for each bigram context, how many of
+    * its most-frequent continuations cover >= `permille`/1000 of the
+    * context's mass, histogrammed over contexts — the
+    * concentration-of-continuations read (a corpus whose contexts
+    * need few continuations is templated/repetitive; one that needs
+    * many is genuinely diverse — the LM-shape complement of the
+    * [[repetition]] doc-level signals). n_needed for a context is
+    * the smallest k whose top-k cumulative count clears the
+    * cross-multiplied threshold (exact integers, no division). Runs
+    * over the MODEL table (vocabulary-squared worst case, never
+    * corpus-sized); per-context windows order by (count desc, rhs) —
+    * a hot context sorts its own continuations only. */
+  def branchingCard(docs: DataFrame,
+      permille: Int = 900): DataFrame = {
+    require(permille >= 1 && permille <= 1000,
+      s"permille must be in [1, 1000], got $permille")
+    val lm = lmModelOf(docBigrams(docs)).pinned
+    val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
+    val w = Window.partitionBy(col("lhs"))
+      .orderBy(col("c_ab").desc, col("rhs").asc)
+    val needed = lm.join(ctx, Seq("lhs"))
+      .withColumn("cum", sum(col("c_ab")).over(w))
+      .withColumn("rk", row_number().over(w)) // BEFORE the clear-filter
+      .where(col("cum") * 1000 >= col("c_lhs") * permille)
+      .groupBy(col("lhs")).agg(min(col("rk")).as("n_needed"))
+    needed.groupBy(col("n_needed"))
+      .agg(count(lit(1)).as("n_contexts"))
+  }
+
   /** Cluster-topic labeling — the cross-family composition: k-means
     * cells over the EMBEDDING table ([[graft.operators.EmbeddingOps
     * .cellAssignments]], the same partition SemDeDup bounds its

@@ -592,6 +592,32 @@ class ScaleProbeSpec extends SparkSpec {
       "hardNegatives' rank<=k window has no Partial pre-shuffle trim")
   }
 
+  test("lmScoreTrigramWith at 10x sf0.1: model tables join keyed; only " +
+    "the 1-row total broadcasts") {
+    // trigram/bigram tables and all three marginals are vocabulary-
+    // sized (vocab^2, vocab^3 worst case) — they may never broadcast;
+    // the single legal broadcast is the scalar total
+    val corp = syntheticDocs(50000L)
+    val plan = staticPlanOf(TextOps.lmScoreTrigramWith(
+      syntheticDocs(5000L), TextOps.lmTrigramModel(corp),
+      TextOps.lmModel(corp)))
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 1,
+      s"lmScoreTrigramWith lost its keyed shuffles: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"lmScoreTrigramWith has a shuffle at odd parallelism: $parts")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("n_total"),
+        "lmScoreTrigramWith broadcasts a non-scalar frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("bm25TopKIndexed at 10x sf0.1: postings scan carries seg + " +
     "term-bucket partition filters; only bounded frames broadcast") {
     val idx = java.nio.file.Files

@@ -1320,6 +1320,23 @@ class TextOpsSpec extends SparkSpec {
     assert(r(3L) == ((1L, 1L, true)))
   }
 
+  test("branchingCard counts the continuations needed per context") {
+    // context 'a': continuations b:3, c:1 -> top-1 covers 750 < 900,
+    // top-2 covers 1000 -> n_needed 2; context 'b': only 'a' -> 1
+    val d = docsDf(Seq((1L, "a b a b a b a c", "en", "s")))
+    // bigrams: ab,ba,ab,ba,ab,ba? tokens a b a b a b a c:
+    //   (a,b)x3, (b,a)x3, (a,c)x1 -> ctx a: b=3,c=1; ctx b: a=3
+    val r = TextOps.branchingCard(d).collect()
+      .map(x => x.getAs[Int]("n_needed") -> x.getAs[Long]("n_contexts"))
+      .toMap
+    assert(r == Map(1 -> 1L, 2 -> 1L))
+    // permille=500: ctx a's top-1 (3/4 = 750) already clears
+    val r2 = TextOps.branchingCard(d, permille = 500).collect()
+      .map(x => x.getAs[Int]("n_needed") -> x.getAs[Long]("n_contexts"))
+      .toMap
+    assert(r2 == Map(1 -> 2L))
+  }
+
   test("lmScoreTrigramWith ladders through all three backoff rungs " +
       "with exact hand-computed arms") {
     val corp = docsDf(Seq((100L, "a b c a b c", "en", "m")))
