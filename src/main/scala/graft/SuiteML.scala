@@ -4123,6 +4123,25 @@ object SuiteML {
         |         AS BIGINT) AS vocab_size
         |FROM ns""".stripMargin)),
 
+    // ---- curation: bloom-pruned decontamination (scale path) -------------
+    // Bloom filters have no false negatives and the set join removes
+    // the false positives, so the pruned route's output IS the exact
+    // route's — the oracle is dedup_decontaminate's SQL verbatim.
+    Q("dedup_decontaminate_bloom",
+      (s, d) => TextOps.decontaminateBloom(
+        docs(s, d).where(col("doc_id") % DecontMod =!= 0),
+        docs(s, d).where(col("doc_id") % DecontMod === 0)),
+      Some(s"""WITH $TokCte,
+        |bset AS (SELECT DISTINCT s FROM ds WHERE doc_id % $DecontMod = 0),
+        |cs AS (SELECT doc_id, s FROM ds WHERE doc_id % $DecontMod <> 0),
+        |sz AS (SELECT doc_id, count(*) AS n_shingles FROM cs GROUP BY 1),
+        |sh AS (SELECT cs.doc_id, count(*) AS n_shared
+        |       FROM cs JOIN bset USING (s) GROUP BY 1)
+        |SELECT z.doc_id, z.n_shingles,
+        |       COALESCE(sh.n_shared, CAST(0 AS BIGINT)) AS n_shared,
+        |       COALESCE(sh.n_shared, 0) * 10 >= z.n_shingles * 8 AS contaminated
+        |FROM sz z LEFT JOIN sh USING (doc_id)""".stripMargin)),
+
     // ---- curation: multi-phrase blocklist screening ----------------------
     Q("text_blocklist",
       (s, d) => TextOps.blocklistScreen(docs(s, d), BlockPhrases),

@@ -676,6 +676,43 @@ object TextOps {
         - col("n_docs"), lit(0L)))
   }
 
+  /** [[decontaminate]]'s bloom-pruned scale path: the benchmark
+    * shingle set compiles into a fixed-size bloom sketch (~1.2 MB per
+    * million shingles at 1% fpp — a literal in the scan, not a
+    * broadcast JOIN side), the corpus shingle stream prunes against
+    * it BEFORE any shuffle, and the exact set join then runs only
+    * over the ~(matching + fpp * rest) survivors to remove the
+    * sketch's false positives. No false negatives, exact verify —
+    * the output equals [[decontaminate]] row-for-row (the
+    * `rel_bloom_prune_join` contract), while the corpus-vs-benchmark
+    * shuffle shrinks from every corpus shingle to the overlap mass.
+    * Two bounded driver scalars (benchmark cardinality, the sketch
+    * bytes) are the only non-distributed state. */
+  def decontaminateBloom(corpus: DataFrame, benchmark: DataFrame,
+      num: Int = 8, den: Int = 10, fpp: Double = 0.01): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"containment threshold must be a fraction in [0,1], got $num/$den")
+    val cs = shinglesRaw(corpus)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+      .pinned // size branch + pruned-verify branch
+    val bset = shinglesRaw(benchmark)
+      .select(xxhash64(col("s")).as("h")).distinct()
+      .pinned // cardinality, sketch build, and the exact verify join
+    val nb = math.max(bset.count(), 1L)
+    val filter = BloomJoin.buildFilter(bset, "h", nb, fpp)
+    val sz = cs.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val shared = BloomJoin.prune(cs, "h", filter)
+      .join(bset, Seq("h")) // exact: false positives die here
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_shared"))
+    sz.join(shared, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+      .withColumn("contaminated",
+        col("n_shared") * den >= col("n_shingles") * num)
+  }
+
   /** Multi-phrase blocklist screening — the safety/compliance filter
     * pass (banned phrases, boilerplate markers, license strings):
     * every document reports how many blocklist occurrences it

@@ -1305,6 +1305,21 @@ class TextOpsSpec extends SparkSpec {
     assert(sweep.values.sum >= dedup)
   }
 
+  test("decontaminateBloom equals the exact route row-for-row") {
+    val corpus = docs
+    val bench = docsDf(Seq((99L, base, "en", "bench")))
+    val exact = TextOps.decontaminate(corpus, bench)
+      .collect().map(_.toString).sorted
+    val bloom = TextOps.decontaminateBloom(corpus, bench)
+      .collect().map(_.toString).sorted
+    assert(exact.nonEmpty && bloom.sameElements(exact))
+    // a tight sketch (high fpp) still agrees: the verify join removes
+    // whatever the sketch over-admits
+    val loose = TextOps.decontaminateBloom(corpus, bench, fpp = 0.5)
+      .collect().map(_.toString).sorted
+    assert(loose.sameElements(exact))
+  }
+
   test("blocklistScreen counts occurrences per doc across phrase lengths") {
     val d = docsDf(Seq(
       (1L, "bad pair x bad pair y very bad trigram z", "en", "s"),
