@@ -798,7 +798,9 @@ object TextOps {
   }
 
   /** Per-doc trigram occurrence counts (w1, w2, w3, k) — the
-    * [[docBigrams]] shape one order up, built windowlessly per row. */
+    * [[docBigrams]] shape one order up, built windowlessly per row.
+    * (Exposed via [[docTrigramsOf]] for the streaming fold's
+    * increment.) */
   private def docTrigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("w"))
       .where(size(col("w")) >= 3)
@@ -810,6 +812,11 @@ object TextOps {
         col("t.w3").as("w3"))
       .groupBy(col("doc_id"), col("w1"), col("w2"), col("w3"))
       .agg(count(lit(1)).as("k"))
+
+  /** [[docTrigrams]] for callers outside the object (the streaming
+    * trigram fold's per-batch increment). */
+  private[graft] def docTrigramsOf(docs: DataFrame): DataFrame =
+    docTrigrams(docs)
 
   /** The trigram model frame (w1, w2, w3, c_abc) — train once, serve
     * many with [[lmScoreTrigramWith]]. */

@@ -837,6 +837,42 @@ object Streams {
     graft.operators.TextOps.bm25TopKWith(batch,
       bm25StatsState(s, statePath), terms, k)
 
+  /** Streaming TRIGRAM count maintenance — the SEVENTH additive fold,
+    * one model order above [[lmSink]]: per-batch (w1, w2, w3, c_abc)
+    * counts fold under the same registry guard, keeping the laddered
+    * backoff's top rung (graft.operators.TextOps.lmScoreTrigramWith)
+    * current incrementally. Pair with an [[lmSink]] state over the
+    * same feed for the bigram/unigram rungs; [[lmScoreTrigramState]]
+    * serves from the two states together. */
+  def lmTrigramSink(docs: DataFrame, statePath: String,
+      checkpointLocation: String, nShards: Int = DefaultStateShards)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
+      nShards)(
+      batch => graft.operators.TextOps.docTrigramsOf(batch)
+        .withColumnRenamed("k", "c_abc"),
+      Seq("w1", "w2", "w3"), Seq("c_abc"),
+      // trigram counts are a function of the text alone
+      md5(col("text")))
+
+  /** The maintained trigram model from a [[lmTrigramSink]] state —
+    * column-for-column graft.operators.TextOps.lmTrigramModel. */
+  def lmTrigramModelState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    foldState(s, statePath).where(col("kind") === "g")
+      .select(col("w1"), col("w2"), col("w3"), col("c_abc"))
+
+  /** Laddered trigram scoring served from MAINTAINED states: the
+    * trigram rung from a [[lmTrigramSink]] state, the bigram/unigram
+    * rungs from an [[lmSink]] state over the same corpus. */
+  def lmScoreTrigramState(s: org.apache.spark.sql.SparkSession,
+      triStatePath: String, biStatePath: String,
+      docs: DataFrame): DataFrame =
+    graft.operators.TextOps.lmScoreTrigramWith(docs,
+      lmTrigramModelState(s, triStatePath),
+      lmModelState(s, biStatePath))
+
   /** The shared registry-guarded ADDITIVE fold behind [[lmSink]] and
     * [[dsirSink]]: count addition is not idempotent, so the state
     * carries two row kinds in one frame — `d` rows, the audited doc

@@ -1152,6 +1152,49 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(viaStream.nonEmpty && viaStream.sameElements(viaBatch))
   }
 
+  test("streamed trigram + bigram folds serve the laddered backoff " +
+    "exactly as a batch build") {
+    // the seventh additive fold paired with the first: both models
+    // maintain over the same sliced + re-delivered feed, and the
+    // two-state trigram serving equals the batch-trained one
+    import spark.implicits._
+    val all = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    val stored = all.where($"source" =!= "src0")
+    val batch = all.where($"source" === "src0")
+    val slices = Seq(stored.where($"doc_id" < 250),
+      stored.where($"doc_id" >= 250)
+        .unionAll(stored.where($"doc_id" < 100))) // re-delivery
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_tri_stream")
+    slices.foreach(_.coalesce(1).write.mode("append")
+      .parquet(streamDir.toString))
+    def drain(mk: (org.apache.spark.sql.DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row], tag: String): String = {
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"graft_${tag}_state").resolve("st").toString
+      val q = mk(spark.readStream.schema(all.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir.toString),
+          statePath,
+          java.nio.file.Files
+            .createTempDirectory(s"graft_${tag}_ck").toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), s"$tag stream did not finish")
+      statePath
+    }
+    val triState = drain(Streams.lmTrigramSink(_, _, _), "tri")
+    val biState = drain(Streams.lmSink(_, _, _), "bi")
+    val served = Streams
+      .lmScoreTrigramState(spark, triState, biState, batch)
+      .collect().map(_.toString).sorted
+    val direct = TextOps.lmScoreTrigramWith(batch,
+      TextOps.lmTrigramModel(stored), TextOps.lmModel(stored))
+      .collect().map(_.toString).sorted
+    assert(served.nonEmpty && served.sameElements(direct))
+  }
+
   test("streamed registry -> persisted BM25 index -> retrieval serving " +
     "equals a batch build, through an incremental append") {
     // the retrieval twin of the MinHash composition: the mutation-
