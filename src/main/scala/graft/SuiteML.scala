@@ -3918,6 +3918,29 @@ object SuiteML {
         |       ppl_rank + dsir_rank AS borda
         |FROM rk ORDER BY borda, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- curation: inverse-cloze-task pair mining ------------------------
+    Q("text_ict_pairs",
+      (s, d) => TextOps.ictPairs(docs(s, d)),
+      Some("""WITH t0 AS (SELECT doc_id, string_split(text, ' ') AS t
+        |       FROM documents WHERE len(string_split(text, ' ')) >= 9),
+        |st AS (SELECT doc_id, t,
+        |         CAST(((strpos('0123456789abcdef',
+        |                 substr(md5(doc_id || ':ict'), 1, 1)) - 1) * 4096
+        |             + (strpos('0123456789abcdef',
+        |                 substr(md5(doc_id || ':ict'), 2, 1)) - 1) * 256
+        |             + (strpos('0123456789abcdef',
+        |                 substr(md5(doc_id || ':ict'), 3, 1)) - 1) * 16
+        |             + (strpos('0123456789abcdef',
+        |                 substr(md5(doc_id || ':ict'), 4, 1)) - 1))
+        |           % (len(t) - 7) AS BIGINT) AS start
+        |       FROM t0)
+        |SELECT doc_id, CAST(start AS INTEGER) AS start_pos,
+        |       array_to_string(list_slice(t, start + 1, start + 8), ' ')
+        |         AS query_text,
+        |       array_to_string(list_concat(list_slice(t, 1, start),
+        |         list_slice(t, start + 9, len(t))), ' ') AS context_text
+        |FROM st""".stripMargin)),
+
     // ---- curation: SFT pair assembly -------------------------------------
     Q("text_sft_pack",
       (s, d) => TextOps.sftPack(docs(s, d)),

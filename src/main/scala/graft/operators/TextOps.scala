@@ -569,6 +569,33 @@ object TextOps {
       .limit(k)
   }
 
+  /** Inverse-cloze-task pair mining (Lee et al. 2019, "Latent
+    * Retrieval for Weakly Supervised Open Domain QA" — the standard
+    * retrieval-pretraining objective): a hash-chosen `w`-token window
+    * becomes the QUERY, the document with that window excised becomes
+    * the positive CONTEXT. Window choice is the [[splitAssign]]
+    * discipline — first 4 md5 nibbles of `doc_id:ict` mod the window
+    * count, so every engine/run picks the same window (with the
+    * documented 1/65536 low-position bias; docs longer than 65536
+    * tokens would bias further — chunk first). Pure per-row array
+    * expressions, no shuffle; docs without a non-empty context
+    * (fewer than w+1 tokens) drop. */
+  def ictPairs(docs: DataFrame, w: Int = 8): DataFrame = {
+    require(w >= 1, s"w must be >= 1, got $w")
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .where(size(col("t")) >= w + 1)
+      .withColumn("nw", (size(col("t")) - w + 1).cast("long"))
+      .withColumn("start", pmod(
+        conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":ict"))), 1, 4), 16, 10).cast("long"), col("nw")))
+      .select(col("doc_id"), col("start").cast("int").as("start_pos"),
+        expr(s"concat_ws(' ', slice(t, cast(start + 1 as int), $w))")
+          .as("query_text"),
+        expr("concat_ws(' ', concat(slice(t, 1, cast(start as int)), " +
+          s"slice(t, cast(start + $w + 1 as int), size(t))))")
+          .as("context_text"))
+  }
+
   /** SFT pair assembly: adjacent doc_id pairs (even = prompt, odd =
     * response) template into one role-marked training sequence —
     * `<|user|> prompt <|assistant|> response <|end|>` — with the

@@ -1564,6 +1564,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ictPairs excises the query window; splice restores the doc") {
+    val d = docsDf((1L to 25L).map(i =>
+      (i, (1 to 20).map(j => s"t$j").mkString(" "), "en", "s")) :+
+      (26L, "a b c d e f g h", "en", "s")) // exactly w tokens: dropped
+    val rows = TextOps.ictPairs(d).collect()
+    assert(rows.length == 25) // doc 26 has no non-empty context
+    rows.foreach { r =>
+      val q = r.getAs[String]("query_text").split(" ")
+      val c = r.getAs[String]("context_text").split(" ").filter(_.nonEmpty)
+      val start = r.getAs[Int]("start_pos")
+      assert(q.length == 8)
+      assert(c.length == 12)
+      // splicing the query back at start_pos restores the original
+      val restored = (c.take(start) ++ q ++ c.drop(start)).mkString(" ")
+      assert(restored == (1 to 20).map(j => s"t$j").mkString(" "))
+    }
+    // window choice is deterministic and varies across docs
+    assert(rows.map(_.getAs[Int]("start_pos")).distinct.length > 1)
+  }
+
   test("sftPack assembles role-templated pairs with a length cut") {
     val d = docsDf(Seq(
       (0L, "how do i join", "en", "s"),
