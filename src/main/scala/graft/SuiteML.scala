@@ -3918,6 +3918,26 @@ object SuiteML {
         |       ppl_rank + dsir_rank AS borda
         |FROM rk ORDER BY borda, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- curation: word2vec negative-sampling table ----------------------
+    Q("text_neg_sampling",
+      (s, d) => TextOps.negSamplingTable(docs(s, d)),
+      Some("""WITH wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c
+        |       FROM (SELECT unnest(string_split(text, ' ')) AS word
+        |             FROM documents) GROUP BY 1),
+        |gr AS (SELECT word, c,
+        |         CAST(POWER(CAST(c AS DOUBLE), 0.75) AS BIGINT) AS g
+        |       FROM wc),
+        |w4 AS (SELECT word, c,
+        |         CAST(list_max(list_filter(
+        |           [g - 2, g - 1, g, g + 1, g + 2],
+        |           t -> t >= 1 AND CAST(t AS HUGEINT) * t * t * t
+        |                <= CAST(c AS HUGEINT) * c * c)) AS BIGINT) AS w34
+        |       FROM gr),
+        |tot AS (SELECT CAST(SUM(w34) AS BIGINT) AS tot FROM w4)
+        |SELECT word, c, w34,
+        |       CAST(w34 * 1000000 // tot AS BIGINT) AS ppm
+        |FROM w4, tot ORDER BY c DESC, word LIMIT 50""".stripMargin)),
+
     // ---- curation: inverse-cloze-task pair mining ------------------------
     Q("text_ict_pairs",
       (s, d) => TextOps.ictPairs(docs(s, d)),

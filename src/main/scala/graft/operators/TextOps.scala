@@ -1970,6 +1970,37 @@ object TextOps {
         col("n_shared") * den >= col("n_shingles") * num)
   }
 
+  /** word2vec negative-sampling table (Mikolov et al. 2013 §2.2: draw
+    * negatives ∝ count^(3/4) — flattening the unigram distribution so
+    * frequent words don't monopolize the negatives): per word the
+    * EXACT integer floor(c^(3/4)) via the [[mixTemperature]]
+    * seed-and-correct trick (float POWER seeds g, the true root is
+    * the largest t in g±2 with t^4 <= c^3 — both sides exact
+    * DECIMAL(38,0) products, so a few-ulp libm difference between
+    * engines cannot flip the value), and the word's draw probability
+    * as exact parts-per-million of the whole vocabulary's mass. Top
+    * `topV` rows by (count desc, word) via TakeOrderedAndProject.
+    * Boundary: c^3 must fit DECIMAL(38,0) — per-word counts to
+    * ~2.1e12, beyond any single word's share of a 100 TB corpus. */
+  def negSamplingTable(docs: DataFrame, topV: Int = 50): DataFrame = {
+    require(topV >= 1, s"topV must be >= 1, got $topV")
+    val wc = tokens(docs).groupBy(col("word"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("g",
+        expr("CAST(POWER(CAST(c AS DOUBLE), 0.75D) AS BIGINT)"))
+      .withColumn("w34", expr(
+        "array_max(filter(array(g - 2, g - 1, g, g + 1, g + 2), " +
+          "t -> t >= 1 AND CAST(t AS DECIMAL(38,0)) * t * t * t" +
+          " <= CAST(c AS DECIMAL(38,0)) * c * c))"))
+      .pinned // total mass + the ranked output, one vocab pass
+    val tot = wc.agg(sum(col("w34")).as("tot"))
+    wc.crossJoin(broadcast(tot)) // 1-row scalar frame
+      .select(col("word"), col("c"), col("w34"),
+        expr("w34 * 1000000 div tot").as("ppm"))
+      .orderBy(col("c").desc, col("word").asc)
+      .limit(topV)
+  }
+
   /** Token counting: whitespace tokens, regex word-ish tokens, and a
     * BPE-style length/4 estimate (integer ceil). */
   def tokenCounts(docs: DataFrame): DataFrame =

@@ -1564,6 +1564,24 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("negSamplingTable computes exact integer 3/4-power weights") {
+    // counts by construction: a=16 -> 16^0.75 = 8 exactly;
+    // b=81 -> 27 exactly; c=100 -> floor(31.62) = 31; d=1 -> 1
+    val text = (Seq.fill(16)("a") ++ Seq.fill(81)("b") ++
+      Seq.fill(100)("c") ++ Seq("d")).mkString(" ")
+    val r = TextOps.negSamplingTable(docsDf(Seq((1L, text, "en", "s"))))
+      .collect()
+      .map(x => x.getAs[String]("word") ->
+        (x.getAs[Long]("c"), x.getAs[Long]("w34"), x.getAs[Long]("ppm")))
+      .toMap
+    assert(r("a") == ((16L, 8L, 8L * 1000000 / 67)))
+    assert(r("b") == ((81L, 27L, 27L * 1000000 / 67)))
+    assert(r("c") == ((100L, 31L, 31L * 1000000 / 67)))
+    assert(r("d") == ((1L, 1L, 1L * 1000000 / 67)))
+    // the flattening property: frequency ratios shrink under ^(3/4)
+    assert(r("c")._2.toDouble / r("d")._2 < 100.0)
+  }
+
   test("ictPairs excises the query window; splice restores the doc") {
     val d = docsDf((1L to 25L).map(i =>
       (i, (1 to 20).map(j => s"t$j").mkString(" "), "en", "s")) :+
