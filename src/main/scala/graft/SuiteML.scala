@@ -3918,6 +3918,62 @@ object SuiteML {
         |       ppl_rank + dsir_rank AS borda
         |FROM rk ORDER BY borda, doc_id LIMIT 100""".stripMargin)),
 
+    // ---- curation: UL2 mixture-of-denoisers accounting -------------------
+    Q("text_denoiser_mix",
+      (s, d) => TextOps.denoiserMix(docs(s, d)),
+      Some("""WITH asg AS (SELECT doc_id, text,
+        |         ((strpos('0123456789abcdef',
+        |             substr(md5(doc_id || ':denoiser'), 1, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef',
+        |             substr(md5(doc_id || ':denoiser'), 2, 1)) - 1)) % 3
+        |           AS arm_i
+        |       FROM documents),
+        |tk AS (SELECT doc_id, arm_i,
+        |         generate_subscripts(string_split(text, ' '), 1) - 1 AS pos
+        |       FROM (SELECT doc_id, arm_i,
+        |               unnest(string_split(text, ' ')) AS w0, text
+        |             FROM asg)),
+        |gr AS (SELECT DISTINCT doc_id, arm_i, pos // 3 AS g FROM tk
+        |       WHERE arm_i IN (0, 2)
+        |       UNION ALL
+        |       SELECT DISTINCT doc_id, arm_i, pos // 8 AS g FROM tk
+        |       WHERE arm_i = 1),
+        |mk AS (SELECT doc_id, arm_i, g,
+        |         (strpos('0123456789abcdef',
+        |            substr(md5(doc_id || ':' || g || ':corrupt'), 1, 1)) - 1)
+        |           < CASE WHEN arm_i = 2 THEN 8 ELSE 3 END AS masked
+        |       FROM gr),
+        |card AS (SELECT CASE arm_i WHEN 0 THEN 'r' WHEN 1 THEN 's'
+        |                ELSE 'x' END AS arm,
+        |           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |           CAST(count(*) AS BIGINT) AS n_windows,
+        |           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS n_masked
+        |         FROM mk GROUP BY 1)
+        |SELECT arm, n_docs, n_windows, n_masked,
+        |       n_masked * 1000 // n_windows AS masked_permille
+        |FROM card""".stripMargin)),
+
+    // ---- similarity: per-dimension robust statistics ---------------------
+    Q("sim_dim_stats",
+      (s, d) => EmbeddingOps.dimStats(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |u2 AS (SELECT generate_subscripts(q, 1) - 1 AS c, unnest(q) AS v
+        |       FROM e),
+        |vc AS (SELECT c, v, CAST(count(*) AS BIGINT) AS cnt
+        |       FROM u2 GROUP BY 1, 2),
+        |nn2 AS (SELECT c, CAST(SUM(cnt) AS BIGINT) AS n,
+        |               MIN(v) AS min_q, MAX(v) AS max_q
+        |        FROM vc GROUP BY 1),
+        |cum AS (SELECT c, v, SUM(cnt) OVER (PARTITION BY c ORDER BY v)
+        |          AS cum
+        |        FROM vc),
+        |md AS (SELECT cum.c, MIN(v) AS median_q
+        |       FROM cum JOIN nn2 ON nn2.c = cum.c
+        |       WHERE cum >= (n + 1) // 2 GROUP BY 1)
+        |SELECT CAST(nn2.c AS INTEGER) AS c, min_q, max_q, median_q
+        |FROM nn2 JOIN md ON md.c = nn2.c""".stripMargin)),
+
     // ---- curation: word2vec negative-sampling table ----------------------
     Q("text_neg_sampling",
       (s, d) => TextOps.negSamplingTable(docs(s, d)),

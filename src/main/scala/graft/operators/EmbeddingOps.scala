@@ -1620,6 +1620,32 @@ object EmbeddingOps {
         Seq("vec_id"), "left")
   }
 
+  /** Per-dimension robust statistics of the quantized corpus — the
+    * normalization/clipping prep read (which dimensions are skewed,
+    * where a robust scaler's center sits): exact min, max, and MEDIAN
+    * of each dimension's integer milli-units. The median is exact
+    * WITHOUT any per-dimension sort of corpus-sized data: quantized
+    * values are integers, so per-(dim, value) counts + a cumulative
+    * window over the value-cardinality frame select the lower-median
+    * rank directly (the value-histogram selection trick — window
+    * partitions hold one row per DISTINCT value, not per vector). */
+  def dimStats(emb: DataFrame): DataFrame = {
+    val vals = quantized(emb)
+      .select(posexplode(col("q")).as(Seq("c", "v")))
+      .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+      .pinned
+    val n = vals.groupBy(col("c")).agg(sum(col("cnt")).as("n"),
+      min(col("v")).as("min_q"), max(col("v")).as("max_q"))
+    val w = Window.partitionBy(col("c")).orderBy(col("v"))
+    val med = vals
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .join(n.select(col("c"), col("n")), Seq("c"))
+      .where(col("cum") >= expr("(n + 1) div 2")) // lower-median rank
+      .groupBy(col("c")).agg(min(col("v")).as("median_q"))
+    n.join(med, Seq("c"))
+      .select(col("c"), col("min_q"), col("max_q"), col("median_q"))
+  }
+
   /** Trained-quantizer cell assignment, exposed for cross-family
     * compositions (cluster-topic labeling joins these cells to the
     * DOCUMENT table): each vector's argmax cell under the

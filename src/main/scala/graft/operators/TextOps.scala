@@ -174,6 +174,44 @@ object TextOps {
         sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
   }
 
+  /** UL2-style mixture-of-denoisers accounting (Tay et al. 2022):
+    * docs assign hash-deterministically to the R/S/X denoiser arms
+    * (regular short spans / sequential long span / extreme rate), and
+    * the card reports each arm's doc count, window count, and masked
+    * mass under ITS corruption parameters — the objective-mixture
+    * budget read before generating the actual pairs with
+    * [[spanCorrupt]] per arm. Window masking reuses spanCorrupt's
+    * rule exactly (first md5 nibble of `doc:g:corrupt` under the
+    * arm's threshold over spanLen-token windows), so the counts here
+    * ARE the pair generator's. Pure keyed aggregates. */
+  def denoiserMix(docs: DataFrame): DataFrame = {
+    // (arm, spanLen, maskNibbles): R = short spans at ~19%,
+    // S = long spans at ~19%, X = short spans at ~50% (extreme rate)
+    val arms = Seq(("r", 3, 3), ("s", 8, 3), ("x", 3, 8))
+    val assigned = docs
+      .withColumn("arm_i",
+        pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
+          lit(":denoiser"))), 1, 2), 16, 10).cast("long"), lit(3L)))
+      .pinned
+    arms.zipWithIndex.map { case ((arm, spanLen, nib), i) =>
+      tokens(assigned.where(col("arm_i") === i.toLong))
+        .withColumn("g", expr(s"pos div $spanLen"))
+        .select(col("doc_id"), col("g")).distinct()
+        .withColumn("masked",
+          conv(substring(md5(concat(col("doc_id").cast("string"),
+            lit(":"), col("g").cast("string"), lit(":corrupt"))), 1, 1),
+            16, 10).cast("int") < nib)
+        .groupBy()
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_windows"),
+          sum(when(col("masked"), 1L).otherwise(0L)).as("n_masked"))
+        .select(lit(arm).as("arm"), col("n_docs"), col("n_windows"),
+          col("n_masked"))
+    }.reduce(_ unionByName _)
+      .withColumn("masked_permille",
+        expr("n_masked * 1000 div n_windows"))
+  }
+
   /** Length-bucketed batching card — the padding-efficiency read
     * before choosing bucket boundaries for fixed-shape training
     * batches: docs bucket to the smallest power of two holding their

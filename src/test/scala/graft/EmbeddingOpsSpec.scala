@@ -702,6 +702,29 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("dimStats computes exact per-dimension min/max/median") {
+    // dim 0 values (milli-quantized): 1000, 3000, 2000, 5000, 4000
+    // -> sorted 1000..5000, lower median 3000; dim 1 constant
+    val e = embDf(Seq(
+      (0L, Seq(1f, 7f, 0f, 0f), 0), (1L, Seq(3f, 7f, 0f, 0f), 0),
+      (2L, Seq(2f, 7f, 0f, 0f), 0), (3L, Seq(5f, 7f, 0f, 0f), 0),
+      (4L, Seq(4f, 7f, 0f, 0f), 0)))
+    val r = EmbeddingOps.dimStats(e).collect()
+      .map(x => x.getAs[Int]("c") ->
+        (x.getAs[Long]("min_q"), x.getAs[Long]("max_q"),
+          x.getAs[Long]("median_q"))).toMap
+    assert(r(0) == ((1000L, 5000L, 3000L)))
+    assert(r(1) == ((7000L, 7000L, 7000L)))
+    assert(r(2) == ((0L, 0L, 0L)))
+    // even count: the LOWER median is selected
+    val e2 = embDf(Seq(
+      (0L, Seq(1f, 0f, 0f, 0f), 0), (1L, Seq(2f, 0f, 0f, 0f), 0),
+      (2L, Seq(3f, 0f, 0f, 0f), 0), (3L, Seq(4f, 0f, 0f, 0f), 0)))
+    val m2 = EmbeddingOps.dimStats(e2).collect()
+      .find(_.getAs[Int]("c") == 0).get.getAs[Long]("median_q")
+    assert(m2 == 2000L)
+  }
+
   test("centroidClassify separates orthogonal label clusters exactly") {
     // three orthogonal label clusters of two identical vectors each:
     // every vector's nearest centroid is its own label -> a diagonal

@@ -1564,6 +1564,26 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("denoiserMix accounts every doc to one arm with its own rate") {
+    val d = docsDf((1L to 60L).map(i =>
+      (i, (1 to 24).map(j => s"w$j").mkString(" "), "en", "s")))
+    val r = TextOps.denoiserMix(d).collect()
+      .map(x => x.getAs[String]("arm") ->
+        (x.getAs[Long]("n_docs"), x.getAs[Long]("n_windows"),
+          x.getAs[Long]("n_masked"), x.getAs[Long]("masked_permille")))
+      .toMap
+    assert(r.keySet == Set("r", "s", "x"))
+    // every doc lands in exactly one arm
+    assert(r.values.map(_._1).sum == 60L)
+    // window widths: 24 tokens -> 8 windows at L=3, 3 at L=8
+    assert(r("r")._2 == r("r")._1 * 8)
+    assert(r("s")._2 == r("s")._1 * 3)
+    assert(r("x")._2 == r("x")._1 * 8)
+    // the extreme arm masks at a much higher rate than the 3/16 arms
+    assert(r("x")._4 > r("r")._4)
+    r.values.foreach(v => assert(v._4 == v._3 * 1000 / v._2))
+  }
+
   test("negSamplingTable computes exact integer 3/4-power weights") {
     // counts by construction: a=16 -> 16^0.75 = 8 exactly;
     // b=81 -> 27 exactly; c=100 -> floor(31.62) = 31; d=1 -> 1
