@@ -592,6 +592,63 @@ class ScaleProbeSpec extends SparkSpec {
       "hardNegatives' rank<=k window has no Partial pre-shuffle trim")
   }
 
+  test("late text/embedding cards at 10x sf0.1: bounded broadcasts, " +
+    "keyed shuffles throughout") {
+    val multiSource = syntheticDocs(50000L)
+      .withColumn("source", concat(lit("src"),
+        pmod(col("doc_id"), lit(8)).cast("string")))
+    // (name, build, allowed broadcast marker columns, requireParallel;
+    // a broadcast carrying none of the markers is a corpus-derived
+    // frame leaking in. negSamplingTable's vocab shuffle happens at
+    // pin time (invisible downstream), so only its scalar exchange
+    // shows — exempt it from the parallel-shuffle floor)
+    Seq[(String, () => DataFrame, Set[String], Boolean)](
+      ("blocklistScreen",
+        () => TextOps.blocklistScreen(multiSource, Seq("w1 w2", "w3 w4 w5")),
+        Set("g"), true),
+      ("distinctiveTerms",
+        () => TextOps.distinctiveTerms(multiSource), Set("t_all"), true),
+      ("scorePercentile",
+        () => TextOps.scorePercentile(multiSource.select(col("doc_id"),
+          col("source"),
+          (pmod(xxhash64(col("doc_id")), lit(1000)) / 100.0).as("score"))),
+        Set("_off", "n_src"), true),
+      ("negSamplingTable",
+        () => TextOps.negSamplingTable(multiSource), Set("tot"), false),
+      ("dimStats",
+        () => EmbeddingOps.dimStats(syntheticEmb(20000L, dim = 64)),
+        Set.empty[String], true),
+      ("denoiserMix",
+        // doc-keyed distinct: round-robin the source so the exchange
+        // the 100 TB plan needs is visible (the spanCorrupt rule)
+        () => TextOps.denoiserMix(multiSource.repartition(
+          spark.conf.get("spark.sql.shuffle.partitions").toInt)),
+        Set.empty[String], true))
+      .foreach { case (name, build, allowed, requireParallel) =>
+        val plan = staticPlanOf(build())
+        val expected =
+          spark.conf.get("spark.sql.shuffle.partitions").toInt
+        val parts = plan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+        }
+        if (requireParallel) assert(parts.count(_ == expected) >= 1,
+          s"$name lost its keyed parallel shuffle: $parts")
+        assert(parts.forall(p => p == expected || p == 1),
+          s"$name has a shuffle at odd parallelism: $parts")
+        assert(plan.collect {
+          case c: org.apache.spark.sql.execution.joins
+              .CartesianProductExec => c
+        }.isEmpty, s"$name plans a CartesianProduct")
+        broadcastSubtrees(plan).foreach { sub =>
+          val cols = sub.output.map(_.name)
+          assert(allowed.nonEmpty && cols.exists(allowed.contains),
+            s"$name broadcasts a non-bounded frame with columns " +
+              cols.mkString("[", ", ", "]"))
+        }
+      }
+  }
+
   test("lmScoreTrigramWith at 10x sf0.1: model tables join keyed; only " +
     "the 1-row total broadcasts") {
     // trigram/bigram tables and all three marginals are vocabulary-
