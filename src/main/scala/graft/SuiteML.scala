@@ -280,6 +280,13 @@ object SuiteML {
     BlockPhrases.filter(_.split(" ").length == len)
       .map(p => s"'$p'").mkString(", ")
 
+  /** Template-spam fixture body for the capped near-dup row — ONE
+    * single-quote-free literal feeding both engines; 10 tokens, so
+    * with the per-class suffix token every class instance is an
+    * 11-token doc sharing all 9 shingles with its classmates. */
+  private val TemplateSpamText =
+    "spam template page click here to win a free prize"
+
   /** Stratified-sampling keep rates (permille) — ONE literal feeding
     * both the Spark call and the oracle's VALUES clause. */
   private val StratRates: Seq[(String, Long)] = Seq(("en", 250L))
@@ -1039,6 +1046,84 @@ object SuiteML {
         |FROM ndup nd JOIN sig a ON a.doc_id = nd.doc_a
         |             JOIN sig b ON b.doc_id = nd.doc_b""".stripMargin)),
 
+    // ---- dedup: band-bucket volume accounting card ----------------------
+    // (the loud-overflow half of the capped-candidate contract: per
+    // band position, how many buckets exceed the cap, the member mass
+    // inside them, and the exact pair volume star routing avoids.
+    // cap=2 here so the card is non-vacuous at oracle scale — the
+    // production default TextOps.BucketCap=64 reports all-zero on
+    // these corpora, which is exactly why the uncapped minhash
+    // oracles above stay bit-identical)
+    Q("dedup_band_volume",
+      (s, d) => TextOps.bandVolumeReport(docs(s, d), bucketCap = 2),
+      Some(s"""WITH $TokCte,
+        |$MinhashSigSql,
+        |bstat AS (SELECT band_idx, band_hash, COUNT(*) AS bn
+        |          FROM bands GROUP BY 1, 2)
+        |SELECT band_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |       CAST(MAX(bn) AS BIGINT) AS max_bucket,
+        |       CAST(SUM(CASE WHEN bn > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |       CAST(SUM(CASE WHEN bn > 2 THEN bn ELSE 0 END) AS BIGINT) AS overflow_docs,
+        |       CAST(SUM(CASE WHEN bn > 2 THEN bn * (bn - 1) // 2 - (bn - 1) ELSE 0 END) AS BIGINT) AS pairs_avoided
+        |FROM bstat GROUP BY 1""".stripMargin)),
+
+    // ---- dedup: capped near-dup route under template spam ---------------
+    // (the 100 TB scenario the cap exists for, reproduced at oracle
+    // scale: even doc_ids collapse onto 23 near-identical template
+    // classes — mega-buckets in every band — while odd doc_ids keep
+    // their real text in small buckets. cap=3 makes both arms live:
+    // template classes exceed it at every sf and route to hub stars,
+    // real-text buckets (max 3 at sf0.01) keep exact all-pairs. The
+    // oracle mirrors the hub-star routing with one windowed count)
+    Q("dedup_minhash_capped",
+      (s, d) => {
+        val fx = docs(s, d).select(col("doc_id"),
+          org.apache.spark.sql.functions.when(col("doc_id") % 2 === 0,
+            org.apache.spark.sql.functions.concat(
+              lit(TemplateSpamText + " t"),
+              (col("doc_id") % 23).cast("string")))
+            .otherwise(col("text")).as("text"))
+        TextOps.nearDupMinhash(fx, threshold = 0.7, bucketCap = 3)
+      },
+      Some(s"""WITH fx AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN '$TemplateSpamText t' || CAST(doc_id % 23 AS VARCHAR)
+        |       ELSE text END AS text
+        |  FROM documents),
+        |ds AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(ls) - 1),
+        |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ls
+        |          FROM fx WHERE len(string_split(text, ' ')) >= 3))),
+        |$MinhashSigSql,
+        |bstat AS (SELECT band_idx, band_hash, COUNT(*) AS bn,
+        |                 MIN(doc_id) AS hub
+        |          FROM bands GROUP BY 1, 2),
+        |bx AS (SELECT b.doc_id, b.band_idx, b.band_hash, s.bn, s.hub
+        |       FROM bands b JOIN bstat s USING (band_idx, band_hash)),
+        |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bx a JOIN bx b USING (band_idx, band_hash)
+        |  WHERE a.bn <= 3 AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT hub AS doc_a, doc_id AS doc_b FROM bx
+        |  WHERE bn > 3 AND doc_id <> hub)),
+        |sz AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |          FROM cand c
+        |          JOIN ds a ON a.doc_id = c.doc_a
+        |          JOIN ds b ON b.doc_id = c.doc_b AND b.s = a.s
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sz sa ON sa.doc_id = i.doc_a
+        |JOIN sz sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
+
     // ---- dedup: persisted-index near-dup SERVING ------------------------
     // (the incremental half of minhash dedup: the corpus slice
     // doc_id % 5 != 0 is indexed once, the % 5 == 0 slice arrives as
@@ -1266,21 +1351,36 @@ object SuiteML {
         |           ORDER BY doc_id) AS rk2
         |  FROM ud) WHERE rk2 <= 10""".stripMargin)),
 
-    // ---- dedup: SimHash + lossless byte-banding -------------------------
+    // ---- dedup: SimHash + byte-banding under the bucket cap -------------
+    // (a byte band has 256 values, so its buckets fill linearly with
+    // the corpus — the cap is ACTIVE on real data here, unlike the
+    // minhash rows: the oracle mirrors the hub-star routing for
+    // buckets over TextOps.BucketCap with one windowed count)
     Q("dedup_simhash",
       (s, d) => TextOps.nearDupSimhash(docs(s, d)),
       Some(s"""WITH $TokCte,
         |$SimhashSql,
         |bands AS (
-        |  SELECT doc_id, simhash,
+        |  SELECT doc_id,
         |         CAST(b AS VARCHAR) || ':' || CAST((simhash // CAST(pow(256, b) AS BIGINT)) % 256 AS VARCHAR) AS band
-        |  FROM shh, (SELECT unnest([0,1,2,3]) AS b))
-        |SELECT doc_a, doc_b, sim_a, sim_b, CAST(bit_count(xor(sim_a, sim_b)) AS INTEGER) AS hamming
-        |FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |             a.simhash AS sim_a, b.simhash AS sim_b
-        |      FROM bands a JOIN bands b USING (band)
-        |      WHERE a.doc_id < b.doc_id)
-        |WHERE bit_count(xor(sim_a, sim_b)) <= 3""".stripMargin)),
+        |  FROM shh, (SELECT unnest([0,1,2,3]) AS b)),
+        |bstat AS (SELECT band, COUNT(*) AS bn, MIN(doc_id) AS hub
+        |          FROM bands GROUP BY 1),
+        |bx AS (SELECT b.doc_id, b.band, s.bn, s.hub
+        |       FROM bands b JOIN bstat s USING (band)),
+        |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bx a JOIN bx b USING (band)
+        |  WHERE a.bn <= ${TextOps.BucketCap} AND a.doc_id < b.doc_id
+        |  UNION ALL
+        |  SELECT hub AS doc_a, doc_id AS doc_b FROM bx
+        |  WHERE bn > ${TextOps.BucketCap} AND doc_id <> hub))
+        |SELECT c.doc_a, c.doc_b, sa.simhash AS sim_a, sb.simhash AS sim_b,
+        |       CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+        |FROM cand c
+        |JOIN shh sa ON sa.doc_id = c.doc_a
+        |JOIN shh sb ON sb.doc_id = c.doc_b
+        |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin)),
 
     // ---- text analysis: corpus-trained language ID ----------------------
     Q("text_langid",
@@ -3923,9 +4023,13 @@ object SuiteML {
       (s, d) => TextOps.denoiserMix(docs(s, d)),
       Some("""WITH asg AS (SELECT doc_id, text,
         |         ((strpos('0123456789abcdef',
-        |             substr(md5(doc_id || ':denoiser'), 1, 1)) - 1) * 16
+        |             substr(md5(doc_id || ':denoiser'), 1, 1)) - 1) * 4096
         |          + (strpos('0123456789abcdef',
-        |             substr(md5(doc_id || ':denoiser'), 2, 1)) - 1)) % 3
+        |             substr(md5(doc_id || ':denoiser'), 2, 1)) - 1) * 256
+        |          + (strpos('0123456789abcdef',
+        |             substr(md5(doc_id || ':denoiser'), 3, 1)) - 1) * 16
+        |          + (strpos('0123456789abcdef',
+        |             substr(md5(doc_id || ':denoiser'), 4, 1)) - 1)) % 3
         |           AS arm_i
         |       FROM documents),
         |tk AS (SELECT doc_id, arm_i,

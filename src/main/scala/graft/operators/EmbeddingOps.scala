@@ -1777,8 +1777,12 @@ object EmbeddingOps {
     * BEFORE any sum, so neighborhood sums are exact BIGINTs and the
     * margin is one integral division,
     * margin_q = cq*2k*1000 div (sum_topk_x + sum_topk_y) — permille
-    * of the paper's ratio. Pairs with non-positive cosine or
-    * neighborhood mass never mine (both sums > 0 required).
+    * of the paper's ratio. Pairs with non-positive cosine never mine,
+    * and the margin denominator must be positive: the gate is on the
+    * SUMMED neighborhood mass (sum_a + sum_b > 0), so one side's
+    * negative neighborhood sum is tolerated when the other side's
+    * mass outweighs it — the combined-mass denominator is what the
+    * ratio divides by, so that is what must clear zero.
     *
     * The two sides here are the even/odd vec_id halves (standing in
     * for the two languages of a bitext run). This is the BRUTE

@@ -188,10 +188,14 @@ object TextOps {
     // (arm, spanLen, maskNibbles): R = short spans at ~19%,
     // S = long spans at ~19%, X = short spans at ~50% (extreme rate)
     val arms = Seq(("r", 3, 3), ("s", 8, 3), ("x", 3, 8))
+    // arm draw: 4 hex nibbles (16 bits) mod 3 — 65536 % 3 = 1, so the
+    // residual bias toward arm 0 is 1/65536 (~0.0015%), negligible
+    // against the intended even R/S/X mixture (2 nibbles would skew
+    // arm 0 by ~0.4%: 86/256 vs 85/256)
     val assigned = docs
       .withColumn("arm_i",
         pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
-          lit(":denoiser"))), 1, 2), 16, 10).cast("long"), lit(3L)))
+          lit(":denoiser"))), 1, 4), 16, 10).cast("long"), lit(3L)))
       .pinned
     arms.zipWithIndex.map { case ((arm, spanLen, nib), i) =>
       tokens(assigned.where(col("arm_i") === i.toLong))
@@ -286,12 +290,8 @@ object TextOps {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
       .pinned
-    val bands = minhashBands(minhashSignature(docs))
-    val cand = bands.as("a")
-      .join(bands.as("b"), Seq("band_idx", "band_hash"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = cappedBandPairs(minhashBands(minhashSignature(docs)),
+      Seq("band_idx", "band_hash"))
     val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     interFromCandidates(ds, cand)
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
@@ -438,8 +438,23 @@ object TextOps {
       "query terms must be non-empty and distinct")
     val posts = bm25PostingsScan(s, path, terms)
       .pinned // df branch + scoring branch, one pruned scan
+    // df is count(DISTINCT doc_id), not count(rows): appending an
+    // already-indexed doc (the bm25IndexAppend contract says route
+    // ingestion through a dedup gate) would silently inflate a
+    // row-count df. The distinct keeps df exact regardless — and
+    // since duplicated postings would STILL corrupt ranking (the doc
+    // scores once per copy), a row-count/distinct mismatch fails the
+    // serve loudly instead of returning corrupt top-k. Both
+    // aggregates ride the |terms|-bounded frame.
     val df_ = broadcast(posts.groupBy(col("word"))
-      .agg(count(lit(1)).as("df")))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("doc_id")).as("df"))
+      .select(col("word"),
+        when(col("n_rows") === col("df"), col("df"))
+          .otherwise(raise_error(concat(
+            lit("bm25 index corrupt: duplicate doc_ids in postings " +
+              "for term "), col("word"),
+            lit(" — an append bypassed the dedup gate")))).as("df")))
     val tot = broadcast(s.read.parquet(s"$path/totals")
       .where(EmbeddingOps.segFilter(s, path))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tok")).as("t_tok")))
@@ -1024,12 +1039,10 @@ object TextOps {
         .cast("double") >= threshold)
       .select(col("doc_a"), col("doc_b"))
       .pinned // counted alone and joined against the banded set
-    val bands = minhashBands(minhashSignature(docs))
-    val cand = bands.as("a")
-      .join(bands.as("b"), Seq("band_idx", "band_hash"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // the banded side is the dedup's OWN candidate generator — capped,
+    // so the recall this card reports is the production route's recall
+    val cand = cappedBandPairs(minhashBands(minhashSignature(docs)),
+      Seq("band_idx", "band_hash"))
     tj.agg(count(lit(1)).as("n_true"))
       .crossJoin(broadcast(tj.join(cand, Seq("doc_a", "doc_b"))
         .agg(count(lit(1)).as("n_caught"))))
@@ -1127,6 +1140,87 @@ object TextOps {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
   }
 
+  /** Production default for [[cappedBandPairs]]' per-bucket volume
+    * bound: far above any bucket the synthetic corpora produce (max
+    * band-bucket membership is 4 at sf0.1, 21 for prefix blocking), so
+    * oracle-scale results are bit-identical to the uncapped join,
+    * while a template-spam mega-bucket at 100 TB is bounded the moment
+    * it appears. */
+  val BucketCap = 64
+
+  /** Candidate pairs from bucketed blocking keys with a PER-BUCKET
+    * VOLUME BOUND — the backstop that keeps LSH/blocking candidate
+    * generation linear under template spam. The naive
+    * `bucket ⋈ bucket` self-join emits B²/2 pairs for a bucket with B
+    * members; one boilerplate page duplicated 10⁶ times (timestamps
+    * and session ids defeat the upstream EXACT dedup, which is
+    * precisely the near-dup case) puts 10⁶ signatures in the same
+    * bucket in every band → 5·10¹¹ candidate pairs. An oversized
+    * bucket is not a candidate source, it IS a dup-cluster detection:
+    * members of a bucket over `bucketCap` are routed STRAIGHT to the
+    * bucket's hub (its minimum doc_id) as (hub, member) star pairs —
+    * O(B) pairs that give downstream [[dupGroups]] the same connected
+    * component via the hub — while buckets at or under the cap keep
+    * exact all-pairs generation. Deterministic (the hub is a min, the
+    * arms partition buckets exactly), so oracles mirror it with one
+    * windowed count.
+    *
+    * Recall trade, stated loudly: within an oversized bucket only
+    * hub-member pairs reach verification, so a member pair whose
+    * similarity to each other survives verification but whose
+    * similarity to the hub does not is dropped. For near-dup dedup
+    * that is the intended semantics (the bucket is one cluster); the
+    * [[bandVolumeReport]] row accounts capped buckets and avoided
+    * pair volume so the trade is visible, never silent.
+    *
+    * Scale shape: one windowed count/min per bucket (a keyed shuffle
+    * on the blocking key — the same key the join was about to shuffle
+    * on anyway), pinned once for its three consumers; the all-pairs
+    * arm joins only rows from bounded buckets (≤ cap·B/2 pairs per
+    * bucket); the star arm is a projection. */
+  private[graft] def cappedBandPairs(bands: DataFrame,
+      keyCols: Seq[String], bucketCap: Int = BucketCap): DataFrame = {
+    require(bucketCap >= 2, s"bucketCap must be >= 2, got $bucketCap")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+    val bx = bands
+      .select(keyCols.map(col) :+ col("doc_id"): _*)
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("hub", min(col("doc_id")).over(w))
+      .pinned
+    val small = bx.where(col("bn") <= bucketCap)
+    val allPairs = small.as("a").join(small.as("b"), keyCols)
+      .where(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val star = bx
+      .where(col("bn") > bucketCap && col("doc_id") =!= col("hub"))
+      .select(col("hub").as("doc_a"), col("doc_id").as("doc_b"))
+    allPairs.unionAll(star).distinct()
+  }
+
+  /** Accounting card for [[cappedBandPairs]]' volume bound over the
+    * MinHash bands: per band position, the bucket count, the largest
+    * bucket, how many buckets exceed `bucketCap`, the member mass
+    * inside them, and the exact all-pairs volume the star routing
+    * avoided (B(B-1)/2 - (B-1) per capped bucket). All exact
+    * integers; the frame is bucket-cardinality, aggregated to 4
+    * rows — the loud-overflow half of the capped-candidate
+    * contract. */
+  def bandVolumeReport(docs: DataFrame,
+      bucketCap: Int = BucketCap): DataFrame =
+    minhashBands(minhashSignature(docs))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bn")).as("max_bucket"),
+        sum(when(col("bn") > bucketCap, 1L).otherwise(0L))
+          .as("n_capped"),
+        sum(when(col("bn") > bucketCap, col("bn")).otherwise(0L))
+          .as("overflow_docs"),
+        sum(when(col("bn") > bucketCap,
+          expr("bn * (bn - 1) div 2 - (bn - 1)")).otherwise(0L))
+          .as("pairs_avoided"))
+
   /** Exact intersection sizes for candidate pairs over per-doc element
     * sets `sets(doc_id, h)`: |A∩B| per (doc_a, doc_b). Shared by every
     * near-dup route so the verification arithmetic cannot drift between
@@ -1163,7 +1257,8 @@ object TextOps {
     * verification: candidates from shared LSH buckets, then
     * |A∩B| / |A∪B| over the true shingle sets (exact integers, one
     * division), kept when >= threshold. */
-  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.7): DataFrame = {
+  def nearDupMinhash(docs: DataFrame, threshold: Double = 0.7,
+      bucketCap: Int = BucketCap): DataFrame = {
     // The exact-Jaccard verify works on distinct shingle SETS, but only
     // set sizes and intersection sizes matter — so the set elements are
     // 8-byte xxhash64 surrogates, not the shingle strings: the distinct
@@ -1179,12 +1274,8 @@ object TextOps {
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
       .pinned
-    val bands = minhashBands(minhashSignature(docs))
-    val cand = bands.as("a")
-      .join(bands.as("b"), Seq("band_idx", "band_hash"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val cand = cappedBandPairs(minhashBands(minhashSignature(docs)),
+      Seq("band_idx", "band_hash"), bucketCap)
     jaccardFromInter(ds, interFromCandidates(ds, cand), threshold)
   }
 
@@ -1216,10 +1307,11 @@ object TextOps {
     val pref = dh.withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixK)
       .select(col("doc_id"), col("h"))
-    val cand = pref.as("a").join(pref.as("b"), Seq("h"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    // prefix buckets (docs sharing one of their k smallest hashes)
+    // carry the same quadratic hazard as LSH buckets — a globally
+    // common shingle with a small md5 becomes the min of every doc
+    // containing it; the shared cap bounds it (max 21 at sf0.1)
+    val cand = cappedBandPairs(pref, Seq("h"))
     jaccardFromInter(dh, interFromCandidates(dh, cand), threshold)
   }
 
@@ -1646,20 +1738,29 @@ object TextOps {
 
   /** SimHash near-dup pairs: band the 32-bit hash into 4 bytes — by
     * pigeonhole, any pair at Hamming distance <= 3 shares at least one
-    * byte band, so banding is lossless for the <=3 cutoff while keeping
-    * candidate generation linear per bucket. */
-  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs)
+    * byte band, so banding is lossless for the <=3 cutoff — UNDER the
+    * bucket cap. A byte band has only 256 values, so its buckets fill
+    * linearly with the corpus (3253 members in the largest sf0.1
+    * bucket — 5·10⁶ candidate pairs from ONE bucket already at bench
+    * scale); [[cappedBandPairs]] routes oversized buckets to hub
+    * stars, trading member-member pairs inside a mega-bucket (whose
+    * hub transitively represents the cluster) for linear volume. The
+    * lossless-pigeonhole guarantee therefore holds exactly for pairs
+    * whose shared band bucket is within the cap. */
+  def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = BucketCap): DataFrame = {
+    val sh = simhash(docs).pinned
     val bandCols = (0 until 4).map(b =>
       concat(lit(s"$b:"),
         (expr(s"simhash div ${1L << (8 * b)}") % 256).cast("long")))
-    val bands = sh.select(col("doc_id"), col("simhash"),
+    val bands = sh.select(col("doc_id"),
       explode(array(bandCols: _*)).as("band"))
-    bands.as("a").join(bands.as("b"), Seq("band"))
-      .where(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-      .distinct()
+    cappedBandPairs(bands, Seq("band"), bucketCap)
+      .join(sh.select(col("doc_id").as("doc_a"),
+        col("simhash").as("sim_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"),
+        col("simhash").as("sim_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sim_a"), col("sim_b"))
       .withColumn("hamming",
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
       .where(col("hamming") <= maxHamming)

@@ -100,6 +100,34 @@ class ScaleProbeSpec extends SparkSpec {
       s"nearDupMinhash broadcasts ${bc.length} corpus-derived frame(s)")
   }
 
+  test("cappedBandPairs bounds candidate volume on a template-spam mega-bucket") {
+    // the r11 scale finding: one boilerplate page duplicated B times
+    // puts B identical signatures in the same bucket in EVERY band —
+    // all-pairs candidate generation would emit B(B-1)/2 pairs
+    // (~12.5M at B=5000, 5e11 at B=1e6). The cap must route the
+    // bucket to exactly B-1 hub-star pairs: candidate volume O(B).
+    val n = 5000L
+    val spam = spark.range(n).select(col("id").as("doc_id"),
+      lit("spam template page click here to win a free prize now")
+        .as("text"))
+    val cand = TextOps.cappedBandPairs(
+      TextOps.minhashBands(TextOps.minhashSignature(spam)),
+      Seq("band_idx", "band_hash"), bucketCap = 64)
+    assert(cand.count() === n - 1,
+      "an oversized bucket must yield B-1 hub-star candidates, " +
+        "not B(B-1)/2 all-pairs")
+    // end-to-end: identical docs verify at jaccard 1.0, so the
+    // near-dup output is exactly the star...
+    val pairs = TextOps.nearDupMinhash(spam, 0.7, bucketCap = 64)
+    assert(pairs.count() === n - 1)
+    // ...and downstream grouping still sees ONE cluster through the
+    // hub — the spanning-structure argument the star routing rests on
+    val grp = TextOps.dupGroups(
+      pairs.select(col("doc_a"), col("doc_b")))
+    assert(grp.select(col("group_id")).distinct().count() === 1L)
+    assert(grp.count() === n)
+  }
+
   test("semanticDedup at 10x sf0.1: only centroid-cardinality frames broadcast") {
     val plan =
       staticPlanOf(EmbeddingOps.semanticDedup(syntheticEmb(50000L)))
