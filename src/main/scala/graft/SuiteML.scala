@@ -840,6 +840,23 @@ object SuiteML {
       |        JOIN cd0 cd ON cd.query_id = ca.query_id AND cd.cell = ca.cell
       |        GROUP BY 1, 2)""".stripMargin
 
+  /** Exact re-scoring of the top-30 ADC candidates over `xsc`,
+    * ending in `rsc(query_id, vec_id, cos)` — shared by the rerank
+    * serving row and the rerank-recall row so the candidate budget
+    * and the exact-cosine arithmetic cannot drift between them. */
+  private val RerankCte: String =
+    """cnd AS (SELECT query_id, vec_id FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
+      |  FROM xsc) WHERE rk <= 30),
+      |rp AS (SELECT c.query_id, c.vec_id, unnest(qe.q) AS a, unnest(ce.q) AS b
+      |       FROM cnd c JOIN e qe ON qe.vec_id = c.query_id
+      |                  JOIN e ce ON ce.vec_id = c.vec_id),
+      |rdots AS (SELECT query_id, vec_id, SUM(a*b) AS dot FROM rp GROUP BY 1, 2),
+      |rsc AS (SELECT rdots.query_id, rdots.vec_id,
+      |               CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+      |        FROM rdots JOIN n nq ON nq.vec_id = rdots.query_id
+      |                   JOIN n nv ON nv.vec_id = rdots.vec_id)""".stripMargin
+
   /** Shared ranking tail over `xsc` for the two IVF-PQ top-k rows. */
   private val IvfPqTopKTail: String =
     """SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, adot FROM (
@@ -3044,6 +3061,58 @@ object SuiteML {
         |  FROM xsc) WHERE rk <= 10),
         |$BruteTop10Cte,
         |${recallTail("xk")}""".stripMargin)),
+
+    // ---- similarity: two-stage IVF-PQ serving — ADC top-30 from the
+    // persisted IVF-PQ index, re-scored EXACTLY against the vectors
+    // stored in the persisted IVF index's lists (both built from the
+    // same corpus, so the vec_id -> vector mapping is shared), top-10
+    // by exact cosine: the faiss IndexRefine pattern ---------------------
+    Q("sim_ivfpq_rerank",
+      (s, d) => {
+        val pq = cachedIndex("ivfpq", d,
+          p => EmbeddingOps.ivfpqIndexWrite(emb(s, d), p))
+        val iv = cachedIndex("ivf", d,
+          p => EmbeddingOps.ivfIndexWrite(emb(s, d), p))
+        EmbeddingOps.ivfpqTopKRerank(s, pq, iv,
+          emb(s, d).where(col("vec_id") < 5))
+      },
+      Some(s"""WITH $EmbCte,
+        |$IvfPqScoreCte,
+        |$RerankCte
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, vec_id, cos FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM rsc) WHERE rk <= 10""".stripMargin)),
+
+    // ---- similarity: the re-rank stage's recall lift at equal R —
+    // both arms read the SAME top-30 ADC candidates; one keeps ADC
+    // order, the other re-scores exactly. The lift is the residual
+    // quantization's ranking error, measured per query ---------------------
+    Q("sim_ivfpq_rerank_recall",
+      (s, d) => EmbeddingOps.ivfpqRerankRecall(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$IvfPqScoreCte,
+        |xk AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adot DESC, vec_id) AS rk
+        |  FROM xsc) WHERE rk <= 10),
+        |$RerankCte,
+        |rrk AS (SELECT query_id, vec_id FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS rk
+        |  FROM rsc) WHERE rk <= 10),
+        |$BruteTop10Cte,
+        |ha AS (SELECT b.query_id, COUNT(*) AS nh FROM brute b
+        |       JOIN xk p ON p.query_id = b.query_id AND p.vec_id = b.vid
+        |       GROUP BY 1),
+        |hr AS (SELECT b.query_id, COUNT(*) AS nh FROM brute b
+        |       JOIN rrk p ON p.query_id = b.query_id AND p.vec_id = b.vid
+        |       GROUP BY 1)
+        |SELECT q.query_id,
+        |       CAST(COALESCE(ha.nh, 0) AS BIGINT) AS n_adc,
+        |       CAST(COALESCE(ha.nh, 0) AS DOUBLE) / 10 AS recall_adc,
+        |       CAST(COALESCE(hr.nh, 0) AS BIGINT) AS n_rerank,
+        |       CAST(COALESCE(hr.nh, 0) AS DOUBLE) / 10 AS recall_rerank
+        |FROM (SELECT DISTINCT query_id FROM brute) q
+        |LEFT JOIN ha ON ha.query_id = q.query_id
+        |LEFT JOIN hr ON hr.query_id = q.query_id""".stripMargin)),
 
     // ---- similarity: PQ recall@10 vs the exact brute top-10 — every
     // approximate route ships with its recall measurement -----------------

@@ -1028,6 +1028,93 @@ object EmbeddingOps {
     ivfpqAdc(probes, qe, cb, codes, k)
   }
 
+  /** Exact re-scoring tail shared by the persisted
+    * ([[ivfpqTopKRerank]]) and live ([[ivfpqRerankRecall]]) rerank
+    * routes: candidate (query_id, vec_id) pairs join the exact
+    * vectors, score by the same exact-integer cosine as the brute
+    * baseline, and keep top-k per query. The candidate frame is
+    * bounded BY CONSTRUCTION (rerankR x |queries|) and broadcast, so
+    * the corpus-sized vector frame is filtered in a broadcast-hash
+    * join — scanned once, never shuffled; the top-k window shuffles
+    * only candidate-mass (query_id, vec_id, cos) rows. */
+  private def exactRerank(cand: DataFrame, qe: DataFrame,
+      vecs: DataFrame, k: Int): DataFrame = {
+    val q = qe.select(col("vec_id").as("query_id"), col("q").as("qv"),
+      col("nn").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    vecs.join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosine(qdot(col("qv"), col("q")), col("qn"), col("nn"))
+          .as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk"), col("vec_id"), col("cos"))
+  }
+
+  /** Two-stage IVF-PQ serving: ADC top-`rerankR` candidates from the
+    * persisted IVF-PQ index, re-scored EXACTLY against the vectors
+    * stored in a persisted IVF index's inverted lists, top-k emitted
+    * by exact cosine — the standard production refinement (faiss
+    * IndexRefine / ADC re-rank): the compressed index bounds which
+    * candidates are touched, the exact pass removes the residual
+    * quantization's ranking error among them. Both indexes are built
+    * from the same corpus (the vec_id -> vector mapping is shared),
+    * and tombstones on either index mask its half. Serve-time IO:
+    * the ADC stage's statically pruned code rows plus ONE pass over
+    * the lists filtered by the broadcast candidate set — the exact
+    * vectors never shuffle, and everything broadcast (probes, LUT,
+    * candidates, queries) is bounded by construction parameters. */
+  def ivfpqTopKRerank(s: org.apache.spark.sql.SparkSession,
+      pqPath: String, vecPath: String, queries: DataFrame,
+      nProbe: Int = 2, rerankR: Int = 30, k: Int = 10): DataFrame = {
+    require(rerankR >= k, s"rerankR ($rerankR) must be >= k ($k)")
+    // the vector index's tombstones mask the CANDIDATE ids, not the
+    // stored rows: same result (vec_id is the join key either way),
+    // but the anti-join shuffles only the bounded (query_id, vec_id)
+    // frame — never the exact-vector rows (probe-pinned)
+    val cand = ivfpqTopKIndexed(s, pqPath, queries, nProbe, rerankR)
+      .select(col("query_id"), col("vec_id"))
+      .join(tombstones(s, vecPath), Seq("vec_id"), "left_anti")
+    val stored = s.read.parquet(s"$vecPath/lists")
+      .where(segFilter(s, vecPath)).drop("seg")
+      .select(col("vec_id"), col("q"), col("nn"))
+    exactRerank(cand, quantized(queries), stored, k)
+  }
+
+  /** recall@k of ADC-only vs ADC+exact-re-rank at the SAME candidate
+    * budget R — the measurement that justifies the second stage: both
+    * arms read identical top-R ADC candidates, one keeps the ADC
+    * order, the other re-scores exactly; each arm's overlap with the
+    * exact brute top-k rides one row per query. recall_rerank >=
+    * recall_adc whenever ADC's ranking error (not coarse pruning)
+    * caused the misses — the lift is the quantization error the
+    * refinement pays for itself with. */
+  def ivfpqRerankRecall(emb: DataFrame, nCentroids: Int = KmSeeds,
+      kc: Int = 16, nQueries: Int = 5, nProbe: Int = 2,
+      rerankR: Int = 30, k: Int = 10): DataFrame = {
+    val e = quantized(emb).pinned
+    val brute = annTopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val adcR = ivfpqTopK(emb, nCentroids, kc, nQueries, nProbe, rerankR)
+      .select(col("query_id"), col("rk"), col("vec_id"))
+      .pinned // both arms read the same candidate set
+    val adcK = adcR.where(col("rk") <= k)
+      .select(col("query_id"), col("vec_id"))
+    val rer = exactRerank(adcR.select(col("query_id"), col("vec_id")),
+        e.where(col("vec_id") < nQueries),
+        e.select(col("vec_id"), col("q"), col("nn")), k)
+      .select(col("query_id"), col("vec_id"))
+    recallVsBrute(brute, adcK, k)
+      .withColumnRenamed("n_overlap", "n_adc")
+      .withColumnRenamed("recall_at_k", "recall_adc")
+      .join(recallVsBrute(brute, rer, k)
+        .withColumnRenamed("n_overlap", "n_rerank")
+        .withColumnRenamed("recall_at_k", "recall_rerank"),
+        Seq("query_id"))
+  }
+
   /** Inverted-list balance report for a PERSISTED IVF-family index —
     * the operational monitoring artifact every ANN deployment watches
     * (cell imbalance is what drives probe-latency tails: a probe

@@ -446,6 +446,49 @@ class EmbeddingOpsSpec extends SparkSpec {
     }
   }
 
+  test("ivfpqTopKRerank: exact re-rank lifts recall at equal R; " +
+    "vector-index tombstones mask served candidates") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    val pqIdx = java.nio.file.Files
+      .createTempDirectory("graft_rerank_pq").toString
+    val ivIdx = java.nio.file.Files
+      .createTempDirectory("graft_rerank_iv").toString
+    EmbeddingOps.ivfpqIndexWrite(e, pqIdx)
+    EmbeddingOps.ivfIndexWrite(e, ivIdx)
+    // the persisted two-stage serve re-ranks the SAME top-30 ADC
+    // candidates the live card measures — per query, the exact pass
+    // can only use candidates ADC surfaced, so its output is a
+    // reordering/subset of them
+    val cand = EmbeddingOps.ivfpqTopKIndexed(spark, pqIdx, queries,
+        k = 30).select($"query_id", $"vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val served = EmbeddingOps.ivfpqTopKRerank(spark, pqIdx, ivIdx,
+      queries)
+    served.select($"query_id", $"vec_id").collect()
+      .foreach(r => assert(cand((r.getLong(0), r.getLong(1)))))
+    // recall card: the exact stage never ranks candidates WORSE than
+    // ADC's quantized scores do (per query, overlap with brute top-k
+    // is >= the ADC arm's on this fixture)
+    val rec = EmbeddingOps.ivfpqRerankRecall(e).collect()
+    assert(rec.nonEmpty)
+    rec.foreach { r =>
+      val (nAdc, nRer) = (r.getAs[Long]("n_adc"), r.getAs[Long]("n_rerank"))
+      assert(nRer >= nAdc,
+        s"rerank lost recall vs ADC for query ${r.get(0)}: $nRer < $nAdc")
+    }
+    // deleting a served vec from the VECTOR index masks it from the
+    // two-stage serve (the refinement respects both indexes' deletes)
+    val victim = served.where($"rk" === 1)
+      .select($"vec_id").limit(1).collect()(0).getLong(0)
+    EmbeddingOps.indexDelete(spark, ivIdx,
+      Seq(victim).toDF("vec_id"))
+    val after = EmbeddingOps.ivfpqTopKRerank(spark, pqIdx, ivIdx,
+      queries)
+    assert(after.where($"vec_id" === victim).count() === 0L)
+  }
+
   test("IVF-PQ index append: incremental equals one-shot; a killed " +
     "append leaves serving unchanged; compaction is byte-identical") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()

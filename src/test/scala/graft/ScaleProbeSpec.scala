@@ -238,6 +238,49 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("ivfpqTopKRerank at 10x sf0.1: candidate set broadcasts bounded; " +
+    "exact vectors never ride an exchange") {
+    // two-stage serving contract: the ADC stage keeps the ivfpqTopK
+    // discipline, and the refinement joins the stored lists against
+    // the BROADCAST candidate set (bounded by rerankR x |queries| BY
+    // CONSTRUCTION) — the corpus-sized exact-vector frame is filtered
+    // in a broadcast-hash join, scanned once, never shuffled
+    val emb = syntheticEmb(50000L, dim = 64)
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft_pqidx_probe").toString
+    val ivDir = java.nio.file.Files
+      .createTempDirectory("graft_ividx_probe").toString
+    EmbeddingOps.ivfpqIndexWrite(emb, pqDir)
+    EmbeddingOps.ivfIndexWrite(emb, ivDir)
+    val plan = staticPlanOf(EmbeddingOps.ivfpqTopKRerank(
+      spark, pqDir, ivDir, emb.where(col("vec_id") < 5)))
+    assertShuffleHealth("ivfpqTopKRerank", plan)
+    // every broadcast carries a construction-bounded mark: query_id
+    // (candidates / queries / probes / LUT) or cent_id/cell/code
+    // (quantizer tables); the stored-list frame carries only
+    // (vec_id, q, nn) and must never appear under a broadcast
+    val marks = Set("query_id", "cent_id", "cell", "code")
+    val bc = broadcastSubtrees(plan)
+    assert(bc.nonEmpty, "ivfpqTopKRerank lost its candidate broadcast")
+    bc.foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.exists(marks),
+        "ivfpqTopKRerank broadcasts a corpus-shaped frame with " +
+          cols.mkString("[", ", ", "]"))
+    }
+    // the exact vectors are consumed inside the scan's partition: the
+    // re-rank drops q before its top-k window, so no exchange input
+    // may carry an exact-vector column
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("q") && !cols.contains("qv"),
+        "ivfpqTopKRerank shuffles exact vectors: " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("nbClassify at 10x sf0.1: vocabulary model joins stay keyed; only " +
     "1-row scalar frames broadcast") {
     // the (word, c_p, c_n) model is vocabulary-sized — it grows with
