@@ -271,7 +271,7 @@ object EmbeddingOps {
 
   /** Newest committed generation and its segment ids; (-1, empty) when
     * no manifest exists (not an index root). */
-  private[operators] def committedSegs(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def committedSegs(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: org.apache.hadoop.fs.Path): (Int, Seq[Int]) = {
     if (!fs.exists(metaDir)) return (-1, Seq.empty)
     val gens = fs.listStatus(metaDir).map(_.getPath.getName)
@@ -288,7 +288,7 @@ object EmbeddingOps {
 
   /** Commit generation `gen` listing `segs`: write a hidden temp file,
     * then one rename — the committing instant. */
-  private[operators] def commitGen(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def commitGen(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: org.apache.hadoop.fs.Path, gen: Int,
       segs: Seq[Int]): Unit = {
     fs.mkdirs(metaDir)
@@ -364,6 +364,18 @@ object EmbeddingOps {
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
     require(g >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — build the index first")
+    tombstoneAppend(s, root, ids, keyCol, failpoint)
+  }
+
+  /** The tombstone-segment append behind [[indexDelete]] and the fold
+    * states' graft.streaming.Streams.stateDelete: deletions land as
+    * key segments under `$root/dels/seg=N` gated by their own `_dels`
+    * manifest — the exact data-append protocol, so a delete is
+    * CRASH-ATOMIC and O(batch) regardless of what the root stores. */
+  private[graft] def tombstoneAppend(s: org.apache.spark.sql.SparkSession,
+      root: org.apache.hadoop.fs.Path, ids: DataFrame, keyCol: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
     val metaDir = new org.apache.hadoop.fs.Path(root, "_dels")
     val (dg, dsegs) = committedSegs(fs, metaDir)
     val segId = if (dsegs.isEmpty) 0 else dsegs.max + 1

@@ -1018,6 +1018,7 @@ object Streams {
         try {
           val root = new org.apache.hadoop.fs.Path(statePath)
           val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+          healGenSwaps(fs, root) // a crashed delete-application swap
           val versions = stateVersions(fs, root)
           bindRun(fs, root, checkpointQueryId(
             s.sparkContext.hadoopConfiguration, checkpointLocation),
@@ -1171,16 +1172,127 @@ object Streams {
       statePath: String): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    healGenSwaps(fs, root)
     val versions = committedVersions(fs, root)
     require(versions.nonEmpty, s"no state committed at $statePath")
     val gen = new org.apache.hadoop.fs.Path(root, s"b${versions.max}")
-    readShardManifest(fs, gen) match {
+    val raw = readShardManifest(fs, gen) match {
       case None => s.read.parquet(gen.toString) // pre-sharding layout
       case Some(m) =>
         require(m.nonEmpty, s"state at $statePath holds no rows")
         s.read.parquet(m.toSeq.sortBy(_._1).map { case (k, g) =>
           s"$statePath/b$g/$ShardPrefix$k" }: _*)
     }
+    // committed tombstones ([[stateDelete]]) mask deleted records at
+    // every read until compaction applies them physically — the
+    // persisted-index serving discipline. States without a `_dels`
+    // manifest (including every additive fold, whose stateDelete
+    // refuses) skip the anti-join entirely.
+    val (dg, dsegs) = graft.operators.EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_dels"))
+    if (dg < 0 || dsegs.isEmpty) raw
+    else {
+      val key = registryKeyOf(raw.columns)
+      raw.join(graft.operators.EmbeddingOps.tombstones(s, statePath,
+        key), Seq(key), "left_anti")
+    }
+  }
+
+  /** The per-record registry key of a fold state's schema — vec_id
+    * for the embedding registry, doc_id for the text registries. */
+  private def registryKeyOf(cols: Seq[String]): String =
+    if (cols.contains("vec_id")) "vec_id" else "doc_id"
+
+  /** Heal crashed generation swaps ([[compactState]]'s
+    * delete-application arm swaps `b<N>` wholesale via the warehouse
+    * rename-aside protocol): a `.b<N>.prev` sibling with no main
+    * means the last run died between the two renames — restore it; a
+    * `.prev` NEXT TO a main is the garbage a finished swap would have
+    * deleted. Runs on every state read and every sink batch, so no
+    * reader can see a rolled-back state for longer than the crash
+    * window itself. */
+  private def healGenSwaps(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Unit =
+    if (fs.exists(root))
+      fs.listStatus(root).map(_.getPath)
+        .filter(_.getName.matches("\\.b\\d+\\.prev")).foreach { p =>
+          val main = new org.apache.hadoop.fs.Path(root,
+            p.getName.stripPrefix(".").stripSuffix(".prev"))
+          if (!fs.exists(main))
+            require(fs.rename(p, main),
+              s"found a crashed generation swap (no $main, aside copy " +
+                s"at $p) but could not restore it — rename it manually.")
+          else fs.delete(p, true)
+        }
+
+  /** Doc-keyed DELETION from a per-record registry fold state — the
+    * right-to-be-forgotten half the streaming registries were missing
+    * (persisted indexes have had it via
+    * graft.operators.EmbeddingOps.indexDelete): deletions land as
+    * crash-atomic tombstone segments under `statePath/dels`, every
+    * [[foldState]] read (and so every serving helper) anti-joins the
+    * committed set, and [[compactState]] applies them physically and
+    * clears them.
+    *
+    * WHICH states can delete: only the per-record registries — the
+    * minhash signature registry ([[minhashSink]]) and the embedding
+    * registry ([[embeddingSink]]) — where a record's entire state
+    * contribution is its own row. The ADDITIVE model folds (lm /
+    * trigram / dsir / nb / line-df / corpus / bm25 stats) hold
+    * aggregated counts with NO per-doc contributions stored, so
+    * subtraction is mathematically impossible from the state alone —
+    * this call REFUSES them loudly (rebuild the state without the
+    * deleted docs instead of silently serving counts that still
+    * contain them). [[dedupExactSink]]'s content-hash-keyed aggregate
+    * refuses for the same reason (the surviving min/count under a
+    * member's removal is not recoverable).
+    *
+    * Caveats, stated loudly: a tombstone masks the record everywhere
+    * but does not prevent RE-ADMISSION — the registry row is still in
+    * the raw state until compaction, so a re-delivery of the deleted
+    * doc with CHANGED content refuses as a mutation until
+    * [[compactState]] physically removes the row (run it before
+    * re-adding changed content); after compaction the doc folds as
+    * new. Run deletes and compaction from the maintenance window the
+    * compactor already requires (one maintainer at a time, stream
+    * quiesced). */
+  def stateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, ids: DataFrame,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    healGenSwaps(fs, root)
+    val versions = committedVersions(fs, root)
+    require(versions.nonEmpty, s"no state committed at $statePath")
+    val gen = new org.apache.hadoop.fs.Path(root, s"b${versions.max}")
+    val cols = (readShardManifest(fs, gen) match {
+      case None => s.read.parquet(gen.toString)
+      case Some(m) => s.read.parquet(m.toSeq.sortBy(_._1)
+        .map { case (k, g) => s"$statePath/b$g/$ShardPrefix$k" }: _*)
+    }).columns.toSeq
+    require(!cols.contains("kind"),
+      s"state at $statePath is an ADDITIVE model fold (lm/trigram/" +
+        "dsir/nb/line-df/corpus/bm25): its counts hold no per-doc " +
+        "contributions, so a doc's mass cannot be subtracted from " +
+        "the state alone. Deletion from an additive fold means " +
+        "rebuilding the state without the deleted docs — refusing " +
+        "to tombstone what serving could never honor.")
+    require(cols.contains("doc_id") || cols.contains("vec_id"),
+      s"state at $statePath is keyed by an aggregate " +
+        cols.mkString("(columns [", ", ", "]); ") +
+        "it has no per-record registry rows to delete. Rebuild the " +
+        "state without the deleted records.")
+    val key = registryKeyOf(cols)
+    val keyed =
+      if (ids.columns.contains(key)) ids.select(col(key))
+      else {
+        require(ids.columns.length == 1,
+          s"deletion ids must carry the state's key column '$key' " +
+            ids.columns.mkString("(got [", ", ", "])"))
+        ids.withColumnRenamed(ids.columns.head, key)
+      }
+    graft.operators.EmbeddingOps.tombstoneAppend(s, root, keyed, key,
+      failpoint)
   }
 
   /** [[foldState]] under its historical name — the exact-dedup reader. */
@@ -1220,12 +1332,16 @@ object Streams {
       failpoint: String => Unit = _ => ()): Int = {
     val root = new org.apache.hadoop.fs.Path(statePath)
     val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    healGenSwaps(fs, root)
     val versions = committedVersions(fs, root)
     require(versions.nonEmpty, s"no state committed at $statePath")
     val m = versions.max
     val gen = new org.apache.hadoop.fs.Path(root, s"b$m")
     readShardManifest(fs, gen) match {
       case None => 0 // pre-sharding layout: one directory already
+      case Some(manifest) if hasStateDels(fs, root) =>
+        applyStateDeletes(s, statePath, fs, root, gen, m, manifest,
+          failpoint)
       case Some(manifest) =>
         val stale = manifest.filter(_._2 != m).toSeq.sortBy(_._1)
         if (stale.isEmpty) 0
@@ -1268,6 +1384,66 @@ object Streams {
           stale.size
         }
     }
+  }
+
+  private def hasStateDels(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Boolean = {
+    val (dg, dsegs) = graft.operators.EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_dels"))
+    dg >= 0 && dsegs.nonEmpty
+  }
+
+  /** [[compactState]]'s delete-application arm: with committed
+    * tombstones ([[stateDelete]]) present, compaction rebuilds the
+    * current generation WHOLESALE — every manifest shard is read,
+    * tombstoned records are filtered out, and a complete
+    * self-referencing replacement generation stages as a hidden
+    * sibling and swaps in via the warehouse rename-aside protocol
+    * (readers see the old generation until the one committing rename;
+    * [[healGenSwaps]] heals the crash window on every read and every
+    * sink batch). Only after the swap do the tombstones clear —
+    * manifest first, so a crash between the two deletes leaves
+    * already-applied tombstones whose masking anti-join is a no-op.
+    * The rebuild subsumes plain compaction (the chain is length 1
+    * after it). Same maintenance-window contract as compaction
+    * itself: one maintainer, stream quiesced — a batch REPLAY racing
+    * this swap could re-fold pre-delete rows from the predecessor
+    * after the tombstones cleared. */
+  private def applyStateDeletes(s: org.apache.spark.sql.SparkSession,
+      statePath: String, fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, gen: org.apache.hadoop.fs.Path,
+      m: Long, manifest: Map[Int, Long],
+      failpoint: String => Unit): Int = {
+    require(manifest.nonEmpty, s"state at $statePath holds no rows")
+    val raw = s.read.parquet(manifest.toSeq.sortBy(_._1)
+      .map { case (k, g) => s"$statePath/b$g/$ShardPrefix$k" }: _*)
+    val key = registryKeyOf(raw.columns)
+    val live = raw.join(graft.operators.EmbeddingOps.tombstones(s,
+      statePath, key), Seq(key), "left_anti")
+    val nSh = readParams(fs, root)
+      .getOrElse("nShards", DefaultStateShards.toString).toInt
+    val tmp = graft.operators.Warehouse.hiddenSibling(gen, ".apply-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // the same shard assignment the owning sink uses: the registry
+    // key IS the shard key for every deletable (per-record) state
+    live.withColumn("_shard", pmod(hash(col(key)), lit(nSh)))
+      .repartition(col("_shard"))
+      .write.partitionBy("_shard").mode("overwrite")
+      .parquet(tmp.toString)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"), false)
+    // shards emptied by the deletion produce no directory and leave
+    // the manifest — exactly the never-touched-shard shape
+    val produced = fs.listStatus(tmp).map(_.getPath.getName)
+      .filter(_.startsWith(ShardPrefix))
+      .map(_.drop(ShardPrefix.length).toInt).toSet
+    writeShardManifest(fs, tmp, produced.map(_ -> m).toMap)
+    fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
+    failpoint("apply-staged")
+    graft.operators.Warehouse.swapInto(fs, tmp, gen)
+    failpoint("apply-swapped")
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_dels"), true)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "dels"), true)
+    manifest.size
   }
 
   case class Ev(user_id: Long, ts: Timestamp, event_type: String,

@@ -191,6 +191,46 @@ class EmbeddingStreamSpec extends SparkSpec {
     assert(viaStream.sameElements(viaBatch))
   }
 
+  test("stateDelete masks embedding registry vectors; semanticDedup " +
+    "over the state excludes them; compaction applies and clears") {
+    import spark.implicits._
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_embdel_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_embdel_ck").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_embdel_st").resolve("st").toString
+    emb.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = Streams.embeddingSink(stream, statePath, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish")
+    val victims = Seq(5L, 17L)
+    Streams.stateDelete(spark, statePath, victims.toDF("vec_id"))
+    val masked = Streams.foldState(spark, statePath).localCheckpoint()
+    assert(masked.where($"vec_id".isin(victims: _*)).count() == 0)
+    assert(masked.count() == emb.count() - victims.length)
+    // serving parity: semantic dedup over the masked state equals a
+    // batch run over the corpus WITHOUT the deleted vectors
+    val viaState = EmbeddingOps.semanticDedup(masked)
+      .collect().map(_.toString).sorted
+    val viaBatch = EmbeddingOps.semanticDedup(
+        emb.where(!$"vec_id".isin(victims: _*)))
+      .collect().map(_.toString).sorted
+    assert(viaState.sameElements(viaBatch))
+    // compaction applies the tombstones physically and clears them
+    assert(Streams.compactState(spark, statePath) > 0)
+    assert(!new java.io.File(s"$statePath/_dels").exists())
+    val applied = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    assert(applied.sameElements(
+      masked.collect().map(_.toString).sorted))
+  }
+
   test("registry hash quantizes: a sub-milli-unit wobble is NOT a mutation") {
     // the corpus' determinism currency is integer milli-units; a float
     // delivered with noise below round(x*1000) granularity hashes

@@ -965,6 +965,119 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(finalState.sameElements(expected))
   }
 
+  test("stateDelete tombstones minhash registry docs: masked at every " +
+    "read, applied + cleared by compaction, crash windows leave " +
+    "readers unchanged, deleted docs can re-fold after compaction") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    val streamDir =
+      java.nio.file.Files.createTempDirectory("graft_del_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_del_ck").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_del_st").resolve("st").toString
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString)
+      val q = Streams.minhashSink(stream, statePath, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish")
+    }
+    Seq(docs.where($"doc_id" < 100), docs.where($"doc_id" >= 100))
+      .foreach(_.coalesce(1).write.mode("append")
+        .parquet(streamDir.toString))
+    run()
+    val total = docs.count()
+    val victims = Seq(3L, 7L)
+    Streams.stateDelete(spark, statePath, victims.toDF("doc_id"))
+    // masked at read: victims gone, every survivor's signature still
+    // equals the batch signature table over the remaining corpus
+    val masked = Streams.foldState(spark, statePath).localCheckpoint()
+    assert(masked.where($"doc_id".isin(victims: _*)).count() == 0)
+    assert(masked.count() == total - victims.length)
+    val expectSig = TextOps.minhashSignature(
+        docs.where(!$"doc_id".isin(victims: _*)))
+      .collect().map(_.toString).sorted
+    val gotSig = masked.where($"m0".isNotNull).drop("content_hash")
+      .collect().map(_.toString).sorted
+    assert(gotSig.sameElements(expectSig))
+    // a kill in either application window leaves readers unchanged
+    // (before the swap: tombstones still mask; after the swap:
+    // already-applied tombstones anti-join to nothing)
+    val maskedRows = masked.collect().map(_.toString).sorted
+    for (w <- Seq("apply-staged", "apply-swapped")) {
+      val boom = intercept[RuntimeException] {
+        Streams.compactState(spark, statePath,
+          fp => if (fp == w) throw new RuntimeException(s"kill@$w"))
+      }
+      assert(boom.getMessage.contains(w))
+      val after = Streams.foldState(spark, statePath)
+        .collect().map(_.toString).sorted
+      assert(after.sameElements(maskedRows),
+        s"state changed after delete-application killed at '$w'")
+    }
+    // completion: tombstones applied physically and cleared
+    Streams.compactState(spark, statePath)
+    assert(!new java.io.File(s"$statePath/dels").exists(),
+      "compaction did not clear the tombstone data")
+    assert(!new java.io.File(s"$statePath/_dels").exists(),
+      "compaction did not clear the tombstone manifest")
+    val applied = Streams.foldState(spark, statePath)
+      .collect().map(_.toString).sorted
+    assert(applied.sameElements(maskedRows))
+    // after physical removal the registry has no memory of the doc:
+    // a re-delivery folds as NEW (deletion is also re-admission —
+    // right-to-be-forgotten needs upstream filtering, documented)
+    docs.where($"doc_id" === victims.head).coalesce(1)
+      .write.mode("append").parquet(streamDir.toString)
+    run()
+    assert(Streams.foldState(spark, statePath)
+      .where($"doc_id" === victims.head).count() == 1)
+  }
+
+  test("stateDelete REFUSES additive model folds and aggregate-keyed " +
+    "states — subtraction is impossible without per-doc contributions") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .where($"doc_id" < 10).localCheckpoint()
+    def build(sink: (org.apache.spark.sql.DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row], tag: String): String = {
+      val streamDir = java.nio.file.Files
+        .createTempDirectory(s"graft_refuse_${tag}_in")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_refuse_${tag}_ck").toString
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"graft_refuse_${tag}_st")
+        .resolve("st").toString
+      docs.coalesce(1).write.mode("append").parquet(streamDir.toString)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      val q = sink(stream, statePath, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish")
+      statePath
+    }
+    // additive fold (lm): counts cannot subtract — refuse loudly
+    val lmState = build(Streams.lmSink(_, _, _), "lm")
+    val e1 = intercept[IllegalArgumentException] {
+      Streams.stateDelete(spark, lmState, Seq(1L).toDF("doc_id"))
+    }
+    assert(e1.getMessage.contains("ADDITIVE"))
+    // aggregate-keyed state (exact dedup): the surviving min/count
+    // under a member's removal is not recoverable — refuse loudly
+    val dedupState = build(Streams.dedupExactSink(_, _, _), "dx")
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.stateDelete(spark, dedupState, Seq(1L).toDF("doc_id"))
+    }
+    assert(e2.getMessage.contains("keyed by an aggregate"))
+  }
+
   test("a sidecar-less state with committed versions REFUSES to adopt " +
     "the sink's current parameters; adoptStateParams migrates it") {
     import spark.implicits._
