@@ -2623,33 +2623,36 @@ object TextOps {
 
   /** The shared stage chain behind [[curate]]/[[curateReport]]: each
     * stage's survivor frame pinned once, feeding both its own filter
-    * and the next stage. */
-  private def curateChain(raw: DataFrame, spanK: Int,
-      lmKeepMilli: Long, maxChars: Long): Seq[(String, DataFrame)] = {
+    * and the next stage. `pin` is the stage-boundary materialization
+    * (checkpoint by default); the composed-chain scale probe passes
+    * identity so the six inter-stage doc_id joins stay in ONE
+    * walkable plan instead of disappearing behind checkpoint scans. */
+  private[graft] def curateChain(raw: DataFrame, spanK: Int,
+      lmKeepMilli: Long, maxChars: Long,
+      pin: DataFrame => DataFrame = _.pinned): Seq[(String, DataFrame)] = {
     val meta = raw.select(col("doc_id"), col("source"), col("lang"))
     val d1 = extractHtml(raw)
       .select(col("doc_id"),
         regexp_replace(col("text_extracted"), "\n", " ").as("text"))
       .join(meta, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("lang"), col("text"))
-      .pinned
-    val d2 = d1.join(dedupExact(d1)
-      .select(col("kept_doc_id").as("doc_id")), Seq("doc_id")).pinned
-    val d3 = d2.join(langId(d2).where(col("correct"))
-      .select(col("doc_id")), Seq("doc_id")).pinned
-    val d4 = d3.join(qualityFilter(d3, maxChars).where(col("keep"))
-      .select(col("doc_id")), Seq("doc_id")).pinned
-    val d5 = d4.drop("text")
+    val d1p = pin(d1)
+    val d2 = pin(d1p.join(dedupExact(d1p)
+      .select(col("kept_doc_id").as("doc_id")), Seq("doc_id")))
+    val d3 = pin(d2.join(langId(d2).where(col("correct"))
+      .select(col("doc_id")), Seq("doc_id")))
+    val d4 = pin(d3.join(qualityFilter(d3, maxChars).where(col("keep"))
+      .select(col("doc_id")), Seq("doc_id")))
+    val d5 = pin(d4.drop("text")
       .join(dedupSpans(d4, spanK).where(col("text_clean") =!= "")
         .select(col("doc_id"), col("text_clean").as("text")),
-        Seq("doc_id"))
-      .pinned
-    val d6 = d5.join(lmScore(d5)
+        Seq("doc_id")))
+    val d6 = pin(d5.join(lmScore(d5)
       .where(col("nll_sum") * 1000 <= col("n_bigrams") * lmKeepMilli)
-      .select(col("doc_id")), Seq("doc_id")).pinned
-    val d7 = d6.join(mixTemperature(d6).select(col("doc_id")),
-      Seq("doc_id")).pinned
-    Seq("extract" -> d1, "dedup_exact" -> d2, "langid" -> d3,
+      .select(col("doc_id")), Seq("doc_id")))
+    val d7 = pin(d6.join(mixTemperature(d6).select(col("doc_id")),
+      Seq("doc_id")))
+    Seq("extract" -> d1p, "dedup_exact" -> d2, "langid" -> d3,
       "quality" -> d4, "span_excise" -> d5, "lm_gate" -> d6,
       "mix" -> d7)
   }
@@ -3100,6 +3103,29 @@ object TextOps {
     * per-source budget candidate `b` surfaces as a BIGINT quotient,
     * exact while min(b) < 2^63 (~9e18 tokens). */
   def mixTemperature(docs: DataFrame, q: Int = 2): DataFrame = {
+    val toks = docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    mixTemperatureToks(toks,
+      toks.groupBy(col("source"))
+        .agg(sum(col("n_tokens")).as("source_tokens")), q)
+  }
+
+  /** [[mixTemperature]] against EXPLICIT per-source token totals
+    * `bySource(source, source_tokens)` — the serving half once a
+    * maintained totals table exists (graft.streaming.Streams'
+    * corpusSink state): new batches mix under the ACCUMULATED
+    * corpus's temperature rates instead of their own batch-local
+    * distribution. Identical arithmetic to the self-derived form —
+    * mixTemperature(d) == mixTemperatureWith(d, totals-of-d) by
+    * construction. */
+  def mixTemperatureWith(docs: DataFrame, bySource: DataFrame,
+      q: Int = 2): DataFrame =
+    mixTemperatureToks(docs.select(col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens")),
+      bySource, q)
+
+  private def mixTemperatureToks(toks: DataFrame, bySource: DataFrame,
+      q: Int): DataFrame = {
     require(q >= 1 && q <= 6,
       s"temperature exponent q must be in [1, 6], got $q")
     // candidate powers in DECIMAL(38,0): (g+2)^q brushes Long.Max
@@ -3107,11 +3133,8 @@ object TextOps {
     val powT =
       ("CAST(t AS DECIMAL(38,0))" +: Seq.fill(q - 1)("t")).mkString(" * ")
     val alpha = 1.0 / q
-    val toks = docs.select(col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast("long").as("n_tokens"))
     // sources-cardinality; feeds three consumers (sum, min, join)
-    val roots = toks.groupBy(col("source"))
-      .agg(sum(col("n_tokens")).as("source_tokens"))
+    val roots = bySource
       .withColumn("g", expr("CAST(POWER(CAST(source_tokens AS " +
         s"DOUBLE), ${alpha}D) AS BIGINT)"))
       .withColumn("t_s", expr(

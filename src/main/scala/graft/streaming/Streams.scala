@@ -794,6 +794,68 @@ object Streams {
           .as("avg_tokens"),
         expr("n_short * 1000 div n_docs").as("short_permille"))
 
+  /** Temperature mixing served from a [[corpusSink]] state: the
+    * per-source token totals come from the maintained histogram
+    * (sum over its (source, lang, n_tokens) rows of
+    * n_tokens * n_docs — exact, since the registry folds each doc
+    * once), so a fresh batch mixes under the ACCUMULATED corpus's
+    * rates. Equal to batch mixTemperature over the full delivered
+    * corpus when `docs` IS that corpus. */
+  def mixTemperatureState(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame, q: Int = 2): DataFrame =
+    graft.operators.TextOps.mixTemperatureWith(docs,
+      foldState(s, statePath).where(col("kind") === "g")
+        .groupBy(col("source"))
+        .agg(sum(col("n_tokens") * col("n_docs")).as("source_tokens")),
+      q)
+
+  /** The INCREMENTAL curation funnel — [[graft.operators.TextOps
+    * .curate]]'s streaming twin, served entirely from maintained fold
+    * states: (1) exact-dedup survivors from a [[dedupExactSink]]
+    * state, (2) cross-doc line excision from a [[lineDfSink]] state,
+    * (3) the LM perplexity gate from an [[lmSink]] state, (4)
+    * temperature mixing from a [[corpusSink]] state, then (5)
+    * sequence packing. The corpus arrives in micro-batches that fold
+    * into the four states; serving composes the FINAL states over the
+    * accumulated docs, so sliced delivery at any slicing equals one
+    * batch run of the same composition (StreamDedupParitySpec's
+    * full-funnel end cap).
+    *
+    * Model-population note, stated loudly: the batch [[graft
+    * .operators.TextOps.curate]] trains each stage's model on the
+    * PREVIOUS stage's survivors; the maintained states fold over the
+    * DELIVERED corpus (a fold cannot retract a doc a later stage
+    * would have dropped), so the two funnels' models see different
+    * populations by design. The parity this twin pins is
+    * sliced-vs-batch of the SAME state-served composition — the
+    * incremental-correctness claim — not equality with the
+    * batch-survivor-trained chain. */
+  def curateState(s: org.apache.spark.sql.SparkSession,
+      dedupStatePath: String, lineStatePath: String,
+      lmStatePath: String, corpusStatePath: String, docs: DataFrame,
+      minDf: Int = 2, lmKeepMilli: Long = 3950L,
+      packBudget: Long = 512L, packShard: Long = 200L): DataFrame = {
+    import graft.operators.{Stage, TextOps}
+    import Stage.PinOps
+    val kept = foldState(s, dedupStatePath)
+      .select(col("kept_doc_id").as("doc_id"))
+    val d1 = docs.join(kept, Seq("doc_id")).pinned
+    val d2 = d1.drop("text")
+      .join(dedupLinesState(s, lineStatePath, d1, minDf)
+        .where(col("text_deduped") =!= "")
+        .select(col("doc_id"), col("text_deduped").as("text")),
+        Seq("doc_id"))
+      .pinned
+    val d3 = d2.join(
+      TextOps.lmScoreWith(d2, lmModelState(s, lmStatePath))
+        .where(col("nll_sum") * 1000 <= col("n_bigrams") * lmKeepMilli)
+        .select(col("doc_id")), Seq("doc_id")).pinned
+    val d4 = d3.join(
+      mixTemperatureState(s, corpusStatePath, d3).select(col("doc_id")),
+      Seq("doc_id")).pinned
+    TextOps.seqPack(d4, packBudget, packShard)
+  }
+
   /** Streaming BM25 collection-statistics maintenance — the SIXTH
     * additive fold: per-batch (word, df, tok) rows (df = 1 per
     * distinct doc containing the word) plus the per-doc sentinel

@@ -281,6 +281,61 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("curate() composed chain: six keyed inter-stage joins in one " +
+    "plan, no corpus broadcast, no raw-shingle shuffle") {
+    // the per-operator probes pin each stage alone AT 10x; this walks
+    // the COMPOSED plan (stage pinning replaced by identity, so the
+    // six doc_id joins between stages stay visible) and asserts the
+    // same discipline END TO END: every broadcast is bounded by
+    // construction (langId's language-cardinality sizes, the mix
+    // stage's 1-row scalars), every shuffle keeps parallelism (or is
+    // a 1-partition scalar reduction), and no exchange carries a raw
+    // shingle string (the digest-payload rule). Plan shape is
+    // size-independent, and without stage checkpoints the interior
+    // eager steps re-derive the whole prefix chain — so this probe
+    // runs on a small corpus (the 10x eager-completion claim is the
+    // per-operator probes' job)
+    // varied source: a constant literal would constant-fold the mix
+    // stage's source equi-key away and turn its rates join into a
+    // Cartesian that the real (multi-source) shape never plans
+    val raw = syntheticDocs(2000L).select(col("doc_id"),
+      concat(lit("src"), pmod(col("doc_id"), lit(4))).as("source"),
+      col("lang"),
+      concat(lit("<html><body><p>"), col("text"),
+        lit("</p></body></html>")).as("html"))
+    val plan = staticPlanOf(
+      TextOps.curateChain(raw, 8, 3950L, 100000L,
+        pin = identity).last._2)
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 6,
+      s"composed curate lost its keyed inter-stage shuffles: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"composed curate has a shuffle at odd parallelism: $parts")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "composed curate plans a CartesianProduct")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.exists(Set("cand_lang", "n_l", "tot_t", "budget",
+          "keep_permille", "n_true")),
+        "composed curate broadcasts an unbounded frame with columns " +
+          cols.mkString("[", ", ", "]"))
+    }
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("s"),
+        "composed curate shuffles a raw shingle string: " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("nbClassify at 10x sf0.1: vocabulary model joins stay keyed; only " +
     "1-row scalar frames broadcast") {
     // the (word, c_p, c_n) model is vocabulary-sized — it grows with

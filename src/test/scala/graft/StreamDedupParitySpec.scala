@@ -1039,6 +1039,98 @@ class StreamDedupParitySpec extends SparkSpec {
       .where($"doc_id" === victims.head).count() == 1)
   }
 
+  test("streamed full-funnel curate: four folds over a sliced + " +
+    "re-delivering corpus serve the same packed output as one-shot " +
+    "delivery AND as batch-built models") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat_ws, lit, pmod, size,
+      split, sum}
+    // multi-line fixture with corpus-wide chrome so the line-excision
+    // stage is non-vacuous; real sources so the mix stage has a
+    // distribution to flatten
+    val fix = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"source", $"lang",
+        concat_ws("\n", lit("subscribe to the newsletter today"),
+          $"text", lit("all rights reserved worldwide")).as("text"))
+      .localCheckpoint()
+    val third = (r: Int) => fix.where(pmod($"doc_id", lit(3)) === r)
+
+    type Sink = (org.apache.spark.sql.DataFrame, String, String) =>
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]
+    def foldAll(tag: String, slices: Seq[org.apache.spark.sql.DataFrame])
+        : Map[String, String] = {
+      val streamDir = java.nio.file.Files
+        .createTempDirectory(s"graft_funnel_${tag}_in")
+      slices.foreach(_.coalesce(1).write.mode("append")
+        .parquet(streamDir.toString))
+      Seq[(String, Sink)](
+        "dx" -> ((d, st, ck) => Streams.dedupExactSink(d, st, ck)),
+        "ln" -> ((d, st, ck) => Streams.lineDfSink(d, st, ck)),
+        "lm" -> ((d, st, ck) => Streams.lmSink(d, st, ck)),
+        "cp" -> ((d, st, ck) => Streams.corpusSink(d, st, ck)))
+        .map { case (kind, sink) =>
+          val ckpt = java.nio.file.Files
+            .createTempDirectory(s"graft_funnel_${tag}_${kind}_ck")
+            .toString
+          val statePath = java.nio.file.Files
+            .createTempDirectory(s"graft_funnel_${tag}_${kind}_st")
+            .resolve("st").toString
+          val stream = spark.readStream.schema(fix.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(streamDir.toString)
+          val q = sink(stream, statePath, ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger
+              .AvailableNow())
+            .start()
+          assert(q.awaitTermination(180000), s"$kind did not finish")
+          kind -> statePath
+        }.toMap
+    }
+    // sliced arm: three slices, the last re-delivering earlier docs
+    val sliced = foldAll("sl", Seq(third(0), third(1),
+      third(2).unionAll(third(0))))
+    // one-shot arm: the whole corpus in one batch
+    val oneshot = foldAll("os", Seq(fix))
+
+    // lm gate at 4400: this fixture's per-doc nll spans
+    // 4083-4706 permille (median ~4366), so both gate arms are live
+    def serve(st: Map[String, String]) =
+      Streams.curateState(spark, st("dx"), st("ln"), st("lm"),
+        st("cp"), fix, lmKeepMilli = 4400L)
+        .collect().map(_.toString).sorted
+    val viaSliced = serve(sliced)
+    val viaOneshot = serve(oneshot)
+    assert(viaSliced.nonEmpty, "funnel produced an empty packed corpus")
+    assert(viaSliced.sameElements(viaOneshot),
+      "sliced delivery diverged from one-shot delivery")
+
+    // and both equal the same composition under BATCH-built models
+    // (exact dedup, full-corpus line df, full-corpus bigram LM,
+    // full-corpus source totals)
+    val keptB = TextOps.dedupExact(fix)
+      .select($"kept_doc_id".as("doc_id"))
+    val b1 = fix.join(keptB, Seq("doc_id")).localCheckpoint()
+    val b2 = b1.drop("text")
+      .join(TextOps.dedupLinesWith(b1, TextOps.lineDf(fix))
+        .where($"text_deduped" =!= "")
+        .select($"doc_id", $"text_deduped".as("text")), Seq("doc_id"))
+      .localCheckpoint()
+    val b3 = b2.join(TextOps.lmScoreWith(b2, TextOps.lmModel(fix))
+      .where($"nll_sum" * 1000 <= $"n_bigrams" * 4400L)
+      .select($"doc_id"), Seq("doc_id")).localCheckpoint()
+    val bySourceB = fix
+      .select($"source", size(split($"text", " ")).cast("long")
+        .as("n_tokens"))
+      .groupBy($"source").agg(sum($"n_tokens").as("source_tokens"))
+    val b4 = b3.join(TextOps.mixTemperatureWith(b3, bySourceB)
+      .select($"doc_id"), Seq("doc_id"))
+    val viaBatch = TextOps.seqPack(b4, 512L, 200L)
+      .collect().map(_.toString).sorted
+    assert(viaSliced.sameElements(viaBatch),
+      "state-served funnel diverged from batch-built models")
+  }
+
   test("stateDelete REFUSES additive model folds and aggregate-keyed " +
     "states — subtraction is impossible without per-doc contributions") {
     import spark.implicits._
