@@ -160,6 +160,66 @@ private[graft] object SuiteMLDedup {
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin),
       bench = true),
 
+    // ---- dedup: capped serve under an index-side template cluster -------
+    // (the serve twin of dedup_minhash_capped: even doc_ids collapse
+    // onto 23 template classes on BOTH the indexed (%5<>0) and batch
+    // (%5=0) sides, so the stored buckets hold mega-clusters; cap=3
+    // makes each batch doc compare against the cluster's hub instead
+    // of fanning out to every stored member, while odd real-text docs
+    // keep the exact small-bucket serve. The oracle mirrors the
+    // stored-bucket hub filter with one grouped count)
+    Q("dedup_minhash_serve_capped",
+      (s, d) => {
+        val fx = docs(s, d).select(col("doc_id"),
+          org.apache.spark.sql.functions.when(col("doc_id") % 2 === 0,
+            org.apache.spark.sql.functions.concat(
+              lit(TemplateSpamText + " t"),
+              (col("doc_id") % 23).cast("string")))
+            .otherwise(col("text")).as("text"))
+        val dir = cachedIndex("mhcap", d, p => TextOps.minhashIndexWrite(
+          fx.where(col("doc_id") % 5 =!= 0), p))
+        TextOps.nearDupServe(s, dir, fx.where(col("doc_id") % 5 === 0),
+          bucketCap = 3)
+      },
+      Some(s"""WITH fx AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN '$TemplateSpamText t' || CAST(doc_id % 23 AS VARCHAR)
+        |       ELSE text END AS text
+        |  FROM documents),
+        |ds AS (
+        |  SELECT DISTINCT doc_id, s FROM (
+        |    SELECT doc_id,
+        |           unnest(list_transform(range(1, len(ls) - 1),
+        |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS s
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS ls
+        |          FROM fx WHERE len(string_split(text, ' ')) >= 3))),
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 <> 0),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |${minhashSigSliceSql("dsa", "a")},
+        |${minhashSigSliceSql("dsb", "b")},
+        |bstat AS (SELECT band_idx, band_hash, COUNT(*) AS bn,
+        |                 MIN(doc_id) AS hub
+        |          FROM bands_a GROUP BY 1, 2),
+        |sbx AS (SELECT a.doc_id, a.band_idx, a.band_hash
+        |        FROM bands_a a JOIN bstat s USING (band_idx, band_hash)
+        |        WHERE s.bn <= 3 OR a.doc_id = s.hub),
+        |cand AS (SELECT DISTINCT x.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM sbx x JOIN bands_b b
+        |           ON x.band_idx = b.band_idx AND x.band_hash = b.band_hash),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |          FROM cand c
+        |          JOIN dsa x ON x.doc_id = c.doc_a
+        |          JOIN dsb y ON y.doc_id = c.doc_b AND y.s = x.s
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
+
     // ---- dedup: index serving with committed tombstones -----------------
     // (the % 7 slice of the indexed docs is deleted after the build;
     // served pairs whose indexed side is tombstoned disappear — 2/3

@@ -104,11 +104,33 @@ object EmbeddingOps {
     * pairs: a pair surfaces iff it co-buckets (identical vectors
     * always do — equal sign patterns). EmbeddingOpsSpec pins the
     * subset relation; raise nPlanes + multi-probe to trade candidate
-    * volume against recall at scale. */
+    * volume against recall at scale.
+    *
+    * Sign buckets carry the same template-spam hazard as the text LSH
+    * bands (TextOps.cappedBandPairs): a vector duplicated 10⁶ times
+    * co-buckets with itself in every plane, and B²/2 pair generation
+    * would explode on that ONE bucket. Buckets over `bucketCap`
+    * therefore route members to the bucket's min-vec hub as B-1 star
+    * pairs (exact cosine still verifies each) — identical vectors all
+    * pass at cos 1.0, so downstream grouping sees the same cluster
+    * through the hub. Default 64 never triggers on the synthetic
+    * corpora (max sign-bucket membership is 24 at sf0.1), so
+    * oracle-scale results are bit-identical to the uncapped join. */
   def nearDupCosineLsh(emb: DataFrame, threshold: Double = 0.45,
-      nPlanes: Int = NPlanes): DataFrame =
-    pairsWithinGroup(bucketed(emb, nPlanes), "bucket", threshold)
+      nPlanes: Int = NPlanes, bucketCap: Int = GroupCap): DataFrame =
+    pairsWithinGroup(bucketed(emb, nPlanes), "bucket", threshold,
+      bucketCap)
       .drop("bucket")
+
+  /** The embedding family's per-bucket volume bound — the
+    * TextOps.BucketCap discipline applied to sign buckets. NOT used
+    * by [[semanticDedup]]: a k-means cell is a broad semantic region,
+    * not a duplicate cluster, so hub-star routing there would claim
+    * near-duplication against one arbitrary representative; SemDeDup
+    * bounds its within-cell pair cost by scaling nCentroids with the
+    * corpus (the paper's own contract), which keeps cells
+    * corpus-fraction-bounded by construction. */
+  val GroupCap = 64
 
   /** Within-group candidate pairs + exact-cosine threshold — the ONE
     * pair generator behind the LSH and semantic near-dup routes (same
@@ -119,17 +141,40 @@ object EmbeddingOps {
     * whether to materialize it first (semanticDedup checkpoints its
     * window-derived cells; the LSH route keeps its lazy plan so the
     * broadcast-hint shape stays inspectable and exchange reuse covers
-    * the double scan). */
+    * the double scan). `groupCap` bounds per-group pair volume by
+    * hub-star routing (see [[nearDupCosineLsh]]); the default
+    * Int.MaxValue keeps the classic all-pairs plan with no extra
+    * window. */
   private def pairsWithinGroup(g: DataFrame, groupCol: String,
-      threshold: Double): DataFrame = {
-    g.as("a").join(g.as("b"),
-        col(s"a.$groupCol") === col(s"b.$groupCol") &&
-          col("a.vec_id") < col("b.vec_id"))
+      threshold: Double, groupCap: Int = Int.MaxValue): DataFrame = {
+    def verified(pairs: DataFrame): DataFrame = pairs
       .select(col(s"a.$groupCol").as(groupCol),
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         cosine(qdot(col("a.q"), col("b.q")), col("a.nn"), col("b.nn"))
           .as("cos"))
       .where(col("cos") >= threshold)
+    if (groupCap == Int.MaxValue)
+      verified(g.as("a").join(g.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col("a.vec_id") < col("b.vec_id")))
+    else {
+      val w = Window.partitionBy(col(groupCol))
+      val gx = g
+        .withColumn("gn", count(lit(1)).over(w))
+        .withColumn("hub", min(col("vec_id")).over(w))
+        .pinned
+      val small = gx.where(col("gn") <= groupCap)
+      val allPairs = small.as("a").join(small.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col("a.vec_id") < col("b.vec_id"))
+      val hubs = gx.where(col("gn") > groupCap &&
+        col("vec_id") === col("hub")).as("a")
+      val members = gx.where(col("gn") > groupCap &&
+        col("vec_id") =!= col("hub")).as("b")
+      val star = hubs.join(members,
+        col(s"a.$groupCol") === col(s"b.$groupCol"))
+      verified(allPairs).unionByName(verified(star))
+    }
   }
 
   private val NPlanes = 8

@@ -1480,34 +1480,55 @@ object TextOps {
     * n_common, na, nb, jaccard).
     *
     * Scale shape: the batch side (bands AND sets) is broadcast —
-    * bounded by the ingest batch, never the index; the index is
-    * scanned ONCE with static committed-segment pruning, candidates
-    * filter out in the broadcast-hash join, and the only shuffle is
-    * the candidate-stat dedup (16-byte rows, duplication-mass-sized).
-    * The index side never shuffles and its `hs` arrays never leave
-    * their scan partition. Batch doc_ids are assumed disjoint from
-    * indexed ones (the append contract). */
+    * bounded by the ingest batch, never the index. The index is read
+    * twice with static committed-segment pruning, both passes
+    * column-pruned: a SLIM pass (doc_id + band hashes) generates
+    * candidates under the stored-bucket volume cap (oversized buckets
+    * answer through their hub — see the inline note), and the full
+    * pass verifies, filtered by the BROADCAST bounded candidate set.
+    * The only shuffles carry slim band/candidate/stat rows; the `hs`
+    * arrays never leave their scan partition. Batch doc_ids are
+    * assumed disjoint from indexed ones (the append contract). */
   def nearDupServe(s: org.apache.spark.sql.SparkSession, path: String,
-      batch: DataFrame, threshold: Double = 0.7): DataFrame = {
+      batch: DataFrame, threshold: Double = 0.7,
+      bucketCap: Int = BucketCap): DataFrame = {
     val stored = s.read.parquet(s"$path/docs")
       .where(EmbeddingOps.segFilter(s, path)).drop("seg")
     val nb = minhashIndexRows(batch).pinned
-    val sb = stored.select(col("doc_id").as("doc_a"),
-      col("hs").as("hs_a"), col("n_h").as("na"),
+    // candidate generation runs over SLIM rows (doc_id + band hashes —
+    // the scan column-prunes away the shingle sets), with the
+    // [[cappedBandPairs]] volume bound applied to the STORED buckets:
+    // an indexed template-spam cluster puts B signatures in one bucket
+    // in every band, and an uncapped serve would fan every matching
+    // batch doc out to all B of them — the capped serve compares the
+    // batch doc against the bucket's min-doc hub instead (the cluster
+    // representative answers "is this a near-dup of something kept").
+    // Candidates are therefore bounded by |batch| * nBands * bucketCap
+    // BY CONSTRUCTION, which is what makes them broadcastable below.
+    val sbIds = stored.select(col("doc_id").as("doc_a"),
       posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
-    val bb = nb.select(col("doc_id").as("doc_b"),
-      col("hs").as("hs_b"), col("n_h").as("nb"),
+    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val sbCapped = sbIds
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("hub", min(col("doc_a")).over(w))
+      .where(col("bn") <= bucketCap || col("doc_a") === col("hub"))
+    val bbIds = nb.select(col("doc_id").as("doc_b"),
       posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
-    val scored = sb.join(broadcast(bb), Seq("band_idx", "band_hash"))
+    val cand = sbCapped
+      .join(broadcast(bbIds), Seq("band_idx", "band_hash"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // verification: one more pass over the index, filtered in a
+    // broadcast-hash join by the bounded candidate set — each pair's
+    // stats compute exactly once (no per-band duplicate dedup needed)
+    val scored = stored.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a"), col("n_h").as("na"))
+      .join(broadcast(cand), Seq("doc_a"))
+      .join(broadcast(nb.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b"), col("n_h").as("nb"))), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
           .as("n_common"),
         col("na"), col("nb"))
-      // one pair can collide in several bands with identical stats —
-      // the max-dedup shuffle carries only the candidate stat rows
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(max(col("n_common")).as("n_common"), max(col("na")).as("na"),
-        max(col("nb")).as("nb"))
     scored
       .withColumn("jaccard", col("n_common").cast("double") /
         (col("na") + col("nb") - col("n_common")).cast("double"))

@@ -128,6 +128,21 @@ class ScaleProbeSpec extends SparkSpec {
     assert(grp.count() === n)
   }
 
+  test("nearDupCosineLsh bounds pair volume on a duplicated-vector mega-bucket") {
+    // the embedding twin of the text-band cap: one vector duplicated
+    // B times lands B copies in ONE sign bucket — the capped route
+    // must emit B-1 hub-star pairs (all at cos 1.0), not B(B-1)/2
+    val n = 5000L
+    val spam = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> " +
+        "cast((pmod(xxhash64(i * 7 + 3), 2000) - 1000) / 1000.0 " +
+        "as float))").as("embedding"),
+      lit(0).as("label"))
+    val pairs = EmbeddingOps.nearDupCosineLsh(spam, threshold = 0.99)
+    assert(pairs.count() === n - 1,
+      "an oversized sign bucket must yield B-1 hub-star pairs")
+  }
+
   test("semanticDedup at 10x sf0.1: only centroid-cardinality frames broadcast") {
     val plan =
       staticPlanOf(EmbeddingOps.semanticDedup(syntheticEmb(50000L)))
@@ -623,6 +638,30 @@ class ScaleProbeSpec extends SparkSpec {
     assert(broadcastSubtrees(plan).nonEmpty,
       "nearDupServe does not broadcast the batch side — the index " +
         "would shuffle at scale")
+  }
+
+  test("nearDupServe bounds candidate fan-out on an indexed template cluster") {
+    // the serve twin of the cappedBandPairs probe: 5000 identical
+    // docs in the index put 5000 signatures in one stored bucket per
+    // band — an uncapped serve would fan every matching batch doc out
+    // to all of them. The capped serve compares each batch doc
+    // against the bucket's hub only: exactly |batch| pairs out, all
+    // verified at jaccard 1.0 against the cluster representative.
+    val spamText = "spam template page click here to win a free prize now"
+    val idxDocs = spark.range(5000L).select(col("id").as("doc_id"),
+      lit(spamText).as("text"))
+    val batch = spark.range(5000L, 5010L).select(col("id").as("doc_id"),
+      lit(spamText).as("text"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_cap_probe").toString
+    TextOps.minhashIndexWrite(idxDocs, idx)
+    val served = TextOps.nearDupServe(spark, idx, batch, bucketCap = 64)
+      .collect()
+    assert(served.length === 10,
+      s"capped serve emitted ${served.length} pairs; expected one " +
+        "hub pair per batch doc")
+    assert(served.forall(r => r.getAs[Long]("doc_a") == 0L &&
+      r.getAs[Double]("jaccard") == 1.0))
   }
 
   test("bm25TopK at 10x sf0.1: only term-bounded and scalar frames broadcast") {
