@@ -529,13 +529,29 @@ private[graft] object SuiteMLDedup {
     // 8-plane single-probe collision is ~4% (an empty, vacuous row at
     // the test SFs); 16 coarser buckets keep the row populated at all
     // three SFs while the per-bucket-pairs plan shape is unchanged ------
+    // 4 coarse planes mean the sign buckets are ACTIVELY over the
+    // shared volume cap at sf0.1 (~300 members in 16 buckets), so the
+    // oracle mirrors the hub-star routing: all-pairs inside bounded
+    // buckets, hub-vs-member inside oversized ones
     Q("dedup_embedding_lsh",
       (s, d) => EmbeddingOps.nearDupCosineLsh(emb(s, d), nPlanes = 4),
       Some(s"""WITH $EmbCte,
         |${lshBucketCte(4)},
+        |ebs AS (SELECT eb.vec_id, eb.q, eb.bucket, s.bn, s.hub
+        |        FROM eb JOIN (SELECT bucket, COUNT(*) AS bn,
+        |                             MIN(vec_id) AS hub
+        |                      FROM eb GROUP BY 1) s USING (bucket)),
         |pp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         |              unnest(a.q) AS x, unnest(b.q) AS y
-        |       FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |       FROM ebs a JOIN ebs b
+        |         ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |       WHERE a.bn <= ${EmbeddingOps.GroupCap}
+        |       UNION ALL
+        |       SELECT h.vec_id AS vec_a, m.vec_id AS vec_b,
+        |              unnest(h.q) AS x, unnest(m.q) AS y
+        |       FROM ebs h JOIN ebs m
+        |         ON h.bucket = m.bucket AND m.vec_id <> h.vec_id
+        |       WHERE h.bn > ${EmbeddingOps.GroupCap} AND h.vec_id = h.hub),
         |dots AS (SELECT vec_a, vec_b, SUM(x*y) AS dot FROM pp GROUP BY 1, 2)
         |SELECT vec_a, vec_b,
         |       CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) AS cos

@@ -113,9 +113,10 @@ object EmbeddingOps {
     * therefore route members to the bucket's min-vec hub as B-1 star
     * pairs (exact cosine still verifies each) — identical vectors all
     * pass at cos 1.0, so downstream grouping sees the same cluster
-    * through the hub. Default 64 never triggers on the synthetic
-    * corpora (max sign-bucket membership is 24 at sf0.1), so
-    * oracle-scale results are bit-identical to the uncapped join. */
+    * through the hub. At the default 8 planes the cap never triggers
+    * on the synthetic corpora (max sign-bucket membership is 24 at
+    * sf0.1); the 4-plane dedup row's coarse buckets DO exceed it
+    * there, and its oracle mirrors the hub-star routing. */
   def nearDupCosineLsh(emb: DataFrame, threshold: Double = 0.45,
       nPlanes: Int = NPlanes, bucketCap: Int = GroupCap): DataFrame =
     pairsWithinGroup(bucketed(emb, nPlanes), "bucket", threshold,
@@ -1709,10 +1710,10 @@ object EmbeddingOps {
     * top-1 neighbor by exact cosine (the scale path for
     * dedup-by-nearest-neighbor; singleton buckets surface with a null
     * neighbor). */
-  def lshNearestNeighbor(emb: DataFrame,
-      nPlanes: Int = NPlanes): DataFrame = {
+  def lshNearestNeighbor(emb: DataFrame, nPlanes: Int = NPlanes,
+      candidateCap: Int = GroupCap): DataFrame = {
     val b = bucketed(emb, nPlanes)
-    val pairs = b.as("a").join(b.as("b"),
+    val pairs = b.as("a").join(capCandidates(b, candidateCap).as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"), col("a.bucket").as("bucket"),
@@ -1726,6 +1727,26 @@ object EmbeddingOps {
     b.select(col("vec_id"), col("bucket"))
       .join(best.select(col("vec_id"), col("nn_id"), col("cos")),
         Seq("vec_id"), "left")
+  }
+
+  /** Per-bucket CANDIDATE bound for the NN-serving routes — the
+    * scoring-side twin of the pair-generation cap: every vector still
+    * queries, but scores against at most `cap` candidates per probed
+    * bucket (the bucket's `cap` smallest vec_ids — a deterministic
+    * prefix, so results replay and oracles mirror with one
+    * row_number). Without it a mega-bucket (one vector duplicated 10⁶
+    * times co-buckets with itself in every plane) costs B² scored
+    * pairs; with it the cost is B·cap, and the spam case keeps its
+    * exact answer (every prefix member of an identical-vector bucket
+    * scores cos 1.0). Borderline vectors in an oversized MIXED bucket
+    * may miss a non-prefix neighbor — the documented recall trade,
+    * bought back the same way as bucket coarseness (raise nPlanes /
+    * multiprobe). The row_number pre-trims via WindowGroupLimit, so
+    * the bound is enforced before any scoring join. */
+  private def capCandidates(b: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("bucket")).orderBy(col("vec_id").asc)
+    b.withColumn("crk", row_number().over(w))
+      .where(col("crk") <= cap).drop("crk")
   }
 
   /** Multi-probe LSH nearest neighbor (after Lv et al., "Multi-probe
@@ -1742,14 +1763,15 @@ object EmbeddingOps {
     * distinct and no pair is scored twice. Singleton-probe-space
     * vectors surface with a null neighbor like [[lshNearestNeighbor]]. */
   def lshNearestNeighborMultiprobe(emb: DataFrame,
-      nPlanes: Int = NPlanes): DataFrame = {
+      nPlanes: Int = NPlanes, candidateCap: Int = GroupCap): DataFrame = {
     val b = bucketed(emb, nPlanes).pinned
     val probeCols = col("bucket") +:
       (0 until nPlanes).map(j => col("bucket").bitwiseXOR(lit(1L << j)))
     val probes = b.select(col("vec_id"), col("q"), col("nn"),
       col("bucket"), explode(array(probeCols: _*)).as("pb"))
-    val cand = b.select(col("vec_id").as("nn_id"), col("q").as("cq"),
-      col("nn").as("cn"), col("bucket").as("cb"))
+    val cand = capCandidates(b, candidateCap)
+      .select(col("vec_id").as("nn_id"), col("q").as("cq"),
+        col("nn").as("cn"), col("bucket").as("cb"))
     val pairs = probes.join(cand,
         col("pb") === col("cb") && col("vec_id") =!= col("nn_id"))
       .select(col("vec_id"), col("bucket"), col("nn_id"),

@@ -143,6 +143,35 @@ class ScaleProbeSpec extends SparkSpec {
       "an oversized sign bucket must yield B-1 hub-star pairs")
   }
 
+  test("lshNearestNeighbor bounds scored candidates on a mega-bucket " +
+    "and pre-trims the candidate prefix in-plan") {
+    // NN serving cannot hub-star (the answer is per-vector), so its
+    // bound is on the CANDIDATE side: at most cap prefix members per
+    // bucket are scored. A 5000-copy identical-vector bucket must
+    // still answer every vector exactly (cos 1.0 with a prefix
+    // member) at B*cap cost, not B^2.
+    val n = 5000L
+    val spam = spark.range(n).select(col("id").as("vec_id"),
+      expr("transform(sequence(0, 15), i -> " +
+        "cast((pmod(xxhash64(i * 7 + 3), 2000) - 1000) / 1000.0 " +
+        "as float))").as("embedding"),
+      lit(0).as("label"))
+    val nn = EmbeddingOps.lshNearestNeighbor(spam).collect()
+    assert(nn.length === n)
+    assert(nn.forall(r => r.getAs[Double]("cos") == 1.0 &&
+      r.getAs[Long]("nn_id") != r.getAs[Long]("vec_id")))
+    // both the candidate-prefix trim and the best-NN pick must run as
+    // rank-limit pre-trims (WindowGroupLimit), never full sorts
+    val plan = staticPlanOf(
+      EmbeddingOps.lshNearestNeighbor(syntheticEmb(50000L)))
+    val wgl = plan.collect {
+      case g: org.apache.spark.sql.execution.window
+          .WindowGroupLimitExec => g
+    }
+    assert(wgl.length >= 2,
+      s"expected candidate-prefix + best-NN WindowGroupLimits, found ${wgl.length}")
+  }
+
   test("semanticDedup at 10x sf0.1: only centroid-cardinality frames broadcast") {
     val plan =
       staticPlanOf(EmbeddingOps.semanticDedup(syntheticEmb(50000L)))
