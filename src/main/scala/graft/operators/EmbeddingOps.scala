@@ -159,11 +159,15 @@ object EmbeddingOps {
         col(s"a.$groupCol") === col(s"b.$groupCol") &&
           col("a.vec_id") < col("b.vec_id")))
     else {
+      // NOT pinned: this route stays a lazy plan end to end (the
+      // docstring contract above — hint shape stays inspectable, a
+      // checkpoint here would truncate the planes-broadcast hint out
+      // of the analyzed plan); exchange reuse covers the window
+      // frame's multiple consumers
       val w = Window.partitionBy(col(groupCol))
       val gx = g
         .withColumn("gn", count(lit(1)).over(w))
         .withColumn("hub", min(col("vec_id")).over(w))
-        .pinned
       val small = gx.where(col("gn") <= groupCap)
       val allPairs = small.as("a").join(small.as("b"),
         col(s"a.$groupCol") === col(s"b.$groupCol") &&
