@@ -523,13 +523,34 @@ object Streams {
       checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
-      nShards)(
-      batch => graft.operators.TextOps.docBigrams(batch)
-        .withColumnRenamed("k", "c"),
-      Seq("lhs", "rhs"), Seq("c"),
-      // bigram counts are a function of the text alone
-      md5(col("text")))
+    additiveSinkOf(docs, statePath, checkpointLocation, nShards, lmSpec)
+
+  /** One additive fold's full definition — increment builder, merge
+    * keys, additive columns, the content-hash expression covering
+    * every input the increment is a function of, sidecar params, and
+    * the label pre-filter — shared by the SINK (fold), and by
+    * [[additiveStateDelete]] (exact subtraction), so the two
+    * directions cannot drift. */
+  private final case class AdditiveSpec(
+      gOf: DataFrame => DataFrame,
+      gKeys: Seq[String], gCounts: Seq[String],
+      contentHash: org.apache.spark.sql.Column,
+      params: Map[String, String] = Map.empty,
+      preFilter: DataFrame => DataFrame = identity)
+
+  private def additiveSinkOf(docs: DataFrame, statePath: String,
+      checkpointLocation: String, nShards: Int, spec: AdditiveSpec)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    registryAdditiveFoldSink(spec.preFilter(docs), statePath,
+      checkpointLocation, nShards, spec.params)(
+      spec.gOf, spec.gKeys, spec.gCounts, spec.contentHash)
+
+  // bigram counts are a function of the text alone
+  private def lmSpec: AdditiveSpec = AdditiveSpec(
+    batch => graft.operators.TextOps.docBigrams(batch)
+      .withColumnRenamed("k", "c"),
+    Seq("lhs", "rhs"), Seq("c"), md5(col("text")))
 
   /** Streaming DSIR distribution maintenance — the second additive
     * member of the fold family ([[lmSink]] is the first; they share
@@ -555,22 +576,26 @@ object Streams {
     // side-split/hashing into the same counts. bindParams refuses at
     // sink bind; [[dsirStateParams]]/[[dsirScoreState]] give serving
     // the stored values so the modulus cannot drift there either
-    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
-      nShards, Map("targetSource" -> targetSource,
-        "dsirBuckets" -> nBuckets.toString))(
-      batch => graft.operators.TextOps.dsirPerDoc(batch, nBuckets)
-        .select(col("doc_id"), col("bucket"),
-          when(col("source") === targetSource, col("k"))
-            .otherwise(lit(0L)).as("c_t"),
-          when(col("source") =!= targetSource, col("k"))
-            .otherwise(lit(0L)).as("c_r")),
-      Seq("bucket"), Seq("c_t", "c_r"),
-      // the DSIR increment is a function of (text, source): a doc
-      // re-classified to the other side with IDENTICAL text must
-      // refuse, not slide through as byte-identical re-delivery —
-      // hashing the text hash + source keeps the pair unambiguous
-      // (md5 is fixed-width, no separator injection)
-      md5(concat(md5(col("text")), col("source"))))
+    additiveSinkOf(docs, statePath, checkpointLocation, nShards,
+      dsirSpec(targetSource, nBuckets))
+
+  // the DSIR increment is a function of (text, source): a doc
+  // re-classified to the other side with IDENTICAL text must
+  // refuse, not slide through as byte-identical re-delivery —
+  // hashing the text hash + source keeps the pair unambiguous
+  // (md5 is fixed-width, no separator injection)
+  private def dsirSpec(targetSource: String,
+      nBuckets: Int): AdditiveSpec = AdditiveSpec(
+    batch => graft.operators.TextOps.dsirPerDoc(batch, nBuckets)
+      .select(col("doc_id"), col("bucket"),
+        when(col("source") === targetSource, col("k"))
+          .otherwise(lit(0L)).as("c_t"),
+        when(col("source") =!= targetSource, col("k"))
+          .otherwise(lit(0L)).as("c_r")),
+    Seq("bucket"), Seq("c_t", "c_r"),
+    md5(concat(md5(col("text")), col("source"))),
+    Map("targetSource" -> targetSource,
+      "dsirBuckets" -> nBuckets.toString))
 
   /** The maintained two-sided distribution from a [[dsirSink]] state —
     * (bucket, c_t, c_r), the shape TextOps.dsirWeightWith serves
@@ -635,33 +660,37 @@ object Streams {
     // flipped/different labels would fold NEW docs' counts into the
     // wrong class columns — invisible to the doc registry (new docs
     // are genuinely new), so it must refuse at bind
-    registryAdditiveFoldSink(
-      docs.where(col("source").isin(posSource, negSource)),
-      statePath, checkpointLocation, nShards,
-      Map("nbPosSource" -> posSource, "nbNegSource" -> negSource))(
-      batch => {
-        val wc = batch.select(col("doc_id"), col("source"),
-            explode(split(col("text"), " ")).as("word"))
-          .groupBy(col("doc_id"), col("source"), col("word"))
-          .agg(count(lit(1)).as("k"))
-          .select(col("doc_id"), col("word"),
-            when(col("source") === posSource, col("k"))
-              .otherwise(lit(0L)).as("c_p"),
-            when(col("source") === negSource, col("k"))
-              .otherwise(lit(0L)).as("c_n"))
-        val marker = batch.select(col("doc_id"),
-          lit(NbDocSentinel).as("word"),
-          when(col("source") === posSource, lit(1L))
+    additiveSinkOf(docs, statePath, checkpointLocation, nShards,
+      nbSpec(posSource, negSource))
+
+  // the increment is a function of (text, source) — a doc re-labeled
+  // to the other class with identical text is a mutation, not a
+  // re-delivery (the dsirSink rationale); unlabeled sources never
+  // fold (the preFilter), so they are absent from the registry
+  private def nbSpec(posSource: String,
+      negSource: String): AdditiveSpec = AdditiveSpec(
+    batch => {
+      val wc = batch.select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("doc_id"), col("source"), col("word"))
+        .agg(count(lit(1)).as("k"))
+        .select(col("doc_id"), col("word"),
+          when(col("source") === posSource, col("k"))
             .otherwise(lit(0L)).as("c_p"),
-          when(col("source") === negSource, lit(1L))
+          when(col("source") === negSource, col("k"))
             .otherwise(lit(0L)).as("c_n"))
-        wc.unionByName(marker)
-      },
-      Seq("word"), Seq("c_p", "c_n"),
-      // the increment is a function of (text, source) — a doc
-      // re-labeled to the other class with identical text is a
-      // mutation, not a re-delivery (the dsirSink rationale)
-      md5(concat(md5(col("text")), col("source"))))
+      val marker = batch.select(col("doc_id"),
+        lit(NbDocSentinel).as("word"),
+        when(col("source") === posSource, lit(1L))
+          .otherwise(lit(0L)).as("c_p"),
+        when(col("source") === negSource, lit(1L))
+          .otherwise(lit(0L)).as("c_n"))
+      wc.unionByName(marker)
+    },
+    Seq("word"), Seq("c_p", "c_n"),
+    md5(concat(md5(col("text")), col("source"))),
+    Map("nbPosSource" -> posSource, "nbNegSource" -> negSource),
+    preFilter = _.where(col("source").isin(posSource, negSource)))
 
   /** The maintained NB word-count model from a [[nbSink]] state —
     * (word, c_p, c_n), the shape TextOps.nbScoreWith serves from. */
@@ -717,15 +746,16 @@ object Streams {
       checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
-      nShards)(
-      batch => batch.select(col("doc_id"),
-          explode(split(col("text"), "\n")).as("line"))
-        .select(col("doc_id"), md5(col("line")).as("h")).distinct()
-        .withColumn("df", lit(1L)),
-      Seq("h"), Seq("df"),
-      // line membership is a function of the text alone
-      md5(col("text")))
+    additiveSinkOf(docs, statePath, checkpointLocation, nShards,
+      lineDfSpec)
+
+  // line membership is a function of the text alone
+  private def lineDfSpec: AdditiveSpec = AdditiveSpec(
+    batch => batch.select(col("doc_id"),
+        explode(split(col("text"), "\n")).as("line"))
+      .select(col("doc_id"), md5(col("line")).as("h")).distinct()
+      .withColumn("df", lit(1L)),
+    Seq("h"), Seq("df"), md5(col("text")))
 
   /** The maintained (h, df) line-frequency table from a
     * [[lineDfSink]] state. */
@@ -758,18 +788,20 @@ object Streams {
       checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
-      nShards)(
-      batch => batch.select(col("doc_id"), col("source"), col("lang"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        lit(1L).as("n_docs"),
-        length(col("text")).cast("long").as("sum_chars")),
-      Seq("source", "lang", "n_tokens"), Seq("n_docs", "sum_chars"),
-      // the card is a function of (text, source, lang): a doc
-      // re-delivered re-classified or re-labeled must refuse, not
-      // slide through (fixed-width md5 prefix keeps it unambiguous)
-      md5(concat(md5(col("text")), col("source"), lit("|"),
-        col("lang"))))
+    additiveSinkOf(docs, statePath, checkpointLocation, nShards,
+      corpusSpec)
+
+  // the card is a function of (text, source, lang): a doc
+  // re-delivered re-classified or re-labeled must refuse, not
+  // slide through (fixed-width md5 prefix keeps it unambiguous)
+  private def corpusSpec: AdditiveSpec = AdditiveSpec(
+    batch => batch.select(col("doc_id"), col("source"), col("lang"),
+      size(split(col("text"), " ")).cast("long").as("n_tokens"),
+      lit(1L).as("n_docs"),
+      length(col("text")).cast("long").as("sum_chars")),
+    Seq("source", "lang", "n_tokens"), Seq("n_docs", "sum_chars"),
+    md5(concat(md5(col("text")), col("source"), lit("|"),
+      col("lang"))))
 
   /** The per-source data card served from a [[corpusSink]] state —
     * column-for-column [[graft.operators.TextOps.corpusReport]]. */
@@ -869,18 +901,19 @@ object Streams {
       checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
-      nShards)(
-      batch => batch.select(col("doc_id"),
-          explode(split(col("text"), " ")).as("word")).distinct()
-        .withColumn("df", lit(1L)).withColumn("tok", lit(0L))
-        .unionByName(batch.select(col("doc_id"),
-          lit(graft.operators.TextOps.Bm25Sentinel).as("word"),
-          lit(1L).as("df"),
-          size(split(col("text"), " ")).cast("long").as("tok"))),
-      Seq("word"), Seq("df", "tok"),
-      // word membership and length are functions of the text alone
-      md5(col("text")))
+    additiveSinkOf(docs, statePath, checkpointLocation, nShards,
+      bm25Spec)
+
+  // word membership and length are functions of the text alone
+  private def bm25Spec: AdditiveSpec = AdditiveSpec(
+    batch => batch.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("word")).distinct()
+      .withColumn("df", lit(1L)).withColumn("tok", lit(0L))
+      .unionByName(batch.select(col("doc_id"),
+        lit(graft.operators.TextOps.Bm25Sentinel).as("word"),
+        lit(1L).as("df"),
+        size(split(col("text"), " ")).cast("long").as("tok"))),
+    Seq("word"), Seq("df", "tok"), md5(col("text")))
 
   /** The maintained (word, df, tok) BM25 statistic from a
     * [[bm25Sink]] state — column-for-column
@@ -910,13 +943,14 @@ object Streams {
       checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
         org.apache.spark.sql.Row] =
-    registryAdditiveFoldSink(docs, statePath, checkpointLocation,
-      nShards)(
-      batch => graft.operators.TextOps.docTrigramsOf(batch)
-        .withColumnRenamed("k", "c_abc"),
-      Seq("w1", "w2", "w3"), Seq("c_abc"),
-      // trigram counts are a function of the text alone
-      md5(col("text")))
+    additiveSinkOf(docs, statePath, checkpointLocation, nShards,
+      lmTrigramSpec)
+
+  // trigram counts are a function of the text alone
+  private def lmTrigramSpec: AdditiveSpec = AdditiveSpec(
+    batch => graft.operators.TextOps.docTrigramsOf(batch)
+      .withColumnRenamed("k", "c_abc"),
+    Seq("w1", "w2", "w3"), Seq("c_abc"), md5(col("text")))
 
   /** The maintained trigram model from a [[lmTrigramSink]] state —
     * column-for-column graft.operators.TextOps.lmTrigramModel. */
@@ -1336,9 +1370,13 @@ object Streams {
       s"state at $statePath is an ADDITIVE model fold (lm/trigram/" +
         "dsir/nb/line-df/corpus/bm25): its counts hold no per-doc " +
         "contributions, so a doc's mass cannot be subtracted from " +
-        "the state alone. Deletion from an additive fold means " +
-        "rebuilding the state without the deleted docs — refusing " +
-        "to tombstone what serving could never honor.")
+        "the state alone — refusing to tombstone what serving could " +
+        "never honor. Deletion IS possible with the doc's original " +
+        "content: use the payload-verified route " +
+        "(lmStateDelete / dsirStateDelete / nbStateDelete / " +
+        "lineDfStateDelete / corpusStateDelete / bm25StateDelete / " +
+        "lmTrigramStateDelete), which verifies the payload against " +
+        "the registry hash and subtracts exactly.")
     require(cols.contains("doc_id") || cols.contains("vec_id"),
       s"state at $statePath is keyed by an aggregate " +
         cols.mkString("(columns [", ", ", "]); ") +
@@ -1447,6 +1485,193 @@ object Streams {
         }
     }
   }
+
+  /** EXACT deletion from an ADDITIVE model fold state, given the
+    * deleted docs' ORIGINAL content — the payload-verified upgrade of
+    * [[stateDelete]]'s refusal: the state alone cannot subtract a
+    * doc's mass (no per-doc contributions are stored), but the
+    * caller's payload can recompute the doc's exact increment, and
+    * the registry's content hash PROVES the payload is byte-identical
+    * to what was folded — so the subtraction is exact and the result
+    * equals a state folded without the doc (addition is commutative;
+    * the parity spec pins frame equality with a fresh fold over the
+    * remaining corpus).
+    *
+    * Refusals, all loud and BEFORE any write: a doc absent from the
+    * registry (never folded — nothing to subtract), a payload whose
+    * hash contradicts the recorded one (subtracting the wrong
+    * content would corrupt silently), an in-batch hash spread (two
+    * different payloads for one doc), or any count that would go
+    * negative after subtraction (impossible for a verified payload —
+    * its presence means corruption).
+    *
+    * Mechanics: g-rows whose counts reach zero leave the state;
+    * deleted docs' registry rows leave with them (so a later
+    * re-delivery folds as new — deletion is also re-admission, the
+    * shared caveat). The rewritten generation stages complete as a
+    * hidden sibling and swaps in with the rename-aside protocol
+    * ([[healGenSwaps]] heals the crash window); same maintenance
+    * contract as compaction — one maintainer, stream quiesced. */
+  private def additiveStateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame, spec: AdditiveSpec): Unit = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    healGenSwaps(fs, root)
+    val versions = committedVersions(fs, root)
+    require(versions.nonEmpty, s"no state committed at $statePath")
+    val m = versions.max
+    val gen = new org.apache.hadoop.fs.Path(root, s"b$m")
+    val manifest = readShardManifest(fs, gen)
+    val raw = (manifest match {
+      case None => s.read.parquet(gen.toString)
+      case Some(mf) =>
+        require(mf.nonEmpty, s"state at $statePath holds no rows")
+        s.read.parquet(mf.toSeq.sortBy(_._1).map { case (k, g) =>
+          s"$statePath/b$g/$ShardPrefix$k" }: _*)
+    }).persist()
+    try {
+      require(raw.columns.contains("kind"),
+        s"state at $statePath is not an additive model fold " +
+          raw.columns.mkString("(columns [", ", ", "])"))
+      val gAll = spec.gKeys ++ spec.gCounts
+      val pf = spec.preFilter(docs).persist()
+      val d = pf.dropDuplicates("doc_id")
+      val ch = coalesce(spec.contentHash, lit("<null-content>"))
+      // hash spread computed over ALL payload copies (before the
+      // dedup) — two different payloads for one doc must refuse, not
+      // let an arbitrary survivor decide what gets subtracted
+      val dKeyed = pf.groupBy(col("doc_id"))
+        .agg(min(ch).as("p_lo"), max(ch).as("p_hi"))
+      // registry verification: every doc present, every payload hash
+      // equal to the recorded content (state rows carry lo == hi —
+      // the sink's refusal projection guarantees it at fold time)
+      val reg = raw.where(col("kind") === "d")
+        .select(col("doc_id"), col("ch_lo").as("reg_ch"))
+      val checked = dKeyed.join(reg, Seq("doc_id"), "left").persist()
+      val absent = checked.where(col("reg_ch").isNull).count()
+      require(absent == 0,
+        s"$absent doc(s) to delete are not in the registry at " +
+          s"$statePath — never folded, nothing to subtract.")
+      val mismatched = checked.where(col("p_lo") =!= col("p_hi") ||
+        col("p_lo") =!= col("reg_ch")).count()
+      require(mismatched == 0,
+        s"$mismatched doc(s) supplied content that contradicts the " +
+          s"registry at $statePath; subtracting a different version's " +
+          "counts would corrupt the model silently. Supply the " +
+          "ORIGINAL folded content.")
+      checked.unpersist()
+      // exact subtraction: the payload's recomputed increments,
+      // negated, merge into the g-rows; zero rows leave the state
+      val negG = spec.gOf(d)
+        .select(spec.gKeys.map(col) ++
+          spec.gCounts.map(c => (-col(c)).as(c)): _*)
+      val mergedG = raw.where(col("kind") === "g")
+        .select(gAll.map(col): _*)
+        .unionByName(negG)
+        .groupBy(spec.gKeys.map(col): _*)
+        .agg(sum(col(spec.gCounts.head)).as(spec.gCounts.head),
+          spec.gCounts.tail.map(c => sum(col(c)).as(c)): _*)
+        .persist()
+      val negative = mergedG.where(spec.gCounts
+        .map(c => col(c) < 0).reduce(_ || _)).count()
+      require(negative == 0,
+        s"$negative model row(s) would go negative at $statePath — " +
+          "a verified payload cannot over-subtract, so the state (or " +
+          "the payload's hash coverage) is corrupt. Nothing written.")
+      val nulS = lit(null).cast("string")
+      val gNulls = gAll.map(n =>
+        lit(null).cast(raw.schema(n).dataType).as(n))
+      val nulDoc = lit(null).cast(raw.schema("doc_id").dataType)
+      val keptD = raw.where(col("kind") === "d")
+        .join(dKeyed.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .select(lit("d").as("kind") +: col("doc_id") +:
+          col("ch_lo") +: col("ch_hi") +: gNulls: _*)
+      val keptG = mergedG
+        .where(spec.gCounts.map(c => col(c) =!= 0).reduce(_ || _))
+        .select(lit("g").as("kind") +: nulDoc.as("doc_id") +:
+          nulS.as("ch_lo") +: nulS.as("ch_hi") +: gAll.map(col): _*)
+      // stage the complete replacement generation and swap it in —
+      // the applyStateDeletes discipline, shard assignment identical
+      // to the owning sink's
+      val nSh = readParams(fs, root)
+        .getOrElse("nShards", DefaultStateShards.toString).toInt
+      val shard = when(col("kind") === "d",
+        pmod(hash(col("doc_id")), lit(nSh)))
+        .otherwise(pmod(hash(spec.gKeys.map(col): _*), lit(nSh)))
+      val tmp = graft.operators.Warehouse
+        .hiddenSibling(gen, ".subtract-tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      if (manifest.isDefined) {
+        keptD.unionByName(keptG).withColumn("_shard", shard)
+          .repartition(col("_shard"))
+          .write.partitionBy("_shard").mode("overwrite")
+          .parquet(tmp.toString)
+        fs.delete(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"),
+          false)
+        val produced = fs.listStatus(tmp).map(_.getPath.getName)
+          .filter(_.startsWith(ShardPrefix))
+          .map(_.drop(ShardPrefix.length).toInt).toSet
+        writeShardManifest(fs, tmp, produced.map(_ -> m).toMap)
+        fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
+          .close()
+      } else {
+        // pre-sharding layout: rewrite flat (readers treat a
+        // manifest-less generation as one plain parquet directory)
+        keptD.unionByName(keptG)
+          .write.mode("overwrite").parquet(tmp.toString)
+      }
+      graft.operators.Warehouse.swapInto(fs, tmp, gen)
+      mergedG.unpersist()
+      pf.unpersist()
+      ()
+    } finally {
+      raw.unpersist()
+      ()
+    }
+  }
+
+  /** [[additiveStateDelete]] for an [[lmSink]] bigram-LM state. */
+  def lmStateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): Unit =
+    additiveStateDelete(s, statePath, docs, lmSpec)
+
+  /** [[additiveStateDelete]] for an [[lmTrigramSink]] state. */
+  def lmTrigramStateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): Unit =
+    additiveStateDelete(s, statePath, docs, lmTrigramSpec)
+
+  /** [[additiveStateDelete]] for a [[dsirSink]] state — the side
+    * split and bucket modulus come from the state's own sidecar, so
+    * the subtraction cannot run under drifted parameters. */
+  def dsirStateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): Unit = {
+    val (target, buckets) = dsirStateParams(s, statePath)
+    additiveStateDelete(s, statePath, docs, dsirSpec(target, buckets))
+  }
+
+  /** [[additiveStateDelete]] for an [[nbSink]] state — label sources
+    * from the sidecar; docs outside the two classes never folded and
+    * are filtered exactly as the sink filters them. */
+  def nbStateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): Unit = {
+    val (pos, neg) = nbStateParams(s, statePath)
+    additiveStateDelete(s, statePath, docs, nbSpec(pos, neg))
+  }
+
+  /** [[additiveStateDelete]] for a [[lineDfSink]] state. */
+  def lineDfStateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): Unit =
+    additiveStateDelete(s, statePath, docs, lineDfSpec)
+
+  /** [[additiveStateDelete]] for a [[corpusSink]] state. */
+  def corpusStateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): Unit =
+    additiveStateDelete(s, statePath, docs, corpusSpec)
+
+  /** [[additiveStateDelete]] for a [[bm25Sink]] state. */
+  def bm25StateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): Unit =
+    additiveStateDelete(s, statePath, docs, bm25Spec)
 
   private def hasStateDels(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Boolean = {

@@ -1131,6 +1131,90 @@ class StreamDedupParitySpec extends SparkSpec {
       "state-served funnel diverged from batch-built models")
   }
 
+  test("payload-verified subtraction: deleting docs with their original " +
+    "content leaves each additive state equal to a fresh fold without " +
+    "them; wrong payloads and double-deletes refuse") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{concat, lit}
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .where($"doc_id" < 60).localCheckpoint()
+    val victims = docs.where($"doc_id" % 7 === 0).localCheckpoint()
+    val rest = docs.where($"doc_id" % 7 =!= 0).localCheckpoint()
+
+    type Sink = (org.apache.spark.sql.DataFrame, String, String) =>
+      org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row]
+    def fold(tag: String, corpus: org.apache.spark.sql.DataFrame,
+        sink: Sink): String = {
+      val streamDir = java.nio.file.Files
+        .createTempDirectory(s"graft_sub_${tag}_in")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_sub_${tag}_ck").toString
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"graft_sub_${tag}_st")
+        .resolve("st").toString
+      corpus.coalesce(1).write.mode("append").parquet(streamDir.toString)
+      val stream = spark.readStream.schema(corpus.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      val q = sink(stream, statePath, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), s"$tag did not finish")
+      statePath
+    }
+    def rows(st: String) = Streams.foldState(spark, st)
+      .collect().map(_.toString).sorted
+
+    val family: Seq[(String, Sink,
+        (String, org.apache.spark.sql.DataFrame) => Unit)] = Seq(
+      ("lm", Streams.lmSink(_, _, _),
+        (st, d) => Streams.lmStateDelete(spark, st, d)),
+      ("tri", Streams.lmTrigramSink(_, _, _),
+        (st, d) => Streams.lmTrigramStateDelete(spark, st, d)),
+      ("ln", Streams.lineDfSink(_, _, _),
+        (st, d) => Streams.lineDfStateDelete(spark, st, d)),
+      ("cp", Streams.corpusSink(_, _, _),
+        (st, d) => Streams.corpusStateDelete(spark, st, d)),
+      ("bm", Streams.bm25Sink(_, _, _),
+        (st, d) => Streams.bm25StateDelete(spark, st, d)),
+      ("ds", Streams.dsirSink(_, "web", _, _),
+        (st, d) => Streams.dsirStateDelete(spark, st, d)))
+    family.foreach { case (tag, sink, del) =>
+      val full = fold(s"${tag}f", docs, sink)
+      del(full, victims)
+      val fresh = fold(s"${tag}r", rest, sink)
+      assert(rows(full).sameElements(rows(fresh)),
+        s"$tag: subtracted state diverged from a fresh fold without " +
+          "the deleted docs")
+      // double-delete: the registry rows left with the docs — refuse
+      val e = intercept[IllegalArgumentException] { del(full, victims) }
+      assert(e.getMessage.contains("not in the registry"))
+    }
+
+    // wrong payload: identical doc_ids, tampered text — refuse with
+    // nothing written
+    val lmSt = fold("lmw", docs, Streams.lmSink(_, _, _))
+    val before = rows(lmSt)
+    val tampered = victims.select($"doc_id",
+      concat($"text", lit(" extra")).as("text"), $"source", $"lang")
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.lmStateDelete(spark, lmSt, tampered)
+    }
+    assert(e2.getMessage.contains("contradicts the registry"))
+    assert(rows(lmSt).sameElements(before))
+
+    // nb: labeled subset only (the sink's own pre-filter applies to
+    // the deletion payload identically)
+    val srcs = docs.select($"source").distinct().limit(2)
+      .collect().map(_.getString(0))
+    if (srcs.length == 2) {
+      val nbSt = fold("nb", docs, Streams.nbSink(_, srcs(0), srcs(1), _, _))
+      Streams.nbStateDelete(spark, nbSt, victims)
+      val nbFresh = fold("nbr", rest, Streams.nbSink(_, srcs(0), srcs(1), _, _))
+      assert(rows(nbSt).sameElements(rows(nbFresh)))
+    }
+  }
+
   test("stateDelete REFUSES additive model folds and aggregate-keyed " +
     "states — subtraction is impossible without per-doc contributions") {
     import spark.implicits._
