@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EmbeddingOps, Forget, TextOps}
+import graft.streaming.Streams
+
+/** The right-to-be-forgotten sweep ([[Forget.forgetDocs]]): one call
+  * must remove a doc set from a persisted near-dup index, a streaming
+  * registry state, and an additive model state — each verified by its
+  * own serving path afterwards — and a failing target must not block
+  * the others while still failing the sweep loudly. */
+class ForgetSpec extends SparkSpec {
+
+  private def foldState(sink: (org.apache.spark.sql.DataFrame, String,
+        String) => org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row],
+      corpus: org.apache.spark.sql.DataFrame, tag: String): String = {
+    val streamDir = java.nio.file.Files
+      .createTempDirectory(s"graft_forget_${tag}_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory(s"graft_forget_${tag}_ck").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory(s"graft_forget_${tag}_st")
+      .resolve("st").toString
+    corpus.coalesce(1).write.mode("append").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(corpus.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = sink(stream, statePath, ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), s"$tag stream did not finish")
+    statePath
+  }
+
+  test("one sweep call forgets a doc set across index, registry, and " +
+    "additive state; every serving path stops seeing them") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .where($"doc_id" < 80).localCheckpoint()
+    val victims = docs.where($"doc_id" % 9 === 0).localCheckpoint()
+    val survivors = docs.where($"doc_id" % 9 =!= 0)
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_forget_idx").toString
+    TextOps.minhashIndexWrite(docs, idx)
+    val regState = foldState(Streams.minhashSink(_, _, _), docs, "reg")
+    val lmState = foldState(Streams.lmSink(_, _, _), docs, "lm")
+
+    val report = Forget.forgetDocs(spark, Seq(
+        Forget.IndexTarget(idx),
+        Forget.RegistryStateTarget(regState),
+        Forget.AdditiveStateTarget(lmState, "lm")),
+      victims)
+    assert(report.where($"status" === "deleted").count() === 3L)
+
+    // index serving: tombstoned docs never answer (serve a batch of
+    // the victims' own text — without the tombstones each would match
+    // its indexed self-content cluster)
+    val probeBatch = victims.select(($"doc_id" + 100000L).as("doc_id"),
+      $"text")
+    val served = TextOps.nearDupServe(spark, idx, probeBatch)
+    val victimIds = victims.select($"doc_id").as[Long].collect().toSet
+    assert(served.where($"doc_a".isin(victimIds.toSeq: _*)).count() === 0L)
+    // registry state: masked at read
+    assert(Streams.foldState(spark, regState)
+      .where($"doc_id".isin(victimIds.toSeq: _*)).count() === 0L)
+    // additive state: exact subtraction — equals a fresh fold over
+    // the survivors
+    val freshLm = foldState(Streams.lmSink(_, _, _), survivors, "lmf")
+    assert(Streams.foldState(spark, lmState)
+      .collect().map(_.toString).sorted.sameElements(
+        Streams.foldState(spark, freshLm)
+          .collect().map(_.toString).sorted))
+  }
+
+  test("a failing target does not block the others and the sweep " +
+    "fails loudly naming it") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .where($"doc_id" < 40).localCheckpoint()
+    val victims = docs.where($"doc_id" % 5 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_forget_idx2").toString
+    TextOps.minhashIndexWrite(docs, idx)
+    val lmState = foldState(Streams.lmSink(_, _, _), docs, "lm2")
+    // tampered payload: the additive target must refuse...
+    val tampered = victims.select($"doc_id",
+      concat($"text", lit(" oops")).as("text"), $"source", $"lang")
+    val e = intercept[IllegalArgumentException] {
+      Forget.forgetDocs(spark, Seq(
+          Forget.IndexTarget(idx),
+          Forget.AdditiveStateTarget(lmState, "lm")),
+        tampered)
+    }
+    assert(e.getMessage.contains("INCOMPLETE") &&
+      e.getMessage.contains(lmState))
+    // ...while the index target's deletion stands (tombstones exist)
+    assert(EmbeddingOps.tombstones(spark, idx, "doc_id").count() ===
+      victims.count())
+    // and requireComplete = false returns the report instead
+    val report = Forget.forgetDocs(spark, Seq(
+        Forget.AdditiveStateTarget(lmState, "lm")),
+      tampered, requireComplete = false)
+    val row = report.collect()(0)
+    assert(row.getAs[String]("status") == "failed" &&
+      row.getAs[String]("detail").contains("contradicts the registry"))
+  }
+}
