@@ -381,6 +381,29 @@ private[graft] object SuiteMLDedup {
         |JOIN shh sb ON sb.doc_id = c.doc_b
         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3""".stripMargin)),
 
+    // ---- dedup: SimHash band-bucket volume accounting card --------------
+    // (the loud-overflow card for the one banding where the
+    // PRODUCTION default cap is active on real data: 256-value byte
+    // bands fill linearly with the corpus — 4 capped buckets at
+    // sf0.01, 63 at sf0.1)
+    Q("dedup_simhash_volume",
+      (s, d) => TextOps.simhashVolumeReport(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |$SimhashSql,
+        |sbands AS (
+        |  SELECT doc_id, b AS band_idx,
+        |         (simhash // CAST(pow(256, b) AS BIGINT)) % 256 AS band_val
+        |  FROM shh, (SELECT unnest([0,1,2,3]) AS b)),
+        |sbstat AS (SELECT band_idx, band_val, COUNT(*) AS bn
+        |           FROM sbands GROUP BY 1, 2)
+        |SELECT CAST(band_idx AS INTEGER) AS band_idx,
+        |       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+        |       CAST(MAX(bn) AS BIGINT) AS max_bucket,
+        |       CAST(SUM(CASE WHEN bn > ${TextOps.BucketCap} THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+        |       CAST(SUM(CASE WHEN bn > ${TextOps.BucketCap} THEN bn ELSE 0 END) AS BIGINT) AS overflow_docs,
+        |       CAST(SUM(CASE WHEN bn > ${TextOps.BucketCap} THEN bn * (bn - 1) // 2 - (bn - 1) ELSE 0 END) AS BIGINT) AS pairs_avoided
+        |FROM sbstat GROUP BY 1""".stripMargin)),
+
     // ---- curation: benchmark decontamination (set containment) ----------
     // (the benchmark is the doc_id % DecontMod == 0 slice; containment
     // >= 8/10 of a corpus doc's distinct shingles marks contamination —

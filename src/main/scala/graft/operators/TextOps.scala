@@ -1787,6 +1787,38 @@ object TextOps {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** [[bandVolumeReport]]'s SimHash twin — and unlike the minhash
+    * card, this one is non-trivially populated on REAL data at the
+    * production default cap: a byte band has 256 values, so its
+    * buckets fill linearly with the corpus (4 capped buckets at
+    * sf0.01, 63 at sf0.1) and the hub-star routing in
+    * [[nearDupSimhash]] is actively bounding volume. Per band
+    * position: bucket count, largest bucket, capped buckets, member
+    * mass inside them, and the exact all-pairs volume the routing
+    * avoided. */
+  def simhashVolumeReport(docs: DataFrame,
+      bucketCap: Int = BucketCap): DataFrame = {
+    val sh = simhash(docs)
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band_idx"),
+        (expr(s"simhash div ${1L << (8 * b)}") % 256).as("band_val")))
+    sh.select(col("doc_id"),
+        explode(array(bandCols: _*)).as("b"))
+      .groupBy(col("b.band_idx").as("band_idx"),
+        col("b.band_val").as("band_val"))
+      .agg(count(lit(1)).as("bn"))
+      .groupBy(col("band_idx"))
+      .agg(count(lit(1)).as("n_buckets"),
+        max(col("bn")).as("max_bucket"),
+        sum(when(col("bn") > bucketCap, 1L).otherwise(0L))
+          .as("n_capped"),
+        sum(when(col("bn") > bucketCap, col("bn")).otherwise(0L))
+          .as("overflow_docs"),
+        sum(when(col("bn") > bucketCap,
+          expr("bn * (bn - 1) div 2 - (bn - 1)")).otherwise(0L))
+          .as("pairs_avoided"))
+  }
+
   /** Intra-document quality localization: the W-bigram window with
     * the highest quantized LM negative log-likelihood per doc — WHERE
     * a document goes bad, not just that it does (the trim-the-span
