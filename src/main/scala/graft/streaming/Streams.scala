@@ -1511,7 +1511,11 @@ object Streams {
     * shared caveat). The rewritten generation stages complete as a
     * hidden sibling and swaps in with the rename-aside protocol
     * ([[healGenSwaps]] heals the crash window); same maintenance
-    * contract as compaction — one maintainer, stream quiesced. */
+    * contract as the delete-applying compaction — one maintainer,
+    * stream quiesced WITH its last batch checkpoint-committed: a
+    * pending replay of the rewritten generation's own batch would
+    * delete it wholesale and re-fold from the predecessor, silently
+    * undoing the subtraction. */
   private def additiveStateDelete(s: org.apache.spark.sql.SparkSession,
       statePath: String, docs: DataFrame, spec: AdditiveSpec): Unit = {
     val root = new org.apache.hadoop.fs.Path(statePath)
