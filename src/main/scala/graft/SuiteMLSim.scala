@@ -16,6 +16,37 @@ import graft.SuiteMLShared._
   */
 private[graft] object SuiteMLSim {
 
+  /** Truncated-brute CTEs + hit counts for one prefix width `d` —
+    * the sim_trunc_sweep oracle's per-arm generator: the same
+    * slice/norm/cosine/rank arithmetic as the Spark arm, so the two
+    * cannot drift per dim. */
+  private def truncArmSql(d: Int): String =
+    s"""td$d AS (SELECT vec_id, q[1:$d] AS q FROM e),
+      |tn$d AS (SELECT vec_id, SUM(v*v) AS nn
+      |         FROM (SELECT vec_id, unnest(q) AS v FROM td$d) GROUP BY 1),
+      |tp$d AS (SELECT qe.vec_id AS query_id, ce.vec_id AS vid,
+      |                unnest(qe.q) AS a, unnest(ce.q) AS b
+      |         FROM td$d qe, td$d ce
+      |         WHERE qe.vec_id < 5 AND ce.vec_id <> qe.vec_id),
+      |tdot$d AS (SELECT query_id, vid, SUM(a*b) AS dot FROM tp$d GROUP BY 1, 2),
+      |tsc$d AS (SELECT query_id, vid,
+      |                 CAST(dot AS DOUBLE) / (sqrt(CAST(nq.nn AS DOUBLE)) * sqrt(CAST(nv.nn AS DOUBLE))) AS cos
+      |          FROM tdot$d JOIN tn$d nq ON nq.vec_id = query_id
+      |                      JOIN tn$d nv ON nv.vec_id = vid),
+      |tk$d AS (SELECT query_id, vid FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vid) AS rk
+      |  FROM tsc$d) WHERE rk <= 10),
+      |th$d AS (SELECT b.query_id, COUNT(*) AS nh FROM brute b
+      |         JOIN tk$d p ON p.query_id = b.query_id AND p.vid = b.vid
+      |         GROUP BY 1)""".stripMargin
+
+  private def truncTailSql(d: Int): String =
+    s"""SELECT CAST($d AS INTEGER) AS trunc_dim, q.query_id,
+      |       CAST(COALESCE(th$d.nh, 0) AS BIGINT) AS n_overlap,
+      |       CAST(COALESCE(th$d.nh, 0) AS DOUBLE) / 10 AS recall_at_k
+      |FROM (SELECT DISTINCT query_id FROM brute) q
+      |LEFT JOIN th$d ON th$d.query_id = q.query_id""".stripMargin
+
   val rows: Seq[Q] = Seq(
 
     // ---- similarity: brute-force cosine top-k ---------------------------
@@ -428,6 +459,16 @@ private[graft] object SuiteMLSim {
         |FROM (SELECT DISTINCT query_id FROM brute) q
         |LEFT JOIN ha ON ha.query_id = q.query_id
         |LEFT JOIN hr ON hr.query_id = q.query_id""".stripMargin)),
+
+    // ---- similarity: Matryoshka truncation WIDTH SWEEP — the curve
+    // behind choosing the low-dim tier (sim_trunc_recall measures one
+    // width; this measures the trade across widths in one pass) ----------
+    Q("sim_trunc_sweep",
+      (s, d) => EmbeddingOps.truncRecallSweep(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |$BruteTop10Cte,
+        |${Seq(8, 16, 32).map(truncArmSql).mkString(",\n")}
+        |${Seq(8, 16, 32).map(truncTailSql).mkString("\nUNION ALL\n")}""".stripMargin)),
 
     // ---- similarity: PQ recall@10 vs the exact brute top-10 — every
     // approximate route ships with its recall measurement -----------------

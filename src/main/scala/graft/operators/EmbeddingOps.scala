@@ -1177,6 +1177,39 @@ object EmbeddingOps {
         Seq("query_id"))
   }
 
+  /** [[truncRecall]]'s width-SELECTION sweep (the dedup_band_sweep
+    * discipline applied to the truncation route): recall@k at several
+    * prefix widths in one pass, one row per (truncation dim, query) —
+    * the curve an operator reads before fixing the low-dim tier of a
+    * storage-tiered serving stack (search a prefix tier first,
+    * re-rank survivors at full width — [[ivfpqTopKRerank]]'s
+    * two-stage shape with dimensionality instead of quantization as
+    * the compressor). Scale shape: ONE quantization scan and one
+    * full-dim brute baseline pinned for all arms (truncRecall
+    * re-derives both per call); each arm is the broadcast-query brute
+    * pattern over sliced vectors (slice + norm are per-row
+    * projections); recall joins are per-query. */
+  def truncRecallSweep(emb: DataFrame,
+      dims: Seq[Int] = Seq(8, 16, 32), nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    require(dims.nonEmpty && dims.forall(_ >= 1),
+      s"dims must be positive, got $dims")
+    val e = quantized(emb).pinned
+    val brute = annTopKQ(e, nQueries, k)
+      .select(col("query_id"), col("vec_id")).pinned
+    dims.map { dd =>
+      val t = e.select(col("vec_id"), col("label"),
+          expr(s"slice(q, 1, $dd)").as("q"))
+        .withColumn("nn",
+          aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      recallVsBrute(brute,
+          annTopKQ(t, nQueries, k).select(col("query_id"),
+            col("vec_id")), k)
+        .select(lit(dd).as("trunc_dim"), col("query_id"),
+          col("n_overlap"), col("recall_at_k"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Inverted-list balance report for a PERSISTED IVF-family index —
     * the operational monitoring artifact every ANN deployment watches
     * (cell imbalance is what drives probe-latency tails: a probe

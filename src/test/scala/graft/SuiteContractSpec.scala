@@ -9,6 +9,17 @@ package graft
   * is caught here before the driver's verify run. */
 class SuiteContractSpec extends SparkSpec {
 
+  test("registered query names are unique") {
+    // SparkEntry.queries is a Map — a duplicate registration would
+    // silently shadow one of the two queries AND desync the driver's
+    // registry arithmetic (oracle count vs Q-site count). Caught here
+    // the moment it is introduced.
+    val names = Suite.all.map(_.name)
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty,
+      s"duplicate registered query name(s): ${dups.mkString(", ")}")
+  }
+
   test("every registered query runs on sf0.001 with clean column names") {
     val dir = "/root/testdata/sf0.001"
     val bad = scala.collection.mutable.ArrayBuffer.empty[String]
