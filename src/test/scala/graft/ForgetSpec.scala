@@ -46,13 +46,29 @@ class ForgetSpec extends SparkSpec {
     TextOps.minhashIndexWrite(docs, idx)
     val regState = foldState(Streams.minhashSink(_, _, _), docs, "reg")
     val lmState = foldState(Streams.lmSink(_, _, _), docs, "lm")
+    // a vector index joins the sweep through its own key column (the
+    // payload rows carry vec_id = doc_id for the docs' embeddings)
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .where($"vec_id" < 80).localCheckpoint()
+    val vIdx = java.nio.file.Files
+      .createTempDirectory("graft_forget_vidx").toString
+    EmbeddingOps.ivfIndexWrite(emb, vIdx)
+    val victimsWithVec = victims.withColumn("vec_id", $"doc_id")
 
     val report = Forget.forgetDocs(spark, Seq(
         Forget.IndexTarget(idx),
+        Forget.IndexTarget(vIdx, keyCol = "vec_id"),
         Forget.RegistryStateTarget(regState),
         Forget.AdditiveStateTarget(lmState, "lm")),
-      victims)
-    assert(report.where($"status" === "deleted").count() === 3L)
+      victimsWithVec)
+    assert(report.where($"status" === "deleted").count() === 4L)
+    // vector serving: tombstoned vecs never answer
+    val vServed = EmbeddingOps.ivfTopKIndexed(spark, vIdx,
+      emb.where($"vec_id" < 5))
+    val vVictims = victimsWithVec.select($"vec_id").as[Long]
+      .collect().toSet
+    assert(vServed.where($"vec_id".isin(vVictims.toSeq: _*))
+      .count() === 0L)
 
     // index serving: tombstoned docs never answer (serve a batch of
     // the victims' own text — without the tombstones each would match
