@@ -606,6 +606,19 @@ private[graft] object SuiteMLDedup {
         |           JOIN n nb ON nb.vec_id = vec_b
         |WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45""".stripMargin)),
 
+    // ---- dedup: semantic-dedup cell-volume monitoring card --------------
+    // (the raise-nCentroids signal: SemDeDup's within-cell pair cost
+    // is bounded by the quantizer, not a cap — this card keeps the
+    // bound honest with exact per-cell member counts and the all-pairs
+    // volume semanticDedup will score there)
+    Q("dedup_semantic_volume",
+      (s, d) => EmbeddingOps.semanticCellVolume(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |${kmeansCellsCte(EmbeddingOps.KmIters)}
+        |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+        |       CAST(COUNT(*) * (COUNT(*) - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM cells GROUP BY 1""".stripMargin)),
+
     // ---- dedup: LSH threshold-tuning band sweep --------------------------
     Q("dedup_band_sweep",
       (s, d) => TextOps.minhashBandSweep(docs(s, d)),

@@ -1862,6 +1862,26 @@ object EmbeddingOps {
       .select(col("vec_id"), col("cent_id").as("cell"))
   }
 
+  /** Per-cell candidate-volume card for the LIVE semantic-dedup path
+    * — the monitoring row behind [[semanticDedup]]'s scale contract
+    * (and [[indexCellStats]]' live twin): SemDeDup's within-cell
+    * pairwise cost is bounded by scaling nCentroids with the corpus,
+    * and this card is what tells the operator WHEN — per trained
+    * cell, its member count and the exact all-pairs volume
+    * semanticDedup will score there (B(B-1)/2). A drifting max is the
+    * raise-nCentroids signal; the hub-star cap deliberately does NOT
+    * apply here (a cell is a semantic region, not a dup cluster — see
+    * [[GroupCap]]), so the bound has to come from the quantizer, and
+    * the card keeps that honest. One nCentroids-sized aggregate over
+    * the assignment scan. */
+  def semanticCellVolume(emb: DataFrame, nCentroids: Int = KmSeeds,
+      iters: Int = KmIters): DataFrame =
+    cellAssignments(emb, nCentroids, iters)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"))
+      .withColumn("n_pairs",
+        expr("n_members * (n_members - 1) div 2"))
+
   /** Nearest-centroid (Rocchio) classification audit: per-label
     * centroids as REQUANTIZED integer means (per-component sum div
     * count — the [[kmeansCentroidsQ]] requantization, so both engines
