@@ -1192,8 +1192,11 @@ object EmbeddingOps {
   def truncRecallSweep(emb: DataFrame,
       dims: Seq[Int] = Seq(8, 16, 32), nQueries: Int = 5,
       k: Int = 10): DataFrame = {
-    require(dims.nonEmpty && dims.forall(_ >= 1),
-      s"dims must be positive, got $dims")
+    // same bound as truncRecall: a width beyond the vector length
+    // would silently clamp via slice and report recall 1.0 labeled
+    // with a bogus trunc_dim
+    require(dims.nonEmpty && dims.forall(d => d >= 1 && d <= Dim),
+      s"dims must be in [1, $Dim], got $dims")
     val e = quantized(emb).pinned
     val brute = annTopKQ(e, nQueries, k)
       .select(col("query_id"), col("vec_id")).pinned
@@ -1746,7 +1749,13 @@ object EmbeddingOps {
   /** LSH-bucketed nearest neighbor: within each bucket, every vector's
     * top-1 neighbor by exact cosine (the scale path for
     * dedup-by-nearest-neighbor; singleton buckets surface with a null
-    * neighbor). */
+    * neighbor). The CANDIDATE side is volume-capped by default: each
+    * bucket contributes at most `candidateCap` prefix members (by
+    * vec_id) to the scored pairs, so a mega-bucket costs B·cap, not
+    * B² — every vector still answers (the query side is uncapped),
+    * but a neighbor outside the bucket's candidate prefix is not
+    * considered. Identical results to the uncapped join whenever
+    * every bucket fits the cap (true at all oracle scales). */
   def lshNearestNeighbor(emb: DataFrame, nPlanes: Int = NPlanes,
       candidateCap: Int = GroupCap): DataFrame = {
     val b = bucketed(emb, nPlanes)
@@ -1798,7 +1807,9 @@ object EmbeddingOps {
     * losing neighbors — the fix for the fixed-8-planes limitation.
     * A candidate lives in exactly one bucket, so probe targets are
     * distinct and no pair is scored twice. Singleton-probe-space
-    * vectors surface with a null neighbor like [[lshNearestNeighbor]]. */
+    * vectors surface with a null neighbor like [[lshNearestNeighbor]]
+    * — whose per-bucket `candidateCap` prefix bound (and its
+    * exact-under-the-cap contract) applies here too. */
   def lshNearestNeighborMultiprobe(emb: DataFrame,
       nPlanes: Int = NPlanes, candidateCap: Int = GroupCap): DataFrame = {
     val b = bucketed(emb, nPlanes).pinned

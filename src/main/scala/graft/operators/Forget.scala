@@ -94,7 +94,10 @@ object Forget {
                 .apply(s, path, pinned)
           }
           Right(())
-        } catch { case e: Exception => Left(e.getMessage) }
+          // e.toString, not getMessage: getMessage can be null (NPE),
+        // which would put a null detail in the report and a
+        // "kind at path: null" line in the aggregate error
+      } catch { case e: Exception => Left(e.toString) }
       (t.path, kind, outcome)
     }
     val failed = results.collect { case (p, k, Left(msg)) =>

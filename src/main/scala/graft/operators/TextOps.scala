@@ -1256,7 +1256,17 @@ object TextOps {
   /** MinHash+LSH near-duplicate pairs with exact n-gram-Jaccard
     * verification: candidates from shared LSH buckets, then
     * |A∩B| / |A∪B| over the true shingle sets (exact integers, one
-    * division), kept when >= threshold. */
+    * division), kept when >= threshold.
+    *
+    * Candidate generation is VOLUME-CAPPED by default (the
+    * [[cappedBandPairs]] bound at [[BucketCap]]): a bucket over the
+    * cap routes its members to the bucket's min-doc hub as star
+    * pairs instead of all-pairs, so within an oversized bucket only
+    * hub-member pairs reach verification — identical results to the
+    * uncapped join whenever every bucket fits the cap (true at all
+    * oracle scales), a documented recall trade under template spam
+    * ([[bandVolumeReport]] accounts it). Pass a larger `bucketCap`
+    * to widen the exact regime. */
   def nearDupMinhash(docs: DataFrame, threshold: Double = 0.7,
       bucketCap: Int = BucketCap): DataFrame = {
     // The exact-Jaccard verify works on distinct shingle SETS, but only
@@ -1482,13 +1492,15 @@ object TextOps {
     * Scale shape: the batch side (bands AND sets) is broadcast —
     * bounded by the ingest batch, never the index. The index is read
     * twice with static committed-segment pruning, both passes
-    * column-pruned: a SLIM pass (doc_id + band hashes) generates
-    * candidates under the stored-bucket volume cap (oversized buckets
-    * answer through their hub — see the inline note), and the full
-    * pass verifies, filtered by the BROADCAST bounded candidate set.
-    * The only shuffles carry slim band/candidate/stat rows; the `hs`
-    * arrays never leave their scan partition. Batch doc_ids are
-    * assumed disjoint from indexed ones (the append contract). */
+    * column-pruned: a SLIM pass (doc_id + band hashes), semi-join
+    * pruned to the buckets the batch actually touches BEFORE any
+    * shuffle, generates candidates under the stored-bucket volume cap
+    * (oversized buckets answer through their hub — see the inline
+    * note), and the full pass verifies, filtered by the BROADCAST
+    * bounded candidate set. The only shuffle carries slim band rows
+    * for batch-touched buckets — O(batch-touched), never O(index);
+    * the `hs` arrays never leave their scan partition. Batch doc_ids
+    * are assumed disjoint from indexed ones (the append contract). */
   def nearDupServe(s: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, threshold: Double = 0.7,
       bucketCap: Int = BucketCap): DataFrame = {
@@ -1505,15 +1517,27 @@ object TextOps {
     // representative answers "is this a near-dup of something kept").
     // Candidates are therefore bounded by |batch| * nBands * bucketCap
     // BY CONSTRUCTION, which is what makes them broadcastable below.
-    val sbIds = stored.select(col("doc_id").as("doc_a"),
+    val bbIds = nb.select(col("doc_id").as("doc_b"),
       posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+    // the bucket-stat window below must see WHOLE buckets (bn/hub are
+    // per-bucket aggregates), but only buckets the BATCH touches can
+    // produce candidates — so the stored band rows are semi-join-pruned
+    // against the broadcast batch band KEYS first. Filtering on the
+    // bucket key keeps or drops entire buckets, so bn/hub are unchanged
+    // on every survivor and the output is bit-identical to windowing
+    // the full index — while the windowed exchange shrinks from
+    // O(index) to O(batch-touched buckets). Without this prune, every
+    // serving batch paid an index-wide shuffle of slim band rows just
+    // to compute stats for buckets it never consults.
+    val sbIds = stored.select(col("doc_id").as("doc_a"),
+        posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+      .join(broadcast(bbIds.select(col("band_idx"), col("band_hash"))
+        .distinct()), Seq("band_idx", "band_hash"), "left_semi")
     val w = Window.partitionBy(col("band_idx"), col("band_hash"))
     val sbCapped = sbIds
       .withColumn("bn", count(lit(1)).over(w))
       .withColumn("hub", min(col("doc_a")).over(w))
       .where(col("bn") <= bucketCap || col("doc_a") === col("hub"))
-    val bbIds = nb.select(col("doc_id").as("doc_b"),
-      posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
     val cand = sbCapped
       .join(broadcast(bbIds), Seq("band_idx", "band_hash"))
       .select(col("doc_a"), col("doc_b")).distinct()

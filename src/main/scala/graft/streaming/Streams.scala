@@ -1533,12 +1533,20 @@ object Streams {
         s.read.parquet(mf.toSeq.sortBy(_._1).map { case (k, g) =>
           s"$statePath/b$g/$ShardPrefix$k" }: _*)
     }).persist()
+    // every frame persisted below registers here so the finally block
+    // releases it even when a refusal require fires mid-way — a
+    // repeatedly-failing delete attempt must not accumulate cached
+    // frames across a long-lived session (unpersist is a safe no-op
+    // on an already-released frame)
+    val pinnedFrames =
+      scala.collection.mutable.ListBuffer[DataFrame](raw)
     try {
       require(raw.columns.contains("kind"),
         s"state at $statePath is not an additive model fold " +
           raw.columns.mkString("(columns [", ", ", "])"))
       val gAll = spec.gKeys ++ spec.gCounts
       val pf = spec.preFilter(docs).persist()
+      pinnedFrames += pf
       val d = pf.dropDuplicates("doc_id")
       val ch = coalesce(spec.contentHash, lit("<null-content>"))
       // hash spread computed over ALL payload copies (before the
@@ -1552,6 +1560,7 @@ object Streams {
       val reg = raw.where(col("kind") === "d")
         .select(col("doc_id"), col("ch_lo").as("reg_ch"))
       val checked = dKeyed.join(reg, Seq("doc_id"), "left").persist()
+      pinnedFrames += checked
       val absent = checked.where(col("reg_ch").isNull).count()
       require(absent == 0,
         s"$absent doc(s) to delete are not in the registry at " +
@@ -1576,6 +1585,7 @@ object Streams {
         .agg(sum(col(spec.gCounts.head)).as(spec.gCounts.head),
           spec.gCounts.tail.map(c => sum(col(c)).as(c)): _*)
         .persist()
+      pinnedFrames += mergedG
       val negative = mergedG.where(spec.gCounts
         .map(c => col(c) < 0).reduce(_ || _)).count()
       require(negative == 0,
@@ -1615,6 +1625,17 @@ object Streams {
         val produced = fs.listStatus(tmp).map(_.getPath.getName)
           .filter(_.startsWith(ShardPrefix))
           .map(_.drop(ShardPrefix.length).toInt).toSet
+        // the applyStateDeletes rule: subtracting the whole corpus
+        // would commit an empty manifest no reader accepts — refuse
+        // before the swap; drop the state path for full teardown
+        if (produced.isEmpty) {
+          fs.delete(tmp, true)
+          throw new IllegalArgumentException(
+            "subtraction removes EVERY row from the state at " +
+              s"$statePath — an all-deleted state has no readable " +
+              "generation; drop the state path (and its stream " +
+              "checkpoint) instead")
+        }
         writeShardManifest(fs, tmp, produced.map(_ -> m).toMap)
         fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))
           .close()
@@ -1625,11 +1646,9 @@ object Streams {
           .write.mode("overwrite").parquet(tmp.toString)
       }
       graft.operators.Warehouse.swapInto(fs, tmp, gen)
-      mergedG.unpersist()
-      pf.unpersist()
       ()
     } finally {
-      raw.unpersist()
+      pinnedFrames.foreach(_.unpersist())
       ()
     }
   }
@@ -1727,6 +1746,18 @@ object Streams {
     val produced = fs.listStatus(tmp).map(_.getPath.getName)
       .filter(_.startsWith(ShardPrefix))
       .map(_.drop(ShardPrefix.length).toInt).toSet
+    // a delete-EVERYTHING sweep would commit an empty manifest,
+    // leaving every subsequent read failing "state holds no rows" —
+    // refuse before the swap (nothing has mutated; the staged sibling
+    // is dropped, the tombstones stay committed and keep masking).
+    // Full teardown is dropping the state path, not deleting all rows.
+    if (produced.isEmpty) {
+      fs.delete(tmp, true)
+      throw new IllegalArgumentException(
+        s"deletion removes EVERY record from the state at $statePath " +
+          "— an all-deleted state has no readable generation; drop " +
+          "the state path (and its stream checkpoint) instead")
+    }
     writeShardManifest(fs, tmp, produced.map(_ -> m).toMap)
     fs.create(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")).close()
     failpoint("apply-staged")

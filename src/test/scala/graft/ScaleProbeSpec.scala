@@ -669,6 +669,53 @@ class ScaleProbeSpec extends SparkSpec {
         "would shuffle at scale")
   }
 
+  test("nearDupServe prunes the bucket-stat window to batch-touched " +
+    "buckets before any shuffle") {
+    // the r12 scale finding: the stored-bucket volume cap computed
+    // bn/hub with a window over the FULL index's exploded band rows —
+    // an index-wide exchange per serving batch, against the operator's
+    // own O(batch) contract. The fix semi-joins the slim stored rows
+    // against the BROADCAST batch band keys BEFORE the window (whole
+    // buckets survive a bucket-key filter, so bn/hub and the output
+    // are bit-identical). Pin it structurally: the exchange feeding
+    // the bucket-stat window must sit above a broadcast LEFT SEMI
+    // join, so only batch-touched band rows ever ride it.
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_semi_probe").toString
+    TextOps.minhashIndexWrite(syntheticDocs(50000L), idx)
+    val batch = syntheticDocs(50100L).where(col("doc_id") >= 50000L)
+    val plan = staticPlanOf(TextOps.nearDupServe(spark, idx, batch))
+    // the slim-pass exchange: its input carries the stored band rows
+    // (doc_a, band_idx, band_hash) destined for the bn/hub window
+    val slimExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec
+          if Set("doc_a", "band_idx", "band_hash")
+            .subsetOf(e.child.output.map(_.name).toSet) => e
+    }
+    assert(slimExchanges.nonEmpty,
+      "nearDupServe lost its bucket-stat window exchange")
+    slimExchanges.foreach { e =>
+      val semis = e.child.collect {
+        case j: org.apache.spark.sql.execution.joins
+            .BroadcastHashJoinExec
+            if j.joinType.toString == "LeftSemi" => j
+      }
+      assert(semis.nonEmpty,
+        "the bucket-stat window shuffles the WHOLE index's band rows " +
+          "— no batch-key semi-join prune upstream of the exchange")
+    }
+    // behavioral half: a batch sharing no bucket with the index must
+    // serve empty (the prune keeps correctness while shrinking the
+    // exchange; disjoint vocabularies share no band hash)
+    val alien = spark.range(60000L, 60010L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", expr("transform(sequence(0, 39), " +
+        "i -> concat('z', pmod(xxhash64(id * 40 + i), 1000)))"))
+        .as("text"))
+    assert(TextOps.nearDupServe(spark, idx, alien).count() === 0L)
+  }
+
   test("nearDupServe bounds candidate fan-out on an indexed template cluster") {
     // the serve twin of the cappedBandPairs probe: 5000 identical
     // docs in the index put 5000 signatures in one stored bucket per

@@ -1254,6 +1254,58 @@ class StreamDedupParitySpec extends SparkSpec {
     assert(e2.getMessage.contains("keyed by an aggregate"))
   }
 
+  test("delete-EVERYTHING refuses: a sweep that would empty a state " +
+    "throws before the swap and leaves it readable") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .where($"doc_id" < 10).localCheckpoint()
+    def build(sink: (org.apache.spark.sql.DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row], tag: String): String = {
+      val streamDir = java.nio.file.Files
+        .createTempDirectory(s"graft_delall_${tag}_in")
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_delall_${tag}_ck").toString
+      val statePath = java.nio.file.Files
+        .createTempDirectory(s"graft_delall_${tag}_st")
+        .resolve("st").toString
+      docs.coalesce(1).write.mode("append").parquet(streamDir.toString)
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      val q = sink(stream, statePath, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish")
+      statePath
+    }
+    // per-record registry: tombstoning every doc is legal (reads mask
+    // to empty), but APPLYING it would commit an empty manifest no
+    // reader accepts — compaction must refuse before the swap, and
+    // the state must stay readable (still masked-empty) afterward
+    val regSt = build(Streams.minhashSink(_, _, _), "mh")
+    Streams.stateDelete(spark, regSt, docs.select($"doc_id"))
+    assert(Streams.foldState(spark, regSt).count() == 0)
+    val e1 = intercept[IllegalArgumentException] {
+      Streams.compactState(spark, regSt)
+    }
+    assert(e1.getMessage.contains("EVERY record"))
+    assert(Streams.foldState(spark, regSt).count() == 0,
+      "state unreadable after the refused delete-everything compaction")
+    // additive fold: subtracting the whole folded corpus refuses
+    // likewise, with nothing written
+    val lmSt = build(Streams.lmSink(_, _, _), "lm")
+    val before = Streams.foldState(spark, lmSt)
+      .collect().map(_.toString).sorted
+    val e2 = intercept[IllegalArgumentException] {
+      Streams.lmStateDelete(spark, lmSt, docs)
+    }
+    assert(e2.getMessage.contains("EVERY row"))
+    val after = Streams.foldState(spark, lmSt)
+      .collect().map(_.toString).sorted
+    assert(after.sameElements(before),
+      "state changed under a refused delete-everything subtraction")
+  }
+
   test("a sidecar-less state with committed versions REFUSES to adopt " +
     "the sink's current parameters; adoptStateParams migrates it") {
     import spark.implicits._
