@@ -26,9 +26,10 @@ import org.apache.spark.sql.functions._
   *
   * Caveats inherited from the primitives, restated: index/registry
   * tombstones mask immediately and are applied physically by the
-  * compaction family; deletion is also re-admission (route future
-  * ingests through an upstream filter when the forgetting must be
-  * permanent); additive targets need the docs' ORIGINAL content
+  * compaction family; deletion alone is also re-admission — include a
+  * [[LedgerTarget]] in the sweep and compose [[forgottenFilter]] at
+  * the ingest/curate front door when the forgetting must be
+  * permanent; additive targets need the docs' ORIGINAL content
   * (verified against the registry hash). Same maintenance-window
   * contract as every maintainer: one sweep at a time, streams
   * quiesced. */
@@ -54,6 +55,15 @@ object Forget {
   final case class AdditiveStateTarget(path: String,
       kind: String) extends Target
 
+  /** A persisted forget-ledger ([[ledgerInit]]): the sweep APPENDS the
+    * forgotten keys so the ingest/curate front door's
+    * [[forgottenFilter]] refuses them forever — the re-admission
+    * guard the index/state deletions alone cannot give (their
+    * tombstones clear at compaction, after which a re-ingested
+    * byte-identical doc would resurrect). */
+  final case class LedgerTarget(path: String,
+      keyCol: String = "doc_id") extends Target
+
   private val AdditiveKinds: Map[String,
       (SparkSession, String, DataFrame) => Unit] = Map(
     "lm" -> (graft.streaming.Streams.lmStateDelete(_, _, _)),
@@ -78,6 +88,7 @@ object Forget {
         case _: IndexTarget => "index"
         case _: RegistryStateTarget => "registry_state"
         case a: AdditiveStateTarget => s"additive_state:${a.kind}"
+        case _: LedgerTarget => "ledger"
       }
       val outcome =
         try {
@@ -87,6 +98,8 @@ object Forget {
                 pinned.select(col(keyCol)), keyCol = keyCol)
             case RegistryStateTarget(path) =>
               graft.streaming.Streams.stateDelete(s, path, pinned)
+            case LedgerTarget(path, keyCol) =>
+              ledgerAppend(s, path, pinned.select(col(keyCol)), keyCol)
             case AdditiveStateTarget(path, k) =>
               AdditiveKinds.getOrElse(k, throw new IllegalArgumentException(
                 s"unknown additive fold kind '$k' — expected one of " +
@@ -94,10 +107,12 @@ object Forget {
                 .apply(s, path, pinned)
           }
           Right(())
+        } catch {
           // e.toString, not getMessage: getMessage can be null (NPE),
-        // which would put a null detail in the report and a
-        // "kind at path: null" line in the aggregate error
-      } catch { case e: Exception => Left(e.toString) }
+          // which would put a null detail in the report and a
+          // "kind at path: null" line in the aggregate error
+          case e: Exception => Left(e.toString)
+        }
       (t.path, kind, outcome)
     }
     val failed = results.collect { case (p, k, Left(msg)) =>
@@ -113,4 +128,65 @@ object Forget {
         o.left.toOption.getOrElse(""))
     }.toDF("target_path", "target_kind", "status", "detail")
   }
+
+  // ---- persisted forget-ledger (re-admission guard) --------------------
+  // The index/state deletions above are REVOCABLE by re-ingestion:
+  // their tombstones apply physically at compaction and clear, after
+  // which a byte-identical re-delivery of a forgotten doc folds as
+  // new and resurrects it everywhere. GDPR-facing crawl pipelines
+  // need the opposite default — once forgotten, a doc stays out until
+  // a human says otherwise — so the forgotten keys persist in their
+  // own append-only ledger and the ingest/curate FRONT DOOR anti-joins
+  // it before any index or state is touched.
+
+  /** Initialize an empty forget-ledger at `path` — one empty committed
+    * generation, so [[forgottenFilter]] can tell "nothing forgotten
+    * yet" apart from a typo'd path (which it refuses loudly: a GDPR
+    * front door that silently admits everything because its ledger
+    * path was misspelled is the worst failure mode this family has).
+    * Idempotent on an existing ledger. */
+  def ledgerInit(s: SparkSession, path: String): Unit = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_dels")
+    val (g, _) = EmbeddingOps.committedSegs(fs, metaDir)
+    if (g < 0) EmbeddingOps.commitGen(fs, metaDir, 0, Seq.empty)
+  }
+
+  /** Append keys to a forget-ledger: the tombstone-segment append
+    * protocol ([[EmbeddingOps.indexDelete]]'s), so the ledger write is
+    * CRASH-ATOMIC and O(batch) — a kill anywhere leaves the committed
+    * key set unchanged; the retry completes. Keys are append-only by
+    * design (un-forgetting is a human decision outside this API);
+    * one appender at a time, like every segment maintainer. */
+  def ledgerAppend(s: SparkSession, path: String, ids: DataFrame,
+      keyCol: String = "doc_id"): Unit = {
+    val (_, root) = EmbeddingOps.fsFor(s, path)
+    EmbeddingOps.tombstoneAppend(s, root, ids, keyCol)
+  }
+
+  /** The committed forgotten-key set — unbounded by construction
+    * (forget mass grows with deletion-request churn), so callers
+    * anti-join it ([[forgottenFilter]]), never collect it. Requires
+    * an initialized ledger. */
+  def ledgerKeys(s: SparkSession, path: String,
+      keyCol: String = "doc_id"): DataFrame = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (g, _) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_dels"))
+    require(g >= 0,
+      s"no forget-ledger at $path — ledgerInit it first (a missing " +
+        "ledger must refuse, not silently admit everything)")
+    EmbeddingOps.tombstones(s, path, keyCol)
+  }
+
+  /** The front-door re-admission guard: drop every row whose `keyCol`
+    * is in the forget-ledger. Compose it FIRST in any ingest/curate
+    * chain that feeds indexes or states — a forgotten doc must be
+    * filtered before any artifact sees it. Scale shape: one keyed
+    * anti-join (the ledger is data-derived and unbounded, so it is
+    * never broadcast by hint; the batch side is the ingest batch). */
+  def forgottenFilter(df: DataFrame, ledgerPath: String,
+      keyCol: String = "doc_id"): DataFrame =
+    df.join(ledgerKeys(df.sparkSession, ledgerPath, keyCol),
+      Seq(keyCol), "left_anti")
 }

@@ -90,6 +90,70 @@ class ForgetSpec extends SparkSpec {
           .collect().map(_.toString).sorted))
   }
 
+  test("forget-ledger arms the front door: forget -> compact -> " +
+    "re-ingest a byte-identical doc -> filtered before any artifact " +
+    "touch; a missing ledger refuses loudly") {
+    import spark.implicits._
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .where($"doc_id" < 40).localCheckpoint()
+    val victims = docs.where($"doc_id" % 5 === 0).localCheckpoint()
+    val victimIds = victims.select($"doc_id").as[Long].collect().toSet
+
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_forget_idx3").toString
+    TextOps.minhashIndexWrite(docs, idx)
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_forget_ledger").resolve("lg").toString
+    // an uninitialized ledger path must refuse, never silently admit
+    val e0 = intercept[IllegalArgumentException] {
+      Forget.forgottenFilter(docs, ledger)
+    }
+    assert(e0.getMessage.contains("ledgerInit"))
+    Forget.ledgerInit(spark, ledger)
+    // nothing forgotten yet: the filter is a pass-through
+    assert(Forget.forgottenFilter(docs, ledger).count() === docs.count())
+
+    // one sweep deletes from the index AND arms the ledger
+    val report = Forget.forgetDocs(spark, Seq(
+        Forget.IndexTarget(idx),
+        Forget.LedgerTarget(ledger)),
+      victims)
+    assert(report.where($"status" === "deleted").count() === 2L)
+    assert(report.where($"target_kind" === "ledger").count() === 1L)
+
+    // compaction applies + CLEARS the index tombstones — the exact
+    // window where re-ingestion used to resurrect a forgotten doc
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    assert(EmbeddingOps.tombstones(spark, idx, "doc_id")
+      .count() === 0L)
+
+    // the front door: a byte-identical re-delivery of the forgotten
+    // docs (mixed into a fresh batch) is filtered BEFORE any index
+    // touch — only the genuinely-new rows append
+    val fresh = docs.where($"doc_id" % 5 === 1)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"text")
+    val redelivery = victims.select($"doc_id", $"text")
+      .unionByName(fresh).localCheckpoint()
+    val admitted = Forget.forgottenFilter(redelivery, ledger)
+    assert(admitted.where($"doc_id".isin(victimIds.toSeq: _*))
+      .count() === 0L)
+    assert(admitted.count() === fresh.count())
+    TextOps.minhashIndexAppend(admitted, idx)
+    // serving proof: the victims' own text probes the index and no
+    // forgotten doc answers (its content cluster is gone for good)
+    val probe = victims.select(($"doc_id" + 200000L).as("doc_id"),
+      $"text")
+    val served = TextOps.nearDupServe(spark, idx, probe)
+    assert(served.where($"doc_a".isin(victimIds.toSeq: _*))
+      .count() === 0L)
+    // the ledger is append-only across sweeps: a second sweep's keys
+    // accumulate with the first's
+    Forget.ledgerAppend(spark, ledger,
+      Seq(999999L).toDF("doc_id"))
+    assert(Forget.ledgerKeys(spark, ledger).count() ===
+      victimIds.size + 1L)
+  }
+
   test("a failing target does not block the others and the sweep " +
     "fails loudly naming it") {
     import spark.implicits._
