@@ -44,19 +44,85 @@ object Bench {
       val median = runs.map(_._1).sorted.apply(Repeats / 2)
       (q.name, median, runs.forall(_._2), runs.map(_._1))
     }
+    // Maintenance rows: the staged-swap machinery (index + fold-state
+    // compaction) served no bench row, so a regression in the rewrite
+    // paths was invisible to the driver loop. Each repeat rebuilds its
+    // fixture UNTIMED (a 2-segment index / 2-generation state with a
+    // tombstoned slice), then times ONE maintenance call — the
+    // tombstone-applying rewrite + generation swap. Kept OUT of the
+    // headline total so query-vs-anchor comparisons stay stable.
+    import org.apache.spark.sql.functions.col
+    val maintFixtures: Seq[(String, () => (() => Unit))] = Seq(
+      ("maint_index_compact", () => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_bench_mhidx").resolve("idx").toString
+        val docs = Tables(spark, sfDir).documents
+        graft.operators.TextOps.minhashIndexWrite(
+          docs.where(col("doc_id") % 2 === 0), root)
+        graft.operators.TextOps.minhashIndexAppend(
+          docs.where(col("doc_id") % 2 =!= 0), root)
+        graft.operators.TextOps.minhashIndexDelete(spark, root,
+          docs.where(col("doc_id") % 7 === 0).select(col("doc_id")))
+        () => { graft.operators.TextOps.minhashIndexCompact(spark, root); () }
+      }),
+      ("maint_state_compact", () => {
+        val streamDir = java.nio.file.Files
+          .createTempDirectory("graft_bench_st_in")
+        val ckpt = java.nio.file.Files
+          .createTempDirectory("graft_bench_st_ck").toString
+        val statePath = java.nio.file.Files
+          .createTempDirectory("graft_bench_st").resolve("st").toString
+        val docs = Tables(spark, sfDir).documents
+        docs.where(col("doc_id") % 2 === 0).coalesce(1)
+          .write.mode("append").parquet(streamDir.toString)
+        docs.where(col("doc_id") % 2 =!= 0).coalesce(1)
+          .write.mode("append").parquet(streamDir.toString)
+        val q = graft.streaming.Streams.minhashSink(
+            spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(streamDir.toString),
+            statePath, ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination(600000)
+        graft.streaming.Streams.stateDelete(spark, statePath,
+          docs.where(col("doc_id") % 7 === 0).select(col("doc_id")))
+        () => { graft.streaming.Streams.compactState(spark, statePath); () }
+      }))
+    val maintResults = maintFixtures.map { case (name, mkFixture) =>
+      val runs = (1 to Repeats).map { _ =>
+        val opOrNull = try mkFixture() catch { case _: Throwable => null }
+        val t0 = System.nanoTime()
+        val ok =
+          try { if (opOrNull == null) false else { opOrNull(); true } }
+          catch { case _: Throwable => false }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        spark.catalog.clearCache()
+        (elapsed, ok)
+      }
+      (name, runs.map(_._1).sorted.apply(Repeats / 2),
+        runs.forall(_._2), runs.map(_._1))
+    }
     val good = results.filter(_._3)
     val qs = good.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val reps = good.map { case (k, _, _, rs) =>
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val failed = results.filterNot(_._3).map("\"" + _._1 + "\"")
-      .mkString("[", ",", "]")
+    val failed = (results.filterNot(_._3) ++ maintResults.filterNot(_._3))
+      .map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    val maintGood = maintResults.filter(_._3)
+    val maint = maintGood.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val maintReps = maintGood.map { case (k, _, _, rs) =>
+      "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     // a crashing query must make the metric WORSE, not quietly shrink
     // it: each failure contributes a 600s penalty to the total
-    val total = good.map(_._2).sum + results.count(!_._3) * 600.0
+    val total = good.map(_._2).sum + results.count(!_._3) * 600.0 +
+      maintResults.count(!_._3) * 600.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"maintenance":$maint,"maint_repeats":$maintReps,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // sbt interleaves its own logging with stdout, which has broken the
     // driver's JSON scrape before ("parsed": null in BENCH_r09) — also

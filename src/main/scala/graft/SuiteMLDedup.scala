@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions.{col, count, lit, round, size}
 
-import graft.operators.{EmbeddingOps, Multimodal, TextOps}
+import graft.operators.{EmbeddingOps, Forget, Multimodal, TextOps}
 
 import graft.SuiteMLShared._
 
@@ -257,6 +257,27 @@ private[graft] object SuiteMLDedup {
         |JOIN szb sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7
         |  AND i.doc_a % 7 <> 0""".stripMargin)),
+
+    // ---- curation: the forget-ledger FRONT DOOR ---------------------------
+    // (the re-admission guard behind every index/state deletion: keys
+    // land in a persisted append-only ledger, and the ingest/curate
+    // front door anti-joins it BEFORE any artifact sees a row. The
+    // doc_id % 9 slice is "forgotten"; the filter must admit exactly
+    // the complement — one keyed anti-join, replayed by the oracle
+    // verbatim.)
+    Q("dedup_forget_filter",
+      (s, d) => {
+        val all = docs(s, d)
+        val lg = cachedIndex("ledger", d, p => {
+          Forget.ledgerInit(s, p)
+          Forget.ledgerAppend(s, p,
+            all.where(col("doc_id") % 9 === 0).select(col("doc_id")))
+        })
+        Forget.forgottenFilter(all, lg)
+          .select(col("doc_id"), col("lang"), col("source"))
+      },
+      Some("""SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 9 <> 0""".stripMargin)),
 
     // ---- dedup: pairs -> duplicate GROUPS (connected components) --------
     Q("dedup_groups",

@@ -16,6 +16,12 @@ import graft.SuiteMLShared._
   */
 private[graft] object SuiteMLSim {
 
+  /** Recall floor (permille of recall@10, averaged over the 5 probe
+    * queries) for the sim_trunc_serve width selection — ONE literal
+    * feeding both the Spark build and the oracle's pick CTE
+    * (1000 * hits >= floor * nQueries * k, exact integers). */
+  private val TruncServeFloorMilli = 200L
+
   /** Truncated-brute CTEs + hit counts for one prefix width `d` —
     * the sim_trunc_sweep oracle's per-arm generator: the same
     * slice/norm/cosine/rank arithmetic as the Spark arm, so the two
@@ -469,6 +475,39 @@ private[graft] object SuiteMLSim {
         |$BruteTop10Cte,
         |${Seq(8, 16, 32).map(truncArmSql).mkString(",\n")}
         |${Seq(8, 16, 32).map(truncTailSql).mkString("\nUNION ALL\n")}""".stripMargin)),
+
+    // ---- similarity: Matryoshka sweep -> SELECT -> build -> SERVE --------
+    // (the composition that makes the sweep feed a decision: the
+    // cheapest width clearing the recall floor is chosen DRIVER-SIDE
+    // on the 3-row sweep card, the corpus persists at that width as a
+    // flat tier, and serving reports recall@10 against the full-width
+    // brute baseline. Floor 200 permille keeps the choice genuinely
+    // scale-dependent: dim 16 at sf0.001, dim 32 at sf0.01/0.1 —
+    // measured, never the degenerate min or the fallback max. The
+    // oracle replays selection and serving from the same sweep arms.)
+    Q("sim_trunc_serve",
+      (s, d) => {
+        val e = emb(s, d)
+        val dir = cachedIndex("trunc", d, p => {
+          EmbeddingOps.truncIndexBuild(e, p,
+            recallFloorMilli = TruncServeFloorMilli)
+          ()
+        })
+        EmbeddingOps.truncServeRecall(s, dir, e)
+      },
+      Some(s"""WITH $EmbCte,
+        |$BruteTop10Cte,
+        |${Seq(8, 16, 32).map(truncArmSql).mkString(",\n")},
+        |allarms AS (${Seq(8, 16, 32).map(truncTailSql)
+                       .mkString("\nUNION ALL\n")}),
+        |card AS (SELECT trunc_dim, SUM(n_overlap) AS hits
+        |         FROM allarms GROUP BY 1),
+        |pick AS (SELECT COALESCE(
+        |    MIN(CASE WHEN hits * 1000 >= $TruncServeFloorMilli * 50
+        |             THEN trunc_dim END),
+        |    MAX(trunc_dim)) AS dim FROM card)
+        |SELECT a.trunc_dim, a.query_id, a.n_overlap, a.recall_at_k
+        |FROM allarms a, pick p WHERE a.trunc_dim = p.dim""".stripMargin)),
 
     // ---- similarity: PQ recall@10 vs the exact brute top-10 — every
     // approximate route ships with its recall measurement -----------------

@@ -580,7 +580,9 @@ object EmbeddingOps {
       path: String, dataDir: String, metaNames: Seq[String],
       writer: DataFrame => org.apache.spark.sql.DataFrameWriter[
         org.apache.spark.sql.Row],
-      keyCol: String = "vec_id"): Int = {
+      keyCol: String = "vec_id",
+      failpoint: String => Unit = _ => (),
+      extraSeg: String => Unit = _ => ()): Int = {
     val (fs, root) = fsFor(s, path)
     Warehouse.recoverSwap(fs, root) // heal a crashed previous swap
     val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
@@ -615,9 +617,14 @@ object EmbeddingOps {
         .drop("seg")
         .join(tombstones(s, path, keyCol), Seq(keyCol), "left_anti")
       writer(rows).parquet(s"$tmp/$dataDir/seg=0")
+      // index-kind-specific sidecars (e.g. the minhash per-bucket stat
+      // sidecar) regenerate from the compacted rows INSIDE the staged
+      // segment, so the swap publishes data + sidecar together
+      extraSeg(s"$tmp/$dataDir/seg=0")
       commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0,
         Seq(0))
-      Warehouse.swapInto(fs, tmp, root)
+      failpoint("staged-written")
+      Warehouse.swapInto(fs, tmp, root, failpoint)
       segs.size
     }
   }
@@ -1211,6 +1218,93 @@ object EmbeddingOps {
         .select(lit(dd).as("trunc_dim"), col("query_id"),
           col("n_overlap"), col("recall_at_k"))
     }.reduce(_ unionByName _)
+  }
+
+  /** Matryoshka width SELECTION -> truncated-tier BUILD — the
+    * composition that makes [[truncRecallSweep]]'s measurement feed a
+    * decision instead of a dashboard: run the sweep once, pick the
+    * CHEAPEST width whose recall@k clears `recallFloorMilli` (per
+    * mille, averaged over the probe queries; falls back to the widest
+    * candidate when none clears — serving the best available beats
+    * refusing to build), and persist the corpus at that width as a
+    * flat quantized tier under the standard index protocol
+    * (`$path/vecs/seg=N` + `_segs` manifest + `_dels` tombstones, so
+    * [[indexDelete]]/[[tombstones]] work unchanged). Returns the
+    * chosen width; `$path/_dim` records it for serving.
+    *
+    * Scale shape: the selection happens DRIVER-SIDE on the sweep's
+    * |dims|-row aggregate card (bounded by the dims construction
+    * parameter — never a corpus collect); the build is one
+    * slice-projection pass over the corpus; the rebuild is
+    * crash-atomic via the warehouse stage-and-swap. */
+  def truncIndexBuild(emb: DataFrame, path: String,
+      recallFloorMilli: Long = 200L, dims: Seq[Int] = Seq(8, 16, 32),
+      nQueries: Int = 5, k: Int = 10): Int = {
+    require(recallFloorMilli >= 0,
+      s"recallFloorMilli must be >= 0, got $recallFloorMilli")
+    val s = emb.sparkSession
+    val hits = truncRecallSweep(emb, dims, nQueries, k)
+      .groupBy(col("trunc_dim"))
+      .agg(sum(col("n_overlap")).as("n_hits"))
+      .collect() // |dims| card rows — bounded by the dims parameter
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // avg recall >= floor/1000  <=>  hits * 1000 >= floor * nQ * k,
+    // compared in exact integers (no IEEE threshold drift)
+    val chosen = dims.sorted
+      .find(d => hits.getOrElse(d, 0L) * 1000L >=
+        recallFloorMilli * nQueries * k)
+      .getOrElse(dims.max)
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root) // heal a crashed previous rebuild
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    quantized(emb).select(col("vec_id"), col("label"),
+        expr(s"slice(q, 1, $chosen)").as("q"))
+      .withColumn("nn",
+        aggregate(col("q"), lit(0L), (acc, x) => acc + x * x))
+      .write.mode("overwrite").parquet(s"$tmp/vecs/seg=0")
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_dim"), true)
+    try out.write(chosen.toString.getBytes("UTF-8")) finally out.close()
+    commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    Warehouse.swapInto(fs, tmp, root)
+    chosen
+  }
+
+  /** The width a [[truncIndexBuild]] tier was built at (from the
+    * `_dim` sidecar the build committed with the tree). */
+  def truncIndexDim(s: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val (fs, root) = fsFor(s, path)
+    val p = new org.apache.hadoop.fs.Path(root, "_dim")
+    require(fs.exists(p),
+      s"no truncated tier at $path — truncIndexBuild it first")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toInt
+    finally in.close()
+  }
+
+  /** Serve brute cosine top-k from a [[truncIndexBuild]] tier and
+    * report recall@k against the FULL-width exact baseline — the
+    * online half of the selection->build->serve composition (one row
+    * per query, `trunc_dim` stamped from the tier's own sidecar so
+    * the report names the width that actually served). The stored
+    * tier is read with static committed-segment pruning and tombstone
+    * masking; queries are the tier's own first `nQueries` vectors
+    * (the [[annTopKQ]] convention, so the served ranking is
+    * oracle-comparable to the sweep's per-width arm). */
+  def truncServeRecall(s: org.apache.spark.sql.SparkSession,
+      path: String, emb: DataFrame, nQueries: Int = 5,
+      k: Int = 10): DataFrame = {
+    val stored = s.read.parquet(s"$path/vecs")
+      .where(segFilter(s, path)).drop("seg")
+      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+    val served = annTopKQ(stored, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    val brute = annTopK(emb, nQueries, k)
+      .select(col("query_id"), col("vec_id"))
+    recallVsBrute(brute, served, k)
+      .select(lit(truncIndexDim(s, path)).as("trunc_dim"),
+        col("query_id"), col("n_overlap"), col("recall_at_k"))
   }
 
   /** Inverted-list balance report for a PERSISTED IVF-family index —

@@ -160,7 +160,17 @@ object Forget {
     * one appender at a time, like every segment maintainer. */
   def ledgerAppend(s: SparkSession, path: String, ids: DataFrame,
       keyCol: String = "doc_id"): Unit = {
-    val (_, root) = EmbeddingOps.fsFor(s, path)
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    // Mirror ledgerKeys' guard: tombstoneAppend bootstraps from gen -1,
+    // so an uninitialized/typo'd path would silently BECOME a new
+    // ledger here — the sweep would report "deleted" while the real
+    // ledger never received the keys and the front door re-admits the
+    // docs. The write side must refuse exactly like the read side.
+    val (g, _) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_dels"))
+    require(g >= 0,
+      s"no forget-ledger at $path — ledgerInit it first (appending to " +
+        "a missing ledger would silently create a ledger nobody reads)")
     EmbeddingOps.tombstoneAppend(s, root, ids, keyCol)
   }
 
@@ -169,15 +179,30 @@ object Forget {
     * anti-join it ([[forgottenFilter]]), never collect it. Requires
     * an initialized ledger. */
   def ledgerKeys(s: SparkSession, path: String,
-      keyCol: String = "doc_id"): DataFrame = {
+      keyCol: String = "doc_id",
+      keyType: Option[org.apache.spark.sql.types.DataType] = None)
+      : DataFrame = {
     val (fs, root) = EmbeddingOps.fsFor(s, path)
     val (g, _) = EmbeddingOps.committedSegs(fs,
       new org.apache.hadoop.fs.Path(root, "_dels"))
     require(g >= 0,
       s"no forget-ledger at $path — ledgerInit it first (a missing " +
         "ledger must refuse, not silently admit everything)")
-    EmbeddingOps.tombstones(s, path, keyCol)
+    val keys = EmbeddingOps.tombstones(s, path, keyCol)
+    // The empty-ledger frame is hardcoded LongType (s.range(0));
+    // LedgerTarget permits any key column, so without a cast the
+    // empty-ledger and populated-ledger plans would carry different
+    // join-key types and lean on implicit casts. Callers that know
+    // their key type (forgottenFilter does) pass it so both paths are
+    // type-identical.
+    keyType.fold(keys)(t => keys.select(col(keyCol).cast(t).as(keyCol)))
   }
+
+  /** Number of committed forgotten keys — a bounded accounting scalar
+    * for sweep reports and maintenance dashboards. */
+  def ledgerSize(s: SparkSession, path: String,
+      keyCol: String = "doc_id"): Long =
+    ledgerKeys(s, path, keyCol).distinct().count()
 
   /** The front-door re-admission guard: drop every row whose `keyCol`
     * is in the forget-ledger. Compose it FIRST in any ingest/curate
@@ -187,6 +212,7 @@ object Forget {
     * never broadcast by hint; the batch side is the ingest batch). */
   def forgottenFilter(df: DataFrame, ledgerPath: String,
       keyCol: String = "doc_id"): DataFrame =
-    df.join(ledgerKeys(df.sparkSession, ledgerPath, keyCol),
+    df.join(ledgerKeys(df.sparkSession, ledgerPath, keyCol,
+        keyType = Some(df.schema(keyCol).dataType)),
       Seq(keyCol), "left_anti")
 }

@@ -47,10 +47,18 @@ object IngestJob {
     * past "b9") and not a ledger recount (which would re-execute the
     * whole ledger lineage every batch). */
   def run(state: Option[RawZone], rawDocs: DataFrame,
-      batchId: String): RawZone = {
+      batchId: String, ledgerPath: Option[String] = None,
+      ledgerKeyCol: String = "track_id"): RawZone = {
     val seq = state.map(_.nextSeq).getOrElse(1L)
-    val flat = JsonSource.flatten(rawDocs)
+    val flatAll = JsonSource.flatten(rawDocs)
       .withColumn("ingest_batch", lit(seq))
+    // the forget-ledger front door composes FIRST when supplied: a
+    // forgotten key must be dropped before ANY zone (plays, catalog,
+    // ledger counts) sees it — [[Forget.forgottenFilter]]'s
+    // re-admission guard, wired here so composing it is not left to
+    // the caller
+    val flat = ledgerPath.fold(flatAll)(
+      Forget.forgottenFilter(flatAll, _, ledgerKeyCol))
 
     // S6: plays merge keyed (track_id, played_at) — replays are no-ops.
     // The batch is collapsed deterministically first so within-batch

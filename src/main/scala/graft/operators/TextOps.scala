@@ -1224,13 +1224,24 @@ object TextOps {
   /** Exact intersection sizes for candidate pairs over per-doc element
     * sets `sets(doc_id, h)`: |A∩B| per (doc_a, doc_b). Shared by every
     * near-dup route so the verification arithmetic cannot drift between
-    * them (the SQL oracles share their CTEs for the same reason). */
+    * them (the SQL oracles share their CTEs for the same reason).
+    *
+    * Join order is the skew guard: [[cappedBandPairs]]' star arm keys
+    * B-1 pairs of a capped mega-bucket on ONE doc_a (the hub), so
+    * expanding the doc_a side first would move B x |hub's set| rows
+    * through a single join key — one task owns the whole mega-bucket.
+    * Expanding doc_b first (each member appears in at most a few
+    * pairs) and then joining the doc_a side on the COMPOSITE key
+    * (doc_a, h) spreads the hub across its |H| distinct element
+    * hashes: per-key volume is the number of candidate partners
+    * sharing that one element, never B x |H|. Inner joins commute, so
+    * results are bit-identical to the single-key order. */
   private def interFromCandidates(sets: DataFrame,
       cand: DataFrame): DataFrame =
     cand
-      .join(sets.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sets.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.h") === col("sb.h"))
+      .join(sets.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(sets.as("sa"),
+        col("doc_a") === col("sa.doc_id") && col("sb.h") === col("sa.h"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
 
@@ -1444,43 +1455,71 @@ object TextOps {
     sets.join(bands, Seq("doc_id"))
   }
 
+  /** Per-bucket statistics of ONE index segment's rows: (band_idx,
+    * band_hash, bn = member count, hub = min doc_id). Written next to
+    * each segment as a `_bstats` sidecar (underscore-hidden, so the
+    * docs read never discovers it) and merged at serve time — bn sums
+    * and hub mins across segments, so the merged values equal a
+    * window over all committed rows by construction. */
+  private def minhashBandStats(rows: DataFrame): DataFrame =
+    rows.select(col("doc_id"),
+        posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
+
+  /** Stage one segment: the index rows, plus the `_bstats` sidecar
+    * computed from the rows AS WRITTEN (read back from the staged
+    * files, so the stats can never drift from the data they count).
+    * Both land inside the staged segment dir — the segment's publish
+    * rename commits them together, keeping appends crash-atomic. */
+  private def writeSegWithStats(s: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, segDir: String): Unit = {
+    rows.write.mode("overwrite").parquet(segDir)
+    minhashBandStats(
+        s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
+      .write.mode("overwrite").parquet(s"$segDir/_bstats")
+  }
+
   /** Build a PERSISTED MinHash near-dup index at `path` — the text
     * twin of [[graft.operators.EmbeddingOps.ivfIndexWrite]]'s
     * offline-build/online-serve split, and the missing incremental
     * half of [[nearDupMinhash]]: a 100 TB corpus is deduped ONCE, then
     * every ingest batch asks "is this new doc a near-dup of anything
     * already kept?" without touching the corpus again. Layout:
-    * `docs/seg=N` row segments under a `_segs/gen-K` manifest (the
-    * crash-atomic segment protocol; rebuilds stage a hidden sibling
-    * and swap). No `_params` sidecar: the signature construction
-    * (3-token shingles, 16 hashes, 4 bands) is pure code shared with
-    * every other minhash route, not caller configuration — the index
-    * is self-describing the way the IVF index's stored centroids are. */
+    * `docs/seg=N` row segments (each carrying a `_bstats` per-bucket
+    * stat sidecar — see [[minhashBandStats]]) under a `_segs/gen-K`
+    * manifest (the crash-atomic segment protocol; rebuilds stage a
+    * hidden sibling and swap). No `_params` sidecar: the signature
+    * construction (3-token shingles, 16 hashes, 4 bands) is pure code
+    * shared with every other minhash route, not caller configuration —
+    * the index is self-describing the way the IVF index's stored
+    * centroids are. */
   def minhashIndexWrite(docs: DataFrame, path: String): Unit = {
     val s = docs.sparkSession
     val (fs, root) = EmbeddingOps.fsFor(s, path)
     Warehouse.recoverSwap(fs, root)
     val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    minhashIndexRows(docs).write.mode("overwrite")
-      .parquet(s"$tmp/docs/seg=0")
+    writeSegWithStats(s, minhashIndexRows(docs), s"$tmp/docs/seg=0")
     EmbeddingOps.commitGen(fs,
       new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
     Warehouse.swapInto(fs, tmp, root)
   }
 
   /** Append a new batch of docs to a persisted MinHash index: one new
-    * segment, O(batch) IO, CRASH-ATOMIC via the segment protocol (a
-    * kill anywhere leaves serving unchanged; the retry completes).
+    * segment (rows + its `_bstats` sidecar, O(batch) both), O(batch)
+    * IO, CRASH-ATOMIC via the segment protocol (a kill anywhere leaves
+    * serving unchanged; the retry completes).
     * Caller contract mirrors ivfIndexAppend: doc_ids must be new
     * (route ingestion through a registry when mutation protection
     * matters), one appender at a time. */
   def minhashIndexAppend(docs: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit =
-    EmbeddingOps.appendSegment(docs.sparkSession, path, "docs",
-      staged => minhashIndexRows(docs).write.mode("overwrite")
-        .parquet(staged),
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = docs.sparkSession
+    EmbeddingOps.appendSegment(s, path, "docs",
+      staged => writeSegWithStats(s, minhashIndexRows(docs), staged),
       failpoint)
+  }
 
   /** Serve near-dup lookups from a persisted MinHash index: for a NEW
     * batch of docs, every (indexed doc, batch doc) pair whose exact
@@ -1492,15 +1531,18 @@ object TextOps {
     * Scale shape: the batch side (bands AND sets) is broadcast —
     * bounded by the ingest batch, never the index. The index is read
     * twice with static committed-segment pruning, both passes
-    * column-pruned: a SLIM pass (doc_id + band hashes), semi-join
-    * pruned to the buckets the batch actually touches BEFORE any
-    * shuffle, generates candidates under the stored-bucket volume cap
-    * (oversized buckets answer through their hub — see the inline
-    * note), and the full pass verifies, filtered by the BROADCAST
-    * bounded candidate set. The only shuffle carries slim band rows
-    * for batch-touched buckets — O(batch-touched), never O(index);
-    * the `hs` arrays never leave their scan partition. Batch doc_ids
-    * are assumed disjoint from indexed ones (the append contract). */
+    * column-pruned: a SLIM pass (doc_id + band hashes) generates
+    * candidates under the stored-bucket volume cap (oversized buckets
+    * answer through their hub — see the inline note), and the full
+    * pass verifies, filtered by the BROADCAST bounded candidate set.
+    * The bucket stats (bn/hub) come from each segment's persisted
+    * `_bstats` sidecar — merged for batch-touched buckets only and
+    * broadcast — so the stored rows NEVER shuffle: the slim pass is a
+    * scan feeding two broadcast joins, and the only exchanges in the
+    * whole serve are bounded (touched-bucket sidecar rows into the
+    * stat merge, candidate pairs into the dedup). The `hs` arrays
+    * never leave their scan partition. Batch doc_ids are assumed
+    * disjoint from indexed ones (the append contract). */
   def nearDupServe(s: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, threshold: Double = 0.7,
       bucketCap: Int = BucketCap): DataFrame = {
@@ -1519,24 +1561,34 @@ object TextOps {
     // BY CONSTRUCTION, which is what makes them broadcastable below.
     val bbIds = nb.select(col("doc_id").as("doc_b"),
       posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
-    // the bucket-stat window below must see WHOLE buckets (bn/hub are
-    // per-bucket aggregates), but only buckets the BATCH touches can
-    // produce candidates — so the stored band rows are semi-join-pruned
-    // against the broadcast batch band KEYS first. Filtering on the
-    // bucket key keeps or drops entire buckets, so bn/hub are unchanged
-    // on every survivor and the output is bit-identical to windowing
-    // the full index — while the windowed exchange shrinks from
-    // O(index) to O(batch-touched buckets). Without this prune, every
-    // serving batch paid an index-wide shuffle of slim band rows just
-    // to compute stats for buckets it never consults.
-    val sbIds = stored.select(col("doc_id").as("doc_a"),
+    val batchKeys = bbIds.select(col("band_idx"), col("band_hash"))
+      .distinct()
+    // bn/hub per bucket come from the segments' persisted `_bstats`
+    // sidecars (written with each segment, regenerated by compaction),
+    // NOT a window over the stored band rows: per-segment stats merge
+    // by sum/min, which equals the window over all committed rows by
+    // construction. Only batch-touched buckets merge (semi-join
+    // against the broadcast batch keys before the aggregate), so the
+    // stat exchange is O(touched buckets x segments) — and the stored
+    // band rows themselves never ride ANY exchange: the filter below
+    // is a broadcast join against the merged stats.
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (_, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    val statDirs = segs.map(k => s"$path/docs/seg=$k/_bstats")
+    statDirs.foreach { d =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(d)),
+        s"no _bstats sidecar at $d — the index predates the stat " +
+          "sidecar; rebuild or compact it with this version first")
+    }
+    val stats = s.read.parquet(statDirs: _*)
+      .join(broadcast(batchKeys), Seq("band_idx", "band_hash"),
+        "left_semi")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
+    val sbCapped = stored.select(col("doc_id").as("doc_a"),
         posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
-      .join(broadcast(bbIds.select(col("band_idx"), col("band_hash"))
-        .distinct()), Seq("band_idx", "band_hash"), "left_semi")
-    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
-    val sbCapped = sbIds
-      .withColumn("bn", count(lit(1)).over(w))
-      .withColumn("hub", min(col("doc_a")).over(w))
+      .join(broadcast(stats), Seq("band_idx", "band_hash"))
       .where(col("bn") <= bucketCap || col("doc_a") === col("hub"))
     val cand = sbCapped
       .join(broadcast(bbIds), Seq("band_idx", "band_hash"))
@@ -1584,9 +1636,15 @@ object TextOps {
     * clears — serving is identical before and after. Returns the
     * number of segments consolidated (0 = nothing to do). */
   def minhashIndexCompact(s: org.apache.spark.sql.SparkSession,
-      path: String): Int =
+      path: String, failpoint: String => Unit = _ => ()): Int =
     EmbeddingOps.compactSegments(s, path, "docs", Seq.empty,
-      _.write.mode("overwrite"), keyCol = "doc_id")
+      _.write.mode("overwrite"), keyCol = "doc_id", failpoint,
+      // regenerate the per-bucket stat sidecar from the COMPACTED rows
+      // (tombstoned docs dropped physically, so their bn/hub mass
+      // disappears exactly as the pre-sidecar window would recompute)
+      extraSeg = segDir => minhashBandStats(
+        s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
+        .write.mode("overwrite").parquet(s"$segDir/_bstats"))
 
   // ---- URL canonicalization / domain discipline ------------------------
   // The crawl-side front door BEFORE any text-level dedup (RefinedWeb
@@ -2675,8 +2733,11 @@ object TextOps {
     * contracts between stages, filter arms, survivor joins). */
   def curate(raw: DataFrame, spanK: Int = 8, lmKeepMilli: Long = 3950L,
       maxChars: Long = 100000L, packBudget: Long = 512L,
-      packShard: Long = 200L): DataFrame =
-    seqPack(curateChain(raw, spanK, lmKeepMilli, maxChars).last._2,
+      packShard: Long = 200L,
+      ledgerPath: Option[String] = None): DataFrame =
+    seqPack(
+      curateChain(raw, spanK, lmKeepMilli, maxChars,
+        ledgerPath = ledgerPath).last._2,
       packBudget, packShard)
 
   /** The per-stage curation funnel — the observability artifact a
@@ -2687,8 +2748,10 @@ object TextOps {
     * aggregate over that stage's pinned survivor frame, so the report
     * costs the chain nothing it had not already computed. */
   def curateReport(raw: DataFrame, spanK: Int = 8,
-      lmKeepMilli: Long = 3950L, maxChars: Long = 100000L): DataFrame =
-    curateChain(raw, spanK, lmKeepMilli, maxChars).zipWithIndex
+      lmKeepMilli: Long = 3950L, maxChars: Long = 100000L,
+      ledgerPath: Option[String] = None): DataFrame =
+    curateChain(raw, spanK, lmKeepMilli, maxChars,
+      ledgerPath = ledgerPath).zipWithIndex
       .map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(split(col("text"), " ")).cast("long")),
@@ -2704,9 +2767,16 @@ object TextOps {
     * (checkpoint by default); the composed-chain scale probe passes
     * identity so the six inter-stage doc_id joins stay in ONE
     * walkable plan instead of disappearing behind checkpoint scans. */
-  private[graft] def curateChain(raw: DataFrame, spanK: Int,
+  private[graft] def curateChain(rawIn: DataFrame, spanK: Int,
       lmKeepMilli: Long, maxChars: Long,
-      pin: DataFrame => DataFrame = _.pinned): Seq[(String, DataFrame)] = {
+      pin: DataFrame => DataFrame = _.pinned,
+      ledgerPath: Option[String] = None): Seq[(String, DataFrame)] = {
+    // the forget-ledger front door composes FIRST when a ledger is
+    // supplied: a forgotten doc must be dropped before any stage (or
+    // any downstream index/state fed from the survivors) sees it —
+    // without this hook the guard was left to the caller, which is
+    // exactly how re-admission bugs happen
+    val raw = ledgerPath.fold(rawIn)(Forget.forgottenFilter(rawIn, _))
     val meta = raw.select(col("doc_id"), col("source"), col("lang"))
     val d1 = extractHtml(raw)
       .select(col("doc_id"),

@@ -1641,9 +1641,20 @@ object Streams {
           .close()
       } else {
         // pre-sharding layout: rewrite flat (readers treat a
-        // manifest-less generation as one plain parquet directory)
-        keptD.unionByName(keptG)
-          .write.mode("overwrite").parquet(tmp.toString)
+        // manifest-less generation as one plain parquet directory).
+        // Same delete-everything refusal as the manifest branch: a
+        // subtraction that removes every row would swap in an empty
+        // legacy state no reader accepts — refuse before the swap.
+        val kept = keptD.unionByName(keptG)
+        if (kept.isEmpty) {
+          fs.delete(tmp, true)
+          throw new IllegalArgumentException(
+            "subtraction removes EVERY row from the state at " +
+              s"$statePath — an all-deleted state has no readable " +
+              "generation; drop the state path (and its stream " +
+              "checkpoint) instead")
+        }
+        kept.write.mode("overwrite").parquet(tmp.toString)
       }
       graft.operators.Warehouse.swapInto(fs, tmp, gen)
       ()

@@ -154,6 +154,50 @@ class ForgetSpec extends SparkSpec {
       victimIds.size + 1L)
   }
 
+  test("the ledger WRITE side refuses an uninitialized path (a sweep " +
+    "cannot silently create a ledger nobody reads) and the empty-ledger " +
+    "filter is type-consistent with a non-long key") {
+    import spark.implicits._
+    // appending to a typo'd/uninitialized path must refuse exactly
+    // like the read side: tombstoneAppend would otherwise bootstrap a
+    // NEW ledger there, the sweep would report "deleted", and the real
+    // front door would keep re-admitting the forgotten docs
+    val ghost = java.nio.file.Files
+      .createTempDirectory("graft_ledger_ghost").resolve("typo").toString
+    val e = intercept[IllegalArgumentException] {
+      Forget.ledgerAppend(spark, ghost, Seq(1L).toDF("doc_id"))
+    }
+    assert(e.getMessage.contains("ledgerInit"))
+    // ...and a LedgerTarget sweep against it reports failed, not deleted
+    val report = Forget.forgetDocs(spark,
+      Seq(Forget.LedgerTarget(ghost)), Seq(1L).toDF("doc_id"),
+      requireComplete = false)
+    val row = report.collect()(0)
+    assert(row.getAs[String]("status") == "failed" &&
+      row.getAs[String]("detail").contains("ledgerInit"))
+    assert(!new java.io.File(s"$ghost/_dels").exists(),
+      "a refused append must not create ledger metadata")
+
+    // empty-but-initialized ledger under a STRING key: the empty-path
+    // frame must carry the caller's key type (not the hardcoded
+    // LongType of s.range(0)), so the filter works identically before
+    // and after the first append
+    val lg = java.nio.file.Files
+      .createTempDirectory("graft_ledger_typed").resolve("lg").toString
+    Forget.ledgerInit(spark, lg)
+    val df = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("name", "v")
+    val empty = Forget.forgottenFilter(df, lg, keyCol = "name")
+    assert(empty.schema("name").dataType ===
+      org.apache.spark.sql.types.StringType)
+    assert(empty.count() === 3L)
+    Forget.ledgerAppend(spark, lg, Seq("a").toDF("name"),
+      keyCol = "name")
+    assert(Forget.forgottenFilter(df, lg, keyCol = "name")
+      .select($"name").as[String].collect().sorted
+      .sameElements(Array("b", "c")))
+    assert(Forget.ledgerSize(spark, lg, keyCol = "name") === 1L)
+  }
+
   test("a failing target does not block the others and the sweep " +
     "fails loudly naming it") {
     import spark.implicits._

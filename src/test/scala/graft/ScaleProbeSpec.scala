@@ -128,6 +128,94 @@ class ScaleProbeSpec extends SparkSpec {
     assert(grp.count() === n)
   }
 
+  test("star-pair verification spreads a mega-bucket hub across tasks: " +
+    "per-task shuffle volume is O(B), never O(B x |hub set|)") {
+    // the r12/r13 carried scale hazard: all B-1 star pairs of a capped
+    // mega-bucket carry doc_a = hub, so a verify join that expanded
+    // the doc_a side on its single key would make ONE task own
+    // (B-1) x |hub's shingle set| rows. interFromCandidates expands
+    // the member side first and joins the hub side on the COMPOSITE
+    // key (doc_a, h), spreading the hub across its shingle hashes.
+    // Measured, not inferred: per-task shuffle read AND write over the
+    // whole route must stay within a small multiple of B — the
+    // single-key order writes (B-1)*|H| ~ 9B rows from one task and
+    // fails the bound.
+    val n = 5000L
+    val setSize = 9L // 11 fixture tokens -> 9 trigram shingles
+    val spam = spark.range(n).select(col("id").as("doc_id"),
+      lit("spam template page click here to win a free prize now")
+        .as("text"))
+    val maxRead = new java.util.concurrent.atomic.AtomicLong(0L)
+    val maxWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val totWrite = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = t.taskMetrics
+        if (m != null) {
+          val r = m.shuffleReadMetrics.recordsRead
+          val w = m.shuffleWriteMetrics.recordsWritten
+          maxRead.getAndUpdate(c => math.max(c, r))
+          maxWrite.getAndUpdate(c => math.max(c, w))
+          totWrite.addAndGet(w)
+          ()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // run under the SCALE plan, measured at runtime: 32
+    // production-shaped partitions (at the suite's 4, benign
+    // co-location of distinct keys dominates the per-key argument)
+    // and no broadcast joins (at fixture scale the set side fits the
+    // broadcast threshold, the verify expansion stays inside one
+    // stage, and nothing reaches a shuffle to measure — at corpus
+    // scale that side is data-sized and always shuffles)
+    val tuned = Seq(
+      "spark.sql.shuffle.partitions" -> "32",
+      "spark.sql.adaptive.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = tuned.map { case (k, _) => k -> spark.conf.get(k) }
+    tuned.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      assert(TextOps.nearDupMinhash(spam, 0.7, bucketCap = 64)
+        .count() === n - 1)
+      // task-end events deliver asynchronously: wait until the
+      // observed volume covers the verify stage's intermediate rows
+      // (pairs x member-set expansion), so a too-early read cannot
+      // pass the bound vacuously
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (totWrite.get() < (n - 1) * setSize &&
+          System.nanoTime() < deadline)
+        Thread.sleep(100)
+      // let stragglers land before reading the maxima (late events can
+      // only strengthen the assertion's coverage, never flake it)
+      var settled = totWrite.get()
+      var same = 0
+      while (same < 3 && System.nanoTime() < deadline) {
+        Thread.sleep(200)
+        val now = totWrite.get()
+        if (now == settled) same += 1 else { settled = now; same = 0 }
+      }
+      assert(totWrite.get() >= (n - 1) * setSize,
+        s"listener saw only ${totWrite.get()} shuffle-write records — " +
+          "the verify expansion never reached a shuffle")
+      // O(B) bound with slack for key co-location (|H| distinct
+      // (hub, h) keys hash into 32 partitions) and for the band
+      // window's whole-bucket reads — both linear in B. The broken
+      // order concentrates ~9B rows in one task and fails either arm.
+      val bound = 4L * n
+      assert(maxRead.get() <= bound,
+        s"one task read ${maxRead.get()} shuffle records (> $bound): " +
+          "the mega-bucket hub is concentrating on a single key")
+      assert(maxWrite.get() <= bound,
+        s"one task wrote ${maxWrite.get()} shuffle records (> $bound): " +
+          "the mega-bucket hub is concentrating on a single key")
+    } finally {
+      prior.foreach { case (k, v) => spark.conf.set(k, v) }
+      spark.sparkContext.removeSparkListener(listener)
+    }
+  }
+
   test("nearDupCosineLsh bounds pair volume on a duplicated-vector mega-bucket") {
     // the embedding twin of the text-band cap: one vector duplicated
     // B times lands B copies in ONE sign bucket — the capped route
@@ -669,45 +757,50 @@ class ScaleProbeSpec extends SparkSpec {
         "would shuffle at scale")
   }
 
-  test("nearDupServe prunes the bucket-stat window to batch-touched " +
-    "buckets before any shuffle") {
-    // the r12 scale finding: the stored-bucket volume cap computed
-    // bn/hub with a window over the FULL index's exploded band rows —
-    // an index-wide exchange per serving batch, against the operator's
-    // own O(batch) contract. The fix semi-joins the slim stored rows
-    // against the BROADCAST batch band keys BEFORE the window (whole
-    // buckets survive a bucket-key filter, so bn/hub and the output
-    // are bit-identical). Pin it structurally: the exchange feeding
-    // the bucket-stat window must sit above a broadcast LEFT SEMI
-    // join, so only batch-touched band rows ever ride it.
+  test("nearDupServe is WINDOW-FREE: bucket stats come from the " +
+    "persisted per-segment sidecar and stored band rows never shuffle") {
+    // the r12 scale finding was an index-wide bucket-stat window per
+    // serve; r13 pruned its exchange to batch-touched buckets; r14
+    // removes the window entirely — bn/hub now come from each
+    // segment's `_bstats` sidecar (written with the segment, merged
+    // by sum/min for touched buckets only, broadcast), so the stored
+    // band rows feed two broadcast joins and ride NO exchange at all.
+    // Pin all three structurally, on a TWO-segment index so the
+    // cross-segment stat merge is live.
     val idx = java.nio.file.Files
-      .createTempDirectory("graft_mh_semi_probe").toString
-    TextOps.minhashIndexWrite(syntheticDocs(50000L), idx)
+      .createTempDirectory("graft_mh_sidecar_probe").toString
+    TextOps.minhashIndexWrite(
+      syntheticDocs(50000L).where(col("doc_id") < 25000L), idx)
+    TextOps.minhashIndexAppend(
+      syntheticDocs(50000L).where(col("doc_id") >= 25000L), idx)
     val batch = syntheticDocs(50100L).where(col("doc_id") >= 50000L)
     val plan = staticPlanOf(TextOps.nearDupServe(spark, idx, batch))
-    // the slim-pass exchange: its input carries the stored band rows
-    // (doc_a, band_idx, band_hash) destined for the bn/hub window
-    val slimExchanges = plan.collect {
+    // 1. no window operator anywhere in the serve
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.isEmpty,
+      s"nearDupServe still plans ${windows.length} window(s)")
+    // 2. no exchange carries stored band rows (doc_a + bucket key):
+    // the only shuffles left are the bounded stat merge and the
+    // candidate-pair dedup
+    plan.collect {
       case e: org.apache.spark.sql.execution.exchange
-          .ShuffleExchangeExec
-          if Set("doc_a", "band_idx", "band_hash")
-            .subsetOf(e.child.output.map(_.name).toSet) => e
+          .ShuffleExchangeExec => e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!Set("doc_a", "band_idx", "band_hash")
+          .subsetOf(cols.toSet),
+        "stored band rows ride an exchange: " +
+          cols.mkString("[", ", ", "]"))
     }
-    assert(slimExchanges.nonEmpty,
-      "nearDupServe lost its bucket-stat window exchange")
-    slimExchanges.foreach { e =>
-      val semis = e.child.collect {
-        case j: org.apache.spark.sql.execution.joins
-            .BroadcastHashJoinExec
-            if j.joinType.toString == "LeftSemi" => j
-      }
-      assert(semis.nonEmpty,
-        "the bucket-stat window shuffles the WHOLE index's band rows " +
-          "— no batch-key semi-join prune upstream of the exchange")
-    }
+    // 3. the capped-filter join against the merged stats is a
+    // broadcast join whose build side carries (bn, hub)
+    val statBroadcasts = broadcastSubtrees(plan).filter(sub =>
+      Set("bn", "hub").subsetOf(sub.output.map(_.name).toSet))
+    assert(statBroadcasts.nonEmpty,
+      "nearDupServe lost its broadcast bucket-stat join")
     // behavioral half: a batch sharing no bucket with the index must
-    // serve empty (the prune keeps correctness while shrinking the
-    // exchange; disjoint vocabularies share no band hash)
+    // serve empty (disjoint vocabularies share no band hash)
     val alien = spark.range(60000L, 60010L).select(
       col("id").as("doc_id"),
       concat_ws(" ", expr("transform(sequence(0, 39), " +

@@ -1304,6 +1304,34 @@ class StreamDedupParitySpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(after.sameElements(before),
       "state changed under a refused delete-everything subtraction")
+
+    // the PRE-SHARDING (manifest-less) branch refuses likewise: a
+    // legacy flat generation under a whole-corpus subtraction must
+    // not be swapped for an empty directory no reader accepts
+    val lmFlat = build(Streams.lmSink(_, _, _), "lmflat")
+    val genDirs = new java.io.File(lmFlat).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("b"))
+      .sortBy(_.getName.drop(1).toInt)
+    val latest = genDirs.last.toPath
+    val flatRows = Streams.foldState(spark, lmFlat).localCheckpoint()
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.delete(p)
+    }
+    rmTree(latest)
+    flatRows.write.parquet(latest.toString)
+    assert(!new java.io.File(s"$latest/_shards.json").exists())
+    val beforeFlat = Streams.foldState(spark, lmFlat)
+      .collect().map(_.toString).sorted
+    val e3 = intercept[IllegalArgumentException] {
+      Streams.lmStateDelete(spark, lmFlat, docs)
+    }
+    assert(e3.getMessage.contains("EVERY row"))
+    val afterFlat = Streams.foldState(spark, lmFlat)
+      .collect().map(_.toString).sorted
+    assert(afterFlat.sameElements(beforeFlat),
+      "flat state changed under a refused delete-everything subtraction")
   }
 
   test("a sidecar-less state with committed versions REFUSES to adopt " +
@@ -1491,6 +1519,89 @@ class StreamDedupParitySpec extends SparkSpec {
     val viaBatch = TextOps.nearDupServe(spark, idxBatch, batch)
       .collect().map(_.toString).sorted
     assert(viaStream.nonEmpty && viaStream.sameElements(viaBatch))
+  }
+
+  test("serving continuity across LIVE index mutation: deletes and a " +
+    "compaction interleave with appends; a serve straight after the " +
+    "generation swap equals the batch build, and a compact killed in " +
+    "either swap window heals on resume") {
+    // the r13 carried gap: the composed registry -> index -> serving
+    // spec never mutated the index BETWEEN feeding batches, so a
+    // serve landing right after a compaction's generation swap was
+    // pinned for fold state but not for the text-index serve path
+    import spark.implicits._
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .localCheckpoint()
+    val stored = all.where($"doc_id" % 5 =!= 0)
+    val batch = all.where($"doc_id" % 5 === 0).localCheckpoint()
+    val slice1 = stored.where($"doc_id" < 250).localCheckpoint()
+    val slice2 = stored.where($"doc_id" >= 250).localCheckpoint()
+    val victims1 = slice1.where($"doc_id" % 7 === 0).select($"doc_id")
+    val victims2 = slice2.where($"doc_id" % 7 === 0).select($"doc_id")
+    assert(victims1.count() > 0 && victims2.count() > 0)
+
+    // the batch-build answer with every deleted doc absent — the
+    // reference every interleaved serve below must equal
+    val refIdx = java.nio.file.Files
+      .createTempDirectory("graft_mut_mh_ref").toString
+    TextOps.minhashIndexWrite(
+      stored.where($"doc_id" % 7 =!= 0), refIdx)
+    val ref = TextOps.nearDupServe(spark, refIdx, batch)
+      .collect().map(_.toString).sorted
+    assert(ref.nonEmpty)
+
+    // interleave: write seg0, delete within it, append seg1 (the
+    // maintenance rhythm a live deployment actually runs), delete
+    // within the new segment, serve — tombstones must mask across
+    // BOTH segments
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mut_mh_idx").toString
+    TextOps.minhashIndexWrite(slice1, idx)
+    TextOps.minhashIndexDelete(spark, idx, victims1)
+    TextOps.minhashIndexAppend(slice2, idx)
+    TextOps.minhashIndexDelete(spark, idx, victims2)
+    val masked = TextOps.nearDupServe(spark, idx, batch)
+      .collect().map(_.toString).sorted
+    assert(masked.sameElements(ref),
+      "tombstone-masked serving != batch build without the victims")
+
+    // a compact killed in either swap window leaves the OLD committed
+    // generation serving (staged-written: root untouched; the
+    // aside-renamed kill leaves no root until a maintainer heals it)
+    intercept[RuntimeException] {
+      TextOps.minhashIndexCompact(spark, idx,
+        fp => if (fp == "staged-written")
+          throw new RuntimeException("kill@staged-written"))
+    }
+    assert(TextOps.nearDupServe(spark, idx, batch)
+      .collect().map(_.toString).sorted.sameElements(ref),
+      "serving changed after a compact killed before the swap")
+    intercept[RuntimeException] {
+      TextOps.minhashIndexCompact(spark, idx,
+        fp => if (fp == "aside-renamed")
+          throw new RuntimeException("kill@aside-renamed"))
+    }
+    // resume: the next compact heals the crashed swap on entry
+    // (recoverSwap), then collapses the 2-segment chain and applies
+    // the tombstones physically
+    assert(TextOps.minhashIndexCompact(spark, idx) === 2)
+    assert(graft.operators.EmbeddingOps.tombstones(spark, idx, "doc_id")
+      .count() === 0L)
+    // the serve landing IMMEDIATELY after the generation swap — the
+    // exact window the gap was about
+    val afterCompact = TextOps.nearDupServe(spark, idx, batch)
+      .collect().map(_.toString).sorted
+    assert(afterCompact.sameElements(ref),
+      "serving changed across the compaction generation swap")
+    // and the mutated index keeps taking appends afterwards: new docs
+    // answer, the forgotten stay gone (fresh ids so no tombstone is
+    // re-appended)
+    val fresh = batch.select(($"doc_id" + 500000L).as("doc_id"), $"text")
+    TextOps.minhashIndexAppend(fresh, idx)
+    val again = TextOps.nearDupServe(spark, idx, batch)
+      .collect().map(_.toString)
+    assert(again.length > ref.length,
+      "post-compact append is invisible to serving")
   }
 
   test("streamed trigram + bigram folds serve the laddered backoff " +
