@@ -220,6 +220,25 @@ private[graft] object SuiteMLDedup {
         |JOIN szb sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
 
+    // ---- dedup: the index's per-bucket stat sidecar, replayed -----------
+    // (the serving view of the `_bstats` sidecars that make
+    // nearDupServe window-free: bn/hub merged across committed
+    // segments must equal a direct group-by over the indexed slice's
+    // band rows — DuckDB replays exactly that)
+    Q("dedup_minhash_stats",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = cachedIndex("mh", d, p => TextOps.minhashIndexWrite(
+          all.where(col("doc_id") % 5 =!= 0), p))
+        TextOps.minhashIndexStats(s, dir)
+      },
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 <> 0),
+        |${minhashSigSliceSql("dsa", "a")}
+        |SELECT band_idx, band_hash, CAST(COUNT(*) AS BIGINT) AS bn,
+        |       MIN(doc_id) AS hub
+        |FROM bands_a GROUP BY 1, 2""".stripMargin)),
+
     // ---- dedup: index serving with committed tombstones -----------------
     // (the % 7 slice of the indexed docs is deleted after the build;
     // served pairs whose indexed side is tombstoned disappear — 2/3

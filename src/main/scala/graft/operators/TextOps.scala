@@ -1467,6 +1467,24 @@ object TextOps {
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
 
+  /** Merged per-bucket statistics of a persisted MinHash index — the
+    * serving view of the `_bstats` sidecars (bn sums, hub mins across
+    * committed segments), doubling as the index's bucket-balance
+    * monitoring card (the [[graft.operators.EmbeddingOps
+    * .indexCellStats]] analog: bucket skew is what drives the volume
+    * cap). Output (band_idx, band_hash, bn, hub), bucket-cardinality. */
+  def minhashIndexStats(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (gen, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    s.read.parquet(segs.map(k => s"$path/docs/seg=$k/_bstats"): _*)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
+  }
+
   /** Stage one segment: the index rows, plus the `_bstats` sidecar
     * computed from the rows AS WRITTEN (read back from the staged
     * files, so the stats can never drift from the data they count).
@@ -1581,11 +1599,17 @@ object TextOps {
         s"no _bstats sidecar at $d — the index predates the stat " +
           "sidecar; rebuild or compact it with this version first")
     }
-    val stats = s.read.parquet(statDirs: _*)
+    val touched = s.read.parquet(statDirs: _*)
       .join(broadcast(batchKeys), Seq("band_idx", "band_hash"),
         "left_semi")
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
+    // single-segment indexes (every index after a compaction — the
+    // steady state) skip the merge: the segment's stats ARE the
+    // totals, so the serve plans ZERO aggregation exchanges
+    val stats =
+      if (segs.size == 1) touched
+      else touched
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
     val sbCapped = stored.select(col("doc_id").as("doc_a"),
         posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
       .join(broadcast(stats), Seq("band_idx", "band_hash"))
