@@ -394,12 +394,13 @@ private[graft] object SuiteMLShared {
 
   /** The curation chain as shared DuckDB CTEs (fixture -> extract ->
     * dedup -> langid -> quality -> spans -> LM gate -> mix), ending at
-    * the survivor frame d7 — spliced into both the e2e row (which
-    * appends the packing recurrence) and the funnel-report row so the
-    * two replays cannot drift. MATERIALIZED throughout: the d-frames
-    * are multiply referenced and DuckDB default-inlines CTEs. */
-  private[graft] val CurateCtes = s"""WITH RECURSIVE
-    |w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    * the survivor frame d7 — spliced into the e2e row (which appends
+    * the packing recurrence), the funnel-report row, and the
+    * ledger-guarded row (which swaps the source for a filtered CTE)
+    * so the three replays cannot drift. MATERIALIZED throughout: the
+    * d-frames are multiply referenced and DuckDB default-inlines
+    * CTEs. `src` is the corpus table/CTE the chain reads. */
+  private[graft] def curateCteList(src: String): String = s"""w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
     |h AS (SELECT doc_id,
     |  '$HtmlFixtureHead'
     |  || array_to_string(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
@@ -417,7 +418,7 @@ private[graft] object SuiteMLShared {
     |d1 AS MATERIALIZED (
     |  SELECT m.doc_id, m.source, m.lang,
     |         array_to_string(list_filter(lines, l -> len(string_split(l, ' ')) >= 4), ' ') AS text
-    |  FROM lns JOIN documents m USING (doc_id)),
+    |  FROM lns JOIN $src m USING (doc_id)),
     |keep2 AS (SELECT MIN(doc_id) AS doc_id FROM d1 GROUP BY md5(text)),
     |d2 AS MATERIALIZED (SELECT d1.* FROM d1 JOIN keep2 USING (doc_id)),
     |tok1 AS MATERIALIZED (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM d2),
@@ -501,6 +502,29 @@ private[graft] object SuiteMLShared {
     |  SELECT d6.doc_id, d6.lang, d6.text FROM d6 JOIN mk USING (doc_id)
     |  WHERE mk.bucket < mk.keep_permille)"""
     .stripMargin
+
+  /** The chain over the raw `documents` table — the instance the e2e
+    * and funnel-report oracles splice. */
+  private[graft] val CurateCtes: String =
+    "WITH RECURSIVE\n" + curateCteList("documents")
+
+  /** The greedy packing recurrence over the chain's survivor frame
+    * `d7`, ending in the packed-row SELECT — ONE tail shared by the
+    * e2e and ledger-guarded rows so the packing replay cannot drift. */
+  private[graft] val CuratePackTail: String = s""",
+    |ptoks AS (SELECT doc_id, lang, doc_id // $PackShard AS shard,
+    |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM d7),
+    |ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn FROM ptoks),
+    |rec AS (
+    |  SELECT lang, shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_fill
+    |  FROM ord WHERE rn = 1
+    |  UNION ALL
+    |  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
+    |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget THEN r.pack_id + 1 ELSE r.pack_id END,
+    |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget THEN o.n_tokens ELSE r.pack_fill + o.n_tokens END
+    |  FROM rec r JOIN ord o ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1)
+    |SELECT doc_id, lang, shard, n_tokens, pack_id, pack_fill
+    |FROM rec""".stripMargin
   private[graft] val DecontMod = 20L
 
   /** Quantized-embedding oracle CTEs: q = round(x*1000) bigints,

@@ -845,21 +845,31 @@ private[graft] object SuiteMLText {
         spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
         maxChars = QfMaxChars, packBudget = PackBudget,
         packShard = PackShard),
-      Some(CurateCtes + s""",
-        |ptoks AS (SELECT doc_id, lang, doc_id // $PackShard AS shard,
-        |            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM d7),
-        |ord AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn FROM ptoks),
-        |rec AS (
-        |  SELECT lang, shard, doc_id, n_tokens, rn, CAST(0 AS BIGINT) AS pack_id, n_tokens AS pack_fill
-        |  FROM ord WHERE rn = 1
-        |  UNION ALL
-        |  SELECT o.lang, o.shard, o.doc_id, o.n_tokens, o.rn,
-        |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget THEN r.pack_id + 1 ELSE r.pack_id END,
-        |         CASE WHEN r.pack_fill + o.n_tokens > $PackBudget THEN o.n_tokens ELSE r.pack_fill + o.n_tokens END
-        |  FROM rec r JOIN ord o ON o.lang = r.lang AND o.shard = r.shard AND o.rn = r.rn + 1)
-        |SELECT doc_id, lang, shard, n_tokens, pack_id, pack_fill
-        |FROM rec""".stripMargin),
+      Some(CurateCtes + CuratePackTail),
       bench = true),
+
+    // ---- curation WITH the forget-ledger front door ----------------------
+    // (the composed guard driver-checked end to end: the doc_id % 9
+    // slice is in the ledger, so the whole chain — extract through
+    // packing, including the mix stage's budgets — runs over the
+    // complement; the oracle replays the identical chain over a
+    // filtered source CTE)
+    Q("text_curate_forget",
+      (s, d) => {
+        val all = docs(s, d)
+        val lg = cachedIndex("ledger", d, p => {
+          graft.operators.Forget.ledgerInit(s, p)
+          graft.operators.Forget.ledgerAppend(s, p,
+            all.where(col("doc_id") % 9 === 0).select(col("doc_id")))
+        })
+        TextOps.curate(htmlFixture(all),
+          spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
+          maxChars = QfMaxChars, packBudget = PackBudget,
+          packShard = PackShard, ledgerPath = Some(lg))
+      },
+      Some("WITH RECURSIVE\n" +
+        "dsrc AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 9 <> 0),\n" +
+        curateCteList("dsrc") + CuratePackTail)),
 
     // ---- curation funnel report: per-stage doc count + token mass -------
     Q("text_curate_report",

@@ -1,0 +1,593 @@
+package graft.operators
+
+import graft.operators.Stage.PinOps
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persisted text indexes (BM25 inverted index, MinHash near-dup
+  * index) — offline-build/online-serve operators of [[TextOps]],
+  * all under the crash-atomic segment/manifest protocol. Split from
+  * the single object purely mechanically. */
+private[graft] trait TextIndexOps { this: TextOps.type =>
+
+  /** Per-batch BM25 index frames: postings (word, doc_id, tf, dl, tb)
+    * with the doc length DENORMALIZED onto every posting row — serve
+    * never needs a doc-cardinality side table — and the 1-row batch
+    * totals. tb = pmod(hash(word), nBuckets) is the directory
+    * partition key the serve path prunes on. */
+  private def bm25SegFrames(batch: DataFrame,
+      nBuckets: Int): (DataFrame, DataFrame) = {
+    val dl = batch.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("dl")).pinned
+    val postings = tokens(batch)
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("tb", pmod(hash(col("word")), lit(nBuckets)))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_tok"))
+    (postings, totals)
+  }
+
+  /** Persisted BM25 inverted index — the [[graft.operators
+    * .EmbeddingOps.ivfIndexWrite]] protocol applied to retrieval.
+    * Layout under `path`: `postings/seg=N/tb=B/` (term-bucketed
+    * posting lists, doc length denormalized), `totals/seg=N/` (one
+    * accumulating row per segment), `params/` (the write-once bucket
+    * modulus), `_segs` manifest. Crash-atomic: built under a hidden
+    * sibling, swapped in whole; a killed rebuild heals on the next
+    * call. Serving ([[bm25TopKIndexed]]) reads ONLY the query terms'
+    * buckets — IO is |corpus|·|terms' buckets|/nBuckets, never the
+    * collection. */
+  def bm25IndexWrite(docs: DataFrame, path: String,
+      nBuckets: Int = 16): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val s = docs.sparkSession
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    Warehouse.recoverSwap(fs, root) // heal a crashed previous rebuild
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val (postings, totals) = bm25SegFrames(docs, nBuckets)
+    postings.repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite")
+      .parquet(s"$tmp/postings/seg=0")
+    totals.write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
+    val sess = s
+    import sess.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$tmp/params")
+    EmbeddingOps.commitGen(fs,
+      new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    Warehouse.swapInto(fs, tmp, root)
+  }
+
+  private def bm25Params(s: org.apache.spark.sql.SparkSession,
+      path: String): Int =
+    s.read.parquet(s"$path/params").head.getAs[Int]("n_buckets")
+
+  /** Append a NEW batch of documents as one crash-atomic segment:
+    * postings bucket under the STORED modulus, the batch's totals row
+    * lands beside the prior segments' (collection stats accumulate by
+    * segment sum). Both directories stage hidden and publish by
+    * rename BEFORE the manifest commit — a crash at any point leaves
+    * serving on the previous manifest, and the retry replaces the
+    * unreferenced leftovers wholesale ([[graft.operators.EmbeddingOps
+    * .appendSegment]]'s contract, widened to a two-directory
+    * segment). Not registry-guarded: compose with an upstream dedup
+    * gate for at-least-once feeds. */
+  def bm25IndexAppend(docs: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = docs.sparkSession
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    val (gen, segs) = EmbeddingOps.committedSegs(fs, metaDir)
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — build the index first")
+    val segId = segs.max + 1
+    val (postings, totals) = bm25SegFrames(docs, bm25Params(s, path))
+    def stage(dataDir: String, write: String => Unit): Unit = {
+      val dir = new org.apache.hadoop.fs.Path(root, dataDir)
+      val staged = new org.apache.hadoop.fs.Path(dir, s".seg-$segId.stage")
+      val dest = new org.apache.hadoop.fs.Path(dir, s"seg=$segId")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      if (fs.exists(dest)) fs.delete(dest, true)
+      write(staged.toString)
+      failpoint(s"staged-$dataDir")
+      require(fs.rename(staged, dest),
+        s"could not publish index segment $dest (staged at $staged)")
+    }
+    stage("postings", p => postings.repartition(col("tb"))
+      .write.partitionBy("tb").mode("overwrite").parquet(p))
+    stage("totals", p => totals.write.mode("overwrite").parquet(p))
+    failpoint("segments-renamed")
+    EmbeddingOps.commitGen(fs, metaDir, gen + 1, segs :+ segId)
+  }
+
+  /** Serve BM25 top-k for a literal term set from the persisted
+    * index: the terms' bucket ids (bounded by |terms|) collect and
+    * push as a literal IN beside the committed-segment filter, so the
+    * postings scan carries STATIC partition filters on (seg, tb);
+    * document frequencies come off the pruned+tombstone-masked
+    * postings (df stays EXACT under deletion); the totals row sums
+    * the per-segment frame (one row per segment — totals include
+    * tombstoned docs' mass until [[bm25IndexCompact]] applies
+    * deletions physically, the index family's standard drift
+    * contract). Output is column-for-column [[bm25TopK]]. */
+  /** The pruned live-postings read behind [[bm25TopKIndexed]],
+    * exposed un-pinned so plan probes can assert the (seg, tb)
+    * partition filters on the actual serve path: committed-segment
+    * filter + the terms' bucket ids as a literal IN, exact term
+    * filter within the bucket, tombstone anti-join. */
+  private[graft] def bm25PostingsScan(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      terms: Seq[String]): DataFrame = {
+    val nBuckets = bm25Params(s, path)
+    import s.implicits._
+    val tq = terms.toDF("word")
+      .withColumn("tb", pmod(hash(col("word")), lit(nBuckets)))
+      .pinned // bucket-id collect + exact term filter, one build
+    val tbs = tq.select(col("tb")).distinct()
+      .collect().map(_.getInt(0)) // bounded by |terms| by construction
+    s.read.parquet(s"$path/postings")
+      .where(EmbeddingOps.segFilter(s, path) &&
+        col("tb").isin(tbs.map(Int.box): _*))
+      .join(broadcast(tq.select(col("word"))), Seq("word"))
+      .join(EmbeddingOps.tombstones(s, path, "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("word"), col("tf"), col("dl"))
+  }
+
+  def bm25TopKIndexed(s: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "query terms must be non-empty and distinct")
+    val posts = bm25PostingsScan(s, path, terms)
+      .pinned // df branch + scoring branch, one pruned scan
+    // df is count(DISTINCT doc_id), not count(rows): appending an
+    // already-indexed doc (the bm25IndexAppend contract says route
+    // ingestion through a dedup gate) would silently inflate a
+    // row-count df. The distinct keeps df exact regardless — and
+    // since duplicated postings would STILL corrupt ranking (the doc
+    // scores once per copy), a row-count/distinct mismatch fails the
+    // serve loudly instead of returning corrupt top-k. Both
+    // aggregates ride the |terms|-bounded frame.
+    val df_ = broadcast(posts.groupBy(col("word"))
+      .agg(count(lit(1)).as("n_rows"),
+        count_distinct(col("doc_id")).as("df"))
+      .select(col("word"),
+        when(col("n_rows") === col("df"), col("df"))
+          .otherwise(raise_error(concat(
+            lit("bm25 index corrupt: duplicate doc_ids in postings " +
+              "for term "), col("word"),
+            lit(" — an append bypassed the dedup gate")))).as("df")))
+    val tot = broadcast(s.read.parquet(s"$path/totals")
+      .where(EmbeddingOps.segFilter(s, path))
+      .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tok")).as("t_tok")))
+    bm25Rank(posts.join(df_, Seq("word")).crossJoin(tot),
+      k, k1Permille, bPermille)
+  }
+
+  /** Consolidate all segments into one and apply tombstones
+    * PHYSICALLY — and, unlike the generic [[graft.operators
+    * .EmbeddingOps.ivfIndexCompact]] path, RECOMPUTE the totals from
+    * the surviving postings (distinct (doc_id, dl) per doc), so the
+    * post-compaction collection statistics are exact again after any
+    * deletion history. Swap-atomic; the staged tree carries no
+    * tombstones, so compaction clears them. */
+  def bm25IndexCompact(s: org.apache.spark.sql.SparkSession,
+      path: String): Int = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    Warehouse.recoverSwap(fs, root)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    val (gen, segs) = EmbeddingOps.committedSegs(fs, metaDir)
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    val (dg, dsegs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_dels"))
+    val hasDels = dg >= 0 && dsegs.nonEmpty
+    if (segs.size <= 1 && !hasDels) 0
+    else {
+      val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs,
+        new org.apache.hadoop.fs.Path(root, "params"), fs,
+        new org.apache.hadoop.fs.Path(tmp, "params"), false, false,
+        s.sparkContext.hadoopConfiguration)
+      val live = s.read.option("basePath", s"$path/postings")
+        .parquet(segs.sorted.map(n => s"$path/postings/seg=$n"): _*)
+        .drop("seg")
+        .join(EmbeddingOps.tombstones(s, path, "doc_id"),
+          Seq("doc_id"), "left_anti")
+        .pinned // postings rewrite + totals recompute, one read
+      live.repartition(col("tb"))
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$tmp/postings/seg=0")
+      live.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+        .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
+      EmbeddingOps.commitGen(fs,
+        new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+      Warehouse.swapInto(fs, tmp, root)
+      segs.size
+    }
+  }
+
+  // ---- persisted MinHash near-dup index (serve + append) ---------------
+
+  /** One index row per indexable doc (>= 3 tokens, like every shingle
+    * route): the doc's LSH band hashes (position-ordered, identical to
+    * [[minhashBands]]' values) plus its distinct shingle-hash SET as
+    * an 8-byte-surrogate array and the set size. Bands and sets ride
+    * ONE row so candidate generation column-prunes to (doc_id,
+    * band_hashes) while verification reads (doc_id, hs, n_h) — no
+    * second dataset, no cross-dataset atomicity problem. The set
+    * array's ELEMENT ORDER is nondeterministic (collect_set), but
+    * serving consumes it only through size(array_intersect(..)) —
+    * order-independent, so results are deterministic. */
+  private def minhashIndexRows(docs: DataFrame): DataFrame = {
+    val sets = shinglesRaw(docs)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        size(col("hs")).cast("long").as("n_h"))
+    val bands = minhashBands(minhashSignature(docs))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(
+        struct(col("band_idx"), col("band_hash")))).as("bb"))
+      .select(col("doc_id"),
+        expr("transform(bb, x -> x.band_hash)").as("band_hashes"))
+    sets.join(bands, Seq("doc_id"))
+  }
+
+  /** Per-bucket statistics of ONE index segment's rows: (band_idx,
+    * band_hash, bn = member count, hub = min doc_id). Written next to
+    * each segment as a `_bstats` sidecar (underscore-hidden, so the
+    * docs read never discovers it) and merged at serve time — bn sums
+    * and hub mins across segments, so the merged values equal a
+    * window over all committed rows by construction. */
+  private def minhashBandStats(rows: DataFrame): DataFrame =
+    rows.select(col("doc_id"),
+        posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
+
+  /** Merged per-bucket statistics of a persisted MinHash index — the
+    * serving view of the `_bstats` sidecars (bn sums, hub mins across
+    * committed segments), doubling as the index's bucket-balance
+    * monitoring card (the [[graft.operators.EmbeddingOps
+    * .indexCellStats]] analog: bucket skew is what drives the volume
+    * cap). Output (band_idx, band_hash, bn, hub), bucket-cardinality. */
+  def minhashIndexStats(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (gen, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    s.read.parquet(segs.map(k => s"$path/docs/seg=$k/_bstats"): _*)
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
+  }
+
+  /** Stage one segment: the index rows, plus the `_bstats` sidecar
+    * computed from the rows AS WRITTEN (read back from the staged
+    * files, so the stats can never drift from the data they count).
+    * Both land inside the staged segment dir — the segment's publish
+    * rename commits them together, keeping appends crash-atomic. */
+  private def writeSegWithStats(s: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, segDir: String): Unit = {
+    rows.write.mode("overwrite").parquet(segDir)
+    minhashBandStats(
+        s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
+      .write.mode("overwrite").parquet(s"$segDir/_bstats")
+  }
+
+  /** Build a PERSISTED MinHash near-dup index at `path` — the text
+    * twin of [[graft.operators.EmbeddingOps.ivfIndexWrite]]'s
+    * offline-build/online-serve split, and the missing incremental
+    * half of [[nearDupMinhash]]: a 100 TB corpus is deduped ONCE, then
+    * every ingest batch asks "is this new doc a near-dup of anything
+    * already kept?" without touching the corpus again. Layout:
+    * `docs/seg=N` row segments (each carrying a `_bstats` per-bucket
+    * stat sidecar — see [[minhashBandStats]]) under a `_segs/gen-K`
+    * manifest (the crash-atomic segment protocol; rebuilds stage a
+    * hidden sibling and swap). No `_params` sidecar: the signature
+    * construction (3-token shingles, 16 hashes, 4 bands) is pure code
+    * shared with every other minhash route, not caller configuration —
+    * the index is self-describing the way the IVF index's stored
+    * centroids are. */
+  def minhashIndexWrite(docs: DataFrame, path: String): Unit = {
+    val s = docs.sparkSession
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    Warehouse.recoverSwap(fs, root)
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writeSegWithStats(s, minhashIndexRows(docs), s"$tmp/docs/seg=0")
+    EmbeddingOps.commitGen(fs,
+      new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    Warehouse.swapInto(fs, tmp, root)
+  }
+
+  /** Append a new batch of docs to a persisted MinHash index: one new
+    * segment (rows + its `_bstats` sidecar, O(batch) both), O(batch)
+    * IO, CRASH-ATOMIC via the segment protocol (a kill anywhere leaves
+    * serving unchanged; the retry completes).
+    * Caller contract mirrors ivfIndexAppend: doc_ids must be new
+    * (route ingestion through a registry when mutation protection
+    * matters), one appender at a time. */
+  def minhashIndexAppend(docs: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = docs.sparkSession
+    EmbeddingOps.appendSegment(s, path, "docs",
+      staged => writeSegWithStats(s, minhashIndexRows(docs), staged),
+      failpoint)
+  }
+
+  /** Serve near-dup lookups from a persisted MinHash index: for a NEW
+    * batch of docs, every (indexed doc, batch doc) pair whose exact
+    * Jaccard (over distinct shingle-hash sets) reaches `threshold`,
+    * with candidates bounded by LSH band collisions exactly as in
+    * [[nearDupMinhash]]. Output (doc_a = indexed, doc_b = batch,
+    * n_common, na, nb, jaccard).
+    *
+    * Scale shape: the batch side (bands AND sets) is broadcast —
+    * bounded by the ingest batch, never the index. The index is read
+    * twice with static committed-segment pruning, both passes
+    * column-pruned: a SLIM pass (doc_id + band hashes) generates
+    * candidates under the stored-bucket volume cap (oversized buckets
+    * answer through their hub — see the inline note), and the full
+    * pass verifies, filtered by the BROADCAST bounded candidate set.
+    * The bucket stats (bn/hub) come from each segment's persisted
+    * `_bstats` sidecar — merged for batch-touched buckets only and
+    * broadcast — so the stored rows NEVER shuffle: the slim pass is a
+    * scan feeding two broadcast joins, and the only exchanges in the
+    * whole serve are bounded (touched-bucket sidecar rows into the
+    * stat merge, candidate pairs into the dedup). The `hs` arrays
+    * never leave their scan partition. Batch doc_ids are assumed
+    * disjoint from indexed ones (the append contract). */
+  def nearDupServe(s: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, threshold: Double = 0.7,
+      bucketCap: Int = BucketCap): DataFrame = {
+    val stored = s.read.parquet(s"$path/docs")
+      .where(EmbeddingOps.segFilter(s, path)).drop("seg")
+    val nb = minhashIndexRows(batch).pinned
+    // candidate generation runs over SLIM rows (doc_id + band hashes —
+    // the scan column-prunes away the shingle sets), with the
+    // [[cappedBandPairs]] volume bound applied to the STORED buckets:
+    // an indexed template-spam cluster puts B signatures in one bucket
+    // in every band, and an uncapped serve would fan every matching
+    // batch doc out to all B of them — the capped serve compares the
+    // batch doc against the bucket's min-doc hub instead (the cluster
+    // representative answers "is this a near-dup of something kept").
+    // Candidates are therefore bounded by |batch| * nBands * bucketCap
+    // BY CONSTRUCTION, which is what makes them broadcastable below.
+    val bbIds = nb.select(col("doc_id").as("doc_b"),
+      posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+    val batchKeys = bbIds.select(col("band_idx"), col("band_hash"))
+      .distinct()
+    // bn/hub per bucket come from the segments' persisted `_bstats`
+    // sidecars (written with each segment, regenerated by compaction),
+    // NOT a window over the stored band rows: per-segment stats merge
+    // by sum/min, which equals the window over all committed rows by
+    // construction. Only batch-touched buckets merge (semi-join
+    // against the broadcast batch keys before the aggregate), so the
+    // stat exchange is O(touched buckets x segments) — and the stored
+    // band rows themselves never ride ANY exchange: the filter below
+    // is a broadcast join against the merged stats.
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (_, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    val statDirs = segs.map(k => s"$path/docs/seg=$k/_bstats")
+    statDirs.foreach { d =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(d)),
+        s"no _bstats sidecar at $d — the index predates the stat " +
+          "sidecar; rebuild or compact it with this version first")
+    }
+    val touched = s.read.parquet(statDirs: _*)
+      .join(broadcast(batchKeys), Seq("band_idx", "band_hash"),
+        "left_semi")
+    // single-segment indexes (every index after a compaction — the
+    // steady state) skip the merge: the segment's stats ARE the
+    // totals, so the serve plans ZERO aggregation exchanges
+    val stats =
+      if (segs.size == 1) touched
+      else touched
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
+    val sbCapped = stored.select(col("doc_id").as("doc_a"),
+        posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+      .join(broadcast(stats), Seq("band_idx", "band_hash"))
+      .where(col("bn") <= bucketCap || col("doc_a") === col("hub"))
+    val cand = sbCapped
+      .join(broadcast(bbIds), Seq("band_idx", "band_hash"))
+      .select(col("doc_a"), col("doc_b")).distinct()
+    // verification: one more pass over the index, filtered in a
+    // broadcast-hash join by the bounded candidate set — each pair's
+    // stats compute exactly once (no per-band duplicate dedup needed)
+    val scored = stored.select(col("doc_id").as("doc_a"),
+        col("hs").as("hs_a"), col("n_h").as("na"))
+      .join(broadcast(cand), Seq("doc_a"))
+      .join(broadcast(nb.select(col("doc_id").as("doc_b"),
+        col("hs").as("hs_b"), col("n_h").as("nb"))), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_common"),
+        col("na"), col("nb"))
+    scored
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      // tombstones mask at the CANDIDATE stage, not the index scan: an
+      // anti-join against the thresholded pair rows shuffles
+      // duplication-mass-sized stats, where masking the scan itself
+      // would shuffle the whole index (hs arrays and all) through a
+      // doc_id-keyed join
+      .join(EmbeddingOps.tombstones(s, path, "doc_id")
+        .withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
+  /** Delete docs from a persisted MinHash index — the [[graft.operators
+    * .EmbeddingOps.indexDelete]] tombstone protocol keyed by doc_id
+    * (crash-atomic, O(batch); serving anti-joins the committed
+    * tombstone set, [[minhashIndexCompact]] applies it physically).
+    * Same caller contract: a tombstoned doc_id must never be
+    * re-appended; one maintainer at a time. */
+  def minhashIndexDelete(s: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame,
+      failpoint: String => Unit = _ => ()): Unit =
+    EmbeddingOps.indexDelete(s, path, ids, failpoint, keyCol = "doc_id")
+
+  /** Compact a persisted MinHash index: the segment chain collapses to
+    * one, tombstoned docs drop physically, and the tombstone manifest
+    * clears — serving is identical before and after. Returns the
+    * number of segments consolidated (0 = nothing to do). */
+  def minhashIndexCompact(s: org.apache.spark.sql.SparkSession,
+      path: String, failpoint: String => Unit = _ => ()): Int =
+    EmbeddingOps.compactSegments(s, path, "docs", Seq.empty,
+      _.write.mode("overwrite"), keyCol = "doc_id", failpoint,
+      // regenerate the per-bucket stat sidecar from the COMPACTED rows
+      // (tombstoned docs dropped physically, so their bn/hub mass
+      // disappears exactly as the pre-sidecar window would recompute)
+      extraSeg = segDir => minhashBandStats(
+        s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
+        .write.mode("overwrite").parquet(s"$segDir/_bstats"))
+
+  /** BM25 top-k document retrieval for a literal term set — the
+    * ranking function behind retrieval-based curation passes
+    * (kNN-LM-style example selection, contamination triage against a
+    * query suite, targeted corpus audits). Robertson/Spärck Jones
+    * BM25 (k1, b as permille constants) made cross-engine exact by
+    * clearing every fraction: with N docs, T total tokens (avgdl =
+    * T/N), doc length dl and permille constants K, B,
+    *
+    *   tf_factor = tf*(K+1000)*1000*T
+    *             / (tf*1e6*T + K*(1000-B)*T + K*B*dl*N)
+    *
+    * is the textbook tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) with both
+    * sides multiplied by 1e6*T — exact integers, quantized to
+    * permille by one integral division, then weighted by the
+    * [[tfidfTopTerm]] bit-length idf floor(log2(N div df)). Products
+    * reach tf*2.2e9*T ~ 1e25 at corpus scale, so the arithmetic runs
+    * in DECIMAL(38,0) (the [[mixTemperature]] discipline; the oracle
+    * mirrors with HUGEINT).
+    *
+    * Scale shape: the token stream filters to QUERY TERMS before the
+    * tf aggregate (only matching tokens shuffle); df comes off that
+    * tf frame and is bounded by |terms|, broadcast back; N and T are
+    * a 1-row broadcast scalar; the final top-k is a global
+    * TakeOrderedAndProject with a total-order tie-break — no global
+    * window, no corpus-sized broadcast. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "query terms must be non-empty and distinct")
+    require(bPermille >= 0 && bPermille <= 1000,
+      "b is a permille value in [0, 1000]")
+    val s = docs.sparkSession
+    import s.implicits._
+    val dl = docs
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .pinned
+    val tot = dl.agg(sum(col("dl")).as("t_tok"),
+      count(lit(1)).as("n_docs"))
+    val tq = broadcast(terms.toDF("word"))
+    val tf = tokens(docs).join(tq, Seq("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .pinned
+    val df_ = broadcast(tf.groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))) // bounded by |terms|
+    bm25Rank(tf.join(df_, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(tot)), // 1-row scalar frame
+      k, k1Permille, bPermille)
+  }
+
+  /** Sentinel stats key for the corpus totals row — contains spaces,
+    * so it can never collide with a space-split token (the nbSink
+    * prior-row discipline). */
+  val Bm25Sentinel = " corpus "
+
+  /** The BM25 sufficient statistic of a corpus, as ONE additive
+    * frame: (word, df, tok) rows — df = #docs containing the word,
+    * tok = 0 — plus the [[Bm25Sentinel]] totals row carrying
+    * (n_docs, total_tokens) in the same two columns. Everything is a
+    * SUM over per-doc contributions, so the frame folds
+    * incrementally (graft.streaming.Streams.bm25Sink maintains it
+    * under the registry-guarded additive protocol) and two corpora's
+    * stats merge by adding. Vocabulary-sized, shuffle-keyed on word —
+    * never broadcast; serving filters it to the query's terms first. */
+  def bm25Stats(docs: DataFrame): DataFrame = {
+    val d = docs.pinned // word rows + totals row read the corpus once
+    val perWord = tokens(d).select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+      .withColumn("tok", lit(0L))
+    val sent = d.agg(count(lit(1)).as("df"),
+        sum(size(split(col("text"), " "))).cast("long").as("tok"))
+      .select(lit(Bm25Sentinel).as("word"), col("df"), col("tok"))
+    perWord.unionByName(sent)
+  }
+
+  /** [[bm25TopK]] served from PRE-BUILT stats ([[bm25Stats]] or a
+    * maintained graft.streaming.Streams.bm25StatsState): ranks the
+    * BATCH documents with document frequencies and length
+    * normalization taken from the stats corpus — the offline-build /
+    * online-serve split of a retrieval pass (score fresh documents
+    * against the collection's statistics without rescanning the
+    * collection). Query terms unseen in the stats corpus drop via the
+    * inner df join (no defined idf — the text_lm_cross inner-join
+    * convention). Only term-bounded slices of the stats frame and the
+    * 1-row totals broadcast; batch-side tf filters to query terms
+    * before its aggregate, dl joins by a keyed doc_id shuffle. */
+  def bm25TopKWith(batch: DataFrame, stats: DataFrame,
+      terms: Seq[String], k: Int = 10, k1Permille: Long = 1200L,
+      bPermille: Long = 750L): DataFrame = {
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "query terms must be non-empty and distinct")
+    val s = batch.sparkSession
+    import s.implicits._
+    val st = stats.pinned // terms slice + totals row, one build
+    val tq = broadcast(terms.toDF("word"))
+    val dfT = broadcast(st.join(tq, Seq("word"))
+      .select(col("word"), col("df"))) // bounded by |terms|
+    val tot = broadcast(st.where(col("word") === Bm25Sentinel)
+      .select(col("df").as("n_docs"), col("tok").as("t_tok")))
+    val dl = batch
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
+      .pinned
+    val tf = tokens(batch).join(tq, Seq("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    bm25Rank(tf.join(dfT, Seq("word"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(tot), k, k1Permille, bPermille)
+  }
+
+  /** Shared BM25 arithmetic over a joined (doc_id, word, tf, df, dl,
+    * t_tok, n_docs) frame — the exact-integer saturation/idf/top-k
+    * back half of [[bm25TopK]] and [[bm25TopKWith]]. */
+  private def bm25Rank(scored0: DataFrame, k: Int, K: Long,
+      B: Long): DataFrame = {
+    require(B >= 0 && B <= 1000, "b is a permille value in [0, 1000]")
+    scored0
+      .withColumn("idf_q",
+        (length(bin(expr("n_docs div df"))) - 1).cast("long"))
+      .withColumn("sat_permille", expr(
+        s"CAST(CAST(tf AS DECIMAL(38,0)) * ${K + 1000L} * 1000 * t_tok" +
+          s" * 1000 div (CAST(tf AS DECIMAL(38,0)) * 1000000 * t_tok" +
+          s" + CAST(${K * (1000L - B)} AS DECIMAL(38,0)) * t_tok" +
+          s" + CAST(${K * B} AS DECIMAL(38,0)) * dl * n_docs) AS BIGINT)"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        sum(col("idf_q") * col("sat_permille")).as("score_q"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+      .limit(k)
+  }
+}
