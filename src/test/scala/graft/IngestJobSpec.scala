@@ -42,6 +42,38 @@ class IngestJobSpec extends SparkSpec {
     assert(s2.playLedger.count() == 2)
   }
 
+  test("the forget-ledger front door drops forgotten track_ids before " +
+    "ANY zone sees them") {
+    import spark.implicits._
+    val ledger = java.nio.file.Files
+      .createTempDirectory("graft_ingest_ledger").resolve("lg").toString
+    graft.operators.Forget.ledgerInit(spark, ledger)
+    graft.operators.Forget.ledgerAppend(spark, ledger,
+      Seq("t2").toDF("track_id"), keyCol = "track_id")
+    val b1 = readDocs(Seq(
+      doc("t1", "2024-01-01T08:00:00Z", "Song1", 50),
+      doc("t2", "2024-01-01T08:30:00Z", "Song2", 60),
+      doc("t3", "2024-01-01T09:00:00Z", "Song3", 70)))
+    val s1 = IngestJob.run(None, b1, "b1", ledgerPath = Some(ledger))
+    // forgotten track absent from plays, catalog, AND the batch
+    // ledger's admitted counts — the guard runs before any zone
+    assert(s1.plays.where($"track_id" === "t2").count() == 0)
+    assert(s1.trackCatalog.where($"track_id" === "t2").count() == 0)
+    assert(s1.plays.count() == 2 && s1.trackCatalog.count() == 2)
+    val lrow = s1.playLedger.collect()(0)
+    assert(lrow.getAs[Long]("records_seen") == 2L &&
+      lrow.getAs[Long]("unique_tracks") == 2L)
+    // without the ledger the same batch admits all three (the guard,
+    // not the reader, is what dropped t2)
+    assert(IngestJob.run(None, b1, "b1").plays.count() == 3)
+    // a typo'd ledger path refuses loudly instead of admitting
+    val e = intercept[IllegalArgumentException] {
+      IngestJob.run(None, b1, "b1",
+        ledgerPath = Some(ledger + "_typo"))
+    }
+    assert(e.getMessage.contains("ledgerInit"))
+  }
+
   test("catalog keep-newest survives double-digit batch sequences") {
     import spark.implicits._
     // 11 batches re-describing the same track with increasing popularity;
