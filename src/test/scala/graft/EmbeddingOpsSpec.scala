@@ -869,6 +869,54 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("vec_b")).distinct.length == r.length)
   }
 
+  test("truncIndexBuild: driver-side width selection (cheapest clearing " +
+    "the floor, widest as fallback), sidecar-stamped tier, served " +
+    "recall equals the sweep arm, tombstones mask") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    // floor 0: every candidate clears it -> the CHEAPEST width wins
+    val p0 = java.nio.file.Files
+      .createTempDirectory("graft_trunc_min").resolve("t").toString
+    assert(EmbeddingOps.truncIndexBuild(e, p0, recallFloorMilli = 0L)
+      === 8)
+    assert(EmbeddingOps.truncIndexDim(spark, p0) === 8)
+    // the tier stores ONLY the chosen width (selection happened before
+    // the build, driver-side on the sweep card — not a per-row choice)
+    val widths = spark.read.parquet(s"$p0/vecs")
+      .selectExpr("size(q) AS w").distinct()
+      .collect().map(_.getAs[Int]("w")).toSeq
+    assert(widths === Seq(8))
+    // floor 1001 (> any possible recall): nothing clears -> the widest
+    // candidate serves as the best-available fallback
+    val p1 = java.nio.file.Files
+      .createTempDirectory("graft_trunc_max").resolve("t").toString
+    assert(EmbeddingOps.truncIndexBuild(e, p1, recallFloorMilli = 1001L)
+      === 32)
+    // served recall rows equal the sweep's same-width arm (the serve
+    // reads the PERSISTED tier; the sweep computes live — parity pins
+    // that the tier's contents are the sliced corpus)
+    val served = EmbeddingOps.truncServeRecall(spark, p1, e)
+      .collect().map(_.toString).sorted
+    val arm = EmbeddingOps.truncRecallSweep(e, dims = Seq(32))
+      .collect().map(_.toString).sorted
+    assert(served.length === 5 && served.sameElements(arm))
+    // the standard tombstone protocol works on the tier: delete a
+    // stored vector and the serve equals a tier built WITHOUT it
+    val victim = 37L
+    EmbeddingOps.indexDelete(spark, p1,
+      Seq(victim).toDF("vec_id"))
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft_trunc_rest").resolve("t").toString
+    EmbeddingOps.truncIndexBuild(e.where($"vec_id" =!= victim), p2,
+      recallFloorMilli = 1001L)
+    val masked = EmbeddingOps.truncServeRecall(spark, p1, e)
+      .collect().map(_.toString).sorted
+    val rebuilt = EmbeddingOps.truncServeRecall(spark, p2, e)
+      .collect().map(_.toString).sorted
+    assert(masked.sameElements(rebuilt),
+      "tombstoned trunc-tier serving != subset-built serving")
+  }
+
   test("hardNegatives only surfaces OTHER labels, ranked by cosine") {
     val e = embDf(Seq(
       (0L, Seq(1f, 0f, 0f, 0f), 0), // query, label 0
