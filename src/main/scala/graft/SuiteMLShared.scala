@@ -22,6 +22,13 @@ private[graft] object SuiteMLShared {
     * into a leaked temp dir on every invocation. */
   private[graft] val idxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Snapshot tokens captured mid-history by the as-of serving rows:
+    * the build lambda records the token between mutations (build ->
+    * capture -> append -> delete), keyed like [[idxCache]], so the
+    * serve replays the pinned view on every invocation. */
+  private[graft] val snapCache = new java.util.concurrent
+    .ConcurrentHashMap[String, graft.operators.IndexSnapshot]()
   private[graft] def cachedIndex(kind: String, d: String,
       build: String => Unit): String =
     idxCache.computeIfAbsent(s"$kind:$d", _ => {
@@ -529,13 +536,20 @@ private[graft] object SuiteMLShared {
 
   /** Quantized-embedding oracle CTEs: q = round(x*1000) bigints,
     * nn = exact squared norm. */
-  private[graft] val EmbCte =
-    """e AS (
+  /** The quantized-corpus CTEs (`e`, `u`, `n`) over a caller-chosen
+    * slice of `embeddings` — the as-of serving oracle replays a
+    * pinned snapshot by slicing the corpus to the capture-time build
+    * input; every downstream CTE (training included) derives from
+    * `e`, so one predicate slices the whole replay. */
+  private[graft] def embCteSliced(pred: String): String =
+    s"""e AS (
       |  SELECT vec_id, label,
       |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE)*1000) AS BIGINT)) AS q
-      |  FROM embeddings),
+      |  FROM embeddings WHERE $pred),
       |u AS (SELECT vec_id, unnest(q) AS v FROM e),
       |n AS (SELECT vec_id, SUM(v*v) AS nn FROM u GROUP BY 1)""".stripMargin
+
+  private[graft] val EmbCte = embCteSliced("TRUE")
 
   private[graft] val MinhashSigSql: String = {
     val mins = (0 until 16)

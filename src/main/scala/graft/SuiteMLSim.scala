@@ -22,6 +22,29 @@ private[graft] object SuiteMLSim {
     * (1000 * hits >= floor * nQueries * k, exact integers). */
   private val TruncServeFloorMilli = 200L
 
+  /** The mutation-history fixture shared by `sim_serve_asof` and
+    * `sim_index_diff`: build over vec_id % 7 <> 6, CAPTURE
+    * (`ivfpq_asof:$d`), append the % 7 = 6 slice, delete the
+    * % 11 = 3 vectors inside the build slice, CAPTURE again
+    * (`ivfpq_asof_end:$d`). One shared builder so the two rows'
+    * replayed histories cannot drift. */
+  private def asofHistoryIdx(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    cachedIndex("ivfpq_asof", d, p => {
+      val all = emb(s, d)
+      EmbeddingOps.ivfpqIndexWrite(
+        all.where(col("vec_id") % 7 =!= 6), p)
+      snapCache.put(s"ivfpq_asof:$d",
+        EmbeddingOps.indexSnapshot(s, p))
+      EmbeddingOps.ivfpqIndexAppend(
+        all.where(col("vec_id") % 7 === 6), p)
+      EmbeddingOps.indexDelete(s, p,
+        all.where(col("vec_id") % 7 =!= 6 &&
+          col("vec_id") % 11 === 3).select(col("vec_id")))
+      snapCache.put(s"ivfpq_asof_end:$d",
+        EmbeddingOps.indexSnapshot(s, p))
+    })
+
   /** Truncated-brute CTEs + hit counts for one prefix width `d` —
     * the sim_trunc_sweep oracle's per-arm generator: the same
     * slice/norm/cosine/rank arithmetic as the Spark arm, so the two
@@ -400,6 +423,46 @@ private[graft] object SuiteMLSim {
         |$IvfPqScoreCte
         |$IvfPqTopKTail""".stripMargin),
       bench = true),
+
+    // ---- similarity: snapshot-pinned serving — the reproducibility
+    // contract: a training run records an IndexSnapshot token and its
+    // re-reads replay bit-identically while the index keeps ingesting
+    // and deleting. History: build over vec_id % 7 <> 6, CAPTURE, then
+    // append the % 7 = 6 slice and delete the % 11 = 3 vectors — the
+    // pinned serve must equal the capture-time index, so the oracle
+    // replays the whole IVF-PQ pipeline (training included) over the
+    // build slice alone and ignores both later mutations ------------
+    Q("sim_serve_asof",
+      (s, d) => {
+        val idx = asofHistoryIdx(s, d)
+        EmbeddingOps.ivfpqTopKIndexed(s, idx,
+          emb(s, d).where(col("vec_id") < 5),
+          asOf = Some(snapCache.get(s"ivfpq_asof:$d")))
+      },
+      Some(s"""WITH ${embCteSliced("vec_id % 7 <> 6")},
+        |$IvfPqScoreCte
+        |$IvfPqTopKTail""".stripMargin)),
+
+    // ---- similarity: snapshot diff — the audit twin of the pinned
+    // serve: which keys did the mutations between the two captures
+    // make visible (the appended % 7 = 6 slice) and which did they
+    // kill (the % 11 = 3 deletions inside the build slice)? The
+    // operator reads delta segments plus the key COLUMN of the
+    // from-view; the oracle states the answer as pure key set
+    // arithmetic over the corpus — external proof the diff legs
+    // classify exactly ----------------------------------------------
+    Q("sim_index_diff",
+      (s, d) => {
+        val idx = asofHistoryIdx(s, d)
+        EmbeddingOps.indexDiff(s, idx, "codes",
+          snapCache.get(s"ivfpq_asof:$d"),
+          snapCache.get(s"ivfpq_asof_end:$d"))
+      },
+      Some("""SELECT vec_id, 'added' AS change FROM embeddings
+        |WHERE vec_id % 7 = 6
+        |UNION ALL
+        |SELECT vec_id, 'removed' AS change FROM embeddings
+        |WHERE vec_id % 7 <> 6 AND vec_id % 11 = 3""".stripMargin)),
 
     // ---- similarity: IVF-PQ recall@10 — the composite's recall row,
     // measuring coarse-pruning misses AND residual-quantization

@@ -16,6 +16,36 @@ import graft.SuiteMLShared._
   */
 private[graft] object SuiteMLText {
 
+  /** The indexed-BM25 replay over `documents WHERE $pred` — one SQL
+    * generator for `text_bm25_indexed` (pred TRUE) and
+    * `text_bm25_asof` (the capture-time build slice), so the pinned
+    * serve's oracle IS the live serve's oracle over the smaller
+    * corpus and the two replays cannot drift. */
+  private def bm25IndexedSql(pred: String): String =
+    s"""WITH bsrc AS (SELECT doc_id, text FROM documents WHERE $pred),
+      |dl AS (SELECT doc_id,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |       FROM bsrc),
+      |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok,
+      |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
+      |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |             FROM bsrc)
+      |       WHERE word IN ($Bm25TermsSql) GROUP BY 1, 2),
+      |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+      |sc AS (SELECT doc_id, dl,
+      |         CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_q,
+      |         CAST(CAST(tf AS HUGEINT) * ${Bm25K1 + 1000L} * 1000 * t_tok * 1000
+      |              // (CAST(tf AS HUGEINT) * 1000000 * t_tok
+      |                  + CAST(${Bm25K1 * (1000L - Bm25B)} AS HUGEINT) * t_tok
+      |                  + CAST(${Bm25K1 * Bm25B} AS HUGEINT) * dl * n_docs)
+      |           AS BIGINT) AS sat
+      |       FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot)
+      |SELECT doc_id, max(dl) AS dl, count(*) AS n_terms,
+      |       CAST(SUM(idf_q * sat) AS BIGINT) AS score_q
+      |FROM sc GROUP BY 1
+      |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
+
   val rows: Seq[Q] = Seq(
 
     // ---- dedup: cross-document LINE removal (CCNet §3.1 — the
@@ -1251,29 +1281,34 @@ private[graft] object SuiteMLText {
           p => TextOps.bm25IndexWrite(docs(s, d), p))
         TextOps.bm25TopKIndexed(s, idx, Bm25Terms)
       },
-      Some(s"""WITH dl AS (SELECT doc_id,
-        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-        |       FROM documents),
-        |tot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok,
-        |               CAST(count(*) AS BIGINT) AS n_docs FROM dl),
-        |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
-        |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-        |             FROM documents)
-        |       WHERE word IN ($Bm25TermsSql) GROUP BY 1, 2),
-        |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
-        |sc AS (SELECT doc_id, dl,
-        |         CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_q,
-        |         CAST(CAST(tf AS HUGEINT) * ${Bm25K1 + 1000L} * 1000 * t_tok * 1000
-        |              // (CAST(tf AS HUGEINT) * 1000000 * t_tok
-        |                  + CAST(${Bm25K1 * (1000L - Bm25B)} AS HUGEINT) * t_tok
-        |                  + CAST(${Bm25K1 * Bm25B} AS HUGEINT) * dl * n_docs)
-        |           AS BIGINT) AS sat
-        |       FROM tf JOIN dfq USING (word) JOIN dl USING (doc_id), tot)
-        |SELECT doc_id, max(dl) AS dl, count(*) AS n_terms,
-        |       CAST(SUM(idf_q * sat) AS BIGINT) AS score_q
-        |FROM sc GROUP BY 1
-        |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin),
+      Some(bm25IndexedSql("TRUE")),
       bench = true),
+
+    // ---- retrieval: snapshot-pinned BM25 serving — the third index
+    // family's as-of door driver-checked (next to sim_serve_asof and
+    // dedup_serve_asof): build over doc_id % 7 <> 3, CAPTURE, append
+    // the % 7 = 3 slice, tombstone the % 13 = 5 docs — the pinned
+    // serve sees capture-time postings AND capture-time totals (the
+    // collection stats pin with the same segment filter), so the
+    // oracle is the indexed-BM25 replay over the build slice alone.
+    // One SQL generator serves both rows, so the replays cannot drift
+    Q("text_bm25_asof",
+      (s, d) => {
+        val key = s"bm25_asof:$d"
+        val idx = cachedIndex("bm25_asof", d, p => {
+          val all = docs(s, d)
+          TextOps.bm25IndexWrite(all.where(col("doc_id") % 7 =!= 3), p)
+          snapCache.put(key, EmbeddingOps.indexSnapshot(s, p))
+          TextOps.bm25IndexAppend(all.where(col("doc_id") % 7 === 3), p)
+          EmbeddingOps.indexDelete(s, p,
+            all.where(col("doc_id") % 7 =!= 3 &&
+              col("doc_id") % 13 === 5).select(col("doc_id")),
+            keyCol = "doc_id")
+        })
+        TextOps.bm25TopKIndexed(s, idx, Bm25Terms,
+          asOf = Some(snapCache.get(key)))
+      },
+      Some(bm25IndexedSql("doc_id % 7 <> 3"))),
 
     // ---- retrieval: cross-corpus BM25 serving from prebuilt stats --------
     // Collection statistics (df, N, T) come from every source EXCEPT

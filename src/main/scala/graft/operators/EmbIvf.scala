@@ -133,6 +133,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$tmp/lists/seg=0")
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
     Warehouse.swapInto(fs, tmp, root)
   }
 
@@ -199,10 +200,14 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     * the generation manifest commits are read (a second static
     * partition filter, on `seg`) — an in-flight or crashed append is
     * invisible. Candidates with vec_id == query_id are excluded (the
-    * corpus-queries convention of [[ivfTopKWith]]). */
+    * corpus-queries convention of [[ivfTopKWith]]). With `asOf`, the
+    * segment and tombstone sets pin to the snapshot's capture-time
+    * view ([[indexSnapshot]]); the centroids sidecar is only replaced
+    * by full-tree swaps — which bump the epoch and expire the token —
+    * so it is stable over any live snapshot by construction. */
   def ivfTopKIndexed(s: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, nProbe: Int = 2,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, asOf: Option[IndexSnapshot] = None): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
     val probes = rankedAgainst(quantized(queries), cents)
       .where(col("crk") <= nProbe)
@@ -212,11 +217,11 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val lists = s.read.parquet(s"$path/lists")
-      .where(segFilter(s, path) &&
+      .where(segFilter(s, path, asOf) &&
         col("cell").isin(probedCells.map(Int.box): _*))
       // committed tombstones mask deleted vectors (anti-join — the
       // tombstone set is unbounded, never collected)
-      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     probes.join(lists, Seq("cell"))
@@ -238,7 +243,8 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     * AMONG matching vectors; output carries the label. */
   def ivfTopKIndexedWhere(s: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, pred: Column,
-      nProbe: Int = 2, k: Int = 10): DataFrame = {
+      nProbe: Int = 2, k: Int = 10,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
     val probes = rankedAgainst(quantized(queries), cents)
       .where(col("crk") <= nProbe)
@@ -248,9 +254,9 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val lists = s.read.parquet(s"$path/lists")
-      .where(segFilter(s, path) &&
+      .where(segFilter(s, path, asOf) &&
         col("cell").isin(probedCells.map(Int.box): _*) && pred)
-      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     probes.join(lists, Seq("cell"))

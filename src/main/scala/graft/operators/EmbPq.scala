@@ -196,6 +196,7 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     pqEncodeWith(e, saved)
       .write.mode("overwrite").parquet(s"$tmp/codes/seg=0")
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
     Warehouse.swapInto(fs, tmp, root)
   }
 
@@ -223,14 +224,18 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     * construction); the stored CODES join the LUT on (sub, code) and
     * sum — asymmetric-distance scoring that reads only the code
     * table, never corpus vectors. Candidates with vec_id == query_id
-    * are excluded (the [[pqTopKWith]] convention). */
+    * are excluded (the [[pqTopKWith]] convention). With `asOf`, the
+    * code segments and tombstones pin to the snapshot's capture-time
+    * view; the codebooks sidecar only changes on epoch-bumping swaps,
+    * so it is stable over any live snapshot. */
   def pqTopKIndexed(s: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, k: Int = 10): DataFrame = {
+      path: String, queries: DataFrame, k: Int = 10,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
     val cb = s.read.parquet(s"$path/codebooks")
     val codes = s.read.parquet(s"$path/codes")
-      .where(segFilter(s, path)) // committed segments only
+      .where(segFilter(s, path, asOf)) // committed segments only
       .drop("seg")
-      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
     val lut = subSlices(quantized(queries))
       .select(col("vec_id").as("query_id"), col("sub"),
         col("sq").as("qs"))
@@ -370,6 +375,7 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$tmp/codes/seg=0")
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
     Warehouse.swapInto(fs, tmp, root)
   }
 
@@ -403,18 +409,25 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     * integers, never a corpus vector. */
   def ivfpqTopKIndexed(s: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, nProbe: Int = 2,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, asOf: Option[IndexSnapshot] = None): DataFrame = {
     val cents = s.read.parquet(s"$path/centroids")
     val cb = s.read.parquet(s"$path/codebooks")
     val qe = quantized(queries).pinned
     val probes = ivfpqProbes(qe, cents, nProbe).pinned
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
+    // asOf pins the committed-segment IN and the tombstone set to the
+    // snapshot's view ([[indexSnapshot]]): appends and deletes after
+    // capture are invisible, so a recorded training read replays
+    // bit-identically. The centroids/codebooks need no pinning — the
+    // quantizers are fixed at build time, and any rebuild that would
+    // replace them bumps the epoch (the pinned filters refuse first).
     val codes = s.read.parquet(s"$path/codes")
-      .where(segFilter(s, path) &&
+      .where(segFilter(s, path, asOf) &&
         col("cell").isin(probedCells.map(Int.box): _*))
       .drop("seg")
-      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+      .join(tombstones(s, path, "vec_id", asOf), Seq("vec_id"),
+        "left_anti")
     ivfpqAdc(probes, qe, cb, codes, k)
   }
 

@@ -6,6 +6,16 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+/** A pinned read token of a persisted index (see
+  * [[EmbeddingOps.indexSnapshot]]): the root epoch at capture plus
+  * the committed data and tombstone segment sets. Segments are
+  * immutable within an epoch, so serving these exact sets replays
+  * the capture-time view bit-for-bit; a compaction/rebuild bumps the
+  * epoch and pinned reads refuse. A training run records this token
+  * next to its outputs for reproducible re-reads. */
+case class IndexSnapshot(epoch: Long, dataGen: Int, dataSegs: Seq[Int],
+    delsGen: Int, delSegs: Seq[Int])
+
 /** The shared persisted-index segment protocol: generation
   * manifests, crash-atomic staged appends, tombstone segments, and
   * the generic compaction — the machinery every persisted index
@@ -100,15 +110,209 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
 
   /** Committed-segment filter for a serving scan — a literal IN over
     * the `seg` partition column (static partition pruning, like the
-    * probed-cell filter). */
+    * probed-cell filter). With `asOf`, the IN pins the SNAPSHOT's
+    * data segments instead of the newest manifest (see
+    * [[indexSnapshot]]) — same static pruning, frozen view. */
   private[operators] def segFilter(s: org.apache.spark.sql.SparkSession,
-      path: String): org.apache.spark.sql.Column = {
+      path: String,
+      asOf: Option[IndexSnapshot] = None): org.apache.spark.sql.Column =
+    asOf match {
+      case Some(snap) =>
+        val (fs, root) = fsFor(s, path)
+        requireSnapshotLive(fs, root, path, snap)
+        col("seg").isin(snap.dataSegs.map(Int.box): _*)
+      case None =>
+        val (fs, root) = fsFor(s, path)
+        val (gen, segs) =
+          committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
+        require(gen >= 0 && segs.nonEmpty,
+          s"no index manifest at $path/_segs — not an index root")
+        col("seg").isin(segs.map(Int.box): _*)
+    }
+
+  // ---- snapshot-pinned reads -------------------------------------------
+  // Within one root "epoch", segments are IMMUTABLE: appends (data and
+  // tombstone) only add new `seg=N` directories and commit a new
+  // manifest generation — nothing committed is ever rewritten. The
+  // only operations that rewrite committed bytes are the full-tree
+  // swaps (a rebuild or a compaction), and every one of them bumps the
+  // root's `_epoch` marker as part of the staged tree it publishes. A
+  // snapshot token therefore pins (epoch, data segs, tombstone segs):
+  // as long as the epoch still matches, serving those exact segment
+  // sets is byte-for-byte the view at capture time — which is what a
+  // training run needs to record for bit-identical re-reads while the
+  // index keeps ingesting and deleting underneath it. After a
+  // compaction/rebuild the pinned segments are GONE (the swap replaced
+  // the tree, and generation numbering restarts — gen alone would be
+  // ambiguous, the classic ABA), so a pinned read refuses loudly
+  // instead of silently serving the wrong incarnation. The epoch check
+  // runs at plan-construction time: it is a fail-fast against serving
+  // a compacted-away view, not a lock — snapshot reads race a
+  // concurrent maintainer exactly like unpinned serves do (the
+  // single-writer, readers-never-block contract).
+
+  /** The root's swap epoch: bumped by every full-tree publish
+    * (rebuild/compaction), untouched by appends/deletes. 0 for roots
+    * that predate the marker (their first swap writes 1). */
+  private[graft] def epochOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Long = {
+    val p = new org.apache.hadoop.fs.Path(root, "_epoch")
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      val content =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      content.trim.toLong
+    }
+  }
+
+  /** Write `epochOf(root) + 1` as the `_epoch` marker of a STAGED
+    * replacement tree — called by every builder/compactor immediately
+    * before its [[Warehouse.swapInto]], so the bump and the new tree
+    * publish together (the swap rename is the committing instant). */
+  private[operators] def stampEpoch(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      tmp: org.apache.hadoop.fs.Path): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_epoch"), true)
+    try out.write((epochOf(fs, root) + 1).toString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Capture a consistent read token of a persisted index: the root
+    * epoch plus the committed data and tombstone segment sets right
+    * now. Serving with `asOf = Some(token)` replays exactly this view
+    * — later appends and deletes are invisible — until a compaction
+    * or rebuild swaps the tree (the token then refuses with
+    * "snapshot expired"). Applies to every append+tombstone index
+    * family (IVF/PQ/IVF-PQ/SQ8/trunc tier, MinHash, BM25); fold-state
+    * roots under graft.streaming.Streams rewrite segments on delete
+    * and are NOT snapshot-safe. */
+  def indexSnapshot(s: org.apache.spark.sql.SparkSession,
+      path: String): IndexSnapshot = {
     val (fs, root) = fsFor(s, path)
-    val (gen, segs) =
+    val (g, segs) =
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
-    require(gen >= 0 && segs.nonEmpty,
+    require(g >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — not an index root")
-    col("seg").isin(segs.map(Int.box): _*)
+    val (dg, dsegs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
+    IndexSnapshot(epochOf(fs, root), g, segs, dg, dsegs)
+  }
+
+  /** The fail-fast behind every pinned read: the root must still be
+    * the incarnation the snapshot was captured from. */
+  private[operators] def requireSnapshotLive(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, path: String,
+      snap: IndexSnapshot): Unit = {
+    val cur = epochOf(fs, root)
+    require(cur == snap.epoch,
+      s"snapshot expired: index at $path was compacted or rebuilt " +
+        s"since capture (root epoch $cur, snapshot epoch " +
+        s"${snap.epoch}) — pinned segments no longer exist; " +
+        "capture a new snapshot")
+  }
+
+  /** Persist a snapshot token as a one-line JSON file — what a
+    * training run records NEXT TO ITS OUTPUTS so the exact corpus
+    * view it read can be re-served later ([[snapshotRead]] +
+    * `asOf`). The token is tiny (two int lists bounded by segment
+    * counts) and self-contained; whether it is still serveable is
+    * decided at read-use time by the epoch check, not here. */
+  def snapshotWrite(s: org.apache.spark.sql.SparkSession,
+      tokenPath: String, snap: IndexSnapshot): Unit = {
+    val (fs, p) = fsFor(s, tokenPath)
+    val json = s"""{"epoch":${snap.epoch},"dataGen":${snap.dataGen},""" +
+      s""""dataSegs":[${snap.dataSegs.mkString(",")}],""" +
+      s""""delsGen":${snap.delsGen},""" +
+      s""""delSegs":[${snap.delSegs.mkString(",")}]}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Re-load a [[snapshotWrite]] token. Strict single-format parse —
+    * a token this small has no excuse for ambiguity; anything that
+    * does not round-trip the writer's exact shape refuses loudly
+    * rather than pinning a misread segment set. */
+  def snapshotRead(s: org.apache.spark.sql.SparkSession,
+      tokenPath: String): IndexSnapshot = {
+    val (fs, p) = fsFor(s, tokenPath)
+    require(fs.exists(p), s"no snapshot token at $tokenPath")
+    val in = fs.open(p)
+    val json =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    val re = ("""\{"epoch":(-?\d+),"dataGen":(-?\d+),""" +
+      """"dataSegs":\[([\d,]*)\],"delsGen":(-?\d+),""" +
+      """"delSegs":\[([\d,]*)\]\}""").r
+    json match {
+      case re(ep, dg, ds, lg, ls) =>
+        def ints(v: String): Seq[Int] =
+          if (v.isEmpty) Seq.empty else v.split(',').toSeq.map(_.toInt)
+        IndexSnapshot(ep.toLong, dg.toInt, ints(ds), lg.toInt, ints(ls))
+      case _ => throw new IllegalArgumentException(
+        s"malformed snapshot token at $tokenPath: $json")
+    }
+  }
+
+  /** What changed between two pinned views of the same index
+    * incarnation — the training-data audit question ("which keys did
+    * run B see that run A did not?"). Both tokens must still be live
+    * (a swap in between destroys the shared segment space and the
+    * comparison refuses) and `from` must precede `to` — segment sets
+    * only grow within an epoch, so live tokens are totally ordered by
+    * set inclusion. One row per changed key: `added` = keys visible
+    * to `to` but not `from` (the DELTA data segments minus `to`'s
+    * tombstones — a key appended and deleted between the captures was
+    * visible to neither and is not reported), `removed` = keys
+    * visible to `from` that the DELTA tombstones killed. IO: the
+    * added leg reads only delta segments; the removed leg is the one
+    * that touches pre-`from` segments, and it reads ONLY the key
+    * column (column pruning keeps the audit O(keys), never
+    * O(vector payload)) and only when the delta actually deleted
+    * something. `dataDir`/`keyCol` name the family's data directory
+    * and key, as in [[compactSegments]]. */
+  def indexDiff(s: org.apache.spark.sql.SparkSession, path: String,
+      dataDir: String, from: IndexSnapshot, to: IndexSnapshot,
+      keyCol: String = "vec_id"): DataFrame = {
+    val (fs, root) = fsFor(s, path)
+    requireSnapshotLive(fs, root, path, from)
+    requireSnapshotLive(fs, root, path, to)
+    require(from.dataSegs.toSet.subsetOf(to.dataSegs.toSet) &&
+      from.delSegs.toSet.subsetOf(to.delSegs.toSet),
+      s"snapshots of $path are not ordered: 'from' must precede 'to'")
+    val dDelta = to.dataSegs.filterNot(from.dataSegs.toSet)
+    val lDelta = to.delSegs.filterNot(from.delSegs.toSet)
+    val data = s.read.parquet(s"$path/$dataDir")
+    // distinct on BOTH legs' key sets: a family may store several
+    // rows per key (PQ codes are one row per (key, sub)) and the
+    // contract is one row per CHANGED KEY — the distinct shuffles
+    // only delta keys, O(batch) never O(index)
+    val addedKeys =
+      if (dDelta.isEmpty) data.select(col(keyCol)).where(lit(false))
+      else data.where(col("seg").isin(dDelta.map(Int.box): _*))
+        .select(col(keyCol)).distinct()
+    val added = addedKeys
+      .join(tombstones(s, path, keyCol, Some(to)), Seq(keyCol),
+        "left_anti")
+      .select(col(keyCol), lit("added").as("change"))
+    val removed =
+      if (lDelta.isEmpty) added.where(lit(false))
+      else {
+        val fromView = data
+          .where(col("seg").isin(from.dataSegs.map(Int.box): _*))
+          .select(col(keyCol))
+          .join(tombstones(s, path, keyCol, Some(from)), Seq(keyCol),
+            "left_anti")
+        s.read.parquet(s"$path/dels")
+          .where(col("seg").isin(lDelta.map(Int.box): _*))
+          .select(col(keyCol)).distinct()
+          .join(fromView, Seq(keyCol), "left_semi")
+          .select(col(keyCol), lit("removed").as("change"))
+      }
+    added.unionByName(removed)
   }
 
   /** Delete vectors from ANY persisted index ([[ivfIndexWrite]],
@@ -163,12 +367,20 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   /** The committed tombstone set of an index — (vec_id), empty when
     * the index has no `_dels` manifest. Unbounded by construction
     * (deletion mass grows with corpus churn), so callers ANTI-JOIN
-    * it, never collect it. */
+    * it, never collect it. With `asOf`, only the SNAPSHOT's tombstone
+    * segments are read — deletions after capture are invisible to the
+    * pinned view. */
   def tombstones(s: org.apache.spark.sql.SparkSession,
-      path: String, keyCol: String = "vec_id"): DataFrame = {
+      path: String, keyCol: String = "vec_id",
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
     val (fs, root) = fsFor(s, path)
-    val (dg, dsegs) =
-      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
+    val (dg, dsegs) = asOf match {
+      case Some(snap) =>
+        requireSnapshotLive(fs, root, path, snap)
+        (snap.delsGen, snap.delSegs)
+      case None =>
+        committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
+    }
     if (dg < 0 || dsegs.isEmpty)
       s.range(0).select(col("id").as(keyCol))
     else
@@ -225,6 +437,7 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       extraSeg(s"$tmp/$dataDir/seg=0")
       commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0,
         Seq(0))
+      stampEpoch(fs, root, tmp) // invalidates pinned snapshots
       failpoint("staged-written")
       Warehouse.swapInto(fs, tmp, root, failpoint)
       segs.size

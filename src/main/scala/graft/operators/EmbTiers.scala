@@ -93,6 +93,7 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_dim"), true)
     try out.write(chosen.toString.getBytes("UTF-8")) finally out.close()
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
     Warehouse.swapInto(fs, tmp, root)
     chosen
   }
@@ -118,13 +119,16 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
     * tier is read with static committed-segment pruning and tombstone
     * masking; queries are the tier's own first `nQueries` vectors
     * (the [[annTopKQ]] convention, so the served ranking is
-    * oracle-comparable to the sweep's per-width arm). */
+    * oracle-comparable to the sweep's per-width arm). With `asOf`,
+    * the tier's segments and tombstones pin to the snapshot's
+    * capture-time view; the `_dim` sidecar only changes on
+    * epoch-bumping swaps. */
   def truncServeRecall(s: org.apache.spark.sql.SparkSession,
       path: String, emb: DataFrame, nQueries: Int = 5,
-      k: Int = 10): DataFrame = {
+      k: Int = 10, asOf: Option[IndexSnapshot] = None): DataFrame = {
     val stored = s.read.parquet(s"$path/vecs")
-      .where(segFilter(s, path)).drop("seg")
-      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+      .where(segFilter(s, path, asOf)).drop("seg")
+      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
     val served = annTopKQ(stored, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     val brute = annTopK(emb, nQueries, k)
@@ -294,6 +298,7 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
           .cast("array<smallint>").as("c"))
       .write.mode("overwrite").parquet(s"$tmp/codes/seg=0")
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
     Warehouse.swapInto(fs, tmp, root)
   }
 
@@ -321,9 +326,12 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
     * reconstructions — byte codes are the only per-vector state read;
     * no corpus vector exists in the index at all. Output matches
     * [[sq8TopKQ]] exactly when the index was built from the same
-    * corpus the queries come from. */
+    * corpus the queries come from. With `asOf`, segments and
+    * tombstones pin to the snapshot's capture-time view; the ranges
+    * sidecar only changes on epoch-bumping swaps. */
   def sq8TopKIndexed(s: org.apache.spark.sql.SparkSession,
-      path: String, queries: DataFrame, k: Int = 10): DataFrame = {
+      path: String, queries: DataFrame, k: Int = 10,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
     val (mnA, rgA) = sq8Lits(
       s.read.parquet(s"$path/ranges").orderBy(col("pos")).collect())
     val q = quantized(queries)
@@ -333,8 +341,8 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
       .withColumn("qn",
         aggregate(col("qr"), lit(0L), (acc, x) => acc + x * x))
     val codes = s.read.parquet(s"$path/codes")
-      .where(segFilter(s, path)).drop("seg")
-      .join(tombstones(s, path), Seq("vec_id"), "left_anti")
+      .where(segFilter(s, path, asOf)).drop("seg")
+      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
       .withColumn("r", sq8Recon(
         transform(col("c"), x => x.cast("long")), mnA, rgA))
       .withColumn("rn",

@@ -60,6 +60,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       .write.mode("overwrite").parquet(s"$tmp/params")
     EmbeddingOps.commitGen(fs,
       new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    EmbeddingOps.stampEpoch(fs, root, tmp) // invalidates snapshots
     Warehouse.swapInto(fs, tmp, root)
   }
 
@@ -122,7 +123,8 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * filter within the bucket, tombstone anti-join. */
   private[graft] def bm25PostingsScan(
       s: org.apache.spark.sql.SparkSession, path: String,
-      terms: Seq[String]): DataFrame = {
+      terms: Seq[String],
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
     val nBuckets = bm25Params(s, path)
     import s.implicits._
     val tq = terms.toDF("word")
@@ -131,20 +133,21 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     val tbs = tq.select(col("tb")).distinct()
       .collect().map(_.getInt(0)) // bounded by |terms| by construction
     s.read.parquet(s"$path/postings")
-      .where(EmbeddingOps.segFilter(s, path) &&
+      .where(EmbeddingOps.segFilter(s, path, asOf) &&
         col("tb").isin(tbs.map(Int.box): _*))
       .join(broadcast(tq.select(col("word"))), Seq("word"))
-      .join(EmbeddingOps.tombstones(s, path, "doc_id"),
+      .join(EmbeddingOps.tombstones(s, path, "doc_id", asOf),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("word"), col("tf"), col("dl"))
   }
 
   def bm25TopKIndexed(s: org.apache.spark.sql.SparkSession,
       path: String, terms: Seq[String], k: Int = 10,
-      k1Permille: Long = 1200L, bPermille: Long = 750L): DataFrame = {
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
     require(terms.nonEmpty && terms.distinct.size == terms.size,
       "query terms must be non-empty and distinct")
-    val posts = bm25PostingsScan(s, path, terms)
+    val posts = bm25PostingsScan(s, path, terms, asOf)
       .pinned // df branch + scoring branch, one pruned scan
     // df is count(DISTINCT doc_id), not count(rows): appending an
     // already-indexed doc (the bm25IndexAppend contract says route
@@ -164,7 +167,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
               "for term "), col("word"),
             lit(" — an append bypassed the dedup gate")))).as("df")))
     val tot = broadcast(s.read.parquet(s"$path/totals")
-      .where(EmbeddingOps.segFilter(s, path))
+      .where(EmbeddingOps.segFilter(s, path, asOf))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tok")).as("t_tok")))
     bm25Rank(posts.join(df_, Seq("word")).crossJoin(tot),
       k, k1Permille, bPermille)
@@ -210,6 +213,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
       EmbeddingOps.commitGen(fs,
         new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+      EmbeddingOps.stampEpoch(fs, root, tmp) // invalidates snapshots
       Warehouse.swapInto(fs, tmp, root)
       segs.size
     }
@@ -309,6 +313,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     writeSegWithStats(s, minhashIndexRows(docs), s"$tmp/docs/seg=0")
     EmbeddingOps.commitGen(fs,
       new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    EmbeddingOps.stampEpoch(fs, root, tmp) // invalidates snapshots
     Warehouse.swapInto(fs, tmp, root)
   }
 
@@ -351,9 +356,10 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * disjoint from indexed ones (the append contract). */
   def nearDupServe(s: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, threshold: Double = 0.7,
-      bucketCap: Int = BucketCap): DataFrame = {
+      bucketCap: Int = BucketCap,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
     val stored = s.read.parquet(s"$path/docs")
-      .where(EmbeddingOps.segFilter(s, path)).drop("seg")
+      .where(EmbeddingOps.segFilter(s, path, asOf)).drop("seg")
     val nb = minhashIndexRows(batch).pinned
     // candidate generation runs over SLIM rows (doc_id + band hashes —
     // the scan column-prunes away the shingle sets), with the
@@ -379,8 +385,14 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     // band rows themselves never ride ANY exchange: the filter below
     // is a broadcast join against the merged stats.
     val (fs, root) = EmbeddingOps.fsFor(s, path)
-    val (_, segs) = EmbeddingOps.committedSegs(fs,
-      new org.apache.hadoop.fs.Path(root, "_segs"))
+    // asOf pins the segment list (data rows above via segFilter, stat
+    // sidecars here, tombstones below) to the snapshot's view — the
+    // epoch guard inside segFilter/tombstones refuses post-compaction
+    val segs = asOf match {
+      case Some(snap) => snap.dataSegs
+      case None => EmbeddingOps.committedSegs(fs,
+        new org.apache.hadoop.fs.Path(root, "_segs"))._2
+    }
     val statDirs = segs.map(k => s"$path/docs/seg=$k/_bstats")
     statDirs.foreach { d =>
       require(fs.exists(new org.apache.hadoop.fs.Path(d)),
@@ -426,7 +438,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       // duplication-mass-sized stats, where masking the scan itself
       // would shuffle the whole index (hs arrays and all) through a
       // doc_id-keyed join
-      .join(EmbeddingOps.tombstones(s, path, "doc_id")
+      .join(EmbeddingOps.tombstones(s, path, "doc_id", asOf)
         .withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
         col("nb"), col("jaccard"))

@@ -534,6 +534,176 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(EmbeddingOps.ivfpqIndexCompact(spark, idx) == 0)
   }
 
+  test("indexSnapshot: pinned serving replays the capture-time view " +
+    "bit-identically under appends and deletes; compaction and " +
+    "rebuild expire it loudly") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_idx").toString
+    EmbeddingOps.ivfpqIndexWrite(e.where($"vec_id" < 250), idx)
+    val snap = EmbeddingOps.indexSnapshot(spark, idx)
+    val at = EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    // mutate underneath the snapshot: an append AND a delete of a
+    // currently-served vector
+    EmbeddingOps.ivfpqIndexAppend(e.where($"vec_id" >= 250), idx)
+    val victim = EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
+        asOf = Some(snap))
+      .where($"rk" === 1).select($"vec_id").limit(1)
+      .collect()(0).getLong(0)
+    EmbeddingOps.indexDelete(spark, idx, Seq(victim).toDF("vec_id"))
+    // pinned == the capture-time serve, bit-identical; live differs
+    // (new vectors visible, the victim masked)
+    val pinned = EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
+      asOf = Some(snap)).collect().map(_.toString).sorted
+    assert(pinned.sameElements(at),
+      "pinned serve drifted from the capture-time view")
+    val live = EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries)
+      .collect()
+    assert(live.forall(_.getAs[Long]("vec_id") != victim))
+    assert(!live.map(_.toString).sorted.sameElements(at))
+    // a fresh snapshot pins the MUTATED view
+    val snap2 = EmbeddingOps.indexSnapshot(spark, idx)
+    assert(EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
+        asOf = Some(snap2)).collect().map(_.toString).sorted
+      .sameElements(live.map(_.toString).sorted))
+    // compaction rewrites the tree -> both snapshots expire loudly
+    assert(EmbeddingOps.ivfpqIndexCompact(spark, idx) == 2)
+    for (dead <- Seq(snap, snap2)) {
+      val err = intercept[IllegalArgumentException] {
+        EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
+          asOf = Some(dead))
+      }
+      assert(err.getMessage.contains("snapshot expired"))
+    }
+    // a post-compaction snapshot serves the (unchanged) live view...
+    val snap3 = EmbeddingOps.indexSnapshot(spark, idx)
+    assert(EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
+        asOf = Some(snap3)).collect().map(_.toString).sorted
+      .sameElements(live.map(_.toString).sorted))
+    // ...until a full rebuild bumps the epoch again
+    EmbeddingOps.ivfpqIndexWrite(e, idx)
+    val err2 = intercept[IllegalArgumentException] {
+      EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
+        asOf = Some(snap3))
+    }
+    assert(err2.getMessage.contains("snapshot expired"))
+    // a non-index path refuses at capture
+    val err3 = intercept[IllegalArgumentException] {
+      EmbeddingOps.indexSnapshot(spark, s"$idx/definitely-not-an-index")
+    }
+    assert(err3.getMessage.contains("not an index root"))
+  }
+
+  test("snapshot tokens persist: snapshotWrite/snapshotRead round-trips " +
+    "and the re-read token serves the pinned IVF view; malformed or " +
+    "missing tokens refuse") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val queries = e.where($"vec_id" < 5)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snaptok_idx").toString
+    EmbeddingOps.ivfIndexWrite(e.where($"vec_id" < 250), idx)
+    val snap = EmbeddingOps.indexSnapshot(spark, idx)
+    val tok = s"$idx-token.json"
+    EmbeddingOps.snapshotWrite(spark, tok, snap)
+    assert(EmbeddingOps.snapshotRead(spark, tok) == snap,
+      "token did not round-trip")
+    val at = EmbeddingOps.ivfTopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    // mutate underneath: append + delete a currently-served vector
+    EmbeddingOps.ivfIndexAppend(e.where($"vec_id" >= 250), idx)
+    val victim = EmbeddingOps.ivfTopKIndexed(spark, idx, queries,
+        asOf = Some(snap))
+      .where($"rk" === 1).select($"vec_id").limit(1)
+      .collect()(0).getLong(0)
+    EmbeddingOps.indexDelete(spark, idx, Seq(victim).toDF("vec_id"))
+    // the RE-READ token replays the capture-time serve bit-identically
+    val pinned = EmbeddingOps.ivfTopKIndexed(spark, idx, queries,
+        asOf = Some(EmbeddingOps.snapshotRead(spark, tok)))
+      .collect().map(_.toString).sorted
+    assert(pinned.sameElements(at),
+      "re-read token drifted from the capture-time view")
+    val live = EmbeddingOps.ivfTopKIndexed(spark, idx, queries).collect()
+    assert(live.forall(_.getAs[Long]("vec_id") != victim))
+    // a token with deletions captures the non-empty tombstone sets too
+    val snap2 = EmbeddingOps.indexSnapshot(spark, idx)
+    assert(snap2.delSegs.nonEmpty)
+    EmbeddingOps.snapshotWrite(spark, tok, snap2)
+    assert(EmbeddingOps.snapshotRead(spark, tok) == snap2)
+    // missing and malformed tokens refuse loudly
+    val miss = intercept[IllegalArgumentException] {
+      EmbeddingOps.snapshotRead(spark, s"$idx-no-such-token.json")
+    }
+    assert(miss.getMessage.contains("no snapshot token"))
+    // fresh path: overwriting `tok` with nio would leave Hadoop's
+    // stale .crc sidecar behind and fail on checksum, not on parse
+    val badTok = s"$idx-bad-token.json"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badTok),
+      """{"epoch":1,"dataSegs":"oops"}""".getBytes("UTF-8"))
+    val bad = intercept[IllegalArgumentException] {
+      EmbeddingOps.snapshotRead(spark, badTok)
+    }
+    assert(bad.getMessage.contains("malformed snapshot token"))
+  }
+
+  test("indexDiff classifies keys added and removed between two pinned " +
+    "views; appended-then-deleted keys are in neither; unordered or " +
+    "expired tokens refuse") {
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val aSlice = e.where($"vec_id" < 250)
+    val bSlice = e.where($"vec_id" >= 250)
+    val nB = bSlice.count()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_diff_idx").toString
+    EmbeddingOps.sq8IndexWrite(aSlice, idx)
+    val from = EmbeddingOps.indexSnapshot(spark, idx)
+    val queries = e.where($"vec_id" < 5)
+    val atBuild = EmbeddingOps.sq8TopKIndexed(spark, idx, queries)
+      .collect().map(_.toString).sorted
+    EmbeddingOps.sq8IndexAppend(bSlice, idx)
+    // victims: two from the build slice, one from the appended slice
+    EmbeddingOps.indexDelete(spark, idx,
+      Seq(10L, 20L, 300L).toDF("vec_id"))
+    val to = EmbeddingOps.indexSnapshot(spark, idx)
+    val diff = EmbeddingOps.indexDiff(spark, idx, "codes", from, to)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val added = diff.collect { case (id, "added") => id }.toSet
+    val removed = diff.collect { case (id, "removed") => id }.toSet
+    // ONE ROW PER CHANGED KEY — a family storing several rows per key
+    // (PQ: one per (key, sub)) must not leak multiplicity into the
+    // audit (the sim_index_diff oracle counts rows, not key sets)
+    assert(diff.length == added.size + removed.size,
+      s"indexDiff emitted duplicate key rows: ${diff.length} rows " +
+        s"for ${added.size + removed.size} changed keys")
+    assert(removed == Set(10L, 20L),
+      s"removed leg wrong: $removed")
+    assert(added.size == nB - 1 && !added.contains(300L) &&
+      added.forall(_ >= 250L),
+      "added leg must be the appended slice minus its deleted key")
+    // the sq8 serve pinned to `from` still replays the build-time view
+    assert(EmbeddingOps.sq8TopKIndexed(spark, idx, queries,
+        asOf = Some(from)).collect().map(_.toString).sorted
+      .sameElements(atBuild))
+    // a token diffed against itself is empty
+    assert(EmbeddingOps.indexDiff(spark, idx, "codes", to, to)
+      .count() == 0)
+    // reversed order refuses
+    val uno = intercept[IllegalArgumentException] {
+      EmbeddingOps.indexDiff(spark, idx, "codes", to, from)
+    }
+    assert(uno.getMessage.contains("not ordered"))
+    // a rebuild bumps the epoch -> both tokens expire
+    EmbeddingOps.sq8IndexWrite(e, idx)
+    val dead = intercept[IllegalArgumentException] {
+      EmbeddingOps.indexDiff(spark, idx, "codes", from, to)
+    }
+    assert(dead.getMessage.contains("snapshot expired"))
+  }
+
   test("index deletion: tombstones mask vectors in all three servings, " +
     "crash-atomically; compaction applies and clears them") {
     val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()

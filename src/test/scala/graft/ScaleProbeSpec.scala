@@ -1151,4 +1151,36 @@ class ScaleProbeSpec extends SparkSpec {
     assert(wgl.exists(_.mode.toString == "Partial"),
       s"no Partial-mode pre-shuffle trim: ${wgl.map(_.mode)}")
   }
+
+  test("indexDiff at 10x sf0.1: every codes scan is segment-pruned and " +
+    "reads ONLY the key column — the audit is O(keys), never O(payload)") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_diff_probe_idx").toString
+    EmbeddingOps.sq8IndexWrite(
+      syntheticEmb(50000L).where(col("vec_id") < 40000), idx)
+    val from = EmbeddingOps.indexSnapshot(spark, idx)
+    EmbeddingOps.sq8IndexAppend(
+      syntheticEmb(50000L).where(col("vec_id") >= 40000), idx)
+    EmbeddingOps.indexDelete(spark, idx,
+      syntheticEmb(50000L).where(col("vec_id") % 100 === 7)
+        .select(col("vec_id")))
+    val to = EmbeddingOps.indexSnapshot(spark, idx)
+    val plan = staticPlanOf(
+      EmbeddingOps.indexDiff(spark, idx, "codes", from, to))
+    val scans = plan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains(idx)) => sc
+    }
+    assert(scans.nonEmpty, "no parquet scan of the index found")
+    scans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        "an index scan has no segment partition filter")
+      val dataCols = sc.requiredSchema.fieldNames.toSeq
+      assert(dataCols == Seq("vec_id"),
+        "an indexDiff scan reads payload columns — column pruning " +
+          s"failed: $dataCols")
+    }
+    assertShuffleHealth("indexDiff", plan)
+  }
 }

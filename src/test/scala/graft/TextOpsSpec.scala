@@ -1117,6 +1117,43 @@ class TextOpsSpec extends SparkSpec {
     assert(!delsDir.exists || delsDir.listFiles().isEmpty)
   }
 
+  test("minhash index snapshot: pinned serving ignores later appends " +
+    "and deletes bit-identically; compaction expires it") {
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .localCheckpoint()
+    import org.apache.spark.sql.functions.col
+    val storedAll = all.where(col("doc_id") % 5 =!= 0)
+    val batch = all.where(col("doc_id") % 5 === 0)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_idx_snap").toString
+    TextOps.minhashIndexWrite(storedAll.where(col("doc_id") < 250), idx)
+    val snap = graft.operators.EmbeddingOps.indexSnapshot(spark, idx)
+    val at = TextOps.nearDupServe(spark, idx, batch).collect()
+      .map(_.toString).sorted
+    // mutate: append the rest of the stored slice, then delete a
+    // doc_a the capture-time view serves
+    TextOps.minhashIndexAppend(storedAll.where(col("doc_id") >= 250), idx)
+    val victimId = TextOps.nearDupServe(spark, idx, batch,
+        asOf = Some(snap)).collect().map(_.getLong(0)).min
+    TextOps.minhashIndexDelete(spark, idx,
+      spark.range(victimId, victimId + 1).select(col("id").as("doc_id")))
+    // pinned == capture time, bit-identical; live masks the victim
+    // and sees the appended segment
+    val pinned = TextOps.nearDupServe(spark, idx, batch,
+      asOf = Some(snap)).collect().map(_.toString).sorted
+    assert(pinned.sameElements(at),
+      "pinned near-dup serve drifted from the capture-time view")
+    val live = TextOps.nearDupServe(spark, idx, batch).collect()
+    assert(live.forall(_.getLong(0) != victimId))
+    assert(!live.map(_.toString).sorted.sameElements(at))
+    // compaction expires the snapshot loudly
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    val err = intercept[IllegalArgumentException] {
+      TextOps.nearDupServe(spark, idx, batch, asOf = Some(snap))
+    }
+    assert(err.getMessage.contains("snapshot expired"))
+  }
+
   test("groupSplit keeps every near-dup group member in one split") {
     // docs 1/2/3 form one dup group (exact + near), 4 stands alone
     val out = TextOps.groupSplit(docs, threshold = 0.5).collect()
