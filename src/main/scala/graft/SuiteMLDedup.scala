@@ -16,6 +16,30 @@ import graft.SuiteMLShared._
   */
 private[graft] object SuiteMLDedup {
 
+  /** The mutation-history fixture shared by `dedup_serve_asof` and
+    * `dedup_index_diff` (the text twin of SuiteMLSim's
+    * asofHistoryIdx): build over doc_id % 5 IN (1, 2), CAPTURE
+    * (`mh_asof:$d`), append the % 5 IN (3, 4) slice, delete the
+    * % 5 = 1 AND % 3 = 0 docs, CAPTURE again (`mh_asof_end:$d`).
+    * One shared builder so the two rows' replayed histories cannot
+    * drift. */
+  private def mhAsofIdx(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    cachedIndex("mh_asof", d, p => {
+      val all = docs(s, d)
+      TextOps.minhashIndexWrite(
+        all.where(col("doc_id") % 5 === 1 ||
+          col("doc_id") % 5 === 2), p)
+      snapCache.put(s"mh_asof:$d", EmbeddingOps.indexSnapshot(s, p))
+      TextOps.minhashIndexAppend(
+        all.where(col("doc_id") % 5 === 3 ||
+          col("doc_id") % 5 === 4), p)
+      TextOps.minhashIndexDelete(s, p,
+        all.where(col("doc_id") % 5 === 1 &&
+          col("doc_id") % 3 === 0).select(col("doc_id")))
+      snapCache.put(s"mh_asof_end:$d", EmbeddingOps.indexSnapshot(s, p))
+    })
+
   val rows: Seq[Q] = Seq(
     Q("dedup_exact",
       (s, d) => TextOps.dedupExact(docs(s, d)),
@@ -167,22 +191,10 @@ private[graft] object SuiteMLDedup {
     // the oracle's indexed side is just the build slice ---------------
     Q("dedup_serve_asof",
       (s, d) => {
-        val key = s"mh_asof:$d"
-        val all = docs(s, d)
-        val dir = cachedIndex("mh_asof", d, p => {
-          TextOps.minhashIndexWrite(
-            all.where(col("doc_id") % 5 === 1 ||
-              col("doc_id") % 5 === 2), p)
-          snapCache.put(key, EmbeddingOps.indexSnapshot(s, p))
-          TextOps.minhashIndexAppend(
-            all.where(col("doc_id") % 5 === 3 ||
-              col("doc_id") % 5 === 4), p)
-          TextOps.minhashIndexDelete(s, p,
-            all.where(col("doc_id") % 5 === 1 &&
-              col("doc_id") % 3 === 0).select(col("doc_id")))
-        })
-        TextOps.nearDupServe(s, dir, all.where(col("doc_id") % 5 === 0),
-          asOf = Some(snapCache.get(key)))
+        val dir = mhAsofIdx(s, d)
+        TextOps.nearDupServe(s, dir,
+          docs(s, d).where(col("doc_id") % 5 === 0),
+          asOf = Some(snapCache.get(s"mh_asof:$d")))
       },
       Some(s"""WITH $TokCte,
         |dsa AS (SELECT * FROM ds WHERE doc_id % 5 IN (1, 2)),
@@ -205,6 +217,29 @@ private[graft] object SuiteMLDedup {
         |JOIN sza sa ON sa.doc_id = i.doc_a
         |JOIN szb sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
+
+    // ---- dedup: snapshot diff over the near-dup index — the audit
+    // twin of dedup_serve_asof, one per index family next to
+    // sim_index_diff / text_bm25_diff: which docs did the mutations
+    // between the two captures make visible (the appended % 5 IN
+    // (3, 4) slice) and which did they kill (the % 5 = 1 AND % 3 = 0
+    // deletions)? Only docs the index holds a row for count — the
+    // MinHash index stores docs with >= 3 tokens (shingle
+    // indexability), which the oracle restates as a length predicate
+    Q("dedup_index_diff",
+      (s, d) => {
+        val dir = mhAsofIdx(s, d)
+        EmbeddingOps.indexDiff(s, dir, "docs",
+          snapCache.get(s"mh_asof:$d"),
+          snapCache.get(s"mh_asof_end:$d"), keyCol = "doc_id")
+      },
+      Some("""SELECT doc_id, 'added' AS change FROM documents
+        |WHERE doc_id % 5 IN (3, 4)
+        |  AND len(string_split(text, ' ')) >= 3
+        |UNION ALL
+        |SELECT doc_id, 'removed' AS change FROM documents
+        |WHERE doc_id % 5 = 1 AND doc_id % 3 = 0
+        |  AND len(string_split(text, ' ')) >= 3""".stripMargin)),
 
     // ---- dedup: capped serve under an index-side template cluster -------
     // (the serve twin of dedup_minhash_capped: even doc_ids collapse

@@ -277,6 +277,57 @@ private[graft] object SuiteMLShared {
   private[graft] val Bm25K1: Long = 1200L
   private[graft] val Bm25B: Long = 750L
 
+  /** Batched-BM25 replay CTEs ending in `lex(query_id, rk, doc_id,
+    * dl, n_terms, score_q)`: queries are the doc_id < 5 documents,
+    * each query's term set = the DISTINCT words among its first 8
+    * tokens (a set, not a bag — matching the serve's distinct), the
+    * corpus is all of `documents`, arithmetic identical to
+    * SuiteMLText's single-query bm25IndexedSql. ONE generator feeds
+    * both `text_bm25_batch` and `sim_hybrid_rrf`'s lexical arm so
+    * the two replays cannot drift. */
+  private[graft] val Bm25BatchCte: String =
+    s"""qw AS (SELECT DISTINCT doc_id AS query_id,
+      |          unnest(string_split(text, ' ')[1:8]) AS word
+      |        FROM documents WHERE doc_id < 5),
+      |bdl AS (SELECT doc_id,
+      |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+      |        FROM documents),
+      |btot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok,
+      |                CAST(count(*) AS BIGINT) AS n_docs FROM bdl),
+      |btf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+      |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |              FROM documents)
+      |        WHERE word IN (SELECT word FROM qw) GROUP BY 1, 2),
+      |bdf AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
+      |bsc AS (SELECT doc_id, word, dl,
+      |          CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_q,
+      |          CAST(CAST(tf AS HUGEINT) * ${Bm25K1 + 1000L} * 1000 * t_tok * 1000
+      |               // (CAST(tf AS HUGEINT) * 1000000 * t_tok
+      |                   + CAST(${Bm25K1 * (1000L - Bm25B)} AS HUGEINT) * t_tok
+      |                   + CAST(${Bm25K1 * Bm25B} AS HUGEINT) * dl * n_docs)
+      |            AS BIGINT) AS sat
+      |        FROM btf JOIN bdf USING (word) JOIN bdl USING (doc_id), btot),
+      |bqs AS (SELECT qw.query_id, bsc.doc_id, max(bsc.dl) AS dl,
+      |               count(*) AS n_terms,
+      |               CAST(SUM(bsc.idf_q * bsc.sat) AS BIGINT) AS score_q
+      |        FROM bsc JOIN qw USING (word) GROUP BY 1, 2),
+      |lex AS (SELECT query_id, CAST(rk AS INTEGER) AS rk, doc_id, dl,
+      |               n_terms, score_q FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY score_q DESC, doc_id) AS rk FROM bqs) WHERE rk <= 10)""".stripMargin
+
+  /** The batched queries' (query_id, word) frame on the Spark side —
+    * the same first-8-tokens distinct set as `Bm25BatchCte`'s qw. */
+  private[graft] def bm25BatchQueries(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.where(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"),
+        org.apache.spark.sql.functions.explode(
+          org.apache.spark.sql.functions.slice(
+            org.apache.spark.sql.functions.split(col("text"), " "),
+            1, 8)).as("word"))
+      .distinct()
+
   /** Blocklist phrases — ONE literal feeding both engines; mixed
     * lengths exercise the per-length gram streams. */
   private[graft] val BlockPhrases: Seq[String] =

@@ -464,6 +464,51 @@ private[graft] object SuiteMLSim {
         |SELECT vec_id, 'removed' AS change FROM embeddings
         |WHERE vec_id % 7 <> 6 AND vec_id % 11 = 3""".stripMargin)),
 
+    // ---- retrieval: HYBRID lexical+dense serving (RRF fusion) -------
+    // The two persisted index families composed the way a production
+    // retrieval stack runs them: batched BM25 top-10 per query (terms
+    // from each query doc's first 8 tokens) fused with IVF-PQ ADC
+    // top-10 per query (the query docs' embeddings — the id domains
+    // are shared) by reciprocal rank, 1/(60+rk) summed over the arms
+    // a candidate appears in. Rank arithmetic on both sides is the
+    // exact integer serving already oracle-checked row-by-row
+    // (text_bm25_batch, sim_ivfpq_persisted); the fusion is a
+    // two-term IEEE double sum of those ranks, so the whole composed
+    // answer replays bit-identically. Note the arms' self-match
+    // contracts differ by construction: ADC excludes the query
+    // vector, BM25 does not (a doc IS its own best lexical match) —
+    // the oracle replays both as they are.
+    Q("sim_hybrid_rrf",
+      (s, d) => {
+        val bmIdx = cachedIndex("bm25", d,
+          p => TextOps.bm25IndexWrite(docs(s, d), p))
+        val pqIdx = cachedIndex("ivfpq", d,
+          p => EmbeddingOps.ivfpqIndexWrite(emb(s, d), p))
+        graft.operators.Hybrid.hybridTopKIndexed(s, bmIdx, pqIdx,
+          bm25BatchQueries(docs(s, d)),
+          emb(s, d).where(col("vec_id") < 5))
+      },
+      Some(s"""WITH $EmbCte,
+        |$IvfPqScoreCte,
+        |dense AS (SELECT query_id, vec_id AS cand_id,
+        |                 CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adot DESC, vec_id) AS rk FROM xsc) WHERE rk <= 10),
+        |$Bm25BatchCte,
+        |lx AS (SELECT query_id, doc_id AS cand_id, rk FROM lex),
+        |f AS (SELECT COALESCE(l.query_id, a.query_id) AS query_id,
+        |             COALESCE(l.cand_id, a.cand_id) AS cand_id,
+        |             l.rk AS lex_rk, a.rk AS dense_rk,
+        |             COALESCE(CAST(1 AS DOUBLE) / (60 + l.rk), CAST(0 AS DOUBLE))
+        |               + COALESCE(CAST(1 AS DOUBLE) / (60 + a.rk), CAST(0 AS DOUBLE)) AS rrf
+        |      FROM lx l FULL OUTER JOIN dense a
+        |        ON a.query_id = l.query_id AND a.cand_id = l.cand_id)
+        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
+        |       lex_rk, dense_rk, rrf FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf DESC, cand_id) AS rk FROM f) WHERE rk <= 10""".stripMargin),
+      bench = true),
+
     // ---- similarity: IVF-PQ recall@10 — the composite's recall row,
     // measuring coarse-pruning misses AND residual-quantization
     // ranking error against the exact brute top-10 ------------------

@@ -46,6 +46,27 @@ private[graft] object SuiteMLText {
       |FROM sc GROUP BY 1
       |ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin
 
+  /** The mutation-history fixture shared by `text_bm25_asof` and
+    * `text_bm25_diff`: build over doc_id % 7 <> 3, CAPTURE
+    * (`bm25_asof:$d`), append the % 7 = 3 slice, tombstone the
+    * % 13 = 5 docs inside the build slice, CAPTURE again
+    * (`bm25_asof_end:$d`). One shared builder so the two rows'
+    * replayed histories cannot drift. */
+  private def bm25AsofIdx(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    cachedIndex("bm25_asof", d, p => {
+      val all = docs(s, d)
+      TextOps.bm25IndexWrite(all.where(col("doc_id") % 7 =!= 3), p)
+      snapCache.put(s"bm25_asof:$d", EmbeddingOps.indexSnapshot(s, p))
+      TextOps.bm25IndexAppend(all.where(col("doc_id") % 7 === 3), p)
+      EmbeddingOps.indexDelete(s, p,
+        all.where(col("doc_id") % 7 =!= 3 &&
+          col("doc_id") % 13 === 5).select(col("doc_id")),
+        keyCol = "doc_id")
+      snapCache.put(s"bm25_asof_end:$d",
+        EmbeddingOps.indexSnapshot(s, p))
+    })
+
   val rows: Seq[Q] = Seq(
 
     // ---- dedup: cross-document LINE removal (CCNet §3.1 — the
@@ -1293,22 +1314,48 @@ private[graft] object SuiteMLText {
     // oracle is the indexed-BM25 replay over the build slice alone.
     // One SQL generator serves both rows, so the replays cannot drift
     Q("text_bm25_asof",
-      (s, d) => {
-        val key = s"bm25_asof:$d"
-        val idx = cachedIndex("bm25_asof", d, p => {
-          val all = docs(s, d)
-          TextOps.bm25IndexWrite(all.where(col("doc_id") % 7 =!= 3), p)
-          snapCache.put(key, EmbeddingOps.indexSnapshot(s, p))
-          TextOps.bm25IndexAppend(all.where(col("doc_id") % 7 === 3), p)
-          EmbeddingOps.indexDelete(s, p,
-            all.where(col("doc_id") % 7 =!= 3 &&
-              col("doc_id") % 13 === 5).select(col("doc_id")),
-            keyCol = "doc_id")
-        })
-        TextOps.bm25TopKIndexed(s, idx, Bm25Terms,
-          asOf = Some(snapCache.get(key)))
-      },
+      (s, d) => TextOps.bm25TopKIndexed(s, bm25AsofIdx(s, d), Bm25Terms,
+        asOf = Some(snapCache.get(s"bm25_asof:$d"))),
       Some(bm25IndexedSql("doc_id % 7 <> 3"))),
+
+    // ---- retrieval: snapshot diff over the BM25 index — the audit
+    // twin of text_bm25_asof, completing the one-diff-row-per-index-
+    // family set (sim_index_diff, dedup_index_diff): added = the
+    // appended % 7 = 3 slice (every doc posts at least one word),
+    // removed = the % 13 = 5 tombstones inside the build slice. The
+    // postings store one row per (doc, word); the diff's key-distinct
+    // keeps the audit one row per changed DOC
+    Q("text_bm25_diff",
+      (s, d) => {
+        val idx = bm25AsofIdx(s, d)
+        EmbeddingOps.indexDiff(s, idx, "postings",
+          snapCache.get(s"bm25_asof:$d"),
+          snapCache.get(s"bm25_asof_end:$d"), keyCol = "doc_id")
+      },
+      Some("""SELECT doc_id, 'added' AS change FROM documents
+        |WHERE doc_id % 7 = 3
+        |UNION ALL
+        |SELECT doc_id, 'removed' AS change FROM documents
+        |WHERE doc_id % 7 <> 3 AND doc_id % 13 = 5""".stripMargin)),
+
+    // ---- retrieval: BATCHED multi-query BM25 serving ----------------
+    // One pruned postings scan for the UNION of the 5 query docs'
+    // term sets (distinct words among each doc's first 8 tokens),
+    // per-(query, doc) scoring fanned out by a broadcast word join,
+    // top-10 per query — for each query_id the rows equal the
+    // single-query serve with that term set (spec-pinned parity).
+    // The oracle replays the same arithmetic per query over the raw
+    // corpus ([[SuiteMLShared.Bm25BatchCte]]).
+    Q("text_bm25_batch",
+      (s, d) => {
+        val idx = cachedIndex("bm25", d,
+          p => TextOps.bm25IndexWrite(docs(s, d), p))
+        TextOps.bm25TopKIndexedBatch(s, idx,
+          bm25BatchQueries(docs(s, d)))
+      },
+      Some(s"""WITH $Bm25BatchCte
+        |SELECT query_id, rk, doc_id, dl, n_terms, score_q
+        |FROM lex""".stripMargin)),
 
     // ---- retrieval: cross-corpus BM25 serving from prebuilt stats --------
     // Collection statistics (df, N, T) come from every source EXCEPT

@@ -149,15 +149,23 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       "query terms must be non-empty and distinct")
     val posts = bm25PostingsScan(s, path, terms, asOf)
       .pinned // df branch + scoring branch, one pruned scan
-    // df is count(DISTINCT doc_id), not count(rows): appending an
-    // already-indexed doc (the bm25IndexAppend contract says route
-    // ingestion through a dedup gate) would silently inflate a
-    // row-count df. The distinct keeps df exact regardless — and
-    // since duplicated postings would STILL corrupt ranking (the doc
-    // scores once per copy), a row-count/distinct mismatch fails the
-    // serve loudly instead of returning corrupt top-k. Both
-    // aggregates ride the |terms|-bounded frame.
-    val df_ = broadcast(posts.groupBy(col("word"))
+    bm25Rank(posts.join(bm25Df(posts), Seq("word"))
+      .crossJoin(bm25Totals(s, path, asOf)),
+      k, k1Permille, bPermille)
+  }
+
+  /** Per-term document frequency off the pruned postings, with the
+    * duplicate-postings tripwire. df is count(DISTINCT doc_id), not
+    * count(rows): appending an already-indexed doc (the
+    * [[bm25IndexAppend]] contract says route ingestion through a
+    * dedup gate) would silently inflate a row-count df. The distinct
+    * keeps df exact regardless — and since duplicated postings would
+    * STILL corrupt ranking (the doc scores once per copy), a
+    * row-count/distinct mismatch fails the serve loudly instead of
+    * returning corrupt top-k. Both aggregates ride the
+    * |terms|-bounded frame. */
+  private def bm25Df(posts: DataFrame): DataFrame =
+    broadcast(posts.groupBy(col("word"))
       .agg(count(lit(1)).as("n_rows"),
         count_distinct(col("doc_id")).as("df"))
       .select(col("word"),
@@ -166,11 +174,58 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
             lit("bm25 index corrupt: duplicate doc_ids in postings " +
               "for term "), col("word"),
             lit(" — an append bypassed the dedup gate")))).as("df")))
-    val tot = broadcast(s.read.parquet(s"$path/totals")
+
+  /** The summed collection statistics (1 row), committed-segment or
+    * snapshot-pinned. */
+  private def bm25Totals(s: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[IndexSnapshot]): DataFrame =
+    broadcast(s.read.parquet(s"$path/totals")
       .where(EmbeddingOps.segFilter(s, path, asOf))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tok")).as("t_tok")))
-    bm25Rank(posts.join(df_, Seq("word")).crossJoin(tot),
-      k, k1Permille, bPermille)
+
+  /** Batched multi-query BM25 serving: top-k per query for a WHOLE
+    * query batch off ONE pruned postings scan — the index is touched
+    * once for the UNION of all queries' terms, not once per query.
+    * That is the batch-serving contract that matters at scale: a
+    * retrieval evaluation (or an RRF hybrid arm — [[Hybrid]]) runs
+    * thousands of queries, and per-query serves would re-list and
+    * re-open the same segment files thousands of times, while the
+    * union scan's IO is |touched buckets| regardless of batch size.
+    *
+    * `queries` is a (query_id, word) frame — bounded by the query
+    * batch by construction, so it broadcasts. Scoring: the per-(doc,
+    * word) idf/saturation arithmetic is query-independent
+    * ([[bm25ScoreCols]]), computed once per posting row and fanned
+    * out to queries by a broadcast word join; each query then
+    * aggregates exactly the single-query sum, so for every query_id
+    * the rows equal `bm25TopKIndexed(path, its terms, k)` (the parity
+    * the spec pins). Duplicate (query_id, word) pairs are collapsed —
+    * BM25 scores a term set, not a term bag. */
+  def bm25TopKIndexedBatch(s: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
+    val qw = queries.select(col("query_id"), col("word")).distinct()
+      .pinned // term-union collect + score fan-out, one build
+    val terms = qw.select(col("word")).distinct()
+      .collect().map(_.getString(0)).toSeq // bounded by the batch
+    require(terms.nonEmpty, "query batch has no terms")
+    val posts = bm25PostingsScan(s, path, terms, asOf)
+      .pinned // df branch + scoring branch, one pruned scan
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_q").desc, col("doc_id").asc)
+    bm25ScoreCols(posts.join(bm25Df(posts), Seq("word"))
+        .crossJoin(bm25Totals(s, path, asOf)),
+        k1Permille, bPermille)
+      .join(broadcast(qw), Seq("word"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(max(col("dl")).as("dl"),
+        count(lit(1)).as("n_terms"),
+        sum(col("idf_q") * col("sat_permille")).as("score_q"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+      .select(col("query_id"), col("rk").cast("int").as("rk"),
+        col("doc_id"), col("dl"), col("n_terms"), col("score_q"))
   }
 
   /** Consolidate all segments into one and apply tombstones
@@ -584,7 +639,15 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
   /** Shared BM25 arithmetic over a joined (doc_id, word, tf, df, dl,
     * t_tok, n_docs) frame — the exact-integer saturation/idf/top-k
     * back half of [[bm25TopK]] and [[bm25TopKWith]]. */
-  private def bm25Rank(scored0: DataFrame, k: Int, K: Long,
+  /** The exact-integer per-(doc, word) BM25 arithmetic shared by the
+    * single-query ([[bm25Rank]]) and batched (`bm25TopKIndexedBatch`)
+    * serves — one definition so the two paths cannot drift. Input
+    * carries (tf, dl, df, n_docs, t_tok); adds the quantized idf and
+    * the permille-scaled tf saturation. Both are query-INDEPENDENT
+    * (they depend only on corpus statistics), which is what lets the
+    * batched serve compute them once per posting row and fan out to
+    * queries afterwards. */
+  private def bm25ScoreCols(scored0: DataFrame, K: Long,
       B: Long): DataFrame = {
     require(B >= 0 && B <= 1000, "b is a permille value in [0, 1000]")
     scored0
@@ -595,11 +658,15 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
           s" * 1000 div (CAST(tf AS DECIMAL(38,0)) * 1000000 * t_tok" +
           s" + CAST(${K * (1000L - B)} AS DECIMAL(38,0)) * t_tok" +
           s" + CAST(${K * B} AS DECIMAL(38,0)) * dl * n_docs) AS BIGINT)"))
+  }
+
+  private def bm25Rank(scored0: DataFrame, k: Int, K: Long,
+      B: Long): DataFrame =
+    bm25ScoreCols(scored0, K, B)
       .groupBy(col("doc_id"))
       .agg(max(col("dl")).as("dl"),
         count(lit(1)).as("n_terms"),
         sum(col("idf_q") * col("sat_permille")).as("score_q"))
       .orderBy(col("score_q").desc, col("doc_id").asc)
       .limit(k)
-  }
 }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EmbeddingOps, Hybrid, TextOps}
+
+/** Batched BM25 serving + hybrid (RRF) retrieval. */
+class HybridSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus =
+    Tables(spark, "/root/testdata/sf0.001").documents.localCheckpoint()
+  private lazy val emb =
+    Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+
+  private def freshDir(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_$tag").resolve("ix").toString
+
+  /** The per-query term sets used throughout: distinct words among
+    * the first n tokens of each query doc. */
+  private def termQueries(nQ: Int, nTok: Int) = corpus
+    .where($"doc_id" < nQ)
+    .select($"doc_id".as("query_id"),
+      explode(slice(split($"text", " "), 1, nTok)).as("word"))
+    .distinct()
+
+  test("bm25TopKIndexedBatch equals the single-query serve per query, " +
+    "collapses duplicate (query, word) pairs, and threads asOf") {
+    val idx = freshDir("bm25_batch_idx")
+    TextOps.bm25IndexWrite(corpus, idx)
+    val qw = termQueries(3, 8).localCheckpoint()
+    val batch = TextOps.bm25TopKIndexedBatch(spark, idx, qw, k = 10)
+      .collect()
+    // per-query parity with the single serve: same docs, same stats,
+    // same order (rk ascending == the single serve's sort)
+    qw.select($"query_id").distinct().as[Long].collect().sorted
+      .foreach { q =>
+        val terms = qw.where($"query_id" === q)
+          .select($"word").as[String].collect().toSeq.sorted
+        val single = TextOps.bm25TopKIndexed(spark, idx, terms, k = 10)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getLong(3)))
+        val mine = batch.filter(_.getLong(0) == q).sortBy(_.getInt(1))
+          .map(r => (r.getLong(2), r.getLong(3), r.getLong(4),
+            r.getLong(5)))
+        assert(mine.sameElements(single),
+          s"batch serve diverges from single serve for query $q")
+      }
+    // a term BAG must serve identically to the term SET
+    val bag = qw.unionAll(qw.where($"query_id" === 0))
+    val viaBag = TextOps.bm25TopKIndexedBatch(spark, idx, bag, k = 10)
+      .collect().map(_.toString).sorted
+    assert(viaBag.sameElements(batch.map(_.toString).sorted),
+      "duplicate (query, word) pairs changed the batch serve")
+    // asOf: capture, then tombstone query 0's top-1 doc — the pinned
+    // batch replays the capture-time view, the live serve must lose
+    // the victim. (Appending an exact corpus COPY would be a
+    // degenerate mutation here: BM25's idf and saturation are
+    // scale-invariant ratios, so a doubled corpus scores identically
+    // and ties break back to the original ids.)
+    val snap = EmbeddingOps.indexSnapshot(spark, idx)
+    val victim = batch
+      .filter(r => r.getLong(0) == 0L && r.getInt(1) == 1)
+      .map(_.getLong(2)).head
+    EmbeddingOps.indexDelete(spark, idx,
+      Seq(victim).toDF("doc_id"), keyCol = "doc_id")
+    val pinned = TextOps
+      .bm25TopKIndexedBatch(spark, idx, qw, k = 10, asOf = Some(snap))
+      .collect().map(_.toString).sorted
+    assert(pinned.sameElements(batch.map(_.toString).sorted),
+      "pinned batch serve does not replay the capture-time view")
+    val live = TextOps.bm25TopKIndexedBatch(spark, idx, qw, k = 10)
+      .collect()
+    assert(!live.exists(r => r.getLong(0) == 0L &&
+        r.getLong(2) == victim),
+      "live serve still returns the tombstoned doc")
+  }
+
+  test("rrfFuse: two-term reciprocal-rank arithmetic, one-armed " +
+    "candidates score, equal scores break ties by cand_id") {
+    val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 40L, 3))
+      .toDF("query_id", "cand_id", "rk")
+    val dense = Seq((1L, 20L, 1), (1L, 30L, 3))
+      .toDF("query_id", "cand_id", "rk")
+    val out = Hybrid.rrfFuse(lex, dense, k = 10)
+      .orderBy($"rk").collect()
+    // cand 20 in both arms: 1/62 + 1/61; cand 10 lex-only 1/61;
+    // cand 40 lex-only 1/63; cand 30 dense-only 1/63 — 40 and 30 tie
+    // EXACTLY (same arm rank), so cand_id must order them
+    assert(out.map(_.getLong(2)).sameElements(Array(20L, 10L, 30L, 40L)))
+    val rrf = out.map(r => r.getDouble(5))
+    assert(rrf(0) == 1.0 / 62 + 1.0 / 61)
+    assert(rrf(1) == 1.0 / 61)
+    assert(rrf(2) == 1.0 / 63 && rrf(3) == 1.0 / 63)
+    // arm ranks surface, null for the arm that missed the candidate
+    val c30 = out.find(_.getLong(2) == 30L).get
+    assert(c30.isNullAt(3) && c30.getInt(4) == 3)
+  }
+
+  test("hybridTopKIndexed: fused serve is deterministic and the two " +
+    "asOf tokens pin the composed answer under mutation of BOTH " +
+    "indexes") {
+    val bmIdx = freshDir("hyb_bm25_idx")
+    val pqIdx = freshDir("hyb_ivfpq_idx")
+    TextOps.bm25IndexWrite(corpus, bmIdx)
+    EmbeddingOps.ivfpqIndexWrite(emb, pqIdx)
+    val qw = termQueries(5, 8).localCheckpoint()
+    val vq = emb.where($"vec_id" < 5)
+    val before = Hybrid
+      .hybridTopKIndexed(spark, bmIdx, pqIdx, qw, vq)
+      .collect().map(_.toString).sorted
+    assert(before.nonEmpty)
+    val bmSnap = EmbeddingOps.indexSnapshot(spark, bmIdx)
+    val pqSnap = EmbeddingOps.indexSnapshot(spark, pqIdx)
+    // mutate both indexes: lexical gains a shifted corpus copy,
+    // dense loses half its vectors
+    TextOps.bm25IndexAppend(
+      corpus.select(($"doc_id" + 100000L).as("doc_id"), $"text",
+        $"lang", $"source", $"n_chars"), bmIdx)
+    EmbeddingOps.indexDelete(spark, pqIdx,
+      emb.where($"vec_id" % 2 === 0 && $"vec_id" >= 5)
+        .select($"vec_id"))
+    val pinned = Hybrid.hybridTopKIndexed(spark, bmIdx, pqIdx, qw, vq,
+      lexAsOf = Some(bmSnap), denseAsOf = Some(pqSnap))
+      .collect().map(_.toString).sorted
+    assert(pinned.sameElements(before),
+      "pinned hybrid serve does not replay the capture-time answer")
+    val live = Hybrid.hybridTopKIndexed(spark, bmIdx, pqIdx, qw, vq)
+      .collect().map(_.toString).sorted
+    assert(!live.sameElements(before),
+      "live hybrid serve should see both mutations")
+  }
+}

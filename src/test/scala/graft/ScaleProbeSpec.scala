@@ -1042,6 +1042,50 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopKIndexedBatch at 10x sf0.1: only batch-bounded frames " +
+    "broadcast; keyed shuffles keep parallelism for the whole batch") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_batch_probe").resolve("ix")
+      .toString
+    TextOps.bm25IndexWrite(syntheticDocs(50000L), idx)
+    // 100 queries x 3 terms, built shuffle-free so the probe sees
+    // only the serve's own exchanges
+    val qw = spark.range(300).select(
+      (col("id") % 100).as("query_id"),
+      element_at(array(lit("w1"), lit("w2"), lit("w3")),
+        (col("id") / 100).cast("int") + 1).as("word"))
+    val plan = staticPlanOf(
+      TextOps.bm25TopKIndexedBatch(spark, idx, qw))
+    // the postings scan's (seg, tb) partition filters are pinned by
+    // the single-serve probe above — both serves ride the same
+    // bm25PostingsScan. Here: the batch fan-out must broadcast ONLY
+    // frames bounded by the batch or |terms| (the (query_id, word)
+    // frame, per-term df, the scalar totals), and the per-(query,
+    // doc) aggregate + per-query window must shuffle at full
+    // parallelism — a batch serve that collapses to one partition
+    // would serialize every query through one task. The scalar
+    // totals aggregate legitimately collapses to 1.
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 1,
+      s"bm25TopKIndexedBatch lost its keyed shuffles: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"bm25TopKIndexedBatch has a shuffle at odd parallelism: $parts")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "bm25TopKIndexedBatch plans a CartesianProduct")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("word") || cols.contains("t_tok"),
+        "bm25TopKIndexedBatch broadcasts a non-bounded frame with " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("rankFusion at 10x sf0.1: only shard offsets and the DSIR bucket " +
     "distribution broadcast; corpus shuffles keep parallelism") {
     val multiSource = syntheticDocs(50000L)
