@@ -922,6 +922,39 @@ private[graft] object SuiteMLText {
         "dsrc AS MATERIALIZED (SELECT * FROM documents WHERE doc_id % 9 <> 0),\n" +
         curateCteList("dsrc") + CuratePackTail)),
 
+    // ---- curation behind a SemDeDup front gate ---------------------------
+    // (the joint text+embedding pipeline: docs whose embedding is a
+    // semantic near-dup of a lower-id doc — cos >= 0.45 within a
+    // trained quantizer cell, the dedup_semantic contract — drop
+    // BEFORE the 7-stage text funnel + packing. The oracle replays
+    // the quantizer training, the within-cell pair scoring, the
+    // keep-lowest drop rule, and the full chain over the filtered
+    // source CTE — the text_curate_forget splice pattern with the
+    // drop set computed instead of declared)
+    Q("text_curate_semdedup",
+      (s, d) => TextOps.curateSemantic(htmlFixture(docs(s, d)),
+        emb(s, d), spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
+        maxChars = QfMaxChars, packBudget = PackBudget,
+        packShard = PackShard),
+      Some("WITH RECURSIVE\n" + EmbCte + ",\n" +
+        kmeansCellsCte(EmbeddingOps.KmIters) + ",\n" +
+        """spp AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+          |        FROM cells a JOIN cells b ON a.cell = b.cell
+          |                                 AND a.vec_id < b.vec_id),
+          |sppx AS (SELECT spp.vec_a, spp.vec_b,
+          |                unnest(ea.q) AS x, unnest(eb.q) AS y
+          |         FROM spp JOIN e ea ON ea.vec_id = spp.vec_a
+          |                  JOIN e eb ON eb.vec_id = spp.vec_b),
+          |sdot2 AS (SELECT vec_a, vec_b, SUM(x*y) AS dot
+          |          FROM sppx GROUP BY 1, 2),
+          |sdrop AS (SELECT DISTINCT vec_b FROM sdot2
+          |          JOIN n na ON na.vec_id = vec_a
+          |          JOIN n nb ON nb.vec_id = vec_b
+          |          WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45),
+          |dsrc AS MATERIALIZED (SELECT * FROM documents
+          |  WHERE doc_id NOT IN (SELECT vec_b FROM sdrop)),
+          |""".stripMargin + curateCteList("dsrc") + CuratePackTail)),
+
     // ---- curation funnel report: per-stage doc count + token mass -------
     Q("text_curate_report",
       (s, d) => TextOps.curateReport(htmlFixture(docs(s, d)),

@@ -56,6 +56,36 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
         ledgerPath = ledgerPath).last._2,
       packBudget, packShard)
 
+  /** [[curate]] behind a SemDeDup front gate — the joint text+
+    * embedding curation a multimodal corpus runs (SemDeDup, Abbas
+    * et al. 2023, composed with the CCNet-style text funnel): docs
+    * whose EMBEDDING is a semantic near-duplicate of a lower-id doc
+    * (cos >= `threshold` within a trained quantizer cell —
+    * [[EmbeddingOps.semanticDedup]]) are dropped BEFORE the text
+    * chain, then the full 7-stage funnel + packing runs over the
+    * survivors. `emb` rows join `raw` by vec_id = doc_id (the shared
+    * id-domain contract). Scale shape: the drop set is bounded by
+    * the quantizer's within-cell pair volume (never all-pairs), and
+    * the gate is one keyed anti-join; every downstream stage is the
+    * operator already probed in isolation. A supplied forget-ledger
+    * still composes FIRST inside [[curate]] — but ledger-forgotten
+    * docs' vectors DO participate in near-dup scoring here (they
+    * only fail to survive); feed a pre-filtered `emb` when the
+    * ledger must also gate the scoring side. */
+  def curateSemantic(raw: DataFrame, emb: DataFrame, spanK: Int = 8,
+      lmKeepMilli: Long = 3950L, maxChars: Long = 100000L,
+      packBudget: Long = 512L, packShard: Long = 200L,
+      threshold: Double = 0.45,
+      ledgerPath: Option[String] = None): DataFrame = {
+    // drop the GREATER id of every semantic near-dup pair: the
+    // deterministic keep-lowest survivor rule the exact-dedup stage
+    // already uses, so the two dedup stages agree on who survives
+    val dropped = EmbeddingOps.semanticDedup(emb, threshold = threshold)
+      .select(col("vec_b").as("doc_id")).distinct()
+    curate(raw.join(dropped, Seq("doc_id"), "left_anti"), spanK,
+      lmKeepMilli, maxChars, packBudget, packShard, ledgerPath)
+  }
+
   /** The per-stage curation funnel — the observability artifact a
     * production curation run publishes next to its output (the
     * [[corpusReport]] discipline applied to the pipeline itself):

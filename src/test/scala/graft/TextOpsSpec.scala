@@ -1734,4 +1734,50 @@ class TextOpsSpec extends SparkSpec {
     assert(grp.getAs[Long]("kept_doc_id") == 1L)
     assert(TextOps.dedupExact(d).count() == 3) // 1+3 merge, 2 stays apart
   }
+
+  test("curateSemantic: a never-matching threshold is the identity " +
+    "gate; a duplicated embedding drops the GREATER doc before the " +
+    "text funnel, and the gate composes as curate-over-filtered-input") {
+    import spark.implicits._
+    val raw = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"source", $"lang", $"text".as("html"))
+      .localCheckpoint()
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    // relax the LM gate: plain (unfixtured) text trains a sparse
+    // bigram LM that rejects everything — this spec pins the SEMANTIC
+    // gate, so the perplexity gate is held open in all three arms
+    val keepAll = 1000000L
+    val plain = TextOps.curate(raw, lmKeepMilli = keepAll).collect()
+    // cos is bounded by 1: a threshold above it gates nothing and the
+    // composed run IS the plain curate, row for row
+    val id = TextOps.curateSemantic(raw, e, threshold = 1.5,
+        lmKeepMilli = keepAll)
+      .collect().map(_.toString).sorted
+    assert(id.sameElements(plain.map(_.toString).sorted),
+      "identity gate changed the curate output")
+    // duplicate the embedding of the lowest id onto a surviving
+    // higher id: cos = 1 exactly, same quantizer cell by
+    // construction, so the pair is found and the greater id drops
+    val target = plain.map(_.getLong(0)).filter(_ >= 16).max
+    val e2 = e.where($"vec_id" =!= target)
+      .unionByName(e.where($"vec_id" === 0L)
+        .select(lit(target).as("vec_id"), $"embedding", $"label"))
+      .localCheckpoint()
+    val gated = TextOps.curateSemantic(raw, e2, lmKeepMilli = keepAll)
+      .collect()
+    assert(plain.exists(_.getLong(0) == target) &&
+      !gated.exists(_.getLong(0) == target),
+      s"doc $target (embedding duplicate of 0) was not gated out")
+    // composition contract: gate-then-curate == curate over the
+    // anti-joined input (the oracle's filtered-source replay shape)
+    val dropped = graft.operators.EmbeddingOps.semanticDedup(e2)
+      .select($"vec_b".as("doc_id")).distinct()
+    val composed = TextOps.curate(
+      raw.join(dropped, Seq("doc_id"), "left_anti"),
+      lmKeepMilli = keepAll)
+      .collect().map(_.toString).sorted
+    assert(gated.map(_.toString).sorted.sameElements(composed),
+      "curateSemantic diverges from curate over the filtered input")
+  }
 }
