@@ -221,15 +221,32 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     * `asOf`). The token is tiny (two int lists bounded by segment
     * counts) and self-contained; whether it is still serveable is
     * decided at read-use time by the epoch check, not here. */
-  def snapshotWrite(s: org.apache.spark.sql.SparkSession,
-      tokenPath: String, snap: IndexSnapshot): Unit = {
-    val (fs, p) = fsFor(s, tokenPath)
-    val json = s"""{"epoch":${snap.epoch},"dataGen":${snap.dataGen},""" +
+  private def tokenJson(snap: IndexSnapshot): String =
+    s"""{"epoch":${snap.epoch},"dataGen":${snap.dataGen},""" +
       s""""dataSegs":[${snap.dataSegs.mkString(",")}],""" +
       s""""delsGen":${snap.delsGen},""" +
       s""""delSegs":[${snap.delSegs.mkString(",")}]}"""
+
+  private val TokenRe = ("""\{"epoch":(-?\d+),"dataGen":(-?\d+),""" +
+    """"dataSegs":\[([\d,]*)\],"delsGen":(-?\d+),""" +
+    """"delSegs":\[([\d,]*)\]\}""").r
+
+  private def parseToken(json: String, where: String): IndexSnapshot =
+    json match {
+      case TokenRe(ep, dg, ds, lg, ls) =>
+        def ints(v: String): Seq[Int] =
+          if (v.isEmpty) Seq.empty else v.split(',').toSeq.map(_.toInt)
+        IndexSnapshot(ep.toLong, dg.toInt, ints(ds), lg.toInt, ints(ls))
+      case _ => throw new IllegalArgumentException(
+        s"malformed snapshot token at $where: $json")
+    }
+
+  def snapshotWrite(s: org.apache.spark.sql.SparkSession,
+      tokenPath: String, snap: IndexSnapshot): Unit = {
+    val (fs, p) = fsFor(s, tokenPath)
     val out = fs.create(p, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    try out.write(tokenJson(snap).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** Re-load a [[snapshotWrite]] token. Strict single-format parse —
@@ -244,17 +261,69 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     val json =
       try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
       finally in.close()
-    val re = ("""\{"epoch":(-?\d+),"dataGen":(-?\d+),""" +
-      """"dataSegs":\[([\d,]*)\],"delsGen":(-?\d+),""" +
-      """"delSegs":\[([\d,]*)\]\}""").r
-    json match {
-      case re(ep, dg, ds, lg, ls) =>
-        def ints(v: String): Seq[Int] =
-          if (v.isEmpty) Seq.empty else v.split(',').toSeq.map(_.toInt)
-        IndexSnapshot(ep.toLong, dg.toInt, ints(ds), lg.toInt, ints(ls))
-      case _ => throw new IllegalArgumentException(
-        s"malformed snapshot token at $tokenPath: $json")
+    parseToken(json, tokenPath)
+  }
+
+  /** Persist a RUN MANIFEST — the one artifact a training run stamps
+    * next to its outputs to pin its WHOLE serving surface: a named
+    * snapshot token per index it read (lexical, dense, near-dup, …),
+    * so the exact multi-index view behind a model is re-serveable
+    * (or auditable via [[indexDiff]]) from a single file. Format is
+    * deliberately line-oriented and strict: a `graft-manifest v1`
+    * header, then one `name<TAB>token-json` line per entry sorted by
+    * name — deterministic bytes for byte-equality across re-stamps.
+    * Whether each token is still serveable is decided at use time by
+    * its own epoch check, exactly as for a bare token. An empty
+    * manifest refuses at write: a run that read nothing has nothing
+    * to pin, and an empty file is indistinguishable from a truncated
+    * one. */
+  def manifestWrite(s: org.apache.spark.sql.SparkSession,
+      path: String, tokens: Map[String, IndexSnapshot]): Unit = {
+    require(tokens.nonEmpty,
+      "refusing to write an empty run manifest — a run that read " +
+        "nothing has nothing to pin")
+    tokens.keys.foreach(k => require(
+      k.nonEmpty && !k.exists(c => c == '\t' || c == '\n' || c == '\r'),
+      s"manifest entry name '$k' must be non-empty and free of " +
+        "tabs/newlines (the line format's delimiters)"))
+    val (fs, p) = fsFor(s, path)
+    val body = "graft-manifest v1\n" + tokens.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"$k\t${tokenJson(v)}" }.mkString("\n")
+    val out = fs.create(p, true)
+    try out.write((body + "\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Re-load a [[manifestWrite]] artifact. Strict: wrong header,
+    * malformed line, malformed token, or duplicate name refuses —
+    * a manifest that cannot be parsed exactly must never silently
+    * pin a partial surface. */
+  def manifestRead(s: org.apache.spark.sql.SparkSession,
+      path: String): Map[String, IndexSnapshot] = {
+    val (fs, p) = fsFor(s, path)
+    require(fs.exists(p), s"no run manifest at $path")
+    val in = fs.open(p)
+    val text =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val lines = text.split("\n", -1).toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains("graft-manifest v1"),
+      s"not a graft run manifest at $path: " +
+        s"'${lines.headOption.getOrElse("")}'")
+    val entries = lines.tail.map { ln =>
+      ln.split("\t", -1) match {
+        case Array(name, json) if name.nonEmpty =>
+          name -> parseToken(json, s"$path entry '$name'")
+        case _ => throw new IllegalArgumentException(
+          s"malformed manifest line at $path: $ln")
+      }
     }
+    val dup = entries.groupBy(_._1).collect {
+      case (k, vs) if vs.size > 1 => k
+    }
+    require(dup.isEmpty,
+      s"duplicate manifest entries at $path: ${dup.mkString(", ")}")
+    entries.toMap
   }
 
   /** What changed between two pinned views of the same index

@@ -68,19 +68,26 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     * the quantizer's within-cell pair volume (never all-pairs), and
     * the gate is one keyed anti-join; every downstream stage is the
     * operator already probed in isolation. A supplied forget-ledger
-    * still composes FIRST inside [[curate]] — but ledger-forgotten
-    * docs' vectors DO participate in near-dup scoring here (they
-    * only fail to survive); feed a pre-filtered `emb` when the
-    * ledger must also gate the scoring side. */
+    * gates BOTH sides: the corpus (inside [[curate]], first) and the
+    * SCORING side here — a forgotten doc's vector must not train the
+    * quantizer or drop other docs' near-dups (the spec pins that a
+    * victim whose only near-dup was a forgotten doc survives). */
   def curateSemantic(raw: DataFrame, emb: DataFrame, spanK: Int = 8,
       lmKeepMilli: Long = 3950L, maxChars: Long = 100000L,
       packBudget: Long = 512L, packShard: Long = 200L,
       threshold: Double = 0.45,
       ledgerPath: Option[String] = None): DataFrame = {
+    // the ledger's stored key column is doc_id (ledgerAppend's
+    // default); the shared id-domain contract makes the rename the
+    // whole translation
+    val embIn = ledgerPath.fold(emb)(p =>
+      Forget.forgottenFilter(
+          emb.withColumnRenamed("vec_id", "doc_id"), p)
+        .withColumnRenamed("doc_id", "vec_id"))
     // drop the GREATER id of every semantic near-dup pair: the
     // deterministic keep-lowest survivor rule the exact-dedup stage
     // already uses, so the two dedup stages agree on who survives
-    val dropped = EmbeddingOps.semanticDedup(emb, threshold = threshold)
+    val dropped = EmbeddingOps.semanticDedup(embIn, threshold = threshold)
       .select(col("vec_b").as("doc_id")).distinct()
     curate(raw.join(dropped, Seq("doc_id"), "left_anti"), spanK,
       lmKeepMilli, maxChars, packBudget, packShard, ledgerPath)

@@ -132,4 +132,62 @@ class HybridSpec extends SparkSpec {
     assert(!live.sameElements(before),
       "live hybrid serve should see both mutations")
   }
+
+  test("run manifest: round-trip, strict refusals, and a hybrid " +
+    "served from re-read tokens replays the pinned surface " +
+    "bit-identically under mutation of both indexes") {
+    val bmIdx = freshDir("man_bm25_idx")
+    val pqIdx = freshDir("man_ivfpq_idx")
+    TextOps.bm25IndexWrite(corpus, bmIdx)
+    EmbeddingOps.ivfpqIndexWrite(emb, pqIdx)
+    val qw = termQueries(5, 8).localCheckpoint()
+    val vq = emb.where($"vec_id" < 5)
+    val tokens = Map(
+      "lex" -> EmbeddingOps.indexSnapshot(spark, bmIdx),
+      "dense" -> EmbeddingOps.indexSnapshot(spark, pqIdx))
+    val before = Hybrid.hybridTopKIndexed(spark, bmIdx, pqIdx, qw, vq,
+      lexAsOf = Some(tokens("lex")), denseAsOf = Some(tokens("dense")))
+      .collect().map(_.toString).sorted
+    val man = java.nio.file.Files
+      .createTempDirectory("graft_manifest").resolve("run.manifest")
+      .toString
+    EmbeddingOps.manifestWrite(spark, man, tokens)
+    assert(EmbeddingOps.manifestRead(spark, man) == tokens,
+      "manifest round-trip lost or altered tokens")
+    // mutate both indexes, then serve from the RE-READ manifest —
+    // the training run's recorded surface replays exactly
+    TextOps.bm25IndexAppend(
+      corpus.select(($"doc_id" + 200000L).as("doc_id"), $"text",
+        $"lang", $"source", $"n_chars"), bmIdx)
+    EmbeddingOps.indexDelete(spark, pqIdx,
+      emb.where($"vec_id" % 2 === 1 && $"vec_id" >= 5)
+        .select($"vec_id"))
+    val reread = EmbeddingOps.manifestRead(spark, man)
+    val pinned = Hybrid.hybridTopKIndexed(spark, bmIdx, pqIdx, qw, vq,
+      lexAsOf = Some(reread("lex")), denseAsOf = Some(reread("dense")))
+      .collect().map(_.toString).sorted
+    assert(pinned.sameElements(before),
+      "manifest-pinned hybrid serve does not replay the recorded run")
+    // refusals: empty manifest, delimiter in a name, wrong header,
+    // tampered entry line
+    assert(intercept[IllegalArgumentException] {
+      EmbeddingOps.manifestWrite(spark, s"$man.empty", Map.empty)
+    }.getMessage.contains("empty run manifest"))
+    assert(intercept[IllegalArgumentException] {
+      EmbeddingOps.manifestWrite(spark, s"$man.tab",
+        Map("a\tb" -> tokens("lex")))
+    }.getMessage.contains("free of"))
+    val badHdr = s"$man.badhdr"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badHdr),
+      "not-a-manifest\nlex\t{}\n".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException] {
+      EmbeddingOps.manifestRead(spark, badHdr)
+    }.getMessage.contains("not a graft run manifest"))
+    val badLine = s"$man.badline"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badLine),
+      "graft-manifest v1\nlex{\"epoch\":1}\n".getBytes("UTF-8"))
+    assert(intercept[IllegalArgumentException] {
+      EmbeddingOps.manifestRead(spark, badLine)
+    }.getMessage.contains("malformed manifest line"))
+  }
 }

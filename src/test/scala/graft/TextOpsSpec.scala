@@ -1780,4 +1780,46 @@ class TextOpsSpec extends SparkSpec {
     assert(gated.map(_.toString).sorted.sameElements(composed),
       "curateSemantic diverges from curate over the filtered input")
   }
+
+  test("curateSemantic + forget-ledger: the ledger gates the SCORING " +
+    "side — a doc whose only near-dup was a forgotten doc survives; " +
+    "the forgotten doc itself is gone from the corpus side") {
+    import spark.implicits._
+    val raw = Tables(spark, "/root/testdata/sf0.001").documents
+      .select($"doc_id", $"source", $"lang", $"text".as("html"))
+      .localCheckpoint()
+    val e = Tables(spark, "/root/testdata/sf0.001").embeddings.toDF()
+      .localCheckpoint()
+    val keepAll = 1000000L
+    val plain = TextOps.curate(raw, lmKeepMilli = keepAll).collect()
+    val victim = plain.map(_.getLong(0)).filter(_ >= 16).max
+    // victim's embedding becomes an exact copy of doc 0's — at
+    // threshold ~1 the ONLY near-dup pair is (0, victim), so the
+    // victim's fate isolates the scoring-side ledger question
+    val e2 = e.where($"vec_id" =!= victim)
+      .unionByName(e.where($"vec_id" === 0L)
+        .select(lit(victim).as("vec_id"), $"embedding", $"label"))
+      .localCheckpoint()
+    val thr = 0.9999
+    val noLedger = TextOps.curateSemantic(raw, e2,
+      lmKeepMilli = keepAll, threshold = thr).collect()
+    assert(!noLedger.exists(_.getLong(0) == victim),
+      "without a ledger the duplicated doc must drop")
+    // forget doc 0, the pair's lower id: the corpus gate removes 0,
+    // and the SCORING gate removes its vector — so the pair never
+    // forms and the victim survives
+    val lg = java.nio.file.Files
+      .createTempDirectory("graft_sem_ledger").resolve("lg").toString
+    graft.operators.Forget.ledgerInit(spark, lg)
+    graft.operators.Forget.ledgerAppend(spark, lg,
+      Seq(0L).toDF("doc_id"))
+    val gated = TextOps.curateSemantic(raw, e2,
+      lmKeepMilli = keepAll, threshold = thr,
+      ledgerPath = Some(lg)).collect()
+    assert(!gated.exists(_.getLong(0) == 0L),
+      "the forgotten doc leaked through the corpus gate")
+    assert(gated.exists(_.getLong(0) == victim),
+      "the victim's only near-dup was forgotten, yet it still dropped " +
+        "— the ledger is not gating the scoring side")
+  }
 }
