@@ -689,6 +689,52 @@ object Suite {
         |       COUNT(*) AS n_keys
         |FROM j GROUP BY 1""".stripMargin)),
 
+    // ---- pipeline safety rails: column profiling card --------------------
+    // (the per-ingest data-quality artifact: one aggregate job — the
+    // multi-column distinct plan Expands the scan once — min/max on
+    // native types surfaced as strings; doubles stay out of the
+    // profiled list because engines format them differently)
+    Q("qa_profile_card",
+      (s, d) => graft.operators.Checks.profileCard(Tables(s, d).events,
+        Seq("event_type", "user_id", "props")),
+      Some("""WITH t AS (SELECT event_type, user_id, props FROM events)
+        |SELECT 'event_type' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(COUNT(*) - COUNT(event_type) AS BIGINT) AS n_nulls,
+        |       CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_distinct,
+        |       CAST(MIN(event_type) AS VARCHAR) AS min_val,
+        |       CAST(MAX(event_type) AS VARCHAR) AS max_val FROM t
+        |UNION ALL
+        |SELECT 'user_id', CAST(COUNT(*) AS BIGINT),
+        |       CAST(COUNT(*) - COUNT(user_id) AS BIGINT),
+        |       CAST(COUNT(DISTINCT user_id) AS BIGINT),
+        |       CAST(MIN(user_id) AS VARCHAR),
+        |       CAST(MAX(user_id) AS VARCHAR) FROM t
+        |UNION ALL
+        |SELECT 'props', CAST(COUNT(*) AS BIGINT),
+        |       CAST(COUNT(*) - COUNT(props) AS BIGINT),
+        |       CAST(COUNT(DISTINCT props) AS BIGINT),
+        |       CAST(MIN(props) AS VARCHAR),
+        |       CAST(MAX(props) AS VARCHAR) FROM t""".stripMargin)),
+
+    // ---- pipeline safety rails: exact per-column heavy hitters -----------
+    // (the skew watchlist: top-5 values of the columns a pipeline
+    // joins or partitions on; melt + map-side-combined count, so the
+    // shuffle carries one row per DISTINCT (column, value))
+    Q("qa_heavy_hitters",
+      (s, d) => graft.operators.Checks.heavyHitters(Tables(s, d).events,
+        Seq("event_type", "user_id"), k = 5),
+      Some("""WITH m AS (
+        |  SELECT 'event_type' AS col_name, CAST(event_type AS VARCHAR) AS value
+        |  FROM events WHERE event_type IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'user_id', CAST(user_id AS VARCHAR)
+        |  FROM events WHERE user_id IS NOT NULL),
+        |g AS (SELECT col_name, value, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM m GROUP BY 1, 2)
+        |SELECT col_name, value, cnt, CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
+        |    ORDER BY cnt DESC, value) AS rk FROM g) WHERE rk <= 5""".stripMargin)),
+
     // ---- data layout: Z-order (Morton) clustering key --------------------
     // (the multi-column pruning layout: LayoutSpec proves the sorted
     // write clusters BOTH dimensions per file; this row pins the

@@ -87,4 +87,65 @@ object Checks {
       .groupBy(col("status"))
       .agg(count(lit(1)).as("n_keys"))
   }
+
+  /** One-row-per-column profiling card — the artifact a pipeline
+    * stamps per ingested table/partition (the pandas-profiling /
+    * Deequ analyzer class, Spark-native): row count, null count,
+    * EXACT distinct count, and min/max per profiled column. Min/max
+    * are computed on the NATIVE type (so numeric ordering holds) and
+    * surfaced as strings for the uniform card schema. ONE aggregate
+    * job: Spark plans the multi-column distinct aggregates via
+    * Expand — the scan is read once and the shuffle carries
+    * |cols| x |rows| expanded KEYS, partially aggregated map-side;
+    * profile a deliberate column list, not `df.columns`, at corpus
+    * scale. */
+  def profileCard(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      "profile columns must be non-empty and distinct")
+    val aggs = count(lit(1)).as("__n") +: cols.flatMap { c =>
+      Seq(count(col(c)).as(s"__cnt_$c"),
+        count_distinct(col(c)).as(s"__nd_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col("__n").as("n_rows"),
+        (col("__n") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__nd_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))): _*)).as("p"))
+      .select(col("p.*"))
+  }
+
+  /** Exact top-`k` most frequent values per profiled column (heavy
+    * hitters) — the companion card to [[profileCard]] for the
+    * categorical columns a skew-aware pipeline watches (join keys,
+    * partition keys, enum fields). Values surface as strings for the
+    * uniform schema; NULLs are excluded (the null MASS is
+    * [[profileCard]]'s n_nulls). Shape: melt to (column, value) and
+    * aggregate — the explode multiplies the scan by |cols| but the
+    * count is map-side combined, so the shuffle carries one row per
+    * DISTINCT (column, value), never per input row; the per-column
+    * top-k window rides that bounded frame. Ties break by value, the
+    * engine-wide total-order rule. */
+  def heavyHitters(df: DataFrame, cols: Seq[String],
+      k: Int = 5): DataFrame = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      "profile columns must be non-empty and distinct")
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    df.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        col(c).cast("string").as("value"))): _*)).as("kv"))
+      .select(col("kv.*"))
+      .where(col("value").isNotNull)
+      .groupBy(col("col_name"), col("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+  }
 }

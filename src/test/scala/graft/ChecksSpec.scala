@@ -82,4 +82,39 @@ class ChecksSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       Checks.expect(df, Seq("A" -> lit(true), "a" -> lit(false))))
   }
+
+  test("profileCard: nulls counted, exact distinct, native-type " +
+    "min/max surfaced as strings") {
+    val df = Seq(
+      (Some("b"), Some(10L)), (Some("a"), Some(2L)),
+      (None, Some(10L)), (Some("a"), None))
+      .toDF("s", "n")
+    val card = Checks.profileCard(df, Seq("s", "n")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s = card("s")
+    assert(s.getLong(1) == 4L && s.getLong(2) == 1L &&
+      s.getLong(3) == 2L && s.getString(4) == "a" &&
+      s.getString(5) == "b")
+    val n = card("n")
+    // NATIVE ordering: numeric min is 2 even though "10" < "2" as text
+    assert(n.getLong(2) == 1L && n.getLong(3) == 2L &&
+      n.getString(4) == "2" && n.getString(5) == "10")
+    assertThrows[IllegalArgumentException](
+      Checks.profileCard(df, Seq.empty))
+    assertThrows[IllegalArgumentException](
+      Checks.profileCard(df, Seq("s", "s")))
+  }
+
+  test("heavyHitters: exact per-column top-k, nulls excluded, count " +
+    "ties break by value") {
+    val df = Seq("x", "x", "y", "y", "z", null)
+      .map(Tuple1(_)).toDF("c")
+      .withColumn("k", lit(1L))
+    val hh = Checks.heavyHitters(df, Seq("c"), k = 2).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getInt(3)))
+    // x and y tie at 2 — value order puts x first; z (1) is cut by k
+    assert(hh.sortBy(_._3).toSeq == Seq(("x", 2L, 1), ("y", 2L, 2)))
+    assertThrows[IllegalArgumentException](
+      Checks.heavyHitters(df, Seq("c"), k = 0))
+  }
 }

@@ -1086,6 +1086,50 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("hybridTopKIndexed at 10x sf0.1: no cartesian, every broadcast " +
+    "carries a batch/terms/quantizer mark and never a bare corpus " +
+    "frame; fusion joins keyed at full-or-scalar parallelism") {
+    val bmIdx = java.nio.file.Files
+      .createTempDirectory("graft_hyb_probe_bm").resolve("ix").toString
+    val pqIdx = java.nio.file.Files
+      .createTempDirectory("graft_hyb_probe_pq").resolve("ix").toString
+    TextOps.bm25IndexWrite(syntheticDocs(50000L), bmIdx)
+    val emb = syntheticEmb(50000L, dim = 64)
+    EmbeddingOps.ivfpqIndexWrite(emb, pqIdx)
+    val qw = spark.range(300).select(
+      (col("id") % 100).as("query_id"),
+      element_at(array(lit("w1"), lit("w2"), lit("w3")),
+        (col("id") / 100).cast("int") + 1).as("word"))
+    val plan = staticPlanOf(graft.operators.Hybrid.hybridTopKIndexed(
+      spark, bmIdx, pqIdx, qw, emb.where(col("vec_id") < 100)))
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 1,
+      s"hybridTopKIndexed lost its keyed shuffles: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"hybridTopKIndexed has a shuffle at odd parallelism: $parts")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "hybridTopKIndexed plans a CartesianProduct")
+    // allowed broadcast marks: the bm25 arm's (query_id, word) batch
+    // frame, per-term df (word), scalar totals (t_tok); the dense
+    // arm's probes/LUT (query_id), centroids (cent_id/cell),
+    // codebooks (code). Anything carrying ONLY corpus columns is a
+    // scale bug.
+    val marks = Set("word", "t_tok", "query_id", "cent_id", "cell",
+      "code")
+    broadcastSubtrees(plan).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.exists(marks),
+        "hybridTopKIndexed broadcasts an unbounded frame with " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("rankFusion at 10x sf0.1: only shard offsets and the DSIR bucket " +
     "distribution broadcast; corpus shuffles keep parallelism") {
     val multiSource = syntheticDocs(50000L)
