@@ -509,6 +509,37 @@ private[graft] object SuiteMLSim {
         |    ORDER BY rrf DESC, cand_id) AS rk FROM f) WHERE rk <= 10""".stripMargin),
       bench = true),
 
+    // ---- similarity: embedding ingest-quality gate card -------------
+    // (the pre-index checks as one bounded row: null/empty/NaN/zero
+    // vectors, modal width + disagreement count, exact quantized
+    // norm extremes over the clean rows; on this corpus the defect
+    // counts are zero and the spec exercises the defect arms on a
+    // poisoned fixture)
+    Q("sim_emb_quality",
+      (s, d) => EmbeddingOps.embQualityCard(emb(s, d)),
+      Some(s"""WITH $EmbCte,
+        |b AS (SELECT vec_id, embedding,
+        |        CAST(len(embedding) AS BIGINT) AS d,
+        |        COALESCE(len(list_filter(embedding,
+        |          x -> isnan(CAST(x AS DOUBLE)))) > 0, FALSE) AS has_nan,
+        |        COALESCE(len(list_filter(embedding, x -> x <> 0)) = 0,
+        |          FALSE) AS all_zero
+        |      FROM embeddings),
+        |md AS (SELECT CAST(d AS BIGINT) AS dim_mode FROM (
+        |  SELECT len(embedding) AS d, COUNT(*) AS c FROM embeddings
+        |  WHERE embedding IS NOT NULL GROUP BY 1
+        |  ORDER BY c DESC, d LIMIT 1))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |  CAST(COUNT(*) FILTER (WHERE embedding IS NULL) AS BIGINT) AS n_null_vec,
+        |  CAST(COUNT(*) FILTER (WHERE d = 0) AS BIGINT) AS n_empty,
+        |  CAST(COUNT(*) FILTER (WHERE has_nan) AS BIGINT) AS n_nan,
+        |  CAST(COUNT(*) FILTER (WHERE d > 0 AND NOT has_nan AND all_zero) AS BIGINT) AS n_zero_norm,
+        |  MAX(dim_mode) AS dim_mode,
+        |  CAST(COUNT(*) FILTER (WHERE embedding IS NOT NULL AND d <> dim_mode) AS BIGINT) AS n_dim_mismatch,
+        |  CAST(MIN(nn) FILTER (WHERE embedding IS NOT NULL AND NOT has_nan AND d = dim_mode) AS BIGINT) AS min_nn,
+        |  CAST(MAX(nn) FILTER (WHERE embedding IS NOT NULL AND NOT has_nan AND d = dim_mode) AS BIGINT) AS max_nn
+        |FROM b LEFT JOIN n USING (vec_id), md""".stripMargin)),
+
     // ---- similarity: IVF-PQ recall@10 — the composite's recall row,
     // measuring coarse-pruning misses AND residual-quantization
     // ranking error against the exact brute top-10 ------------------

@@ -94,4 +94,51 @@ private[graft] trait EmbAnalysisOps { this: EmbeddingOps.type =>
     n.join(med, Seq("c"))
       .select(col("c"), col("min_q"), col("max_q"), col("median_q"))
   }
+
+  /** Embedding ingest-quality gate card — the checks run BEFORE a
+    * batch is allowed near an index or a fold state, as one bounded
+    * row: null/empty/NaN vectors, exact-zero vectors (un-normalizable
+    * — cosine serving would divide by zero), the corpus's MODAL
+    * dimensionality with the count of non-null rows that disagree
+    * (a mixed-encoder batch), and the exact quantized squared-norm
+    * extremes over the CLEAN rows (non-null, modal-width, NaN-free —
+    * a collapsing or exploding norm range flags a broken encoder
+    * run). Shape: one map-side-combined aggregate over the corpus
+    * plus a dimension-histogram mode (bounded by the number of
+    * distinct widths) broadcast back — no corpus-sized shuffle. */
+  def embQualityCard(emb: DataFrame): DataFrame = {
+    val base = emb.select(col("vec_id"), col("embedding"),
+      size(col("embedding")).cast("long").as("d"),
+      coalesce(exists(col("embedding"), x => isnan(x)), lit(false))
+        .as("has_nan"),
+      coalesce(forall(col("embedding"), x => x === lit(0.0f)),
+        lit(false)).as("all_zero"))
+      // the norm only exists for NaN-free vectors (under ANSI,
+      // quantizing a NaN is a cast overflow, not a value) — and the
+      // card only reads it on clean rows anyway
+      .withColumn("nn", when(!col("has_nan"),
+        aggregate(transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long")),
+          lit(0L), (acc, x) => acc + x * x)))
+    val mode = broadcast(base.where(col("embedding").isNotNull)
+      .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("d").asc).limit(1)
+      .select(col("d").as("dim_mode")))
+    base.crossJoin(mode)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("embedding").isNull, 1L).otherwise(0L))
+          .as("n_null_vec"),
+        sum(when(col("d") === 0L, 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("has_nan"), 1L).otherwise(0L)).as("n_nan"),
+        sum(when(col("d") > 0L && !col("has_nan") && col("all_zero"),
+          1L).otherwise(0L)).as("n_zero_norm"),
+        max(col("dim_mode")).as("dim_mode"),
+        sum(when(col("embedding").isNotNull &&
+          col("d") =!= col("dim_mode"), 1L).otherwise(0L))
+          .as("n_dim_mismatch"),
+        min(when(col("embedding").isNotNull && !col("has_nan") &&
+          col("d") === col("dim_mode"), col("nn"))).as("min_nn"),
+        max(when(col("embedding").isNotNull && !col("has_nan") &&
+          col("d") === col("dim_mode"), col("nn"))).as("max_nn"))
+  }
 }

@@ -649,6 +649,35 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(bad.getMessage.contains("malformed snapshot token"))
   }
 
+  test("embQualityCard flags null/empty/NaN/zero/mismatched vectors " +
+    "and pins quantized norm extremes over clean modal-width rows") {
+    val typed = embDf(Seq(
+      (1L, Seq(1.0f, 0.0f), 0), // nn 1_000_000
+      (2L, Seq(0.5f, 0.5f), 0), // nn 500_000
+      (3L, Seq(2.0f, 0.0f), 0), // nn 4_000_000
+      (4L, Seq(0.0f, 0.0f), 0), // zero vector: clean width, norm 0
+      (5L, Seq(Float.NaN, 1.0f), 0), // NaN — excluded from norm stats
+      (6L, Seq(1.0f, 1.0f, 1.0f), 0), // width 3: mismatch
+      (7L, Seq.empty[Float], 0))) // empty
+    val withNull = typed.unionByName(
+      spark.sql("SELECT CAST(8 AS BIGINT) AS vec_id, " +
+        "CAST(NULL AS ARRAY<FLOAT>) AS embedding, 0 AS label"))
+    val c = EmbeddingOps.embQualityCard(withNull).collect()(0)
+    assert(c.getAs[Long]("n_vecs") == 8L)
+    assert(c.getAs[Long]("n_null_vec") == 1L)
+    assert(c.getAs[Long]("n_empty") == 1L)
+    assert(c.getAs[Long]("n_nan") == 1L)
+    assert(c.getAs[Long]("n_zero_norm") == 1L)
+    assert(c.getAs[Long]("dim_mode") == 2L)
+    // non-null rows disagreeing with the modal width: the 3-wide and
+    // the empty one
+    assert(c.getAs[Long]("n_dim_mismatch") == 2L)
+    // norm extremes over clean modal rows only (1-4): the zero
+    // vector legitimately sets min_nn = 0 — that is the gate signal
+    assert(c.getAs[Long]("min_nn") == 0L)
+    assert(c.getAs[Long]("max_nn") == 4000000L)
+  }
+
   test("indexDiff classifies keys added and removed between two pinned " +
     "views; appended-then-deleted keys are in neither; unordered or " +
     "expired tokens refuse") {
