@@ -969,6 +969,87 @@ object Streams {
       lmTrigramModelState(s, triStatePath),
       lmModelState(s, biStatePath))
 
+  /** Streaming per-column value-count maintenance — the EIGHTH
+    * additive fold: the skew/profile watchlist
+    * ([[graft.operators.Checks.heavyHitters]]) kept current over an
+    * incrementally-collected corpus. Each micro-batch melts its
+    * docs' profiled columns to (col_name, value) and adds 1 per
+    * non-null cell; the state is the exact (col_name, value, cnt)
+    * distribution, from which per-column top-k and exact NDV derive
+    * at serve time while the state itself stays purely additive.
+    * The profiled column LIST is pinned in `_params` — a resume with
+    * a different list would fold a different melt into the same
+    * counts, which the doc registry cannot catch. State cardinality
+    * is the sum of per-column distinct-value counts (the batch
+    * operator's shuffle bound): profile deliberate categorical
+    * columns, not free text. */
+  def profileSink(docs: DataFrame, cols: Seq[String],
+      statePath: String, checkpointLocation: String,
+      nShards: Int = DefaultStateShards)
+      : org.apache.spark.sql.streaming.DataStreamWriter[
+        org.apache.spark.sql.Row] =
+    additiveSinkOf(docs, statePath, checkpointLocation, nShards,
+      profileSpec(cols))
+
+  // the melt is a function of the profiled columns alone; the hash
+  // concatenates FIXED-WIDTH md5 segments per column (corpusSpec's
+  // discipline), so no value can smuggle a separator
+  private def profileSpec(cols: Seq[String]): AdditiveSpec = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      "profiled columns must be non-empty and distinct")
+    AdditiveSpec(
+      batch => batch
+        .select(col("doc_id"), explode(array(cols.map(c => struct(
+          lit(c).as("col_name"),
+          col(c).cast("string").as("value"))): _*)).as("kv"))
+        .select(col("doc_id"), col("kv.col_name"), col("kv.value"))
+        .where(col("value").isNotNull)
+        .withColumn("cnt", lit(1L)),
+      Seq("col_name", "value"), Seq("cnt"),
+      concat(cols.map(c =>
+        md5(coalesce(col(c).cast("string"), lit("<NULL>")))): _*),
+      Map("profileCols" -> cols.mkString(",")))
+  }
+
+  /** The maintained (col_name, value, cnt) distribution from a
+    * [[profileSink]] state. */
+  def profileValueState(s: org.apache.spark.sql.SparkSession,
+      statePath: String): DataFrame =
+    foldState(s, statePath).where(col("kind") === "g")
+      .select(col("col_name"), col("value"), col("cnt"))
+
+  /** The profiled column list a [[profileSink]] state was built
+    * with, from its write-once `_params` sidecar. */
+  def profileStateCols(s: org.apache.spark.sql.SparkSession,
+      statePath: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(statePath)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val p = readParams(fs, root)
+    require(p.contains("profileCols"),
+      s"state at $statePath carries no profiled-column parameter " +
+        p.toSeq.sorted.map { case (k, v) => s"$k=$v" }
+          .mkString("(found {", ", ", "}); ") +
+        "it was not written by profileSink, or predates the " +
+        "parameter sidecar — rebuild it (the melt cannot be " +
+        "recovered from the counts).")
+    p("profileCols").split(',').toSeq
+  }
+
+  /** Exact per-column top-k from a [[profileSink]] state —
+    * column-for-column [[graft.operators.Checks.heavyHitters]] over
+    * the accumulated corpus (the parity the spec pins), served
+    * without rescanning it. */
+  def heavyHittersState(s: org.apache.spark.sql.SparkSession,
+      statePath: String, k: Int = 5): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name"))
+      .orderBy(col("cnt").desc, col("value").asc)
+    profileValueState(s, statePath)
+      .withColumn("rk", row_number().over(w).cast("int"))
+      .where(col("rk") <= k)
+  }
+
   /** The shared registry-guarded ADDITIVE fold behind [[lmSink]] and
     * [[dsirSink]]: count addition is not idempotent, so the state
     * carries two row kinds in one frame — `d` rows, the audited doc
@@ -1706,6 +1787,14 @@ object Streams {
   def bm25StateDelete(s: org.apache.spark.sql.SparkSession,
       statePath: String, docs: DataFrame): Unit =
     additiveStateDelete(s, statePath, docs, bm25Spec)
+
+  /** [[additiveStateDelete]] for a [[profileSink]] state — the
+    * profiled column list comes from the state's own sidecar, so the
+    * subtraction melts exactly what the sink folded. */
+  def profileStateDelete(s: org.apache.spark.sql.SparkSession,
+      statePath: String, docs: DataFrame): Unit =
+    additiveStateDelete(s, statePath, docs,
+      profileSpec(profileStateCols(s, statePath)))
 
   private def hasStateDels(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Boolean = {

@@ -1691,4 +1691,74 @@ class StreamDedupParitySpec extends SparkSpec {
     val direct = TextOps.bm25TopK(all, terms).collect().map(_.toString)
     assert(viaStream.nonEmpty && viaStream.sameElements(direct))
   }
+
+  test("profileSink: sliced + re-delivering folds serve batch-identical " +
+    "heavy hitters and exact NDV; sidecar-bound deletion subtracts a " +
+    "doc's melt exactly; a resume with a different column list refuses") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, count, countDistinct,
+      lit, pmod}
+    val fix = Tables(spark, "/root/testdata/sf0.001").documents
+      .localCheckpoint()
+    val cols = Seq("source", "lang")
+    val third = (r: Int) => fix.where(pmod($"doc_id", lit(3)) === r)
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_profile_in")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_profile_ck").toString
+    val statePath = java.nio.file.Files
+      .createTempDirectory("graft_profile_st").resolve("st").toString
+    def run(c: Seq[String], ck: String = ckpt) = {
+      val stream = spark.readStream.schema(fix.schema)
+        .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+      Streams.profileSink(stream, c, statePath, ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+    }
+    // three slices, the last RE-DELIVERING slice 0 byte-identically
+    Seq(third(0), third(1), third(2).unionAll(third(0))).foreach(
+      _.coalesce(1).write.mode("append").parquet(streamDir.toString))
+    assert(run(cols).awaitTermination(180000))
+    assert(Streams.profileStateCols(spark, statePath) == cols)
+    // heavy hitters served from state == the batch operator on the
+    // deduped corpus (re-delivery folded exactly once)
+    val viaState = Streams.heavyHittersState(spark, statePath, k = 5)
+      .collect().map(_.toString).sorted
+    val viaBatch = graft.operators.Checks.heavyHitters(fix, cols, k = 5)
+      .collect().map(_.toString).sorted
+    assert(viaState.nonEmpty && viaState.sameElements(viaBatch),
+      "state-served heavy hitters diverge from the batch operator")
+    // exact NDV derives from the same state
+    val ndvState = Streams.profileValueState(spark, statePath)
+      .groupBy($"col_name").agg(count(lit(1)).as("ndv"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ndvBatch = cols.map(c => c ->
+      fix.where(col(c).isNotNull).agg(countDistinct(col(c)))
+        .collect()(0).getLong(0)).toMap
+    assert(ndvState == ndvBatch)
+    // sidecar-bound subtraction: deleting slice 1 leaves the state
+    // equal to the batch operator over the complement
+    Streams.profileStateDelete(spark, statePath, third(1))
+    val afterDel = Streams.heavyHittersState(spark, statePath, k = 5)
+      .collect().map(_.toString).sorted
+    val complement = graft.operators.Checks.heavyHitters(
+        fix.where(pmod($"doc_id", lit(3)) =!= 1), cols, k = 5)
+      .collect().map(_.toString).sorted
+    assert(afterDel.sameElements(complement),
+      "deletion did not subtract the slice's melt exactly")
+    // a resume folding NEW docs under a DIFFERENT column list must
+    // refuse at bind — the registry cannot catch a drifted melt
+    fix.limit(7).withColumn("doc_id", $"doc_id" + 900000L)
+      .coalesce(1).write.mode("append").parquet(streamDir.toString)
+    val ex = intercept[
+        org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Seq("lang")).awaitTermination(180000)
+      ()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(x => Option(x.getMessage).getOrElse(""))
+      .toSeq
+    assert(messages.exists(_.contains("built with parameters")),
+      messages.mkString(" | "))
+  }
 }
