@@ -278,25 +278,28 @@ private[graft] object SuiteMLShared {
   private[graft] val Bm25B: Long = 750L
 
   /** Batched-BM25 replay CTEs ending in `lex(query_id, rk, doc_id,
-    * dl, n_terms, score_q)`: queries are the doc_id < 5 documents,
-    * each query's term set = the DISTINCT words among its first 8
-    * tokens (a set, not a bag — matching the serve's distinct), the
-    * corpus is all of `documents`, arithmetic identical to
-    * SuiteMLText's single-query bm25IndexedSql. ONE generator feeds
-    * both `text_bm25_batch` and `sim_hybrid_rrf`'s lexical arm so
-    * the two replays cannot drift. */
-  private[graft] val Bm25BatchCte: String =
+    * dl, n_terms, score_q)`: queries are the doc_id < 5 documents
+    * (ALWAYS from the full table — a query's term set does not
+    * depend on index membership), each query's term set = the
+    * DISTINCT words among its first 8 tokens (a set, not a bag —
+    * matching the serve's distinct), the CORPUS is
+    * `documents WHERE $pred` (TRUE for the live rows; the pinned
+    * rows pass the capture-time build slice), arithmetic identical
+    * to SuiteMLText's single-query bm25IndexedSql. ONE generator
+    * feeds `text_bm25_batch` and both hybrid rows' lexical arms so
+    * the replays cannot drift. */
+  private[graft] def bm25BatchCteOver(pred: String): String =
     s"""qw AS (SELECT DISTINCT doc_id AS query_id,
       |          unnest(string_split(text, ' ')[1:8]) AS word
       |        FROM documents WHERE doc_id < 5),
       |bdl AS (SELECT doc_id,
       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
-      |        FROM documents),
+      |        FROM documents WHERE $pred),
       |btot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok,
       |                CAST(count(*) AS BIGINT) AS n_docs FROM bdl),
       |btf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
       |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
-      |              FROM documents)
+      |              FROM documents WHERE $pred)
       |        WHERE word IN (SELECT word FROM qw) GROUP BY 1, 2),
       |bdf AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM btf GROUP BY 1),
       |bsc AS (SELECT doc_id, word, dl,
@@ -315,6 +318,26 @@ private[graft] object SuiteMLShared {
       |               n_terms, score_q FROM (
       |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY score_q DESC, doc_id) AS rk FROM bqs) WHERE rk <= 10)""".stripMargin
+
+  private[graft] val Bm25BatchCte: String = bm25BatchCteOver("TRUE")
+
+  /** The RRF fusion + ranking replay shared by `sim_hybrid_rrf` and
+    * `sim_hybrid_asof` — expects CTEs `lex(query_id, rk, doc_id, …)`
+    * and `dense(query_id, cand_id, rk)` in scope; ONE tail so the
+    * live and pinned fusions cannot drift. */
+  private[graft] val HybridFuseTail: String =
+    """lx AS (SELECT query_id, doc_id AS cand_id, rk FROM lex),
+      |f AS (SELECT COALESCE(l.query_id, a.query_id) AS query_id,
+      |             COALESCE(l.cand_id, a.cand_id) AS cand_id,
+      |             l.rk AS lex_rk, a.rk AS dense_rk,
+      |             COALESCE(CAST(1 AS DOUBLE) / (60 + l.rk), CAST(0 AS DOUBLE))
+      |               + COALESCE(CAST(1 AS DOUBLE) / (60 + a.rk), CAST(0 AS DOUBLE)) AS rrf
+      |      FROM lx l FULL OUTER JOIN dense a
+      |        ON a.query_id = l.query_id AND a.cand_id = l.cand_id)
+      |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
+      |       lex_rk, dense_rk, rrf FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY rrf DESC, cand_id) AS rk FROM f) WHERE rk <= 10""".stripMargin
 
   /** The batched queries' (query_id, word) frame on the Spark side —
     * the same first-8-tokens distinct set as `Bm25BatchCte`'s qw. */

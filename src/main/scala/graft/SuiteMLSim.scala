@@ -495,19 +495,32 @@ private[graft] object SuiteMLSim {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
         |    ORDER BY adot DESC, vec_id) AS rk FROM xsc) WHERE rk <= 10),
         |$Bm25BatchCte,
-        |lx AS (SELECT query_id, doc_id AS cand_id, rk FROM lex),
-        |f AS (SELECT COALESCE(l.query_id, a.query_id) AS query_id,
-        |             COALESCE(l.cand_id, a.cand_id) AS cand_id,
-        |             l.rk AS lex_rk, a.rk AS dense_rk,
-        |             COALESCE(CAST(1 AS DOUBLE) / (60 + l.rk), CAST(0 AS DOUBLE))
-        |               + COALESCE(CAST(1 AS DOUBLE) / (60 + a.rk), CAST(0 AS DOUBLE)) AS rrf
-        |      FROM lx l FULL OUTER JOIN dense a
-        |        ON a.query_id = l.query_id AND a.cand_id = l.cand_id)
-        |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id,
-        |       lex_rk, dense_rk, rrf FROM (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-        |    ORDER BY rrf DESC, cand_id) AS rk FROM f) WHERE rk <= 10""".stripMargin),
+        |$HybridFuseTail""".stripMargin),
       bench = true),
+
+    // ---- retrieval: SNAPSHOT-PINNED hybrid serving -------------------
+    // (the training-run read path driver-checked: both arms pinned to
+    // their capture-time views — the BM25 arm to the doc_id % 7 <> 3
+    // build slice, the IVF-PQ arm to the vec_id % 7 <> 6 build slice,
+    // both captured BEFORE their appends/deletes by the families'
+    // shared as-of fixtures — so the oracle is the live hybrid replay
+    // with each arm's corpus CTE sliced to its capture-time input.
+    // One fusion tail shared with sim_hybrid_rrf)
+    Q("sim_hybrid_asof",
+      (s, d) => graft.operators.Hybrid.hybridTopKIndexed(s,
+        SuiteMLText.bm25AsofIdx(s, d), asofHistoryIdx(s, d),
+        bm25BatchQueries(docs(s, d)),
+        emb(s, d).where(col("vec_id") < 5),
+        lexAsOf = Some(snapCache.get(s"bm25_asof:$d")),
+        denseAsOf = Some(snapCache.get(s"ivfpq_asof:$d"))),
+      Some(s"""WITH ${embCteSliced("vec_id % 7 <> 6")},
+        |$IvfPqScoreCte,
+        |dense AS (SELECT query_id, vec_id AS cand_id,
+        |                 CAST(rk AS INTEGER) AS rk FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY adot DESC, vec_id) AS rk FROM xsc) WHERE rk <= 10),
+        |${bm25BatchCteOver("doc_id % 7 <> 3")},
+        |$HybridFuseTail""".stripMargin)),
 
     // ---- similarity: embedding ingest-quality gate card -------------
     // (the pre-index checks as one bounded row: null/empty/NaN/zero

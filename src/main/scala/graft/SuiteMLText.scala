@@ -52,7 +52,7 @@ private[graft] object SuiteMLText {
     * % 13 = 5 docs inside the build slice, CAPTURE again
     * (`bm25_asof_end:$d`). One shared builder so the two rows'
     * replayed histories cannot drift. */
-  private def bm25AsofIdx(s: org.apache.spark.sql.SparkSession,
+  private[graft] def bm25AsofIdx(s: org.apache.spark.sql.SparkSession,
       d: String): String =
     cachedIndex("bm25_asof", d, p => {
       val all = docs(s, d)
