@@ -735,6 +735,46 @@ object Suite {
         |  SELECT *, ROW_NUMBER() OVER (PARTITION BY col_name
         |    ORDER BY cnt DESC, value) AS rk FROM g) WHERE rk <= 5""".stripMargin)),
 
+    // ---- pipeline safety rails: exact numeric profile --------------------
+    // (cents-quantized min/max/median per measure column off a
+    // value histogram — one row per DISTINCT value, never a
+    // per-column corpus sort; the lower-median rank rule shared with
+    // sim_dim_stats)
+    Q("qa_numeric_profile",
+      (s, d) => graft.operators.Checks.numericProfile(
+        Tables(s, d).lineitem.toDF(),
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")),
+      Some("""WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM lineitem),
+        |m AS (
+        |  SELECT 'l_quantity' AS col_name,
+        |         CAST(round(CAST(l_quantity AS DOUBLE)*100) AS BIGINT) AS v
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_extendedprice',
+        |         CAST(round(CAST(l_extendedprice AS DOUBLE)*100) AS BIGINT)
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_discount',
+        |         CAST(round(CAST(l_discount AS DOUBLE)*100) AS BIGINT)
+        |  FROM lineitem WHERE l_discount IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_tax', CAST(round(CAST(l_tax AS DOUBLE)*100) AS BIGINT)
+        |  FROM lineitem WHERE l_tax IS NOT NULL),
+        |h AS (SELECT col_name, v, CAST(COUNT(*) AS BIGINT) AS cnt
+        |      FROM m GROUP BY 1, 2),
+        |n AS (SELECT col_name, CAST(SUM(cnt) AS BIGINT) AS n_vals,
+        |             MIN(v) AS min_c, MAX(v) AS max_c
+        |      FROM h GROUP BY 1),
+        |med AS (SELECT col_name, MIN(v) AS median_c FROM (
+        |  SELECT h.col_name, h.v,
+        |         SUM(h.cnt) OVER (PARTITION BY h.col_name ORDER BY h.v) AS cum,
+        |         n.n_vals
+        |  FROM h JOIN n USING (col_name))
+        |  WHERE cum >= (n_vals + 1) // 2 GROUP BY 1)
+        |SELECT n.col_name, n.n_vals, CAST(total - n_vals AS BIGINT) AS n_nulls,
+        |       n.min_c, n.max_c, med.median_c
+        |FROM n JOIN med USING (col_name), t""".stripMargin)),
+
     // ---- data layout: Z-order (Morton) clustering key --------------------
     // (the multi-column pruning layout: LayoutSpec proves the sorted
     // write clusters BOTH dimensions per file; this row pins the

@@ -1,6 +1,9 @@
 package graft.operators
 
+import graft.operators.Stage.PinOps
+
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Pipeline safety rails: declarative data-quality expectations and
@@ -117,6 +120,45 @@ object Checks {
         col(s"__min_$c").as("min_val"),
         col(s"__max_$c").as("max_val"))): _*)).as("p"))
       .select(col("p.*"))
+  }
+
+  /** Exact numeric profile — the [[profileCard]] companion for
+    * measure columns: per column, non-null count, null count, and
+    * EXACT cents-quantized min/max/median. Shape is
+    * [[EmbeddingOps.dimStats]]'s value-histogram selection: melt to
+    * (column, quantized value), aggregate to one row per DISTINCT
+    * value (map-side combined), then select the lower median off the
+    * cumulative histogram — the windows walk one row per distinct
+    * value, never a per-column corpus sort. Cents quantization
+    * (round(x*100), half-away-from-zero on the positive domain both
+    * engines share) keeps every statistic an exact integer — the
+    * determinism discipline every oracle row in this engine rides. */
+  def numericProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty && cols.distinct.size == cols.size,
+      "profile columns must be non-empty and distinct")
+    val total = broadcast(df.agg(count(lit(1)).as("total")))
+    val hist = df.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        round(col(c).cast("double") * 100).cast("long").as("v")))
+        : _*)).as("kv"))
+      .select(col("kv.*"))
+      .where(col("v").isNotNull)
+      .groupBy(col("col_name"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
+      .pinned // stats branch + median branch, one histogram
+    val n = hist.groupBy(col("col_name"))
+      .agg(sum(col("cnt")).as("n_vals"), min(col("v")).as("min_c"),
+        max(col("v")).as("max_c"))
+    val w = Window.partitionBy(col("col_name")).orderBy(col("v"))
+    val med = hist
+      .withColumn("cum", sum(col("cnt")).over(w))
+      .join(n.select(col("col_name"), col("n_vals")), Seq("col_name"))
+      .where(col("cum") >= expr("(n_vals + 1) div 2"))
+      .groupBy(col("col_name")).agg(min(col("v")).as("median_c"))
+    n.join(med, Seq("col_name")).crossJoin(total)
+      .select(col("col_name"), col("n_vals"),
+        (col("total") - col("n_vals")).as("n_nulls"),
+        col("min_c"), col("max_c"), col("median_c"))
   }
 
   /** Exact top-`k` most frequent values per profiled column (heavy

@@ -105,6 +105,26 @@ class ChecksSpec extends SparkSpec {
       Checks.profileCard(df, Seq("s", "s")))
   }
 
+  test("numericProfile: cents quantization, null accounting, and the " +
+    "lower-median rank rule on even and odd populations") {
+    val df = Seq(
+      (Some(1.25), Some(10.0)), (Some(2.50), Some(20.0)),
+      (Some(3.75), Some(30.0)), (Some(99.99), None))
+      .toDF("a", "b")
+    val out = Checks.numericProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = out("a") // 4 values: median = 2nd smallest (lower median)
+    assert(a.getLong(1) == 4L && a.getLong(2) == 0L)
+    assert(a.getLong(3) == 125L && a.getLong(4) == 9999L &&
+      a.getLong(5) == 250L)
+    val b = out("b") // 3 values + 1 null: median = 2nd of 3
+    assert(b.getLong(1) == 3L && b.getLong(2) == 1L)
+    assert(b.getLong(3) == 1000L && b.getLong(4) == 3000L &&
+      b.getLong(5) == 2000L)
+    assertThrows[IllegalArgumentException](
+      Checks.numericProfile(df, Seq("a", "a")))
+  }
+
   test("heavyHitters: exact per-column top-k, nulls excluded, count " +
     "ties break by value") {
     val df = Seq("x", "x", "y", "y", "z", null)
