@@ -88,6 +88,23 @@ object Bench {
         graft.streaming.Streams.stateDelete(spark, statePath,
           docs.where(col("doc_id") % 7 === 0).select(col("doc_id")))
         () => { graft.streaming.Streams.compactState(spark, statePath); () }
+      }),
+      // the third maintenance surface: the BM25 compact is the most
+      // intricate rewrite (postings consolidate AND the collection
+      // totals recompute from surviving postings), so a regression
+      // there deserves its own driver-visible row
+      ("maint_bm25_compact", () => {
+        val root = java.nio.file.Files
+          .createTempDirectory("graft_bench_bmidx").resolve("idx").toString
+        val docs = Tables(spark, sfDir).documents
+        graft.operators.TextOps.bm25IndexWrite(
+          docs.where(col("doc_id") % 2 === 0), root)
+        graft.operators.TextOps.bm25IndexAppend(
+          docs.where(col("doc_id") % 2 =!= 0), root)
+        graft.operators.EmbeddingOps.indexDelete(spark, root,
+          docs.where(col("doc_id") % 7 === 0).select(col("doc_id")),
+          keyCol = "doc_id")
+        () => { graft.operators.TextOps.bm25IndexCompact(spark, root); () }
       }))
     val maintResults = maintFixtures.map { case (name, mkFixture) =>
       val runs = (1 to Repeats).map { _ =>
