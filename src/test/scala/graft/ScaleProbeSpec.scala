@@ -1086,6 +1086,35 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("qa profiling at 10x sf0.1: heavyHitters and numericProfile " +
+    "shuffle one row per distinct (column, value); the only " +
+    "broadcast is numericProfile's scalar total") {
+    val d = syntheticDocs(50000L)
+      .withColumn("v", (pmod(col("doc_id"), lit(977)) / lit(10.0)))
+    val hh = staticPlanOf(
+      graft.operators.Checks.heavyHitters(d, Seq("source", "lang")))
+    assertShuffleHealth("heavyHitters", hh)
+    assert(broadcastSubtrees(hh).isEmpty,
+      "heavyHitters broadcasts a frame — the melt must stay keyed")
+    val np = staticPlanOf(graft.operators.Checks.numericProfile(
+      d.withColumn("w", col("v") * 2), Seq("v", "w")))
+    val expected = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = np.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.outputPartitioning.numPartitions
+    }
+    assert(parts.count(_ == expected) >= 1,
+      s"numericProfile lost its keyed shuffles: $parts")
+    assert(parts.forall(p => p == expected || p == 1),
+      s"numericProfile has a shuffle at odd parallelism: $parts")
+    broadcastSubtrees(np).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("total"),
+        "numericProfile broadcasts a non-scalar frame with " +
+          cols.mkString("[", ", ", "]"))
+    }
+  }
+
   test("hybridTopKIndexed at 10x sf0.1: no cartesian, every broadcast " +
     "carries a batch/terms/quantizer mark and never a bare corpus " +
     "frame; fusion joins keyed at full-or-scalar parallelism") {
