@@ -155,9 +155,20 @@ object Checks {
       .join(n.select(col("col_name"), col("n_vals")), Seq("col_name"))
       .where(col("cum") >= expr("(n_vals + 1) div 2"))
       .groupBy(col("col_name")).agg(min(col("v")).as("median_c"))
-    n.join(med, Seq("col_name")).crossJoin(total)
-      .select(col("col_name"), col("n_vals"),
-        (col("total") - col("n_vals")).as("n_nulls"),
+    // a fully-NULL column contributes NO histogram rows — outer-join
+    // the stats back onto the LITERAL column list so it still emits a
+    // row (n_vals=0, n_nulls=total, NULL extremes): the alarming
+    // shape, not a silently missing one. The literal frame is
+    // |cols| rows; the joined stats side is one row per column.
+    val names = df.sparkSession
+      .createDataset(cols)(org.apache.spark.sql.Encoders.STRING)
+      .toDF("col_name")
+    n.join(med, Seq("col_name")).join(names, Seq("col_name"), "right")
+      .crossJoin(total)
+      .select(col("col_name"),
+        coalesce(col("n_vals"), lit(0L)).as("n_vals"),
+        (col("total") - coalesce(col("n_vals"), lit(0L)))
+          .as("n_nulls"),
         col("min_c"), col("max_c"), col("median_c"))
   }
 

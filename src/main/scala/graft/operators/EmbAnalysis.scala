@@ -120,10 +120,18 @@ private[graft] trait EmbAnalysisOps { this: EmbeddingOps.type =>
         aggregate(transform(col("embedding"),
             x => round(x.cast("double") * 1000).cast("long")),
           lit(0L), (acc, x) => acc + x * x)))
+    // the mode reduces to ONE row via a global aggregate — never a
+    // limit(1) over an orderBy, which on a fully-NULL batch would be
+    // an EMPTY frame and the crossJoin below would annihilate the
+    // whole card (n_vecs=0 for a non-empty broken batch). A global
+    // agg over zero rows yields one NULL row instead: dim_mode is
+    // NULL, every count still reflects the real batch. Tie-break
+    // matches the old orderBy(cnt desc, d asc): max_by over
+    // (cnt, -d) picks the most frequent width, smaller width first.
     val mode = broadcast(base.where(col("embedding").isNotNull)
       .groupBy(col("d")).agg(count(lit(1)).as("cnt"))
-      .orderBy(col("cnt").desc, col("d").asc).limit(1)
-      .select(col("d").as("dim_mode")))
+      .agg(max_by(col("d"), struct(col("cnt"), (-col("d")).as("nd")))
+        .as("dim_mode")))
     base.crossJoin(mode)
       .agg(count(lit(1)).as("n_vecs"),
         sum(when(col("embedding").isNull, 1L).otherwise(0L))

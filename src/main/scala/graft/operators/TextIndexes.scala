@@ -461,13 +461,44 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     // steady state) skip the merge: the segment's stats ARE the
     // totals, so the serve plans ZERO aggregation exchanges
     val stats =
-      if (segs.size == 1) touched
+      (if (segs.size == 1) touched
       else touched
         .groupBy(col("band_idx"), col("band_hash"))
-        .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
-    val sbCapped = stored.select(col("doc_id").as("doc_a"),
-        posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
-      .join(broadcast(stats), Seq("band_idx", "band_hash"))
+        .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub")))
+        .pinned // dead-hub probe + capped filter, one stat merge
+    val tomb = EmbeddingOps.tombstones(s, path, "doc_id", asOf)
+    val sbAll = stored.select(col("doc_id").as("doc_a"),
+      posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
+    // an OVERSIZED bucket answers exclusively through its hub — if
+    // that hub has been tombstoned, the final anti-join below would
+    // erase every pair it generated and the whole bucket would
+    // silently answer NOTHING until compaction (near-dups of a live
+    // template-spam cluster re-admitted). Re-hub those buckets at
+    // serve time to the smallest LIVE doc_id: the probe is bounded by
+    // the touched-bucket stats (small), and the re-hub scan touches
+    // only stored rows of dead-hub buckets (broadcast-semi-filtered),
+    // aggregated map-side to one row per such bucket — zero cost when
+    // no hub is tombstoned (the steady state; compaction clears
+    // tombstones and regenerates hubs from live rows).
+    val deadHub = stats
+      .join(tomb.withColumnRenamed("doc_id", "hub"), Seq("hub"),
+        "left_semi")
+      .select(col("band_idx"), col("band_hash"))
+    val rehub = sbAll
+      .join(broadcast(deadHub), Seq("band_idx", "band_hash"),
+        "left_semi")
+      .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_anti")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(min(col("doc_a")).as("live_hub"))
+    // fully-tombstoned bucket: live_hub is absent and the dead hub
+    // stays — its pairs die at the final anti-join, correctly
+    val statsLive = stats
+      .join(rehub, Seq("band_idx", "band_hash"), "left")
+      .withColumn("hub", coalesce(col("live_hub"), col("hub")))
+      .drop("live_hub")
+    val sbCapped = sbAll
+      .join(broadcast(statsLive), Seq("band_idx", "band_hash"))
       .where(col("bn") <= bucketCap || col("doc_a") === col("hub"))
     val cand = sbCapped
       .join(broadcast(bbIds), Seq("band_idx", "band_hash"))
@@ -493,8 +524,8 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       // duplication-mass-sized stats, where masking the scan itself
       // would shuffle the whole index (hs arrays and all) through a
       // doc_id-keyed join
-      .join(EmbeddingOps.tombstones(s, path, "doc_id", asOf)
-        .withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"), "left_anti")
+      .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_anti")
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
         col("nb"), col("jaccard"))
   }

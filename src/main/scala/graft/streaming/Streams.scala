@@ -997,6 +997,19 @@ object Streams {
   private def profileSpec(cols: Seq[String]): AdditiveSpec = {
     require(cols.nonEmpty && cols.distinct.size == cols.size,
       "profiled columns must be non-empty and distinct")
+    // the column list round-trips through the `_params` sidecar as a
+    // comma-joined value in a key=value line format; a name carrying
+    // the list separator or the sidecar's structural characters would
+    // parse back as a DIFFERENT list and silently melt the wrong
+    // columns on state deletion ([[profileStateDelete]]) — refuse at
+    // construction, mirroring [[graft.operators.Checks]]'s rule-name
+    // validation
+    require(cols.forall(c => c.nonEmpty &&
+        !c.exists(ch => ch == ',' || ch == '=' || ch == '\n' ||
+          ch == '\r')),
+      "profiled column names must be non-empty and must not contain " +
+        "',', '=', or newlines (they are pinned comma-joined in the " +
+        "state's _params sidecar)")
     AdditiveSpec(
       batch => batch
         .select(col("doc_id"), explode(array(cols.map(c => struct(

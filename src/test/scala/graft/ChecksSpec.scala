@@ -125,6 +125,24 @@ class ChecksSpec extends SparkSpec {
       Checks.numericProfile(df, Seq("a", "a")))
   }
 
+  test("numericProfile emits a row for a fully-NULL column (n_vals=0, " +
+    "n_nulls=total, NULL extremes) instead of dropping it") {
+    // regression: an all-NULL column contributes no histogram rows
+    // and the inner joins used to drop it from the card entirely —
+    // the most alarming column shape looked un-profiled
+    val df = Seq((Some(1.0), Option.empty[Double]),
+      (Some(2.0), Option.empty[Double])).toDF("a", "b")
+    val out = Checks.numericProfile(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out.keySet == Set("a", "b"))
+    val b = out("b")
+    assert(b.getLong(1) == 0L && b.getLong(2) == 2L)
+    assert(b.isNullAt(3) && b.isNullAt(4) && b.isNullAt(5))
+    val a = out("a")
+    assert(a.getLong(1) == 2L && a.getLong(2) == 0L &&
+      a.getLong(3) == 100L)
+  }
+
   test("heavyHitters: exact per-column top-k, nulls excluded, count " +
     "ties break by value") {
     val df = Seq("x", "x", "y", "y", "z", null)

@@ -678,6 +678,22 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(c.getAs[Long]("max_nn") == 4000000L)
   }
 
+  test("embQualityCard on a fully-NULL batch still counts the batch " +
+    "(the mode frame must not annihilate the card)") {
+    // regression: the modal-width frame used to be an orderBy+limit(1)
+    // — EMPTY on an all-NULL batch, and the crossJoin zeroed the whole
+    // card (n_vecs=0 for a non-empty, fully-broken batch:
+    // indistinguishable from an empty one)
+    val allNull = spark.sql("SELECT id AS vec_id, " +
+      "CAST(NULL AS ARRAY<FLOAT>) AS embedding, 0 AS label " +
+      "FROM range(5)")
+    val c = EmbeddingOps.embQualityCard(allNull).collect()(0)
+    assert(c.getAs[Long]("n_vecs") == 5L)
+    assert(c.getAs[Long]("n_null_vec") == 5L)
+    assert(c.isNullAt(c.fieldIndex("dim_mode")))
+    assert(c.getAs[Long]("n_dim_mismatch") == 0L)
+  }
+
   test("indexDiff classifies keys added and removed between two pinned " +
     "views; appended-then-deleted keys are in neither; unordered or " +
     "expired tokens refuse") {

@@ -833,6 +833,45 @@ class ScaleProbeSpec extends SparkSpec {
       r.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("nearDupServe re-hubs an oversized bucket whose hub is " +
+    "tombstoned; a fully-tombstoned bucket answers nothing") {
+    // regression: an oversized bucket routes exclusively through its
+    // persisted hub (min doc_id). Tombstoning that hub used to erase
+    // every pair it generated at the final anti-join — the whole
+    // live cluster silently stopped answering until compaction. The
+    // serve must re-route through the smallest LIVE doc instead.
+    val spamText = "spam template page click here to win a free prize now"
+    val idxDocs = spark.range(200L).select(col("id").as("doc_id"),
+      lit(spamText).as("text"))
+    val batch = spark.range(9000L, 9010L).select(col("id").as("doc_id"),
+      lit(spamText).as("text"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_mh_deadhub").toString
+    TextOps.minhashIndexWrite(idxDocs, idx)
+    TextOps.minhashIndexDelete(spark, idx,
+      spark.range(1L).select(col("id").as("doc_id")))
+    val served = TextOps.nearDupServe(spark, idx, batch, bucketCap = 64)
+      .collect()
+    assert(served.length === 10,
+      s"dead-hub bucket answered ${served.length} pairs; expected " +
+        "one re-hubbed pair per batch doc")
+    assert(served.forall(r => r.getAs[Long]("doc_a") == 1L &&
+      r.getAs[Double]("jaccard") == 1.0),
+      "re-hub must pick the smallest live doc_id (1)")
+    // compaction regenerates the hub from live rows — serve identical
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    val afterCompact = TextOps
+      .nearDupServe(spark, idx, batch, bucketCap = 64).collect()
+    assert(afterCompact.length === 10 &&
+      afterCompact.forall(_.getAs[Long]("doc_a") == 1L))
+    // every doc tombstoned: the bucket must answer NOTHING (the dead
+    // hub stays in the stats; its pairs die at the anti-join)
+    TextOps.minhashIndexDelete(spark, idx,
+      spark.range(200L).select(col("id").as("doc_id")))
+    assert(TextOps.nearDupServe(spark, idx, batch, bucketCap = 64)
+      .count() === 0L)
+  }
+
   test("bm25TopK at 10x sf0.1: only term-bounded and scalar frames broadcast") {
     // the tf aggregate runs AFTER the query-term semi-filter (only
     // matching tokens shuffle); the df frame is bounded by |terms|

@@ -1760,5 +1760,17 @@ class StreamDedupParitySpec extends SparkSpec {
       .toSeq
     assert(messages.exists(_.contains("built with parameters")),
       messages.mkString(" | "))
+    // column names that would not round-trip through the
+    // comma-joined _params value (',', '=', newlines) refuse at
+    // construction — a smuggled separator would make
+    // profileStateDelete melt a DIFFERENT column set than the sink
+    // folded and silently corrupt the subtraction
+    Seq("a,b", "a=b", "a\nb", "a\rb", "").foreach { bad =>
+      val e = intercept[IllegalArgumentException] {
+        Streams.profileSink(fix, Seq(bad), statePath, ckpt)
+      }
+      assert(e.getMessage.contains("_params sidecar") ||
+        e.getMessage.contains("non-empty"), s"<$bad>: ${e.getMessage}")
+    }
   }
 }
