@@ -152,7 +152,9 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   // single-writer, readers-never-block contract).
 
   /** The root's swap epoch: bumped by every full-tree publish
-    * (rebuild/compaction), untouched by appends/deletes. 0 for roots
+    * (rebuild/compaction) and, in place, by [[snapshotInvalidate]]
+    * (the forget sweep's pinned-view expiry — segments intact, tokens
+    * refused); untouched by ordinary appends/deletes. 0 for roots
     * that predate the marker (their first swap writes 1). */
   private[graft] def epochOf(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Long = {
@@ -180,15 +182,51 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     finally out.close()
   }
 
+  /** Invalidate every pinned view of an index root: bump its `_epoch`
+    * marker IN PLACE, with no tree swap. All existing snapshot tokens
+    * and run-manifest entries for this root refuse from now on
+    * ("snapshot expired"), while the committed segments stay
+    * untouched — live serving, appends, and deletes continue
+    * unaffected, and a fresh [[indexSnapshot]] pins the current view.
+    *
+    * This is the forget-sweep's snapshot composition
+    * ([[Forget.forgetDocs]] calls it after each IndexTarget's
+    * tombstone append): a right-to-be-forgotten deletion must not be
+    * replayable through a pre-sweep token, and tombstones alone do
+    * not expire tokens (by design — routine maintenance deletes keep
+    * training-run views intact). The bump is O(1) — one marker write
+    * — where an epoch-bumping compaction would rewrite the whole
+    * index per deletion-request batch; the forgotten PAYLOAD bytes
+    * still leave the disk at the next compaction, exactly as for any
+    * tombstoned doc. Same single-maintainer window as every marker
+    * write; in-flight pinned scans that already passed their epoch
+    * check race it exactly like they race a compaction (documented
+    * fail-fast, not a lock). */
+  def snapshotInvalidate(s: org.apache.spark.sql.SparkSession,
+      path: String): Long = {
+    val (fs, root) = fsFor(s, path)
+    val (g, segs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(g >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    val next = epochOf(fs, root) + 1
+    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_epoch"),
+      true)
+    try out.write(next.toString.getBytes("UTF-8"))
+    finally out.close()
+    next
+  }
+
   /** Capture a consistent read token of a persisted index: the root
     * epoch plus the committed data and tombstone segment sets right
     * now. Serving with `asOf = Some(token)` replays exactly this view
     * — later appends and deletes are invisible — until a compaction
-    * or rebuild swaps the tree (the token then refuses with
-    * "snapshot expired"). Applies to every append+tombstone index
-    * family (IVF/PQ/IVF-PQ/SQ8/trunc tier, MinHash, BM25); fold-state
-    * roots under graft.streaming.Streams rewrite segments on delete
-    * and are NOT snapshot-safe. */
+    * or rebuild swaps the tree, or a forget sweep invalidates the
+    * root's pinned views ([[snapshotInvalidate]]); the token then
+    * refuses with "snapshot expired". Applies to every
+    * append+tombstone index family (IVF/PQ/IVF-PQ/SQ8/trunc tier,
+    * MinHash, BM25); fold-state roots under graft.streaming.Streams
+    * rewrite segments on delete and are NOT snapshot-safe. */
   def indexSnapshot(s: org.apache.spark.sql.SparkSession,
       path: String): IndexSnapshot = {
     val (fs, root) = fsFor(s, path)
@@ -220,7 +258,9 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     * view it read can be re-served later ([[snapshotRead]] +
     * `asOf`). The token is tiny (two int lists bounded by segment
     * counts) and self-contained; whether it is still serveable is
-    * decided at read-use time by the epoch check, not here. */
+    * decided at read-use time by the epoch check, not here — a
+    * compaction, rebuild, or forget sweep ([[snapshotInvalidate]])
+    * anywhere between write and use expires the token. */
   private def tokenJson(snap: IndexSnapshot): String =
     s"""{"epoch":${snap.epoch},"dataGen":${snap.dataGen},""" +
       s""""dataSegs":[${snap.dataSegs.mkString(",")}],""" +

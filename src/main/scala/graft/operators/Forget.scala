@@ -26,7 +26,11 @@ import org.apache.spark.sql.functions._
   *
   * Caveats inherited from the primitives, restated: index/registry
   * tombstones mask immediately and are applied physically by the
-  * compaction family; deletion alone is also re-admission — include a
+  * compaction family; for [[IndexTarget]]s the sweep ALSO expires
+  * every pinned view of the index ([[EmbeddingOps.snapshotInvalidate]]
+  * — pre-sweep snapshot tokens and run manifests refuse with
+  * "snapshot expired" instead of replaying the forgotten payload;
+  * re-pin after the sweep); deletion alone is also re-admission — include a
   * [[LedgerTarget]] in the sweep and compose [[forgottenFilter]] at
   * the ingest/curate front door when the forgetting must be
   * permanent; additive targets need the docs' ORIGINAL content
@@ -96,6 +100,18 @@ object Forget {
             case IndexTarget(path, keyCol) =>
               EmbeddingOps.indexDelete(s, path,
                 pinned.select(col(keyCol)), keyCol = keyCol)
+              // a forgotten doc must not be replayable through a
+              // pre-sweep snapshot token or run manifest: ordinary
+              // tombstones deliberately leave pinned views intact
+              // (training runs keep their corpus view across
+              // maintenance deletes), so the sweep expires them
+              // explicitly — an O(1) in-place epoch bump, never a
+              // per-sweep index rewrite. Post-sweep snapshots pin the
+              // swept view and serve normally. A crash between the
+              // (crash-atomic) delete and this bump is healed by
+              // retrying the sweep, the standard incomplete-sweep
+              // protocol either way.
+              EmbeddingOps.snapshotInvalidate(s, path)
             case RegistryStateTarget(path) =>
               graft.streaming.Streams.stateDelete(s, path, pinned)
             case LedgerTarget(path, keyCol) =>

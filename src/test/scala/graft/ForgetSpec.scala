@@ -230,4 +230,72 @@ class ForgetSpec extends SparkSpec {
     assert(row.getAs[String]("status") == "failed" &&
       row.getAs[String]("detail").contains("contradicts the registry"))
   }
+
+  test("a forget sweep expires pre-sweep pinned views: the live serve " +
+    "excludes the victim, the pre-sweep token REFUSES, a post-sweep " +
+    "token serves the swept view") {
+    import spark.implicits._
+    // regression for the governance-composition gap: tombstones alone
+    // do not bump the epoch (by design — maintenance deletes keep
+    // training-run views intact), so before the sweep-side
+    // invalidation a snapshot captured BEFORE a right-to-be-forgotten
+    // sweep kept serving the forgotten doc's payload bit-identically
+    // until some compaction happened to run
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+      .where($"doc_id" < 40).localCheckpoint()
+    val victims = docs.where($"doc_id" % 5 === 0).localCheckpoint()
+    val victimIds = victims.select($"doc_id").as[Long].collect().toSet
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_forget_snap").toString
+    TextOps.minhashIndexWrite(docs, idx)
+    // a training run pins its corpus view with a DURABLE token
+    val preSnap = EmbeddingOps.indexSnapshot(spark, idx)
+    val tok = java.nio.file.Files
+      .createTempDirectory("graft_forget_tok").resolve("t.json").toString
+    EmbeddingOps.snapshotWrite(spark, tok, preSnap)
+    val probe = victims.select(($"doc_id" + 300000L).as("doc_id"),
+      $"text")
+    // sanity: the pinned serve sees the victims before the sweep
+    assert(TextOps.nearDupServe(spark, idx, probe,
+        asOf = Some(EmbeddingOps.snapshotRead(spark, tok)))
+      .where($"doc_a".isin(victimIds.toSeq: _*)).count() > 0L)
+
+    Forget.forgetDocs(spark, Seq(Forget.IndexTarget(idx)), victims)
+
+    // (a) the live serve excludes the forgotten docs immediately
+    assert(TextOps.nearDupServe(spark, idx, probe)
+      .where($"doc_a".isin(victimIds.toSeq: _*)).count() === 0L)
+    // (b) the pre-sweep pinned view refuses loudly — replaying the
+    // forgotten payload through a durable token is exactly what the
+    // sweep must make impossible
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nearDupServe(spark, idx, probe,
+        asOf = Some(EmbeddingOps.snapshotRead(spark, tok))).count()
+    }
+    assert(e.getMessage.contains("snapshot expired"))
+    // (c) a POST-sweep snapshot pins the swept view and serves it —
+    // invalidation expires history, not the snapshot feature
+    val postSnap = EmbeddingOps.indexSnapshot(spark, idx)
+    assert(TextOps.nearDupServe(spark, idx, probe,
+        asOf = Some(postSnap))
+      .where($"doc_a".isin(victimIds.toSeq: _*)).count() === 0L)
+    // ...and still answers for SURVIVOR content (probe their text)
+    val survivorProbe = docs.where($"doc_id" % 5 =!= 0)
+      .select(($"doc_id" + 400000L).as("doc_id"), $"text")
+    assert(TextOps.nearDupServe(spark, idx, survivorProbe,
+        asOf = Some(postSnap)).count() > 0L,
+      "post-sweep pinned serve must still answer for survivors")
+    // and a later compaction expires THAT token too (tree swap)
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.nearDupServe(spark, idx, probe,
+        asOf = Some(postSnap)).count()
+    }
+    assert(e2.getMessage.contains("snapshot expired"))
+    // invalidating a non-index path refuses
+    assertThrows[IllegalArgumentException](
+      EmbeddingOps.snapshotInvalidate(spark,
+        java.nio.file.Files.createTempDirectory("graft_noidx")
+          .toString))
+  }
 }
