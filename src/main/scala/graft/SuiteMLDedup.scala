@@ -216,9 +216,12 @@ private[graft] object SuiteMLDedup {
         |FROM inter i
         |JOIN sza sa ON sa.doc_id = i.doc_a
         |JOIN szb sb ON sb.doc_id = i.doc_b
-        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
-
-    // ---- dedup: snapshot diff over the near-dup index — the audit
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin),
+      // benched as THE pinned-serve row: the asOf door must price
+      // within noise of the live serve (the segment IN-filter and the
+      // epoch check are the only additions) — a driver-visible number,
+      // not an argument
+      bench = true),
     // twin of dedup_serve_asof, one per index family next to
     // sim_index_diff / text_bm25_diff: which docs did the mutations
     // between the two captures make visible (the appended % 5 IN

@@ -953,7 +953,8 @@ private[graft] object SuiteMLText {
           |          WHERE CAST(dot AS DOUBLE) / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))) >= 0.45),
           |dsrc AS MATERIALIZED (SELECT * FROM documents
           |  WHERE doc_id NOT IN (SELECT vec_b FROM sdrop)),
-          |""".stripMargin + curateCteList("dsrc") + CuratePackTail)),
+          |""".stripMargin + curateCteList("dsrc") + CuratePackTail),
+      bench = true),
 
     // ---- curation funnel report: per-stage doc count + token mass -------
     Q("text_curate_report",
@@ -1388,7 +1389,8 @@ private[graft] object SuiteMLText {
       },
       Some(s"""WITH $Bm25BatchCte
         |SELECT query_id, rk, doc_id, dl, n_terms, score_q
-        |FROM lex""".stripMargin)),
+        |FROM lex""".stripMargin),
+      bench = true),
 
     // ---- retrieval: cross-corpus BM25 serving from prebuilt stats --------
     // Collection statistics (df, N, T) come from every source EXCEPT

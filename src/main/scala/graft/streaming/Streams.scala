@@ -896,7 +896,25 @@ object Streams {
     * normalization current over an incrementally-collected corpus
     * without rescanning it. The registry makes re-delivery a no-op
     * and refuses mutated content — BM25 stats, like all count folds,
-    * cannot subtract. Serve with [[bm25TopKState]]. */
+    * cannot subtract. Serve with [[bm25TopKState]].
+    *
+    * DELIBERATELY NOT a postings fold. This state carries collection
+    * statistics only — it ranks a FRESH batch against the collected
+    * corpus's df/length model ([[bm25TopKState]]); it cannot serve
+    * top-k over the collected corpus itself, because per-(word, doc)
+    * tf postings are not in it. That is a scale decision, not a gap:
+    * a postings fold would put O(corpus postings) rows in fold state
+    * (~|tokens| rows per doc vs the registry folds' one) and touch
+    * nearly every state shard on every micro-batch — an O(state)
+    * rewrite per trigger. The canonical incremental path for the
+    * SERVING index is graft.operators.TextOps.bm25IndexAppend: each
+    * ingest batch lands as one O(batch) immutable postings segment
+    * under the crash-atomic manifest (dedup re-delivery against this
+    * fold's registry first, as the e2e spec pins), serving prunes by
+    * term buckets across segments, and compaction consolidates —
+    * identical to how the MinHash and vector families ingest
+    * incrementally. The same applies to them: registry folds guard
+    * re-delivery; segment appends grow the index. */
   def bm25Sink(docs: DataFrame, statePath: String,
       checkpointLocation: String, nShards: Int = DefaultStateShards)
       : org.apache.spark.sql.streaming.DataStreamWriter[
