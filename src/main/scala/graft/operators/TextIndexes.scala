@@ -205,11 +205,19 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       path: String, queries: DataFrame, k: Int = 10,
       k1Permille: Long = 1200L, bPermille: Long = 750L,
       asOf: Option[IndexSnapshot] = None): DataFrame = {
-    val qw = queries.select(col("query_id"), col("word")).distinct()
-      .pinned // term-union collect + score fan-out, one build
-    val terms = qw.select(col("word")).distinct()
-      .collect().map(_.getString(0)).toSeq // bounded by the batch
-    require(terms.nonEmpty, "query batch has no terms")
+    // ONE collect of the deduped (query_id, word) pairs — bounded by
+    // |batch| x terms-per-query by the serving contract, same bound
+    // the term-union collect below always had. Re-emitting them as a
+    // LocalRelation makes the fan-out join's broadcast side free and
+    // drops the separate term-distinct job + checkpoint a frame-side
+    // qw needed (profiled: the batch arm ran 2 extra jobs before the
+    // postings scan even started).
+    val qdf = queries.select(col("query_id"), col("word")).distinct()
+    val qwRows = qdf.collect()
+    require(qwRows.nonEmpty, "query batch has no terms")
+    val qw = s.createDataFrame(
+      java.util.Arrays.asList(qwRows: _*), qdf.schema)
+    val terms = qwRows.map(_.getString(1)).distinct.toSeq
     val posts = bm25PostingsScan(s, path, terms, asOf)
       .pinned // df branch + scoring branch, one pruned scan
     val w = Window.partitionBy(col("query_id"))
