@@ -133,8 +133,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$tmp/lists/seg=0")
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
-    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
-    Warehouse.swapInto(fs, tmp, root)
+    publishStaged(fs, root, tmp) // a rebuild expires + retires
   }
 
   /** Append a NEW batch of vectors to a persisted IVF index: the
@@ -208,7 +207,11 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
   def ivfTopKIndexed(s: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, nProbe: Int = 2,
       k: Int = 10, asOf: Option[IndexSnapshot] = None): DataFrame = {
-    val cents = s.read.parquet(s"$path/centroids")
+    // resolve once: a pinned read within the retention grace serves
+    // the RETIRED tree wholesale (centroids included — a rebuild may
+    // have replaced the quantizer)
+    val base = snapshotRoot(s, path, asOf)
+    val cents = s.read.parquet(s"$base/centroids")
     val probes = rankedAgainst(quantized(queries), cents)
       .where(col("crk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
@@ -216,12 +219,12 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       .pinned // feeds the probe-set literal AND the candidate join
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
-    val lists = s.read.parquet(s"$path/lists")
-      .where(segFilter(s, path, asOf) &&
+    val lists = s.read.parquet(s"$base/lists")
+      .where(segFilter(s, base, asOf) &&
         col("cell").isin(probedCells.map(Int.box): _*))
       // committed tombstones mask deleted vectors (anti-join — the
       // tombstone set is unbounded, never collected)
-      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
+      .join(tombstones(s, base, asOf = asOf), Seq("vec_id"), "left_anti")
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     probes.join(lists, Seq("cell"))
@@ -245,7 +248,8 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       path: String, queries: DataFrame, pred: Column,
       nProbe: Int = 2, k: Int = 10,
       asOf: Option[IndexSnapshot] = None): DataFrame = {
-    val cents = s.read.parquet(s"$path/centroids")
+    val base = snapshotRoot(s, path, asOf)
+    val cents = s.read.parquet(s"$base/centroids")
     val probes = rankedAgainst(quantized(queries), cents)
       .where(col("crk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
@@ -253,10 +257,10 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       .pinned
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
-    val lists = s.read.parquet(s"$path/lists")
-      .where(segFilter(s, path, asOf) &&
+    val lists = s.read.parquet(s"$base/lists")
+      .where(segFilter(s, base, asOf) &&
         col("cell").isin(probedCells.map(Int.box): _*) && pred)
-      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
+      .join(tombstones(s, base, asOf = asOf), Seq("vec_id"), "left_anti")
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
     probes.join(lists, Seq("cell"))

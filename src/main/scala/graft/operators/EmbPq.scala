@@ -196,8 +196,7 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     pqEncodeWith(e, saved)
       .write.mode("overwrite").parquet(s"$tmp/codes/seg=0")
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
-    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
-    Warehouse.swapInto(fs, tmp, root)
+    publishStaged(fs, root, tmp) // a rebuild expires + retires
   }
 
   /** Append a NEW batch to a persisted PQ index — the compressed
@@ -231,11 +230,12 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
   def pqTopKIndexed(s: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int = 10,
       asOf: Option[IndexSnapshot] = None): DataFrame = {
-    val cb = s.read.parquet(s"$path/codebooks")
-    val codes = s.read.parquet(s"$path/codes")
-      .where(segFilter(s, path, asOf)) // committed segments only
+    val base = snapshotRoot(s, path, asOf)
+    val cb = s.read.parquet(s"$base/codebooks")
+    val codes = s.read.parquet(s"$base/codes")
+      .where(segFilter(s, base, asOf)) // committed segments only
       .drop("seg")
-      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
+      .join(tombstones(s, base, asOf = asOf), Seq("vec_id"), "left_anti")
     val lut = subSlices(quantized(queries))
       .select(col("vec_id").as("query_id"), col("sub"),
         col("sq").as("qs"))
@@ -375,8 +375,7 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
       .write.partitionBy("cell").mode("overwrite")
       .parquet(s"$tmp/codes/seg=0")
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
-    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
-    Warehouse.swapInto(fs, tmp, root)
+    publishStaged(fs, root, tmp) // a rebuild expires + retires
   }
 
   /** Append a NEW batch to a persisted IVF-PQ index: the batch is
@@ -410,8 +409,9 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
   def ivfpqTopKIndexed(s: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, nProbe: Int = 2,
       k: Int = 10, asOf: Option[IndexSnapshot] = None): DataFrame = {
-    val cents = s.read.parquet(s"$path/centroids")
-    val cb = s.read.parquet(s"$path/codebooks")
+    val base = snapshotRoot(s, path, asOf)
+    val cents = s.read.parquet(s"$base/centroids")
+    val cb = s.read.parquet(s"$base/codebooks")
     val qe = quantized(queries).pinned
     val probes = ivfpqProbes(qe, cents, nProbe).pinned
     val probedCells = probes.select(col("cell")).distinct()
@@ -422,11 +422,11 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     // bit-identically. The centroids/codebooks need no pinning — the
     // quantizers are fixed at build time, and any rebuild that would
     // replace them bumps the epoch (the pinned filters refuse first).
-    val codes = s.read.parquet(s"$path/codes")
-      .where(segFilter(s, path, asOf) &&
+    val codes = s.read.parquet(s"$base/codes")
+      .where(segFilter(s, base, asOf) &&
         col("cell").isin(probedCells.map(Int.box): _*))
       .drop("seg")
-      .join(tombstones(s, path, "vec_id", asOf), Seq("vec_id"),
+      .join(tombstones(s, base, "vec_id", asOf), Seq("vec_id"),
         "left_anti")
     ivfpqAdc(probes, qe, cb, codes, k)
   }

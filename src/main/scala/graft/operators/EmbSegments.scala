@@ -142,14 +142,19 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   // sets is byte-for-byte the view at capture time — which is what a
   // training run needs to record for bit-identical re-reads while the
   // index keeps ingesting and deleting underneath it. After a
-  // compaction/rebuild the pinned segments are GONE (the swap replaced
-  // the tree, and generation numbering restarts — gen alone would be
-  // ambiguous, the classic ABA), so a pinned read refuses loudly
-  // instead of silently serving the wrong incarnation. The epoch check
-  // runs at plan-construction time: it is a fail-fast against serving
-  // a compacted-away view, not a lock — snapshot reads race a
-  // concurrent maintainer exactly like unpinned serves do (the
-  // single-writer, readers-never-block contract).
+  // compaction/rebuild the pinned segments are GONE from the live
+  // tree (the swap replaced it, and generation numbering restarts —
+  // gen alone would be ambiguous, the classic ABA); within the
+  // one-epoch retention grace the read resolves to the RETIRED copy
+  // of its incarnation instead (see the retention note below), and
+  // refuses loudly only when that too is gone — never silently
+  // serving the wrong incarnation. The epoch check and path
+  // resolution run at plan-construction time: a fail-fast, not a
+  // lock — snapshot reads race a concurrent maintainer exactly like
+  // unpinned serves do (the single-writer, readers-never-block
+  // contract), and a swap landing mid-scan surfaces as the reader's
+  // missing-file error; the RETRY resolves to the retired tree and
+  // completes, so the race costs a retry, never a wrong answer.
 
   /** The root's swap epoch: bumped by every full-tree publish
     * (rebuild/compaction) and, in place, by [[snapshotInvalidate]]
@@ -182,6 +187,87 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     finally out.close()
   }
 
+  // ---- snapshot retention grace ----------------------------------------
+  // Every full-tree swap (rebuild/compaction) RETIRES the tree it
+  // replaces instead of deleting it: one extra rename parks the old
+  // incarnation at a hidden sibling named by its epoch, and exactly one
+  // retired epoch is kept (each swap prunes older ones — bounded 2x
+  // disk, never a chain). A pinned read whose token no longer matches
+  // the live epoch resolves to the retired tree ([[snapshotRoot]]) and
+  // serves BYTE-IDENTICALLY — the tree moved wholesale, `_epoch`,
+  // manifests, sidecars and all — which is what makes a durable token
+  // survive the routine compactions of a long training run. Limits,
+  // stated loudly: (a) only ONE epoch back — a second swap prunes the
+  // retired tree and older tokens refuse with the standard message;
+  // (b) a read that is MID-SCAN when the swap lands still dies on the
+  // moved files (the plan resolved paths at construction) — the retry
+  // resolves to the retired tree and completes, so the race costs a
+  // retry, never a wrong answer; (c) [[snapshotInvalidate]] (the
+  // forget sweep) prunes ALL retired trees — a forgotten payload must
+  // not be servable through a retained copy either.
+
+  private[operators] def retiredSibling(
+      root: org.apache.hadoop.fs.Path, epoch: Long)
+      : org.apache.hadoop.fs.Path =
+    Warehouse.hiddenSibling(root, s".epoch-$epoch")
+
+  /** Delete retired trees of `root`, keeping only `keep` (None = all
+    * go). Listing is over the parent directory's hidden siblings with
+    * this root's retirement prefix — O(siblings), driver-side. */
+  private[operators] def pruneRetired(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, keep: Option[Long]): Unit = {
+    val prefix = s".${root.getName}.epoch-"
+    val parent = root.getParent
+    if (parent != null && fs.exists(parent))
+      fs.listStatus(parent).foreach { st =>
+        val n = st.getPath.getName
+        if (n.startsWith(prefix) &&
+            !keep.exists(e => n == s"$prefix$e"))
+          fs.delete(st.getPath, true)
+      }
+  }
+
+  /** The one way a staged replacement tree becomes the index: stamp
+    * its epoch, publish it over `root` ([[Warehouse.swapInto]]), and
+    * retire the replaced tree one epoch back (pruning older retired
+    * trees — exactly one epoch of retention). Every rebuild and
+    * compaction routes through here so the retention grace cannot
+    * drift between index families. */
+  private[operators] def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val oldEpoch = epochOf(fs, root)
+    stampEpoch(fs, root, tmp)
+    failpoint("staged-written")
+    Warehouse.swapInto(fs, tmp, root, failpoint,
+      retireTo = Some(retiredSibling(root, oldEpoch)))
+    pruneRetired(fs, root, keep = Some(oldEpoch))
+  }
+
+  /** Resolve the base path a pinned read serves from: the live root
+    * while the token's epoch is current, the RETIRED tree when a
+    * swap has replaced the root but its previous incarnation is still
+    * retained (see the retention note above), and a loud refusal
+    * otherwise. Unpinned reads pass through. Idempotent — resolving
+    * an already-retired base returns it (its own `_epoch` matches),
+    * so helpers may re-resolve freely. */
+  private[operators] def snapshotRoot(s: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[IndexSnapshot]): String = asOf match {
+    case None => path
+    case Some(snap) =>
+      val (fs, root) = fsFor(s, path)
+      if (epochOf(fs, root) == snap.epoch) path
+      else {
+        val ret = retiredSibling(root, snap.epoch)
+        if (fs.exists(ret) && epochOf(fs, ret) == snap.epoch)
+          ret.toString
+        else {
+          requireSnapshotLive(fs, root, path, snap) // the loud refusal
+          path // unreachable
+        }
+      }
+  }
+
   /** Invalidate every pinned view of an index root: bump its `_epoch`
     * marker IN PLACE, with no tree swap. All existing snapshot tokens
     * and run-manifest entries for this root refuse from now on
@@ -209,6 +295,9 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
     require(g >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — not an index root")
+    // retained trees are pinned views too — a forgotten payload must
+    // not be servable through the retention grace either
+    pruneRetired(fs, root, keep = None)
     val next = epochOf(fs, root) + 1
     val out = fs.create(new org.apache.hadoop.fs.Path(root, "_epoch"),
       true)
@@ -247,10 +336,10 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       snap: IndexSnapshot): Unit = {
     val cur = epochOf(fs, root)
     require(cur == snap.epoch,
-      s"snapshot expired: index at $path was compacted or rebuilt " +
-        s"since capture (root epoch $cur, snapshot epoch " +
-        s"${snap.epoch}) — pinned segments no longer exist; " +
-        "capture a new snapshot")
+      s"snapshot expired: index at $path was compacted, rebuilt, or " +
+        s"swept since capture (root epoch $cur, snapshot epoch " +
+        s"${snap.epoch}) and no retained copy of that epoch remains " +
+        "— pinned segments no longer exist; capture a new snapshot")
   }
 
   /** Persist a snapshot token as a one-line JSON file — what a
@@ -386,15 +475,22 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   def indexDiff(s: org.apache.spark.sql.SparkSession, path: String,
       dataDir: String, from: IndexSnapshot, to: IndexSnapshot,
       keyCol: String = "vec_id"): DataFrame = {
-    val (fs, root) = fsFor(s, path)
-    requireSnapshotLive(fs, root, path, from)
-    requireSnapshotLive(fs, root, path, to)
+    // both tokens must come from ONE incarnation: segment arithmetic
+    // is meaningless across a compaction/rebuild (numbering restarts)
+    require(from.epoch == to.epoch,
+      s"snapshots of $path span an epoch boundary (a compaction, " +
+        s"rebuild, or forget sweep ran between the captures: epochs " +
+        s"${from.epoch} vs ${to.epoch}) — segment arithmetic is not " +
+        "comparable across incarnations")
+    // resolution honors the retention grace: a diff of two tokens
+    // whose shared epoch was just swapped away reads the retired tree
+    val base = snapshotRoot(s, path, Some(from))
     require(from.dataSegs.toSet.subsetOf(to.dataSegs.toSet) &&
       from.delSegs.toSet.subsetOf(to.delSegs.toSet),
       s"snapshots of $path are not ordered: 'from' must precede 'to'")
     val dDelta = to.dataSegs.filterNot(from.dataSegs.toSet)
     val lDelta = to.delSegs.filterNot(from.delSegs.toSet)
-    val data = s.read.parquet(s"$path/$dataDir")
+    val data = s.read.parquet(s"$base/$dataDir")
     // distinct on BOTH legs' key sets: a family may store several
     // rows per key (PQ codes are one row per (key, sub)) and the
     // contract is one row per CHANGED KEY — the distinct shuffles
@@ -404,7 +500,7 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       else data.where(col("seg").isin(dDelta.map(Int.box): _*))
         .select(col(keyCol)).distinct()
     val added = addedKeys
-      .join(tombstones(s, path, keyCol, Some(to)), Seq(keyCol),
+      .join(tombstones(s, base, keyCol, Some(to)), Seq(keyCol),
         "left_anti")
       .select(col(keyCol), lit("added").as("change"))
     val removed =
@@ -413,9 +509,9 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
         val fromView = data
           .where(col("seg").isin(from.dataSegs.map(Int.box): _*))
           .select(col(keyCol))
-          .join(tombstones(s, path, keyCol, Some(from)), Seq(keyCol),
+          .join(tombstones(s, base, keyCol, Some(from)), Seq(keyCol),
             "left_anti")
-        s.read.parquet(s"$path/dels")
+        s.read.parquet(s"$base/dels")
           .where(col("seg").isin(lDelta.map(Int.box): _*))
           .select(col(keyCol)).distinct()
           .join(fromView, Seq(keyCol), "left_semi")
@@ -482,10 +578,11 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   def tombstones(s: org.apache.spark.sql.SparkSession,
       path: String, keyCol: String = "vec_id",
       asOf: Option[IndexSnapshot] = None): DataFrame = {
-    val (fs, root) = fsFor(s, path)
+    val base = snapshotRoot(s, path, asOf)
+    val (fs, root) = fsFor(s, base)
     val (dg, dsegs) = asOf match {
       case Some(snap) =>
-        requireSnapshotLive(fs, root, path, snap)
+        requireSnapshotLive(fs, root, base, snap)
         (snap.delsGen, snap.delSegs)
       case None =>
         committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
@@ -493,7 +590,7 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     if (dg < 0 || dsegs.isEmpty)
       s.range(0).select(col("id").as(keyCol))
     else
-      s.read.parquet(s"$path/dels")
+      s.read.parquet(s"$base/dels")
         .where(col("seg").isin(dsegs.map(Int.box): _*))
         .select(col(keyCol))
   }
@@ -546,9 +643,10 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       extraSeg(s"$tmp/$dataDir/seg=0")
       commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0,
         Seq(0))
-      stampEpoch(fs, root, tmp) // invalidates pinned snapshots
-      failpoint("staged-written")
-      Warehouse.swapInto(fs, tmp, root, failpoint)
+      // expires pinned snapshots, but retains the replaced tree ONE
+      // epoch back (see the retention note above): tokens of the
+      // pre-compaction view keep serving from the retired copy
+      publishStaged(fs, root, tmp, failpoint)
       segs.size
     }
   }

@@ -93,8 +93,7 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
     val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_dim"), true)
     try out.write(chosen.toString.getBytes("UTF-8")) finally out.close()
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
-    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
-    Warehouse.swapInto(fs, tmp, root)
+    publishStaged(fs, root, tmp) // a rebuild expires + retires
     chosen
   }
 
@@ -126,15 +125,16 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
   def truncServeRecall(s: org.apache.spark.sql.SparkSession,
       path: String, emb: DataFrame, nQueries: Int = 5,
       k: Int = 10, asOf: Option[IndexSnapshot] = None): DataFrame = {
-    val stored = s.read.parquet(s"$path/vecs")
-      .where(segFilter(s, path, asOf)).drop("seg")
-      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
+    val base = snapshotRoot(s, path, asOf)
+    val stored = s.read.parquet(s"$base/vecs")
+      .where(segFilter(s, base, asOf)).drop("seg")
+      .join(tombstones(s, base, asOf = asOf), Seq("vec_id"), "left_anti")
     val served = annTopKQ(stored, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     val brute = annTopK(emb, nQueries, k)
       .select(col("query_id"), col("vec_id"))
     recallVsBrute(brute, served, k)
-      .select(lit(truncIndexDim(s, path)).as("trunc_dim"),
+      .select(lit(truncIndexDim(s, base)).as("trunc_dim"),
         col("query_id"), col("n_overlap"), col("recall_at_k"))
   }
 
@@ -298,8 +298,7 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
           .cast("array<smallint>").as("c"))
       .write.mode("overwrite").parquet(s"$tmp/codes/seg=0")
     commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
-    stampEpoch(fs, root, tmp) // a rebuild invalidates pinned snapshots
-    Warehouse.swapInto(fs, tmp, root)
+    publishStaged(fs, root, tmp) // a rebuild expires + retires
   }
 
   /** Append new vectors to a persisted SQ8 index: coded against the
@@ -332,17 +331,18 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
   def sq8TopKIndexed(s: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int = 10,
       asOf: Option[IndexSnapshot] = None): DataFrame = {
+    val base = snapshotRoot(s, path, asOf)
     val (mnA, rgA) = sq8Lits(
-      s.read.parquet(s"$path/ranges").orderBy(col("pos")).collect())
+      s.read.parquet(s"$base/ranges").orderBy(col("pos")).collect())
     val q = quantized(queries)
       .select(col("vec_id").as("query_id"),
         sq8Recon(sq8Code(col("q"), mnA, rgA, clamp = true), mnA, rgA)
           .as("qr"))
       .withColumn("qn",
         aggregate(col("qr"), lit(0L), (acc, x) => acc + x * x))
-    val codes = s.read.parquet(s"$path/codes")
-      .where(segFilter(s, path, asOf)).drop("seg")
-      .join(tombstones(s, path, asOf = asOf), Seq("vec_id"), "left_anti")
+    val codes = s.read.parquet(s"$base/codes")
+      .where(segFilter(s, base, asOf)).drop("seg")
+      .join(tombstones(s, base, asOf = asOf), Seq("vec_id"), "left_anti")
       .withColumn("r", sq8Recon(
         transform(col("c"), x => x.cast("long")), mnA, rgA))
       .withColumn("rn",

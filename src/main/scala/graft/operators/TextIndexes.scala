@@ -60,8 +60,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       .write.mode("overwrite").parquet(s"$tmp/params")
     EmbeddingOps.commitGen(fs,
       new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
-    EmbeddingOps.stampEpoch(fs, root, tmp) // invalidates snapshots
-    Warehouse.swapInto(fs, tmp, root)
+    EmbeddingOps.publishStaged(fs, root, tmp) // expires + retires
   }
 
   private def bm25Params(s: org.apache.spark.sql.SparkSession,
@@ -125,18 +124,22 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       s: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String],
       asOf: Option[IndexSnapshot] = None): DataFrame = {
-    val nBuckets = bm25Params(s, path)
+    // pinned reads resolve to the retired tree when a swap replaced
+    // the live one within the retention grace (snapshotRoot) — params
+    // and data must come from the SAME resolved base
+    val base = EmbeddingOps.snapshotRoot(s, path, asOf)
+    val nBuckets = bm25Params(s, base)
     import s.implicits._
     val tq = terms.toDF("word")
       .withColumn("tb", pmod(hash(col("word")), lit(nBuckets)))
       .pinned // bucket-id collect + exact term filter, one build
     val tbs = tq.select(col("tb")).distinct()
       .collect().map(_.getInt(0)) // bounded by |terms| by construction
-    s.read.parquet(s"$path/postings")
-      .where(EmbeddingOps.segFilter(s, path, asOf) &&
+    s.read.parquet(s"$base/postings")
+      .where(EmbeddingOps.segFilter(s, base, asOf) &&
         col("tb").isin(tbs.map(Int.box): _*))
       .join(broadcast(tq.select(col("word"))), Seq("word"))
-      .join(EmbeddingOps.tombstones(s, path, "doc_id", asOf),
+      .join(EmbeddingOps.tombstones(s, base, "doc_id", asOf),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("word"), col("tf"), col("dl"))
   }
@@ -178,10 +181,12 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
   /** The summed collection statistics (1 row), committed-segment or
     * snapshot-pinned. */
   private def bm25Totals(s: org.apache.spark.sql.SparkSession,
-      path: String, asOf: Option[IndexSnapshot]): DataFrame =
-    broadcast(s.read.parquet(s"$path/totals")
-      .where(EmbeddingOps.segFilter(s, path, asOf))
+      path: String, asOf: Option[IndexSnapshot]): DataFrame = {
+    val base = EmbeddingOps.snapshotRoot(s, path, asOf)
+    broadcast(s.read.parquet(s"$base/totals")
+      .where(EmbeddingOps.segFilter(s, base, asOf))
       .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tok")).as("t_tok")))
+  }
 
   /** Batched multi-query BM25 serving: top-k per query for a WHOLE
     * query batch off ONE pruned postings scan — the index is touched
@@ -276,8 +281,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
       EmbeddingOps.commitGen(fs,
         new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
-      EmbeddingOps.stampEpoch(fs, root, tmp) // invalidates snapshots
-      Warehouse.swapInto(fs, tmp, root)
+      EmbeddingOps.publishStaged(fs, root, tmp) // expires + retires
       segs.size
     }
   }
@@ -376,8 +380,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     writeSegWithStats(s, minhashIndexRows(docs), s"$tmp/docs/seg=0")
     EmbeddingOps.commitGen(fs,
       new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
-    EmbeddingOps.stampEpoch(fs, root, tmp) // invalidates snapshots
-    Warehouse.swapInto(fs, tmp, root)
+    EmbeddingOps.publishStaged(fs, root, tmp) // expires + retires
   }
 
   /** Append a new batch of docs to a persisted MinHash index: one new
@@ -421,8 +424,12 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       batch: DataFrame, threshold: Double = 0.7,
       bucketCap: Int = BucketCap,
       asOf: Option[IndexSnapshot] = None): DataFrame = {
-    val stored = s.read.parquet(s"$path/docs")
-      .where(EmbeddingOps.segFilter(s, path, asOf)).drop("seg")
+    // data rows, stat sidecars, and tombstones all read from the ONE
+    // resolved base — live root, or the retired tree within the
+    // snapshot retention grace ([[EmbeddingOps.snapshotRoot]])
+    val base = EmbeddingOps.snapshotRoot(s, path, asOf)
+    val stored = s.read.parquet(s"$base/docs")
+      .where(EmbeddingOps.segFilter(s, base, asOf)).drop("seg")
     val nb = minhashIndexRows(batch).pinned
     // candidate generation runs over SLIM rows (doc_id + band hashes —
     // the scan column-prunes away the shingle sets), with the
@@ -447,7 +454,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     // stat exchange is O(touched buckets x segments) — and the stored
     // band rows themselves never ride ANY exchange: the filter below
     // is a broadcast join against the merged stats.
-    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (fs, root) = EmbeddingOps.fsFor(s, base)
     // asOf pins the segment list (data rows above via segFilter, stat
     // sidecars here, tombstones below) to the snapshot's view — the
     // epoch guard inside segFilter/tombstones refuses post-compaction
@@ -456,7 +463,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       case None => EmbeddingOps.committedSegs(fs,
         new org.apache.hadoop.fs.Path(root, "_segs"))._2
     }
-    val statDirs = segs.map(k => s"$path/docs/seg=$k/_bstats")
+    val statDirs = segs.map(k => s"$base/docs/seg=$k/_bstats")
     statDirs.foreach { d =>
       require(fs.exists(new org.apache.hadoop.fs.Path(d)),
         s"no _bstats sidecar at $d — the index predates the stat " +
@@ -474,7 +481,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         .groupBy(col("band_idx"), col("band_hash"))
         .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub")))
         .pinned // dead-hub probe + capped filter, one stat merge
-    val tomb = EmbeddingOps.tombstones(s, path, "doc_id", asOf)
+    val tomb = EmbeddingOps.tombstones(s, base, "doc_id", asOf)
     val sbAll = stored.select(col("doc_id").as("doc_a"),
       posexplode(col("band_hashes")).as(Seq("band_idx", "band_hash")))
     // an OVERSIZED bucket answers exclusively through its hub — if

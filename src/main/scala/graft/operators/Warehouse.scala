@@ -191,7 +191,8 @@ object Warehouse {
 
   private[graft] def swapInto(fs: org.apache.hadoop.fs.FileSystem,
       tmp: org.apache.hadoop.fs.Path, p: org.apache.hadoop.fs.Path,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      retireTo: Option[org.apache.hadoop.fs.Path] = None): Unit = {
     val prev = hiddenSibling(p, ".prev")
     if (fs.exists(prev)) fs.delete(prev, true)
     if (fs.exists(p))
@@ -201,7 +202,23 @@ object Warehouse {
     require(fs.rename(tmp, p),
       s"staged data is at $tmp (previous copy at $prev) but the " +
         s"rename to $p failed — rename it manually.")
-    fs.delete(prev, true)
+    // with retireTo, the replaced tree is RETAINED (renamed aside, one
+    // more cheap rename) instead of deleted — the snapshot retention
+    // grace ([[EmbeddingOps.snapshotRoot]]): pinned reads of the
+    // previous epoch keep working until the retired tree is pruned.
+    // Best-effort by design: a crash after the publish rename leaves
+    // `.prev` behind, which the NEXT swap's entry sweep deletes — the
+    // correctness path is always the loud snapshot refusal, never this
+    // retention.
+    if (fs.exists(prev)) retireTo match {
+      case Some(dest) =>
+        if (fs.exists(dest)) fs.delete(dest, true)
+        fs.rename(prev, dest)
+        ()
+      case None =>
+        fs.delete(prev, true)
+        ()
+    }
   }
 
   /** Heal the crash window of a PREVIOUS [[swapInto]] on entry: if

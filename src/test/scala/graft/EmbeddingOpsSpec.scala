@@ -569,8 +569,27 @@ class EmbeddingOpsSpec extends SparkSpec {
     assert(EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
         asOf = Some(snap2)).collect().map(_.toString).sorted
       .sameElements(live.map(_.toString).sorted))
-    // compaction rewrites the tree -> both snapshots expire loudly
+    // compaction rewrites the tree, but the replaced incarnation is
+    // RETAINED one epoch back: both pre-compaction tokens keep
+    // serving bit-identically from the retired tree (the retention
+    // grace a long training run rides)
     assert(EmbeddingOps.ivfpqIndexCompact(spark, idx) == 2)
+    assert(EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
+        asOf = Some(snap)).collect().map(_.toString).sorted
+      .sameElements(at), "retained pinned serve drifted (snap)")
+    assert(EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
+        asOf = Some(snap2)).collect().map(_.toString).sorted
+      .sameElements(live.map(_.toString).sorted),
+      "retained pinned serve drifted (snap2)")
+    // a post-compaction snapshot serves the (unchanged) live view...
+    val snap3 = EmbeddingOps.indexSnapshot(spark, idx)
+    assert(EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
+        asOf = Some(snap3)).collect().map(_.toString).sorted
+      .sameElements(live.map(_.toString).sorted))
+    // ...and a rebuild (the SECOND swap) prunes the older retired
+    // tree: the pre-compaction tokens now refuse loudly, while the
+    // pre-rebuild token rides the grace one more epoch
+    EmbeddingOps.ivfpqIndexWrite(e, idx)
     for (dead <- Seq(snap, snap2)) {
       val err = intercept[IllegalArgumentException] {
         EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
@@ -578,12 +597,10 @@ class EmbeddingOpsSpec extends SparkSpec {
       }
       assert(err.getMessage.contains("snapshot expired"))
     }
-    // a post-compaction snapshot serves the (unchanged) live view...
-    val snap3 = EmbeddingOps.indexSnapshot(spark, idx)
     assert(EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
         asOf = Some(snap3)).collect().map(_.toString).sorted
       .sameElements(live.map(_.toString).sorted))
-    // ...until a full rebuild bumps the epoch again
+    // a third swap retires the rebuilt tree and prunes snap3's
     EmbeddingOps.ivfpqIndexWrite(e, idx)
     val err2 = intercept[IllegalArgumentException] {
       EmbeddingOps.ivfpqTopKIndexed(spark, idx, queries,
@@ -741,7 +758,21 @@ class EmbeddingOpsSpec extends SparkSpec {
       EmbeddingOps.indexDiff(spark, idx, "codes", to, from)
     }
     assert(uno.getMessage.contains("not ordered"))
-    // a rebuild bumps the epoch -> both tokens expire
+    // a rebuild bumps the epoch, but BOTH tokens share the retired
+    // incarnation — the audit still replays under the retention grace
+    EmbeddingOps.sq8IndexWrite(e, idx)
+    val diffRetained = EmbeddingOps.indexDiff(spark, idx, "codes",
+      from, to).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(diffRetained.sorted.sameElements(diff.sorted),
+      "retained diff drifted from the live-epoch diff")
+    // a token from the POST-rebuild epoch cannot diff against a
+    // pre-rebuild one: segment arithmetic spans incarnations
+    val after = EmbeddingOps.indexSnapshot(spark, idx)
+    val cross = intercept[IllegalArgumentException] {
+      EmbeddingOps.indexDiff(spark, idx, "codes", to, after)
+    }
+    assert(cross.getMessage.contains("epoch boundary"))
+    // a second rebuild prunes the retired tree -> both tokens expire
     EmbeddingOps.sq8IndexWrite(e, idx)
     val dead = intercept[IllegalArgumentException] {
       EmbeddingOps.indexDiff(spark, idx, "codes", from, to)

@@ -285,8 +285,19 @@ class ForgetSpec extends SparkSpec {
     assert(TextOps.nearDupServe(spark, idx, survivorProbe,
         asOf = Some(postSnap)).count() > 0L,
       "post-sweep pinned serve must still answer for survivors")
-    // and a later compaction expires THAT token too (tree swap)
+    // a later compaction RETAINS the swept tree one epoch back: the
+    // post-sweep token keeps serving (victims still excluded — their
+    // tombstones ride the pinned view), because the sweep's
+    // invalidation already severed every pre-sweep view
     assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    val retained = TextOps.nearDupServe(spark, idx, probe,
+      asOf = Some(postSnap))
+    assert(retained.where($"doc_a".isin(victimIds.toSeq: _*))
+      .count() === 0L)
+    // ...and a SECOND sweep prunes the retained copy too: a forgotten
+    // payload must not be servable through the retention grace
+    Forget.forgetDocs(spark, Seq(Forget.IndexTarget(idx)),
+      docs.where($"doc_id" === 1L))
     val e2 = intercept[IllegalArgumentException] {
       TextOps.nearDupServe(spark, idx, probe,
         asOf = Some(postSnap)).count()

@@ -1118,7 +1118,8 @@ class TextOpsSpec extends SparkSpec {
   }
 
   test("minhash index snapshot: pinned serving ignores later appends " +
-    "and deletes bit-identically; compaction expires it") {
+    "and deletes bit-identically; one compaction retains it, the " +
+    "second expires it") {
     val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
       .localCheckpoint()
     import org.apache.spark.sql.functions.col
@@ -1146,10 +1147,59 @@ class TextOpsSpec extends SparkSpec {
     val live = TextOps.nearDupServe(spark, idx, batch).collect()
     assert(live.forall(_.getLong(0) != victimId))
     assert(!live.map(_.toString).sorted.sameElements(at))
-    // compaction expires the snapshot loudly
+    // compaction retires the replaced tree: the pinned serve keeps
+    // replaying the capture-time view from the retained copy
     assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    assert(TextOps.nearDupServe(spark, idx, batch, asOf = Some(snap))
+      .collect().map(_.toString).sorted.sameElements(at),
+      "retained pinned serve drifted from the capture-time view")
+    // the SECOND swap (a rebuild) prunes it — now the token expires
+    TextOps.minhashIndexWrite(storedAll, idx)
     val err = intercept[IllegalArgumentException] {
       TextOps.nearDupServe(spark, idx, batch, asOf = Some(snap))
+    }
+    assert(err.getMessage.contains("snapshot expired"))
+  }
+
+  test("retention grace composed with a DURABLE token on the BM25 " +
+    "family: the token file re-read after a compaction serves the " +
+    "capture-time ranking from the retired tree; the next swap " +
+    "expires it") {
+    // the long-training-run contract end to end: a run stamps a token
+    // file next to its outputs, the index compacts routinely while
+    // the run is still going, and the re-read token must either
+    // replay bit-identically (within the one-epoch grace) or refuse
+    // loudly — never silently serve the wrong incarnation
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .localCheckpoint()
+    import org.apache.spark.sql.functions.col
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm_ret").resolve("ix").toString
+    TextOps.bm25IndexWrite(all.where(col("doc_id") < 250), idx)
+    val tok = java.nio.file.Files
+      .createTempDirectory("graft_bm_ret_tok").resolve("t.json").toString
+    graft.operators.EmbeddingOps.snapshotWrite(spark, tok,
+      graft.operators.EmbeddingOps.indexSnapshot(spark, idx))
+    val terms = Seq("join", "vector", "filter")
+    val at = TextOps.bm25TopKIndexed(spark, idx, terms,
+        asOf = Some(graft.operators.EmbeddingOps.snapshotRead(spark, tok)))
+      .collect().map(_.toString).sorted
+    // mutate + compact: append the rest, delete a doc, consolidate
+    TextOps.bm25IndexAppend(all.where(col("doc_id") >= 250), idx)
+    graft.operators.EmbeddingOps.indexDelete(spark, idx,
+      spark.range(1L).select(col("id").as("doc_id")), keyCol = "doc_id")
+    assert(TextOps.bm25IndexCompact(spark, idx) >= 1)
+    // the durable token, re-read from disk, rides the retired tree
+    val retained = TextOps.bm25TopKIndexed(spark, idx, terms,
+        asOf = Some(graft.operators.EmbeddingOps.snapshotRead(spark, tok)))
+      .collect().map(_.toString).sorted
+    assert(retained.sameElements(at),
+      "retained pinned BM25 serve drifted from the capture-time view")
+    // the second swap prunes the retired tree: the token refuses
+    TextOps.bm25IndexWrite(all, idx)
+    val err = intercept[IllegalArgumentException] {
+      TextOps.bm25TopKIndexed(spark, idx, terms,
+        asOf = Some(graft.operators.EmbeddingOps.snapshotRead(spark, tok)))
     }
     assert(err.getMessage.contains("snapshot expired"))
   }
