@@ -489,29 +489,35 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     // erase every pair it generated and the whole bucket would
     // silently answer NOTHING until compaction (near-dups of a live
     // template-spam cluster re-admitted). Re-hub those buckets at
-    // serve time to the smallest LIVE doc_id: the probe is bounded by
-    // the touched-bucket stats (small), and the re-hub scan touches
-    // only stored rows of dead-hub buckets (broadcast-semi-filtered),
-    // aggregated map-side to one row per such bucket — zero cost when
-    // no hub is tombstoned (the steady state; compaction clears
-    // tombstones and regenerates hubs from live rows).
-    val deadHub = stats
+    // serve time to the smallest LIVE doc_id. The dead-hub probe
+    // COLLECTS first (it is a subset of the touched-bucket stats the
+    // serve already broadcasts, so the bound is the broadcast bound):
+    // in the steady state — no tombstoned hubs, which is every serve
+    // outside a delete-of-hub-to-compaction window — the collect is a
+    // sidecar-sized job and the plan gains NOTHING, in particular no
+    // second scan of the stored band rows. Only when dead hubs exist
+    // does the re-hub scan run, semi-filtered to those buckets.
+    val deadHubDf = stats
       .join(tomb.withColumnRenamed("doc_id", "hub"), Seq("hub"),
         "left_semi")
       .select(col("band_idx"), col("band_hash"))
-    val rehub = sbAll
-      .join(broadcast(deadHub), Seq("band_idx", "band_hash"),
-        "left_semi")
-      .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
-        "left_anti")
-      .groupBy(col("band_idx"), col("band_hash"))
-      .agg(min(col("doc_a")).as("live_hub"))
-    // fully-tombstoned bucket: live_hub is absent and the dead hub
-    // stays — its pairs die at the final anti-join, correctly
-    val statsLive = stats
-      .join(rehub, Seq("band_idx", "band_hash"), "left")
-      .withColumn("hub", coalesce(col("live_hub"), col("hub")))
-      .drop("live_hub")
+    val deadHubKeys = deadHubDf.collect()
+    val statsLive = if (deadHubKeys.isEmpty) stats else {
+      val deadHub = s.createDataFrame(
+        java.util.Arrays.asList(deadHubKeys: _*), deadHubDf.schema)
+      val rehub = sbAll
+        .join(broadcast(deadHub), Seq("band_idx", "band_hash"),
+          "left_semi")
+        .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+          "left_anti")
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(min(col("doc_a")).as("live_hub"))
+      // fully-tombstoned bucket: live_hub is absent and the dead hub
+      // stays — its pairs die at the final anti-join, correctly
+      stats.join(rehub, Seq("band_idx", "band_hash"), "left")
+        .withColumn("hub", coalesce(col("live_hub"), col("hub")))
+        .drop("live_hub")
+    }
     val sbCapped = sbAll
       .join(broadcast(statsLive), Seq("band_idx", "band_hash"))
       .where(col("bn") <= bucketCap || col("doc_a") === col("hub"))

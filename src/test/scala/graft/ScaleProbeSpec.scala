@@ -799,6 +799,17 @@ class ScaleProbeSpec extends SparkSpec {
       Set("bn", "hub").subsetOf(sub.output.map(_.name).toSet))
     assert(statBroadcasts.nonEmpty,
       "nearDupServe lost its broadcast bucket-stat join")
+    // 4. STEADY STATE (no tombstoned hubs): the dead-hub re-route
+    // must cost the serve plan nothing — the stored band-hash rows
+    // scan exactly ONCE (candidate generation; verification reads the
+    // pruned shingle columns instead), never a second re-hub scan
+    val bandScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "band_hashes") => f
+    }
+    assert(bandScans.length == 1,
+      s"nearDupServe plans ${bandScans.length} stored band-hash " +
+        "scans; the steady state must plan exactly 1 (candidates)")
     // behavioral half: a batch sharing no bucket with the index must
     // serve empty (disjoint vocabularies share no band hash)
     val alien = spark.range(60000L, 60010L).select(
