@@ -244,6 +244,54 @@ private[graft] object SuiteMLDedup {
         |WHERE doc_id % 5 = 1 AND doc_id % 3 = 0
         |  AND len(string_split(text, ' ')) >= 3""".stripMargin)),
 
+    // ---- dedup: RETAINED pinned serving — the retention grace on
+    // the text family, driver-checked: dedup_serve_asof's mutation
+    // history plus the COMPACTION that used to expire the token; the
+    // pinned serve rides the retired tree and the oracle is the same
+    // capture-time (build slice) replay, unchanged -------------------
+    Q("dedup_serve_retained",
+      (s, d) => {
+        val dir = cachedIndex("mh_ret", d, p => {
+          val all = docs(s, d)
+          TextOps.minhashIndexWrite(
+            all.where(col("doc_id") % 5 === 1 ||
+              col("doc_id") % 5 === 2), p)
+          snapCache.put(s"mh_ret:$d", EmbeddingOps.indexSnapshot(s, p))
+          TextOps.minhashIndexAppend(
+            all.where(col("doc_id") % 5 === 3 ||
+              col("doc_id") % 5 === 4), p)
+          TextOps.minhashIndexDelete(s, p,
+            all.where(col("doc_id") % 5 === 1 &&
+              col("doc_id") % 3 === 0).select(col("doc_id")))
+          require(TextOps.minhashIndexCompact(s, p) >= 1,
+            "retained-serve fixture: compaction must swap the tree")
+        })
+        TextOps.nearDupServe(s, dir,
+          docs(s, d).where(col("doc_id") % 5 === 0),
+          asOf = Some(snapCache.get(s"mh_ret:$d")))
+      },
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 IN (1, 2)),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |${minhashSigSliceSql("dsa", "a")},
+        |${minhashSigSliceSql("dsb", "b")},
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands_a a JOIN bands_b b
+        |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |          FROM cand c
+        |          JOIN dsa x ON x.doc_id = c.doc_a
+        |          JOIN dsb y ON y.doc_id = c.doc_b AND y.s = x.s
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
+
     // ---- dedup: capped serve under an index-side template cluster -------
     // (the serve twin of dedup_minhash_capped: even doc_ids collapse
     // onto 23 template classes on BOTH the indexed (%5<>0) and batch

@@ -464,6 +464,36 @@ private[graft] object SuiteMLSim {
         |SELECT vec_id, 'removed' AS change FROM embeddings
         |WHERE vec_id % 7 <> 6 AND vec_id % 11 = 3""".stripMargin)),
 
+    // ---- similarity: RETAINED pinned serving — the retention grace
+    // driver-checked: same mutation history as sim_serve_asof, then
+    // the COMPACTION that used to expire the token. The pinned serve
+    // resolves to the retired tree and must still replay the
+    // capture-time view (build slice, pre-delete) byte-identically —
+    // the oracle is sim_serve_asof's replay, unchanged ---------------
+    Q("sim_serve_retained",
+      (s, d) => {
+        val idx = cachedIndex("ivfpq_ret", d, p => {
+          val all = emb(s, d)
+          EmbeddingOps.ivfpqIndexWrite(
+            all.where(col("vec_id") % 7 =!= 6), p)
+          snapCache.put(s"ivfpq_ret:$d",
+            EmbeddingOps.indexSnapshot(s, p))
+          EmbeddingOps.ivfpqIndexAppend(
+            all.where(col("vec_id") % 7 === 6), p)
+          EmbeddingOps.indexDelete(s, p,
+            all.where(col("vec_id") % 7 =!= 6 &&
+              col("vec_id") % 11 === 3).select(col("vec_id")))
+          require(EmbeddingOps.ivfpqIndexCompact(s, p) >= 1,
+            "retained-serve fixture: compaction must swap the tree")
+        })
+        EmbeddingOps.ivfpqTopKIndexed(s, idx,
+          emb(s, d).where(col("vec_id") < 5),
+          asOf = Some(snapCache.get(s"ivfpq_ret:$d")))
+      },
+      Some(s"""WITH ${embCteSliced("vec_id % 7 <> 6")},
+        |$IvfPqScoreCte
+        |$IvfPqTopKTail""".stripMargin)),
+
     // ---- retrieval: HYBRID lexical+dense serving (RRF fusion) -------
     // The two persisted index families composed the way a production
     // retrieval stack runs them: batched BM25 top-10 per query (terms
