@@ -52,10 +52,29 @@ object Bench {
     // tombstone-applying rewrite + generation swap. Kept OUT of the
     // headline total so query-vs-anchor comparisons stay stable.
     import org.apache.spark.sql.functions.col
+    // each repeat deletes its fixture tree after the timed call —
+    // three repeats of three fixtures at bench scale otherwise leave
+    // gigabytes of dead index trees (doubled again by the retention
+    // grace keeping each compaction's replaced tree), and the
+    // accumulated IO pressure bleeds into later repeats' timings
+    val fixtureDirs = scala.collection.mutable.ArrayBuffer[String]()
+    def tempFixtureDir(tag: String): java.nio.file.Path = {
+      val d = java.nio.file.Files.createTempDirectory(tag)
+      fixtureDirs += d.toString
+      d
+    }
+    def dropFixtures(): Unit = {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      fixtureDirs.foreach(p => rm(new java.io.File(p)))
+      fixtureDirs.clear()
+    }
     val maintFixtures: Seq[(String, () => (() => Unit))] = Seq(
       ("maint_index_compact", () => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_bench_mhidx").resolve("idx").toString
+        val root = tempFixtureDir("graft_bench_mhidx")
+          .resolve("idx").toString
         val docs = Tables(spark, sfDir).documents
         graft.operators.TextOps.minhashIndexWrite(
           docs.where(col("doc_id") % 2 === 0), root)
@@ -66,12 +85,10 @@ object Bench {
         () => { graft.operators.TextOps.minhashIndexCompact(spark, root); () }
       }),
       ("maint_state_compact", () => {
-        val streamDir = java.nio.file.Files
-          .createTempDirectory("graft_bench_st_in")
-        val ckpt = java.nio.file.Files
-          .createTempDirectory("graft_bench_st_ck").toString
-        val statePath = java.nio.file.Files
-          .createTempDirectory("graft_bench_st").resolve("st").toString
+        val streamDir = tempFixtureDir("graft_bench_st_in")
+        val ckpt = tempFixtureDir("graft_bench_st_ck").toString
+        val statePath = tempFixtureDir("graft_bench_st")
+          .resolve("st").toString
         val docs = Tables(spark, sfDir).documents
         docs.where(col("doc_id") % 2 === 0).coalesce(1)
           .write.mode("append").parquet(streamDir.toString)
@@ -94,8 +111,8 @@ object Bench {
       // totals recompute from surviving postings), so a regression
       // there deserves its own driver-visible row
       ("maint_bm25_compact", () => {
-        val root = java.nio.file.Files
-          .createTempDirectory("graft_bench_bmidx").resolve("idx").toString
+        val root = tempFixtureDir("graft_bench_bmidx")
+          .resolve("idx").toString
         val docs = Tables(spark, sfDir).documents
         graft.operators.TextOps.bm25IndexWrite(
           docs.where(col("doc_id") % 2 === 0), root)
@@ -115,6 +132,7 @@ object Bench {
           catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
+        dropFixtures() // untimed: dead trees must not tax later runs
         (elapsed, ok)
       }
       (name, runs.map(_._1).sorted.apply(Repeats / 2),
