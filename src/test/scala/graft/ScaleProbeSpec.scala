@@ -1092,6 +1092,42 @@ class ScaleProbeSpec extends SparkSpec {
     }
   }
 
+  test("retained pinned serve keeps the live serve's IO shape: the " +
+    "postings scan of the RETIRED tree carries the same seg + " +
+    "term-bucket partition filters") {
+    // retention must not silently trade the pruned scan for a full
+    // one — a pinned read resolving to the retired tree reads the
+    // SAME layout (seg partition dirs, tb buckets), so the static
+    // partition filters must survive the path switch
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_bm25_ret_probe").resolve("ix")
+      .toString
+    TextOps.bm25IndexWrite(syntheticDocs(50000L), idx)
+    val snap = graft.operators.EmbeddingOps.indexSnapshot(spark, idx)
+    graft.operators.EmbeddingOps.indexDelete(spark, idx,
+      spark.range(7L).select(col("id").as("doc_id")), keyCol = "doc_id")
+    assert(TextOps.bm25IndexCompact(spark, idx) >= 1) // retires the tree
+    val scanPlan = staticPlanOf(TextOps.bm25PostingsScan(spark, idx,
+      Seq("w1", "w2", "w3"), asOf = Some(snap)))
+    val scans = scanPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec
+          if sc.relation.location.rootPaths.exists(
+            _.toString.contains("postings")) => sc
+    }
+    assert(scans.nonEmpty, "no parquet scan of the postings found")
+    scans.foreach { sc =>
+      assert(sc.relation.location.rootPaths.exists(
+          _.toString.contains(".ix.epoch-")),
+        "pinned scan did not resolve to the retired tree: " +
+          sc.relation.location.rootPaths.mkString(", "))
+      val rendered = sc.partitionFilters.map(_.toString).mkString(" ")
+      assert(rendered.contains("seg#") || rendered.contains("seg IN"),
+        s"retired-tree scan lost the committed-segment prune: $rendered")
+      assert(rendered.contains("tb#") || rendered.contains("tb IN"),
+        s"retired-tree scan lost the term-bucket prune: $rendered")
+    }
+  }
+
   test("bm25TopKIndexedBatch at 10x sf0.1: only batch-bounded frames " +
     "broadcast; keyed shuffles keep parallelism for the whole batch") {
     val idx = java.nio.file.Files
