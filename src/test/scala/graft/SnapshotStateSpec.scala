@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EmbeddingOps, Forget, TextOps}
+
+/** Model-based check of the snapshot/retention/forget state machine
+  * over a persisted index's whole mutation lifecycle. The model is
+  * three variables — the current epoch, the (at most one) retained
+  * epoch, and each token's capture-time serve — and the contract is
+  * total: after EVERY mutation, EVERY token ever captured must either
+  * replay its recorded rows bit-identically (its epoch is live, or
+  * retained and unswept) or refuse with the loud message. No third
+  * outcome exists: a pinned read never silently serves a different
+  * incarnation.
+  *
+  * Transition rules under test (the [[EmbeddingOps]] segment
+  * protocol): append/delete leave the epoch and every pinned view
+  * intact; a compaction bumps the epoch and RETAINS exactly the
+  * replaced epoch (older retained trees prune); a forget sweep bumps
+  * the epoch and prunes ALL retained trees (a forgotten payload must
+  * not be servable through the retention grace). */
+class SnapshotStateSpec extends SparkSpec {
+
+  test("every token ever captured either replays exactly or refuses, " +
+    "through appends, deletes, compactions, and forget sweeps") {
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 120).localCheckpoint()
+    val probe = all.select((col("doc_id") + 500000L).as("doc_id"),
+      col("text")).localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_machine").resolve("ix").toString
+    TextOps.minhashIndexWrite(all.where(col("doc_id") % 4 === 0), idx)
+
+    // the model: current epoch, the retained epoch (at most one),
+    // and per-token recorded rows
+    var epoch = 1L // first publish of a fresh root writes epoch 1
+    var retained: Option[Long] = None
+    var tokens = Seq.empty[(graft.operators.IndexSnapshot, Long,
+      Array[String], String)]
+
+    def serveNow(asOf: Option[graft.operators.IndexSnapshot])
+        : Array[String] =
+      TextOps.nearDupServe(spark, idx, probe, asOf = asOf)
+        .collect().map(_.toString).sorted
+
+    def capture(tag: String): Unit = {
+      val snap = EmbeddingOps.indexSnapshot(spark, idx)
+      assert(snap.epoch == epoch,
+        s"[$tag] model epoch $epoch but root says ${snap.epoch}")
+      tokens :+= ((snap, epoch, serveNow(Some(snap)), tag))
+    }
+
+    def checkAll(after: String): Unit = tokens.foreach {
+      case (snap, tokEpoch, recorded, tag) =>
+        val liveOrRetained =
+          tokEpoch == epoch || retained.contains(tokEpoch)
+        if (liveOrRetained) {
+          val got = serveNow(Some(snap))
+          assert(got.sameElements(recorded),
+            s"after $after: token '$tag' (epoch $tokEpoch) drifted " +
+              s"from its capture-time rows (model: live=$epoch, " +
+              s"retained=$retained)")
+        } else {
+          val e = intercept[IllegalArgumentException] {
+            serveNow(Some(snap))
+          }
+          assert(e.getMessage.contains("snapshot expired"),
+            s"after $after: token '$tag' (epoch $tokEpoch) must " +
+              s"refuse loudly, got: ${e.getMessage}")
+        }
+    }
+
+    def append(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+      TextOps.minhashIndexAppend(all.where(pred), idx)
+      checkAll(s"append $tag")
+    }
+    def delete(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+      TextOps.minhashIndexDelete(spark, idx,
+        all.where(pred).select(col("doc_id")))
+      checkAll(s"delete $tag")
+    }
+    def compact(tag: String): Unit = {
+      assert(TextOps.minhashIndexCompact(spark, idx) >= 1,
+        s"[$tag] compaction must be real for the model to advance")
+      retained = Some(epoch); epoch += 1
+      checkAll(s"compact $tag")
+    }
+    def forget(pred: org.apache.spark.sql.Column, tag: String): Unit = {
+      Forget.forgetDocs(spark, Seq(Forget.IndexTarget(idx)),
+        all.where(pred).select(col("doc_id"), col("text")))
+      retained = None; epoch += 1
+      checkAll(s"forget $tag")
+    }
+
+    // the scripted lifecycle: every transition class, interleaved
+    capture("t0-at-build")
+    append(col("doc_id") % 4 === 1, "slice1")
+    capture("t1-post-append")
+    delete(col("doc_id") % 8 === 0, "eighths")
+    capture("t2-post-delete")
+    compact("c1") // t0-t2 ride the retention grace; epoch 1 retained
+    capture("t3-post-compact")
+    append(col("doc_id") % 4 === 2, "slice2")
+    capture("t4-second-epoch")
+    compact("c2") // epoch 2 retained; t0-t2 (epoch 1) now refuse
+    capture("t5-third-epoch")
+    forget(col("doc_id") % 6 === 0, "sweep") // ALL pinned views die
+    capture("t6-post-forget")
+    append(col("doc_id") % 4 === 3, "slice3")
+    delete(col("doc_id") % 9 === 1, "ninths")
+    compact("c3") // epoch 4 retained; t6 rides the grace
+    capture("t7-final")
+    checkAll("final state")
+
+    // model sanity: exactly the expected liveness split at the end
+    val alive = tokens.count { case (_, te, _, _) =>
+      te == epoch || retained.contains(te) }
+    assert(alive == 2, // t6 (retained epoch) + t7 (live epoch)
+      s"expected exactly 2 serveable tokens at the end, got $alive")
+  }
+}
