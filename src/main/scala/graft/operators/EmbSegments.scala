@@ -258,8 +258,13 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       val (fs, root) = fsFor(s, path)
       if (epochOf(fs, root) == snap.epoch) path
       else {
+        // the retired tree must be a real index incarnation at the
+        // token's epoch — the manifest check keeps a legacy epoch-0
+        // token from resolving into a stray marker-less directory
         val ret = retiredSibling(root, snap.epoch)
-        if (fs.exists(ret) && epochOf(fs, ret) == snap.epoch)
+        if (fs.exists(ret) && epochOf(fs, ret) == snap.epoch &&
+            committedSegs(fs,
+              new org.apache.hadoop.fs.Path(ret, "_segs"))._1 >= 0)
           ret.toString
         else {
           requireSnapshotLive(fs, root, path, snap) // the loud refusal
