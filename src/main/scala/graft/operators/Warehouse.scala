@@ -202,6 +202,7 @@ object Warehouse {
     require(fs.rename(tmp, p),
       s"staged data is at $tmp (previous copy at $prev) but the " +
         s"rename to $p failed — rename it manually.")
+    failpoint("published")
     // with retireTo, the replaced tree is RETAINED (renamed aside, one
     // more cheap rename) instead of deleted — the snapshot retention
     // grace ([[EmbeddingOps.snapshotRoot]]): pinned reads of the

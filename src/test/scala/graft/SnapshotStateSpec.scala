@@ -119,4 +119,59 @@ class SnapshotStateSpec extends SparkSpec {
     assert(alive == 2, // t6 (retained epoch) + t7 (live epoch)
       s"expected exactly 2 serveable tokens at the end, got $alive")
   }
+
+  test("a crash between the publish rename and the retire rename " +
+    "degrades retention to the loud refusal — never a wrong answer — " +
+    "and the next swap sweeps the stale aside copy") {
+    // the one crash window retention adds to the swap: the new tree
+    // is LIVE but the replaced one sits at `.prev` instead of its
+    // retired name. The grace is best-effort by contract: the
+    // pre-compaction token must REFUSE (no retired tree to resolve),
+    // the live serve must be the compacted view, and the next real
+    // swap must clean the leftover.
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 80).localCheckpoint()
+    val probe = all.select((col("doc_id") + 600000L).as("doc_id"),
+      col("text"))
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_crash").resolve("ix").toString
+    TextOps.minhashIndexWrite(all.where(col("doc_id") % 2 === 0), idx)
+    val snap = EmbeddingOps.indexSnapshot(spark, idx)
+    TextOps.minhashIndexAppend(all.where(col("doc_id") % 2 =!= 0), idx)
+    val liveRows = TextOps.nearDupServe(spark, idx, probe)
+      .collect().map(_.toString).sorted
+    intercept[RuntimeException] {
+      TextOps.minhashIndexCompact(spark, idx,
+        failpoint = fp => if (fp == "published")
+          throw new RuntimeException("kill@published"))
+    }
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val prev = new org.apache.hadoop.fs.Path(
+      root.getParent, "." + root.getName + ".prev")
+    assert(fs.exists(prev), "the kill window must leave .prev behind")
+    // (a) the live serve is the compacted view, identical rows
+    assert(TextOps.nearDupServe(spark, idx, probe)
+      .collect().map(_.toString).sorted.sameElements(liveRows))
+    // (b) the pre-compaction token refuses loudly (retention was the
+    // casualty of the crash, correctness was not)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nearDupServe(spark, idx, probe, asOf = Some(snap))
+        .count()
+    }
+    assert(e.getMessage.contains("snapshot expired"))
+    // (c) the next real swap sweeps the stale aside copy and retires
+    // properly: its own pre-swap token rides the grace
+    TextOps.minhashIndexDelete(spark, idx,
+      spark.range(2L).select(col("id").as("doc_id")))
+    val snap2 = EmbeddingOps.indexSnapshot(spark, idx)
+    val at2 = TextOps.nearDupServe(spark, idx, probe,
+      asOf = Some(snap2)).collect().map(_.toString).sorted
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    assert(!fs.exists(prev),
+      "the next swap must sweep the crashed aside copy")
+    assert(TextOps.nearDupServe(spark, idx, probe, asOf = Some(snap2))
+      .collect().map(_.toString).sorted.sameElements(at2),
+      "the post-crash swap must retire normally (grace restored)")
+  }
 }
