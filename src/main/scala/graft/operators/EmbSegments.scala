@@ -162,15 +162,48 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     * refused); untouched by ordinary appends/deletes. 0 for roots
     * that predate the marker (their first swap writes 1). */
   private[graft] def epochOf(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Long = {
-    val p = new org.apache.hadoop.fs.Path(root, "_epoch")
-    if (!fs.exists(p)) 0L
+      root: org.apache.hadoop.fs.Path): Long =
+    readLongMarker(fs, new org.apache.hadoop.fs.Path(root, "_epoch"))
+      .getOrElse(0L)
+
+  private def readLongMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
       val content =
         try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      content.trim.toLong
+      // a marker must parse exactly: an empty or partial file is a
+      // crashed legacy in-place write (every current writer publishes
+      // via stage+rename) — refuse with the repair, never NFE-brick
+      require(content.trim.nonEmpty && content.trim.forall(_.isDigit),
+        s"unreadable marker at $p ('${content.trim}') — a crashed " +
+          "legacy in-place write; repair by writing the intended value")
+      Some(content.trim.toLong)
+    }
+
+  /** Publish a small marker file ATOMICALLY: write a hidden temp
+    * sibling, rename it over the destination. On POSIX-backed
+    * filesystems the rename replaces the destination atomically —
+    * no reader ever sees an empty or truncated marker; on stores
+    * whose rename refuses an existing destination, fall back to
+    * delete+rename (a missing-marker window, healed by the marker's
+    * own default, instead of a truncation window that bricks reads).
+    * Every LIVE-root marker write (epoch bump, sweep stamp, retention
+    * knob) routes through here; markers inside a STAGED tree may
+    * write in place (nothing reads a hidden staging dir). */
+  private def writeMarkerAtomic(fs: org.apache.hadoop.fs.FileSystem,
+      dest: org.apache.hadoop.fs.Path, content: String): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
+      s".${dest.getName}.marker-tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes("UTF-8"))
+    finally out.close()
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(dest, false)
+      require(fs.rename(tmp, dest),
+        s"could not publish marker $dest (staged at $tmp)")
     }
   }
 
@@ -190,58 +223,132 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   // ---- snapshot retention grace ----------------------------------------
   // Every full-tree swap (rebuild/compaction) RETIRES the tree it
   // replaces instead of deleting it: one extra rename parks the old
-  // incarnation at a hidden sibling named by its epoch, and exactly one
-  // retired epoch is kept (each swap prunes older ones — bounded 2x
-  // disk, never a chain). A pinned read whose token no longer matches
-  // the live epoch resolves to the retired tree ([[snapshotRoot]]) and
-  // serves BYTE-IDENTICALLY — the tree moved wholesale, `_epoch`,
-  // manifests, sidecars and all — which is what makes a durable token
-  // survive the routine compactions of a long training run. Limits,
-  // stated loudly: (a) only ONE epoch back — a second swap prunes the
-  // retired tree and older tokens refuse with the standard message;
-  // (b) a read that is MID-SCAN when the swap lands still dies on the
-  // moved files (the plan resolved paths at construction) — the retry
-  // resolves to the retired tree and completes, so the race costs a
-  // retry, never a wrong answer; (c) [[snapshotInvalidate]] (the
-  // forget sweep) prunes ALL retired trees — a forgotten payload must
-  // not be servable through a retained copy either.
+  // incarnation at a hidden sibling named by its epoch, and at most
+  // `retainEpochs` retired epochs are kept (default 1; each swap
+  // prunes older ones — bounded (retainEpochs+1)x disk, never a
+  // chain). A pinned read whose token no longer matches the live
+  // epoch resolves to the retired tree ([[snapshotRoot]]) and serves
+  // BYTE-IDENTICALLY — the tree moved wholesale, `_epoch`, manifests,
+  // sidecars and all — which is what makes a durable token survive
+  // the routine compactions of a long training run. Limits, stated
+  // loudly: (a) only `retainEpochs` back — an older token refuses
+  // with the standard message; the knob ([[setRetention]]) is capped
+  // so disk stays bounded by declaration; (b) a read that is MID-SCAN
+  // when the swap lands still dies on the moved files (the plan
+  // resolved paths at construction) — the retry resolves to the
+  // retired tree and completes ([[withSnapshotRetry]] machine-
+  // enforces exactly that), so the race costs a retry, never a wrong
+  // answer; (c) [[snapshotInvalidate]] (the forget sweep) prunes ALL
+  // retired trees, and the FIRST swap after a sweep prunes instead of
+  // retiring (the replaced tree still physically holds the forgotten
+  // payload bytes, tombstone-masked) — a forgotten payload must not
+  // survive at rest through the retention grace; the payload bytes
+  // leave the disk at that first post-sweep compaction, retained
+  // copies included. A token captured between a sweep and the next
+  // compaction therefore does NOT get the grace — forgetting
+  // outranks replay convenience, by design.
 
   private[operators] def retiredSibling(
       root: org.apache.hadoop.fs.Path, epoch: Long)
       : org.apache.hadoop.fs.Path =
     Warehouse.hiddenSibling(root, s".epoch-$epoch")
 
-  /** Delete retired trees of `root`, keeping only `keep` (None = all
-    * go). Listing is over the parent directory's hidden siblings with
-    * this root's retirement prefix — O(siblings), driver-side. */
+  /** Delete retired trees of `root`, keeping only the `keepNewest`
+    * highest-epoch ones (0 = all go). Listing is over the parent
+    * directory's hidden siblings with this root's retirement prefix —
+    * O(siblings), driver-side. */
   private[operators] def pruneRetired(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path, keep: Option[Long]): Unit = {
+      root: org.apache.hadoop.fs.Path, keepNewest: Int): Unit = {
     val prefix = s".${root.getName}.epoch-"
     val parent = root.getParent
-    if (parent != null && fs.exists(parent))
-      fs.listStatus(parent).foreach { st =>
-        val n = st.getPath.getName
-        if (n.startsWith(prefix) &&
-            !keep.exists(e => n == s"$prefix$e"))
-          fs.delete(st.getPath, true)
+    if (parent == null || !fs.exists(parent)) return
+    val retired = fs.listStatus(parent).map(_.getPath)
+      .filter(_.getName.startsWith(prefix))
+      .flatMap { p =>
+        val suffix = p.getName.stripPrefix(prefix)
+        if (suffix.nonEmpty && suffix.forall(_.isDigit))
+          Some((suffix.toLong, p))
+        else Some((-1L, p)) // malformed retirement name: oldest-first out
       }
+    retired.sortBy(-_._1).drop(keepNewest)
+      .foreach { case (_, p) => fs.delete(p, true) }
+  }
+
+  /** How many retired epochs `root` keeps (the `_retain` marker;
+    * default 1 when unset — the original one-epoch grace). */
+  private[graft] def retentionOf(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Int =
+    readLongMarker(fs, new org.apache.hadoop.fs.Path(root, "_retain"))
+      .map(_.toInt).getOrElse(1)
+
+  /** Maximum value [[setRetention]] accepts: disk is bounded by
+    * (retainEpochs + 1) full index copies, and a retention depth this
+    * API cannot state a bound for is a leak, not a knob. */
+  val MaxRetainEpochs = 8
+
+  /** Set how many retired epochs a root keeps after each full-tree
+    * swap — the replay-guarantee window: a pinned token (or a run
+    * manifest entry) survives exactly `n` compactions/rebuilds of its
+    * index. 0 disables the grace (swaps delete the replaced tree; any
+    * expired token refuses immediately), 1 is the default, and the
+    * cap ([[MaxRetainEpochs]]) keeps disk bounded by declaration at
+    * (n+1) full copies. The marker rides every future swap (it is
+    * carried into the staged tree at publish), and a forget sweep
+    * still prunes ALL retired epochs regardless of `n` — retention
+    * never outranks forgetting. Single-maintainer window, like every
+    * marker write. */
+  def setRetention(s: org.apache.spark.sql.SparkSession, path: String,
+      n: Int): Unit = {
+    require(n >= 0 && n <= MaxRetainEpochs,
+      s"retainEpochs must be in [0, $MaxRetainEpochs] (disk is " +
+        s"bounded by (n+1) full index copies), got $n")
+    val (fs, root) = fsFor(s, path)
+    val (g, segs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(g >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    writeMarkerAtomic(fs, new org.apache.hadoop.fs.Path(root, "_retain"),
+      n.toString)
   }
 
   /** The one way a staged replacement tree becomes the index: stamp
-    * its epoch, publish it over `root` ([[Warehouse.swapInto]]), and
-    * retire the replaced tree one epoch back (pruning older retired
-    * trees — exactly one epoch of retention). Every rebuild and
-    * compaction routes through here so the retention grace cannot
-    * drift between index families. */
+    * its epoch, carry the retention knob forward, prune retired trees
+    * down to budget BEFORE the swap (so no crash window can ever
+    * leave more than `retainEpochs` of them), publish the staged tree
+    * over `root` ([[Warehouse.swapInto]]), and retire the replaced
+    * tree — UNLESS this is the first swap after a forget sweep (the
+    * `_swept` marker), in which case the replaced tree is deleted:
+    * it still physically holds the forgotten payload bytes, and a
+    * retained copy would keep them at rest past the compaction that
+    * was supposed to remove them. Every rebuild and compaction routes
+    * through here so the retention grace cannot drift between index
+    * families. */
   private[operators] def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
       failpoint: String => Unit = _ => ()): Unit = {
     val oldEpoch = epochOf(fs, root)
+    val retain = retentionOf(fs, root)
+    // the sweep stamp: set by snapshotInvalidate, consumed (not
+    // carried into the staged tree) by this first post-sweep swap
+    val sweptAt = readLongMarker(fs,
+      new org.apache.hadoop.fs.Path(root, "_swept"))
+    val retireOld = retain > 0 && !sweptAt.exists(oldEpoch <= _)
     stampEpoch(fs, root, tmp)
+    // the retention knob survives the swap: the staged tree becomes
+    // the root, so the marker must ride it (the `_swept` stamp must
+    // NOT — the staged tree holds no forgotten payload)
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_retain"))) {
+      val out = fs.create(new org.apache.hadoop.fs.Path(tmp, "_retain"),
+        true)
+      try out.write(retain.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
     failpoint("staged-written")
+    pruneRetired(fs, root, if (retireOld) retain - 1 else retain)
+    failpoint("pruned")
     Warehouse.swapInto(fs, tmp, root, failpoint,
-      retireTo = Some(retiredSibling(root, oldEpoch)))
-    pruneRetired(fs, root, keep = Some(oldEpoch))
+      retireTo =
+        if (retireOld) Some(retiredSibling(root, oldEpoch)) else None)
   }
 
   /** Resolve the base path a pinned read serves from: the live root
@@ -273,6 +380,44 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       }
   }
 
+  /** Machine-enforcement of the pinned-read race contract ("a swap
+    * landing mid-scan costs a retry, never a wrong answer"): run
+    * `attempt`, and if it dies on the MISSING-FILE error class — the
+    * reader's symptom of a swap that landed between plan construction
+    * and execution (the plan resolved concrete file paths; the swap
+    * moved them) — run it once more. The re-built plan re-resolves
+    * through [[snapshotRoot]]: to the retired tree while the grace
+    * holds (the serve completes byte-identically), or to the loud
+    * "snapshot expired" refusal — never a silent wrong answer.
+    * `attempt` must be a thunk that RE-CONSTRUCTS the plan (e.g.
+    * `() => nearDupServe(s, path, probe, asOf).collect()`): retrying
+    * a DataFrame built outside the thunk would re-execute the same
+    * already-resolved paths and die again. Errors outside the
+    * missing-file class propagate untouched, as does a second
+    * missing-file failure — two swaps landing inside one serve is a
+    * maintenance stampede violating the single-maintainer contract,
+    * not a race to absorb. */
+  def withSnapshotRetry[T](attempt: () => T): T =
+    try attempt()
+    catch { case e: Throwable if isMissingFileError(e, 0) => attempt() }
+
+  /** The missing-file error class, matched structurally down the
+    * cause chain: a raw FileNotFoundException (the local/HDFS reader),
+    * or a SparkThrowable condition for a vanished file/path
+    * (FAILED_READ_FILE.FILE_NOT_EXIST from a mid-scan task,
+    * PATH_NOT_FOUND from a re-list). Depth-capped — cause chains can
+    * self-reference. */
+  private def isMissingFileError(t: Throwable, depth: Int): Boolean =
+    t != null && depth < 16 && (
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+      (t match {
+        case st: org.apache.spark.SparkThrowable =>
+          Option(st.getCondition).exists(c =>
+            c.contains("FILE_NOT_EXIST") || c.contains("PATH_NOT_FOUND"))
+        case _ => false
+      }) ||
+      isMissingFileError(t.getCause, depth + 1))
+
   /** Invalidate every pinned view of an index root: bump its `_epoch`
     * marker IN PLACE, with no tree swap. All existing snapshot tokens
     * and run-manifest entries for this root refuse from now on
@@ -287,12 +432,17 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     * not expire tokens (by design — routine maintenance deletes keep
     * training-run views intact). The bump is O(1) — one marker write
     * — where an epoch-bumping compaction would rewrite the whole
-    * index per deletion-request batch; the forgotten PAYLOAD bytes
-    * still leave the disk at the next compaction, exactly as for any
-    * tombstoned doc. Same single-maintainer window as every marker
-    * write; in-flight pinned scans that already passed their epoch
-    * check race it exactly like they race a compaction (documented
-    * fail-fast, not a lock). */
+    * index per deletion-request batch. The forgotten PAYLOAD bytes
+    * leave the disk at the next compaction: the sweep also stamps a
+    * `_swept` marker, which makes that compaction's [[publishStaged]]
+    * DELETE the replaced tree instead of retiring it — the masked
+    * payload must not survive at rest in a retained copy either, so
+    * after the first post-sweep compaction no copy of the bytes
+    * remains anywhere (retained trees of earlier epochs were pruned
+    * by the sweep itself). Same single-maintainer window as every
+    * marker write; in-flight pinned scans that already passed their
+    * epoch check race it exactly like they race a compaction
+    * (documented fail-fast, not a lock). */
   def snapshotInvalidate(s: org.apache.spark.sql.SparkSession,
       path: String): Long = {
     val (fs, root) = fsFor(s, path)
@@ -302,12 +452,15 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       s"no index manifest at $path/_segs — not an index root")
     // retained trees are pinned views too — a forgotten payload must
     // not be servable through the retention grace either
-    pruneRetired(fs, root, keep = None)
+    pruneRetired(fs, root, keepNewest = 0)
     val next = epochOf(fs, root) + 1
-    val out = fs.create(new org.apache.hadoop.fs.Path(root, "_epoch"),
-      true)
-    try out.write(next.toString.getBytes("UTF-8"))
-    finally out.close()
+    // both markers publish via stage+rename — an in-place overwrite
+    // of a live marker has a truncation window that bricks every
+    // reader (epochOf) until manual repair
+    writeMarkerAtomic(fs, new org.apache.hadoop.fs.Path(root, "_epoch"),
+      next.toString)
+    writeMarkerAtomic(fs, new org.apache.hadoop.fs.Path(root, "_swept"),
+      next.toString)
     next
   }
 
@@ -410,7 +563,18 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     * its own epoch check, exactly as for a bare token. An empty
     * manifest refuses at write: a run that read nothing has nothing
     * to pin, and an empty file is indistinguishable from a truncated
-    * one. */
+    * one.
+    *
+    * REPLAY-GUARANTEE WINDOW, stated as a contract: each entry
+    * survives exactly `retainEpochs` (default 1, [[setRetention]])
+    * full-tree swaps OF ITS OWN INDEX — the windows are per-arm and
+    * expire INDEPENDENTLY, so a manifest-pinned multi-index replay
+    * (e.g. a hybrid) dies as soon as ANY one arm compacts past its
+    * window, with the loud refusal naming that arm's index path. A
+    * forget sweep of any arm expires that entry immediately,
+    * retention notwithstanding. Plan maintenance cadence against the
+    * LONGEST-lived manifest: raise the hot arms' retention, or
+    * re-stamp manifests after compaction windows. */
   def manifestWrite(s: org.apache.spark.sql.SparkSession,
       path: String, tokens: Map[String, IndexSnapshot]): Unit = {
     require(tokens.nonEmpty,
@@ -648,9 +812,10 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       extraSeg(s"$tmp/$dataDir/seg=0")
       commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0,
         Seq(0))
-      // expires pinned snapshots, but retains the replaced tree ONE
-      // epoch back (see the retention note above): tokens of the
-      // pre-compaction view keep serving from the retired copy
+      // expires pinned snapshots, but retains the replaced tree (the
+      // retention note above: `retainEpochs` back, default 1, UNLESS
+      // this is the first compaction after a forget sweep): tokens of
+      // the pre-compaction view keep serving from the retired copy
       publishStaged(fs, root, tmp, failpoint)
       segs.size
     }

@@ -205,24 +205,42 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * aggregates exactly the single-query sum, so for every query_id
     * the rows equal `bm25TopKIndexed(path, its terms, k)` (the parity
     * the spec pins). Duplicate (query_id, word) pairs are collapsed —
-    * BM25 scores a term set, not a term bag. */
+    * BM25 scores a term set, not a term bag.
+    *
+    * Driver-memory bound, stated loudly: the fast path collects the
+    * deduped (query_id, word) pairs to the driver and re-emits them
+    * as a LocalRelation (kills the pre-scan distinct job + checkpoint
+    * a frame-side fan-out needed, and makes its broadcast free), so
+    * driver memory scales with |batch| x terms-per-query — NOT with
+    * the index. `localPairLimit` caps that: a batch whose deduped
+    * pair count exceeds it takes the distributed route instead (the
+    * fan-out joins the pair frame by shuffle; only the DISTINCT TERM
+    * UNION — bounded by the vocabulary the batch touches, which the
+    * postings prune needs on the driver regardless — is collected).
+    * Same rows either way; the gate costs nothing extra (the probe
+    * collect IS the fast path's collect when it fits). */
   def bm25TopKIndexedBatch(s: org.apache.spark.sql.SparkSession,
       path: String, queries: DataFrame, k: Int = 10,
       k1Permille: Long = 1200L, bPermille: Long = 750L,
-      asOf: Option[IndexSnapshot] = None): DataFrame = {
-    // ONE collect of the deduped (query_id, word) pairs — bounded by
-    // |batch| x terms-per-query by the serving contract, same bound
-    // the term-union collect below always had. Re-emitting them as a
-    // LocalRelation makes the fan-out join's broadcast side free and
-    // drops the separate term-distinct job + checkpoint a frame-side
-    // qw needed (profiled: the batch arm ran 2 extra jobs before the
-    // postings scan even started).
+      asOf: Option[IndexSnapshot] = None,
+      localPairLimit: Int = 262144): DataFrame = {
+    require(localPairLimit > 0, "localPairLimit must be positive")
     val qdf = queries.select(col("query_id"), col("word")).distinct()
-    val qwRows = qdf.collect()
-    require(qwRows.nonEmpty, "query batch has no terms")
-    val qw = s.createDataFrame(
-      java.util.Arrays.asList(qwRows: _*), qdf.schema)
-    val terms = qwRows.map(_.getString(1)).distinct.toSeq
+    // limit(N+1) decides the route in one job: fewer than N+1 rows
+    // back means the collect IS the complete pair set
+    val probe = qdf.limit(localPairLimit + 1).collect()
+    require(probe.nonEmpty, "query batch has no terms")
+    val (qw, qwBcast, terms) =
+      if (probe.length <= localPairLimit) {
+        (s.createDataFrame(java.util.Arrays.asList(probe: _*),
+          qdf.schema), true, probe.map(_.getString(1)).distinct.toSeq)
+      } else {
+        // oversized batch: pairs stay distributed; the term union is
+        // the only driver-side piece (the pruning IN-list needs it)
+        (qdf.pinned, false,
+          qdf.select(col("word")).distinct().collect()
+            .map(_.getString(0)).toSeq)
+      }
     val posts = bm25PostingsScan(s, path, terms, asOf)
       .pinned // df branch + scoring branch, one pruned scan
     val w = Window.partitionBy(col("query_id"))
@@ -230,7 +248,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     bm25ScoreCols(posts.join(bm25Df(posts), Seq("word"))
         .crossJoin(bm25Totals(s, path, asOf)),
         k1Permille, bPermille)
-      .join(broadcast(qw), Seq("word"))
+      .join(if (qwBcast) broadcast(qw) else qw, Seq("word"))
       .groupBy(col("query_id"), col("doc_id"))
       .agg(max(col("dl")).as("dl"),
         count(lit(1)).as("n_terms"),

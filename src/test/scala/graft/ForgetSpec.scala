@@ -285,22 +285,45 @@ class ForgetSpec extends SparkSpec {
     assert(TextOps.nearDupServe(spark, idx, survivorProbe,
         asOf = Some(postSnap)).count() > 0L,
       "post-sweep pinned serve must still answer for survivors")
-    // a later compaction RETAINS the swept tree one epoch back: the
-    // post-sweep token keeps serving (victims still excluded — their
-    // tombstones ride the pinned view), because the sweep's
-    // invalidation already severed every pre-sweep view
+    // the FIRST compaction after the sweep PRUNES the swept tree
+    // instead of retiring it — the replaced tree still physically
+    // holds the tombstone-masked forgotten payload, and a retained
+    // copy would keep those bytes at rest past the compaction that
+    // was supposed to remove them. The post-sweep token is the
+    // documented casualty: forgetting outranks the replay grace, so
+    // it refuses (capture again after the compaction for durability).
     assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
-    val retained = TextOps.nearDupServe(spark, idx, probe,
-      asOf = Some(postSnap))
-    assert(retained.where($"doc_a".isin(victimIds.toSeq: _*))
-      .count() === 0L)
-    // ...and a SECOND sweep prunes the retained copy too: a forgotten
-    // payload must not be servable through the retention grace
+    val ePost = intercept[IllegalArgumentException] {
+      TextOps.nearDupServe(spark, idx, probe,
+        asOf = Some(postSnap)).count()
+    }
+    assert(ePost.getMessage.contains("snapshot expired"))
+    // ...and AT REST: no retired sibling of the index exists at all —
+    // after the post-sweep compaction, no copy of the forgotten
+    // payload bytes remains anywhere on disk
+    val idxRoot = new org.apache.hadoop.fs.Path(idx)
+    val idxFs = idxRoot.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!idxFs.listStatus(idxRoot.getParent).map(_.getPath.getName)
+        .exists(_.startsWith(s".${idxRoot.getName}.epoch-")),
+      "the first post-sweep compaction must delete, never retire, " +
+        "the swept tree (masked payload bytes at rest)")
+    // the grace is restored after the swept compaction: a fresh token
+    // rides the NEXT compaction's retirement normally...
+    TextOps.minhashIndexAppend(
+      docs.where($"doc_id" % 5 =!= 0 && $"doc_id" % 2 === 0), idx)
+    val freshSnap = EmbeddingOps.indexSnapshot(spark, idx)
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    assert(TextOps.nearDupServe(spark, idx, survivorProbe,
+        asOf = Some(freshSnap)).count() > 0L,
+      "post-sweep-compaction tokens must get the normal grace back")
+    // ...and a SECOND sweep prunes that retained copy too: a
+    // forgotten payload must never be servable through the grace
     Forget.forgetDocs(spark, Seq(Forget.IndexTarget(idx)),
       docs.where($"doc_id" === 1L))
     val e2 = intercept[IllegalArgumentException] {
       TextOps.nearDupServe(spark, idx, probe,
-        asOf = Some(postSnap)).count()
+        asOf = Some(freshSnap)).count()
     }
     assert(e2.getMessage.contains("snapshot expired"))
     // invalidating a non-index path refuses

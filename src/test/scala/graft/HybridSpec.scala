@@ -78,6 +78,23 @@ class HybridSpec extends SparkSpec {
       "live serve still returns the tombstoned doc")
   }
 
+  test("an over-limit query batch takes the distributed route and " +
+    "serves identical rows — the LocalRelation fast path is a driver-" +
+    "memory bound, not a semantic fork") {
+    val idx = freshDir("bm25_batch_dist_idx")
+    TextOps.bm25IndexWrite(corpus, idx)
+    val qw = termQueries(3, 8).localCheckpoint()
+    val fast = TextOps.bm25TopKIndexedBatch(spark, idx, qw, k = 10)
+      .collect().map(_.toString).sorted
+    // localPairLimit = 1 forces every real batch over the gate: the
+    // pairs stay a distributed frame, only the term union collects
+    val dist = TextOps.bm25TopKIndexedBatch(spark, idx, qw, k = 10,
+        localPairLimit = 1)
+      .collect().map(_.toString).sorted
+    assert(dist.sameElements(fast),
+      "distributed batch route diverges from the LocalRelation route")
+  }
+
   test("rrfFuse: two-term reciprocal-rank arithmetic, one-armed " +
     "candidates score, equal scores break ties by cand_id") {
     val lex = Seq((1L, 10L, 1), (1L, 20L, 2), (1L, 40L, 3))
@@ -189,5 +206,73 @@ class HybridSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException] {
       EmbeddingOps.manifestRead(spark, badLine)
     }.getMessage.contains("malformed manifest line"))
+  }
+
+  test("manifest replay-guarantee window: per-arm retention expires " +
+    "independently — one arm compacting past its window kills the " +
+    "manifest replay with a refusal NAMING that arm, while the other " +
+    "arm's entry still replays") {
+    val bmIdx = freshDir("manwin_bm25_idx")
+    val pqIdx = freshDir("manwin_ivfpq_idx")
+    TextOps.bm25IndexWrite(corpus, bmIdx)
+    EmbeddingOps.ivfpqIndexWrite(emb, pqIdx)
+    val qw = termQueries(4, 8).localCheckpoint()
+    val vq = emb.where($"vec_id" < 4)
+    val tokens = Map(
+      "lex" -> EmbeddingOps.indexSnapshot(spark, bmIdx),
+      "dense" -> EmbeddingOps.indexSnapshot(spark, pqIdx))
+    val man = java.nio.file.Files
+      .createTempDirectory("graft_manwin").resolve("run.manifest")
+      .toString
+    EmbeddingOps.manifestWrite(spark, man, tokens)
+    val denseBefore = EmbeddingOps.ivfpqTopKIndexed(spark, pqIdx, vq,
+        asOf = Some(tokens("dense")))
+      .collect().map(_.toString).sorted
+    // compact the LEX arm twice (default retainEpochs = 1): the
+    // first swap retires its epoch (the entry rides the grace), the
+    // second prunes it — the lex entry is now past its window
+    def churnAndCompactBm25(tagBase: Long): Unit = {
+      TextOps.bm25IndexAppend(
+        corpus.select(($"doc_id" + tagBase).as("doc_id"), $"text",
+          $"lang", $"source", $"n_chars"), bmIdx)
+      assert(TextOps.bm25IndexCompact(spark, bmIdx) >= 1)
+    }
+    churnAndCompactBm25(300000L)
+    churnAndCompactBm25(400000L)
+    val reread = EmbeddingOps.manifestRead(spark, man)
+    // the whole-surface replay dies on the expired ARM, and the
+    // refusal names it — that is what makes a multi-index manifest
+    // diagnosable when arms expire independently
+    val e = intercept[IllegalArgumentException] {
+      Hybrid.hybridTopKIndexed(spark, bmIdx, pqIdx, qw, vq,
+        lexAsOf = Some(reread("lex")),
+        denseAsOf = Some(reread("dense"))).count()
+    }
+    assert(e.getMessage.contains("snapshot expired") &&
+        e.getMessage.contains(bmIdx),
+      s"the refusal must name the expired arm's index: ${e.getMessage}")
+    // the dense arm's entry is untouched by the lex arm's compactions
+    assert(EmbeddingOps.ivfpqTopKIndexed(spark, pqIdx, vq,
+        asOf = Some(reread("dense")))
+      .collect().map(_.toString).sorted.sameElements(denseBefore),
+      "the surviving arm must keep replaying its pinned view")
+    // the prescription in the manifestWrite contract, verified:
+    // retention 2 on the hot arm widens ITS window to two swaps
+    val bmIdx2 = freshDir("manwin_bm25_r2_idx")
+    TextOps.bm25IndexWrite(corpus, bmIdx2)
+    EmbeddingOps.setRetention(spark, bmIdx2, 2)
+    val tok2 = EmbeddingOps.indexSnapshot(spark, bmIdx2)
+    val lexBefore = TextOps.bm25TopKIndexedBatch(spark, bmIdx2, qw,
+        asOf = Some(tok2)).collect().map(_.toString).sorted
+    (1 to 2).foreach { i =>
+      TextOps.bm25IndexAppend(
+        corpus.select(($"doc_id" + 500000L * i).as("doc_id"), $"text",
+          $"lang", $"source", $"n_chars"), bmIdx2)
+      assert(TextOps.bm25IndexCompact(spark, bmIdx2) >= 1)
+    }
+    assert(TextOps.bm25TopKIndexedBatch(spark, bmIdx2, qw,
+        asOf = Some(tok2)).collect().map(_.toString).sorted
+      .sameElements(lexBefore),
+      "retainEpochs=2 must carry a manifest entry through two swaps")
   }
 }

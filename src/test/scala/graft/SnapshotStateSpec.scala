@@ -17,9 +17,12 @@ import graft.operators.{EmbeddingOps, Forget, TextOps}
   * Transition rules under test (the [[EmbeddingOps]] segment
   * protocol): append/delete leave the epoch and every pinned view
   * intact; a compaction bumps the epoch and RETAINS exactly the
-  * replaced epoch (older retained trees prune); a forget sweep bumps
-  * the epoch and prunes ALL retained trees (a forgotten payload must
-  * not be servable through the retention grace). */
+  * replaced epoch (older retained trees prune) — UNLESS it is the
+  * first compaction after a forget sweep, in which case the replaced
+  * tree (which still physically holds the tombstone-masked forgotten
+  * payload) is DELETED, not retained; a forget sweep bumps the epoch
+  * and prunes ALL retained trees (a forgotten payload must not be
+  * servable — or persist at rest — through the retention grace). */
 class SnapshotStateSpec extends SparkSpec {
 
   test("every token ever captured either replays exactly or refuses, " +
@@ -33,9 +36,12 @@ class SnapshotStateSpec extends SparkSpec {
     TextOps.minhashIndexWrite(all.where(col("doc_id") % 4 === 0), idx)
 
     // the model: current epoch, the retained epoch (at most one),
-    // and per-token recorded rows
+    // whether a sweep has run since the last compaction (the next
+    // compaction then prunes instead of retiring), and per-token
+    // recorded rows
     var epoch = 1L // first publish of a fresh root writes epoch 1
     var retained: Option[Long] = None
+    var swept = false
     var tokens = Seq.empty[(graft.operators.IndexSnapshot, Long,
       Array[String], String)]
 
@@ -83,13 +89,16 @@ class SnapshotStateSpec extends SparkSpec {
     def compact(tag: String): Unit = {
       assert(TextOps.minhashIndexCompact(spark, idx) >= 1,
         s"[$tag] compaction must be real for the model to advance")
-      retained = Some(epoch); epoch += 1
+      // the first compaction after a sweep deletes the replaced tree
+      // (it still holds the masked forgotten payload) — no retention
+      retained = if (swept) None else Some(epoch)
+      swept = false; epoch += 1
       checkAll(s"compact $tag")
     }
     def forget(pred: org.apache.spark.sql.Column, tag: String): Unit = {
       Forget.forgetDocs(spark, Seq(Forget.IndexTarget(idx)),
         all.where(pred).select(col("doc_id"), col("text")))
-      retained = None; epoch += 1
+      retained = None; swept = true; epoch += 1
       checkAll(s"forget $tag")
     }
 
@@ -109,15 +118,143 @@ class SnapshotStateSpec extends SparkSpec {
     capture("t6-post-forget")
     append(col("doc_id") % 4 === 3, "slice3")
     delete(col("doc_id") % 9 === 1, "ninths")
-    compact("c3") // epoch 4 retained; t6 rides the grace
-    capture("t7-final")
+    compact("c3") // FIRST post-sweep compaction: prunes, never
+    // retires — t6 refuses (forgetting outranks the grace) and the
+    // masked forgotten payload leaves the disk entirely
+    capture("t7-post-sweep-compact")
+    append(col("doc_id") % 8 === 3, "slice4")
+    compact("c4") // the grace is restored after the swept compaction
+    capture("t8-final")
     checkAll("final state")
 
-    // model sanity: exactly the expected liveness split at the end
+    // model sanity: exactly the expected liveness split at the end —
+    // t7 rides c4's restored retention, t8 is live; everything
+    // earlier (t6 included: its epoch was swept-then-pruned) refuses
     val alive = tokens.count { case (_, te, _, _) =>
       te == epoch || retained.contains(te) }
-    assert(alive == 2, // t6 (retained epoch) + t7 (live epoch)
+    assert(alive == 2,
       s"expected exactly 2 serveable tokens at the end, got $alive")
+
+    // the at-rest half of the forget guarantee, checked physically:
+    // c3 (the first post-sweep compaction) must have deleted the
+    // replaced tree rather than retiring it, so at no point after c3
+    // did any retired sibling hold the pre-sweep payload. By the end
+    // exactly c4's retirement exists — epoch of t7's capture.
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retiredOnDisk = fs.listStatus(root.getParent).map(_.getPath.getName)
+      .filter(_.startsWith(s".${root.getName}.epoch-")).toSeq
+    assert(retiredOnDisk == Seq(s".${root.getName}.epoch-${epoch - 1}"),
+      s"expected exactly the c4 retirement on disk, got $retiredOnDisk")
+  }
+
+  test("setRetention widens the replay-guarantee window to n " +
+    "compactions, keeps disk bounded at n retired trees, and 0 " +
+    "disables the grace") {
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 100).localCheckpoint()
+    val probe = all.select((col("doc_id") + 700000L).as("doc_id"),
+      col("text")).localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_retain").resolve("ix").toString
+    TextOps.minhashIndexWrite(all.where(col("doc_id") % 4 === 0), idx)
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def retiredCount(): Int =
+      fs.listStatus(root.getParent).map(_.getPath.getName)
+        .count(_.startsWith(s".${root.getName}.epoch-"))
+    def serve(snap: graft.operators.IndexSnapshot): Array[String] =
+      TextOps.nearDupServe(spark, idx, probe, asOf = Some(snap))
+        .collect().map(_.toString).sorted
+    // the knob refuses out-of-bound depths: retention must stay a
+    // declared disk bound, not a leak
+    assertThrows[IllegalArgumentException](
+      EmbeddingOps.setRetention(spark, idx,
+        EmbeddingOps.MaxRetainEpochs + 1))
+    assertThrows[IllegalArgumentException](
+      EmbeddingOps.setRetention(spark, idx, -1))
+
+    EmbeddingOps.setRetention(spark, idx, 2)
+    TextOps.minhashIndexAppend(all.where(col("doc_id") % 4 === 1), idx)
+    val tok1 = EmbeddingOps.indexSnapshot(spark, idx)
+    val rows1 = serve(tok1)
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1) // c1
+    TextOps.minhashIndexAppend(all.where(col("doc_id") % 4 === 2), idx)
+    val tok2 = EmbeddingOps.indexSnapshot(spark, idx)
+    val rows2 = serve(tok2)
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1) // c2
+    // two compactions deep: tok1 (2 epochs back) still replays
+    assert(serve(tok1).sameElements(rows1),
+      "retainEpochs=2 must keep a token alive through TWO compactions")
+    assert(serve(tok2).sameElements(rows2))
+    assert(retiredCount() == 2, s"disk bound: got ${retiredCount()}")
+    // the knob survives the swaps it rode through
+    assert(EmbeddingOps.retentionOf(fs, root) == 2,
+      "_retain must be carried into every published tree")
+    TextOps.minhashIndexAppend(all.where(col("doc_id") % 4 === 3), idx)
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1) // c3
+    // three deep: tok1 is past the window and refuses; tok2 lives
+    val e = intercept[IllegalArgumentException](serve(tok1))
+    assert(e.getMessage.contains("snapshot expired"))
+    assert(serve(tok2).sameElements(rows2))
+    assert(retiredCount() == 2, "prune must hold the declared bound")
+
+    // retention 0: the swap deletes the replaced tree and prunes all
+    // retired ones — any expired token refuses immediately
+    EmbeddingOps.setRetention(spark, idx, 0)
+    TextOps.minhashIndexDelete(spark, idx,
+      spark.range(3L).select(col("id").as("doc_id")))
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1) // c4
+    assert(retiredCount() == 0,
+      "retainEpochs=0 must leave no retired trees at all")
+    assertThrows[IllegalArgumentException](serve(tok2))
+  }
+
+  test("withSnapshotRetry absorbs ONE swap landing between plan " +
+    "construction and execution — the retry serves the capture-time " +
+    "rows from the retired tree; unrelated errors propagate untouched") {
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 80).localCheckpoint()
+    val probe = all.select((col("doc_id") + 800000L).as("doc_id"),
+      col("text")).localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_retry").resolve("ix").toString
+    TextOps.minhashIndexWrite(all.where(col("doc_id") % 2 === 0), idx)
+    TextOps.minhashIndexAppend(all.where(col("doc_id") % 2 =!= 0), idx)
+    val snap = EmbeddingOps.indexSnapshot(spark, idx)
+    val recorded = TextOps.nearDupServe(spark, idx, probe,
+      asOf = Some(snap)).collect().map(_.toString).sorted
+
+    // the race, injected for real: the thunk plans against the LIVE
+    // root (the token is current), then a compaction swaps the tree
+    // away before the collect — the documented mid-scan death. The
+    // retry re-plans, resolves to the retired tree, and completes
+    // with the capture-time rows, no caller intervention.
+    var attempts = 0
+    val rows = EmbeddingOps.withSnapshotRetry { () =>
+      attempts += 1
+      val df = TextOps.nearDupServe(spark, idx, probe,
+        asOf = Some(snap))
+      if (attempts == 1)
+        assert(TextOps.minhashIndexCompact(spark, idx) >= 1,
+          "the injected swap must be real")
+      df.collect()
+    }
+    assert(attempts == 2,
+      "the first attempt must die on the moved files and be retried")
+    assert(rows.map(_.toString).sorted.sameElements(recorded),
+      "the retry must serve the capture-time rows byte-identically")
+
+    // an error outside the missing-file class is NOT retried
+    var boomCalls = 0
+    val boom = intercept[RuntimeException] {
+      EmbeddingOps.withSnapshotRetry[Unit] { () =>
+        boomCalls += 1
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(boom.getMessage == "boom" && boomCalls == 1,
+      "withSnapshotRetry must not absorb unrelated failures")
   }
 
   test("a crash between the publish rename and the retire rename " +
