@@ -8,11 +8,77 @@ import org.apache.spark.sql.SparkSession
   * the work and overstate throughput.
   */
 object Bench {
+
+  /** Deterministic plan-shape metrics per bench entry: job count,
+    * stage count, and total shuffle rows/bytes. Wall-clock seconds
+    * drift with the machine; these change only when the PLAN changes,
+    * so a regression is attributable from the artifact alone without
+    * reconciling two environments' clocks. Captured from the LAST
+    * timed repeat (identical across repeats when the plan is
+    * deterministic; AQE is on, so byte totals can wobble a few
+    * percent — rows and counts must not). */
+  private final class PlanMetrics
+      extends org.apache.spark.scheduler.SparkListener {
+    import java.util.concurrent.atomic.AtomicLong
+    private val started = new AtomicLong
+    private val ended = new AtomicLong
+    val jobs = new AtomicLong
+    val stages = new AtomicLong
+    val shReadRows = new AtomicLong
+    val shWriteRows = new AtomicLong
+    val shReadBytes = new AtomicLong
+    val shWriteBytes = new AtomicLong
+    override def onJobStart(
+        j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+      started.incrementAndGet(); jobs.incrementAndGet(); ()
+    }
+    override def onJobEnd(
+        j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+      ended.incrementAndGet(); ()
+    }
+    override def onStageCompleted(
+        s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+        : Unit = {
+      stages.incrementAndGet()
+      val m = s.stageInfo.taskMetrics
+      if (m != null) {
+        shReadRows.addAndGet(m.shuffleReadMetrics.recordsRead)
+        shWriteRows.addAndGet(m.shuffleWriteMetrics.recordsWritten)
+        shReadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        ()
+      }
+    }
+    /** Listener events deliver asynchronously; wait until every
+      * started job has ended and the counters sit still — the bench
+      * runs strictly sequentially, so quiet == complete. */
+    def quiesce(): Unit = {
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var lastSeen = -1L
+      while (System.nanoTime() < deadline && {
+        val now = started.get() + ended.get() + stages.get()
+        val settled = started.get() == ended.get() && now == lastSeen
+        lastSeen = now
+        !settled
+      }) Thread.sleep(50)
+    }
+    def reset(): Unit = Seq(started, ended, jobs, stages, shReadRows,
+      shWriteRows, shReadBytes, shWriteBytes).foreach(_.set(0))
+    def json: String =
+      s"""{"jobs":${jobs.get()},"stages":${stages.get()},""" +
+        s""""sh_read_rows":${shReadRows.get()},""" +
+        s""""sh_write_rows":${shWriteRows.get()},""" +
+        s""""sh_read_bytes":${shReadBytes.get()},""" +
+        s""""sh_write_bytes":${shWriteBytes.get()}}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.create(cpus)
     spark.sparkContext.setLogLevel("WARN")
+    val metrics = new PlanMetrics
+    spark.sparkContext.addSparkListener(metrics)
     val queries = Suite.all.filter(_.bench)
     // one warm-up pass so JIT/codegen/FS cache don't dominate the timings
     queries.foreach { q =>
@@ -30,7 +96,9 @@ object Bench {
     // remaining swing is attributable from the artifact itself
     val Repeats = 3
     val results = queries.map { q =>
+      var plan = "{}"
       val runs = (1 to Repeats).map { _ =>
+        metrics.quiesce(); metrics.reset()
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -38,11 +106,15 @@ object Bench {
             true
           } catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
+        // plan-shape capture is outside the timed window: quiesce
+        // costs a settle poll, never query work
+        metrics.quiesce()
+        if (ok) plan = metrics.json
         spark.catalog.clearCache()
         (elapsed, ok)
       }
       val median = runs.map(_._1).sorted.apply(Repeats / 2)
-      (q.name, median, runs.forall(_._2), runs.map(_._1))
+      (q.name, median, runs.forall(_._2), runs.map(_._1), plan)
     }
     // Maintenance rows: the staged-swap machinery (index + fold-state
     // compaction) served no bench row, so a regression in the rewrite
@@ -124,40 +196,49 @@ object Bench {
         () => { graft.operators.TextOps.bm25IndexCompact(spark, root); () }
       }))
     val maintResults = maintFixtures.map { case (name, mkFixture) =>
+      var plan = "{}"
       val runs = (1 to Repeats).map { _ =>
         val opOrNull = try mkFixture() catch { case _: Throwable => null }
+        metrics.quiesce(); metrics.reset() // fixture jobs don't count
         val t0 = System.nanoTime()
         val ok =
           try { if (opOrNull == null) false else { opOrNull(); true } }
           catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
+        metrics.quiesce()
+        if (ok) plan = metrics.json
         spark.catalog.clearCache()
         dropFixtures() // untimed: dead trees must not tax later runs
         (elapsed, ok)
       }
       (name, runs.map(_._1).sorted.apply(Repeats / 2),
-        runs.forall(_._2), runs.map(_._1))
+        runs.forall(_._2), runs.map(_._1), plan)
     }
     val good = results.filter(_._3)
-    val qs = good.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val qs = good.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val reps = good.map { case (k, _, _, rs) =>
+    val reps = good.map { case (k, _, _, rs, _) =>
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val failed = (results.filterNot(_._3) ++ maintResults.filterNot(_._3))
       .map("\"" + _._1 + "\"").mkString("[", ",", "]")
     val maintGood = maintResults.filter(_._3)
-    val maint = maintGood.map { case (k, v, _, _) => "\"" + k + "\":" + v }
+    val maint = maintGood.map { case (k, v, _, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val maintReps = maintGood.map { case (k, _, _, rs) =>
+    val maintReps = maintGood.map { case (k, _, _, rs, _) =>
       "\"" + k + "\":" + rs.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    // plan-shape metrics for every successful entry (queries and
+    // maintenance alike): environment-independent regression anchors
+    val plans = (good ++ maintGood).map { case (k, _, _, _, p) =>
+      "\"" + k + "\":" + p
     }.mkString("{", ",", "}")
     // a crashing query must make the metric WORSE, not quietly shrink
     // it: each failure contributes a 600s penalty to the total
     val total = good.map(_._2).sum + results.count(!_._3) * 600.0 +
       maintResults.count(!_._3) * 600.0
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"maintenance":$maint,"maint_repeats":$maintReps,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"maintenance":$maint,"maint_repeats":$maintReps,"plan":$plans,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // sbt interleaves its own logging with stdout, which has broken the
     // driver's JSON scrape before ("parsed": null in BENCH_r09) — also

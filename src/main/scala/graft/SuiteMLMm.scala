@@ -15,7 +15,148 @@ import graft.SuiteMLShared._
   */
 private[graft] object SuiteMLMm {
 
+  /** The aHash band replay CTE — four 16-bit bands per image from the
+    * [[graft.operators.Multimodal.syntheticPngMedia]] pixel formulas
+    * (w = 3 + id%6, h = 2 + id%5; the same formulas mm_image_hash
+    * replays), shared by every phash-index oracle so the SQL cannot
+    * drift between rows. Exposes `bits` (doc_id, j, b) for the exact
+    * Hamming verify and `bands` (doc_id, band_idx, band_val). */
+  private val PhashBandsCte =
+    """ids AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h
+      |        FROM documents),
+      |pxx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS x FROM ids),
+      |px AS (SELECT doc_id, w, h, x, unnest(range(0, 8)) AS y FROM pxx),
+      |g AS (SELECT doc_id, y*8 + x AS j,
+      |        (((doc_id*29 + ((x*w)//8)*5 + ((y*h)//8)*17) % 256)
+      |       + ((doc_id*13 + ((x*w)//8)*19 + ((y*h)//8)*7) % 256)
+      |       + ((doc_id*37 + ((x*w)//8)*2 + ((y*h)//8)*11) % 256)) // 3 AS gv
+      |      FROM px),
+      |m AS (SELECT doc_id, SUM(gv) // 64 AS mean FROM g GROUP BY 1),
+      |bits AS (SELECT g.doc_id, g.j,
+      |           CASE WHEN g.gv > m.mean THEN 1 ELSE 0 END AS b
+      |         FROM g JOIN m ON m.doc_id = g.doc_id),
+      |bands AS (SELECT doc_id, CAST(j // 16 AS INT) AS band_idx,
+      |            CAST(SUM(b * (1 << (j % 16))) AS BIGINT) AS band_val
+      |          FROM bits GROUP BY 1, 2)""".stripMargin
+
+  /** Exact-Hamming verify + threshold tail over a `cand` (doc_a,
+    * doc_b) CTE — the shared back half of every phash serve oracle. */
+  private val PhashHammingTail =
+    """ham AS (SELECT c.doc_a, c.doc_b,
+      |          CAST(SUM(CASE WHEN xa.b <> xb.b THEN 1 ELSE 0 END)
+      |            AS BIGINT) AS hamming
+      |        FROM cand c
+      |        JOIN bits xa ON xa.doc_id = c.doc_a
+      |        JOIN bits xb ON xb.doc_id = c.doc_b AND xb.j = xa.j
+      |        GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, hamming FROM ham WHERE hamming <= 3""".stripMargin
+
+  /** Build-once mutation history for the pinned phash serve: build
+    * over doc_id % 7 IN (1, 2, 3), CAPTURE (`phash_asof:$d`), append
+    * the % 7 IN (4, 5, 6) slice, delete the % 7 = 1 AND % 3 = 0 docs
+    * — the pinned serve must answer from the capture-time view alone
+    * (appends invisible, deletions not yet tombstoned). */
+  private def phashAsofIdx(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    cachedIndex("phash_asof", d, p => {
+      val media = Multimodal.syntheticPngMedia(docs(s, d))
+      Multimodal.phashIndexWrite(
+        media.where(col("doc_id") % 7 >= 1 && col("doc_id") % 7 <= 3), p)
+      snapCache.put(s"phash_asof:$d", EmbeddingOps.indexSnapshot(s, p))
+      Multimodal.phashIndexAppend(
+        media.where(col("doc_id") % 7 >= 4), p)
+      Multimodal.phashIndexDelete(s, p,
+        media.where(col("doc_id") % 7 === 1 && col("doc_id") % 3 === 0)
+          .select(col("doc_id")))
+    })
+
   val rows: Seq[Q] = Seq(
+
+    // ---- multimodal: PERSISTED image near-dup index + serving -----------
+    // (the segment protocol closing over the image modality: the
+    // % 7 != 0 slice of the synthetic PNG corpus is hashed and indexed
+    // once, the % 7 = 0 slice arrives as an ingest batch and asks for
+    // its near-dups among the indexed images — banded-key candidates,
+    // exact 64-bit Hamming verify, both replayed codec-free from the
+    // pixel formulas; ~489 pairs at the gate scale, non-vacuous)
+    Q("mm_phash_serve",
+      (s, d) => {
+        val media = Multimodal.syntheticPngMedia(docs(s, d))
+        val dir = cachedIndex("phash", d, p =>
+          Multimodal.phashIndexWrite(
+            media.where(col("doc_id") % 7 =!= 0), p))
+        Multimodal.phashNearDupServe(s, dir,
+          media.where(col("doc_id") % 7 === 0))
+      },
+      Some(s"""WITH $PhashBandsCte,
+        |ba AS (SELECT * FROM bands WHERE doc_id % 7 <> 0),
+        |bb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM ba a JOIN bb b USING (band_idx, band_val)),
+        |$PhashHammingTail""".stripMargin),
+      bench = true),
+
+    // ---- multimodal: the phash index's bucket-balance card --------------
+    // (merged `_pstats` sidecars — bn sums and hub mins across
+    // committed segments must equal the window over all indexed rows)
+    Q("mm_phash_stats",
+      (s, d) => {
+        val media = Multimodal.syntheticPngMedia(docs(s, d))
+        val dir = cachedIndex("phash", d, p =>
+          Multimodal.phashIndexWrite(
+            media.where(col("doc_id") % 7 =!= 0), p))
+        Multimodal.phashIndexStats(s, dir)
+      },
+      Some(s"""WITH $PhashBandsCte
+        |SELECT band_idx, band_val, COUNT(*) AS bn,
+        |       MIN(doc_id) AS hub
+        |FROM bands WHERE doc_id % 7 <> 0 GROUP BY 1, 2""".stripMargin)),
+
+    // ---- multimodal: snapshot-pinned phash serving ----------------------
+    // (the image twin of dedup_serve_asof: the token pins the build
+    // slice — the appended % 7 IN (4, 5, 6) docs are invisible and
+    // the post-capture deletions not yet applied, so the oracle's
+    // indexed side is exactly the build slice)
+    Q("mm_phash_serve_asof",
+      (s, d) => {
+        val dir = phashAsofIdx(s, d)
+        Multimodal.phashNearDupServe(s, dir,
+          Multimodal.syntheticPngMedia(docs(s, d))
+            .where(col("doc_id") % 7 === 0),
+          asOf = Some(snapCache.get(s"phash_asof:$d")))
+      },
+      Some(s"""WITH $PhashBandsCte,
+        |ba AS (SELECT * FROM bands WHERE doc_id % 7 IN (1, 2, 3)),
+        |bb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM ba a JOIN bb b USING (band_idx, band_val)),
+        |$PhashHammingTail""".stripMargin)),
+
+    // ---- multimodal: the oversized-bucket volume cap, oracle-checked ----
+    // (buckets past the cap answer exclusively through their hub
+    // representative — the template-image-spam bound; cap 8 actually
+    // bites at gate scale, so the hub routing itself is verified)
+    Q("mm_phash_serve_capped",
+      (s, d) => {
+        val media = Multimodal.syntheticPngMedia(docs(s, d))
+        val dir = cachedIndex("phash", d, p =>
+          Multimodal.phashIndexWrite(
+            media.where(col("doc_id") % 7 =!= 0), p))
+        Multimodal.phashNearDupServe(s, dir,
+          media.where(col("doc_id") % 7 === 0), bucketCap = 8)
+      },
+      Some(s"""WITH $PhashBandsCte,
+        |ba AS (SELECT * FROM bands WHERE doc_id % 7 <> 0),
+        |bb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+        |bstat AS (SELECT band_idx, band_val, COUNT(*) AS bn,
+        |            MIN(doc_id) AS hub
+        |          FROM ba GROUP BY 1, 2),
+        |bax AS (SELECT b.doc_id, b.band_idx, b.band_val, s.bn, s.hub
+        |        FROM ba b JOIN bstat s USING (band_idx, band_val)),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bax a JOIN bb b USING (band_idx, band_val)
+        |         WHERE a.bn <= 8 OR a.doc_id = a.hub),
+        |$PhashHammingTail""".stripMargin)),
 
     // ---- multimodal plumbing: binary payloads + stubbed decode ----------
     // The decode is a stub (no codecs in this environment) but it is

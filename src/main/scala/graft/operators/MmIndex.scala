@@ -1,0 +1,273 @@
+package graft.operators
+
+import graft.operators.Stage.PinOps
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted perceptual-hash (aHash) near-dup index — the IMAGE
+  * modality's offline-build/online-serve dedup, closing the segment
+  * protocol over the last modality that had only batch pairing
+  * ([[Multimodal.imageDupPairs]]): a 100 TB image corpus is hashed
+  * and indexed ONCE, then every ingest batch asks "is this image a
+  * near-dup of anything already kept?" without touching the corpus
+  * again. Everything rides the [[EmbSegmentOps]] machinery — staged
+  * segments under a `_segs` manifest, tombstone deletes, compaction,
+  * snapshot tokens, the retention grace — so the governance surface
+  * (asOf serving, forget sweeps, indexDiff) works here unchanged.
+  *
+  * Layout under `path`: `bands/seg=N/pb=B/` — one row per (doc, band)
+  * holding (doc_id, band_idx, band_val, bs = the four 16-bit hash
+  * bands), partitioned by pb = pmod(hash(band_idx, band_val),
+  * nBuckets) so serving prunes to the BATCH-TOUCHED buckets (a
+  * static partition IN, the BM25 `tb` discipline); `params/` (the
+  * write-once bucket modulus); a `_pstats` per-bucket stat sidecar
+  * inside every segment (bn = member count, hub = min doc_id — the
+  * MinHash `_bstats` discipline) powering the oversized-bucket
+  * volume cap. Split into its own file purely mechanically. */
+private[graft] trait MmIndexOps { this: Multimodal.type =>
+
+  /** Default per-bucket candidate cap for [[phashNearDupServe]]: an
+    * indexed template image duplicated B times puts B rows in the
+    * same bucket in EVERY band; past the cap the bucket answers
+    * through its hub representative, bounding candidates at
+    * |batch| * 4 * cap by construction. */
+  val PhashBucketCap = 1024
+
+  /** Banded index rows of a media batch: only decodable images index
+    * (the `kind === "image"` filter drops decode errors and other
+    * modalities loudly upstream — [[Multimodal.imageHash]] rows carry
+    * the reason). Pure per-row decode + a 4-way explode; no shuffle
+    * until the writer's bucket repartition. */
+  private def phashIndexRows(media: DataFrame,
+      nBuckets: Int): DataFrame =
+    imageHash(media).where(col("kind") === "image")
+      .select(col("doc_id"),
+        array(col("b0"), col("b1"), col("b2"), col("b3")).as("bs"))
+      .select(col("doc_id"), col("bs"),
+        posexplode(col("bs")).as(Seq("band_idx", "band_val")))
+      .withColumn("pb",
+        pmod(hash(col("band_idx"), col("band_val")), lit(nBuckets)))
+
+  /** Per-bucket statistics of one segment's rows — merged at serve
+    * time by sum/min across segments, which equals the window over
+    * all committed rows by construction. */
+  private def phashBandStats(rows: DataFrame): DataFrame =
+    rows.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
+
+  /** Stage one segment: bucket-partitioned rows plus the `_pstats`
+    * sidecar computed from the rows AS WRITTEN (read back from the
+    * staged files, so the stats can never drift from the data they
+    * count). Both land inside the staged dir — the publish rename
+    * commits them together. */
+  private def writePhashSeg(s: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, segDir: String): Unit = {
+    rows.repartition(col("pb"))
+      .write.partitionBy("pb").mode("overwrite").parquet(segDir)
+    phashBandStats(s.read.parquet(segDir)
+        .select(col("doc_id"), col("band_idx"), col("band_val")))
+      .write.mode("overwrite").parquet(s"$segDir/_pstats")
+  }
+
+  private def phashParams(s: org.apache.spark.sql.SparkSession,
+      base: String): Int =
+    s.read.parquet(s"$base/params").head.getAs[Int]("n_buckets")
+
+  /** Build the persisted image near-dup index at `path`. Crash-atomic
+    * (staged hidden sibling, swapped whole); a rebuild expires pinned
+    * snapshots and retires the replaced tree per the retention
+    * grace. */
+  def phashIndexWrite(media: DataFrame, path: String,
+      nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val s = media.sparkSession
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    Warehouse.recoverSwap(fs, root)
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    writePhashSeg(s, phashIndexRows(media, nBuckets),
+      s"$tmp/bands/seg=0")
+    val sess = s
+    import sess.implicits._
+    Seq(nBuckets).toDF("n_buckets")
+      .write.mode("overwrite").parquet(s"$tmp/params")
+    EmbeddingOps.commitGen(fs,
+      new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    EmbeddingOps.publishStaged(fs, root, tmp) // expires + retires
+  }
+
+  /** Append a new image batch as one crash-atomic segment (rows +
+    * `_pstats`, both O(batch)) under the STORED bucket modulus.
+    * Caller contract mirrors every index append: doc_ids must be new
+    * (route ingestion through a registry when mutation protection
+    * matters), one appender at a time. */
+  def phashIndexAppend(media: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = media.sparkSession
+    val nBuckets = phashParams(s, path)
+    EmbeddingOps.appendSegment(s, path, "bands",
+      staged =>
+        writePhashSeg(s, phashIndexRows(media, nBuckets), staged),
+      failpoint)
+  }
+
+  /** Delete images from the index — the tombstone protocol keyed by
+    * doc_id: crash-atomic, O(batch); serving anti-joins the committed
+    * set, [[phashIndexCompact]] applies it physically. */
+  def phashIndexDelete(s: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame,
+      failpoint: String => Unit = _ => ()): Unit =
+    EmbeddingOps.indexDelete(s, path, ids, failpoint, keyCol = "doc_id")
+
+  /** Compact: the segment chain collapses to one (bucket partitioning
+    * preserved), tombstoned docs drop physically, the `_pstats`
+    * sidecar regenerates from the compacted rows, and the tombstone
+    * manifest clears — serving is identical before and after. */
+  def phashIndexCompact(s: org.apache.spark.sql.SparkSession,
+      path: String, failpoint: String => Unit = _ => ()): Int =
+    EmbeddingOps.compactSegments(s, path, "bands", Seq("params"),
+      df => df.repartition(col("pb")).write.partitionBy("pb")
+        .mode("overwrite"),
+      keyCol = "doc_id", failpoint,
+      extraSeg = segDir => phashBandStats(s.read.parquet(segDir)
+          .select(col("doc_id"), col("band_idx"), col("band_val")))
+        .write.mode("overwrite").parquet(s"$segDir/_pstats"))
+
+  /** Merged per-bucket statistics — the index's bucket-balance
+    * monitoring card (band_idx, band_val, bn, hub), bucket-
+    * cardinality; bucket skew is what drives the volume cap. */
+  def phashIndexStats(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (gen, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    s.read.parquet(segs.map(k => s"$path/bands/seg=$k/_pstats"): _*)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
+  }
+
+  /** Serve image near-dup lookups from the persisted index: for a NEW
+    * media batch, every (indexed doc, batch doc) pair sharing any of
+    * the four 16-bit aHash bands whose exact Hamming distance (over
+    * all 64 bits) is <= `maxHamming`. By pigeonhole every pair at
+    * distance <= 3 shares a band, so the default threshold's recall
+    * is GUARANTEED; raising it past 3 trades recall for reach.
+    * Output (doc_a = indexed, doc_b = batch, hamming).
+    *
+    * Scale shape: the batch side hashes per-row and BROADCASTS
+    * (bounded by the ingest batch, never the index); the stored scan
+    * carries STATIC (seg, pb) partition filters — committed segments
+    * and the batch-touched hash buckets only, so serve IO is
+    * |touched buckets|/nBuckets of the index regardless of batch
+    * size; bucket stats come from the segments' `_pstats` sidecars
+    * (merged for touched buckets only, broadcast), so stored rows
+    * never shuffle — the serve is one pruned scan feeding broadcast
+    * joins. Oversized buckets (bn > bucketCap) answer through their
+    * hub representative, bounding candidates at |batch| * 4 * cap; a
+    * tombstoned hub re-routes to the smallest LIVE doc (the re-hub
+    * scan is built ONLY when a dead hub exists — the MinHash serve's
+    * conditional discipline). Verification is O(1) per candidate
+    * (four 16-bit XOR popcounts — no set intersection), and
+    * tombstones mask at the pair stage, O(candidates) never
+    * O(index). Batch doc_ids are assumed disjoint from indexed ones
+    * (the append contract). */
+  def phashNearDupServe(s: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, maxHamming: Int = 3,
+      bucketCap: Int = PhashBucketCap,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
+    // data rows, stat sidecars, params, and tombstones all read from
+    // the ONE resolved base — live root, or the retired tree within
+    // the snapshot retention grace
+    val base = EmbeddingOps.snapshotRoot(s, path, asOf)
+    val nBuckets = phashParams(s, base)
+    val qBands = imageHash(batch).where(col("kind") === "image")
+      .select(col("doc_id").as("doc_b"),
+        array(col("b0"), col("b1"), col("b2"), col("b3")).as("bs_b"))
+      .select(col("doc_b"), col("bs_b"),
+        posexplode(col("bs_b")).as(Seq("band_idx", "band_val")))
+      .pinned // touched-bucket collect + key join, one batch hash
+    val batchKeys = qBands.select(col("band_idx"), col("band_val"))
+      .distinct().pinned
+    // the touched hash buckets collect (bounded by min(4 * |batch|,
+    // nBuckets) by construction) and push as a literal partition IN
+    val touchedPb = batchKeys
+      .select(pmod(hash(col("band_idx"), col("band_val")),
+        lit(nBuckets)).as("pb"))
+      .distinct().collect().map(_.getInt(0))
+    require(touchedPb.nonEmpty,
+      "batch contains no decodable images to serve")
+    val (fs, root) = EmbeddingOps.fsFor(s, base)
+    val segs = asOf match {
+      case Some(snap) => snap.dataSegs
+      case None => EmbeddingOps.committedSegs(fs,
+        new org.apache.hadoop.fs.Path(root, "_segs"))._2
+    }
+    val statDirs = segs.map(k => s"$base/bands/seg=$k/_pstats")
+    statDirs.foreach { d =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(d)),
+        s"no _pstats sidecar at $d — rebuild or compact the index " +
+          "with this version first")
+    }
+    val touched = s.read.parquet(statDirs: _*)
+      .join(broadcast(batchKeys), Seq("band_idx", "band_val"),
+        "left_semi")
+    // single-segment indexes (the post-compaction steady state) skip
+    // the merge: the segment's stats ARE the totals
+    val stats =
+      (if (segs.size == 1) touched
+      else touched.groupBy(col("band_idx"), col("band_val"))
+        .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub")))
+        .pinned // dead-hub probe + capped filter, one stat merge
+    val tomb = EmbeddingOps.tombstones(s, base, "doc_id", asOf)
+    val stored = s.read.parquet(s"$base/bands")
+      .where(EmbeddingOps.segFilter(s, base, asOf) &&
+        col("pb").isin(touchedPb.map(Int.box): _*))
+      .select(col("doc_id").as("doc_a"), col("bs").as("bs_a"),
+        col("band_idx"), col("band_val"))
+    // an OVERSIZED bucket answers exclusively through its hub; if the
+    // hub is tombstoned the final anti-join would silently erase the
+    // whole bucket's answers until compaction — re-hub at serve time
+    // to the smallest LIVE doc, building the re-hub scan ONLY when a
+    // dead hub exists (steady state plans exactly one stored scan)
+    val deadHubDf = stats
+      .join(tomb.withColumnRenamed("doc_id", "hub"), Seq("hub"),
+        "left_semi")
+      .select(col("band_idx"), col("band_val"))
+    val deadHubKeys = deadHubDf.collect()
+    val statsLive = if (deadHubKeys.isEmpty) stats else {
+      val deadHub = s.createDataFrame(
+        java.util.Arrays.asList(deadHubKeys: _*), deadHubDf.schema)
+      val rehub = stored
+        .join(broadcast(deadHub), Seq("band_idx", "band_val"),
+          "left_semi")
+        .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+          "left_anti")
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(min(col("doc_a")).as("live_hub"))
+      stats.join(rehub, Seq("band_idx", "band_val"), "left")
+        .withColumn("hub", coalesce(col("live_hub"), col("hub")))
+        .drop("live_hub")
+    }
+    val capped = stored
+      .join(broadcast(statsLive), Seq("band_idx", "band_val"))
+      .where(col("bn") <= bucketCap || col("doc_a") === col("hub"))
+    val pairs = capped
+      .join(broadcast(qBands), Seq("band_idx", "band_val"))
+      .select(col("doc_a"), col("bs_a"), col("doc_b"), col("bs_b"))
+      .distinct() // a pair can share up to all four bands
+    pairs
+      .withColumn("hamming", aggregate(
+        zip_with(col("bs_a"), col("bs_b"),
+          (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .where(col("hamming") <= maxHamming)
+      .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+}

@@ -17,7 +17,7 @@ import org.apache.spark.sql.types._
   * one iterator per partition, constant memory), and the partitioning
   * (payloads never shuffle; features derive in place).
   */
-object Multimodal {
+object Multimodal extends MmIndexOps {
 
   /** Wrap a text corpus as media rows: (doc_id, media_type,
     * payload: binary, meta struct) — the multimodal data model. */

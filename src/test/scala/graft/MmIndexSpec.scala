@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EmbeddingOps, Multimodal}
+
+/** Persisted perceptual-hash (aHash) image near-dup index: lifecycle
+  * parity (append == rebuild, stats sidecars merge exactly, deletes
+  * mask then apply physically), snapshot pinning with the retention
+  * grace, and the oversized-bucket cap with dead-hub re-routing. */
+class MmIndexSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_$tag").resolve("ix").toString
+
+  private lazy val media = Multimodal.syntheticPngMedia(
+    Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 300)).localCheckpoint()
+
+  private def served(idx: String,
+      asOf: Option[graft.operators.IndexSnapshot] = None)
+      : Array[String] =
+    Multimodal.phashNearDupServe(spark, idx,
+        media.where(col("doc_id") % 3 === 2), asOf = asOf)
+      .collect().map(_.toString).sorted
+
+  test("append equals rebuild, stats sidecars merge exactly, deletes " +
+    "mask immediately, and compaction preserves the serve while " +
+    "applying them physically") {
+    val idx = freshDir("phash_life")
+    Multimodal.phashIndexWrite(media.where(col("doc_id") % 3 === 0), idx)
+    Multimodal.phashIndexAppend(media.where(col("doc_id") % 3 === 1), idx)
+    val fresh = freshDir("phash_fresh")
+    Multimodal.phashIndexWrite(media.where(col("doc_id") % 3 =!= 2),
+      fresh)
+    val rows = served(idx)
+    assert(rows.nonEmpty, "the lifecycle fixture must be non-vacuous")
+    assert(rows.sameElements(served(fresh)),
+      "a write+append index must serve identically to a rebuild")
+    // merged 2-segment stats == the fresh single segment's stats
+    assert(Multimodal.phashIndexStats(spark, idx)
+        .collect().map(_.toString).sorted
+      .sameElements(Multimodal.phashIndexStats(spark, fresh)
+        .collect().map(_.toString).sorted),
+      "per-segment _pstats must merge to the single-segment window")
+
+    // delete: pinned view replays, live serve excludes immediately
+    val snap = EmbeddingOps.indexSnapshot(spark, idx)
+    val victims = media.where(col("doc_id") % 3 =!= 2 &&
+      col("doc_id") % 5 === 0).select(col("doc_id"))
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    assert(rows.exists(r => victimIds.exists(v => r.startsWith(s"[$v,"))),
+      "the deletion slice must intersect the served pairs")
+    Multimodal.phashIndexDelete(spark, idx, victims)
+    val afterDel = served(idx)
+    assert(!afterDel.exists(r =>
+        victimIds.exists(v => r.startsWith(s"[$v,"))),
+      "tombstoned docs must leave the serve immediately")
+    assert(served(idx, Some(snap)).sameElements(rows),
+      "the pinned serve must replay the pre-delete view")
+
+    // compaction: serve identical, tombstones applied physically,
+    // the pre-compaction token rides the retention grace
+    assert(Multimodal.phashIndexCompact(spark, idx) >= 1)
+    assert(served(idx).sameElements(afterDel),
+      "compaction changed the live serve")
+    assert(served(idx, Some(snap)).sameElements(rows),
+      "the pre-compaction token must serve from the retired tree")
+    // a second swap prunes the retired tree: the token refuses
+    Multimodal.phashIndexAppend(media.where(col("doc_id") % 3 === 2),
+      idx)
+    assert(Multimodal.phashIndexCompact(spark, idx) >= 1)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.phashNearDupServe(spark, idx,
+        media.where(col("doc_id") % 3 === 2), asOf = Some(snap)).count()
+    }
+    assert(e.getMessage.contains("snapshot expired"))
+  }
+
+  test("an indexed template-image cluster answers through its hub " +
+    "under the cap, and a tombstoned hub re-routes to the smallest " +
+    "live image") {
+    // 200 byte-identical images (distinct doc_ids, one payload):
+    // every band bucket holds all 200, far past cap 64 — an uncapped
+    // serve would fan each batch image out to all of them
+    val payload = media.where(col("doc_id") === 0)
+      .select(col("payload")).head.getAs[Array[Byte]](0)
+    val cluster = spark.range(200L).select(col("id").as("doc_id"),
+      lit("image/png").as("media_type"), lit(payload).as("payload"))
+    val batch = spark.range(9000L, 9010L).select(col("id").as("doc_id"),
+      lit("image/png").as("media_type"), lit(payload).as("payload"))
+    val idx = freshDir("phash_cap")
+    Multimodal.phashIndexWrite(cluster, idx)
+    val out = Multimodal.phashNearDupServe(spark, idx, batch,
+      bucketCap = 64).collect()
+    assert(out.length === 10,
+      s"capped serve emitted ${out.length} pairs; expected one hub " +
+        "pair per batch image")
+    assert(out.forall(r => r.getAs[Long]("doc_a") == 0L &&
+        r.getAs[Long]("hamming") == 0L),
+      "cluster answers must route through the hub at hamming 0")
+    // dead hub: tombstone doc 0 — the bucket must answer through
+    // doc 1, not silently answer nothing until compaction
+    Multimodal.phashIndexDelete(spark, idx,
+      spark.range(1L).select(col("id").as("doc_id")))
+    val rerouted = Multimodal.phashNearDupServe(spark, idx, batch,
+      bucketCap = 64).collect()
+    assert(rerouted.length === 10 &&
+        rerouted.forall(r => r.getAs[Long]("doc_a") == 1L),
+      "a tombstoned hub must re-route to the smallest live doc")
+  }
+}

@@ -820,6 +820,61 @@ class ScaleProbeSpec extends SparkSpec {
     assert(TextOps.nearDupServe(spark, idx, alien).count() === 0L)
   }
 
+  test("phashNearDupServe at scale: static (seg, pb) partition " +
+    "pruning, stored banded rows never shuffle, stats broadcast from " +
+    "the sidecar, exactly one stored scan in the steady state") {
+    // the image twin of the nearDupServe sidecar probe, on a
+    // TWO-segment index so the cross-segment `_pstats` merge is live
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_phash_probe").resolve("ix").toString
+    val all = graft.operators.Multimodal.syntheticPngMedia(
+      spark.range(20000L).select(col("id").as("doc_id")))
+    graft.operators.Multimodal.phashIndexWrite(
+      all.where(col("doc_id") < 10000L), idx)
+    graft.operators.Multimodal.phashIndexAppend(
+      all.where(col("doc_id") >= 10000L), idx)
+    val batch = graft.operators.Multimodal.syntheticPngMedia(
+      spark.range(20000L, 20050L).select(col("id").as("doc_id")))
+    val plan = staticPlanOf(
+      graft.operators.Multimodal.phashNearDupServe(spark, idx, batch))
+    val cartesian = plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }
+    assert(cartesian.isEmpty, "phashNearDupServe plans a CartesianProduct")
+    // 1. no exchange carries the stored BANDED rows — the only
+    // shuffles left are batch-bounded (candidate-pair dedup)
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!Set("doc_a", "band_idx", "band_val").subsetOf(cols.toSet),
+        "stored banded rows ride an exchange: " +
+          cols.mkString("[", ", ", "]"))
+    }
+    // 2. the capped filter joins merged sidecar stats by broadcast
+    val statBroadcasts = broadcastSubtrees(plan).filter(sub =>
+      Set("bn", "hub").subsetOf(sub.output.map(_.name).toSet))
+    assert(statBroadcasts.nonEmpty,
+      "phashNearDupServe lost its broadcast bucket-stat join")
+    // 3. steady state (no tombstoned hubs): the stored rows scan
+    // exactly ONCE — the conditional dead-hub re-route must not plan
+    // a second scan
+    val storedScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "bs") => f
+    }
+    assert(storedScans.length == 1,
+      s"phashNearDupServe plans ${storedScans.length} stored scans; " +
+        "the steady state must plan exactly 1")
+    // 4. the one scan carries STATIC partition filters on BOTH the
+    // committed segments and the batch-touched hash buckets
+    val pf = storedScans.head.partitionFilters.map(_.toString)
+      .mkString(" ")
+    assert(pf.contains("seg") && pf.contains("pb"),
+      s"stored scan lost its (seg, pb) partition pruning: $pf")
+  }
+
   test("nearDupServe bounds candidate fan-out on an indexed template cluster") {
     // the serve twin of the cappedBandPairs probe: 5000 identical
     // docs in the index put 5000 signatures in one stored bucket per
