@@ -68,6 +68,8 @@ private[graft] object SuiteMLMm {
       Multimodal.phashIndexDelete(s, p,
         media.where(col("doc_id") % 7 === 1 && col("doc_id") % 3 === 0)
           .select(col("doc_id")))
+      snapCache.put(s"phash_asof_end:$d",
+        EmbeddingOps.indexSnapshot(s, p))
     })
 
   val rows: Seq[Q] = Seq(
@@ -131,6 +133,25 @@ private[graft] object SuiteMLMm {
         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |         FROM ba a JOIN bb b USING (band_idx, band_val)),
         |$PhashHammingTail""".stripMargin)),
+
+    // ---- multimodal: the index audit — what changed between two
+    // pinned views (generic indexDiff over the phash family: every
+    // appended image becomes visible — every doc decodes to an image
+    // row here — and the post-capture deletions kill build-slice
+    // keys; the shared builder keeps the replayed history in lockstep
+    // with mm_phash_serve_asof) --------------------------------------
+    Q("mm_phash_diff",
+      (s, d) => {
+        val dir = phashAsofIdx(s, d)
+        EmbeddingOps.indexDiff(s, dir, "bands",
+          snapCache.get(s"phash_asof:$d"),
+          snapCache.get(s"phash_asof_end:$d"), keyCol = "doc_id")
+      },
+      Some("""SELECT doc_id, 'added' AS change FROM documents
+        |WHERE doc_id % 7 >= 4
+        |UNION ALL
+        |SELECT doc_id, 'removed' AS change FROM documents
+        |WHERE doc_id % 7 = 1 AND doc_id % 3 = 0""".stripMargin)),
 
     // ---- multimodal: the oversized-bucket volume cap, oracle-checked ----
     // (buckets past the cap answer exclusively through their hub

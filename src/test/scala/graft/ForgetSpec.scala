@@ -54,14 +54,29 @@ class ForgetSpec extends SparkSpec {
       .createTempDirectory("graft_forget_vidx").toString
     EmbeddingOps.ivfIndexWrite(emb, vIdx)
     val victimsWithVec = victims.withColumn("vec_id", $"doc_id")
+    // the image near-dup index joins the sweep unchanged — it is the
+    // same doc_id-keyed segment protocol under a different payload
+    val pIdx = java.nio.file.Files
+      .createTempDirectory("graft_forget_pidx").resolve("ix").toString
+    val media = graft.operators.Multimodal.syntheticPngMedia(docs)
+    graft.operators.Multimodal.phashIndexWrite(media, pIdx)
 
     val report = Forget.forgetDocs(spark, Seq(
         Forget.IndexTarget(idx),
         Forget.IndexTarget(vIdx, keyCol = "vec_id"),
+        Forget.IndexTarget(pIdx),
         Forget.RegistryStateTarget(regState),
         Forget.AdditiveStateTarget(lmState, "lm")),
       victimsWithVec)
-    assert(report.where($"status" === "deleted").count() === 4L)
+    assert(report.where($"status" === "deleted").count() === 5L)
+    // image serving: forgotten images never answer (probe with the
+    // victims' own payloads — each would match its indexed self)
+    val pProbe = media.where($"doc_id" % 9 === 0)
+      .select(($"doc_id" + 100000L).as("doc_id"), $"media_type",
+        $"payload")
+    assert(graft.operators.Multimodal.phashNearDupServe(spark, pIdx,
+        pProbe)
+      .where($"doc_a" % 9 === 0).count() === 0L)
     // vector serving: tombstoned vecs never answer
     val vServed = EmbeddingOps.ivfTopKIndexed(spark, vIdx,
       emb.where($"vec_id" < 5))
