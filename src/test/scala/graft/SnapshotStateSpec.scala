@@ -148,6 +148,29 @@ class SnapshotStateSpec extends SparkSpec {
       s"expected exactly the c4 retirement on disk, got $retiredOnDisk")
   }
 
+  test("a corrupt epoch marker refuses with the repair instruction " +
+    "instead of NFE-bricking every reader") {
+    // the pre-r16 crash window: an in-place _epoch overwrite could be
+    // seen empty/partial mid-write and threw a bare
+    // NumberFormatException from every subsequent read. Writers now
+    // publish markers by stage+rename, so a corrupt marker can only
+    // be a crashed LEGACY write — readers must say so and name the
+    // repair, not stack-trace
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 40).localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_badmark").resolve("ix").toString
+    TextOps.minhashIndexWrite(all, idx)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "_epoch"), "".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      EmbeddingOps.indexSnapshot(spark, idx)
+    }
+    assert(e.getMessage.contains("unreadable marker") &&
+        e.getMessage.contains("repair"),
+      s"expected the loud marker refusal, got: ${e.getMessage}")
+  }
+
   test("setRetention widens the replay-guarantee window to n " +
     "compactions, keeps disk bounded at n retired trees, and 0 " +
     "disables the grace") {
