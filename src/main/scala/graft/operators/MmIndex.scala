@@ -173,7 +173,9 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
     * (four 16-bit XOR popcounts — no set intersection), and
     * tombstones mask at the pair stage, O(candidates) never
     * O(index). Batch doc_ids are assumed disjoint from indexed ones
-    * (the append contract). */
+    * (the append contract); a pinned serve racing a concurrent swap is
+    * absorbed by wrapping the action in [[graft.operators
+    * .EmbeddingOps.withSnapshotRetry]]. */
   def phashNearDupServe(s: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, maxHamming: Int = 3,
       bucketCap: Int = PhashBucketCap,
@@ -191,16 +193,29 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       .select(col("doc_b"), col("bs_b"),
         posexplode(col("bs_b")).as(Seq("band_idx", "band_val")))
       .pinned // touched-bucket collect + key join, one batch hash
-    val batchKeys = qBands.select(col("band_idx"), col("band_val"))
-      .distinct().pinned
-    // the touched hash buckets collect (bounded by min(4 * |batch|,
-    // nBuckets) by construction) and push as a literal partition IN
-    val touchedPb = batchKeys
-      .select(pmod(hash(col("band_idx"), col("band_val")),
-        lit(nBuckets)).as("pb"))
-      .distinct().collect().map(_.getInt(0))
-    require(touchedPb.nonEmpty,
+    // ONE collect of the deduped batch band keys WITH their bucket
+    // ids — bounded by 4 * |batch| by the serving contract (the same
+    // bound the broadcast below implies), re-emitted as a
+    // LocalRelation so the key semi-joins' broadcast side is free and
+    // the touched-bucket partition IN derives driver-side without a
+    // second job (the batched-BM25 LocalRelation discipline)
+    val keyRows = qBands.select(col("band_idx"), col("band_val"))
+      .distinct()
+      .withColumn("pb",
+        pmod(hash(col("band_idx"), col("band_val")), lit(nBuckets)))
+      .collect()
+    require(keyRows.nonEmpty,
       "batch contains no decodable images to serve")
+    val touchedPb = keyRows.map(_.getInt(2)).distinct
+    val keySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("band_idx",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("band_val",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("pb",
+        org.apache.spark.sql.types.IntegerType)))
+    val batchKeys = s.createDataFrame(
+      java.util.Arrays.asList(keyRows: _*), keySchema).drop("pb")
     val (fs, root) = EmbeddingOps.fsFor(s, base)
     val segs = asOf match {
       case Some(snap) => snap.dataSegs

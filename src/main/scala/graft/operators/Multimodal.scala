@@ -19,6 +19,33 @@ import org.apache.spark.sql.types._
   */
 object Multimodal extends MmIndexOps {
 
+  /** JDK ImageIO defaults to a FILE-backed stream cache: one temp
+    * file is created and deleted in java.io.tmpdir PER decoded (and
+    * encoded) image, which at corpus scale turns every decode into
+    * /tmp metadata traffic — measured on the bench as media serve
+    * rows swinging ~2x with /tmp residue while their plan metrics
+    * stayed identical. The payloads here are in-memory byte arrays,
+    * so the cache buys nothing; keep it in memory. The setter is
+    * JVM-global and idempotent, ensured once per executor JVM on
+    * first use (the helper is called inside the mapPartitions
+    * closures, so a real cluster's executors each apply it). */
+  private object ImageIOTuning {
+    @volatile private var done = false
+    def ensure(): Unit = if (!done) {
+      javax.imageio.ImageIO.setUseCache(false)
+      done = true
+    }
+  }
+
+  /** In-memory image decode via the platform codecs (see
+    * [[ImageIOTuning]]); null for an undecodable payload, matching
+    * `ImageIO.read`. */
+  private[operators] def decodeImage(bytes: Array[Byte])
+      : java.awt.image.BufferedImage = {
+    ImageIOTuning.ensure()
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+  }
+
   /** Wrap a text corpus as media rows: (doc_id, media_type,
     * payload: binary, meta struct) — the multimodal data model. */
   def toMedia(docs: DataFrame): DataFrame =
@@ -162,6 +189,7 @@ object Multimodal extends MmIndexOps {
       y += 1
     }
     val out = new java.io.ByteArrayOutputStream()
+    ImageIOTuning.ensure() // in-memory encode, no temp-file cache
     require(javax.imageio.ImageIO.write(img, "png", out),
       "JDK PNG writer unavailable")
     out.toByteArray
@@ -247,8 +275,7 @@ object Multimodal extends MmIndexOps {
     * (BMP and PNG readers both ship in the JDK) and the statistics
     * are of the DECODED pixels. */
   private def decodeImageRow(id: Long, bytes: Array[Byte]): Row = {
-    val img = javax.imageio.ImageIO.read(
-      new java.io.ByteArrayInputStream(bytes))
+    val img = decodeImage(bytes)
     if (img == null) Row(id, "decode_error", null, null, 0L, 0L, 0L, 0L)
     else {
       val w = img.getWidth
@@ -357,8 +384,7 @@ object Multimodal extends MmIndexOps {
           val bytes = Option(r.getAs[Array[Byte]](2))
             .getOrElse(Array.emptyByteArray)
           val img = if (bytes.isEmpty) null
-            else javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
+            else decodeImage(bytes)
           if (img == null)
             Row(id, "decode_error", null, null, 0L, 0L, 0L, 0L)
           else {
@@ -420,8 +446,7 @@ object Multimodal extends MmIndexOps {
           val bytes = Option(r.getAs[Array[Byte]](2))
             .getOrElse(Array.emptyByteArray)
           val img = if (bytes.isEmpty) null
-            else javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(bytes))
+            else decodeImage(bytes)
           if (img == null) Row(id, "decode_error", null, null, null,
             null, 0L)
           else {

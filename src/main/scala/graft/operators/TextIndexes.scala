@@ -437,7 +437,10 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * whole serve are bounded (touched-bucket sidecar rows into the
     * stat merge, candidate pairs into the dedup). The `hs` arrays
     * never leave their scan partition. Batch doc_ids are assumed
-    * disjoint from indexed ones (the append contract). */
+    * disjoint from indexed ones (the append contract). A pinned serve
+    * racing a concurrent swap dies on the moved files — wrap the
+    * ACTION in [[graft.operators.EmbeddingOps.withSnapshotRetry]] to
+    * absorb exactly one swap (re-resolves to the retired tree). */
   def nearDupServe(s: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, threshold: Double = 0.7,
       bucketCap: Int = BucketCap,
