@@ -153,6 +153,42 @@ private[graft] object SuiteMLMm {
         |SELECT doc_id, 'removed' AS change FROM documents
         |WHERE doc_id % 7 = 1 AND doc_id % 3 = 0""".stripMargin)),
 
+    // ---- multimodal: persisted AUDIO fingerprint index + serving --------
+    // (the one-band instantiation of the banded media index: the
+    // % 7 != 0 audio streams index once, the % 7 = 0 streams arrive
+    // as a batch and ask for exact-fingerprint duplicates among the
+    // indexed ones — audioDupPairs' blocking served off the stored
+    // index; 15 pairs at gate scale, replayed codec-free from the
+    // WAV sample formulas)
+    Q("mm_audio_serve",
+      (s, d) => {
+        val media = Multimodal.syntheticMedia(docs(s, d))
+        val dir = cachedIndex("ahash", d, p =>
+          Multimodal.audioIndexWrite(
+            media.where(col("doc_id") % 7 =!= 0), p))
+        Multimodal.audioDupServe(s, dir,
+          media.where(col("doc_id") % 7 === 0))
+      },
+      Some("""WITH au AS (SELECT doc_id, 40 + doc_id % 25 AS n
+        |        FROM documents WHERE doc_id % 3 = 1),
+        |smp AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM au),
+        |sv AS (SELECT doc_id, (i*16) // n AS seg,
+        |         abs((doc_id*7919 + i*104729) % 65536 - 32768) AS a
+        |       FROM smp),
+        |se AS (SELECT doc_id, seg, CAST(SUM(a) AS BIGINT) AS e
+        |       FROM sv GROUP BY 1, 2),
+        |st AS (SELECT doc_id, CAST(SUM(e) AS BIGINT) AS total
+        |       FROM se GROUP BY 1),
+        |h AS (SELECT se.doc_id,
+        |        CAST(SUM(CASE WHEN se.e * 16 > st.total
+        |                      THEN 1 << seg ELSE 0 END) AS BIGINT) AS h
+        |      FROM se JOIN st ON st.doc_id = se.doc_id GROUP BY 1),
+        |ha AS (SELECT * FROM h WHERE doc_id % 7 <> 0),
+        |hb AS (SELECT * FROM h WHERE doc_id % 7 = 0)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(0 AS BIGINT) AS hamming
+        |FROM ha a JOIN hb b ON a.h = b.h""".stripMargin)),
+
     // ---- multimodal: the oversized-bucket volume cap, oracle-checked ----
     // (buckets past the cap answer exclusively through their hub
     // representative — the template-image-spam bound; cap 8 actually

@@ -34,16 +34,31 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
     * |batch| * 4 * cap by construction. */
   val PhashBucketCap = 1024
 
-  /** Banded index rows of a media batch: only decodable images index
-    * (the `kind === "image"` filter drops decode errors and other
-    * modalities loudly upstream — [[Multimodal.imageHash]] rows carry
-    * the reason). Pure per-row decode + a 4-way explode; no shuffle
-    * until the writer's bucket repartition. */
-  private def phashIndexRows(media: DataFrame,
-      nBuckets: Int): DataFrame =
+  /** The banded-hash frame of a media batch's IMAGES: only decodable
+    * images index (the `kind === "image"` filter drops decode errors
+    * and other modalities loudly upstream — [[Multimodal.imageHash]]
+    * rows carry the reason). (doc_id, bs = the four 16-bit aHash
+    * bands). Pure per-row decode; no shuffle. */
+  private def imageHashBands(media: DataFrame): DataFrame =
     imageHash(media).where(col("kind") === "image")
       .select(col("doc_id"),
         array(col("b0"), col("b1"), col("b2"), col("b3")).as("bs"))
+
+  /** The banded-hash frame of a media batch's AUDIO streams: the
+    * segment-energy fingerprint ([[Multimodal.audioHash]]) as a
+    * one-band `bs`, so the whole banded-index protocol below applies
+    * unchanged — candidates share the fingerprint bucket, and
+    * maxHamming = 0 makes the serve the exact-fingerprint lookup
+    * ([[Multimodal.audioDupPairs]]'s blocking, persisted). */
+  private def audioHashBands(media: DataFrame): DataFrame =
+    audioHash(media).where(col("kind") === "audio")
+      .select(col("doc_id"), array(col("h")).as("bs"))
+
+  /** Banded index rows from a (doc_id, bs) hash frame — the shared
+    * layout every media hash family stores: one row per (doc, band),
+    * bucket-keyed for the serve-side partition prune. */
+  private def bandedRows(hashed: DataFrame, nBuckets: Int): DataFrame =
+    hashed
       .select(col("doc_id"), col("bs"),
         posexplode(col("bs")).as(Seq("band_idx", "band_val")))
       .withColumn("pb",
@@ -74,19 +89,15 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       base: String): Int =
     s.read.parquet(s"$base/params").head.getAs[Int]("n_buckets")
 
-  /** Build the persisted image near-dup index at `path`. Crash-atomic
-    * (staged hidden sibling, swapped whole); a rebuild expires pinned
-    * snapshots and retires the replaced tree per the retention
-    * grace. */
-  def phashIndexWrite(media: DataFrame, path: String,
-      nBuckets: Int = 64): Unit = {
+  private def bandedIndexWrite(hashed: DataFrame, path: String,
+      nBuckets: Int): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
-    val s = media.sparkSession
+    val s = hashed.sparkSession
     val (fs, root) = EmbeddingOps.fsFor(s, path)
     Warehouse.recoverSwap(fs, root)
     val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    writePhashSeg(s, phashIndexRows(media, nBuckets),
+    writePhashSeg(s, bandedRows(hashed, nBuckets),
       s"$tmp/bands/seg=0")
     val sess = s
     import sess.implicits._
@@ -97,18 +108,44 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
     EmbeddingOps.publishStaged(fs, root, tmp) // expires + retires
   }
 
+  /** Build the persisted image near-dup index at `path`. Crash-atomic
+    * (staged hidden sibling, swapped whole); a rebuild expires pinned
+    * snapshots and retires the replaced tree per the retention
+    * grace. */
+  def phashIndexWrite(media: DataFrame, path: String,
+      nBuckets: Int = 64): Unit =
+    bandedIndexWrite(imageHashBands(media), path, nBuckets)
+
+  /** Build the persisted AUDIO fingerprint index — the same banded
+    * root layout under a one-band hash, so every maintenance and
+    * governance entry point ([[phashIndexDelete]]/[[phashIndexCompact]]
+    * /[[phashIndexStats]], snapshots, retention, indexDiff, forget
+    * sweeps) applies to an audio root verbatim. */
+  def audioIndexWrite(media: DataFrame, path: String,
+      nBuckets: Int = 64): Unit =
+    bandedIndexWrite(audioHashBands(media), path, nBuckets)
+
   /** Append a new image batch as one crash-atomic segment (rows +
     * `_pstats`, both O(batch)) under the STORED bucket modulus.
     * Caller contract mirrors every index append: doc_ids must be new
     * (route ingestion through a registry when mutation protection
     * matters), one appender at a time. */
   def phashIndexAppend(media: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit = {
-    val s = media.sparkSession
+      failpoint: String => Unit = _ => ()): Unit =
+    bandedIndexAppend(imageHashBands(media), path, failpoint)
+
+  /** [[phashIndexAppend]] for an audio index root. */
+  def audioIndexAppend(media: DataFrame, path: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    bandedIndexAppend(audioHashBands(media), path, failpoint)
+
+  private def bandedIndexAppend(hashed: DataFrame, path: String,
+      failpoint: String => Unit): Unit = {
+    val s = hashed.sparkSession
     val nBuckets = phashParams(s, path)
     EmbeddingOps.appendSegment(s, path, "bands",
       staged =>
-        writePhashSeg(s, phashIndexRows(media, nBuckets), staged),
+        writePhashSeg(s, bandedRows(hashed, nBuckets), staged),
       failpoint)
   }
 
@@ -179,7 +216,26 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
   def phashNearDupServe(s: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, maxHamming: Int = 3,
       bucketCap: Int = PhashBucketCap,
-      asOf: Option[IndexSnapshot] = None): DataFrame = {
+      asOf: Option[IndexSnapshot] = None): DataFrame =
+    bandedServe(s, path, imageHashBands(batch), maxHamming, bucketCap,
+      asOf)
+
+  /** Serve audio duplicate lookups from a persisted audio fingerprint
+    * index ([[audioIndexWrite]]): the default maxHamming = 0 is the
+    * exact-fingerprint match [[Multimodal.audioDupPairs]] blocks on,
+    * served off the stored index instead of a corpus self-join; the
+    * plan shape and every bound are [[phashNearDupServe]]'s (the
+    * fingerprint is a one-band hash under the same protocol). */
+  def audioDupServe(s: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, maxHamming: Int = 0,
+      bucketCap: Int = PhashBucketCap,
+      asOf: Option[IndexSnapshot] = None): DataFrame =
+    bandedServe(s, path, audioHashBands(batch), maxHamming, bucketCap,
+      asOf)
+
+  private def bandedServe(s: org.apache.spark.sql.SparkSession,
+      path: String, qHashed: DataFrame, maxHamming: Int,
+      bucketCap: Int, asOf: Option[IndexSnapshot]): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
     // data rows, stat sidecars, params, and tombstones all read from
@@ -187,9 +243,8 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
     // the snapshot retention grace
     val base = EmbeddingOps.snapshotRoot(s, path, asOf)
     val nBuckets = phashParams(s, base)
-    val qBands = imageHash(batch).where(col("kind") === "image")
-      .select(col("doc_id").as("doc_b"),
-        array(col("b0"), col("b1"), col("b2"), col("b3")).as("bs_b"))
+    val qBands = qHashed
+      .select(col("doc_id").as("doc_b"), col("bs").as("bs_b"))
       .select(col("doc_b"), col("bs_b"),
         posexplode(col("bs_b")).as(Seq("band_idx", "band_val")))
       .pinned // touched-bucket collect + key join, one batch hash
@@ -205,7 +260,7 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
         pmod(hash(col("band_idx"), col("band_val")), lit(nBuckets)))
       .collect()
     require(keyRows.nonEmpty,
-      "batch contains no decodable images to serve")
+      "batch contains no decodable media of this index's modality")
     val touchedPb = keyRows.map(_.getInt(2)).distinct
     val keySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("band_idx",

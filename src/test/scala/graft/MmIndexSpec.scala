@@ -77,6 +77,45 @@ class MmIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("snapshot expired"))
   }
 
+  test("the audio fingerprint index rides the same banded protocol: " +
+    "append equals rebuild, maintenance entry points apply verbatim, " +
+    "deletes mask and compact physically") {
+    val am = Multimodal.syntheticMedia(
+      Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+        .where(col("doc_id") < 450)).localCheckpoint()
+    def serve(idx: String): Array[String] =
+      Multimodal.audioDupServe(spark, idx,
+          am.where(col("doc_id") % 7 === 0))
+        .collect().map(_.toString).sorted
+    val idx = freshDir("ahash_life")
+    Multimodal.audioIndexWrite(
+      am.where(col("doc_id") % 7 >= 1 && col("doc_id") % 7 <= 3), idx)
+    Multimodal.audioIndexAppend(am.where(col("doc_id") % 7 >= 4), idx)
+    val fresh = freshDir("ahash_fresh")
+    Multimodal.audioIndexWrite(am.where(col("doc_id") % 7 =!= 0), fresh)
+    val rows = serve(idx)
+    assert(rows.nonEmpty, "the audio fixture must be non-vacuous")
+    assert(rows.sameElements(serve(fresh)),
+      "audio write+append must serve identically to a rebuild")
+    // exact-match contract: every served pair is hamming 0 and the
+    // pair really does share the fingerprint (self-consistency with
+    // the batch operator's exact blocking)
+    assert(Multimodal.audioDupServe(spark, idx,
+        am.where(col("doc_id") % 7 === 0))
+      .collect().forall(_.getAs[Long]("hamming") == 0L))
+    // the IMAGE family's maintenance entry points apply verbatim:
+    // delete a doc_a that currently answers, compact, serve identical
+    val victim = rows.head.stripPrefix("[").split(",")(0).toLong
+    Multimodal.phashIndexDelete(spark, idx,
+      spark.range(victim, victim + 1).select(col("id").as("doc_id")))
+    val afterDel = serve(idx)
+    assert(!afterDel.exists(_.startsWith(s"[$victim,")),
+      "tombstoned audio doc must leave the serve immediately")
+    assert(Multimodal.phashIndexCompact(spark, idx) >= 1)
+    assert(serve(idx).sameElements(afterDel),
+      "compaction changed the audio serve")
+  }
+
   test("an indexed template-image cluster answers through its hub " +
     "under the cap, and a tombstoned hub re-routes to the smallest " +
     "live image") {
