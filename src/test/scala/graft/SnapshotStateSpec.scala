@@ -280,6 +280,62 @@ class SnapshotStateSpec extends SparkSpec {
       "withSnapshotRetry must not absorb unrelated failures")
   }
 
+  test("a crash between the pre-swap prune and the swap can only " +
+    "COST grace early — never exceed the retention bound, never a " +
+    "wrong answer — and the retried compaction completes normally") {
+    // the other crash window retention has: publishStaged prunes
+    // retired trees down to budget BEFORE the swap (so no interleaving
+    // can leave more than retainEpochs of them), which means a kill
+    // right after the prune leaves the LIVE tree untouched but the
+    // previously-retired epoch already gone
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 80).localCheckpoint()
+    val probe = all.select((col("doc_id") + 900000L).as("doc_id"),
+      col("text")).localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_prunecrash").resolve("ix")
+      .toString
+    TextOps.minhashIndexWrite(all.where(col("doc_id") % 2 === 0), idx)
+    val t0 = EmbeddingOps.indexSnapshot(spark, idx) // epoch 1
+    TextOps.minhashIndexAppend(all.where(col("doc_id") % 2 =!= 0), idx)
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1) // c1
+    val rows0 = TextOps.nearDupServe(spark, idx, probe,
+      asOf = Some(t0)).collect().map(_.toString).sorted // via retired
+    assert(rows0.nonEmpty)
+    val t1 = EmbeddingOps.indexSnapshot(spark, idx) // epoch 2, live
+    val live1 = TextOps.nearDupServe(spark, idx, probe,
+      asOf = Some(t1)).collect().map(_.toString).sorted
+    TextOps.minhashIndexAppend(
+      all.where(col("doc_id") % 4 === 1), idx)
+    intercept[RuntimeException] {
+      TextOps.minhashIndexCompact(spark, idx,
+        failpoint = fp => if (fp == "pruned")
+          throw new RuntimeException("kill@pruned"))
+    }
+    // the live tree is untouched (the swap never ran): t1 still
+    // serves its live view
+    assert(TextOps.nearDupServe(spark, idx, probe, asOf = Some(t1))
+      .collect().map(_.toString).sorted.sameElements(live1),
+      "a pre-swap crash must leave the live incarnation intact")
+    // t0's grace was the crash's only casualty: loud refusal, and at
+    // most retainEpochs (= 1) retired trees exist at every instant
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nearDupServe(spark, idx, probe, asOf = Some(t0)).count()
+    }
+    assert(e.getMessage.contains("snapshot expired"))
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(root.getParent).map(_.getPath.getName)
+      .count(_.startsWith(s".${root.getName}.epoch-")) == 0,
+      "the crashed run must not leave retired trees past the budget")
+    // the retry completes: epoch advances, t1 rides the grace
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    assert(TextOps.nearDupServe(spark, idx, probe, asOf = Some(t1))
+      .collect().map(_.toString).sorted.sameElements(live1),
+      "after the healed retry, the pre-crash live token must ride " +
+        "the restored retention grace")
+  }
+
   test("a crash between the publish rename and the retire rename " +
     "degrades retention to the loud refusal — never a wrong answer — " +
     "and the next swap sweeps the stale aside copy") {
