@@ -20,9 +20,8 @@ object Bench {
   private final class PlanMetrics
       extends org.apache.spark.scheduler.SparkListener {
     import java.util.concurrent.atomic.AtomicLong
-    private val started = new AtomicLong
     private val ended = new AtomicLong
-    val jobs = new AtomicLong
+    val jobs = new AtomicLong // doubles as the started-count quiesce() settles against
     val stages = new AtomicLong
     val shReadRows = new AtomicLong
     val shWriteRows = new AtomicLong
@@ -30,7 +29,7 @@ object Bench {
     val shWriteBytes = new AtomicLong
     override def onJobStart(
         j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-      started.incrementAndGet(); jobs.incrementAndGet(); ()
+      jobs.incrementAndGet(); ()
     }
     override def onJobEnd(
         j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
@@ -56,13 +55,13 @@ object Bench {
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       var lastSeen = -1L
       while (System.nanoTime() < deadline && {
-        val now = started.get() + ended.get() + stages.get()
-        val settled = started.get() == ended.get() && now == lastSeen
+        val now = jobs.get() + ended.get() + stages.get()
+        val settled = jobs.get() == ended.get() && now == lastSeen
         lastSeen = now
         !settled
       }) Thread.sleep(50)
     }
-    def reset(): Unit = Seq(started, ended, jobs, stages, shReadRows,
+    def reset(): Unit = Seq(ended, jobs, stages, shReadRows,
       shWriteRows, shReadBytes, shWriteBytes).foreach(_.set(0))
     def json: String =
       s"""{"jobs":${jobs.get()},"stages":${stages.get()},""" +

@@ -176,11 +176,16 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
         finally in.close()
       // a marker must parse exactly: an empty or partial file is a
       // crashed legacy in-place write (every current writer publishes
-      // via stage+rename) — refuse with the repair, never NFE-brick
-      require(content.trim.nonEmpty && content.trim.forall(_.isDigit),
-        s"unreadable marker at $p ('${content.trim}') — a crashed " +
+      // via stage+rename) — refuse with the repair, never NFE-brick.
+      // ASCII digits only (Character.isDigit accepts Unicode digit
+      // classes toLong then rejects) and <= 18 of them (past that
+      // toLong overflows — same brick, different exception)
+      val t = content.trim
+      require(t.nonEmpty && t.length <= 18 &&
+          t.forall(c => c >= '0' && c <= '9'),
+        s"unreadable marker at $p ('$t') — a crashed " +
           "legacy in-place write; repair by writing the intended value")
-      Some(content.trim.toLong)
+      Some(t.toLong)
     }
 
   /** Publish a small marker file ATOMICALLY: write a hidden temp
@@ -266,7 +271,8 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       .filter(_.getName.startsWith(prefix))
       .flatMap { p =>
         val suffix = p.getName.stripPrefix(prefix)
-        if (suffix.nonEmpty && suffix.forall(_.isDigit))
+        if (suffix.nonEmpty && suffix.length <= 18 &&
+            suffix.forall(c => c >= '0' && c <= '9'))
           Some((suffix.toLong, p))
         else Some((-1L, p)) // malformed retirement name: oldest-first out
       }

@@ -71,16 +71,55 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
     rows.groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("bn"), min(col("doc_id")).as("hub"))
 
+  // explicit schemas for every index read-back: a bucket-partitioned
+  // write of ZERO rows (an all-decode-error append batch; a compaction
+  // of a fully-tombstoned index) produces no parquet files, and a
+  // schema-INFERRED read of such a segment throws instead of
+  // returning the empty frame — the banded family must stay
+  // maintainable and serveable through empty segments
+  private val bandedSegSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bs",
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType)),
+    org.apache.spark.sql.types.StructField("band_idx",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_val",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("pb",
+      org.apache.spark.sql.types.IntegerType)))
+
+  private def bandedStoredSchema = bandedSegSchema.add(
+    org.apache.spark.sql.types.StructField("seg",
+      org.apache.spark.sql.types.IntegerType))
+
+  private val pstatsSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("band_idx",
+      org.apache.spark.sql.types.IntegerType),
+    org.apache.spark.sql.types.StructField("band_val",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("bn",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("hub",
+      org.apache.spark.sql.types.LongType)))
+
   /** Stage one segment: bucket-partitioned rows plus the `_pstats`
     * sidecar computed from the rows AS WRITTEN (read back from the
     * staged files, so the stats can never drift from the data they
     * count). Both land inside the staged dir — the publish rename
-    * commits them together. */
+    * commits them together. Zero-row segments are legal (see
+    * [[bandedSegSchema]]): the directory is created explicitly so
+    * the staged-rename protocol holds, and the schema'd read-back
+    * yields the empty stat sidecar. */
   private def writePhashSeg(s: org.apache.spark.sql.SparkSession,
       rows: DataFrame, segDir: String): Unit = {
     rows.repartition(col("pb"))
       .write.partitionBy("pb").mode("overwrite").parquet(segDir)
-    phashBandStats(s.read.parquet(segDir)
+    val (fs, dir) = EmbeddingOps.fsFor(s, segDir)
+    fs.mkdirs(dir) // a zero-row partitioned write may create nothing
+    phashBandStats(s.read.option("basePath", segDir)
+        .schema(bandedSegSchema).parquet(segDir)
         .select(col("doc_id"), col("band_idx"), col("band_val")))
       .write.mode("overwrite").parquet(s"$segDir/_pstats")
   }
@@ -167,8 +206,10 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       df => df.repartition(col("pb")).write.partitionBy("pb")
         .mode("overwrite"),
       keyCol = "doc_id", failpoint,
-      extraSeg = segDir => phashBandStats(s.read.parquet(segDir)
-          .select(col("doc_id"), col("band_idx"), col("band_val")))
+      extraSeg = segDir => phashBandStats(
+          s.read.option("basePath", segDir).schema(bandedSegSchema)
+            .parquet(segDir)
+            .select(col("doc_id"), col("band_idx"), col("band_val")))
         .write.mode("overwrite").parquet(s"$segDir/_pstats"))
 
   /** Merged per-bucket statistics — the index's bucket-balance
@@ -181,7 +222,8 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       new org.apache.hadoop.fs.Path(root, "_segs"))
     require(gen >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — not an index root")
-    s.read.parquet(segs.map(k => s"$path/bands/seg=$k/_pstats"): _*)
+    s.read.schema(pstatsSchema)
+      .parquet(segs.map(k => s"$path/bands/seg=$k/_pstats"): _*)
       .groupBy(col("band_idx"), col("band_val"))
       .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
   }
@@ -216,9 +258,10 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
   def phashNearDupServe(s: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, maxHamming: Int = 3,
       bucketCap: Int = PhashBucketCap,
-      asOf: Option[IndexSnapshot] = None): DataFrame =
+      asOf: Option[IndexSnapshot] = None,
+      localKeyLimit: Int = 262144): DataFrame =
     bandedServe(s, path, imageHashBands(batch), maxHamming, bucketCap,
-      asOf)
+      asOf, localKeyLimit)
 
   /** Serve audio duplicate lookups from a persisted audio fingerprint
     * index ([[audioIndexWrite]]): the default maxHamming = 0 is the
@@ -229,15 +272,18 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
   def audioDupServe(s: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, maxHamming: Int = 0,
       bucketCap: Int = PhashBucketCap,
-      asOf: Option[IndexSnapshot] = None): DataFrame =
+      asOf: Option[IndexSnapshot] = None,
+      localKeyLimit: Int = 262144): DataFrame =
     bandedServe(s, path, audioHashBands(batch), maxHamming, bucketCap,
-      asOf)
+      asOf, localKeyLimit)
 
   private def bandedServe(s: org.apache.spark.sql.SparkSession,
       path: String, qHashed: DataFrame, maxHamming: Int,
-      bucketCap: Int, asOf: Option[IndexSnapshot]): DataFrame = {
+      bucketCap: Int, asOf: Option[IndexSnapshot],
+      localKeyLimit: Int): DataFrame = {
     require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
     require(bucketCap >= 1, s"bucketCap must be >= 1, got $bucketCap")
+    require(localKeyLimit > 0, "localKeyLimit must be positive")
     // data rows, stat sidecars, params, and tombstones all read from
     // the ONE resolved base — live root, or the retired tree within
     // the snapshot retention grace
@@ -248,20 +294,34 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       .select(col("doc_b"), col("bs_b"),
         posexplode(col("bs_b")).as(Seq("band_idx", "band_val")))
       .pinned // touched-bucket collect + key join, one batch hash
-    // ONE collect of the deduped batch band keys WITH their bucket
-    // ids — bounded by 4 * |batch| by the serving contract (the same
-    // bound the broadcast below implies), re-emitted as a
-    // LocalRelation so the key semi-joins' broadcast side is free and
-    // the touched-bucket partition IN derives driver-side without a
-    // second job (the batched-BM25 LocalRelation discipline)
-    val keyRows = qBands.select(col("band_idx"), col("band_val"))
+    // ONE gated collect of the deduped batch band keys WITH their
+    // bucket ids (the batched-BM25 LocalRelation discipline): within
+    // `localKeyLimit` the collect IS the fast path — the key
+    // semi-joins' broadcast side is free and the touched-bucket
+    // partition IN derives driver-side with no extra job. A batch
+    // past the limit keeps its keys DISTRIBUTED (shuffle joins — no
+    // broadcast hint whose build side would land on the driver
+    // anyway) and collects only the distinct bucket ids, bounded by
+    // nBuckets. limit(N+1) decides the route in one job.
+    val keyProbe = qBands.select(col("band_idx"), col("band_val"))
       .distinct()
       .withColumn("pb",
         pmod(hash(col("band_idx"), col("band_val")), lit(nBuckets)))
-      .collect()
-    require(keyRows.nonEmpty,
-      "batch contains no decodable media of this index's modality")
-    val touchedPb = keyRows.map(_.getInt(2)).distinct
+      .limit(localKeyLimit + 1).collect()
+    // a batch with no decodable media of this modality has no
+    // near-dups — answer empty, like the MinHash serve, instead of
+    // crashing a routine ingest loop on a text-only batch
+    if (keyProbe.isEmpty)
+      return s.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_a",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("doc_b",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("hamming",
+            org.apache.spark.sql.types.LongType))))
+    val keysLocal = keyProbe.length <= localKeyLimit
     val keySchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("band_idx",
         org.apache.spark.sql.types.IntegerType),
@@ -269,8 +329,20 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
         org.apache.spark.sql.types.LongType),
       org.apache.spark.sql.types.StructField("pb",
         org.apache.spark.sql.types.IntegerType)))
-    val batchKeys = s.createDataFrame(
-      java.util.Arrays.asList(keyRows: _*), keySchema).drop("pb")
+    val (batchKeys, touchedPb) =
+      if (keysLocal)
+        (s.createDataFrame(java.util.Arrays.asList(keyProbe: _*),
+          keySchema).drop("pb"),
+          keyProbe.map(_.getInt(2)).distinct)
+      else {
+        val kd = qBands.select(col("band_idx"), col("band_val"))
+          .distinct().pinned
+        (kd, kd.select(pmod(hash(col("band_idx"), col("band_val")),
+            lit(nBuckets)).as("pb"))
+          .distinct().collect().map(_.getInt(0))) // <= nBuckets rows
+      }
+    def hinted(df: DataFrame): DataFrame =
+      if (keysLocal) broadcast(df) else df
     val (fs, root) = EmbeddingOps.fsFor(s, base)
     val segs = asOf match {
       case Some(snap) => snap.dataSegs
@@ -283,8 +355,8 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
         s"no _pstats sidecar at $d — rebuild or compact the index " +
           "with this version first")
     }
-    val touched = s.read.parquet(statDirs: _*)
-      .join(broadcast(batchKeys), Seq("band_idx", "band_val"),
+    val touched = s.read.schema(pstatsSchema).parquet(statDirs: _*)
+      .join(hinted(batchKeys), Seq("band_idx", "band_val"),
         "left_semi")
     // single-segment indexes (the post-compaction steady state) skip
     // the merge: the segment's stats ARE the totals
@@ -294,7 +366,8 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
         .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub")))
         .pinned // dead-hub probe + capped filter, one stat merge
     val tomb = EmbeddingOps.tombstones(s, base, "doc_id", asOf)
-    val stored = s.read.parquet(s"$base/bands")
+    val stored = s.read.option("basePath", s"$base/bands")
+      .schema(bandedStoredSchema).parquet(s"$base/bands")
       .where(EmbeddingOps.segFilter(s, base, asOf) &&
         col("pb").isin(touchedPb.map(Int.box): _*))
       .select(col("doc_id").as("doc_a"), col("bs").as("bs_a"),
@@ -324,10 +397,10 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
         .drop("live_hub")
     }
     val capped = stored
-      .join(broadcast(statsLive), Seq("band_idx", "band_val"))
+      .join(hinted(statsLive), Seq("band_idx", "band_val"))
       .where(col("bn") <= bucketCap || col("doc_a") === col("hub"))
     val pairs = capped
-      .join(broadcast(qBands), Seq("band_idx", "band_val"))
+      .join(hinted(qBands), Seq("band_idx", "band_val"))
       .select(col("doc_a"), col("bs_a"), col("doc_b"), col("bs_b"))
       .distinct() // a pair can share up to all four bands
     pairs

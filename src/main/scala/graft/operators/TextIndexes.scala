@@ -236,9 +236,13 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
           qdf.schema), true, probe.map(_.getString(1)).distinct.toSeq)
       } else {
         // oversized batch: pairs stay distributed; the term union is
-        // the only driver-side piece (the pruning IN-list needs it)
-        (qdf.pinned, false,
-          qdf.select(col("word")).distinct().collect()
+        // the only driver-side piece (the pruning IN-list needs it),
+        // and it rides the CHECKPOINTED pair frame — recomputing the
+        // distinct from the raw queries would run the largest shuffle
+        // a third time
+        val qp = qdf.pinned
+        (qp, false,
+          qp.select(col("word")).distinct().collect()
             .map(_.getString(0)).toSeq)
       }
     val posts = bm25PostingsScan(s, path, terms, asOf)

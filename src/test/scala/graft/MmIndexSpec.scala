@@ -77,6 +77,40 @@ class MmIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("snapshot expired"))
   }
 
+  test("empty segments are legal end-to-end: a modality-less batch " +
+    "serves empty, an all-undecodable batch appends a no-op segment, " +
+    "and a fully-tombstoned index still compacts and serves") {
+    val idx = freshDir("phash_empty")
+    Multimodal.phashIndexWrite(media.where(col("doc_id") < 60), idx)
+    // a text-only batch has no images: answer "no near-dups", never
+    // crash a routine ingest loop
+    val textOnly = spark.range(5L).select(col("id").as("doc_id"),
+      lit("text/plain").as("media_type"),
+      lit("hello".getBytes("UTF-8")).as("payload"))
+    assert(Multimodal.phashNearDupServe(spark, idx, textOnly)
+      .count() === 0L)
+    // an all-undecodable image batch appends an EMPTY segment (the
+    // bucket-partitioned write produces no files — the schema'd
+    // read-back must still build its empty sidecar)...
+    val junk = spark.range(9100L, 9105L).select(col("id").as("doc_id"),
+      lit("image/png").as("media_type"),
+      lit(Array[Byte](1, 2, 3)).as("payload"))
+    Multimodal.phashIndexAppend(junk, idx)
+    // ...and serving across the mixed segment chain still answers
+    val probe = media.where(col("doc_id") < 60)
+      .select((col("doc_id") + 950000L).as("doc_id"),
+        col("media_type"), col("payload"))
+    assert(Multimodal.phashNearDupServe(spark, idx, probe)
+      .count() > 0L, "self-probe must match the indexed images")
+    // fully tombstone the index, then compact: applying tombstones
+    // physically must work even when NOTHING survives
+    Multimodal.phashIndexDelete(spark, idx,
+      media.where(col("doc_id") < 60).select(col("doc_id")))
+    assert(Multimodal.phashIndexCompact(spark, idx) >= 1)
+    assert(Multimodal.phashNearDupServe(spark, idx, probe)
+      .count() === 0L, "an emptied index must serve empty, not crash")
+  }
+
   test("the audio fingerprint index rides the same banded protocol: " +
     "append equals rebuild, maintenance entry points apply verbatim, " +
     "deletes mask and compact physically") {
