@@ -50,25 +50,34 @@ object Bench {
     }
     /** Listener events deliver asynchronously; wait until every
       * started job has ended and the counters sit still — the bench
-      * runs strictly sequentially, so quiet == complete. */
-    def quiesce(): Unit = {
+      * runs strictly sequentially, so quiet == complete. Returns
+      * whether the counters actually settled: a false means the 15 s
+      * deadline expired with jobs still draining, so late events can
+      * land AFTER the next reset() and contaminate the NEXT repeat's
+      * plan metrics — the caller stamps that into the artifact
+      * ("settled": false) so a contaminated plan row is
+      * distinguishable from a real plan change. */
+    def quiesce(): Boolean = {
       val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
       var lastSeen = -1L
+      var settled = false
       while (System.nanoTime() < deadline && {
         val now = jobs.get() + ended.get() + stages.get()
-        val settled = jobs.get() == ended.get() && now == lastSeen
+        settled = jobs.get() == ended.get() && now == lastSeen
         lastSeen = now
         !settled
       }) Thread.sleep(50)
+      settled
     }
     def reset(): Unit = Seq(ended, jobs, stages, shReadRows,
       shWriteRows, shReadBytes, shWriteBytes).foreach(_.set(0))
-    def json: String =
+    def json(settled: Boolean): String =
       s"""{"jobs":${jobs.get()},"stages":${stages.get()},""" +
         s""""sh_read_rows":${shReadRows.get()},""" +
         s""""sh_write_rows":${shWriteRows.get()},""" +
         s""""sh_read_bytes":${shReadBytes.get()},""" +
-        s""""sh_write_bytes":${shWriteBytes.get()}}"""
+        s""""sh_write_bytes":${shWriteBytes.get()},""" +
+        s""""settled":$settled}"""
   }
 
   def main(args: Array[String]): Unit = {
@@ -97,7 +106,9 @@ object Bench {
     val results = queries.map { q =>
       var plan = "{}"
       val runs = (1 to Repeats).map { _ =>
-        metrics.quiesce(); metrics.reset()
+        // an unsettled PRE-quiesce means the previous entry's jobs may
+        // still drain into this repeat's counters — stamp both ends
+        val preSettled = metrics.quiesce(); metrics.reset()
         val t0 = System.nanoTime()
         val ok =
           try {
@@ -107,8 +118,8 @@ object Bench {
         val elapsed = (System.nanoTime() - t0) / 1e9 // before cache teardown
         // plan-shape capture is outside the timed window: quiesce
         // costs a settle poll, never query work
-        metrics.quiesce()
-        if (ok) plan = metrics.json
+        val postSettled = metrics.quiesce()
+        if (ok) plan = metrics.json(preSettled && postSettled)
         spark.catalog.clearCache()
         (elapsed, ok)
       }
@@ -198,14 +209,15 @@ object Bench {
       var plan = "{}"
       val runs = (1 to Repeats).map { _ =>
         val opOrNull = try mkFixture() catch { case _: Throwable => null }
-        metrics.quiesce(); metrics.reset() // fixture jobs don't count
+        // fixture jobs don't count
+        val preSettled = metrics.quiesce(); metrics.reset()
         val t0 = System.nanoTime()
         val ok =
           try { if (opOrNull == null) false else { opOrNull(); true } }
           catch { case _: Throwable => false }
         val elapsed = (System.nanoTime() - t0) / 1e9
-        metrics.quiesce()
-        if (ok) plan = metrics.json
+        val postSettled = metrics.quiesce()
+        if (ok) plan = metrics.json(preSettled && postSettled)
         spark.catalog.clearCache()
         dropFixtures() // untimed: dead trees must not tax later runs
         (elapsed, ok)
@@ -236,8 +248,29 @@ object Bench {
     // it: each failure contributes a 600s penalty to the total
     val total = good.map(_._2).sum + results.count(!_._3) * 600.0 +
       maintResults.count(!_._3) * 600.0
+    // environment self-adjudication: two cheap, code-stable CONTROL
+    // rows (untouched since r7) are compared against their clean-run
+    // anchors (BASELINE.md r16) inside the artifact itself, so a
+    // drifted run is labeled at the source instead of in a judging
+    // session. ok = every control within 2x of its anchor — the same
+    // band the repo's binding regression rule uses. Anchors are for
+    // the driver's sf0.1 scale; other SF dirs skip the stamp (ok
+    // stays true with an explicit "scale" note).
+    val controlAnchors = Map("sim_ann_topk" -> 0.60, "an_heatmap" -> 0.27)
+    val atAnchorScale = sfDir.endsWith("sf0.1")
+    val controls = good.collect {
+      case (k, v, _, _, _) if atAnchorScale && controlAnchors.contains(k) =>
+        (k, v, controlAnchors(k), v / controlAnchors(k))
+    }
+    val envOk = controls.forall(_._4 <= 2.0)
+    val controlsJson = controls.map { case (k, v, a, r) =>
+      "\"" + k + "\":{\"sec\":" + v + ",\"anchor\":" + a +
+        ",\"ratio\":" + (math.round(r * 100) / 100.0) + "}"
+    }.mkString("{", ",", "}")
+    val env = s"""{"ok":$envOk,"controls":$controlsJson""" +
+      (if (atAnchorScale) "}" else ""","scale":"non-anchor sf — controls not comparable"}""")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"maintenance":$maint,"maint_repeats":$maintReps,"plan":$plans,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"repeats":$reps,"maintenance":$maint,"maint_repeats":$maintReps,"plan":$plans,"environment":$env,"failed":$failed,"sf":"$sfDir"}"""
     println(line)
     // sbt interleaves its own logging with stdout, which has broken the
     // driver's JSON scrape before ("parsed": null in BENCH_r09) — also

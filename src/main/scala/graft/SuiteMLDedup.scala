@@ -190,12 +190,17 @@ private[graft] object SuiteMLDedup {
     // the pinned serve answers from the capture-time index alone, so
     // the oracle's indexed side is just the build slice ---------------
     Q("dedup_serve_asof",
-      (s, d) => {
+      // the pinned serve MATERIALIZES inside withSnapshotRetry (the
+      // localCheckpoint is the action): the race-absorption contract
+      // — a swap landing mid-serve costs a retry that re-resolves to
+      // the retired tree, never a wrong answer — rides the oracle
+      // gate every round, not just SnapshotStateSpec
+      (s, d) => EmbeddingOps.withSnapshotRetry(() => {
         val dir = mhAsofIdx(s, d)
         TextOps.nearDupServe(s, dir,
           docs(s, d).where(col("doc_id") % 5 === 0),
-          asOf = Some(snapCache.get(s"mh_asof:$d")))
-      },
+          asOf = Some(snapCache.get(s"mh_asof:$d"))).localCheckpoint()
+      }),
       Some(s"""WITH $TokCte,
         |dsa AS (SELECT * FROM ds WHERE doc_id % 5 IN (1, 2)),
         |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),

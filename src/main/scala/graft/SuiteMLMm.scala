@@ -120,13 +120,15 @@ private[graft] object SuiteMLMm {
     // the post-capture deletions not yet applied, so the oracle's
     // indexed side is exactly the build slice)
     Q("mm_phash_serve_asof",
-      (s, d) => {
+      // materialized inside withSnapshotRetry (the dedup_serve_asof
+      // discipline): the race-absorption contract rides the gate
+      (s, d) => EmbeddingOps.withSnapshotRetry(() => {
         val dir = phashAsofIdx(s, d)
         Multimodal.phashNearDupServe(s, dir,
           Multimodal.syntheticPngMedia(docs(s, d))
             .where(col("doc_id") % 7 === 0),
-          asOf = Some(snapCache.get(s"phash_asof:$d")))
-      },
+          asOf = Some(snapCache.get(s"phash_asof:$d"))).localCheckpoint()
+      }),
       Some(s"""WITH $PhashBandsCte,
         |ba AS (SELECT * FROM bands WHERE doc_id % 7 IN (1, 2, 3)),
         |bb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),

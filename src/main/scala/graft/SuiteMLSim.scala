@@ -433,12 +433,14 @@ private[graft] object SuiteMLSim {
     // replays the whole IVF-PQ pipeline (training included) over the
     // build slice alone and ignores both later mutations ------------
     Q("sim_serve_asof",
-      (s, d) => {
+      // materialized inside withSnapshotRetry (the dedup_serve_asof
+      // discipline): the race-absorption contract rides the gate
+      (s, d) => EmbeddingOps.withSnapshotRetry(() => {
         val idx = asofHistoryIdx(s, d)
         EmbeddingOps.ivfpqTopKIndexed(s, idx,
           emb(s, d).where(col("vec_id") < 5),
-          asOf = Some(snapCache.get(s"ivfpq_asof:$d")))
-      },
+          asOf = Some(snapCache.get(s"ivfpq_asof:$d"))).localCheckpoint()
+      }),
       Some(s"""WITH ${embCteSliced("vec_id % 7 <> 6")},
         |$IvfPqScoreCte
         |$IvfPqTopKTail""".stripMargin)),

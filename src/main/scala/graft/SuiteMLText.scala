@@ -1348,8 +1348,11 @@ private[graft] object SuiteMLText {
     // oracle is the indexed-BM25 replay over the build slice alone.
     // One SQL generator serves both rows, so the replays cannot drift
     Q("text_bm25_asof",
-      (s, d) => TextOps.bm25TopKIndexed(s, bm25AsofIdx(s, d), Bm25Terms,
-        asOf = Some(snapCache.get(s"bm25_asof:$d"))),
+      // materialized inside withSnapshotRetry (the dedup_serve_asof
+      // discipline): the race-absorption contract rides the gate
+      (s, d) => EmbeddingOps.withSnapshotRetry(() =>
+        TextOps.bm25TopKIndexed(s, bm25AsofIdx(s, d), Bm25Terms,
+          asOf = Some(snapCache.get(s"bm25_asof:$d"))).localCheckpoint()),
       Some(bm25IndexedSql("doc_id % 7 <> 3"))),
 
     // ---- retrieval: snapshot diff over the BM25 index — the audit

@@ -211,7 +211,9 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     // the RETIRED tree wholesale (centroids included — a rebuild may
     // have replaced the quantizer)
     val base = snapshotRoot(s, path, asOf)
-    val cents = s.read.parquet(s"$base/centroids")
+    // centroids as a cached local relation (fixed per incarnation):
+    // the probe ranking's broadcast builds driver-side, no scan job
+    val cents = localizedMeta(s, base, "centroids")
     val probes = rankedAgainst(quantized(queries), cents)
       .where(col("crk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
@@ -249,7 +251,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       nProbe: Int = 2, k: Int = 10,
       asOf: Option[IndexSnapshot] = None): DataFrame = {
     val base = snapshotRoot(s, path, asOf)
-    val cents = s.read.parquet(s"$base/centroids")
+    val cents = localizedMeta(s, base, "centroids")
     val probes = rankedAgainst(quantized(queries), cents)
       .where(col("crk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),

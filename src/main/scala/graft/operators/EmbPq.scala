@@ -231,7 +231,7 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
       path: String, queries: DataFrame, k: Int = 10,
       asOf: Option[IndexSnapshot] = None): DataFrame = {
     val base = snapshotRoot(s, path, asOf)
-    val cb = s.read.parquet(s"$base/codebooks")
+    val cb = localizedMeta(s, base, "codebooks")
     val codes = s.read.parquet(s"$base/codes")
       .where(segFilter(s, base, asOf)) // committed segments only
       .drop("seg")
@@ -410,12 +410,23 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
       path: String, queries: DataFrame, nProbe: Int = 2,
       k: Int = 10, asOf: Option[IndexSnapshot] = None): DataFrame = {
     val base = snapshotRoot(s, path, asOf)
-    val cents = s.read.parquet(s"$base/centroids")
-    val cb = s.read.parquet(s"$base/codebooks")
+    // quantizer tables as cached LOCAL relations ([[localizedMeta]]):
+    // fixed for the index incarnation, so their broadcasts build
+    // driver-side with no scan job per serve
+    val cents = localizedMeta(s, base, "centroids")
+    val cb = localizedMeta(s, base, "codebooks")
     val qe = quantized(queries).pinned
-    val probes = ivfpqProbes(qe, cents, nProbe).pinned
-    val probedCells = probes.select(col("cell")).distinct()
-      .collect().map(_.getInt(0))
+    // the probe frame is |queries| * nProbe BY CONSTRUCTION — the
+    // bound that already justified broadcasting it. Collect it ONCE
+    // and re-emit as a local relation (the batched-BM25 LocalRelation
+    // discipline): one job replaces the pin job + the cell-set
+    // collect job, and the ADC tail's broadcast of it becomes free
+    val probePlan = ivfpqProbes(qe, cents, nProbe)
+    val probeRows = probePlan.collect()
+    val probes = s.createDataFrame(
+      java.util.Arrays.asList(probeRows: _*), probePlan.schema)
+    val cellIdx = probePlan.schema.fieldIndex("cell")
+    val probedCells = probeRows.map(_.getInt(cellIdx)).distinct
     // asOf pins the committed-segment IN and the tombstone set to the
     // snapshot's view ([[indexSnapshot]]): appends and deletes after
     // capture are invisible, so a recorded training read replays

@@ -77,6 +77,11 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     if (fs.exists(dest)) fs.delete(dest, true)
     require(fs.rename(tmp, dest),
       s"could not commit index manifest $dest")
+    // belt-and-braces for the metadata cache: every manifest commit
+    // this session performs drops the root's cached entries (the
+    // epoch key already covers cross-process swaps)
+    IndexMetaCache.invalidate(
+      Option(metaDir.getParent).map(_.toString).getOrElse(""))
   }
 
   /** Append one staged segment to an index root: clear crashed
@@ -106,6 +111,28 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       s"could not publish index segment $dest (staged at $staged)")
     failpoint("segment-renamed")
     commitGen(fs, metaDir, gen + 1, segs :+ segId)
+  }
+
+  /** A bounded-by-construction index metadata table (the write-once
+    * `params`, the quantizer tables `centroids`/`codebooks`) re-read
+    * as a LOCAL relation, collected once per (base, epoch) through
+    * [[IndexMetaCache]]. These tables are replaced only by
+    * epoch-bumping full-tree swaps, so the cache key is exact; they
+    * are broadcast-bounded by construction parameters, so collecting
+    * them costs what broadcasting them already cost. The payoff is
+    * job count at serving cadence: a broadcast of a local relation
+    * builds DRIVER-SIDE — no scan job per serve per table — and the
+    * first read's single collect job amortizes over every later
+    * serve of the same index incarnation. */
+  private[operators] def localizedMeta(s: org.apache.spark.sql.SparkSession,
+      base: String, name: String): DataFrame = {
+    val (fs, root) = fsFor(s, base)
+    val (schema, rows) = IndexMetaCache.cached(
+        base, epochOf(fs, root), s"tbl:$name") {
+      val df = s.read.parquet(s"$base/$name")
+      (df.schema, df.collect())
+    }
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** Committed-segment filter for a serving scan — a literal IN over
@@ -281,11 +308,23 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   }
 
   /** How many retired epochs `root` keeps (the `_retain` marker;
-    * default 1 when unset — the original one-epoch grace). */
+    * default 1 when unset — the original one-epoch grace). The parsed
+    * value must sit in [0, [[MaxRetainEpochs]]] — readLongMarker
+    * accepts up to 18 digits, and an unchecked Long→Int truncation of
+    * a corrupt/hand-edited marker could go NEGATIVE, which silently
+    * disables retention (retireOld false AND pruneRetired keeps
+    * everything it should delete) instead of refusing like every
+    * other malformed marker. */
   private[graft] def retentionOf(fs: org.apache.hadoop.fs.FileSystem,
-      root: org.apache.hadoop.fs.Path): Int =
-    readLongMarker(fs, new org.apache.hadoop.fs.Path(root, "_retain"))
-      .map(_.toInt).getOrElse(1)
+      root: org.apache.hadoop.fs.Path): Int = {
+    val p = new org.apache.hadoop.fs.Path(root, "_retain")
+    readLongMarker(fs, p).map { v =>
+      require(v >= 0 && v <= MaxRetainEpochs,
+        s"unreadable marker at $p ('$v') — retainEpochs must be in " +
+          s"[0, $MaxRetainEpochs]; repair by writing the intended value")
+      v.toInt
+    }.getOrElse(1)
+  }
 
   /** Maximum value [[setRetention]] accepts: disk is bounded by
     * (retainEpochs + 1) full index copies, and a retention depth this
@@ -328,10 +367,44 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     * retained copy would keep them at rest past the compaction that
     * was supposed to remove them. Every rebuild and compaction routes
     * through here so the retention grace cannot drift between index
-    * families. */
+    * families.
+    *
+    * GENERATION FENCING (`fence`): a compaction is a read-modify-
+    * write — it read the manifests at some generation, rewrote that
+    * view, and its swap implicitly claims nothing changed since. The
+    * single-maintainer window makes that claim by contract, but a
+    * violation used to be SILENT last-writer-wins corruption: an
+    * append or delete landing mid-compaction is simply absent from
+    * the staged tree and vanishes at the swap. Compaction callers
+    * pass the (manifest dir, generation) pairs they read; the publish
+    * re-reads each LIVE generation immediately before any destructive
+    * step and REFUSES loudly if one moved. A detection tripwire, not
+    * a lock — a commit landing between this check and the rename can
+    * still lose (stated TOCTOU, same class as the reader races) —
+    * but every realistic overlap (maintenance stampede, cron double-
+    * fire) now dies with the violation named instead of eating data.
+    * Rebuilds pass no fence: a rebuild is declaratively "replace
+    * everything" with no read generation to defend. */
   private[operators] def publishStaged(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, tmp: org.apache.hadoop.fs.Path,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      fence: Seq[(String, Int)] = Seq.empty): Unit = {
+    def checkFence(): Unit = fence.foreach { case (metaName, expected) =>
+      val (cur, _) =
+        committedSegs(fs, new org.apache.hadoop.fs.Path(root, metaName))
+      require(cur == expected,
+        s"concurrent writer detected at $root: the $metaName manifest " +
+          s"moved generation $expected -> $cur while this maintenance " +
+          "was staging — publishing would silently drop the other " +
+          "writer's commit (the staged tree rewrote the OLD view). " +
+          "The single-maintainer window was violated; re-run the " +
+          "maintenance.")
+    }
+    // twice: on entry (refuse before ANY destructive step — the
+    // staging rewrite is the minutes-long window a violation lands
+    // in) and again immediately before the swap (narrows the
+    // remaining race to the rename itself)
+    checkFence()
     val oldEpoch = epochOf(fs, root)
     val retain = retentionOf(fs, root)
     // the sweep stamp: set by snapshotInvalidate, consumed (not
@@ -352,9 +425,13 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     failpoint("staged-written")
     pruneRetired(fs, root, if (retireOld) retain - 1 else retain)
     failpoint("pruned")
+    checkFence()
     Warehouse.swapInto(fs, tmp, root, failpoint,
       retireTo =
         if (retireOld) Some(retiredSibling(root, oldEpoch)) else None)
+    // the swap bumped the epoch (new cache key); drop the old path
+    // entries anyway so an in-session epoch-number reuse cannot bite
+    IndexMetaCache.invalidate(root.toString)
   }
 
   /** Resolve the base path a pinned read serves from: the live root
@@ -462,10 +539,17 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     val next = epochOf(fs, root) + 1
     // both markers publish via stage+rename — an in-place overwrite
     // of a live marker has a truncation window that bricks every
-    // reader (epochOf) until manual repair
-    writeMarkerAtomic(fs, new org.apache.hadoop.fs.Path(root, "_epoch"),
-      next.toString)
+    // reader (epochOf) until manual repair. `_swept` writes FIRST:
+    // a crash between the two writes then only over-deletes (the next
+    // compaction sees a sweep stamp at the still-current epoch and
+    // prunes instead of retiring — one lost grace window), where the
+    // reverse order would expire tokens yet lose the sweep stamp, so
+    // the next compaction RETIRES the tree still holding the
+    // tombstone-masked forgotten payload — a retained copy of exactly
+    // the bytes this sweep promised to remove at rest
     writeMarkerAtomic(fs, new org.apache.hadoop.fs.Path(root, "_swept"),
+      next.toString)
+    writeMarkerAtomic(fs, new org.apache.hadoop.fs.Path(root, "_epoch"),
       next.toString)
     next
   }
@@ -777,7 +861,9 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
         org.apache.spark.sql.Row],
       keyCol: String = "vec_id",
       failpoint: String => Unit = _ => (),
-      extraSeg: String => Unit = _ => ()): Int = {
+      extraSeg: String => Unit = _ => (),
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
     val (fs, root) = fsFor(s, path)
     Warehouse.recoverSwap(fs, root) // heal a crashed previous swap
     val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
@@ -807,7 +893,13 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       // discovered seg column is layout, not data — dropped before
       // the rewrite. Tombstoned rows drop PHYSICALLY here, and the
       // staged tree carries no dels/_dels — compaction clears them.
-      val rows = s.read.option("basePath", s"$path/$dataDir")
+      // Families that legalize ZERO-ROW segments (the banded media
+      // indexes: an all-undecodable append batch writes no parquet
+      // files) pass `readSchema` — schema INFERENCE over a committed
+      // set that is all empty throws 'unable to infer schema' where
+      // the correct answer is the empty frame.
+      val reader0 = s.read.option("basePath", s"$path/$dataDir")
+      val rows = readSchema.fold(reader0)(reader0.schema)
         .parquet(segs.sorted.map(k => s"$path/$dataDir/seg=$k"): _*)
         .drop("seg")
         .join(tombstones(s, path, keyCol), Seq(keyCol), "left_anti")
@@ -821,8 +913,13 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       // expires pinned snapshots, but retains the replaced tree (the
       // retention note above: `retainEpochs` back, default 1, UNLESS
       // this is the first compaction after a forget sweep): tokens of
-      // the pre-compaction view keep serving from the retired copy
-      publishStaged(fs, root, tmp, failpoint)
+      // the pre-compaction view keep serving from the retired copy.
+      // Fenced on BOTH manifests at the generations read above: an
+      // append (data) or delete (tombstone) landing mid-compaction
+      // would otherwise vanish at the swap — the staged tree rewrote
+      // the old view and carries no dels at all
+      publishStaged(fs, root, tmp, failpoint,
+        fence = Seq("_segs" -> gen, "_dels" -> dg))
       segs.size
     }
   }

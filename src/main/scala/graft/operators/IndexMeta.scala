@@ -1,0 +1,70 @@
+package graft.operators
+
+/** In-session cache of EPOCH-IMMUTABLE persisted-index metadata — the
+  * serving family's driver-side job-count fix.
+  *
+  * Every index serve used to re-execute the same tiny metadata reads
+  * as Spark jobs on every call: the `params` `.head` (one job), the
+  * quantizer-table scans feeding broadcasts (a scan job inside each
+  * broadcast exchange), the summed `totals` row (a scan+agg job). At
+  * one serve that is noise; at serving cadence it is the dominant
+  * latency term — a hybrid serve planned 42 jobs, a large share of
+  * them re-reads of values that cannot have changed — and each job is
+  * a driver round-trip, which is exactly the latency that multiplies
+  * on a pressured driver or a remote object store.
+  *
+  * What may cache, stated as a rule: ONLY values that are immutable
+  * for a given (base path, epoch) — the write-once `params`, the
+  * quantizer tables (centroids/codebooks, replaced only by
+  * epoch-bumping full-tree swaps) — or values keyed additionally by
+  * the EXACT segment set they were computed from (the summed totals:
+  * per-segment rows are immutable, so the sum over a named set is
+  * immutable even while appends land). Segment MANIFESTS and
+  * tombstone sets must NEVER cache here: appends and deletes change
+  * them without bumping the epoch, and a cross-process maintainer's
+  * appends must stay visible to this session's serves.
+  *
+  * Invalidation is belt and braces: the epoch in the key is the
+  * natural invalidator (every full-tree swap bumps it — a swap from
+  * ANY process moves readers to a new key), and this session's own
+  * mutation doors additionally drop the path's entries
+  * ([[IndexMetaCache.invalidate]] from commitGen/publishStaged), so
+  * an in-session delete-root-and-rebuild that lands on a
+  * previously-seen epoch number cannot resurrect stale values. The
+  * one uncovered corner, documented loudly: an OUT-OF-PROCESS
+  * `rm -rf root` + rebuild that reaches a previously-cached epoch
+  * number while this session keeps serving. That sequence is not a
+  * protocol operation (the doors only move epochs forward) and
+  * already violates the single-maintainer window; route rebuilds
+  * through the doors.
+  *
+  * Bounded: entries are small by the rule above (an Int, a 2-long
+  * row, centroid/codebook rows bounded by construction parameters),
+  * and the map clears wholesale past [[IndexMetaCache.MaxEntries]] —
+  * the cache is an optimization, a cold read follows.
+  */
+private[graft] object IndexMetaCache {
+  private val MaxEntries = 4096
+  private val m = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String), AnyRef]()
+
+  /** The cached value for (`base`, `epoch`, `kind`), computing and
+    * remembering it on first use. `load` must yield a value that is
+    * immutable for this key per the object contract above. */
+  def cached[T <: AnyRef](base: String, epoch: Long, kind: String)(
+      load: => T): T = {
+    if (m.size > MaxEntries) m.clear()
+    m.computeIfAbsent((base, epoch, kind), _ => load).asInstanceOf[T]
+  }
+
+  /** Drop every entry of `base` — called by this session's mutation
+    * doors so an in-session rebuild at a reused path can never serve
+    * a stale value, whatever epoch number it lands on. */
+  def invalidate(base: String): Unit = {
+    val it = m.keySet.iterator()
+    while (it.hasNext) if (it.next()._1 == base) it.remove()
+  }
+
+  /** Test hook: a clean slate between fixtures. */
+  private[graft] def clearAll(): Unit = m.clear()
+}

@@ -124,9 +124,17 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       .write.mode("overwrite").parquet(s"$segDir/_pstats")
   }
 
+  /** The write-once bucket modulus, cached per (base, epoch) — the
+    * per-serve `.head` job vanishes ([[graft.operators
+    * .IndexMetaCache]]'s contract: immutable within an incarnation). */
   private def phashParams(s: org.apache.spark.sql.SparkSession,
-      base: String): Int =
-    s.read.parquet(s"$base/params").head.getAs[Int]("n_buckets")
+      base: String): Int = {
+    val (fs, root) = EmbeddingOps.fsFor(s, base)
+    IndexMetaCache.cached(base, EmbeddingOps.epochOf(fs, root),
+      "banded_nbuckets")(Integer.valueOf(
+        s.read.parquet(s"$base/params").head.getAs[Int]("n_buckets")))
+      .intValue
+  }
 
   private def bandedIndexWrite(hashed: DataFrame, path: String,
       nBuckets: Int): Unit = {
@@ -210,7 +218,38 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
           s.read.option("basePath", segDir).schema(bandedSegSchema)
             .parquet(segDir)
             .select(col("doc_id"), col("band_idx"), col("band_val")))
-        .write.mode("overwrite").parquet(s"$segDir/_pstats"))
+        .write.mode("overwrite").parquet(s"$segDir/_pstats"),
+      // this family legalizes zero-row segments (an all-undecodable
+      // append batch writes no parquet files) — the explicit schema
+      // keeps compaction of an all-empty committed set from crashing
+      // on schema inference
+      readSchema = Some(bandedStoredSchema))
+
+  // ---- family-neutral maintenance names --------------------------------
+  // The maintenance doors operate on ANY banded media root (the image
+  // aHash index and the audio fingerprint index share the layout), but
+  // their original names say "phash" — call sites servicing an audio
+  // root through phashIndexDelete read as lies. These delegates are
+  // the honest spellings; the phash names remain as the image-familiar
+  // aliases. No behavior difference whatsoever.
+
+  /** [[phashIndexDelete]] under its family-neutral name — the banded
+    * media index protocol is hash-family-agnostic, so audio roots
+    * service through the same door. */
+  def bandedIndexDelete(s: org.apache.spark.sql.SparkSession,
+      path: String, ids: DataFrame,
+      failpoint: String => Unit = _ => ()): Unit =
+    phashIndexDelete(s, path, ids, failpoint)
+
+  /** [[phashIndexCompact]] under its family-neutral name. */
+  def bandedIndexCompact(s: org.apache.spark.sql.SparkSession,
+      path: String, failpoint: String => Unit = _ => ()): Int =
+    phashIndexCompact(s, path, failpoint)
+
+  /** [[phashIndexStats]] under its family-neutral name. */
+  def bandedIndexStats(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    phashIndexStats(s, path)
 
   /** Merged per-bucket statistics — the index's bucket-balance
     * monitoring card (band_idx, band_val, bn, hub), bucket-
@@ -222,8 +261,16 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       new org.apache.hadoop.fs.Path(root, "_segs"))
     require(gen >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — not an index root")
-    s.read.schema(pstatsSchema)
-      .parquet(segs.map(k => s"$path/bands/seg=$k/_pstats"): _*)
+    // same guided refusal as the serve path: a legacy segment
+    // predating the sidecar must not surface as a raw parquet path
+    // error
+    val statDirs = segs.map(k => s"$path/bands/seg=$k/_pstats")
+    statDirs.foreach { d =>
+      require(fs.exists(new org.apache.hadoop.fs.Path(d)),
+        s"no _pstats sidecar at $d — rebuild or compact the index " +
+          "with this version first")
+    }
+    s.read.schema(pstatsSchema).parquet(statDirs: _*)
       .groupBy(col("band_idx"), col("band_val"))
       .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
   }

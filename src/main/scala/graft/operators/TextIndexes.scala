@@ -63,9 +63,32 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     EmbeddingOps.publishStaged(fs, root, tmp) // expires + retires
   }
 
+  /** The write-once bucket modulus, cached per (base, epoch)
+    * ([[IndexMetaCache]]): the `.head` used to cost one Spark job per
+    * serve for a value that cannot change within an incarnation. */
   private def bm25Params(s: org.apache.spark.sql.SparkSession,
-      path: String): Int =
-    s.read.parquet(s"$path/params").head.getAs[Int]("n_buckets")
+      path: String): Int = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    IndexMetaCache.cached(path, EmbeddingOps.epochOf(fs, root),
+      "bm25_nbuckets")(Integer.valueOf(
+        s.read.parquet(s"$path/params").head.getAs[Int]("n_buckets")))
+      .intValue
+  }
+
+  /** Driver-side twin of the plan's bucket assignment
+    * `pmod(hash(word), nBuckets)`: the SAME Catalyst expression
+    * (Murmur3 seed 42 over the UTF-8 bytes) evaluated eagerly, so a
+    * literal term list's bucket ids cost ZERO jobs — the spec pins
+    * driver-vs-plan equality so the two can never drift. */
+  private[graft] def termBucket(word: String, nBuckets: Int): Int = {
+    val h = new org.apache.spark.sql.catalyst.expressions.Murmur3Hash(
+      Seq(org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(word),
+        org.apache.spark.sql.types.StringType)))
+      .eval(null).asInstanceOf[Int]
+    val m = h % nBuckets
+    if (m < 0) m + nBuckets else m
+  }
 
   /** Append a NEW batch of documents as one crash-atomic segment:
     * postings bucket under the STORED modulus, the batch's totals row
@@ -130,15 +153,17 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     val base = EmbeddingOps.snapshotRoot(s, path, asOf)
     val nBuckets = bm25Params(s, base)
     import s.implicits._
+    // the terms are a driver-side literal list, so their bucket ids
+    // compute DRIVER-SIDE ([[termBucket]] — the same Murmur3 the
+    // writer bucketed with): the term frame is a local relation whose
+    // broadcast builds without a job, and the bucket IN-list needs no
+    // collect — the old pin job + bucket-collect job both vanish
     val tq = terms.toDF("word")
-      .withColumn("tb", pmod(hash(col("word")), lit(nBuckets)))
-      .pinned // bucket-id collect + exact term filter, one build
-    val tbs = tq.select(col("tb")).distinct()
-      .collect().map(_.getInt(0)) // bounded by |terms| by construction
+    val tbs = terms.map(termBucket(_, nBuckets)).distinct
     s.read.parquet(s"$base/postings")
       .where(EmbeddingOps.segFilter(s, base, asOf) &&
         col("tb").isin(tbs.map(Int.box): _*))
-      .join(broadcast(tq.select(col("word"))), Seq("word"))
+      .join(broadcast(tq), Seq("word"))
       .join(EmbeddingOps.tombstones(s, base, "doc_id", asOf),
         Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("word"), col("tf"), col("dl"))
@@ -179,13 +204,38 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
             lit(" — an append bypassed the dedup gate")))).as("df")))
 
   /** The summed collection statistics (1 row), committed-segment or
-    * snapshot-pinned. */
+    * snapshot-pinned. Cached per (base, epoch, EXACT segment set):
+    * each segment's totals row is immutable, so the sum over a named
+    * set is immutable even while appends land — an append changes
+    * the segment list and thereby the key. The cached row re-emits as
+    * a broadcast local relation: the per-serve scan+agg job vanishes. */
   private def bm25Totals(s: org.apache.spark.sql.SparkSession,
       path: String, asOf: Option[IndexSnapshot]): DataFrame = {
     val base = EmbeddingOps.snapshotRoot(s, path, asOf)
-    broadcast(s.read.parquet(s"$base/totals")
-      .where(EmbeddingOps.segFilter(s, base, asOf))
-      .agg(sum(col("n_docs")).as("n_docs"), sum(col("t_tok")).as("t_tok")))
+    val (fs, root) = EmbeddingOps.fsFor(s, base)
+    val segs = asOf match {
+      case Some(snap) =>
+        EmbeddingOps.requireSnapshotLive(fs, root, base, snap)
+        snap.dataSegs
+      case None => EmbeddingOps.committedSegs(fs,
+        new org.apache.hadoop.fs.Path(root, "_segs"))._2
+    }
+    require(segs.nonEmpty,
+      s"no index manifest at $base/_segs — not an index root")
+    val totSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("n_docs",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("t_tok",
+        org.apache.spark.sql.types.LongType)))
+    val row = IndexMetaCache.cached(base, EmbeddingOps.epochOf(fs, root),
+        "bm25_totals:" + segs.sorted.mkString(",")) {
+      s.read.parquet(s"$base/totals")
+        .where(col("seg").isin(segs.map(Int.box): _*))
+        .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+          sum(col("t_tok")).cast("long").as("t_tok")).head
+    }
+    broadcast(s.createDataFrame(
+      java.util.Arrays.asList(row), totSchema))
   }
 
   /** Batched multi-query BM25 serving: top-k per query for a WHOLE
@@ -303,7 +353,10 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
       EmbeddingOps.commitGen(fs,
         new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
-      EmbeddingOps.publishStaged(fs, root, tmp) // expires + retires
+      // expires + retires; fenced on the generations read above (a
+      // mid-compaction append/delete must refuse, not vanish)
+      EmbeddingOps.publishStaged(fs, root, tmp,
+        fence = Seq("_segs" -> gen, "_dels" -> dg))
       segs.size
     }
   }

@@ -137,17 +137,25 @@ class MmIndexSpec extends SparkSpec {
     assert(Multimodal.audioDupServe(spark, idx,
         am.where(col("doc_id") % 7 === 0))
       .collect().forall(_.getAs[Long]("hamming") == 0L))
-    // the IMAGE family's maintenance entry points apply verbatim:
-    // delete a doc_a that currently answers, compact, serve identical
+    // the shared maintenance doors under their FAMILY-NEUTRAL names
+    // (bandedIndex* — honest spellings for an audio root; byte-equal
+    // delegates of the phash-named doors): delete a doc_a that
+    // currently answers, compact, serve identical
     val victim = rows.head.stripPrefix("[").split(",")(0).toLong
-    Multimodal.phashIndexDelete(spark, idx,
+    Multimodal.bandedIndexDelete(spark, idx,
       spark.range(victim, victim + 1).select(col("id").as("doc_id")))
     val afterDel = serve(idx)
     assert(!afterDel.exists(_.startsWith(s"[$victim,")),
       "tombstoned audio doc must leave the serve immediately")
-    assert(Multimodal.phashIndexCompact(spark, idx) >= 1)
+    assert(Multimodal.bandedIndexCompact(spark, idx) >= 1)
     assert(serve(idx).sameElements(afterDel),
       "compaction changed the audio serve")
+    // the stats card reads the same sidecars either way
+    assert(Multimodal.bandedIndexStats(spark, idx).collect()
+      .map(_.toString).sorted.sameElements(
+        Multimodal.phashIndexStats(spark, idx).collect()
+          .map(_.toString).sorted),
+      "bandedIndexStats must be byte-equal to its phash alias")
   }
 
   test("an indexed template-image cluster answers through its hub " +
@@ -181,5 +189,43 @@ class MmIndexSpec extends SparkSpec {
     assert(rerouted.length === 10 &&
         rerouted.forall(r => r.getAs[Long]("doc_a") == 1L),
       "a tombstoned hub must re-route to the smallest live doc")
+  }
+
+  test("an index whose committed segments are ALL physically empty " +
+    "still compacts (explicit read schema beats inference) and the " +
+    "stats door refuses a legacy segment with guidance, not a raw " +
+    "path error") {
+    // all-undecodable batches write ZERO parquet files per segment;
+    // with fresh tombstones on top, compaction used to crash on
+    // 'unable to infer schema' — the one read in the family that
+    // still inferred
+    val junkA = spark.range(5L).select(col("id").as("doc_id"),
+      lit("image/png").as("media_type"),
+      lit(Array[Byte](1, 2, 3)).as("payload"))
+    val junkB = spark.range(5L, 9L).select(col("id").as("doc_id"),
+      lit("image/png").as("media_type"),
+      lit(Array[Byte](9, 9)).as("payload"))
+    val idx = freshDir("phash_allempty")
+    Multimodal.phashIndexWrite(junkA, idx)
+    Multimodal.phashIndexAppend(junkB, idx)
+    Multimodal.bandedIndexDelete(spark, idx,
+      spark.range(2L).select(col("id").as("doc_id")))
+    assert(Multimodal.bandedIndexCompact(spark, idx) >= 1,
+      "two empty segments + tombstones must compact, not crash")
+    assert(Multimodal.phashNearDupServe(spark, idx,
+        media.where(col("doc_id") < 30)).count() === 0L,
+      "the compacted empty index must serve empty")
+    assert(Multimodal.bandedIndexStats(spark, idx).count() === 0L)
+    // legacy-segment guidance: drop the compacted segment's _pstats
+    // sidecar and the stats door must name the repair
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(idx, "bands/seg=0/_pstats"),
+      true)
+    val e = intercept[IllegalArgumentException] {
+      Multimodal.bandedIndexStats(spark, idx).count()
+    }
+    assert(e.getMessage.contains("rebuild or compact the index"),
+      s"expected the guided sidecar refusal, got: ${e.getMessage}")
   }
 }

@@ -390,4 +390,134 @@ class SnapshotStateSpec extends SparkSpec {
       .collect().map(_.toString).sorted.sameElements(at2),
       "the post-crash swap must retire normally (grace restored)")
   }
+
+  test("generation fencing: a compaction racing a concurrent append " +
+    "or delete refuses loudly at publish instead of silently " +
+    "dropping the other writer's commit") {
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 120).localCheckpoint()
+    val probe = all.select((col("doc_id") + 800000L).as("doc_id"),
+      col("text")).localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_fence").resolve("ix").toString
+    TextOps.minhashIndexWrite(all.where(col("doc_id") % 3 === 0), idx)
+    TextOps.minhashIndexAppend(all.where(col("doc_id") % 3 === 1), idx)
+
+    // writer B lands an APPEND inside writer A's publish window (the
+    // staged-written failpoint fires after A staged its rewrite of
+    // the OLD view) — the pre-swap fence re-read must catch the moved
+    // _segs generation and refuse
+    var appended = false
+    val eA = intercept[IllegalArgumentException] {
+      TextOps.minhashIndexCompact(spark, idx, failpoint = {
+        case "staged-written" if !appended =>
+          appended = true
+          TextOps.minhashIndexAppend(all.where(col("doc_id") % 3 === 2),
+            idx)
+        case _ => ()
+      })
+    }
+    assert(eA.getMessage.contains("concurrent writer detected") &&
+        eA.getMessage.contains("_segs"),
+      s"expected the fence refusal naming _segs, got: ${eA.getMessage}")
+    // the loser refused, the winner's commit is intact: the serve
+    // sees ALL three slices (equal to a fresh full build)
+    val fullIdx = java.nio.file.Files
+      .createTempDirectory("graft_snap_fence_full").resolve("ix")
+      .toString
+    TextOps.minhashIndexWrite(all, fullIdx)
+    assert(TextOps.nearDupServe(spark, idx, probe)
+      .collect().map(_.toString).sorted.sameElements(
+        TextOps.nearDupServe(spark, fullIdx, probe)
+          .collect().map(_.toString).sorted),
+      "the refused publish must not have dropped the racing append")
+
+    // writer B lands a DELETE mid-publish: the _dels fence catches it
+    // (a swap would CLEAR tombstones the staged tree never saw)
+    var deleted = false
+    val eD = intercept[IllegalArgumentException] {
+      TextOps.minhashIndexCompact(spark, idx, failpoint = {
+        case "staged-written" if !deleted =>
+          deleted = true
+          TextOps.minhashIndexDelete(spark, idx,
+            all.where(col("doc_id") % 5 === 0).select(col("doc_id")))
+        case _ => ()
+      })
+    }
+    assert(eD.getMessage.contains("concurrent writer detected") &&
+        eD.getMessage.contains("_dels"),
+      s"expected the fence refusal naming _dels, got: ${eD.getMessage}")
+    // the racing delete is live (tombstones mask immediately)...
+    val masked = TextOps.nearDupServe(spark, idx, probe).collect()
+    assert(!masked.exists(_.getLong(0) % 5 === 0),
+      "the racing delete's tombstones must mask the serve")
+    // ...and an uncontended re-run compacts cleanly, applying it
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    assert(!TextOps.nearDupServe(spark, idx, probe).collect()
+      .exists(_.getLong(0) % 5 === 0))
+  }
+
+  test("a malformed _retain marker refuses with the repair message " +
+    "instead of silently disabling retention") {
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 40).localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_badretain").resolve("ix")
+      .toString
+    TextOps.minhashIndexWrite(all.where(col("doc_id") % 2 === 0), idx)
+    TextOps.minhashIndexAppend(all.where(col("doc_id") % 2 =!= 0), idx)
+    // a hand-edited value past the cap parses as a Long but would
+    // truncate to a wrong (possibly NEGATIVE) Int — negative retain
+    // silently disables the grace AND makes pruneRetired keep
+    // everything; the reader must refuse like every malformed marker
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "_retain"),
+      "123456789012".getBytes("UTF-8"))
+    val e = intercept[IllegalArgumentException] {
+      TextOps.minhashIndexCompact(spark, idx)
+    }
+    assert(e.getMessage.contains("retainEpochs must be in") &&
+        e.getMessage.contains("repair"),
+      s"expected the retain-range refusal, got: ${e.getMessage}")
+    // repair and the compaction completes
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "_retain"), "1".getBytes("UTF-8"))
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+  }
+
+  test("a sweep crash between the _swept and _epoch marker writes " +
+    "fails SAFE: the next compaction over-deletes (prunes the " +
+    "replaced tree) instead of retaining forgotten payload at rest") {
+    val all = Tables(spark, "/root/testdata/sf0.001").documents.toDF()
+      .where(col("doc_id") < 80).localCheckpoint()
+    val probe = all.select((col("doc_id") + 850000L).as("doc_id"),
+      col("text")).localCheckpoint()
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_snap_sweptcrash").resolve("ix")
+      .toString
+    TextOps.minhashIndexWrite(all.where(col("doc_id") % 2 === 0), idx)
+    TextOps.minhashIndexAppend(all.where(col("doc_id") % 2 =!= 0), idx)
+    val snap = EmbeddingOps.indexSnapshot(spark, idx) // epoch 1
+    // simulate the crash state snapshotInvalidate can now leave:
+    // _swept landed (it writes FIRST), _epoch did not — tokens are
+    // still live, but the sweep's at-rest promise is already made
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(idx, "_swept"), "2".getBytes("UTF-8"))
+    assert(TextOps.minhashIndexCompact(spark, idx) >= 1)
+    val root = new org.apache.hadoop.fs.Path(idx)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val retired = fs.listStatus(root.getParent).map(_.getPath.getName)
+      .filter(_.startsWith("." + root.getName + ".epoch-"))
+    assert(retired.isEmpty,
+      "the post-crash compaction must PRUNE the replaced tree " +
+        s"(found retired: ${retired.mkString(", ")}) — a retained " +
+        "copy would hold the payload the interrupted sweep promised " +
+        "to remove at rest")
+    // the grace was the casualty, never correctness: the pre-sweep
+    // token refuses loudly
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nearDupServe(spark, idx, probe, asOf = Some(snap)).count()
+    }
+    assert(e.getMessage.contains("snapshot expired"))
+  }
 }
