@@ -188,6 +188,26 @@ object Bench {
           docs.where(col("doc_id") % 7 === 0).select(col("doc_id")))
         () => { graft.streaming.Streams.compactState(spark, statePath); () }
       }),
+      // the shard-merge surface: stitching two bench-scale minhash
+      // shard roots must stay O(segments) DRIVER-SIDE METADATA — its
+      // plan anchor is ZERO jobs / zero shuffle (the minhash family
+      // has no params to validate, so the timed call plans nothing);
+      // any Spark job appearing here means data started rewriting
+      ("maint_index_merge", () => {
+        val parent = tempFixtureDir("graft_bench_mg")
+        val docs = Tables(spark, sfDir).documents
+        val shards = (0 until 2).map { i =>
+          val p = parent.resolve(s"shard$i").toString
+          graft.operators.TextOps.minhashIndexWrite(
+            docs.where(col("doc_id") % 2 === i), p)
+          p
+        }
+        () => {
+          graft.operators.TextOps.minhashIndexMerge(spark, shards,
+            parent.resolve("merged").toString)
+          ()
+        }
+      }),
       // the third maintenance surface: the BM25 compact is the most
       // intricate rewrite (postings consolidate AND the collection
       // totals recompute from surviving postings), so a regression

@@ -98,6 +98,35 @@ private[graft] object SuiteMLMm {
         |$PhashHammingTail""".stripMargin),
       bench = true),
 
+    // ---- multimodal: image near-dup serving off a MERGED index -----------
+    // (the banded family's shard-parallel build: the indexed
+    // % 7 != 0 slice builds as TWO independent roots split by parity,
+    // bandedIndexMerge stitches them — `_pstats` sidecars riding the
+    // renamed segments — and merged serving must equal the single
+    // build, so the oracle is mm_phash_serve's SQL verbatim)
+    Q("mm_phash_merged",
+      (s, d) => {
+        val media = Multimodal.syntheticPngMedia(docs(s, d))
+        val dir = cachedIndex("phash_merged", d, p => {
+          val stored = media.where(col("doc_id") % 7 =!= 0)
+          val shards = (0 until 2).map { i =>
+            val sp = s"$p/shard$i"
+            Multimodal.phashIndexWrite(
+              stored.where(col("doc_id") % 2 === i), sp)
+            sp
+          }
+          Multimodal.bandedIndexMerge(s, shards, s"$p/ix")
+        })
+        Multimodal.phashNearDupServe(s, s"$dir/ix",
+          media.where(col("doc_id") % 7 === 0))
+      },
+      Some(s"""WITH $PhashBandsCte,
+        |ba AS (SELECT * FROM bands WHERE doc_id % 7 <> 0),
+        |bb AS (SELECT * FROM bands WHERE doc_id % 7 = 0),
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM ba a JOIN bb b USING (band_idx, band_val)),
+        |$PhashHammingTail""".stripMargin)),
+
     // ---- multimodal: the phash index's bucket-balance card --------------
     // (merged `_pstats` sidecars — bn sums and hub mins across
     // committed segments must equal the window over all indexed rows)

@@ -424,6 +424,35 @@ private[graft] object SuiteMLSim {
         |$IvfPqTopKTail""".stripMargin),
       bench = true),
 
+    // ---- similarity: IVF-PQ served from a MERGED index -------------------
+    // (the ANN family's shard-parallel build: ONE trainer root fixes
+    // the quantizers over the full corpus, each parity shard encodes
+    // under them via ivfpqIndexWriteWith in its own build, and
+    // ivfpqIndexMerge stitches the quantizer-identical roots. Per-row
+    // deterministic encoding makes the merged codes identical to the
+    // full build's, so the oracle is sim_ivfpq_persisted's replay
+    // verbatim — training included)
+    Q("sim_ivfpq_merged",
+      (s, d) => {
+        val dir = cachedIndex("ivfpq_merged", d, p => {
+          val all = emb(s, d)
+          val trainer = s"$p/trainer"
+          EmbeddingOps.ivfpqIndexWrite(all, trainer)
+          val shards = (0 until 2).map { i =>
+            val sp = s"$p/shard$i"
+            EmbeddingOps.ivfpqIndexWriteWith(
+              all.where(col("vec_id") % 2 === i), sp, trainer)
+            sp
+          }
+          EmbeddingOps.ivfpqIndexMerge(s, shards, s"$p/ix")
+        })
+        EmbeddingOps.ivfpqTopKIndexed(s, s"$dir/ix",
+          emb(s, d).where(col("vec_id") < 5))
+      },
+      Some(s"""WITH $EmbCte,
+        |$IvfPqScoreCte
+        |$IvfPqTopKTail""".stripMargin)),
+
     // ---- similarity: snapshot-pinned serving — the reproducibility
     // contract: a training run records an IndexSnapshot token and its
     // re-reads replay bit-identically while the index keeps ingesting

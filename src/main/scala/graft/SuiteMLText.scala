@@ -1339,6 +1339,29 @@ private[graft] object SuiteMLText {
       Some(bm25IndexedSql("TRUE")),
       bench = true),
 
+    // ---- retrieval: BM25 served from a MERGED index ----------------------
+    // (shard-parallel builds — three roots over doc_id % 3 slices,
+    // shared bucket modulus — stitched by bm25IndexMerge: postings
+    // segments and their per-segment totals rows renumber together,
+    // so the merged collection statistics are the segment sums.
+    // Merged serving must equal the one-root build over the union;
+    // the oracle is text_bm25_indexed's replay verbatim)
+    Q("text_bm25_merged",
+      (s, d) => {
+        val dir = cachedIndex("bm25_merged", d, p => {
+          val all = docs(s, d)
+          val shards = (0 until 3).map { i =>
+            val sp = s"$p/shard$i"
+            TextOps.bm25IndexWrite(
+              all.where(col("doc_id") % 3 === i), sp)
+            sp
+          }
+          TextOps.bm25IndexMerge(s, shards, s"$p/ix")
+        })
+        TextOps.bm25TopKIndexed(s, s"$dir/ix", Bm25Terms)
+      },
+      Some(bm25IndexedSql("TRUE"))),
+
     // ---- retrieval: snapshot-pinned BM25 serving — the third index
     // family's as-of door driver-checked (next to sim_serve_asof and
     // dedup_serve_asof): build over doc_id % 7 <> 3, CAPTURE, append

@@ -166,6 +166,51 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       failpoint)
   }
 
+  /** [[pqIndexWriteWith]] for the IVF family: shards assign against
+    * an existing root's centroids (copied byte-for-byte into the
+    * staged tree, read back before assignment — the fixed-quantizer
+    * `add` contract) instead of seeding their own, so the shard
+    * roots are quantizer-identical by construction and
+    * [[ivfIndexMerge]] can stitch them. */
+  def ivfIndexWriteWith(emb: DataFrame, path: String,
+      quantizerFrom: String): Unit = {
+    val s = emb.sparkSession
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root)
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val from = new org.apache.hadoop.fs.Path(quantizerFrom, "centroids")
+    require(fs.exists(from),
+      s"no centroids table at $quantizerFrom — not an IVF root")
+    org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
+      new org.apache.hadoop.fs.Path(tmp, "centroids"), false, false,
+      s.sparkContext.hadoopConfiguration)
+    val saved = s.read.parquet(s"$tmp/centroids")
+    val e = quantized(emb).pinned
+    rankedAgainst(e, saved).where(col("crk") === 1)
+      .select(col("vec_id"), col("q"), col("nn"),
+        col("cent_id").cast("int").as("cell"))
+      .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$tmp/lists/seg=0")
+    commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    publishStaged(fs, root, tmp)
+  }
+
+  /** [[graft.operators.EmbeddingOps.mergeRoots]] for the IVF family:
+    * list segments renumber by manifest surgery (cell partition dirs
+    * ride inside them — the serve's static cell pruning is
+    * untouched); centroids must be content-equal across sources
+    * ([[ivfIndexWriteWith]] shards). CONSUMES the sources; vec_id
+    * domains must be disjoint. */
+  def ivfIndexMerge(s: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], dest: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    mergeRoots(s, sources, dest, Seq("lists"), Seq("centroids"),
+      validate = requireEqualMetaTables(s, _, Seq("centroids")),
+      failpoint = failpoint)
+
   /** Consolidate a persisted index's segment chain — the maintenance
     * twin of Streams.compactState for [[ivfIndexAppend]]/
     * [[pqIndexAppend]] artifacts: after many appends serving fans

@@ -399,6 +399,101 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
       failpoint)
   }
 
+  /** Persist an IVF-PQ index whose quantizers come from an EXISTING
+    * root instead of training — the shard-parallel build half of
+    * [[ivfpqIndexMerge]] (the faiss clone-then-`add` pattern): train
+    * ONCE into a trainer root via [[ivfpqIndexWrite]] (a sample, or a
+    * dedicated training slice), then build every corpus shard under
+    * the SAME stored centroids and codebooks in its own job — no
+    * writer contention, no single-maintainer window to serialize
+    * through — and stitch the quantizer-identical shard roots with
+    * the merge. The tables are COPIED byte-for-byte into the staged
+    * tree (an index stays self-contained; serving never reaches back
+    * to the trainer root) and read back from it before any encoding —
+    * the same index-files-match-what-serving-loads discipline as
+    * [[ivfpqIndexWrite]]. Encoding is per-row deterministic
+    * (min-struct tie-breaks), so a shard's codes are identical to the
+    * rows a full build under the same quantizers would produce. */
+  def ivfpqIndexWriteWith(emb: DataFrame, path: String,
+      quantizerFrom: String): Unit = {
+    val s = emb.sparkSession
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root) // heal a crashed previous rebuild
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    Seq("centroids", "codebooks").foreach { mn =>
+      val from = new org.apache.hadoop.fs.Path(quantizerFrom, mn)
+      require(fs.exists(from),
+        s"no $mn table at $quantizerFrom — not an IVF-PQ root")
+      org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
+        new org.apache.hadoop.fs.Path(tmp, mn), false, false,
+        s.sparkContext.hadoopConfiguration)
+    }
+    val savedCents = s.read.parquet(s"$tmp/centroids")
+    val savedCb = s.read.parquet(s"$tmp/codebooks")
+    val res = residualized(quantized(emb), savedCents).pinned
+    pqEncodeWith(res, savedCb)
+      .join(res.select(col("vec_id"), col("cell")), Seq("vec_id"))
+      .repartition(col("cell"))
+      .write.partitionBy("cell").mode("overwrite")
+      .parquet(s"$tmp/codes/seg=0")
+    commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    publishStaged(fs, root, tmp)
+  }
+
+  /** Merge shard-parallel IVF-PQ roots into one serving root —
+    * [[mergeRoots]] for the ANN family: code segments renumber by
+    * manifest surgery (cell partition dirs ride inside them, so the
+    * serve's static (seg, cell) pruning is untouched), the quantizer
+    * tables carry from the first source, and the merge REFUSES unless
+    * every source's centroids AND codebooks are content-identical —
+    * codes encoded against different codewords would make the merged
+    * ADC scores meaningless. Quantizer-identical shards come from
+    * [[ivfpqIndexWriteWith]] over one trainer root. CONSUMES the
+    * sources; vec_id domains must be disjoint across them. */
+  def ivfpqIndexMerge(s: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], dest: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    mergeRoots(s, sources, dest, Seq("codes"),
+      Seq("centroids", "codebooks"),
+      validate =
+        requireEqualMetaTables(s, _, Seq("centroids", "codebooks")),
+      failpoint = failpoint)
+
+  /** [[ivfpqIndexWriteWith]] for the plain PQ family: shards encode
+    * against an existing root's codebooks (copied byte-for-byte into
+    * the staged tree, read back before encoding) instead of
+    * training. */
+  def pqIndexWriteWith(emb: DataFrame, path: String,
+      quantizerFrom: String): Unit = {
+    val s = emb.sparkSession
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root)
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val from = new org.apache.hadoop.fs.Path(quantizerFrom, "codebooks")
+    require(fs.exists(from),
+      s"no codebooks table at $quantizerFrom — not a PQ root")
+    org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
+      new org.apache.hadoop.fs.Path(tmp, "codebooks"), false, false,
+      s.sparkContext.hadoopConfiguration)
+    pqEncodeWith(quantized(emb), s.read.parquet(s"$tmp/codebooks"))
+      .write.mode("overwrite").parquet(s"$tmp/codes/seg=0")
+    commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    publishStaged(fs, root, tmp)
+  }
+
+  /** [[ivfpqIndexMerge]] for the plain PQ family: code segments
+    * renumber by manifest surgery; codebooks must be content-equal
+    * across sources ([[pqIndexWriteWith]] shards). CONSUMES the
+    * sources; vec_id domains must be disjoint. */
+  def pqIndexMerge(s: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], dest: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    mergeRoots(s, sources, dest, Seq("codes"), Seq("codebooks"),
+      validate = requireEqualMetaTables(s, _, Seq("codebooks")),
+      failpoint = failpoint)
+
   /** Serve top-k from a PERSISTED IVF-PQ index ([[ivfpqIndexWrite]]):
     * queries rank against the stored centroids, the probed-cell set
     * (bounded by nCentroids BY CONSTRUCTION) is collected and pushed

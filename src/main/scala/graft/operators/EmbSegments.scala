@@ -923,4 +923,235 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       segs.size
     }
   }
+
+  /** Merge N independently-built index roots into ONE serving root —
+    * the scale-out build pattern's missing half. A 100 TB corpus
+    * builds its index SHARD-PARALLEL: each corpus partition builds
+    * its own root in its own job, with no writer contention and no
+    * single-maintainer window to serialize through; this door then
+    * stitches the shard roots into one root with ZERO data rewrite
+    * and ZERO shuffle. It can be pure manifest surgery because
+    * bucket layout is content-keyed (`pmod(hash(key), nBuckets)`):
+    * identical family params mean identical directory shape, so a
+    * source segment — data files, partition dirs, stat sidecars and
+    * all — is ALREADY a valid segment of the merged index; it only
+    * needs a new id. Per segment the cost is ONE rename; the whole
+    * merge is O(segments) driver-side metadata, never O(rows).
+    *
+    * CONSUMES its sources. The claim step renames each source root
+    * WHOLESALE into the staging tree — one atomic rename per source —
+    * which is what keeps the crash story clean: a source is always
+    * either fully live or fully claimed, never half-robbed (renaming
+    * individual segments out of a live root would strand a source
+    * whose manifest references missing directories). The phases:
+    *
+    *  1. VALIDATE, against the sources wherever they live (manifest
+    *     present, family params equal via `validate`, no pending
+    *     `_swept` sweep — see below), refusing before anything moves;
+    *  2. CLAIM: prune each source's retired trees (they would be
+    *     orphaned), then rename the root to `tmp/src-i`;
+    *  3. ASSEMBLE: rename each claimed data and tombstone segment to
+    *     its renumbered id under the staging tree — offsets are
+    *     deterministic in source order, every rename idempotent
+    *     (destination already present == already moved); write-once
+    *     family metadata (`metaNames`) COPIES from the first source;
+    *  4. commit the merged `_dels` then `_segs` manifests — the
+    *     `_segs` commit is the assembly's linearization point;
+    *  5. drop the source husks, stamp `_epoch`, publish by the
+    *     standard swap ([[Warehouse.swapInto]]).
+    *
+    * RESUMABLE: killed anywhere before the publish, re-running with
+    * the SAME sources in the SAME order completes — a resume that
+    * finds the merged `_segs` manifest skips straight to phase 5;
+    * one that does not re-claims whatever is still live (husk
+    * manifests survive until after phase 4, so offsets recompute
+    * identically). A crash AFTER the publish leaves nothing to
+    * resume: dest is live, the sources are consumed, and the re-run
+    * refuses loudly at validation.
+    *
+    * Contracts carried from the append protocol: key domains across
+    * sources are DISJOINT (the shard-build pattern guarantees it; a
+    * duplicated key would serve twice). Tombstones ride the same
+    * renumbering — with disjoint domains each masks exactly the rows
+    * it masked at its source. NOT carried: source snapshot tokens,
+    * retired trees, and retention knobs die with their root (the
+    * merged root is a NEW incarnation — epoch 1, default retention).
+    * A source with a PENDING forget sweep (`_swept` stamped, no
+    * compaction yet) REFUSES: that tree still physically holds
+    * forgotten payload whose at-rest deletion is owed to its next
+    * compaction, and the stamp does not survive the merge — compact
+    * the source first, then merge. */
+  private[operators] def mergeRoots(s: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], dest: String, dataDirs: Seq[String],
+      metaNames: Seq[String],
+      validate: Seq[String] => Unit = _ => (),
+      failpoint: String => Unit = _ => ()): Unit = {
+    require(sources.nonEmpty, "mergeRoots needs at least one source")
+    require(sources.distinct.size == sources.size,
+      s"duplicate source paths in $sources")
+    require(!sources.contains(dest),
+      s"merge destination $dest is also a source")
+    val (fs, destRoot) = fsFor(s, dest)
+    Warehouse.recoverSwap(fs, destRoot) // heal a crashed previous publish
+    require(!fs.exists(destRoot),
+      s"merge destination $dest already exists — a merge never " +
+        "replaces a root. If a previous merge already published here " +
+        "it completed (nothing to resume); otherwise pick a new path.")
+    val tmp = Warehouse.hiddenSibling(destRoot, ".merge-tmp")
+    val husks = sources.indices
+      .map(i => new org.apache.hadoop.fs.Path(tmp, s"src-$i"))
+    // the resume flag: the merged manifest commits only after every
+    // segment has moved, so its presence means assembly is complete
+    val assembled = committedSegs(fs,
+      new org.apache.hadoop.fs.Path(tmp, "_segs"))._1 >= 0
+    if (!assembled) {
+      // resolve each source to wherever it lives — its own path on a
+      // fresh run, the claimed husk on a resume — and validate BEFORE
+      // any claim, so a refusal leaves every live source untouched
+      val resolved = sources.zip(husks).map { case (src, husk) =>
+        val live = new org.apache.hadoop.fs.Path(src)
+        if (fs.exists(live)) live
+        else {
+          require(fs.exists(husk),
+            s"source $src is neither live nor claimed at $husk — " +
+              "if a previous merge already published the destination " +
+              "this merge is complete; otherwise the source list is " +
+              "wrong (a resume must pass the same sources in the " +
+              "same order)")
+          husk
+        }
+      }
+      resolved.foreach { base =>
+        val (g, segs) = committedSegs(fs,
+          new org.apache.hadoop.fs.Path(base, "_segs"))
+        require(g >= 0 && segs.nonEmpty,
+          s"no index manifest at $base/_segs — not an index root")
+        require(!fs.exists(new org.apache.hadoop.fs.Path(base, "_swept")),
+          s"source $base has a pending forget sweep: its tree still " +
+            "holds forgotten payload whose at-rest deletion is owed " +
+            "to its next compaction, and the sweep stamp does not " +
+            "survive a merge — compact the source first")
+      }
+      validate(resolved.map(_.toString))
+      failpoint("validated")
+      // CLAIM: retired siblings would be orphaned by the rename (they
+      // live beside the source, named by its root), so they prune
+      // first — merging expires every source snapshot by design
+      fs.mkdirs(tmp)
+      sources.zip(husks).foreach { case (src, husk) =>
+        val live = new org.apache.hadoop.fs.Path(src)
+        if (fs.exists(live)) {
+          pruneRetired(fs, live, 0)
+          require(fs.rename(live, husk),
+            s"could not claim source $live into $husk")
+          IndexMetaCache.invalidate(src)
+        }
+        failpoint("claimed")
+      }
+      // ASSEMBLE: renumber every claimed segment under the staging
+      // tree. Offsets are deterministic in source order (source i's
+      // ids shift by the sum of earlier sources' max+1), so a resume
+      // recomputes the identical mapping from the husk manifests.
+      def renumber(metaName: String, dirs: Seq[String]): Seq[Int] = {
+        var offset = 0
+        val out = Seq.newBuilder[Int]
+        husks.foreach { husk =>
+          val (_, segs) = committedSegs(fs,
+            new org.apache.hadoop.fs.Path(husk, metaName))
+          segs.foreach { k =>
+            val nk = offset + k
+            out += nk
+            dirs.foreach { dd =>
+              val from =
+                new org.apache.hadoop.fs.Path(husk, s"$dd/seg=$k")
+              val to =
+                new org.apache.hadoop.fs.Path(tmp, s"$dd/seg=$nk")
+              if (fs.exists(from)) {
+                fs.mkdirs(to.getParent)
+                require(fs.rename(from, to),
+                  s"could not move segment $from to $to")
+              } else require(fs.exists(to),
+                s"segment $from is neither at its husk nor at $to — " +
+                  s"the staging tree is damaged; delete $tmp and " +
+                  "rebuild the shard indexes")
+            }
+          }
+          if (segs.nonEmpty) offset += segs.max + 1
+        }
+        out.result()
+      }
+      val newSegs = renumber("_segs", dataDirs)
+      val newDels = renumber("_dels", Seq("dels"))
+      failpoint("moved")
+      // write-once family metadata carries from the FIRST source —
+      // COPIED, not moved (tiny by the IndexMetaCache contract), so a
+      // resume's validation still finds it at the husk
+      metaNames.foreach { mn =>
+        val from = new org.apache.hadoop.fs.Path(husks.head, mn)
+        val to = new org.apache.hadoop.fs.Path(tmp, mn)
+        require(fs.exists(from),
+          s"source ${sources.head} has no $mn sidecar")
+        if (fs.exists(to)) fs.delete(to, true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, from, fs, to, false,
+          false, s.sparkContext.hadoopConfiguration)
+      }
+      // dels first: the _segs commit is the resume flag and must be
+      // the LAST assembly write
+      if (newDels.nonEmpty)
+        commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_dels"), 0,
+          newDels)
+      commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0,
+        newSegs)
+      failpoint("manifest-committed")
+    }
+    husks.foreach(h => if (fs.exists(h)) fs.delete(h, true))
+    failpoint("husks-dropped")
+    // dest is absent, so the stamp is epoch 1 — a fresh incarnation
+    stampEpoch(fs, destRoot, tmp)
+    Warehouse.swapInto(fs, tmp, destRoot, failpoint)
+    IndexMetaCache.invalidate(dest)
+  }
+
+  /** The shared merge validator for trained-quantizer families
+    * (IVF centroids, PQ codebooks, SQ8 ranges): every source's
+    * tables must be CONTENT-identical to the first's, or their codes
+    * encode against different codewords and the merged serving would
+    * be meaningless. The tables are bounded by construction
+    * parameters (nCentroids rows, M*kc codewords, dim range rows),
+    * so the check is a tiny collect per source — merge-time only,
+    * never serving. Quantizer-identical shards come from the
+    * family's `*IndexWriteWith` door over one trainer root. */
+  private[operators] def requireEqualMetaTables(
+      s: org.apache.spark.sql.SparkSession,
+      bases: Seq[String], metaNames: Seq[String]): Unit =
+    metaNames.foreach { mn =>
+      val ref = s.read.parquet(s"${bases.head}/$mn")
+        .collect().map(_.toString).sorted
+      bases.tail.foreach { b =>
+        val other = s.read.parquet(s"$b/$mn")
+          .collect().map(_.toString).sorted
+        require(ref.sameElements(other),
+          s"quantizer table $mn differs between ${bases.head} and " +
+            s"$b — their codes encode against different codewords " +
+            "and cannot serve from one root; build shards with the " +
+            "family's *IndexWriteWith door from a single trainer root")
+      }
+    }
+
+  /** The shared merge validator for bucket-moduli families: every
+    * source's write-once `params/n_buckets` must agree, or their
+    * directory layouts are not unionable (the same term or band
+    * value would live in DIFFERENT buckets on different shards, and
+    * the serve's static bucket pruning would silently miss rows). */
+  private[operators] def requireSameBucketModuli(
+      s: org.apache.spark.sql.SparkSession,
+      bases: Seq[String]): Unit = {
+    val ns = bases
+      .map(b => s.read.parquet(s"$b/params").head.getAs[Int]("n_buckets"))
+    require(ns.distinct.size == 1,
+      s"bucket moduli differ across merge sources: " +
+        bases.zip(ns).map { case (b, n) => s"$b=$n" }.mkString(", ") +
+        " — shard builds must share nBuckets for their layouts to " +
+        "union; rebuild the odd shards with the common modulus")
+  }
 }

@@ -301,6 +301,46 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
     publishStaged(fs, root, tmp) // a rebuild expires + retires
   }
 
+  /** [[graft.operators.EmbeddingOps]]'s `*IndexWriteWith` door for
+    * the SQ8 family: shards code against an existing root's ranges
+    * (copied byte-for-byte into the staged tree, read back before
+    * coding). Clamp semantics are the APPEND's, not the build's — the
+    * ranges were trained elsewhere, so a shard value outside them
+    * clamps to the byte domain exactly as an appended one would. */
+  def sq8IndexWriteWith(emb: DataFrame, path: String,
+      quantizerFrom: String): Unit = {
+    val s = emb.sparkSession
+    val (fs, root) = fsFor(s, path)
+    Warehouse.recoverSwap(fs, root)
+    val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    val from = new org.apache.hadoop.fs.Path(quantizerFrom, "ranges")
+    require(fs.exists(from),
+      s"no ranges table at $quantizerFrom — not an SQ8 root")
+    org.apache.hadoop.fs.FileUtil.copy(fs, from, fs,
+      new org.apache.hadoop.fs.Path(tmp, "ranges"), false, false,
+      s.sparkContext.hadoopConfiguration)
+    val (mnA, rgA) = sq8Lits(
+      s.read.parquet(s"$tmp/ranges").orderBy(col("pos")).collect())
+    quantized(emb).select(col("vec_id"), col("label"),
+        sq8Code(col("q"), mnA, rgA, clamp = true)
+          .cast("array<smallint>").as("c"))
+      .write.mode("overwrite").parquet(s"$tmp/codes/seg=0")
+    commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
+    publishStaged(fs, root, tmp)
+  }
+
+  /** [[graft.operators.EmbeddingOps.mergeRoots]] for the SQ8 family:
+    * code segments renumber by manifest surgery; ranges must be
+    * content-equal across sources ([[sq8IndexWriteWith]] shards).
+    * CONSUMES the sources; vec_id domains must be disjoint. */
+  def sq8IndexMerge(s: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], dest: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    mergeRoots(s, sources, dest, Seq("codes"), Seq("ranges"),
+      validate = requireEqualMetaTables(s, _, Seq("ranges")),
+      failpoint = failpoint)
+
   /** Append new vectors to a persisted SQ8 index: coded against the
     * STORED ranges (the quantizer is fixed at build time — the faiss
     * `add` contract; out-of-range values CLAMP to the byte domain),

@@ -251,6 +251,32 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       path: String): DataFrame =
     phashIndexStats(s, path)
 
+  /** Merge independently-built banded media index roots (image aHash
+    * or audio fingerprint — any roots of ONE hash family) into a
+    * single serving root — [[graft.operators.EmbeddingOps
+    * .mergeRoots]] for the banded protocol: shard-parallel builds
+    * stitch by manifest surgery, zero data rewrite, zero shuffle.
+    * Sources must share the write-once bucket modulus (validated;
+    * bucket assignment is content-keyed, so equal moduli make the
+    * layouts unionable); segments carry their `_pstats` sidecars
+    * inside the renamed directories. Mixing hash FAMILIES (an image
+    * root with an audio root) is the caller's error the same way
+    * mixing them in one append is — the layout cannot detect it.
+    * CONSUMES the sources; doc_id domains must be disjoint. */
+  def bandedIndexMerge(s: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], dest: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    EmbeddingOps.mergeRoots(s, sources, dest, Seq("bands"),
+      Seq("params"),
+      validate = EmbeddingOps.requireSameBucketModuli(s, _),
+      failpoint = failpoint)
+
+  /** [[bandedIndexMerge]] under the image-familiar alias. */
+  def phashIndexMerge(s: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], dest: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    bandedIndexMerge(s, sources, dest, failpoint)
+
   /** Merged per-bucket statistics — the index's bucket-balance
     * monitoring card (band_idx, band_val, bn, hub), bucket-
     * cardinality; bucket skew is what drives the volume cap. */

@@ -473,6 +473,41 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       failpoint)
   }
 
+  /** Merge independently-built MinHash index roots into one serving
+    * root — [[graft.operators.EmbeddingOps.mergeRoots]] for the
+    * near-dup family: shard-parallel `minhashIndexWrite` builds (one
+    * per corpus partition, no writer contention) stitch into a single
+    * root by manifest surgery, zero data rewrite, zero shuffle. The
+    * signature construction is pure shared code (no params sidecar),
+    * so any two minhash roots are layout-compatible; segments carry
+    * their `_bstats` sidecars inside the renamed directories, and the
+    * merged serve's stat merge sums per-segment stats exactly as an
+    * appended chain's would. CONSUMES the sources; doc_id domains
+    * must be disjoint across them (the shard-build contract). */
+  def minhashIndexMerge(s: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], dest: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    EmbeddingOps.mergeRoots(s, sources, dest, Seq("docs"), Seq.empty,
+      failpoint = failpoint)
+
+  /** Merge independently-built BM25 index roots into one serving
+    * root: shard-parallel `bm25IndexWrite` builds stitch by manifest
+    * surgery — postings segments AND their per-segment totals rows
+    * move together under one renumbering (both are keyed by the same
+    * `_segs` manifest), so the merged collection statistics are the
+    * segment sums exactly as an appended chain's would be. Sources
+    * must share the write-once bucket modulus (validated; the term
+    * buckets are content-keyed, so equal moduli make the directory
+    * layouts unionable). CONSUMES the sources; doc_id domains must be
+    * disjoint across them. */
+  def bm25IndexMerge(s: org.apache.spark.sql.SparkSession,
+      sources: Seq[String], dest: String,
+      failpoint: String => Unit = _ => ()): Unit =
+    EmbeddingOps.mergeRoots(s, sources, dest,
+      Seq("postings", "totals"), Seq("params"),
+      validate = EmbeddingOps.requireSameBucketModuli(s, _),
+      failpoint = failpoint)
+
   /** Serve near-dup lookups from a persisted MinHash index: for a NEW
     * batch of docs, every (indexed doc, batch doc) pair whose exact
     * Jaccard (over distinct shingle-hash sets) reaches `threshold`,
