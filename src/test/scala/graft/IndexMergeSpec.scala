@@ -37,8 +37,13 @@ class IndexMergeSpec extends SparkSpec {
     "build over the union, with the shards' segments renumbered and " +
     "the sources consumed") {
     val parent = freshParent("merge_mh")
-    val shards = shardRoots(parent, 3,
-      (d, p) => TextOps.minhashIndexWrite(d, p))
+    // every shard is MULTI-SEGMENT (write + append) so the
+    // renumbering offsets are non-trivial: shard i's segs (0, 1)
+    // land at (2i, 2i+1)
+    val shards = shardRoots(parent, 3, (d, p) => {
+      TextOps.minhashIndexWrite(d.where(col("doc_id") % 5 =!= 1), p)
+      TextOps.minhashIndexAppend(d.where(col("doc_id") % 5 === 1), p)
+    })
     val dest = parent.resolve("merged").toString
     TextOps.minhashIndexMerge(spark, shards, dest)
 
@@ -56,12 +61,12 @@ class IndexMergeSpec extends SparkSpec {
       s"merge must consume its source $sp"))
     val (gen, segs) = EmbeddingOps.committedSegs(fs,
       new org.apache.hadoop.fs.Path(dest, "_segs"))
-    assert(gen === 0 && segs === Seq(0, 1, 2),
-      "three single-segment shards must renumber to segments 0..2")
+    assert(gen === 0 && segs === Seq(0, 1, 2, 3, 4, 5),
+      "three two-segment shards must renumber to segments 0..5")
 
     // the merged root is a full citizen of the lifecycle: compaction
-    // collapses the three shard segments into one, serve unchanged
-    assert(TextOps.minhashIndexCompact(spark, dest) === 3)
+    // collapses the six shard segments into one, serve unchanged
+    assert(TextOps.minhashIndexCompact(spark, dest) === 6)
     assert(mhServe(dest).sameElements(merged),
       "compacting the merged root must not change the serve")
   }
