@@ -277,6 +277,32 @@ private[graft] object SuiteMLShared {
   private[graft] val Bm25K1: Long = 1200L
   private[graft] val Bm25B: Long = 750L
 
+  /** Phrase-query constants — ONE literal each feeding the Spark
+    * call and the oracle's positional replay. Both phrases are
+    * non-vacuous at sf0.001 AND sf0.01 (measured: 47/27 docs for the
+    * bigram, 9/3 for the trigram). */
+  private[graft] val PhraseBigram: Seq[String] = Seq("order", "fast")
+  private[graft] val PhraseTrigram: Seq[String] =
+    Seq("big", "order", "scan")
+
+  /** The positional phrase-match replay as a DuckDB CTE chain ending
+    * in `occ(doc_id, n_occ, first_pos)` — every token index i whose
+    * next |phrase|-1 tokens spell the phrase (1-based lists in
+    * DuckDB; the engine's positions are 0-based, hence the -1). */
+  private[graft] def phraseOccCtes(phrase: Seq[String]): String = {
+    val k = phrase.size
+    val conds = phrase.zipWithIndex
+      .map { case (w, i) => s"w[i + $i] = '$w'" }.mkString(" AND ")
+    s"""psel AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pst AS (SELECT doc_id, w,
+      |          unnest(generate_series(1, len(w) - ${k - 1})) AS i
+      |        FROM psel WHERE len(w) >= $k),
+      |pm AS (SELECT doc_id, i FROM pst WHERE $conds),
+      |occ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+      |               CAST(min(i) - 1 AS BIGINT) AS first_pos
+      |        FROM pm GROUP BY 1)""".stripMargin
+  }
+
   /** Batched-BM25 replay CTEs ending in `lex(query_id, rk, doc_id,
     * dl, n_terms, score_q)`: queries are the doc_id < 5 documents
     * (ALWAYS from the full table — a query's term set does not

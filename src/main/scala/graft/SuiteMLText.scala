@@ -1362,6 +1362,52 @@ private[graft] object SuiteMLText {
       },
       Some(bm25IndexedSql("TRUE"))),
 
+    // ---- retrieval: exact phrase match off the POSITIONAL index ----------
+    // (positional postings opt in at build; serving intersects the
+    // phrase terms' posting lists on doc_id and filters slot-0
+    // positions by array adjacency — IO is the terms' buckets, work
+    // is O(tf) per candidate, positions never explode into rows. The
+    // oracle replays every token index whose successors spell the
+    // phrase)
+    Q("text_phrase_match",
+      (s, d) => {
+        val idx = cachedIndex("bm25_pos", d, p =>
+          TextOps.bm25IndexWrite(docs(s, d), p, positional = true))
+        TextOps.phraseOccurrencesIndexed(s, idx, PhraseBigram)
+      },
+      Some(s"""WITH ${phraseOccCtes(PhraseBigram)}
+        |SELECT doc_id, n_occ, first_pos FROM occ""".stripMargin)),
+
+    // ---- retrieval: BM25-scored phrase ranking ---------------------------
+    // (the phrase scores as ONE pseudo-term: tf = exact occurrence
+    // count, df = matched-doc count, the same exact-integer idf/
+    // saturation arithmetic as every BM25 row — phrase results rank
+    // on the same scale as term results)
+    Q("text_phrase_topk",
+      (s, d) => {
+        val idx = cachedIndex("bm25_pos", d, p =>
+          TextOps.bm25IndexWrite(docs(s, d), p, positional = true))
+        TextOps.bm25PhraseTopK(s, idx, PhraseTrigram)
+      },
+      Some(s"""WITH ${phraseOccCtes(PhraseTrigram)},
+        |pdl AS (SELECT doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+        |        FROM documents),
+        |ptot AS (SELECT CAST(SUM(dl) AS BIGINT) AS t_tok,
+        |                CAST(count(*) AS BIGINT) AS n_docs FROM pdl),
+        |pdf AS (SELECT CAST(count(*) AS BIGINT) AS df FROM occ),
+        |psc AS (SELECT o.doc_id, d.dl,
+        |          CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_q,
+        |          CAST(CAST(o.n_occ AS HUGEINT) * ${Bm25K1 + 1000L} * 1000 * t_tok * 1000
+        |               // (CAST(o.n_occ AS HUGEINT) * 1000000 * t_tok
+        |                   + CAST(${Bm25K1 * (1000L - Bm25B)} AS HUGEINT) * t_tok
+        |                   + CAST(${Bm25K1 * Bm25B} AS HUGEINT) * d.dl * n_docs)
+        |            AS BIGINT) AS sat
+        |        FROM occ o JOIN pdl d USING (doc_id), ptot, pdf)
+        |SELECT doc_id, dl, CAST(1 AS BIGINT) AS n_terms,
+        |       CAST(idf_q * sat AS BIGINT) AS score_q
+        |FROM psc ORDER BY score_q DESC, doc_id LIMIT 10""".stripMargin)),
+
     // ---- retrieval: snapshot-pinned BM25 serving — the third index
     // family's as-of door driver-checked (next to sim_serve_asof and
     // dedup_serve_asof): build over doc_id % 7 <> 3, CAPTURE, append

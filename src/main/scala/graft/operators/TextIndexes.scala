@@ -16,14 +16,25 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * with the doc length DENORMALIZED onto every posting row — serve
     * never needs a doc-cardinality side table — and the 1-row batch
     * totals. tb = pmod(hash(word), nBuckets) is the directory
-    * partition key the serve path prunes on. */
+    * partition key the serve path prunes on. With `positions`, each
+    * posting additionally carries `ps` — the word's sorted 0-based
+    * token positions in the doc (the Lucene positional-postings
+    * layout): ~one int per corpus token of extra index footprint,
+    * the standard positional trade, which is why it is a build-time
+    * OPT-IN recorded in `params`. The array stays packed inside its
+    * posting row (per-doc-bounded, the batch-shape discipline) —
+    * positions never explode into rows, on write or serve. */
   private def bm25SegFrames(batch: DataFrame,
-      nBuckets: Int): (DataFrame, DataFrame) = {
+      nBuckets: Int, positions: Boolean): (DataFrame, DataFrame) = {
     val dl = batch.select(col("doc_id"),
       size(split(col("text"), " ")).cast("long").as("dl")).pinned
-    val postings = tokens(batch)
-      .groupBy(col("doc_id"), col("word"))
-      .agg(count(lit(1)).as("tf"))
+    val grouped = tokens(batch).groupBy(col("doc_id"), col("word"))
+    val counted =
+      if (positions)
+        grouped.agg(count(lit(1)).as("tf"),
+          sort_array(collect_list(col("pos"))).as("ps"))
+      else grouped.agg(count(lit(1)).as("tf"))
+    val postings = counted
       .join(dl, Seq("doc_id"))
       .withColumn("tb", pmod(hash(col("word")), lit(nBuckets)))
     val totals = dl.agg(count(lit(1)).as("n_docs"),
@@ -42,21 +53,25 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * buckets — IO is |corpus|·|terms' buckets|/nBuckets, never the
     * collection. */
   def bm25IndexWrite(docs: DataFrame, path: String,
-      nBuckets: Int = 16): Unit = {
+      nBuckets: Int = 16, positional: Boolean = false): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val s = docs.sparkSession
     val (fs, root) = EmbeddingOps.fsFor(s, path)
     Warehouse.recoverSwap(fs, root) // heal a crashed previous rebuild
     val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    val (postings, totals) = bm25SegFrames(docs, nBuckets)
+    val (postings, totals) = bm25SegFrames(docs, nBuckets, positional)
     postings.repartition(col("tb"))
       .write.partitionBy("tb").mode("overwrite")
       .parquet(s"$tmp/postings/seg=0")
     totals.write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
     val sess = s
     import sess.implicits._
-    Seq(nBuckets).toDF("n_buckets")
+    // `positional` is FAMILY CONFIG, not a serve-time choice: appends
+    // must lay segments out like the committed ones (a mixed chain
+    // would silently null-pad `ps` across segments), so the flag is
+    // write-once in params beside the bucket modulus
+    Seq((nBuckets, positional)).toDF("n_buckets", "positional")
       .write.mode("overwrite").parquet(s"$tmp/params")
     EmbeddingOps.commitGen(fs,
       new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
@@ -73,6 +88,20 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       "bm25_nbuckets")(Integer.valueOf(
         s.read.parquet(s"$path/params").head.getAs[Int]("n_buckets")))
       .intValue
+  }
+
+  /** Whether the index stores positional postings — write-once like
+    * the modulus, cached the same way. Roots built before the flag
+    * existed have no `positional` column and read as false. */
+  private def bm25Positional(s: org.apache.spark.sql.SparkSession,
+      path: String): Boolean = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    IndexMetaCache.cached(path, EmbeddingOps.epochOf(fs, root),
+      "bm25_positional")(java.lang.Boolean.valueOf {
+        val p = s.read.parquet(s"$path/params")
+        p.columns.contains("positional") &&
+          p.head.getAs[Boolean]("positional")
+      }).booleanValue
   }
 
   /** Driver-side twin of the plan's bucket assignment
@@ -109,7 +138,11 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     require(gen >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — build the index first")
     val segId = segs.max + 1
-    val (postings, totals) = bm25SegFrames(docs, bm25Params(s, path))
+    // layout follows the STORED family config, never a caller flag —
+    // a segment laid out differently would null-pad `ps` (or drop it)
+    // across the committed chain
+    val (postings, totals) = bm25SegFrames(docs, bm25Params(s, path),
+      bm25Positional(s, path))
     def stage(dataDir: String, write: String => Unit): Unit = {
       val dir = new org.apache.hadoop.fs.Path(root, dataDir)
       val staged = new org.apache.hadoop.fs.Path(dir, s".seg-$segId.stage")
@@ -146,7 +179,8 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
   private[graft] def bm25PostingsScan(
       s: org.apache.spark.sql.SparkSession, path: String,
       terms: Seq[String],
-      asOf: Option[IndexSnapshot] = None): DataFrame = {
+      asOf: Option[IndexSnapshot] = None,
+      withPositions: Boolean = false): DataFrame = {
     // pinned reads resolve to the retired tree when a swap replaced
     // the live one within the retention grace (snapshotRoot) — params
     // and data must come from the SAME resolved base
@@ -166,7 +200,8 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       .join(broadcast(tq), Seq("word"))
       .join(EmbeddingOps.tombstones(s, base, "doc_id", asOf),
         Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("word"), col("tf"), col("dl"))
+      .select(col("doc_id") +: col("word") +: col("tf") +: col("dl") +:
+        (if (withPositions) Seq(col("ps")) else Seq.empty): _*)
   }
 
   def bm25TopKIndexed(s: org.apache.spark.sql.SparkSession,
@@ -180,6 +215,89 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     bm25Rank(posts.join(bm25Df(posts), Seq("word"))
       .crossJoin(bm25Totals(s, path, asOf)),
       k, k1Permille, bPermille)
+  }
+
+  /** Exact phrase matching off the POSITIONAL BM25 index — the
+    * classic positional-postings operation (Lucene match_phrase): for
+    * a literal token phrase, every doc that contains the tokens
+    * CONSECUTIVELY, with its exact occurrence count and first match
+    * position. Output (doc_id, n_occ, first_pos).
+    *
+    * Scale shape: IO is the phrase terms' (seg, tb) buckets only —
+    * the same static pruning as every BM25 serve; the candidate set
+    * is the doc_id JOIN of the terms' posting lists (bounded by the
+    * RAREST term's postings — the classic intersection bound);
+    * adjacency is an O(tf) array filter per surviving row, so
+    * positions never explode into rows; deletions mask through the
+    * scan's tombstone anti-join. Requires a positional build
+    * (`bm25IndexWrite(..., positional = true)`) and refuses loudly
+    * otherwise — the flag is write-once family config in `params`. */
+  def phraseOccurrencesIndexed(s: org.apache.spark.sql.SparkSession,
+      path: String, phrase: Seq[String],
+      asOf: Option[IndexSnapshot] = None): DataFrame =
+    phraseMatches(s, path, phrase, asOf)
+      .select(col("doc_id"), col("n_occ"), col("first_pos"))
+
+  /** The phrase-match frame with the doc length still attached —
+    * shared by [[phraseOccurrencesIndexed]] and [[bm25PhraseTopK]]. */
+  private def phraseMatches(s: org.apache.spark.sql.SparkSession,
+      path: String, phrase: Seq[String],
+      asOf: Option[IndexSnapshot]): DataFrame = {
+    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
+      "phrase must be a non-empty sequence of non-empty tokens")
+    // resolve once: the positional check and the postings scan must
+    // see the SAME base (live root, or the retired tree within the
+    // snapshot retention grace)
+    val base = EmbeddingOps.snapshotRoot(s, path, asOf)
+    require(bm25Positional(s, base),
+      s"index at $path stores no positions — phrase serving needs a " +
+        "positional build: bm25IndexWrite(..., positional = true)")
+    val posts = bm25PostingsScan(s, base, phrase.distinct, asOf,
+      withPositions = true).pinned
+    // one frame per PHRASE SLOT (a repeated word reuses its posting
+    // row), joined on doc_id: a doc survives only if it carries every
+    // slot's term — the posting-list intersection
+    val slots = phrase.zipWithIndex.map { case (w, i) =>
+      posts.where(col("word") === w)
+        .select(col("doc_id") +:
+          (if (i == 0) Seq(col("dl"), col("ps").as("ps0"))
+          else Seq(col("ps").as(s"ps$i"))): _*)
+    }
+    val joined = slots.reduce(_.join(_, Seq("doc_id")))
+    // start positions: p in slot 0's list whose i-th successor is in
+    // slot i's list for every i — ps arrays are sorted on write, so
+    // the filtered list stays sorted and element 1 is the first match
+    val starts =
+      if (phrase.size == 1) col("ps0")
+      else expr("filter(ps0, p -> " +
+        (1 until phrase.size)
+          .map(i => s"array_contains(ps$i, p + $i)")
+          .mkString(" AND ") + ")")
+    joined.withColumn("starts", starts)
+      .where(size(col("starts")) > 0)
+      .select(col("doc_id"), col("dl"),
+        size(col("starts")).cast("long").as("n_occ"),
+        element_at(col("starts"), 1).cast("long").as("first_pos"))
+  }
+
+  /** BM25-scored phrase ranking: the phrase scores as ONE pseudo-term
+    * — tf = exact occurrence count ([[phraseOccurrencesIndexed]]),
+    * df = matched-doc count, idf and saturation by the exact-integer
+    * [[bm25ScoreCols]] arithmetic against the committed collection
+    * totals — so phrase results rank on the same scale as term
+    * results. Output is column-for-column [[bm25TopKIndexed]]
+    * (n_terms is 1: the phrase is one scoring unit). The df frame is
+    * one aggregate over the match frame (match-cardinality, the
+    * scalar-frame exception) and broadcasts. */
+  def bm25PhraseTopK(s: org.apache.spark.sql.SparkSession,
+      path: String, phrase: Seq[String], k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
+    val m = phraseMatches(s, path, phrase, asOf).pinned
+    val dfq = broadcast(m.agg(count(lit(1)).as("df")))
+    bm25Rank(m.select(col("doc_id"), col("n_occ").as("tf"), col("dl"))
+      .crossJoin(dfq)
+      .crossJoin(bm25Totals(s, path, asOf)), k, k1Permille, bPermille)
   }
 
   /** Per-term document frequency off the pruned postings, with the
@@ -505,7 +623,18 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       failpoint: String => Unit = _ => ()): Unit =
     EmbeddingOps.mergeRoots(s, sources, dest,
       Seq("postings", "totals"), Seq("params"),
-      validate = EmbeddingOps.requireSameBucketModuli(s, _),
+      validate = bases => {
+        EmbeddingOps.requireSameBucketModuli(s, bases)
+        // the positional flag is layout too: a mixed merge would
+        // null-pad `ps` across shard segments and phrase serving
+        // would silently miss the non-positional shards' docs
+        val flags = bases.map(b => bm25Positional(s, b))
+        require(flags.distinct.size == 1,
+          s"positional flag differs across merge sources: " +
+            bases.zip(flags).map { case (b, f) => s"$b=$f" }
+              .mkString(", ") +
+            " — rebuild the odd shards with the common layout")
+      },
       failpoint = failpoint)
 
   /** Serve near-dup lookups from a persisted MinHash index: for a NEW

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TextOps
+
+/** The positional BM25 index and its phrase serving
+  * ([[TextOps.phraseOccurrencesIndexed]] / [[TextOps.bm25PhraseTopK]]):
+  * exact parity against a corpus-side brute force, the full index
+  * lifecycle (append, delete, compaction) preserving phrase answers,
+  * the non-positional refusal, and the mixed-layout merge refusal. */
+class PhraseIndexSpec extends SparkSpec {
+
+  private def freshDir(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_$tag").resolve("ix").toString
+
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.001")
+    .documents.toDF().localCheckpoint()
+
+  /** Corpus-side brute force, independent of the postings machinery:
+    * every 0-based token index whose successors spell the phrase. */
+  private def brute(d: org.apache.spark.sql.DataFrame,
+      phrase: Seq[String]): Array[String] = {
+    val k = phrase.size
+    val conds = phrase.zipWithIndex
+      .map { case (w, i) => s"w[CAST(p + $i AS INT)] = '$w'" }
+      .mkString(" AND ")
+    d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= k)
+      .withColumn("starts", expr(
+        s"filter(sequence(0, size(w) - $k), p -> $conds)"))
+      .where(size(col("starts")) > 0)
+      .select(col("doc_id"),
+        size(col("starts")).cast("long").as("n_occ"),
+        element_at(col("starts"), 1).cast("long").as("first_pos"))
+      .collect().map(_.toString).sorted
+  }
+
+  private def served(idx: String, phrase: Seq[String]): Array[String] =
+    TextOps.phraseOccurrencesIndexed(spark, idx, phrase)
+      .collect().map(_.toString).sorted
+
+  test("phrase serving equals the corpus brute force for 1-, 2- and " +
+    "3-token phrases (single word == plain tf semantics)") {
+    val idx = freshDir("phr_parity")
+    TextOps.bm25IndexWrite(docs, idx, positional = true)
+    for (phrase <- Seq(Seq("order"), Seq("order", "fast"),
+        Seq("big", "order", "scan"))) {
+      val rows = served(idx, phrase)
+      assert(rows.nonEmpty, s"fixture too weak: $phrase matches nothing")
+      assert(rows.sameElements(brute(docs, phrase)),
+        s"phrase $phrase must equal the corpus brute force")
+    }
+  }
+
+  test("the lifecycle preserves phrase answers: append == rebuild, " +
+    "deletions mask, compaction keeps positions through the rewrite") {
+    val idx = freshDir("phr_life")
+    val phrase = Seq("order", "fast")
+    TextOps.bm25IndexWrite(docs.where(col("doc_id") % 2 === 0), idx,
+      positional = true)
+    // append follows the STORED layout — no flag on the call
+    TextOps.bm25IndexAppend(docs.where(col("doc_id") % 2 =!= 0), idx)
+    val full = served(idx, phrase)
+    assert(full.nonEmpty && full.sameElements(brute(docs, phrase)),
+      "write+append must answer phrases like the full corpus")
+
+    val victims = TextOps.phraseOccurrencesIndexed(spark, idx, phrase)
+      .select(col("doc_id")).limit(3).localCheckpoint()
+    val victimIds = victims.collect().map(_.getLong(0)).toSet
+    graft.operators.EmbeddingOps.indexDelete(spark, idx, victims,
+      keyCol = "doc_id")
+    val masked = served(idx, phrase)
+    assert(!masked.exists(r => victimIds.exists(v =>
+        r.startsWith(s"[$v,"))),
+      "tombstoned docs must leave the phrase serve immediately")
+
+    assert(TextOps.bm25IndexCompact(spark, idx) === 2)
+    assert(served(idx, phrase).sameElements(masked),
+      "compaction must preserve phrase answers (ps survives the " +
+        "postings rewrite)")
+  }
+
+  test("a non-positional index refuses phrase serving with the " +
+    "rebuild guidance; a mixed positional/non-positional merge " +
+    "refuses naming the layout") {
+    val plain = freshDir("phr_plain")
+    TextOps.bm25IndexWrite(docs, plain)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.phraseOccurrencesIndexed(spark, plain,
+        Seq("order", "fast")).collect()
+    }
+    assert(e.getMessage.contains("positional = true"))
+
+    val pos = freshDir("phr_pos")
+    TextOps.bm25IndexWrite(docs.where(col("doc_id") % 2 === 0), pos,
+      positional = true)
+    val eMix = intercept[IllegalArgumentException] {
+      TextOps.bm25IndexMerge(spark, Seq(plain, pos),
+        freshDir("phr_mix"))
+    }
+    assert(eMix.getMessage.contains("positional flag differs"))
+  }
+
+  test("bm25PhraseTopK ranks exactly the matched docs, descending by " +
+    "the exact-integer score") {
+    val idx = freshDir("phr_topk")
+    TextOps.bm25IndexWrite(docs, idx, positional = true)
+    val phrase = Seq("big", "order", "scan")
+    val top = TextOps.bm25PhraseTopK(spark, idx, phrase, k = 100)
+      .collect()
+    val matched = TextOps.phraseOccurrencesIndexed(spark, idx, phrase)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(top.nonEmpty &&
+      top.map(_.getAs[Long]("doc_id")).toSet === matched,
+      "at k >= |matches| the ranking must cover exactly the matches")
+    val scores = top.map(_.getAs[Long]("score_q"))
+    assert(scores.sameElements(scores.sorted.reverse),
+      "scores must be non-increasing")
+  }
+}
