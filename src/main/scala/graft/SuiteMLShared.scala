@@ -285,6 +285,32 @@ private[graft] object SuiteMLShared {
   private[graft] val PhraseTrigram: Seq[String] =
     Seq("big", "order", "scan")
 
+  /** Proximity-query constants (engine and oracle share them):
+    * docs where 'scan' occurs within 3 tokens of an 'order'
+    * occurrence — 148 docs at sf0.01, 147 at sf0.001. */
+  private[graft] val NearTerms: Seq[String] = Seq("order", "scan")
+  private[graft] val NearWindow: Int = 3
+
+  /** The proximity replay ending in `nocc(doc_id, n_anchors,
+    * first_pos)`: 1-based anchor indices i with w[i] = the first
+    * term and every other term present in the inclusive slice
+    * [i - window, i + window]; the -1 aligns to the engine's 0-based
+    * positions. */
+  private[graft] def nearOccCtes(terms: Seq[String],
+      window: Int): String = {
+    val conds = terms.tail.map(t =>
+      s"len(list_filter(w[greatest(1, i - $window):i + $window], " +
+        s"x -> x = '$t')) > 0").mkString(" AND ")
+    s"""nsel AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |nan AS (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+      |        FROM nsel),
+      |nm AS (SELECT doc_id, i FROM nan
+      |       WHERE w[i] = '${terms.head}' AND $conds),
+      |nocc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_anchors,
+      |                CAST(min(i) - 1 AS BIGINT) AS first_pos
+      |         FROM nm GROUP BY 1)""".stripMargin
+  }
+
   /** The positional phrase-match replay as a DuckDB CTE chain ending
     * in `occ(doc_id, n_occ, first_pos)` — every token index i whose
     * next |phrase|-1 tokens spell the phrase (1-based lists in

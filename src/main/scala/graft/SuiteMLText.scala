@@ -1378,6 +1378,20 @@ private[graft] object SuiteMLText {
       Some(s"""WITH ${phraseOccCtes(PhraseBigram)}
         |SELECT doc_id, n_occ, first_pos FROM occ""".stripMargin)),
 
+    // ---- retrieval: proximity search off the positional index ------------
+    // (the unordered companion of the phrase row: anchors are the
+    // first term's positions, an anchor counts when every other term
+    // occurs within `window` tokens of it — same bucket-pruned IO
+    // and rarest-term intersection bound as the phrase serve)
+    Q("text_near_match",
+      (s, d) => {
+        val idx = cachedIndex("bm25_pos", d, p =>
+          TextOps.bm25IndexWrite(docs(s, d), p, positional = true))
+        TextOps.termsNearIndexed(s, idx, NearTerms, NearWindow)
+      },
+      Some(s"""WITH ${nearOccCtes(NearTerms, NearWindow)}
+        |SELECT doc_id, n_anchors, first_pos FROM nocc""".stripMargin)),
+
     // ---- retrieval: BM25-scored phrase ranking ---------------------------
     // (the phrase scores as ONE pseudo-term: tf = exact occurrence
     // count, df = matched-doc count, the same exact-integer idf/

@@ -239,45 +239,81 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       .select(col("doc_id"), col("n_occ"), col("first_pos"))
 
   /** The phrase-match frame with the doc length still attached —
-    * shared by [[phraseOccurrencesIndexed]] and [[bm25PhraseTopK]]. */
+    * shared by [[phraseOccurrencesIndexed]] and [[bm25PhraseTopK]]:
+    * slot i's condition is exact adjacency (the i-th successor of an
+    * anchor position is in slot i's list). */
   private def phraseMatches(s: org.apache.spark.sql.SparkSession,
       path: String, phrase: Seq[String],
+      asOf: Option[IndexSnapshot]): DataFrame =
+    positionalMatches(s, path, phrase,
+      i => s"array_contains(ps$i, p + $i)", asOf)
+
+  /** The shared positional serve core behind [[phraseMatches]] and
+    * [[termsNearIndexed]]: intersect the slot terms' posting lists on
+    * doc_id, then keep anchor positions (slot 0's list) satisfying
+    * `condFor(i)` for every later slot i — an O(tf) array filter per
+    * candidate row, so positions never explode into rows. Output
+    * (doc_id, dl, n_occ, first_pos); `ps` arrays are sorted on write,
+    * so the filtered anchor list stays sorted and element 1 is the
+    * first match. */
+  private def positionalMatches(s: org.apache.spark.sql.SparkSession,
+      path: String, slotTerms: Seq[String], condFor: Int => String,
       asOf: Option[IndexSnapshot]): DataFrame = {
-    require(phrase.nonEmpty && phrase.forall(_.nonEmpty),
-      "phrase must be a non-empty sequence of non-empty tokens")
+    require(slotTerms.nonEmpty && slotTerms.forall(_.nonEmpty),
+      "positional query needs a non-empty sequence of non-empty tokens")
     // resolve once: the positional check and the postings scan must
     // see the SAME base (live root, or the retired tree within the
     // snapshot retention grace)
     val base = EmbeddingOps.snapshotRoot(s, path, asOf)
     require(bm25Positional(s, base),
-      s"index at $path stores no positions — phrase serving needs a " +
-        "positional build: bm25IndexWrite(..., positional = true)")
-    val posts = bm25PostingsScan(s, base, phrase.distinct, asOf,
+      s"index at $path stores no positions — positional serving " +
+        "needs a positional build: bm25IndexWrite(..., positional = " +
+        "true)")
+    val posts = bm25PostingsScan(s, base, slotTerms.distinct, asOf,
       withPositions = true).pinned
-    // one frame per PHRASE SLOT (a repeated word reuses its posting
-    // row), joined on doc_id: a doc survives only if it carries every
-    // slot's term — the posting-list intersection
-    val slots = phrase.zipWithIndex.map { case (w, i) =>
+    // one frame per SLOT (a repeated word reuses its posting row),
+    // joined on doc_id: a doc survives only if it carries every
+    // slot's term — the posting-list intersection, bounded by the
+    // rarest term
+    val slots = slotTerms.zipWithIndex.map { case (w, i) =>
       posts.where(col("word") === w)
         .select(col("doc_id") +:
           (if (i == 0) Seq(col("dl"), col("ps").as("ps0"))
           else Seq(col("ps").as(s"ps$i"))): _*)
     }
     val joined = slots.reduce(_.join(_, Seq("doc_id")))
-    // start positions: p in slot 0's list whose i-th successor is in
-    // slot i's list for every i — ps arrays are sorted on write, so
-    // the filtered list stays sorted and element 1 is the first match
     val starts =
-      if (phrase.size == 1) col("ps0")
+      if (slotTerms.size == 1) col("ps0")
       else expr("filter(ps0, p -> " +
-        (1 until phrase.size)
-          .map(i => s"array_contains(ps$i, p + $i)")
-          .mkString(" AND ") + ")")
+        (1 until slotTerms.size).map(condFor).mkString(" AND ") + ")")
     joined.withColumn("starts", starts)
       .where(size(col("starts")) > 0)
       .select(col("doc_id"), col("dl"),
         size(col("starts")).cast("long").as("n_occ"),
         element_at(col("starts"), 1).cast("long").as("first_pos"))
+  }
+
+  /** Proximity search off the positional index — the unordered
+    * companion of [[phraseOccurrencesIndexed]] (Lucene's
+    * span_near/slop family, with an exactly-replayable contract):
+    * docs where EVERY query term occurs within `window` tokens of an
+    * occurrence of the FIRST term. Anchors are the first term's
+    * positions; an anchor counts when each other term has an
+    * occurrence at absolute distance <= `window` from it. Output
+    * (doc_id, n_anchors, first_pos) — the counting-anchor count and
+    * the first counting anchor. Same scale shape as the phrase
+    * serve: bucket-pruned IO, rarest-term-bounded intersection,
+    * O(tf) per-row array work. */
+  def termsNearIndexed(s: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], window: Int,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
+    require(terms.size >= 2 && terms.distinct.size == terms.size,
+      "proximity search needs at least two distinct terms")
+    require(window >= 1, s"window must be >= 1, got $window")
+    positionalMatches(s, path, terms,
+      i => s"exists(ps$i, q -> abs(q - p) <= $window)", asOf)
+      .select(col("doc_id"), col("n_occ").as("n_anchors"),
+        col("first_pos"))
   }
 
   /** BM25-scored phrase ranking: the phrase scores as ONE pseudo-term

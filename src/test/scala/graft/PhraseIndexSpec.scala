@@ -102,6 +102,36 @@ class PhraseIndexSpec extends SparkSpec {
     assert(eMix.getMessage.contains("positional flag differs"))
   }
 
+  test("termsNearIndexed equals the corpus brute force at several " +
+    "windows, and widening the window never loses a match") {
+    val idx = freshDir("phr_near")
+    TextOps.bm25IndexWrite(docs, idx, positional = true)
+    var prev = 0
+    for (window <- Seq(1, 3, 6)) {
+      val brute = docs
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("starts", expr(
+          "filter(sequence(0, size(w) - 1), p -> " +
+            "w[CAST(p AS INT)] = 'order' AND exists(" +
+            s"sequence(greatest(0, p - $window), " +
+            s"least(size(w) - 1, p + $window)), " +
+            "q -> w[CAST(q AS INT)] = 'scan'))"))
+        .where(size(col("starts")) > 0)
+        .select(col("doc_id"),
+          size(col("starts")).cast("long").as("n_anchors"),
+          element_at(col("starts"), 1).cast("long").as("first_pos"))
+        .collect().map(_.toString).sorted
+      val got = TextOps.termsNearIndexed(spark, idx,
+          Seq("order", "scan"), window)
+        .collect().map(_.toString).sorted
+      assert(got.nonEmpty && got.sameElements(brute),
+        s"window=$window must equal the corpus brute force")
+      assert(got.length >= prev,
+        "a wider window must never lose a matching doc")
+      prev = got.length
+    }
+  }
+
   test("bm25PhraseTopK ranks exactly the matched docs, descending by " +
     "the exact-integer score") {
     val idx = freshDir("phr_topk")

@@ -1441,4 +1441,73 @@ class ScaleProbeSpec extends SparkSpec {
     }
     assertShuffleHealth("indexDiff", plan)
   }
+
+  test("phraseOccurrencesIndexed at scale: the postings scan carries " +
+    "static (seg, tb) partition pruning with positions packed inside " +
+    "the posting rows, no explode anywhere, intersection joins keyed " +
+    "on doc_id") {
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_phrase_probe").resolve("ix").toString
+    val d = syntheticDocs(50000L)
+    // TWO segments so the probe covers the appended chain
+    TextOps.bm25IndexWrite(d.where(col("doc_id") < 25000L), idx,
+      positional = true)
+    TextOps.bm25IndexAppend(d.where(col("doc_id") >= 25000L), idx)
+    val phrase = Seq("w1", "w2")
+    // the pruned scan, probed directly: the serve pins this frame for
+    // its slot consumers (one materialization, k cheap re-reads), so
+    // the scan plan is not walkable from the serve's own tree
+    val scanPlan = staticPlanOf(TextOps.bm25PostingsScan(spark, idx,
+      phrase, withPositions = true))
+    val scans = scanPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.output.exists(_.name == "ps") => f
+    }
+    assert(scans.length == 1,
+      s"phrase serve plans ${scans.length} postings scans, expected 1")
+    val pf = scans.head.partitionFilters.map(_.toString).mkString(" ")
+    assert(pf.contains("seg") && pf.contains("tb"),
+      s"postings scan lost its (seg, tb) partition pruning: $pf")
+    // the serve plan itself: no Generate (positions never explode
+    // into rows — adjacency is an array filter), no cartesian, and
+    // the slot intersection joins carry doc_id keys
+    val plan = staticPlanOf(
+      TextOps.phraseOccurrencesIndexed(spark, idx, phrase))
+    assert(plan.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }.isEmpty, "positions exploded into rows")
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "phrase serve plans a CartesianProduct")
+    val joinKeys = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec =>
+        j.leftKeys.map(_.toString).mkString(" ")
+      case j: org.apache.spark.sql.execution.joins
+          .ShuffledHashJoinExec =>
+        j.leftKeys.map(_.toString).mkString(" ")
+    }
+    assert(joinKeys.nonEmpty && joinKeys.forall(_.contains("doc_id")),
+      s"slot intersection must join on doc_id: $joinKeys")
+    // behavioral parity at probe scale against the corpus brute force
+    // (the synthetic vocabulary makes any fixed bigram rare, so
+    // equality is the assertion, not non-emptiness — non-vacuous
+    // parity rides PhraseIndexSpec at gate scale)
+    val k = phrase.size
+    val conds = phrase.zipWithIndex
+      .map { case (w, i) => s"w[CAST(p + $i AS INT)] = '$w'" }
+      .mkString(" AND ")
+    val brute = d.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .where(size(col("w")) >= k)
+      .withColumn("starts", expr(
+        s"filter(sequence(0, size(w) - $k), p -> $conds)"))
+      .where(size(col("starts")) > 0)
+      .select(col("doc_id"),
+        size(col("starts")).cast("long").as("n_occ"),
+        element_at(col("starts"), 1).cast("long").as("first_pos"))
+      .collect().map(_.toString).sorted
+    assert(TextOps.phraseOccurrencesIndexed(spark, idx, phrase)
+      .collect().map(_.toString).sorted.sameElements(brute),
+      "probe-scale phrase serve must equal the corpus brute force")
+  }
 }
