@@ -1376,7 +1376,31 @@ private[graft] object SuiteMLText {
         TextOps.phraseOccurrencesIndexed(s, idx, PhraseBigram)
       },
       Some(s"""WITH ${phraseOccCtes(PhraseBigram)}
-        |SELECT doc_id, n_occ, first_pos FROM occ""".stripMargin)),
+        |SELECT doc_id, n_occ, first_pos FROM occ""".stripMargin),
+      // benched: the positional family's driver-visible anchor (the
+      // proximity row shares the identical serve shape, so one
+      // anchor covers the family)
+      bench = true),
+
+    // ---- retrieval: phrase snippets (match + context window) -------------
+    // (the user-facing tail: matched docs joined back to the corpus —
+    // keyed on doc_id, no broadcast hint so a mega-match phrase
+    // degrades to a shuffle join instead of OOMing the driver — with
+    // a clamped array slice of ctx tokens around the first match)
+    Q("text_phrase_snippets",
+      (s, d) => {
+        val idx = cachedIndex("bm25_pos", d, p =>
+          TextOps.bm25IndexWrite(docs(s, d), p, positional = true))
+        TextOps.phraseSnippetsIndexed(s, idx, docs(s, d),
+          PhraseBigram, ctx = 4)
+      },
+      Some(s"""WITH ${phraseOccCtes(PhraseBigram)}
+        |SELECT o.doc_id, o.n_occ, o.first_pos,
+        |       array_to_string(list_slice(p.w,
+        |         CAST(greatest(o.first_pos - 4, 0) + 1 AS BIGINT),
+        |         CAST(o.first_pos + ${PhraseBigram.size + 4} AS BIGINT)),
+        |         ' ') AS snippet
+        |FROM occ o JOIN psel p USING (doc_id)""".stripMargin)),
 
     // ---- retrieval: proximity search off the positional index ------------
     // (the unordered companion of the phrase row: anchors are the

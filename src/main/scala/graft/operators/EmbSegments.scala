@@ -1000,6 +1000,39 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     val tmp = Warehouse.hiddenSibling(destRoot, ".merge-tmp")
     val husks = sources.indices
       .map(i => new org.apache.hadoop.fs.Path(tmp, s"src-$i"))
+    // the resume-identity record lives BESIDE the staging tree (its
+    // own hidden sibling), not inside it: it must survive the
+    // husk-drop step so a crash between husk cleanup and the swap
+    // still resumes, and it must never ride the swap into the root
+    val sourcesMarker =
+      Warehouse.hiddenSibling(destRoot, ".merge-sources")
+    val allLive = sources.forall(src =>
+      fs.exists(new org.apache.hadoop.fs.Path(src)))
+    // a FRESH run (every source still live — nothing claimed yet)
+    // wipes any staging residue wholesale: an ABANDONED merge at this
+    // destination may have left husks — or even a fully-assembled
+    // tree — of a DIFFERENT source list, and both the resume
+    // detection and the final swap would otherwise trust it
+    if (allLive && fs.exists(tmp)) fs.delete(tmp, true)
+    // a RESUME (some source consumed) must be the SAME merge: the
+    // staging tree records its source list before the first claim,
+    // and a mismatch refuses loudly instead of publishing another
+    // merge's assembly or mis-numbering this one's segments
+    if (!allLive) {
+      val stored =
+        if (!fs.exists(sourcesMarker)) ""
+        else {
+          val in = fs.open(sourcesMarker)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        }
+      require(stored == sources.mkString("\n"),
+        s"staging residue at $tmp does not belong to this merge " +
+          s"(its recorded source list differs) — it is an abandoned " +
+          "merge's; delete the staging tree and rebuild the missing " +
+          "shard indexes, or re-run the abandoned merge with ITS " +
+          "source list")
+    }
     // the resume flag: the merged manifest commits only after every
     // segment has moved, so its presence means assembly is complete
     val assembled = committedSegs(fs,
@@ -1038,6 +1071,12 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       // live beside the source, named by its root), so they prune
       // first — merging expires every source snapshot by design
       fs.mkdirs(tmp)
+      // the resume-identity record, (re-)written BEFORE the first
+      // claim — on a resume the content is identical (the mismatch
+      // refusal above already passed)
+      val out = fs.create(sourcesMarker, true)
+      try out.write(sources.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
       sources.zip(husks).foreach { case (src, husk) =>
         val live = new org.apache.hadoop.fs.Path(src)
         if (fs.exists(live)) {
@@ -1104,11 +1143,22 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
         newSegs)
       failpoint("manifest-committed")
     }
-    husks.foreach(h => if (fs.exists(h)) fs.delete(h, true))
+    // drop EVERY src-* husk by listing (not just the current source
+    // list's indices — belt and braces under the identity check
+    // above): the swap publishes the whole staging tree, and no
+    // scaffolding may ride into the new root
+    if (fs.exists(tmp))
+      fs.listStatus(tmp).map(_.getPath)
+        .filter(_.getName.startsWith("src-"))
+        .foreach(p => fs.delete(p, true))
     failpoint("husks-dropped")
     // dest is absent, so the stamp is epoch 1 — a fresh incarnation
     stampEpoch(fs, destRoot, tmp)
     Warehouse.swapInto(fs, tmp, destRoot, failpoint)
+    // the identity record is scaffolding of a merge that no longer
+    // exists; best-effort (an orphan is benign — the next merge to
+    // this destination starts fresh and overwrites it)
+    fs.delete(sourcesMarker, false)
     IndexMetaCache.invalidate(dest)
   }
 

@@ -316,6 +316,30 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         col("first_pos"))
   }
 
+  /** Snippet extraction over phrase matches — the user-facing tail
+    * of phrase retrieval: each matched doc with `ctx` tokens of
+    * context around its FIRST occurrence. The index stores no text,
+    * so the corpus frame rides in as an argument; the join is keyed
+    * on doc_id with NO broadcast hint — the match frame is usually
+    * top-k-small and the optimizer broadcasts it, but a mega-match
+    * phrase (a stop-word bigram over the whole corpus) must degrade
+    * to a shuffle join, never OOM the driver. The snippet is one
+    * array slice per matched row (clamped at both document edges). */
+  def phraseSnippetsIndexed(s: org.apache.spark.sql.SparkSession,
+      path: String, corpus: DataFrame, phrase: Seq[String],
+      ctx: Int = 5, asOf: Option[IndexSnapshot] = None): DataFrame = {
+    require(ctx >= 0, s"ctx must be >= 0, got $ctx")
+    val k = phrase.size
+    phraseOccurrencesIndexed(s, path, phrase, asOf)
+      .join(corpus.select(col("doc_id"),
+        split(col("text"), " ").as("w")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_occ"), col("first_pos"),
+        expr(s"concat_ws(' ', slice(w, " +
+          s"CAST(greatest(first_pos - $ctx, 0) + 1 AS INT), " +
+          s"CAST(first_pos + ${k + ctx} - " +
+          s"greatest(first_pos - $ctx, 0) AS INT)))").as("snippet"))
+  }
+
   /** BM25-scored phrase ranking: the phrase scores as ONE pseudo-term
     * — tf = exact occurrence count ([[phraseOccurrencesIndexed]]),
     * df = matched-doc count, idf and saturation by the exact-integer

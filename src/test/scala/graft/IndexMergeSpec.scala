@@ -174,6 +174,67 @@ class IndexMergeSpec extends SparkSpec {
     }
   }
 
+  test("staging residue from an ABANDONED merge is neither published " +
+    "by a fresh different merge nor accepted by a resume with the " +
+    "wrong source list") {
+    final class Kill extends RuntimeException
+    val parent = freshParent("merge_resid")
+    def build(tag: String, pred: org.apache.spark.sql.Column): String = {
+      val p = parent.resolve(tag).toString
+      TextOps.minhashIndexWrite(docs.where(pred), p)
+      p
+    }
+    val dest = parent.resolve("merged").toString
+    // merge A assembles fully (manifest committed) and dies before
+    // publishing; the operator abandons it
+    val a = Seq(build("a0", col("doc_id") % 4 === 0),
+      build("a1", col("doc_id") % 4 === 1))
+    intercept[Kill] {
+      TextOps.minhashIndexMerge(spark, a, dest,
+        failpoint = t => if (t == "manifest-committed") throw new Kill)
+    }
+    // merge B: same destination, different sources, all live — the
+    // FRESH run must wipe A's assembled residue, not publish it
+    val b = Seq(build("b0", col("doc_id") % 4 === 2),
+      build("b1", col("doc_id") % 4 === 3))
+    TextOps.minhashIndexMerge(spark, b, dest)
+    val oneShot = parent.resolve("oneshot").toString
+    TextOps.minhashIndexWrite(
+      docs.where(col("doc_id") % 4 >= 2), oneShot)
+    assert(mhServe(dest).sameElements(mhServe(oneShot)),
+      "the fresh merge must serve ITS union, not the abandoned " +
+        "merge's assembly")
+    val fs = new org.apache.hadoop.fs.Path(dest)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(
+      new org.apache.hadoop.fs.Path(dest)).map(_.getPath.getName)
+    assert(!entries.exists(_.startsWith("src-")),
+      s"merge scaffolding leaked into the published root: " +
+        entries.mkString(", "))
+
+    // merge C dies mid-claim; a resume with a DIFFERENT source list
+    // must refuse on the identity record, and the true resume
+    // completes
+    val dest2 = parent.resolve("merged2").toString
+    val c = Seq(build("c0", col("doc_id") % 4 === 0),
+      build("c1", col("doc_id") % 4 === 1))
+    val other = build("c2", col("doc_id") % 4 === 2)
+    intercept[Kill] {
+      TextOps.minhashIndexMerge(spark, c, dest2,
+        failpoint = t => if (t == "claimed") throw new Kill)
+    }
+    val e = intercept[IllegalArgumentException] {
+      TextOps.minhashIndexMerge(spark, Seq(c.head, other), dest2)
+    }
+    assert(e.getMessage.contains("does not belong to this merge"))
+    TextOps.minhashIndexMerge(spark, c, dest2)
+    val oneShotC = parent.resolve("oneshotC").toString
+    TextOps.minhashIndexWrite(
+      docs.where(col("doc_id") % 4 <= 1), oneShotC)
+    assert(mhServe(dest2).sameElements(mhServe(oneShotC)),
+      "the true resume must complete the interrupted merge")
+  }
+
   test("tombstones carry through the renumbering: a shard's committed " +
     "deletions keep masking exactly their rows in the merged root, " +
     "and the merged compaction applies them physically") {

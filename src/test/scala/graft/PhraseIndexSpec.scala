@@ -132,6 +132,43 @@ class PhraseIndexSpec extends SparkSpec {
     }
   }
 
+  test("phraseSnippetsIndexed clamps the context window at both " +
+    "document edges and matches the corpus brute force") {
+    val fixture = docsDf(Seq(
+      (1L, "order fast tail words beyond the window", "en", "syn"),
+      (2L, "a b c d e f order fast", "en", "syn"),
+      (3L, "x order fast y", "en", "syn"),
+      (4L, "no match here", "en", "syn")))
+    val idx = freshDir("phr_snip")
+    TextOps.bm25IndexWrite(fixture, idx, positional = true)
+    val got = TextOps.phraseSnippetsIndexed(spark, idx, fixture,
+        Seq("order", "fast"), ctx = 3)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    assert(got === Map(
+      1L -> "order fast tail words beyond", // head-clamped
+      2L -> "d e f order fast", // tail-clamped
+      3L -> "x order fast y")) // both-clamped
+
+    // corpus-scale parity: snippet == the sliced token array
+    val idx2 = freshDir("phr_snip2")
+    TextOps.bm25IndexWrite(docs, idx2, positional = true)
+    val ctx = 4
+    val brute = TextOps.phraseOccurrencesIndexed(spark, idx2,
+        Seq("order", "fast"))
+      .join(docs.select(col("doc_id"),
+        split(col("text"), " ").as("w")), Seq("doc_id"))
+      .select(col("doc_id"), expr(
+        s"concat_ws(' ', slice(w, " +
+          s"CAST(greatest(first_pos - $ctx, 0) + 1 AS INT), " +
+          s"CAST(first_pos + ${2 + ctx} - " +
+          s"greatest(first_pos - $ctx, 0) AS INT)))").as("snippet"))
+      .collect().map(_.toString).sorted
+    assert(TextOps.phraseSnippetsIndexed(spark, idx2, docs,
+        Seq("order", "fast"), ctx)
+      .select(col("doc_id"), col("snippet"))
+      .collect().map(_.toString).sorted.sameElements(brute))
+  }
+
   test("bm25PhraseTopK ranks exactly the matched docs, descending by " +
     "the exact-integer score") {
     val idx = freshDir("phr_topk")
