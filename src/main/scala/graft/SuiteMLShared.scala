@@ -315,18 +315,19 @@ private[graft] object SuiteMLShared {
     * in `occ(doc_id, n_occ, first_pos)` — every token index i whose
     * next |phrase|-1 tokens spell the phrase (1-based lists in
     * DuckDB; the engine's positions are 0-based, hence the -1). */
-  private[graft] def phraseOccCtes(phrase: Seq[String]): String = {
+  private[graft] def phraseOccCtes(phrase: Seq[String],
+      sfx: String = ""): String = {
     val k = phrase.size
     val conds = phrase.zipWithIndex
       .map { case (w, i) => s"w[i + $i] = '$w'" }.mkString(" AND ")
-    s"""psel AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-      |pst AS (SELECT doc_id, w,
+    s"""psel$sfx AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |pst$sfx AS (SELECT doc_id, w,
       |          unnest(generate_series(1, len(w) - ${k - 1})) AS i
-      |        FROM psel WHERE len(w) >= $k),
-      |pm AS (SELECT doc_id, i FROM pst WHERE $conds),
-      |occ AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
+      |        FROM psel$sfx WHERE len(w) >= $k),
+      |pm$sfx AS (SELECT doc_id, i FROM pst$sfx WHERE $conds),
+      |occ$sfx AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occ,
       |               CAST(min(i) - 1 AS BIGINT) AS first_pos
-      |        FROM pm GROUP BY 1)""".stripMargin
+      |        FROM pm$sfx GROUP BY 1)""".stripMargin
   }
 
   /** Batched-BM25 replay CTEs ending in `lex(query_id, rk, doc_id,

@@ -1382,6 +1382,30 @@ private[graft] object SuiteMLText {
       // anchor covers the family)
       bench = true),
 
+    // ---- retrieval: BATCHED phrase matching ------------------------------
+    // (the batch-serving contract applied to the positional family:
+    // three phrases of different lengths answer off ONE pruned scan
+    // of their terms' bucket union; per query_id the rows equal the
+    // single-phrase serve — the oracle replays each phrase and
+    // unions)
+    Q("text_phrase_batch",
+      (s, d) => {
+        val idx = cachedIndex("bm25_pos", d, p =>
+          TextOps.bm25IndexWrite(docs(s, d), p, positional = true))
+        TextOps.phraseOccurrencesIndexedBatch(s, idx,
+          Seq(1L -> PhraseBigram, 2L -> PhraseTrigram,
+            3L -> Seq("vector")))
+      },
+      Some(s"""WITH ${phraseOccCtes(PhraseBigram, "1")},
+        |${phraseOccCtes(PhraseTrigram, "2")},
+        |${phraseOccCtes(Seq("vector"), "3")}
+        |SELECT CAST(1 AS BIGINT) AS query_id, doc_id, n_occ, first_pos
+        |FROM occ1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), doc_id, n_occ, first_pos FROM occ2
+        |UNION ALL
+        |SELECT CAST(3 AS BIGINT), doc_id, n_occ, first_pos FROM occ3""".stripMargin)),
+
     // ---- retrieval: phrase snippets (match + context window) -------------
     // (the user-facing tail: matched docs joined back to the corpus —
     // keyed on doc_id, no broadcast hint so a mega-match phrase

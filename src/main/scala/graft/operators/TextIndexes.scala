@@ -269,28 +269,12 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       s"index at $path stores no positions — positional serving " +
         "needs a positional build: bm25IndexWrite(..., positional = " +
         "true)")
-    val posts = bm25PostingsScan(s, base, slotTerms.distinct, asOf,
-      withPositions = true).pinned
     // one frame per SLOT (a repeated word reuses its posting row),
     // joined on doc_id: a doc survives only if it carries every
     // slot's term — the posting-list intersection, bounded by the
     // rarest term
-    val slots = slotTerms.zipWithIndex.map { case (w, i) =>
-      posts.where(col("word") === w)
-        .select(col("doc_id") +:
-          (if (i == 0) Seq(col("dl"), col("ps").as("ps0"))
-          else Seq(col("ps").as(s"ps$i"))): _*)
-    }
-    val joined = slots.reduce(_.join(_, Seq("doc_id")))
-    val starts =
-      if (slotTerms.size == 1) col("ps0")
-      else expr("filter(ps0, p -> " +
-        (1 until slotTerms.size).map(condFor).mkString(" AND ") + ")")
-    joined.withColumn("starts", starts)
-      .where(size(col("starts")) > 0)
-      .select(col("doc_id"), col("dl"),
-        size(col("starts")).cast("long").as("n_occ"),
-        element_at(col("starts"), 1).cast("long").as("first_pos"))
+    slotMatches(bm25PostingsScan(s, base, slotTerms.distinct, asOf,
+      withPositions = true).pinned, slotTerms, condFor)
   }
 
   /** Proximity search off the positional index — the unordered
@@ -314,6 +298,68 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       i => s"exists(ps$i, q -> abs(q - p) <= $window)", asOf)
       .select(col("doc_id"), col("n_occ").as("n_anchors"),
         col("first_pos"))
+  }
+
+  /** Batched phrase matching — the batch-serving contract
+    * ([[bm25TopKIndexedBatch]]) applied to the positional family: a
+    * retrieval evaluation runs thousands of phrase queries, and
+    * per-phrase serves would re-list and re-open the same segment
+    * files per query, while the batch touches the index ONCE for the
+    * union of every phrase's terms. `phrases` is a driver-side
+    * literal batch (query-bounded by construction, like the terms of
+    * every serve); each phrase's slot intersection and anchor filter
+    * then ride the one pinned scan, and for every query_id the rows
+    * equal `phraseOccurrencesIndexed(path, its phrase)` (the parity
+    * the spec pins). Output (query_id, doc_id, n_occ, first_pos). */
+  def phraseOccurrencesIndexedBatch(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      phrases: Seq[(Long, Seq[String])],
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
+    require(phrases.nonEmpty, "phrase batch must be non-empty")
+    require(phrases.map(_._1).distinct.size == phrases.size,
+      "query_ids must be distinct")
+    phrases.foreach { case (_, p) =>
+      require(p.nonEmpty && p.forall(_.nonEmpty),
+        "every phrase must be a non-empty sequence of non-empty tokens")
+    }
+    val base = EmbeddingOps.snapshotRoot(s, path, asOf)
+    require(bm25Positional(s, base),
+      s"index at $path stores no positions — positional serving " +
+        "needs a positional build: bm25IndexWrite(..., positional = " +
+        "true)")
+    val union = phrases.flatMap(_._2).distinct
+    val posts = bm25PostingsScan(s, base, union, asOf,
+      withPositions = true).pinned
+    phrases.map { case (qid, phrase) =>
+      slotMatches(posts, phrase, i => s"array_contains(ps$i, p + $i)")
+        .select(lit(qid).as("query_id"), col("doc_id"), col("n_occ"),
+          col("first_pos"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** The slot-intersection + anchor-filter core shared by every
+    * positional serve: one frame per slot off the (already pruned and
+    * pinned) postings, joined on doc_id, anchors kept where
+    * `condFor(i)` holds for every later slot. Output (doc_id, dl,
+    * n_occ, first_pos). */
+  private def slotMatches(posts: DataFrame, slotTerms: Seq[String],
+      condFor: Int => String): DataFrame = {
+    val slots = slotTerms.zipWithIndex.map { case (w, i) =>
+      posts.where(col("word") === w)
+        .select(col("doc_id") +:
+          (if (i == 0) Seq(col("dl"), col("ps").as("ps0"))
+          else Seq(col("ps").as(s"ps$i"))): _*)
+    }
+    val joined = slots.reduce(_.join(_, Seq("doc_id")))
+    val starts =
+      if (slotTerms.size == 1) col("ps0")
+      else expr("filter(ps0, p -> " +
+        (1 until slotTerms.size).map(condFor).mkString(" AND ") + ")")
+    joined.withColumn("starts", starts)
+      .where(size(col("starts")) > 0)
+      .select(col("doc_id"), col("dl"),
+        size(col("starts")).cast("long").as("n_occ"),
+        element_at(col("starts"), 1).cast("long").as("first_pos"))
   }
 
   /** Snippet extraction over phrase matches — the user-facing tail

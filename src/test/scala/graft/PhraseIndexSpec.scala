@@ -132,6 +132,31 @@ class PhraseIndexSpec extends SparkSpec {
     }
   }
 
+  test("the batched phrase serve equals the single-phrase serve per " +
+    "query, including an unmatched phrase contributing zero rows") {
+    val idx = freshDir("phr_batch")
+    TextOps.bm25IndexWrite(docs, idx, positional = true)
+    val batch = Seq(1L -> Seq("order", "fast"),
+      2L -> Seq("big", "order", "scan"), 3L -> Seq("vector"),
+      4L -> Seq("order", "zzz_nonexistent"))
+    val got = TextOps.phraseOccurrencesIndexedBatch(spark, idx, batch)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq)
+      .toMap
+    batch.foreach { case (qid, phrase) =>
+      val single = TextOps.phraseOccurrencesIndexed(spark, idx, phrase)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      assert(got.getOrElse(qid, Seq.empty) === single,
+        s"batch row set for query $qid must equal the single serve")
+    }
+    assert(!got.contains(4L),
+      "an unmatched phrase must contribute zero rows")
+    assert(got.keySet === Set(1L, 2L, 3L))
+  }
+
   test("phraseSnippetsIndexed clamps the context window at both " +
     "document edges and matches the corpus brute force") {
     val fixture = docsDf(Seq(
