@@ -23,6 +23,29 @@ private[graft] object SuiteMLShared {
   private[graft] val idxCache =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Run a REAL bounded ingest stream for the streamed-index gate
+    * rows: each slice lands as one parquet file, a file source with
+    * `maxFilesPerTrigger=1` replays them as separate micro-batches,
+    * and `AvailableNow` drains them in one call. The sink is the
+    * exactly-once index ingest door under test — the gate row's serve
+    * then answers off segments a real streaming query appended. */
+  private[graft] def streamInto(s: org.apache.spark.sql.SparkSession,
+      slices: Seq[org.apache.spark.sql.DataFrame], scratch: String,
+      sink: (org.apache.spark.sql.DataFrame, String) =>
+        org.apache.spark.sql.streaming.DataStreamWriter[
+          org.apache.spark.sql.Row]): Unit = {
+    val srcDir = s"$scratch/stream_src"
+    slices.foreach(_.coalesce(1).write.mode("append").parquet(srcDir))
+    val q = sink(
+        s.readStream.schema(slices.head.schema)
+          .option("maxFilesPerTrigger", "1").parquet(srcDir),
+        s"$scratch/stream_ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    require(q.awaitTermination(180000L),
+      "gate-row ingest stream did not finish in time")
+  }
+
   /** Snapshot tokens captured mid-history by the as-of serving rows:
     * the build lambda records the token between mutations (build ->
     * capture -> append -> delete), keyed like [[idxCache]], so the

@@ -1362,6 +1362,29 @@ private[graft] object SuiteMLText {
       },
       Some(bm25IndexedSql("TRUE"))),
 
+    // ---- retrieval: BM25 served from a STREAM-INGESTED index -------------
+    // (continuous ingestion driver-checked: seed build over the
+    // % 3 = 0 slice, then a real bounded streaming query appends the
+    // other two slices as micro-batch postings+totals segments
+    // through Streams.bm25IngestSink — the exactly-once foreachBatch
+    // door. Streamed serving must equal the one-root build over the
+    // union, so the oracle is text_bm25_indexed's replay verbatim)
+    Q("text_bm25_streamed",
+      (s, d) => {
+        val dir = cachedIndex("bm25_streamed", d, p => {
+          val all = docs(s, d)
+          TextOps.bm25IndexWrite(
+            all.where(col("doc_id") % 3 === 0), s"$p/ix")
+          streamInto(s,
+            Seq(1, 2).map(i => all.where(col("doc_id") % 3 === i)),
+            p,
+            (src, ckpt) => graft.streaming.Streams
+              .bm25IngestSink(src, s"$p/ix", ckpt))
+        })
+        TextOps.bm25TopKIndexed(s, s"$dir/ix", Bm25Terms)
+      },
+      Some(bm25IndexedSql("TRUE"))),
+
     // ---- retrieval: exact phrase match off the POSITIONAL index ----------
     // (positional postings opt in at build; serving intersects the
     // phrase terms' posting lists on doc_id and filters slot-0

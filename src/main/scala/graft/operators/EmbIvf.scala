@@ -150,7 +150,8 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     * when dedup/mutation protection matters), and one appender at a
     * time per index root. */
   def ivfIndexAppend(emb: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      stamp: String => Unit = _ => ()): Unit = {
     val s = emb.sparkSession
     val cents = s.read.parquet(s"$path/centroids")
     val e = quantized(emb).pinned
@@ -163,7 +164,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     appendSegment(s, path, "lists",
       staged => assigned.write.partitionBy("cell")
         .mode("overwrite").parquet(staged),
-      failpoint)
+      failpoint, stamp)
   }
 
   /** [[pqIndexWriteWith]] for the IVF family: shards assign against

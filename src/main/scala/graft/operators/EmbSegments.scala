@@ -87,10 +87,18 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   /** Append one staged segment to an index root: clear crashed
     * leftovers, write via `writeSeg` into a hidden staging dir, rename
     * it visible, commit the next manifest generation. `failpoint`
-    * instruments the two crash windows for the recovery spec. */
+    * instruments the two crash windows for the recovery spec.
+    * `stamp` (optional) writes provenance files into the STAGED dir —
+    * they publish atomically with the segment rename, which is what
+    * lets the streaming ingest sink make its replay check part of the
+    * manifest commit instead of a second, non-atomic write (see
+    * [[graft.streaming.Streams.indexIngestBatch]]). Underscore-named
+    * files inside a segment directory are invisible to parquet
+    * readers, so a stamp never changes what serving scans. */
   private[operators] def appendSegment(s: org.apache.spark.sql.SparkSession,
       path: String, dataDir: String,
-      writeSeg: String => Unit, failpoint: String => Unit): Unit = {
+      writeSeg: String => Unit, failpoint: String => Unit,
+      stamp: String => Unit = _ => ()): Unit = {
     val (fs, root) = fsFor(s, path)
     val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
     val (gen, segs) = committedSegs(fs, metaDir)
@@ -106,6 +114,7 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     if (fs.exists(staged)) fs.delete(staged, true)
     if (fs.exists(dest)) fs.delete(dest, true)
     writeSeg(staged.toString)
+    stamp(staged.toString)
     failpoint("staged-written")
     require(fs.rename(staged, dest),
       s"could not publish index segment $dest (staged at $staged)")
@@ -193,7 +202,7 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     readLongMarker(fs, new org.apache.hadoop.fs.Path(root, "_epoch"))
       .getOrElse(0L)
 
-  private def readLongMarker(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def readLongMarker(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): Option[Long] =
     if (!fs.exists(p)) None
     else {
@@ -225,7 +234,7 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     * Every LIVE-root marker write (epoch bump, sweep stamp, retention
     * knob) routes through here; markers inside a STAGED tree may
     * write in place (nothing reads a hidden staging dir). */
-  private def writeMarkerAtomic(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def writeMarkerAtomic(fs: org.apache.hadoop.fs.FileSystem,
       dest: org.apache.hadoop.fs.Path, content: String): Unit = {
     val tmp = new org.apache.hadoop.fs.Path(dest.getParent,
       s".${dest.getName}.marker-tmp")
@@ -236,6 +245,46 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       fs.delete(dest, false)
       require(fs.rename(tmp, dest),
         s"could not publish marker $dest (staged at $tmp)")
+    }
+  }
+
+  /** Refuse maintenance while a bound streaming-ingest run has an
+    * IN-FLIGHT batch: the sink stamps each segment it appends with
+    * `_ingest-b<id>` (atomic with the manifest commit) and advances
+    * `_ingest/hwm` after; a stamp past the high-water mark on the
+    * NEWEST committed segment means the stream crashed between the
+    * two writes and its restart will resolve the batch by finding the
+    * stamp. A compaction in that window would rewrite the segment and
+    * erase the stamp, so the restarted stream would re-append the
+    * batch — duplicate documents, silently. Loud refusal instead;
+    * restarting the stream (or replaying its last batch) clears it. */
+  private[graft] def requireIngestResolved(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, path: String,
+      canonicalDir: String): Unit = {
+    if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_ingest"))) return
+    val hwm = readLongMarker(fs,
+      new org.apache.hadoop.fs.Path(root, "_ingest/hwm")).getOrElse(-1L)
+    val (gen, segs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
+    if (gen < 0 || segs.isEmpty) return
+    val segDir = new org.apache.hadoop.fs.Path(root,
+      s"$canonicalDir/seg=${segs.max}")
+    if (!fs.exists(segDir)) return
+    fs.listStatus(segDir).map(_.getPath.getName)
+      .filter(_.startsWith("_ingest-b"))
+      .flatMap(n =>
+        scala.util.Try(n.stripPrefix("_ingest-b").toLong).toOption)
+      .filter(_ > hwm).sorted.lastOption.foreach { b =>
+      throw new IllegalStateException(
+        s"index root $path has an in-flight streaming-ingest batch " +
+          s"b$b: the newest committed segment is stamped past the " +
+          s"high-water mark " +
+          (if (hwm < 0) "(none)" else s"b$hwm") +
+          ". The bound ingest stream stopped between its segment " +
+          "commit and its progress write; restart that stream (its " +
+          "replay resolves the batch idempotently) before compacting " +
+          "or merging this root.")
     }
   }
 
@@ -422,6 +471,20 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       try out.write(retain.toString.getBytes("UTF-8"))
       finally out.close()
     }
+    // the streaming-ingest binding (run marker + high-water mark)
+    // rides the swap too: a compaction between two runs of the same
+    // ingest stream must not reset replay tracking — a reset would
+    // make a restarted stream re-append every batch the checkpoint
+    // still replays. Content responsibility stays with the operator
+    // exactly as with `_retain`: a swap that DROPS previously-folded
+    // documents (a rebuild from different data) should clear `_ingest`
+    // explicitly along with the checkpoint.
+    val ingest = new org.apache.hadoop.fs.Path(root, "_ingest")
+    if (fs.exists(ingest) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(tmp, "_ingest")))
+      org.apache.hadoop.fs.FileUtil.copy(fs, ingest, fs,
+        new org.apache.hadoop.fs.Path(tmp, "_ingest"), false,
+        fs.getConf)
     failpoint("staged-written")
     pruneRetired(fs, root, if (retireOld) retain - 1 else retain)
     failpoint("pruned")
@@ -870,6 +933,10 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     val (gen, segs) = committedSegs(fs, metaDir)
     require(gen >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — not an index root")
+    // a compaction would erase the replay stamp an in-flight ingest
+    // batch left on the newest segment — refuse until the bound
+    // stream resolves it (see requireIngestResolved)
+    requireIngestResolved(fs, root, path, dataDir)
     val (dg, dsegs) =
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
     val hasDels = dg >= 0 && dsegs.nonEmpty
@@ -1064,6 +1131,13 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
             "holds forgotten payload whose at-rest deletion is owed " +
             "to its next compaction, and the sweep stamp does not " +
             "survive a merge — compact the source first")
+        // a source with an in-flight ingest batch merges its stamp
+        // into a dest the stream is not bound to — the restarted
+        // stream could then re-append the batch into the (gone)
+        // source path or silently lose it; refuse until resolved.
+        // Note the merged DEST carries no `_ingest` binding: the
+        // sources' streams end with the claim, by contract.
+        requireIngestResolved(fs, base, base.toString, dataDirs.head)
       }
       validate(resolved.map(_.toString))
       failpoint("validated")

@@ -178,22 +178,25 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
     * (route ingestion through a registry when mutation protection
     * matters), one appender at a time. */
   def phashIndexAppend(media: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit =
-    bandedIndexAppend(imageHashBands(media), path, failpoint)
+      failpoint: String => Unit = _ => (),
+      stamp: String => Unit = _ => ()): Unit =
+    bandedIndexAppend(imageHashBands(media), path, failpoint, stamp)
 
   /** [[phashIndexAppend]] for an audio index root. */
   def audioIndexAppend(media: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit =
-    bandedIndexAppend(audioHashBands(media), path, failpoint)
+      failpoint: String => Unit = _ => (),
+      stamp: String => Unit = _ => ()): Unit =
+    bandedIndexAppend(audioHashBands(media), path, failpoint, stamp)
 
   private def bandedIndexAppend(hashed: DataFrame, path: String,
-      failpoint: String => Unit): Unit = {
+      failpoint: String => Unit,
+      stamp: String => Unit = _ => ()): Unit = {
     val s = hashed.sparkSession
     val nBuckets = phashParams(s, path)
     EmbeddingOps.appendSegment(s, path, "bands",
       staged =>
         writePhashSeg(s, bandedRows(hashed, nBuckets), staged),
-      failpoint)
+      failpoint, stamp)
   }
 
   /** Delete images from the index — the tombstone protocol keyed by

@@ -130,7 +130,8 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * segment). Not registry-guarded: compose with an upstream dedup
     * gate for at-least-once feeds. */
   def bm25IndexAppend(docs: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      stamp: String => Unit = _ => ()): Unit = {
     val s = docs.sparkSession
     val (fs, root) = EmbeddingOps.fsFor(s, path)
     val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
@@ -154,8 +155,13 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       require(fs.rename(staged, dest),
         s"could not publish index segment $dest (staged at $staged)")
     }
-    stage("postings", p => postings.repartition(col("tb"))
-      .write.partitionBy("tb").mode("overwrite").parquet(p))
+    // the stamp rides the POSTINGS dir — the family's canonical data
+    // dir, the one the ingest sink's replay check reads
+    stage("postings", p => {
+      postings.repartition(col("tb"))
+        .write.partitionBy("tb").mode("overwrite").parquet(p)
+      stamp(p)
+    })
     stage("totals", p => totals.write.mode("overwrite").parquet(p))
     failpoint("segments-renamed")
     EmbeddingOps.commitGen(fs, metaDir, gen + 1, segs :+ segId)
@@ -552,6 +558,10 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     val (gen, segs) = EmbeddingOps.committedSegs(fs, metaDir)
     require(gen >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — not an index root")
+    // same in-flight-ingest guard as the generic compaction path:
+    // rewriting the newest segment would erase a replay stamp the
+    // bound stream still needs (EmbeddingOps.requireIngestResolved)
+    EmbeddingOps.requireIngestResolved(fs, root, path, "postings")
     val (dg, dsegs) = EmbeddingOps.committedSegs(fs,
       new org.apache.hadoop.fs.Path(root, "_dels"))
     val hasDels = dg >= 0 && dsegs.nonEmpty
@@ -690,11 +700,12 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * (route ingestion through a registry when mutation protection
     * matters), one appender at a time. */
   def minhashIndexAppend(docs: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      stamp: String => Unit = _ => ()): Unit = {
     val s = docs.sparkSession
     EmbeddingOps.appendSegment(s, path, "docs",
       staged => writeSegWithStats(s, minhashIndexRows(docs), staged),
-      failpoint)
+      failpoint, stamp)
   }
 
   /** Merge independently-built MinHash index roots into one serving

@@ -1,0 +1,195 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+
+import graft.operators.{EmbeddingOps, Multimodal, TextOps}
+
+/** Streaming ingestion into the persisted serving indexes — the
+  * "canonical incremental path" the additive-fold docs point at
+  * (each micro-batch lands as one O(batch) immutable index segment),
+  * here made EXACTLY-ONCE under foreachBatch's at-least-once replay.
+  *
+  * The append doors themselves are deliberately not replay-guarded
+  * ("compose with an upstream dedup gate"); this sink is that gate
+  * for the batch-identity dimension: a REPLAYED micro-batch must not
+  * append a second copy of its segment. Content identity (the same
+  * doc arriving in two different batches) stays with the fold
+  * registries ([[Streams.dedupExactSink]] et al.), exactly as the
+  * reference pipeline separates its watermark sync point from its
+  * upsert keys (`load_to_dw.py`'s staged MERGE; see SURVEY.md §2.9).
+  *
+  * Replay protocol, per micro-batch `b` against index root `R`:
+  *
+  *  1. BIND: `R/_ingest/run` must carry this stream's checkpoint
+  *     query id (claimed atomically on first contact; any other id
+  *     refuses — an index root accepts segments from ONE ingest
+  *     stream, the single-writer contract made loud).
+  *  2. FAST SKIP: `b <= R/_ingest/hwm` means the batch fully
+  *     committed (segment AND progress) — no-op.
+  *  3. CRASH-WINDOW RESOLVE: the append stamps `_ingest-b<b>` into
+  *     the STAGED segment dir, so the stamp publishes atomically
+  *     with the manifest commit (the segment protocol's one
+  *     linearization point). If the NEWEST committed segment carries
+  *     this batch's stamp, the previous attempt died between its
+  *     manifest commit and its progress write — advance `hwm` and
+  *     stop. No second segment, ever.
+  *  4. APPEND + ADVANCE: otherwise append (stamped), then publish
+  *     `hwm = b` via the atomic marker write.
+  *
+  * Scale shape: steps 1–3 are O(1) driver-side filesystem metadata
+  * (two marker reads, one directory list of the newest segment — no
+  * Spark job); step 4 is the family append's documented O(batch)
+  * cost. State on the root is two small files plus one hidden stamp
+  * file per segment; nothing grows with corpus size.
+  *
+  * Maintenance interop: the binding and high-water mark ride
+  * full-tree swaps (see [[graft.operators.EmbeddingOps
+  * .publishStaged]]'s `_ingest` carry), so compacting between two
+  * runs of the same stream is transparent. Compaction and merge
+  * REFUSE while a crash-window batch is unresolved
+  * ([[graft.operators.EmbeddingOps.requireIngestResolved]]) — the
+  * segment rewrite would erase the stamp step 3 depends on. */
+private[graft] trait IndexIngestSinks { this: Streams.type =>
+
+  /** Exactly-once streaming appends into a persisted MinHash near-dup
+    * index root (built by `TextOps.minhashIndexWrite`): each
+    * micro-batch lands as one `docs` segment with its `_bstats`
+    * sidecar, serving picks it up at the manifest commit. */
+  def minhashIngestSink(docs: DataFrame, indexRoot: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    indexIngestSinkOf(docs, indexRoot, checkpointLocation, "docs")(
+      (b, stamp) => TextOps.minhashIndexAppend(b, indexRoot,
+        stamp = stamp))
+
+  /** Exactly-once streaming appends into a persisted BM25 index root
+    * (built by `TextOps.bm25IndexWrite`; the stored layout — bucket
+    * modulus, positional flag — applies to every streamed segment). */
+  def bm25IngestSink(docs: DataFrame, indexRoot: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    indexIngestSinkOf(docs, indexRoot, checkpointLocation, "postings")(
+      (b, stamp) => TextOps.bm25IndexAppend(b, indexRoot,
+        stamp = stamp))
+
+  /** Exactly-once streaming appends into a persisted perceptual-hash
+    * image index root (built by `Multimodal.phashIndexWrite`). */
+  def phashIngestSink(media: DataFrame, indexRoot: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    indexIngestSinkOf(media, indexRoot, checkpointLocation, "bands")(
+      (b, stamp) => Multimodal.phashIndexAppend(b, indexRoot,
+        stamp = stamp))
+
+  /** [[phashIngestSink]] for an audio fingerprint index root. */
+  def audioIngestSink(media: DataFrame, indexRoot: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    indexIngestSinkOf(media, indexRoot, checkpointLocation, "bands")(
+      (b, stamp) => Multimodal.audioIndexAppend(b, indexRoot,
+        stamp = stamp))
+
+  /** Exactly-once streaming appends into a persisted IVF vector index
+    * root (built by `EmbeddingOps.ivfIndexWrite`; batches assign
+    * against the stored centroids — the fixed-quantizer `add`). */
+  def ivfIngestSink(emb: DataFrame, indexRoot: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "lists")(
+      (b, stamp) => EmbeddingOps.ivfIndexAppend(b, indexRoot,
+        stamp = stamp))
+
+  private def indexIngestSinkOf(rows: DataFrame, indexRoot: String,
+      checkpointLocation: String, canonicalDir: String)
+      (append: (DataFrame, String => Unit) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    rows.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        indexIngestBatch(batch.toDF(), batchId, indexRoot,
+          checkpointQueryId(
+            batch.sparkSession.sparkContext.hadoopConfiguration,
+            checkpointLocation),
+          canonicalDir)(append)
+      }
+
+  /** One micro-batch of the ingest protocol (the foreachBatch body,
+    * exposed so the recovery spec can drive explicit batch ids
+    * through every crash window). `failpoint` fires `"appended"`
+    * between the segment commit and the progress write — THE window
+    * the stamp protocol exists for. */
+  private[graft] def indexIngestBatch(batch: DataFrame, batchId: Long,
+      indexRoot: String, queryId: String, canonicalDir: String,
+      failpoint: String => Unit = _ => ())
+      (append: (DataFrame, String => Unit) => Unit): Unit = {
+    val s = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val (gen, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $indexRoot/_segs — build the index " +
+        "first (the ingest sink appends to an existing root)")
+    bindIngest(fs, root, indexRoot, queryId)
+    val hwmPath = new org.apache.hadoop.fs.Path(root, "_ingest/hwm")
+    val hwm = EmbeddingOps.readLongMarker(fs, hwmPath).getOrElse(-1L)
+    if (batchId <= hwm) return // replayed AND fully committed
+    // crash-window resolve: the previous attempt's append committed
+    // (the stamp published with the manifest) but its progress write
+    // did not land — finishing IS the progress write
+    val stamped = fs.exists(new org.apache.hadoop.fs.Path(root,
+      s"$canonicalDir/seg=${segs.max}/_ingest-b$batchId"))
+    if (!stamped) {
+      // an EMPTY replayed batch appends nothing, so it leaves no
+      // stamp; advancing hwm alone is its whole commit. (Appending a
+      // zero-row segment would also poison families whose compaction
+      // infers schema from data files.)
+      if (!batch.isEmpty)
+        append(batch, staged => {
+          val out = fs.create(new org.apache.hadoop.fs.Path(staged,
+            s"_ingest-b$batchId"), true)
+          out.close()
+        })
+      failpoint("appended")
+    }
+    EmbeddingOps.writeMarkerAtomic(fs, hwmPath, batchId.toString)
+  }
+
+  /** Bind an index root to its ONE ingest stream: verify the existing
+    * `_ingest/run` marker, or claim an unbound root (unique tmp +
+    * rename + read-back, the [[bindRun]] claim discipline — neither a
+    * crash mid-claim nor a concurrent claimant can leave two streams
+    * both believing they own the root). */
+  private def bindIngest(fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, indexRoot: String,
+      queryId: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, "_ingest")
+    val marker = new org.apache.hadoop.fs.Path(dir, "run")
+    def verify(): Unit = {
+      val owner = readUtf8(fs, marker)
+      require(owner == queryId,
+        s"index root $indexRoot is bound to ingest stream '$owner', " +
+          s"not '$queryId'. The checkpoint was recreated or another " +
+          "stream targets this root; an index accepts segments from " +
+          "ONE ingest stream. Resume with the original checkpoint, " +
+          "or clear _ingest after verifying no replay is pending.")
+    }
+    if (fs.exists(marker)) { verify(); return }
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, "hwm")),
+      s"index root $indexRoot has ingest progress but no run marker " +
+        "— an earlier stream's binding was partially cleared. " +
+        "Restore or clear the whole _ingest directory.")
+    fs.mkdirs(dir)
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      ".run.tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, false)
+    try out.write(queryId.getBytes("UTF-8"))
+    finally out.close()
+    // rename may succeed-by-overwrite on some filesystems and fail on
+    // others when racing another claimant — the read-back of the
+    // SURVIVING marker decides ownership either way
+    fs.rename(tmp, marker)
+    if (fs.exists(tmp)) fs.delete(tmp, false)
+    verify()
+  }
+}

@@ -17,7 +17,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * watermark so state is evicted as event time advances — mandatory for
   * an unbounded run at scale.
   */
-object Streams {
+object Streams extends IndexIngestSinks {
 
   /** Late/duplicate protection (§2.9): event-time watermark + keyed
     * dedup — the streaming form of the reference's (track_id,
@@ -243,7 +243,7 @@ object Streams {
     * into `_run`, and every batch requires it to match. */
   private val RunMarker = "_run"
 
-  private def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
+  private[streaming] def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
       p: org.apache.hadoop.fs.Path): String = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
@@ -258,7 +258,7 @@ object Streams {
     * path-string comparison would neither catch that (silent state
     * reset) nor survive an equivalent respelling of the same location
     * (spurious kill). */
-  private def checkpointQueryId(
+  private[streaming] def checkpointQueryId(
       conf: org.apache.hadoop.conf.Configuration,
       checkpointLocation: String): String = {
     val meta = new org.apache.hadoop.fs.Path(

@@ -1,0 +1,236 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{EmbeddingOps, TextOps}
+import graft.streaming.Streams
+
+/** Exactly-once streaming ingestion into the persisted serving
+  * indexes ([[Streams.minhashIngestSink]] et al.): a real file-source
+  * stream must converge to the one-shot batch build, and the replay
+  * protocol must hold at every crash window — a replayed micro-batch
+  * never appends a second segment, a crash between the segment commit
+  * and the progress write resolves through the stamp, and maintenance
+  * refuses while that window is open. */
+class IndexIngestSpec extends SparkSpec {
+
+  private def fs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def segsOf(root: String): Seq[Int] =
+    EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))._2
+
+  private def hwmOf(root: String): Long =
+    EmbeddingOps.readLongMarker(fs,
+      new org.apache.hadoop.fs.Path(root, "_ingest/hwm")).getOrElse(-1L)
+
+  private def served(root: String, batch: DataFrame): Seq[String] =
+    TextOps.nearDupServe(spark, root, batch)
+      .collect().map(_.toString).sorted.toSeq
+
+  private def tmpDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag").toString
+
+  private def foldMinhash(root: String, batch: DataFrame, b: Long,
+      qid: String = "q-test",
+      failpoint: String => Unit = _ => ()): Unit =
+    Streams.indexIngestBatch(batch, b, root, qid, "docs", failpoint)(
+      (df, stamp) => TextOps.minhashIndexAppend(df, root, stamp = stamp))
+
+  test("streamed minhash ingest equals the one-shot build, exactly once across restarts") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val probe = docs.where(col("doc_id") % 5 === 0)
+
+    val root = tmpDir("ing_mh") + "/ix"
+    TextOps.minhashIndexWrite(stored.where(col("doc_id") % 3 === 0), root)
+
+    // two parquet files -> two micro-batches through a REAL stream
+    val streamDir = tmpDir("ing_stream")
+    Seq(1, 2).foreach(i => stored.where(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").parquet(streamDir))
+    val ckpt = tmpDir("ing_ckpt")
+    def run(): Unit = {
+      val q = Streams.minhashIngestSink(
+          spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(streamDir),
+          root, ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish in time")
+    }
+    run()
+
+    val oneShot = tmpDir("ing_ref") + "/ix"
+    TextOps.minhashIndexWrite(stored, oneShot)
+    assert(served(root, probe) == served(oneShot, probe),
+      "streamed index must serve exactly like the one-shot build")
+    val after = segsOf(root)
+    assert(after.size == 3, s"seed + 2 streamed segments, got $after")
+
+    // restart with the same checkpoint and no new data: the replayed
+    // run must leave the index byte-identical (no new segments)
+    run()
+    assert(segsOf(root) == after,
+      "a restarted stream with no new data must append nothing")
+    assert(served(root, probe) == served(oneShot, probe))
+  }
+
+  test("replayed and crash-window batches resolve without duplicate segments") {
+    val base = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a"),
+      (2L, "alpha beta gamma delta epsilon eta", "en", "a"),
+      (3L, "one two three four five six seven", "en", "b")))
+    val b0 = docsDf(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "c"),
+      (11L, "totally different words here apart entirely", "en", "c")))
+    val b1 = docsDf(Seq(
+      (20L, "one two three four five six seven", "en", "d")))
+    val probe = docsDf(Seq(
+      (90L, "alpha beta gamma delta epsilon zeta", "en", "p"),
+      (91L, "one two three four five six seven", "en", "p")))
+
+    val root = tmpDir("ing_replay") + "/ix"
+    TextOps.minhashIndexWrite(base, root)
+
+    foldMinhash(root, b0, 0L)
+    assert(hwmOf(root) == 0L)
+    val afterB0 = segsOf(root)
+    foldMinhash(root, b0, 0L) // replay of a fully-committed batch
+    assert(segsOf(root) == afterB0 && hwmOf(root) == 0L,
+      "a fully-committed replayed batch must be a no-op")
+
+    // crash between the segment commit and the progress write
+    final class Kill extends RuntimeException
+    intercept[Kill] {
+      foldMinhash(root, b1, 1L,
+        failpoint = t => if (t == "appended") throw new Kill)
+    }
+    assert(hwmOf(root) == 0L, "the crash left the progress write undone")
+    val afterCrash = segsOf(root)
+    assert(afterCrash.size == afterB0.size + 1,
+      "the crashed batch's segment DID commit")
+
+    foldMinhash(root, b1, 1L) // the restart's replay
+    assert(segsOf(root) == afterCrash,
+      "the replay must resolve through the stamp, never re-append")
+    assert(hwmOf(root) == 1L)
+
+    // an empty replay-slot batch advances progress without a segment
+    foldMinhash(root, docsDf(Seq.empty), 2L)
+    assert(segsOf(root) == afterCrash && hwmOf(root) == 2L)
+
+    val oneShot = tmpDir("ing_replay_ref") + "/ix"
+    TextOps.minhashIndexWrite(base.unionByName(b0).unionByName(b1),
+      oneShot)
+    assert(served(root, probe) == served(oneShot, probe),
+      "the resolved stream history must serve like the one-shot build")
+  }
+
+  test("an index root binds to one ingest stream") {
+    val base = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a")))
+    val root = tmpDir("ing_bind") + "/ix"
+    TextOps.minhashIndexWrite(base, root)
+    foldMinhash(root, base, 0L, qid = "q-A")
+
+    val e = intercept[IllegalArgumentException] {
+      foldMinhash(root, base, 1L, qid = "q-B")
+    }
+    assert(e.getMessage.contains("bound to ingest stream 'q-A'"))
+
+    // progress without a binding marker: a partially-cleared _ingest
+    // must refuse rather than silently rebind (and re-append)
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_ingest/run"), false)
+    val e2 = intercept[IllegalArgumentException] {
+      foldMinhash(root, base, 1L, qid = "q-B")
+    }
+    assert(e2.getMessage.contains("no run marker"))
+  }
+
+  test("maintenance refuses an unresolved in-flight batch; the binding survives compaction") {
+    val base = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a"),
+      (2L, "one two three four five six seven", "en", "b")))
+    val b0 = docsDf(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "c")))
+    val b1 = docsDf(Seq(
+      (20L, "one two three four five six seven", "en", "d")))
+    val probe = docsDf(Seq(
+      (90L, "alpha beta gamma delta epsilon zeta", "en", "p"),
+      (91L, "one two three four five six seven", "en", "p")))
+
+    val root = tmpDir("ing_maint") + "/ix"
+    TextOps.minhashIndexWrite(base, root)
+    final class Kill extends RuntimeException
+    intercept[Kill] {
+      foldMinhash(root, b0, 0L,
+        failpoint = t => if (t == "appended") throw new Kill)
+    }
+
+    // the stamp is past the high-water mark: compaction would erase
+    // it and the restarted stream would re-append the batch — refuse
+    val e = intercept[IllegalStateException] {
+      TextOps.minhashIndexCompact(spark, root)
+    }
+    assert(e.getMessage.contains("in-flight streaming-ingest batch b0"))
+
+    foldMinhash(root, b0, 0L) // the stream restart resolves it
+    assert(TextOps.minhashIndexCompact(spark, root) > 0,
+      "a resolved root must compact")
+
+    // the binding rode the swap: the same stream continues, replayed
+    // batches still skip, and new batches append
+    assert(hwmOf(root) == 0L, "the high-water mark must survive the swap")
+    foldMinhash(root, b0, 0L)
+    assert(segsOf(root).size == 1, "a pre-compaction batch must not re-append")
+    foldMinhash(root, b1, 1L)
+    assert(segsOf(root).size == 2 && hwmOf(root) == 1L)
+
+    val oneShot = tmpDir("ing_maint_ref") + "/ix"
+    TextOps.minhashIndexWrite(base.unionByName(b0).unionByName(b1),
+      oneShot)
+    assert(served(root, probe) == served(oneShot, probe))
+  }
+
+  test("bm25 ingest: streamed segments serve like the one-shot build, compaction guard included") {
+    val base = docsDf(Seq(
+      (1L, "spark shuffles partition data across executors", "en", "a"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en", "a")))
+    val b0 = docsDf(Seq(
+      (10L, "spark executors cache partition data in memory", "en", "b"),
+      (11L, "a lazy dog sleeps all day", "en", "b")))
+    val terms = Seq("spark", "partition", "dog")
+
+    val root = tmpDir("ing_bm25") + "/ix"
+    TextOps.bm25IndexWrite(base, root, nBuckets = 16)
+    def fold(b: Long, batch: DataFrame,
+        failpoint: String => Unit = _ => ()): Unit =
+      Streams.indexIngestBatch(batch, b, root, "q-bm25", "postings",
+        failpoint)(
+        (df, stamp) => TextOps.bm25IndexAppend(df, root, stamp = stamp))
+
+    final class Kill extends RuntimeException
+    intercept[Kill] {
+      fold(0L, b0, failpoint = t => if (t == "appended") throw new Kill)
+    }
+    val e = intercept[IllegalStateException] {
+      TextOps.bm25IndexCompact(spark, root)
+    }
+    assert(e.getMessage.contains("in-flight streaming-ingest batch b0"))
+    fold(0L, b0) // resolve
+    assert(hwmOf(root) == 0L && segsOf(root).size == 2)
+
+    val oneShot = tmpDir("ing_bm25_ref") + "/ix"
+    TextOps.bm25IndexWrite(base.unionByName(b0), oneShot, nBuckets = 16)
+    def top(p: String) = TextOps.bm25TopKIndexed(spark, p, terms)
+      .collect().map(_.toString).sorted.toSeq
+    assert(top(root) == top(oneShot),
+      "streamed bm25 segments must serve like the one-shot build")
+    assert(TextOps.bm25IndexCompact(spark, root) > 0)
+    assert(top(root) == top(oneShot),
+      "compaction must not change serving")
+  }
+}
