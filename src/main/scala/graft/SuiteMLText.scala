@@ -21,7 +21,8 @@ private[graft] object SuiteMLText {
     * `text_bm25_asof` (the capture-time build slice), so the pinned
     * serve's oracle IS the live serve's oracle over the smaller
     * corpus and the two replays cannot drift. */
-  private def bm25IndexedSql(pred: String): String =
+  private def bm25IndexedSql(pred: String,
+      termPred: String = s"word IN ($Bm25TermsSql)"): String =
     s"""WITH bsrc AS (SELECT doc_id, text FROM documents WHERE $pred),
       |dl AS (SELECT doc_id,
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
@@ -31,7 +32,7 @@ private[graft] object SuiteMLText {
       |tf AS (SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
       |       FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
       |             FROM bsrc)
-      |       WHERE word IN ($Bm25TermsSql) GROUP BY 1, 2),
+      |       WHERE $termPred GROUP BY 1, 2),
       |dfq AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
       |sc AS (SELECT doc_id, dl,
       |         CAST(length(bin(n_docs // df)) - 1 AS BIGINT) AS idf_q,
@@ -1361,6 +1362,33 @@ private[graft] object SuiteMLText {
         TextOps.bm25TopKIndexed(s, s"$dir/ix", Bm25Terms)
       },
       Some(bm25IndexedSql("TRUE"))),
+
+    // ---- retrieval: prefix query off the term dictionary -----------------
+    // (the Lucene MultiTermQuery rewrite: the prefix resolves against
+    // the per-segment `_tdict` sorted-vocabulary sidecar — row-group
+    // pruned, collect capped — and the resolved terms score as a
+    // disjunction through the standard (seg, tb)-pruned serve, each
+    // with its own df. The oracle swaps the literal IN-list for the
+    // same LIKE predicate over the replayed token stream)
+    Q("text_prefix_topk",
+      (s, d) => {
+        val idx = cachedIndex("bm25", d,
+          p => TextOps.bm25IndexWrite(docs(s, d), p))
+        TextOps.bm25TopKPrefix(s, idx, "s")
+      },
+      Some(bm25IndexedSql("TRUE", termPred = "word LIKE 's%'"))),
+
+    // ---- retrieval: wildcard query off the term dictionary ---------------
+    // (a leading-wildcard LIKE cannot row-group-prune the sorted
+    // dict, but the scan stays vocabulary-bounded — never a postings
+    // scan; serving is identical past resolution)
+    Q("text_wildcard_topk",
+      (s, d) => {
+        val idx = cachedIndex("bm25", d,
+          p => TextOps.bm25IndexWrite(docs(s, d), p))
+        TextOps.bm25TopKLike(s, idx, "%or%")
+      },
+      Some(bm25IndexedSql("TRUE", termPred = "word LIKE '%or%'"))),
 
     // ---- retrieval: BM25 served from a STREAM-INGESTED index -------------
     // (continuous ingestion driver-checked: seed build over the

@@ -64,6 +64,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     postings.repartition(col("tb"))
       .write.partitionBy("tb").mode("overwrite")
       .parquet(s"$tmp/postings/seg=0")
+    writeTermDict(s, s"$tmp/postings/seg=0")
     totals.write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
     val sess = s
     import sess.implicits._
@@ -119,6 +120,124 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     if (m < 0) m + nBuckets else m
   }
 
+  /** Per-segment sorted term dictionary — the Lucene term-dict idea
+    * rendered as a parquet sidecar (`postings/seg=N/_tdict/`): the
+    * segment's DISTINCT words, range-partitioned and sorted, so a
+    * prefix predicate prunes row groups via parquet min/max stats
+    * and a multi-term query (prefix, wildcard) resolves against the
+    * VOCABULARY (|distinct terms|) instead of scanning every postings
+    * bucket (|corpus tokens|). Derived by reading back the freshly
+    * written segment (column-pruned, no re-tokenization); lives
+    * inside the segment dir, so it rides the append/merge renames
+    * and regenerates at compaction like the other sidecars. */
+  private def writeTermDict(s: org.apache.spark.sql.SparkSession,
+      segDir: String): Unit =
+    s.read.parquet(segDir).select(col("word")).distinct()
+      .repartitionByRange(col("word"))
+      .sortWithinPartitions(col("word"))
+      .write.mode("overwrite").parquet(s"$segDir/_tdict")
+
+  /** Resolve every index term with the given prefix off the committed
+    * segments' `_tdict` sidecars. The collect is capped (the resolved
+    * terms become a literal IN-list downstream, so an unbounded match
+    * would pull the vocabulary onto the driver): over `cap` matches
+    * refuse loudly — narrow the prefix or raise the cap. Vocabulary
+    * drift contract matches the totals': tombstoned docs' words stay
+    * in the dictionary until compaction (serving them just finds no
+    * live postings). */
+  def termsMatchingPrefix(s: org.apache.spark.sql.SparkSession,
+      path: String, prefix: String, cap: Int = 1024,
+      asOf: Option[IndexSnapshot] = None): Seq[String] = {
+    require(prefix.nonEmpty,
+      "empty prefix matches the whole vocabulary — use the dictionary" +
+        " scan deliberately via termsMatchingLike(\"%\") if you mean it")
+    termsWhere(s, path, col("word").startsWith(prefix),
+      s"prefix '$prefix'", cap, asOf)
+  }
+
+  /** [[termsMatchingPrefix]] for an arbitrary SQL LIKE pattern.
+    * Leading-wildcard patterns cannot row-group-prune (the dict is
+    * sorted by word), but the scan is still vocabulary-bounded —
+    * never a postings scan. */
+  def termsMatchingLike(s: org.apache.spark.sql.SparkSession,
+      path: String, pattern: String, cap: Int = 1024,
+      asOf: Option[IndexSnapshot] = None): Seq[String] =
+    termsWhere(s, path, col("word").like(pattern),
+      s"LIKE pattern '$pattern'", cap, asOf)
+
+  private def termsWhere(s: org.apache.spark.sql.SparkSession,
+      path: String, pred: org.apache.spark.sql.Column, what: String,
+      cap: Int, asOf: Option[IndexSnapshot]): Seq[String] = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val base = EmbeddingOps.snapshotRoot(s, path, asOf)
+    val (fs, root) = EmbeddingOps.fsFor(s, base)
+    val segs = asOf match {
+      case Some(snap) => snap.dataSegs
+      case None =>
+        val (g, sg) = EmbeddingOps.committedSegs(fs,
+          new org.apache.hadoop.fs.Path(root, "_segs"))
+        require(g >= 0 && sg.nonEmpty,
+          s"no index manifest at $path/_segs — not an index root")
+        sg
+    }
+    val dictDirs = segs.map(k => s"$base/postings/seg=$k/_tdict")
+    dictDirs.foreach(d => require(
+      fs.exists(new org.apache.hadoop.fs.Path(d)),
+      s"no _tdict sidecar at $d — rebuild or compact the index with " +
+        "this version first"))
+    val got = s.read.parquet(dictDirs: _*).where(pred)
+      .select(col("word")).distinct()
+      .limit(cap + 1).collect().map(_.getString(0))
+    require(got.length <= cap,
+      s"more than $cap index terms match $what — narrow it or raise " +
+        "the cap (resolved terms serve as a literal IN-list; an " +
+        "unbounded match would collect the vocabulary)")
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(got.sorted)
+  }
+
+  /** BM25 over every index term matching a prefix — the Lucene
+    * MultiTermQuery rewrite: resolve the prefix against the term
+    * dictionary ([[termsMatchingPrefix]], vocabulary-bounded, capped),
+    * then score the resolved terms as a disjunction through the
+    * standard indexed serve, each with its own document frequency.
+    * Output is column-for-column [[bm25TopKIndexed]]; the postings
+    * scan carries the same static (seg, tb) pruning, now over the
+    * resolved terms' buckets. */
+  def bm25TopKPrefix(s: org.apache.spark.sql.SparkSession,
+      path: String, prefix: String, k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      cap: Int = 1024, asOf: Option[IndexSnapshot] = None): DataFrame =
+    bm25TopKResolved(s, path,
+      termsMatchingPrefix(s, path, prefix, cap, asOf),
+      k, k1Permille, bPermille, asOf)
+
+  /** [[bm25TopKPrefix]] for an arbitrary SQL LIKE pattern. */
+  def bm25TopKLike(s: org.apache.spark.sql.SparkSession,
+      path: String, pattern: String, k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      cap: Int = 1024, asOf: Option[IndexSnapshot] = None): DataFrame =
+    bm25TopKResolved(s, path,
+      termsMatchingLike(s, path, pattern, cap, asOf),
+      k, k1Permille, bPermille, asOf)
+
+  // a pattern matching NOTHING in the vocabulary serves an empty
+  // top-k frame (the literal-terms door requires non-empty terms —
+  // there a vacuous query is a caller bug; here it is a data outcome)
+  private def bm25TopKResolved(s: org.apache.spark.sql.SparkSession,
+      path: String, terms: Seq[String], k: Int, k1Permille: Long,
+      bPermille: Long, asOf: Option[IndexSnapshot]): DataFrame =
+    if (terms.nonEmpty)
+      bm25TopKIndexed(s, path, terms, k, k1Permille, bPermille, asOf)
+    else {
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      s.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("doc_id", LongType),
+          StructField("dl", LongType),
+          StructField("n_terms", LongType),
+          StructField("score_q", LongType))))
+    }
+
   /** Append a NEW batch of documents as one crash-atomic segment:
     * postings bucket under the STORED modulus, the batch's totals row
     * lands beside the prior segments' (collection stats accumulate by
@@ -156,10 +275,13 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         s"could not publish index segment $dest (staged at $staged)")
     }
     // the stamp rides the POSTINGS dir — the family's canonical data
-    // dir, the one the ingest sink's replay check reads
+    // dir, the one the ingest sink's replay check reads. The term
+    // dictionary stages INSIDE the dir too, so dict and postings
+    // publish in the same rename.
     stage("postings", p => {
       postings.repartition(col("tb"))
         .write.partitionBy("tb").mode("overwrite").parquet(p)
+      writeTermDict(s, p)
       stamp(p)
     })
     stage("totals", p => totals.write.mode("overwrite").parquet(p))
@@ -582,6 +704,9 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       live.repartition(col("tb"))
         .write.partitionBy("tb").mode("overwrite")
         .parquet(s"$tmp/postings/seg=0")
+      // the dictionary regenerates from the SURVIVING postings, so a
+      // compaction drops tombstoned docs' orphan vocabulary too
+      writeTermDict(s, s"$tmp/postings/seg=0")
       live.select(col("doc_id"), col("dl")).distinct()
         .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
         .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
