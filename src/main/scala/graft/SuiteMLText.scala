@@ -1376,7 +1376,9 @@ private[graft] object SuiteMLText {
           p => TextOps.bm25IndexWrite(docs(s, d), p))
         TextOps.bm25TopKPrefix(s, idx, "s")
       },
-      Some(bm25IndexedSql("TRUE", termPred = "word LIKE 's%'"))),
+      Some(bm25IndexedSql("TRUE", termPred = "word LIKE 's%'")),
+      // benched: the term-dict resolution + multi-term serve anchor
+      bench = true),
 
     // ---- retrieval: wildcard query off the term dictionary ---------------
     // (a leading-wildcard LIKE cannot row-group-prune the sorted
@@ -1389,6 +1391,21 @@ private[graft] object SuiteMLText {
         TextOps.bm25TopKLike(s, idx, "%or%")
       },
       Some(bm25IndexedSql("TRUE", termPred = "word LIKE '%or%'"))),
+
+    // ---- retrieval: fuzzy query off the term dictionary ------------------
+    // (the FuzzyQuery analog: every index term within one Levenshtein
+    // edit of the query spelling resolves off the dict — 'sow'
+    // reaches both 'row' and 'slow' — and the resolved terms score as
+    // a disjunction, each with its own df. DuckDB's levenshtein
+    // replays the same distance on the token stream)
+    Q("text_fuzzy_topk",
+      (s, d) => {
+        val idx = cachedIndex("bm25", d,
+          p => TextOps.bm25IndexWrite(docs(s, d), p))
+        TextOps.bm25TopKFuzzy(s, idx, "sow", maxDist = 1)
+      },
+      Some(bm25IndexedSql("TRUE",
+        termPred = "levenshtein(word, 'sow') <= 1"))),
 
     // ---- retrieval: BM25 served from a STREAM-INGESTED index -------------
     // (continuous ingestion driver-checked: seed build over the

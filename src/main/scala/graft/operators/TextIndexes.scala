@@ -165,6 +165,24 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     termsWhere(s, path, col("word").like(pattern),
       s"LIKE pattern '$pattern'", cap, asOf)
 
+  /** [[termsMatchingPrefix]] for approximate matching (the Lucene
+    * FuzzyQuery analog): every index term within `maxDist` Levenshtein
+    * edits of `term`. The dict scan cannot row-group-prune (edit
+    * distance has no sort-order locality) but a cheap length
+    * pre-filter (`abs(len(word) - len(term)) <= maxDist`, implied by
+    * the distance) skips the expensive DP for most of the vocabulary
+    * — and the scan stays vocabulary-bounded, never a postings scan. */
+  def termsMatchingFuzzy(s: org.apache.spark.sql.SparkSession,
+      path: String, term: String, maxDist: Int = 1, cap: Int = 1024,
+      asOf: Option[IndexSnapshot] = None): Seq[String] = {
+    require(term.nonEmpty, "fuzzy term must be non-empty")
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    termsWhere(s, path,
+      abs(length(col("word")) - lit(term.length)) <= maxDist &&
+        levenshtein(col("word"), lit(term)) <= maxDist,
+      s"term '$term' within $maxDist edits", cap, asOf)
+  }
+
   private def termsWhere(s: org.apache.spark.sql.SparkSession,
       path: String, pred: org.apache.spark.sql.Column, what: String,
       cap: Int, asOf: Option[IndexSnapshot]): Seq[String] = {
@@ -209,6 +227,18 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       cap: Int = 1024, asOf: Option[IndexSnapshot] = None): DataFrame =
     bm25TopKResolved(s, path,
       termsMatchingPrefix(s, path, prefix, cap, asOf),
+      k, k1Permille, bPermille, asOf)
+
+  /** [[bm25TopKPrefix]] for approximate term matching: score every
+    * index term within `maxDist` edits of `term` as a disjunction
+    * (each resolved term with its own df — a common typo variant
+    * ranks by ITS document frequency, not the query spelling's). */
+  def bm25TopKFuzzy(s: org.apache.spark.sql.SparkSession,
+      path: String, term: String, maxDist: Int = 1, k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      cap: Int = 1024, asOf: Option[IndexSnapshot] = None): DataFrame =
+    bm25TopKResolved(s, path,
+      termsMatchingFuzzy(s, path, term, maxDist, cap, asOf),
       k, k1Permille, bPermille, asOf)
 
   /** [[bm25TopKPrefix]] for an arbitrary SQL LIKE pattern. */

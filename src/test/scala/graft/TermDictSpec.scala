@@ -53,6 +53,24 @@ class TermDictSpec extends SparkSpec {
 
     // a prefix matching nothing serves an empty frame, not an error
     assert(TextOps.bm25TopKPrefix(spark, root, "zz").collect().isEmpty)
+
+    // fuzzy resolution: one edit reaches substitutions, insertions,
+    // and deletions; distance 0 is exact membership
+    assert(TextOps.termsMatchingFuzzy(spark, root, "sort") ==
+      Seq("sort"))
+    assert(TextOps.termsMatchingFuzzy(spark, root, "sord") ==
+      Seq("sort"))
+    assert(TextOps.termsMatchingFuzzy(spark, root, "windo") ==
+      Seq("window"))
+    assert(TextOps.termsMatchingFuzzy(spark, root, "ordered",
+      maxDist = 2) == Seq("order"))
+    assert(TextOps.termsMatchingFuzzy(spark, root, "scan",
+      maxDist = 0) == Seq("scan"))
+    assert(TextOps.termsMatchingFuzzy(spark, root, "qqq") == Seq.empty)
+    val byFuzzy = TextOps.bm25TopKFuzzy(spark, root, "sord")
+      .collect().map(_.toString).sorted
+    assert(byFuzzy.sameElements(TextOps.bm25TopKIndexed(spark, root,
+      Seq("sort")).collect().map(_.toString).sorted))
   }
 
   test("the dictionary follows the lifecycle: append adds vocabulary, compaction drops tombstoned orphans, merge carries shard dicts") {
