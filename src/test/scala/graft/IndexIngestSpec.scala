@@ -195,6 +195,48 @@ class IndexIngestSpec extends SparkSpec {
     assert(served(root, probe) == served(oneShot, probe))
   }
 
+  test("banded (phash) ingest: replayed and crash-window batches resolve; serving equals the one-shot build") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val media = graft.operators.Multimodal
+      .syntheticPngMedia(docs.where(col("doc_id") < 60)).localCheckpoint()
+    val seed = media.where(col("doc_id") % 3 === 0)
+    val b0 = media.where(col("doc_id") % 3 === 1)
+    val b1 = media.where(col("doc_id") % 3 === 2)
+    val probe = graft.operators.Multimodal.syntheticPngMedia(
+      docs.where(col("doc_id") >= 60 && col("doc_id") < 80))
+
+    val root = tmpDir("ing_phash") + "/ix"
+    graft.operators.Multimodal.phashIndexWrite(seed, root)
+    def fold(b: Long, batch: DataFrame,
+        failpoint: String => Unit = _ => ()): Unit =
+      Streams.indexIngestBatch(batch, b, root, "q-ph", "bands",
+        failpoint)(
+        (df, stamp) => graft.operators.Multimodal
+          .phashIndexAppend(df, root, stamp = stamp))
+
+    fold(0L, b0)
+    fold(0L, b0) // full replay: no-op
+    final class Kill extends RuntimeException
+    intercept[Kill] {
+      fold(1L, b1, failpoint = t => if (t == "appended") throw new Kill)
+    }
+    intercept[IllegalStateException] {
+      graft.operators.Multimodal.phashIndexCompact(spark, root)
+    }
+    fold(1L, b1) // resolve through the stamp
+    assert(segsOf(root).size == 3 && hwmOf(root) == 1L)
+
+    val oneShot = tmpDir("ing_phash_ref") + "/ix"
+    graft.operators.Multimodal.phashIndexWrite(media, oneShot)
+    def serve(p: String) = graft.operators.Multimodal
+      .phashNearDupServe(spark, p, probe)
+      .collect().map(_.toString).sorted.toSeq
+    assert(serve(root) == serve(oneShot),
+      "streamed banded segments must serve like the one-shot build")
+    assert(graft.operators.Multimodal.phashIndexCompact(spark, root) > 0)
+    assert(serve(root) == serve(oneShot))
+  }
+
   test("bm25 ingest: streamed segments serve like the one-shot build, compaction guard included") {
     val base = docsDf(Seq(
       (1L, "spark shuffles partition data across executors", "en", "a"),

@@ -90,5 +90,16 @@ class ServeJobCountSpec extends SparkSpec {
     }
     assert(warmBm <= 10,
       s"warm bm25TopKIndexed planned $warmBm jobs (expected <= 10)")
+
+    // multi-term family: resolution is ONE capped dict collect on
+    // top of the literal-terms serve — a second metadata job class
+    // (per-segment dict reads, unpinned totals) would blow this
+    val warmPrefix = countJobs {
+      TextOps.bm25TopKPrefix(spark, bmIdx, "t").collect(); ()
+    }
+    assert(warmPrefix <= warmBm + 4,
+      s"warm bm25TopKPrefix planned $warmPrefix jobs vs $warmBm for " +
+        "the literal serve — dict resolution should cost ~one " +
+        "collect, not a per-segment job class")
   }
 }
