@@ -208,6 +208,28 @@ object Bench {
           ()
         }
       }),
+      // size-tiered maintenance: the tail compaction's whole point is
+      // O(tail) IO — the fixture is one BIG seed segment (90% of the
+      // corpus) plus three small appended segments, and the timed
+      // call merges ONLY the three small ones. Its shuffle rows must
+      // stay an order of magnitude under maint_index_compact's
+      // full-rewrite anchor; creeping toward it means the tail door
+      // started reading the seed
+      ("maint_tail_compact", () => {
+        val root = tempFixtureDir("graft_bench_mhtail")
+          .resolve("idx").toString
+        val docs = Tables(spark, sfDir).documents
+        graft.operators.TextOps.minhashIndexWrite(
+          docs.where(col("doc_id") % 10 < 7), root)
+        (0 until 3).foreach(i =>
+          graft.operators.TextOps.minhashIndexAppend(
+            docs.where(col("doc_id") % 10 === 7 + i), root))
+        () => {
+          graft.operators.TextOps.minhashIndexCompactTail(spark, root,
+            maxSegments = 2)
+          ()
+        }
+      }),
       // the third maintenance surface: the BM25 compact is the most
       // intricate rewrite (postings consolidate AND the collection
       // totals recompute from surviving postings), so a regression

@@ -1392,6 +1392,27 @@ private[graft] object SuiteMLText {
       },
       Some(bm25IndexedSql("TRUE", termPred = "word LIKE '%or%'"))),
 
+    // ---- retrieval: BM25 served after TAIL compaction --------------------
+    // (size-tiered maintenance on the two-dir family: seed + four
+    // appended segments, then bm25IndexCompactTail merges the four
+    // smallest — postings, the merged totals row, and the merged
+    // `_tdict` all recompute from the tail only. Serving must equal
+    // the uncompacted chain, oracle verbatim)
+    Q("text_bm25_tail",
+      (s, d) => {
+        val dir = cachedIndex("bm25_tail", d, p => {
+          val all = docs(s, d)
+          TextOps.bm25IndexWrite(
+            all.where(col("doc_id") % 7 < 3), s"$p/ix")
+          (3 until 7).foreach(i => TextOps.bm25IndexAppend(
+            all.where(col("doc_id") % 7 === i), s"$p/ix"))
+          TextOps.bm25IndexCompactTail(s, s"$p/ix", maxSegments = 2)
+          ()
+        })
+        TextOps.bm25TopKIndexed(s, s"$dir/ix", Bm25Terms)
+      },
+      Some(bm25IndexedSql("TRUE"))),
+
     // ---- retrieval: fuzzy query off the term dictionary ------------------
     // (the FuzzyQuery analog: every index term within one Levenshtein
     // edit of the query spelling resolves off the dict — 'sow'

@@ -233,6 +233,18 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       df => df.repartition(col("cell"))
         .write.partitionBy("cell").mode("overwrite"))
 
+  /** Size-tiered tail compaction for the IVF index
+    * ([[tailCompactSegments]]): bounds the segment count by merging
+    * only the smallest segments, O(tail) IO — the big old list
+    * segments never rewrite. Cell partitioning preserved. */
+  def ivfIndexCompactTail(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int = 4,
+      failpoint: String => Unit = _ => ()): Int =
+    tailCompactSegments(s, path, "lists",
+      df => df.repartition(col("cell"))
+        .write.partitionBy("cell").mode("overwrite"),
+      maxSegments = maxSegments, failpoint = failpoint)
+
   /** Serve top-k from a PERSISTED index ([[ivfIndexWrite]]): queries
     * (vec_id, embedding) rank against the stored centroids
     * (broadcast, centroid-cardinality) and ONLY the probed cells'

@@ -991,6 +991,123 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     }
   }
 
+  /** SIZE-TIERED tail compaction — the LSM merge-policy half of
+    * maintenance that [[compactSegments]] (a full-corpus rewrite)
+    * cannot provide at scale: continuous ingestion accumulates many
+    * SMALL segments (each serve's IO carries a per-segment term —
+    * file opens, sidecar merges, per-seg pruning), and rewriting the
+    * whole corpus to fold them away is O(corpus) every time. This
+    * door bounds the segment count at `maxSegments` by merging only
+    * the SMALLEST `n - maxSegments + 1` segments into one — IO is
+    * O(tail bytes), the big old segments never rewrite. The classic
+    * trade, explicit here:
+    *
+    *  - `_dels` is NOT cleared (untouched segments still need
+    *    masking); the merged segment applies tombstones physically
+    *    for ITS rows only. A delete landing mid-compaction stays
+    *    correct WITHOUT fencing — its tombstones remain committed
+    *    and keep masking at serve time (only the full compaction,
+    *    which clears `_dels`, must fence against concurrent deletes).
+    *  - Consumed segment directories are NOT deleted in the same
+    *    call: all referenced-or-consumed dirs stay on disk, so
+    *    pre-compaction pinned snapshots keep serving byte-identically
+    *    (their seg IN-list still resolves) without any tree swap.
+    *    The NEXT tail compaction sweeps them — after bumping `_epoch`
+    *    (atomic marker) so outstanding tokens refuse LOUDLY instead
+    *    of silently reading a vanished segment. One tail-compaction
+    *    cycle of replay grace, mirroring `retainEpochs` = 1.
+    *  - A data append racing the manifest commit refuses at the
+    *    commit (generation re-check) — the single-maintainer window,
+    *    narrowed to the commit instant like the swap fence.
+    *
+    * Crash windows: before the merged rename — a hidden staging dir,
+    * replaced wholesale on retry; before the gen commit — an
+    * unreferenced visible dir, deleted by the retry (same id);
+    * between the sweep's epoch bump and its deletes — over-expiry
+    * only (tokens refuse early; dirs go on the retry). Returns the
+    * number of segments merged (0 = already within bound). */
+  private[operators] def tailCompactSegments(
+      s: org.apache.spark.sql.SparkSession,
+      path: String, dataDir: String,
+      writer: DataFrame => org.apache.spark.sql.DataFrameWriter[
+        org.apache.spark.sql.Row],
+      keyCol: String = "vec_id",
+      maxSegments: Int = 4,
+      failpoint: String => Unit = _ => (),
+      extraSeg: String => Unit = _ => (),
+      readSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Int = {
+    require(maxSegments >= 1,
+      s"maxSegments must be >= 1, got $maxSegments")
+    val (fs, root) = fsFor(s, path)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    val (gen, segs) = committedSegs(fs, metaDir)
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    requireIngestResolved(fs, root, path, dataDir)
+    val dir = new org.apache.hadoop.fs.Path(root, dataDir)
+    sweepUnreferencedSegs(fs, root, Seq(dir), segs.toSet, failpoint)
+    if (segs.size <= maxSegments) return 0
+    val tail = segs
+      .map(n => n -> fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(dir, s"seg=$n")).getLength)
+      .sortBy { case (n, bytes) => (bytes, n) }
+      .take(segs.size - maxSegments + 1).map(_._1)
+    val survivors = segs.filterNot(tail.toSet)
+    val segId = segs.max + 1
+    val staged =
+      new org.apache.hadoop.fs.Path(dir, s".seg-$segId.stage")
+    val dest = new org.apache.hadoop.fs.Path(dir, s"seg=$segId")
+    if (fs.exists(staged)) fs.delete(staged, true)
+    if (fs.exists(dest)) fs.delete(dest, true)
+    val reader0 = s.read.option("basePath", s"$path/$dataDir")
+    val rows = readSchema.fold(reader0)(reader0.schema)
+      .parquet(tail.sorted.map(k => s"$path/$dataDir/seg=$k"): _*)
+      .drop("seg")
+      .join(tombstones(s, path, keyCol), Seq(keyCol), "left_anti")
+    writer(rows).parquet(staged.toString)
+    extraSeg(staged.toString)
+    failpoint("tail-staged")
+    require(fs.rename(staged, dest),
+      s"could not publish merged tail segment $dest")
+    failpoint("tail-renamed")
+    // the commit refuses if ANY writer moved the data manifest while
+    // the tail was rewriting — committing would resurrect their
+    // appended segment's id or drop it from the listing
+    val (genNow, _) = committedSegs(fs, metaDir)
+    require(genNow == gen,
+      s"concurrent writer detected at $path: the _segs manifest " +
+        s"moved generation $gen -> $genNow during tail compaction — " +
+        "the single-maintainer window was violated; re-run.")
+    commitGen(fs, metaDir, gen + 1, (survivors :+ segId).sorted)
+    tail.size
+  }
+
+  /** The deferred half of [[tailCompactSegments]]: visible `seg=N`
+    * dirs the newest manifest no longer references are prior tails'
+    * consumed inputs, kept one cycle so pinned tokens could replay.
+    * Deleting them invalidates any still-outstanding token, so the
+    * `_epoch` bump publishes FIRST (atomic): tokens refuse loudly,
+    * never read a half-vanished view. */
+  private[operators] def sweepUnreferencedSegs(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      dirs: Seq[org.apache.hadoop.fs.Path], live: Set[Int],
+      failpoint: String => Unit): Unit = {
+    val unreferenced = dirs.filter(fs.exists).flatMap(dir =>
+      fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith("seg="))
+        .filter(p => scala.util.Try(
+          p.getName.stripPrefix("seg=").toInt).toOption
+          .exists(!live.contains(_))))
+    if (unreferenced.isEmpty) return
+    writeMarkerAtomic(fs, new org.apache.hadoop.fs.Path(root, "_epoch"),
+      (epochOf(fs, root) + 1).toString)
+    IndexMetaCache.invalidate(root.toString)
+    failpoint("sweep-epoch-bumped")
+    unreferenced.foreach(p => fs.delete(p, true))
+  }
+
   /** Merge N independently-built index roots into ONE serving root —
     * the scale-out build pattern's missing half. A 100 TB corpus
     * builds its index SHARD-PARALLEL: each corpus partition builds

@@ -228,6 +228,26 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       // on schema inference
       readSchema = Some(bandedStoredSchema))
 
+  /** Size-tiered tail compaction for a banded media root
+    * ([[graft.operators.EmbeddingOps.tailCompactSegments]]): bounds
+    * the segment count by merging only the smallest segments —
+    * bucket partitioning and the `_pstats` sidecar regenerate for the
+    * merged segment only; the big old segments never rewrite. */
+  def phashIndexCompactTail(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int = 4,
+      failpoint: String => Unit = _ => ()): Int =
+    EmbeddingOps.tailCompactSegments(s, path, "bands",
+      df => df.repartition(col("pb")).write.partitionBy("pb")
+        .mode("overwrite"),
+      keyCol = "doc_id", maxSegments = maxSegments,
+      failpoint = failpoint,
+      extraSeg = segDir => phashBandStats(
+          s.read.option("basePath", segDir).schema(bandedSegSchema)
+            .parquet(segDir)
+            .select(col("doc_id"), col("band_idx"), col("band_val")))
+        .write.mode("overwrite").parquet(s"$segDir/_pstats"),
+      readSchema = Some(bandedStoredSchema))
+
   // ---- family-neutral maintenance names --------------------------------
   // The maintenance doors operate on ANY banded media root (the image
   // aHash index and the audio fingerprint index share the layout), but
@@ -253,6 +273,12 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
   def bandedIndexStats(s: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     phashIndexStats(s, path)
+
+  /** [[phashIndexCompactTail]] under its family-neutral name. */
+  def bandedIndexCompactTail(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int = 4,
+      failpoint: String => Unit = _ => ()): Int =
+    phashIndexCompactTail(s, path, maxSegments, failpoint)
 
   /** Merge independently-built banded media index roots (image aHash
     * or audio fingerprint — any roots of ONE hash family) into a

@@ -1091,6 +1091,98 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
         .write.mode("overwrite").parquet(s"$segDir/_bstats"))
 
+  /** Size-tiered tail compaction for the BM25 index — the two-dir
+    * rendering of [[graft.operators.EmbeddingOps
+    * .tailCompactSegments]]'s contract: the smallest segments'
+    * postings merge into one (tombstones applied physically for the
+    * merged rows, `_dels` retained for the survivors), the merged
+    * segment's totals row and `_tdict` recompute from its surviving
+    * postings, and BOTH staged dirs publish under one manifest
+    * commit. O(tail) IO; the big old segments never rewrite —
+    * collection statistics stay exact because totals were per-segment
+    * sums all along (minus the usual tombstone-mass drift on the
+    * untouched segments). Consumed dirs sweep one cycle later with
+    * the epoch bump, exactly like the generic door. */
+  def bm25IndexCompactTail(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int = 4,
+      failpoint: String => Unit = _ => ()): Int = {
+    require(maxSegments >= 1,
+      s"maxSegments must be >= 1, got $maxSegments")
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    val (gen, segs) = EmbeddingOps.committedSegs(fs, metaDir)
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    EmbeddingOps.requireIngestResolved(fs, root, path, "postings")
+    val pDir = new org.apache.hadoop.fs.Path(root, "postings")
+    val tDir = new org.apache.hadoop.fs.Path(root, "totals")
+    EmbeddingOps.sweepUnreferencedSegs(fs, root, Seq(pDir, tDir),
+      segs.toSet, failpoint)
+    if (segs.size <= maxSegments) return 0
+    val tail = segs
+      .map(n => n -> fs.getContentSummary(
+        new org.apache.hadoop.fs.Path(pDir, s"seg=$n")).getLength)
+      .sortBy { case (n, bytes) => (bytes, n) }
+      .take(segs.size - maxSegments + 1).map(_._1)
+    val survivors = segs.filterNot(tail.toSet)
+    val segId = segs.max + 1
+    val live = s.read.option("basePath", s"$path/postings")
+      .parquet(tail.sorted.map(k => s"$path/postings/seg=$k"): _*)
+      .drop("seg")
+      .join(EmbeddingOps.tombstones(s, path, "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .pinned // postings rewrite + totals recompute, one read
+    def stage(dir: org.apache.hadoop.fs.Path,
+        write: String => Unit): org.apache.hadoop.fs.Path = {
+      val staged =
+        new org.apache.hadoop.fs.Path(dir, s".seg-$segId.stage")
+      if (fs.exists(staged)) fs.delete(staged, true)
+      val dest = new org.apache.hadoop.fs.Path(dir, s"seg=$segId")
+      if (fs.exists(dest)) fs.delete(dest, true)
+      write(staged.toString)
+      staged
+    }
+    val pStaged = stage(pDir, p => {
+      live.repartition(col("tb"))
+        .write.partitionBy("tb").mode("overwrite").parquet(p)
+      writeTermDict(s, p)
+    })
+    val tStaged = stage(tDir, p =>
+      live.select(col("doc_id"), col("dl")).distinct()
+        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+        .write.mode("overwrite").parquet(p))
+    failpoint("tail-staged")
+    Seq(pDir -> pStaged, tDir -> tStaged).foreach { case (dir, staged) =>
+      require(fs.rename(staged,
+        new org.apache.hadoop.fs.Path(dir, s"seg=$segId")),
+        s"could not publish merged tail segment under $dir")
+    }
+    failpoint("tail-renamed")
+    val (genNow, _) = EmbeddingOps.committedSegs(fs, metaDir)
+    require(genNow == gen,
+      s"concurrent writer detected at $path: the _segs manifest " +
+        s"moved generation $gen -> $genNow during tail compaction — " +
+        "the single-maintainer window was violated; re-run.")
+    EmbeddingOps.commitGen(fs, metaDir, gen + 1,
+      (survivors :+ segId).sorted)
+    tail.size
+  }
+
+  /** Size-tiered tail compaction for the MinHash index —
+    * [[graft.operators.EmbeddingOps.tailCompactSegments]] with the
+    * family's writer and `_bstats` regeneration: merges only the
+    * smallest segments until at most `maxSegments` remain, O(tail)
+    * IO, tombstones kept (see the generic door's contract). */
+  def minhashIndexCompactTail(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int = 4,
+      failpoint: String => Unit = _ => ()): Int =
+    EmbeddingOps.tailCompactSegments(s, path, "docs",
+      _.write.mode("overwrite"), keyCol = "doc_id",
+      maxSegments = maxSegments, failpoint = failpoint,
+      extraSeg = segDir => minhashBandStats(
+        s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
+        .write.mode("overwrite").parquet(s"$segDir/_bstats"))
+
   /** BM25 top-k document retrieval for a literal term set — the
     * ranking function behind retrieval-based curation passes
     * (kNN-LM-style example selection, contamination triage against a

@@ -1,0 +1,190 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.{EmbeddingOps, TextOps}
+
+/** Size-tiered tail compaction: merging only the smallest segments
+  * must preserve serving exactly, leave the big segments' bytes
+  * untouched, keep tombstones masking the survivors, give
+  * pre-compaction pinned tokens one cycle of grace (then refuse
+  * loudly at the sweep), and survive kills at every crash window. */
+class TailCompactSpec extends SparkSpec {
+
+  private def fs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def segsOf(root: String): Seq[Int] =
+    EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))._2
+
+  private def tmpRoot(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_$tag")
+      .toString + "/ix"
+
+  private val docs = Tables(SparkSpec.session, "/root/testdata/sf0.001")
+    .documents
+
+  /** Seed (big) + 4 small appended segments. */
+  private def buildFiveSegs(root: String): Unit = {
+    TextOps.minhashIndexWrite(
+      docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 < 3), root)
+    (3 until 7).foreach(i => TextOps.minhashIndexAppend(
+      docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === i),
+      root))
+  }
+
+  private def served(root: String): Seq[String] =
+    TextOps.nearDupServe(spark, root,
+        docs.where(col("doc_id") % 5 === 0))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("tail compaction bounds the segment count at O(tail) IO, spares the big segment, and preserves serving; consumed dirs grace one cycle then sweep with a loud token expiry") {
+    val root = tmpRoot("tailc")
+    buildFiveSegs(root)
+    assert(segsOf(root).size == 5)
+    val before = served(root)
+    val bigSegBytes = fs.getContentSummary(
+      new org.apache.hadoop.fs.Path(root, "docs/seg=0")).getLength
+    val bigSegMtime = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "docs/seg=0"))
+      .map(_.getModificationTime).max
+
+    val snap = EmbeddingOps.indexSnapshot(spark, root)
+    val merged = TextOps.minhashIndexCompactTail(spark, root,
+      maxSegments = 3)
+    assert(merged == 3, s"5 segs -> 3 merges 3 smallest, got $merged")
+    assert(segsOf(root).size == 3)
+    assert(segsOf(root).contains(0),
+      "the big seed segment must survive untouched")
+    assert(fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "docs/seg=0"))
+      .map(_.getModificationTime).max == bigSegMtime &&
+      fs.getContentSummary(new org.apache.hadoop.fs.Path(root,
+        "docs/seg=0")).getLength == bigSegBytes,
+      "tail compaction must not rewrite the spared segment's bytes")
+    assert(served(root) == before,
+      "serving must be identical after tail compaction")
+
+    // the pre-compaction token still serves byte-identically: no
+    // epoch bump, consumed dirs still on disk
+    val pinned = TextOps.nearDupServe(spark, root,
+        docs.where(col("doc_id") % 5 === 0), asOf = Some(snap))
+      .collect().map(_.toString).sorted.toSeq
+    assert(pinned == before, "one cycle of pinned-read grace")
+
+    // the next tail compaction sweeps: epoch bumps FIRST, the old
+    // token refuses loudly, and serving stays identical
+    assert(TextOps.minhashIndexCompactTail(spark, root,
+      maxSegments = 3) == 0)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nearDupServe(spark, root,
+        docs.where(col("doc_id") % 5 === 0), asOf = Some(snap)).collect()
+    }
+    assert(e.getMessage.contains("snapshot expired"))
+    val liveDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "docs"))
+      .map(_.getPath.getName).filter(_.startsWith("seg=")).sorted
+    assert(liveDirs.length == 3, s"consumed dirs must be swept: $liveDirs")
+    assert(served(root) == before)
+  }
+
+  test("tombstones keep masking the untouched segments; the merged rows drop physically; the full compaction still clears") {
+    val root = tmpRoot("tailc_del")
+    buildFiveSegs(root)
+    val victims = docs.where(col("doc_id") % 5 =!= 0 &&
+      col("doc_id") % 11 === 1).select(col("doc_id"))
+    TextOps.minhashIndexDelete(spark, root, victims)
+    val masked = served(root)
+
+    assert(TextOps.minhashIndexCompactTail(spark, root,
+      maxSegments = 2) == 4)
+    // _dels must survive (the spared seed still holds victim rows)
+    assert(EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_dels"))._1 >= 0,
+      "tail compaction must NOT clear tombstones")
+    assert(served(root) == masked)
+
+    // and the full compaction composes on top, clearing them
+    assert(TextOps.minhashIndexCompact(spark, root) > 0)
+    assert(EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_dels"))._2.isEmpty,
+      "the full compaction clears tombstones as before")
+    assert(served(root) == masked)
+  }
+
+  test("kills at every crash window retry to the identical index; a racing append refuses at the commit") {
+    val root = tmpRoot("tailc_kill")
+    buildFiveSegs(root)
+    val before = served(root)
+    final class Kill extends RuntimeException
+    Seq("tail-staged", "tail-renamed").foreach { window =>
+      intercept[Kill] {
+        TextOps.minhashIndexCompactTail(spark, root, maxSegments = 3,
+          failpoint = t => if (t == window) throw new Kill)
+      }
+      assert(served(root) == before,
+        s"serving must be unchanged after a kill at $window")
+      assert(segsOf(root).size == 5,
+        s"the manifest must be unchanged after a kill at $window")
+    }
+    assert(TextOps.minhashIndexCompactTail(spark, root,
+      maxSegments = 3) == 3)
+    assert(served(root) == before)
+
+    // a concurrent append landing between the tail read and the
+    // commit must refuse (committing would drop its segment)
+    val root2 = tmpRoot("tailc_race")
+    buildFiveSegs(root2)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.minhashIndexCompactTail(spark, root2, maxSegments = 3,
+        failpoint = t => if (t == "tail-renamed")
+          TextOps.minhashIndexAppend(
+            docs.where(col("doc_id") % 5 === 0 && col("doc_id") < 50),
+            root2))
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // uncontended re-run applies everything (the racer's segment
+    // survives in the manifest)
+    assert(segsOf(root2).size == 6)
+    assert(TextOps.minhashIndexCompactTail(spark, root2,
+      maxSegments = 3) == 4)
+    assert(segsOf(root2).size == 3)
+  }
+
+  test("bm25 tail compaction recomputes the merged totals and dictionary; serving, prefix resolution, and the ivf/banded doors hold") {
+    val root = tmpRoot("tailc_bm")
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    TextOps.bm25IndexWrite(stored.where(col("doc_id") % 7 < 3), root)
+    (3 until 7).foreach(i => TextOps.bm25IndexAppend(
+      stored.where(col("doc_id") % 7 === i), root))
+    def top(p: String) = TextOps.bm25TopKIndexed(spark, p,
+        Seq("join", "vector", "filter"))
+      .collect().map(_.toString).sorted.toSeq
+    val before = top(root)
+    val vocabBefore = TextOps.termsMatchingPrefix(spark, root, "s")
+
+    assert(TextOps.bm25IndexCompactTail(spark, root,
+      maxSegments = 2) == 4)
+    assert(segsOf(root).size == 2)
+    assert(top(root) == before,
+      "bm25 serving (totals included) must be identical")
+    assert(TextOps.termsMatchingPrefix(spark, root, "s") == vocabBefore,
+      "the merged segment's dictionary must regenerate")
+
+    // ivf door smoke: five segments bound to three, serving equal
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+    val ivfRoot = tmpRoot("tailc_ivf")
+    EmbeddingOps.ivfIndexWrite(emb.where(col("vec_id") % 7 < 3), ivfRoot)
+    (3 until 7).foreach(i => EmbeddingOps.ivfIndexAppend(
+      emb.where(col("vec_id") % 7 === i), ivfRoot))
+    def nn(p: String) = EmbeddingOps.ivfTopKIndexed(spark, p,
+        emb.where(col("vec_id") < 5))
+      .collect().map(_.toString).sorted.toSeq
+    val nnBefore = nn(ivfRoot)
+    assert(EmbeddingOps.ivfIndexCompactTail(spark, ivfRoot,
+      maxSegments = 3) == 3)
+    assert(nn(ivfRoot) == nnBefore)
+  }
+}
