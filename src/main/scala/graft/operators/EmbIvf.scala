@@ -245,6 +245,15 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
         .write.partitionBy("cell").mode("overwrite"),
       maxSegments = maxSegments, failpoint = failpoint)
 
+  /** The standing maintenance policy for an IVF root
+    * ([[maintainIndexWith]]): forget sweep -> full rewrite; over
+    * `maxSegments` -> tail merge. */
+  def ivfIndexMaintain(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int = 4): String =
+    maintainIndexWith(s, path, maxSegments)(
+      ivfIndexCompactTail(s, path, maxSegments))(
+      ivfIndexCompact(s, path))
+
   /** Serve top-k from a PERSISTED index ([[ivfIndexWrite]]): queries
     * (vec_id, embedding) rank against the stored centroids
     * (broadcast, centroid-cardinality) and ONLY the probed cells'

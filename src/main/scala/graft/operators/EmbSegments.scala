@@ -1083,6 +1083,33 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     tail.size
   }
 
+  /** The maintenance POLICY the two compaction doors imply, made
+    * executable: a pending forget sweep owes at-rest deletion that
+    * only the full rewrite pays (`_swept` is consumed by its swap),
+    * so it always wins; otherwise a segment count over `maxSegments`
+    * takes the O(tail) door; otherwise nothing runs. The decision
+    * reads only driver-side metadata (two manifests, one marker).
+    * Tombstone volume is deliberately NOT a trigger here — deletions
+    * stay correct indefinitely through the serve-time anti-join, and
+    * judging their physical-rewrite worth needs data-dependent
+    * numbers the caller owns. Returns what ran: `none`, `tail:N`, or
+    * `full:N` (N = segments merged/rewritten). */
+  private[graft] def maintainIndexWith(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int)
+      (tail: => Int)(full: => Int): String = {
+    require(maxSegments >= 1,
+      s"maxSegments must be >= 1, got $maxSegments")
+    val (fs, root) = fsFor(s, path)
+    val (gen, segs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    if (fs.exists(new org.apache.hadoop.fs.Path(root, "_swept")))
+      s"full:$full"
+    else if (segs.size > maxSegments) s"tail:$tail"
+    else "none"
+  }
+
   /** The deferred half of [[tailCompactSegments]]: visible `seg=N`
     * dirs the newest manifest no longer references are prior tails'
     * consumed inputs, kept one cycle so pinned tokens could replay.

@@ -280,6 +280,15 @@ private[graft] trait MmIndexOps { this: Multimodal.type =>
       failpoint: String => Unit = _ => ()): Int =
     phashIndexCompactTail(s, path, maxSegments, failpoint)
 
+  /** The standing maintenance policy for a banded media root
+    * ([[graft.operators.EmbeddingOps.maintainIndexWith]]): forget
+    * sweep -> full rewrite; over `maxSegments` -> tail merge. */
+  def bandedIndexMaintain(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int = 4): String =
+    EmbeddingOps.maintainIndexWith(s, path, maxSegments)(
+      phashIndexCompactTail(s, path, maxSegments))(
+      phashIndexCompact(s, path))
+
   /** Merge independently-built banded media index roots (image aHash
     * or audio fingerprint — any roots of ONE hash family) into a
     * single serving root — [[graft.operators.EmbeddingOps

@@ -1183,6 +1183,25 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
         .write.mode("overwrite").parquet(s"$segDir/_bstats"))
 
+  /** Run the standing maintenance policy on a MinHash root
+    * ([[graft.operators.EmbeddingOps.maintainIndexWith]]): a pending
+    * forget sweep forces the full rewrite, a segment count over
+    * `maxSegments` takes the O(tail) door, otherwise no-op. The
+    * periodic-maintenance call a pipeline schedules after its ingest
+    * cadence. */
+  def minhashIndexMaintain(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int = 4): String =
+    EmbeddingOps.maintainIndexWith(s, path, maxSegments)(
+      minhashIndexCompactTail(s, path, maxSegments))(
+      minhashIndexCompact(s, path))
+
+  /** [[minhashIndexMaintain]] for a BM25 root. */
+  def bm25IndexMaintain(s: org.apache.spark.sql.SparkSession,
+      path: String, maxSegments: Int = 4): String =
+    EmbeddingOps.maintainIndexWith(s, path, maxSegments)(
+      bm25IndexCompactTail(s, path, maxSegments))(
+      bm25IndexCompact(s, path))
+
   /** BM25 top-k document retrieval for a literal term set — the
     * ranking function behind retrieval-based curation passes
     * (kNN-LM-style example selection, contamination triage against a

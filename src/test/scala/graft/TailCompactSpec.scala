@@ -173,6 +173,23 @@ class TailCompactSpec extends SparkSpec {
     assert(TextOps.termsMatchingPrefix(spark, root, "s") == vocabBefore,
       "the merged segment's dictionary must regenerate")
 
+    // the standing policy: over-bound takes the tail door, a pending
+    // forget sweep forces the full rewrite (at-rest deletion owed),
+    // an in-bound clean root does nothing
+    val pRoot = tmpRoot("tailc_pol")
+    buildFiveSegs(pRoot)
+    assert(TextOps.minhashIndexMaintain(spark, pRoot,
+      maxSegments = 3) == "tail:3")
+    assert(TextOps.minhashIndexMaintain(spark, pRoot,
+      maxSegments = 3) == "none")
+    import spark.implicits._
+    TextOps.minhashIndexDelete(spark, pRoot, Seq(11L).toDF("doc_id"))
+    EmbeddingOps.snapshotInvalidate(spark, pRoot)
+    val ran = TextOps.minhashIndexMaintain(spark, pRoot, maxSegments = 3)
+    assert(ran.startsWith("full:"), s"swept root must full-compact: $ran")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(pRoot, "_swept")),
+      "the full rewrite consumed the sweep stamp")
+
     // ivf door smoke: five segments bound to three, serving equal
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
     val ivfRoot = tmpRoot("tailc_ivf")
