@@ -153,6 +153,48 @@ class TailCompactSpec extends SparkSpec {
     assert(segsOf(root2).size == 3)
   }
 
+  test("continuous lifecycle: streamed ingest batches interleave with the standing maintenance policy, serving stays equal to the one-shot build throughout") {
+    val stored = docs.where(col("doc_id") % 5 =!= 0).localCheckpoint()
+    val slices = (0 until 6).map(i =>
+      stored.where(col("doc_id") % 6 === i))
+    val root = tmpRoot("tailc_life2")
+    TextOps.minhashIndexWrite(slices(0), root)
+    def fold(b: Long, batch: DataFrame): Unit =
+      graft.streaming.Streams.indexIngestBatch(batch, b, root,
+        "q-life", "docs")(
+        (df, stamp) => TextOps.minhashIndexAppend(df, root,
+          stamp = stamp))
+    def serveNow(): Seq[String] = TextOps.nearDupServe(spark, root,
+        docs.where(col("doc_id") % 5 === 0))
+      .collect().map(_.toString).sorted.toSeq
+
+    // ingest batches 0..4 with maintenance after every other batch —
+    // the cadence a production pipeline schedules. Each maintenance
+    // is the POLICY door: it tail-merges when over bound and the
+    // ingest binding must ride every manifest change untouched
+    (1 until 6).foreach { i =>
+      fold(i - 1L, slices(i))
+      if (i % 2 == 0)
+        TextOps.minhashIndexMaintain(spark, root, maxSegments = 3)
+    }
+    assert(segsOf(root).size <= 4,
+      s"maintenance must keep the chain bounded, got ${segsOf(root)}")
+
+    val oneShot = tmpRoot("tailc_life2_ref")
+    TextOps.minhashIndexWrite(stored, oneShot)
+    assert(serveNow() == TextOps.nearDupServe(spark, oneShot,
+        docs.where(col("doc_id") % 5 === 0))
+      .collect().map(_.toString).sorted.toSeq,
+      "interleaved ingest + maintenance must serve like the one-shot build")
+
+    // a replayed ingest batch AFTER maintenance still no-ops (the
+    // binding and high-water mark survived the tail commits)
+    val segsAfter = segsOf(root)
+    fold(2L, slices(3))
+    assert(segsOf(root) == segsAfter,
+      "replay protection must survive interleaved maintenance")
+  }
+
   test("bm25 tail compaction recomputes the merged totals and dictionary; serving, prefix resolution, and the ivf/banded doors hold") {
     val root = tmpRoot("tailc_bm")
     val stored = docs.where(col("doc_id") % 5 =!= 0)
@@ -172,6 +214,23 @@ class TailCompactSpec extends SparkSpec {
       "bm25 serving (totals included) must be identical")
     assert(TextOps.termsMatchingPrefix(spark, root, "s") == vocabBefore,
       "the merged segment's dictionary must regenerate")
+
+    // positional roots: `ps` rides the tail rewrite (schema comes
+    // from the stored files), so phrase serving is unchanged
+    val posRoot = tmpRoot("tailc_pos")
+    TextOps.bm25IndexWrite(stored.where(col("doc_id") % 7 < 3),
+      posRoot, positional = true)
+    (3 until 7).foreach(i => TextOps.bm25IndexAppend(
+      stored.where(col("doc_id") % 7 === i), posRoot))
+    def phrase(p: String) = TextOps.phraseOccurrencesIndexed(spark, p,
+        Seq("order", "fast"))
+      .collect().map(_.toString).sorted.toSeq
+    val phraseBefore = phrase(posRoot)
+    assert(phraseBefore.nonEmpty, "fixture phrase must match")
+    assert(TextOps.bm25IndexCompactTail(spark, posRoot,
+      maxSegments = 2) == 4)
+    assert(phrase(posRoot) == phraseBefore,
+      "positional postings must survive the tail rewrite")
 
     // the standing policy: over-bound takes the tail door, a pending
     // forget sweep forces the full rewrite (at-rest deletion owed),
