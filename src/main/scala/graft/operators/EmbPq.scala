@@ -208,13 +208,14 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     * a kill anywhere leaves serving unchanged and a re-run completes
     * the append). vec_ids must be new; one appender at a time. */
   def pqIndexAppend(emb: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      stamp: String => Unit = _ => ()): Unit = {
     val s = emb.sparkSession
     val saved = s.read.parquet(s"$path/codebooks")
     val codes = pqEncodeWith(quantized(emb), saved)
     appendSegment(s, path, "codes",
       staged => codes.write.mode("overwrite").parquet(staged),
-      failpoint)
+      failpoint, stamp)
   }
 
   /** Serve top-k from a PERSISTED PQ index ([[pqIndexWrite]]):
@@ -385,7 +386,8 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     * cell-partitioned code segment. O(batch) IO, CRASH-ATOMIC via the
     * segment protocol. vec_ids must be new; one appender at a time. */
   def ivfpqIndexAppend(emb: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      stamp: String => Unit = _ => ()): Unit = {
     val s = emb.sparkSession
     val cents = s.read.parquet(s"$path/centroids")
     val cb = s.read.parquet(s"$path/codebooks")
@@ -396,7 +398,7 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     appendSegment(s, path, "codes",
       staged => codes.write.partitionBy("cell")
         .mode("overwrite").parquet(staged),
-      failpoint)
+      failpoint, stamp)
   }
 
   /** Persist an IVF-PQ index whose quantizers come from an EXISTING

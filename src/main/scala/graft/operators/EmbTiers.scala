@@ -346,7 +346,8 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
     * `add` contract; out-of-range values CLAMP to the byte domain),
     * one crash-atomic segment, O(batch) IO. */
   def sq8IndexAppend(emb: DataFrame, path: String,
-      failpoint: String => Unit = _ => ()): Unit = {
+      failpoint: String => Unit = _ => (),
+      stamp: String => Unit = _ => ()): Unit = {
     val s = emb.sparkSession
     val (mnA, rgA) = sq8Lits(
       s.read.parquet(s"$path/ranges").orderBy(col("pos")).collect())
@@ -355,7 +356,7 @@ private[graft] trait EmbTierOps { this: EmbeddingOps.type =>
           sq8Code(col("q"), mnA, rgA, clamp = true)
             .cast("array<smallint>").as("c"))
         .write.mode("overwrite").parquet(staged),
-      failpoint)
+      failpoint, stamp)
   }
 
   /** Serve top-k from a persisted SQ8 index: queries quantize and

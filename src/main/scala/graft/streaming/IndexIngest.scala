@@ -99,6 +99,33 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
       (b, stamp) => EmbeddingOps.ivfIndexAppend(b, indexRoot,
         stamp = stamp))
 
+  /** [[ivfIngestSink]] for a PQ index root (batches encode against
+    * the stored codebooks). */
+  def pqIngestSink(emb: DataFrame, indexRoot: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "codes")(
+      (b, stamp) => EmbeddingOps.pqIndexAppend(b, indexRoot,
+        stamp = stamp))
+
+  /** [[ivfIngestSink]] for an IVF-PQ index root (coarse-assign +
+    * residual-encode against the stored quantizers). */
+  def ivfpqIngestSink(emb: DataFrame, indexRoot: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "codes")(
+      (b, stamp) => EmbeddingOps.ivfpqIndexAppend(b, indexRoot,
+        stamp = stamp))
+
+  /** [[ivfIngestSink]] for an SQ8 index root (batches clamp-encode
+    * against the stored ranges). */
+  def sq8IngestSink(emb: DataFrame, indexRoot: String,
+      checkpointLocation: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "codes")(
+      (b, stamp) => EmbeddingOps.sq8IndexAppend(b, indexRoot,
+        stamp = stamp))
+
   private def indexIngestSinkOf(rows: DataFrame, indexRoot: String,
       checkpointLocation: String, canonicalDir: String)
       (append: (DataFrame, String => Unit) => Unit)

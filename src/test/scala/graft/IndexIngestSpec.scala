@@ -237,6 +237,43 @@ class IndexIngestSpec extends SparkSpec {
     assert(serve(root) == serve(oneShot))
   }
 
+  test("ivfpq ingest: crash-window folds equal direct appends (the trained quantizers are fixed, so the sink is exactly the replay-safe append)") {
+    val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
+      .localCheckpoint()
+    val seed = emb.where(col("vec_id") % 3 === 0)
+    val b0 = emb.where(col("vec_id") % 3 === 1)
+    val b1 = emb.where(col("vec_id") % 3 === 2)
+    val q = emb.where(col("vec_id") < 5)
+
+    val viaSink = tmpDir("ing_ivfpq") + "/ix"
+    graft.operators.EmbeddingOps.ivfpqIndexWrite(seed, viaSink)
+    def fold(b: Long, batch: DataFrame,
+        failpoint: String => Unit = _ => ()): Unit =
+      Streams.indexIngestBatch(batch, b, viaSink, "q-ivfpq", "codes",
+        failpoint)(
+        (df, stamp) => graft.operators.EmbeddingOps
+          .ivfpqIndexAppend(df, viaSink, stamp = stamp))
+    fold(0L, b0)
+    fold(0L, b0) // replay no-op
+    final class Kill extends RuntimeException
+    intercept[Kill] {
+      fold(1L, b1, failpoint = t => if (t == "appended") throw new Kill)
+    }
+    fold(1L, b1) // resolve
+    assert(segsOf(viaSink).size == 3 && hwmOf(viaSink) == 1L)
+
+    // reference: the SAME seed build + direct appends (the trained
+    // quantizers are fixed at build, so serve equality is exact)
+    val direct = tmpDir("ing_ivfpq_ref") + "/ix"
+    graft.operators.EmbeddingOps.ivfpqIndexWrite(seed, direct)
+    graft.operators.EmbeddingOps.ivfpqIndexAppend(b0, direct)
+    graft.operators.EmbeddingOps.ivfpqIndexAppend(b1, direct)
+    def serve(p: String) = graft.operators.EmbeddingOps
+      .ivfpqTopKIndexed(spark, p, q)
+      .collect().map(_.toString).sorted.toSeq
+    assert(serve(viaSink) == serve(direct))
+  }
+
   test("bm25 ingest: streamed segments serve like the one-shot build, compaction guard included") {
     val base = docsDf(Seq(
       (1L, "spark shuffles partition data across executors", "en", "a"),
