@@ -365,9 +365,19 @@ private[graft] object SuiteMLShared {
     * feeds `text_bm25_batch` and both hybrid rows' lexical arms so
     * the replays cannot drift. */
   private[graft] def bm25BatchCteOver(pred: String): String =
-    s"""qw AS (SELECT DISTINCT doc_id AS query_id,
-      |          unnest(string_split(text, ' ')[1:8]) AS word
-      |        FROM documents WHERE doc_id < 5),
+    bm25BatchCteWithQw(
+      """SELECT DISTINCT doc_id AS query_id,
+        |          unnest(string_split(text, ' ')[1:8]) AS word
+        |        FROM documents WHERE doc_id < 5""".stripMargin, pred)
+
+  /** [[bm25BatchCteOver]] with a caller-supplied `qw` body — the
+    * batched-prefix row swaps the per-doc token queries for the
+    * vocabulary words each literal prefix resolves to, and everything
+    * downstream of qw (tf/df/idf/saturation/ranking) is shared
+    * verbatim so the two replays cannot drift. */
+  private[graft] def bm25BatchCteWithQw(qwSql: String,
+      pred: String = "TRUE"): String =
+    s"""qw AS ($qwSql),
       |bdl AS (SELECT doc_id,
       |          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
       |        FROM documents WHERE $pred),

@@ -1392,6 +1392,28 @@ private[graft] object SuiteMLText {
       },
       Some(bm25IndexedSql("TRUE", termPred = "word LIKE '%or%'"))),
 
+    // ---- retrieval: BATCHED prefix queries off the term dictionary -------
+    // (one dict scan resolves every prefix in the batch — the pairs
+    // stay distributed into the standard batch serve. 'zz' matches no
+    // vocabulary and contributes zero rows; the oracle swaps the
+    // per-doc qw for a VALUES-join of the same literal prefixes)
+    Q("text_prefix_batch",
+      (s, d) => {
+        val idx = cachedIndex("bm25", d,
+          p => TextOps.bm25IndexWrite(docs(s, d), p))
+        TextOps.bm25TopKPrefixBatch(s, idx,
+          Seq((0L, "s"), (1L, "jo"), (2L, "zz")))
+      },
+      Some(s"""WITH ${bm25BatchCteWithQw(
+        """SELECT q.query_id, v.word
+          |        FROM (VALUES (CAST(0 AS BIGINT), 's%'),
+          |                     (CAST(1 AS BIGINT), 'jo%'),
+          |                     (CAST(2 AS BIGINT), 'zz%')) q(query_id, pat)
+          |        JOIN (SELECT DISTINCT unnest(string_split(text, ' ')) AS word
+          |              FROM documents) v ON v.word LIKE q.pat""".stripMargin)}
+        |SELECT query_id, rk, doc_id, dl, n_terms, score_q
+        |FROM lex""".stripMargin)),
+
     // ---- retrieval: BM25 served after TAIL compaction --------------------
     // (size-tiered maintenance on the two-dir family: seed + four
     // appended segments, then bm25IndexCompactTail merges the four

@@ -183,10 +183,12 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       s"term '$term' within $maxDist edits", cap, asOf)
   }
 
-  private def termsWhere(s: org.apache.spark.sql.SparkSession,
-      path: String, pred: org.apache.spark.sql.Column, what: String,
-      cap: Int, asOf: Option[IndexSnapshot]): Seq[String] = {
-    require(cap > 0, s"cap must be positive, got $cap")
+  /** The committed (or snapshot-pinned) segments' `_tdict` sidecars
+    * as one logical vocabulary frame — shared by every multi-term
+    * resolution door. Refuses a legacy segment predating the sidecar
+    * with the rebuild/compact guidance. */
+  private def dictScan(s: org.apache.spark.sql.SparkSession,
+      path: String, asOf: Option[IndexSnapshot]): DataFrame = {
     val base = EmbeddingOps.snapshotRoot(s, path, asOf)
     val (fs, root) = EmbeddingOps.fsFor(s, base)
     val segs = asOf match {
@@ -203,7 +205,14 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       fs.exists(new org.apache.hadoop.fs.Path(d)),
       s"no _tdict sidecar at $d — rebuild or compact the index with " +
         "this version first"))
-    val got = s.read.parquet(dictDirs: _*).where(pred)
+    s.read.parquet(dictDirs: _*)
+  }
+
+  private def termsWhere(s: org.apache.spark.sql.SparkSession,
+      path: String, pred: org.apache.spark.sql.Column, what: String,
+      cap: Int, asOf: Option[IndexSnapshot]): Seq[String] = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val got = dictScan(s, path, asOf).where(pred)
       .select(col("word")).distinct()
       .limit(cap + 1).collect().map(_.getString(0))
     require(got.length <= cap,
@@ -211,6 +220,36 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         "the cap (resolved terms serve as a literal IN-list; an " +
         "unbounded match would collect the vocabulary)")
     scala.collection.immutable.ArraySeq.unsafeWrapArray(got.sorted)
+  }
+
+  /** BATCHED prefix serving — the batch-serving contract applied to
+    * the multi-term family: a literal (query_id, prefix) batch
+    * resolves off ONE dict scan (the prefixes broadcast into a
+    * predicate join against the vocabulary — no per-query dict read,
+    * no driver cap: the resolved pairs STAY DISTRIBUTED) and serves
+    * through [[bm25TopKIndexedBatch]], whose own `localPairLimit`
+    * gating decides the collect-vs-distributed route. Per query the
+    * rows equal [[bm25TopKPrefix]]; a prefix matching no vocabulary
+    * contributes zero rows (an ENTIRELY unmatched batch refuses like
+    * the batch door's empty batch). */
+  def bm25TopKPrefixBatch(s: org.apache.spark.sql.SparkSession,
+      path: String, prefixes: Seq[(Long, String)], k: Int = 10,
+      k1Permille: Long = 1200L, bPermille: Long = 750L,
+      asOf: Option[IndexSnapshot] = None,
+      localPairLimit: Int = 262144): DataFrame = {
+    require(prefixes.nonEmpty, "prefix batch must be non-empty")
+    require(prefixes.forall(_._2.nonEmpty),
+      "every prefix in the batch must be non-empty")
+    require(prefixes.map(_._1).distinct.size == prefixes.size,
+      "one prefix per query_id")
+    val sess = s
+    import sess.implicits._
+    val q = prefixes.toDF("query_id", "prefix")
+    val pairs = dictScan(s, path, asOf).select(col("word")).distinct()
+      .join(broadcast(q), col("word").startsWith(col("prefix")))
+      .select(col("query_id"), col("word"))
+    bm25TopKIndexedBatch(s, path, pairs, k, k1Permille, bPermille,
+      asOf, localPairLimit)
   }
 
   /** BM25 over every index term matching a prefix — the Lucene

@@ -71,6 +71,24 @@ class TermDictSpec extends SparkSpec {
       .collect().map(_.toString).sorted
     assert(byFuzzy.sameElements(TextOps.bm25TopKIndexed(spark, root,
       Seq("sort")).collect().map(_.toString).sorted))
+
+    // batched prefix serving: per query the ranked rows equal the
+    // single serve in order; an unmatched prefix contributes zero rows
+    val batch = TextOps.bm25TopKPrefixBatch(spark, root,
+        Seq((0L, "s"), (1L, "wi"), (2L, "zz")))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    Seq("s", "wi", "zz").zipWithIndex.foreach { case (pfx, qid) =>
+      val single = TextOps.bm25TopKPrefix(spark, root, pfx)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3)))
+        .toSeq
+      val got = batch.filter(_._1 == qid).sortBy(_._2).map(_._3).toSeq
+      assert(got == single,
+        s"batched prefix q$qid ('$pfx') must equal the single serve")
+    }
   }
 
   test("the dictionary follows the lifecycle: append adds vocabulary, compaction drops tombstoned orphans, merge carries shard dicts") {
