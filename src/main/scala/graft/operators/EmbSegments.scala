@@ -1045,6 +1045,13 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     require(gen >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — not an index root")
     requireIngestResolved(fs, root, path, dataDir)
+    // a forget sweep owes AT-REST deletion that only the full
+    // rewrite's swap pays (`_swept` is consumed there): merging here
+    // would park the tombstone-masked forgotten payload in consumed
+    // dirs for an extra cycle, and the sweep-phase epoch bump would
+    // push past the `_swept` stamp so the eventual full compaction
+    // RETIRES (instead of deletes) the tree — refuse, like the merge
+    requireNotSwept(fs, root, path)
     val dir = new org.apache.hadoop.fs.Path(root, dataDir)
     sweepUnreferencedSegs(fs, root, Seq(dir), segs.toSet, failpoint)
     if (segs.size <= maxSegments) return 0
@@ -1108,6 +1115,63 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       s"full:$full"
     else if (segs.size > maxSegments) s"tail:$tail"
     else "none"
+  }
+
+  /** The tail doors' swept-root refusal ([[tailCompactSegments]]'s
+    * inline rationale): forgetting outranks segment-count hygiene. */
+  private[operators] def requireNotSwept(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path, path: String): Unit =
+    require(!fs.exists(new org.apache.hadoop.fs.Path(root, "_swept")),
+      s"index root $path has a pending forget sweep: tail compaction " +
+        "would keep the forgotten payload on disk in consumed " +
+        "segment dirs and desynchronize the sweep epoch — run the " +
+        "FULL compaction first (its swap deletes the replaced tree, " +
+        "paying the owed at-rest deletion)")
+
+  /** Observability for the maintenance loop: one row per COMMITTED
+    * segment with its on-disk footprint, plus the root-level facts
+    * the policy door reads — all driver-side filesystem metadata,
+    * zero Spark jobs beyond the local-relation construction. Columns:
+    * (seg, bytes, files, is_newest, n_del_segs, swept, ingest_bound,
+    * ingest_hwm). `dataDir` is the family's data directory ("docs"
+    * MinHash, "postings" BM25, "bands" banded media, "lists" IVF,
+    * "codes" PQ/SQ8/IVF-PQ). The scheduling companion of
+    * [[maintainIndexWith]]: a dashboard reads this, the policy door
+    * acts. */
+  def indexHealth(s: org.apache.spark.sql.SparkSession,
+      path: String, dataDir: String): DataFrame = {
+    val (fs, root) = fsFor(s, path)
+    val (gen, segs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    val (dg, dsegs) =
+      committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
+    val nDels = if (dg >= 0) dsegs.size else 0
+    val swept = fs.exists(new org.apache.hadoop.fs.Path(root, "_swept"))
+    val bound = fs.exists(
+      new org.apache.hadoop.fs.Path(root, "_ingest/run"))
+    val hwm = readLongMarker(fs,
+      new org.apache.hadoop.fs.Path(root, "_ingest/hwm")).getOrElse(-1L)
+    val newest = segs.max
+    val rows = segs.sorted.map { n =>
+      val cs = fs.getContentSummary(new org.apache.hadoop.fs.Path(root,
+        s"$dataDir/seg=$n"))
+      org.apache.spark.sql.Row(n, cs.getLength, cs.getFileCount,
+        n == newest, nDels, swept, bound, hwm)
+    }
+    import org.apache.spark.sql.types._
+    s.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("seg", IntegerType),
+        StructField("bytes", LongType),
+        StructField("files", LongType),
+        StructField("is_newest", BooleanType),
+        StructField("n_del_segs", IntegerType),
+        StructField("swept", BooleanType),
+        StructField("ingest_bound", BooleanType),
+        StructField("ingest_hwm", LongType))))
   }
 
   /** The deferred half of [[tailCompactSegments]]: visible `seg=N`

@@ -187,7 +187,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * as one logical vocabulary frame — shared by every multi-term
     * resolution door. Refuses a legacy segment predating the sidecar
     * with the rebuild/compact guidance. */
-  private def dictScan(s: org.apache.spark.sql.SparkSession,
+  private[graft] def dictScan(s: org.apache.spark.sql.SparkSession,
       path: String, asOf: Option[IndexSnapshot]): DataFrame = {
     val base = EmbeddingOps.snapshotRoot(s, path, asOf)
     val (fs, root) = EmbeddingOps.fsFor(s, base)
@@ -1153,6 +1153,9 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     require(gen >= 0 && segs.nonEmpty,
       s"no index manifest at $path/_segs — not an index root")
     EmbeddingOps.requireIngestResolved(fs, root, path, "postings")
+    // forgetting outranks segment hygiene — same refusal as the
+    // generic tail door (EmbeddingOps.requireNotSwept)
+    EmbeddingOps.requireNotSwept(fs, root, path)
     val pDir = new org.apache.hadoop.fs.Path(root, "postings")
     val tDir = new org.apache.hadoop.fs.Path(root, "totals")
     EmbeddingOps.sweepUnreferencedSegs(fs, root, Seq(pDir, tDir),

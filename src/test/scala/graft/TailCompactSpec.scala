@@ -195,6 +195,29 @@ class TailCompactSpec extends SparkSpec {
       "replay protection must survive interleaved maintenance")
   }
 
+  test("indexHealth reports the segment footprints and policy facts from driver metadata") {
+    val root = tmpRoot("tailc_health")
+    buildFiveSegs(root)
+    TextOps.minhashIndexDelete(spark, root,
+      docs.where(col("doc_id") % 31 === 1).select(col("doc_id")))
+    graft.streaming.Streams.indexIngestBatch(
+      docs.where(col("doc_id") % 5 === 0 && col("doc_id") < 40),
+      0L, root, "q-health", "docs")(
+      (df, stamp) => TextOps.minhashIndexAppend(df, root, stamp = stamp))
+
+    val h = EmbeddingOps.indexHealth(spark, root, "docs").collect()
+    assert(h.length == 6, "one row per committed segment")
+    assert(h.forall(_.getLong(1) > 0), "every segment has bytes")
+    assert(h.count(_.getBoolean(3)) == 1 &&
+      h.filter(_.getBoolean(3)).head.getInt(0) ==
+        h.map(_.getInt(0)).max,
+      "exactly the newest segment is flagged")
+    assert(h.head.getInt(4) == 1, "one tombstone segment reported")
+    assert(!h.head.getBoolean(5), "no sweep pending")
+    assert(h.head.getBoolean(6) && h.head.getLong(7) == 0L,
+      "the ingest binding and high-water mark surface")
+  }
+
   test("bm25 tail compaction recomputes the merged totals and dictionary; serving, prefix resolution, and the ivf/banded doors hold") {
     val root = tmpRoot("tailc_bm")
     val stored = docs.where(col("doc_id") % 5 =!= 0)
@@ -244,6 +267,15 @@ class TailCompactSpec extends SparkSpec {
     import spark.implicits._
     TextOps.minhashIndexDelete(spark, pRoot, Seq(11L).toDF("doc_id"))
     EmbeddingOps.snapshotInvalidate(spark, pRoot)
+    // a DIRECT tail call on the swept root refuses — tail compaction
+    // would park forgotten payload in consumed dirs and let the
+    // sweep-phase epoch bump outrun the _swept stamp (the next full
+    // compaction would then retire, not delete). Forgetting outranks
+    // segment hygiene; the policy door routes to the full rewrite.
+    val eSw = intercept[IllegalArgumentException] {
+      TextOps.minhashIndexCompactTail(spark, pRoot, maxSegments = 1)
+    }
+    assert(eSw.getMessage.contains("pending forget sweep"))
     val ran = TextOps.minhashIndexMaintain(spark, pRoot, maxSegments = 3)
     assert(ran.startsWith("full:"), s"swept root must full-compact: $ran")
     assert(!fs.exists(new org.apache.hadoop.fs.Path(pRoot, "_swept")),

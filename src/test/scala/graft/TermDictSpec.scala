@@ -131,6 +131,16 @@ class TermDictSpec extends SparkSpec {
       vocab(corpus).filter(_.startsWith("s")).toSeq.sorted)
   }
 
+  test("a prefix predicate pushes into the dict's parquet scan (the sorted layout's row-group pruning depends on it)") {
+    val root = tmpRoot("tdict_push")
+    TextOps.bm25IndexWrite(corpus, root, nBuckets = 8)
+    val plan = TextOps.dictScan(spark, root, None)
+      .where(col("word").startsWith("s"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("StringStartsWith(word,s)"),
+      s"StringStartsWith must reach PushedFilters:\n$plan")
+  }
+
   test("resolution refuses past the cap and guides a legacy root without the sidecar") {
     val root = tmpRoot("tdict_cap")
     TextOps.bm25IndexWrite(corpus, root, nBuckets = 8)
