@@ -54,82 +54,121 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
   /** Exactly-once streaming appends into a persisted MinHash near-dup
     * index root (built by `TextOps.minhashIndexWrite`): each
     * micro-batch lands as one `docs` segment with its `_bstats`
-    * sidecar, serving picks it up at the manifest commit. */
+    * sidecar, serving picks it up at the manifest commit.
+    *
+    * `maintainEvery` > 0 runs the family's standing maintenance
+    * policy (`minhashIndexMaintain` — forget sweep -> full rewrite,
+    * over `maxSegments` -> tail merge) inside the sink after every
+    * N-th committed batch. The sink is the root's single writer, so
+    * maintenance serializes with ingestion by construction — no
+    * fencing race, no separate maintenance window to operate. It is
+    * opportunistic hygiene: a crash between a batch's commit and its
+    * maintenance turn just defers to the next turn. */
   def minhashIngestSink(docs: DataFrame, indexRoot: String,
-      checkpointLocation: String)
+      checkpointLocation: String, maintainEvery: Int = 0,
+      maxSegments: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    indexIngestSinkOf(docs, indexRoot, checkpointLocation, "docs")(
+    indexIngestSinkOf(docs, indexRoot, checkpointLocation, "docs",
+      maintainEvery, () => TextOps.minhashIndexMaintain(
+        docs.sparkSession, indexRoot, maxSegments))(
       (b, stamp) => TextOps.minhashIndexAppend(b, indexRoot,
         stamp = stamp))
 
   /** Exactly-once streaming appends into a persisted BM25 index root
     * (built by `TextOps.bm25IndexWrite`; the stored layout — bucket
-    * modulus, positional flag — applies to every streamed segment). */
+    * modulus, positional flag — applies to every streamed segment).
+    * `maintainEvery`/`maxSegments` as on [[minhashIngestSink]]. */
   def bm25IngestSink(docs: DataFrame, indexRoot: String,
-      checkpointLocation: String)
+      checkpointLocation: String, maintainEvery: Int = 0,
+      maxSegments: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    indexIngestSinkOf(docs, indexRoot, checkpointLocation, "postings")(
+    indexIngestSinkOf(docs, indexRoot, checkpointLocation, "postings",
+      maintainEvery, () => TextOps.bm25IndexMaintain(
+        docs.sparkSession, indexRoot, maxSegments))(
       (b, stamp) => TextOps.bm25IndexAppend(b, indexRoot,
         stamp = stamp))
 
   /** Exactly-once streaming appends into a persisted perceptual-hash
-    * image index root (built by `Multimodal.phashIndexWrite`). */
+    * image index root (built by `Multimodal.phashIndexWrite`).
+    * `maintainEvery`/`maxSegments` as on [[minhashIngestSink]]. */
   def phashIngestSink(media: DataFrame, indexRoot: String,
-      checkpointLocation: String)
+      checkpointLocation: String, maintainEvery: Int = 0,
+      maxSegments: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    indexIngestSinkOf(media, indexRoot, checkpointLocation, "bands")(
+    indexIngestSinkOf(media, indexRoot, checkpointLocation, "bands",
+      maintainEvery, () => Multimodal.bandedIndexMaintain(
+        media.sparkSession, indexRoot, maxSegments))(
       (b, stamp) => Multimodal.phashIndexAppend(b, indexRoot,
         stamp = stamp))
 
   /** [[phashIngestSink]] for an audio fingerprint index root. */
   def audioIngestSink(media: DataFrame, indexRoot: String,
-      checkpointLocation: String)
+      checkpointLocation: String, maintainEvery: Int = 0,
+      maxSegments: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    indexIngestSinkOf(media, indexRoot, checkpointLocation, "bands")(
+    indexIngestSinkOf(media, indexRoot, checkpointLocation, "bands",
+      maintainEvery, () => Multimodal.bandedIndexMaintain(
+        media.sparkSession, indexRoot, maxSegments))(
       (b, stamp) => Multimodal.audioIndexAppend(b, indexRoot,
         stamp = stamp))
 
   /** Exactly-once streaming appends into a persisted IVF vector index
     * root (built by `EmbeddingOps.ivfIndexWrite`; batches assign
-    * against the stored centroids — the fixed-quantizer `add`). */
+    * against the stored centroids — the fixed-quantizer `add`).
+    * `maintainEvery`/`maxSegments` as on [[minhashIngestSink]]. */
   def ivfIngestSink(emb: DataFrame, indexRoot: String,
-      checkpointLocation: String)
+      checkpointLocation: String, maintainEvery: Int = 0,
+      maxSegments: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "lists")(
+    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "lists",
+      maintainEvery, () => EmbeddingOps.ivfIndexMaintain(
+        emb.sparkSession, indexRoot, maxSegments))(
       (b, stamp) => EmbeddingOps.ivfIndexAppend(b, indexRoot,
         stamp = stamp))
 
   /** [[ivfIngestSink]] for a PQ index root (batches encode against
     * the stored codebooks). */
   def pqIngestSink(emb: DataFrame, indexRoot: String,
-      checkpointLocation: String)
+      checkpointLocation: String, maintainEvery: Int = 0,
+      maxSegments: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "codes")(
+    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "codes",
+      maintainEvery, () => EmbeddingOps.pqIndexMaintain(
+        emb.sparkSession, indexRoot, maxSegments))(
       (b, stamp) => EmbeddingOps.pqIndexAppend(b, indexRoot,
         stamp = stamp))
 
   /** [[ivfIngestSink]] for an IVF-PQ index root (coarse-assign +
     * residual-encode against the stored quantizers). */
   def ivfpqIngestSink(emb: DataFrame, indexRoot: String,
-      checkpointLocation: String)
+      checkpointLocation: String, maintainEvery: Int = 0,
+      maxSegments: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "codes")(
+    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "codes",
+      maintainEvery, () => EmbeddingOps.ivfpqIndexMaintain(
+        emb.sparkSession, indexRoot, maxSegments))(
       (b, stamp) => EmbeddingOps.ivfpqIndexAppend(b, indexRoot,
         stamp = stamp))
 
   /** [[ivfIngestSink]] for an SQ8 index root (batches clamp-encode
     * against the stored ranges). */
   def sq8IngestSink(emb: DataFrame, indexRoot: String,
-      checkpointLocation: String)
+      checkpointLocation: String, maintainEvery: Int = 0,
+      maxSegments: Int = 8)
       : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
-    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "codes")(
+    indexIngestSinkOf(emb, indexRoot, checkpointLocation, "codes",
+      maintainEvery, () => EmbeddingOps.sq8IndexMaintain(
+        emb.sparkSession, indexRoot, maxSegments))(
       (b, stamp) => EmbeddingOps.sq8IndexAppend(b, indexRoot,
         stamp = stamp))
 
   private def indexIngestSinkOf(rows: DataFrame, indexRoot: String,
-      checkpointLocation: String, canonicalDir: String)
+      checkpointLocation: String, canonicalDir: String,
+      maintainEvery: Int = 0, maintain: () => String = () => "none")
       (append: (DataFrame, String => Unit) => Unit)
-      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] = {
+    require(maintainEvery >= 0,
+      s"maintainEvery must be >= 0 (0 = off), got $maintainEvery")
     rows.writeStream
       .option("checkpointLocation", checkpointLocation)
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
@@ -138,7 +177,17 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
             batch.sparkSession.sparkContext.hadoopConfiguration,
             checkpointLocation),
           canonicalDir)(append)
+        // opportunistic standing maintenance, serialized with the
+        // appends by the sink's single-writer position. Runs AFTER
+        // the batch's commit; a crash here costs nothing (the batch
+        // replays as a no-op and the next turn maintains). Replayed
+        // batches reaching their turn again are also fine: the
+        // policy door no-ops on an in-bound, unswept root.
+        if (maintainEvery > 0 && (batchId + 1) % maintainEvery == 0) {
+          maintain(); ()
+        }
       }
+  }
 
   /** One micro-batch of the ingest protocol (the foreachBatch body,
     * exposed so the recovery spec can drive explicit batch ids

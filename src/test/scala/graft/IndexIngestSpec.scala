@@ -78,6 +78,34 @@ class IndexIngestSpec extends SparkSpec {
     assert(served(root, probe) == served(oneShot, probe))
   }
 
+  test("auto-maintenance inside the sink keeps the chain bounded while serving stays equal to the one-shot build") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val probe = docs.where(col("doc_id") % 5 === 0)
+
+    val root = tmpDir("ing_auto") + "/ix"
+    TextOps.minhashIndexWrite(stored.where(col("doc_id") % 4 === 0),
+      root)
+    val streamDir = tmpDir("ing_auto_stream")
+    Seq(1, 2, 3).foreach(i => stored.where(col("doc_id") % 4 === i)
+      .coalesce(1).write.mode("append").parquet(streamDir))
+    val q = Streams.minhashIngestSink(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir),
+        root, tmpDir("ing_auto_ckpt"),
+        maintainEvery = 1, maxSegments = 2)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+
+    assert(segsOf(root).size <= 2,
+      s"the in-sink policy must bound the chain, got ${segsOf(root)}")
+    val oneShot = tmpDir("ing_auto_ref") + "/ix"
+    TextOps.minhashIndexWrite(stored, oneShot)
+    assert(served(root, probe) == served(oneShot, probe),
+      "maintained streamed index must serve like the one-shot build")
+  }
+
   test("replayed and crash-window batches resolve without duplicate segments") {
     val base = docsDf(Seq(
       (1L, "alpha beta gamma delta epsilon zeta", "en", "a"),
