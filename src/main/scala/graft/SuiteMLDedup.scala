@@ -275,6 +275,50 @@ private[graft] object SuiteMLDedup {
         |JOIN szb sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
 
+    // ---- dedup: near-dup serving after STREAMED deletions ----------------
+    // (the forget pipeline's event-driven half driver-checked: the
+    // full stored slice builds, then a REAL bounded stream of
+    // takedown keys tombstones the % 3 = 0 docs through
+    // Streams.indexDeleteSink — serving must mask them exactly, so
+    // the oracle's indexed side simply excludes them)
+    Q("dedup_stream_deleted",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = cachedIndex("mh_sdel", d, p => {
+          val stored = all.where(col("doc_id") % 5 =!= 0)
+          TextOps.minhashIndexWrite(stored, s"$p/ix")
+          streamInto(s,
+            Seq(stored.where(col("doc_id") % 3 === 0)
+              .select(col("doc_id"))),
+            p,
+            (src, ckpt) => graft.streaming.Streams
+              .indexDeleteSink(src, s"$p/ix", ckpt))
+        })
+        TextOps.nearDupServe(s, s"$dir/ix",
+          all.where(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |${minhashSigSliceSql("dsa", "a")},
+        |${minhashSigSliceSql("dsb", "b")},
+        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |         FROM bands_a a JOIN bands_b b
+        |           ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |          FROM cand c
+        |          JOIN dsa x ON x.doc_id = c.doc_a
+        |          JOIN dsb y ON y.doc_id = c.doc_b AND y.s = x.s
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
+
     // ---- dedup: near-dup serving off a TAIL-COMPACTED index --------------
     // (size-tiered maintenance driver-checked: the stored slice lands
     // as a seed build + four appends — five segments — and

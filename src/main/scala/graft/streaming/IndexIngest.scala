@@ -189,6 +189,62 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
       }
   }
 
+  /** Streaming DELETIONS into any persisted index root — the forget
+    * pipeline's event-driven half (takedown/GDPR keys arrive as a
+    * stream, not a batch job). Works against EVERY family: tombstones
+    * are family-agnostic key segments under the root's `_dels`
+    * manifest, applied by the serve-time anti-join.
+    *
+    * The replay story is DELIBERATELY simpler than the data sink's:
+    * masking is idempotent (a duplicate or already-applied key masks
+    * nothing new), so correctness needs no in-segment stamp — the
+    * high-water mark exists only to stop replay BLOAT, and a crash
+    * between the tombstone commit and the progress write costs at
+    * most one duplicate tombstone segment, consolidated away by the
+    * next compaction. The binding (`_ingest/dels_run`) is separate
+    * from the data-ingest binding: a root legally runs ONE ingest
+    * stream and ONE delete stream — they commit to different
+    * manifests (`_segs` vs `_dels`), the one manifest race that
+    * matters (a compaction racing either) already fences on both.
+    * No in-sink maintenance here: exactly one writer (the ingest
+    * sink's turn, or the operator) may compact. */
+  def indexDeleteSink(ids: DataFrame, indexRoot: String,
+      checkpointLocation: String, keyCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.DataStreamWriter[Row] =
+    ids.writeStream
+      .option("checkpointLocation", checkpointLocation)
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        indexDeleteBatch(batch.toDF(), batchId, indexRoot,
+          checkpointQueryId(
+            batch.sparkSession.sparkContext.hadoopConfiguration,
+            checkpointLocation),
+          keyCol)
+      }
+
+  /** One micro-batch of the delete protocol (exposed for the
+    * recovery spec, like [[indexIngestBatch]]). */
+  private[graft] def indexDeleteBatch(batch: DataFrame, batchId: Long,
+      indexRoot: String, queryId: String, keyCol: String,
+      failpoint: String => Unit = _ => ()): Unit = {
+    val s = batch.sparkSession
+    val root = new org.apache.hadoop.fs.Path(indexRoot)
+    val fs = root.getFileSystem(s.sparkContext.hadoopConfiguration)
+    require(EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))._1 >= 0,
+      s"no index manifest at $indexRoot/_segs — build the index " +
+        "first (the delete sink tombstones an existing root)")
+    bindIngest(fs, root, indexRoot, queryId,
+      runName = "dels_run", hwmName = "dels_hwm")
+    val hwmPath =
+      new org.apache.hadoop.fs.Path(root, "_ingest/dels_hwm")
+    val hwm = EmbeddingOps.readLongMarker(fs, hwmPath).getOrElse(-1L)
+    if (batchId <= hwm) return // replayed AND fully committed
+    if (!batch.isEmpty)
+      EmbeddingOps.indexDelete(s, indexRoot, batch, keyCol = keyCol)
+    failpoint("deleted")
+    EmbeddingOps.writeMarkerAtomic(fs, hwmPath, batchId.toString)
+  }
+
   /** One micro-batch of the ingest protocol (the foreachBatch body,
     * exposed so the recovery spec can drive explicit batch ids
     * through every crash window). `failpoint` fires `"appended"`
@@ -238,9 +294,10 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
     * both believing they own the root). */
   private def bindIngest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, indexRoot: String,
-      queryId: String): Unit = {
+      queryId: String, runName: String = "run",
+      hwmName: String = "hwm"): Unit = {
     val dir = new org.apache.hadoop.fs.Path(root, "_ingest")
-    val marker = new org.apache.hadoop.fs.Path(dir, "run")
+    val marker = new org.apache.hadoop.fs.Path(dir, runName)
     def verify(): Unit = {
       val owner = readUtf8(fs, marker)
       require(owner == queryId,
@@ -251,7 +308,7 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
           "or clear _ingest after verifying no replay is pending.")
     }
     if (fs.exists(marker)) { verify(); return }
-    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, "hwm")),
+    require(!fs.exists(new org.apache.hadoop.fs.Path(dir, hwmName)),
       s"index root $indexRoot has ingest progress but no run marker " +
         "— an earlier stream's binding was partially cleared. " +
         "Restore or clear the whole _ingest directory.")

@@ -265,6 +265,62 @@ class IndexIngestSpec extends SparkSpec {
     assert(serve(root) == serve(oneShot))
   }
 
+  test("streaming deletions mask exactly, tolerate crash-window duplicates, and bind independently of the data stream") {
+    val base = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a"),
+      (2L, "alpha beta gamma delta epsilon eta", "en", "a"),
+      (3L, "one two three four five six seven", "en", "b")))
+    val probe = docsDf(Seq(
+      (90L, "alpha beta gamma delta epsilon zeta", "en", "p"),
+      (91L, "one two three four five six seven", "en", "p")))
+    val root = tmpDir("ing_del") + "/ix"
+    TextOps.minhashIndexWrite(base, root)
+    // a data-ingest binding coexists with the delete binding
+    foldMinhash(root, base.where(col("doc_id") < 0), 0L, qid = "q-ing")
+
+    import spark.implicits._
+    def delsSegs: Seq[Int] = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_dels"))._2
+    def del(b: Long, ids: Seq[Long], qid: String = "q-del",
+        failpoint: String => Unit = _ => ()): Unit =
+      Streams.indexDeleteBatch(ids.toDF("doc_id"), b, root, qid,
+        "doc_id", failpoint)
+
+    val before = served(root, probe)
+    del(0L, Seq(3L))
+    val masked = served(root, probe)
+    assert(masked != before && masked ==
+      TextOps.nearDupServe(spark, root, probe).collect()
+        .map(_.toString).sorted.toSeq)
+    val after0 = delsSegs
+    del(0L, Seq(3L)) // fully-committed replay: no tombstone bloat
+    assert(delsSegs == after0)
+
+    // crash window: tombstone committed, progress write lost — the
+    // replay re-appends (duplicate segment, masking unchanged)
+    final class Kill extends RuntimeException
+    intercept[Kill] {
+      del(1L, Seq(1L), failpoint = t => if (t == "deleted") throw new Kill)
+    }
+    val afterCrash = delsSegs
+    del(1L, Seq(1L))
+    assert(delsSegs.size == afterCrash.size + 1,
+      "the crash-window replay duplicates the tombstone segment")
+    assert(served(root, probe) ==
+      TextOps.nearDupServe(spark, root, probe).collect()
+        .map(_.toString).sorted.toSeq)
+    assert(served(root, probe).forall(!_.contains("[1,")),
+      "doc 1 is masked despite the duplicate")
+
+    // the delete binding refuses a different stream, independently
+    // of the data binding
+    val e = intercept[IllegalArgumentException] {
+      del(2L, Seq(2L), qid = "q-other")
+    }
+    assert(e.getMessage.contains("bound to ingest stream 'q-del'"))
+    foldMinhash(root, base.where(col("doc_id") < 0), 1L, qid = "q-ing")
+  }
+
   test("ivfpq ingest: crash-window folds equal direct appends (the trained quantizers are fixed, so the sink is exactly the replay-safe append)") {
     val emb = Tables(spark, "/root/testdata/sf0.001").embeddings
       .localCheckpoint()
