@@ -275,6 +275,27 @@ private[graft] object SuiteMLDedup {
         |JOIN szb sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
 
+    // ---- dedup: EXACT all-pairs similarity self-join ---------------------
+    // (the recall-GUARANTEED member: threshold-derived prefix over a
+    // global rarest-first order makes the candidate join complete, so
+    // the oracle replays BRUTE FORCE — every shingle-sharing pair, no
+    // prefix anywhere — and row equality is a standing machine proof
+    // of the filter's completeness, not just its precision)
+    Q("dedup_allpairs_exact",
+      (s, d) => TextOps.allPairsExact(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |szs AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS n_common
+        |          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN szs sa ON sa.doc_id = i.doc_a
+        |JOIN szs sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
+
     // ---- dedup: near-dup serving after STREAMED deletions ----------------
     // (the forget pipeline's event-driven half driver-checked: the
     // full stored slice builds, then a REAL bounded stream of

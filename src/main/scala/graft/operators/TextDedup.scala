@@ -474,6 +474,62 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     jaccardFromInter(dh, interFromCandidates(dh, cand), threshold)
   }
 
+  /** EXACT all-pairs similarity self-join with GUARANTEED recall —
+    * the member [[nearDupNgramJaccard]]'s own docstring concedes it
+    * is not ("the exact prefix length for guaranteed recall depends
+    * on each set's size"). Here the prefix length IS that exact
+    * length: p = n - ceil(t·n) + 1 over ONE global rarest-first
+    * shingle order (Bayardo et al., "Scaling Up All Pairs Similarity
+    * Search", WWW 2007; Xiao et al., WWW 2008) — a pair at
+    * Jaccard >= t has overlap >= t·max(na, nb), so skipping the p-1
+    * highest-ordered shingles of each doc still leaves a shared one
+    * (pigeonhole): the candidate join is COMPLETE, and every
+    * candidate verifies against the full distinct shingle sets. The
+    * oracle replays BRUTE FORCE (every shingle-sharing pair, no
+    * prefix anywhere), so row equality is a machine proof of the
+    * filter's completeness each round, not just its precision.
+    *
+    * Scale shape: prefix entries are each doc's ~(1-t) RAREST
+    * shingles (the frequency-ascending order concentrates join keys
+    * on low-frequency tokens), the size filter
+    * (min·1000 >= t‰·max) prunes cross-size pairs before the
+    * verification join, and every stage is a keyed shuffle. The
+    * threshold rounds DOWN to permille for the integer prefix/size
+    * arithmetic (a floor can only lengthen the prefix — more
+    * candidates, never a miss); the final keep is the same IEEE
+    * `jaccard >= threshold` as every sibling. Worst case (a template
+    * corpus whose docs share their rarest shingles) is quadratic IN
+    * THE ANSWER — an exact join cannot cap without losing exactness;
+    * the capped routes ([[nearDupMinhash]], [[nearDupNgramJaccard]])
+    * are the fallback when the answer itself is quadratic. */
+  def allPairsExact(docs: DataFrame, threshold: Double = 0.7)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = math.floor(threshold * 1000).toLong.max(1L)
+    val ds = shinglesRaw(docs)
+      .select(col("doc_id"), col("s").as("h"))
+      .distinct()
+      .pinned // prefix ranking, frequency, sizes, and verify — one set
+    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val freq = ds.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), col("h"))
+    val pref = ds.join(freq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .join(sz, Seq("doc_id"))
+      .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
+      .select(col("h"), col("doc_id"), col("n"))
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * lit(1000L) >= col("b.n") * lit(t) &&
+          col("b.n") * lit(1000L) >= col("a.n") * lit(t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardFromInter(ds, interFromCandidates(ds, cand), threshold)
+  }
+
   /** Estimator-quality report for the MinHash route: every verified
     * near-dup pair next to what the SIGNATURE alone would have
     * estimated — the matching-component fraction (the textbook

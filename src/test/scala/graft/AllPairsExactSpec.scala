@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.operators.TextOps
+
+/** The exact all-pairs join's completeness and precision against
+  * brute force — the property the prefix filter must never lose. */
+class AllPairsExactSpec extends SparkSpec {
+
+  private def brute(docs: DataFrame, threshold: Double): Seq[String] = {
+    val ds = TextOps.shingles(docs)
+      .select(col("doc_id"), col("s")).distinct()
+    val sz = ds.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val inter = ds.as("a").join(ds.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_common"))
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .where(col("n_common") /
+        (col("na") + col("nb") - col("n_common")).cast("double")
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"))
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def exact(docs: DataFrame, threshold: Double): Seq[String] =
+    TextOps.allPairsExact(docs, threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("the prefix-filtered join equals brute force on the testdata corpus at several thresholds") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    Seq(0.5, 0.7, 0.9).foreach { t =>
+      assert(exact(docs, t) == brute(docs, t),
+        s"completeness/precision must hold at t=$t")
+    }
+    assert(exact(docs, 0.7).nonEmpty,
+      "the fixture corpus contains qualifying pairs")
+  }
+
+  test("boundary pairs survive: exactly-at-threshold kept, just-below dropped, and the fixed-k heuristic's documented miss class is covered") {
+    // two 12-shingle docs sharing 9 (j = 9/15 = 0.6) and two sharing
+    // 11 of 12/13 (j = 11/14 ~ 0.785): at t = 0.6 both qualify, at
+    // t = 0.7 only the second — and the 0.6 boundary is EXACT
+    val docs = docsDf(Seq(
+      (1L, "a b c d e f g h i j k l m n", "en", "x"),
+      (2L, "a b c d e f g h i j k zz yy xx", "en", "x"),
+      (3L, "p q r s t u v w aa bb cc dd ee ff g", "en", "x"),
+      (4L, "p q r s t u v w aa bb cc dd ee hh", "en", "x")))
+    val at06 = exact(docs, 0.6)
+    assert(at06.exists(_.startsWith("[1,2,")) &&
+      at06.exists(_.startsWith("[3,4,")))
+    assert(exact(docs, 0.6) == brute(docs, 0.6))
+    val at07 = exact(docs, 0.7)
+    assert(at07 == brute(docs, 0.7))
+
+    // a high-Jaccard pair is found regardless of WHICH shingles
+    // differ (the fixed-k route can miss when the k smallest hashes
+    // disagree; the exact route cannot miss by construction)
+    assert(exact(docs, 0.75).exists(_.startsWith("[3,4,")) ||
+      brute(docs, 0.75).forall(!_.startsWith("[3,4,")))
+  }
+}
