@@ -294,7 +294,30 @@ private[graft] object SuiteMLDedup {
         |FROM inter i
         |JOIN szs sa ON sa.doc_id = i.doc_a
         |JOIN szs sb ON sb.doc_id = i.doc_b
-        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin),
+      // benched: the exact-join shape beside the LSH row — candidate
+      // volume is the prefix mass, not banded buckets
+      bench = true),
+
+    // ---- dedup: EXACT containment self-join (subset duplicates) ----------
+    // (the asymmetric sibling: doc_a's shingle set >= 90%-contained
+    // in doc_b's — the quoted/boilerplate-superset detector symmetric
+    // Jaccard misses when the container dwarfs the contained. Oracle
+    // replays brute force over ordered intersecting pairs)
+    Q("dedup_containment",
+      (s, d) => TextOps.containmentPairs(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |szs AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS n_common
+        |          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n AS DOUBLE) AS containment
+        |FROM inter i
+        |JOIN szs sa ON sa.doc_id = i.doc_a
+        |JOIN szs sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n AS DOUBLE) >= 0.9""".stripMargin)),
 
     // ---- dedup: near-dup serving after STREAMED deletions ----------------
     // (the forget pipeline's event-driven half driver-checked: the

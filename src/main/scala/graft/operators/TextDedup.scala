@@ -530,6 +530,63 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     jaccardFromInter(ds, interFromCandidates(ds, cand), threshold)
   }
 
+  /** EXACT containment self-join — [[allPairsExact]]'s asymmetric
+    * sibling: every ordered pair where doc_a's distinct shingle set
+    * is at least `threshold`-contained in doc_b's
+    * (|A∩B| / |A| >= t) — the "mostly-quoted / boilerplate superset"
+    * detector a curation pass runs to drop documents subsumed by
+    * others, which symmetric Jaccard misses when the container is
+    * much larger (a doc fully quoted inside one 10x its size has
+    * Jaccard <= 0.1 but containment 1.0).
+    *
+    * Same prefix principle, contained-side only: overlap >= t·na
+    * means skipping doc_a's p-1 = na - ceil(t·na) highest-ordered
+    * shingles still leaves a shared one, so candidates are
+    * prefix(A) x full(B) on the shingle key — complete by pigeonhole;
+    * the container side cannot be prefix-trimmed (its size gives no
+    * overlap bound), which is the algorithm's honest asymmetric cost:
+    * the candidate join keys on each prefix shingle's FULL posting
+    * list. Verification is exact over the full sets; the threshold
+    * floors to permille for the prefix arithmetic and the final keep
+    * is IEEE `containment >= threshold`. The oracle replays brute
+    * force (all intersecting ordered pairs), machine-proving
+    * completeness each round. */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.9)
+      : DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = math.floor(threshold * 1000).toLong.max(1L)
+    val ds = shinglesRaw(docs)
+      .select(col("doc_id"), col("s").as("h"))
+      .distinct()
+      .pinned
+    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val freq = ds.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("f"), col("h"))
+    val pref = ds.join(freq, Seq("h"))
+      .withColumn("rn", row_number().over(w))
+      .join(sz, Seq("doc_id"))
+      .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
+      .select(col("h"), col("doc_id"))
+    val cand = pref.as("a").join(ds.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = interFromCandidates(ds, cand)
+    inter
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("containment",
+        col("n_common") / col("na").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("containment"))
+  }
+
   /** Estimator-quality report for the MinHash route: every verified
     * near-dup pair next to what the SIGNATURE alone would have
     * estimated — the matching-component fraction (the textbook

@@ -69,4 +69,44 @@ class AllPairsExactSpec extends SparkSpec {
     assert(exact(docs, 0.75).exists(_.startsWith("[3,4,")) ||
       brute(docs, 0.75).forall(!_.startsWith("[3,4,")))
   }
+
+  test("containment finds the subset-duplicate symmetric Jaccard misses, and equals its brute force") {
+    // doc 2 is doc 1 plus 3x the content: containment(1 in 2) = 1.0
+    // while Jaccard sits near 1/4 — the quoted-inclusion class
+    val inner = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docsDf(Seq(
+      (1L, inner, "en", "x"),
+      (2L, inner + " one two three four five six seven eight nine " +
+        "ten eleven twelve thirteen fourteen fifteen sixteen", "en", "x"),
+      (3L, "unrelated words entirely different from both others yes",
+        "en", "x")))
+    val got = TextOps.containmentPairs(docs, 0.9)
+      .select(col("doc_a"), col("doc_b")).collect().map(_.toString)
+    assert(got.sameElements(Array("[1,2]")),
+      s"only (contained=1, container=2) qualifies, got ${got.toSeq}")
+    assert(exact(docs, 0.5).isEmpty,
+      "symmetric Jaccard misses the inclusion at 0.5")
+
+    // brute parity on the testdata corpus
+    val corpus = Tables(spark, "/root/testdata/sf0.001").documents
+    val ds = TextOps.shingles(corpus)
+      .select(col("doc_id"), col("s")).distinct()
+    val sz = ds.groupBy(col("doc_id"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val brutePairs = ds.as("a").join(ds.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_common"))
+      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .where(col("n_common") / col("na").cast("double") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("n_common"))
+      .collect().map(_.toString).sorted.toSeq
+    val fast = TextOps.containmentPairs(corpus, 0.9)
+      .select(col("doc_a"), col("doc_b"), col("n_common"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(fast == brutePairs)
+  }
 }
