@@ -319,6 +319,27 @@ private[graft] object SuiteMLDedup {
         |JOIN szs sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n AS DOUBLE) >= 0.9""".stripMargin)),
 
+    // ---- dedup: the containment-dedup ACTION ------------------------------
+    // (drop every doc 90%-contained in a (size, id)-greater container;
+    // mutual containment keeps the (size, id)-smaller's counterpart —
+    // one greedy pass, acyclic by the strict order)
+    Q("dedup_drop_contained",
+      (s, d) => TextOps.dropContained(docs(s, d)),
+      Some(s"""WITH $TokCte,
+        |szs AS (SELECT doc_id, count(*) AS n FROM ds GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS n_common
+        |          FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id <> b.doc_id
+        |          GROUP BY 1, 2),
+        |dropd AS (SELECT DISTINCT i.doc_a AS doc_id
+        |          FROM inter i
+        |          JOIN szs sa ON sa.doc_id = i.doc_a
+        |          JOIN szs sb ON sb.doc_id = i.doc_b
+        |          WHERE i.n_common / CAST(sa.n AS DOUBLE) >= 0.9
+        |            AND (sb.n > sa.n OR (sb.n = sa.n AND i.doc_b < i.doc_a)))
+        |SELECT doc_id, text, lang, source, n_chars FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropd)""".stripMargin)),
+
     // ---- dedup: near-dup serving after STREAMED deletions ----------------
     // (the forget pipeline's event-driven half driver-checked: the
     // full stored slice builds, then a REAL bounded stream of

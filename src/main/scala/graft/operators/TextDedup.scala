@@ -587,6 +587,25 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
         col("nb"), col("containment"))
   }
 
+  /** The curation ACTION on [[containmentPairs]]: drop every document
+    * `threshold`-contained in a (size, id)-GREATER container, keep
+    * the rest. The strict order makes the rule well-defined in one
+    * pass: mutual containment (near-set-equality) drops exactly the
+    * (size, id)-smaller doc, a containment chain keeps at least its
+    * maximal element (acyclicity — no iteration, no fixpoint), and a
+    * doc contained only in docs that themselves drop still drops
+    * (the greedy one-pass semantics, stated rather than hidden: its
+    * container's container holds ~the same content). Output is the
+    * surviving documents verbatim. */
+  def dropContained(docs: DataFrame, threshold: Double = 0.9)
+      : DataFrame = {
+    val dropped = containmentPairs(docs, threshold)
+      .where(col("nb") > col("na") ||
+        (col("nb") === col("na") && col("doc_b") < col("doc_a")))
+      .select(col("doc_a").as("doc_id")).distinct()
+    docs.join(dropped, Seq("doc_id"), "left_anti")
+  }
+
   /** Estimator-quality report for the MinHash route: every verified
     * near-dup pair next to what the SIGNATURE alone would have
     * estimated — the matching-component fraction (the textbook

@@ -109,4 +109,23 @@ class AllPairsExactSpec extends SparkSpec {
       .collect().map(_.toString).sorted.toSeq
     assert(fast == brutePairs)
   }
+
+  test("dropContained keeps the container, keeps one survivor under mutual containment, and keeps the chain's maximal element") {
+    val inner = "alpha beta gamma delta epsilon zeta eta theta"
+    val mid = inner + " one two three four"
+    val docs = docsDf(Seq(
+      (1L, inner, "en", "x"),                       // contained in 2
+      (2L, mid + " five six seven eight nine ten " +
+        "eleven twelve thirteen", "en", "x"),       // the container
+      (5L, "totally different content here words", "en", "x"),
+      (7L, inner, "en", "x"),                       // mutual with 1
+      (9L, mid, "en", "x")))                        // chain: 1⊆9⊆2
+    val kept = TextOps.dropContained(docs, 0.9)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // 1 drops (contained in 2/9; also mutual with 7 but 7 > 1 so the
+    // mutual pair alone would keep 1 — the larger containers decide);
+    // 7 drops (mutual with 1: same size, smaller id 1 wins; also
+    // contained in 2/9); 9 drops (contained in 2); 2 and 5 survive
+    assert(kept.sameElements(Array(2L, 5L)), s"got ${kept.toSeq}")
+  }
 }
