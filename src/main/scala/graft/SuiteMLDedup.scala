@@ -299,6 +299,34 @@ private[graft] object SuiteMLDedup {
       // volume is the prefix mass, not banded buckets
       bench = true),
 
+    // ---- dedup: EXACT cross-corpus similarity join ------------------------
+    // (allPairsExact between two corpora — the exact sibling of the
+    // minhash SERVE split: the % 5 = 0 batch against the % 5 != 0
+    // stored slice, prefixes on both sides under ONE shared
+    // union-frequency order. Brute-force oracle, so completeness is
+    // machine-proven on the cross shape too)
+    Q("dedup_allpairs_join",
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.allPairsJoin(
+          all.where(col("doc_id") % 5 === 0),
+          all.where(col("doc_id") % 5 =!= 0))
+      },
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 <> 0),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS n_common
+        |          FROM dsa a JOIN dsb b ON a.s = b.s GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
+
     // ---- dedup: EXACT containment self-join (subset duplicates) ----------
     // (the asymmetric sibling: doc_a's shingle set >= 90%-contained
     // in doc_b's — the quoted/boilerplate-superset detector symmetric

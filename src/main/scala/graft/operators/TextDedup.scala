@@ -587,6 +587,69 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
         col("nb"), col("containment"))
   }
 
+  /** EXACT cross-corpus similarity join — [[allPairsExact]] between
+    * TWO corpora (a fresh batch vs a held-out benchmark, this crawl
+    * vs the last one): every (left, right) pair at Jaccard >=
+    * `threshold`, recall-guaranteed. The prefix applies on BOTH
+    * sides under one SHARED order (frequencies from the union — the
+    * order must be common or the pigeonhole argument breaks), so a
+    * qualifying pair shares a token inside both prefixes
+    * (overlap >= t·max(na, nb) survives removing p-1 tokens from
+    * EACH side when both prefixes derive from the same global
+    * order). Output (doc_a = left, doc_b = right, n_common, na, nb,
+    * jaccard); id domains may overlap (they key different corpora).
+    * Same integer-floor prefix arithmetic and IEEE keep as the
+    * self-join; the oracle replays brute force. */
+  def allPairsJoin(left: DataFrame, right: DataFrame,
+      threshold: Double = 0.7): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = math.floor(threshold * 1000).toLong.max(1L)
+    def sets(docs: DataFrame): DataFrame = shinglesRaw(docs)
+      .select(col("doc_id"), col("s").as("h")).distinct()
+    val dsa = sets(left).pinned
+    val dsb = sets(right).pinned
+    // ONE shared rarest-first order over the union: per-corpus
+    // frequencies would rank the same shingle differently on the two
+    // sides and the two prefixes could miss their shared tokens
+    val freq = dsa.select(col("h")).unionAll(dsb.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("f"))
+    def pref(ds: DataFrame): DataFrame = {
+      val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      ds.join(freq, Seq("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("f"), col("h"))))
+        .join(sz, Seq("doc_id"))
+        .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
+        .select(col("h"), col("doc_id"), col("n"))
+    }
+    val cand = pref(dsa).as("a").join(pref(dsb).as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.n") * lit(1000L) >= col("b.n") * lit(t) &&
+          col("b.n") * lit(1000L) >= col("a.n") * lit(t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(dsb.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(dsa.as("sa"),
+        col("doc_a") === col("sa.doc_id") && col("sb.h") === col("sa.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val sza = dsa.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val szb = dsb.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    inter
+      .join(sza.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(szb.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("jaccard", col("n_common") /
+        (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
   /** The curation ACTION on [[containmentPairs]]: drop every document
     * `threshold`-contained in a (size, id)-GREATER container, keep
     * the rest. The strict order makes the rule well-defined in one

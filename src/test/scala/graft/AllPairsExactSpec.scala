@@ -110,6 +110,40 @@ class AllPairsExactSpec extends SparkSpec {
     assert(fast == brutePairs)
   }
 
+  test("the cross-corpus join equals brute force at several thresholds") {
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val left = docs.where(col("doc_id") % 5 === 0)
+    val right = docs.where(col("doc_id") % 5 =!= 0)
+    def bruteCross(t: Double): Seq[String] = {
+      val da = TextOps.shingles(left).select(col("doc_id"), col("s"))
+      val db = TextOps.shingles(right).select(col("doc_id"), col("s"))
+      val sza = da.groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("na"))
+      val szb = db.groupBy(col("doc_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("nb"))
+      da.as("a").join(db.as("b"), col("a.s") === col("b.s"))
+        .groupBy(col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_common"))
+        .join(sza.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"))
+        .join(szb.withColumnRenamed("doc_id", "doc_b"), Seq("doc_b"))
+        .where(col("n_common") /
+          (col("na") + col("nb") - col("n_common")).cast("double") >= t)
+        .select(col("doc_a"), col("doc_b"), col("n_common"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    Seq(0.5, 0.7).foreach { t =>
+      val got = TextOps.allPairsJoin(left, right, t)
+        .select(col("doc_a"), col("doc_b"), col("n_common"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == bruteCross(t), s"cross completeness at t=$t")
+    }
+    assert(TextOps.allPairsJoin(left, right, 0.7).count() > 0)
+  }
+
   test("dropContained keeps the container, keeps one survivor under mutual containment, and keeps the chain's maximal element") {
     val inner = "alpha beta gamma delta epsilon zeta eta theta"
     val mid = inner + " one two three four"
