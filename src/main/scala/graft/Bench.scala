@@ -209,12 +209,13 @@ object Bench {
         }
       }),
       // size-tiered maintenance: the tail compaction's whole point is
-      // O(tail) IO — the fixture is one BIG seed segment (90% of the
-      // corpus) plus three small appended segments, and the timed
-      // call merges ONLY the three small ones. Its shuffle rows must
-      // stay an order of magnitude under maint_index_compact's
-      // full-rewrite anchor; creeping toward it means the tail door
-      // started reading the seed
+      // O(tail) IO — the fixture is one BIG seed segment (70% of the
+      // corpus, doc_id % 10 < 7) plus three 10% appended segments,
+      // and the timed call merges ONLY the three small ones: it reads
+      // 30% of the corpus, ~3x headroom against maint_index_compact's
+      // full-rewrite anchor (5 970 vs 16 801 shuffle rows in
+      // BASELINE.md). Creeping toward the full-rewrite number means
+      // the tail door started reading the seed
       ("maint_tail_compact", () => {
         val root = tempFixtureDir("graft_bench_mhtail")
           .resolve("idx").toString

@@ -64,19 +64,54 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   }
 
   /** Commit generation `gen` listing `segs`: write a hidden temp file,
-    * then one rename — the committing instant. */
+    * then ONE no-overwrite rename — the committing instant is a
+    * compare-and-swap on the generation number. `FileContext.rename`
+    * with default `Options.Rename.NONE` (the Delta-log commit
+    * discipline) refuses an existing destination, so when two writers
+    * race to commit the same generation the LOSER aborts loudly
+    * instead of silently clobbering the winner's manifest — which
+    * would drop the winner's freshly committed segment from the
+    * listing and hand it to the next unreferenced-dir sweep. The
+    * in-flight pre-checks (tail compaction's `genNow == gen` re-read)
+    * keep their friendly early message; this CAS is the authoritative
+    * backstop for a commit landing AFTER the re-check. The guarantee
+    * is as strong as the store's no-overwrite rename: atomic on HDFS,
+    * check-then-rename (a metadata-op-sized window, down from the
+    * whole rewrite) on the local filesystem.
+    *
+    * `overwrite = true` is for commits into hidden STAGING trees
+    * only: the merge assembly resumes into an existing tmp and
+    * legitimately re-writes its gen-0. Nothing serves from a staging
+    * tree, so last-writer-wins is safe there and required for resume
+    * idempotence. Live metaDirs must never pass it. */
   private[graft] def commitGen(fs: org.apache.hadoop.fs.FileSystem,
       metaDir: org.apache.hadoop.fs.Path, gen: Int,
-      segs: Seq[Int]): Unit = {
+      segs: Seq[Int], overwrite: Boolean = false): Unit = {
     fs.mkdirs(metaDir)
     val tmp = new org.apache.hadoop.fs.Path(metaDir, s".gen-$gen.tmp")
     val out = fs.create(tmp, true)
     try out.write(segs.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dest = new org.apache.hadoop.fs.Path(metaDir, s"gen-$gen")
-    if (fs.exists(dest)) fs.delete(dest, true)
-    require(fs.rename(tmp, dest),
-      s"could not commit index manifest $dest")
+    if (overwrite) {
+      if (fs.exists(dest)) fs.delete(dest, true)
+      require(fs.rename(tmp, dest),
+        s"could not commit index manifest $dest")
+    } else {
+      val fc = org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, fs.getConf)
+      try fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest))
+      catch {
+        case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          throw new IllegalStateException(
+            s"concurrent writer detected: manifest generation $gen at " +
+              s"$metaDir was committed by another writer between this " +
+              "writer's manifest read and its commit — aborting so the " +
+              "winner's manifest (and the segment it lists) survive. " +
+              "Re-run against the new manifest.", e)
+      }
+    }
     // belt-and-braces for the metadata cache: every manifest commit
     // this session performs drops the root's cached entries (the
     // epoch key already covers cross-process swaps)
@@ -251,13 +286,18 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
   /** Refuse maintenance while a bound streaming-ingest run has an
     * IN-FLIGHT batch: the sink stamps each segment it appends with
     * `_ingest-b<id>` (atomic with the manifest commit) and advances
-    * `_ingest/hwm` after; a stamp past the high-water mark on the
-    * NEWEST committed segment means the stream crashed between the
-    * two writes and its restart will resolve the batch by finding the
-    * stamp. A compaction in that window would rewrite the segment and
-    * erase the stamp, so the restarted stream would re-append the
-    * batch — duplicate documents, silently. Loud refusal instead;
-    * restarting the stream (or replaying its last batch) clears it. */
+    * `_ingest/hwm` after; a stamp past the high-water mark on ANY
+    * committed segment means the stream crashed between the two
+    * writes and its restart will resolve the batch by finding the
+    * stamp. The scan covers every committed segment, not just the
+    * newest — a direct operator append (the doors are public and
+    * unguarded) landing after the crash pushes the stamped segment
+    * down the listing, and a newest-only check would let a compaction
+    * proceed, erase the buried stamp, and turn the stream's restart
+    * into a silent duplicate append. Cost stays driver-side metadata:
+    * O(committed segments) directory listings, bounded by the
+    * compaction policy. Loud refusal; restarting the stream (or
+    * replaying its last batch) clears it. */
   private[graft] def requireIngestResolved(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, path: String,
@@ -268,17 +308,21 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     val (gen, segs) =
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
     if (gen < 0 || segs.isEmpty) return
-    val segDir = new org.apache.hadoop.fs.Path(root,
-      s"$canonicalDir/seg=${segs.max}")
-    if (!fs.exists(segDir)) return
-    fs.listStatus(segDir).map(_.getPath.getName)
-      .filter(_.startsWith("_ingest-b"))
-      .flatMap(n =>
-        scala.util.Try(n.stripPrefix("_ingest-b").toLong).toOption)
-      .filter(_ > hwm).sorted.lastOption.foreach { b =>
+    val pending = for {
+      seg <- segs
+      segDir = new org.apache.hadoop.fs.Path(root,
+        s"$canonicalDir/seg=$seg")
+      if fs.exists(segDir)
+      st <- fs.listStatus(segDir)
+      name = st.getPath.getName
+      if name.startsWith("_ingest-b")
+      b <- scala.util.Try(name.stripPrefix("_ingest-b").toLong).toOption
+      if b > hwm
+    } yield (b, seg)
+    pending.sorted.lastOption.foreach { case (b, seg) =>
       throw new IllegalStateException(
         s"index root $path has an in-flight streaming-ingest batch " +
-          s"b$b: the newest committed segment is stamped past the " +
+          s"b$b: committed segment seg=$seg is stamped past the " +
           s"high-water mark " +
           (if (hwm < 0) "(none)" else s"b$hwm") +
           ". The bound ingest stream stopped between its segment " +
@@ -1080,7 +1124,10 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     failpoint("tail-renamed")
     // the commit refuses if ANY writer moved the data manifest while
     // the tail was rewriting — committing would resurrect their
-    // appended segment's id or drop it from the listing
+    // appended segment's id or drop it from the listing. The re-read
+    // gives the friendly early refusal; a commit landing AFTER it is
+    // caught by commitGen's no-overwrite CAS (the losing committer
+    // aborts instead of clobbering the racer's manifest)
     val (genNow, _) = committedSegs(fs, metaDir)
     require(genNow == gen,
       s"concurrent writer detected at $path: the _segs manifest " +
@@ -1417,12 +1464,13 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
           false, s.sparkContext.hadoopConfiguration)
       }
       // dels first: the _segs commit is the resume flag and must be
-      // the LAST assembly write
+      // the LAST assembly write. Both are staging-tree commits that a
+      // resumed assembly legitimately re-writes — overwrite, not CAS
       if (newDels.nonEmpty)
         commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_dels"), 0,
-          newDels)
+          newDels, overwrite = true)
       commitGen(fs, new org.apache.hadoop.fs.Path(tmp, "_segs"), 0,
-        newSegs)
+        newSegs, overwrite = true)
       failpoint("manifest-committed")
     }
     // drop EVERY src-* husk by listing (not just the current source

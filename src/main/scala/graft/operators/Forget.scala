@@ -165,7 +165,15 @@ object Forget {
     val (fs, root) = EmbeddingOps.fsFor(s, path)
     val metaDir = new org.apache.hadoop.fs.Path(root, "_dels")
     val (g, _) = EmbeddingOps.committedSegs(fs, metaDir)
-    if (g < 0) EmbeddingOps.commitGen(fs, metaDir, 0, Seq.empty)
+    if (g < 0)
+      // two concurrent initializers race the gen-0 CAS; the loser's
+      // outcome (another writer committed the canonical empty gen-0)
+      // IS this call's idempotent success — swallow after re-checking
+      try EmbeddingOps.commitGen(fs, metaDir, 0, Seq.empty)
+      catch {
+        case e: IllegalStateException =>
+          if (EmbeddingOps.committedSegs(fs, metaDir)._1 < 0) throw e
+      }
   }
 
   /** Append keys to a forget-ledger: the tombstone-segment append

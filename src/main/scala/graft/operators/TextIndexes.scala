@@ -1200,6 +1200,8 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         s"could not publish merged tail segment under $dir")
     }
     failpoint("tail-renamed")
+    // friendly early refusal; a commit landing after this re-read is
+    // caught by commitGen's no-overwrite CAS (the loser aborts)
     val (genNow, _) = EmbeddingOps.committedSegs(fs, metaDir)
     require(genNow == gen,
       s"concurrent writer detected at $path: the _segs manifest " +

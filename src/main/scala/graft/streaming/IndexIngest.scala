@@ -268,9 +268,16 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
     if (batchId <= hwm) return // replayed AND fully committed
     // crash-window resolve: the previous attempt's append committed
     // (the stamp published with the manifest) but its progress write
-    // did not land — finishing IS the progress write
-    val stamped = fs.exists(new org.apache.hadoop.fs.Path(root,
-      s"$canonicalDir/seg=${segs.max}/_ingest-b$batchId"))
+    // did not land — finishing IS the progress write. The scan covers
+    // ALL committed segments, not just the newest: a direct operator
+    // append (the doors are public and unguarded) landing after the
+    // crash pushes the stamped segment down the listing, and a
+    // newest-only check would miss it and re-append the batch —
+    // silent duplicates. O(committed segments) driver-side exists
+    // checks, bounded by the compaction policy.
+    val stamped = segs.exists(n => fs.exists(
+      new org.apache.hadoop.fs.Path(root,
+        s"$canonicalDir/seg=$n/_ingest-b$batchId")))
     if (!stamped) {
       // an EMPTY replayed batch appends nothing, so it leaves no
       // stamp; advancing hwm alone is its whole commit. (Appending a
@@ -288,10 +295,21 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
   }
 
   /** Bind an index root to its ONE ingest stream: verify the existing
-    * `_ingest/run` marker, or claim an unbound root (unique tmp +
-    * rename + read-back, the [[bindRun]] claim discipline — neither a
-    * crash mid-claim nor a concurrent claimant can leave two streams
-    * both believing they own the root). */
+    * `_ingest/run` marker, or claim an unbound root with a
+    * CREATE-EXCLUSIVE marker write — the create is the atomic claim
+    * instant. A tmp+rename claim is NOT one: on stores whose rename
+    * overwrites, claimant A can create, rename, and pass its
+    * read-back before claimant B's overwriting rename lands — two
+    * streams both believing they own the root for one batch. With
+    * create-exclusive exactly one claimant creates; the loser falls
+    * through to verify() against the winner's marker and refuses. A
+    * crash between create and close leaves an empty marker, which
+    * verify() then refuses LOUDLY for every stream until `_ingest` is
+    * cleared — fail-safe (no writer), never two writers. The claim is
+    * as atomic as the store's exclusive create (atomic on HDFS and
+    * object stores with preconditions; check-then-create on the local
+    * filesystem — a metadata-op window, and re-verified every batch
+    * since bindIngest runs per micro-batch). */
   private def bindIngest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, indexRoot: String,
       queryId: String, runName: String = "run",
@@ -313,16 +331,14 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
         "— an earlier stream's binding was partially cleared. " +
         "Restore or clear the whole _ingest directory.")
     fs.mkdirs(dir)
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      ".run.tmp-" + java.util.UUID.randomUUID())
-    val out = fs.create(tmp, false)
-    try out.write(queryId.getBytes("UTF-8"))
-    finally out.close()
-    // rename may succeed-by-overwrite on some filesystems and fail on
-    // others when racing another claimant — the read-back of the
-    // SURVIVING marker decides ownership either way
-    fs.rename(tmp, marker)
-    if (fs.exists(tmp)) fs.delete(tmp, false)
+    val out =
+      try fs.create(marker, false)
+      catch { // lost the claim race — the winner's marker decides
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
+      }
+    if (out != null)
+      try out.write(queryId.getBytes("UTF-8"))
+      finally out.close()
     verify()
   }
 }

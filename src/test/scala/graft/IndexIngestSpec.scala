@@ -223,6 +223,88 @@ class IndexIngestSpec extends SparkSpec {
     assert(served(root, probe) == served(oneShot, probe))
   }
 
+  test("a crash-window stamp BURIED by a direct operator append still " +
+    "resolves on replay and still blocks maintenance") {
+    // the newest-segment-only scan's blind spot: a public append door
+    // used after the crash pushes the stamped segment one position
+    // down the listing. The resolve and the maintenance guard both
+    // scan every committed segment now — neither a duplicate append
+    // nor a stamp-erasing compaction can slip through the burial.
+    val base = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a"),
+      (2L, "one two three four five six seven", "en", "b")))
+    val b0 = docsDf(Seq(
+      (10L, "alpha beta gamma delta epsilon zeta", "en", "c")))
+    val b1 = docsDf(Seq(
+      (20L, "one two three four five six seven", "en", "d")))
+    val direct = docsDf(Seq(
+      (30L, "unrelated brand new content entirely apart", "en", "e")))
+    val probe = docsDf(Seq(
+      (90L, "alpha beta gamma delta epsilon zeta", "en", "p"),
+      (91L, "one two three four five six seven", "en", "p")))
+
+    val root = tmpDir("ing_bury") + "/ix"
+    TextOps.minhashIndexWrite(base, root)
+    foldMinhash(root, b0, 0L)
+    final class Kill extends RuntimeException
+    intercept[Kill] {
+      foldMinhash(root, b1, 1L,
+        failpoint = t => if (t == "appended") throw new Kill)
+    }
+    // the burial: a direct append lands after the crash
+    TextOps.minhashIndexAppend(direct, root)
+    assert(hwmOf(root) == 0L)
+
+    // maintenance must find the buried stamp, not just the newest
+    val e = intercept[IllegalStateException] {
+      TextOps.minhashIndexCompact(spark, root)
+    }
+    assert(e.getMessage.contains("in-flight streaming-ingest batch b1"))
+    val e2 = intercept[IllegalStateException] {
+      TextOps.minhashIndexCompactTail(spark, root, maxSegments = 1)
+    }
+    assert(e2.getMessage.contains("in-flight streaming-ingest batch b1"))
+
+    // the restart must resolve through the buried stamp — a
+    // newest-only resolve would re-append b1 (silent duplicates)
+    val beforeReplay = segsOf(root)
+    foldMinhash(root, b1, 1L)
+    assert(segsOf(root) == beforeReplay,
+      "the replay must resolve through the buried stamp, never re-append")
+    assert(hwmOf(root) == 1L)
+
+    // resolved: maintenance proceeds and serving matches the one-shot
+    // build over the full history including the direct append
+    assert(TextOps.minhashIndexCompact(spark, root) > 0)
+    val oneShot = tmpDir("ing_bury_ref") + "/ix"
+    TextOps.minhashIndexWrite(
+      base.unionByName(b0).unionByName(b1).unionByName(direct), oneShot)
+    assert(served(root, probe) == served(oneShot, probe))
+  }
+
+  test("a crashed half-written claim fails safe: every stream refuses " +
+    "until _ingest is cleared") {
+    // the create-exclusive claim's one crash window (between create
+    // and close) leaves an empty marker — the protocol's answer is
+    // NO writer (loud refusal for everyone), never two
+    val base = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a")))
+    val root = tmpDir("ing_claimcrash") + "/ix"
+    TextOps.minhashIndexWrite(base, root)
+    val dir = new org.apache.hadoop.fs.Path(root, "_ingest")
+    fs.mkdirs(dir)
+    fs.create(new org.apache.hadoop.fs.Path(dir, "run"), false).close()
+    Seq("q-A", "q-B").foreach { qid =>
+      val e = intercept[IllegalArgumentException] {
+        foldMinhash(root, base, 0L, qid = qid)
+      }
+      assert(e.getMessage.contains("bound to ingest stream ''"),
+        s"claimant $qid must refuse the half-written claim loudly")
+    }
+    assert(segsOf(root).size == 1,
+      "no claimant may append past a corrupt binding")
+  }
+
   test("banded (phash) ingest: replayed and crash-window batches resolve; serving equals the one-shot build") {
     val docs = Tables(spark, "/root/testdata/sf0.001").documents
     val media = graft.operators.Multimodal

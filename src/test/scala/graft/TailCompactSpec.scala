@@ -295,4 +295,35 @@ class TailCompactSpec extends SparkSpec {
       maxSegments = 3) == 3)
     assert(nn(ivfRoot) == nnBefore)
   }
+
+  test("the manifest commit is a CAS: a generation committed first by a " +
+    "racer makes the second committer abort, never clobber") {
+    // the TOCTOU the genNow re-check alone cannot close: an append
+    // committing between the re-check and the compactor's commitGen
+    // used to be silently overwritten (delete-dest + rename is
+    // last-writer-wins), orphaning the appended segment for the next
+    // sweep. The commit itself is now a no-overwrite rename.
+    val root = tmpRoot("tailc_cas")
+    TextOps.minhashIndexWrite(docs.where(col("doc_id") % 5 =!= 0), root)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    val (gen, segs) = EmbeddingOps.committedSegs(fs, metaDir)
+    // the racer (an append) wins generation gen+1 first...
+    EmbeddingOps.commitGen(fs, metaDir, gen + 1, segs :+ 77)
+    // ...so the loser's commit of the SAME generation must abort
+    val e = intercept[IllegalStateException] {
+      EmbeddingOps.commitGen(fs, metaDir, gen + 1, segs :+ 88)
+    }
+    assert(e.getMessage.contains("concurrent writer"))
+    // the winner's manifest survives byte-for-byte: its listing (and
+    // hence its segment) is still what readers resolve
+    assert(EmbeddingOps.committedSegs(fs, metaDir) ==
+      ((gen + 1, segs :+ 77)),
+      "the losing committer clobbered the winner's manifest")
+    // staging-tree commits opt OUT (a resumed merge assembly
+    // re-writes its gen-0): overwrite = true keeps them idempotent
+    EmbeddingOps.commitGen(fs, metaDir, gen + 1, segs :+ 99,
+      overwrite = true)
+    assert(EmbeddingOps.committedSegs(fs, metaDir) ==
+      ((gen + 1, segs :+ 99)))
+  }
 }
