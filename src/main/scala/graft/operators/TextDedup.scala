@@ -493,41 +493,78 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * shingles (the frequency-ascending order concentrates join keys
     * on low-frequency tokens), the size filter
     * (min·1000 >= t‰·max) prunes cross-size pairs before the
-    * verification join, and every stage is a keyed shuffle. The
-    * threshold rounds DOWN to permille for the integer prefix/size
-    * arithmetic (a floor can only lengthen the prefix — more
-    * candidates, never a miss); the final keep is the same IEEE
-    * `jaccard >= threshold` as every sibling. Worst case (a template
-    * corpus whose docs share their rarest shingles) is quadratic IN
-    * THE ANSWER — an exact join cannot cap without losing exactness;
-    * the capped routes ([[nearDupMinhash]], [[nearDupNgramJaccard]])
-    * are the fallback when the answer itself is quadratic. */
+    * verification join, and every stage is a keyed shuffle. No
+    * exchange carries raw shingle text (the dedupSpans payload-width
+    * discipline): the set key is the 16-byte `unhex(md5(s))` digest —
+    * bounded per row where a shingle is unbounded, and 128-bit where
+    * the capped routes' 64-bit xxhash64 would hand this EXACT family
+    * a birthday bound at corpus scale. The digest ranks the prefix
+    * tie-break and keys every join; the brute-force oracle replays
+    * raw shingles, so the row equality also machine-checks the digest
+    * for collisions each round. The threshold rounds DOWN to permille
+    * for the integer prefix/size arithmetic (a floor can only
+    * lengthen the prefix — more candidates, never a miss); the final
+    * keep is the same IEEE `jaccard >= threshold` as every sibling.
+    * Worst case (a template corpus whose docs share their rarest
+    * shingles) is quadratic IN THE ANSWER — an exact join cannot cap
+    * without losing exactness; the capped routes ([[nearDupMinhash]],
+    * [[nearDupNgramJaccard]]) are the fallback when the answer itself
+    * is quadratic. */
   def allPairsExact(docs: DataFrame, threshold: Double = 0.7)
       : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = math.floor(threshold * 1000).toLong.max(1L)
-    val ds = shinglesRaw(docs)
-      .select(col("doc_id"), col("s").as("h"))
-      .distinct()
+    val ds = digestSets(docs)
       .pinned // prefix ranking, frequency, sizes, and verify — one set
-    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val freq = ds.groupBy(col("h")).agg(count(lit(1)).as("f"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("f"), col("h"))
-    val pref = ds.join(freq, Seq("h"))
-      .withColumn("rn", row_number().over(w))
-      .join(sz, Seq("doc_id"))
-      .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
-      .select(col("h"), col("doc_id"), col("n"))
-    val cand = pref.as("a").join(pref.as("b"),
+    val cand = prefixCandidates(ds, ds, t, selfJoin = true)
+    jaccardFromInter(ds, interFromCandidates(ds, cand), threshold)
+  }
+
+  /** Distinct (doc_id, h) shingle sets keyed by the 16-byte md5
+    * digest — the exact family's shared front end. The digest is
+    * computed BEFORE the first exchange, so no shuffle in any
+    * downstream stage carries raw shingle text. */
+  private[graft] def digestSets(docs: DataFrame): DataFrame =
+    shinglesRaw(docs)
+      .select(col("doc_id"), unhex(md5(col("s"))).as("h"))
+      .distinct()
+
+  /** The COMPLETE Bayardo/Xiao prefix-filter candidate pairs behind
+    * [[allPairsExact]]/[[allPairsJoin]]: both sides' prefixes rank
+    * under ONE shared rarest-first order (frequencies over the union
+    * of both sides — a pair at Jaccard >= t‰ keeps a shared token
+    * inside both prefixes by pigeonhole only when the order is
+    * common), joined on the digest key with the permille size filter.
+    * `selfJoin = true` adds the `doc_a < doc_b` dedup of the
+    * self-join shape. Exposed `private[graft]` for the scale probe:
+    * candidate volume vs the brute-force pair count is the filter's
+    * measured selectivity. */
+  private[graft] def prefixCandidates(dsa: DataFrame, dsb: DataFrame,
+      t: Long, selfJoin: Boolean): DataFrame = {
+    val freq =
+      (if (selfJoin) dsa.select(col("h"))
+       else dsa.select(col("h")).unionAll(dsb.select(col("h"))))
+        .groupBy(col("h")).agg(count(lit(1)).as("f"))
+    def pref(ds: DataFrame): DataFrame = {
+      val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      ds.join(freq, Seq("h"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("doc_id"))
+            .orderBy(col("f"), col("h"))))
+        .join(sz, Seq("doc_id"))
+        .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
+        .select(col("h"), col("doc_id"), col("n"))
+    }
+    val pa = pref(dsa)
+    val pb = if (selfJoin) pa else pref(dsb)
+    pa.as("a").join(pb.as("b"),
         col("a.h") === col("b.h") &&
-          col("a.doc_id") < col("b.doc_id") &&
+          (if (selfJoin) col("a.doc_id") < col("b.doc_id") else lit(true)) &&
           col("a.n") * lit(1000L) >= col("b.n") * lit(t) &&
           col("b.n") * lit(1000L) >= col("a.n") * lit(t))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardFromInter(ds, interFromCandidates(ds, cand), threshold)
   }
 
   /** EXACT containment self-join — [[allPairsExact]]'s asymmetric
@@ -546,20 +583,21 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * the container side cannot be prefix-trimmed (its size gives no
     * overlap bound), which is the algorithm's honest asymmetric cost:
     * the candidate join keys on each prefix shingle's FULL posting
-    * list. Verification is exact over the full sets; the threshold
-    * floors to permille for the prefix arithmetic and the final keep
-    * is IEEE `containment >= threshold`. The oracle replays brute
-    * force (all intersecting ordered pairs), machine-proving
-    * completeness each round. */
+    * list. Every exchange carries the 16-byte md5 digest, never raw
+    * shingle text (the [[allPairsExact]] payload discipline; the
+    * brute-force oracle replays raw shingles, so row equality also
+    * machine-checks the digest for collisions). Verification is exact
+    * over the full sets; the threshold floors to permille for the
+    * prefix arithmetic and the final keep is IEEE
+    * `containment >= threshold`. The oracle replays brute force (all
+    * intersecting ordered pairs), machine-proving completeness each
+    * round. */
   def containmentPairs(docs: DataFrame, threshold: Double = 0.9)
       : DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = math.floor(threshold * 1000).toLong.max(1L)
-    val ds = shinglesRaw(docs)
-      .select(col("doc_id"), col("s").as("h"))
-      .distinct()
-      .pinned
+    val ds = digestSets(docs).pinned
     val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val freq = ds.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val w = Window.partitionBy(col("doc_id"))
@@ -596,40 +634,19 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * qualifying pair shares a token inside both prefixes
     * (overlap >= t·max(na, nb) survives removing p-1 tokens from
     * EACH side when both prefixes derive from the same global
-    * order). Output (doc_a = left, doc_b = right, n_common, na, nb,
+    * order — [[prefixCandidates]] computes the union frequency).
+    * Output (doc_a = left, doc_b = right, n_common, na, nb,
     * jaccard); id domains may overlap (they key different corpora).
-    * Same integer-floor prefix arithmetic and IEEE keep as the
-    * self-join; the oracle replays brute force. */
+    * Same integer-floor prefix arithmetic, 16-byte digest keys, and
+    * IEEE keep as the self-join; the oracle replays brute force. */
   def allPairsJoin(left: DataFrame, right: DataFrame,
       threshold: Double = 0.7): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = math.floor(threshold * 1000).toLong.max(1L)
-    def sets(docs: DataFrame): DataFrame = shinglesRaw(docs)
-      .select(col("doc_id"), col("s").as("h")).distinct()
-    val dsa = sets(left).pinned
-    val dsb = sets(right).pinned
-    // ONE shared rarest-first order over the union: per-corpus
-    // frequencies would rank the same shingle differently on the two
-    // sides and the two prefixes could miss their shared tokens
-    val freq = dsa.select(col("h")).unionAll(dsb.select(col("h")))
-      .groupBy(col("h")).agg(count(lit(1)).as("f"))
-    def pref(ds: DataFrame): DataFrame = {
-      val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      ds.join(freq, Seq("h"))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("doc_id"))
-            .orderBy(col("f"), col("h"))))
-        .join(sz, Seq("doc_id"))
-        .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
-        .select(col("h"), col("doc_id"), col("n"))
-    }
-    val cand = pref(dsa).as("a").join(pref(dsb).as("b"),
-        col("a.h") === col("b.h") &&
-          col("a.n") * lit(1000L) >= col("b.n") * lit(t) &&
-          col("b.n") * lit(1000L) >= col("a.n") * lit(t))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+    val dsa = digestSets(left).pinned
+    val dsb = digestSets(right).pinned
+    val cand = prefixCandidates(dsa, dsb, t, selfJoin = false)
     val inter = cand
       .join(dsb.as("sb"), col("doc_b") === col("sb.doc_id"))
       .join(dsa.as("sa"),

@@ -1510,4 +1510,77 @@ class ScaleProbeSpec extends SparkSpec {
       .collect().map(_.toString).sorted.sameElements(brute),
       "probe-scale phrase serve must equal the corpus brute force")
   }
+
+  test("exact all-pairs family at 10x sf0.1: keyed shuffles, zero " +
+    "broadcasts, 16-byte digests on every exchange, no cartesian") {
+    // the exact joins' 100 TB shape, pinned like their capped
+    // siblings': every frame is doc- or shingle-cardinality (the
+    // prefix shrinks CANDIDATES, not frames) so nothing may broadcast,
+    // every exchange keeps parallelism, and — the digest discipline —
+    // no exchange carries raw shingle text (the set key is the
+    // 16-byte unhex(md5) surrogate, column h)
+    val docs = syntheticDocs(50000L)
+    val other = syntheticDocs(52000L).where(col("doc_id") >= 50000L)
+    Seq[(String, () => DataFrame)](
+      "allPairsExact" -> (() => TextOps.allPairsExact(docs)),
+      "containmentPairs" -> (() => TextOps.containmentPairs(docs)),
+      "allPairsJoin" -> (() => TextOps.allPairsJoin(other, docs)))
+      .foreach { case (name, build) =>
+        val plan = staticPlanOf(build())
+        assertShuffleHealth(name, plan)
+        val bc = broadcastSubtrees(plan)
+        assert(bc.isEmpty,
+          s"$name broadcasts ${bc.length} corpus-derived frame(s)")
+        plan.collect {
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => e.child.output.map(_.name)
+        }.foreach { cols =>
+          assert(!cols.contains("s"),
+            s"$name shuffles the raw shingle string: " +
+              cols.mkString("[", ", ", "]"))
+        }
+      }
+  }
+
+  test("exact all-pairs prefix filter: candidate volume strictly below " +
+    "brute force on a boilerplate corpus, yet recall stays complete") {
+    // the filter's measured selectivity, live: a corpus where EVERY
+    // doc shares one boilerplate shingle makes the brute-force
+    // shingle-sharing pair set ALL n(n-1)/2 pairs, while the shared
+    // shingle's corpus-wide frequency ranks it LAST in every doc's
+    // rarest-first order — outside every prefix — so the candidate
+    // join prunes it. Random-tail shingles keep the candidate count
+    // near the true-duplicate mass. Completeness rides along: planted
+    // exact duplicates must all surface at jaccard 1.0.
+    val n = 2000L
+    val base = spark.range(n).select(
+      col("id").as("doc_id"),
+      concat(
+        concat_ws(" ", expr("transform(sequence(0, 27), " +
+          "i -> concat('w', pmod(xxhash64(id * 28 + i), 200)))")),
+        lit(" all rights reserved")).as("text"))
+    // plant 5 exact duplicates (doc_id 9000+k copies doc k)
+    val dups = base.where(col("doc_id") < 5).select(
+      (col("doc_id") + lit(9000L)).as("doc_id"), col("text"))
+    val docs = base.unionByName(dups)
+    val t = 700L
+    val ds = TextOps.digestSets(docs).localCheckpoint()
+    val cand = TextOps.prefixCandidates(ds, ds, t, selfJoin = true)
+      .count()
+    val brute = ds.as("a").join(ds.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    assert(brute == (n + 5) * (n + 4) / 2,
+      s"fixture lost its boilerplate all-pairs floor: $brute")
+    assert(cand < brute / 100,
+      s"prefix filter stopped pruning: $cand candidates vs $brute " +
+        "brute-force shingle-sharing pairs")
+    // recall: every planted duplicate pair surfaces
+    val found = TextOps.allPairsExact(docs, 0.7)
+      .where(col("jaccard") === 1.0)
+      .select(col("doc_a"), col("doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0L until 5L).foreach(k => assert(found.contains((k, 9000L + k)),
+      s"planted duplicate ($k, ${9000L + k}) missed — recall broken"))
+  }
 }
