@@ -559,6 +559,12 @@ private[graft] object SuiteMLShared {
   private[graft] val CurateSpanK = 8
   private[graft] val CurateLmMilli = 3950L
 
+  /** Containment-gate threshold for the gated curation row — the
+    * canonical 0.9 the standalone dedup_containment rows use;
+    * measured non-vacuous on the d5 survivor frame at both driver
+    * scales (1 drop at sf0.01, 5 at sf0.1). */
+  private[graft] val CurateContainT = 0.9
+
   /** The curation chain as shared DuckDB CTEs (fixture -> extract ->
     * dedup -> langid -> quality -> spans -> LM gate -> mix), ending at
     * the survivor frame d7 — spliced into the e2e row (which appends
@@ -566,8 +572,38 @@ private[graft] object SuiteMLShared {
     * ledger-guarded row (which swaps the source for a filtered CTE)
     * so the three replays cannot drift. MATERIALIZED throughout: the
     * d-frames are multiply referenced and DuckDB default-inlines
-    * CTEs. `src` is the corpus table/CTE the chain reads. */
-  private[graft] def curateCteList(src: String): String = s"""w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
+    * CTEs. `src` is the corpus table/CTE the chain reads. With
+    * `containT` set, the span-excision survivors land as `d5x` and
+    * the containment gate's survivors take the `d5` name — every
+    * downstream CTE (LM gate onward) reads the gated corpus verbatim,
+    * exactly as the Spark chain threads `containT` through
+    * [[graft.operators.TextOps.curateChain]]. */
+  private[graft] def curateCteList(src: String,
+      containT: Option[Double] = None): String = {
+    val d5Name = containT.fold("d5")(_ => "d5x")
+    val containCtes = containT.fold("") { t =>
+      s""",
+      |cw AS (SELECT doc_id, string_split(text, ' ') AS ls FROM d5x),
+      |cds AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(ls) - 1),
+      |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS s
+      |    FROM cw WHERE len(ls) >= 3)),
+      |csz AS (SELECT doc_id, count(*) AS n FROM cds GROUP BY 1),
+      |cint AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                count(*) AS n_common
+      |         FROM cds a JOIN cds b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |         GROUP BY 1, 2),
+      |cdrop AS (SELECT DISTINCT i.doc_a AS doc_id FROM cint i
+      |          JOIN csz sa ON sa.doc_id = i.doc_a
+      |          JOIN csz sb ON sb.doc_id = i.doc_b
+      |          WHERE i.n_common / CAST(sa.n AS DOUBLE) >= $t
+      |            AND (sb.n > sa.n OR (sb.n = sa.n AND i.doc_b < i.doc_a))),
+      |d5 AS MATERIALIZED (SELECT * FROM d5x
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM cdrop))""".stripMargin
+    }
+    s"""w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
     |h AS (SELECT doc_id,
     |  '$HtmlFixtureHead'
     |  || array_to_string(list_transform(range(0, CAST(ceil(len(w) / 10.0) AS INT)),
@@ -628,9 +664,9 @@ private[graft] object SuiteMLShared {
     |reb AS (SELECT doc_id, array_to_string(list_transform(
     |          list_sort(list(struct_pack(pos := pos, tok := tok))), r -> r.tok), ' ') AS text_clean
     |        FROM kept5 GROUP BY doc_id),
-    |d5 AS MATERIALIZED (
+    |$d5Name AS MATERIALIZED (
     |  SELECT d4.doc_id, d4.source, d4.lang, r.text_clean AS text
-    |  FROM d4 JOIN reb r USING (doc_id) WHERE r.text_clean <> ''),
+    |  FROM d4 JOIN reb r USING (doc_id) WHERE r.text_clean <> '')$containCtes,
     |bg AS MATERIALIZED (
     |  SELECT doc_id, lhs, rhs, count(*) AS k FROM (
     |    SELECT doc_id, w[i] AS lhs, w[i+1] AS rhs
@@ -668,7 +704,8 @@ private[graft] object SuiteMLShared {
     |d7 AS MATERIALIZED (
     |  SELECT d6.doc_id, d6.lang, d6.text FROM d6 JOIN mk USING (doc_id)
     |  WHERE mk.bucket < mk.keep_permille)"""
-    .stripMargin
+      .stripMargin
+  }
 
   /** The chain over the raw `documents` table — the instance the e2e
     * and funnel-report oracles splice. */

@@ -981,6 +981,44 @@ private[graft] object SuiteMLText {
         |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d7
         |)""".stripMargin)),
 
+    // ---- curation WITH the exact containment gate --------------------------
+    // (dropContained wired into the pipeline front door: between span
+    // excision and the LM gate, every doc 90%-contained in a
+    // (size, id)-greater survivor drops — the quoted/boilerplate-
+    // superset duplicates whose shared runs are shorter than spanK.
+    // The row is the FUNNEL REPORT with the gate on, so the oracle
+    // machine-checks the extra stage's survivor count (and hence the
+    // dropped docs) plus every downstream stage over the gated
+    // corpus: the LM model retrains and the mix budgets recompute on
+    // the survivors, so a drift anywhere after the gate shows.
+    // Non-vacuous at both driver scales: 1 drop at sf0.01, 5 at
+    // sf0.1, measured on the d5 survivor frame.)
+    Q("text_curate_containment",
+      (s, d) => TextOps.curateReport(htmlFixture(docs(s, d)),
+        spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
+        maxChars = QfMaxChars, containT = Some(CurateContainT)),
+      Some("WITH RECURSIVE\n" +
+        curateCteList("documents", containT = Some(CurateContainT)) + """
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'extract' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) AS n_tokens FROM d1
+        |  UNION ALL SELECT 2, 'dedup_exact', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d2
+        |  UNION ALL SELECT 3, 'langid', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d3
+        |  UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d4
+        |  UNION ALL SELECT 5, 'span_excise', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5x
+        |  UNION ALL SELECT 6, 'containment', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5
+        |  UNION ALL SELECT 7, 'lm_gate', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d6
+        |  UNION ALL SELECT 8, 'mix', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d7
+        |)""".stripMargin)),
+
     // ---- temperature mixing: p_s ~ n_s^(1/2) (mT5/XLM-R, tau = 2) -------
     // The integer square root is candidate-corrected on BOTH sides:
     // the IEEE POWER seed can land either side of the true root and

@@ -36,6 +36,10 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     *  4. [[qualityFilter]] — keep only `keep` docs (tier/PII/length);
     *  5. [[dedupSpans]] — cross-doc duplicated runs of `spanK` tokens
     *     excise; fully-duplicated docs drop;
+    *  5b. (optional, `containT` set) [[dropContained]] — the exact
+    *     containment gate: drop every doc `containT`-contained in a
+    *     (size, id)-greater survivor — the quoted/boilerplate-superset
+    *     duplicates whose shared runs are shorter than `spanK`;
     *  6. [[lmScore]] — keep docs whose quantized bigram NLL stays at
     *     or below `lmKeepMilli` per mille per bigram (the CCNet
     *     perplexity gate), compared in exact integers;
@@ -50,10 +54,11 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
   def curate(raw: DataFrame, spanK: Int = 8, lmKeepMilli: Long = 3950L,
       maxChars: Long = 100000L, packBudget: Long = 512L,
       packShard: Long = 200L,
-      ledgerPath: Option[String] = None): DataFrame =
+      ledgerPath: Option[String] = None,
+      containT: Option[Double] = None): DataFrame =
     seqPack(
       curateChain(raw, spanK, lmKeepMilli, maxChars,
-        ledgerPath = ledgerPath).last._2,
+        ledgerPath = ledgerPath, containT = containT).last._2,
       packBudget, packShard)
 
   /** [[curate]] behind a SemDeDup front gate — the joint text+
@@ -76,7 +81,8 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       lmKeepMilli: Long = 3950L, maxChars: Long = 100000L,
       packBudget: Long = 512L, packShard: Long = 200L,
       threshold: Double = 0.45,
-      ledgerPath: Option[String] = None): DataFrame = {
+      ledgerPath: Option[String] = None,
+      containT: Option[Double] = None): DataFrame = {
     // the ledger's stored key column is doc_id (ledgerAppend's
     // default); the shared id-domain contract makes the rename the
     // whole translation
@@ -90,7 +96,8 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     val dropped = EmbeddingOps.semanticDedup(embIn, threshold = threshold)
       .select(col("vec_b").as("doc_id")).distinct()
     curate(raw.join(dropped, Seq("doc_id"), "left_anti"), spanK,
-      lmKeepMilli, maxChars, packBudget, packShard, ledgerPath)
+      lmKeepMilli, maxChars, packBudget, packShard, ledgerPath,
+      containT)
   }
 
   /** The per-stage curation funnel — the observability artifact a
@@ -102,9 +109,10 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     * costs the chain nothing it had not already computed. */
   def curateReport(raw: DataFrame, spanK: Int = 8,
       lmKeepMilli: Long = 3950L, maxChars: Long = 100000L,
-      ledgerPath: Option[String] = None): DataFrame =
+      ledgerPath: Option[String] = None,
+      containT: Option[Double] = None): DataFrame =
     curateChain(raw, spanK, lmKeepMilli, maxChars,
-      ledgerPath = ledgerPath).zipWithIndex
+      ledgerPath = ledgerPath, containT = containT).zipWithIndex
       .map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(split(col("text"), " ")).cast("long")),
@@ -123,7 +131,8 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
   private[graft] def curateChain(rawIn: DataFrame, spanK: Int,
       lmKeepMilli: Long, maxChars: Long,
       pin: DataFrame => DataFrame = _.pinned,
-      ledgerPath: Option[String] = None): Seq[(String, DataFrame)] = {
+      ledgerPath: Option[String] = None,
+      containT: Option[Double] = None): Seq[(String, DataFrame)] = {
     // the forget-ledger front door composes FIRST when a ledger is
     // supplied: a forgotten doc must be dropped before any stage (or
     // any downstream index/state fed from the survivors) sees it —
@@ -147,14 +156,26 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       .join(dedupSpans(d4, spanK).where(col("text_clean") =!= "")
         .select(col("doc_id"), col("text_clean").as("text")),
         Seq("doc_id")))
-    val d6 = pin(d5.join(lmScore(d5)
+    // optional containment gate between span excision and the LM
+    // gate: drop every doc `containT`-contained in a (size, id)-
+    // greater survivor ([[dropContained]] — the quoted/boilerplate-
+    // superset duplicates span excision leaves behind when the shared
+    // run is shorter than spanK tokens). It runs AFTER span excision
+    // (the excised text is what trains the LM and packs, so the
+    // subset relation must hold on the corpus the later stages see)
+    // and composes exactly like the SemDeDup front gate: one keyed
+    // anti-join over the stage's survivors, candidates bounded by the
+    // prefix filter, never all-pairs.
+    val d5c = containT.fold(d5)(t => pin(dropContained(d5, t)))
+    val d6 = pin(d5c.join(lmScore(d5c)
       .where(col("nll_sum") * 1000 <= col("n_bigrams") * lmKeepMilli)
       .select(col("doc_id")), Seq("doc_id")))
     val d7 = pin(d6.join(mixTemperature(d6).select(col("doc_id")),
       Seq("doc_id")))
     Seq("extract" -> d1p, "dedup_exact" -> d2, "langid" -> d3,
-      "quality" -> d4, "span_excise" -> d5, "lm_gate" -> d6,
-      "mix" -> d7)
+      "quality" -> d4, "span_excise" -> d5) ++
+      containT.map(_ => "containment" -> d5c).toSeq ++
+      Seq("lm_gate" -> d6, "mix" -> d7)
   }
 
   /** Greedy contiguous sequence packing — the step that turns a
