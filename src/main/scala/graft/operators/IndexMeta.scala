@@ -40,31 +40,61 @@ package graft.operators
   *
   * Bounded: entries are small by the rule above (an Int, a 2-long
   * row, centroid/codebook rows bounded by construction parameters),
-  * and the map clears wholesale past [[IndexMetaCache.MaxEntries]] —
-  * the cache is an optimization, a cold read follows.
-  */
-private[graft] object IndexMetaCache {
-  private val MaxEntries = 4096
-  private val m = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long, String), AnyRef]()
+  * and eviction past the bound is true LRU — the least-recently-used
+  * entry leaves, so a long-lived serving session over more roots than
+  * the bound keeps its hot set instead of thrashing every entry at a
+  * wholesale clear. The cache is an optimization; a cold read
+  * follows every eviction. */
+private[graft] class MetaCache(maxEntries: Int) {
+  require(maxEntries > 0, s"maxEntries must be positive, got $maxEntries")
+
+  // access-ordered LinkedHashMap = the LRU, guarded by its own
+  // monitor. `load` runs OUTSIDE the lock: concurrent serves of
+  // different roots never serialize behind each other's metadata
+  // Spark jobs; two racing loads of the SAME key both compute (the
+  // contract says values are immutable for their key, so either
+  // result is correct) and the first put wins.
+  private val m = new java.util.LinkedHashMap[
+      (String, Long, String), AnyRef](64, 0.75f, true) {
+    override protected def removeEldestEntry(
+        e: java.util.Map.Entry[(String, Long, String), AnyRef])
+        : Boolean = size() > maxEntries
+  }
 
   /** The cached value for (`base`, `epoch`, `kind`), computing and
     * remembering it on first use. `load` must yield a value that is
     * immutable for this key per the object contract above. */
   def cached[T <: AnyRef](base: String, epoch: Long, kind: String)(
       load: => T): T = {
-    if (m.size > MaxEntries) m.clear()
-    m.computeIfAbsent((base, epoch, kind), _ => load).asInstanceOf[T]
+    val k = (base, epoch, kind)
+    val hit = m.synchronized(m.get(k))
+    if (hit != null) return hit.asInstanceOf[T]
+    val v = load
+    m.synchronized {
+      val again = m.get(k)
+      if (again != null) again.asInstanceOf[T]
+      else { m.put(k, v); v }
+    }
   }
 
   /** Drop every entry of `base` — called by this session's mutation
     * doors so an in-session rebuild at a reused path can never serve
     * a stale value, whatever epoch number it lands on. */
-  def invalidate(base: String): Unit = {
+  def invalidate(base: String): Unit = m.synchronized {
     val it = m.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == base) it.remove()
   }
 
   /** Test hook: a clean slate between fixtures. */
-  private[graft] def clearAll(): Unit = m.clear()
+  private[graft] def clearAll(): Unit = m.synchronized(m.clear())
+
+  /** Test hook: the live keys, least-recently-used first. */
+  private[graft] def keysNow: Seq[(String, Long, String)] =
+    m.synchronized {
+      val b = Seq.newBuilder[(String, Long, String)]
+      m.keySet.forEach(k => b += k)
+      b.result()
+    }
 }
+
+private[graft] object IndexMetaCache extends MetaCache(4096)

@@ -223,6 +223,59 @@ class IndexIngestSpec extends SparkSpec {
     assert(served(root, probe) == served(oneShot, probe))
   }
 
+  test("a pinned (asOf) serve spans an IN-SINK tail compaction " +
+    "byte-identically; the next in-sink sweep expires the token loudly") {
+    // the operator-door version of this contract rides
+    // TailCompactSpec; this is the STREAMING context — the compaction
+    // fires from the sink's own maintainEvery turn, between two
+    // micro-batches of a live stream, while a training run holds a
+    // snapshot token captured mid-stream
+    val docs = Tables(spark, "/root/testdata/sf0.001").documents
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val probe = docs.where(col("doc_id") % 5 === 0)
+    val root = tmpDir("ing_pin") + "/ix"
+    // one BIG seed so the size-tiered tail always spares it
+    TextOps.minhashIndexWrite(stored.where(col("doc_id") % 8 < 5), root)
+    val streamDir = tmpDir("ing_pin_stream")
+    val ckpt = tmpDir("ing_pin_ckpt")
+    def run(): Unit = {
+      val q = Streams.minhashIngestSink(
+          spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1").parquet(streamDir),
+          root, ckpt, maintainEvery = 1, maxSegments = 2)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(180000), "stream did not finish in time")
+    }
+    def feed(i: Int): Unit = stored.where(col("doc_id") % 8 === i)
+      .coalesce(1).write.mode("append").parquet(streamDir)
+
+    feed(5); run() // 2 segs == maxSegments: the policy door no-ops
+    assert(segsOf(root).size == 2)
+    val snap = EmbeddingOps.indexSnapshot(spark, root)
+    def pinned(): Seq[String] =
+      TextOps.nearDupServe(spark, root, probe, asOf = Some(snap))
+        .collect().map(_.toString).sorted.toSeq
+    val atCapture = pinned()
+
+    feed(6); run() // 3 segs: the sink's own turn tail-merges to 2
+    assert(segsOf(root).size == 2,
+      "the in-sink maintenance turn must have tail-compacted")
+    assert(pinned() == atCapture,
+      "the pinned view must serve byte-identically across the " +
+        "in-sink tail compaction (one cycle of retention grace)")
+    // unpinned serving meanwhile equals the one-shot build
+    val oneShot = tmpDir("ing_pin_ref") + "/ix"
+    TextOps.minhashIndexWrite(stored.where(col("doc_id") % 8 < 7),
+      oneShot)
+    assert(served(root, probe) == served(oneShot, probe))
+
+    feed(7); run() // the next turn's sweep expires the token LOUDLY
+    val e = intercept[IllegalArgumentException] { pinned() }
+    assert(e.getMessage.contains("snapshot expired"),
+      s"expected the loud token expiry, got: ${e.getMessage}")
+  }
+
   test("a crash-window stamp BURIED by a direct operator append still " +
     "resolves on replay and still blocks maintenance") {
     // the newest-segment-only scan's blind spot: a public append door

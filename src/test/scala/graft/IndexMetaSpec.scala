@@ -122,7 +122,7 @@ class IndexMetaSpec extends SparkSpec {
       "post-rebuild serve must equal a fresh build of the same slice")
   }
 
-  test("cache clears wholesale past the entry cap (an optimization, " +
+  test("cached values persist across calls (an optimization, " +
     "never a leak) and invalidate drops only the named base") {
     IndexMetaCache.clearAll()
     IndexMetaCache.cached("/a", 1L, "k")(java.lang.Integer.valueOf(7))
@@ -136,5 +136,33 @@ class IndexMetaSpec extends SparkSpec {
     assert(IndexMetaCache.cached("/b", 1L, "k")(
       java.lang.Integer.valueOf(0)).intValue === 9,
       "invalidate must not touch other bases")
+  }
+
+  test("eviction past the bound is LRU: the least-recently-USED entry " +
+    "leaves, touched entries stay, and nothing below the bound evicts") {
+    // a long-lived serving session over more roots than the bound
+    // must keep its hot set — the old wholesale clear() thrashed
+    // every entry instead of the stalest one
+    val c = new graft.operators.MetaCache(3)
+    def put(base: String): Unit =
+      { c.cached(base, 1L, "k")(java.lang.Integer.valueOf(1)); () }
+    put("/a"); put("/b"); put("/c")
+    assert(c.keysNow.map(_._1) == Seq("/a", "/b", "/c"))
+    // touch /a: it becomes the most recent; /b is now the LRU
+    var reloaded = false
+    c.cached("/a", 1L, "k") {
+      reloaded = true; java.lang.Integer.valueOf(2)
+    }
+    assert(!reloaded, "a hit below the bound must not reload")
+    put("/d") // over the bound: /b (LRU) evicts, /a (touched) stays
+    assert(c.keysNow.map(_._1) == Seq("/c", "/a", "/d"),
+      s"expected /b evicted as LRU, got ${c.keysNow}")
+    var bReloaded = false
+    c.cached("/b", 1L, "k") {
+      bReloaded = true; java.lang.Integer.valueOf(3)
+    }
+    assert(bReloaded, "the evicted entry must reload cold")
+    // ...which in turn evicted the new LRU (/c), never a touched one
+    assert(c.keysNow.map(_._1) == Seq("/a", "/d", "/b"))
   }
 }
