@@ -327,6 +327,42 @@ private[graft] object SuiteMLDedup {
         |JOIN szb sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin)),
 
+    // ---- dedup: EXACT serving from the persisted index --------------------
+    // (the exact sibling of dedup_minhash_serve: the stored slice
+    // builds with exact = true — inverted digest postings beside each
+    // segment — and nearDupServeExact answers the batch with
+    // GUARANTEED recall, where the banded serve's candidates are the
+    // capped heuristic. The oracle is pure brute force over the two
+    // slices — no bands, no prefix — so row equality machine-proves
+    // candidate completeness of the SERVING route every round)
+    Q("dedup_serve_exact",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = cachedIndex("mh_exact", d,
+          p => TextOps.minhashIndexWrite(
+            all.where(col("doc_id") % 5 =!= 0), p, exact = true))
+        TextOps.nearDupServeExact(s, dir,
+          all.where(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 <> 0),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS n_common
+        |          FROM dsa a JOIN dsb b ON a.s = b.s GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin),
+      // benched: the exact-serving shape beside the banded serve row —
+      // candidate volume is the prefix posting mass, reads are the
+      // batch prefix's (seg, pb) buckets
+      bench = true),
+
     // ---- dedup: EXACT containment self-join (subset duplicates) ----------
     // (the asymmetric sibling: doc_a's shingle set >= 90%-contained
     // in doc_b's — the quoted/boilerplate-superset detector symmetric
@@ -345,6 +381,34 @@ private[graft] object SuiteMLDedup {
         |FROM inter i
         |JOIN szs sa ON sa.doc_id = i.doc_a
         |JOIN szs sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n AS DOUBLE) >= 0.9""".stripMargin)),
+
+    // ---- dedup: EXACT cross-corpus containment join -----------------------
+    // (the decontamination shape: every %5=0 doc 90%-contained in a
+    // %5<>0 doc — the contained-side prefix trims under container
+    // frequency, the size filter drops too-small containers, and the
+    // brute-force oracle machine-proves completeness on the cross
+    // shape)
+    Q("dedup_containment_join",
+      (s, d) => {
+        val all = docs(s, d)
+        TextOps.containmentJoin(
+          all.where(col("doc_id") % 5 === 0),
+          all.where(col("doc_id") % 5 =!= 0))
+      },
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 <> 0),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS n_common
+        |          FROM dsa a JOIN dsb b ON a.s = b.s GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n AS DOUBLE) AS containment
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
         |WHERE i.n_common / CAST(sa.n AS DOUBLE) >= 0.9""".stripMargin)),
 
     // ---- dedup: the containment-dedup ACTION ------------------------------

@@ -606,10 +606,18 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       .withColumn("rn", row_number().over(w))
       .join(sz, Seq("doc_id"))
       .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
-      .select(col("h"), col("doc_id"))
-    val cand = pref.as("a").join(ds.as("b"),
+      .select(col("h"), col("doc_id"), col("n").as("na_"))
+    // one-directional size filter on the candidate join: n_common <=
+    // nb, so a container smaller than t‰·na cannot t-contain A — the
+    // floor direction is safe (t <= threshold·1000, so every pruned
+    // pair is strictly below the IEEE keep). It prunes the hopeless
+    // reverse direction of every asymmetric pair (big doc "contained"
+    // in a small one), roughly halving candidates on real corpora,
+    // for one keyed size join on the container side.
+    val cand = pref.as("a").join(ds.join(sz, Seq("doc_id")).as("b"),
         col("a.h") === col("b.h") &&
-          col("a.doc_id") =!= col("b.doc_id"))
+          col("a.doc_id") =!= col("b.doc_id") &&
+          col("b.n") * lit(1000L) >= col("a.na_") * lit(t))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     val inter = interFromCandidates(ds, cand)
@@ -665,6 +673,71 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       .where(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
         col("nb"), col("jaccard"))
+  }
+
+  /** EXACT cross-corpus containment join — [[containmentPairs]]
+    * between TWO corpora: every ordered pair (doc_a in `contained`,
+    * doc_b in `containers`) with |A∩B| / |A| >= `threshold`. THE
+    * decontamination shape, recall-GUARANTEED where
+    * [[decontaminate]]'s thresholding is over exact containment but
+    * [[nearDupNgramJaccard]]-style blocking heuristics are not: drop
+    * training docs mostly quoted from a benchmark corpus, or audit a
+    * crawl against a licensed-content list, with a machine-checkable
+    * completeness story.
+    *
+    * The prefix trims the CONTAINED side only, and the subset-SIZE
+    * pigeonhole needs no shared order at all: a qualifying pair has
+    * |A∩B| >= ceil(t·na), and A keeps na - ceil(t·na) + 1 of its
+    * shingles, leaving only ceil(t·na) - 1 outside — any such subset
+    * intersects every qualifying overlap. The ranking order is
+    * therefore free, and it ranks by CONTAINER-side document
+    * frequency (unseen shingles first at f = 0) purely to shrink the
+    * candidate join's posting lists. The size filter prunes
+    * containers smaller than t‰·na (n_common <= nb — they cannot
+    * qualify; flooring only admits, never drops). Digest keys,
+    * brute-force oracle, IEEE keep — the [[allPairsJoin]]
+    * discipline; id domains may overlap (they key different
+    * corpora). */
+  def containmentJoin(contained: DataFrame, containers: DataFrame,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = math.floor(threshold * 1000).toLong.max(1L)
+    val dsa = digestSets(contained).pinned
+    val dsb = digestSets(containers).pinned
+    val sza = dsa.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val szb = dsb.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val freq = dsb.groupBy(col("h")).agg(count(lit(1)).as("f"))
+    val pref = dsa.join(freq, Seq("h"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("f"), col("h"))))
+      .join(sza, Seq("doc_id"))
+      .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
+      .select(col("h"), col("doc_id"), col("n").as("na_"))
+    val cand = pref.as("a")
+      .join(dsb.join(szb, Seq("doc_id")).as("b"),
+        col("a.h") === col("b.h") &&
+          col("b.n") * lit(1000L) >= col("a.na_") * lit(t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(dsb.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(dsa.as("sa"),
+        col("doc_a") === col("sa.doc_id") && col("sb.h") === col("sa.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sza.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(szb.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .withColumn("containment",
+        col("n_common") / col("na").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("containment"))
   }
 
   /** The curation ACTION on [[containmentPairs]]: drop every document
