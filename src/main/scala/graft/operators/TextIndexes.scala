@@ -847,17 +847,63 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
   }
 
-  /** Stage one segment: the index rows, plus the `_bstats` sidecar
-    * computed from the rows AS WRITTEN (read back from the staged
-    * files, so the stats can never drift from the data they count).
-    * Both land inside the staged segment dir — the segment's publish
-    * rename commits them together, keeping appends crash-atomic. */
-  private def writeSegWithStats(s: org.apache.spark.sql.SparkSession,
-      rows: DataFrame, segDir: String): Unit = {
-    rows.write.mode("overwrite").parquet(segDir)
-    minhashBandStats(
-        s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
+  /** Posting-bucket modulus of the `_posts` exact-serving sidecar:
+    * pb = pmod(h, 64). Pure code like the band construction (not
+    * caller configuration), so every exact segment is
+    * layout-compatible with every other by construction. */
+  private[graft] val ExactPb = 64L
+
+  /** The segment sidecars, regenerated from the segment's rows AS
+    * WRITTEN (read back from the staged/compacted files, so they can
+    * never drift from the data they describe): the `_bstats`
+    * per-bucket stats always, and — for EXACT roots — the `_posts`
+    * inverted digest postings ((h, doc_id, n_h) partitioned by
+    * pb = pmod(h, [[ExactPb]]), the [[nearDupServeExact]] read path).
+    * Underscore-named, so the docs scan never discovers either. */
+  private def writeMinhashSidecars(s: org.apache.spark.sql.SparkSession,
+      segDir: String, exact: Boolean): Unit = {
+    val written = s.read.parquet(segDir)
+    minhashBandStats(written.select(col("doc_id"), col("band_hashes")))
       .write.mode("overwrite").parquet(s"$segDir/_bstats")
+    if (exact)
+      written.select(col("doc_id"), col("n_h"),
+          explode(col("hs")).as("h"))
+        .withColumn("pb", pmod(col("h"), lit(ExactPb)))
+        .repartition(col("pb"))
+        .write.partitionBy("pb").mode("overwrite")
+        .parquet(s"$segDir/_posts")
+  }
+
+  /** Whether a MinHash root serves EXACT lookups: every committed
+    * segment carries a `_posts` posting sidecar. Self-describing —
+    * no params table, the family doctrine (and what keeps
+    * [[minhashIndexMerge]]'s zero-job contract: the probe is
+    * fs.exists, driver metadata only). A mixed chain refuses loudly:
+    * it can only arise from a maintenance-door bug or a manual copy,
+    * and serving it would silently miss the postings-less segments'
+    * docs — the exact contract's one unforgivable failure. */
+  private def minhashExactOf(fs: org.apache.hadoop.fs.FileSystem,
+      base: String, segs: Seq[Int]): Boolean = {
+    val flags = segs.map(k => k -> fs.exists(
+      new org.apache.hadoop.fs.Path(s"$base/docs/seg=$k/_posts")))
+    require(flags.map(_._2).distinct.size <= 1,
+      s"mixed exact/non-exact segment chain at $base: segments " +
+        flags.collect { case (k, true) => k }.mkString("{", ",", "}") +
+        " carry _posts, segments " +
+        flags.collect { case (k, false) => k }.mkString("{", ",", "}") +
+        " do not — exact serving would silently miss the latter. " +
+        "Rebuild or compact the root with one layout.")
+    flags.headOption.exists(_._2)
+  }
+
+  /** Stage one segment: the index rows, plus the sidecars computed
+    * from the rows AS WRITTEN. All land inside the staged segment
+    * dir — the segment's publish rename commits them together,
+    * keeping appends crash-atomic. */
+  private def writeSegWithStats(s: org.apache.spark.sql.SparkSession,
+      rows: DataFrame, segDir: String, exact: Boolean = false): Unit = {
+    rows.write.mode("overwrite").parquet(segDir)
+    writeMinhashSidecars(s, segDir, exact)
   }
 
   /** Build a PERSISTED MinHash near-dup index at `path` — the text
@@ -873,14 +919,21 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * construction (3-token shingles, 16 hashes, 4 bands) is pure code
     * shared with every other minhash route, not caller configuration —
     * the index is self-describing the way the IVF index's stored
-    * centroids are. */
-  def minhashIndexWrite(docs: DataFrame, path: String): Unit = {
+    * centroids are. `exact = true` additionally writes the `_posts`
+    * inverted digest postings beside each segment (opt-in — roughly
+    * doubles the index footprint) and unlocks [[nearDupServeExact]];
+    * the layout is write-once by self-description: appends and
+    * compactions probe the committed chain and comply
+    * ([[minhashExactOf]]). */
+  def minhashIndexWrite(docs: DataFrame, path: String,
+      exact: Boolean = false): Unit = {
     val s = docs.sparkSession
     val (fs, root) = EmbeddingOps.fsFor(s, path)
     Warehouse.recoverSwap(fs, root)
     val tmp = Warehouse.hiddenSibling(root, ".index-tmp")
     if (fs.exists(tmp)) fs.delete(tmp, true)
-    writeSegWithStats(s, minhashIndexRows(docs), s"$tmp/docs/seg=0")
+    writeSegWithStats(s, minhashIndexRows(docs), s"$tmp/docs/seg=0",
+      exact)
     EmbeddingOps.commitGen(fs,
       new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
     EmbeddingOps.publishStaged(fs, root, tmp) // expires + retires
@@ -897,8 +950,15 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       failpoint: String => Unit = _ => (),
       stamp: String => Unit = _ => ()): Unit = {
     val s = docs.sparkSession
+    // the appended segment complies with the committed chain's
+    // layout (plain or exact) — self-described by the _posts probe
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (_, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    val exact = minhashExactOf(fs, path, segs)
     EmbeddingOps.appendSegment(s, path, "docs",
-      staged => writeSegWithStats(s, minhashIndexRows(docs), staged),
+      staged => writeSegWithStats(s, minhashIndexRows(docs), staged,
+        exact),
       failpoint, stamp)
   }
 
@@ -917,6 +977,23 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       sources: Seq[String], dest: String,
       failpoint: String => Unit = _ => ()): Unit =
     EmbeddingOps.mergeRoots(s, sources, dest, Seq("docs"), Seq.empty,
+      validate = bases => {
+        // exactness is LAYOUT (the bm25 positional rule): a mixed
+        // merge would leave exact serving silently missing the
+        // plain shards' docs. The probe is fs.exists only, so the
+        // merge's zero-job contract holds for plain AND exact roots.
+        val flags = bases.map { b =>
+          val (bfs, broot) = EmbeddingOps.fsFor(s, b)
+          val (_, ss) = EmbeddingOps.committedSegs(bfs,
+            new org.apache.hadoop.fs.Path(broot, "_segs"))
+          minhashExactOf(bfs, b, ss)
+        }
+        require(flags.distinct.size == 1,
+          "exact (_posts) layout differs across merge sources: " +
+            bases.zip(flags).map { case (b, f) => s"$b=$f" }
+              .mkString(", ") +
+            " — rebuild the odd shards with the common layout")
+      },
       failpoint = failpoint)
 
   /** Merge independently-built BM25 index roots into one serving
@@ -1104,6 +1181,121 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         col("nb"), col("jaccard"))
   }
 
+  /** Serve EXACT near-dup lookups from a persisted MinHash index
+    * built with `exact = true`: for a NEW batch of docs, EVERY
+    * (indexed doc, batch doc) pair whose exact Jaccard over distinct
+    * shingle-hash sets reaches `threshold` — recall-GUARANTEED, where
+    * [[nearDupServe]]'s banded candidates are the capped heuristic (a
+    * pair colliding in no band bucket, or capped out of an oversized
+    * one, is invisible there; here it cannot be missed). Output
+    * matches nearDupServe: (doc_a = indexed, doc_b = batch, n_common,
+    * na, nb, jaccard). The exact sibling of the minhash serve split —
+    * per-crawl decontamination and dedup-against-the-kept-corpus with
+    * a machine-checkable completeness story.
+    *
+    * Candidates come from the stored `_posts` posting sidecars via
+    * the single-side prefix pigeonhole (the [[graft.operators.TextOps
+    * .containmentPairs]] argument, batch side): a qualifying pair has
+    * n_common >= ceil(t‰·nb), the batch doc keeps its
+    * nb - ceil(t‰·nb) + 1 smallest digests, and only ceil(t‰·nb) - 1
+    * fall outside — fewer than the required overlap, so every
+    * qualifying stored doc shares a KEPT digest with the batch doc.
+    * The subset-SIZE argument needs no shared order (no
+    * stored-frequency lookup on the serve path; ranking by stored df
+    * is a candidate-volume upgrade, not a correctness need). IO is
+    * the prefix digests' (seg, pb) posting buckets only — static
+    * partition pruning, the bm25 term-bucket discipline — plus one
+    * candidate-filtered pass over the stored rows. The Jaccard size
+    * filter prunes cross-size pairs at the candidate join.
+    *
+    * Scale shape, stated honestly: the batch sets broadcast (bounded
+    * by the batch); candidate hs arrays ride ONE doc_id-keyed
+    * exchange, candidate-mass-sized — the steady state is the answer
+    * plus prefix false positives, and the worst case (a stop-shingle
+    * in a batch prefix pulling its full posting list) is the exact
+    * family's documented quadratic-in-answer trade, with
+    * [[nearDupServe]] as the capped fallback. Precision shares the
+    * family's xxhash64 surrogate caveat (a collision only ADDS
+    * intersection mass — false-positive-only, 2^-64 scale,
+    * machine-checked by the brute-force oracle at gate scales);
+    * recall is unconditional. Tombstones mask at the pair stage;
+    * `asOf` pins segments, sidecars, and tombstones exactly like
+    * nearDupServe. */
+  def nearDupServeExact(s: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, threshold: Double = 0.7,
+      asOf: Option[IndexSnapshot] = None): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val t = math.floor(threshold * 1000).toLong.max(1L)
+    val base = EmbeddingOps.snapshotRoot(s, path, asOf)
+    val (fs, root) = EmbeddingOps.fsFor(s, base)
+    val segs = asOf match {
+      case Some(snap) => snap.dataSegs
+      case None => EmbeddingOps.committedSegs(fs,
+        new org.apache.hadoop.fs.Path(root, "_segs"))._2
+    }
+    require(segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    require(minhashExactOf(fs, base, segs),
+      s"index at $path carries no _posts posting sidecars — build " +
+        "it with minhashIndexWrite(..., exact = true) for exact " +
+        "serving (the banded nearDupServe serves plain roots)")
+    val nb0 = shinglesRaw(batch)
+      .select(col("doc_id"), xxhash64(col("s")).as("h"))
+      .distinct()
+      .pinned // prefix, buckets, and verification sets — one frame
+    val szb = nb0.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    val pref = nb0
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id")).orderBy(col("h"))))
+      .join(szb, Seq("doc_id"))
+      .where(col("rn") <= expr(s"nb - ((nb * $t + 999) div 1000) + 1"))
+      .select(col("h"), col("doc_id").as("doc_b"), col("nb"))
+    // static (seg, pb) pruning: the prefix digests' bucket ids
+    // collect (bounded by ExactPb) and the posting read lists only
+    // those partitions of the committed segments. The schema is
+    // explicit: no inference jobs, and a segment whose batch had no
+    // indexable docs wrote an EMPTY _posts (no partition dirs to
+    // infer from) — it must read as the empty frame, not refuse.
+    val pbs = pref.select(pmod(col("h"), lit(ExactPb)).as("pb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n_h BIGINT, h BIGINT, pb BIGINT")
+    val posts = segs
+      .map(k => s.read.schema(postsSchema)
+        .parquet(s"$base/docs/seg=$k/_posts"))
+      .reduce(_ unionByName _)
+      .where(if (pbs.isEmpty) lit(false) else col("pb").isin(pbs: _*))
+    val cand = posts.as("a").join(pref.as("b"),
+        col("a.h") === col("b.h") &&
+          col("a.n_h") * lit(1000L) >= col("b.nb") * lit(t) &&
+          col("b.nb") * lit(1000L) >= col("a.n_h") * lit(t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_b").as("doc_b"))
+      .distinct()
+    val stored = s.read.parquet(s"$base/docs")
+      .where(EmbeddingOps.segFilter(s, base, asOf)).drop("seg")
+    val batchSets = nb0.groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs_b"),
+        count(lit(1)).as("nb"))
+      .select(col("doc_id").as("doc_b"), col("hs_b"), col("nb"))
+    val tomb = EmbeddingOps.tombstones(s, base, "doc_id", asOf)
+    stored.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_h").as("na"))
+      .join(cand, Seq("doc_a"))
+      .join(broadcast(batchSets), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_common"),
+        col("na"), col("nb"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
   /** Delete docs from a persisted MinHash index — the [[graft.operators
     * .EmbeddingOps.indexDelete]] tombstone protocol keyed by doc_id
     * (crash-atomic, O(batch); serving anti-joins the committed
@@ -1120,15 +1312,21 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * clears — serving is identical before and after. Returns the
     * number of segments consolidated (0 = nothing to do). */
   def minhashIndexCompact(s: org.apache.spark.sql.SparkSession,
-      path: String, failpoint: String => Unit = _ => ()): Int =
+      path: String, failpoint: String => Unit = _ => ()): Int = {
+    // probe the layout BEFORE the rewrite so the compacted segment
+    // regenerates exactly the sidecars the chain carries
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (g, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    val exact =
+      g >= 0 && segs.nonEmpty && minhashExactOf(fs, path, segs)
     EmbeddingOps.compactSegments(s, path, "docs", Seq.empty,
       _.write.mode("overwrite"), keyCol = "doc_id", failpoint,
-      // regenerate the per-bucket stat sidecar from the COMPACTED rows
-      // (tombstoned docs dropped physically, so their bn/hub mass
+      // regenerate the sidecars from the COMPACTED rows (tombstoned
+      // docs dropped physically, so their bn/hub/posting mass
       // disappears exactly as the pre-sidecar window would recompute)
-      extraSeg = segDir => minhashBandStats(
-        s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
-        .write.mode("overwrite").parquet(s"$segDir/_bstats"))
+      extraSeg = segDir => writeMinhashSidecars(s, segDir, exact))
+  }
 
   /** Size-tiered tail compaction for the BM25 index — the two-dir
     * rendering of [[graft.operators.EmbeddingOps
@@ -1219,13 +1417,17 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * IO, tombstones kept (see the generic door's contract). */
   def minhashIndexCompactTail(s: org.apache.spark.sql.SparkSession,
       path: String, maxSegments: Int = 4,
-      failpoint: String => Unit = _ => ()): Int =
+      failpoint: String => Unit = _ => ()): Int = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (g, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    val exact =
+      g >= 0 && segs.nonEmpty && minhashExactOf(fs, path, segs)
     EmbeddingOps.tailCompactSegments(s, path, "docs",
       _.write.mode("overwrite"), keyCol = "doc_id",
       maxSegments = maxSegments, failpoint = failpoint,
-      extraSeg = segDir => minhashBandStats(
-        s.read.parquet(segDir).select(col("doc_id"), col("band_hashes")))
-        .write.mode("overwrite").parquet(s"$segDir/_bstats"))
+      extraSeg = segDir => writeMinhashSidecars(s, segDir, exact))
+  }
 
   /** Run the standing maintenance policy on a MinHash root
     * ([[graft.operators.EmbeddingOps.maintainIndexWith]]): a pending

@@ -1,0 +1,203 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, count, lit}
+
+import graft.operators.{EmbeddingOps, TextOps}
+
+/** Exact serving from the persisted MinHash index
+  * ([[TextOps.nearDupServeExact]] over `_posts` posting sidecars):
+  * recall-guaranteed batch-vs-stored lookups that must equal BRUTE
+  * FORCE through every lifecycle door — build, append, delete, tail
+  * and full compaction, merge, streamed ingestion — with the layout
+  * self-described (plain/mixed chains refuse loudly). */
+class ExactServeSpec extends SparkSpec {
+
+  private def fs = new org.apache.hadoop.fs.Path("/tmp")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def tmpRoot(tag: String): String = java.nio.file.Files
+    .createTempDirectory(s"graft_$tag").toString + "/ix"
+
+  private val docs = Tables(SparkSpec.session, "/root/testdata/sf0.001")
+    .documents
+
+  /** Brute-force cross join: every (stored, batch) pair at
+    * jaccard >= threshold over distinct raw-shingle sets. */
+  private def bruteCross(stored: DataFrame, batch: DataFrame,
+      threshold: Double): Seq[String] = {
+    def sets(d: DataFrame) = TextOps.shingles(d)
+      .select(col("doc_id"), col("s")).distinct()
+    val dsa = sets(stored)
+    val dsb = sets(batch)
+    val sza = dsa.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val szb = dsb.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    dsa.as("a").join(dsb.as("b"), col("a.s") === col("b.s"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sza.select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(szb.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+      .where(col("n_common") /
+        (col("na") + col("nb") - col("n_common")).cast("double")
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"))
+      .collect().map(_.toString).sorted.toSeq
+  }
+
+  private def servedExact(root: String, batch: DataFrame,
+      threshold: Double = 0.7): Seq[String] =
+    TextOps.nearDupServeExact(spark, root, batch, threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"))
+      .collect().map(_.toString).sorted.toSeq
+
+  test("exact serving equals brute force at several thresholds — " +
+    "recall the banded serve cannot guarantee, machine-checked") {
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val root = tmpRoot("exsrv")
+    TextOps.minhashIndexWrite(stored, root, exact = true)
+    Seq(0.5, 0.7, 0.9).foreach { t =>
+      assert(servedExact(root, batch, t) == bruteCross(stored, batch, t),
+        s"exact serve must equal brute force at t=$t")
+    }
+    assert(servedExact(root, batch, 0.7).nonEmpty,
+      "the fixture slices contain qualifying pairs")
+  }
+
+  test("lifecycle: appends inherit the exact layout, deletes mask, " +
+    "tail and full compaction regenerate the postings, and serving " +
+    "equals brute force throughout") {
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    def slice(i: Int) =
+      docs.where(col("doc_id") % 5 =!= 0 && col("doc_id") % 4 === i)
+    val root = tmpRoot("exlife")
+    TextOps.minhashIndexWrite(slice(0), root, exact = true)
+    (1 until 4).foreach(i => TextOps.minhashIndexAppend(slice(i), root))
+    // every appended segment self-described into the exact layout
+    (0 until 4).foreach(k => assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/docs/seg=$k/_posts")),
+      s"appended segment $k lost the _posts sidecar"))
+    val all = docs.where(col("doc_id") % 5 =!= 0)
+    assert(servedExact(root, batch) == bruteCross(all, batch, 0.7))
+
+    // tombstones mask exactly: the live slice is the new brute truth
+    TextOps.minhashIndexDelete(spark, root,
+      all.where(col("doc_id") % 3 === 0).select(col("doc_id")))
+    val live = all.where(col("doc_id") % 3 =!= 0)
+    val afterDelete = servedExact(root, batch)
+    assert(afterDelete == bruteCross(live, batch, 0.7))
+
+    // tail compaction regenerates _posts for the merged segment and
+    // serving is unchanged
+    assert(TextOps.minhashIndexCompactTail(spark, root,
+      maxSegments = 2) == 3)
+    val segsAfterTail = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))._2
+    segsAfterTail.foreach(k => assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/docs/seg=$k/_posts")),
+      s"tail-compacted segment $k lost the _posts sidecar"))
+    assert(servedExact(root, batch) == afterDelete)
+
+    // full compaction applies tombstones physically, regenerates the
+    // postings, and serving is still brute-force-equal
+    assert(TextOps.minhashIndexCompact(spark, root) >= 1)
+    assert(servedExact(root, batch) == afterDelete)
+  }
+
+  test("a plain root refuses exact serving; a mixed chain refuses " +
+    "loudly everywhere") {
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val plain = tmpRoot("explain")
+    TextOps.minhashIndexWrite(stored, plain)
+    val e = intercept[IllegalArgumentException] {
+      TextOps.nearDupServeExact(spark, plain, batch).collect()
+    }
+    assert(e.getMessage.contains("no _posts posting sidecars"))
+    // the plain root still appends and serves banded, unaffected
+    TextOps.minhashIndexAppend(batch, plain)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(
+      s"$plain/docs/seg=1/_posts")),
+      "a plain chain must not grow posting sidecars")
+
+    // a mixed chain (simulating a maintenance bug or manual copy)
+    // refuses at the probe — serve AND append
+    val mixed = tmpRoot("exmixed")
+    TextOps.minhashIndexWrite(
+      stored.where(col("doc_id") % 2 === 0), mixed, exact = true)
+    TextOps.minhashIndexAppend(stored.where(col("doc_id") % 2 =!= 0),
+      mixed)
+    fs.delete(new org.apache.hadoop.fs.Path(
+      s"$mixed/docs/seg=1/_posts"), true)
+    val e2 = intercept[IllegalArgumentException] {
+      TextOps.nearDupServeExact(spark, mixed, batch).collect()
+    }
+    assert(e2.getMessage.contains("mixed exact/non-exact"))
+    val e3 = intercept[IllegalArgumentException] {
+      TextOps.minhashIndexAppend(batch, mixed)
+    }
+    assert(e3.getMessage.contains("mixed exact/non-exact"))
+  }
+
+  test("shard merge: exact roots stitch and serve exactly; an " +
+    "exact/plain mix refuses at validation") {
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val parent = java.nio.file.Files
+      .createTempDirectory("graft_exmerge").toString
+    val shards = (0 until 2).map { i =>
+      val p = s"$parent/shard$i"
+      TextOps.minhashIndexWrite(
+        stored.where(col("doc_id") % 2 === i), p, exact = true)
+      p
+    }
+    TextOps.minhashIndexMerge(spark, shards, s"$parent/merged")
+    assert(servedExact(s"$parent/merged", batch) ==
+      bruteCross(stored, batch, 0.7),
+      "merged exact shards must serve like the one-shot exact build")
+
+    val p2 = java.nio.file.Files
+      .createTempDirectory("graft_exmerge2").toString
+    TextOps.minhashIndexWrite(
+      stored.where(col("doc_id") % 2 === 0), s"$p2/ex", exact = true)
+    TextOps.minhashIndexWrite(
+      stored.where(col("doc_id") % 2 =!= 0), s"$p2/pl")
+    val e = intercept[IllegalArgumentException] {
+      TextOps.minhashIndexMerge(spark,
+        Seq(s"$p2/ex", s"$p2/pl"), s"$p2/merged")
+    }
+    assert(e.getMessage.contains("layout differs across merge sources"))
+  }
+
+  test("streamed ingestion into an exact root writes postings per " +
+    "segment; exact serving equals the one-shot exact build") {
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val root = tmpRoot("exing")
+    TextOps.minhashIndexWrite(
+      stored.where(col("doc_id") % 3 === 0), root, exact = true)
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_exing_stream").toString
+    Seq(1, 2).foreach(i => stored.where(col("doc_id") % 3 === i)
+      .coalesce(1).write.mode("append").parquet(streamDir))
+    val q = graft.streaming.Streams.minhashIngestSink(
+        spark.readStream.schema(docs.schema)
+          .option("maxFilesPerTrigger", "1").parquet(streamDir),
+        root, java.nio.file.Files
+          .createTempDirectory("graft_exing_ckpt").toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(180000), "stream did not finish in time")
+    (0 until 3).foreach(k => assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/docs/seg=$k/_posts")),
+      s"streamed segment $k lost the _posts sidecar"))
+    val oneShot = tmpRoot("exing_ref")
+    TextOps.minhashIndexWrite(stored, oneShot, exact = true)
+    assert(servedExact(root, batch) == servedExact(oneShot, batch),
+      "streamed exact index must serve exactly like the one-shot build")
+  }
+}

@@ -1542,6 +1542,53 @@ class ScaleProbeSpec extends SparkSpec {
       }
   }
 
+  test("nearDupServeExact at scale: posting scans are pb-partition-" +
+    "pruned, batch sets broadcast, stored hs never rides a broadcast") {
+    // the exact serve's 100 TB shape: IO is the batch prefix's
+    // (seg, pb) posting buckets (static pruning, the bm25 term-bucket
+    // discipline), the bounded batch sets broadcast, and the stored
+    // hs arrays reach the verify join only through the
+    // candidate-keyed exchange — never a broadcast (candidates are
+    // data-dependent, the documented exact trade)
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft_exact_probe").toString + "/ix"
+    TextOps.minhashIndexWrite(syntheticDocs(50000L), idx, exact = true)
+    val batch = syntheticDocs(50100L).where(col("doc_id") >= 50000L)
+    val plan = staticPlanOf(TextOps.nearDupServeExact(spark, idx, batch))
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "nearDupServeExact plans a CartesianProduct")
+    val postScans = plan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("_posts")) => f
+    }
+    assert(postScans.nonEmpty, "no _posts posting scan found")
+    postScans.foreach { sc =>
+      val pf = sc.partitionFilters.map(_.toString).mkString(" ")
+      assert(pf.contains("pb"),
+        s"posting scan lost its pb partition pruning: $pf")
+    }
+    val bc = broadcastSubtrees(plan)
+    assert(bc.nonEmpty,
+      "the batch sets are not broadcast — the postings would shuffle")
+    bc.foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(!cols.contains("hs_a") && !cols.contains("hs"),
+        "nearDupServeExact broadcasts stored shingle sets: " +
+          cols.mkString("[", ", ", "]"))
+    }
+    // behavioral: a batch sharing no shingle with the index serves
+    // empty (disjoint vocabularies), and identical docs serve at 1.0
+    val alien = spark.range(60000L, 60010L).select(
+      col("id").as("doc_id"),
+      concat_ws(" ", expr("transform(sequence(0, 39), " +
+        "i -> concat('z', pmod(xxhash64(id * 40 + i), 1000)))"))
+        .as("text"))
+    assert(TextOps.nearDupServeExact(spark, idx, alien).count() === 0L)
+  }
+
   test("exact all-pairs prefix filter: candidate volume strictly below " +
     "brute force on a boilerplate corpus, yet recall stays complete") {
     // the filter's measured selectivity, live: a corpus where EVERY
