@@ -84,12 +84,23 @@ class ExactServeSpec extends SparkSpec {
     val all = docs.where(col("doc_id") % 5 =!= 0)
     assert(servedExact(root, batch) == bruteCross(all, batch, 0.7))
 
+    // a snapshot pinned BEFORE the deletions must keep serving the
+    // capture-time view (tombstones land after capture = invisible)
+    val snap = EmbeddingOps.indexSnapshot(spark, root)
+    val atCapture = servedExact(root, batch)
+
     // tombstones mask exactly: the live slice is the new brute truth
     TextOps.minhashIndexDelete(spark, root,
       all.where(col("doc_id") % 3 === 0).select(col("doc_id")))
     val live = all.where(col("doc_id") % 3 =!= 0)
     val afterDelete = servedExact(root, batch)
     assert(afterDelete == bruteCross(live, batch, 0.7))
+    assert(TextOps.nearDupServeExact(spark, root, batch, 0.7,
+        asOf = Some(snap))
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"))
+      .collect().map(_.toString).sorted.toSeq == atCapture,
+      "the pinned exact serve must replay the capture-time view")
 
     // tail compaction regenerates _posts for the merged segment and
     // serving is unchanged
