@@ -1208,13 +1208,19 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * candidate-filtered pass over the stored rows. The Jaccard size
     * filter prunes cross-size pairs at the candidate join.
     *
-    * Scale shape, stated honestly: the batch sets broadcast (bounded
-    * by the batch); candidate hs arrays ride ONE doc_id-keyed
-    * exchange, candidate-mass-sized — the steady state is the answer
-    * plus prefix false positives, and the worst case (a stop-shingle
-    * in a batch prefix pulling its full posting list) is the exact
-    * family's documented quadratic-in-answer trade, with
-    * [[nearDupServe]] as the capped fallback. Precision shares the
+    * Scale shape, stated honestly: the stored side NEVER rides an
+    * exchange — the batch prefix broadcasts into the posting scan
+    * (batch-bounded, the [[nearDupServe]] bbIds discipline), and the
+    * verification pass scans the stored rows filtered by the
+    * BROADCAST candidate set, so the only shuffles are batch- and
+    * pair-sized (prefix ranking, candidate dedup, tombstone mask).
+    * The candidate broadcast is ANSWER-sized, not
+    * construction-bounded: the steady state is the true pairs plus
+    * prefix false positives, and the worst case (a stop-shingle in a
+    * batch prefix pulling its full posting list) is the exact
+    * family's documented quadratic-in-answer trade — when the answer
+    * itself is too big to broadcast, exactness is the wrong tool and
+    * [[nearDupServe]] is the capped fallback. Precision shares the
     * family's xxhash64 surrogate caveat (a collision only ADDS
     * intersection mass — false-positive-only, 2^-64 scale,
     * machine-checked by the brute-force oracle at gate scales);
@@ -1266,7 +1272,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         .parquet(s"$base/docs/seg=$k/_posts"))
       .reduce(_ unionByName _)
       .where(if (pbs.isEmpty) lit(false) else col("pb").isin(pbs: _*))
-    val cand = posts.as("a").join(pref.as("b"),
+    val cand = posts.as("a").join(broadcast(pref.as("b")),
         col("a.h") === col("b.h") &&
           col("a.n_h") * lit(1000L) >= col("b.nb") * lit(t) &&
           col("b.nb") * lit(1000L) >= col("a.n_h") * lit(t))
@@ -1281,7 +1287,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     val tomb = EmbeddingOps.tombstones(s, base, "doc_id", asOf)
     stored.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
         col("n_h").as("na"))
-      .join(cand, Seq("doc_a"))
+      .join(broadcast(cand), Seq("doc_a"))
       .join(broadcast(batchSets), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")

@@ -1579,6 +1579,17 @@ class ScaleProbeSpec extends SparkSpec {
         "nearDupServeExact broadcasts stored shingle sets: " +
           cols.mkString("[", ", ", "]"))
     }
+    // the stored side NEVER rides an exchange: prefix and candidates
+    // broadcast into the posting/docs scans, so no shuffle input may
+    // carry the stored hs arrays (the nearDupServe discipline)
+    plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.child.output.map(_.name)
+    }.foreach { cols =>
+      assert(!cols.contains("hs") && !cols.contains("hs_a"),
+        "stored shingle sets ride an exchange: " +
+          cols.mkString("[", ", ", "]"))
+    }
     // behavioral: a batch sharing no shingle with the index serves
     // empty (disjoint vocabularies), and identical docs serve at 1.0
     val alien = spark.range(60000L, 60010L).select(
