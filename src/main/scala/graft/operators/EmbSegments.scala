@@ -88,8 +88,17 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       metaDir: org.apache.hadoop.fs.Path, gen: Int,
       segs: Seq[Int], overwrite: Boolean = false): Unit = {
     fs.mkdirs(metaDir)
-    val tmp = new org.apache.hadoop.fs.Path(metaDir, s".gen-$gen.tmp")
-    val out = fs.create(tmp, true)
+    // the staging name is UNIQUE PER WRITER (the bindRun claim
+    // discipline): a shared `.gen-N.tmp` would let racer B overwrite
+    // racer A's staged listing before A's rename, so the rename
+    // winner could publish the LOSER's manifest — the CAS below only
+    // decides who renames first, it cannot detect a clobbered tmp.
+    // A crashed commit leaves its orphan tmp behind (a hidden
+    // few-byte file; successful commits consume theirs) — deliberate:
+    // cleaning other writers' tmps here would reintroduce the race.
+    val tmp = new org.apache.hadoop.fs.Path(metaDir,
+      s".gen-$gen.tmp-" + java.util.UUID.randomUUID())
+    val out = fs.create(tmp, false)
     try out.write(segs.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     val dest = new org.apache.hadoop.fs.Path(metaDir, s"gen-$gen")

@@ -60,29 +60,47 @@ private[graft] class MetaCache(maxEntries: Int) {
         e: java.util.Map.Entry[(String, Long, String), AnyRef])
         : Boolean = size() > maxEntries
   }
+  // per-base invalidation counters: a load that began BEFORE an
+  // invalidate() must not be cached AFTER it (the load may carry the
+  // pre-mutation value under a colliding epoch — exactly the stale
+  // resurrection invalidate() exists to prevent; removing entries
+  // alone cannot stop an in-flight load's later put). Grows with the
+  // distinct roots this session MUTATED — the same order as the
+  // cache's own key space; entries are never removed because the
+  // stamp comparison relies on monotonicity.
+  private val inval = scala.collection.mutable.HashMap.empty[String, Long]
 
   /** The cached value for (`base`, `epoch`, `kind`), computing and
     * remembering it on first use. `load` must yield a value that is
-    * immutable for this key per the object contract above. */
+    * immutable for this key per the object contract above. A load
+    * that raced an [[invalidate]] still RETURNS (this call started
+    * before the mutation — the pre-fix semantics for in-flight
+    * reads) but is NOT remembered: the next call reloads fresh. */
   def cached[T <: AnyRef](base: String, epoch: Long, kind: String)(
       load: => T): T = {
     val k = (base, epoch, kind)
-    val hit = m.synchronized(m.get(k))
+    val (hit, stamp) = m.synchronized(
+      (m.get(k), inval.getOrElse(base, 0L)))
     if (hit != null) return hit.asInstanceOf[T]
     val v = load
     m.synchronized {
       val again = m.get(k)
       if (again != null) again.asInstanceOf[T]
+      else if (inval.getOrElse(base, 0L) != stamp) v // raced: serve, don't cache
       else { m.put(k, v); v }
     }
   }
 
   /** Drop every entry of `base` — called by this session's mutation
     * doors so an in-session rebuild at a reused path can never serve
-    * a stale value, whatever epoch number it lands on. */
+    * a stale value, whatever epoch number it lands on. Bumps the
+    * base's invalidation stamp so in-flight loads cannot re-insert
+    * what they read before the mutation. */
   def invalidate(base: String): Unit = m.synchronized {
     val it = m.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == base) it.remove()
+    inval(base) = inval.getOrElse(base, 0L) + 1L
+    ()
   }
 
   /** Test hook: a clean slate between fixtures. */

@@ -567,6 +567,73 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       .distinct()
   }
 
+  /** The CONTAINED-side prefix behind [[containmentPairs]]/
+    * [[containmentJoin]]: each doc keeps its na - ceil(t‰·na) + 1
+    * rarest-under-`freq` digests (unseen digests rank first at
+    * f = 0 — the subset-size pigeonhole holds under ANY order, the
+    * ranking is purely a candidate-volume lever). Output (h, doc_id,
+    * na_). */
+  private def containedPrefix(dsa: DataFrame, freq: DataFrame,
+      t: Long): DataFrame = {
+    val sza = dsa.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    dsa.join(freq, Seq("h"), "left")
+      .withColumn("f", coalesce(col("f"), lit(0L)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("f"), col("h"))))
+      .join(sza, Seq("doc_id"))
+      .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
+      .select(col("h"), col("doc_id"), col("n").as("na_"))
+  }
+
+  /** The containment candidate join: prefix(contained) x full
+    * posting lists, with the one-directional size filter (a
+    * container smaller than t‰·na cannot qualify — n_common <= nb;
+    * flooring only admits) and the self-join identity guard. */
+  private def containedCandidates(pref: DataFrame, dsb: DataFrame,
+      t: Long, selfJoin: Boolean): DataFrame = {
+    val szb = dsb.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    pref.as("a").join(dsb.join(szb, Seq("doc_id")).as("b"),
+        col("a.h") === col("b.h") &&
+          (if (selfJoin) col("a.doc_id") =!= col("b.doc_id")
+           else lit(true)) &&
+          col("b.n") * lit(1000L) >= col("a.na_") * lit(t))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact intersection counts of candidate pairs across TWO set
+    * frames — [[interFromCandidates]]' cross-corpus form. */
+  private def crossInter(dsa: DataFrame, dsb: DataFrame,
+      cand: DataFrame): DataFrame =
+    cand
+      .join(dsb.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .join(dsa.as("sa"),
+        col("doc_a") === col("sa.doc_id") && col("sb.h") === col("sa.h"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+
+  /** Attach both sides' set sizes to intersection counts. */
+  private def sizedPairs(inter: DataFrame, dsa: DataFrame,
+      dsb: DataFrame): DataFrame =
+    inter
+      .join(dsa.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .select(col("doc_id").as("doc_a"), col("n").as("na")),
+        Seq("doc_a"))
+      .join(dsb.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        .select(col("doc_id").as("doc_b"), col("n").as("nb")),
+        Seq("doc_b"))
+
+  /** The IEEE containment keep over sized pairs. */
+  private def containmentKeep(sized: DataFrame,
+      threshold: Double): DataFrame =
+    sized
+      .withColumn("containment",
+        col("n_common") / col("na").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("containment"))
+
   /** EXACT containment self-join — [[allPairsExact]]'s asymmetric
     * sibling: every ordered pair where doc_a's distinct shingle set
     * is at least `threshold`-contained in doc_b's
@@ -598,39 +665,11 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       s"threshold must be in (0, 1], got $threshold")
     val t = math.floor(threshold * 1000).toLong.max(1L)
     val ds = digestSets(docs).pinned
-    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val freq = ds.groupBy(col("h")).agg(count(lit(1)).as("f"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("f"), col("h"))
-    val pref = ds.join(freq, Seq("h"))
-      .withColumn("rn", row_number().over(w))
-      .join(sz, Seq("doc_id"))
-      .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
-      .select(col("h"), col("doc_id"), col("n").as("na_"))
-    // one-directional size filter on the candidate join: n_common <=
-    // nb, so a container smaller than t‰·na cannot t-contain A — the
-    // floor direction is safe (t <= threshold·1000, so every pruned
-    // pair is strictly below the IEEE keep). It prunes the hopeless
-    // reverse direction of every asymmetric pair (big doc "contained"
-    // in a small one), roughly halving candidates on real corpora,
-    // for one keyed size join on the container side.
-    val cand = pref.as("a").join(ds.join(sz, Seq("doc_id")).as("b"),
-        col("a.h") === col("b.h") &&
-          col("a.doc_id") =!= col("b.doc_id") &&
-          col("b.n") * lit(1000L) >= col("a.na_") * lit(t))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val inter = interFromCandidates(ds, cand)
-    inter
-      .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
-        Seq("doc_a"))
-      .join(sz.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-        Seq("doc_b"))
-      .withColumn("containment",
-        col("n_common") / col("na").cast("double"))
-      .where(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
-        col("nb"), col("containment"))
+    val cand = containedCandidates(containedPrefix(ds, freq, t), ds,
+      t, selfJoin = true)
+    containmentKeep(
+      sizedPairs(interFromCandidates(ds, cand), ds, ds), threshold)
   }
 
   /** EXACT cross-corpus similarity join — [[allPairsExact]] between
@@ -655,19 +694,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     val dsa = digestSets(left).pinned
     val dsb = digestSets(right).pinned
     val cand = prefixCandidates(dsa, dsb, t, selfJoin = false)
-    val inter = cand
-      .join(dsb.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .join(dsa.as("sa"),
-        col("doc_a") === col("sa.doc_id") && col("sb.h") === col("sa.h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    val sza = dsa.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val szb = dsb.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    inter
-      .join(sza.select(col("doc_id").as("doc_a"), col("n").as("na")),
-        Seq("doc_a"))
-      .join(szb.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-        Seq("doc_b"))
+    sizedPairs(crossInter(dsa, dsb, cand), dsa, dsb)
       .withColumn("jaccard", col("n_common") /
         (col("na") + col("nb") - col("n_common")).cast("double"))
       .where(col("jaccard") >= threshold)
@@ -705,39 +732,11 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     val t = math.floor(threshold * 1000).toLong.max(1L)
     val dsa = digestSets(contained).pinned
     val dsb = digestSets(containers).pinned
-    val sza = dsa.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val szb = dsb.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val freq = dsb.groupBy(col("h")).agg(count(lit(1)).as("f"))
-    val pref = dsa.join(freq, Seq("h"), "left")
-      .withColumn("f", coalesce(col("f"), lit(0L)))
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("doc_id"))
-          .orderBy(col("f"), col("h"))))
-      .join(sza, Seq("doc_id"))
-      .where(col("rn") <= expr(s"n - ((n * $t + 999) div 1000) + 1"))
-      .select(col("h"), col("doc_id"), col("n").as("na_"))
-    val cand = pref.as("a")
-      .join(dsb.join(szb, Seq("doc_id")).as("b"),
-        col("a.h") === col("b.h") &&
-          col("b.n") * lit(1000L) >= col("a.na_") * lit(t))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    val inter = cand
-      .join(dsb.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .join(dsa.as("sa"),
-        col("doc_a") === col("sa.doc_id") && col("sb.h") === col("sa.h"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sza.select(col("doc_id").as("doc_a"), col("n").as("na")),
-        Seq("doc_a"))
-      .join(szb.select(col("doc_id").as("doc_b"), col("n").as("nb")),
-        Seq("doc_b"))
-      .withColumn("containment",
-        col("n_common") / col("na").cast("double"))
-      .where(col("containment") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
-        col("nb"), col("containment"))
+    val cand = containedCandidates(containedPrefix(dsa, freq, t), dsb,
+      t, selfJoin = false)
+    containmentKeep(
+      sizedPairs(crossInter(dsa, dsb, cand), dsa, dsb), threshold)
   }
 
   /** The curation ACTION on [[containmentPairs]]: drop every document

@@ -892,7 +892,9 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         " carry _posts, segments " +
         flags.collect { case (k, false) => k }.mkString("{", ",", "}") +
         " do not — exact serving would silently miss the latter. " +
-        "Rebuild or compact the root with one layout.")
+        "Run minhashIndexCompact: the full rewrite regenerates one " +
+        "uniform (exact) layout from the live rows and heals the " +
+        "chain.")
     flags.headOption.exists(_._2)
   }
 
@@ -1319,13 +1321,18 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * number of segments consolidated (0 = nothing to do). */
   def minhashIndexCompact(s: org.apache.spark.sql.SparkSession,
       path: String, failpoint: String => Unit = _ => ()): Int = {
-    // probe the layout BEFORE the rewrite so the compacted segment
-    // regenerates exactly the sidecars the chain carries
+    // probe the layout BEFORE the rewrite. Deliberately LENIENT where
+    // every other door is strict: the full rewrite regenerates ONE
+    // uniform layout from the compacted rows, so it is the advertised
+    // HEALER for a mixed chain — exact iff ANY committed segment
+    // carries _posts (the capability-superset direction; a plain
+    // chain stays plain). The tail door cannot heal (it never touches
+    // the non-tail segments) and keeps the strict refusal.
     val (fs, root) = EmbeddingOps.fsFor(s, path)
     val (g, segs) = EmbeddingOps.committedSegs(fs,
       new org.apache.hadoop.fs.Path(root, "_segs"))
-    val exact =
-      g >= 0 && segs.nonEmpty && minhashExactOf(fs, path, segs)
+    val exact = g >= 0 && segs.exists(k => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$path/docs/seg=$k/_posts")))
     EmbeddingOps.compactSegments(s, path, "docs", Seq.empty,
       _.write.mode("overwrite"), keyCol = "doc_id", failpoint,
       // regenerate the sidecars from the COMPACTED rows (tombstoned

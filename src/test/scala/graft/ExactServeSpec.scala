@@ -152,6 +152,16 @@ class ExactServeSpec extends SparkSpec {
       TextOps.minhashIndexAppend(batch, mixed)
     }
     assert(e3.getMessage.contains("mixed exact/non-exact"))
+    // the full compaction is the advertised HEALER: it regenerates
+    // one uniform exact layout from the live rows, after which the
+    // chain appends and serves exactly again
+    assert(TextOps.minhashIndexCompact(spark, mixed) >= 1)
+    assert(TextOps.nearDupServeExact(spark, mixed, batch)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"))
+      .collect().map(_.toString).sorted.toSeq ==
+      bruteCross(stored, batch, 0.7),
+      "a healed chain must serve exactly")
   }
 
   test("shard merge: exact roots stitch and serve exactly; an " +

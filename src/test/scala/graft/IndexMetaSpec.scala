@@ -138,6 +138,31 @@ class IndexMetaSpec extends SparkSpec {
       "invalidate must not touch other bases")
   }
 
+  test("a load racing an invalidate is served to its caller but never " +
+    "cached: the next call reloads fresh") {
+    // the stale-resurrection window: a load begins, a mutation door
+    // rebuilds the root and invalidates, the load completes carrying
+    // the PRE-mutation value — removing entries alone cannot stop its
+    // later put. Deterministic here: the load thunk itself fires the
+    // invalidate mid-flight.
+    val c = new graft.operators.MetaCache(8)
+    val served = c.cached("/r", 1L, "k") {
+      c.invalidate("/r") // the rebuild lands while the load is in flight
+      java.lang.Integer.valueOf(1) // the now-stale value
+    }
+    assert(served.intValue === 1,
+      "the in-flight caller still gets its (pre-mutation) read")
+    var reloaded = false
+    val v = c.cached("/r", 1L, "k") {
+      reloaded = true; java.lang.Integer.valueOf(2)
+    }
+    assert(reloaded && v.intValue === 2,
+      "the raced load must not have been cached — stale resurrection")
+    // and the fresh value caches normally
+    assert(c.cached("/r", 1L, "k")(java.lang.Integer.valueOf(9))
+      .intValue === 2)
+  }
+
   test("eviction past the bound is LRU: the least-recently-USED entry " +
     "leaves, touched entries stay, and nothing below the bound evicts") {
     // a long-lived serving session over more roots than the bound

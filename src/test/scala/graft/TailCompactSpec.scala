@@ -325,5 +325,13 @@ class TailCompactSpec extends SparkSpec {
       overwrite = true)
     assert(EmbeddingOps.committedSegs(fs, metaDir) ==
       ((gen + 1, segs :+ 99)))
+    // a CRASHED commit's orphan staging file (unique per writer, so
+    // racers can never clobber each other's staged listing) neither
+    // blocks later commits nor confuses the manifest reader
+    fs.create(new org.apache.hadoop.fs.Path(metaDir,
+      s".gen-${gen + 2}.tmp-deadbeef"), false).close()
+    EmbeddingOps.commitGen(fs, metaDir, gen + 2, segs :+ 100)
+    assert(EmbeddingOps.committedSegs(fs, metaDir) ==
+      ((gen + 2, segs :+ 100)))
   }
 }
