@@ -128,6 +128,36 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       Option(metaDir.getParent).map(_.toString).getOrElse(""))
   }
 
+  /** Age-gated sweep of ORPHANED manifest-staging tmps: a crashed
+    * [[commitGen]] leaves its unique `.gen-N.tmp-<uuid>` behind
+    * (successful commits consume theirs, and commitGen itself must
+    * never clean others' tmps — deleting a LIVE racer's staged
+    * listing is exactly the clobber the unique names exist to
+    * prevent). Those few-byte orphans otherwise accumulate forever,
+    * so the FULL-compaction doors sweep them here — single-writer by
+    * contract at that point, and still only past an age threshold: a
+    * tmp younger than `ageMs` could be an in-flight commit from a
+    * contract violation, and sweeping it would convert that
+    * violation's loud CAS abort into the silent clobber. Stale tmps
+    * (default: an hour) are crash debris by any reading — no commit
+    * stages for an hour. Driver-side metadata only. */
+  private[operators] def sweepOrphanTmps(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path,
+      ageMs: Long = 3600000L): Unit = {
+    val cutoff = System.currentTimeMillis() - ageMs
+    Seq("_segs", "_dels").foreach { m =>
+      val dir = new org.apache.hadoop.fs.Path(root, m)
+      if (fs.exists(dir))
+        fs.listStatus(dir).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(".gen-") && n.contains(".tmp-") &&
+              st.getModificationTime < cutoff)
+            fs.delete(st.getPath, false)
+        }
+    }
+  }
+
   /** Append one staged segment to an index root: clear crashed
     * leftovers, write via `writeSeg` into a hidden staging dir, rename
     * it visible, commit the next manifest generation. `failpoint`
@@ -294,19 +324,28 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
 
   /** Refuse maintenance while a bound streaming-ingest run has an
     * IN-FLIGHT batch: the sink stamps each segment it appends with
-    * `_ingest-b<id>` (atomic with the manifest commit) and advances
-    * `_ingest/hwm` after; a stamp past the high-water mark on ANY
-    * committed segment means the stream crashed between the two
-    * writes and its restart will resolve the batch by finding the
-    * stamp. The scan covers every committed segment, not just the
-    * newest — a direct operator append (the doors are public and
-    * unguarded) landing after the crash pushes the stamped segment
-    * down the listing, and a newest-only check would let a compaction
-    * proceed, erase the buried stamp, and turn the stream's restart
-    * into a silent duplicate append. Cost stays driver-side metadata:
-    * O(committed segments) directory listings, bounded by the
-    * compaction policy. Loud refusal; restarting the stream (or
-    * replaying its last batch) clears it. */
+    * `_ingest-<queryId>.b<id>` (atomic with the manifest commit) and
+    * advances `_ingest/hwm` after; a CURRENT-binding stamp past the
+    * high-water mark on ANY committed segment means the stream
+    * crashed between the two writes and its restart will resolve the
+    * batch by finding the stamp. The scan covers every committed
+    * segment, not just the newest — a direct operator append (the
+    * doors are public and unguarded) landing after the crash pushes
+    * the stamped segment down the listing, and a newest-only check
+    * would let a compaction proceed, erase the buried stamp, and turn
+    * the stream's restart into a silent duplicate append. A stamp
+    * whose query id does NOT match the current `_ingest/run` binding
+    * belongs to a dead binding (the documented clear-and-rebind
+    * recovery): no stream will ever resolve it, it can never match a
+    * live batch id (the resolve scan is namespaced the same way), so
+    * it is inert — maintenance proceeds and the rewrite garbage-
+    * collects it rather than blocking forever. Legacy un-namespaced
+    * `_ingest-b<id>` stamps (pre-namespacing roots) stay
+    * conservative: past-hwm blocks, the fail-safe direction. Cost
+    * stays driver-side metadata: O(committed segments) directory
+    * listings, bounded by the compaction policy. Loud refusal;
+    * restarting the stream (or replaying its last batch) clears
+    * it. */
   private[graft] def requireIngestResolved(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, path: String,
@@ -314,9 +353,18 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_ingest"))) return
     val hwm = readLongMarker(fs,
       new org.apache.hadoop.fs.Path(root, "_ingest/hwm")).getOrElse(-1L)
+    val runMarker = new org.apache.hadoop.fs.Path(root, "_ingest/run")
+    val owner: Option[String] =
+      if (!fs.exists(runMarker)) None
+      else {
+        val in = fs.open(runMarker)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+        finally in.close()
+      }
     val (gen, segs) =
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
     if (gen < 0 || segs.isEmpty) return
+    val namespaced = """_ingest-(.+)\.b(\d+)""".r
     val pending = for {
       seg <- segs
       segDir = new org.apache.hadoop.fs.Path(root,
@@ -324,8 +372,16 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
       if fs.exists(segDir)
       st <- fs.listStatus(segDir)
       name = st.getPath.getName
-      if name.startsWith("_ingest-b")
-      b <- scala.util.Try(name.stripPrefix("_ingest-b").toLong).toOption
+      b <- name match {
+        case namespaced(qid, bs) =>
+          // only the CURRENT binding's stamps can be in flight
+          if (owner.contains(qid))
+            scala.util.Try(bs.toLong).toOption
+          else None
+        case _ if name.startsWith("_ingest-b") =>
+          scala.util.Try(name.stripPrefix("_ingest-b").toLong).toOption
+        case _ => None
+      }
       if b > hwm
     } yield (b, seg)
     pending.sorted.lastOption.foreach { case (b, seg) =>
@@ -990,6 +1046,11 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     // batch left on the newest segment — refuse until the bound
     // stream resolves it (see requireIngestResolved)
     requireIngestResolved(fs, root, path, dataDir)
+    // the full door is single-writer by contract: the one safe place
+    // to garbage-collect crashed commits' staging tmps (age-gated —
+    // see sweepOrphanTmps). Runs before the no-op return so a
+    // steady-state root gets the hygiene too.
+    sweepOrphanTmps(fs, root)
     val (dg, dsegs) =
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_dels"))
     val hasDels = dg >= 0 && dsegs.nonEmpty

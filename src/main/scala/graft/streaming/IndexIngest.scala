@@ -26,13 +26,22 @@ import graft.operators.{EmbeddingOps, Multimodal, TextOps}
   *     stream, the single-writer contract made loud).
   *  2. FAST SKIP: `b <= R/_ingest/hwm` means the batch fully
   *     committed (segment AND progress) — no-op.
-  *  3. CRASH-WINDOW RESOLVE: the append stamps `_ingest-b<b>` into
-  *     the STAGED segment dir, so the stamp publishes atomically
-  *     with the manifest commit (the segment protocol's one
-  *     linearization point). If the NEWEST committed segment carries
-  *     this batch's stamp, the previous attempt died between its
-  *     manifest commit and its progress write — advance `hwm` and
-  *     stop. No second segment, ever.
+  *  3. CRASH-WINDOW RESOLVE: the append stamps
+  *     `_ingest-<queryId>.b<b>` into the STAGED segment dir, so the
+  *     stamp publishes atomically with the manifest commit (the
+  *     segment protocol's one linearization point). If any committed
+  *     segment carries this batch's stamp, the previous attempt died
+  *     between its manifest commit and its progress write — advance
+  *     `hwm` and stop. No second segment, ever. The stamp carries the
+  *     RUN BINDING's query id, not just the batch number: stamps are
+  *     never deleted once resolved, and batch ids restart at 0 under
+  *     a fresh checkpoint, so an un-namespaced stamp left anywhere in
+  *     the chain by a DEAD binding (after the documented "clear
+  *     _ingest" recovery) would make the new stream silently skip its
+  *     first appends while still advancing hwm — silent data loss. A
+  *     namespaced stamp can only ever match its own binding; a dead
+  *     binding's stamps are inert and the next compaction erases
+  *     them.
   *  4. APPEND + ADVANCE: otherwise append (stamped), then publish
   *     `hwm = b` via the atomic marker write.
   *
@@ -275,9 +284,10 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
     // newest-only check would miss it and re-append the batch —
     // silent duplicates. O(committed segments) driver-side exists
     // checks, bounded by the compaction policy.
+    val stampName = s"_ingest-$queryId.b$batchId"
     val stamped = segs.exists(n => fs.exists(
       new org.apache.hadoop.fs.Path(root,
-        s"$canonicalDir/seg=$n/_ingest-b$batchId")))
+        s"$canonicalDir/seg=$n/$stampName")))
     if (!stamped) {
       // an EMPTY replayed batch appends nothing, so it leaves no
       // stamp; advancing hwm alone is its whole commit. (Appending a
@@ -286,7 +296,7 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
       if (!batch.isEmpty)
         append(batch, staged => {
           val out = fs.create(new org.apache.hadoop.fs.Path(staged,
-            s"_ingest-b$batchId"), true)
+            stampName), true)
           out.close()
         })
       failpoint("appended")
@@ -333,8 +343,18 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
     fs.mkdirs(dir)
     val out =
       try fs.create(marker, false)
-      catch { // lost the claim race — the winner's marker decides
+      catch {
+        // lost the claim race — the winner's marker decides
         case _: org.apache.hadoop.fs.FileAlreadyExistsException => null
+        // some FileSystem implementations signal an existing
+        // destination with a plain IOException instead (object-store
+        // connectors, older local-FS paths): re-check, and when the
+        // marker exists fall through to verify()'s clear
+        // bound-to-another-stream refusal rather than crashing the
+        // losing claimant's query with the opaque create error.
+        // A genuine IO failure (marker still absent) rethrows.
+        case e: java.io.IOException =>
+          if (fs.exists(marker)) null else throw e
       }
     if (out != null)
       try out.write(queryId.getBytes("UTF-8"))

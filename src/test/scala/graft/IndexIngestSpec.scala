@@ -335,6 +335,61 @@ class IndexIngestSpec extends SparkSpec {
     assert(served(root, probe) == served(oneShot, probe))
   }
 
+  test("stamps from a dead binding never match a new binding's batch " +
+    "ids, and never block its maintenance") {
+    // the documented recovery — clear the whole _ingest directory,
+    // point a fresh checkpoint at the root — restarts batch numbering
+    // at 0 under a NEW query id. The dead binding's stamps stay on
+    // committed segments forever (stamps are never deleted once
+    // resolved); an un-namespaced replay check would read the old
+    // _ingest-b0 as "batch 0 already appended" and silently skip the
+    // new stream's first appends while still advancing hwm — silent
+    // data loss. Namespacing makes them inert: invisible to the new
+    // binding's resolve scan AND to the maintenance guard, so the
+    // next compaction garbage-collects them instead of blocking on an
+    // in-flight batch no stream will ever resolve.
+    val base = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a")))
+    val b0A = docsDf(Seq(
+      (10L, "one two three four five six seven", "en", "b")))
+    val b1A = docsDf(Seq(
+      (20L, "eight nine ten eleven twelve thirteen fourteen", "en", "c")))
+    val b0B = docsDf(Seq(
+      (30L, "completely new content arriving after the rebind", "en", "d")))
+    val probe = docsDf(Seq(
+      (90L, "completely new content arriving after the rebind", "en", "p")))
+
+    val root = tmpDir("ing_rebind") + "/ix"
+    TextOps.minhashIndexWrite(base, root)
+    foldMinhash(root, b0A, 0L, qid = "q-A") // resolved: stamp + hwm=0
+    final class Kill extends RuntimeException
+    intercept[Kill] { // crash window: stamp .b1 committed, hwm stays 0
+      foldMinhash(root, b1A, 1L, qid = "q-A",
+        failpoint = t => if (t == "appended") throw new Kill)
+    }
+    val afterA = segsOf(root)
+
+    // the recovery: clear _ingest wholesale, rebind a fresh stream
+    fs.delete(new org.apache.hadoop.fs.Path(root, "_ingest"), true)
+    foldMinhash(root, b0B, 0L, qid = "q-B")
+    assert(segsOf(root).size == afterA.size + 1,
+      "the new binding's batch 0 must append — a dead binding's b0 " +
+        "stamp must never read as already-appended")
+    assert(hwmOf(root) == 0L)
+    foldMinhash(root, b0B, 0L, qid = "q-B") // its own replay no-ops
+    assert(segsOf(root).size == afterA.size + 1)
+
+    // q-A's .b1 stamp sits past q-B's hwm=0, but belongs to a dead
+    // binding: maintenance must proceed, not refuse forever
+    assert(TextOps.minhashIndexCompact(spark, root) > 0,
+      "a dead binding's past-hwm stamp must not block compaction")
+    val oneShot = tmpDir("ing_rebind_ref") + "/ix"
+    TextOps.minhashIndexWrite(
+      base.unionByName(b0A).unionByName(b1A).unionByName(b0B), oneShot)
+    assert(served(root, probe) == served(oneShot, probe),
+      "the rebound history must serve like the one-shot build")
+  }
+
   test("a crashed half-written claim fails safe: every stream refuses " +
     "until _ingest is cleared") {
     // the create-exclusive claim's one crash window (between create

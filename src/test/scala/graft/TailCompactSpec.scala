@@ -334,4 +334,36 @@ class TailCompactSpec extends SparkSpec {
     assert(EmbeddingOps.committedSegs(fs, metaDir) ==
       ((gen + 2, segs :+ 100)))
   }
+
+  test("the full-compaction turn sweeps STALE orphan staging tmps " +
+    "and spares fresh ones") {
+    // a crashed commitGen leaves its unique .gen-N.tmp-<uuid> behind;
+    // commitGen itself must never clean them (deleting a live racer's
+    // staged listing is the clobber the unique names prevent), so the
+    // full door garbage-collects them — age-gated: a FRESH tmp could
+    // be an in-flight commit from a contract violation, and sweeping
+    // it would convert that violation's loud CAS abort into the
+    // silent clobber. The no-op door turn is where the sweep earns
+    // its keep (a real compaction swaps the whole tree anyway).
+    val root = tmpRoot("tmpsweep")
+    TextOps.minhashIndexWrite(docs.where(col("doc_id") % 5 =!= 0), root)
+    val metaDir = new org.apache.hadoop.fs.Path(root, "_segs")
+    def plant(name: String, ageMs: Long): org.apache.hadoop.fs.Path = {
+      val p = new org.apache.hadoop.fs.Path(metaDir, name)
+      val out = fs.create(p, false)
+      try out.write("7".getBytes("UTF-8")) finally out.close()
+      fs.setTimes(p, System.currentTimeMillis() - ageMs, -1)
+      p
+    }
+    val stale = plant(".gen-7.tmp-stale-crash", 2 * 3600 * 1000L)
+    val fresh = plant(".gen-7.tmp-fresh-writer", 0L)
+    assert(TextOps.minhashIndexCompact(spark, root) == 0,
+      "a single-segment root with no tombstones is the no-op turn")
+    assert(!fs.exists(stale), "the stale orphan must be swept")
+    assert(fs.exists(fresh), "a fresh tmp must survive (it could be " +
+      "an in-flight commit)")
+    // the manifest itself is untouched and the root still serves
+    assert(segsOf(root) == Seq(0))
+    assert(served(root).nonEmpty)
+  }
 }
