@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, count, lit, round, size}
+import org.apache.spark.sql.functions.{col, count, lit, max, round, size, sum}
 
 import graft.operators.{EmbeddingOps, Forget, Multimodal, TextOps}
 
@@ -38,6 +38,28 @@ private[graft] object SuiteMLDedup {
         all.where(col("doc_id") % 5 === 1 &&
           col("doc_id") % 3 === 0).select(col("doc_id")))
       snapCache.put(s"mh_asof_end:$d", EmbeddingOps.indexSnapshot(s, p))
+    })
+
+  /** The EXACT-layout mutation-history fixture (mhAsofIdx with
+    * `exact = true`): build over doc_id % 5 IN (1, 2), CAPTURE
+    * (`mh_exact_asof:$d`), append % 5 IN (3, 4), delete % 5 = 1 AND
+    * % 3 = 0 — so the pinned EXACT serve has history to be blind
+    * to. */
+  private def mhExactAsofIdx(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    cachedIndex("mh_exact_asof", d, p => {
+      val all = docs(s, d)
+      TextOps.minhashIndexWrite(
+        all.where(col("doc_id") % 5 === 1 ||
+          col("doc_id") % 5 === 2), p, exact = true)
+      snapCache.put(s"mh_exact_asof:$d",
+        EmbeddingOps.indexSnapshot(s, p))
+      TextOps.minhashIndexAppend(
+        all.where(col("doc_id") % 5 === 3 ||
+          col("doc_id") % 5 === 4), p)
+      TextOps.minhashIndexDelete(s, p,
+        all.where(col("doc_id") % 5 === 1 &&
+          col("doc_id") % 3 === 0).select(col("doc_id")))
     })
 
   val rows: Seq[Q] = Seq(
@@ -362,6 +384,81 @@ private[graft] object SuiteMLDedup {
       // candidate volume is the prefix posting mass, reads are the
       // batch prefix's (seg, pb) buckets
       bench = true),
+
+    // ---- dedup: PINNED exact serving (asOf) ---------------------------------
+    // (the snapshot door on the recall-guaranteed route — closes the
+    // family's serving matrix: live/pinned x banded/exact. The serve
+    // pins the CAPTURE-time segments: the appended % 5 IN (3, 4)
+    // slice and the post-capture deletions are both invisible, so the
+    // oracle is pure brute force over the build slice alone. Benched
+    // beside dedup_serve_exact: the asOf door must price within noise
+    // of the live serve — the segment IN-filter and the epoch check
+    // are the only additions.)
+    Q("dedup_serve_exact_asof",
+      (s, d) => EmbeddingOps.withSnapshotRetry(() => {
+        val dir = mhExactAsofIdx(s, d)
+        TextOps.nearDupServeExact(s, dir,
+          docs(s, d).where(col("doc_id") % 5 === 0),
+          asOf = Some(snapCache.get(s"mh_exact_asof:$d")))
+          .localCheckpoint()
+      }),
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 IN (1, 2)),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS n_common
+        |          FROM dsa a JOIN dsb b ON a.s = b.s GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) AS jaccard
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin),
+      bench = true),
+
+    // ---- dedup: posting-bucket health of the EXACT index -------------------
+    // (the _posts sidecar's monitoring card, machine-checked per
+    // SEGMENT: minhashExactStats reports per-(seg, pb) posting mass +
+    // hottest digest, tombstone-aware; the oracle replays its per-seg
+    // roll-up — pb is pmod(xxhash64(shingle), 64), which DuckDB
+    // cannot compute, but the per-seg sums/max are bucket-invariant:
+    // n_posts = live postings, n_digests = distinct live digests,
+    // hot_df = the largest single-digest posting list (the worst-case
+    // candidate fan-out ONE nearDupServeExact prefix digest can
+    // cause). The fixture is a TWO-segment chain (doc_id % 2 picks
+    // the segment) with the % 3 = 0 docs tombstoned, so per-seg
+    // separation AND tombstone-awareness are both non-vacuous; the
+    // per-BUCKET rows are pinned by ExactServeSpec's recomputation
+    // parity.)
+    Q("dedup_exact_posts_stats",
+      (s, d) => {
+        val all = docs(s, d)
+        val stored = all.where(col("doc_id") % 5 =!= 0)
+        val dir = cachedIndex("mh_exact_del", d, p => {
+          TextOps.minhashIndexWrite(
+            stored.where(col("doc_id") % 2 === 0), p, exact = true)
+          TextOps.minhashIndexAppend(
+            stored.where(col("doc_id") % 2 =!= 0), p)
+          TextOps.minhashIndexDelete(s, p,
+            stored.where(col("doc_id") % 3 === 0).select(col("doc_id")))
+        })
+        TextOps.minhashExactStats(s, dir)
+          .groupBy(col("seg"))
+          .agg(sum(col("n_posts")).as("n_posts"),
+            sum(col("n_digests")).as("n_digests"),
+            max(col("hot_df")).as("hot_df"))
+      },
+      Some(s"""WITH $TokCte,
+        |live AS (SELECT CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END
+        |                AS INTEGER) AS seg, doc_id, s
+        |         FROM ds WHERE doc_id % 5 <> 0 AND doc_id % 3 <> 0),
+        |per AS (SELECT seg, s, count(*) AS df FROM live GROUP BY 1, 2)
+        |SELECT seg, CAST(sum(df) AS BIGINT) AS n_posts,
+        |       CAST(count(*) AS BIGINT) AS n_digests,
+        |       CAST(max(df) AS BIGINT) AS hot_df
+        |FROM per GROUP BY seg""".stripMargin)),
 
     // ---- dedup: EXACT containment self-join (subset duplicates) ----------
     // (the asymmetric sibling: doc_a's shingle set >= 90%-contained

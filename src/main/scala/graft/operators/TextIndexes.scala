@@ -698,8 +698,10 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     require(localPairLimit > 0, "localPairLimit must be positive")
     val qdf = queries.select(col("query_id"), col("word")).distinct()
     // limit(N+1) decides the route in one job: fewer than N+1 rows
-    // back means the collect IS the complete pair set
-    val probe = qdf.limit(localPairLimit + 1).collect()
+    // back means the collect IS the complete pair set (saturating +1:
+    // a caller passing Int.MaxValue must not overflow into a
+    // negative limit)
+    val probe = qdf.limit(probeLimit(localPairLimit)).collect()
     require(probe.nonEmpty, "query batch has no terms")
     val (qw, qwBcast, terms) =
       if (probe.length <= localPairLimit) {
@@ -753,6 +755,9 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     // rewriting the newest segment would erase a replay stamp the
     // bound stream still needs (EmbeddingOps.requireIngestResolved)
     EmbeddingOps.requireIngestResolved(fs, root, path, "postings")
+    // and the same orphan-tmp hygiene: the full door is the
+    // single-writer turn (see EmbeddingOps.sweepOrphanTmps)
+    EmbeddingOps.sweepOrphanTmps(fs, root)
     val (dg, dsegs) = EmbeddingOps.committedSegs(fs,
       new org.apache.hadoop.fs.Path(root, "_dels"))
     val hasDels = dg >= 0 && dsegs.nonEmpty
@@ -847,11 +852,83 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       .agg(sum(col("bn")).as("bn"), min(col("hub")).as("hub"))
   }
 
+  /** Saturating N+1 for the route-deciding limit probes: N+1 rows
+    * back means "more than the cap", N or fewer means the collect is
+    * the complete set. Int.MaxValue must not wrap negative. */
+  private def probeLimit(cap: Int): Int =
+    if (cap == Int.MaxValue) cap else cap + 1
+
   /** Posting-bucket modulus of the `_posts` exact-serving sidecar:
     * pb = pmod(h, 64). Pure code like the band construction (not
     * caller configuration), so every exact segment is
-    * layout-compatible with every other by construction. */
+    * layout-compatible with every other by construction — and
+    * PERSISTED per segment (`_posts/_pb`, verified on every layout
+    * probe) so a future change to this constant refuses loudly on
+    * old roots instead of silently mispruning their posting
+    * partitions. */
   private[graft] val ExactPb = 64L
+
+  /** Posting-bucket balance report of an EXACT MinHash root — the
+    * `_posts` sidecar's monitoring card ([[minhashIndexStats]] /
+    * [[graft.operators.EmbeddingOps.indexCellStats]] analog for the
+    * exact-serving route), and the observability that says when
+    * [[nearDupServeExact]]'s candidate volume is about to blow up: a
+    * batch prefix digest pulls its FULL posting list, so `hot_df`
+    * (the largest single-digest posting list in the bucket) is
+    * exactly the worst-case candidate fan-out ONE prefix digest can
+    * cause — a stop-shingle surfaces as a hot_df outlier long before
+    * a serve trips the localPairLimit fallback. Tombstone-aware:
+    * masked docs' postings are excluded, exactly as serving excludes
+    * their pairs, so the report prices the candidates a serve can
+    * actually generate. One row per committed (seg, pb) posting
+    * bucket: (seg, pb, n_posts, n_digests, hot_h, hot_df, n_total,
+    * n_buckets, balance_permille) — balance_permille = n_posts *
+    * n_buckets * 1000 div n_total, integer-exact, 1000 = perfectly
+    * even. Ties on hot_df break toward the larger digest
+    * (deterministic). Scale shape: one pass over the postings into a
+    * map-side-combinable (seg, pb, h) count, re-aggregated to
+    * bucket cardinality; the totals row is bucket-bounded and
+    * broadcast. */
+  def minhashExactStats(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val (fs, root) = EmbeddingOps.fsFor(s, path)
+    val (gen, segs) = EmbeddingOps.committedSegs(fs,
+      new org.apache.hadoop.fs.Path(root, "_segs"))
+    require(gen >= 0 && segs.nonEmpty,
+      s"no index manifest at $path/_segs — not an index root")
+    require(minhashExactOf(fs, path, segs),
+      s"index at $path carries no _posts posting sidecars — the " +
+        "posting-balance report describes exact roots (build with " +
+        "minhashIndexWrite(..., exact = true); minhashIndexStats " +
+        "reports the banded layout)")
+    val postsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n_h BIGINT, h BIGINT, pb BIGINT")
+    val posts = segs.sorted
+      .map(k => s.read.schema(postsSchema)
+        .parquet(s"$path/docs/seg=$k/_posts")
+        .withColumn("seg", lit(k)))
+      .reduce(_ unionByName _)
+      .join(EmbeddingOps.tombstones(s, path, "doc_id"),
+        Seq("doc_id"), "left_anti")
+    val perBucket = posts
+      .groupBy(col("seg"), col("pb"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("seg"), col("pb"))
+      .agg(sum(col("df")).as("n_posts"),
+        count(lit(1)).as("n_digests"),
+        max(struct(col("df"), col("h"))).as("hot"))
+      .select(col("seg"), col("pb"), col("n_posts"), col("n_digests"),
+        col("hot.h").as("hot_h"), col("hot.df").as("hot_df"))
+      .pinned // bucket rows + their totals, one aggregation
+    perBucket
+      .crossJoin(broadcast(perBucket.agg(
+        sum(col("n_posts")).as("n_total"),
+        count(lit(1)).as("n_buckets"))))
+      .select(col("seg"), col("pb"), col("n_posts"), col("n_digests"),
+        col("hot_h"), col("hot_df"), col("n_total"), col("n_buckets"),
+        expr("n_posts * n_buckets * 1000 div n_total")
+          .as("balance_permille"))
+  }
 
   /** The segment sidecars, regenerated from the segment's rows AS
     * WRITTEN (read back from the staged/compacted files, so they can
@@ -865,13 +942,26 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     val written = s.read.parquet(segDir)
     minhashBandStats(written.select(col("doc_id"), col("band_hashes")))
       .write.mode("overwrite").parquet(s"$segDir/_bstats")
-    if (exact)
+    if (exact) {
       written.select(col("doc_id"), col("n_h"),
           explode(col("hs")).as("h"))
         .withColumn("pb", pmod(col("h"), lit(ExactPb)))
         .repartition(col("pb"))
         .write.partitionBy("pb").mode("overwrite")
         .parquet(s"$segDir/_posts")
+      // the modulus is LAYOUT (the bm25 bucket-modulus rule): record
+      // it IN the sidecar so a future change to ExactPb can never
+      // silently misprune (seg, pb) posting partitions written under
+      // the old value — [[minhashExactOf]] verifies it on every probe
+      // and refuses loudly on mismatch, like every other layout
+      // mismatch in the family. Underscore-named, hidden from the
+      // posting read; rides the segment/staging renames wholesale.
+      val (fs, _) = EmbeddingOps.fsFor(s, segDir)
+      val out = fs.create(
+        new org.apache.hadoop.fs.Path(s"$segDir/_posts/_pb"), true)
+      try out.write(ExactPb.toString.getBytes("UTF-8"))
+      finally out.close()
+    }
   }
 
   /** Whether a MinHash root serves EXACT lookups: every committed
@@ -895,7 +985,26 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         "Run minhashIndexCompact: the full rewrite regenerates one " +
         "uniform (exact) layout from the live rows and heals the " +
         "chain.")
-    flags.headOption.exists(_._2)
+    val exact = flags.headOption.exists(_._2)
+    // the persisted posting-bucket modulus must match the one this
+    // build compiles into reader and writer: a mismatch would
+    // silently misprune (seg, pb) posting partitions and break the
+    // exact route's unconditional-recall guarantee — refuse loudly
+    // instead, like every other layout mismatch. A pre-marker segment
+    // carries the only modulus ever written (64); compaction
+    // regenerates the layout under the current value and heals.
+    if (exact) segs.foreach { k =>
+      val pb = EmbeddingOps.readLongMarker(fs,
+        new org.apache.hadoop.fs.Path(s"$base/docs/seg=$k/_posts/_pb"))
+        .getOrElse(64L)
+      require(pb == ExactPb,
+        s"posting-bucket modulus mismatch at $base: segment seg=$k " +
+          s"was written with pb=$pb, this build serves pb=$ExactPb — " +
+          "exact serving would misprune posting partitions. Run " +
+          "minhashIndexCompact to regenerate the layout under the " +
+          "current modulus.")
+    }
+    exact
   }
 
   /** Stage one segment: the index rows, plus the sidecars computed
@@ -952,15 +1061,25 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       failpoint: String => Unit = _ => (),
       stamp: String => Unit = _ => ()): Unit = {
     val s = docs.sparkSession
-    // the appended segment complies with the committed chain's
-    // layout (plain or exact) — self-described by the _posts probe
     val (fs, root) = EmbeddingOps.fsFor(s, path)
-    val (_, segs) = EmbeddingOps.committedSegs(fs,
-      new org.apache.hadoop.fs.Path(root, "_segs"))
-    val exact = minhashExactOf(fs, path, segs)
     EmbeddingOps.appendSegment(s, path, "docs",
-      staged => writeSegWithStats(s, minhashIndexRows(docs), staged,
-        exact),
+      staged => {
+        // the appended segment complies with the committed chain's
+        // layout (plain or exact) — self-described by the _posts
+        // probe, read INSIDE the staged write so it sees the same
+        // manifest appendSegment just read: a full compaction healing
+        // or changing the layout before this point is picked up here
+        // rather than landing a mismatched segment. The residual
+        // window (a swap between this write and appendSegment's
+        // manifest commit) fails LOUDLY, not wrong: the swap retires
+        // the tree the staged dir lives in, so the publish rename or
+        // the commit CAS aborts — a single-writer-contract violation
+        // surfaces as an error, never as a mixed chain.
+        val (_, segs) = EmbeddingOps.committedSegs(fs,
+          new org.apache.hadoop.fs.Path(root, "_segs"))
+        val exact = minhashExactOf(fs, path, segs)
+        writeSegWithStats(s, minhashIndexRows(docs), staged, exact)
+      },
       failpoint, stamp)
   }
 
@@ -1210,19 +1329,26 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * candidate-filtered pass over the stored rows. The Jaccard size
     * filter prunes cross-size pairs at the candidate join.
     *
-    * Scale shape, stated honestly: the stored side NEVER rides an
-    * exchange — the batch prefix broadcasts into the posting scan
-    * (batch-bounded, the [[nearDupServe]] bbIds discipline), and the
-    * verification pass scans the stored rows filtered by the
-    * BROADCAST candidate set, so the only shuffles are batch- and
-    * pair-sized (prefix ranking, candidate dedup, tombstone mask).
-    * The candidate broadcast is ANSWER-sized, not
-    * construction-bounded: the steady state is the true pairs plus
-    * prefix false positives, and the worst case (a stop-shingle in a
-    * batch prefix pulling its full posting list) is the exact
-    * family's documented quadratic-in-answer trade — when the answer
-    * itself is too big to broadcast, exactness is the wrong tool and
-    * [[nearDupServe]] is the capped fallback. Precision shares the
+    * Scale shape, stated honestly: on the steady-state route the
+    * stored side NEVER rides an exchange — the batch prefix
+    * broadcasts into the posting scan (batch-bounded, the
+    * [[nearDupServe]] bbIds discipline), and the verification pass
+    * scans the stored rows filtered by the BROADCAST candidate set,
+    * so the only shuffles are batch- and pair-sized (prefix ranking,
+    * candidate dedup, tombstone mask). The candidate set is
+    * ANSWER-sized, not construction-bounded — the steady state is
+    * the true pairs plus prefix false positives, but one
+    * stop-shingle in a batch prefix can pull its full posting list —
+    * so the broadcast is GUARDED by the [[bm25TopKIndexedBatch]]
+    * `localPairLimit` discipline: a limit(N+1) probe decides the
+    * route in one job. Candidates within the cap collect and re-emit
+    * as a LocalRelation (the broadcast builds driver-side, bounded
+    * by the cap by construction); past it they stay distributed and
+    * the verification joins them BY KEY — the stored rows ride one
+    * doc_id exchange on that route, the honest price of exactness
+    * when the answer itself outgrew the driver (same rows either
+    * way; [[nearDupServe]] remains the capped tool when even that is
+    * too much). Precision shares the
     * family's xxhash64 surrogate caveat (a collision only ADDS
     * intersection mass — false-positive-only, 2^-64 scale,
     * machine-checked by the brute-force oracle at gate scales);
@@ -1231,7 +1357,59 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     * nearDupServe. */
   def nearDupServeExact(s: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, threshold: Double = 0.7,
-      asOf: Option[IndexSnapshot] = None): DataFrame = {
+      asOf: Option[IndexSnapshot] = None,
+      localPairLimit: Int = 262144): DataFrame = {
+    require(localPairLimit > 0, "localPairLimit must be positive")
+    val (candAll, batchSets, base) =
+      exactServeCandidates(s, path, batch, threshold, asOf)
+    // probe-then-fallback on the ANSWER-sized candidate set (the
+    // [[bm25TopKIndexedBatch]] localPairLimit discipline): limit(N+1)
+    // decides the route in one job — fewer than N+1 rows back means
+    // the collect IS the complete set, re-emitted as a LocalRelation
+    // whose broadcast builds driver-side (no second candidate job,
+    // and the broadcast is cap-bounded BY CONSTRUCTION). An oversized
+    // answer stays distributed: the verification below joins it by
+    // key instead of pinning a driver-breaking broadcast — same rows,
+    // one stored-side exchange, paid only when the answer outgrew
+    // the driver.
+    val probe = candAll.limit(probeLimit(localPairLimit)).collect()
+    val (cand, candBcast) =
+      if (probe.length <= localPairLimit)
+        (s.createDataFrame(java.util.Arrays.asList(probe: _*),
+          candAll.schema), true)
+      else (candAll.pinned, false)
+    val stored = s.read.parquet(s"$base/docs")
+      .where(EmbeddingOps.segFilter(s, base, asOf)).drop("seg")
+    val tomb = EmbeddingOps.tombstones(s, base, "doc_id", asOf)
+    stored.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
+        col("n_h").as("na"))
+      .join(if (candBcast) broadcast(cand) else cand, Seq("doc_a"))
+      .join(broadcast(batchSets), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
+          .as("n_common"),
+        col("na"), col("nb"))
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
+        "left_anti")
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
+  /** The exact serve's candidate construction, shared verbatim by
+    * [[nearDupServeExact]]'s probe and the scale probe's plan walk
+    * (the probe collapses these operators out of the RETURNED plan,
+    * so the pb-pruning/broadcast assertions must walk the frame the
+    * probe executes — this one). Returns (candidate pairs BEFORE the
+    * route decision, the batch verification sets, the resolved
+    * base). */
+  private[graft] def exactServeCandidates(
+      s: org.apache.spark.sql.SparkSession, path: String,
+      batch: DataFrame, threshold: Double,
+      asOf: Option[IndexSnapshot])
+      : (DataFrame, DataFrame, String) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = math.floor(threshold * 1000).toLong.max(1L)
@@ -1274,34 +1452,17 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         .parquet(s"$base/docs/seg=$k/_posts"))
       .reduce(_ unionByName _)
       .where(if (pbs.isEmpty) lit(false) else col("pb").isin(pbs: _*))
-    val cand = posts.as("a").join(broadcast(pref.as("b")),
+    val candAll = posts.as("a").join(broadcast(pref.as("b")),
         col("a.h") === col("b.h") &&
           col("a.n_h") * lit(1000L) >= col("b.nb") * lit(t) &&
           col("b.nb") * lit(1000L) >= col("a.n_h") * lit(t))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_b").as("doc_b"))
       .distinct()
-    val stored = s.read.parquet(s"$base/docs")
-      .where(EmbeddingOps.segFilter(s, base, asOf)).drop("seg")
     val batchSets = nb0.groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs_b"),
         count(lit(1)).as("nb"))
       .select(col("doc_id").as("doc_b"), col("hs_b"), col("nb"))
-    val tomb = EmbeddingOps.tombstones(s, base, "doc_id", asOf)
-    stored.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
-        col("n_h").as("na"))
-      .join(broadcast(cand), Seq("doc_a"))
-      .join(broadcast(batchSets), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
-          .as("n_common"),
-        col("na"), col("nb"))
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (col("na") + col("nb") - col("n_common")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
-        "left_anti")
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
-        col("nb"), col("jaccard"))
+    (candAll, batchSets, base)
   }
 
   /** Delete docs from a persisted MinHash index — the [[graft.operators

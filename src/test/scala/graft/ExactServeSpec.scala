@@ -68,6 +68,112 @@ class ExactServeSpec extends SparkSpec {
       "the fixture slices contain qualifying pairs")
   }
 
+  test("the candidate probe routes by answer size: the distributed " +
+    "fallback serves the same rows as the broadcast fast path") {
+    // the localPairLimit guard (the bm25TopKIndexedBatch discipline):
+    // candidates are ANSWER-sized, so an unconditional broadcast is a
+    // driver OOM waiting for one stop-shingle. localPairLimit = 1
+    // forces the keyed fallback here; rows must be identical to the
+    // default (broadcast) route and to brute force.
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val root = tmpRoot("exroute")
+    TextOps.minhashIndexWrite(stored, root, exact = true)
+    def route(limit: Int): Seq[String] =
+      TextOps.nearDupServeExact(spark, root, batch, 0.7,
+          localPairLimit = limit)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+          col("nb"))
+        .collect().map(_.toString).sorted.toSeq
+    val brute = bruteCross(stored, batch, 0.7)
+    assert(brute.nonEmpty, "the fixture slices contain qualifying pairs")
+    assert(route(Int.MaxValue) == brute, "broadcast route != brute force")
+    assert(route(1) == brute, "distributed fallback != brute force")
+  }
+
+  test("the posting-bucket balance report equals a recomputation " +
+    "from the corpus — per (seg, pb), tombstone-aware") {
+    import org.apache.spark.sql.functions.{count, expr, lit, max,
+      pmod, struct, sum, xxhash64, broadcast}
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val root = tmpRoot("expstats")
+    TextOps.minhashIndexWrite(stored.where(col("doc_id") % 2 === 0),
+      root, exact = true)
+    TextOps.minhashIndexAppend(stored.where(col("doc_id") % 2 =!= 0),
+      root)
+    TextOps.minhashIndexDelete(spark, root,
+      stored.where(col("doc_id") % 3 === 0).select(col("doc_id")))
+    val got = TextOps.minhashExactStats(spark, root)
+      .collect().map(_.toString).sorted.toSeq
+    assert(got.nonEmpty)
+    // recompute from the RAW corpus: distinct shingle digests per
+    // live doc (the tombstoned % 3 docs excluded), seg by the build
+    // split, pb by the family formula
+    val live = stored.where(col("doc_id") % 3 =!= 0)
+    val posts = TextOps.shingles(live)
+      .select(col("doc_id"), xxhash64(col("s")).as("h")).distinct()
+      .withColumn("seg",
+        expr("CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS INT)"))
+      .withColumn("pb", pmod(col("h"), lit(64L)))
+    val perBucket = posts.groupBy(col("seg"), col("pb"), col("h"))
+      .agg(count(lit(1)).as("df"))
+      .groupBy(col("seg"), col("pb"))
+      .agg(sum(col("df")).as("n_posts"),
+        count(lit(1)).as("n_digests"),
+        max(struct(col("df"), col("h"))).as("hot"))
+      .select(col("seg"), col("pb"), col("n_posts"), col("n_digests"),
+        col("hot.h").as("hot_h"), col("hot.df").as("hot_df"))
+      .localCheckpoint()
+    val expected = perBucket
+      .crossJoin(broadcast(perBucket.agg(
+        sum(col("n_posts")).as("n_total"),
+        count(lit(1)).as("n_buckets"))))
+      .select(col("seg"), col("pb"), col("n_posts"), col("n_digests"),
+        col("hot_h"), col("hot_df"), col("n_total"), col("n_buckets"),
+        expr("n_posts * n_buckets * 1000 div n_total")
+          .as("balance_permille"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(got == expected,
+      "the _posts balance report must equal the corpus recomputation")
+  }
+
+  test("a persisted posting-bucket modulus that differs from the " +
+    "build's refuses loudly; full compaction heals") {
+    // ExactPb is compiled into writer and reader; the _posts/_pb
+    // marker is what catches a FUTURE change to it against previously
+    // written roots — serving with a mismatched modulus would
+    // silently misprune (seg, pb) partitions and break the
+    // unconditional-recall guarantee. Simulate the old-root case by
+    // rewriting the marker.
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val root = tmpRoot("expb")
+    TextOps.minhashIndexWrite(stored.where(col("doc_id") % 2 === 0),
+      root, exact = true)
+    TextOps.minhashIndexAppend(stored.where(col("doc_id") % 2 =!= 0),
+      root)
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$root/docs/seg=0/_posts/_pb")
+    Seq(0, 1).foreach(k => assert(fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/docs/seg=$k/_posts/_pb")),
+      s"segment $k must persist the modulus"))
+    val out = fs.create(marker, true)
+    try out.write("32".getBytes("UTF-8")) finally out.close()
+    Seq(
+      () => TextOps.nearDupServeExact(spark, root, batch).collect(),
+      () => TextOps.minhashIndexAppend(batch, root): Any
+    ).foreach { op =>
+      val e = intercept[IllegalArgumentException] { op() }
+      assert(e.getMessage.contains("posting-bucket modulus mismatch"),
+        s"expected the modulus refusal, got: ${e.getMessage}")
+    }
+    // the advertised healer regenerates the layout under the current
+    // modulus; serving is brute-force-exact again
+    assert(TextOps.minhashIndexCompact(spark, root) >= 1)
+    assert(servedExact(root, batch) == bruteCross(stored, batch, 0.7),
+      "a healed root must serve exactly under the current modulus")
+  }
+
   test("lifecycle: appends inherit the exact layout, deletes mask, " +
     "tail and full compaction regenerate the postings, and serving " +
     "equals brute force throughout") {

@@ -1554,12 +1554,15 @@ class ScaleProbeSpec extends SparkSpec {
       .createTempDirectory("graft_exact_probe").toString + "/ix"
     TextOps.minhashIndexWrite(syntheticDocs(50000L), idx, exact = true)
     val batch = syntheticDocs(50100L).where(col("doc_id") >= 50000L)
-    val plan = staticPlanOf(TextOps.nearDupServeExact(spark, idx, batch))
-    assert(plan.collect {
-      case c: org.apache.spark.sql.execution.joins
-          .CartesianProductExec => c
-    }.isEmpty, "nearDupServeExact plans a CartesianProduct")
-    val postScans = plan.collect {
+    // the candidate-route probe collapses the posting scan out of the
+    // RETURNED plan (within-cap candidates re-emit as a
+    // LocalRelation), so the pruning assertions walk the frame the
+    // probe EXECUTES — exactServeCandidates is the serve's own
+    // construction, shared verbatim
+    val (candAll, _, _) = TextOps.exactServeCandidates(spark, idx,
+      batch, 0.7, None)
+    val candPlan = staticPlanOf(candAll)
+    val postScans = candPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
           if f.relation.location.rootPaths.exists(
             _.toString.contains("_posts")) => f
@@ -1570,22 +1573,36 @@ class ScaleProbeSpec extends SparkSpec {
       assert(pf.contains("pb"),
         s"posting scan lost its pb partition pruning: $pf")
     }
+    // the batch prefix broadcasts INTO the posting scan; no stored
+    // column may ride a candidate-side broadcast or exchange
+    val candBc = broadcastSubtrees(candPlan)
+    assert(candBc.nonEmpty,
+      "the batch prefix is not broadcast — the postings would shuffle")
+    val plan = staticPlanOf(TextOps.nearDupServeExact(spark, idx, batch))
+    assert(plan.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "nearDupServeExact plans a CartesianProduct")
     val bc = broadcastSubtrees(plan)
     assert(bc.nonEmpty,
-      "the batch sets are not broadcast — the postings would shuffle")
-    bc.foreach { sub =>
+      "the batch sets are not broadcast — the stored rows would shuffle")
+    (candBc ++ bc).foreach { sub =>
       val cols = sub.output.map(_.name)
       assert(!cols.contains("hs_a") && !cols.contains("hs"),
         "nearDupServeExact broadcasts stored shingle sets: " +
           cols.mkString("[", ", ", "]"))
     }
-    // the stored side NEVER rides an exchange: prefix and candidates
-    // broadcast into the posting/docs scans, so no shuffle input may
-    // carry the stored hs arrays (the nearDupServe discipline)
-    plan.collect {
+    // the stored side NEVER rides an exchange on the fast path:
+    // prefix and candidates broadcast into the posting/docs scans, so
+    // no shuffle input may carry the stored hs arrays (the
+    // nearDupServe discipline) — on EITHER plan
+    (candPlan.collect {
       case e: org.apache.spark.sql.execution.exchange
           .ShuffleExchangeExec => e.child.output.map(_.name)
-    }.foreach { cols =>
+    } ++ plan.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e.child.output.map(_.name)
+    }).foreach { cols =>
       assert(!cols.contains("hs") && !cols.contains("hs_a"),
         "stored shingle sets ride an exchange: " +
           cols.mkString("[", ", ", "]"))
