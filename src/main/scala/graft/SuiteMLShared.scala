@@ -579,8 +579,18 @@ private[graft] object SuiteMLShared {
     * exactly as the Spark chain threads `containT` through
     * [[graft.operators.TextOps.curateChain]]. */
   private[graft] def curateCteList(src: String,
-      containT: Option[Double] = None): String = {
-    val d5Name = containT.fold("d5")(_ => "d5x")
+      containT: Option[Double] = None,
+      benchMod: Option[Long] = None,
+      benchT: Double = 0.9): String = {
+    // survivor-frame naming: every downstream CTE (LM gate onward)
+    // reads `d5`, so the LAST enabled gate takes that name and the
+    // earlier frames get intermediates — span excision lands as d5x
+    // when any gate follows, the containment gate as d5y when the
+    // decontamination gate follows it.
+    val d5Name =
+      if (containT.isDefined || benchMod.isDefined) "d5x" else "d5"
+    val containOut = if (benchMod.isDefined) "d5y" else "d5"
+    val decontIn = if (containT.isDefined) containOut else d5Name
     val containCtes = containT.fold("") { t =>
       s""",
       |cw AS (SELECT doc_id, string_split(text, ' ') AS ls FROM d5x),
@@ -600,8 +610,43 @@ private[graft] object SuiteMLShared {
       |          JOIN csz sb ON sb.doc_id = i.doc_b
       |          WHERE i.n_common / CAST(sa.n AS DOUBLE) >= $t
       |            AND (sb.n > sa.n OR (sb.n = sa.n AND i.doc_b < i.doc_a))),
-      |d5 AS MATERIALIZED (SELECT * FROM d5x
+      |$containOut AS MATERIALIZED (SELECT * FROM d5x
       |  WHERE doc_id NOT IN (SELECT doc_id FROM cdrop))""".stripMargin
+    }
+    // the benchmark-decontamination gate: the benchmark corpus is the
+    // doc_id % benchMod = 0 slice of the EXTRACTED docs (d1 text —
+    // the same derivation the Spark suite row feeds to curateReport's
+    // `benchmark`), and every survivor whose 3-token shingle set is
+    // >= benchT-contained in a benchmark doc's drops — brute-force
+    // cross containment, replaying [[graft.operators.TextOps
+    // .containmentJoin]] over the gated frame.
+    val decontCtes = benchMod.fold("") { m =>
+      s""",
+      |zb AS MATERIALIZED (SELECT doc_id, text FROM d1
+      |  WHERE doc_id % $m = 0),
+      |za AS (SELECT doc_id, string_split(text, ' ') AS ls FROM $decontIn),
+      |zas AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(ls) - 1),
+      |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS s
+      |    FROM za WHERE len(ls) >= 3)),
+      |zbw AS (SELECT doc_id, string_split(text, ' ') AS ls FROM zb),
+      |zbs AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id, s FROM (
+      |    SELECT doc_id,
+      |           unnest(list_transform(range(1, len(ls) - 1),
+      |             i -> ls[i] || ' ' || ls[i+1] || ' ' || ls[i+2])) AS s
+      |    FROM zbw WHERE len(ls) >= 3)),
+      |zsz AS (SELECT doc_id, count(*) AS n FROM zas GROUP BY 1),
+      |zint AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |                count(*) AS n_common
+      |         FROM zas a JOIN zbs b ON a.s = b.s GROUP BY 1, 2),
+      |zdrop AS (SELECT DISTINCT i.doc_a AS doc_id FROM zint i
+      |          JOIN zsz sa ON sa.doc_id = i.doc_a
+      |          WHERE i.n_common / CAST(sa.n AS DOUBLE) >= $benchT),
+      |d5 AS MATERIALIZED (SELECT * FROM $decontIn
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM zdrop))""".stripMargin
     }
     s"""w0 AS MATERIALIZED (SELECT doc_id, string_split(text, ' ') AS w FROM $src),
     |h AS (SELECT doc_id,
@@ -666,7 +711,7 @@ private[graft] object SuiteMLShared {
     |        FROM kept5 GROUP BY doc_id),
     |$d5Name AS MATERIALIZED (
     |  SELECT d4.doc_id, d4.source, d4.lang, r.text_clean AS text
-    |  FROM d4 JOIN reb r USING (doc_id) WHERE r.text_clean <> '')$containCtes,
+    |  FROM d4 JOIN reb r USING (doc_id) WHERE r.text_clean <> '')$containCtes$decontCtes,
     |bg AS MATERIALIZED (
     |  SELECT doc_id, lhs, rhs, count(*) AS k FROM (
     |    SELECT doc_id, w[i] AS lhs, w[i+1] AS rhs

@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, count, lit, round, size}
+import org.apache.spark.sql.functions.{col, count, lit, regexp_replace, round, size}
 
 import graft.operators.{EmbeddingOps, Multimodal, TextOps}
 
@@ -1012,6 +1012,52 @@ private[graft] object SuiteMLText {
         |  UNION ALL SELECT 5, 'span_excise', CAST(count(*) AS BIGINT),
         |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5x
         |  UNION ALL SELECT 6, 'containment', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5
+        |  UNION ALL SELECT 7, 'lm_gate', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d6
+        |  UNION ALL SELECT 8, 'mix', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d7
+        |)""".stripMargin)),
+
+    // ---- curation WITH the benchmark-decontamination gate -----------------
+    // (containmentJoin wired into the pipeline as stage 5c: every
+    // span-excision survivor >= 90%-contained in a BENCHMARK document
+    // drops before the LM gate, so the curated corpus cannot train on
+    // held-out evaluation content — the cross-corpus sibling of the
+    // containment gate. The benchmark here is the doc_id % 20 = 0
+    // slice of the same corpus run through the SAME extraction (a
+    // planted verbatim overlap, so the gate is non-vacuous by
+    // construction: every surviving % 20 doc is ~fully contained in
+    // its benchmark copy). The row is the funnel report, so the
+    // oracle machine-checks the gate's survivor count AND every
+    // downstream stage over the decontaminated corpus — the LM model
+    // retrains and the mix budgets recompute on the survivors.)
+    Q("text_curate_decontaminated",
+      (s, d) => {
+        val all = docs(s, d)
+        val bmk = TextOps.extractHtml(htmlFixture(
+            all.where(col("doc_id") % DecontMod === 0)))
+          .select(col("doc_id"),
+            regexp_replace(col("text_extracted"), "\n", " ").as("text"))
+        TextOps.curateReport(htmlFixture(all),
+          spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
+          maxChars = QfMaxChars, benchmark = Some(bmk))
+      },
+      Some("WITH RECURSIVE\n" +
+        curateCteList("documents", benchMod = Some(DecontMod)) + """
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'extract' AS stage,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) AS n_tokens FROM d1
+        |  UNION ALL SELECT 2, 'dedup_exact', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d2
+        |  UNION ALL SELECT 3, 'langid', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d3
+        |  UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d4
+        |  UNION ALL SELECT 5, 'span_excise', CAST(count(*) AS BIGINT),
+        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5x
+        |  UNION ALL SELECT 6, 'decontaminate', CAST(count(*) AS BIGINT),
         |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5
         |  UNION ALL SELECT 7, 'lm_gate', CAST(count(*) AS BIGINT),
         |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d6

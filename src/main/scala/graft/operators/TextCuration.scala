@@ -40,6 +40,14 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     *     containment gate: drop every doc `containT`-contained in a
     *     (size, id)-greater survivor — the quoted/boilerplate-superset
     *     duplicates whose shared runs are shorter than `spanK`;
+    *  5c. (optional, `benchmark` set) benchmark DECONTAMINATION — the
+    *     exact cross-corpus gate ([[containmentJoin]]): drop every
+    *     survivor `benchT`-contained in a benchmark document, so the
+    *     curated corpus cannot train on held-out evaluation content.
+    *     It runs over the SPAN-EXCISED text (what actually trains and
+    *     packs) and composes like the other gates: one keyed
+    *     anti-join, candidates bounded by the contained-side prefix,
+    *     never all-pairs;
     *  6. [[lmScore]] — keep docs whose quantized bigram NLL stays at
     *     or below `lmKeepMilli` per mille per bigram (the CCNet
     *     perplexity gate), compared in exact integers;
@@ -55,10 +63,13 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       maxChars: Long = 100000L, packBudget: Long = 512L,
       packShard: Long = 200L,
       ledgerPath: Option[String] = None,
-      containT: Option[Double] = None): DataFrame =
+      containT: Option[Double] = None,
+      benchmark: Option[DataFrame] = None,
+      benchT: Double = 0.9): DataFrame =
     seqPack(
       curateChain(raw, spanK, lmKeepMilli, maxChars,
-        ledgerPath = ledgerPath, containT = containT).last._2,
+        ledgerPath = ledgerPath, containT = containT,
+        benchmark = benchmark, benchT = benchT).last._2,
       packBudget, packShard)
 
   /** [[curate]] behind a SemDeDup front gate — the joint text+
@@ -82,7 +93,9 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       packBudget: Long = 512L, packShard: Long = 200L,
       threshold: Double = 0.45,
       ledgerPath: Option[String] = None,
-      containT: Option[Double] = None): DataFrame = {
+      containT: Option[Double] = None,
+      benchmark: Option[DataFrame] = None,
+      benchT: Double = 0.9): DataFrame = {
     // the ledger's stored key column is doc_id (ledgerAppend's
     // default); the shared id-domain contract makes the rename the
     // whole translation
@@ -97,7 +110,7 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       .select(col("vec_b").as("doc_id")).distinct()
     curate(raw.join(dropped, Seq("doc_id"), "left_anti"), spanK,
       lmKeepMilli, maxChars, packBudget, packShard, ledgerPath,
-      containT)
+      containT, benchmark, benchT)
   }
 
   /** The per-stage curation funnel — the observability artifact a
@@ -110,9 +123,12 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
   def curateReport(raw: DataFrame, spanK: Int = 8,
       lmKeepMilli: Long = 3950L, maxChars: Long = 100000L,
       ledgerPath: Option[String] = None,
-      containT: Option[Double] = None): DataFrame =
+      containT: Option[Double] = None,
+      benchmark: Option[DataFrame] = None,
+      benchT: Double = 0.9): DataFrame =
     curateChain(raw, spanK, lmKeepMilli, maxChars,
-      ledgerPath = ledgerPath, containT = containT).zipWithIndex
+      ledgerPath = ledgerPath, containT = containT,
+      benchmark = benchmark, benchT = benchT).zipWithIndex
       .map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(split(col("text"), " ")).cast("long")),
@@ -132,7 +148,9 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       lmKeepMilli: Long, maxChars: Long,
       pin: DataFrame => DataFrame = _.pinned,
       ledgerPath: Option[String] = None,
-      containT: Option[Double] = None): Seq[(String, DataFrame)] = {
+      containT: Option[Double] = None,
+      benchmark: Option[DataFrame] = None,
+      benchT: Double = 0.9): Seq[(String, DataFrame)] = {
     // the forget-ledger front door composes FIRST when a ledger is
     // supplied: a forgotten doc must be dropped before any stage (or
     // any downstream index/state fed from the survivors) sees it —
@@ -167,7 +185,20 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     // anti-join over the stage's survivors, candidates bounded by the
     // prefix filter, never all-pairs.
     val d5c = containT.fold(d5)(t => pin(dropContained(d5, t)))
-    val d6 = pin(d5c.join(lmScore(d5c)
+    // optional benchmark-decontamination gate: drop every survivor
+    // `benchT`-contained in a benchmark document ([[containmentJoin]],
+    // the recall-guaranteed decontamination shape) — the curated
+    // corpus must not train on held-out evaluation content. It runs
+    // over the text the later stages actually consume (post-excision,
+    // post-containment) and composes exactly like the other front
+    // gates: the drop set is one bounded pair frame (contained-side
+    // prefix candidates, never all-pairs), the action one keyed
+    // anti-join over the stage's survivors.
+    val d5d = benchmark.fold(d5c)(b => pin(
+      d5c.join(containmentJoin(d5c, b, benchT)
+          .select(col("doc_a").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")))
+    val d6 = pin(d5d.join(lmScore(d5d)
       .where(col("nll_sum") * 1000 <= col("n_bigrams") * lmKeepMilli)
       .select(col("doc_id")), Seq("doc_id")))
     val d7 = pin(d6.join(mixTemperature(d6).select(col("doc_id")),
@@ -175,6 +206,7 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     Seq("extract" -> d1p, "dedup_exact" -> d2, "langid" -> d3,
       "quality" -> d4, "span_excise" -> d5) ++
       containT.map(_ => "containment" -> d5c).toSeq ++
+      benchmark.map(_ => "decontaminate" -> d5d).toSeq ++
       Seq("lm_gate" -> d6, "mix" -> d7)
   }
 
