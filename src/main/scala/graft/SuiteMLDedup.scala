@@ -385,6 +385,39 @@ private[graft] object SuiteMLDedup {
       // batch prefix's (seg, pb) buckets
       bench = true),
 
+    // ---- dedup: EXACT containment SERVING from the persisted index ---------
+    // (containmentServeExact — the decontamination shape served
+    // incrementally: the %5<>0 slice indexes once with exact = true,
+    // and every (stored container, batch contained) pair with
+    // |B∩A|/|B| >= 0.9 serves off the _posts postings; the size
+    // filter prunes only the lower side, so a container 10x the
+    // contained doc still qualifies where Jaccard goes blind. Pure
+    // brute-force oracle — recall of the SERVING route is
+    // machine-proven every round, like dedup_serve_exact.)
+    Q("dedup_containment_serve",
+      (s, d) => {
+        val all = docs(s, d)
+        val dir = cachedIndex("mh_exact", d,
+          p => TextOps.minhashIndexWrite(
+            all.where(col("doc_id") % 5 =!= 0), p, exact = true))
+        TextOps.containmentServeExact(s, dir,
+          all.where(col("doc_id") % 5 === 0))
+      },
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 <> 0),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS n_common
+        |          FROM dsa a JOIN dsb b ON a.s = b.s GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sb.n AS DOUBLE) AS containment
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sb.n AS DOUBLE) >= 0.9""".stripMargin)),
+
     // ---- dedup: PINNED exact serving (asOf) ---------------------------------
     // (the snapshot door on the recall-guaranteed route — closes the
     // family's serving matrix: live/pinned x banded/exact. The serve

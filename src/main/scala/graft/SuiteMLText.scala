@@ -16,6 +16,47 @@ import graft.SuiteMLShared._
   */
 private[graft] object SuiteMLText {
 
+  /** The planted benchmark corpus for the decontamination rows: the
+    * doc_id % 20 = 0 slice re-run through the SAME extraction the
+    * chain applies (d1's text derivation), so every surviving % 20
+    * doc is ~fully contained in its benchmark copy — the gate is
+    * non-vacuous by construction. Shared by the recompute row
+    * (curate's `benchmark`) and the served row (the persisted exact
+    * index it builds), so the two routes screen against the
+    * identical corpus. */
+  private def decontBmk(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    TextOps.extractHtml(htmlFixture(
+        docs(s, d).where(col("doc_id") % DecontMod === 0)))
+      .select(col("doc_id"),
+        regexp_replace(col("text_extracted"), "\n", " ").as("text"))
+
+  /** The decontaminated funnel's oracle — ONE string shared by the
+    * recompute and served rows: equality of both against it
+    * machine-proves the persisted-index route is a drop-in for the
+    * in-flight gate. */
+  private val DecontFunnelSql: String = "WITH RECURSIVE\n" +
+    curateCteList("documents", benchMod = Some(DecontMod)) + """
+    |SELECT * FROM (
+    |  SELECT CAST(1 AS BIGINT) AS stage_id, 'extract' AS stage,
+    |    CAST(count(*) AS BIGINT) AS n_docs,
+    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) AS n_tokens FROM d1
+    |  UNION ALL SELECT 2, 'dedup_exact', CAST(count(*) AS BIGINT),
+    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d2
+    |  UNION ALL SELECT 3, 'langid', CAST(count(*) AS BIGINT),
+    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d3
+    |  UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT),
+    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d4
+    |  UNION ALL SELECT 5, 'span_excise', CAST(count(*) AS BIGINT),
+    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5x
+    |  UNION ALL SELECT 6, 'decontaminate', CAST(count(*) AS BIGINT),
+    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5
+    |  UNION ALL SELECT 7, 'lm_gate', CAST(count(*) AS BIGINT),
+    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d6
+    |  UNION ALL SELECT 8, 'mix', CAST(count(*) AS BIGINT),
+    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d7
+    |)""".stripMargin
+
   /** The indexed-BM25 replay over `documents WHERE $pred` — one SQL
     * generator for `text_bm25_indexed` (pred TRUE) and
     * `text_bm25_asof` (the capture-time build slice), so the pinned
@@ -1033,37 +1074,29 @@ private[graft] object SuiteMLText {
     // downstream stage over the decontaminated corpus — the LM model
     // retrains and the mix budgets recompute on the survivors.)
     Q("text_curate_decontaminated",
+      (s, d) => TextOps.curateReport(htmlFixture(docs(s, d)),
+        spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
+        maxChars = QfMaxChars, benchmark = Some(decontBmk(s, d))),
+      Some(DecontFunnelSql)),
+
+    // ---- the SAME gate served from a PERSISTED exact index ----------------
+    // (the scale path: the benchmark corpus indexes ONCE —
+    // minhashIndexWrite(exact = true) over the identical extracted
+    // slice — and the funnel's decontamination stage screens the
+    // survivors through containmentServeExact instead of recomputing
+    // containmentJoin. The oracle is BYTE-IDENTICAL to the recompute
+    // row's, so the gate rows machine-prove every round that the
+    // persisted-index route is a drop-in for the in-flight one:
+    // same drop set, same funnel, same downstream stages.)
+    Q("text_curate_decont_served",
       (s, d) => {
-        val all = docs(s, d)
-        val bmk = TextOps.extractHtml(htmlFixture(
-            all.where(col("doc_id") % DecontMod === 0)))
-          .select(col("doc_id"),
-            regexp_replace(col("text_extracted"), "\n", " ").as("text"))
-        TextOps.curateReport(htmlFixture(all),
+        val ix = cachedIndex("bmk_exact", d, p =>
+          TextOps.minhashIndexWrite(decontBmk(s, d), p, exact = true))
+        TextOps.curateReport(htmlFixture(docs(s, d)),
           spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
-          maxChars = QfMaxChars, benchmark = Some(bmk))
+          maxChars = QfMaxChars, benchmarkIndex = Some(ix))
       },
-      Some("WITH RECURSIVE\n" +
-        curateCteList("documents", benchMod = Some(DecontMod)) + """
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'extract' AS stage,
-        |    CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) AS n_tokens FROM d1
-        |  UNION ALL SELECT 2, 'dedup_exact', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d2
-        |  UNION ALL SELECT 3, 'langid', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d3
-        |  UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d4
-        |  UNION ALL SELECT 5, 'span_excise', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5x
-        |  UNION ALL SELECT 6, 'decontaminate', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5
-        |  UNION ALL SELECT 7, 'lm_gate', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d6
-        |  UNION ALL SELECT 8, 'mix', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d7
-        |)""".stripMargin)),
+      Some(DecontFunnelSql)),
 
     // ---- temperature mixing: p_s ~ n_s^(1/2) (mT5/XLM-R, tau = 2) -------
     // The integer square root is candidate-corrected on BOTH sides:

@@ -40,14 +40,21 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     *     containment gate: drop every doc `containT`-contained in a
     *     (size, id)-greater survivor — the quoted/boilerplate-superset
     *     duplicates whose shared runs are shorter than `spanK`;
-    *  5c. (optional, `benchmark` set) benchmark DECONTAMINATION — the
-    *     exact cross-corpus gate ([[containmentJoin]]): drop every
+    *  5c. (optional, `benchmark` or `benchmarkIndex` set) benchmark
+    *     DECONTAMINATION — the exact cross-corpus gate: drop every
     *     survivor `benchT`-contained in a benchmark document, so the
     *     curated corpus cannot train on held-out evaluation content.
-    *     It runs over the SPAN-EXCISED text (what actually trains and
-    *     packs) and composes like the other gates: one keyed
-    *     anti-join, candidates bounded by the contained-side prefix,
-    *     never all-pairs;
+    *     `benchmark` recomputes against an in-flight frame
+    *     ([[containmentJoin]]); `benchmarkIndex` serves against a
+    *     PERSISTED exact MinHash root ([[containmentServeExact]]) —
+    *     the scale path: the benchmark indexes ONCE and every
+    *     crawl's funnel screens against it without touching the
+    *     benchmark corpus again (same pairs, machine-checked by the
+    *     funnel oracle at both routes). Either way the gate runs
+    *     over the SPAN-EXCISED text (what actually trains and packs)
+    *     and composes like the other gates: one keyed anti-join,
+    *     candidates bounded by the contained-side prefix, never
+    *     all-pairs;
     *  6. [[lmScore]] — keep docs whose quantized bigram NLL stays at
     *     or below `lmKeepMilli` per mille per bigram (the CCNet
     *     perplexity gate), compared in exact integers;
@@ -65,11 +72,13 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       ledgerPath: Option[String] = None,
       containT: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
-      benchT: Double = 0.9): DataFrame =
+      benchT: Double = 0.9,
+      benchmarkIndex: Option[String] = None): DataFrame =
     seqPack(
       curateChain(raw, spanK, lmKeepMilli, maxChars,
         ledgerPath = ledgerPath, containT = containT,
-        benchmark = benchmark, benchT = benchT).last._2,
+        benchmark = benchmark, benchT = benchT,
+        benchmarkIndex = benchmarkIndex).last._2,
       packBudget, packShard)
 
   /** [[curate]] behind a SemDeDup front gate — the joint text+
@@ -95,7 +104,8 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       ledgerPath: Option[String] = None,
       containT: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
-      benchT: Double = 0.9): DataFrame = {
+      benchT: Double = 0.9,
+      benchmarkIndex: Option[String] = None): DataFrame = {
     // the ledger's stored key column is doc_id (ledgerAppend's
     // default); the shared id-domain contract makes the rename the
     // whole translation
@@ -110,7 +120,7 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       .select(col("vec_b").as("doc_id")).distinct()
     curate(raw.join(dropped, Seq("doc_id"), "left_anti"), spanK,
       lmKeepMilli, maxChars, packBudget, packShard, ledgerPath,
-      containT, benchmark, benchT)
+      containT, benchmark, benchT, benchmarkIndex)
   }
 
   /** The per-stage curation funnel — the observability artifact a
@@ -125,10 +135,12 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       ledgerPath: Option[String] = None,
       containT: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
-      benchT: Double = 0.9): DataFrame =
+      benchT: Double = 0.9,
+      benchmarkIndex: Option[String] = None): DataFrame =
     curateChain(raw, spanK, lmKeepMilli, maxChars,
       ledgerPath = ledgerPath, containT = containT,
-      benchmark = benchmark, benchT = benchT).zipWithIndex
+      benchmark = benchmark, benchT = benchT,
+      benchmarkIndex = benchmarkIndex).zipWithIndex
       .map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(split(col("text"), " ")).cast("long")),
@@ -150,7 +162,8 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       ledgerPath: Option[String] = None,
       containT: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
-      benchT: Double = 0.9): Seq[(String, DataFrame)] = {
+      benchT: Double = 0.9,
+      benchmarkIndex: Option[String] = None): Seq[(String, DataFrame)] = {
     // the forget-ledger front door composes FIRST when a ledger is
     // supplied: a forgotten doc must be dropped before any stage (or
     // any downstream index/state fed from the survivors) sees it —
@@ -186,18 +199,33 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     // prefix filter, never all-pairs.
     val d5c = containT.fold(d5)(t => pin(dropContained(d5, t)))
     // optional benchmark-decontamination gate: drop every survivor
-    // `benchT`-contained in a benchmark document ([[containmentJoin]],
-    // the recall-guaranteed decontamination shape) — the curated
-    // corpus must not train on held-out evaluation content. It runs
-    // over the text the later stages actually consume (post-excision,
+    // `benchT`-contained in a benchmark document — the curated
+    // corpus must not train on held-out evaluation content. Two
+    // routes to the SAME drop set: `benchmark` recomputes against an
+    // in-flight frame ([[containmentJoin]], recall-guaranteed);
+    // `benchmarkIndex` serves against a persisted exact MinHash root
+    // ([[containmentServeExact]] — the benchmark indexes once, every
+    // crawl screens against it). Either way it runs over the text
+    // the later stages actually consume (post-excision,
     // post-containment) and composes exactly like the other front
     // gates: the drop set is one bounded pair frame (contained-side
     // prefix candidates, never all-pairs), the action one keyed
     // anti-join over the stage's survivors.
-    val d5d = benchmark.fold(d5c)(b => pin(
-      d5c.join(containmentJoin(d5c, b, benchT)
-          .select(col("doc_a").as("doc_id")).distinct(),
-        Seq("doc_id"), "left_anti")))
+    require(benchmark.isEmpty || benchmarkIndex.isEmpty,
+      "pass benchmark OR benchmarkIndex, not both — they are two " +
+        "routes to the same decontamination gate")
+    val d5d = (benchmark, benchmarkIndex) match {
+      case (Some(b), _) => pin(
+        d5c.join(containmentJoin(d5c, b, benchT)
+            .select(col("doc_a").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+      case (_, Some(ix)) => pin(
+        d5c.join(containmentServeExact(rawIn.sparkSession, ix, d5c,
+              benchT)
+            .select(col("doc_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti"))
+      case _ => d5c
+    }
     val d6 = pin(d5d.join(lmScore(d5d)
       .where(col("nll_sum") * 1000 <= col("n_bigrams") * lmKeepMilli)
       .select(col("doc_id")), Seq("doc_id")))
@@ -206,7 +234,8 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     Seq("extract" -> d1p, "dedup_exact" -> d2, "langid" -> d3,
       "quality" -> d4, "span_excise" -> d5) ++
       containT.map(_ => "containment" -> d5c).toSeq ++
-      benchmark.map(_ => "decontaminate" -> d5d).toSeq ++
+      benchmark.orElse(benchmarkIndex)
+        .map(_ => "decontaminate" -> d5d).toSeq ++
       Seq("lm_gate" -> d6, "mix" -> d7)
   }
 

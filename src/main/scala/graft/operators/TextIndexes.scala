@@ -1359,43 +1359,77 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       path: String, batch: DataFrame, threshold: Double = 0.7,
       asOf: Option[IndexSnapshot] = None,
       localPairLimit: Int = 262144): DataFrame = {
-    require(localPairLimit > 0, "localPairLimit must be positive")
     val (candAll, batchSets, base) =
       exactServeCandidates(s, path, batch, threshold, asOf)
-    // probe-then-fallback on the ANSWER-sized candidate set (the
-    // [[bm25TopKIndexedBatch]] localPairLimit discipline): limit(N+1)
-    // decides the route in one job — fewer than N+1 rows back means
-    // the collect IS the complete set, re-emitted as a LocalRelation
-    // whose broadcast builds driver-side (no second candidate job,
-    // and the broadcast is cap-bounded BY CONSTRUCTION). An oversized
-    // answer stays distributed: the verification below joins it by
-    // key instead of pinning a driver-breaking broadcast — same rows,
-    // one stored-side exchange, paid only when the answer outgrew
-    // the driver.
-    val probe = candAll.limit(probeLimit(localPairLimit)).collect()
-    val (cand, candBcast) =
-      if (probe.length <= localPairLimit)
-        (s.createDataFrame(java.util.Arrays.asList(probe: _*),
-          candAll.schema), true)
-      else (candAll.pinned, false)
+    // probe-then-fallback on the ANSWER-sized candidate set — see
+    // [[candidateRoute]]: within the cap the candidates broadcast as
+    // a LocalRelation, past it the verification joins them by key.
+    exactVerify(s, base, asOf,
+      candidateRoute(s, candAll, localPairLimit), batchSets)
+      .withColumn("jaccard", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("jaccard"))
+  }
+
+  /** Serve EXACT containment lookups from a persisted exact MinHash
+    * index: for a NEW batch of docs, every (stored container, batch
+    * contained) pair with |B∩A| / |B| >= `threshold` — the
+    * DECONTAMINATION shape served INCREMENTALLY. Index the benchmark
+    * (or the licensed-content list, or the previous crawl) ONCE with
+    * `minhashIndexWrite(..., exact = true)`, then screen every new
+    * batch against it without touching the benchmark corpus again —
+    * the serving twin of [[graft.operators.TextOps.containmentJoin]]
+    * exactly as [[nearDupServeExact]] is the serving twin of
+    * [[allPairsJoin]]. Recall is unconditional by the same
+    * single-side prefix pigeonhole (a qualifying pair has
+    * n_common >= ceil(t‰·nb), so the batch doc's kept prefix must
+    * intersect it); the size filter prunes only the LOWER side
+    * (na >= t‰·nb — a container smaller than the required overlap
+    * cannot qualify; its size has NO ceiling, which is what makes
+    * containment catch a doc quoted inside one 10x its size where
+    * Jaccard goes blind). Output (doc_a = stored container, doc_b =
+    * batch contained, n_common, na, nb, containment); same candidate
+    * route guard, tombstone mask, asOf pinning, and xxhash64
+    * false-positive-only caveat as nearDupServeExact. */
+  def containmentServeExact(s: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, threshold: Double = 0.9,
+      asOf: Option[IndexSnapshot] = None,
+      localPairLimit: Int = 262144): DataFrame = {
+    val (candAll, batchSets, base) =
+      exactServeCandidates(s, path, batch, threshold, asOf,
+        jaccard = false)
+    exactVerify(s, base, asOf,
+      candidateRoute(s, candAll, localPairLimit), batchSets)
+      .withColumn("containment", col("n_common").cast("double") /
+        col("nb").cast("double"))
+      .where(col("containment") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+        col("nb"), col("containment"))
+  }
+
+  /** The exact doors' shared verification pass: one candidate-
+    * filtered scan of the stored rows joined to the broadcast batch
+    * sets, producing the exact intersection statistics the measure
+    * thresholds over — (doc_a, doc_b, n_common, na, nb), tombstones
+    * masked at the pair stage. */
+  private def exactVerify(s: org.apache.spark.sql.SparkSession,
+      base: String, asOf: Option[IndexSnapshot],
+      cand: DataFrame, batchSets: DataFrame): DataFrame = {
     val stored = s.read.parquet(s"$base/docs")
       .where(EmbeddingOps.segFilter(s, base, asOf)).drop("seg")
     val tomb = EmbeddingOps.tombstones(s, base, "doc_id", asOf)
     stored.select(col("doc_id").as("doc_a"), col("hs").as("hs_a"),
         col("n_h").as("na"))
-      .join(if (candBcast) broadcast(cand) else cand, Seq("doc_a"))
+      .join(cand, Seq("doc_a"))
       .join(broadcast(batchSets), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         size(array_intersect(col("hs_a"), col("hs_b"))).cast("long")
           .as("n_common"),
         col("na"), col("nb"))
-      .withColumn("jaccard", col("n_common").cast("double") /
-        (col("na") + col("nb") - col("n_common")).cast("double"))
-      .where(col("jaccard") >= threshold)
       .join(tomb.withColumnRenamed("doc_id", "doc_a"), Seq("doc_a"),
         "left_anti")
-      .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
-        col("nb"), col("jaccard"))
   }
 
   /** The exact serve's candidate construction, shared verbatim by
@@ -1408,7 +1442,7 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
   private[graft] def exactServeCandidates(
       s: org.apache.spark.sql.SparkSession, path: String,
       batch: DataFrame, threshold: Double,
-      asOf: Option[IndexSnapshot])
+      asOf: Option[IndexSnapshot], jaccard: Boolean = true)
       : (DataFrame, DataFrame, String) = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
@@ -1452,10 +1486,19 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         .parquet(s"$base/docs/seg=$k/_posts"))
       .reduce(_ unionByName _)
       .where(if (pbs.isEmpty) lit(false) else col("pb").isin(pbs: _*))
+    // the size filter prunes at the candidate join. Both measures
+    // share the lower side (a qualifying pair has n_common >= t‰·nb
+    // and n_common <= na, so na >= t‰·nb — the prefix bound's own
+    // pigeonhole count); only Jaccard may ALSO prune the upper side
+    // (J >= t forces nb >= t‰·na — containment of the batch doc puts
+    // no ceiling on the container's size, which is the whole point
+    // of the asymmetric measure).
+    val sized = col("a.h") === col("b.h") &&
+      col("a.n_h") * lit(1000L) >= col("b.nb") * lit(t)
     val candAll = posts.as("a").join(broadcast(pref.as("b")),
-        col("a.h") === col("b.h") &&
-          col("a.n_h") * lit(1000L) >= col("b.nb") * lit(t) &&
-          col("b.nb") * lit(1000L) >= col("a.n_h") * lit(t))
+        if (jaccard)
+          sized && col("b.nb") * lit(1000L) >= col("a.n_h") * lit(t)
+        else sized)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_b").as("doc_b"))
       .distinct()
     val batchSets = nb0.groupBy(col("doc_id"))
@@ -1463,6 +1506,24 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         count(lit(1)).as("nb"))
       .select(col("doc_id").as("doc_b"), col("hs_b"), col("nb"))
     (candAll, batchSets, base)
+  }
+
+  /** The probe-then-fallback route decision on an ANSWER-sized
+    * candidate frame (the [[bm25TopKIndexedBatch]] `localPairLimit`
+    * discipline, shared by the exact serving doors): limit(N+1)
+    * decides in one job — within the cap the collected rows re-emit
+    * as a broadcast LocalRelation (driver-bounded BY CONSTRUCTION),
+    * past it the frame stays distributed (pinned, joined by key —
+    * the stored side rides one exchange, the honest price when the
+    * answer outgrew the driver). Returns the join-ready frame. */
+  private def candidateRoute(s: org.apache.spark.sql.SparkSession,
+      candAll: DataFrame, localPairLimit: Int): DataFrame = {
+    require(localPairLimit > 0, "localPairLimit must be positive")
+    val probe = candAll.limit(probeLimit(localPairLimit)).collect()
+    if (probe.length <= localPairLimit)
+      broadcast(s.createDataFrame(
+        java.util.Arrays.asList(probe: _*), candAll.schema))
+    else candAll.pinned
   }
 
   /** Delete docs from a persisted MinHash index — the [[graft.operators

@@ -91,6 +91,60 @@ class ExactServeSpec extends SparkSpec {
     assert(route(1) == brute, "distributed fallback != brute force")
   }
 
+  test("containment serving equals brute force at several thresholds, " +
+    "on both candidate routes, and masks tombstones") {
+    // the decontamination shape served from the persisted index:
+    // |B∩A| / |B| over (stored container A, batch contained B) —
+    // recall unconditional via the same batch-prefix pigeonhole, the
+    // size filter one-sided (a container 10x the contained doc still
+    // qualifies where Jaccard goes blind)
+    def bruteContain(stored: DataFrame, batch: DataFrame,
+        threshold: Double): Seq[String] = {
+      def sets(d: DataFrame) = TextOps.shingles(d)
+        .select(col("doc_id"), col("s")).distinct()
+      val dsa = sets(stored)
+      val dsb = sets(batch)
+      val sza = dsa.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val szb = dsb.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      dsa.as("a").join(dsb.as("b"), col("a.s") === col("b.s"))
+        .groupBy(col("a.doc_id").as("doc_a"),
+          col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sza.select(col("doc_id").as("doc_a"), col("n").as("na")),
+          Seq("doc_a"))
+        .join(szb.select(col("doc_id").as("doc_b"), col("n").as("nb")),
+          Seq("doc_b"))
+        .where(col("n_common") / col("nb").cast("double") >= threshold)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+          col("nb"))
+        .collect().map(_.toString).sorted.toSeq
+    }
+    val stored = docs.where(col("doc_id") % 5 =!= 0)
+    val batch = docs.where(col("doc_id") % 5 === 0)
+    val root = tmpRoot("excont")
+    TextOps.minhashIndexWrite(stored, root, exact = true)
+    def serve(t: Double, limit: Int = 262144): Seq[String] =
+      TextOps.containmentServeExact(spark, root, batch, t,
+          localPairLimit = limit)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("na"),
+          col("nb"))
+        .collect().map(_.toString).sorted.toSeq
+    Seq(0.5, 0.9).foreach { t =>
+      assert(serve(t) == bruteContain(stored, batch, t),
+        s"containment serve must equal brute force at t=$t")
+    }
+    assert(serve(0.5).nonEmpty,
+      "the fixture slices contain qualifying pairs")
+    assert(serve(0.9, limit = 1) == bruteContain(stored, batch, 0.9),
+      "the distributed fallback must serve the same rows")
+    // tombstoned containers drop from the answer exactly
+    TextOps.minhashIndexDelete(spark, root,
+      stored.where(col("doc_id") % 3 === 0).select(col("doc_id")))
+    assert(serve(0.9) ==
+      bruteContain(stored.where(col("doc_id") % 3 =!= 0), batch, 0.9),
+      "tombstones must mask containment serving exactly")
+  }
+
   test("the posting-bucket balance report equals a recomputation " +
     "from the corpus — per (seg, pb), tombstone-aware") {
     import org.apache.spark.sql.functions.{count, expr, lit, max,
