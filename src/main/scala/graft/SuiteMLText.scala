@@ -31,31 +31,35 @@ private[graft] object SuiteMLText {
       .select(col("doc_id"),
         regexp_replace(col("text_extracted"), "\n", " ").as("text"))
 
+  /** The funnel report's UNION-ALL stage list as ONE generator —
+    * the three funnel rows (plain, containment-gated,
+    * decontaminated) differ only in their (stage name, CTE name)
+    * lists, and hand-copied SQL drifts the moment a stage is added. */
+  private def funnelStagesSql(stages: Seq[(String, String)]): String =
+    "\nSELECT * FROM (\n" + stages.zipWithIndex.map {
+      case ((stage, cte), 0) =>
+        s"  SELECT CAST(1 AS BIGINT) AS stage_id, '$stage' AS stage,\n" +
+          "    CAST(count(*) AS BIGINT) AS n_docs,\n" +
+          "    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) " +
+          s"AS BIGINT) AS n_tokens FROM $cte"
+      case ((stage, cte), i) =>
+        s"  UNION ALL SELECT ${i + 1}, '$stage', " +
+          "CAST(count(*) AS BIGINT),\n" +
+          "    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) " +
+          s"AS BIGINT) FROM $cte"
+    }.mkString("\n") + "\n)"
+
+  private val BaseFunnel = Seq("extract" -> "d1",
+    "dedup_exact" -> "d2", "langid" -> "d3", "quality" -> "d4")
+
   /** The decontaminated funnel's oracle — ONE string shared by the
     * recompute and served rows: equality of both against it
     * machine-proves the persisted-index route is a drop-in for the
     * in-flight gate. */
   private val DecontFunnelSql: String = "WITH RECURSIVE\n" +
-    curateCteList("documents", benchMod = Some(DecontMod)) + """
-    |SELECT * FROM (
-    |  SELECT CAST(1 AS BIGINT) AS stage_id, 'extract' AS stage,
-    |    CAST(count(*) AS BIGINT) AS n_docs,
-    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) AS n_tokens FROM d1
-    |  UNION ALL SELECT 2, 'dedup_exact', CAST(count(*) AS BIGINT),
-    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d2
-    |  UNION ALL SELECT 3, 'langid', CAST(count(*) AS BIGINT),
-    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d3
-    |  UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT),
-    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d4
-    |  UNION ALL SELECT 5, 'span_excise', CAST(count(*) AS BIGINT),
-    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5x
-    |  UNION ALL SELECT 6, 'decontaminate', CAST(count(*) AS BIGINT),
-    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5
-    |  UNION ALL SELECT 7, 'lm_gate', CAST(count(*) AS BIGINT),
-    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d6
-    |  UNION ALL SELECT 8, 'mix', CAST(count(*) AS BIGINT),
-    |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d7
-    |)""".stripMargin
+    curateCteList("documents", benchMod = Some(DecontMod)) +
+    funnelStagesSql(BaseFunnel ++ Seq("span_excise" -> "d5x",
+      "decontaminate" -> "d5", "lm_gate" -> "d6", "mix" -> "d7"))
 
   /** The indexed-BM25 replay over `documents WHERE $pred` — one SQL
     * generator for `text_bm25_indexed` (pred TRUE) and
@@ -1003,24 +1007,8 @@ private[graft] object SuiteMLText {
       (s, d) => TextOps.curateReport(htmlFixture(docs(s, d)),
         spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
         maxChars = QfMaxChars),
-      Some(CurateCtes + """
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'extract' AS stage,
-        |    CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) AS n_tokens FROM d1
-        |  UNION ALL SELECT 2, 'dedup_exact', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d2
-        |  UNION ALL SELECT 3, 'langid', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d3
-        |  UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d4
-        |  UNION ALL SELECT 5, 'span_excise', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5
-        |  UNION ALL SELECT 6, 'lm_gate', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d6
-        |  UNION ALL SELECT 7, 'mix', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d7
-        |)""".stripMargin)),
+      Some(CurateCtes + funnelStagesSql(BaseFunnel ++ Seq(
+        "span_excise" -> "d5", "lm_gate" -> "d6", "mix" -> "d7")))),
 
     // ---- curation WITH the exact containment gate --------------------------
     // (dropContained wired into the pipeline front door: between span
@@ -1039,26 +1027,9 @@ private[graft] object SuiteMLText {
         spanK = CurateSpanK, lmKeepMilli = CurateLmMilli,
         maxChars = QfMaxChars, containT = Some(CurateContainT)),
       Some("WITH RECURSIVE\n" +
-        curateCteList("documents", containT = Some(CurateContainT)) + """
-        |SELECT * FROM (
-        |  SELECT CAST(1 AS BIGINT) AS stage_id, 'extract' AS stage,
-        |    CAST(count(*) AS BIGINT) AS n_docs,
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) AS n_tokens FROM d1
-        |  UNION ALL SELECT 2, 'dedup_exact', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d2
-        |  UNION ALL SELECT 3, 'langid', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d3
-        |  UNION ALL SELECT 4, 'quality', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d4
-        |  UNION ALL SELECT 5, 'span_excise', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5x
-        |  UNION ALL SELECT 6, 'containment', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d5
-        |  UNION ALL SELECT 7, 'lm_gate', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d6
-        |  UNION ALL SELECT 8, 'mix', CAST(count(*) AS BIGINT),
-        |    CAST(COALESCE(SUM(len(string_split(text,' '))), 0) AS BIGINT) FROM d7
-        |)""".stripMargin)),
+        curateCteList("documents", containT = Some(CurateContainT)) +
+        funnelStagesSql(BaseFunnel ++ Seq("span_excise" -> "d5x",
+          "containment" -> "d5", "lm_gate" -> "d6", "mix" -> "d7")))),
 
     // ---- curation WITH the benchmark-decontamination gate -----------------
     // (containmentJoin wired into the pipeline as stage 5c: every

@@ -276,14 +276,21 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     readLongMarker(fs, new org.apache.hadoop.fs.Path(root, "_epoch"))
       .getOrElse(0L)
 
-  private[graft] def readLongMarker(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): Option[Long] =
+  /** Read a small marker file as UTF-8, None when absent — the ONE
+    * marker-read idiom (shared by the long-marker parse below, the
+    * ingest-binding owner check, and the streaming claim verify). */
+  private[graft] def readUtf8Marker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[String] =
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
-      val content =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+
+  private[graft] def readLongMarker(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): Option[Long] =
+    readUtf8Marker(fs, p).map { content =>
       // a marker must parse exactly: an empty or partial file is a
       // crashed legacy in-place write (every current writer publishes
       // via stage+rename) — refuse with the repair, never NFE-brick.
@@ -295,7 +302,7 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
           t.forall(c => c >= '0' && c <= '9'),
         s"unreadable marker at $p ('$t') — a crashed " +
           "legacy in-place write; repair by writing the intended value")
-      Some(t.toLong)
+      t.toLong
     }
 
   /** Publish a small marker file ATOMICALLY: write a hidden temp
@@ -353,14 +360,8 @@ private[graft] trait EmbSegmentOps { this: EmbeddingOps.type =>
     if (!fs.exists(new org.apache.hadoop.fs.Path(root, "_ingest"))) return
     val hwm = readLongMarker(fs,
       new org.apache.hadoop.fs.Path(root, "_ingest/hwm")).getOrElse(-1L)
-    val runMarker = new org.apache.hadoop.fs.Path(root, "_ingest/run")
-    val owner: Option[String] =
-      if (!fs.exists(runMarker)) None
-      else {
-        val in = fs.open(runMarker)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
-        finally in.close()
-      }
+    val owner: Option[String] = readUtf8Marker(fs,
+      new org.apache.hadoop.fs.Path(root, "_ingest/run"))
     val (gen, segs) =
       committedSegs(fs, new org.apache.hadoop.fs.Path(root, "_segs"))
     if (gen < 0 || segs.isEmpty) return

@@ -164,6 +164,12 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       benchmark: Option[DataFrame] = None,
       benchT: Double = 0.9,
       benchmarkIndex: Option[String] = None): Seq[(String, DataFrame)] = {
+    // contract checks BEFORE any stage materializes: every pin() is
+    // an eager localCheckpoint over the corpus, so a misuse reported
+    // at the gate would already have paid five stages of work
+    require(benchmark.isEmpty || benchmarkIndex.isEmpty,
+      "pass benchmark OR benchmarkIndex, not both — they are two " +
+        "routes to the same decontamination gate")
     // the forget-ledger front door composes FIRST when a ledger is
     // supplied: a forgotten doc must be dropped before any stage (or
     // any downstream index/state fed from the survivors) sees it —
@@ -211,9 +217,6 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     // gates: the drop set is one bounded pair frame (contained-side
     // prefix candidates, never all-pairs), the action one keyed
     // anti-join over the stage's survivors.
-    require(benchmark.isEmpty || benchmarkIndex.isEmpty,
-      "pass benchmark OR benchmarkIndex, not both — they are two " +
-        "routes to the same decontamination gate")
     val d5d = (benchmark, benchmarkIndex) match {
       case (Some(b), _) => pin(
         d5c.join(containmentJoin(d5c, b, benchT)

@@ -858,6 +858,14 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
   private def probeLimit(cap: Int): Int =
     if (cap == Int.MaxValue) cap else cap + 1
 
+  /** The `_posts` posting sidecar's read schema — explicit (no
+    * inference jobs; an empty sidecar reads as the empty frame) and
+    * SHARED by every reader so the stats card and the serving doors
+    * can never drift apart. */
+  private val PostsSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id BIGINT, n_h BIGINT, h BIGINT, pb BIGINT")
+
   /** Posting-bucket modulus of the `_posts` exact-serving sidecar:
     * pb = pmod(h, 64). Pure code like the band construction (not
     * caller configuration), so every exact segment is
@@ -901,10 +909,8 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         "posting-balance report describes exact roots (build with " +
         "minhashIndexWrite(..., exact = true); minhashIndexStats " +
         "reports the banded layout)")
-    val postsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, n_h BIGINT, h BIGINT, pb BIGINT")
     val posts = segs.sorted
-      .map(k => s.read.schema(postsSchema)
+      .map(k => s.read.schema(PostsSchema)
         .parquet(s"$path/docs/seg=$k/_posts")
         .withColumn("seg", lit(k)))
       .reduce(_ unionByName _)
@@ -926,7 +932,12 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         count(lit(1)).as("n_buckets"))))
       .select(col("seg"), col("pb"), col("n_posts"), col("n_digests"),
         col("hot_h"), col("hot_df"), col("n_total"), col("n_buckets"),
-        expr("n_posts * n_buckets * 1000 div n_total")
+        // exact AND overflow-proof: n_posts * n_buckets * 1000 can
+        // exceed Long for a pathological bucket, and non-ANSI mode
+        // would wrap silently — widen to DECIMAL(38,0) for the
+        // product, floor the division (the probeLimit lesson)
+        expr("CAST(floor(CAST(n_posts AS DECIMAL(38,0)) * n_buckets" +
+          " * 1000 / n_total) AS BIGINT)")
           .as("balance_permille"))
   }
 
@@ -1479,10 +1490,8 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
     // infer from) — it must read as the empty frame, not refuse.
     val pbs = pref.select(pmod(col("h"), lit(ExactPb)).as("pb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val postsSchema = org.apache.spark.sql.types.StructType.fromDDL(
-      "doc_id BIGINT, n_h BIGINT, h BIGINT, pb BIGINT")
     val posts = segs
-      .map(k => s.read.schema(postsSchema)
+      .map(k => s.read.schema(PostsSchema)
         .parquet(s"$base/docs/seg=$k/_posts"))
       .reduce(_ unionByName _)
       .where(if (pbs.isEmpty) lit(false) else col("pb").isin(pbs: _*))

@@ -285,9 +285,21 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
     // silent duplicates. O(committed segments) driver-side exists
     // checks, bounded by the compaction policy.
     val stampName = s"_ingest-$queryId.b$batchId"
-    val stamped = segs.exists(n => fs.exists(
-      new org.apache.hadoop.fs.Path(root,
-        s"$canonicalDir/seg=$n/$stampName")))
+    // the resolve honors LEGACY un-namespaced stamps too
+    // (pre-namespacing roots mid-crash-window at upgrade time): a
+    // legacy stamp for this batch id means the batch's segment
+    // committed — skipping prevents the silent DUPLICATE, the
+    // protocol's unforgivable failure. The maintenance guard blocks
+    // compaction while any legacy stamp sits past hwm, so the two
+    // doors tell one story: legacy stamps are honored until a
+    // compaction retires them. (Corollary, documented: clear-and-
+    // rebind on a root still carrying legacy stamps should compact
+    // first — a legacy stamp cannot prove WHICH binding wrote it.)
+    val stamped = segs.exists(n =>
+      fs.exists(new org.apache.hadoop.fs.Path(root,
+        s"$canonicalDir/seg=$n/$stampName")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(root,
+        s"$canonicalDir/seg=$n/_ingest-b$batchId")))
     if (!stamped) {
       // an EMPTY replayed batch appends nothing, so it leaves no
       // stamp; advancing hwm alone is its whole commit. (Appending a

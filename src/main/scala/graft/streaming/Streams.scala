@@ -244,11 +244,9 @@ object Streams extends IndexIngestSinks {
   private val RunMarker = "_run"
 
   private[streaming] def readUtf8(fs: org.apache.hadoop.fs.FileSystem,
-      p: org.apache.hadoop.fs.Path): String = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-    finally in.close()
-  }
+      p: org.apache.hadoop.fs.Path): String =
+    graft.operators.EmbeddingOps.readUtf8Marker(fs, p).getOrElse(
+      throw new java.io.FileNotFoundException(p.toString))
 
   /** The checkpoint's unique streaming-query id, read from its
     * `metadata` file (written by the engine when the checkpoint is

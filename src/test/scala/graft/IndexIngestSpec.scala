@@ -390,6 +390,38 @@ class IndexIngestSpec extends SparkSpec {
       "the rebound history must serve like the one-shot build")
   }
 
+  test("a LEGACY un-namespaced crash-window stamp still resolves: the " +
+    "replay skips the append and advances progress") {
+    // upgrade compatibility: a root written by the pre-namespacing
+    // build that crashed between its segment commit and its progress
+    // write carries `_ingest-b<id>` with no binding. The SAME
+    // stream's post-upgrade replay must honor it — re-appending
+    // would be the silent duplicate the stamp protocol exists to
+    // prevent (the maintenance guard already blocks compaction on
+    // legacy stamps past hwm; the two doors must tell one story).
+    val base = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a")))
+    val b0 = docsDf(Seq(
+      (10L, "one two three four five six seven", "en", "b")))
+    val b1 = docsDf(Seq(
+      (20L, "eight nine ten eleven twelve thirteen fourteen", "en", "c")))
+    val root = tmpDir("ing_legacy") + "/ix"
+    TextOps.minhashIndexWrite(base, root)
+    foldMinhash(root, b0, 0L, qid = "q-up")
+    // simulate the old build's crash window: batch 1's segment
+    // committed with a LEGACY stamp, progress write lost
+    TextOps.minhashIndexAppend(b1, root)
+    val newest = segsOf(root).max
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      s"docs/seg=$newest/_ingest-b1"), false).close()
+    assert(hwmOf(root) == 0L)
+    val before = segsOf(root)
+    foldMinhash(root, b1, 1L, qid = "q-up") // the post-upgrade replay
+    assert(segsOf(root) == before,
+      "a legacy stamp must resolve the batch — never re-append")
+    assert(hwmOf(root) == 1L)
+  }
+
   test("a crashed half-written claim fails safe: every stream refuses " +
     "until _ingest is cleared") {
     // the create-exclusive claim's one crash window (between create
