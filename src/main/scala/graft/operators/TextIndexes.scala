@@ -935,9 +935,13 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         // exact AND overflow-proof: n_posts * n_buckets * 1000 can
         // exceed Long for a pathological bucket, and non-ANSI mode
         // would wrap silently — widen to DECIMAL(38,0) for the
-        // product, floor the division (the probeLimit lesson)
-        expr("CAST(floor(CAST(n_posts AS DECIMAL(38,0)) * n_buckets" +
-          " * 1000 / n_total) AS BIGINT)")
+        // product (the probeLimit lesson). Integral `div`, not
+        // floor(/): decimal division ROUNDS at the capped result
+        // scale, so floor over it goes off by one when the true
+        // fraction sits within half an ulp of an integer from below
+        // (reachable once n_total >= 2M); `div` divides exactly.
+        expr("CAST(n_posts AS DECIMAL(38,0)) * n_buckets * 1000" +
+          " div n_total")
           .as("balance_permille"))
   }
 

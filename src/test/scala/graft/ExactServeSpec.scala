@@ -184,8 +184,8 @@ class ExactServeSpec extends SparkSpec {
         count(lit(1)).as("n_buckets"))))
       .select(col("seg"), col("pb"), col("n_posts"), col("n_digests"),
         col("hot_h"), col("hot_df"), col("n_total"), col("n_buckets"),
-        expr("CAST(floor(CAST(n_posts AS DECIMAL(38,0)) * n_buckets" +
-          " * 1000 / n_total) AS BIGINT)")
+        expr("CAST(n_posts AS DECIMAL(38,0)) * n_buckets * 1000" +
+          " div n_total")
           .as("balance_permille"))
       .collect().map(_.toString).sorted.toSeq
     assert(got == expected,
