@@ -451,6 +451,40 @@ private[graft] object SuiteMLDedup {
         |WHERE i.n_common / CAST(sa.n + sb.n - i.n_common AS DOUBLE) >= 0.7""".stripMargin),
       bench = true),
 
+    // ---- dedup: PINNED containment serving (asOf) ---------------------------
+    // (the snapshot door on the CONTAINMENT measure — the last cell of
+    // the exact serving matrix: {jaccard, containment} x {live,
+    // pinned}. A decontamination deployment pins exactly this view: a
+    // training run screens every batch against the benchmark list AS
+    // OF run start, so a mid-run benchmark append cannot make early
+    // and late batches disagree about what was clean. Same
+    // mutation-history fixture as dedup_serve_exact_asof — the
+    // appended % 5 IN (3, 4) slice and the post-capture deletions are
+    // both invisible, so the oracle is pure brute-force containment
+    // over the build slice alone.)
+    Q("dedup_containment_serve_asof",
+      (s, d) => EmbeddingOps.withSnapshotRetry(() => {
+        val dir = mhExactAsofIdx(s, d)
+        TextOps.containmentServeExact(s, dir,
+          docs(s, d).where(col("doc_id") % 5 === 0),
+          asOf = Some(snapCache.get(s"mh_exact_asof:$d")))
+          .localCheckpoint()
+      }),
+      Some(s"""WITH $TokCte,
+        |dsa AS (SELECT * FROM ds WHERE doc_id % 5 IN (1, 2)),
+        |dsb AS (SELECT * FROM ds WHERE doc_id % 5 = 0),
+        |sza AS (SELECT doc_id, count(*) AS n FROM dsa GROUP BY 1),
+        |szb AS (SELECT doc_id, count(*) AS n FROM dsb GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |                 count(*) AS n_common
+        |          FROM dsa a JOIN dsb b ON a.s = b.s GROUP BY 1, 2)
+        |SELECT i.doc_a, i.doc_b, i.n_common, sa.n AS na, sb.n AS nb,
+        |       i.n_common / CAST(sb.n AS DOUBLE) AS containment
+        |FROM inter i
+        |JOIN sza sa ON sa.doc_id = i.doc_a
+        |JOIN szb sb ON sb.doc_id = i.doc_b
+        |WHERE i.n_common / CAST(sb.n AS DOUBLE) >= 0.9""".stripMargin)),
+
     // ---- dedup: posting-bucket health of the EXACT index -------------------
     // (the _posts sidecar's monitoring card, machine-checked per
     // SEGMENT: minhashExactStats reports per-(seg, pb) posting mass +
