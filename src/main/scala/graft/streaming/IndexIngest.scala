@@ -271,7 +271,36 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
     require(gen >= 0 && segs.nonEmpty,
       s"no index manifest at $indexRoot/_segs — build the index " +
         "first (the ingest sink appends to an existing root)")
-    bindIngest(fs, root, indexRoot, queryId)
+    // a FRESH binding refuses a root still carrying LEGACY
+    // un-namespaced stamps: the resolve honors them (it must — the
+    // in-place-upgrade crash window), but they cannot prove WHICH
+    // binding wrote them, so a new stream restarting batch ids at 0
+    // would silently skip any batch id matching lingering debris —
+    // the ADVICE-medium silent loss, re-reachable through the
+    // documented clear-and-rebind recovery. The compact-first
+    // ordering the docs prescribe is enforced mechanically here:
+    // refuse BEFORE claiming, name the heal. An EXISTING binding
+    // never runs this (verify path) — its legacy stamps are its own.
+    bindIngest(fs, root, indexRoot, queryId, onClaim = () => {
+      val legacy = for {
+        n <- segs
+        segDir = new org.apache.hadoop.fs.Path(root,
+          s"$canonicalDir/seg=$n")
+        if fs.exists(segDir)
+        st <- fs.listStatus(segDir)
+        name = st.getPath.getName
+        if name.startsWith("_ingest-b") &&
+          scala.util.Try(name.stripPrefix("_ingest-b").toLong).isSuccess
+      } yield s"seg=$n/$name"
+      require(legacy.isEmpty,
+        s"index root $indexRoot carries legacy un-namespaced replay " +
+          s"stamps (${legacy.take(3).mkString(", ")}" +
+          s"${if (legacy.size > 3) ", ..." else ""}) — a new ingest " +
+          "binding restarts batch ids at 0, and a lingering stamp " +
+          "matching one of them would make this stream silently skip " +
+          "its append. Run the family's FULL compaction first (the " +
+          "rewrite retires the stamps), then start the stream.")
+    })
     val hwmPath = new org.apache.hadoop.fs.Path(root, "_ingest/hwm")
     val hwm = EmbeddingOps.readLongMarker(fs, hwmPath).getOrElse(-1L)
     if (batchId <= hwm) return // replayed AND fully committed
@@ -331,11 +360,14 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
     * as atomic as the store's exclusive create (atomic on HDFS and
     * object stores with preconditions; check-then-create on the local
     * filesystem — a metadata-op window, and re-verified every batch
-    * since bindIngest runs per micro-batch). */
+    * since bindIngest runs per micro-batch). `onClaim` runs BEFORE
+    * the create, on the fresh-claim path only (an existing binding
+    * skips it): the append sink's legacy-stamp guard — refusal there
+    * leaves the root unclaimed. */
   private def bindIngest(fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path, indexRoot: String,
       queryId: String, runName: String = "run",
-      hwmName: String = "hwm"): Unit = {
+      hwmName: String = "hwm", onClaim: () => Unit = () => ()): Unit = {
     val dir = new org.apache.hadoop.fs.Path(root, "_ingest")
     val marker = new org.apache.hadoop.fs.Path(dir, runName)
     def verify(): Unit = {
@@ -352,6 +384,7 @@ private[graft] trait IndexIngestSinks { this: Streams.type =>
       s"index root $indexRoot has ingest progress but no run marker " +
         "— an earlier stream's binding was partially cleared. " +
         "Restore or clear the whole _ingest directory.")
+    onClaim()
     fs.mkdirs(dir)
     val out =
       try fs.create(marker, false)

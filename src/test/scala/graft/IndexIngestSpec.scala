@@ -422,6 +422,47 @@ class IndexIngestSpec extends SparkSpec {
     assert(hwmOf(root) == 1L)
   }
 
+  test("a FRESH binding refuses a root carrying legacy stamps; " +
+    "full compaction heals the bind") {
+    // the other half of the legacy-honor contract: stamps cannot
+    // prove WHICH binding wrote them, so a NEW stream (batch ids
+    // restarting at 0 after the documented clear-and-rebind
+    // recovery) binding over lingering debris would silently skip
+    // any batch id that matches — the silent loss the namespacing
+    // exists to prevent. The claim path refuses BEFORE claiming and
+    // names the heal; the compact-first ordering is mechanical, not
+    // a doc footnote.
+    val base = docsDf(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "en", "a")))
+    val b0 = docsDf(Seq(
+      (10L, "one two three four five six seven", "en", "b")))
+    val b1 = docsDf(Seq(
+      (20L, "eight nine ten eleven twelve thirteen fourteen", "en", "c")))
+    val root = tmpDir("ing_legacy_bind") + "/ix"
+    TextOps.minhashIndexWrite(base, root)
+    TextOps.minhashIndexAppend(b0, root)
+    val newest = segsOf(root).max
+    fs.create(new org.apache.hadoop.fs.Path(root,
+      s"docs/seg=$newest/_ingest-b0"), false).close()
+    val e = intercept[IllegalArgumentException] {
+      foldMinhash(root, b1, 0L, qid = "q-fresh")
+    }
+    assert(e.getMessage.contains("legacy un-namespaced replay stamps"),
+      s"expected the legacy-stamp refusal, got: ${e.getMessage}")
+    // the refusal fired before the claim: the root stays unbound
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+      "_ingest/run")), "a refused claim must leave the root unclaimed")
+    // the named heal retires the stamps; the fresh binding then
+    // APPENDS its batch 0 instead of silently skipping it
+    assert(TextOps.minhashIndexCompact(spark, root) >= 1)
+    val compacted = segsOf(root)
+    foldMinhash(root, b1, 0L, qid = "q-fresh")
+    assert(segsOf(root).size == compacted.size + 1,
+      "the healed bind must append — the retired stamp must not " +
+        "resolve the new stream's batch 0")
+    assert(hwmOf(root) == 0L)
+  }
+
   test("a crashed half-written claim fails safe: every stream refuses " +
     "until _ingest is cleared") {
     // the create-exclusive claim's one crash window (between create
