@@ -50,7 +50,11 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     *     the scale path: the benchmark indexes ONCE and every
     *     crawl's funnel screens against it without touching the
     *     benchmark corpus again (same pairs, machine-checked by the
-    *     funnel oracle at both routes). Either way the gate runs
+    *     funnel oracle at both routes); `benchmarkAsOf` pins the
+    *     persisted index's capture-time view, so a run that screens
+    *     many batches sees ONE benchmark list even while appends
+    *     land mid-run (spec: the pinned gate equals the recompute
+    *     gate over the capture slice). Either way the gate runs
     *     over the SPAN-EXCISED text (what actually trains and packs)
     *     and composes like the other gates: one keyed anti-join,
     *     candidates bounded by the contained-side prefix, never
@@ -73,12 +77,14 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       containT: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
       benchT: Double = 0.9,
-      benchmarkIndex: Option[String] = None): DataFrame =
+      benchmarkIndex: Option[String] = None,
+      benchmarkAsOf: Option[IndexSnapshot] = None): DataFrame =
     seqPack(
       curateChain(raw, spanK, lmKeepMilli, maxChars,
         ledgerPath = ledgerPath, containT = containT,
         benchmark = benchmark, benchT = benchT,
-        benchmarkIndex = benchmarkIndex).last._2,
+        benchmarkIndex = benchmarkIndex,
+        benchmarkAsOf = benchmarkAsOf).last._2,
       packBudget, packShard)
 
   /** [[curate]] behind a SemDeDup front gate — the joint text+
@@ -105,7 +111,8 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       containT: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
       benchT: Double = 0.9,
-      benchmarkIndex: Option[String] = None): DataFrame = {
+      benchmarkIndex: Option[String] = None,
+      benchmarkAsOf: Option[IndexSnapshot] = None): DataFrame = {
     // the ledger's stored key column is doc_id (ledgerAppend's
     // default); the shared id-domain contract makes the rename the
     // whole translation
@@ -120,7 +127,7 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       .select(col("vec_b").as("doc_id")).distinct()
     curate(raw.join(dropped, Seq("doc_id"), "left_anti"), spanK,
       lmKeepMilli, maxChars, packBudget, packShard, ledgerPath,
-      containT, benchmark, benchT, benchmarkIndex)
+      containT, benchmark, benchT, benchmarkIndex, benchmarkAsOf)
   }
 
   /** The per-stage curation funnel — the observability artifact a
@@ -136,11 +143,13 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       containT: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
       benchT: Double = 0.9,
-      benchmarkIndex: Option[String] = None): DataFrame =
+      benchmarkIndex: Option[String] = None,
+      benchmarkAsOf: Option[IndexSnapshot] = None): DataFrame =
     curateChain(raw, spanK, lmKeepMilli, maxChars,
       ledgerPath = ledgerPath, containT = containT,
       benchmark = benchmark, benchT = benchT,
-      benchmarkIndex = benchmarkIndex).zipWithIndex
+      benchmarkIndex = benchmarkIndex,
+      benchmarkAsOf = benchmarkAsOf).zipWithIndex
       .map { case ((name, df), i) =>
         df.agg(count(lit(1)).as("n_docs"),
           coalesce(sum(size(split(col("text"), " ")).cast("long")),
@@ -163,13 +172,18 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
       containT: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
       benchT: Double = 0.9,
-      benchmarkIndex: Option[String] = None): Seq[(String, DataFrame)] = {
+      benchmarkIndex: Option[String] = None,
+      benchmarkAsOf: Option[IndexSnapshot] = None): Seq[(String, DataFrame)] = {
     // contract checks BEFORE any stage materializes: every pin() is
     // an eager localCheckpoint over the corpus, so a misuse reported
     // at the gate would already have paid five stages of work
     require(benchmark.isEmpty || benchmarkIndex.isEmpty,
       "pass benchmark OR benchmarkIndex, not both — they are two " +
         "routes to the same decontamination gate")
+    require(benchmarkAsOf.isEmpty || benchmarkIndex.nonEmpty,
+      "benchmarkAsOf pins the PERSISTED benchmark index's view — it " +
+        "needs benchmarkIndex (the in-flight benchmark frame has no " +
+        "snapshots to pin)")
     // the forget-ledger front door composes FIRST when a ledger is
     // supplied: a forgotten doc must be dropped before any stage (or
     // any downstream index/state fed from the survivors) sees it —
@@ -224,7 +238,7 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
           Seq("doc_id"), "left_anti"))
       case (_, Some(ix)) => pin(
         d5c.join(containmentServeExact(rawIn.sparkSession, ix, d5c,
-              benchT)
+              benchT, asOf = benchmarkAsOf)
             .select(col("doc_b").as("doc_id")).distinct(),
           Seq("doc_id"), "left_anti"))
       case _ => d5c

@@ -382,4 +382,50 @@ class ExactServeSpec extends SparkSpec {
     assert(servedExact(root, batch) == servedExact(oneShot, batch),
       "streamed exact index must serve exactly like the one-shot build")
   }
+
+  test("curate's benchmarkAsOf pins the decontamination gate: the " +
+    "pinned funnel equals the capture-slice recompute while the " +
+    "live gate sees the append") {
+    import org.apache.spark.sql.functions.regexp_replace
+    // a training run screens MANY batches against one benchmark
+    // list: pinning the persisted index's capture-time view keeps
+    // early and late funnels agreeing about what was clean even
+    // while benchmark appends land mid-run. Machine-proof: the
+    // pinned funnel must be ROW-IDENTICAL to the in-flight recompute
+    // over the capture slice alone, and the UNPINNED funnel must
+    // differ (the appended slice gates more docs) — the pin is doing
+    // real work, not vacuously agreeing.
+    def extracted(df: DataFrame): DataFrame =
+      TextOps.extractHtml(SuiteMLShared.htmlFixture(df))
+        .select(col("doc_id"),
+          regexp_replace(col("text_extracted"), "\n", " ").as("text"))
+    val sliceA = docs.where(col("doc_id") % 20 === 0)
+    val sliceB = docs.where(col("doc_id") % 20 === 10)
+    val root = tmpRoot("excurasof")
+    TextOps.minhashIndexWrite(extracted(sliceA), root, exact = true)
+    val snap = EmbeddingOps.indexSnapshot(spark, root)
+    TextOps.minhashIndexAppend(extracted(sliceB), root)
+    def funnel(benchmark: Option[DataFrame],
+        ix: Option[String],
+        asOf: Option[graft.operators.IndexSnapshot]): Seq[String] =
+      TextOps.curateReport(SuiteMLShared.htmlFixture(docs),
+          benchmark = benchmark, benchmarkIndex = ix,
+          benchmarkAsOf = asOf)
+        .collect().map(_.toString).sorted.toSeq
+    val pinned = funnel(None, Some(root), Some(snap))
+    val recompute = funnel(Some(extracted(sliceA)), None, None)
+    assert(pinned == recompute,
+      "the pinned served gate must equal the capture-slice recompute")
+    val live = funnel(None, Some(root), None)
+    assert(live != pinned,
+      "the live gate must see the appended benchmark slice — a " +
+        "vacuous pin proves nothing")
+    // the contract refuses a pin without a persisted index to pin
+    val e = intercept[IllegalArgumentException] {
+      TextOps.curateReport(SuiteMLShared.htmlFixture(docs),
+        benchmark = Some(extracted(sliceA)), benchmarkAsOf = Some(snap))
+    }
+    assert(e.getMessage.contains("needs benchmarkIndex"),
+      s"expected the benchmarkAsOf contract refusal, got: ${e.getMessage}")
+  }
 }
