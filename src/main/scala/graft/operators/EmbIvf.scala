@@ -56,16 +56,60 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
   private def rankedCentroids(e: DataFrame, nCentroids: Int): DataFrame =
     rankedAgainst(e, seedCentroids(e, nCentroids))
 
+  /** The crk = 1 slice of [[rankedAgainst]] computed PER ROW — argmax
+    * cell assignment against the DRIVER-COLLECTED centroid list. The
+    * cross-join + window form shuffles nCentroids x corpus rows (q
+    * arrays included) through one exchange per use; the argmax needs
+    * no exchange at all: each row scores the <= nCentroids literal
+    * centroids and keeps the best (guide §2.4 — remove shuffles
+    * outright; assignment becomes a pure corpus map). The tie-break
+    * matches rankedAgainst exactly: highest ccos, then smallest
+    * cent_id, via struct-max over (ccos, -cent_id); NaN ranks
+    * greatest under Spark's double ordering in both forms, so
+    * degenerate zero-norm rows keep the window semantics. Centroids
+    * are centroid-cardinality by contract everywhere this runs (a
+    * Lloyd round's output, a stored quantizer table), so the collect
+    * is bounded exactly like the serving family's quantizer
+    * collects. Output is e's columns plus (cent_id, ccos); an empty
+    * centroid frame yields the empty assignment. */
+  private[operators] def assignedCells(e: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val idType = cents.schema("cent_id").dataType
+    val centRows =
+      cents.select(col("cent_id"), col("cq"), col("cn")).collect()
+    if (centRows.isEmpty)
+      e.where(lit(false))
+        .withColumn("cent_id", lit(null).cast(idType))
+        .withColumn("ccos", lit(null).cast("double"))
+    else {
+      val scored = centRows.toSeq.map { r =>
+        val id = r.get(0).asInstanceOf[Number].longValue
+        val cq = r.getAs[scala.collection.Seq[Long]](1).toSeq
+        val cn = r.get(2).asInstanceOf[Number].longValue
+        struct(
+          cosine(qdot(col("q"), typedlit(cq)), col("nn"), lit(cn))
+            .as("ccos"),
+          lit(-id).as("nid"))
+      }
+      e.withColumn("__best", array_max(array(scored: _*)))
+        .withColumn("cent_id", (-col("__best.nid")).cast(idType))
+        .withColumn("ccos", col("__best.ccos"))
+        .drop("__best")
+    }
+  }
+
   /** IVF probe against an EXPLICIT centroid frame (cent_id, cq, cn) —
     * the serving half once a trained quantizer exists. [[ivfTopK]] is
     * the seed-centroid special case. `e` is the [[quantized]] corpus. */
   def ivfTopKWith(e: DataFrame, cents: DataFrame, nQueries: Int = 5,
       nProbe: Int = 2, k: Int = 10): DataFrame = {
-    val ranked = rankedAgainst(e, cents)
-    val cells = ranked.where(col("crk") === 1)
+    // cells: per-row argmax (no corpus-wide window exchange); probes:
+    // the window ranks only the nQueries-filtered slice — per-row
+    // ranks are independent, so filter-then-rank is value-identical
+    val cells = assignedCells(e, cents)
       .select(col("vec_id"), col("q"), col("nn"), col("cent_id").as("cell"))
-    val probes = ranked
-      .where(col("vec_id") < nQueries && col("crk") <= nProbe)
+    val probes = rankedAgainst(e.where(col("vec_id") < nQueries), cents)
+      .where(col("crk") <= nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nn").as("qn"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy(col("query_id"))
@@ -125,7 +169,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     // label rides into the stored lists (one keyed join at offline
     // build time) so filtered serving (ivfTopKIndexedWhere) can push
     // metadata predicates into the pruned scan
-    rankedAgainst(e, saved).where(col("crk") === 1)
+    assignedCells(e, saved)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").cast("int").as("cell"))
       .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
@@ -155,8 +199,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     val s = emb.sparkSession
     val cents = s.read.parquet(s"$path/centroids")
     val e = quantized(emb).pinned
-    val assigned = rankedAgainst(e, cents)
-      .where(col("crk") === 1)
+    val assigned = assignedCells(e, cents)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").cast("int").as("cell"))
       .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
@@ -188,7 +231,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       s.sparkContext.hadoopConfiguration)
     val saved = s.read.parquet(s"$tmp/centroids")
     val e = quantized(emb).pinned
-    rankedAgainst(e, saved).where(col("crk") === 1)
+    assignedCells(e, saved)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").cast("int").as("cell"))
       .join(e.select(col("vec_id"), col("label")), Seq("vec_id"))
@@ -383,15 +426,16 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     * nondeterministically-ordered collect_list. Scale shape: centroids
     * broadcast, corpus scanned once for assignment, component sums are
     * one map-side-combined shuffle keyed (cell, component). */
-  def kmeansStep(emb: DataFrame, nCentroids: Int = KmSeeds): DataFrame =
-    rankedCentroids(quantized(emb), nCentroids)
-      .where(col("crk") === 1)
+  def kmeansStep(emb: DataFrame, nCentroids: Int = KmSeeds): DataFrame = {
+    val e = quantized(emb)
+    assignedCells(e, seedCentroids(e, nCentroids))
       .select(col("cent_id").as("cell"),
         posexplode(col("q")).as(Seq("c", "v")))
       .groupBy(col("cell"), col("c"))
       .agg(count(lit(1)).as("n_members"), sum(col("v")).as("sum_v"))
       .select(col("cell"), col("c"), col("n_members"),
         (col("sum_v").cast("double") / col("n_members")).as("mean_v"))
+  }
 
   /** The closed training loop: `iters` Lloyd rounds, each assigning by
     * exact-integer cosine and recomputing centroids as the per-cell
@@ -441,10 +485,14 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     * round from `e`, never re-derived. */
   def kmeansCentroidsQ(e: DataFrame, nCentroids: Int = KmSeeds,
       iters: Int = KmIters): DataFrame = {
-    var cents = seedCentroids(e, nCentroids).pinned
+    // each round's assignedCells collects the previous round's
+    // centroid frame (<= nCentroids rows, the bounded materialization
+    // the old per-round pin performed anyway) and assigns per row —
+    // no per-round cross-join + window exchange of nCentroids x
+    // corpus rows, and no per-round checkpoint either
+    var cents = seedCentroids(e, nCentroids)
     for (_ <- 0 until iters) {
-      cents = rankedAgainst(e, cents)
-        .where(col("crk") === 1)
+      cents = assignedCells(e, cents)
         .select(col("cent_id").as("cell"),
           posexplode(col("q")).as(Seq("c", "v")))
         .groupBy(col("cell"), col("c"))
@@ -459,16 +507,21 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
           x => x.getField("mq")).as("cq"))
         .withColumn("cn",
           aggregate(col("cq"), lit(0L), (acc, x) => acc + x * x))
-        .pinned
     }
-    cents
+    // re-emit the bounded centroid frame as a LocalRelation: every
+    // downstream consumer (the assignment collect, a broadcast build,
+    // a parquet write) reads the driver-local rows instead of
+    // re-running the last Lloyd round per consumer
+    val out = cents.select(col("cent_id"), col("cq"), col("cn"))
+    e.sparkSession.createDataFrame(
+      java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   def semanticDedup(emb: DataFrame, nCentroids: Int = KmSeeds,
       iters: Int = KmIters, threshold: Double = 0.45): DataFrame = {
     val e = quantized(emb).pinned
     val cents = kmeansCentroidsQ(e, nCentroids, iters)
-    val cells = rankedAgainst(e, cents).where(col("crk") === 1)
+    val cells = assignedCells(e, cents)
       .select(col("vec_id"), col("q"), col("nn"),
         col("cent_id").as("cell"))
       .pinned // feeds both sides of the pair self-join
@@ -482,8 +535,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     * objective (per-step monotone descent is NOT guaranteed under the
     * integer-requantized update, so only seed-vs-trained is pinned). */
   def kmeansObjective(emb: DataFrame, cents: DataFrame): DataFrame =
-    rankedAgainst(quantized(emb), cents)
-      .where(col("crk") === 1)
+    assignedCells(quantized(emb), cents)
       .agg(sum(lit(1.0) - col("ccos")).as("inertia"),
         count(lit(1)).as("n_vectors"))
 
@@ -515,8 +567,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
   def cellAssignments(emb: DataFrame, nCentroids: Int = KmSeeds,
       iters: Int = KmIters): DataFrame = {
     val e = quantized(emb).pinned
-    rankedAgainst(e, kmeansCentroidsQ(e, nCentroids, iters))
-      .where(col("crk") === 1)
+    assignedCells(e, kmeansCentroidsQ(e, nCentroids, iters))
       .select(col("vec_id"), col("cent_id").as("cell"))
   }
 

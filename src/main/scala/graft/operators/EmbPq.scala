@@ -305,7 +305,7 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     * centroid-cardinality — always broadcast; the corpus is scanned
     * once and never shuffled here. */
   private def residualized(e: DataFrame, cents: DataFrame): DataFrame =
-    rankedAgainst(e, cents).where(col("crk") === 1)
+    assignedCells(e, cents)
       .select(col("vec_id"), col("q"),
         col("cent_id").cast("int").as("cell"))
       .join(broadcast(cents.select(col("cent_id").cast("int").as("cell"),

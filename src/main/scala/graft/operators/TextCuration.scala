@@ -190,19 +190,26 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
     // without this hook the guard was left to the caller, which is
     // exactly how re-admission bugs happen
     val raw = ledgerPath.fold(rawIn)(Forget.forgottenFilter(rawIn, _))
-    val meta = raw.select(col("doc_id"), col("source"), col("lang"))
-    val d1 = extractHtml(raw)
-      .select(col("doc_id"),
-        regexp_replace(col("text_extracted"), "\n", " ").as("text"))
-      .join(meta, Seq("doc_id"))
-      .select(col("doc_id"), col("source"), col("lang"), col("text"))
+    // extraction is PER ROW, so source/lang ride the projection
+    // itself — no doc_id self-join to re-attach them (guide §2.4: the
+    // old extract ⋈ meta join shuffled the whole corpus twice for a
+    // per-row computation). extractDerived is the standalone
+    // operator's own definition, so the rules cannot drift.
+    val d1 = extractDerived(raw)
+      .select(col("doc_id"), col("source"), col("lang"),
+        regexp_replace(array_join(col("__kept"), "\n"), "\n", " ")
+          .as("text"))
     val d1p = pin(d1)
     val d2 = pin(d1p.join(dedupExact(d1p)
       .select(col("kept_doc_id").as("doc_id")), Seq("doc_id")))
     val d3 = pin(d2.join(langId(d2).where(col("correct"))
       .select(col("doc_id")), Seq("doc_id")))
-    val d4 = pin(d3.join(qualityFilter(d3, maxChars).where(col("keep"))
-      .select(col("doc_id")), Seq("doc_id")))
+    // the quality gate is one per-row boolean — survivors keep their
+    // text in place (where(keep)) instead of re-attaching it through
+    // a doc_id self-join (guide §2.4); qualityFilterAll is the
+    // standalone filter's own projection, so the rules cannot drift
+    val d4 = pin(qualityFilterAll(d3, maxChars).where(col("keep"))
+      .select(col("doc_id"), col("source"), col("lang"), col("text")))
     val d5 = pin(d4.drop("text")
       .join(dedupSpans(d4, spanK).where(col("text_clean") =!= "")
         .select(col("doc_id"), col("text_clean").as("text")),

@@ -1342,49 +1342,66 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     // every k-token window with its 0-based start position; the
     // sequence is CASE-guarded like every sequence(0, size-k) here
     // (it DESCENDS when stop < start, and ANSI mode throws on the
-    // out-of-bounds slice)
+    // out-of-bounds slice). The window key is the 16-byte digest, not
+    // the 32-char hex — equality is unchanged, the stats exchanges
+    // carry half the key bytes.
     val occ = w.where(size(col("w")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $k), i -> " +
           s"struct(i AS pos, " +
-          s"md5(concat_ws(' ', slice(w, i + 1, $k))) AS sh))"))
+          s"unhex(md5(concat_ws(' ', slice(w, i + 1, $k)))) AS sh))"))
         .as("o"))
       .select(col("doc_id"), col("o.pos").as("pos"), col("o.sh").as("sh"))
     val stats = occ.groupBy(col("sh"))
       .agg(countDistinct(col("doc_id")).as("df"),
         min(col("doc_id")).as("min_doc"))
-    // excised occurrences -> the distinct token positions they cover
+    // excised occurrences -> the token positions they cover (repeats
+    // collapse inside the rebuild's per-doc set aggregate)
     val covered = occ.join(stats, Seq("sh"))
       .where(col("df") >= 2 && col("doc_id") =!= col("min_doc"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
-      .distinct()
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
-        .as("kt"))
-      .select(col("doc_id"), size(col("kt")).cast("long").as("n_kept"),
-        expr("concat_ws(' ', transform(kt, x -> x.tok))")
-          .as("text_clean"),
+    exciseRebuild(docs, covered)
+  }
+
+  /** Shared rebuild tail of the span-excision operators
+    * ([[dedupSpans]], [[cleanRepetition]]): documents re-emitted from
+    * their UNCOVERED token positions. `covered` is the exploded
+    * (doc_id, pos) stream of excised positions (repeats allowed —
+    * the per-doc collect_set dedups, so callers skip their own
+    * distinct shuffle). The covered set aggregates to ONE doc-keyed
+    * integer-array row and the kept positions, rebuilt text, and
+    * segment count all compute INSIDE the row (array_except keeps
+    * first-argument order and positions are unique, so the kept walk
+    * is the ascending-position walk): where the exploded form
+    * anti-joined every token row and re-collected per doc, token
+    * text now never rides an exchange at all — only positions do
+    * (guide §2.3, shuffle metadata instead of payloads; §2.4, the
+    * token-level anti-join + collect_list shuffles are removed
+    * outright). Null-text docs keep the exploded form's surface:
+    * null counts, 0 segments, empty text_clean. */
+  private[operators] def exciseRebuild(docs: DataFrame,
+      covered: DataFrame): DataFrame = {
+    val cov = covered.groupBy(col("doc_id"))
+      .agg(sort_array(collect_set(col("pos"))).as("cpos"))
+    docs.select(col("doc_id"), split(col("text"), " ").as("w"))
+      .join(cov, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("w"), expr(
+        "array_except(sequence(0, size(w) - 1), " +
+          "coalesce(cpos, CAST(array() AS ARRAY<INT>)))").as("kp"))
+      .select(col("doc_id"),
+        size(col("w")).cast("long").as("n_tokens"),
+        (size(col("w")) - size(col("kp"))).cast("long").as("n_removed"),
         // contiguous kept runs: 1 + number of position gaps > 1 (the
         // i >= 1 indices are always in bounds, so no ANSI guard needed
         // beyond the size >= 2 CASE)
-        expr("CASE WHEN size(kt) >= 2 THEN CAST(1 + size(filter(" +
-          "transform(sequence(1, size(kt) - 1), " +
-          "i -> kt[i].pos - kt[i-1].pos), d -> d > 1)) AS BIGINT) " +
-          "ELSE CAST(size(kt) AS BIGINT) END").as("n_segments"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_removed"),
-        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        ((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .cast("double") / col("n_tokens")).as("removed_frac"))
+        coalesce(expr("CASE WHEN size(kp) >= 2 THEN CAST(1 + size(filter(" +
+          "transform(sequence(1, size(kp) - 1), " +
+          "i -> kp[i] - kp[i-1]), d -> d > 1)) AS BIGINT) " +
+          "ELSE CAST(size(kp) AS BIGINT) END"), lit(0L)).as("n_segments"),
+        expr("concat_ws(' ', transform(kp, i -> w[i]))").as("text_clean"),
+        ((size(col("w")) - size(col("kp"))).cast("double") /
+          size(col("w"))).as("removed_frac"))
   }
 
   /** Per-source dedup funnel — the data-card companion of

@@ -42,8 +42,13 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
     * Output: (doc_id, text_extracted — kept lines joined by newline,
     * n_lines, n_lines_kept, n_chars). Scale shape: one projection,
     * no shuffle, no state; plans fuse with whatever consumes it. */
-  def extractHtml(docs: DataFrame, htmlCol: String = "html",
-      minLineTokens: Int = 4): DataFrame = {
+  /** `docs` plus the extraction intermediates (__lines, __kept) of
+    * [[extractHtml]] — the single definition the standalone operator
+    * and the curation chain's FUSED front stage both project from, so
+    * the tag/entity/line rules cannot drift between them (the
+    * qualityDerived pattern). Keeps every input column. */
+  private[operators] def extractDerived(docs: DataFrame,
+      htmlCol: String = "html", minLineTokens: Int = 4): DataFrame = {
     require(minLineTokens >= 1,
       s"minLineTokens must be >= 1, got $minLineTokens")
     val noScript = regexp_replace(col(htmlCol),
@@ -64,13 +69,17 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
           "l -> trim(regexp_replace(l, '\\\\s+', ' '))), l -> l != '')"))
       .withColumn("__kept", expr(
         s"filter(__lines, l -> size(split(l, ' ')) >= $minLineTokens)"))
+  }
+
+  def extractHtml(docs: DataFrame, htmlCol: String = "html",
+      minLineTokens: Int = 4): DataFrame =
+    extractDerived(docs, htmlCol, minLineTokens)
       .select(col("doc_id"),
         array_join(col("__kept"), "\n").as("text_extracted"),
         size(col("__lines")).cast("long").as("n_lines"),
         size(col("__kept")).cast("long").as("n_lines_kept"),
         length(array_join(col("__kept"), "\n")).cast("long")
           .as("n_chars"))
-  }
 
   /** T5-style span corruption (Raffel et al. 2020, the denoising
     * objective behind T5/UL2): deterministic hash-chosen token
@@ -627,8 +636,20 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
     * and the tier/PII definitions are the shared ones, so the filter
     * can never disagree with the standalone score views. */
   def qualityFilter(docs: DataFrame, maxChars: Long = 100000L)
-      : DataFrame = {
-    val q = qualityDerived(docs)
+      : DataFrame =
+    qualityFilterAll(docs, maxChars)
+      .select(col("doc_id"), col("lang"), col("quality_tier"),
+        col("n_pii"), col("n_chars"), col("keep"), col("reasons"))
+
+  /** [[qualityFilter]] with every INPUT column preserved (notably
+    * `text`) — the projection the curation chain filters in place:
+    * the gate is one per-row boolean, so the chain keeps survivors
+    * with a plain `where(keep)` instead of re-attaching text through
+    * a doc_id self-join (guide §2.4 — the join and its exchanges are
+    * removed outright). One definition of the rules for both. */
+  private[operators] def qualityFilterAll(docs: DataFrame,
+      maxChars: Long): DataFrame =
+    qualityDerived(docs)
       .withColumn("n_pii",
         (size(regexp_extract_all(col("text"), lit(emailRe), lit(0))) +
           size(regexp_extract_all(col("text"), lit(digitRe), lit(0))))
@@ -637,10 +658,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
         when(col("quality_tier") =!= "ok", col("quality_tier")),
         when(col("n_pii") > 0, lit("pii")),
         when(col("n_chars") > maxChars, lit("too_long"))))
-    q.select(col("doc_id"), col("lang"), col("quality_tier"),
-      col("n_pii"), col("n_chars"),
-      (col("reasons") === "").as("keep"), col("reasons"))
-  }
+      .withColumn("keep", col("reasons") === "")
 
   /** The eight-word function-word list [[gopherRules]] checks for —
     * Gopher's "stop word" heuristic (Rae et al. 2021, A1.1: a page
@@ -1025,7 +1043,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(0, size(w) - $k), i -> " +
           s"struct(i AS pos, " +
-          s"md5(concat_ws(' ', slice(w, i + 1, $k))) AS sh))"))
+          s"unhex(md5(concat_ws(' ', slice(w, i + 1, $k)))) AS sh))"))
         .as("o"))
       .select(col("doc_id"), col("o.pos").as("pos"), col("o.sh").as("sh"))
     val stats = occ.groupBy(col("doc_id"), col("sh"))
@@ -1034,30 +1052,9 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
       .where(col("c") >= 2 && col("pos") =!= col("min_pos"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("pos"))
-      .distinct()
-    val toks = docs.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val rebuilt = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("tok"))))
-        .as("kt"))
-      .select(col("doc_id"), size(col("kt")).cast("long").as("n_kept"),
-        expr("concat_ws(' ', transform(kt, x -> x.tok))")
-          .as("text_clean"),
-        expr("CASE WHEN size(kt) >= 2 THEN CAST(1 + size(filter(" +
-          "transform(sequence(1, size(kt) - 1), " +
-          "i -> kt[i].pos - kt[i-1].pos), d -> d > 1)) AS BIGINT) " +
-          "ELSE CAST(size(kt) AS BIGINT) END").as("n_segments"))
-    docs.select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .as("n_removed"),
-        coalesce(col("n_segments"), lit(0L)).as("n_segments"),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        ((col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
-          .cast("double") / col("n_tokens")).as("removed_frac"))
+    // shared array rebuild with [[dedupSpans]] — covered positions
+    // aggregate per doc, token text never rides an exchange
+    exciseRebuild(docs, covered)
   }
 
   /** Collocation (phrase) detection by quantized PMI — the word2vec

@@ -196,13 +196,20 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     val ctx2 = b.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_2"))
     val uni = b.groupBy(col("rhs")).agg(sum(col("c_ab")).as("c_3"))
     val tot = b.agg(sum(col("c_ab")).as("n_total"))
+    // context marginals ride their MODEL join (guide §2.4): c_12 is
+    // read only in the trigram-hit arm (where the (w1,w2) context is
+    // in ctx12 by construction) and c_2 only in the bigram-hit arm
+    // (where (w2) is in ctx2) — attaching each marginal model-side
+    // (inner, 1:1 on its rung's key) is value-identical while the
+    // doc-trigram stream rides THREE keyed exchanges instead of
+    // five. c_3 must cover trigrams BOTH rungs missed, so the
+    // unigram marginal keeps its own (w3)-keyed join.
     docTrigrams(docs)
-      .join(t, Seq("w1", "w2", "w3"), "left")
-      .join(ctx12, Seq("w1", "w2"), "left")
-      .join(b.select(col("lhs").as("w2"), col("rhs").as("w3"),
-        col("c_ab").as("c_23")), Seq("w2", "w3"), "left")
-      .join(ctx2.select(col("lhs").as("w2"), col("c_2")), Seq("w2"),
+      .join(t.join(ctx12, Seq("w1", "w2")), Seq("w1", "w2", "w3"),
         "left")
+      .join(b.join(ctx2, Seq("lhs"))
+        .select(col("lhs").as("w2"), col("rhs").as("w3"),
+          col("c_ab").as("c_23"), col("c_2")), Seq("w2", "w3"), "left")
       .join(uni.select(col("rhs").as("w3"), col("c_3")), Seq("w3"),
         "left")
       .join(broadcast(tot), lit(true))
@@ -629,9 +636,14 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
     val uni = lm.groupBy(col("rhs")).agg(sum(col("c_ab")).as("c_rhs"))
     val tot = lm.agg(sum(col("c_ab")).as("n_total"))
+    // c_lhs rides the model join (guide §2.4): the seen arm is the
+    // only consumer of c_lhs, and a bigram seen in lm always has its
+    // lhs in ctx, so attaching the marginal model-side (inner, 1:1)
+    // is value-identical while the corpus-scale (lhs) re-shuffle of
+    // the scored stream disappears. uni keys on rhs AND must cover
+    // bigrams the model missed — it stays its own keyed join.
     docBigrams(docs)
-      .join(lm, Seq("lhs", "rhs"), "left")
-      .join(ctx, Seq("lhs"), "left")
+      .join(lm.join(ctx, Seq("lhs")), Seq("lhs", "rhs"), "left")
       .join(uni, Seq("rhs"), "left")
       .join(broadcast(tot), lit(true))
       .withColumn("nll_q", when(col("c_ab").isNotNull,
@@ -651,9 +663,15 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
   }
 
   private def lmScored(db: DataFrame, lm: DataFrame): DataFrame = {
+    // the context marginal attaches to the MODEL (vocabulary²-sized)
+    // before the corpus-sized scoring join, so the doc-bigram stream
+    // rides ONE exchange instead of two (guide §2.4 — two operations
+    // keyed the same way share one exchange; the (lhs) re-shuffle of
+    // the corpus-scale joined stream is removed outright). ctx is
+    // keyed by lhs and covers every model lhs, so the inner attach
+    // changes no values.
     val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
-    db.join(lm, Seq("lhs", "rhs"))
-      .join(ctx, Seq("lhs"))
+    db.join(lm.join(ctx, Seq("lhs")), Seq("lhs", "rhs"))
       .withColumn("nll_q",
         (length(bin(expr("c_lhs div c_ab"))) - 1).cast("long"))
       .groupBy(col("doc_id"))
