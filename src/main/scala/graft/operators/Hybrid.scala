@@ -73,14 +73,35 @@ object Hybrid {
       rrfK: Int = 60, nProbe: Int = 2,
       lexAsOf: Option[IndexSnapshot] = None,
       denseAsOf: Option[IndexSnapshot] = None): DataFrame = {
-    val lex = TextOps
-      .bm25TopKIndexedBatch(s, bm25Path, termQueries, kArm,
-        asOf = lexAsOf)
-      .select(col("query_id"), col("doc_id").as("cand_id"), col("rk"))
-    val dense = EmbeddingOps
-      .ivfpqTopKIndexed(s, ivfpqPath, vecQueries, nProbe, kArm,
-        asOf = denseAsOf)
-      .select(col("query_id"), col("vec_id").as("cand_id"), col("rk"))
-    rrfFuse(lex, dense, k, rrfK)
+    // The two arms are INDEPENDENT (separate indexes, separate query
+    // frames) but each serve interleaves driver-side metadata work
+    // (bounded collects, the pin jobs) with cluster stages, which
+    // serializes them when built inline. Build and MATERIALIZE the
+    // arms on two driver threads instead (optimization guide §2.6 —
+    // overlap independent jobs: the scheduler happily runs both
+    // arms' jobs at once, and each arm's tail back-fills the other's
+    // idle slots), then fuse the two pinned batch x kArm frames.
+    // Results are bit-identical: each arm is deterministic and the
+    // fusion reads only the materialized frames.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    import graft.operators.Stage.PinOps
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val lexF = Future {
+      TextOps
+        .bm25TopKIndexedBatch(s, bm25Path, termQueries, kArm,
+          asOf = lexAsOf)
+        .select(col("query_id"), col("doc_id").as("cand_id"), col("rk"))
+        .pinned
+    }
+    val denseF = Future {
+      EmbeddingOps
+        .ivfpqTopKIndexed(s, ivfpqPath, vecQueries, nProbe, kArm,
+          asOf = denseAsOf)
+        .select(col("query_id"), col("vec_id").as("cand_id"), col("rk"))
+        .pinned
+    }
+    rrfFuse(Await.result(lexF, Duration.Inf),
+      Await.result(denseF, Duration.Inf), k, rrfK)
   }
 }

@@ -497,14 +497,18 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
       .agg(sum(col("c_dw") * col("n_lw")).as("dot"))
       .join(broadcast(langSize), Seq("cand_lang"))
       .withColumn("score", col("dot").cast("double") / col("n_l"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cand_lang").asc)
+    // argmax as a partial-aggregable min-struct instead of a window
+    // rank (guide §2.3 — aggregate before you shuffle): min over
+    // (-score, cand_lang) is exactly the (score desc, cand_lang asc)
+    // total order (scores are >= 0 finite ratios, so negation mirrors
+    // the ordering), with map-side combine and no per-doc sort
     scored
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"),
+        col("cand_lang").as("cl"))).as("m"))
       .select(col("doc_id"), col("lang"),
-        col("cand_lang").as("pred_lang"),
-        (col("cand_lang") === col("lang")).as("correct"))
+        col("m.cl").as("pred_lang"),
+        (col("m.cl") === col("lang")).as("correct"))
   }
 
   /** Character-n-gram language ID — the classic n-gram-profile
@@ -535,19 +539,20 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
       .agg(sum(col("c_dg")).as("n_lg"))
     val langSize = docGc.groupBy(col("lang").as("cand_lang"))
       .agg(sum(col("c_dg")).as("n_l"))
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("cand_lang").asc)
+    // same min-struct argmax as [[langId]] — the (score desc,
+    // cand_lang asc) order as a partial-aggregable min
     docGc
       .join(profile, Seq("g"))
       .groupBy(col("doc_id"), col("lang"), col("cand_lang"))
       .agg(sum(col("c_dg") * col("n_lg")).as("dot"))
       .join(broadcast(langSize), Seq("cand_lang"))
       .withColumn("score", col("dot").cast("double") / col("n_l"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"),
+        col("cand_lang").as("cl"))).as("m"))
       .select(col("doc_id"), col("lang"),
-        col("cand_lang").as("pred_lang"),
-        (col("cand_lang") === col("lang")).as("correct"))
+        col("m.cl").as("pred_lang"),
+        (col("m.cl") === col("lang")).as("correct"))
   }
 
   /** `docs` plus the derived quality columns (counts, exact-integer
@@ -612,10 +617,19 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
     * (score desc, word asc) — the total order both engines replay. */
   private def argmaxTerm(scored: DataFrame,
       out: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val w = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("word").asc)
-    scored.withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+    // top-1 by (score desc, word asc) as a partial-aggregable
+    // min-struct instead of a window rank (guide §2.3 — map-side
+    // combine collapses each partition to one candidate per doc
+    // before the exchange, and the per-doc sort disappears). Scores
+    // are non-negative (a count ratio or an integer product), so
+    // negation mirrors the desc order exactly; (doc_id, word) is
+    // unique, so fields past `word` never decide the comparison.
+    val rest = "word" +:
+      scored.columns.filterNot(c => c == "doc_id" || c == "word")
+    val fields = (-col("score")).as("__ns") +: rest.map(c => col(c).as(c))
+    scored.groupBy(col("doc_id"))
+      .agg(min(struct(fields: _*)).as("__m"))
+      .select(col("doc_id") +: rest.map(c => col(s"__m.$c").as(c)): _*)
       .select(out: _*)
   }
 

@@ -775,15 +775,28 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
         .join(EmbeddingOps.tombstones(s, path, "doc_id"),
           Seq("doc_id"), "left_anti")
         .pinned // postings rewrite + totals recompute, one read
+      // the totals recompute is independent of the postings/dict
+      // rewrite (both read only the pinned `live`), so it runs on
+      // its own driver thread and back-fills the rewrite's idle
+      // slots (guide §2.6); the staged swap commits only after both
+      // complete. The dictionary keeps regenerating from the
+      // WRITTEN segment (a column-pruned read of `word` alone — at
+      // scale that is cheaper than re-scanning the pinned full
+      // rows), so a compaction still drops tombstoned docs' orphan
+      // vocabulary.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      implicit val ec: ExecutionContext = ExecutionContext.global
+      val totalsF = Future {
+        live.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
+          .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
+      }
       live.repartition(col("tb"))
         .write.partitionBy("tb").mode("overwrite")
         .parquet(s"$tmp/postings/seg=0")
-      // the dictionary regenerates from the SURVIVING postings, so a
-      // compaction drops tombstoned docs' orphan vocabulary too
       writeTermDict(s, s"$tmp/postings/seg=0")
-      live.select(col("doc_id"), col("dl")).distinct()
-        .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
-        .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
+      Await.result(totalsF, Duration.Inf)
       EmbeddingOps.commitGen(fs,
         new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
       // expires + retires; fenced on the generations read above (a
