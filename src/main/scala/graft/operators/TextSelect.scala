@@ -485,12 +485,14 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     * ~2e23 — both orders of magnitude past ~1e13 (100 TB). The
     * per-source budget candidate `b` surfaces as a BIGINT quotient,
     * exact while min(b) < 2^63 (~9e18 tokens). */
-  def mixTemperature(docs: DataFrame, q: Int = 2): DataFrame = {
+  def mixTemperature(docs: DataFrame, q: Int = 2,
+      localSourceLimit: Int = MixLocalSourceLimit): DataFrame = {
     val toks = docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens"))
     mixTemperatureToks(toks,
       toks.groupBy(col("source"))
-        .agg(sum(col("n_tokens")).as("source_tokens")), q)
+        .agg(sum(col("n_tokens")).as("source_tokens")), q,
+      localSourceLimit)
   }
 
   /** [[mixTemperature]] against EXPLICIT per-source token totals
@@ -502,53 +504,133 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     * mixTemperature(d) == mixTemperatureWith(d, totals-of-d) by
     * construction. */
   def mixTemperatureWith(docs: DataFrame, bySource: DataFrame,
-      q: Int = 2): DataFrame =
+      q: Int = 2, localSourceLimit: Int = MixLocalSourceLimit): DataFrame =
     mixTemperatureToks(docs.select(col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast("long").as("n_tokens")),
-      bySource, q)
+      bySource, q, localSourceLimit)
+
+  /** Default cap for [[mixTemperature]]'s driver-collapsed rates
+    * route: a per-source frame at or under this collects to the
+    * driver (bounded — a few MB at worst) and the rate arithmetic
+    * runs locally; anything larger takes the distributed plan
+    * unchanged. The serving family's `localPairLimit` discipline. */
+  val MixLocalSourceLimit = 65536
 
   private def mixTemperatureToks(toks: DataFrame, bySource: DataFrame,
-      q: Int): DataFrame = {
+      q: Int, localSourceLimit: Int = MixLocalSourceLimit): DataFrame = {
     require(q >= 1 && q <= 6,
       s"temperature exponent q must be in [1, 6], got $q")
+    require(localSourceLimit > 0, "localSourceLimit must be positive")
     // candidate powers in DECIMAL(38,0): (g+2)^q brushes Long.Max
     // when source_tokens itself nears 2^63
     val powT =
       ("CAST(t AS DECIMAL(38,0))" +: Seq.fill(q - 1)("t")).mkString(" * ")
     val alpha = 1.0 / q
     // sources-cardinality; feeds three consumers (sum, min, join)
-    val roots = bySource
+    val rootsPlan = bySource
       .withColumn("g", expr("CAST(POWER(CAST(source_tokens AS " +
         s"DOUBLE), ${alpha}D) AS BIGINT)"))
       .withColumn("t_s", expr(
         "array_max(filter(array(g - 2, g - 1, g, g + 1, g + 2), " +
           s"t -> t >= 1 AND $powT <= source_tokens))"))
       .select(col("source"), col("source_tokens"), col("t_s"))
-      .pinned
-    val totT = roots.agg(sum(col("t_s")).as("tot_t")) // 1-row scalar
-    val budget = roots.crossJoin(broadcast(totT))
-      .select(expr("CAST(source_tokens AS DECIMAL(38,0))" +
-        " * tot_t div t_s").as("b"))
-      .agg(min(col("b")).as("budget")) // 1-row scalar
-    val rates = roots.crossJoin(broadcast(totT))
-      .crossJoin(broadcast(budget))
-      .select(col("source"),
-        least(lit(1000L),
-          expr("CAST(budget AS DECIMAL(38,0)) * t_s * 1000" +
-            " div (CAST(tot_t AS DECIMAL(38,0)) * source_tokens)"))
-          .as("keep_permille"))
-    val bucket = saltBucket("mixt:", 1000)
-    toks
-      // rates is DATA-derived (one row per distinct source): at
-      // curated-mixture cardinality the optimizer auto-broadcasts it;
-      // at domain-level mixing (unbounded sources) it must shuffle —
-      // unlike mixRebalance, whose rates frame is bounded by the
-      // caller's explicit share list, no hint is safe here
-      .join(rates, Seq("source"))
-      .select(col("doc_id"), col("source"), col("n_tokens"),
-        bucket.as("bucket"), col("keep_permille"))
-      .where(col("bucket") < col("keep_permille"))
+    // Route probe (the serving family's localPairLimit discipline,
+    // guide §2.6/§2.4): limit(N+1) decides in ONE job whether the
+    // per-source frame fits the driver. At or under the cap the
+    // collected rows ARE the complete roots frame, and the three
+    // scalar aggregates (tot_t, budget, the rates projection) run
+    // driver-side over <= N rows — no roots checkpoint job, no
+    // tot_t/budget scalar jobs, and the rates frame re-emits as a
+    // bounded LocalRelation whose broadcast builds driver-side for
+    // free. Over the cap (domain-level mixing, unbounded sources by
+    // contract) the distributed plan below runs unchanged.
+    val probe = rootsPlan.limit(mixProbeLimit(localSourceLimit)).collect()
+    if (probe.length <= localSourceLimit) {
+      // Driver-side mirror of the distributed arithmetic, exact by
+      // construction: t_s and source_tokens arrive from the SAME
+      // Spark expressions the distributed route aggregates (the probe
+      // collects rootsPlan itself), and every product runs in BigInt —
+      // value-identical to the DECIMAL(38,0) plan within its own
+      // documented 10^38 envelope. Null propagation mirrors the
+      // distributed operators: sum/min skip null inputs (an all-null
+      // frame yields null tot_t/budget), and least(1000, null) = 1000,
+      // so a null t_s (a 0-token source) keeps at rate 1000 in both
+      // routes. The `div` quotients are BIGINT in the plan; a quotient
+      // past 2^63 is the same >10^38-class envelope (null there,
+      // exact here) and is unreachable at the 100 TB design point.
+      val rows = probe.toSeq.map { r =>
+        val st = if (r.isNullAt(1)) None
+          else Some(r.get(1).asInstanceOf[Number].longValue)
+        val ts = if (r.isNullAt(2)) None
+          else Some(r.get(2).asInstanceOf[Number].longValue)
+        (r.get(0), st, ts)
+      }
+      val tss = rows.flatMap(_._3)
+      val totT: Option[Long] = if (tss.isEmpty) None else Some(tss.sum)
+      val budget: Option[BigInt] = totT.flatMap { tt =>
+        val bs = rows.collect { case (_, Some(st), Some(ts)) =>
+          BigInt(st) * BigInt(tt) / BigInt(ts) // ts >= 1 by construction
+        }
+        if (bs.isEmpty) None else Some(bs.min)
+      }
+      val keepRows: java.util.List[org.apache.spark.sql.Row] =
+        java.util.Arrays.asList(rows.map { case (src, stOpt, tsOpt) =>
+          val kp: java.lang.Long = (totT, budget, stOpt, tsOpt) match {
+            case (Some(tt), Some(b), Some(st), Some(ts)) if st != 0L =>
+              val v = b * BigInt(ts) * 1000 / (BigInt(tt) * BigInt(st))
+              java.lang.Long.valueOf(
+                if (v.isValidLong) math.min(1000L, v.toLong) else 1000L)
+            case _ => java.lang.Long.valueOf(1000L) // least(1000, null)
+          }
+          org.apache.spark.sql.Row(src, kp)
+        }: _*)
+      val rates = toks.sparkSession.createDataFrame(keepRows,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("source",
+            rootsPlan.schema("source").dataType),
+          org.apache.spark.sql.types.StructField("keep_permille",
+            org.apache.spark.sql.types.LongType))))
+      val bucket = saltBucket("mixt:", 1000)
+      toks
+        // bounded by the route cap — the broadcast hint is safe HERE
+        // (the unbounded-sources case took the distributed arm)
+        .join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          bucket.as("bucket"), col("keep_permille"))
+        .where(col("bucket") < col("keep_permille"))
+    } else {
+      val roots = rootsPlan.pinned
+      val totT = roots.agg(sum(col("t_s")).as("tot_t")) // 1-row scalar
+      val budget = roots.crossJoin(broadcast(totT))
+        .select(expr("CAST(source_tokens AS DECIMAL(38,0))" +
+          " * tot_t div t_s").as("b"))
+        .agg(min(col("b")).as("budget")) // 1-row scalar
+      val rates = roots.crossJoin(broadcast(totT))
+        .crossJoin(broadcast(budget))
+        .select(col("source"),
+          least(lit(1000L),
+            expr("CAST(budget AS DECIMAL(38,0)) * t_s * 1000" +
+              " div (CAST(tot_t AS DECIMAL(38,0)) * source_tokens)"))
+            .as("keep_permille"))
+      val bucket = saltBucket("mixt:", 1000)
+      toks
+        // rates is DATA-derived (one row per distinct source): on this
+        // arm the source count exceeded the route cap (domain-level
+        // mixing, unbounded sources), so it must shuffle — unlike
+        // mixRebalance, whose rates frame is bounded by the caller's
+        // explicit share list, no hint is safe here
+        .join(rates, Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          bucket.as("bucket"), col("keep_permille"))
+        .where(col("bucket") < col("keep_permille"))
+    }
   }
+
+  /** Saturating N+1 for the route-deciding limit probe (the
+    * [[graft.operators.TextIndexes]] probeLimit rule): N+1 rows back
+    * means "over the cap", N or fewer means the collect is complete. */
+  private def mixProbeLimit(cap: Int): Int =
+    if (cap == Int.MaxValue) cap else cap + 1
 
   /** (doc_id, lhs, rhs, k) — each document's adjacent-bigram stream
     * with within-doc multiplicity, built per-row from the token array

@@ -429,11 +429,23 @@ class ScaleProbeSpec extends SparkSpec {
     // per-operator probes' job)
     // varied source: a constant literal would constant-fold the mix
     // stage's source equi-key away and turn its rates join into a
-    // Cartesian that the real (multi-source) shape never plans
-    val raw = syntheticDocs(2000L).select(col("doc_id"),
-      concat(lit("src"), pmod(col("doc_id"), lit(4))).as("source"),
-      col("lang"),
-      concat(lit("<html><body><p>"), col("text"),
+    // Cartesian that the real (multi-source) shape never plans.
+    // SMALL (10-term) vocabulary: syntheticDocs' 1000-term vocab makes
+    // every bigram near-unique, so the LM gate drops the WHOLE corpus
+    // — harmless while the chain was fully lazy, but the mix stage's
+    // route probe now evaluates the per-source totals at construction
+    // and a provably-empty rates LocalRelation lets Catalyst fold the
+    // entire composed plan to an empty LocalTableScan (correct, but
+    // then there is no plan shape left to probe). Repeating bigrams
+    // keep the corpus alive through the gate, so the probed plan is
+    // the real multi-stage shape.
+    val raw = spark.range(2000L).select(
+      col("id").as("doc_id"),
+      concat(lit("src"), pmod(col("id"), lit(4))).as("source"),
+      lit("en").as("lang"),
+      concat(lit("<html><body><p>"), concat_ws(" ", expr(
+        "transform(sequence(0, 39), " +
+          "i -> concat('w', pmod(xxhash64(id * 40 + i), 10)))")),
         lit("</p></body></html>")).as("html"))
     val plan = staticPlanOf(
       TextOps.curateChain(raw, 8, 3950L, 100000L,
@@ -659,11 +671,41 @@ class ScaleProbeSpec extends SparkSpec {
       s"unigramEncode broadcasts ${bc.length} corpus-derived frame(s)")
   }
 
-  test("mixTemperature at 10x sf0.1: only 1-row scalar frames broadcast") {
+  test("mixTemperature at 10x sf0.1: collapsed route plans no corpus " +
+    "shuffle; only the bounded rates LocalRelation broadcasts") {
+    // the default (at-or-under-cap) route probes the per-source frame
+    // in ONE job and re-emits the rates as a bounded LocalRelation:
+    // the RETURNED plan is one broadcast-joined filter pass over the
+    // corpus — no shuffle, no scalar-aggregate jobs, no cartesian
+    val multiSource = syntheticDocs(50000L)
+      .withColumn("source", concat(lit("src"),
+        pmod(col("doc_id"), lit(8)).cast("string")))
+    val collapsed = staticPlanOf(TextOps.mixTemperature(multiSource))
+    assert(collapsed.collect {
+      case e: org.apache.spark.sql.execution.exchange
+          .ShuffleExchangeExec => e
+    }.isEmpty,
+      "collapsed mixTemperature still plans a shuffle — the rates " +
+        "collapse did not take the driver route")
+    assert(collapsed.collect {
+      case c: org.apache.spark.sql.execution.joins
+          .CartesianProductExec => c
+    }.isEmpty, "collapsed mixTemperature plans a CartesianProduct")
+    broadcastSubtrees(collapsed).foreach { sub =>
+      val cols = sub.output.map(_.name)
+      assert(cols.contains("keep_permille"),
+        "collapsed mixTemperature broadcasts a frame other than the " +
+          "rates LocalRelation: " + cols.mkString("[", ", ", "]"))
+    }
+  }
+
+  test("mixTemperature at 10x sf0.1, over-cap arm: only 1-row scalar " +
+    "frames broadcast") {
     // the per-source roots frame is DATA-derived (unbounded at
     // domain-level mixing) so it carries no broadcast hint — with the
     // size heuristic off, any surviving BroadcastExchange must be one
-    // of the two 1-row scalars (total root mass, token budget)
+    // of the two 1-row scalars (total root mass, token budget).
+    // localSourceLimit = 1 forces the distributed arm (8 sources > 1)
     // a MULTI-source corpus: with syntheticDocs' single literal
     // source, Catalyst constant-folds the source equi-join into a
     // degenerate cross — an artifact of the probe data, not the
@@ -671,7 +713,8 @@ class ScaleProbeSpec extends SparkSpec {
     val multiSource = syntheticDocs(50000L)
       .withColumn("source", concat(lit("src"),
         pmod(col("doc_id"), lit(8)).cast("string")))
-    val plan = staticPlanOf(TextOps.mixTemperature(multiSource))
+    val plan = staticPlanOf(
+      TextOps.mixTemperature(multiSource, localSourceLimit = 1))
     // shuffle health, scalar-tolerant: the two global reductions
     // (total root mass, budget) legitimately exchange into one
     // partition — map-side partial aggregation means that exchange

@@ -701,6 +701,38 @@ class TextOpsSpec extends SparkSpec {
       q2("small") == 999L, s"exact-arithmetic drift: $q2")
   }
 
+  test("mixTemperature: driver-collapsed rates equal the distributed " +
+    "route bit-for-bit (both q, degenerate sources included)") {
+    import spark.implicits._
+    val d = docsDf(
+      (1L to 60L).map(i => (i, "a b c d e f g h i j", "en", "big")) ++
+        (61L to 75L).map(i => (i, "a b c d e f g h i j", "en", "mid")) ++
+        (76L to 80L).map(i => (i, "a b c d e f g h i j", "en", "small")) ++
+        Seq((81L, "x", "en", "tiny"))) // 1 token: pow/floor edge
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    for (q <- Seq(1, 2, 3)) {
+      // localSourceLimit = 1 forces the distributed arm (4 sources)
+      val dist = TextOps.mixTemperature(d, q = q, localSourceLimit = 1)
+      val coll = TextOps.mixTemperature(d, q = q)
+      assert(rows(coll) == rows(dist),
+        s"collapsed vs distributed mixTemperature diverge at q=$q")
+      assert(coll.schema.map(f => (f.name, f.dataType)) ==
+        dist.schema.map(f => (f.name, f.dataType)))
+    }
+    // explicit-totals door, with a 0-token source (null t_s in the
+    // plan: sum/min skip it, least(1000, null) = 1000 — the driver
+    // mirror must reproduce that, not divide by zero)
+    val bySource = Seq(("big", 600L), ("mid", 150L), ("small", 50L),
+      ("empty", 0L)).toDF("source", "source_tokens")
+    val distW = TextOps.mixTemperatureWith(d, bySource, q = 2,
+      localSourceLimit = 1)
+    val collW = TextOps.mixTemperatureWith(d, bySource, q = 2)
+    assert(rows(collW) == rows(distW),
+      "collapsed vs distributed mixTemperatureWith diverge on a " +
+        "0-token source")
+  }
+
   test("corpusReport: exact per-source masses and short-doc permille") {
     import spark.implicits._
     val d = docsDf(Seq(
