@@ -43,7 +43,7 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     * centroids by exact-integer cosine (ties -> smallest centroid id).
     * One definition — the two halves cannot drift on the assignment
     * rule. Centroids are centroid-cardinality, always broadcast. */
-  private[operators] def rankedAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
+  private[graft] def rankedAgainst(e: DataFrame, cents: DataFrame): DataFrame = {
     val scoredCents = e.join(broadcast(cents), lit(true))
       .select(col("vec_id"), col("q"), col("nn"), col("cent_id"),
         cosine(qdot(col("q"), col("cq")), col("nn"), col("cn"))
@@ -56,6 +56,21 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
   private def rankedCentroids(e: DataFrame, nCentroids: Int): DataFrame =
     rankedAgainst(e, seedCentroids(e, nCentroids))
 
+  /** Centroid-count bound for the PER-ROW literal routes
+    * ([[assignedCells]], [[probedCells]]): each collected centroid
+    * becomes a typedlit struct in the expression tree, so the plan
+    * grows O(nCentroids x dim) — fine at quantizer-table cardinality
+    * (KmSeeds = 16, label sets), but a 4k–64k-cell production
+    * quantizer would brush codegen's 64 KB method limit and bloat
+    * every plan that embeds it. The limit(N+1) probe bounds the
+    * driver collect AND picks the route: at or under the cap, the
+    * literal argmax/slice (zero exchange); over it, the broadcast
+    * form (one BroadcastExchange, no literals — value-identical,
+    * spec-pinned). */
+  private[graft] val MaxLiteralCentroids = 64
+
+  private def centProbeLimit: Int = MaxLiteralCentroids + 1
+
   /** The crk = 1 slice of [[rankedAgainst]] computed PER ROW — argmax
     * cell assignment against the DRIVER-COLLECTED centroid list. The
     * cross-join + window form shuffles nCentroids x corpus rows (q
@@ -66,22 +81,27 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     * matches rankedAgainst exactly: highest ccos, then smallest
     * cent_id, via struct-max over (ccos, -cent_id); NaN ranks
     * greatest under Spark's double ordering in both forms, so
-    * degenerate zero-norm rows keep the window semantics. Centroids
-    * are centroid-cardinality by contract everywhere this runs (a
-    * Lloyd round's output, a stored quantizer table), so the collect
-    * is bounded exactly like the serving family's quantizer
-    * collects. Output is e's columns plus (cent_id, ccos); an empty
-    * centroid frame yields the empty assignment. */
-  private[operators] def assignedCells(e: DataFrame,
+    * degenerate zero-norm rows keep the window semantics. The
+    * centroid collect is BOUNDED by a limit([[MaxLiteralCentroids]]+1)
+    * probe — an oversized centroid frame is never pulled to the
+    * driver; it takes the broadcast-join + max-struct route instead:
+    * the same (ccos, -cent_id) struct ordered by the same max, with
+    * the corpus grouped on its own (vec_id-unique) columns, so the
+    * partial aggregate collapses to one row per vector inside the
+    * scan partition and one keyed exchange carries (row, best) —
+    * never nCentroids x corpus. Output is e's columns plus (cent_id,
+    * ccos) on every route; an empty centroid frame yields the empty
+    * assignment. */
+  private[graft] def assignedCells(e: DataFrame,
       cents: DataFrame): DataFrame = {
     val idType = cents.schema("cent_id").dataType
-    val centRows =
-      cents.select(col("cent_id"), col("cq"), col("cn")).collect()
+    val centRows = cents.select(col("cent_id"), col("cq"), col("cn"))
+      .limit(centProbeLimit).collect()
     if (centRows.isEmpty)
       e.where(lit(false))
         .withColumn("cent_id", lit(null).cast(idType))
         .withColumn("ccos", lit(null).cast("double"))
-    else {
+    else if (centRows.length <= MaxLiteralCentroids) {
       val scored = centRows.toSeq.map { r =>
         val id = r.get(0).asInstanceOf[Number].longValue
         val cq = r.getAs[scala.collection.Seq[Long]](1).toSeq
@@ -95,7 +115,64 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
         .withColumn("cent_id", (-col("__best.nid")).cast(idType))
         .withColumn("ccos", col("__best.ccos"))
         .drop("__best")
+    } else {
+      // over-cap route: centroids broadcast once (no plan literals),
+      // best-per-row via the SAME (ccos, -cent_id) struct under max.
+      // Grouping on e's own columns is grouping by vec_id (unique by
+      // contract) with the rest carried — map-side combine collapses
+      // each vector to one candidate before the exchange (§2.3).
+      val eCols = e.columns.toSeq
+      e.join(broadcast(cents.select(col("cent_id"), col("cq"),
+          col("cn"))), lit(true))
+        .select(eCols.map(col) :+ struct(
+          cosine(qdot(col("q"), col("cq")), col("nn"), col("cn"))
+            .as("ccos"),
+          (-col("cent_id").cast("long")).as("nid")).as("__cand"): _*)
+        .groupBy(eCols.map(col): _*)
+        .agg(max(col("__cand")).as("__best"))
+        .withColumn("cent_id", (-col("__best.nid")).cast(idType))
+        .withColumn("ccos", col("__best.ccos"))
+        .drop("__best")
     }
+  }
+
+  /** The crk <= nProbe slice of [[rankedAgainst]] computed PER ROW —
+    * the probe-side twin of [[assignedCells]] for the serving doors:
+    * each row scores the <= [[MaxLiteralCentroids]] literal centroids,
+    * sorts the (ccos, -cent_id) structs DESCENDING (exactly the
+    * window's ccos desc, cent_id asc order — NaN greatest on both
+    * routes), keeps the first nProbe, and explodes — no cross-join,
+    * no window exchange on the query frame. Over the cap the
+    * cross-join + window route runs unchanged. Output is (vec_id, q,
+    * nn, cent_id), one row per (vector, probed cell) — the exact pair
+    * set `rankedAgainst(..).where(crk <= nProbe)` yields. */
+  private[graft] def probedCells(e: DataFrame, cents: DataFrame,
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val idType = cents.schema("cent_id").dataType
+    val centRows = cents.select(col("cent_id"), col("cq"), col("cn"))
+      .limit(centProbeLimit).collect()
+    if (centRows.isEmpty)
+      e.where(lit(false)).select(col("vec_id"), col("q"), col("nn"))
+        .withColumn("cent_id", lit(null).cast(idType))
+    else if (centRows.length <= MaxLiteralCentroids) {
+      val scored = centRows.toSeq.map { r =>
+        val id = r.get(0).asInstanceOf[Number].longValue
+        val cq = r.getAs[scala.collection.Seq[Long]](1).toSeq
+        val cn = r.get(2).asInstanceOf[Number].longValue
+        struct(
+          cosine(qdot(col("q"), typedlit(cq)), col("nn"), lit(cn))
+            .as("ccos"),
+          lit(-id).as("nid"))
+      }
+      e.select(col("vec_id"), col("q"), col("nn"),
+          explode(slice(sort_array(array(scored: _*), asc = false),
+            1, nProbe)).as("__p"))
+        .select(col("vec_id"), col("q"), col("nn"),
+          (-col("__p.nid")).cast(idType).as("cent_id"))
+    } else
+      rankedAgainst(e, cents).where(col("crk") <= nProbe)
+        .select(col("vec_id"), col("q"), col("nn"), col("cent_id"))
   }
 
   /** IVF probe against an EXPLICIT centroid frame (cent_id, cq, cn) —
@@ -104,12 +181,12 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
   def ivfTopKWith(e: DataFrame, cents: DataFrame, nQueries: Int = 5,
       nProbe: Int = 2, k: Int = 10): DataFrame = {
     // cells: per-row argmax (no corpus-wide window exchange); probes:
-    // the window ranks only the nQueries-filtered slice — per-row
-    // ranks are independent, so filter-then-rank is value-identical
+    // per-row sorted slice over the nQueries-filtered frame — the
+    // same §2.3 pattern, no cross-join + window on the query side
     val cells = assignedCells(e, cents)
       .select(col("vec_id"), col("q"), col("nn"), col("cent_id").as("cell"))
-    val probes = rankedAgainst(e.where(col("vec_id") < nQueries), cents)
-      .where(col("crk") <= nProbe)
+    val probes = probedCells(e.where(col("vec_id") < nQueries), cents,
+        nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nn").as("qn"), col("cent_id").as("cell"))
     val wTop = Window.partitionBy(col("query_id"))
@@ -322,18 +399,18 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
     // have replaced the quantizer)
     val base = snapshotRoot(s, path, asOf)
     // centroids as a cached local relation (fixed per incarnation):
-    // the probe ranking's broadcast builds driver-side, no scan job
+    // the probe ranking runs per row off the localized rows — no
+    // scan job, no cross-join + window on the query frame
     val cents = localizedMeta(s, base, "centroids")
-    val probes = rankedAgainst(quantized(queries), cents)
-      .where(col("crk") <= nProbe)
+    val probes = probedCells(quantized(queries), cents, nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nn").as("qn"), col("cent_id").cast("int").as("cell"))
       .pinned // feeds the probe-set literal AND the candidate join
-    val probedCells = probes.select(col("cell")).distinct()
+    val probedSet = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val lists = s.read.parquet(s"$base/lists")
       .where(segFilter(s, base, asOf) &&
-        col("cell").isin(probedCells.map(Int.box): _*))
+        col("cell").isin(probedSet.map(Int.box): _*))
       // committed tombstones mask deleted vectors (anti-join — the
       // tombstone set is unbounded, never collected)
       .join(tombstones(s, base, asOf = asOf), Seq("vec_id"), "left_anti")
@@ -362,16 +439,15 @@ private[graft] trait EmbIvfOps { this: EmbeddingOps.type =>
       asOf: Option[IndexSnapshot] = None): DataFrame = {
     val base = snapshotRoot(s, path, asOf)
     val cents = localizedMeta(s, base, "centroids")
-    val probes = rankedAgainst(quantized(queries), cents)
-      .where(col("crk") <= nProbe)
+    val probes = probedCells(quantized(queries), cents, nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("nn").as("qn"), col("cent_id").cast("int").as("cell"))
       .pinned
-    val probedCells = probes.select(col("cell")).distinct()
+    val probedSet = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0))
     val lists = s.read.parquet(s"$base/lists")
       .where(segFilter(s, base, asOf) &&
-        col("cell").isin(probedCells.map(Int.box): _*) && pred)
+        col("cell").isin(probedSet.map(Int.box): _*) && pred)
       .join(tombstones(s, base, asOf = asOf), Seq("vec_id"), "left_anti")
     val wTop = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)

@@ -319,7 +319,7 @@ private[graft] trait EmbPqOps { this: EmbeddingOps.type =>
     * decomposed IVFADC score. Output is |queries| * nProbe rows. */
   private def ivfpqProbes(qe: DataFrame, cents: DataFrame,
       nProbe: Int): DataFrame =
-    rankedAgainst(qe, cents).where(col("crk") <= nProbe)
+    probedCells(qe, cents, nProbe)
       .select(col("vec_id").as("query_id"), col("q").as("qv"),
         col("cent_id").cast("int").as("cell"))
       .join(broadcast(cents.select(col("cent_id").cast("int").as("cell"),

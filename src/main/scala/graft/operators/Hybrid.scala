@@ -83,25 +83,55 @@ object Hybrid {
     // idle slots), then fuse the two pinned batch x kArm frames.
     // Results are bit-identical: each arm is deterministic and the
     // fusion reads only the materialized frames.
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
+    //
+    // Threading discipline (NOT ExecutionContext.global): a dedicated
+    // 2-thread named pool per serve, a finite loud-refusal await
+    // (Overlap.timeoutOf — a hang backstop, conf-raisable), FAIL-FAST
+    // on the first arm error (a Promise tripped by either failure, so
+    // a fast dense-arm crash is not masked by a long lex arm), and
+    // each arm runs under its own job group with interrupt-on-cancel
+    // so the surviving sibling's cluster work is cancelled instead of
+    // left running ownerless.
+    import scala.concurrent.{Await, Future, Promise}
+    import scala.util.Failure
     import graft.operators.Stage.PinOps
-    implicit val ec: ExecutionContext = ExecutionContext.global
-    val lexF = Future {
-      TextOps
-        .bm25TopKIndexedBatch(s, bm25Path, termQueries, kArm,
-          asOf = lexAsOf)
-        .select(col("query_id"), col("doc_id").as("cand_id"), col("rk"))
-        .pinned
+    Overlap.withPool("graft-hybrid-arm", 2) { implicit ec =>
+      val groupId = s"graft-hybrid-${java.util.UUID.randomUUID()}"
+      def arm(tag: String)(body: => DataFrame): Future[DataFrame] =
+        Future {
+          s.sparkContext.setJobGroup(s"$groupId-$tag",
+            s"hybrid serve arm: $tag", interruptOnCancel = true)
+          try body finally s.sparkContext.clearJobGroup()
+        }
+      val lexF = arm("lex") {
+        TextOps
+          .bm25TopKIndexedBatch(s, bm25Path, termQueries, kArm,
+            asOf = lexAsOf)
+          .select(col("query_id"), col("doc_id").as("cand_id"), col("rk"))
+          .pinned
+      }
+      val denseF = arm("dense") {
+        EmbeddingOps
+          .ivfpqTopKIndexed(s, ivfpqPath, vecQueries, nProbe, kArm,
+            asOf = denseAsOf)
+          .select(col("query_id"), col("vec_id").as("cand_id"), col("rk"))
+          .pinned
+      }
+      val both = Promise[(DataFrame, DataFrame)]()
+      lexF.onComplete { case Failure(e) => both.tryFailure(e); case _ => }
+      denseF.onComplete { case Failure(e) => both.tryFailure(e); case _ => }
+      lexF.zip(denseF).onComplete(both.tryComplete)
+      val (lex, dense) =
+        try Await.result(both.future, Overlap.timeoutOf(s))
+        catch {
+          case e: Throwable =>
+            // first failure (or the backstop timeout) wins: cancel
+            // BOTH arms' cluster work before surfacing it
+            Seq("lex", "dense")
+              .foreach(t => s.sparkContext.cancelJobGroup(s"$groupId-$t"))
+            throw e
+        }
+      rrfFuse(lex, dense, k, rrfK)
     }
-    val denseF = Future {
-      EmbeddingOps
-        .ivfpqTopKIndexed(s, ivfpqPath, vecQueries, nProbe, kArm,
-          asOf = denseAsOf)
-        .select(col("query_id"), col("vec_id").as("cand_id"), col("rk"))
-        .pinned
-    }
-    rrfFuse(Await.result(lexF, Duration.Inf),
-      Await.result(denseF, Duration.Inf), k, rrfK)
   }
 }

@@ -29,3 +29,40 @@ private[graft] object Stage {
       else ds.localCheckpoint()
   }
 }
+
+/** Driver-thread overlap scaffolding for the §2.6 sites (the hybrid
+  * serve's two arms, compaction's totals recompute): a SMALL dedicated
+  * named daemon pool per call — never `ExecutionContext.global`, whose
+  * unbounded shared fork-join pool would let one stuck arm starve
+  * whatever else the JVM runs — and a GENEROUS but finite await that
+  * refuses loudly instead of hanging a shared driver forever
+  * (`Await(Inf)` is only acceptable in a single-tenant local run).
+  * The timeout is deliberately far above any sane job time — it is a
+  * deadlock/hang backstop, not a pacing knob — and parameterised for
+  * deployments whose longest maintenance jobs legitimately exceed it. */
+private[graft] object Overlap {
+  val TimeoutConf = "spark.graft.overlapTimeoutSec"
+  val DefaultTimeoutSec = 3600L
+
+  def timeoutOf(s: org.apache.spark.sql.SparkSession)
+      : scala.concurrent.duration.FiniteDuration =
+    scala.concurrent.duration.Duration(
+      s.conf.get(TimeoutConf, DefaultTimeoutSec.toString).toLong,
+      java.util.concurrent.TimeUnit.SECONDS)
+
+  /** Run `body` with a fresh `n`-thread named daemon pool as its
+    * ExecutionContext; the pool is always shut down on exit (threads
+    * die with the call, not with the JVM). */
+  def withPool[T](name: String, n: Int)(
+      body: scala.concurrent.ExecutionContext => T): T = {
+    val counter = new java.util.concurrent.atomic.AtomicInteger
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(n,
+      (r: Runnable) => {
+        val t = new Thread(r, s"$name-${counter.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      })
+    try body(scala.concurrent.ExecutionContext.fromExecutorService(pool))
+    finally pool.shutdown()
+  }
+}

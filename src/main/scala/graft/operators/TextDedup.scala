@@ -33,13 +33,26 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * whose output is <= nBands+1 rows. */
   def minhashBandSweep(docs: DataFrame, nBands: Int = 20): DataFrame = {
     require(nBands >= 1, s"nBands must be >= 1, got $nBands")
-    val ds = shinglesRaw(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .distinct()
+    // ONE shingle scan for BOTH halves (guide §2.4 — the candidate
+    // banding and the exact-Jaccard verify used to re-derive the
+    // shingle stream independently): the distinct hash set
+    // (collect_set dedups — min/Jaccard are duplicate-invariant) and
+    // the 16 min-md5 signature lanes aggregate together per doc, in
+    // one map-side-combined doc-keyed shuffle, and the pinned frame
+    // is doc-cardinality (8-byte surrogates + 16 digests — never
+    // shingle text). ds/sz/bands all project from it.
+    val sigAggs = (0 until MinhashK).map(k =>
+      min(md5(concat(col("s"), lit(s":$k")))).as(s"m$k"))
+    val perDoc = shinglesRaw(docs)
+      .select(col("doc_id"), col("s"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), sigAggs: _*)
       .pinned
-    val cand = cappedBandPairs(minhashBands(minhashSignature(docs)),
+    val ds = perDoc.select(col("doc_id"), explode(col("hs")).as("h"))
+    val cand = cappedBandPairs(minhashBands(perDoc),
       Seq("band_idx", "band_hash"))
-    val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sz = perDoc.select(col("doc_id"),
+      size(col("hs")).cast("long").as("n"))
     interFromCandidates(ds, cand)
       .join(sz.select(col("doc_id").as("doc_a"), col("n").as("na")),
         Seq("doc_a"))

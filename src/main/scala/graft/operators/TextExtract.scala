@@ -501,7 +501,11 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
     // rank (guide §2.3 — aggregate before you shuffle): min over
     // (-score, cand_lang) is exactly the (score desc, cand_lang asc)
     // total order (scores are >= 0 finite ratios, so negation mirrors
-    // the ordering), with map-side combine and no per-doc sort
+    // the ordering), with map-side combine and no per-doc sort.
+    // INVARIANT (argmaxTerm's null-score rule): `score` is non-null
+    // here BY CONSTRUCTION — dot comes from an inner join over
+    // counts and n_l from the broadcast inner join — a null would
+    // sort first under min and win; keep the joins inner.
     scored
       .groupBy(col("doc_id"), col("lang"))
       .agg(min(struct((-col("score")).as("ns"),
@@ -627,7 +631,15 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
     val rest = "word" +:
       scored.columns.filterNot(c => c == "doc_id" || c == "word")
     val fields = (-col("score")).as("__ns") +: rest.map(c => col(c).as(c))
-    scored.groupBy(col("doc_id"))
+    // null-score guard: under min(struct(-score, ..)) a NULL score
+    // sorts FIRST (nulls-smallest in struct ordering) and would WIN,
+    // where the window form it replaced (score desc NULLS LAST) put
+    // such rows last. Every current caller produces non-null scores
+    // via inner joins over counts, so this filter drops nothing — it
+    // pins the invariant so a future left-joined caller cannot
+    // silently crown a null-score row.
+    scored.where(col("score").isNotNull)
+      .groupBy(col("doc_id"))
       .agg(min(struct(fields: _*)).as("__m"))
       .select(col("doc_id") +: rest.map(c => col(s"__m.$c").as(c)): _*)
       .select(out: _*)

@@ -784,19 +784,47 @@ private[graft] trait TextIndexOps { this: TextOps.type =>
       // scale that is cheaper than re-scanning the pinned full
       // rows), so a compaction still drops tombstoned docs' orphan
       // vocabulary.
-      import scala.concurrent.{Await, ExecutionContext, Future}
-      import scala.concurrent.duration.Duration
-      implicit val ec: ExecutionContext = ExecutionContext.global
-      val totalsF = Future {
-        live.select(col("doc_id"), col("dl")).distinct()
-          .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("t_tok"))
-          .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
+      //
+      // Threading discipline (NOT ExecutionContext.global): a
+      // dedicated single-thread named pool, its own job group, and
+      // BOTH outcomes joined before anything propagates — a rewrite
+      // failure cancels the totals job group and still awaits it, so
+      // no background write into the staged tree ever outlives (and
+      // races the cleanup/retry of) the compaction attempt. The
+      // rewrite's error wins when both fail; the await is the
+      // Overlap hang backstop, never infinite.
+      import scala.concurrent.{Await, Future}
+      Overlap.withPool("graft-bm25-compact-totals", 1) { implicit ec =>
+        val groupId =
+          s"graft-bm25-totals-${java.util.UUID.randomUUID()}"
+        val totalsF = Future {
+          s.sparkContext.setJobGroup(groupId,
+            "bm25 compaction: totals recompute",
+            interruptOnCancel = true)
+          try {
+            live.select(col("doc_id"), col("dl")).distinct()
+              .agg(count(lit(1)).as("n_docs"),
+                sum(col("dl")).as("t_tok"))
+              .write.mode("overwrite").parquet(s"$tmp/totals/seg=0")
+          } finally s.sparkContext.clearJobGroup()
+        }
+        val rewriteErr =
+          try {
+            live.repartition(col("tb"))
+              .write.partitionBy("tb").mode("overwrite")
+              .parquet(s"$tmp/postings/seg=0")
+            writeTermDict(s, s"$tmp/postings/seg=0")
+            None
+          } catch {
+            case e: Throwable =>
+              s.sparkContext.cancelJobGroup(groupId)
+              Some(e)
+          }
+        val totalsErr =
+          try { Await.result(totalsF, Overlap.timeoutOf(s)); None }
+          catch { case e: Throwable => Some(e) }
+        rewriteErr.orElse(totalsErr).foreach(e => throw e)
       }
-      live.repartition(col("tb"))
-        .write.partitionBy("tb").mode("overwrite")
-        .parquet(s"$tmp/postings/seg=0")
-      writeTermDict(s, s"$tmp/postings/seg=0")
-      Await.result(totalsF, Duration.Inf)
       EmbeddingOps.commitGen(fs,
         new org.apache.hadoop.fs.Path(tmp, "_segs"), 0, Seq(0))
       // expires + retires; fenced on the generations read above (a

@@ -1163,6 +1163,72 @@ class EmbeddingOpsSpec extends SparkSpec {
       "tombstoned trunc-tier serving != subset-built serving")
   }
 
+  test("assignedCells/probedCells over-cap broadcast routes equal the " +
+    "window reference; plans carry a broadcast and no window") {
+    // 100 hash-derived vectors, 80 seed centroids — above
+    // MaxLiteralCentroids (64), so both helpers must take the
+    // broadcast arm instead of embedding 80 typedlit structs. The
+    // ground truth is the rankedAgainst definition itself (cross-join
+    // + row_number window), rebuilt here verbatim.
+    assert(EmbeddingOps.MaxLiteralCentroids < 80)
+    val big = embDf((0L until 100L).map { i =>
+      (i, pad(Seq.tabulate(8) { j =>
+        (((i * 8 + j) * 2654435761L % 2000) - 1000) / 1000.0f
+      }), (i % 3).toInt)
+    })
+    val e = EmbeddingOps.quantized(big)
+    val cents = EmbeddingOps.seedCentroids(e, 80)
+    val ref = EmbeddingOps.rankedAgainst(e, cents)
+    // argmax route: e's columns + (cent_id, ccos) must equal crk = 1
+    val got = EmbeddingOps.assignedCells(e, cents)
+      .select($"vec_id", $"cent_id", $"ccos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    val want = ref.where($"crk" === 1)
+      .select($"vec_id", $"cent_id", $"ccos")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq
+    assert(got == want, "over-cap assignedCells != window crk=1")
+    // probe route: the (vec_id, cent_id) pair set must equal crk <= 3
+    val gotP = EmbeddingOps.probedCells(e.where($"vec_id" < 5), cents, 3)
+      .select($"vec_id", $"cent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantP = ref.where($"vec_id" < 5 && $"crk" <= 3)
+      .select($"vec_id", $"cent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotP == wantP, "over-cap probedCells != window crk<=nProbe")
+    // plan shape: the over-cap assignment broadcasts the centroid
+    // frame (no typedlit bloat) and plans NO window; the under-cap
+    // route embeds literals and plans neither window nor broadcast
+    def shapes(df: org.apache.spark.sql.DataFrame) = {
+      val p = df.queryExecution.executedPlan
+      (p.toString.contains("BroadcastExchange") ||
+        p.toString.contains("BroadcastQueryStage"),
+        p.toString.contains(" Window") || p.toString.contains("Window ["))
+    }
+    val (bigBc, bigWin) = shapes(EmbeddingOps.assignedCells(e, cents))
+    assert(bigBc, "over-cap assignedCells plans no BroadcastExchange")
+    assert(!bigWin, "over-cap assignedCells re-grew a Window")
+    val small = EmbeddingOps.seedCentroids(e, 16)
+    val (smallBc, smallWin) =
+      shapes(EmbeddingOps.assignedCells(e, small))
+    assert(!smallBc && !smallWin,
+      "literal assignedCells grew an exchange or window")
+    // under-cap probe slice: same pair set as the window, no window
+    val gotS = EmbeddingOps.probedCells(e.where($"vec_id" < 5), small, 3)
+      .select($"vec_id", $"cent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantS = EmbeddingOps.rankedAgainst(e, small)
+      .where($"vec_id" < 5 && $"crk" <= 3)
+      .select($"vec_id", $"cent_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotS == wantS, "literal probedCells != window crk<=nProbe")
+    val (probeBc, probeWin) =
+      shapes(EmbeddingOps.probedCells(e.where($"vec_id" < 5), small, 3))
+    assert(!probeBc && !probeWin,
+      "literal probedCells grew an exchange or window")
+  }
+
   test("hardNegatives only surfaces OTHER labels, ranked by cosine") {
     val e = embDf(Seq(
       (0L, Seq(1f, 0f, 0f, 0f), 0), // query, label 0
