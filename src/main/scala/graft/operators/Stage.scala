@@ -27,6 +27,21 @@ private[graft] object Stage {
       if (ds.sparkSession.conf.get(ReliableFlag, "false").toBoolean)
         ds.checkpoint()
       else ds.localCheckpoint()
+
+    /** [[pinned]] with LAZY materialization: the blocks fill during
+      * the first consuming job instead of a dedicated eager pin job,
+      * and later consumers read them back like any checkpoint — same
+      * data, same lineage truncation, one fewer job per pin site.
+      * Right for a strictly SEQUENTIAL chain whose next stage always
+      * consumes the previous one (the curate funnel). NOT a drop-in
+      * for `pinned` everywhere: sites that pin to capture a mutable
+      * source before a swap (the index maintenance doors) or hand
+      * the frame to concurrent driver threads (the overlap sites)
+      * rely on eager, single-threaded materialization. */
+    def pinnedLazy: Dataset[T] =
+      if (ds.sparkSession.conf.get(ReliableFlag, "false").toBoolean)
+        ds.checkpoint(eager = false)
+      else ds.localCheckpoint(eager = false)
   }
 }
 

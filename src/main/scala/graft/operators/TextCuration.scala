@@ -161,13 +161,19 @@ private[graft] trait TextCurationOps { this: TextOps.type =>
 
   /** The shared stage chain behind [[curate]]/[[curateReport]]: each
     * stage's survivor frame pinned once, feeding both its own filter
-    * and the next stage. `pin` is the stage-boundary materialization
-    * (checkpoint by default); the composed-chain scale probe passes
-    * identity so the six inter-stage doc_id joins stay in ONE
-    * walkable plan instead of disappearing behind checkpoint scans. */
+    * and the next stage. `pin` is the stage-boundary materialization —
+    * a LAZY checkpoint by default (Stage.pinnedLazy): the chain is
+    * strictly sequential and every stage frame is consumed by the
+    * next stage's first job (or an interior operator's own eager
+    * pin), so the blocks fill there instead of in a dedicated pin
+    * job per stage — same data, same lineage truncation, one fewer
+    * scheduling barrier per stage (§2.6). The composed-chain scale
+    * probe passes identity so the six inter-stage doc_id joins stay
+    * in ONE walkable plan instead of disappearing behind checkpoint
+    * scans. */
   private[graft] def curateChain(rawIn: DataFrame, spanK: Int,
       lmKeepMilli: Long, maxChars: Long,
-      pin: DataFrame => DataFrame = _.pinned,
+      pin: DataFrame => DataFrame = _.pinnedLazy,
       ledgerPath: Option[String] = None,
       containT: Option[Double] = None,
       benchmark: Option[DataFrame] = None,
