@@ -47,7 +47,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       .select(col("doc_id"), col("s"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id"))
       .agg(collect_set(col("h")).as("hs"), sigAggs: _*)
-      .pinned
+      .pinnedLazy
     val ds = perDoc.select(col("doc_id"), explode(col("hs")).as("h"))
     val cand = cappedBandPairs(minhashBands(perDoc),
       Seq("band_idx", "band_hash"))
@@ -97,13 +97,13 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * 4-row lag window — nothing corpus-sized leaves its stage. */
   def dedupCascadeReport(docs: DataFrame,
       threshold: Double = 0.7): DataFrame = {
-    val d = docs.pinned
+    val d = docs.pinnedLazy
     val d1 = d.join(dedupExact(d)
         .select(col("kept_doc_id").as("doc_id")), Seq("doc_id"))
-      .pinned
+      .pinnedLazy
     val d2 = d1.join(dedupBagOfWords(d1)
         .select(col("kept_doc_id").as("doc_id")), Seq("doc_id"))
-      .pinned
+      .pinnedLazy
     val dropped = nearDupMinhash(d2, threshold)
       .select(col("doc_b").as("doc_id")).distinct()
     def cnt(df: DataFrame, idx: Int, name: String): DataFrame =
@@ -139,10 +139,10 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     val cs = shinglesRaw(corpus)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
-      .pinned // size branch + pruned-verify branch
+      .pinnedLazy // size branch + pruned-verify branch
     val bset = shinglesRaw(benchmark)
       .select(xxhash64(col("s")).as("h")).distinct()
-      .pinned // cardinality, sketch build, and the exact verify join
+      .pinnedLazy // cardinality, sketch build, and the exact verify join
     val nb = math.max(bset.count(), 1L)
     val filter = BloomJoin.buildFilter(bset, "h", nb, fpp)
     val sz = cs.groupBy(col("doc_id"))
@@ -174,7 +174,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     val ds = shinglesRaw(docs)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
-      .pinned
+      .pinnedLazy
     val sz = ds.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val tp = ds.as("a").join(ds.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
@@ -188,7 +188,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       .where(col("nc") / (col("na") + col("nb") - col("nc"))
         .cast("double") >= threshold)
       .select(col("doc_a"), col("doc_b"))
-      .pinned // counted alone and joined against the banded set
+      .pinnedLazy // counted alone and joined against the banded set
     // the banded side is the dedup's OWN candidate generator — capped,
     // so the recall this card reports is the production route's recall
     val cand = cappedBandPairs(minhashBands(minhashSignature(docs)),
@@ -337,7 +337,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       .select(keyCols.map(col) :+ col("doc_id"): _*)
       .withColumn("bn", count(lit(1)).over(w))
       .withColumn("hub", min(col("doc_id")).over(w))
-      .pinned
+      .pinnedLazy
     val small = bx.where(col("bn") <= bucketCap)
     val allPairs = small.as("a").join(small.as("b"), keyCols)
       .where(col("a.doc_id") < col("b.doc_id"))
@@ -445,7 +445,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     val ds = shinglesRaw(docs)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
-      .pinned
+      .pinnedLazy
     val cand = cappedBandPairs(minhashBands(minhashSignature(docs)),
       Seq("band_idx", "band_hash"), bucketCap)
     jaccardFromInter(ds, interFromCandidates(ds, cand), threshold)
@@ -474,7 +474,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     val dh = shinglesRaw(docs)
       .select(col("doc_id"), md5(col("s")).as("h"))
       .distinct()
-      .pinned
+      .pinnedLazy
     val w = Window.partitionBy(col("doc_id")).orderBy(col("h"))
     val pref = dh.withColumn("rn", row_number().over(w))
       .where(col("rn") <= prefixK)
@@ -529,7 +529,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       s"threshold must be in (0, 1], got $threshold")
     val t = math.floor(threshold * 1000).toLong.max(1L)
     val ds = digestSets(docs)
-      .pinned // prefix ranking, frequency, sizes, and verify — one set
+      .pinnedLazy // prefix ranking, frequency, sizes, and verify — one set
     val cand = prefixCandidates(ds, ds, t, selfJoin = true)
     jaccardFromInter(ds, interFromCandidates(ds, cand), threshold)
   }
@@ -677,7 +677,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = math.floor(threshold * 1000).toLong.max(1L)
-    val ds = digestSets(docs).pinned
+    val ds = digestSets(docs).pinnedLazy
     val freq = ds.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val cand = containedCandidates(containedPrefix(ds, freq, t), ds,
       t, selfJoin = true)
@@ -704,8 +704,8 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = math.floor(threshold * 1000).toLong.max(1L)
-    val dsa = digestSets(left).pinned
-    val dsb = digestSets(right).pinned
+    val dsa = digestSets(left).pinnedLazy
+    val dsb = digestSets(right).pinnedLazy
     val cand = prefixCandidates(dsa, dsb, t, selfJoin = false)
     sizedPairs(crossInter(dsa, dsb, cand), dsa, dsb)
       .withColumn("jaccard", col("n_common") /
@@ -743,8 +743,8 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
     val t = math.floor(threshold * 1000).toLong.max(1L)
-    val dsa = digestSets(contained).pinned
-    val dsb = digestSets(containers).pinned
+    val dsa = digestSets(contained).pinnedLazy
+    val dsb = digestSets(containers).pinnedLazy
     val freq = dsb.groupBy(col("h")).agg(count(lit(1)).as("f"))
     val cand = containedCandidates(containedPrefix(dsa, freq, t), dsb,
       t, selfJoin = false)
@@ -782,7 +782,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * mass. */
   def minhashEstimate(docs: DataFrame,
       threshold: Double = 0.7): DataFrame = {
-    val sig = minhashSignature(docs).pinned
+    val sig = minhashSignature(docs).pinnedLazy
     val matches = (0 until MinhashK).map(k =>
       when(col(s"a.m$k") === col(s"b.m$k"), 1L).otherwise(0L))
       .reduce(_ + _)
@@ -817,10 +817,10 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     val fwd = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     val edges = fwd
       .unionAll(fwd.select(col("b").as("a"), col("a").as("b")))
-      .pinned
+      .pinnedLazy
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("grp"))
-      .pinned
+      .pinnedLazy
     var changed = 1L
     var it = 0
     while (changed > 0 && it < maxIters) {
@@ -837,7 +837,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
         .select(col("id"),
           least(col("grp"), coalesce(col("nbr_grp"), col("grp"))).as("grp"),
           coalesce(col("nbr_grp") < col("grp"), lit(false)).as("changed"))
-        .pinned
+        .pinnedLazy
       changed = next.where(col("changed")).count()
       labels = next.select(col("id"), col("grp"))
       it += 1
@@ -941,7 +941,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * per-group argmax is a window over dup groups only. */
   def dedupSurvivorsBest(docs: DataFrame,
       threshold: Double = 0.7): DataFrame = {
-    val d = docs.pinned
+    val d = docs.pinnedLazy
     val groups = dupGroups(
       nearDupMinhash(d, threshold).select(col("doc_a"), col("doc_b")))
     val ntok = d.select(col("doc_id"),
@@ -973,7 +973,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
   def dedupLines(docs: DataFrame, minDf: Int = 2,
       textCol: String = "text"): DataFrame = {
     // one line pass feeds BOTH the df-count and the excision
-    val lines = docLines(docs, textCol).pinned
+    val lines = docLines(docs, textCol).pinnedLazy
     val df = lines.select(col("h"), col("doc_id")).distinct()
       .groupBy(col("h")).agg(count(lit(1)).as("df"))
     exciseByDf(docs, lines, df, minDf, textCol)
@@ -1068,7 +1068,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * whose shared band bucket is within the cap. */
   def nearDupSimhash(docs: DataFrame, maxHamming: Int = 3,
       bucketCap: Int = BucketCap): DataFrame = {
-    val sh = simhash(docs).pinned
+    val sh = simhash(docs).pinnedLazy
     val bandCols = (0 until 4).map(b =>
       concat(lit(s"$b:"),
         (expr(s"simhash div ${1L << (8 * b)}") % 256).cast("long")))
@@ -1127,7 +1127,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * tie-break on (hamming, doc_id). */
   def simhashTopK(docs: DataFrame, nQueries: Int = 5,
       k: Int = 10): DataFrame = {
-    val sh = simhash(docs).pinned
+    val sh = simhash(docs).pinnedLazy
     val q = sh.where(col("doc_id") < nQueries)
       .select(col("doc_id").as("query_id"), col("simhash").as("qh"))
     val scored = sh.join(broadcast(q), col("doc_id") =!= col("query_id"))
@@ -1166,7 +1166,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     val cs = shinglesRaw(corpus)
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .distinct()
-      .pinned // reused by the size and the overlap branch
+      .pinnedLazy // reused by the size and the overlap branch
     val bset = shinglesRaw(benchmark)
       .select(xxhash64(col("s")).as("h")).distinct()
     val sz = cs.groupBy(col("doc_id"))
@@ -1240,11 +1240,11 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
   def nearDupWinnowing(docs: DataFrame, k: Int = 8, w: Int = 4,
       minShared: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 50): DataFrame = {
-    val fp = winnowing(docs, k, w).pinned
+    val fp = winnowing(docs, k, w).pinnedLazy
     val dfc = fp.groupBy(col("fingerprint")).agg(count(lit(1)).as("df"))
     val fpk = fp.join(dfc.where(col("df") <= maxDf), Seq("fingerprint"))
       .select(col("doc_id"), col("fingerprint").as("h"))
-      .pinned
+      .pinnedLazy
     // candidate generation and intersection are ONE fused self-join
     // here (a shared fingerprint IS the candidate signal), so the
     // shared tail starts at the Jaccard verification
@@ -1283,7 +1283,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * where whole-doc dedup ([[nearDupMinhash]]) would miss them.
     *
     * Scale shape: the per-(doc, shingle-hash) counts are aggregated
-    * once and pinned (Stage.pinned) for their three consumers;
+    * once and pinned (Stage.pinnedLazy) for their three consumers;
     * document frequency is a second aggregate of that
     * (already-distinct) frame, shuffle-joined back on the 8-byte
     * surrogate — the vocabulary-sized frame is never broadcast (the
@@ -1300,7 +1300,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       .select(col("doc_id"), xxhash64(col("s")).as("h"))
       .groupBy(col("doc_id"), col("h"))
       .agg(count(lit(1)).as("c"))
-      .pinned
+      .pinnedLazy
     val dfq = occ.groupBy(col("h")).agg(count(lit(1)).as("nd"))
     val tot = occ.groupBy(col("doc_id")).agg(sum(col("c")).as("n_grams"))
     val dup = occ.join(dfq.where(col("nd") >= 2), Seq("h"))
@@ -1425,7 +1425,7 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * one count aggregate per side. */
   def dedupReport(docs: DataFrame,
       threshold: Double = 0.7): DataFrame = {
-    val d = docs.pinned
+    val d = docs.pinnedLazy
     val losers = dupGroups(
         nearDupMinhash(d, threshold).select(col("doc_a"), col("doc_b")))
       .where(col("doc_id") =!= col("group_id"))

@@ -157,7 +157,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
       .withColumn("arm_i",
         pmod(conv(substring(md5(concat(col("doc_id").cast("string"),
           lit(":denoiser"))), 1, 4), 16, 10).cast("long"), lit(3L)))
-      .pinned
+      .pinnedLazy
     arms.zipWithIndex.map { case ((arm, spanLen, nib), i) =>
       tokens(assigned.where(col("arm_i") === i.toLong))
         .withColumn("g", expr(s"pos div $spanLen"))
@@ -313,7 +313,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
       "phrases must be non-blank")
     val s = docs.sparkSession
     import s.implicits._
-    val d = docs.pinned
+    val d = docs.pinnedLazy
     val byLen = phrases.groupBy(_.split(" ").length)
     val hits = byLen.map { case (l, ps) =>
       val grams = d
@@ -355,7 +355,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
       .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
       .groupBy(col("source"), col("word"))
       .agg(count(lit(1)).as("c_s"))
-      .pinned
+      .pinnedLazy
     val wTot = sw.groupBy(col("word")).agg(sum(col("c_s")).as("c_w"))
     val sTot = sw.groupBy(col("source")).agg(sum(col("c_s")).as("t_s"))
     val tot = sw.agg(sum(col("c_s")).as("t_all"))
@@ -395,7 +395,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
       permille: Int = 900): DataFrame = {
     require(permille >= 1 && permille <= 1000,
       s"permille must be in [1, 1000], got $permille")
-    val lm = lmModelOf(docBigrams(docs)).pinned
+    val lm = lmModelOf(docBigrams(docs)).pinnedLazy
     val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
     val w = Window.partitionBy(col("lhs"))
       .orderBy(col("c_ab").desc, col("rhs").asc)
@@ -440,8 +440,8 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
     * bigrams have no full window and drop. */
   def worstSpan(docs: DataFrame, w: Int = 10): DataFrame = {
     require(w >= 1, s"w must be >= 1, got $w")
-    val d = docs.pinned
-    val lm = lmModelOf(docBigrams(d)).pinned
+    val d = docs.pinnedLazy
+    val lm = lmModelOf(docBigrams(d)).pinnedLazy
     val ctx = lm.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_lhs"))
     val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     val big = tokens(d)
@@ -473,7 +473,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
     * deterministic; ties break on lang name.
     *
     * 100 TB shape: the corpus is tokenized ONCE into per-(doc, word)
-    * counts (pinned (Stage.pinned) so the profile, lang-size, and scoring
+    * counts (pinned (Stage.pinnedLazy) so the profile, lang-size, and scoring
     * branches reuse it instead of re-scanning); the profile is
     * vocab-sized — on a web-scale corpus that is billions of terms, so
     * it is NEVER broadcast: profile-vs-doc scoring is a shuffle hash
@@ -486,7 +486,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
         explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("lang"), col("word"))
       .agg(count(lit(1)).as("c_dw"))
-      .pinned
+      .pinnedLazy
     val profile = docWc.groupBy(col("lang").as("cand_lang"), col("word"))
       .agg(sum(col("c_dw")).as("n_lw"))
     val langSize = docWc.groupBy(col("lang").as("cand_lang"))
@@ -538,7 +538,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
           s"i -> concat_ws('', slice(cs, i, $n)))")).as("g"))
       .groupBy(col("doc_id"), col("lang"), col("g"))
       .agg(count(lit(1)).as("c_dg"))
-      .pinned
+      .pinnedLazy
     val profile = docGc.groupBy(col("lang").as("cand_lang"), col("g"))
       .agg(sum(col("c_dg")).as("n_lg"))
     val langSize = docGc.groupBy(col("lang").as("cand_lang"))
@@ -604,7 +604,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
     * tf*log(N/df) would hinge on last-ulp libm differences). */
   /** (doc_id, word, tf, df) — the shared scaffolding of the per-doc
     * term argmaxes ([[topTerm]], [[tfidfTopTerm]]). tf is
-    * pinned (Stage.pinned) so the document-frequency branch and the
+    * pinned (Stage.pinnedLazy) so the document-frequency branch and the
     * scoring join reuse one tokenization+shuffle. df_ is the FULL
     * corpus vocabulary — never broadcast (billions of terms at 100 TB);
     * tf JOIN df_ is a shuffle hash join on `word`, and tf is already
@@ -612,7 +612,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
   private def tfDf(docs: DataFrame): DataFrame = {
     val tf = tokens(docs).groupBy(col("doc_id"), col("word"))
       .agg(count(lit(1)).as("tf"))
-      .pinned
+      .pinnedLazy
     val df_ = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
     tf.join(df_, Seq("word"))
   }
@@ -764,7 +764,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
         "array_max(filter(array(g - 2, g - 1, g, g + 1, g + 2), " +
           "t -> t >= 1 AND CAST(t AS DECIMAL(38,0)) * t * t * t" +
           " <= CAST(c AS DECIMAL(38,0)) * c * c))"))
-      .pinned // total mass + the ranked output, one vocab pass
+      .pinnedLazy // total mass + the ranked output, one vocab pass
     val tot = wc.agg(sum(col("w34")).as("tot"))
     wc.crossJoin(broadcast(tot)) // 1-row scalar frame
       .select(col("word"), col("c"), col("w34"),
@@ -1107,7 +1107,7 @@ private[graft] trait TextExtractOps { this: TextOps.type =>
       .groupBy(col("lhs"), col("rhs")).agg(sum(col("k")).as("c_ab"))
     val uni = tokens(docs)
       .groupBy(col("word")).agg(count(lit(1)).as("c_u"))
-      .pinned // one count pass joins as BOTH the lhs and rhs side
+      .pinnedLazy // one count pass joins as BOTH the lhs and rhs side
     val n = uni.agg(sum(col("c_u")).as("n_tokens"))
     val top = ab.where(col("c_ab") >= minCount)
       .join(uni.select(col("word").as("lhs"), col("c_u").as("c_a")),

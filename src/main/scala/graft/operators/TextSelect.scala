@@ -31,7 +31,7 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     require(granularity >= 1,
       s"granularity must be >= 1, got $granularity")
     val sh = scored.withColumn("shard",
-      floor(col("score") * granularity).cast("long")).pinned
+      floor(col("score") * granularity).cast("long")).pinnedLazy
     val counts = sh.groupBy(col("shard"))
       .agg(sum(col("n_tokens")).as("tok"))
     val wOff = Window.orderBy(col("shard"))
@@ -59,7 +59,7 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
       rankName: String): DataFrame = {
     val sh = df.withColumn("_rs", score)
       .withColumn("_shard", floor(col("_rs") * granularity).cast("long"))
-      .pinned
+      .pinnedLazy
     val counts = sh.groupBy(col("_shard")).agg(count(lit(1)).as("cnt"))
     val wOff = Window.orderBy(col("_shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -91,9 +91,9 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     require(granularity >= 1,
       s"granularity must be >= 1, got $granularity")
     val sh = scored.withColumn("_shard",
-      floor(col("score") * granularity).cast("long")).pinned
+      floor(col("score") * granularity).cast("long")).pinnedLazy
     val counts = sh.groupBy(col("source"), col("_shard"))
-      .agg(count(lit(1)).as("cnt")).pinned
+      .agg(count(lit(1)).as("cnt")).pinnedLazy
     val wOff = Window.partitionBy(col("source")).orderBy(col("_shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = counts.withColumn("_off",
@@ -132,7 +132,7 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     val lm = lmScore(docs).select(col("doc_id"), col("avg_nll"))
     val dw = dsirWeight(docs, targetSource, nBuckets)
       .select(col("doc_id"), col("avg_weight"))
-    val both = lm.join(dw, Seq("doc_id")).pinned
+    val both = lm.join(dw, Seq("doc_id")).pinnedLazy
     val r1 = rankBy(both, col("avg_nll"), granularity, "ppl_rank")
     val r2 = rankBy(both.select(col("doc_id"), col("avg_weight")),
       -col("avg_weight"), granularity, "dsir_rank")
@@ -189,8 +189,8 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     * broadcasts; every join is vocabulary-keyed. */
   def lmScoreTrigramWith(docs: DataFrame, tri: DataFrame,
       bi: DataFrame): DataFrame = {
-    val t = tri.pinned // context marginal + the scoring join
-    val b = bi.pinned // three marginals + the backoff join
+    val t = tri.pinnedLazy // context marginal + the scoring join
+    val b = bi.pinnedLazy // three marginals + the backoff join
     val ctx12 = t.groupBy(col("w1"), col("w2"))
       .agg(sum(col("c_abc")).as("c_12"))
     val ctx2 = b.groupBy(col("lhs")).agg(sum(col("c_ab")).as("c_2"))
@@ -599,7 +599,7 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
           bucket.as("bucket"), col("keep_permille"))
         .where(col("bucket") < col("keep_permille"))
     } else {
-      val roots = rootsPlan.pinned
+      val roots = rootsPlan.pinnedLazy
       val totT = roots.agg(sum(col("t_s")).as("tot_t")) // 1-row scalar
       val budget = roots.crossJoin(broadcast(totT))
         .select(expr("CAST(source_tokens AS DECIMAL(38,0))" +
@@ -666,13 +666,13 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     * unigram pass.
     *
     * Scale shape: one per-row bigram projection → ONE (doc_id, lhs,
-    * rhs) count shuffle, pinned (Stage.pinned) for its two consumers; the
+    * rhs) count shuffle, pinned (Stage.pinnedLazy) for its two consumers; the
     * LM is two further aggregates of that frame; scoring joins shuffle
     * on the bigram key and then on `lhs` — model tables are vocabulary-
     * (and vocabulary²-)sized and are NEVER broadcast. Nothing is
     * corpus-quadratic; no driver-side state. */
   def lmScore(docs: DataFrame): DataFrame = {
-    val db = docBigrams(docs).pinned
+    val db = docBigrams(docs).pinnedLazy
     lmScored(db, lmModelOf(db))
   }
 
@@ -794,11 +794,11 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     require(granularity >= 1,
       s"granularity must be >= 1, got $granularity")
     val scored = lmScore(docs)
-      .select(col("doc_id"), col("avg_nll")).pinned
+      .select(col("doc_id"), col("avg_nll")).pinnedLazy
     val sh = scored.withColumn("shard",
       floor(col("avg_nll") * granularity).cast("long"))
     val counts = sh.groupBy(col("shard"))
-      .agg(count(lit(1)).as("cnt")).pinned
+      .agg(count(lit(1)).as("cnt")).pinnedLazy
     val wOff = Window.orderBy(col("shard"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val off = counts.withColumn("offset",
@@ -844,7 +844,7 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     * score here).
     *
     * Scale shape: one per-row feature projection over the corpus → ONE
-    * (doc_id, bucket, side) count shuffle pinned (Stage.pinned) for its
+    * (doc_id, bucket, side) count shuffle pinned (Stage.pinnedLazy) for its
     * consumers; the two distributions are ONE further aggregate of the
     * bucket frame each; scoring joins shuffle on the bucket id. The
     * bucket tables are nBuckets rows — broadcastable at ANY corpus
@@ -853,7 +853,7 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     * onto the per-doc bucket counts. */
   def dsirWeight(docs: DataFrame, targetSource: String,
       nBuckets: Int = DsirDefaultBuckets): DataFrame = {
-    val pd = dsirPerDoc(docs, nBuckets).pinned
+    val pd = dsirPerDoc(docs, nBuckets).pinnedLazy
     dsirScored(pd, dsirDistOf(pd, targetSource), targetSource)
   }
 
@@ -1051,7 +1051,7 @@ private[graft] trait TextSelectOps { this: TextOps.type =>
     * crawl-scale pipeline runs after generative filtering. */
   def nbClassify(docs: DataFrame, posSource: String,
       negSource: String): DataFrame = {
-    val d = docs.pinned
+    val d = docs.pinnedLazy
     nbScoreWith(d.where(!col("source").isin(posSource, negSource)),
       nbModel(d, posSource, negSource),
       nbPriors(d, posSource, negSource))

@@ -164,7 +164,7 @@ private[graft] trait TextTokenizerOps { this: TextOps.type =>
     * replace; only the single winning pair crosses to the driver each
     * round (the same driver-sees-one-row loop discipline as the
     * k-means trainer in EmbeddingOps). The working table is
-    * pinned (Stage.pinned) every round so lineage stays bounded across
+    * pinned (Stage.pinnedLazy) every round so lineage stays bounded across
     * iterations.
     *
     * CONVERGENCE: training stops before `rounds` when no pair remains
@@ -272,7 +272,7 @@ private[graft] trait TextTokenizerOps { this: TextOps.type =>
         concat_ws("", transform(split(col("word"), ""),
           c => concat(lit(sep), c, lit(sep)))).as("seq"),
         col("n"))
-      .pinned
+      .pinnedLazy
     val records = Seq.newBuilder[(Long, String, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -305,7 +305,7 @@ private[graft] trait TextTokenizerOps { this: TextOps.type =>
         seqs = seqs.select(col("word"),
             call_function("replace", col("seq"), lit(pat), lit(rep))
               .as("seq"), col("n"))
-          .pinned
+          .pinnedLazy
         r += 1
       }
     }
@@ -375,7 +375,7 @@ private[graft] trait TextTokenizerOps { this: TextOps.type =>
       maxPieceLen: Int = UnigramMaxPieceLen, vocabSize: Int = 32,
       rounds: Int = 2): DataFrame = {
     val vocab = unigramTrain(docs, maxPieceLen, vocabSize, rounds)
-    val wf = unigramWordFreq(docs).pinned
+    val wf = unigramWordFreq(docs).pinnedLazy
     val shortSeg = unigramSegments(
       wf.where(length(col("word")) <= UnigramMaxWordLen), vocab,
       maxPieceLen)
@@ -458,7 +458,7 @@ private[graft] trait TextTokenizerOps { this: TextOps.type =>
     require(vocabSize >= 1, s"vocabSize must be >= 1, got $vocabSize")
     require(rounds >= 1 && rounds <= 10,
       s"rounds must be in [1, 10], got $rounds")
-    val wf = unigramWordFreq(docs).pinned
+    val wf = unigramWordFreq(docs).pinnedLazy
     val wfs = wf.where(length(col("word")) <= UnigramMaxWordLen)
     val wfl = wf.where(length(col("word")) > UnigramMaxWordLen)
     // seed: frequency-weighted substring occurrence counts (all words)
@@ -468,15 +468,15 @@ private[graft] trait TextTokenizerOps { this: TextOps.type =>
           s"transform(sequence(1, least($maxPieceLen, i)), l -> " +
           "substring(word, i - l + 1, l))))")).as("piece"), col("n"))
       .groupBy(col("piece")).agg(sum(col("n")).as("c"))
-      .pinned
+      .pinnedLazy
     val singlesSet = sub.where(length(col("piece")) === 1)
-      .select(col("piece")).pinned
+      .select(col("piece")).pinnedLazy
     def withCosts(v: DataFrame): DataFrame = {
       val tot = v.agg(sum(col("c")).as("tot")) // 1-row scalar
       v.crossJoin(broadcast(tot))
         .select(col("piece"), col("c"),
           (length(bin(expr("tot div c"))) - 1).cast("long").as("cost_q"))
-        .pinned
+        .pinnedLazy
     }
     var vocab = withCosts(
       sub.where(length(col("piece")) === 1)
@@ -490,7 +490,7 @@ private[graft] trait TextTokenizerOps { this: TextOps.type =>
         .select(explode(split(col("word"), "")).as("piece"), col("n"))
       val usage = usageShort.unionByName(usageLong)
         .groupBy(col("piece")).agg(sum(col("n")).as("u"))
-        .pinned
+        .pinnedLazy
       val newSingles = singlesSet
         .join(usage, Seq("piece"), "left")
         .select(col("piece"),
