@@ -400,8 +400,17 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
     * n_common)`: join the set sizes, one IEEE division, keep pairs at
     * >= threshold. */
   private def jaccardFromInter(sets: DataFrame, inter: DataFrame,
+      threshold: Double): DataFrame =
+    jaccardFromSizes(
+      sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n")),
+      inter, threshold)
+
+  /** [[jaccardFromInter]] with the per-doc set sizes `(doc_id, n)`
+    * supplied directly — for callers that already hold the sets as
+    * per-doc arrays, where `size(hs)` is free and re-counting the
+    * exploded rows would add a shuffle. */
+  private def jaccardFromSizes(sz: DataFrame, inter: DataFrame,
       threshold: Double): DataFrame = {
-    val sz = sets.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val jac = col("n_common") /
       (col("na") + col("nb") - col("n_common")).cast("double")
     inter
@@ -433,22 +442,34 @@ private[graft] trait TextDedupOps { this: TextOps.type =>
       bucketCap: Int = BucketCap): DataFrame = {
     // The exact-Jaccard verify works on distinct shingle SETS, but only
     // set sizes and intersection sizes matter — so the set elements are
-    // 8-byte xxhash64 surrogates, not the shingle strings: the distinct
+    // 8-byte xxhash64 surrogates, not the shingle strings: the set
     // shuffle and both intersection join sides move longs instead of
     // ~25-byte text. Results equal the string-set answer unless two
     // DIFFERENT shingles of the same doc pair collide in 64 bits
     // (p ~ n_doc_shingles^2 / 2^64 — vanishing; md5-based signatures
     // and the oracle parity are unaffected by the surrogate choice).
-    // pinned (localCheckpoint by default) over cache(): same reuse, but
-    // blocks free with the frame instead of accumulating in the
-    // CacheManager across calls.
-    val ds = shinglesRaw(docs)
-      .select(col("doc_id"), xxhash64(col("s")).as("h"))
-      .distinct()
+    //
+    // ONE shingle scan for BOTH halves (guide §2.4, same merge as
+    // [[minhashBandSweep]]): the distinct hash set (collect_set
+    // dedups; min/Jaccard are duplicate-invariant) and the 16 min-md5
+    // signature lanes aggregate together per doc in one
+    // map-side-combined doc-keyed shuffle — the standalone distinct
+    // exchange and the second tokenize pass fold away. The pinned
+    // frame is doc-cardinality (8-byte surrogates + 16 digests, never
+    // shingle text); ds, sizes, and bands all project from it.
+    val sigAggs = (0 until MinhashK).map(k =>
+      min(md5(concat(col("s"), lit(s":$k")))).as(s"m$k"))
+    val perDoc = shinglesRaw(docs)
+      .select(col("doc_id"), col("s"), xxhash64(col("s")).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(collect_set(col("h")).as("hs"), sigAggs: _*)
       .pinnedLazy
-    val cand = cappedBandPairs(minhashBands(minhashSignature(docs)),
+    val ds = perDoc.select(col("doc_id"), explode(col("hs")).as("h"))
+    val sz = perDoc.select(col("doc_id"),
+      size(col("hs")).cast("long").as("n"))
+    val cand = cappedBandPairs(minhashBands(perDoc),
       Seq("band_idx", "band_hash"), bucketCap)
-    jaccardFromInter(ds, interFromCandidates(ds, cand), threshold)
+    jaccardFromSizes(sz, interFromCandidates(ds, cand), threshold)
   }
 
   /** Standalone n-gram Jaccard near-dup (the minhash-free member of
